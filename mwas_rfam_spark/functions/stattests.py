@@ -1,0 +1,226 @@
+"""Pure-numpy statistical test kernels (no scipy in the runtime).
+
+Replicates the two tests the reference calls (main/mwas_general.py:404-423):
+
+* Welch's t-test from summary stats — the closed-form identical to
+  ``scipy.stats.ttest_ind_from_stats(equal_var=False)``. The t-distribution
+  survival function is computed with the regularized incomplete beta
+  function via Lentz's continued fraction (standard published algorithm,
+  Numerical Recipes §6.4 / DLMF 8.17).
+* A two-sided independent-sample permutation test with mean-difference
+  statistic — mirroring ``scipy.stats.permutation_test`` semantics
+  (main/mwas_general.py:413-419): randomized with ``n_resamples`` draws and
+  the +1/+1 p-value correction, automatically switching to the exact
+  (complete enumeration) null when C(n, k) <= n_resamples. Unlike the
+  reference (unseeded), ours is seeded per test key for reproducibility
+  (SURVEY.md §5 determinism note).
+
+Everything is vectorized numpy so it runs efficiently inside Arrow-batched
+pandas UDFs on executors.
+"""
+
+from __future__ import annotations
+
+import math
+from itertools import combinations
+
+import numpy as np
+
+__all__ = [
+    "betainc_reg",
+    "student_t_sf",
+    "welch_ttest_from_stats",
+    "permutation_test_mean_diff",
+    "mean_diff_statistic",
+]
+
+_MAX_CF_ITER = 300
+_CF_EPS = 3.0e-15
+_TINY = 1.0e-300
+
+
+def _betacf(a, b, x):
+    """Continued fraction for the incomplete beta function (Lentz's method).
+
+    Vectorized over numpy arrays; standard algorithm per Numerical Recipes
+    §6.4 (public domain formulation of DLMF 8.17.22).
+    """
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    qab = a + b
+    qap = a + 1.0
+    qam = a - 1.0
+    c = np.ones_like(x)
+    d = 1.0 - qab * x / qap
+    d = np.where(np.abs(d) < _TINY, _TINY, d)
+    d = 1.0 / d
+    h = d.copy()
+    for m in range(1, _MAX_CF_ITER + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        d = np.where(np.abs(d) < _TINY, _TINY, d)
+        c = 1.0 + aa / c
+        c = np.where(np.abs(c) < _TINY, _TINY, c)
+        d = 1.0 / d
+        h = h * d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        d = np.where(np.abs(d) < _TINY, _TINY, d)
+        c = 1.0 + aa / c
+        c = np.where(np.abs(c) < _TINY, _TINY, c)
+        d = 1.0 / d
+        delta = d * c
+        h = h * delta
+        if np.all(np.abs(delta - 1.0) < _CF_EPS):
+            break
+    return h
+
+
+def betainc_reg(a, b, x):
+    """Regularized incomplete beta function I_x(a, b), vectorized."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    x = np.clip(x, 0.0, 1.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ln_front = (
+            -np.vectorize(math.lgamma)(a)
+            - np.vectorize(math.lgamma)(b)
+            + np.vectorize(math.lgamma)(a + b)
+            + a * np.log(np.where(x > 0, x, 1.0))
+            + b * np.log1p(np.where(x < 1, -x, 0.0))
+        )
+        front = np.exp(ln_front)
+    # use the CF directly where it converges fast (x < (a+1)/(a+b+2)),
+    # else the symmetry I_x(a,b) = 1 - I_{1-x}(b,a)
+    use_direct = x < (a + 1.0) / (a + b + 2.0)
+    direct = front * _betacf(a, b, x) / np.where(a == 0, 1.0, a)
+    mirrored = 1.0 - front * _betacf(b, a, 1.0 - x) / np.where(b == 0, 1.0, b)
+    out = np.where(use_direct, direct, mirrored)
+    out = np.where(x <= 0.0, 0.0, out)
+    out = np.where(x >= 1.0, 1.0, out)
+    return np.clip(out, 0.0, 1.0)
+
+
+def student_t_sf(t, df):
+    """P(T > t) for Student's t with ``df`` degrees of freedom, vectorized.
+
+    sf(t) = I_{df/(df+t^2)}(df/2, 1/2) / 2 for t >= 0; symmetric otherwise.
+    """
+    t = np.asarray(t, dtype=np.float64)
+    df = np.asarray(df, dtype=np.float64)
+    x = df / (df + t * t)
+    tail = 0.5 * betainc_reg(df / 2.0, 0.5, x)
+    sf = np.where(t >= 0, tail, 1.0 - tail)
+    return np.where(np.isnan(t) | np.isnan(df), np.nan, sf)
+
+
+def welch_ttest_from_stats(mean1, std1, nobs1, mean2, std2, nobs2):
+    """Welch's unequal-variance t-test from summary statistics.
+
+    Identical formulas to ``scipy.stats.ttest_ind_from_stats(equal_var=
+    False)``. NOTE: the reference feeds population SDs (np.nanstd ddof=0,
+    main/mwas_general.py:382-385) into a function documented for ddof=1
+    SDs; we replicate the formulas verbatim so callers reproduce the
+    reference's numbers exactly with whichever SD they pass.
+
+    Returns (t_statistic, df, two_sided_p) as float64 arrays.
+    """
+    m1 = np.asarray(mean1, dtype=np.float64)
+    s1 = np.asarray(std1, dtype=np.float64)
+    n1 = np.asarray(nobs1, dtype=np.float64)
+    m2 = np.asarray(mean2, dtype=np.float64)
+    s2 = np.asarray(std2, dtype=np.float64)
+    n2 = np.asarray(nobs2, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        vn1 = s1 * s1 / n1
+        vn2 = s2 * s2 / n2
+        denom = np.sqrt(vn1 + vn2)
+        t = (m1 - m2) / denom
+        df = (vn1 + vn2) ** 2 / (vn1 * vn1 / (n1 - 1.0) + vn2 * vn2 / (n2 - 1.0))
+        # scipy: if both variances are 0 the df expression is 0/0 → df=1
+        df = np.where(np.isnan(df), 1.0, df)
+        p = 2.0 * student_t_sf(np.abs(t), df)
+    return t, df, p
+
+
+def mean_diff_statistic(x, y):
+    """mean(x) - mean(y) — reference main/mwas_general.py:339-341."""
+    return float(np.mean(x) - np.mean(y))
+
+
+def _exact_null_mean_diff(pooled: np.ndarray, n_x: int) -> np.ndarray:
+    """Complete enumeration of mean(x') - mean(y') over all C(n, n_x) splits."""
+    n = pooled.shape[0]
+    total = pooled.sum()
+    idx = np.fromiter(
+        (i for comb in combinations(range(n), n_x) for i in comb),
+        dtype=np.int64,
+    ).reshape(-1, n_x)
+    sum_x = pooled[idx].sum(axis=1)
+    mean_x = sum_x / n_x
+    mean_y = (total - sum_x) / (n - n_x)
+    return mean_x - mean_y
+
+
+def _random_null_mean_diff(
+    pooled: np.ndarray, n_x: int, n_resamples: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Randomized permutation null, chunked to bound memory."""
+    n = pooled.shape[0]
+    total = pooled.sum()
+    out = np.empty(n_resamples, dtype=np.float64)
+    chunk = max(1, min(n_resamples, 4_000_000 // max(n, 1)))
+    done = 0
+    while done < n_resamples:
+        k = min(chunk, n_resamples - done)
+        mat = np.tile(pooled, (k, 1))
+        mat = rng.permuted(mat, axis=1)
+        sum_x = mat[:, :n_x].sum(axis=1)
+        out[done : done + k] = sum_x / n_x - (total - sum_x) / (n - n_x)
+        done += k
+    return out
+
+
+def permutation_test_mean_diff(
+    x,
+    y,
+    n_resamples: int = 10_000,
+    rng: np.random.Generator | int | None = None,
+) -> tuple[float, float]:
+    """Two-sided independent-sample permutation test, statistic mean(x)-mean(y).
+
+    Mirrors ``scipy.stats.permutation_test`` (independent permutation type):
+    exact enumeration when C(n, len(x)) <= n_resamples, else ``n_resamples``
+    random splits with the (count+1)/(N+1) correction. Two-sided p is
+    2*min(P(null <= obs), P(null >= obs)) clipped to 1.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n_x, n_y = x.shape[0], y.shape[0]
+    pooled = np.concatenate([x, y])
+    observed = mean_diff_statistic(x, y)
+
+    n_total = math.comb(n_x + n_y, n_x)
+    exact = n_total <= n_resamples
+    if exact:
+        null = _exact_null_mean_diff(pooled, n_x)
+    else:
+        if not isinstance(rng, np.random.Generator):
+            rng = np.random.default_rng(rng)
+        null = _random_null_mean_diff(pooled, n_x, n_resamples, rng)
+
+    # tolerance for ties at the observed value (scipy uses a relative gamma)
+    gamma = 1e-14 * max(1.0, abs(observed))
+    if exact:
+        denom = null.shape[0]
+        adj = 0
+    else:
+        denom = null.shape[0] + 1
+        adj = 1
+    p_ge = (np.count_nonzero(null >= observed - gamma) + adj) / denom
+    p_le = (np.count_nonzero(null <= observed + gamma) + adj) / denom
+    p = min(1.0, 2.0 * min(p_ge, p_le))
+    return observed, p
