@@ -1,38 +1,798 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps each implemented operator family from SURVEY.md §2 (plus
+the training-data-pipeline extensions) to a callable ``(spark, sf_dir) →
+DataFrame``; ``oracle_sql()`` holds the equivalent DuckDB SQL over the
+pre-registered views. Column names/aliases match exactly between both
+sides; floating aggregates are rounded identically on both sides so the
+order-insensitive value hash is stable across engines.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mwas_rfam_spark.config import MwasConfig
+from mwas_rfam_spark.operators.condense import condense_metadata
+from mwas_rfam_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from mwas_rfam_spark.operators.mwas import (
+    _welch_columns,
+    biosample_rollup,
+    cohort_stats,
+    resolve_and_normalize,
+    run_mwas,
+)
+from mwas_rfam_spark.operators.similarity import brute_force_topk
+from mwas_rfam_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    token_count,
+)
+from mwas_rfam_spark.plans.testdata_mwas import (
+    mwas_catalog_from_orders,
+    mwas_input_from_events,
+    mwas_metadata_long_from_customer,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    try:
+        # driver testdata uses TIMESTAMP(NANOS) columns → read as long nanos
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship — full MWAS pipeline
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the complete MWAS engine (catalog join → RPM → metadata
+    condensation → cohort split → Welch t / seeded permutation tests) over
+    MWAS-shaped views derived from /root/testdata/sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    cfg = MwasConfig(permutation_resamples=2000)
+    input_df = mwas_input_from_events(spark, sf_dir)
+    catalog_df = mwas_catalog_from_orders(spark, sf_dir)
+    meta = mwas_metadata_long_from_customer(spark, sf_dir)
+    sets_df, ref_df = condense_metadata(meta)
+    return run_mwas(input_df, catalog_df, sets_df, ref_df, cfg)
+
+
+def _mwas_stats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = MwasConfig()
+    input_df = mwas_input_from_events(spark, sf_dir)
+    catalog_df = mwas_catalog_from_orders(spark, sf_dir)
+    meta = mwas_metadata_long_from_customer(spark, sf_dir)
+    sets_df, ref_df = condense_metadata(meta)
+    resolved = resolve_and_normalize(input_df, catalog_df, cfg)
+    rollup = biosample_rollup(resolved)
+    return cohort_stats(rollup, sets_df, ref_df, cfg)
+
+
+def q_mwas_cohort_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end relational MWAS through cohort stats + closed-form Welch
+    t/df (everything except p-values, which need the t-distribution)."""
+    stats = _mwas_stats_df(spark, sf_dir)
+    filtered = stats.filter(
+        (F.col("n_true") >= 2)
+        & (F.col("n_false") >= 2)
+        & ~((F.col("mean_rpm_true") == 0) & (F.col("mean_rpm_false") == 0))
+    )
+    vn1 = F.col("sd_rpm_true") ** 2 / F.col("n_true")
+    vn2 = F.col("sd_rpm_false") ** 2 / F.col("n_false")
+    welch = _welch_columns(filtered).filter((vn1 + vn2) > 0)
+    return welch.select(
+        "bio_project",
+        F.col("group").alias("group_name"),
+        "attributes",
+        F.col("values").alias("set_values"),
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_false").cast("long").alias("n_false"),
+        F.round("mean_rpm_true", 6).alias("mean_rpm_true"),
+        F.round("mean_rpm_false", 6).alias("mean_rpm_false"),
+        F.round("sd_rpm_true", 6).alias("sd_rpm_true"),
+        F.round("sd_rpm_false", 6).alias("sd_rpm_false"),
+        F.round("test_statistic", 6).alias("t_stat"),
+        F.round("welch_df", 6).alias("welch_df"),
+    )
+
+
+_MWAS_ORACLE_CTES = """
+WITH nord AS (SELECT max(o_orderkey) AS n FROM orders),
+inp AS (
+  SELECT 'R' || CAST((event_id % (SELECT n FROM nord)) + 1 AS VARCHAR) AS run,
+         event_type AS grp, value AS quantifier
+  FROM events),
+cat AS (
+  SELECT 'PRJ' || CAST(c_nationkey AS VARCHAR) AS bp,
+         'SAM' || CAST(c_custkey AS VARCHAR) AS bs,
+         'R' || CAST(o_orderkey AS VARCHAR) AS run,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS spots
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+resolved AS (
+  SELECT c.bp, c.bs, i.grp,
+         COALESCE(i.quantifier, 0)
+           / (CASE WHEN c.spots = 0 THEN 1000000 ELSE c.spots END) * 1000000 AS rpm
+  FROM inp i JOIN cat c ON i.run = c.run),
+ru AS (SELECT bp, grp, bs, avg(rpm) AS rpm FROM resolved GROUP BY 1, 2, 3),
+meta AS (
+  SELECT 'PRJ' || CAST(c_nationkey AS VARCHAR) AS bp,
+         'SAM' || CAST(c_custkey AS VARCHAR) AS bs,
+         t.attribute, t.attr_pos, t.value
+  FROM customer, LATERAL (VALUES
+    ('mktsegment', 0, c_mktsegment),
+    ('balance_bucket', 1, CASE WHEN c_acctbal < 0 THEN 'negative'
+                               WHEN c_acctbal < 5000 THEN 'low'
+                               ELSE 'high' END)) AS t(attribute, attr_pos, value)),
+ref AS (SELECT bp, count(DISTINCT bs) AS n FROM meta GROUP BY 1
+        HAVING count(DISTINCT bs) >= 3),
+nuniq AS (SELECT bp, attribute, count(DISTINCT value) AS nu FROM meta GROUP BY 1, 2),
+factors AS (
+  SELECT m.bp, m.attribute, m.attr_pos, m.value,
+         count(DISTINCT m.bs) AS cnt,
+         md5(string_agg(DISTINCT m.bs, chr(31) ORDER BY m.bs)) AS sig
+  FROM meta m GROUP BY 1, 2, 3, 4),
+pruned AS (
+  SELECT f.*, r.n FROM factors f
+  JOIN nuniq u ON f.bp = u.bp AND f.attribute = u.attribute
+  JOIN ref r ON f.bp = r.bp
+  WHERE u.nu > 1 AND u.nu < r.n AND f.cnt >= 2 AND f.cnt < r.n),
+sets AS (
+  SELECT bp, sig, any_value(n) AS n, any_value(cnt) AS cnt,
+         string_agg(attribute, '; ' ORDER BY attr_pos, value) AS attributes,
+         string_agg(value, '; ' ORDER BY attr_pos, value) AS set_values
+  FROM pruned GROUP BY bp, sig),
+membership AS (
+  SELECT DISTINCT m.bp, p.sig, m.bs
+  FROM meta m JOIN pruned p
+    ON m.bp = p.bp AND m.attribute = p.attribute AND m.value = p.value),
+uni AS (SELECT DISTINCT bp, bs FROM meta),
+group_stats AS (
+  SELECT r.bp, r.grp, count(*) AS n_obs, sum(r.rpm) AS sum_all,
+         sum(r.rpm * r.rpm) AS ss_all
+  FROM ru r JOIN uni u ON r.bp = u.bp AND r.bs = u.bs
+  JOIN ref ON r.bp = ref.bp
+  GROUP BY 1, 2),
+memstats AS (
+  SELECT mem.bp, mem.sig, r.grp, count(*) AS n_obs_m,
+         sum(r.rpm) AS sum_m, sum(r.rpm * r.rpm) AS ss_m
+  FROM membership mem JOIN ru r ON mem.bp = r.bp AND mem.bs = r.bs
+  GROUP BY 1, 2, 3),
+pairs AS (
+  SELECT s.bp, s.sig, g.grp, s.attributes, s.set_values,
+         s.cnt AS n_true, s.n - s.cnt AS n_false,
+         COALESCE(ms.sum_m, 0) AS sum_true,
+         g.sum_all - COALESCE(ms.sum_m, 0) AS sum_false,
+         COALESCE(ms.ss_m, 0) AS ss_true,
+         g.ss_all - COALESCE(ms.ss_m, 0) AS ss_false
+  FROM sets s
+  JOIN group_stats g ON s.bp = g.bp
+  LEFT JOIN memstats ms ON s.bp = ms.bp AND s.sig = ms.sig AND g.grp = ms.grp),
+stats AS (
+  SELECT bp AS bio_project, grp AS group_name, attributes, set_values,
+         CAST(n_true AS BIGINT) AS n_true, CAST(n_false AS BIGINT) AS n_false,
+         sum_true / n_true AS mean_t, sum_false / n_false AS mean_f,
+         sqrt(greatest(ss_true / n_true - (sum_true / n_true) ^ 2, 0)) AS sd_t,
+         sqrt(greatest(ss_false / n_false - (sum_false / n_false) ^ 2, 0)) AS sd_f
+  FROM pairs
+  WHERE n_true >= 2 AND n_false >= 2
+    AND NOT (sum_true / n_true = 0 AND sum_false / n_false = 0))
+"""
+
+_MWAS_ORACLE = (
+    _MWAS_ORACLE_CTES
+    + """
+SELECT bio_project, group_name, attributes, set_values, n_true, n_false,
+       round(mean_t, 6) AS mean_rpm_true, round(mean_f, 6) AS mean_rpm_false,
+       round(sd_t, 6) AS sd_rpm_true, round(sd_f, 6) AS sd_rpm_false,
+       round((mean_t - mean_f) / sqrt(sd_t ^ 2 / n_true + sd_f ^ 2 / n_false), 6) AS t_stat,
+       round((sd_t ^ 2 / n_true + sd_f ^ 2 / n_false) ^ 2
+             / ((sd_t ^ 2 / n_true) ^ 2 / (n_true - 1)
+                + (sd_f ^ 2 / n_false) ^ 2 / (n_false - 1)), 6) AS welch_df
+FROM stats
+WHERE (sd_t ^ 2 / n_true + sd_f ^ 2 / n_false) > 0
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# relational operator queries (SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+
+def q_s1_scan_project(spark, sf_dir):
+    """S1/P1 — projection + pushed-down filter on the parquet scan."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+def q_p_predicates(spark, sf_dir):
+    """P2/P4/P5/P7/P8 — equality, prefix, membership, threshold, substring."""
+    o = _t(spark, sf_dir, "orders")
+    return o.where(
+        (F.col("o_orderstatus") == "O")
+        & F.col("o_orderpriority").startswith("1")
+        & (F.col("o_totalprice") > 50_000)
+        & F.col("o_orderpriority").contains("URGENT")
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def q_j1_outer_join_agg(spark, sf_dir):
+    """J1/P12 — full outer join + null-fill + aggregate (input⟗catalog analog)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "full_outer")
+        .groupBy(F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"))
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.sum(F.coalesce("o_totalprice", F.lit(0.0))), 4).alias("total"),
+        )
+    )
+
+
+def q_j4_cascading_lookup(spark, sf_dir):
+    """J2/J3/J4 — inner + broadcast-lookup joins with coalesce fallback."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "left")
+        .join(p, li.l_partkey == p.p_partkey, "left")
+        .withColumn("resolved_val", F.coalesce("s_acctbal", "p_retailprice", F.lit(-1.0)))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("resolved_val"), 4).alias("sum_resolved"),
+        )
+    )
+
+
+def q_j6_semi_join(spark, sf_dir):
+    """J6 — left-semi join (IN-list pushdown analog)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+    )
+
+
+def q_so1_anti_join(spark, sf_dir):
+    """SO1 — anti-join (customers without orders)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def q_a2_count_distinct(spark, sf_dir):
+    """A1/A2 — distinct-count profile (nunique pruning decision)."""
+    p = _t(spark, sf_dir, "part")
+    return p.agg(
+        F.countDistinct("p_brand").alias("n_brand"),
+        F.countDistinct("p_type").alias("n_type"),
+        F.countDistinct("p_size").alias("n_size"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def q_a3_value_counts(spark, sf_dir):
+    """A3 — value frequency with HAVING count >= 2 (factor pruning)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand", "p_size")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= 2)
+    )
+
+
+def q_a4_two_level_rollup(spark, sf_dir):
+    """A4/A6 — biosample-rollup analog: per-entity mean then cohort stats."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per_cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.avg("o_totalprice").alias("cust_avg"))
+    )
+    return per_cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_cust"),
+        F.round(F.avg("cust_avg"), 4).alias("mean_avg"),
+        F.round(F.stddev_pop("cust_avg"), 4).alias("sd_avg"),
+    )
+
+
+def q_a5_conditional_count(spark, sf_dir):
+    """A5 — conditional counts (nonzeros-threshold analog)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.when(F.col("value") > 100, True)).alias("n_big"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_a7_signature_dedup(spark, sf_dir):
+    """A7 — identical-cohort dedup via sorted-membership signature."""
+    p = _t(spark, sf_dir, "part")
+    per_brand = p.groupBy("p_brand").agg(
+        F.sort_array(F.collect_set("p_size")).alias("sizes")
+    )
+    sig = per_brand.withColumn(
+        "sig", F.md5(F.concat_ws(",", F.transform("sizes", lambda x: x.cast("string"))))
+    )
+    return sig.groupBy("sig").agg(
+        F.count("*").alias("n_brands"),
+        F.array_join(F.sort_array(F.collect_list("p_brand")), "; ").alias("brands"),
+    )
+
+
+def q_a9_summary_agg(spark, sf_dir):
+    """A9 — summary aggregates incl. conditional mean (results-analyze)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        F.round(
+            F.avg(F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice"))),
+            4,
+        ).alias("avg_urgent_price"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_a12_capped_list_agg(spark, sf_dir):
+    """A12 — '; '-joined list aggregation with too-many cap."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    per_nation = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_supp"),
+            F.sort_array(F.collect_list("s_name")).alias("names"),
+        )
+    )
+    return per_nation.select(
+        "n_name",
+        "n_supp",
+        F.when(F.col("n_supp") < 5, F.array_join("names", "; "))
+        .otherwise(F.lit("too many to list"))
+        .alias("suppliers"),
+    )
+
+
+def q_w1_topk_sort(spark, sf_dir):
+    """W1/W5 — global sort + limit (deterministic tie-break)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(20)
+    )
+
+
+def q_w5_topk_per_group(spark, sf_dir):
+    """Window extension — top-3 per group via row_number."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rank")
+    )
+
+
+def q_f_string_funcs(spark, sf_dir):
+    """F3/F4/F5/F6 — replace, concat_ws, split/element_at, case convert."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.element_at(F.split("p_type", " "), 1).alias("type_first_word"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+    )
+
+
+def q_f1_fold_change(spark, sf_dir):
+    """F1 — log2 fold change with sentinel case classes."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(F.when(F.col("c_mktsegment") == "BUILDING", F.col("o_totalprice"))).alias("b"),
+            F.sum(F.when(F.col("c_mktsegment") == "AUTOMOBILE", F.col("o_totalprice"))).alias("a"),
+        )
+    )
+    return per.select(
+        "c_nationkey",
+        F.when(F.col("b").isNull() & F.col("a").isNull(), "both_missing")
+        .when(F.col("b").isNull(), "true_missing")
+        .when(F.col("a").isNull(), "false_missing")
+        .otherwise("ratio")
+        .alias("case_class"),
+        F.when(
+            F.col("b").isNotNull() & F.col("a").isNotNull(),
+            F.round(F.log2(F.col("b") / F.col("a")), 6),
+        ).alias("fold_change"),
+    )
+
+
+def q_f2_rpm_normalize(spark, sf_dir):
+    """F2/P11 — RPM normalization over the derived input⋈catalog."""
+    cfg = MwasConfig()
+    resolved = resolve_and_normalize(
+        mwas_input_from_events(spark, sf_dir),
+        mwas_catalog_from_orders(spark, sf_dir),
+        cfg,
+    )
+    return resolved.groupBy(F.col("group").alias("group_name")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("rpm"), 6).alias("avg_rpm"),
+    )
+
+
+def q_t1_welch_from_stats(spark, sf_dir):
+    """T1 — Welch t + Satterthwaite df from summary stats, closed form."""
+    li = _t(spark, sf_dir, "lineitem")
+    sides = li.groupBy((F.col("l_returnflag") == "R").alias("is_true")).agg(
+        F.count("*").alias("n"),
+        F.avg("l_discount").alias("m"),
+        F.stddev_pop("l_discount").alias("s"),
+    )
+    t_side = sides.where("is_true").select(
+        F.col("n").alias("n1"), F.col("m").alias("m1"), F.col("s").alias("s1")
+    )
+    f_side = sides.where(~F.col("is_true")).select(
+        F.col("n").alias("n2"), F.col("m").alias("m2"), F.col("s").alias("s2")
+    )
+    both = t_side.crossJoin(f_side)
+    vn1 = F.col("s1") ** 2 / F.col("n1")
+    vn2 = F.col("s2") ** 2 / F.col("n2")
+    return both.select(
+        "n1",
+        "n2",
+        F.round("m1", 6).alias("m1r"),
+        F.round("m2", 6).alias("m2r"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(vn1 + vn2), 6).alias("t_stat"),
+        F.round(
+            (vn1 + vn2) ** 2 / (vn1**2 / (F.col("n1") - 1) + vn2**2 / (F.col("n2") - 1)),
+            6,
+        ).alias("welch_df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline extensions
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups by content hash."""
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup_groups(d).select(
+        "content_hash", "n_docs", "keep_id", F.array_join("doc_ids", ";").alias("doc_ids")
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Word-3-gram Jaccard near-dup pairs (inverted-index formulation)."""
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (engine-only: xxhash64 family)."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, num_hashes=64, bands=16, threshold=0.5).select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+def q_text_stats(spark, sf_dir):
+    """Token counting, punctuation ratio, prefix fingerprint."""
+    d = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        F.length(t).cast("long").alias("n_chars_calc"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        fingerprint(t).alias("fingerprint"),
+    )
+
+
+def q_text_lang_quality(spark, sf_dir):
+    """Heuristic language ID + quality score (engine-only heuristic)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_pred"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k against the min-id embedding as query."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = (
+        e.orderBy("vec_id").select("embedding").limit(1).collect()[0]["embedding"]
+    )
+    top = brute_force_topk(e, [float(x) for x in qvec], k=10)
+    return top.select("vec_id", F.round("cosine", 5).alias("cosine"))
+
+
+def q_events_hourly(spark, sf_dir):
+    """Time-window aggregation (batch analog of the streaming rollup)."""
+    e = _t(spark, sf_dir, "events")
+    # ts arrives as nanos-since-epoch long (see _t); truncate to micros
+    ts = F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    return e.groupBy(
+        F.date_trunc("hour", ts).alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "mwas_cohort_welch": q_mwas_cohort_welch,
+        "s1_scan_project": q_s1_scan_project,
+        "p_predicates": q_p_predicates,
+        "j1_outer_join_agg": q_j1_outer_join_agg,
+        "j4_cascading_lookup": q_j4_cascading_lookup,
+        "j6_semi_join": q_j6_semi_join,
+        "so1_anti_join": q_so1_anti_join,
+        "a2_count_distinct": q_a2_count_distinct,
+        "a3_value_counts": q_a3_value_counts,
+        "a4_two_level_rollup": q_a4_two_level_rollup,
+        "a5_conditional_count": q_a5_conditional_count,
+        "a7_signature_dedup": q_a7_signature_dedup,
+        "a9_summary_agg": q_a9_summary_agg,
+        "a12_capped_list_agg": q_a12_capped_list_agg,
+        "w1_topk_sort": q_w1_topk_sort,
+        "w5_topk_per_group": q_w5_topk_per_group,
+        "f_string_funcs": q_f_string_funcs,
+        "f1_fold_change": q_f1_fold_change,
+        "f2_rpm_normalize": q_f2_rpm_normalize,
+        "t1_welch_from_stats": q_t1_welch_from_stats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "text_stats": q_text_stats,
+        "text_lang_quality": q_text_lang_quality,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "events_hourly": q_events_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "mwas_cohort_welch": _MWAS_ORACLE,
+        "s1_scan_project": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem WHERE l_quantity > 30
+        """,
+        "p_predicates": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_orderstatus = 'O' AND o_orderpriority LIKE '1%'
+              AND o_totalprice > 50000 AND o_orderpriority LIKE '%URGENT%'
+        """,
+        "j1_outer_join_agg": """
+            SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+                   count(o_orderkey) AS n_orders,
+                   round(sum(COALESCE(o_totalprice, 0)), 4) AS total
+            FROM orders FULL OUTER JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+        "j4_cascading_lookup": """
+            SELECT l_returnflag, count(*) AS n,
+                   round(sum(COALESCE(s_acctbal, p_retailprice, -1.0)), 4) AS sum_resolved
+            FROM lineitem
+            LEFT JOIN supplier ON l_suppkey = s_suppkey
+            LEFT JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
+        """,
+        "j6_semi_join": """
+            SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+            FROM lineitem
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+            GROUP BY 1
+        """,
+        "so1_anti_join": """
+            SELECT c_mktsegment AS segment, count(*) AS n_customers
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY 1
+        """,
+        "a2_count_distinct": """
+            SELECT count(DISTINCT p_brand) AS n_brand, count(DISTINCT p_type) AS n_type,
+                   count(DISTINCT p_size) AS n_size, count(*) AS n_rows
+            FROM part
+        """,
+        "a3_value_counts": """
+            SELECT p_brand, p_size, count(*) AS cnt FROM part
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "a4_two_level_rollup": """
+            SELECT c_mktsegment AS segment, count(*) AS n_cust,
+                   round(avg(cust_avg), 4) AS mean_avg,
+                   round(stddev_pop(cust_avg), 4) AS sd_avg
+            FROM (SELECT c_custkey, c_mktsegment, avg(o_totalprice) AS cust_avg
+                  FROM orders JOIN customer ON o_custkey = c_custkey
+                  GROUP BY 1, 2)
+            GROUP BY 1
+        """,
+        "a5_conditional_count": """
+            SELECT event_type, count(CASE WHEN value > 100 THEN 1 END) AS n_big,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "a7_signature_dedup": """
+            SELECT sig, count(*) AS n_brands,
+                   string_agg(p_brand, '; ' ORDER BY p_brand) AS brands
+            FROM (SELECT p_brand,
+                         md5(array_to_string(list_sort(list(DISTINCT p_size)), ',')) AS sig
+                  FROM part GROUP BY 1)
+            GROUP BY 1
+        """,
+        "a9_summary_agg": """
+            SELECT o_orderstatus, round(max(o_totalprice), 4) AS max_price,
+                   round(avg(o_totalprice), 4) AS avg_price,
+                   round(sum(o_totalprice), 4) AS sum_price,
+                   round(avg(CASE WHEN o_orderpriority = '1-URGENT'
+                                  THEN o_totalprice END), 4) AS avg_urgent_price,
+                   count(*) AS n
+            FROM orders GROUP BY 1
+        """,
+        "a12_capped_list_agg": """
+            SELECT n_name, count(*) AS n_supp,
+                   CASE WHEN count(*) < 5
+                        THEN string_agg(s_name, '; ' ORDER BY s_name)
+                        ELSE 'too many to list' END AS suppliers
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1
+        """,
+        "w1_topk_sort": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+        """,
+        "w5_topk_per_group": """
+            SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rank
+            FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                         row_number() OVER (PARTITION BY l_returnflag
+                             ORDER BY l_extendedprice DESC, l_orderkey ASC,
+                                      l_linenumber ASC) AS rank
+                  FROM lineitem)
+            WHERE rank <= 3
+        """,
+        "f_string_funcs": """
+            SELECT p_partkey, replace(p_type, ' ', '_') AS type_snake,
+                   p_brand || '|' || p_type AS brand_type,
+                   string_split(p_type, ' ')[1] AS type_first_word,
+                   upper(p_brand) AS brand_upper,
+                   substring(p_name, 1, 5) AS name_prefix
+            FROM part
+        """,
+        "f1_fold_change": """
+            SELECT c_nationkey,
+                   CASE WHEN b IS NULL AND a IS NULL THEN 'both_missing'
+                        WHEN b IS NULL THEN 'true_missing'
+                        WHEN a IS NULL THEN 'false_missing'
+                        ELSE 'ratio' END AS case_class,
+                   CASE WHEN b IS NOT NULL AND a IS NOT NULL
+                        THEN round(log2(b / a), 6) END AS fold_change
+            FROM (SELECT c_nationkey,
+                         sum(CASE WHEN c_mktsegment = 'BUILDING' THEN o_totalprice END) AS b,
+                         sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN o_totalprice END) AS a
+                  FROM orders JOIN customer ON o_custkey = c_custkey
+                  GROUP BY 1)
+        """,
+        "f2_rpm_normalize": """
+            WITH nord AS (SELECT max(o_orderkey) AS n FROM orders),
+            inp AS (SELECT 'R' || CAST((event_id % (SELECT n FROM nord)) + 1 AS VARCHAR) AS run,
+                           event_type AS grp, value AS quantifier FROM events),
+            cat AS (SELECT 'R' || CAST(o_orderkey AS VARCHAR) AS run,
+                           CAST(floor(o_totalprice * 100) AS BIGINT) AS spots
+                    FROM orders JOIN customer ON o_custkey = c_custkey)
+            SELECT i.grp AS group_name, count(*) AS n,
+                   round(avg(COALESCE(i.quantifier, 0)
+                       / (CASE WHEN c.spots = 0 THEN 1000000 ELSE c.spots END)
+                       * 1000000), 6) AS avg_rpm
+            FROM inp i JOIN cat c ON i.run = c.run
+            GROUP BY 1
+        """,
+        "t1_welch_from_stats": """
+            WITH sides AS (
+              SELECT (l_returnflag = 'R') AS is_true, count(*) AS n,
+                     avg(l_discount) AS m, stddev_pop(l_discount) AS s
+              FROM lineitem GROUP BY 1),
+            t AS (SELECT n AS n1, m AS m1, s AS s1 FROM sides WHERE is_true),
+            f AS (SELECT n AS n2, m AS m2, s AS s2 FROM sides WHERE NOT is_true)
+            SELECT n1, n2, round(m1, 6) AS m1r, round(m2, 6) AS m2r,
+                   round((m1 - m2) / sqrt(s1 ^ 2 / n1 + s2 ^ 2 / n2), 6) AS t_stat,
+                   round((s1 ^ 2 / n1 + s2 ^ 2 / n2) ^ 2
+                         / ((s1 ^ 2 / n1) ^ 2 / (n1 - 1) + (s2 ^ 2 / n2) ^ 2 / (n2 - 1)),
+                         6) AS welch_df
+            FROM t, f
+        """,
+        "dedup_exact": """
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+                   count(*) AS n_docs, min(doc_id) AS keep_id,
+                   string_agg(doc_id, ';' ORDER BY doc_id) AS doc_ids
+            FROM documents GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": """
+            WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                         FROM documents),
+            sh AS (SELECT DISTINCT doc_id, s FROM (
+                     SELECT doc_id,
+                            unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                     FROM tok)
+                   WHERE s <> ''),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(shared * 1.0 / (x.sz + y.sz - shared), 6) AS jaccard
+            FROM shared JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
+            WHERE shared * 1.0 / (x.sz + y.sz - shared) >= 0.5
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                   length(text) AS n_chars_calc,
+                   round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                         * 1.0 / length(text), 6) AS punct_ratio,
+                   md5(array_to_string(list_slice(
+                       string_split_regex(trim(lower(text)), '\\s+'), 1, 16), ' ')) AS fingerprint
+            FROM documents WHERE length(text) > 0
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+                       WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
+            SELECT vec_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                         (SELECT qv FROM q)), 5) AS cosine
+            FROM embeddings
+            ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                         (SELECT qv FROM q)) DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+    }

@@ -1,0 +1,138 @@
+"""Metadata condensation (SURVEY.md §2.9) — one relational job for all
+BioProjects.
+
+Re-expresses reference metadata_set_maker.py:13-110 (which loops one wide
+CSV at a time, converter_.py:105-117) as a single long-form DataFrame plan:
+
+    melt → valid-id filter → attribute pruning (nunique) → factor groups
+    (freq >= 2, non-NaN) → minority-side encoding → cohort-signature dedup
+
+Deliberate divergences from the reference, documented per SURVEY.md §7:
+* ``n`` (row count used for pruning and the minority threshold) is the
+  count of *valid* biosamples; the reference compares against the
+  pre-filter row count even after dropping invalid ids
+  (metadata_set_maker.py:23-35) — a quirk, normalized away here.
+* The dedup key is sha2 over the sorted matching-cohort membership instead
+  of an arbitrary-precision bitmap int (metadata_set_maker.py:81-87) —
+  constant-size and shuffle-friendly at any cardinality.
+* Values are kept as raw strings (no pandas dtype inference round-trip).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def condense_metadata(meta_long: DataFrame, min_biosamples: int = 3) -> tuple[DataFrame, DataFrame]:
+    """Condense long-form metadata into distinct (attribute,value) cohort sets.
+
+    Args:
+        meta_long: (bioproject, biosample_id, attribute, attr_pos, value).
+        min_biosamples: BioProjects with fewer valid biosamples are dropped
+            (reference converter_.py:38-41 skips metadata with <= 2 rows).
+
+    Returns:
+        (sets_df, ref_df) where sets_df is METADATA_SETS_SCHEMA-shaped
+        (bioproject, set_id, attributes, values, members, include) and
+        ref_df is (bioproject, biosamples_ref ARRAY<STRING> sorted, n).
+    """
+    valid = meta_long.filter(F.col("biosample_id").startswith("SAM"))
+
+    # biosample universe per bioproject (reference: sorted biosamples_ref,
+    # metadata_set_maker.py:25,108)
+    ref_df = (
+        valid.select("bioproject", "biosample_id")
+        .distinct()
+        .groupBy("bioproject")
+        .agg(
+            F.sort_array(F.collect_list("biosample_id")).alias("biosamples_ref"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") >= min_biosamples)
+    )
+
+    # attribute pruning: drop constant (nunique <= 1) and key-like
+    # (nunique == n) columns (metadata_set_maker.py:45-50). 'nan' literals
+    # and nulls don't count as values (pandas nunique semantics).
+    informative = F.col("value").isNotNull() & (F.col("value") != "nan")
+    attr_nunique = (
+        valid.filter(informative)
+        .groupBy("bioproject", "attribute")
+        .agg(F.countDistinct("value").alias("nunique"))
+    )
+
+    # factor cohorts: matching biosamples per (attribute, value), frequency
+    # >= 2 (singletons skipped, metadata_set_maker.py:61-63)
+    factors = (
+        valid.filter(informative)
+        .groupBy("bioproject", "attribute", "attr_pos", "value")
+        .agg(
+            F.sort_array(F.collect_set("biosample_id")).alias("matching"),
+            F.countDistinct("biosample_id").alias("cnt"),
+        )
+        .filter(F.col("cnt") >= 2)
+    )
+
+    pruned = (
+        factors.join(attr_nunique, ["bioproject", "attribute"])
+        .join(ref_df, "bioproject")
+        .filter((F.col("nunique") > 1) & (F.col("nunique") < F.col("n")))
+        .filter(F.col("cnt") < F.col("n"))  # a full-cohort factor is constant over valid rows
+    )
+
+    # minority-side encoding (metadata_set_maker.py:64,74): store the smaller
+    # side, include=True iff the stored side is the true cohort
+    encoded = pruned.select(
+        "bioproject",
+        "attr_pos",
+        F.regexp_replace("attribute", ";", ":").alias("attribute"),
+        F.regexp_replace("value", ";", ":").alias("value"),
+        (F.col("cnt") < F.col("n") / 2).alias("include"),
+        F.when(F.col("cnt") < F.col("n") / 2, F.col("matching"))
+        .otherwise(F.array_except("biosamples_ref", "matching"))
+        .alias("members"),
+        # dedup key = the true-side cohort itself (reference keys the raw
+        # boolean vector, metadata_set_maker.py:81)
+        F.sha2(F.concat_ws("\x1f", "matching"), 256).alias("set_id"),
+    )
+
+    # cohort-signature dedup with "; "-joined label merge in original
+    # column order then value order (metadata_set_maker.py:89-94)
+    sets_df = (
+        encoded.groupBy("bioproject", "set_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("attr_pos", "value", "attribute"))
+            ).alias("labels"),
+            F.first("members").alias("members"),
+            F.first("include").alias("include"),
+        )
+        .select(
+            "bioproject",
+            "set_id",
+            F.array_join(F.transform("labels", lambda s: s["attribute"]), "; ").alias(
+                "attributes"
+            ),
+            F.array_join(F.transform("labels", lambda s: s["value"]), "; ").alias(
+                "values"
+            ),
+            "members",
+            "include",
+        )
+    )
+    return sets_df, ref_df
+
+
+def expand_sets_to_membership(sets_df: DataFrame) -> DataFrame:
+    """Explode condensed sets to (bioproject, set_id, include, biosample_id)
+    membership rows — the long relational form used by the cohort-split
+    stage (replaces the reference's positional index_list deref,
+    main/mwas_general.py:497).
+    """
+    return sets_df.select(
+        "bioproject",
+        "set_id",
+        "include",
+        F.explode("members").alias("biosample_id"),
+    )

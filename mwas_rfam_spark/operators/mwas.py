@@ -1,0 +1,481 @@
+"""The MWAS pipeline (SURVEY.md §3.1) as one lazy DataFrame plan.
+
+Reference lifecycle (main/mwas_general.py:549-679, 452-546, 344-449):
+input CSV → catalog join → RPM → per-(bioproject, group) dense vectors →
+per-set cohort split loop → Welch t / permutation test → CSV rows.
+
+Spark-first re-expression, designed for the 100 TB case:
+
+* **No dense positional vectors.** The reference preallocates an
+  n_biosamples float vector per (bioproject, group) (mg:470-518). Here the
+  rollup stays long-form relational.
+* **Cohort stats by subtraction.** The reference classifies every
+  biosample for every set (an n_sets × n_biosamples loop per group,
+  mg:365-385). We aggregate each group ONCE (count/sum/sumsq) and each
+  set's *minority side* once (|members| rows), then derive the majority
+  side as total − minority. Work drops from O(sets × biosamples) to
+  O(sets × |minority|) with implicit zeros contributing nothing.
+* **Tests as vectorized kernels.** Welch t + df are closed-form Spark SQL
+  over the summary stats; only the t-distribution tail and the permutation
+  resampling run in Arrow-batched pandas UDFs, keyed (bioproject, group,
+  set_id) — embarrassingly parallel, which is exactly what the reference
+  lacked (its permutation tests dominate runtime, mwas_results_analyze.py:62-65).
+* Statistic-signature memoization (mg:350,396-399) becomes a distinct-then-
+  join on the summary-stat key, and is applied across groups, not per-group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import DEFAULT_CONFIG, MwasConfig
+from ..functions.scalar import replace_zero_spots, rpm
+from ..functions.stattests import permutation_test_mean_diff, student_t_sf
+
+# ---------------------------------------------------------------------------
+# stage 1 — resolve runs & normalize (mg:572-577, 506-518)
+# ---------------------------------------------------------------------------
+
+
+def resolve_and_normalize(
+    input_df: DataFrame, catalog_df: DataFrame, cfg: MwasConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """input ⟗ catalog on run (J1) + RPM normalization (F2/P11/P12).
+
+    Returns (bio_project, bio_sample, run, group, rpm). Rows whose run is
+    unknown to the catalog cannot be attributed to a bioproject and are
+    dropped (the reference carries them through its outer merge but they
+    never match a bioproject subset, mg:467).
+    """
+    catalog = catalog_df.withColumn(
+        "spots", replace_zero_spots(F.col("spots"), cfg.zero_spots_replacement)
+    )
+    joined = input_df.join(catalog, "run", "left")
+    quantifier = F.coalesce(F.col("quantifier"), F.lit(0.0))  # fillna, mg:577
+    rpm_col = (
+        quantifier
+        if cfg.already_normalized
+        else rpm(quantifier, F.col("spots"), cfg.normalizing_const)
+    )
+    if cfg.blacklist:
+        joined = joined.filter(~F.col("bio_project").isin(list(cfg.blacklist)))
+    return joined.filter(
+        F.col("bio_project").isNotNull() & F.col("bio_sample").isNotNull()
+    ).select(
+        "bio_project",
+        "bio_sample",
+        "run",
+        "group",
+        rpm_col.alias("rpm"),
+    )
+
+
+def biosample_rollup(resolved: DataFrame) -> DataFrame:
+    """A4 — mean RPM per (bio_project, group, bio_sample) over its runs
+    (mg:503-518: np.mean of per-run normalized values)."""
+    return resolved.groupBy("bio_project", "group", "bio_sample").agg(
+        F.avg("rpm").alias("rpm")
+    )
+
+
+def group_skip_flags(resolved: DataFrame, cfg: MwasConfig) -> DataFrame:
+    """Group-level skip rule (mg:483-491): a group with fewer provided rows
+    than the threshold is processed with skip_tests=True (descriptive rows
+    only). NB the reference counts post-fillna non-null rows — i.e. ALL
+    rows — despite the 'nonzeros' name (SURVEY.md §7 parity flag); we
+    reproduce that row-count semantics.
+    """
+    threshold = (
+        cfg.group_nonzeros_threshold if cfg.implicit_zeros else cfg.min_cohort_for_permutation
+    )
+    return resolved.groupBy("bio_project", "group").agg(
+        (F.count("*") < F.lit(threshold)).alias("skip_tests")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stage 2 — cohort statistics by subtraction (replaces mg:344-391 loop)
+# ---------------------------------------------------------------------------
+
+
+def cohort_stats(
+    rollup: DataFrame,
+    sets_df: DataFrame,
+    ref_df: DataFrame,
+    cfg: MwasConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Per-(bioproject, group, set) true/false cohort summary statistics.
+
+    With implicit zeros (cfg default), every metadata biosample not observed
+    in a group contributes rpm=0 — so group totals over *observed* rows are
+    already the totals over all n biosamples, and cohort means/sds follow
+    from sums and sum-of-squares alone (population sd, ddof=0, matching
+    np.nanstd at mg:382-385).
+
+    Output grain: one row per (bio_project, group, set_id) with
+    n_true/n_false/mean/sd per side plus labels and membership arrays.
+    """
+    ref_long = ref_df.select(
+        "bioproject", F.explode("biosamples_ref").alias("bio_sample")
+    )
+    # restrict to biosamples present in the metadata (missing-biosample
+    # path, mg:496-499)
+    obs = rollup.join(
+        ref_long,
+        (rollup.bio_project == ref_long.bioproject)
+        & (rollup.bio_sample == ref_long.bio_sample),
+        "inner",
+    ).select(rollup.bio_project, rollup.group, rollup.bio_sample, rollup.rpm)
+
+    group_stats = obs.groupBy("bio_project", "group").agg(
+        F.count("*").alias("n_obs"),
+        F.sum("rpm").alias("sum_all"),
+        F.sum(F.col("rpm") * F.col("rpm")).alias("ss_all"),
+    )
+
+    sets_meta = sets_df.select(
+        "bioproject",
+        "set_id",
+        "attributes",
+        "values",
+        "include",
+        "members",
+        F.size("members").alias("n_members"),
+    )
+
+    membership = sets_meta.select(
+        "bioproject", "set_id", F.explode("members").alias("bio_sample")
+    )
+    member_obs = (
+        membership.join(
+            obs,
+            (membership.bioproject == obs.bio_project)
+            & (membership.bio_sample == obs.bio_sample),
+        )
+        .groupBy("bioproject", "group", "set_id")
+        .agg(
+            F.count("*").alias("n_obs_m"),
+            F.sum("rpm").alias("sum_m"),
+            F.sum(F.col("rpm") * F.col("rpm")).alias("ss_m"),
+        )
+    )
+
+    n_all = F.col("n") if cfg.implicit_zeros else F.col("n_obs")
+    n_m = F.col("n_members") if cfg.implicit_zeros else F.col("n_obs_m")
+
+    pairs = (
+        sets_meta.join(ref_df.select("bioproject", "n"), "bioproject")
+        .join(
+            group_stats,
+            sets_meta.bioproject == group_stats.bio_project,
+        )
+        .join(member_obs, ["bioproject", "group", "set_id"], "left")
+        .na.fill({"n_obs_m": 0, "sum_m": 0.0, "ss_m": 0.0})
+        .withColumn("n_all", n_all)
+        .withColumn("n_m", n_m)
+        .withColumn("n_true", F.when(F.col("include"), F.col("n_m")).otherwise(F.col("n_all") - F.col("n_m")))
+        .withColumn("n_false", F.col("n_all") - F.col("n_true"))
+        .withColumn("sum_true", F.when(F.col("include"), F.col("sum_m")).otherwise(F.col("sum_all") - F.col("sum_m")))
+        .withColumn("sum_false", F.col("sum_all") - F.col("sum_true"))
+        .withColumn("ss_true", F.when(F.col("include"), F.col("ss_m")).otherwise(F.col("ss_all") - F.col("ss_m")))
+        .withColumn("ss_false", F.col("ss_all") - F.col("ss_true"))
+    )
+
+    def _mean(s: str, n: str) -> Column:
+        return F.when(F.col(n) > 0, F.col(s) / F.col(n)).otherwise(F.lit(None))
+
+    def _sd(ss: str, s: str, n: str) -> Column:
+        mean = F.col(s) / F.col(n)
+        var = F.greatest(F.col(ss) / F.col(n) - mean * mean, F.lit(0.0))
+        return F.when(F.col(n) > 0, F.sqrt(var)).otherwise(F.lit(None))
+
+    return pairs.select(
+        F.col("bioproject").alias("bio_project"),
+        "group",
+        "set_id",
+        "attributes",
+        "values",
+        "include",
+        "members",
+        "n_obs_m",
+        "n_true",
+        "n_false",
+        _mean("sum_true", "n_true").alias("mean_rpm_true"),
+        _mean("sum_false", "n_false").alias("mean_rpm_false"),
+        _sd("ss_true", "sum_true", "n_true").alias("sd_rpm_true"),
+        _sd("ss_false", "sum_false", "n_false").alias("sd_rpm_false"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stage 3 — statistical tests (mg:344-449)
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(T.DoubleType())
+def welch_p_value(t_stat: pd.Series, df: pd.Series) -> pd.Series:
+    """Two-sided p from the Welch t statistic — Arrow-vectorized tail of
+    Student's t (the only non-closed-form piece of T1)."""
+    p = 2.0 * student_t_sf(np.abs(t_stat.to_numpy(np.float64)), df.to_numpy(np.float64))
+    return pd.Series(p)
+
+
+_PERM_RESULT = T.StructType(
+    [
+        T.StructField("stat", T.DoubleType()),
+        T.StructField("p", T.DoubleType()),
+    ]
+)
+
+
+def _make_permutation_udf(n_resamples: int, base_seed: int):
+    @F.pandas_udf(_PERM_RESULT)
+    def perm_udf(
+        true_vals: pd.Series, false_vals: pd.Series, key: pd.Series
+    ) -> pd.DataFrame:
+        stats_out = np.empty(len(true_vals))
+        ps_out = np.empty(len(true_vals))
+        for i in range(len(true_vals)):
+            x = np.asarray(true_vals.iloc[i], dtype=np.float64)
+            y = np.asarray(false_vals.iloc[i], dtype=np.float64)
+            seed = (int(key.iloc[i]) ^ base_seed) & 0x7FFFFFFFFFFFFFFF
+            stats_out[i], ps_out[i] = permutation_test_mean_diff(
+                x, y, n_resamples=n_resamples, rng=np.random.default_rng(seed)
+            )
+        return pd.DataFrame({"stat": stats_out, "p": ps_out})
+
+    return perm_udf
+
+
+def _welch_columns(df: DataFrame) -> DataFrame:
+    """Closed-form Welch t statistic + Welch–Satterthwaite df in Spark SQL
+    (identical formulas to scipy.stats.ttest_ind_from_stats(equal_var=False),
+    fed population SDs exactly as the reference does — mg:407-412)."""
+    vn1 = F.col("sd_rpm_true") ** 2 / F.col("n_true")
+    vn2 = F.col("sd_rpm_false") ** 2 / F.col("n_false")
+    t = (F.col("mean_rpm_true") - F.col("mean_rpm_false")) / F.sqrt(vn1 + vn2)
+    dfree = (vn1 + vn2) ** 2 / (
+        vn1**2 / (F.col("n_true") - 1) + vn2**2 / (F.col("n_false") - 1)
+    )
+    return df.withColumn("test_statistic", t).withColumn(
+        "welch_df", F.coalesce(dfree, F.lit(1.0))
+    )
+
+
+def run_tests(
+    stats_df: DataFrame,
+    rollup: DataFrame,
+    ref_df: DataFrame,
+    skip_flags: DataFrame,
+    cfg: MwasConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """T1–T4: dispatch Welch t vs permutation per cohort row, compute
+    p-values, significance labels and cohort accession lists.
+
+    Returns the 18-column result relation (RESULT_SCHEMA minus the
+    per-test telemetry, which is emitted as 0 — SURVEY.md §2.8 T5 notes it
+    as excluded from value comparison).
+    """
+    flags = skip_flags.select(
+        F.col("bio_project").alias("sf_bp"),
+        F.col("group").alias("sf_g"),
+        "skip_tests",
+    )
+    base = (
+        stats_df.join(
+            flags,
+            (stats_df.bio_project == flags.sf_bp) & (stats_df.group == flags.sf_g),
+            "left",
+        )
+        .drop("sf_bp", "sf_g")
+        .na.fill({"skip_tests": True})
+        # row-level skip rules (mg:376-389)
+        .filter(
+            (F.col("n_true") >= cfg.min_cohort_size)
+            & (F.col("n_false") >= cfg.min_cohort_size)
+        )
+        .filter(~((F.col("mean_rpm_true") == 0) & (F.col("mean_rpm_false") == 0)))
+        .withColumn("skip_tests", F.col("skip_tests") | F.lit(cfg.skip_tests))
+    )
+
+    use_t_test = (
+        F.least(F.col("n_true"), F.col("n_false")) < cfg.min_cohort_for_permutation
+    ) | F.lit(cfg.t_test_only)
+
+    # --- t-test branch: memoized on the summary-stat signature (A8) -------
+    t_branch = _welch_columns(
+        base.filter(~F.col("skip_tests") & use_t_test)
+    )
+    sig_cols = ["n_true", "n_false", "mean_rpm_true", "mean_rpm_false", "sd_rpm_true", "sd_rpm_false"]
+    distinct_sigs = t_branch.select("test_statistic", "welch_df", *sig_cols).distinct()
+    sig_p = distinct_sigs.withColumn(
+        "p_value", welch_p_value(F.abs(F.col("test_statistic")), F.col("welch_df"))
+    ).drop("test_statistic", "welch_df")
+    t_done = t_branch.join(sig_p, sig_cols, "left").withColumn(
+        "status", F.lit("t_test")
+    )
+
+    # --- permutation branch: reconstruct value arrays relationally --------
+    perm_base = base.filter(~F.col("skip_tests") & ~use_t_test)
+    group_vals = (
+        rollup.join(
+            ref_df.select("bioproject", F.explode("biosamples_ref").alias("bs")),
+            (rollup.bio_project == F.col("bioproject"))
+            & (rollup.bio_sample == F.col("bs")),
+        )
+        .groupBy("bio_project", "group")
+        .agg(F.collect_list(F.struct("bio_sample", "rpm")).alias("obs_vals"))
+    )
+    # inner: every eligible (bio_project, group) came from group_stats,
+    # which is built over the same observed rows as group_vals
+    pm = perm_base.join(group_vals, ["bio_project", "group"], "inner")
+    member_obs = F.filter(
+        F.col("obs_vals"),
+        lambda x: F.array_contains(F.col("members"), x["bio_sample"]),
+    )
+    other_obs = F.filter(
+        F.col("obs_vals"),
+        lambda x: ~F.array_contains(F.col("members"), x["bio_sample"]),
+    )
+    zeros_m = F.array_repeat(F.lit(0.0), (F.size("members") - F.size(member_obs)).cast("int"))
+    zeros_o = F.array_repeat(
+        F.lit(0.0),
+        ((F.col("n_true") + F.col("n_false") - F.size("members")) - F.size(other_obs)).cast("int"),
+    )
+    m_arr = F.concat(F.transform(member_obs, lambda x: x["rpm"]), zeros_m)
+    o_arr = F.concat(F.transform(other_obs, lambda x: x["rpm"]), zeros_o)
+    if not cfg.implicit_zeros:
+        m_arr = F.transform(member_obs, lambda x: x["rpm"])
+        o_arr = F.transform(other_obs, lambda x: x["rpm"])
+    pm = pm.withColumn("true_vals", F.when(F.col("include"), m_arr).otherwise(o_arr)).withColumn(
+        "false_vals", F.when(F.col("include"), o_arr).otherwise(m_arr)
+    ).withColumn(
+        "seed_key",
+        F.conv(
+            F.substring(F.sha2(F.concat_ws("|", "bio_project", "group", "set_id"), 256), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+    )
+    perm_udf = _make_permutation_udf(cfg.permutation_resamples, cfg.permutation_seed)
+    pm = pm.withColumn("perm", perm_udf("true_vals", "false_vals", "seed_key"))
+    perm_done = (
+        pm.withColumn("test_statistic", F.col("perm.stat"))
+        .withColumn("p_value", F.col("perm.p"))
+        .withColumn("welch_df", F.lit(None).cast("double"))
+        .withColumn("status", F.lit("permutation_test"))
+        .drop("perm", "true_vals", "false_vals", "obs_vals", "seed_key", "bs")
+    )
+
+    # --- skipped branch (mg:390-394, skip_tests=True rows) ----------------
+    skipped = (
+        base.filter(F.col("skip_tests"))
+        .withColumn("test_statistic", F.lit(None).cast("double"))
+        .withColumn("welch_df", F.lit(None).cast("double"))
+        .withColumn("p_value", F.lit(None).cast("double"))
+        .withColumn("status", F.lit("skipped_statistical_testing"))
+    )
+
+    out_cols = [
+        "bio_project", "group", "set_id", "attributes", "values", "include",
+        "members", "n_true", "n_false", "mean_rpm_true", "mean_rpm_false",
+        "sd_rpm_true", "sd_rpm_false", "test_statistic", "p_value", "status",
+    ]
+    all_rows = (
+        t_done.select(*out_cols)
+        .unionByName(perm_done.select(*out_cols))
+        .unionByName(skipped.select(*out_cols))
+    )
+    return finalize_results(all_rows, ref_df, cfg)
+
+
+def finalize_results(
+    rows: DataFrame, ref_df: DataFrame, cfg: MwasConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """T4/A12/F1/F3 — significance suffix, fold change, cohort accession
+    lists (with swap for exclude-encoded sets, mg:426-434), output cleanup.
+    """
+    from ..functions.scalar import clean_csv_field, log2_fold_change
+
+    significant = F.col("p_value") < cfg.p_value_threshold
+    true_list = F.when(F.col("include"), F.col("members")).otherwise(
+        F.array_except(F.col("biosamples_ref"), F.col("members"))
+    )
+    false_list = F.when(F.col("include"), F.array_except(F.col("biosamples_ref"), F.col("members"))).otherwise(
+        F.col("members")
+    )
+    too_many = F.lit("too many biosamples to list")
+
+    out = (
+        rows.join(ref_df.select(F.col("bioproject").alias("bio_project"), "biosamples_ref"), "bio_project", "left")
+        .withColumn(
+            "status",
+            F.when(significant, F.concat(F.col("status"), F.lit("; significant"))).otherwise(
+                F.col("status")
+            ),
+        )
+        .withColumn(
+            "fold_change",
+            F.when(
+                F.col("status") == "skipped_statistical_testing", F.lit(None).cast("string")
+            ).otherwise(log2_fold_change(F.col("mean_rpm_true"), F.col("mean_rpm_false"))),
+        )
+        .withColumn(
+            "true_biosamples",
+            F.when(
+                significant,
+                F.when(F.col("n_true") < cfg.max_listed_biosamples, F.array_join(true_list, "; ")).otherwise(too_many),
+            ).otherwise(F.lit("")),
+        )
+        .withColumn(
+            "false_biosamples",
+            F.when(
+                significant,
+                F.when(F.col("n_false") < cfg.max_listed_biosamples, F.array_join(false_list, "; ")).otherwise(too_many),
+            ).otherwise(F.lit("")),
+        )
+    )
+    return out.select(
+        F.col("bio_project").alias("bioproject"),
+        "group",
+        clean_csv_field(F.col("attributes")).alias("metadata_field"),
+        clean_csv_field(F.col("values")).alias("metadata_value"),
+        "status",
+        F.lit(0.0).alias("runtime_seconds"),
+        F.lit(0).cast("long").alias("memory_usage_bytes"),
+        F.col("n_true").cast("int").alias("num_true"),
+        F.col("n_false").cast("int").alias("num_false"),
+        "mean_rpm_true",
+        "mean_rpm_false",
+        "sd_rpm_true",
+        "sd_rpm_false",
+        "fold_change",
+        "test_statistic",
+        "p_value",
+        "true_biosamples",
+        "false_biosamples",
+    )
+
+
+# ---------------------------------------------------------------------------
+# top-level assembly
+# ---------------------------------------------------------------------------
+
+
+def run_mwas(
+    input_df: DataFrame,
+    catalog_df: DataFrame,
+    sets_df: DataFrame,
+    ref_df: DataFrame,
+    cfg: MwasConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """End-to-end MWAS: the reference's whole §3.1 lifecycle as one plan."""
+    resolved = resolve_and_normalize(input_df, catalog_df, cfg)
+    rollup = biosample_rollup(resolved)
+    skip_flags = group_skip_flags(resolved, cfg)
+    stats_df = cohort_stats(rollup, sets_df, ref_df, cfg)
+    return run_tests(stats_df, rollup, ref_df, skip_flags, cfg)

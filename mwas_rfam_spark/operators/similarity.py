@@ -1,0 +1,114 @@
+"""Similarity search over embedding columns (extension surface).
+
+Brute-force cosine top-k as the exact baseline; LSH sign-bucketed variant
+as the scale path (candidates from bucket collisions instead of the full
+cross product). Dot products via zip_with/aggregate — JVM higher-order
+functions, Arrow never involved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
+
+
+def cosine_to_query(
+    emb: DataFrame, query_vec: list[float], id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Cosine similarity of every vector to a constant query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return emb.select(
+        F.col(id_col),
+        (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))).alias("cosine"),
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact top-k by cosine to the query (deterministic id tie-break).
+
+    At cluster scale this is a map + TakeOrdered (no full sort shuffle):
+    Spark's global limit on an ordered stream keeps only k per partition.
+    """
+    return (
+        cosine_to_query(emb, query_vec, id_col, vec_col)
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_per_query(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Brute-force k-NN for a batch of query vectors (broadcast the small
+    query side; rank with a per-query window)."""
+    joined = emb.crossJoin(F.broadcast(queries)).withColumn(
+        "cosine",
+        _dot(F.col(vec_col), F.col(q_vec_col))
+        / (_norm(F.col(vec_col)) * _norm(F.col(q_vec_col))),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cosine", "rank")
+    )
+
+
+def signed_random_projection_buckets(
+    emb: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH bucket id per vector: sign bits against fixed hyperplanes
+    (passed in, derived from a seeded RNG by the caller for determinism).
+    """
+    bits = []
+    for p in planes:
+        pv = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(_dot(F.col(vec_col), pv) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return emb.select(F.col(id_col), F.col(vec_col), F.concat(*bits).alias("bucket"))
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: rank only vectors in the query's LSH bucket.
+
+    The scale path — the bucket equi-filter replaces the full scan; recall
+    is tuned by the number of planes / multi-probe (not implemented here).
+    """
+    bucketed = signed_random_projection_buckets(emb, planes, id_col, vec_col)
+    import numpy as _np
+
+    qb = "".join(
+        "1" if float(_np.dot(_np.asarray(p), _np.asarray(query_vec))) >= 0 else "0"
+        for p in planes
+    )
+    cand = bucketed.where(F.col("bucket") == qb)
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)

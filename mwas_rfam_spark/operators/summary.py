@@ -1,0 +1,39 @@
+"""Post-hoc results analytics (SURVEY.md §2.4 A9) — the
+mwas_results_analyze.py:19-69 summary as one groupBy.
+
+One row per bioproject: test counts by kind, distinct groups/sets, and
+the scheduling weight (num_biosamples × num_permutation_tests,
+mwas_results_analyze.py:62-65) used to plan cluster scheduling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def summarize_results(results: DataFrame, ref_df: DataFrame | None = None) -> DataFrame:
+    is_perm = F.col("status").contains("permutation")
+    is_skip = F.col("status").contains("skipped")
+    agg = results.groupBy("bioproject").agg(
+        F.count("*").alias("number_tests"),
+        F.count(F.when(is_perm, True)).alias("number_permutation_tests"),
+        F.count(F.when(is_skip, True)).alias("number_skipped_tests"),
+        F.countDistinct("metadata_field", "metadata_value").alias("number_metadata_sets"),
+        F.countDistinct("group").alias("number_groups"),
+        F.count(F.when(F.col("status").contains("significant"), True)).alias("num_significant"),
+        F.round(F.max("runtime_seconds"), 6).alias("max_runtime"),
+        F.round(F.avg("runtime_seconds"), 6).alias("avg_runtime"),
+        F.round(F.avg(F.when(is_perm, F.col("runtime_seconds"))), 6).alias("avg_perms_runtime"),
+        F.round(F.sum("runtime_seconds"), 6).alias("total_runtime"),
+        F.max("memory_usage_bytes").alias("max_memory"),
+        F.round(F.avg("memory_usage_bytes"), 2).alias("avg_memory"),
+    )
+    if ref_df is not None:
+        sizes = ref_df.select(
+            F.col("bioproject"), F.col("n").alias("num_biosamples")
+        )
+        agg = agg.join(sizes, "bioproject", "left").withColumn(
+            "weight", F.col("num_biosamples") * F.col("number_permutation_tests")
+        )
+    return agg

@@ -1,0 +1,105 @@
+"""Text-analysis operators for training-data pipelines (extension surface).
+
+Language ID (stopword-hit heuristic), quality scoring, token counting and
+document fingerprinting — all as built-in column expressions (JVM-side,
+codegen'd); no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# minimal public stopword marker sets per language (heuristic, not a model)
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "fr": ["le", "la", "les", "et", "de", "un", "est"],
+    "es": ["el", "la", "los", "y", "de", "un", "es"],
+    "de": ["der", "die", "das", "und", "ein", "ist"],
+}
+
+
+def tokens(text_col: Column) -> Column:
+    return F.split(F.trim(text_col), r"\s+")
+
+
+def token_count(text_col: Column) -> Column:
+    """Whitespace token count (empty text → 0)."""
+    return F.when(F.length(F.trim(text_col)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(text_col))
+    ).cast("long")
+
+
+def bpe_ish_token_count(text_col: Column) -> Column:
+    """BPE-flavored proxy: count of word pieces + punctuation marks via a
+    regex segmentation (letters runs, digit runs, single punctuation)."""
+    pieces = F.regexp_extract_all(text_col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    return F.size(pieces).cast("long")
+
+
+def punct_ratio(text_col: Column) -> Column:
+    n_punct = F.length(text_col) - F.length(F.regexp_replace(text_col, r"[.,;:!?]", ""))
+    return F.when(F.length(text_col) > 0, n_punct / F.length(text_col)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text_col: Column, lang: str = "en") -> Column:
+    markers = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+    toks = tokens(F.lower(text_col))
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def mean_token_length(text_col: Column) -> Column:
+    toks = tokens(text_col)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text_col: Column) -> Column:
+    """Composite quality heuristic in [0,1]: favors moderate length,
+    some stopwords, low punctuation density."""
+    length_term = F.least(token_count(text_col) / F.lit(50.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text_col) * 5.0, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text_col) * 10.0, F.lit(1.0))
+    return (length_term + stop_term + punct_term) / 3.0
+
+
+def lang_id(text_col: Column) -> Column:
+    """Heuristic language ID: argmax of marker-stopword hit counts,
+    'und' (undetermined) when no marker hits at all."""
+    toks = tokens(F.lower(text_col))
+    scores = []
+    for lang, words in _LANG_MARKERS.items():
+        markers = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(markers, t))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text_col: Column, prefix_tokens: int = 16) -> Column:
+    """Deterministic document fingerprint: md5 over the normalized leading
+    token window (rolling-hash-style prefix signature)."""
+    toks = tokens(F.lower(text_col))
+    return F.md5(F.concat_ws(" ", F.slice(toks, 1, prefix_tokens)))
+
+
+def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass profile table: all text metrics per document."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_pieces"),
+        F.length(t).cast("long").alias("n_chars"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        mean_token_length(t).alias("mean_token_len"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,83 @@
+"""Deterministic MWAS-shaped views over the driver's synthetic tables.
+
+The driver testdata is TPC-H-ish (TESTDATA.md); the MWAS engine's domain
+relations (input / catalog / metadata) are derived from it with pure
+column expressions so the same derivation is reproducible in DuckDB for
+the oracle comparison:
+
+* ``events``  → observation input: run = 'R' || event_id, group =
+  event_type, quantifier = value.
+* ``orders`` + ``customer`` → catalog: each order is a run of biosample
+  'SAM' || custkey within bioproject 'PRJ' || nationkey; spots from
+  o_totalprice.
+* ``customer`` → per-bioproject metadata: attributes mktsegment and an
+  acctbal bucket.
+
+This gives the flagship query real join/agg/test structure at every scale
+factor without synthesizing new files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    try:
+        # the driver testdata stores TIMESTAMP(NANOS); read them as long
+        # (runtime-settable; works on any session the caller hands us)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def mwas_input_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(run, group, quantifier) from events — runs keyed to orders."""
+    ev = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders")
+    n_orders = orders.select(F.max("o_orderkey")).collect()[0][0]
+    return ev.select(
+        F.concat(F.lit("R"), (F.col("event_id") % F.lit(n_orders) + 1).cast("string")).alias("run"),
+        F.col("event_type").alias("group"),
+        F.col("value").alias("quantifier"),
+    )
+
+
+def mwas_catalog_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bio_project, bio_sample, run, spots) from orders ⋈ customer."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.concat(F.lit("PRJ"), F.col("c_nationkey").cast("string")).alias("bio_project"),
+        F.concat(F.lit("SAM"), F.col("c_custkey").cast("string")).alias("bio_sample"),
+        F.concat(F.lit("R"), F.col("o_orderkey").cast("string")).alias("run"),
+        (F.col("o_totalprice") * 100).cast("long").alias("spots"),
+    )
+
+
+def mwas_metadata_long_from_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form metadata: per bioproject (nation), biosamples (customers)
+    with two attributes — mktsegment and an account-balance bucket."""
+    cust = load(spark, sf_dir, "customer")
+    base = cust.select(
+        F.concat(F.lit("PRJ"), F.col("c_nationkey").cast("string")).alias("bioproject"),
+        F.concat(F.lit("SAM"), F.col("c_custkey").cast("string")).alias("biosample_id"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.when(F.col("c_acctbal") < 0, F.lit("negative"))
+        .when(F.col("c_acctbal") < 5000, F.lit("low"))
+        .otherwise(F.lit("high"))
+        .alias("balance_bucket"),
+    )
+    seg = base.select(
+        "bioproject", "biosample_id",
+        F.lit("mktsegment").alias("attribute"), F.lit(0).alias("attr_pos"),
+        F.col("mktsegment").alias("value"),
+    )
+    bal = base.select(
+        "bioproject", "biosample_id",
+        F.lit("balance_bucket").alias("attribute"), F.lit(1).alias("attr_pos"),
+        F.col("balance_bucket").alias("value"),
+    )
+    return seg.unionByName(bal)

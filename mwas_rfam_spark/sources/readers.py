@@ -1,0 +1,120 @@
+"""Sources (SURVEY.md §2.1): input CSV, catalog, wide-metadata melt, JSON rows.
+
+The reference stages everything through pickles, tmpfs and s5cmd batches
+(mg:132-148, 259-322); on Spark those are replaced by direct columnar scans
+with Catalyst pushdown — the only "custom" source logic that survives is
+schema normalization (positional rename, wide→long melt).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import CATALOG_SCHEMA, INPUT_SCHEMA
+
+
+def read_input_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S1 — user observation CSV with positional column semantics.
+
+    The reference renames whatever 3 headers arrive to (run, group,
+    quantifier) by position and type-checks them (mg:744-759). We read with
+    header then rename positionally; arity is validated eagerly.
+    """
+    raw = spark.read.option("header", True).csv(path)
+    if len(raw.columns) != 3:
+        raise ValueError(
+            f"input must have exactly 3 columns (run, group, quantifier); got {raw.columns}"
+        )
+    df = raw.toDF("run", "group", "quantifier")
+    return df.select(
+        F.col("run").cast("string"),
+        F.col("group").cast("string"),
+        F.col("quantifier").cast("double"),
+    )
+
+
+def input_from_rows(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    """S8 — JSON request ingest (reference server.py:14-55 writes a temp CSV;
+    we build the DataFrame directly)."""
+    return spark.createDataFrame(
+        [(r["run"], r["group"], float(r["quantifier"])) for r in rows], INPUT_SCHEMA
+    )
+
+
+def read_catalog_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S3/S4 — run→(bio_project, bio_sample, spots) catalog from a Parquet
+    export. The reference queries Postgres with an IN-list pushdown
+    (mg:46-54,163-184); with Parquet, Catalyst's predicate pushdown plus a
+    broadcast semi-join against the input's run set achieves the same
+    result without hand-built SQL strings.
+    """
+    return spark.read.schema(CATALOG_SCHEMA).parquet(path)
+
+
+def catalog_from_jdbc(
+    spark: SparkSession, url: str, table: str, properties: dict[str, str] | None = None
+) -> DataFrame:
+    """S3 JDBC variant — filters applied later are pushed into the database
+    by the JDBC source (equivalent of the reference's WHERE acc IN (...))."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    # derived column: spots = mbases*1e6/avgspotlen (reference mg:47) when
+    # the raw columns are present instead of a spots column
+    if "spots" not in df.columns and {"mbases", "avgspotlen"} <= set(df.columns):
+        df = df.withColumn(
+            "spots",
+            (F.col("mbases") * F.lit(1_000_000) / F.col("avgspotlen")).cast("long"),
+        )
+    return df
+
+
+def melt_wide_metadata(df: DataFrame, bioproject: str) -> DataFrame:
+    """S2 → long form: wide per-BioProject metadata → (bioproject,
+    biosample_id, attribute, attr_pos, value).
+
+    The reference keeps every BioProject as its own wide frame with a
+    dynamic schema (converter_.py:33); melting to one fixed long schema
+    lets a single relational plan process all ~196k BioProjects at once.
+    ``attr_pos`` preserves original column order (needed for label-merge
+    ordering parity in set dedup, metadata_set_maker.py:89-94).
+    """
+    attr_cols = [c for c in df.columns if c != "biosample_id"]
+    if not attr_cols:
+        raise ValueError("metadata frame has no attribute columns")
+    pairs = []
+    for i, c in enumerate(attr_cols):
+        pairs.append(
+            F.struct(
+                F.lit(c).alias("attribute"),
+                F.lit(i).alias("attr_pos"),
+                F.col(c).cast("string").alias("value"),
+            )
+        )
+    return (
+        df.select(
+            F.lit(bioproject).alias("bioproject"),
+            F.col("biosample_id").cast("string"),
+            F.explode(F.array(*pairs)).alias("kv"),
+        )
+        .select(
+            "bioproject",
+            "biosample_id",
+            F.col("kv.attribute").alias("attribute"),
+            F.col("kv.attr_pos").alias("attr_pos"),
+            F.col("kv.value").alias("value"),
+        )
+    )
+
+
+def read_wide_metadata_csv(spark: SparkSession, path: str, bioproject: str) -> DataFrame:
+    """S2 — raw bioproject metadata CSV, all columns as strings (the
+    reference treats timestamps/numerics as opaque categoricals,
+    SURVEY.md §1.2), then melted long."""
+    df = spark.read.option("header", True).csv(path)
+    if "biosample_id" not in df.columns:
+        df = df.withColumnRenamed(df.columns[0], "biosample_id")
+    return melt_wide_metadata(df, bioproject)

@@ -1,0 +1,82 @@
+"""Structured Streaming extension (SURVEY.md §2.10).
+
+The reference has no streaming — its Flask server (server.py:14-58)
+processes one POST synchronously. This module is the beyond-parity
+replacement: a file-drop request queue (JSON observation batches landing
+in a directory) processed incrementally, plus a windowed event rollup
+demonstrating watermark/window semantics over the events table shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import INPUT_SCHEMA
+
+REQUEST_SCHEMA = T.StructType(
+    [
+        T.StructField("request_id", T.StringType(), False),
+        T.StructField("run", T.StringType(), False),
+        T.StructField("group", T.StringType(), False),
+        T.StructField("quantifier", T.DoubleType(), True),
+    ]
+)
+
+
+def read_request_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
+    """File-drop request source: JSON-lines observation batches."""
+    return spark.readStream.schema(REQUEST_SCHEMA).json(drop_dir)
+
+
+def rpm_rollup_stream(requests: DataFrame, catalog_df: DataFrame) -> DataFrame:
+    """Incremental stage-1 MWAS: resolve+normalize each micro-batch and
+    maintain per-(request, bioproject, group, biosample) RPM aggregates.
+    The static catalog joins stream-static (no state needed for the dim).
+    """
+    joined = requests.join(catalog_df, "run", "left")
+    rpm = F.when(
+        F.col("spots").isNotNull() & (F.col("spots") != 0),
+        F.coalesce("quantifier", F.lit(0.0)) / F.col("spots") * 1e6,
+    ).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("rpm", rpm)
+        .filter(F.col("bio_project").isNotNull())
+        .groupBy("request_id", "bio_project", "group", "bio_sample")
+        .agg(F.avg("rpm").alias("rpm"), F.count("*").alias("n_runs"))
+    )
+
+
+def windowed_event_rollup(
+    events: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked sliding-window aggregate over a (ts, event_type, value)
+    stream — late data beyond the watermark is dropped, state is bounded."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_request_batch(spark: SparkSession, rows: list[dict], catalog_df: DataFrame) -> DataFrame:
+    """S8 synchronous ingest path (server.py:27-45 equivalent): a JSON
+    request body processed as one batch through the same plan."""
+    df = spark.createDataFrame(
+        [(r["run"], r["group"], float(r["quantifier"])) for r in rows], INPUT_SCHEMA
+    )
+    from ..operators.mwas import biosample_rollup, resolve_and_normalize
+
+    return biosample_rollup(resolve_and_normalize(df, catalog_df))

@@ -1,0 +1,114 @@
+"""Metadata condensation tests — mirrors the reference's round-trip
+property test strategy (SURVEY.md §5.1): condense, then reconstruct each
+original column's factor cohorts from the set table and compare.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mwas_rfam_spark.operators.condense import condense_metadata, expand_sets_to_membership
+from mwas_rfam_spark.sources.readers import melt_wide_metadata
+
+
+@pytest.fixture(scope="module")
+def wide_df(spark):
+    # 6 biosamples; columns exercising every pruning rule:
+    #  - constant column (pruned), all-unique column (pruned)
+    #  - informative column 'tissue' (2 factors, one singleton value)
+    #  - 'depth' coincides exactly with tissue cohorts → set-dedup merge
+    #  - invalid biosample id row (filtered)
+    #  - nan literals ignored
+    rows = [
+        ("SAM01", "x", "k1", "liver", "deep", "a"),
+        ("SAM02", "x", "k2", "liver", "deep", "nan"),
+        ("SAM03", "x", "k3", "brain", "shallow", "a"),
+        ("SAM04", "x", "k4", "brain", "shallow", "b"),
+        ("SAM05", "x", "k5", "brain", "shallow", "b"),
+        ("SAM06", "x", "k6", "kidney", None, "a"),
+        ("DRS99", "x", "k7", "liver", "deep", "a"),
+    ]
+    return spark.createDataFrame(
+        rows, ["biosample_id", "const_col", "unique_col", "tissue", "depth", "mixed"]
+    )
+
+
+def test_condense_prunes_and_dedups(spark, wide_df):
+    long_df = melt_wide_metadata(wide_df, "PRJTEST1")
+    sets, ref = condense_metadata(long_df)
+    ref_row = ref.collect()[0]
+    assert ref_row["biosamples_ref"] == ["SAM01", "SAM02", "SAM03", "SAM04", "SAM05", "SAM06"]
+    assert ref_row["n"] == 6
+
+    out = {r["attributes"]: r for r in sets.collect()}
+    # const/unique columns pruned; singleton factor 'kidney' skipped;
+    # tissue+depth cohorts coincide → merged set
+    assert "tissue; depth" in out
+    merged = out["tissue; depth"]
+    assert merged["values"] in ("liver; deep", "brain; shallow")
+    # liver cohort {SAM01, SAM02} is the minority (2 < 6/2) → include
+    liver = [r for r in sets.collect() if "liver" in r["values"]]
+    assert len(liver) == 1 and liver[0]["include"] is True
+    assert liver[0]["members"] == ["SAM01", "SAM02"]
+    # brain cohort {03,04,05} size 3, 3 < 3 is False → exclude-encoded
+    brain = [r for r in sets.collect() if "brain" in r["values"]]
+    assert len(brain) == 1 and brain[0]["include"] is False
+    assert brain[0]["members"] == ["SAM01", "SAM02", "SAM06"]
+    # 'mixed' has factors a (3× among valid: SAM01, SAM03, SAM06) and b (2×)
+    assert any(r["attributes"] == "mixed" for r in sets.collect())
+
+
+def test_condense_roundtrip_property(spark, wide_df):
+    """Reconstruct each surviving (column, factor) cohort from the condensed
+    sets and verify it equals the original cohort (reference
+    metadata_set_maker_test.py:69-105 strategy)."""
+    long_df = melt_wide_metadata(wide_df, "PRJTEST1")
+    sets, ref = condense_metadata(long_df)
+    n = ref.collect()[0]["n"]
+    universe = set(ref.collect()[0]["biosamples_ref"])
+
+    valid = long_df.filter(F.col("biosample_id").startswith("SAM"))
+    originals = (
+        valid.filter(F.col("value").isNotNull() & (F.col("value") != "nan"))
+        .groupBy("attribute", "value")
+        .agg(F.collect_set("biosample_id").alias("cohort"))
+        .collect()
+    )
+    factor_cohorts = {
+        (r["attribute"], r["value"]): set(r["cohort"])
+        for r in originals
+        if 2 <= len(r["cohort"]) < n
+    }
+    # prune rules replicated
+    nunique = {
+        r["attribute"]: r["nu"]
+        for r in valid.filter(F.col("value").isNotNull() & (F.col("value") != "nan"))
+        .groupBy("attribute")
+        .agg(F.countDistinct("value").alias("nu"))
+        .collect()
+    }
+    factor_cohorts = {
+        k: v for k, v in factor_cohorts.items() if 1 < nunique[k[0]] < n
+    }
+
+    reconstructed = {}
+    for r in sets.collect():
+        true_side = set(r["members"]) if r["include"] else universe - set(r["members"])
+        for attr, val in zip(r["attributes"].split("; "), r["values"].split("; ")):
+            reconstructed[(attr, val)] = true_side
+
+    assert reconstructed == factor_cohorts
+
+
+def test_membership_expansion(spark, wide_df):
+    sets, _ = condense_metadata(melt_wide_metadata(wide_df, "PRJTEST1"))
+    m = expand_sets_to_membership(sets)
+    assert set(m.columns) == {"bioproject", "set_id", "include", "biosample_id"}
+    assert m.count() == sets.select(F.explode("members")).count()
+
+
+def test_small_bioprojects_dropped(spark):
+    tiny = spark.createDataFrame(
+        [("SAM01", "a"), ("SAM02", "b")], ["biosample_id", "col1"]
+    )
+    sets, ref = condense_metadata(melt_wide_metadata(tiny, "PRJTINY"))
+    assert ref.count() == 0

@@ -1,0 +1,231 @@
+"""End-to-end MWAS pipeline test.
+
+Oracle: an independent plain-Python re-implementation of the reference
+algorithm (dense per-group vectors, per-set cohort loop — following
+main/mwas_general.py:344-546 semantics) using the same numeric kernels.
+The Spark engine must reproduce it row-for-row, including the seeded
+permutation branch (seeds derived identically from the set signature).
+"""
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mwas_rfam_spark.config import MwasConfig
+from mwas_rfam_spark.functions.stattests import (
+    permutation_test_mean_diff,
+    welch_ttest_from_stats,
+)
+from mwas_rfam_spark.operators.condense import condense_metadata
+from mwas_rfam_spark.operators.mwas import run_mwas
+from mwas_rfam_spark.schemas import CATALOG_SCHEMA, INPUT_SCHEMA
+from mwas_rfam_spark.sources.readers import melt_wide_metadata
+
+CFG = MwasConfig(permutation_resamples=2000, permutation_seed=42)
+
+# 9 biosamples: tissue liver{1..4}/brain{5..9}; depth coincides with tissue
+# (dedup); 'site' gives a 3-member cohort (t-test branch); const/unique pruned
+META_ROWS = [
+    ("SAM01", "c", "u1", "liver", "deep", "north"),
+    ("SAM02", "c", "u2", "liver", "deep", "north"),
+    ("SAM03", "c", "u3", "liver", "deep", "north"),
+    ("SAM04", "c", "u4", "liver", "deep", "south"),
+    ("SAM05", "c", "u5", "brain", "shallow", "south"),
+    ("SAM06", "c", "u6", "brain", "shallow", "south"),
+    ("SAM07", "c", "u7", "brain", "shallow", "south"),
+    ("SAM08", "c", "u8", "brain", "shallow", "south"),
+    ("SAM09", "c", "u9", "brain", "shallow", "south"),
+]
+META_COLS = ["biosample_id", "const_col", "unique_col", "tissue", "depth", "site"]
+
+# catalog: SAM01 has two runs (rollup-mean path); R00 spots=0 (sentinel);
+# R90 maps to a biosample missing from metadata; input has run R99 unknown
+# to the catalog (outer-join path)
+CATALOG = [
+    ("PRJT1", "SAM01", "R00", 0),
+    ("PRJT1", "SAM01", "R01", 2_000_000),
+    ("PRJT1", "SAM02", "R02", 1_000_000),
+    ("PRJT1", "SAM03", "R03", 4_000_000),
+    ("PRJT1", "SAM04", "R04", 1_000_000),
+    ("PRJT1", "SAM05", "R05", 2_000_000),
+    ("PRJT1", "SAM06", "R06", 1_000_000),
+    ("PRJT1", "SAM07", "R07", 1_000_000),
+    ("PRJT1", "SAM08", "R08", 500_000),
+    ("PRJT1", "SAM09", "R09", 1_000_000),
+    ("PRJT1", "SAM90", "R90", 1_000_000),
+]
+
+INPUT = (
+    # group g1: all biosamples observed → permutation for 4/5 cohorts
+    [("R00", "g1", 100.0), ("R01", "g1", 300.0), ("R02", "g1", 250.0),
+     ("R03", "g1", 1200.0), ("R04", "g1", 80.0), ("R05", "g1", 20.0),
+     ("R06", "g1", 15.0), ("R07", "g1", 10.0), ("R08", "g1", 5.0),
+     ("R09", "g1", 12.0), ("R90", "g1", 7.0)]
+    # group g2: only 2 rows → below nonzeros threshold → skipped rows
+    + [("R02", "g2", 50.0), ("R03", "g2", 60.0)]
+    # unknown run
+    + [("R99", "g1", 999.0)]
+)
+
+
+def _expected():
+    """Plain-Python reference simulation (independent of the Spark plan)."""
+    spots = {}
+    run_to_bs = {}
+    for bp, bs, run, sp in CATALOG:
+        spots[run] = sp if sp != 0 else 1_000_000
+        run_to_bs[run] = bs
+
+    biosamples = sorted({r[0] for r in META_ROWS})
+    n = len(biosamples)
+    meta = {c: [row[i] for row in META_ROWS] for i, c in enumerate(META_COLS)}
+
+    # set making (reference msm:13-110 semantics, normalized n)
+    sets = {}  # matching_tuple -> [attrs, values, include, members]
+    for ci, col in enumerate(META_COLS[1:], start=1):
+        vals = meta[col]
+        informative = [v for v in vals if v is not None and v != "nan"]
+        nunique = len(set(informative))
+        if nunique <= 1 or nunique == n:
+            continue
+        for factor in sorted(set(informative)):
+            matching = tuple(
+                sorted(b for b, v in zip(meta["biosample_id"], vals) if v == factor)
+            )
+            cnt = len(matching)
+            if cnt < 2 or cnt >= n:
+                continue
+            include = cnt < n / 2
+            members = (
+                list(matching)
+                if include
+                else [b for b in biosamples if b not in matching]
+            )
+            if matching in sets:
+                sets[matching][0] += f"; {col}"
+                sets[matching][1] += f"; {factor}"
+            else:
+                sets[matching] = [col, factor, include, members]
+
+    # rpm vectors per group (implicit zeros)
+    rows_by_group = {}
+    for run, g, q in INPUT:
+        rows_by_group.setdefault(g, []).append((run, q))
+    results = []
+    for g, rows in rows_by_group.items():
+        per_bs = {}
+        for run, q in rows:
+            if run not in run_to_bs:
+                continue
+            bs = run_to_bs[run]
+            per_bs.setdefault(bs, []).append(q / spots[run] * 1e6)
+        vec = np.zeros(n)
+        for bs, v in per_bs.items():
+            if bs in biosamples:
+                vec[biosamples.index(bs)] = float(np.mean(v))
+        skip = len(rows) < CFG.group_nonzeros_threshold
+        for matching, (attrs, values, include, members) in sets.items():
+            member_idx = [biosamples.index(b) for b in members]
+            mask = np.zeros(n, bool)
+            mask[member_idx] = True
+            true_mask = mask if include else ~mask
+            x, y = vec[true_mask], vec[~true_mask]
+            if len(x) < 2 or len(y) < 2:
+                continue
+            mt, mf = float(np.mean(x)), float(np.mean(y))
+            st, sf_ = float(np.std(x)), float(np.std(y))
+            if mt == mf == 0:
+                continue
+            set_id = hashlib.sha256("\x1f".join(matching).encode()).hexdigest()
+            if skip:
+                status, stat, p, fold = "skipped_statistical_testing", None, None, None
+            else:
+                if mt == 0 and mf == 0:
+                    fold = "0"
+                elif mt == 0:
+                    fold = "negative inf"
+                elif mf == 0:
+                    fold = "inf"
+                else:
+                    fold = str(math.log2(mt / mf))
+                if min(len(x), len(y)) < 4:
+                    status = "t_test"
+                    stat, _, p = welch_ttest_from_stats(mt, st, len(x), mf, sf_, len(y))
+                    stat, p = float(stat), float(p)
+                else:
+                    status = "permutation_test"
+                    seed_hex = hashlib.sha256(
+                        f"PRJT1|{g}|{set_id}".encode()
+                    ).hexdigest()[:15]
+                    seed = (int(seed_hex, 16) ^ CFG.permutation_seed) & 0x7FFFFFFFFFFFFFFF
+                    stat, p = permutation_test_mean_diff(
+                        x, y, CFG.permutation_resamples, rng=np.random.default_rng(seed)
+                    )
+            sig = p is not None and p < CFG.p_value_threshold
+            if sig:
+                status += "; significant"
+                t_list = members if include else [b for b in biosamples if b not in members]
+                f_list = [b for b in biosamples if b not in t_list]
+                tb, fb = "; ".join(t_list), "; ".join(f_list)
+            else:
+                tb = fb = ""
+            results.append(
+                dict(
+                    bioproject="PRJT1", group=g, metadata_field=attrs,
+                    metadata_value=values, status=status, num_true=len(x),
+                    num_false=len(y), mean_rpm_true=mt, mean_rpm_false=mf,
+                    sd_rpm_true=st, sd_rpm_false=sf_, fold_change=fold,
+                    test_statistic=stat, p_value=p, true_biosamples=tb,
+                    false_biosamples=fb,
+                )
+            )
+    return results
+
+
+@pytest.fixture(scope="module")
+def spark_result(spark):
+    input_df = spark.createDataFrame(INPUT, INPUT_SCHEMA)
+    catalog_df = spark.createDataFrame(CATALOG, CATALOG_SCHEMA)
+    wide = spark.createDataFrame(META_ROWS, META_COLS)
+    sets_df, ref_df = condense_metadata(melt_wide_metadata(wide, "PRJT1"))
+    out = run_mwas(input_df, catalog_df, sets_df, ref_df, CFG)
+    return out.collect()
+
+
+def _key(r):
+    return (r["group"], r["metadata_field"], r["metadata_value"])
+
+
+def test_e2e_matches_reference_simulation(spark_result):
+    expected = {_key(e): e for e in _expected()}
+    actual = { _key(r.asDict()): r.asDict() for r in spark_result }
+    assert set(actual) == set(expected)
+    for k, e in expected.items():
+        a = actual[k]
+        assert a["status"] == e["status"], (k, a["status"], e["status"])
+        assert a["num_true"] == e["num_true"] and a["num_false"] == e["num_false"], k
+        for f in ["mean_rpm_true", "mean_rpm_false", "sd_rpm_true", "sd_rpm_false"]:
+            assert a[f] == pytest.approx(e[f], rel=1e-9), (k, f)
+        if e["test_statistic"] is not None:
+            assert a["test_statistic"] == pytest.approx(e["test_statistic"], rel=1e-9), k
+            assert a["p_value"] == pytest.approx(e["p_value"], rel=1e-9, abs=1e-12), k
+        else:
+            assert a["test_statistic"] is None and a["p_value"] is None, k
+        if e["fold_change"] is None:
+            assert a["fold_change"] is None, k
+        elif e["fold_change"] in ("inf", "negative inf", "0"):
+            assert a["fold_change"] == e["fold_change"], k
+        else:
+            assert float(a["fold_change"]) == pytest.approx(float(e["fold_change"]), rel=1e-9), k
+        assert a["true_biosamples"] == e["true_biosamples"], k
+        assert a["false_biosamples"] == e["false_biosamples"], k
+
+
+def test_e2e_branches_covered(spark_result):
+    statuses = {r["status"].split(";")[0] for r in spark_result}
+    assert "t_test" in statuses
+    assert "permutation_test" in statuses
+    assert "skipped_statistical_testing" in statuses

@@ -1,0 +1,86 @@
+"""Structured Streaming smoke tests (memory sink, synchronous drain)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mwas_rfam_spark.schemas import CATALOG_SCHEMA
+from mwas_rfam_spark.streaming.requests import (
+    read_request_stream,
+    rpm_rollup_stream,
+    windowed_event_rollup,
+)
+
+
+def test_request_stream_rollup(spark, tmp_path):
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    rows = [
+        {"request_id": "q1", "run": "R1", "group": "g", "quantifier": 10.0},
+        {"request_id": "q1", "run": "R2", "group": "g", "quantifier": 30.0},
+        {"request_id": "q1", "run": "RX", "group": "g", "quantifier": 5.0},
+    ]
+    (drop / "batch1.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    catalog = spark.createDataFrame(
+        [("P1", "S1", "R1", 1_000_000), ("P1", "S1", "R2", 1_000_000)],
+        CATALOG_SCHEMA,
+    )
+    stream = read_request_stream(spark, str(drop))
+    assert stream.isStreaming
+    out = rpm_rollup_stream(stream, catalog)
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rpm_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM rpm_out").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["bio_project"] == "P1" and r["n_runs"] == 2
+    assert r["rpm"] == pytest.approx((10.0 + 30.0) / 2)
+
+
+def test_windowed_event_rollup(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    ev = spark.createDataFrame(
+        [
+            ("2024-01-01 00:01:00", "click", 1.0),
+            ("2024-01-01 00:02:00", "click", 2.0),
+            ("2024-01-01 00:07:00", "click", 4.0),
+            ("2024-01-01 00:01:30", "view", 8.0),
+        ],
+        "ts_s string, event_type string, value double",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+    ev.write.mode("overwrite").parquet(str(src / "p"))
+
+    stream = spark.readStream.schema(ev.schema).parquet(str(src / "p"))
+    out = windowed_event_rollup(stream, window="5 minutes")
+    # complete mode: append would hold windows open until the watermark
+    # passes (needs a later batch); complete emits current state each batch
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM win_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert got[("2024-01-01 00:05:00", "click")] == (1, 4.0)
+    assert got[("2024-01-01 00:00:00", "view")] == (1, 8.0)
