@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark import StorageLevel
 
 from ..config import DEFAULT_CONFIG, MwasConfig
 from ..functions.scalar import replace_zero_spots, rpm
@@ -301,6 +302,10 @@ def run_tests(
         .filter(~((F.col("mean_rpm_true") == 0) & (F.col("mean_rpm_false") == 0)))
         .withColumn("skip_tests", F.col("skip_tests") | F.lit(cfg.skip_tests))
     )
+    # three branches (t-test / permutation / skipped) consume `base`; without
+    # persistence each branch re-executes the full upstream pipeline
+    # (catalog join → rollup → cohort stats) — cache once, spill-safe
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
 
     use_t_test = (
         F.least(F.col("n_true"), F.col("n_false")) < cfg.min_cohort_for_permutation
@@ -351,8 +356,11 @@ def run_tests(
     if not cfg.implicit_zeros:
         m_arr = F.transform(member_obs, lambda x: x["rpm"])
         o_arr = F.transform(other_obs, lambda x: x["rpm"])
-    pm = pm.withColumn("true_vals", F.when(F.col("include"), m_arr).otherwise(o_arr)).withColumn(
-        "false_vals", F.when(F.col("include"), o_arr).otherwise(m_arr)
+    # sort value arrays: the permutation test is invariant under input
+    # order in exact mode and seed-deterministic in randomized mode, and
+    # sorting makes memoization independent of collect_list order
+    pm = pm.withColumn("true_vals", F.array_sort(F.when(F.col("include"), m_arr).otherwise(o_arr))).withColumn(
+        "false_vals", F.array_sort(F.when(F.col("include"), o_arr).otherwise(m_arr))
     ).withColumn(
         "seed_key",
         F.conv(
@@ -361,8 +369,23 @@ def run_tests(
             10,
         ).cast("long"),
     )
+    # A8 memoization generalized: identical (true, false) value arrays run
+    # the expensive kernel once (reference reuses per-group stat
+    # signatures, mg:350,396-399 — ours is global and keyed on the actual
+    # inputs, so it is exact for both test kinds). The explicit
+    # repartition spreads the CPU-bound kernel across all cores — without
+    # it AQE coalesces this small-byte relation into one partition and
+    # serializes the Python workers.
+    n_part = max(pm.sparkSession.sparkContext.defaultParallelism * 2, 8)
     perm_udf = _make_permutation_udf(cfg.permutation_resamples, cfg.permutation_seed)
-    pm = pm.withColumn("perm", perm_udf("true_vals", "false_vals", "seed_key"))
+    distinct_inputs = (
+        pm.groupBy("true_vals", "false_vals")
+        .agg(F.min("seed_key").alias("seed_key"))
+        .repartition(n_part)
+        .withColumn("perm", perm_udf("true_vals", "false_vals", F.col("seed_key")))
+        .select("true_vals", "false_vals", "perm")
+    )
+    pm = pm.drop("seed_key").join(distinct_inputs, ["true_vals", "false_vals"], "left")
     perm_done = (
         pm.withColumn("test_statistic", F.col("perm.stat"))
         .withColumn("p_value", F.col("perm.p"))
@@ -473,9 +496,20 @@ def run_mwas(
     ref_df: DataFrame,
     cfg: MwasConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
-    """End-to-end MWAS: the reference's whole §3.1 lifecycle as one plan."""
-    resolved = resolve_and_normalize(input_df, catalog_df, cfg)
-    rollup = biosample_rollup(resolved)
+    """End-to-end MWAS: the reference's whole §3.1 lifecycle as one plan.
+
+    Shared subplans are persisted (spill-safe): ``resolved`` feeds the
+    rollup and the skip flags, ``rollup`` feeds cohort stats and the
+    permutation value arrays, and the metadata relations are joined at
+    three points — without persistence each consumer re-executes the
+    whole upstream pipeline.
+    """
+    resolved = resolve_and_normalize(input_df, catalog_df, cfg).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    rollup = biosample_rollup(resolved).persist(StorageLevel.MEMORY_AND_DISK)
+    sets_df = sets_df.persist(StorageLevel.MEMORY_AND_DISK)
+    ref_df = ref_df.persist(StorageLevel.MEMORY_AND_DISK)
     skip_flags = group_skip_flags(resolved, cfg)
     stats_df = cohort_stats(rollup, sets_df, ref_df, cfg)
     return run_tests(stats_df, rollup, ref_df, skip_flags, cfg)

@@ -37,9 +37,11 @@ def mwas_input_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(run, group, quantifier) from events — runs keyed to orders."""
     ev = load(spark, sf_dir, "events")
     orders = load(spark, sf_dir, "orders")
-    n_orders = orders.select(F.max("o_orderkey")).collect()[0][0]
-    return ev.select(
-        F.concat(F.lit("R"), (F.col("event_id") % F.lit(n_orders) + 1).cast("string")).alias("run"),
+    # scalar "subquery" as a broadcast cross join — keeps the plan lazy
+    # (no driver-side collect) and Catalyst folds it into the projection
+    n_ord = orders.agg(F.max("o_orderkey").alias("n_ord"))
+    return ev.crossJoin(F.broadcast(n_ord)).select(
+        F.concat(F.lit("R"), (F.col("event_id") % F.col("n_ord") + 1).cast("string")).alias("run"),
         F.col("event_type").alias("group"),
         F.col("value").alias("quantifier"),
     )
