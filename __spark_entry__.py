@@ -18,9 +18,16 @@ from pyspark.sql import functions as F
 from mwas_rfam_spark.config import MwasConfig
 from mwas_rfam_spark.operators.condense import condense_metadata
 from mwas_rfam_spark.operators.dedup import (
+    embedding_near_dup_pairs,
     exact_dedup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from mwas_rfam_spark.operators.multimodal import (
+    attach_binary,
+    decode_images,
+    extract_audio_features,
 )
 from mwas_rfam_spark.operators.mwas import (
     _welch_columns,
@@ -29,7 +36,7 @@ from mwas_rfam_spark.operators.mwas import (
     resolve_and_normalize,
     run_mwas,
 )
-from mwas_rfam_spark.operators.similarity import brute_force_topk
+from mwas_rfam_spark.operators.similarity import brute_force_topk, lsh_ann_topk
 from mwas_rfam_spark.operators.text import (
     fingerprint,
     lang_id,
@@ -489,6 +496,61 @@ def q_t1_welch_from_stats(spark, sf_dir):
     )
 
 
+def q_condense_sets(spark, sf_dir):
+    """§2.9 — the full metadata-condensation pipeline (melt → prune →
+    factor cohorts → minority encoding → signature dedup) surfaced as its
+    own relation."""
+    meta = mwas_metadata_long_from_customer(spark, sf_dir)
+    sets_df, ref_df = condense_metadata(meta)
+    return sets_df.join(ref_df.select("bioproject", "n"), "bioproject").select(
+        "bioproject",
+        "attributes",
+        F.col("values").alias("set_values"),
+        F.size("members").cast("long").alias("n_members"),
+        "include",
+        F.col("n").cast("long").alias("n_biosamples"),
+    )
+
+
+def q_j7_positional_join(spark, sf_dir):
+    """J7 — positional join: posexplode a sorted ref array back to rows,
+    join on the value to recover per-position attributes."""
+    s = _t(spark, sf_dir, "supplier")
+    ref = s.groupBy("s_nationkey").agg(
+        F.sort_array(F.collect_list("s_name")).alias("names")
+    )
+    pos = ref.select("s_nationkey", F.posexplode("names").alias("pos", "s_name"))
+    return pos.join(s, ["s_nationkey", "s_name"]).select(
+        "s_nationkey",
+        F.col("pos").cast("long").alias("pos"),
+        "s_name",
+        F.round("s_acctbal", 4).alias("acctbal"),
+    )
+
+
+def q_so2_complement(spark, sf_dir):
+    """SO2 — exclude-list → include-list complement over range(n) via
+    array_except(sequence(...), positions)."""
+    s = _t(spark, sf_dir, "supplier")
+    per = s.groupBy("s_nationkey").agg(
+        F.sort_array(F.collect_list("s_name")).alias("names"),
+        F.sort_array(
+            F.collect_set(F.when(F.col("s_acctbal") < 0, F.col("s_name")))
+        ).alias("neg_names"),
+    )
+    neg_pos = F.transform("neg_names", lambda nm: F.array_position("names", nm) - 1)
+    comp = F.array_except(
+        F.sequence(F.lit(0).cast("long"), (F.size("names") - 1).cast("long")), neg_pos
+    )
+    return per.select(
+        "s_nationkey", F.explode(comp).alias("pos"), "names"
+    ).select(
+        "s_nationkey",
+        "pos",
+        F.element_at("names", (F.col("pos") + 1).cast("int")).alias("name"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline extensions
 # ---------------------------------------------------------------------------
@@ -515,6 +577,54 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, num_hashes=64, bands=16, threshold=0.5).select(
         "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs via banded Hamming-LSH (engine-only:
+    xxhash64 bit votes — no SQL-expressible oracle)."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, max_hamming=3, bands=4)
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, blocked by label."""
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.9).select(
+        "id_a", "id_b", F.round("cosine", 5).alias("cosine")
+    )
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal: opaque binary payload + typed metadata struct; filters
+    on metadata never touch payload bytes."""
+    m = attach_binary(_t(spark, sf_dir, "documents"))
+    return m.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.sha256").alias("sha"),
+        F.col("media_meta.magic").alias("magic"),
+        F.col("media_meta.media_type").alias("media_type"),
+    )
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Multimodal: Arrow-batched mapInPandas image decode (deterministic
+    sha256-derived fake — reproducible in ANSI SQL, so even the Python
+    stage is oracle-checked)."""
+    m = attach_binary(_t(spark, sf_dir, "documents"))
+    return decode_images(m, fake=True)
+
+
+def q_multimodal_audio(spark, sf_dir):
+    """Multimodal: mapInPandas audio feature extraction (stubbed decode,
+    real Spark plumbing)."""
+    m = attach_binary(_t(spark, sf_dir, "documents"))
+    return extract_audio_features(m, fake=True).select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
     )
 
 
@@ -551,6 +661,36 @@ def q_ann_cosine_topk(spark, sf_dir):
     return top.select("vec_id", F.round("cosine", 5).alias("cosine"))
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate top-k via signed-random-projection LSH bucket filter
+    (engine-only: approximate by design — no exact oracle)."""
+    import numpy as np
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.orderBy("vec_id").select("embedding").limit(1).collect()[0]["embedding"]
+    dim = len(qvec)
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((6, dim)).tolist()
+    top = lsh_ann_topk(e, [float(x) for x in qvec], planes, k=10)
+    return top.select("vec_id", F.round("cosine", 5).alias("cosine"))
+
+
+def q_mwas_full(spark, sf_dir):
+    """Full MWAS incl. seeded permutation tests (rows-only check: the
+    resampling kernel is iterative/stateful, not SQL-expressible; the
+    relational core is hash-verified by mwas_cohort_welch)."""
+    cfg = MwasConfig(permutation_resamples=1000)
+    meta = mwas_metadata_long_from_customer(spark, sf_dir)
+    sets_df, ref_df = condense_metadata(meta)
+    return run_mwas(
+        mwas_input_from_events(spark, sf_dir),
+        mwas_catalog_from_orders(spark, sf_dir),
+        sets_df,
+        ref_df,
+        cfg,
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     """Time-window aggregation (batch analog of the streaming rollup)."""
     e = _t(spark, sf_dir, "events")
@@ -583,12 +723,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_fold_change": q_f1_fold_change,
         "f2_rpm_normalize": q_f2_rpm_normalize,
         "t1_welch_from_stats": q_t1_welch_from_stats,
+        "condense_sets": q_condense_sets,
+        "j7_positional_join": q_j7_positional_join,
+        "so2_complement": q_so2_complement,
+        "mwas_full": q_mwas_full,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_audio": q_multimodal_audio,
         "text_stats": q_text_stats,
         "text_lang_quality": q_text_lang_quality,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "events_hourly": q_events_hourly,
     }
 
@@ -743,6 +893,74 @@ def oracle_sql() -> dict[str, str]:
                          / ((s1 ^ 2 / n1) ^ 2 / (n1 - 1) + (s2 ^ 2 / n2) ^ 2 / (n2 - 1)),
                          6) AS welch_df
             FROM t, f
+        """,
+        "condense_sets": _MWAS_ORACLE_CTES
+        + """
+            SELECT bp AS bioproject, attributes, set_values,
+                   CAST(CASE WHEN cnt < n / 2.0 THEN cnt ELSE n - cnt END AS BIGINT)
+                       AS n_members,
+                   cnt < n / 2.0 AS include,
+                   CAST(n AS BIGINT) AS n_biosamples
+            FROM sets
+        """,
+        "j7_positional_join": """
+            SELECT s_nationkey,
+                   row_number() OVER (PARTITION BY s_nationkey ORDER BY s_name) - 1
+                       AS pos,
+                   s_name, round(s_acctbal, 4) AS acctbal
+            FROM supplier
+        """,
+        "so2_complement": """
+            SELECT s_nationkey, pos, s_name AS name
+            FROM (SELECT s_nationkey, s_name, s_acctbal,
+                         row_number() OVER (PARTITION BY s_nationkey
+                                            ORDER BY s_name) - 1 AS pos
+                  FROM supplier)
+            WHERE s_acctbal >= 0
+        """,
+        "dedup_embedding_cosine": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 5)
+                       AS cosine
+            FROM embeddings a
+            JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.9
+        """,
+        "multimodal_meta": """
+            SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS sha, substr(sha256(text), 1, 8) AS magic,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS media_type
+            FROM documents
+        """,
+        "multimodal_decode": """
+            WITH m AS (SELECT doc_id, sha256(text) AS sha FROM documents
+                       WHERE doc_id % 3 = 0)
+            SELECT doc_id,
+                   CAST(16 + (ascii(substr(sha, 1, 1)) * 256
+                              + ascii(substr(sha, 2, 1))) % 512 AS INT) AS width,
+                   CAST(16 + (ascii(substr(sha, 3, 1)) * 256
+                              + ascii(substr(sha, 4, 1))) % 512 AS INT) AS height,
+                   CAST(1 + ascii(substr(sha, 5, 1)) % 4 AS INT) AS channels
+            FROM m
+        """,
+        "multimodal_audio": """
+            WITH m AS (SELECT doc_id, sha256(text) AS sha FROM documents
+                       WHERE doc_id % 3 = 1),
+            d AS (SELECT doc_id,
+                         CASE ascii(substr(sha, 1, 1)) % 4
+                              WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                              WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
+                         1000 + (ascii(substr(sha, 2, 1)) * 256
+                                 + ascii(substr(sha, 3, 1))) * 17 AS n_samples
+                  FROM m)
+            SELECT doc_id, CAST(sample_rate AS INT) AS sample_rate,
+                   CAST(n_samples AS BIGINT) AS n_samples,
+                   round(n_samples * 1.0 / sample_rate, 6) AS duration_s
+            FROM d
         """,
         "dedup_exact": """
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,

@@ -192,6 +192,46 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return votes.select("id", expr.alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded for scale.
+
+    Pigeonhole: two hashes within Hamming distance < bands must agree on
+    at least one of `bands` contiguous 16-bit chunks — candidates come
+    from an equi-join on (band, chunk) buckets, never all-pairs. Verify
+    with bit_count(xor) <= max_hamming (JVM-side, codegen'd).
+    Returns (id_a, id_b, hamming).
+    """
+    width = 64 // bands
+    sh = simhash64(docs, text_col, id_col)
+    chunk_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), bi * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("chunk"),
+        )
+        for bi in range(bands)
+    ]
+    buckets = sh.select(
+        "id", "simhash", F.explode(F.array(*chunk_cols)).alias("bc")
+    ).select("id", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    x = buckets.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"), "band", "chunk")
+    y = buckets.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"), "band", "chunk")
+    return (
+        x.join(y, ["band", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.98,

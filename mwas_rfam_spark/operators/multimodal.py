@@ -1,0 +1,213 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, decoded
+via Arrow-batched ``mapInPandas``.
+
+Beyond-parity extension (SURVEY.md §7 M5): the reference has no binary
+columns at all; a 100 TB training-data pipeline does. Design rules:
+
+* Media travel as an opaque ``binary`` column next to a typed metadata
+  struct — the engine never interprets bytes relationally, so predicate
+  pushdown / column pruning still work on the metadata (a scan that
+  filters on ``media_type`` never materializes payloads of other types).
+* Decode / feature-extract / resize / frame-sample run as
+  ``mapInPandas`` stages: Arrow batches in, Arrow batches out, schema
+  declared up front. Real codecs (PIL / soundfile / av) are NOT in this
+  container, so each op has a clearly-marked stub path
+  (``NotImplementedError``) plus a deterministic fake derived from the
+  payload's sha256 — the Spark-side plumbing (schema, batching,
+  partition behavior) is real and tested either way.
+* The fake is a pure function of the payload hash, reproducible in ANSI
+  SQL, so even the Python ``mapInPandas`` stage is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_TYPES = ["image", "audio", "video"]
+
+DECODED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_sha", T.StringType()),
+    ]
+)
+
+
+def attach_binary(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Attach an opaque binary payload + typed metadata struct to each doc.
+
+    The payload is the UTF-8 encoding of the text (testdata has no real
+    media files); metadata is computed JVM-side so filters on it push
+    down to the scan without touching payload bytes.
+    """
+    payload = F.encode(F.col(text_col), "UTF-8")
+    sha = F.sha2(payload, 256)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            sha.alias("sha256"),
+            F.substring(sha, 1, 8).alias("magic"),
+            F.element_at(
+                F.array(*[F.lit(m) for m in MEDIA_TYPES]),
+                (F.col(id_col) % 3 + 1).cast("int"),
+            ).alias("media_type"),
+        ).alias("media_meta"),
+    )
+
+
+def _fake_dims(digest_hex: str) -> tuple[int, int, int]:
+    """Deterministic fake image dims from a sha256 hexdigest — kept a pure
+    function of two hex chars so an ANSI-SQL oracle can reproduce it
+    (ascii arithmetic, no hex→int conversion needed)."""
+    width = 16 + (ord(digest_hex[0]) * 256 + ord(digest_hex[1])) % 512
+    height = 16 + (ord(digest_hex[2]) * 256 + ord(digest_hex[3])) % 512
+    channels = 1 + ord(digest_hex[4]) % 4
+    return width, height, channels
+
+
+def decode_images(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode image payloads → (doc_id, width, height, channels).
+
+    ``fake=False`` is the real-codec path (PIL), stubbed in this
+    container. The fake path derives dims from the payload sha256.
+    Input only needs (doc_id, payload, media_meta); non-image rows are
+    filtered out BEFORE the Python stage so Arrow never ships them.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image decode needs PIL/pillow (not in this container); "
+                    "use fake=True for the deterministic stub"
+                )
+            if len(pdf) == 0:
+                continue
+            dims = [_fake_dims(hashlib.sha256(p).hexdigest()) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "channels": [d[2] for d in dims],
+                }
+            )
+
+    images = media.filter(F.col("media_meta.media_type") == "image").select(
+        "doc_id", "payload"
+    )
+    return images.mapInPandas(decode, DECODED_IMAGE_SCHEMA)
+
+
+def resize_images(decoded: DataFrame, max_side: int = 64) -> DataFrame:
+    """Resize plan: new dims preserving aspect ratio, capped at max_side.
+
+    Pure column math (the real pixel resample would live in a mapInPandas
+    stage next to decode); kept JVM-side because only dims change here.
+    """
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_side) / F.greatest(F.col("width"), F.col("height")).cast("double"),
+    )
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.greatest(F.lit(1), F.round(F.col("width") * scale).cast("int")).alias("new_width"),
+        F.greatest(F.lit(1), F.round(F.col("height") * scale).cast("int")).alias("new_height"),
+    )
+
+
+def extract_audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Audio feature extraction stub → (doc_id, sample_rate, n_samples,
+    duration_s). Real path (soundfile/librosa) not in container."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real audio decode needs soundfile/librosa (not in this container)"
+                )
+            if len(pdf) == 0:
+                continue
+            rates, samples = [], []
+            for p in pdf["payload"]:
+                h = hashlib.sha256(p).hexdigest()
+                rate = [8000, 16000, 22050, 44100][ord(h[0]) % 4]
+                n = 1000 + (ord(h[1]) * 256 + ord(h[2])) * 17
+                rates.append(rate)
+                samples.append(n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "sample_rate": rates,
+                    "n_samples": pd.Series(samples, dtype="int64"),
+                    "duration_s": [n / r for n, r in zip(samples, rates)],
+                }
+            )
+
+    audio = media.filter(F.col("media_meta.media_type") == "audio").select(
+        "doc_id", "payload"
+    )
+    return audio.mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 4, fake: bool = True) -> DataFrame:
+    """Frame sampling stub → one row per sampled frame (doc_id, frame_idx,
+    frame_sha). Frame count derives from payload size (fake); real path
+    (PyAV/ffmpeg) not in container. Output is long-form so downstream
+    per-frame ops (dedup, embedding) stay relational."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real frame extraction needs PyAV/ffmpeg (not in this container)"
+                )
+            ids, idxs, shas = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(1, len(p) // 8)
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    shas.append(hashlib.sha256(p + i.to_bytes(4, "big")).hexdigest())
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "frame_idx": pd.Series(idxs, dtype="int32"),
+                        "frame_sha": shas,
+                    }
+                )
+
+    video = media.filter(F.col("media_meta.media_type") == "video").select(
+        "doc_id", "payload"
+    )
+    return video.mapInPandas(sample, VIDEO_FRAMES_SCHEMA)

@@ -1,0 +1,89 @@
+"""Dedup operator tests: planted duplicates must be found, distinct docs
+must not collide."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mwas_rfam_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_dup_pairs,
+    word_shingles,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup of 1
+    (4, "completely different content about spark dataframes and shuffle partitions"),
+    (5, "another unrelated document mentioning catalyst optimizer rules and codegen"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"]).cache()
+
+
+def test_exact_dedup_groups(docs):
+    groups = exact_dedup_groups(docs).collect()
+    by_n = {r["n_docs"]: r for r in groups}
+    assert len(groups) == 4  # 1+2 merge; 3,4,5 alone
+    assert by_n[2]["keep_id"] == 1
+    assert by_n[2]["doc_ids"] == [1, 2]
+
+
+def test_word_shingles_count(docs):
+    sh = word_shingles(docs.filter("doc_id = 1"), n=3)
+    # 13 tokens -> 11 trigrams, but "the quick brown ..." has repeated
+    # 'the'; shingles are distinct strings
+    n_tokens = len(DOCS[0][1].split())
+    assert sh.count() <= n_tokens - 2
+    assert sh.count() >= n_tokens - 4
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0  # one-word change
+    assert not any({a, b} & {4, 5} for a, b in pairs)
+
+
+def test_minhash_lsh_candidates(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs  # high-similarity pair must survive banding
+    assert not any({a, b} & {4, 5} for a, b in pairs)
+
+
+def test_simhash_identity_and_pairs(docs):
+    hashes = {r["id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert hashes[1] == hashes[2]  # identical text -> identical simhash
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_dup_pairs(docs, max_hamming=10, bands=4).collect()}
+    assert pairs[(1, 2)] == 0
+    # near-dup differs by one token -> small Hamming distance
+    if (1, 3) in pairs:
+        assert pairs[(1, 3)] <= 10
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0, 0.0], 0),  # near-dup of 1, same block
+        (3, [0.0, 1.0, 0.0, 0.0], 0),  # orthogonal, same block
+        (4, [1.0, 0.0, 0.0, 0.0], 1),  # dup of 1 but different block -> unseen
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in embedding_near_dup_pairs(emb, threshold=0.9).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert (1, 3) not in pairs
+    assert (1, 4) not in pairs  # blocking bounds the self-join
+
+
+def test_jaccard_pairs_plan_has_no_cartesian(docs):
+    # the inverted-index formulation must never fall back to a cross product
+    physical = ngram_jaccard_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in physical
