@@ -13,7 +13,7 @@ shuffle-conscious DataFrame plans:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -44,15 +44,24 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: s
 
     Built with split + transform (higher-order functions, JVM-side); the
     explode is the scalable long form feeding the inverted index.
+
+    The token array is materialized in its own projection BELOW the
+    explode: inlining the split into the transform lambda makes Catalyst
+    re-evaluate it per element_at (no common-subexpression elimination
+    inside lambda bodies) — n×(tokens-n) splits of the full text per doc,
+    measured 7× slower.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toked = docs.select(
+        F.col(id_col).alias("id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("toks")
+    )
+    toks = F.col("toks")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
     shingle = F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
     )
     return (
-        docs.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingle)).alias("shingle"))
+        toked.select("id", F.explode(F.array_distinct(shingle)).alias("shingle"))
         .where(F.col("shingle") != "")
         .distinct()
     )
@@ -65,34 +74,78 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-duplicate pairs by word-n-gram Jaccard similarity.
+    """EXACT near-duplicate pairs by word-n-gram Jaccard similarity.
 
-    Inverted-index formulation: explode shingles → self-equi-join on the
-    shingle (only docs sharing ≥1 shingle meet) → count shared → Jaccard
-    from |A|+|B|-shared. Returns (id_a, id_b, jaccard) with id_a < id_b.
-    At scale, hot shingles should be capped (df-style stopword pruning);
-    callers can pre-filter the shingle relation.
+    Prefix-filtered set-similarity join (the PPJoin family — Xiao et al.,
+    WWW'08 — expressed relationally):
+
+    1. rank each doc's shingles in a global canonical order, rarest first
+       (document frequency, then shingle text);
+    2. a pair with Jaccard >= t MUST share a shingle within each doc's
+       first ``|d| - ceil(t·|d|) + 1`` ranked shingles, so the
+       inverted-index self-join runs on that PREFIX only — hot (high-df)
+       shingles land at the tail of every prefix ordering and stop
+       driving the quadratic candidate blowup that kills the naive
+       formulation at scale;
+    3. candidates get a length-ratio filter (t·|a| <= |b|) and are
+       verified exactly with array_intersect over the full shingle sets.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b — identical results to
+    the naive all-shared-shingles join, with cost bound by prefix
+    collisions instead of total collisions.
     """
-    sh = word_shingles(docs, n, text_col, id_col).cache()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    shared = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("shared"))
+    sh = word_shingles(docs, n, text_col, id_col)
+    doc_sets = sh.groupBy("id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("shingles"),
+        F.count("*").alias("sz"),
+    ).cache()
+
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
+    ranked = (
+        sh.join(df_counts, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .join(doc_sets.select("id", "sz"), "id")
+        # Jaccard prefix length: |d| - ceil(t*|d|) + 1
+        .where(F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("id", "shingle", "sz")
     )
-    return (
-        shared.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+    cand = (
+        ranked.select(F.col("id").alias("id_a"), "shingle", F.col("sz").alias("sz_a"))
+        .join(
+            ranked.select(F.col("id").alias("id_b"), "shingle", F.col("sz").alias("sz_b")),
+            "shingle",
+        )
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: t <= J(a,b) requires t*max(sz) <= min(sz)
+            & (F.lit(threshold) * F.greatest("sz_a", "sz_b") <= F.least("sz_a", "sz_b"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # explicit repartition: AQE sizes this stage by candidate BYTES (tiny
+    # id pairs) but each row pays an array_intersect over full shingle
+    # sets — compute AQE can't see; without it verification runs ~2-wide
+    n_part = max(docs.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    verified = (
+        cand.repartition(n_part, "id_a", "id_b")
+        .join(
+            doc_sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            doc_sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")),
         )
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
+    return verified.select("id_a", "id_b", "jaccard")
 
 
 def minhash_signatures(
