@@ -69,6 +69,17 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the complete MWAS engine (catalog join → RPM → metadata
     condensation → cohort split → Welch t / seeded permutation tests) over
     MWAS-shaped views derived from /root/testdata/sf0.001."""
+    # the driver hands us an untuned session; these are runtime-settable
+    for k, v in {
+        "spark.sql.shuffle.partitions": str(spark.sparkContext.defaultParallelism),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
     sf_dir = "/root/testdata/sf0.001"
     cfg = MwasConfig(permutation_resamples=2000)
     input_df = mwas_input_from_events(spark, sf_dir)
@@ -580,6 +591,33 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_s13_synthetic_input(spark, sf_dir):
+    """S13 — deterministic stratified synthetic input generator (bucket by
+    log2 size, top-k per bucket, hash-derived group/quantifier)."""
+    from mwas_rfam_spark.plans.sampling import stratified_synthetic_input
+
+    cat = mwas_catalog_from_orders(spark, sf_dir)
+    return stratified_synthetic_input(cat, per_bucket=2)
+
+
+def q_mwas_summary(spark, sf_dir):
+    """A9 — per-bioproject results analytics over the full MWAS output
+    (rows-only: aggregates over permutation p-values)."""
+    from mwas_rfam_spark.operators.summary import summarize_results
+
+    cfg = MwasConfig(permutation_resamples=1000)
+    meta = mwas_metadata_long_from_customer(spark, sf_dir)
+    sets_df, ref_df = condense_metadata(meta)
+    out = run_mwas(
+        mwas_input_from_events(spark, sf_dir),
+        mwas_catalog_from_orders(spark, sf_dir),
+        sets_df,
+        ref_df,
+        cfg,
+    )
+    return summarize_results(out, ref_df)
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs via banded Hamming-LSH (engine-only:
     xxhash64 bit votes — no SQL-expressible oracle)."""
@@ -727,6 +765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j7_positional_join": q_j7_positional_join,
         "so2_complement": q_so2_complement,
         "mwas_full": q_mwas_full,
+        "mwas_summary": q_mwas_summary,
+        "s13_synthetic_input": q_s13_synthetic_input,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -893,6 +933,25 @@ def oracle_sql() -> dict[str, str]:
                          / ((s1 ^ 2 / n1) ^ 2 / (n1 - 1) + (s2 ^ 2 / n2) ^ 2 / (n2 - 1)),
                          6) AS welch_df
             FROM t, f
+        """,
+        "s13_synthetic_input": """
+            WITH cat AS (
+              SELECT 'PRJ' || CAST(c_nationkey AS VARCHAR) AS bp,
+                     'R' || CAST(o_orderkey AS VARCHAR) AS run
+              FROM orders JOIN customer ON o_custkey = c_custkey),
+            sizes AS (SELECT bp, count(*) AS n_runs FROM cat GROUP BY 1),
+            keep AS (
+              SELECT bp FROM (
+                SELECT bp, row_number() OVER (
+                    PARTITION BY CAST(floor(log2(n_runs)) AS BIGINT)
+                    ORDER BY n_runs DESC, bp ASC) AS rk
+                FROM sizes)
+              WHERE rk <= 2)
+            SELECT c.run,
+                   ['A','B','C'][(ascii(substr(md5(c.run), 1, 1)) % 3) + 1] AS "group",
+                   CAST(ascii(substr(md5(c.run), 2, 1)) % 2 AS DOUBLE) * 1000.0
+                       AS quantifier
+            FROM cat c WHERE c.bp IN (SELECT bp FROM keep)
         """,
         "condense_sets": _MWAS_ORACLE_CTES
         + """

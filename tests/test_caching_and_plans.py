@@ -1,0 +1,124 @@
+"""F11 result-caching tests + physical-plan quality assertions
+(pushdown, pruning, broadcast) — the plans we'd want at 100 TB, checked
+at test scale."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mwas_rfam_spark.config import MwasConfig
+from mwas_rfam_spark.operators.caching import (
+    dataframe_fingerprint,
+    run_mwas_cached,
+)
+from mwas_rfam_spark.operators.condense import condense_metadata
+from mwas_rfam_spark.plans.sampling import stratified_synthetic_input
+from mwas_rfam_spark.schemas import CATALOG_SCHEMA, INPUT_SCHEMA
+from mwas_rfam_spark.sources.readers import melt_wide_metadata
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fingerprint_order_independent(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], ["k", "v"])
+    b = spark.createDataFrame([(3, "z"), (1, "x"), (2, "y")], ["k", "v"])
+    c = spark.createDataFrame([(1, "x"), (2, "y"), (3, "w")], ["k", "v"])
+    fa, fb, fc = (dataframe_fingerprint(d) for d in (a, b, c))
+    assert fa == fb  # row order must not matter
+    assert fa != fc  # content must
+
+
+def test_fingerprint_includes_count(spark):
+    # xor of a row with itself cancels out; the row count guards that
+    a = spark.createDataFrame([(1, "x")], ["k", "v"])
+    b = spark.createDataFrame([(1, "x"), (1, "x"), (1, "x")], ["k", "v"])
+    assert dataframe_fingerprint(a) != dataframe_fingerprint(b)
+
+
+def test_run_mwas_cached_round_trip(spark, tmp_path):
+    input_df = spark.createDataFrame(
+        [("R1", "g1", 10.0), ("R2", "g1", 20.0), ("R3", "g1", 5.0),
+         ("R4", "g1", 8.0), ("R5", "g1", 12.0)], INPUT_SCHEMA
+    )
+    catalog_df = spark.createDataFrame(
+        [("P1", f"SAM0{i}", f"R{i}", 1_000_000) for i in range(1, 6)], CATALOG_SCHEMA
+    )
+    wide = spark.createDataFrame(
+        [(f"SAM0{i}", "a" if i <= 2 else "b", "x" if i % 2 else "y") for i in range(1, 6)],
+        ["biosample_id", "t1", "t2"],
+    )
+    sets_df, ref_df = condense_metadata(melt_wide_metadata(wide, "P1"))
+    cfg = MwasConfig(t_test_only=True)
+    cache = str(tmp_path / "mwas_cache")
+    r1 = run_mwas_cached(spark, input_df, catalog_df, sets_df, ref_df, cache, cfg)
+    rows1 = sorted(map(tuple, r1.collect()))
+    r2 = run_mwas_cached(spark, input_df, catalog_df, sets_df, ref_df, cache, cfg)
+    rows2 = sorted(map(tuple, r2.collect()))
+    assert rows1 == rows2 and len(rows1) > 0
+    # second call must be a pure parquet scan — no joins, no Python stage
+    p2 = _physical(r2)
+    assert "Scan parquet" in p2 and "SortMergeJoin" not in p2 and "FlatMapGroupsInPandas" not in p2
+    # a different config misses the cache
+    import os
+    assert len(os.listdir(cache)) == 1
+    run_mwas_cached(spark, input_df, catalog_df, sets_df, ref_df, cache,
+                    MwasConfig(t_test_only=True, p_value_threshold=0.5))
+    assert len(os.listdir(cache)) == 2
+
+
+def test_synthetic_input_deterministic(spark, sf_dir):
+    from mwas_rfam_spark.plans.testdata_mwas import mwas_catalog_from_orders
+
+    cat = mwas_catalog_from_orders(spark, sf_dir)
+    a = stratified_synthetic_input(cat).collect()
+    b = stratified_synthetic_input(cat).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    groups = {r["group"] for r in a}
+    assert groups <= {"A", "B", "C"}
+    assert {r["quantifier"] for r in a} <= {0.0, 1000.0}
+
+
+# --- plan-quality assertions ------------------------------------------------
+
+
+def test_parquet_scan_pushdown_and_pruning(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _physical(df)
+    # the filter must reach the parquet reader, the schema must be pruned
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    j = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    assert "BroadcastHashJoin" in _physical(j)
+
+
+def test_mwas_resolve_stays_codegen(spark, sf_dir):
+    from mwas_rfam_spark.config import MwasConfig
+    from mwas_rfam_spark.operators.mwas import resolve_and_normalize
+    from mwas_rfam_spark.plans.testdata_mwas import (
+        mwas_catalog_from_orders,
+        mwas_input_from_events,
+    )
+
+    resolved = resolve_and_normalize(
+        mwas_input_from_events(spark, sf_dir),
+        mwas_catalog_from_orders(spark, sf_dir),
+        MwasConfig(),
+    )
+    plan = _physical(resolved)
+    # the relational spine must be JVM-side: no Python eval anywhere
+    # (AQE's non-final plan string hides codegen spans, so assert on the
+    # absence of Python operators and the join strategy instead)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # input⋈catalog: small side broadcast
+    assert "CartesianProduct" not in plan
