@@ -293,7 +293,10 @@ def permutation_test_mean_diff(
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     n_x, n_y = x.shape[0], y.shape[0]
-    pooled = np.concatenate([x, y])
+    # canonical pooled ordering: the null depends on the value multiset
+    # only, but float summation order would otherwise leak the caller's
+    # row order into the last ulp of the null values (and flip tie counts)
+    pooled = np.sort(np.concatenate([x, y]))
     observed = mean_diff_statistic(x, y)
 
     n_total = math.comb(n_x + n_y, n_x)

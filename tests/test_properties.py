@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis) for the pure-numpy statistical
+kernels — no Spark session needed, so these run in milliseconds and
+explore the input space the fixed fixtures can't."""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mwas_rfam_spark.functions.stattests import (
+    grouped_permutation_mean_diff,
+    permutation_test_mean_diff,
+    student_t_sf,
+    welch_ttest_from_stats,
+)
+
+finite = st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False)
+
+
+@given(st.floats(0.0, 50.0), st.floats(1.0, 200.0))
+@settings(max_examples=200, deadline=None)
+def test_t_sf_bounds_and_symmetry(t, df):
+    sf = float(student_t_sf(t, df))
+    assert 0.0 <= sf <= 0.5 + 1e-12
+    assert float(student_t_sf(-t, df)) == (1.0 - sf) or t == 0.0
+
+
+@given(st.floats(1.0, 200.0))
+@settings(max_examples=50, deadline=None)
+def test_t_sf_at_zero_is_half(df):
+    assert abs(float(student_t_sf(0.0, df)) - 0.5) < 1e-12
+
+
+@given(st.floats(0.1, 20.0), st.floats(2.0, 100.0))
+@settings(max_examples=100, deadline=None)
+def test_t_sf_monotone_in_t(t, df):
+    assert float(student_t_sf(t + 0.5, df)) <= float(student_t_sf(t, df)) + 1e-12
+
+
+@given(
+    st.lists(finite, min_size=2, max_size=8),
+    st.lists(finite, min_size=2, max_size=8),
+)
+@settings(max_examples=100, deadline=None)
+def test_permutation_p_valid_and_exact_for_small(x, y):
+    x, y = np.asarray(x), np.asarray(y)
+    stat, p = permutation_test_mean_diff(x, y, n_resamples=20_000, rng=1)
+    assert 0.0 < p <= 1.0
+    assert stat == float(np.mean(x) - np.mean(y))
+    # n <= 16 → C(n, k) <= 12870 <= 20000: the exact path consumes no
+    # randomness, so the seed must not matter. (A REORDERED x can shift p:
+    # np.mean is summation-order sensitive at the last ulp and the
+    # observed value can sit exactly on null ties — same as scipy.)
+    stat2, p2 = permutation_test_mean_diff(x, y, n_resamples=20_000, rng=999)
+    assert p2 == p and stat2 == stat
+
+
+@given(
+    st.lists(finite, min_size=30, max_size=40),
+    st.integers(4, 15),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_grouped_matches_rowwise(pool, n_x, seed):
+    """The shared-null kernel must be row-order independent: evaluating a
+    row alone reproduces its p from any batched evaluation."""
+    pooled = np.sort(np.asarray(pool))
+    n_xs = [n_x, min(n_x + 3, len(pool) - 2), n_x]
+    obs = [0.5, -0.3, 0.5]
+    batched = grouped_permutation_mean_diff(
+        pooled, n_xs, obs, 500, np.random.default_rng(seed)
+    )
+    for i in range(len(n_xs)):
+        alone = grouped_permutation_mean_diff(
+            pooled, [n_xs[i]], [obs[i]], 500, np.random.default_rng(seed)
+        )
+        assert alone[0] == batched[i]
+
+
+@given(
+    st.floats(-100.0, 100.0), st.floats(0.1, 50.0), st.integers(2, 500),
+    st.floats(-100.0, 100.0), st.floats(0.1, 50.0), st.integers(2, 500),
+)
+@settings(max_examples=200, deadline=None)
+def test_welch_p_valid(m1, s1, n1, m2, s2, n2):
+    t, df, p = welch_ttest_from_stats(m1, s1, n1, m2, s2, n2)
+    assert 0.0 <= float(p) <= 1.0
+    assert float(df) >= 1.0 or math.isnan(float(df))
+    # symmetry: swapping sides flips the statistic, keeps p
+    t2, _, p2 = welch_ttest_from_stats(m2, s2, n2, m1, s1, n1)
+    assert abs(float(t) + float(t2)) < 1e-9 * max(1.0, abs(float(t)))
+    assert abs(float(p) - float(p2)) < 1e-12
