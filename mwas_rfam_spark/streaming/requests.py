@@ -71,6 +71,79 @@ def windowed_event_rollup(
     )
 
 
+ROLLUP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cnt", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+ROLLUP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("bio_project", T.StringType()),
+        T.StructField("group", T.StringType()),
+        T.StructField("bio_sample", T.StringType()),
+        T.StructField("rpm", T.DoubleType()),
+        T.StructField("n_runs", T.LongType()),
+    ]
+)
+
+
+def incremental_rollup_stream(resolved: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running mean RPM
+    per (bio_project, group, bio_sample) maintained ACROSS micro-batches.
+
+    This is the streaming form of biosample_rollup (A4): each arriving
+    observation folds into per-key (count, sum) state — O(1) state per
+    key, no re-aggregation of history — and the operator emits the
+    updated running mean for keys touched by the batch. State lives in
+    the Spark state store (checkpointed, partitioned by key hash), so it
+    scales out with executors.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs, state: GroupState):
+        cnt, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += int(len(pdf))
+            total += float(pdf["rpm"].sum())
+        state.update((cnt, total))
+        bp, group, bs = key
+        yield pd.DataFrame(
+            {
+                "bio_project": [bp],
+                "group": [group],
+                "bio_sample": [bs],
+                "rpm": [total / cnt if cnt else 0.0],
+                "n_runs": [cnt],
+            }
+        )
+
+    return resolved.groupBy("bio_project", "group", "bio_sample").applyInPandasWithState(
+        update,
+        ROLLUP_OUT_SCHEMA,
+        ROLLUP_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def resolve_stream(requests: DataFrame, catalog_df: DataFrame) -> DataFrame:
+    """Stage-1 resolve+normalize for a request stream (stream-static join
+    against the catalog dim; no state required)."""
+    joined = requests.join(catalog_df, "run", "left")
+    rpm = F.when(
+        F.col("spots").isNotNull() & (F.col("spots") != 0),
+        F.coalesce("quantifier", F.lit(0.0)) / F.col("spots") * 1e6,
+    ).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("rpm", rpm)
+        .filter(F.col("bio_project").isNotNull())
+        .select("bio_project", "group", "bio_sample", "rpm")
+    )
+
+
 def run_request_batch(spark: SparkSession, rows: list[dict], catalog_df: DataFrame) -> DataFrame:
     """S8 synchronous ingest path (server.py:27-45 equivalent): a JSON
     request body processed as one batch through the same plan."""

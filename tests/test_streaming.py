@@ -8,7 +8,9 @@ from pyspark.sql import functions as F
 
 from mwas_rfam_spark.schemas import CATALOG_SCHEMA
 from mwas_rfam_spark.streaming.requests import (
+    incremental_rollup_stream,
     read_request_stream,
+    resolve_stream,
     rpm_rollup_stream,
     windowed_event_rollup,
 )
@@ -46,6 +48,45 @@ def test_request_stream_rollup(spark, tmp_path):
     r = rows[0]
     assert r["bio_project"] == "P1" and r["n_runs"] == 2
     assert r["rpm"] == pytest.approx((10.0 + 30.0) / 2)
+
+
+def test_incremental_stateful_rollup(spark, tmp_path):
+    """State must accumulate ACROSS micro-batches: the second batch's
+    running mean includes the first batch's observations."""
+    drop = tmp_path / "drop2"
+    drop.mkdir()
+    catalog = spark.createDataFrame(
+        [("P1", "S1", "R1", 1_000_000), ("P1", "S1", "R2", 1_000_000)],
+        CATALOG_SCHEMA,
+    )
+    stream = read_request_stream(spark, str(drop))
+    out = incremental_rollup_stream(resolve_stream(stream, catalog))
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("inc_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        (drop / "b1.json").write_text(
+            json.dumps({"request_id": "q", "run": "R1", "group": "g", "quantifier": 10.0})
+        )
+        q.processAllAvailable()
+        first = spark.sql("SELECT * FROM inc_out").collect()
+        assert len(first) == 1
+        assert first[0]["rpm"] == pytest.approx(10.0) and first[0]["n_runs"] == 1
+
+        (drop / "b2.json").write_text(
+            json.dumps({"request_id": "q", "run": "R2", "group": "g", "quantifier": 30.0})
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM inc_out ORDER BY n_runs").collect()
+        # update-mode memory sink appends each emission; latest has both runs
+        assert rows[-1]["n_runs"] == 2
+        assert rows[-1]["rpm"] == pytest.approx((10.0 + 30.0) / 2)
+    finally:
+        q.stop()
 
 
 def test_windowed_event_rollup(spark, tmp_path):
