@@ -705,6 +705,37 @@ def q_ann_cosine_topk(spark, sf_dir):
     return top.select("vec_id", F.round("cosine", 5).alias("cosine"))
 
 
+def q_ann_knn_batch(spark, sf_dir):
+    """Batch k-NN: broadcast query side, per-query ranking window."""
+    from mwas_rfam_spark.operators.similarity import knn_per_query
+
+    e = _t(spark, sf_dir, "embeddings")
+    qs = (
+        e.orderBy("vec_id")
+        .limit(3)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    out = knn_per_query(e, qs, k=5)
+    return out.select(
+        "q_id",
+        "vec_id",
+        F.round("cosine", 5).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: seeded Lloyd coarse quantizer, nprobe-cell search
+    (engine-only: approximate by design — no exact oracle)."""
+    from mwas_rfam_spark.operators.similarity import ivf_ann_topk, train_ivf_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.orderBy("vec_id").select("embedding").limit(1).collect()[0]["embedding"]
+    cents = train_ivf_centroids(e, k=8, iters=2)
+    top = ivf_ann_topk(e, [float(x) for x in qvec], cents, k=10, nprobe=3)
+    return top.select("vec_id", F.round("cosine", 5).alias("cosine"))
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """Approximate top-k via signed-random-projection LSH bucket filter
     (engine-only: approximate by design — no exact oracle)."""
@@ -784,6 +815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_lang_quality": q_text_lang_quality,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_knn_batch": q_ann_knn_batch,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "events_hourly": q_events_hourly,
     }
@@ -1061,6 +1094,20 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_slice(
                        string_split_regex(trim(lower(text)), '\\s+'), 1, 16), ' ')) AS fingerprint
             FROM documents WHERE length(text) > 0
+        """,
+        "ann_knn_batch": """
+            WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings ORDER BY vec_id LIMIT 3),
+            s AS (SELECT q.q_id, e.vec_id,
+                         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+                             AS cos
+                  FROM embeddings e CROSS JOIN q)
+            SELECT q_id, vec_id, round(cos, 5) AS cosine, rank
+            FROM (SELECT q_id, vec_id, cos,
+                         row_number() OVER (PARTITION BY q_id
+                                            ORDER BY cos DESC, vec_id ASC) AS rank
+                  FROM s)
+            WHERE rank <= 5
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings

@@ -90,6 +90,94 @@ def signed_random_projection_buckets(
     return emb.select(F.col(id_col), F.col(vec_col), F.concat(*bits).alias("bucket"))
 
 
+def train_ivf_centroids(
+    emb: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Coarse quantizer for IVF: k centroids via Lloyd iterations.
+
+    Deterministic: seeds from the k lowest-id vectors; each iteration is
+    one distributed pass (broadcast centroids → argmin assign → groupBy
+    mean). The returned centroids are a tiny driver-side list — the only
+    data ever collected; assignments stay distributed.
+    """
+    seeds = emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = [list(map(float, r[vec_col])) for r in seeds]
+    for _ in range(iters):
+        assigned = assign_ivf_cells(emb, centroids, id_col, vec_col)
+        new = (
+            assigned.groupBy("cell")
+            .agg(
+                *[
+                    F.avg(F.col(vec_col)[i]).alias(f"c{i}")
+                    for i in range(len(centroids[0]))
+                ]
+            )
+            .collect()
+        )
+        by_cell = {r["cell"]: [float(r[f"c{i}"]) for i in range(len(centroids[0]))] for r in new}
+        centroids = [by_cell.get(c, centroids[c]) for c in range(len(centroids))]
+    return centroids
+
+
+def assign_ivf_cells(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach the nearest-centroid cell id (L2) to every vector — the IVF
+    partitioning key. Pure column expressions: per-centroid squared
+    distance via zip_with/aggregate, argmin via array_position of
+    array_min."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+    return emb.withColumn(
+        "cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    )
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: rank only vectors in the query's ``nprobe``
+    nearest cells. With the table written partitioned by cell, the cell
+    filter becomes partition pruning — the 100 TB scale path: scan cost
+    drops by ~k/nprobe versus the full brute-force pass."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = sorted(
+        range(len(centroids)),
+        key=lambda c: float(np.sum((q - np.asarray(centroids[c])) ** 2)),
+    )
+    probe = order[:nprobe]
+    cells = assign_ivf_cells(emb, centroids, id_col, vec_col)
+    cand = cells.where(F.col("cell").isin(probe))
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     query_vec: list[float],
