@@ -1,0 +1,75 @@
+"""Config-flag semantics: blacklist (P10), t_test_only (T3),
+explicit-zeros mode, already_normalized — each a reference CLI flag."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mwas_rfam_spark.config import MwasConfig
+from mwas_rfam_spark.operators.condense import condense_metadata
+from mwas_rfam_spark.operators.mwas import resolve_and_normalize, run_mwas
+from mwas_rfam_spark.schemas import CATALOG_SCHEMA, INPUT_SCHEMA
+from mwas_rfam_spark.sources.readers import melt_wide_metadata
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    input_df = spark.createDataFrame(
+        [(f"R{i}", "g1", float(10 * i)) for i in range(1, 10)], INPUT_SCHEMA
+    )
+    catalog_df = spark.createDataFrame(
+        [("P1" if i <= 6 else "P2", f"SAM0{i}", f"R{i}", 1_000_000) for i in range(1, 10)],
+        CATALOG_SCHEMA,
+    )
+    wide = spark.createDataFrame(
+        [(f"SAM0{i}", "a" if i <= 3 else "b", "x" if i % 2 else "y") for i in range(1, 7)],
+        ["biosample_id", "t1", "t2"],
+    )
+    sets_df, ref_df = condense_metadata(melt_wide_metadata(wide, "P1"))
+    return input_df, catalog_df, sets_df, ref_df
+
+
+def test_blacklist_filters_bioproject(spark, fixture):
+    input_df, catalog_df, _, _ = fixture
+    resolved = resolve_and_normalize(input_df, catalog_df, MwasConfig(blacklist=("P2",)))
+    assert resolved.filter(F.col("bio_project") == "P2").count() == 0
+    assert resolved.filter(F.col("bio_project") == "P1").count() == 6
+
+
+def test_t_test_only_forces_t_branch(spark, fixture):
+    input_df, catalog_df, sets_df, ref_df = fixture
+    out = run_mwas(input_df, catalog_df, sets_df, ref_df, MwasConfig(t_test_only=True))
+    statuses = {r["status"].split(";")[0] for r in out.collect()}
+    assert statuses <= {"t_test", "skipped_statistical_testing"}
+    assert "t_test" in statuses
+
+
+def test_already_normalized_skips_rpm(spark, fixture):
+    input_df, catalog_df, _, _ = fixture
+    resolved = resolve_and_normalize(
+        input_df, catalog_df, MwasConfig(already_normalized=True)
+    )
+    vals = {r["run"]: r["rpm"] for r in resolved.collect()}
+    assert vals["R1"] == pytest.approx(10.0)  # quantifier passes through
+
+
+def test_explicit_zeros_counts_observed_only(spark, fixture):
+    """implicit_zeros=False: cohort sizes count OBSERVED biosamples, not
+    the metadata universe (reference --explicit-zeros semantics)."""
+    input_df, catalog_df, sets_df, ref_df = fixture
+    # observe only 4 of the 6 metadata biosamples
+    partial = input_df.filter(F.col("run").isin("R1", "R2", "R4", "R5"))
+    out_implicit = run_mwas(partial, catalog_df, sets_df, ref_df, MwasConfig(t_test_only=True))
+    out_explicit = run_mwas(
+        partial, catalog_df, sets_df, ref_df,
+        MwasConfig(t_test_only=True, implicit_zeros=False),
+    )
+    tot_implicit = {
+        (r["metadata_field"], r["metadata_value"]): r["num_true"] + r["num_false"]
+        for r in out_implicit.collect()
+    }
+    tot_explicit = {
+        (r["metadata_field"], r["metadata_value"]): r["num_true"] + r["num_false"]
+        for r in out_explicit.collect()
+    }
+    assert all(v == 6 for v in tot_implicit.values()) and tot_implicit
+    assert all(v == 4 for v in tot_explicit.values()) and tot_explicit
