@@ -1,0 +1,94 @@
+"""Cross-surface parity and edge cases: streaming vs batch window
+results, empty-input schema stability, MinHash estimate quality."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mwas_rfam_spark.config import MwasConfig
+from mwas_rfam_spark.operators.condense import condense_metadata
+from mwas_rfam_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+from mwas_rfam_spark.operators.mwas import run_mwas
+from mwas_rfam_spark.schemas import CATALOG_SCHEMA, INPUT_SCHEMA
+from mwas_rfam_spark.sources.readers import melt_wide_metadata
+from mwas_rfam_spark.streaming.requests import windowed_event_rollup
+
+
+def test_stream_batch_window_parity(spark, tmp_path):
+    """The streaming windowed rollup must produce exactly the batch
+    groupBy-window answer on the same data (bounded input, availableNow)."""
+    ev = spark.createDataFrame(
+        [
+            ("2024-01-01 00:01:00", "click", 1.0),
+            ("2024-01-01 00:04:59", "click", 2.0),
+            ("2024-01-01 00:05:00", "click", 4.0),
+            ("2024-01-01 00:03:00", "view", 8.0),
+            ("2024-01-01 00:11:00", "view", 16.0),
+        ],
+        "ts_s string, event_type string, value double",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+    src = tmp_path / "ev"
+    ev.write.mode("overwrite").parquet(str(src))
+
+    batch = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type", "n", "sum_value",
+        )
+    )
+    expected = {tuple(map(str, r)) for r in batch.collect()}
+
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    q = (
+        windowed_event_rollup(stream, window="5 minutes")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("parity_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {tuple(map(str, r)) for r in spark.sql("SELECT * FROM parity_out").collect()}
+    finally:
+        q.stop()
+    assert got == expected
+
+
+def test_empty_input_keeps_schema(spark):
+    """Zero input rows must produce an empty result with the stable
+    18-column schema — never a crash (driver smoke contract)."""
+    input_df = spark.createDataFrame([], INPUT_SCHEMA)
+    catalog_df = spark.createDataFrame(
+        [("P1", f"SAM0{i}", f"R{i}", 1_000_000) for i in range(1, 7)], CATALOG_SCHEMA
+    )
+    wide = spark.createDataFrame(
+        [(f"SAM0{i}", "a" if i <= 3 else "b", "x" if i % 2 else "y") for i in range(1, 7)],
+        ["biosample_id", "t1", "t2"],
+    )
+    sets_df, ref_df = condense_metadata(melt_wide_metadata(wide, "P1"))
+    out = run_mwas(input_df, catalog_df, sets_df, ref_df, MwasConfig())
+    assert out.count() == 0
+    assert len(out.columns) == 18
+
+
+def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
+    """est_jaccard from 64-slot signatures must track exact Jaccard within
+    banding noise on the real documents table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.5).collect()
+    }
+    assert exact, "fixture must contain near-duplicate documents"
+    shared = set(exact) & set(est)
+    # LSH at threshold 0.5 with 16 bands catches essentially all >=0.7 pairs
+    high = {k for k, v in exact.items() if v >= 0.7}
+    assert high <= set(est)
+    for k in shared:
+        assert abs(est[k] - exact[k]) <= 0.25  # 64-slot sampling noise
