@@ -529,6 +529,23 @@ def q_condense_sets(spark, sf_dir):
     )
 
 
+def q_condense_readable(spark, sf_dir):
+    """S5/SO2 — condensed sets exported human-readable: minority-side
+    encoding expanded back to explicit included-biosample accessions."""
+    from mwas_rfam_spark.operators.condense import sets_to_readable
+
+    meta = mwas_metadata_long_from_customer(spark, sf_dir)
+    sets_df, ref_df = condense_metadata(meta)
+    r = sets_to_readable(sets_df, ref_df)
+    return r.select(
+        "bioproject",
+        "attributes",
+        F.col("values").alias("set_values"),
+        "n_included",
+        "included_biosamples",
+    )
+
+
 def q_j7_positional_join(spark, sf_dir):
     """J7 — positional join: posexplode a sorted ref array back to rows,
     join on the value to recover per-position attributes."""
@@ -799,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_rpm_normalize": q_f2_rpm_normalize,
         "t1_welch_from_stats": q_t1_welch_from_stats,
         "condense_sets": q_condense_sets,
+        "condense_readable": q_condense_readable,
         "j7_positional_join": q_j7_positional_join,
         "so2_complement": q_so2_complement,
         "mwas_full": q_mwas_full,
@@ -1000,6 +1018,14 @@ def oracle_sql() -> dict[str, str]:
                    cnt < n / 2.0 AS include,
                    CAST(n AS BIGINT) AS n_biosamples
             FROM sets
+        """,
+        "condense_readable": _MWAS_ORACLE_CTES
+        + """
+            SELECT s.bp AS bioproject, s.attributes, s.set_values,
+                   CAST(s.cnt AS BIGINT) AS n_included,
+                   string_agg(m.bs, '; ' ORDER BY m.bs) AS included_biosamples
+            FROM sets s JOIN membership m ON s.bp = m.bp AND s.sig = m.sig
+            GROUP BY s.bp, s.sig, s.attributes, s.set_values, s.cnt
         """,
         "j7_positional_join": """
             SELECT s_nationkey,

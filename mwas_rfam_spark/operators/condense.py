@@ -124,6 +124,27 @@ def condense_metadata(meta_long: DataFrame, min_biosamples: int = 3) -> tuple[Da
     return sets_df, ref_df
 
 
+def sets_to_readable(sets_df: DataFrame, ref_df: DataFrame) -> DataFrame:
+    """Human-readable export of the condensed sets — the Spark form of the
+    reference's mwaspkl_to_readable_csv.py:20-29: expand the minority-side
+    encoding back to explicit included-biosample accessions.
+
+    Returns (bioproject, attributes, values, n_included, included_biosamples)
+    with the include/exclude complement resolved (SO2).
+    """
+    joined = sets_df.join(ref_df.select("bioproject", "biosamples_ref"), "bioproject")
+    included = F.when(F.col("include"), F.col("members")).otherwise(
+        F.array_except("biosamples_ref", "members")
+    )
+    return joined.select(
+        "bioproject",
+        "attributes",
+        "values",
+        F.size(included).cast("long").alias("n_included"),
+        F.array_join(F.sort_array(included), "; ").alias("included_biosamples"),
+    )
+
+
 def expand_sets_to_membership(sets_df: DataFrame) -> DataFrame:
     """Explode condensed sets to (bioproject, set_id, include, biosample_id)
     membership rows — the long relational form used by the cohort-split

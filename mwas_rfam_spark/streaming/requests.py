@@ -153,3 +153,24 @@ def run_request_batch(spark: SparkSession, rows: list[dict], catalog_df: DataFra
     from ..operators.mwas import biosample_rollup, resolve_and_normalize
 
     return biosample_rollup(resolve_and_normalize(df, catalog_df))
+
+
+def serve_request(
+    spark: SparkSession,
+    rows: list[dict],
+    catalog_df: DataFrame,
+    sets_df: DataFrame,
+    ref_df: DataFrame,
+    cfg=None,
+) -> DataFrame:
+    """§3.2 server mode, end to end: a JSON request body through the FULL
+    MWAS pipeline, returning the 18-column result relation. Unlike the
+    reference's fire-and-forget POST (server.py:55 returns only an exit
+    status), the caller gets the results to serve back."""
+    from ..config import DEFAULT_CONFIG
+    from ..operators.mwas import run_mwas
+
+    df = spark.createDataFrame(
+        [(r["run"], r["group"], float(r["quantifier"])) for r in rows], INPUT_SCHEMA
+    )
+    return run_mwas(df, catalog_df, sets_df, ref_df, cfg or DEFAULT_CONFIG)

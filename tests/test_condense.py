@@ -106,6 +106,38 @@ def test_membership_expansion(spark, wide_df):
     assert m.count() == sets.select(F.explode("members")).count()
 
 
+def test_sets_to_readable_expands_complement(spark, wide_df):
+    from mwas_rfam_spark.operators.condense import sets_to_readable
+
+    sets, ref = condense_metadata(melt_wide_metadata(wide_df, "PRJTEST1"))
+    readable = {r["values"]: r for r in sets_to_readable(sets, ref).collect()}
+    # brain cohort was exclude-encoded; readable output must expand back
+    brain_key = next(k for k in readable if "brain" in k)
+    assert readable[brain_key]["included_biosamples"] == "SAM03; SAM04; SAM05"
+    assert readable[brain_key]["n_included"] == 3
+    liver_key = next(k for k in readable if "liver" in k)
+    assert readable[liver_key]["included_biosamples"] == "SAM01; SAM02"
+
+
+def test_serve_request_full_pipeline(spark, wide_df):
+    from mwas_rfam_spark.config import MwasConfig
+    from mwas_rfam_spark.schemas import CATALOG_SCHEMA
+    from mwas_rfam_spark.streaming.requests import serve_request
+
+    catalog = spark.createDataFrame(
+        [("PRJTEST1", f"SAM0{i}", f"R{i}", 1_000_000) for i in range(1, 7)],
+        CATALOG_SCHEMA,
+    )
+    sets, ref = condense_metadata(melt_wide_metadata(wide_df, "PRJTEST1"))
+    rows = [
+        {"run": f"R{i}", "group": "g1", "quantifier": float(10 * i)} for i in range(1, 7)
+    ]
+    out = serve_request(spark, rows, catalog, sets, ref, MwasConfig(t_test_only=True))
+    got = out.collect()
+    assert len(got) > 0 and len(out.columns) == 18
+    assert all(r["bioproject"] == "PRJTEST1" for r in got)
+
+
 def test_small_bioprojects_dropped(spark):
     tiny = spark.createDataFrame(
         [("SAM01", "a"), ("SAM02", "b")], ["biosample_id", "col1"]
