@@ -95,6 +95,22 @@ def test_parquet_scan_pushdown_and_pruning(spark, sf_dir):
     assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
 
 
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """partitionBy layout + a partition-key filter must show up as
+    PartitionFilters on the scan (S7: pruning replaces the reference's
+    manual S3 batch staging)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "bucket", (F.col("doc_id") % 4).cast("int")
+    )
+    path = str(tmp_path / "parts")
+    docs.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    back = spark.read.parquet(path).where(F.col("bucket") == 2)
+    plan = _physical(back)
+    pf = plan.split("PartitionFilters:")[1][:120]
+    assert "bucket" in pf
+    assert back.count() == docs.where(F.col("bucket") == 2).count()
+
+
 def test_small_dim_join_broadcasts(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
