@@ -20,7 +20,7 @@ Deliberate divergences from the reference, documented per SURVEY.md §7:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -52,18 +52,16 @@ def condense_metadata(meta_long: DataFrame, min_biosamples: int = 3) -> tuple[Da
         .filter(F.col("n") >= min_biosamples)
     )
 
-    # attribute pruning: drop constant (nunique <= 1) and key-like
-    # (nunique == n) columns (metadata_set_maker.py:45-50). 'nan' literals
-    # and nulls don't count as values (pandas nunique semantics).
-    informative = F.col("value").isNotNull() & (F.col("value") != "nan")
-    attr_nunique = (
-        valid.filter(informative)
-        .groupBy("bioproject", "attribute")
-        .agg(F.countDistinct("value").alias("nunique"))
-    )
-
     # factor cohorts: matching biosamples per (attribute, value), frequency
-    # >= 2 (singletons skipped, metadata_set_maker.py:61-63)
+    # >= 2 (singletons skipped, metadata_set_maker.py:61-63). The
+    # attribute-pruning statistic (nunique: drop constant <=1 and key-like
+    # ==n columns, metadata_set_maker.py:45-50; 'nan'/null don't count,
+    # pandas nunique semantics) is a window count over this SAME
+    # aggregation — the factor rows ARE the distinct (attribute, value)
+    # pairs — instead of a second full pass over the melted relation plus
+    # a join. The window shuffles only the post-agg factor rows.
+    informative = F.col("value").isNotNull() & (F.col("value") != "nan")
+    w_attr = Window.partitionBy("bioproject", "attribute")
     factors = (
         valid.filter(informative)
         .groupBy("bioproject", "attribute", "attr_pos", "value")
@@ -71,12 +69,12 @@ def condense_metadata(meta_long: DataFrame, min_biosamples: int = 3) -> tuple[Da
             F.sort_array(F.collect_set("biosample_id")).alias("matching"),
             F.countDistinct("biosample_id").alias("cnt"),
         )
+        .withColumn("nunique", F.count("*").over(w_attr))
         .filter(F.col("cnt") >= 2)
     )
 
     pruned = (
-        factors.join(attr_nunique, ["bioproject", "attribute"])
-        .join(ref_df, "bioproject")
+        factors.join(ref_df, "bioproject")
         .filter((F.col("nunique") > 1) & (F.col("nunique") < F.col("n")))
         .filter(F.col("cnt") < F.col("n"))  # a full-cohort factor is constant over valid rows
     )
