@@ -87,8 +87,13 @@ def ngram_jaccard_pairs(
        shingles land at the tail of every prefix ordering and stop
        driving the quadratic candidate blowup that kills the naive
        formulation at scale;
-    3. candidates get a length-ratio filter (t·|a| <= |b|) and are
-       verified exactly with array_intersect over the full shingle sets.
+    3. candidates get a length-ratio filter (t·|a| <= |b|) and the
+       POSITIONAL upper bound: if the first shared shingle (in canonical
+       order) sits at 0-based ranks (pa, pb), every common shingle ranks
+       >= pa in a and >= pb in b, so |a∩b| <= min(|a|-pa, |b|-pb); pairs
+       whose bound misses α = ceil(t/(1+t)·(|a|+|b|)) are pruned BEFORE
+       any full shingle set is shipped;
+    4. survivors are verified exactly with array_intersect.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b — identical results to
     the naive all-shared-shingles join, with cost bound by prefix
@@ -104,16 +109,19 @@ def ngram_jaccard_pairs(
     w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
     ranked = (
         sh.join(df_counts, "shingle")
-        .withColumn("pos", F.row_number().over(w))
+        .withColumn("pos", F.row_number().over(w) - 1)  # 0-based canonical rank
         .join(doc_sets.select("id", "sz"), "id")
         # Jaccard prefix length: |d| - ceil(t*|d|) + 1
-        .where(F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-        .select("id", "shingle", "sz")
+        .where(F.col("pos") < F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("id", "shingle", "pos", "sz")
+    )
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("sz_a") + F.col("sz_b"))
     )
     cand = (
-        ranked.select(F.col("id").alias("id_a"), "shingle", F.col("sz").alias("sz_a"))
+        ranked.select(F.col("id").alias("id_a"), "shingle", F.col("pos").alias("pa"), F.col("sz").alias("sz_a"))
         .join(
-            ranked.select(F.col("id").alias("id_b"), "shingle", F.col("sz").alias("sz_b")),
+            ranked.select(F.col("id").alias("id_b"), "shingle", F.col("pos").alias("pb"), F.col("sz").alias("sz_b")),
             "shingle",
         )
         .where(
@@ -121,8 +129,17 @@ def ngram_jaccard_pairs(
             # length filter: t <= J(a,b) requires t*max(sz) <= min(sz)
             & (F.lit(threshold) * F.greatest("sz_a", "sz_b") <= F.least("sz_a", "sz_b"))
         )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min("pa").alias("pa"),
+            F.min("pb").alias("pb"),
+            F.first("sz_a").alias("sz_a"),
+            F.first("sz_b").alias("sz_b"),
+        )
+        .where(
+            F.least(F.col("sz_a") - F.col("pa"), F.col("sz_b") - F.col("pb")) >= alpha
+        )
         .select("id_a", "id_b")
-        .distinct()
     )
     # explicit repartition: AQE sizes this stage by candidate BYTES (tiny
     # id pairs) but each row pays an array_intersect over full shingle
