@@ -703,13 +703,26 @@ def q_text_stats(spark, sf_dir):
 
 
 def q_text_lang_quality(spark, sf_dir):
-    """Heuristic language ID + quality score (engine-only heuristic)."""
+    """Heuristic language ID + quality score + BPE-ish token count
+    (engine-only heuristics)."""
+    from mwas_rfam_spark.operators.text import bpe_ish_token_count
+
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         lang_id(F.col("text")).alias("lang_pred"),
         F.round(quality_score(F.col("text")), 6).alias("quality"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
     )
+
+
+def q_text_winnowing(spark, sf_dir):
+    """Winnowing (rolling-hash window-min) fingerprints — shared
+    substrings of length >= k+w-1 are guaranteed a common fingerprint."""
+    from mwas_rfam_spark.operators.text import winnowing_fingerprints
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return winnowing_fingerprints(d, k=8, w=4).withColumnRenamed("id", "doc_id")
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -832,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         "text_stats": q_text_stats,
         "text_lang_quality": q_text_lang_quality,
+        "text_winnowing": q_text_winnowing,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_knn_batch": q_ann_knn_batch,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1120,6 +1134,20 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_slice(
                        string_split_regex(trim(lower(text)), '\\s+'), 1, 16), ' ')) AS fingerprint
             FROM documents WHERE length(text) > 0
+        """,
+        "text_winnowing": """
+            WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
+                       WHERE doc_id < 200 AND length(text) >= 8),
+            grams AS (
+              SELECT doc_id, i AS pos, md5(substr(t, i, 8)) AS h
+              FROM d, LATERAL (SELECT unnest(generate_series(1, length(t) - 7)) AS i)),
+            sel AS (
+              SELECT doc_id,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                         AS fingerprint
+              FROM grams)
+            SELECT DISTINCT doc_id, fingerprint FROM sel
         """,
         "ann_knn_batch": """
             WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -88,6 +88,45 @@ def fingerprint(text_col: Column, prefix_tokens: int = 16) -> Column:
     return F.md5(F.concat_ws(" ", F.slice(toks, 1, prefix_tokens)))
 
 
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm — Schleimer,
+    Wilkerson, Aiken, SIGMOD'03) as a relational plan.
+
+    Character k-grams with positions → hash → per-position sliding-window
+    minimum of the next ``w`` hashes → the distinct selected minima are
+    the document's fingerprints. Guarantees: any shared substring of
+    length >= k + w - 1 contributes at least one COMMON fingerprint, so
+    fingerprint overlap finds local (copy-paste) duplication that
+    whole-document hashing misses.
+
+    The hash is the md5 hex string and "minimum" is lexicographic — a
+    deliberate choice so an ANSI-SQL oracle reproduces the selection
+    exactly. Returns (id, fingerprint) distinct rows.
+    """
+    from pyspark.sql import Window
+
+    toked = docs.select(
+        F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("t")
+    ).where(F.length("t") >= k)
+    idx = F.sequence(F.lit(1), F.length("t") - k + 1)
+    grams = toked.select(
+        "id",
+        F.posexplode(F.transform(idx, lambda i: F.col("t").substr(i, F.lit(k)))).alias(
+            "pos", "gram"
+        ),
+    )
+    hashed = grams.select("id", "pos", F.md5("gram").alias("h"))
+    win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    selected = hashed.select("id", F.min("h").over(win).alias("fingerprint"))
+    return selected.distinct()
+
+
 def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass profile table: all text metrics per document."""
     t = F.col(text_col)

@@ -83,6 +83,27 @@ def test_embedding_near_dup(spark):
     assert (1, 4) not in pairs  # blocking bounds the self-join
 
 
+def test_winnowing_guarantee(spark):
+    """Docs sharing a substring of length >= k+w-1 must share at least one
+    fingerprint; disjoint docs share none."""
+    from mwas_rfam_spark.operators.text import winnowing_fingerprints
+
+    shared = "the quick brown fox jumped over the lazy dog"
+    rows = [
+        (1, f"AAAA {shared} BBBB"),
+        (2, f"CCCC {shared} DDDD"),
+        (3, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnowing_fingerprints(docs, k=8, w=4)
+    by_doc = {
+        r["id"]: set(r["fps"])
+        for r in fps.groupBy("id").agg(F.collect_set("fingerprint").alias("fps")).collect()
+    }
+    assert by_doc[1] & by_doc[2], "shared substring must yield a common fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+
+
 def test_jaccard_pairs_plan_has_no_cartesian(docs):
     # the inverted-index formulation must never fall back to a cross product
     physical = ngram_jaccard_pairs(docs)._jdf.queryExecution().executedPlan().toString()
