@@ -1,0 +1,98 @@
+"""CLI entry point — the reference's ``python mwas_general.py data.csv
+[flags]`` surface (main/mwas_general.py:703-788) on the Spark engine.
+
+    python -m mwas_rfam_spark INPUT.csv --catalog CATALOG.parquet \
+        --metadata-long META.parquet --output OUT_DIR [flags]
+
+Inputs:
+  INPUT.csv          3 columns, positional (run, group, quantifier)
+  --catalog          parquet with (bio_project, bio_sample, run, spots)
+  --metadata-long    parquet with (bioproject, biosample_id, attribute,
+                     attr_pos, value) — the melted form of the per-
+                     BioProject metadata (see sources.readers)
+
+Flags mirror the reference CLI: --explicit-zeros, --already-normalized,
+--t-test-only, --p-value-threshold, --group-nonzeros-threshold,
+--resamples, --combine-outputs, --blacklist, --cache-dir (F11 reuse).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="mwas_rfam_spark", description=__doc__)
+    p.add_argument("input_csv")
+    p.add_argument("--catalog", required=True)
+    p.add_argument("--metadata-long", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--explicit-zeros", action="store_true")
+    p.add_argument("--already-normalized", action="store_true")
+    p.add_argument("--t-test-only", action="store_true")
+    p.add_argument("--p-value-threshold", type=float, default=0.005)
+    p.add_argument("--group-nonzeros-threshold", type=int, default=3)
+    p.add_argument("--resamples", type=int, default=10_000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--combine-outputs", action="store_true")
+    p.add_argument("--blacklist", nargs="*", default=[])
+    p.add_argument("--cache-dir", default=None)
+    p.add_argument("--output-format", choices=["parquet", "csv"], default="csv")
+    return p
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    from .config import MwasConfig
+    from .operators.condense import condense_metadata
+    from .operators.mwas import run_mwas
+    from .sources.readers import read_input_csv
+    from .sources.sinks import write_results_combined, write_results_partitioned
+
+    args = build_parser().parse_args(argv)
+    cfg = MwasConfig(
+        implicit_zeros=not args.explicit_zeros,
+        already_normalized=args.already_normalized,
+        t_test_only=args.t_test_only,
+        p_value_threshold=args.p_value_threshold,
+        group_nonzeros_threshold=args.group_nonzeros_threshold,
+        permutation_resamples=args.resamples,
+        permutation_seed=args.seed,
+        blacklist=tuple(args.blacklist),
+    )
+
+    owns_session = spark is None
+    if owns_session:
+        from .session import get_spark
+
+        spark = get_spark(app_name="mwas-cli")
+
+    try:
+        input_df = read_input_csv(spark, args.input_csv)
+        catalog_df = spark.read.parquet(args.catalog)
+        meta_long = spark.read.parquet(args.metadata_long)
+        sets_df, ref_df = condense_metadata(meta_long)
+
+        if args.cache_dir:
+            from .operators.caching import run_mwas_cached
+
+            results = run_mwas_cached(
+                spark, input_df, catalog_df, sets_df, ref_df, args.cache_dir, cfg
+            )
+        else:
+            results = run_mwas(input_df, catalog_df, sets_df, ref_df, cfg)
+
+        if args.combine_outputs:
+            write_results_combined(results, args.output)
+        else:
+            write_results_partitioned(results, args.output, fmt=args.output_format)
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,86 @@
+"""End-to-end CLI test: CSV in → partitioned results out, reference-flag
+surface (main/mwas_general.py:703-788 analog)."""
+
+import csv
+
+from mwas_rfam_spark.__main__ import main
+from mwas_rfam_spark.sources.readers import melt_wide_metadata
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    # input CSV with arbitrary headers (positional semantics)
+    input_csv = tmp_path / "input.csv"
+    with open(input_csv, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["acc", "grp", "count"])
+        for i in range(1, 7):
+            w.writerow([f"R{i}", "g1", 10.0 * i])
+
+    catalog = spark.createDataFrame(
+        [("P1", f"SAM0{i}", f"R{i}", 1_000_000) for i in range(1, 7)],
+        "bio_project string, bio_sample string, run string, spots long",
+    )
+    cat_path = str(tmp_path / "catalog")
+    catalog.write.parquet(cat_path)
+
+    wide = spark.createDataFrame(
+        [(f"SAM0{i}", "a" if i <= 3 else "b", "x" if i % 2 else "y") for i in range(1, 7)],
+        ["biosample_id", "t1", "t2"],
+    )
+    meta_path = str(tmp_path / "meta")
+    melt_wide_metadata(wide, "P1").write.parquet(meta_path)
+
+    out = str(tmp_path / "results")
+    rc = main(
+        [
+            str(input_csv),
+            "--catalog", cat_path,
+            "--metadata-long", meta_path,
+            "--output", out,
+            "--t-test-only",
+            "--p-value-threshold", "0.5",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() > 0
+    assert "p_value" in back.columns and "bioproject" in back.columns
+    import os
+    assert any(d.startswith("bioproject=") for d in os.listdir(out))
+
+
+def test_cli_cached_rerun(spark, tmp_path):
+    input_csv = tmp_path / "in2.csv"
+    with open(input_csv, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["run", "group", "q"])
+        for i in range(1, 7):
+            w.writerow([f"R{i}", "g1", 5.0 * i])
+    catalog = spark.createDataFrame(
+        [("P1", f"SAM0{i}", f"R{i}", 1_000_000) for i in range(1, 7)],
+        "bio_project string, bio_sample string, run string, spots long",
+    )
+    cat_path = str(tmp_path / "cat2")
+    catalog.write.parquet(cat_path)
+    wide = spark.createDataFrame(
+        [(f"SAM0{i}", "a" if i <= 3 else "b", "x" if i % 2 else "y") for i in range(1, 7)],
+        ["biosample_id", "t1", "t2"],
+    )
+    meta_path = str(tmp_path / "meta2")
+    melt_wide_metadata(wide, "P1").write.parquet(meta_path)
+
+    cache = str(tmp_path / "cache")
+    args = [
+        str(input_csv), "--catalog", cat_path, "--metadata-long", meta_path,
+        "--t-test-only", "--cache-dir", cache,
+    ]
+    assert main(args + ["--output", str(tmp_path / "o1")], spark=spark) == 0
+    import os
+    assert len(os.listdir(cache)) == 1
+    # rerun hits the cache (same fingerprint) and still writes output
+    assert main(args + ["--output", str(tmp_path / "o2")], spark=spark) == 0
+    assert len(os.listdir(cache)) == 1
+    a = spark.read.option("header", True).csv(str(tmp_path / "o1"))
+    b = spark.read.option("header", True).csv(str(tmp_path / "o2"))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
