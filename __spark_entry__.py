@@ -513,6 +513,27 @@ def q_t1_welch_from_stats(spark, sf_dir):
     )
 
 
+_J5_SQL = """
+    SELECT s.s_name, n.n_name, count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE l.l_quantity > 25
+    GROUP BY s.s_name, n.n_name
+    HAVING count(*) >= 2
+"""
+
+
+def q_j5_sql_api(spark, sf_dir):
+    """J5 — raw SQL over registered views (the reference's server-side SQL
+    join mode); Catalyst compiles it to the same plan as the DataFrame
+    API, pushdown included."""
+    from mwas_rfam_spark.plans.sql_api import sql
+
+    return sql(spark, _J5_SQL, sf_dir)
+
+
 def q_condense_sets(spark, sf_dir):
     """§2.9 — the full metadata-condensation pipeline (melt → prune →
     factor cohorts → minority encoding → signature dedup) surfaced as its
@@ -830,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_welch_from_stats": q_t1_welch_from_stats,
         "condense_sets": q_condense_sets,
         "condense_readable": q_condense_readable,
+        "j5_sql_api": q_j5_sql_api,
         "j7_positional_join": q_j7_positional_join,
         "so2_complement": q_so2_complement,
         "mwas_full": q_mwas_full,
@@ -1033,6 +1055,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS BIGINT) AS n_biosamples
             FROM sets
         """,
+        "j5_sql_api": _J5_SQL,
         "condense_readable": _MWAS_ORACLE_CTES
         + """
             SELECT s.bp AS bioproject, s.attributes, s.set_values,
