@@ -138,6 +138,56 @@ def test_serve_request_full_pipeline(spark, wide_df):
     assert all(r["bioproject"] == "PRJTEST1" for r in got)
 
 
+def test_condense_roundtrip_randomized(spark):
+    """Round-trip property over randomized wide metadata frames (seeded):
+    nan-heavy columns, duplicate values, constant and key-like columns,
+    invalid ids — every surviving cohort must reconstruct exactly."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(6):
+        n_bs = rng.randint(3, 12)
+        n_cols = rng.randint(1, 5)
+        ids = [f"SAM{trial}{i:02d}" for i in range(n_bs)] + ["DRS_BAD"]
+        cols = {}
+        for c in range(n_cols):
+            vocab = [f"v{j}" for j in range(rng.randint(1, n_bs))] + ["nan", None]
+            cols[f"c{c}"] = [rng.choice(vocab) for _ in ids]
+        rows = [tuple([ids[i]] + [cols[f"c{c}"][i] for c in range(n_cols)]) for i in range(len(ids))]
+        wide = spark.createDataFrame(rows, ["biosample_id"] + [f"c{c}" for c in range(n_cols)])
+        long_df = melt_wide_metadata(wide, f"PRJR{trial}")
+        sets, ref = condense_metadata(long_df)
+        ref_rows = ref.collect()
+        if not ref_rows:
+            continue
+        n = ref_rows[0]["n"]
+        universe = set(ref_rows[0]["biosamples_ref"])
+
+        informative = F.col("value").isNotNull() & (F.col("value") != "nan")
+        valid = long_df.filter(F.col("biosample_id").startswith("SAM"))
+        nunique = {
+            r["attribute"]: r["nu"]
+            for r in valid.filter(informative)
+            .groupBy("attribute")
+            .agg(F.countDistinct("value").alias("nu"))
+            .collect()
+        }
+        expected = {
+            (r["attribute"], r["value"]): set(r["cohort"])
+            for r in valid.filter(informative)
+            .groupBy("attribute", "value")
+            .agg(F.collect_set("biosample_id").alias("cohort"))
+            .collect()
+            if 2 <= len(r["cohort"]) < n and 1 < nunique[r["attribute"]] < n
+        }
+        reconstructed = {}
+        for r in sets.collect():
+            true_side = set(r["members"]) if r["include"] else universe - set(r["members"])
+            for attr, val in zip(r["attributes"].split("; "), r["values"].split("; ")):
+                reconstructed[(attr, val)] = true_side
+        assert reconstructed == expected, f"trial {trial}"
+
+
 def test_small_bioprojects_dropped(spark):
     tiny = spark.createDataFrame(
         [("SAM01", "a"), ("SAM02", "b")], ["biosample_id", "col1"]

@@ -52,6 +52,34 @@ def test_already_normalized_skips_rpm(spark, fixture):
     assert vals["R1"] == pytest.approx(10.0)  # quantifier passes through
 
 
+def test_explicit_zeros_permutation_path(spark, fixture):
+    """Permutation branch under explicit zeros: pooled = observed values
+    only (no zero padding), cohort sizes count observed biosamples, and
+    p-values stay valid. Needs cohorts >= 4 per side: 10 biosamples
+    split 5/5, 8 of them observed."""
+    input_df = spark.createDataFrame(
+        [(f"R{i:02d}", "g1", float(3 * i + 1)) for i in range(1, 10)], INPUT_SCHEMA
+    )
+    catalog_df = spark.createDataFrame(
+        [("P9", f"SAMX{i:02d}", f"R{i:02d}", 1_000_000) for i in range(1, 11)],
+        CATALOG_SCHEMA,
+    )
+    wide = spark.createDataFrame(
+        [(f"SAMX{i:02d}", "a" if i <= 5 else "b") for i in range(1, 11)],
+        ["biosample_id", "t1"],
+    )
+    sets_df, ref_df = condense_metadata(melt_wide_metadata(wide, "P9"))
+    out = run_mwas(
+        input_df, catalog_df, sets_df, ref_df,
+        MwasConfig(implicit_zeros=False, permutation_resamples=500),
+    ).collect()
+    perm_rows = [r for r in out if r["status"].startswith("permutation")]
+    assert perm_rows, "fixture must reach the permutation branch"
+    for r in perm_rows:
+        assert r["num_true"] + r["num_false"] == 9  # observed biosamples only
+        assert 0.0 < r["p_value"] <= 1.0
+
+
 def test_explicit_zeros_counts_observed_only(spark, fixture):
     """implicit_zeros=False: cohort sizes count OBSERVED biosamples, not
     the metadata universe (reference --explicit-zeros semantics)."""
