@@ -1,0 +1,56 @@
+"""Text-analysis operator unit tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mwas_rfam_spark.operators.text import text_profile
+
+ROWS = [
+    (1, "the cat and the dog sat in the garden of the house"),  # english
+    (2, "le chat et le chien sont dans le jardin de la maison"),  # french
+    (3, "el perro y el gato en el jardin de la casa es bonito"),  # spanish
+    (4, ""),  # empty
+    (5, "!!! ??? ;;; ::: ,,,"),  # all punctuation
+    (6, "x" * 50),  # one giant token
+]
+
+
+@pytest.fixture(scope="module")
+def profile(spark):
+    docs = spark.createDataFrame(ROWS, ["doc_id", "text"])
+    return {r["doc_id"]: r for r in text_profile(docs).collect()}
+
+
+def test_lang_id_heuristic(profile):
+    assert profile[1]["lang_pred"] == "en"
+    assert profile[2]["lang_pred"] == "fr"
+    assert profile[3]["lang_pred"] == "es"
+
+
+def test_token_counts(profile):
+    assert profile[1]["n_tokens"] == 12
+    assert profile[4]["n_tokens"] == 0
+    assert profile[6]["n_tokens"] == 1
+    # BPE-ish segmentation counts punctuation marks individually
+    assert profile[5]["n_pieces"] == 15
+
+
+def test_quality_score_ordering(profile):
+    # clean prose scores above pure punctuation and above empty
+    assert profile[1]["quality"] > profile[5]["quality"]
+    assert profile[1]["quality"] > profile[4]["quality"]
+    assert 0.0 <= profile[1]["quality"] <= 1.0
+
+
+def test_punct_ratio(profile):
+    assert profile[5]["punct_ratio"] > 0.5
+    assert profile[1]["punct_ratio"] == 0.0
+
+
+def test_fingerprint_stability(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "other words here now")],
+        ["doc_id", "text"],
+    )
+    fps = {r["doc_id"]: r["fingerprint"] for r in text_profile(docs).collect()}
+    assert fps[1] == fps[2] != fps[3]
