@@ -232,6 +232,8 @@ _PERM_GROUP_RESULT = T.StructType(
         T.StructField("set_id", T.StringType()),
         T.StructField("stat", T.DoubleType()),
         T.StructField("p", T.DoubleType()),
+        T.StructField("kernel_seconds", T.DoubleType()),
+        T.StructField("kernel_bytes", T.LongType()),
     ]
 )
 
@@ -249,6 +251,9 @@ def _make_grouped_permutation_fn(n_resamples: int, base_seed: int):
     import hashlib
 
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import time
+
+        t0 = time.perf_counter()
         bp, group = key
         seed_hex = hashlib.sha256(f"{bp}|{group}".encode()).hexdigest()[:15]
         seed = (int(seed_hex, 16) ^ base_seed) & 0x7FFFFFFFFFFFFFFF
@@ -265,6 +270,13 @@ def _make_grouped_permutation_fn(n_resamples: int, base_seed: int):
         ps = grouped_permutation_mean_diff(
             pooled, n_xs, observeds, n_resamples, np.random.default_rng(seed)
         )
+        # T5 telemetry (reference mg:354-356,437-438 emits per-test wall
+        # time + tracemalloc peak): the shared-null pass is amortized, so
+        # per-test runtime = group kernel time / #tests; bytes = the
+        # permutation buffer high-water mark
+        elapsed = (time.perf_counter() - t0) / max(len(pdf), 1)
+        chunk = max(1, min(n_resamples, 4_000_000 // max(n_tot, 1)))
+        kernel_bytes = int(chunk * n_tot * 8)
         return pd.DataFrame(
             {
                 "bio_project": pdf["bio_project"].astype(str),
@@ -272,6 +284,8 @@ def _make_grouped_permutation_fn(n_resamples: int, base_seed: int):
                 "set_id": pdf["set_id"].astype(str),
                 "stat": observeds,
                 "p": ps,
+                "kernel_seconds": elapsed,
+                "kernel_bytes": kernel_bytes,
             }
         )
 
@@ -346,8 +360,13 @@ def run_tests(
     sig_p = distinct_sigs.withColumn(
         "p_value", welch_p_value(F.abs(F.col("test_statistic")), F.col("welch_df"))
     ).drop("test_statistic", "welch_df")
-    t_done = t_branch.join(sig_p, sig_cols, "left").withColumn(
-        "status", F.lit("t_test")
+    # closed-form t-test cost is sub-microsecond per row — telemetry 0
+    # (the reference's nonzero times there measure scipy call overhead)
+    t_done = (
+        t_branch.join(sig_p, sig_cols, "left")
+        .withColumn("status", F.lit("t_test"))
+        .withColumn("runtime_seconds", F.lit(0.0))
+        .withColumn("memory_usage_bytes", F.lit(0).cast("long"))
     )
 
     # --- permutation branch -----------------------------------------------
@@ -395,7 +414,9 @@ def run_tests(
         .withColumn("p_value", F.col("p"))
         .withColumn("welch_df", F.lit(None).cast("double"))
         .withColumn("status", F.lit("permutation_test"))
-        .drop("stat", "p")
+        .withColumn("runtime_seconds", F.coalesce("kernel_seconds", F.lit(0.0)))
+        .withColumn("memory_usage_bytes", F.coalesce("kernel_bytes", F.lit(0)).cast("long"))
+        .drop("stat", "p", "kernel_seconds", "kernel_bytes")
     )
 
     # --- skipped branch (mg:390-394, skip_tests=True rows) ----------------
@@ -405,12 +426,15 @@ def run_tests(
         .withColumn("welch_df", F.lit(None).cast("double"))
         .withColumn("p_value", F.lit(None).cast("double"))
         .withColumn("status", F.lit("skipped_statistical_testing"))
+        .withColumn("runtime_seconds", F.lit(0.0))
+        .withColumn("memory_usage_bytes", F.lit(0).cast("long"))
     )
 
     out_cols = [
         "bio_project", "group", "set_id", "attributes", "values", "include",
         "members", "n_true", "n_false", "mean_rpm_true", "mean_rpm_false",
         "sd_rpm_true", "sd_rpm_false", "test_statistic", "p_value", "status",
+        "runtime_seconds", "memory_usage_bytes",
     ]
     all_rows = (
         t_done.select(*out_cols)
@@ -472,8 +496,8 @@ def finalize_results(
         clean_csv_field(F.col("attributes")).alias("metadata_field"),
         clean_csv_field(F.col("values")).alias("metadata_value"),
         "status",
-        F.lit(0.0).alias("runtime_seconds"),
-        F.lit(0).cast("long").alias("memory_usage_bytes"),
+        "runtime_seconds",
+        "memory_usage_bytes",
         F.col("n_true").cast("int").alias("num_true"),
         F.col("n_false").cast("int").alias("num_false"),
         "mean_rpm_true",
