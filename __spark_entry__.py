@@ -669,6 +669,15 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_near_dup_pairs(d, max_hamming=3, bands=4)
 
 
+def q_dedup_simhash32(spark, sf_dir):
+    """32-bit md5 SimHash per document — the cross-engine-checkable
+    SimHash (bit votes from md5 hex-digit bits)."""
+    from mwas_rfam_spark.operators.dedup import simhash32_md5
+
+    d = _t(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    return simhash32_md5(d).withColumnRenamed("id", "doc_id")
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, blocked by label."""
     e = _t(spark, sf_dir, "embeddings")
@@ -861,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash32": q_dedup_simhash32,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
@@ -1078,6 +1088,25 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY s_name) - 1 AS pos
                   FROM supplier)
             WHERE s_acctbal >= 0
+        """,
+        "dedup_simhash32": """
+            WITH toks AS (
+              SELECT doc_id, md5(t.tok) AS h
+              FROM documents,
+                   LATERAL unnest(string_split_regex(trim(text), '\\s+')) AS t(tok)
+              WHERE length(trim(text)) > 0),
+            bits AS (
+              SELECT doc_id, b.b,
+                     CASE WHEN floor((strpos('0123456789abcdef',
+                                             substr(h, CAST(b.b // 4 AS INT) + 1, 1)) - 1)
+                                / power(2, 3 - (b.b % 4))) % 2 = 1
+                          THEN 1 ELSE -1 END AS vote
+              FROM toks, LATERAL (SELECT unnest(generate_series(0, 31)) AS b) AS b),
+            votes AS (SELECT doc_id, b, sum(vote) AS v FROM bits GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN v > 0
+                                 THEN power(2, 31 - b) ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY 1
         """,
         "dedup_embedding_cosine": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

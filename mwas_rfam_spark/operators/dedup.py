@@ -271,6 +271,39 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return votes.select("id", expr.alias("simhash"))
 
 
+def simhash32_md5(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash from md5 hex-digit bits — the cross-engine-checkable
+    variant of simhash64 (xxhash64 isn't reproducible in ANSI SQL; md5
+    hex plus digit/bit arithmetic is).
+
+    Bit b (0..31) of a token's hash = bit (3 - b%4) of hex digit b//4 of
+    md5(token). Long-form per-bit vote aggregation as in simhash64.
+    Returns (id, simhash BIGINT in [0, 2^32)).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", F.md5("tok"))
+    hexv = "0123456789abcdef"
+
+    def bit(b: int):
+        digit = F.instr(F.lit(hexv), F.substring("h", b // 4 + 1, 1)) - 1
+        return F.floor(digit / (2 ** (3 - b % 4))) % 2
+
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"b{b}")
+            for b in range(32)
+        ]
+    )
+    expr = F.lit(0).cast("long")
+    for b in range(32):
+        expr = expr + F.when(F.col(f"b{b}") > 0, F.lit(1 << (31 - b)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select("id", expr.alias("simhash"))
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame,
     max_hamming: int = 3,

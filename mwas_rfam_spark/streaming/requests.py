@@ -155,6 +155,26 @@ def run_request_batch(spark: SparkSession, rows: list[dict], catalog_df: DataFra
     return biosample_rollup(resolve_and_normalize(df, catalog_df))
 
 
+def streaming_exact_dedup(
+    docs: DataFrame,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup for a document ingest stream: content-hash
+    the normalized text and keep only the first occurrence within the
+    watermark (dropDuplicatesWithinWatermark keeps the state store
+    bounded — a key is forgotten once the watermark passes it, unlike an
+    unbounded dropDuplicates).
+    """
+    from ..operators.dedup import normalize_text
+
+    hashed = docs.withColumn("content_hash", F.md5(normalize_text(F.col(text_col))))
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+
+
 def serve_request(
     spark: SparkSession,
     rows: list[dict],

@@ -69,6 +69,19 @@ def test_simhash_identity_and_pairs(docs):
         assert pairs[(1, 3)] <= 10
 
 
+def test_simhash32_md5_identity_and_range(docs):
+    from mwas_rfam_spark.operators.dedup import simhash32_md5
+
+    hashes = {r["id"]: r["simhash"] for r in simhash32_md5(docs).collect()}
+    assert hashes[1] == hashes[2]  # identical text
+    assert all(0 <= h < (1 << 32) for h in hashes.values())
+    # near-dup (one token differs) → small Hamming distance on 32 bits
+    ham = bin(hashes[1] ^ hashes[3]).count("1")
+    assert ham <= 8
+    ham_far = bin(hashes[1] ^ hashes[4]).count("1")
+    assert ham_far > ham
+
+
 def test_embedding_near_dup(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0], 0),

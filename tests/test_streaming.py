@@ -89,6 +89,39 @@ def test_incremental_stateful_rollup(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_exact_dedup(spark, tmp_path):
+    from mwas_rfam_spark.streaming.requests import streaming_exact_dedup
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    base = spark.createDataFrame(
+        [
+            ("2024-01-01 00:01:00", 1, "hello world"),
+            ("2024-01-01 00:02:00", 2, "HELLO   world"),  # dup after normalize
+            ("2024-01-01 00:03:00", 3, "something else"),
+        ],
+        "ts_s string, doc_id long, text string",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "doc_id", "text")
+    base.write.mode("overwrite").parquet(str(src / "p"))
+
+    stream = spark.readStream.schema(base.schema).parquet(str(src / "p"))
+    out = streaming_exact_dedup(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT doc_id FROM dedup_out ORDER BY doc_id").collect()
+    finally:
+        q.stop()
+    kept = [r["doc_id"] for r in rows]
+    assert len(kept) == 2 and 3 in kept  # one of the dup pair dropped
+
+
 def test_windowed_event_rollup(spark, tmp_path):
     src = tmp_path / "events"
     src.mkdir()
