@@ -669,6 +669,17 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_near_dup_pairs(d, max_hamming=3, bands=4)
 
 
+def q_dedup_minhash_md5(spark, sf_dir):
+    """Cross-engine MinHash LSH (md5 string min-hash family) — the whole
+    signature → band → candidate → estimate pipeline is hash-verified."""
+    from mwas_rfam_spark.operators.dedup import minhash_lsh_pairs_md5
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_md5(d, num_hashes=32, bands=8, threshold=0.5).select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
 def q_dedup_simhash32(spark, sf_dir):
     """32-bit md5 SimHash per document — the cross-engine-checkable
     SimHash (bit votes from md5 hex-digit bits)."""
@@ -871,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash32": q_dedup_simhash32,
+        "dedup_minhash_md5": q_dedup_minhash_md5,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
@@ -1089,6 +1101,34 @@ def oracle_sql() -> dict[str, str]:
                   FROM supplier)
             WHERE s_acctbal >= 0
         """,
+        "dedup_minhash_md5": """
+            WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                         FROM documents),
+            sh AS (SELECT DISTINCT doc_id, s FROM (
+                     SELECT doc_id,
+                            unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                     FROM tok)
+                   WHERE s <> ''),
+            seeds AS (SELECT unnest(generate_series(0, 31)) AS i),
+            sig AS (SELECT doc_id, i,
+                           min(md5(s || '|' || CAST(i AS VARCHAR))) AS mh
+                    FROM sh, seeds GROUP BY 1, 2),
+            bands AS (SELECT doc_id, CAST(i // 4 AS INT) AS band,
+                             md5(string_agg(mh, ',' ORDER BY i)) AS bucket
+                      FROM sig GROUP BY doc_id, i // 4),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.bucket = b.bucket
+                      AND a.doc_id < b.doc_id),
+            est AS (SELECT c.id_a, c.id_b,
+                           sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / 32.0 AS e
+                    FROM cand c
+                    JOIN sig x ON x.doc_id = c.id_a
+                    JOIN sig y ON y.doc_id = c.id_b AND x.i = y.i
+                    GROUP BY 1, 2)
+            SELECT id_a, id_b, round(e, 6) AS est_jaccard FROM est WHERE e >= 0.5
+        """,
         "dedup_simhash32": """
             WITH toks AS (
               SELECT doc_id, md5(t.tok) AS h
@@ -1186,6 +1226,48 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_slice(
                        string_split_regex(trim(lower(text)), '\\s+'), 1, 16), ' ')) AS fingerprint
             FROM documents WHERE length(text) > 0
+        """,
+        "text_lang_quality": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     string_split_regex(trim(lower(text)), '\\s+') AS toks,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                     length(text) AS n_chars,
+                     length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                         AS n_punct
+              FROM documents),
+            hits AS (
+              SELECT *,
+                len(list_filter(toks, t -> list_contains(
+                    ['the','and','of','to','a','in','is'], t))) AS h_en,
+                len(list_filter(toks, t -> list_contains(
+                    ['le','la','les','et','de','un','est'], t))) AS h_fr,
+                len(list_filter(toks, t -> list_contains(
+                    ['el','la','los','y','de','un','es'], t))) AS h_es,
+                len(list_filter(toks, t -> list_contains(
+                    ['der','die','das','und','ein','ist'], t))) AS h_de
+              FROM base),
+            scored AS (
+              SELECT doc_id, text, n_tokens, n_chars, n_punct, toks,
+                     CASE WHEN greatest(h_en, h_fr, h_es, h_de) = 0 THEN 'und'
+                          WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+                          WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+                          WHEN h_en >= h_de THEN 'en'
+                          ELSE 'de' END AS lang_pred,
+                     CASE WHEN len(toks) > 0 THEN h_en * 1.0 / len(toks)
+                          ELSE 0.0 END AS stop_ratio,
+                     CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars
+                          ELSE 0.0 END AS pr
+              FROM hits)
+            SELECT doc_id, lang_pred,
+                   round((least(n_tokens / 50.0, 1.0)
+                          + least(stop_ratio * 5.0, 1.0)
+                          + (1.0 - least(pr * 10.0, 1.0))) / 3.0, 6) AS quality,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                       AS n_bpe_tokens
+            FROM scored
         """,
         "text_winnowing": """
             WITH d AS (SELECT doc_id, lower(text) AS t FROM documents

@@ -246,6 +246,65 @@ def minhash_lsh_pairs(
     return est
 
 
+def minhash_lsh_pairs_md5(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-engine-checkable MinHash LSH: hash family = md5(shingle|i)
+    with LEXICOGRAPHIC min over the hex strings — every step (signature,
+    band bucket, candidate join, estimate) reproduces in ANSI SQL, so
+    the full LSH pipeline is hash-verified at the correctness gate. The
+    xxhash64/Kirsch-Mitzenmacher variant stays the throughput default.
+    Returns (id_a, id_b, est_jaccard >= threshold).
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sh = word_shingles(docs, n, text_col, id_col)
+    mins = [
+        F.min(F.md5(F.concat_ws("|", "shingle", F.lit(str(i))))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = (
+        sh.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+        .cache()
+    )
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.md5(F.concat_ws(",", *[F.col("sig")[bi * rows + r] for r in range(rows)])).alias("bucket"),
+        )
+        for bi in range(bands)
+    ]
+    buckets = sigs.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "bucket"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+            / F.lit(float(num_hashes)),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document from token xxhash64 bit votes.
 
