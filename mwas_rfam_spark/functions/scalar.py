@@ -71,5 +71,10 @@ def cohort_signature(members_sorted: Column) -> Column:
     Replaces the reference's arbitrary-precision bitmap-int dedup key
     (metadata_set_maker.py:81-87) with a sha2 over the sorted membership —
     constant-size, shuffle-friendly at any cohort cardinality.
+
+    Members are joined with the \\x1f unit separator — the SAME
+    convention as the pipeline's signature in operators/condense.py —
+    because a separator-free concat would collide ["AB","C"] with
+    ["A","BC"].
     """
-    return F.sha2(F.concat_ws("", members_sorted), 256)
+    return F.sha2(F.concat_ws("\x1f", members_sorted), 256)

@@ -3,11 +3,14 @@
 The reference stubs this as a TODO (main/mwas_general.py:564-568,581-584:
 "hash the input file, look up previous results"). Here it is real:
 
-* The fingerprint is an ORDER-INDEPENDENT aggregate — bit_xor of
-  xxhash64 over every row's canonical column tuple — so it is stable
-  under repartitioning/shuffling, computes in one distributed pass with
-  no collect of data, and costs one scan of the input (tiny next to the
-  statistics it saves).
+* The fingerprint is an ORDER-INDEPENDENT but MULTIPLICITY-SENSITIVE
+  aggregate — sum of xxhash64 over every row's canonical column tuple
+  (mod 2^64, via sum of the hash split into two 32-bit halves so the
+  long sum cannot overflow under ANSI), plus the row count — so it is
+  stable under repartitioning/shuffling yet distinguishes {A,B,B} from
+  {A,C,C} (a bit_xor would cancel any row repeated an even number of
+  times, a real hazard in raw observation CSVs). Computes in one
+  distributed pass with no collect of data.
 * The cache is a parquet directory per fingerprint under ``cache_dir``
   (any Hadoop-compatible FS path — local, HDFS, s3a). Presence check is
   read-and-fallback, so there is no racy exists/create window: worst
@@ -26,16 +29,21 @@ from ..config import DEFAULT_CONFIG, MwasConfig
 
 
 def dataframe_fingerprint(df: DataFrame) -> str:
-    """64-bit order-independent content hash of a DataFrame, as hex."""
+    """64-bit order-independent, multiplicity-sensitive content hash, hex.
+
+    sum(xxhash64(row)) mod 2^64 + row count. The sum runs in decimal(38,0)
+    so it cannot overflow (ANSI would throw on a long sum) for any input
+    under ~10^19 rows; the mod folds it back to 64 bits driver-side.
+    """
     cols = sorted(df.columns)
     row_hash = F.xxhash64(*[F.col(c).cast("string") for c in cols])
     out = (
-        df.select(row_hash.alias("h"))
-        .agg(F.expr("bit_xor(h)").alias("hx"), F.count("*").alias("n"))
+        df.select(row_hash.cast("decimal(38,0)").alias("h"))
+        .agg(F.sum("h").alias("hs"), F.count("*").alias("n"))
         .first()
     )
-    hx = out["hx"] if out["hx"] is not None else 0
-    return f"{(hx & 0xFFFFFFFFFFFFFFFF):016x}-{out['n']}"
+    hs = int(out["hs"]) if out["hs"] is not None else 0
+    return f"{(hs & 0xFFFFFFFFFFFFFFFF):016x}-{out['n']}"
 
 
 def mwas_cache_key(input_df: DataFrame, cfg: MwasConfig) -> str:

@@ -50,12 +50,19 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: s
     re-evaluate it per element_at (no common-subexpression elimination
     inside lambda bodies) — n×(tokens-n) splits of the full text per doc,
     measured 7× slower.
+
+    Documents with fewer than n tokens yield no shingles. The guard must
+    be a `when` on the whole sequence: `sequence(0, size-n)` with a
+    negative end counts DOWN ([0,-1]), and element_at(_, 0) then throws
+    under ANSI mode (on by default in Spark 4).
     """
     toked = docs.select(
         F.col(id_col).alias("id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("toks")
     )
     toks = F.col("toks")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
     shingle = F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
@@ -376,8 +383,18 @@ def simhash_near_dup_pairs(
     at least one of `bands` contiguous 16-bit chunks — candidates come
     from an equi-join on (band, chunk) buckets, never all-pairs. Verify
     with bit_count(xor) <= max_hamming (JVM-side, codegen'd).
+
+    Recall is guaranteed ONLY when max_hamming < bands (with
+    max_hamming == bands the differing bits can land one per chunk and
+    the pair shares no bucket) — enforced, not just documented.
     Returns (id_a, id_b, hamming).
     """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole recall requires max_hamming < bands; got "
+            f"max_hamming={max_hamming}, bands={bands} (raise bands to "
+            f"at least {max_hamming + 1})"
+        )
     width = 64 // bands
     sh = simhash64(docs, text_col, id_col)
     chunk_cols = [

@@ -449,47 +449,62 @@ def finalize_results(
 ) -> DataFrame:
     """T4/A12/F1/F3 — significance suffix, fold change, cohort accession
     lists (with swap for exclude-encoded sets, mg:426-434), output cleanup.
+
+    The biosample lists are only emitted for significant rows (typically
+    a small fraction at p < 0.005), so the full ``biosamples_ref`` array
+    is joined ONLY onto that branch and the non-significant majority is
+    unioned back untouched — at scale the old single-join formulation
+    replicated an n-biosample array across O(results) rows for nothing.
+
+    List-gating parity (mg:427-432): the reference gates the MEMBERS
+    list by num_true and the COMPLEMENT list by num_false, *then* swaps
+    the two strings for exclude-encoded sets — so for include=False the
+    list emitted as true_biosamples (the complement, num_true elements)
+    is gated by num_false and vice versa. We reproduce that pre-swap
+    gating exactly.
     """
     from ..functions.scalar import clean_csv_field, log2_fold_change
 
     significant = F.col("p_value") < cfg.p_value_threshold
-    true_list = F.when(F.col("include"), F.col("members")).otherwise(
-        F.array_except(F.col("biosamples_ref"), F.col("members"))
-    )
-    false_list = F.when(F.col("include"), F.array_except(F.col("biosamples_ref"), F.col("members"))).otherwise(
-        F.col("members")
-    )
-    too_many = F.lit("too many biosamples to list")
+    fold_change = F.when(
+        F.col("status") == "skipped_statistical_testing", F.lit(None).cast("string")
+    ).otherwise(log2_fold_change(F.col("mean_rpm_true"), F.col("mean_rpm_false")))
 
-    out = (
-        rows.join(ref_df.select(F.col("bioproject").alias("bio_project"), "biosamples_ref"), "bio_project", "left")
-        .withColumn(
-            "status",
-            F.when(significant, F.concat(F.col("status"), F.lit("; significant"))).otherwise(
-                F.col("status")
-            ),
+    # two-branch fanout over `rows` — persist + settle so the shared
+    # upstream (including the permutation kernel) runs once, same
+    # rationale as the stats_df settle in run_mwas
+    rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
+    rows.count()
+
+    too_many = F.lit("too many biosamples to list")
+    complement = F.array_except(F.col("biosamples_ref"), F.col("members"))
+    pre_true = F.when(
+        F.col("n_true") < cfg.max_listed_biosamples, F.array_join(F.col("members"), "; ")
+    ).otherwise(too_many)
+    pre_false = F.when(
+        F.col("n_false") < cfg.max_listed_biosamples, F.array_join(complement, "; ")
+    ).otherwise(too_many)
+
+    sig = (
+        rows.filter(significant)
+        .join(
+            ref_df.select(F.col("bioproject").alias("bio_project"), "biosamples_ref"),
+            "bio_project",
+            "left",
         )
-        .withColumn(
-            "fold_change",
-            F.when(
-                F.col("status") == "skipped_statistical_testing", F.lit(None).cast("string")
-            ).otherwise(log2_fold_change(F.col("mean_rpm_true"), F.col("mean_rpm_false"))),
-        )
-        .withColumn(
-            "true_biosamples",
-            F.when(
-                significant,
-                F.when(F.col("n_true") < cfg.max_listed_biosamples, F.array_join(true_list, "; ")).otherwise(too_many),
-            ).otherwise(F.lit("")),
-        )
-        .withColumn(
-            "false_biosamples",
-            F.when(
-                significant,
-                F.when(F.col("n_false") < cfg.max_listed_biosamples, F.array_join(false_list, "; ")).otherwise(too_many),
-            ).otherwise(F.lit("")),
-        )
+        .withColumn("status", F.concat(F.col("status"), F.lit("; significant")))
+        .withColumn("fold_change", fold_change)
+        .withColumn("true_biosamples", F.when(F.col("include"), pre_true).otherwise(pre_false))
+        .withColumn("false_biosamples", F.when(F.col("include"), pre_false).otherwise(pre_true))
+        .drop("biosamples_ref")
     )
+    rest = (
+        rows.filter(~significant | F.col("p_value").isNull())
+        .withColumn("fold_change", fold_change)
+        .withColumn("true_biosamples", F.lit(""))
+        .withColumn("false_biosamples", F.lit(""))
+    )
+    out = sig.unionByName(rest)
     return out.select(
         F.col("bio_project").alias("bioproject"),
         "group",

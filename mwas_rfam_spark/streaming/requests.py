@@ -13,7 +13,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.scalar import replace_zero_spots, rpm
 from ..schemas import INPUT_SCHEMA
+
+
+def _stream_rpm_col():
+    """RPM normalization for the streaming paths — the SAME expression as
+    batch resolve_and_normalize (replace_zero_spots then rpm), so one
+    observation yields one value whichever path it takes. spots==0 →
+    1e6 sentinel → rpm == quantifier (reference mg:180); null spots
+    (catalog miss that still resolved a bioproject) → 0.0, as in batch.
+    """
+    spots = replace_zero_spots(F.col("spots"))
+    return rpm(F.coalesce("quantifier", F.lit(0.0)), spots)
+
 
 REQUEST_SCHEMA = T.StructType(
     [
@@ -36,12 +49,8 @@ def rpm_rollup_stream(requests: DataFrame, catalog_df: DataFrame) -> DataFrame:
     The static catalog joins stream-static (no state needed for the dim).
     """
     joined = requests.join(catalog_df, "run", "left")
-    rpm = F.when(
-        F.col("spots").isNotNull() & (F.col("spots") != 0),
-        F.coalesce("quantifier", F.lit(0.0)) / F.col("spots") * 1e6,
-    ).otherwise(F.lit(0.0))
     return (
-        joined.withColumn("rpm", rpm)
+        joined.withColumn("rpm", _stream_rpm_col())
         .filter(F.col("bio_project").isNotNull())
         .groupBy("request_id", "bio_project", "group", "bio_sample")
         .agg(F.avg("rpm").alias("rpm"), F.count("*").alias("n_runs"))
@@ -133,12 +142,8 @@ def resolve_stream(requests: DataFrame, catalog_df: DataFrame) -> DataFrame:
     """Stage-1 resolve+normalize for a request stream (stream-static join
     against the catalog dim; no state required)."""
     joined = requests.join(catalog_df, "run", "left")
-    rpm = F.when(
-        F.col("spots").isNotNull() & (F.col("spots") != 0),
-        F.coalesce("quantifier", F.lit(0.0)) / F.col("spots") * 1e6,
-    ).otherwise(F.lit(0.0))
     return (
-        joined.withColumn("rpm", rpm)
+        joined.withColumn("rpm", _stream_rpm_col())
         .filter(F.col("bio_project").isNotNull())
         .select("bio_project", "group", "bio_sample", "rpm")
     )

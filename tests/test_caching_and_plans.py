@@ -138,3 +138,12 @@ def test_mwas_resolve_stays_codegen(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan  # input⋈catalog: small side broadcast
     assert "CartesianProduct" not in plan
+
+
+def test_fingerprint_multiset_sensitive(spark):
+    """{A,B,B} vs {A,C,C}: same count, and under the old bit_xor scheme
+    the even-repeated rows cancelled — the sum-based fingerprint must
+    distinguish them."""
+    a = spark.createDataFrame([("A",), ("B",), ("B",)], ["v"])
+    b = spark.createDataFrame([("A",), ("C",), ("C",)], ["v"])
+    assert dataframe_fingerprint(a) != dataframe_fingerprint(b)

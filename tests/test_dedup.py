@@ -62,7 +62,8 @@ def test_minhash_lsh_candidates(docs):
 def test_simhash_identity_and_pairs(docs):
     hashes = {r["id"]: r["simhash"] for r in simhash64(docs).collect()}
     assert hashes[1] == hashes[2]  # identical text -> identical simhash
-    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_dup_pairs(docs, max_hamming=10, bands=4).collect()}
+    # bands must exceed max_hamming for the pigeonhole recall guarantee
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_dup_pairs(docs, max_hamming=10, bands=16).collect()}
     assert pairs[(1, 2)] == 0
     # near-dup differs by one token -> small Hamming distance
     if (1, 3) in pairs:
@@ -121,3 +122,26 @@ def test_jaccard_pairs_plan_has_no_cartesian(docs):
     # the inverted-index formulation must never fall back to a cross product
     physical = ngram_jaccard_pairs(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in physical
+
+
+def test_word_shingles_short_docs(spark):
+    """Docs with fewer than n tokens must yield zero shingles — not an
+    ANSI INVALID_ARRAY_INDEX_IN_ELEMENT_AT from sequence(0, -1)."""
+    rows = [(1, "only two"), (2, "one"), (3, ""), (4, "exactly four tokens here")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = word_shingles(docs, n=3).collect()
+    by_id = {}
+    for r in sh:
+        by_id.setdefault(r["id"], set()).add(r["shingle"])
+    assert set(by_id) == {4}
+    assert by_id[4] == {"exactly four tokens", "four tokens here"}
+    # the downstream pipelines must survive a short-doc corpus too
+    assert ngram_jaccard_pairs(docs, n=3, threshold=0.5).count() == 0
+    assert minhash_lsh_pairs(docs, num_hashes=16, bands=4, n=3).count() == 0
+
+
+def test_simhash_bands_guard(docs):
+    """max_hamming >= bands silently loses pairs (pigeonhole broken) —
+    must be rejected."""
+    with pytest.raises(ValueError, match="max_hamming < bands"):
+        simhash_near_dup_pairs(docs, max_hamming=4, bands=4)

@@ -92,3 +92,33 @@ def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
     assert high <= set(est)
     for k in shared:
         assert abs(est[k] - exact[k]) <= 0.25  # 64-slot sampling noise
+
+
+def test_cohort_signature_separator(spark):
+    """["AB","C"] and ["A","BC"] must not collide (unit-separator join)."""
+    from mwas_rfam_spark.functions.scalar import cohort_signature
+
+    df = spark.createDataFrame([(1, ["AB", "C"]), (2, ["A", "BC"])], ["i", "m"])
+    sigs = {r["i"]: r["sig"] for r in df.select("i", cohort_signature(F.col("m")).alias("sig")).collect()}
+    assert sigs[1] != sigs[2]
+
+
+def test_stream_batch_rpm_parity(spark):
+    """One observation must normalize to the SAME rpm through the batch
+    resolve and the streaming resolve — including the spots==0 sentinel
+    (rpm == quantifier) and null-spots cases."""
+    from mwas_rfam_spark.operators.mwas import resolve_and_normalize
+    from mwas_rfam_spark.streaming.requests import resolve_stream
+
+    catalog = spark.createDataFrame(
+        [("R1", "BP1", "BS1", 1000), ("R2", "BP1", "BS2", 0), ("R3", "BP1", "BS3", None)],
+        "run string, bio_project string, bio_sample string, spots long",
+    )
+    inp = spark.createDataFrame(
+        [("R1", "g", 500.0), ("R2", "g", 7.0), ("R3", "g", 3.0)], INPUT_SCHEMA
+    )
+    batch = {r["bio_sample"]: r["rpm"] for r in resolve_and_normalize(inp, catalog).collect()}
+    req = inp.withColumn("request_id", F.lit("q"))
+    stream = {r["bio_sample"]: r["rpm"] for r in resolve_stream(req, catalog).collect()}
+    assert batch == stream
+    assert stream["BS2"] == 7.0  # spots==0 → 1e6 sentinel → rpm == quantifier
