@@ -232,6 +232,85 @@ WHERE (sd_t ^ 2 / n_true + sd_f ^ 2 / n_false) > 0
 )
 
 
+# Full 18-column t_test_only output (see q_mwas_t_only_full). Significance
+# at threshold 1.1 ⟺ p finite ⟺ pooled variance vsum > 0 (vsum == 0 makes
+# the Welch df 0/0 → NaN → p NaN, engine functions/stattests.py:118).
+# List contents: the true list is ALWAYS the factor-matching cohort and the
+# false list its complement (the minority encoding cancels against the
+# include-swap), but the too-many GATES follow the reference's pre-swap
+# sizes (mg:427-432): the match list is gated by n_true when include else
+# n_false, and vice versa.
+_MWAS_T_ONLY_FULL_ORACLE = (
+    _MWAS_ORACLE_CTES
+    + """
+, skipflags AS (
+  SELECT bp, grp, count(*) < 3 AS skip_tests FROM resolved GROUP BY 1, 2),
+matchlists AS (
+  SELECT bp, sig, string_agg(bs, '; ' ORDER BY bs) AS match_str
+  FROM membership GROUP BY 1, 2),
+complists AS (
+  SELECT m2.bp, m2.sig, string_agg(u.bs, '; ' ORDER BY u.bs) AS nonmatch_str
+  FROM (SELECT DISTINCT bp, sig FROM membership) m2
+  JOIN uni u ON u.bp = m2.bp
+  LEFT JOIN membership mm ON mm.bp = m2.bp AND mm.sig = m2.sig AND mm.bs = u.bs
+  WHERE mm.bs IS NULL
+  GROUP BY 1, 2),
+fullrows AS (
+  SELECT p.bp, p.grp, p.sig, p.attributes, p.set_values,
+         p.n_true, p.n_false,
+         (p.n_true < s2.n / 2.0) AS include,
+         p.sum_true / p.n_true AS mean_t,
+         p.sum_false / p.n_false AS mean_f,
+         sqrt(greatest(p.ss_true / p.n_true - (p.sum_true / p.n_true) ^ 2, 0)) AS sd_t,
+         sqrt(greatest(p.ss_false / p.n_false - (p.sum_false / p.n_false) ^ 2, 0)) AS sd_f,
+         COALESCE(k.skip_tests, TRUE) AS skip_tests
+  FROM pairs p
+  JOIN sets s2 ON p.bp = s2.bp AND p.sig = s2.sig
+  LEFT JOIN skipflags k ON p.bp = k.bp AND p.grp = k.grp
+  WHERE p.n_true >= 2 AND p.n_false >= 2
+    AND NOT (p.sum_true / p.n_true = 0 AND p.sum_false / p.n_false = 0)),
+final AS (
+  SELECT f.*, (sd_t ^ 2 / n_true + sd_f ^ 2 / n_false) AS vsum,
+         ml.match_str, cl.nonmatch_str
+  FROM fullrows f
+  LEFT JOIN matchlists ml ON f.bp = ml.bp AND f.sig = ml.sig
+  LEFT JOIN complists cl ON f.bp = cl.bp AND f.sig = cl.sig)
+SELECT bp AS bioproject, grp AS group_name,
+       replace(attributes, ',', ' ') AS metadata_field,
+       replace(set_values, ',', ' ') AS metadata_value,
+       CASE WHEN skip_tests THEN 'skipped_statistical_testing'
+            WHEN vsum > 0 THEN 't_test; significant'
+            ELSE 't_test' END AS status,
+       CAST(0.0 AS DOUBLE) AS runtime_seconds,
+       CAST(0 AS BIGINT) AS memory_usage_bytes,
+       CAST(n_true AS INT) AS num_true,
+       CAST(n_false AS INT) AS num_false,
+       round(mean_t, 6) AS mean_rpm_true,
+       round(mean_f, 6) AS mean_rpm_false,
+       round(sd_t, 6) AS sd_rpm_true,
+       round(sd_f, 6) AS sd_rpm_false,
+       CASE WHEN skip_tests THEN NULL
+            WHEN mean_t = 0 AND mean_f = 0 THEN 'zero'
+            WHEN mean_t = 0 THEN 'neg_inf'
+            WHEN mean_f = 0 THEN 'pos_inf'
+            ELSE 'ratio' END AS fc_class,
+       CASE WHEN NOT skip_tests AND mean_t <> 0 AND mean_f <> 0
+            THEN round(log2(mean_t / mean_f), 6) END AS fc_value,
+       CASE WHEN NOT skip_tests AND vsum > 0
+            THEN round((mean_t - mean_f) / sqrt(vsum), 6) END AS t_stat,
+       CASE WHEN NOT skip_tests AND vsum > 0 THEN
+            CASE WHEN (CASE WHEN include THEN n_true ELSE n_false END) < 1000
+                 THEN match_str ELSE 'too many biosamples to list' END
+            ELSE '' END AS true_biosamples,
+       CASE WHEN NOT skip_tests AND vsum > 0 THEN
+            CASE WHEN (CASE WHEN include THEN n_false ELSE n_true END) < 1000
+                 THEN nonmatch_str ELSE 'too many biosamples to list' END
+            ELSE '' END AS false_biosamples
+FROM final
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # relational operator queries (SURVEY.md §2)
 # ---------------------------------------------------------------------------
@@ -837,6 +916,60 @@ def q_mwas_full(spark, sf_dir):
     )
 
 
+def q_mwas_t_only_full(spark, sf_dir):
+    """T3/T4/A12/F1 — the FULL 18-column MWAS output, hash-verified.
+
+    t_test_only makes every test closed-form, and p_value_threshold=1.1
+    routes every finite-p row down the significant path — so the whole
+    finalize stage (status suffix, fold-change sentinel strings, capped
+    & swap-gated biosample lists, mg:426-434) is driver-checked, not just
+    pytest-golden-checked. Two projections make the row cross-engine
+    comparable: p_value (the Lentz continued-fraction t-tail, not
+    SQL-expressible) is reduced to its effect on the row — in this mode
+    p is finite iff the pooled variance is nonzero, which IS expressible
+    — and the fold-change string is split into (sentinel class, numeric
+    value) because Java and DuckDB format doubles-as-strings differently.
+    """
+    cfg = MwasConfig(t_test_only=True, p_value_threshold=1.1)
+    meta = mwas_metadata_long_from_customer(spark, sf_dir)
+    sets_df, ref_df = condense_metadata(meta)
+    out = run_mwas(
+        mwas_input_from_events(spark, sf_dir),
+        mwas_catalog_from_orders(spark, sf_dir),
+        sets_df,
+        ref_df,
+        cfg,
+    )
+    fc = F.col("fold_change")
+    sentinel = fc.isin("0", "negative inf", "inf")
+    p_finite = F.col("p_value").isNotNull() & ~F.isnan("p_value")
+    return out.select(
+        "bioproject",
+        F.col("group").alias("group_name"),
+        "metadata_field",
+        "metadata_value",
+        "status",
+        "runtime_seconds",
+        "memory_usage_bytes",
+        "num_true",
+        "num_false",
+        F.round("mean_rpm_true", 6).alias("mean_rpm_true"),
+        F.round("mean_rpm_false", 6).alias("mean_rpm_false"),
+        F.round("sd_rpm_true", 6).alias("sd_rpm_true"),
+        F.round("sd_rpm_false", 6).alias("sd_rpm_false"),
+        F.when(fc.isNull(), F.lit(None).cast("string"))
+        .when(fc == "0", F.lit("zero"))
+        .when(fc == "negative inf", F.lit("neg_inf"))
+        .when(fc == "inf", F.lit("pos_inf"))
+        .otherwise(F.lit("ratio"))
+        .alias("fc_class"),
+        F.when(fc.isNotNull() & ~sentinel, F.round(fc.cast("double"), 6)).alias("fc_value"),
+        F.when(p_finite, F.round("test_statistic", 6)).alias("t_stat"),
+        "true_biosamples",
+        "false_biosamples",
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     """Time-window aggregation (batch analog of the streaming rollup)."""
     e = _t(spark, sf_dir, "events")
@@ -875,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j7_positional_join": q_j7_positional_join,
         "so2_complement": q_so2_complement,
         "mwas_full": q_mwas_full,
+        "mwas_t_only_full": q_mwas_t_only_full,
         "mwas_summary": q_mwas_summary,
         "s13_synthetic_input": q_s13_synthetic_input,
         "dedup_exact": q_dedup_exact,
@@ -901,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "mwas_cohort_welch": _MWAS_ORACLE,
+        "mwas_t_only_full": _MWAS_T_ONLY_FULL_ORACLE,
         "s1_scan_project": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
             FROM lineitem WHERE l_quantity > 30
