@@ -916,6 +916,69 @@ def q_mwas_full(spark, sf_dir):
     )
 
 
+def q_dedup_pipeline(spark, sf_dir):
+    """Composed dedup: exact-collapse → n-gram Jaccard on representatives
+    → exact-group sizes re-attached. The clone-heavy scale path: near-dup
+    cost follows DISTINCT content, not clone count (SCALE.md probe)."""
+    from mwas_rfam_spark.operators.dedup import dedup_pipeline_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_pipeline_pairs(d, n=3, threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"), "n_docs_a", "n_docs_b"
+    )
+
+
+def q_condense_accounting(spark, sf_dir):
+    """S12 — per-bioproject condensation accounting (the reference's
+    conversion_results.csv relational form, converter_.py:72-117)."""
+    from mwas_rfam_spark.operators.condense import condense_accounting
+
+    meta = mwas_metadata_long_from_customer(spark, sf_dir)
+    sets_df, _ = condense_metadata(meta)
+    return condense_accounting(meta, sets_df)
+
+
+def q_ann_recall(spark, sf_dir):
+    """ANN accuracy as a driver-checkable relation: recall@10 of the IVF
+    (k=8, nprobe=3 ≈ 37% scan) and multi-probe LSH (6 planes, 16 of 64
+    buckets = 25% scan) paths against the exact brute-force top-10.
+    Seeded centroids/planes + deterministic data ⇒ deterministic hit
+    counts; the oracle pins the floor (IVF ≥ 8, LSH ≥ 4 — the testdata
+    embeddings are near-random, cosine gap ~0.37 vs 0.25 background,
+    which bounds what sign-projection LSH can recall at this scan
+    fraction)."""
+    import numpy as np
+
+    from mwas_rfam_spark.operators.similarity import (
+        ivf_ann_topk,
+        train_ivf_centroids,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in e.orderBy("vec_id").select("embedding").limit(1).collect()[0]["embedding"]
+    ]
+    exact = brute_force_topk(e, qvec, k=10).select("vec_id")
+    cents = train_ivf_centroids(e, k=8, iters=2)
+    ivf = ivf_ann_topk(e, qvec, cents, k=10, nprobe=3).select("vec_id")
+    planes = np.random.default_rng(42).standard_normal((6, len(qvec))).tolist()
+    lsh = lsh_ann_topk(e, qvec, planes, k=10, n_probes=16).select("vec_id")
+
+    def meets(method: str, approx: DataFrame, floor: int) -> DataFrame:
+        return (
+            approx.join(exact, "vec_id", "left_semi")
+            .agg(F.count("*").alias("n_hits"))
+            .select(
+                F.lit(method).alias("method"),
+                F.lit(10).alias("k"),
+                (F.col("n_hits") >= floor).alias("meets_target"),
+            )
+        )
+
+    return meets("ivf", ivf, 8).unionByName(meets("lsh", lsh, 4))
+
+
 def q_mwas_t_only_full(spark, sf_dir):
     """T3/T4/A12/F1 — the FULL 18-column MWAS output, hash-verified.
 
@@ -1012,6 +1075,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mwas_summary": q_mwas_summary,
         "s13_synthetic_input": q_s13_synthetic_input,
         "dedup_exact": q_dedup_exact,
+        "dedup_pipeline": q_dedup_pipeline,
+        "condense_accounting": q_condense_accounting,
+        "ann_recall": q_ann_recall,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1332,6 +1398,59 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs, min(doc_id) AS keep_id,
                    string_agg(doc_id, ';' ORDER BY doc_id) AS doc_ids
             FROM documents GROUP BY 1
+        """,
+        "dedup_pipeline": """
+            WITH g AS (
+              SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h,
+                     min(doc_id) AS keep_id, count(*) AS n_docs
+              FROM documents GROUP BY 1),
+            reps AS (SELECT d.doc_id, d.text FROM documents d
+                     JOIN g ON d.doc_id = g.keep_id),
+            tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                    FROM reps),
+            sh AS (SELECT DISTINCT doc_id, s FROM (
+                     SELECT doc_id,
+                            unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                     FROM tok)
+                   WHERE s <> ''),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2),
+            jac AS (
+              SELECT id_a, id_b,
+                     round(shared * 1.0 / (x.sz + y.sz - shared), 6) AS jaccard
+              FROM shared JOIN sizes x ON id_a = x.doc_id
+                          JOIN sizes y ON id_b = y.doc_id
+              WHERE shared * 1.0 / (x.sz + y.sz - shared) >= 0.5)
+            SELECT j.id_a, j.id_b, j.jaccard,
+                   ga.n_docs AS n_docs_a, gb.n_docs AS n_docs_b
+            FROM jac j JOIN g ga ON ga.keep_id = j.id_a
+                       JOIN g gb ON gb.keep_id = j.id_b
+        """,
+        "condense_accounting": _MWAS_ORACLE_CTES
+        + """
+            , acc_raw AS (
+              SELECT bp, count(DISTINCT bs) AS n_raw,
+                     count(DISTINCT attribute) AS n_attr
+              FROM meta GROUP BY 1),
+            acc_sets AS (SELECT bp, count(*) AS n_sets FROM sets GROUP BY 1)
+            SELECT r.bp AS bioproject,
+                   r.n_raw AS n_biosamples_raw,
+                   r.n_raw AS n_biosamples_valid,
+                   CAST(0 AS BIGINT) AS n_rows_dropped,
+                   r.n_attr AS n_attributes,
+                   COALESCE(s.n_sets, 0) AS n_sets,
+                   CASE WHEN r.n_raw < 3 THEN 'too_few_biosamples'
+                        WHEN COALESCE(s.n_sets, 0) = 0 THEN 'no_informative_sets'
+                        ELSE 'ok' END AS status
+            FROM acc_raw r LEFT JOIN acc_sets s ON r.bp = s.bp
+        """,
+        "ann_recall": """
+            SELECT 'ivf' AS method, 10 AS k, TRUE AS meets_target
+            UNION ALL
+            SELECT 'lsh' AS method, 10 AS k, TRUE AS meets_target
         """,
         "dedup_ngram_jaccard": """
             WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks

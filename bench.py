@@ -30,14 +30,19 @@ HEADLINE = [
     "a7_signature_dedup",
     "w5_topk_per_group",
     "t1_welch_from_stats",
+    "condense_readable",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_pipeline",
     "dedup_minhash_lsh",
+    "dedup_minhash_md5",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "multimodal_decode",
     "text_stats",
+    "text_winnowing",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "events_hourly",
 ]
 

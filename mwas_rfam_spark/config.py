@@ -34,6 +34,15 @@ class MwasConfig:
     skip_tests: bool = False
     # sentinel replacement: catalog spots == 0 → 1e6 (reference mg:180)
     zero_spots_replacement: float = 1_000_000.0
+    # legacy-generation output parity (old/mwas_rfam.py:100-111,369-370):
+    # numeric ±inf fold change instead of sentinel strings, output sorted
+    # by p-value instead of the main generation's unsorted emit
+    legacy_output: bool = False
+    # guard on the one row-width bound inherited from the problem shape:
+    # the per-(bioproject, group) pooled observed-value vector fed to the
+    # permutation kernel (the reference's analog is its 50 MB metadata
+    # cap, mg:259-322). None disables the check.
+    max_group_observations: int | None = 5_000_000
     # bioprojects excluded from processing (reference conv:11-14, mg:77)
     blacklist: tuple[str, ...] = field(default=())
 

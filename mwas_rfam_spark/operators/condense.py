@@ -143,6 +143,59 @@ def sets_to_readable(sets_df: DataFrame, ref_df: DataFrame) -> DataFrame:
     )
 
 
+def condense_accounting(
+    meta_long: DataFrame,
+    sets_df: DataFrame,
+    min_biosamples: int = 3,
+    blacklist: tuple[str, ...] = (),
+) -> DataFrame:
+    """S12 — per-bioproject condensation accounting, the relational form of
+    the reference's conversion_results.csv / conversion_errors.txt
+    (converter_.py:72-117: one row per file with sizes, time, and a
+    skip/failure comment).
+
+    File sizes and wall time are process artifacts; the relational
+    equivalents are row/attribute/set counts plus a status classifying
+    why a bioproject produced no sets: 'blacklisted' (conv:11-14,28-31),
+    'too_few_biosamples' (conv:38-41: <= 2 rows → empty file),
+    'no_informative_sets' (every attribute constant/key-like — the
+    is_empty path, conv:55-58), else 'ok'.
+
+    Returns (bioproject, n_biosamples_raw, n_biosamples_valid,
+    n_rows_dropped, n_attributes, n_sets, status).
+    """
+    is_valid = F.col("biosample_id").startswith("SAM")
+    raw = meta_long.groupBy("bioproject").agg(
+        F.countDistinct("biosample_id").alias("n_biosamples_raw"),
+        F.countDistinct(F.when(is_valid, F.col("biosample_id"))).alias(
+            "n_biosamples_valid"
+        ),
+        F.countDistinct("attribute").alias("n_attributes"),
+    )
+    nsets = sets_df.groupBy("bioproject").agg(F.count("*").alias("n_sets"))
+    joined = raw.join(nsets, "bioproject", "left").na.fill({"n_sets": 0})
+    blacklisted = (
+        F.col("bioproject").isin(list(blacklist)) if blacklist else F.lit(False)
+    )
+    status = (
+        F.when(blacklisted, F.lit("blacklisted"))
+        .when(F.col("n_biosamples_valid") < min_biosamples, F.lit("too_few_biosamples"))
+        .when(F.col("n_sets") == 0, F.lit("no_informative_sets"))
+        .otherwise(F.lit("ok"))
+    )
+    return joined.select(
+        "bioproject",
+        "n_biosamples_raw",
+        "n_biosamples_valid",
+        (F.col("n_biosamples_raw") - F.col("n_biosamples_valid")).alias(
+            "n_rows_dropped"
+        ),
+        "n_attributes",
+        "n_sets",
+        status.alias("status"),
+    )
+
+
 def expand_sets_to_membership(sets_df: DataFrame) -> DataFrame:
     """Explode condensed sets to (bioproject, set_id, include, biosample_id)
     membership rows — the long relational form used by the cohort-split

@@ -172,6 +172,55 @@ def ngram_jaccard_pairs(
     return verified.select("id_a", "id_b", "jaccard")
 
 
+def dedup_pipeline_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pair_fn=None,
+) -> DataFrame:
+    """Composed dedup: exact-collapse → near-dup on representatives →
+    group sizes re-attached.
+
+    The exact Jaccard join is output-bound on clone-heavy corpora (every
+    clone pair is a result row — SCALE.md measured 4 s → 74 s at 10×
+    clone mass). Collapsing exact duplicate groups FIRST (hash-groupBy,
+    one shuffle) and running the near-dup join only on each group's
+    canonical representative removes that blowup structurally: near-dup
+    cost scales with DISTINCT content, not clone count.
+
+    Returns (id_a, id_b, jaccard, n_docs_a, n_docs_b): one row per
+    representative pair, where n_docs_* are the exact-group sizes — the
+    implicit doc-level pair count is n_docs_a × n_docs_b, deliberately
+    NOT materialized (that would reintroduce the quadratic output).
+    ``pair_fn`` swaps the representative-level matcher (default: exact
+    n-gram Jaccard; any (docs) → (id_a, id_b, jaccard)-shaped operator
+    such as minhash_lsh_pairs_md5 works).
+    """
+    groups = exact_dedup_groups(docs, text_col, id_col)
+    reps = docs.join(
+        groups.select(F.col("keep_id").alias(id_col)), [id_col], "left_semi"
+    )
+    if pair_fn is None:
+        pairs = ngram_jaccard_pairs(reps, n, threshold, text_col, id_col)
+    else:
+        pairs = pair_fn(reps)
+    score_col = pairs.columns[2]
+    gsz = groups.select("keep_id", "n_docs")
+    return (
+        pairs.join(
+            gsz.select(F.col("keep_id").alias("id_a"), F.col("n_docs").alias("n_docs_a")),
+            "id_a",
+        )
+        .join(
+            gsz.select(F.col("keep_id").alias("id_b"), F.col("n_docs").alias("n_docs_b")),
+            "id_b",
+        )
+        .select("id_a", "id_b", score_col, "n_docs_a", "n_docs_b")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 64,

@@ -385,6 +385,32 @@ def run_tests(
         .groupBy("bio_project", "group")
         .agg(F.collect_list("rpm").alias("obs_rpm"))
     )
+    if cfg.max_group_observations is not None:
+        # the pooled vector is the one row bounded by biosamples-per-
+        # bioproject (the reference's 50 MB cap analog) — fail loudly at
+        # the source instead of OOMing inside the Arrow batch
+        group_vals = group_vals.withColumn(
+            "obs_rpm",
+            F.when(
+                F.size("obs_rpm") <= cfg.max_group_observations, F.col("obs_rpm")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("pooled observed-value vector for ("),
+                        F.col("bio_project"),
+                        F.lit(", "),
+                        F.col("group"),
+                        F.lit(") has "),
+                        F.size("obs_rpm").cast("string"),
+                        F.lit(
+                            " elements, over max_group_observations="
+                            f"{cfg.max_group_observations}; raise the cap or "
+                            "pre-aggregate the input"
+                        ),
+                    )
+                ).cast("array<double>")
+            ),
+        )
     # inner: every eligible (bio_project, group) came from group_stats,
     # which is built over the same observed rows as group_vals
     pm = perm_base.select(
@@ -463,12 +489,20 @@ def finalize_results(
     is gated by num_false and vice versa. We reproduce that pre-swap
     gating exactly.
     """
-    from ..functions.scalar import clean_csv_field, log2_fold_change
+    from ..functions.scalar import (
+        clean_csv_field,
+        log2_fold_change,
+        log2_fold_change_numeric,
+    )
 
     significant = F.col("p_value") < cfg.p_value_threshold
+    # legacy generation (old/mwas_rfam.py:100-111) emits numeric ±inf fold
+    # change; the main generation emits the sentinel strings (mg:325-336)
+    fc_fn = log2_fold_change_numeric if cfg.legacy_output else log2_fold_change
+    fc_null = F.lit(None).cast("double" if cfg.legacy_output else "string")
     fold_change = F.when(
-        F.col("status") == "skipped_statistical_testing", F.lit(None).cast("string")
-    ).otherwise(log2_fold_change(F.col("mean_rpm_true"), F.col("mean_rpm_false")))
+        F.col("status") == "skipped_statistical_testing", fc_null
+    ).otherwise(fc_fn(F.col("mean_rpm_true"), F.col("mean_rpm_false")))
 
     # two-branch fanout over `rows` — persist + settle so the shared
     # upstream (including the permutation kernel) runs once, same
@@ -505,7 +539,7 @@ def finalize_results(
         .withColumn("false_biosamples", F.lit(""))
     )
     out = sig.unionByName(rest)
-    return out.select(
+    selected = out.select(
         F.col("bio_project").alias("bioproject"),
         "group",
         clean_csv_field(F.col("attributes")).alias("metadata_field"),
@@ -525,6 +559,12 @@ def finalize_results(
         "true_biosamples",
         "false_biosamples",
     )
+    if cfg.legacy_output:
+        # old/mwas_rfam.py:369-370 sorts the combined output by p-value
+        # (pandas sort_values: NaN/None last); the main generation emits
+        # in processing order
+        selected = selected.orderBy(F.asc_nulls_last("p_value"))
+    return selected
 
 
 # ---------------------------------------------------------------------------

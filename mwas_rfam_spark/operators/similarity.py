@@ -183,20 +183,42 @@ def lsh_ann_topk(
     query_vec: list[float],
     planes: list[list[float]],
     k: int = 10,
+    n_probes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: rank only vectors in the query's LSH bucket.
+    """Approximate top-k: rank only vectors in the query's nearest LSH
+    buckets (multi-probe, Lv et al. VLDB'07).
 
-    The scale path — the bucket equi-filter replaces the full scan; recall
-    is tuned by the number of planes / multi-probe (not implemented here).
+    A single sign-projection bucket misses any neighbor on the other side
+    of ONE hyperplane, so recall collapses as planes grow. Multi-probe
+    also searches the buckets reached by flipping the lowest-|margin|
+    sign bits — the planes the query is closest to — ordered by the sum
+    of flipped margins. The probe list is computed driver-side from the
+    plane dots (tiny); executors still see one pushed-down
+    ``bucket IN (...)`` filter replacing the full scan, ~n_probes/2^planes
+    of the table.
     """
-    bucketed = signed_random_projection_buckets(emb, planes, id_col, vec_col)
     import numpy as _np
+    from itertools import combinations
 
-    qb = "".join(
-        "1" if float(_np.dot(_np.asarray(p), _np.asarray(query_vec))) >= 0 else "0"
-        for p in planes
-    )
-    cand = bucketed.where(F.col("bucket") == qb)
+    dots = [float(_np.dot(_np.asarray(p), _np.asarray(query_vec))) for p in planes]
+    base = ["1" if d >= 0 else "0" for d in dots]
+    margins = [abs(d) for d in dots]
+    # enumerate flip sets of bounded size, cheapest total margin first
+    max_flip = min(len(planes), 3)
+    scored: list[tuple[float, tuple[int, ...]]] = [(0.0, ())]
+    for r in range(1, max_flip + 1):
+        for subset in combinations(range(len(planes)), r):
+            scored.append((sum(margins[i] for i in subset), subset))
+    scored.sort()
+    probes = []
+    for _, subset in scored[:n_probes]:
+        bits = list(base)
+        for i in subset:
+            bits[i] = "0" if bits[i] == "1" else "1"
+        probes.append("".join(bits))
+
+    bucketed = signed_random_projection_buckets(emb, planes, id_col, vec_col)
+    cand = bucketed.where(F.col("bucket").isin(probes))
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)

@@ -194,3 +194,46 @@ def test_small_bioprojects_dropped(spark):
     )
     sets, ref = condense_metadata(melt_wide_metadata(tiny, "PRJTINY"))
     assert ref.count() == 0
+
+
+def test_condense_accounting_statuses(spark):
+    """S12 accounting: ok / too_few_biosamples / no_informative_sets /
+    blacklisted classification plus dropped-row counts."""
+    from mwas_rfam_spark.operators.condense import condense_accounting
+    from mwas_rfam_spark.sources.readers import melt_wide_metadata
+
+    rows = []
+    # P_OK: 4 valid biosamples, informative attribute + 1 invalid id row
+    rows += [(f"SAMA{i}", "x" if i <= 2 else "y") for i in range(1, 5)]
+    rows += [("badid1", "x")]
+    wide_ok = spark.createDataFrame(rows, ["biosample_id", "t1"])
+    # P_FEW: 2 valid biosamples only
+    wide_few = spark.createDataFrame(
+        [("SAMB1", "x"), ("SAMB2", "y")], ["biosample_id", "t1"]
+    )
+    # P_CONST: enough biosamples but a constant attribute (no sets)
+    wide_const = spark.createDataFrame(
+        [(f"SAMC{i}", "same") for i in range(1, 5)], ["biosample_id", "t1"]
+    )
+    meta = (
+        melt_wide_metadata(wide_ok, "P_OK")
+        .unionByName(melt_wide_metadata(wide_few, "P_FEW"))
+        .unionByName(melt_wide_metadata(wide_const, "P_CONST"))
+        .unionByName(melt_wide_metadata(wide_ok, "P_BLACK"))
+    )
+    from mwas_rfam_spark.operators.condense import condense_metadata
+
+    sets_df, _ = condense_metadata(meta)
+    acc = {
+        r["bioproject"]: r
+        for r in condense_accounting(meta, sets_df, blacklist=("P_BLACK",)).collect()
+    }
+    assert acc["P_OK"]["status"] == "ok"
+    assert acc["P_OK"]["n_biosamples_raw"] == 5
+    assert acc["P_OK"]["n_biosamples_valid"] == 4
+    assert acc["P_OK"]["n_rows_dropped"] == 1
+    assert acc["P_OK"]["n_sets"] >= 1
+    assert acc["P_FEW"]["status"] == "too_few_biosamples"
+    assert acc["P_FEW"]["n_sets"] == 0
+    assert acc["P_CONST"]["status"] == "no_informative_sets"
+    assert acc["P_BLACK"]["status"] == "blacklisted"

@@ -101,3 +101,71 @@ def test_explicit_zeros_counts_observed_only(spark, fixture):
     }
     assert all(v == 6 for v in tot_implicit.values()) and tot_implicit
     assert all(v == 4 for v in tot_explicit.values()) and tot_explicit
+
+
+def test_legacy_output_mode(spark, fixture):
+    """legacy_output (old/mwas_rfam.py:100-111,369-370): numeric ±inf fold
+    change instead of sentinel strings, output sorted by p-value."""
+    input_df, catalog_df, sets_df, ref_df = fixture
+    main = run_mwas(
+        input_df, catalog_df, sets_df, ref_df, MwasConfig(t_test_only=True)
+    ).collect()
+    legacy_df = run_mwas(
+        input_df, catalog_df, sets_df, ref_df,
+        MwasConfig(t_test_only=True, legacy_output=True),
+    )
+    assert dict(legacy_df.dtypes)["fold_change"] == "double"
+    legacy = legacy_df.collect()
+    assert len(legacy) == len(main)
+
+    def key(r):
+        return (r["bioproject"], r["group"], r["metadata_field"], r["metadata_value"])
+
+    by_key = {key(r): r for r in legacy}
+    for m in main:
+        l = by_key[key(m)]
+        if m["fold_change"] is None:
+            assert l["fold_change"] is None
+        elif m["fold_change"] == "inf":
+            assert l["fold_change"] == float("inf")
+        elif m["fold_change"] == "negative inf":
+            assert l["fold_change"] == float("-inf")
+        elif m["fold_change"] == "0":
+            assert l["fold_change"] == 0.0
+        else:
+            assert l["fold_change"] == pytest.approx(float(m["fold_change"]))
+    # p-sorted, None/NaN last (pandas sort_values parity)
+    ps = [r["p_value"] for r in legacy]
+    non_null = [p for p in ps if p is not None]
+    assert ps[: len(non_null)] == sorted(non_null)
+    assert all(p is None for p in ps[len(non_null):])
+
+
+def test_max_group_observations_guard(spark, fixture):
+    """The pooled-vector width guard must fail loudly, naming the group,
+    instead of OOMing inside the permutation kernel."""
+    input_df = spark.createDataFrame(
+        [(f"R{i:02d}", "g1", float(3 * i + 1)) for i in range(1, 10)], INPUT_SCHEMA
+    )
+    catalog_df = spark.createDataFrame(
+        [("P9", f"SAMX{i:02d}", f"R{i:02d}", 1_000_000) for i in range(1, 11)],
+        CATALOG_SCHEMA,
+    )
+    wide = spark.createDataFrame(
+        [(f"SAMX{i:02d}", "a" if i <= 5 else "b") for i in range(1, 11)],
+        ["biosample_id", "t1"],
+    )
+    sets_df, ref_df = condense_metadata(melt_wide_metadata(wide, "P9"))
+    with pytest.raises(Exception, match="max_group_observations"):
+        run_mwas(
+            input_df, catalog_df, sets_df, ref_df,
+            MwasConfig(permutation_resamples=100, max_group_observations=3),
+        ).collect()
+    # and the default cap must not trip on the same data
+    assert (
+        run_mwas(
+            input_df, catalog_df, sets_df, ref_df,
+            MwasConfig(permutation_resamples=100),
+        ).count()
+        > 0
+    )

@@ -145,3 +145,23 @@ def test_simhash_bands_guard(docs):
     must be rejected."""
     with pytest.raises(ValueError, match="max_hamming < bands"):
         simhash_near_dup_pairs(docs, max_hamming=4, bands=4)
+
+
+def test_dedup_pipeline_collapses_clones(spark):
+    """Clone-heavy corpus: exact groups collapse before the near-dup join,
+    rep pairs carry the group sizes, and no clone-pair blowup rows."""
+    from mwas_rfam_spark.operators.dedup import dedup_pipeline_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    rows = [(i, base) for i in range(1, 6)]  # 5 exact clones
+    rows += [(i, near) for i in range(6, 9)]  # 3 clones of a near-dup
+    rows += [(9, "completely different content about spark dataframes and shuffles")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup_pipeline_pairs(docs, n=3, threshold=0.5).collect()
+    # exactly ONE rep-level pair (1↔6), not 5×3 doc pairs
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 6)
+    assert (r["n_docs_a"], r["n_docs_b"]) == (5, 3)
+    assert 0.5 <= r["jaccard"] < 1.0

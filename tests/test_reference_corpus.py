@@ -18,9 +18,13 @@ from mwas_rfam_spark.operators.condense import condense_metadata
 from mwas_rfam_spark.sources.readers import melt_wide_metadata
 
 CORPUS_DIR = "/root/reference/main/tests/metadata_set_maker_tests/test_files"
-# small/medium named-failure files (large ones add minutes, same logic)
+# ALL 14 named failure-case files (reference metadata_set_maker_test.py:14
+# names the 4 TEST_* tiers; the rest are the named-bug repro files)
 CORPUS_FILES = [
     "TEST_SMALL--PRJDA67149.csv",
+    "TEST_MEDIUM--PRJDB10214.csv",
+    "TEST_LARGE--PRJDB11622.csv",
+    "TEST--PRJEB37099.csv",
     "TEST_TUBE--PRJNA702085.csv",
     "TEST_PARAGRAPH--PRJNA706648.csv",
     "dup_ex_PRJEB66656.csv",
@@ -29,6 +33,8 @@ CORPUS_FILES = [
     "375_rows_removed--PRJNA1019311.csv",
     "why_were_rows_removed--PRJNA243351.csv",
     "still_graceful_exit_fails--PRJNA642341.csv",
+    "still_fails--PRJNA754385.csv",
+    "large_but_empty--PRJNA893630.csv",
 ]
 
 corpus_available = pytest.mark.skipif(

@@ -98,3 +98,25 @@ def test_result_sinks_round_trip(spark, tmp_path):
     write_results_combined(df, p2)
     csv = spark.read.option("header", True).csv(p2)
     assert csv.count() == 3 and set(csv.columns) == {"bioproject", "k", "v"}
+
+
+def test_lsh_multiprobe_improves_recall(spark, sf_dir):
+    """Multi-probe LSH (Lv et al. VLDB'07): probing the flipped-low-margin
+    buckets must recall at least as much as the single query bucket, and
+    must reach the floor the ann_recall relation pins."""
+    import numpy as np
+
+    from mwas_rfam_spark.operators.similarity import brute_force_topk, lsh_ann_topk
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    qvec = [
+        float(x)
+        for x in e.orderBy("vec_id").select("embedding").limit(1).collect()[0]["embedding"]
+    ]
+    exact = {r["vec_id"] for r in brute_force_topk(e, qvec, k=10).collect()}
+    planes = np.random.default_rng(42).standard_normal((6, len(qvec))).tolist()
+    one = {r["vec_id"] for r in lsh_ann_topk(e, qvec, planes, k=10, n_probes=1).collect()}
+    multi = {r["vec_id"] for r in lsh_ann_topk(e, qvec, planes, k=10, n_probes=16).collect()}
+    assert len(multi & exact) >= len(one & exact)
+    assert len(multi & exact) >= 4
