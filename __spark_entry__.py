@@ -240,7 +240,7 @@ WHERE (sd_t ^ 2 / n_true + sd_f ^ 2 / n_false) > 0
 # include-swap), but the too-many GATES follow the reference's pre-swap
 # sizes (mg:427-432): the match list is gated by n_true when include else
 # n_false, and vice versa.
-_MWAS_T_ONLY_FULL_ORACLE = (
+_T_ONLY_CTES = (
     _MWAS_ORACLE_CTES
     + """
 , skipflags AS (
@@ -275,6 +275,12 @@ final AS (
   FROM fullrows f
   LEFT JOIN matchlists ml ON f.bp = ml.bp AND f.sig = ml.sig
   LEFT JOIN complists cl ON f.bp = cl.bp AND f.sig = cl.sig)
+"""
+)
+
+_MWAS_T_ONLY_FULL_ORACLE = (
+    _T_ONLY_CTES
+    + """
 SELECT bp AS bioproject, grp AS group_name,
        replace(attributes, ',', ' ') AS metadata_field,
        replace(set_values, ',', ' ') AS metadata_value,
@@ -307,6 +313,38 @@ SELECT bp AS bioproject, grp AS group_name,
                  THEN nonmatch_str ELSE 'too many biosamples to list' END
             ELSE '' END AS false_biosamples
 FROM final
+"""
+)
+
+
+# A9 summary aggregates over the t_only relation — every input column is
+# SQL-derivable (runtimes/memory are the constant 0 in t-test mode), so the
+# results-analytics operator itself gets a hash-verified row.
+_MWAS_SUMMARY_T_ONLY_ORACLE = (
+    _T_ONLY_CTES
+    + """
+, summary AS (
+  SELECT bp,
+         count(*) AS number_tests,
+         CAST(0 AS BIGINT) AS number_permutation_tests,
+         count(CASE WHEN skip_tests THEN 1 END) AS number_skipped_tests,
+         count(DISTINCT replace(attributes, ',', ' ') || chr(30) ||
+               replace(set_values, ',', ' ')) AS number_metadata_sets,
+         count(DISTINCT grp) AS number_groups,
+         count(CASE WHEN NOT skip_tests AND vsum > 0 THEN 1 END) AS num_significant
+  FROM final GROUP BY 1)
+SELECT s.bp AS bioproject, s.number_tests, s.number_permutation_tests,
+       s.number_skipped_tests, s.number_metadata_sets, s.number_groups,
+       s.num_significant,
+       CAST(0.0 AS DOUBLE) AS max_runtime,
+       CAST(0.0 AS DOUBLE) AS avg_runtime,
+       CAST(NULL AS DOUBLE) AS avg_perms_runtime,
+       CAST(0.0 AS DOUBLE) AS total_runtime,
+       CAST(0 AS BIGINT) AS max_memory,
+       CAST(0.0 AS DOUBLE) AS avg_memory,
+       CAST(r.n AS BIGINT) AS num_biosamples,
+       CAST(0 AS BIGINT) AS weight
+FROM summary s JOIN ref r ON s.bp = r.bp
 """
 )
 
@@ -916,6 +954,26 @@ def q_mwas_full(spark, sf_dir):
     )
 
 
+def q_mwas_summary_t_only(spark, sf_dir):
+    """A9/S12 — per-bioproject results analytics hash-verified: the same
+    summarize_results plan as mwas_summary, run over the t_test_only
+    relation where every input column is SQL-derivable (the permutation
+    variant stays rows-only because its p-values and telemetry aren't)."""
+    from mwas_rfam_spark.operators.summary import summarize_results
+
+    cfg = MwasConfig(t_test_only=True, p_value_threshold=1.1)
+    meta = mwas_metadata_long_from_customer(spark, sf_dir)
+    sets_df, ref_df = condense_metadata(meta)
+    out = run_mwas(
+        mwas_input_from_events(spark, sf_dir),
+        mwas_catalog_from_orders(spark, sf_dir),
+        sets_df,
+        ref_df,
+        cfg,
+    )
+    return summarize_results(out, ref_df)
+
+
 def q_dedup_pipeline(spark, sf_dir):
     """Composed dedup: exact-collapse → n-gram Jaccard on representatives
     → exact-group sizes re-attached. The clone-heavy scale path: near-dup
@@ -1073,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mwas_full": q_mwas_full,
         "mwas_t_only_full": q_mwas_t_only_full,
         "mwas_summary": q_mwas_summary,
+        "mwas_summary_t_only": q_mwas_summary_t_only,
         "s13_synthetic_input": q_s13_synthetic_input,
         "dedup_exact": q_dedup_exact,
         "dedup_pipeline": q_dedup_pipeline,
@@ -1102,6 +1161,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "mwas_cohort_welch": _MWAS_ORACLE,
         "mwas_t_only_full": _MWAS_T_ONLY_FULL_ORACLE,
+        "mwas_summary_t_only": _MWAS_SUMMARY_T_ONLY_ORACLE,
         "s1_scan_project": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
             FROM lineitem WHERE l_quantity > 30
