@@ -954,6 +954,40 @@ def q_mwas_full(spark, sf_dir):
     )
 
 
+def q_mwas_legacy_full(spark, sf_dir):
+    """Legacy-generation output mode (old/mwas_rfam.py:100-111,369-370)
+    hash-verified: numeric ±inf fold change survives the cross-engine
+    compare directly (both engines print IEEE inf as 'inf'), so unlike
+    mwas_t_only_full no class/value split is needed. The p-sort is a
+    no-op for the order-insensitive hash but exercises the code path."""
+    cfg = MwasConfig(t_test_only=True, p_value_threshold=1.1, legacy_output=True)
+    meta = mwas_metadata_long_from_customer(spark, sf_dir)
+    sets_df, ref_df = condense_metadata(meta)
+    out = run_mwas(
+        mwas_input_from_events(spark, sf_dir),
+        mwas_catalog_from_orders(spark, sf_dir),
+        sets_df,
+        ref_df,
+        cfg,
+    )
+    p_finite = F.col("p_value").isNotNull() & ~F.isnan("p_value")
+    return out.select(
+        "bioproject",
+        F.col("group").alias("group_name"),
+        "metadata_field",
+        "metadata_value",
+        "status",
+        "num_true",
+        "num_false",
+        F.round("mean_rpm_true", 6).alias("mean_rpm_true"),
+        F.round("mean_rpm_false", 6).alias("mean_rpm_false"),
+        F.round("fold_change", 6).alias("fold_change"),
+        F.when(p_finite, F.round("test_statistic", 6)).alias("t_stat"),
+        "true_biosamples",
+        "false_biosamples",
+    )
+
+
 def q_mwas_summary_t_only(spark, sf_dir):
     """A9/S12 — per-bioproject results analytics hash-verified: the same
     summarize_results plan as mwas_summary, run over the t_test_only
@@ -1132,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mwas_t_only_full": q_mwas_t_only_full,
         "mwas_summary": q_mwas_summary,
         "mwas_summary_t_only": q_mwas_summary_t_only,
+        "mwas_legacy_full": q_mwas_legacy_full,
         "s13_synthetic_input": q_s13_synthetic_input,
         "dedup_exact": q_dedup_exact,
         "dedup_pipeline": q_dedup_pipeline,
@@ -1162,6 +1197,35 @@ def oracle_sql() -> dict[str, str]:
         "mwas_cohort_welch": _MWAS_ORACLE,
         "mwas_t_only_full": _MWAS_T_ONLY_FULL_ORACLE,
         "mwas_summary_t_only": _MWAS_SUMMARY_T_ONLY_ORACLE,
+        "mwas_legacy_full": _T_ONLY_CTES
+        + """
+SELECT bp AS bioproject, grp AS group_name,
+       replace(attributes, ',', ' ') AS metadata_field,
+       replace(set_values, ',', ' ') AS metadata_value,
+       CASE WHEN skip_tests THEN 'skipped_statistical_testing'
+            WHEN vsum > 0 THEN 't_test; significant'
+            ELSE 't_test' END AS status,
+       CAST(n_true AS INT) AS num_true,
+       CAST(n_false AS INT) AS num_false,
+       round(mean_t, 6) AS mean_rpm_true,
+       round(mean_f, 6) AS mean_rpm_false,
+       CASE WHEN skip_tests THEN NULL
+            WHEN mean_t = 0 AND mean_f = 0 THEN 0.0
+            WHEN mean_t = 0 THEN CAST('-infinity' AS DOUBLE)
+            WHEN mean_f = 0 THEN CAST('infinity' AS DOUBLE)
+            ELSE round(log2(mean_t / mean_f), 6) END AS fold_change,
+       CASE WHEN NOT skip_tests AND vsum > 0
+            THEN round((mean_t - mean_f) / sqrt(vsum), 6) END AS t_stat,
+       CASE WHEN NOT skip_tests AND vsum > 0 THEN
+            CASE WHEN (CASE WHEN include THEN n_true ELSE n_false END) < 1000
+                 THEN match_str ELSE 'too many biosamples to list' END
+            ELSE '' END AS true_biosamples,
+       CASE WHEN NOT skip_tests AND vsum > 0 THEN
+            CASE WHEN (CASE WHEN include THEN n_false ELSE n_true END) < 1000
+                 THEN nonmatch_str ELSE 'too many biosamples to list' END
+            ELSE '' END AS false_biosamples
+FROM final
+""",
         "s1_scan_project": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
             FROM lineitem WHERE l_quantity > 30
