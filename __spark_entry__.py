@@ -1071,6 +1071,39 @@ def q_ann_recall(spark, sf_dir):
     return meets("ivf", ivf, 8).unionByName(meets("lsh", lsh, 4))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the exact-Jaccard near-dup pairs → per-doc
+    (cluster_id, keep) — the actionable corpus drop list. Iterative
+    min-label propagation on the engine side; recursive-CTE reachability
+    in the oracle."""
+    from mwas_rfam_spark.operators.dedup import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    return dedup_clusters(pairs, docs=d)
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Exact deterministic stratified sample (training-mix primitive):
+    k smallest-md5 rows per label stratum."""
+    from mwas_rfam_spark.plans.sampling import stratified_sample_exact
+
+    e = _t(spark, sf_dir, "embeddings")
+    return stratified_sample_exact(e, "label", 5, "vec_id").select(
+        "vec_id", "label", "sample_rank"
+    )
+
+
+def q_doc_packing(spark, sf_dir):
+    """Concat-then-chunk sequence packing: per-bucket token cumsum over a
+    deterministic hash order; every chunk but each bucket's last is
+    exactly full."""
+    from mwas_rfam_spark.operators.packing import pack_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_documents(d, max_tokens_per_pack=512, n_buckets=64)
+
+
 def q_mwas_t_only_full(spark, sf_dir):
     """T3/T4/A12/F1 — the FULL 18-column MWAS output, hash-verified.
 
@@ -1170,6 +1203,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s13_synthetic_input": q_s13_synthetic_input,
         "dedup_exact": q_dedup_exact,
         "dedup_pipeline": q_dedup_pipeline,
+        "dedup_clusters": q_dedup_clusters,
+        "sample_stratified": q_sample_stratified,
+        "doc_packing": q_doc_packing,
         "condense_accounting": q_condense_accounting,
         "ann_recall": q_ann_recall,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1575,6 +1611,64 @@ FROM final
             SELECT 'ivf' AS method, 10 AS k, TRUE AS meets_target
             UNION ALL
             SELECT 'lsh' AS method, 10 AS k, TRUE AS meets_target
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE
+            tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                    FROM documents),
+            sh AS (SELECT DISTINCT doc_id, s FROM (
+                     SELECT doc_id,
+                            unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                     FROM tok)
+                   WHERE s <> ''),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2),
+            jac AS (SELECT id_a, id_b FROM shared
+                    JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
+                    WHERE shared * 1.0 / (x.sz + y.sz - shared) >= 0.5),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM jac
+                      UNION ALL SELECT id_b, id_a FROM jac),
+            reach(node, origin) AS (
+              SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+              UNION
+              SELECT e.dst, r.origin FROM reach r JOIN edges e ON e.src = r.node),
+            comp AS (SELECT node, min(origin) AS cluster_id FROM reach GROUP BY 1)
+            SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+                   d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS keep
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        """,
+        "sample_stratified": """
+            SELECT vec_id, label, sample_rank
+            FROM (SELECT vec_id, label,
+                         row_number() OVER (PARTITION BY label
+                             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                             AS sample_rank
+                  FROM embeddings)
+            WHERE sample_rank <= 5
+        """,
+        "doc_packing": """
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END
+                         AS n_tokens,
+                     ((strpos('0123456789abcdef',
+                              substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef',
+                                substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 64
+                         AS bucket
+              FROM documents),
+            packed AS (
+              SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+                     sum(n_tokens) OVER (PARTITION BY bucket
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum
+              FROM base)
+            SELECT doc_id, n_tokens, bucket,
+                   bucket * 4294967296 + CAST(ceil(cum / 512.0) AS BIGINT) AS pack_id
+            FROM packed
         """,
         "dedup_ngram_jaccard": """
             WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks

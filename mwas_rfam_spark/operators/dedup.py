@@ -469,6 +469,74 @@ def simhash_near_dup_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, cluster_id, keep).
+
+    cluster_id = the minimum doc id reachable through the pair graph
+    (iterative min-label propagation — each round joins every node's
+    label with its neighbors' and keeps the minimum; converges in
+    O(component diameter) rounds, which for dedup clusters is tiny).
+    ``keep`` marks the canonical representative (doc_id == cluster_id) —
+    the corpus after dedup is exactly the keep=true rows. Docs appearing
+    in no pair (pass ``docs``) are their own singleton clusters.
+
+    This is the step that turns pairwise dedup output into an actionable
+    drop list at corpus scale; the loop is driver-ORCHESTRATED but all
+    data stays distributed (each round: one join + one aggregate;
+    persisted per round, previous round unpersisted; early-exit on a
+    converged count).
+    """
+    edges_f = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges_f.unionByName(
+        edges_f.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
+            )
+        ).persist()
+        n_changed = new_labels.filter(F.col("changed")).count()
+        old = labels
+        labels = new_labels.drop("changed")
+        old.unpersist()
+        if n_changed == 0:
+            break
+    out = labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    if docs is not None:
+        singletons = (
+            docs.select(id_col)
+            .join(out.select(id_col), id_col, "left_anti")
+            .withColumn("cluster_id", F.col(id_col))
+        )
+        out = out.unionByName(singletons)
+    edges.unpersist()
+    return out.withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.98,

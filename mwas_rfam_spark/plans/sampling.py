@@ -41,3 +41,29 @@ def stratified_synthetic_input(catalog_df: DataFrame, per_bucket: int = 2) -> Da
     return runs.select(
         "run", group.alias("group"), quantifier.alias("quantifier")
     )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    k_per_stratum: int,
+    id_col: str,
+) -> DataFrame:
+    """EXACT deterministic stratified sample: the k rows per stratum with
+    the smallest md5(id) — the training-data-mix primitive.
+
+    ``df.sampleBy`` gives only approximate per-stratum fractions and is
+    seed-order sensitive; hash-rank sampling is exact (min(k, |stratum|)
+    rows, always), engine-independent (same rows on any cluster layout,
+    reproducible in ANSI SQL), and stable under resampling — growing k
+    keeps every previously selected row (hash order is a fixed total
+    order per stratum), which is what incremental mix tuning needs.
+    One shuffle (the per-stratum rank window).
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= k_per_stratum)
+    )

@@ -147,3 +147,46 @@ def test_fingerprint_multiset_sensitive(spark):
     a = spark.createDataFrame([("A",), ("B",), ("B",)], ["v"])
     b = spark.createDataFrame([("A",), ("C",), ("C",)], ["v"])
     assert dataframe_fingerprint(a) != dataframe_fingerprint(b)
+
+
+def test_stratified_sample_exact_and_stable(spark):
+    """Exactly k per stratum, and growing k preserves the smaller sample
+    (hash order is a fixed total order)."""
+    from mwas_rfam_spark.plans.sampling import stratified_sample_exact
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(1, 41)], ["id", "lab"]
+    )
+    s2 = stratified_sample_exact(df, "lab", 2, "id").collect()
+    s3 = stratified_sample_exact(df, "lab", 3, "id").collect()
+    by_lab2: dict[str, set] = {}
+    for r in s2:
+        by_lab2.setdefault(r["lab"], set()).add(r["id"])
+    by_lab3: dict[str, set] = {}
+    for r in s3:
+        by_lab3.setdefault(r["lab"], set()).add(r["id"])
+    assert all(len(v) == 2 for v in by_lab2.values())
+    assert all(len(v) == 3 for v in by_lab3.values())
+    for lab, ids in by_lab2.items():
+        assert ids <= by_lab3[lab]  # incremental stability
+
+
+def test_pack_documents_chunking(spark):
+    """Concat-then-chunk invariants: pack ordinals are contiguous from 1
+    per bucket, assignments are deterministic, and a doc's pack ordinal
+    equals ceil(running-token-total / budget) in the bucket hash order."""
+    from mwas_rfam_spark.operators.packing import pack_documents
+
+    rows = [(i, " ".join(["tok"] * (i % 7 + 1))) for i in range(1, 60)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = pack_documents(docs, max_tokens_per_pack=10, n_buckets=4).collect()
+    b = pack_documents(docs, max_tokens_per_pack=10, n_buckets=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    assert sum(r["n_tokens"] for r in a) == sum(i % 7 + 1 for i in range(1, 60))
+    by_bucket: dict[int, list] = {}
+    for r in a:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for bucket, rs in by_bucket.items():
+        ordinals = sorted({r["pack_id"] - bucket * (1 << 32) for r in rs})
+        assert ordinals[0] == 1
+        assert ordinals == list(range(1, len(ordinals) + 1))  # contiguous

@@ -165,3 +165,21 @@ def test_dedup_pipeline_collapses_clones(spark):
     assert (r["id_a"], r["id_b"]) == (1, 6)
     assert (r["n_docs_a"], r["n_docs_b"]) == (5, 3)
     assert 0.5 <= r["jaccard"] < 1.0
+
+
+def test_dedup_clusters_components(spark):
+    """Chained pairs (1-2, 2-3) must merge into one cluster labeled by the
+    min id; docs in no pair are singleton clusters; keep marks reps."""
+    from mwas_rfam_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 0.9), (7, 9, 0.8)], ["id_a", "id_b", "jaccard"]
+    )
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 7, 9)], ["doc_id"])
+    out = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in dedup_clusters(pairs, docs).collect()}
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)
+    assert out[3] == (1, False)  # transitive: 3 reaches 1 through 2
+    assert out[5] == (5, True)  # singleton
+    assert out[7] == (7, True)
+    assert out[9] == (7, False)
