@@ -1071,6 +1071,30 @@ def q_ann_recall(spark, sf_dir):
     return meets("ivf", ivf, 8).unionByName(meets("lsh", lsh, 4))
 
 
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup with LSH sign-bucket blocking — the unlabeled-
+    corpus scale path (no categorical block key needed). Threshold 0.25
+    exercises the machinery on the near-random testdata embeddings (their
+    cosine ceiling is ~0.37); the oracle replicates the same seeded
+    buckets, so candidate generation AND verification are hash-checked."""
+    import numpy as np
+
+    e = _t(spark, sf_dir, "embeddings")
+    planes = np.random.default_rng(7).standard_normal((4, 64)).tolist()
+    return embedding_near_dup_pairs(
+        e, threshold=0.25, block_col=None, planes=planes
+    ).select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
+
+
+def q_text_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-k by term frequency (tokenizer-training
+    primitive): (token, tf, df, rank)."""
+    from mwas_rfam_spark.operators.text import vocabulary_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return vocabulary_topk(d, k=50)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected components over the exact-Jaccard near-dup pairs → per-doc
     (cluster_id, keep) — the actionable corpus drop list. Iterative
@@ -1204,6 +1228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_pipeline": q_dedup_pipeline,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "text_vocab_topk": q_text_vocab_topk,
         "sample_stratified": q_sample_stratified,
         "doc_packing": q_doc_packing,
         "condense_accounting": q_condense_accounting,
@@ -1226,6 +1252,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "events_hourly": q_events_hourly,
     }
+
+
+def _emb_lsh_oracle() -> str:
+    """Sign-bucket blocking with the SAME seeded planes as the query —
+    plane components are emitted as 17-significant-digit literals, which
+    round-trip exactly to the float64 values Spark uses."""
+    import numpy as np
+
+    planes = np.random.default_rng(7).standard_normal((4, 64)).tolist()
+
+    def arr(p):
+        return "CAST([" + ", ".join(repr(float(x)) for x in p) + "] AS DOUBLE[])"
+
+    bits = "\n               || ".join(
+        f"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), {arr(p)}) >= 0"
+        " THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"""
+        WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                          {bits} AS blk
+                   FROM embeddings)
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, c.v), 5) AS cosine
+        FROM b a JOIN b c ON a.blk = c.blk AND a.vec_id < c.vec_id
+        WHERE list_cosine_similarity(a.v, c.v) >= 0.25
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1639,6 +1692,21 @@ FROM final
             SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
                    d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS keep
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        """,
+        "dedup_embedding_lsh": _emb_lsh_oracle(),
+        "text_vocab_topk": """
+            WITH toks AS (
+              SELECT doc_id, t.tok AS token
+              FROM documents,
+                   LATERAL unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(tok)
+              WHERE t.tok <> ''),
+            counts AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+                       FROM toks GROUP BY 1)
+            SELECT token, tf, df, rank
+            FROM (SELECT token, tf, df,
+                         row_number() OVER (ORDER BY tf DESC, token ASC) AS rank
+                  FROM counts)
+            WHERE rank <= 50
         """,
         "sample_stratified": """
             SELECT vec_id, label, sample_rank

@@ -543,19 +543,46 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = "label",
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates, blocked by a coarse key.
 
-    Blocking (default: the label column; at scale an LSH sign-bucket)
-    keeps the self-join off the full cross product. Cosine via
+    Blocking keeps the self-join off the full cross product: either an
+    existing categorical column (``block_col``) or, for unlabeled corpora
+    at scale, an LSH sign-projection bucket (``planes``) — vectors at
+    cosine ≥ 0.98 are ~11.5° apart, so with a handful of hyperplanes they
+    land in the same sign bucket with high probability (each plane
+    separates them with p = angle/π ≈ 0.064). Cosine via
     zip_with/aggregate — JVM higher-order functions, no UDF.
     """
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
+    if planes is not None:
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        vec_col,
+                        F.array(*[F.lit(float(x)) for x in p]),
+                        lambda a, b: a.cast("double") * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for p in planes
+        ]
+        blk = [F.concat(*bits).alias("blk")]
+    elif block_col:
+        blk = [F.col(block_col).alias("blk")]
+    else:
+        blk = [F.lit(0).alias("blk")]
     base = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         norm.alias("nrm"),
-        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
+        *blk,
     )
     a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "blk")
     b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "blk")

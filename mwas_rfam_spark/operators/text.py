@@ -142,3 +142,34 @@ def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def vocabulary_topk(
+    docs: DataFrame,
+    k: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by term frequency with document
+    frequency — the tokenizer-training / stopword-mining primitive.
+
+    (token, tf, df, rank), rank by tf desc then token asc (deterministic).
+    One explode + one groupBy (map-side combine shrinks the exchange to
+    distinct tokens per partition); the global top-k is a window over the
+    already-aggregated vocabulary relation, not the token stream.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("did"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(
+        F.count("*").alias("tf"), F.countDistinct("did").alias("df")
+    )
+    # top-k via orderBy+limit (TakeOrdered — per-partition heaps, no
+    # single-partition shuffle of the full vocabulary); the rank window
+    # then runs over only k rows
+    top = counts.orderBy(F.desc("tf"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

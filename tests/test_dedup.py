@@ -183,3 +183,23 @@ def test_dedup_clusters_components(spark):
     assert out[5] == (5, True)  # singleton
     assert out[7] == (7, True)
     assert out[9] == (7, False)
+
+
+def test_embedding_lsh_blocking(spark):
+    """planes= blocking: near-identical vectors land in one sign bucket
+    and pair up; opposite vectors never share a bucket."""
+    rows = [
+        (1, [1.0, 0.1, 0.0, 0.0]),
+        (2, [0.99, 0.12, 0.0, 0.0]),   # near-dup of 1
+        (3, [-1.0, -0.1, 0.0, 0.0]),   # antipode of 1
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    planes = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.9, block_col=None, planes=planes
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert not any(3 in p for p in pairs)

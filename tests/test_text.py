@@ -54,3 +54,18 @@ def test_fingerprint_stability(spark):
     )
     fps = {r["doc_id"]: r["fingerprint"] for r in text_profile(docs).collect()}
     assert fps[1] == fps[2] != fps[3]
+
+
+def test_vocabulary_topk(spark):
+    from mwas_rfam_spark.operators.text import vocabulary_topk
+
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "the dog runs"), (3, "a cat sleeps")],
+        ["doc_id", "text"],
+    )
+    rows = {r["token"]: r for r in vocabulary_topk(docs, k=3).collect()}
+    assert rows["the"]["tf"] == 3 and rows["the"]["df"] == 2
+    assert rows["the"]["rank"] == 1
+    assert rows["cat"]["tf"] == 2 and rows["cat"]["df"] == 2
+    assert rows["dog"]["tf"] == 2 and rows["dog"]["df"] == 2
+    assert {r["rank"] for r in rows.values()} == {1, 2, 3}
