@@ -134,7 +134,7 @@ def q_mwas_cohort_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MWAS_ORACLE_CTES = """
+_MWAS_CTES_HEAD = """
 WITH nord AS (SELECT max(o_orderkey) AS n FROM orders),
 inp AS (
   SELECT 'R' || CAST((event_id % (SELECT n FROM nord)) + 1 AS VARCHAR) AS run,
@@ -152,7 +152,7 @@ resolved AS (
            / (CASE WHEN c.spots = 0 THEN 1000000 ELSE c.spots END) * 1000000 AS rpm
   FROM inp i JOIN cat c ON i.run = c.run),
 ru AS (SELECT bp, grp, bs, avg(rpm) AS rpm FROM resolved GROUP BY 1, 2, 3),
-meta AS (
+meta0 AS (
   SELECT 'PRJ' || CAST(c_nationkey AS VARCHAR) AS bp,
          'SAM' || CAST(c_custkey AS VARCHAR) AS bs,
          t.attribute, t.attr_pos, t.value
@@ -160,7 +160,18 @@ meta AS (
     ('mktsegment', 0, c_mktsegment),
     ('balance_bucket', 1, CASE WHEN c_acctbal < 0 THEN 'negative'
                                WHEN c_acctbal < 5000 THEN 'low'
-                               ELSE 'high' END)) AS t(attribute, attr_pos, value)),
+                               ELSE 'high' END)) AS t(attribute, attr_pos, value))"""
+
+# the full-metadata chain (standard) and the first-8-biosamples-per-
+# bioproject restriction (the exact-enumeration permutation fixture)
+_META_FULL = ",\nmeta AS (SELECT * FROM meta0)"
+_META_FIRST8 = """,
+keep8 AS (
+  SELECT bp, bs FROM (SELECT DISTINCT bp, bs FROM meta0)
+  QUALIFY row_number() OVER (PARTITION BY bp ORDER BY length(bs), bs) <= 8),
+meta AS (SELECT m.* FROM meta0 m JOIN keep8 k ON m.bp = k.bp AND m.bs = k.bs)"""
+
+_MWAS_CTES_TAIL = """,
 ref AS (SELECT bp, count(DISTINCT bs) AS n FROM meta GROUP BY 1
         HAVING count(DISTINCT bs) >= 3),
 nuniq AS (SELECT bp, attribute, count(DISTINCT value) AS nu FROM meta GROUP BY 1, 2),
@@ -215,6 +226,9 @@ stats AS (
   WHERE n_true >= 2 AND n_false >= 2
     AND NOT (sum_true / n_true = 0 AND sum_false / n_false = 0))
 """
+
+_MWAS_ORACLE_CTES = _MWAS_CTES_HEAD + _META_FULL + _MWAS_CTES_TAIL
+_MWAS_CTES_FIRST8 = _MWAS_CTES_HEAD + _META_FIRST8 + _MWAS_CTES_TAIL
 
 _MWAS_ORACLE = (
     _MWAS_ORACLE_CTES
@@ -954,6 +968,51 @@ def q_mwas_full(spark, sf_dir):
     )
 
 
+def q_mwas_perm_exact(spark, sf_dir):
+    """T2 — the permutation kernel's exact-enumeration regime,
+    hash-verified INCLUDING p-values: metadata restricted to the first 8
+    biosamples per bioproject makes every permutation-eligible cohort a
+    4/4 split of n=8, so C(8,4)=70 <= resamples triggers complete
+    enumeration — p is the exact rational 2*min(ge,le)/70, reproducible
+    by bitmask enumeration in SQL (the randomized regime stays rows-only
+    in mwas_full by nature)."""
+    meta = mwas_metadata_long_from_customer(spark, sf_dir)
+    w = Window.partitionBy("bioproject").orderBy(
+        F.length("biosample_id"), F.col("biosample_id")
+    )
+    keep = (
+        meta.select("bioproject", "biosample_id")
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 8)
+        .drop("rk")
+    )
+    meta8 = meta.join(keep, ["bioproject", "biosample_id"])
+    sets_df, ref_df = condense_metadata(meta8)
+    cfg = MwasConfig(permutation_resamples=100)
+    out = run_mwas(
+        mwas_input_from_events(spark, sf_dir),
+        mwas_catalog_from_orders(spark, sf_dir),
+        sets_df,
+        ref_df,
+        cfg,
+    )
+    return out.filter(F.col("status").startswith("permutation")).select(
+        "bioproject",
+        F.col("group").alias("group_name"),
+        "metadata_field",
+        "metadata_value",
+        "num_true",
+        "num_false",
+        F.round("mean_rpm_true", 6).alias("mean_rpm_true"),
+        F.round("mean_rpm_false", 6).alias("mean_rpm_false"),
+        F.round("sd_rpm_true", 6).alias("sd_rpm_true"),
+        F.round("sd_rpm_false", 6).alias("sd_rpm_false"),
+        F.round("test_statistic", 6).alias("t_stat"),
+        F.round("p_value", 6).alias("p_value"),
+    )
+
+
 def q_mwas_legacy_full(spark, sf_dir):
     """Legacy-generation output mode (old/mwas_rfam.py:100-111,369-370)
     hash-verified: numeric ±inf fold change survives the cross-engine
@@ -1224,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mwas_summary": q_mwas_summary,
         "mwas_summary_t_only": q_mwas_summary_t_only,
         "mwas_legacy_full": q_mwas_legacy_full,
+        "mwas_perm_exact": q_mwas_perm_exact,
         "s13_synthetic_input": q_s13_synthetic_input,
         "dedup_exact": q_dedup_exact,
         "dedup_pipeline": q_dedup_pipeline,
@@ -1252,6 +1312,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "events_hourly": q_events_hourly,
     }
+
+
+# T2 — the permutation test's EXACT-ENUMERATION regime, hash-verified.
+# With metadata restricted to the first 8 biosamples per bioproject, every
+# permutation-eligible cohort is a 4/4 split of n=8 (min cohort 4 forces
+# it), so C(8,4)=70 <= resamples switches the kernel to complete
+# enumeration (functions/stattests.py:227) — and 70 subset sums ARE
+# expressible in SQL as bitmask enumeration. p-values are then exact
+# rationals k/70, identical across engines; the tie tolerance gamma =
+# 1e-14*max(1,|obs|) absorbs the cross-engine ulp noise in subset sums.
+_MWAS_PERM_EXACT_ORACLE = (
+    _MWAS_CTES_FIRST8
+    + """
+, skipflags AS (
+  SELECT bp, grp, count(*) < 3 AS skip_tests FROM resolved GROUP BY 1, 2),
+uni_obs AS (
+  SELECT r.bp, r.grp, r.rpm
+  FROM ru r JOIN uni u ON r.bp = u.bp AND r.bs = u.bs
+  JOIN ref ON r.bp = ref.bp),
+vals AS (
+  SELECT o.bp, o.grp, list_sort(list(o.rpm)) AS obs, any_value(ref.n) AS n
+  FROM uni_obs o JOIN ref ON o.bp = ref.bp GROUP BY 1, 2),
+pooledv AS (
+  SELECT bp, grp, n,
+         list_concat(obs, list_transform(range(1, CAST(n - len(obs) + 1 AS BIGINT)),
+                                         x -> 0.0)) AS pooled
+  FROM vals WHERE n = 8),
+masks AS (
+  SELECT m FROM (SELECT unnest(range(0, 256)) AS m)
+  WHERE ((m >> 0) & 1) + ((m >> 1) & 1) + ((m >> 2) & 1) + ((m >> 3) & 1)
+      + ((m >> 4) & 1) + ((m >> 5) & 1) + ((m >> 6) & 1) + ((m >> 7) & 1) = 4),
+nullstats AS (
+  SELECT p.bp, p.grp, ms.m,
+         sum(CASE WHEN ((ms.m >> (pos.i - 1)) & 1) = 1
+                  THEN p.pooled[pos.i] ELSE 0.0 END) / 4.0
+         - (any_value(p.total)
+            - sum(CASE WHEN ((ms.m >> (pos.i - 1)) & 1) = 1
+                       THEN p.pooled[pos.i] ELSE 0.0 END)) / 4.0 AS stat
+  FROM (SELECT *, list_sum(pooled) AS total FROM pooledv) p
+  CROSS JOIN masks ms
+  CROSS JOIN (SELECT unnest(range(1, 9)) AS i) pos
+  GROUP BY 1, 2, 3),
+rows8 AS (
+  SELECT s.*, (s.mean_t - s.mean_f) AS obs_stat
+  FROM stats s
+  LEFT JOIN skipflags k ON s.bio_project = k.bp AND s.group_name = k.grp
+  WHERE s.n_true = 4 AND s.n_false = 4 AND NOT COALESCE(k.skip_tests, TRUE)),
+counts AS (
+  SELECT r.bio_project, r.group_name, r.attributes, r.set_values,
+         r.n_true, r.n_false, r.mean_t, r.mean_f, r.sd_t, r.sd_f, r.obs_stat,
+         sum(CASE WHEN ns.stat >= r.obs_stat
+                       - 1e-14 * greatest(1.0, abs(r.obs_stat))
+                  THEN 1 ELSE 0 END) AS ge,
+         sum(CASE WHEN ns.stat <= r.obs_stat
+                       + 1e-14 * greatest(1.0, abs(r.obs_stat))
+                  THEN 1 ELSE 0 END) AS le,
+         count(*) AS denom
+  FROM rows8 r JOIN nullstats ns ON r.bio_project = ns.bp AND r.group_name = ns.grp
+  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+SELECT bio_project AS bioproject, group_name,
+       replace(attributes, ',', ' ') AS metadata_field,
+       replace(set_values, ',', ' ') AS metadata_value,
+       CAST(n_true AS INT) AS num_true, CAST(n_false AS INT) AS num_false,
+       round(mean_t, 6) AS mean_rpm_true, round(mean_f, 6) AS mean_rpm_false,
+       round(sd_t, 6) AS sd_rpm_true, round(sd_f, 6) AS sd_rpm_false,
+       round(obs_stat, 6) AS t_stat,
+       round(least(1.0, 2.0 * least(ge, le) / denom), 6) AS p_value
+FROM counts
+"""
+)
 
 
 def _emb_lsh_oracle() -> str:
@@ -1286,6 +1416,7 @@ def oracle_sql() -> dict[str, str]:
         "mwas_cohort_welch": _MWAS_ORACLE,
         "mwas_t_only_full": _MWAS_T_ONLY_FULL_ORACLE,
         "mwas_summary_t_only": _MWAS_SUMMARY_T_ONLY_ORACLE,
+        "mwas_perm_exact": _MWAS_PERM_EXACT_ORACLE,
         "mwas_legacy_full": _T_ONLY_CTES
         + """
 SELECT bp AS bioproject, grp AS group_name,
