@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--blacklist", nargs="*", default=[])
     p.add_argument("--cache-dir", default=None)
     p.add_argument("--output-format", choices=["parquet", "csv"], default="csv")
+    # legacy-generation parity (old/mwas_rfam.py:100-111,369-370)
+    p.add_argument("--legacy-output", action="store_true")
+    # accounting relation (S12, converter_.py:72-117) written next to results
+    p.add_argument("--accounting", action="store_true")
     return p
 
 
@@ -61,6 +65,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         permutation_resamples=args.resamples,
         permutation_seed=args.seed,
         blacklist=tuple(args.blacklist),
+        legacy_output=args.legacy_output,
     )
 
     owns_session = spark is None
@@ -88,6 +93,14 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             write_results_combined(results, args.output)
         else:
             write_results_partitioned(results, args.output, fmt=args.output_format)
+        if args.accounting:
+            from .operators.condense import condense_accounting
+
+            condense_accounting(
+                meta_long, sets_df, blacklist=tuple(args.blacklist)
+            ).write.mode("overwrite").csv(
+                f"{args.output.rstrip('/')}/_accounting", header=True
+            )
         return 0
     finally:
         if owns_session:

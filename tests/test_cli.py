@@ -84,3 +84,43 @@ def test_cli_cached_rerun(spark, tmp_path):
     a = spark.read.option("header", True).csv(str(tmp_path / "o1"))
     b = spark.read.option("header", True).csv(str(tmp_path / "o2"))
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_cli_legacy_and_accounting(spark, tmp_path):
+    input_csv = tmp_path / "in3.csv"
+    with open(input_csv, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["run", "group", "q"])
+        for i in range(1, 7):
+            w.writerow([f"R{i}", "g1", 7.0 * i])
+    catalog = spark.createDataFrame(
+        [("P1", f"SAM0{i}", f"R{i}", 1_000_000) for i in range(1, 7)],
+        "bio_project string, bio_sample string, run string, spots long",
+    )
+    cat_path = str(tmp_path / "cat3")
+    catalog.write.parquet(cat_path)
+    wide = spark.createDataFrame(
+        [(f"SAM0{i}", "a" if i <= 3 else "b") for i in range(1, 7)],
+        ["biosample_id", "t1"],
+    )
+    meta_path = str(tmp_path / "meta3")
+    melt_wide_metadata(wide, "P1").write.parquet(meta_path)
+
+    out = str(tmp_path / "res3")
+    rc = main(
+        [
+            str(input_csv),
+            "--catalog", cat_path,
+            "--metadata-long", meta_path,
+            "--output", out,
+            "--t-test-only",
+            "--legacy-output",
+            "--accounting",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    acc = spark.read.option("header", True).csv(f"{out}/_accounting")
+    rows = {r["bioproject"]: r for r in acc.collect()}
+    assert rows["P1"]["status"] == "ok"
+    assert int(rows["P1"]["n_sets"]) >= 1
