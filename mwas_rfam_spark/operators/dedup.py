@@ -487,9 +487,12 @@ def dedup_clusters(
 
     This is the step that turns pairwise dedup output into an actionable
     drop list at corpus scale; the loop is driver-ORCHESTRATED but all
-    data stays distributed (each round: one join + one aggregate;
-    persisted per round, previous round unpersisted; early-exit on a
-    converged count).
+    data stays distributed (each round: one join + one aggregate), and
+    each round's labels are localCheckpoint'ed — iterative plans
+    otherwise nest the whole previous round's lineage and the plan tree
+    grows exponentially until the driver OOMs just *printing* it (on a
+    real cluster with a checkpoint dir, ``checkpoint()`` gives the same
+    truncation with fault tolerance).
     """
     edges_f = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = edges_f.unionByName(
@@ -500,9 +503,8 @@ def dedup_clusters(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
-    labels.count()
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -518,11 +520,9 @@ def dedup_clusters(
                 ).alias("label"),
                 (F.col("nbr_label") < F.col("label")).alias("changed"),
             )
-        ).persist()
+        ).localCheckpoint()
         n_changed = new_labels.filter(F.col("changed")).count()
-        old = labels
         labels = new_labels.drop("changed")
-        old.unpersist()
         if n_changed == 0:
             break
     out = labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

@@ -203,3 +203,38 @@ def test_embedding_lsh_blocking(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
     assert not any(3 in p for p in pairs)
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    """Property: on a deterministic pseudo-random pair graph, the Spark
+    min-label propagation must equal a plain-Python union-find."""
+    import hashlib
+
+    n = 60
+    edges = []
+    for i in range(1, n + 1):
+        for j in range(i + 1, n + 1):
+            if int(hashlib.md5(f"{i}-{j}".encode()).hexdigest(), 16) % 37 == 0:
+                edges.append((i, j, 1.0))
+    assert edges, "fixture must have edges"
+
+    parent = list(range(n + 1))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in range(1, n + 1)}
+
+    from mwas_rfam_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b", "jaccard"])
+    docs = spark.createDataFrame([(i,) for i in range(1, n + 1)], ["doc_id"])
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs, docs).collect()}
+    assert got == expected
