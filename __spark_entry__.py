@@ -1866,7 +1866,8 @@ FROM final
                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum
               FROM base)
             SELECT doc_id, n_tokens, bucket,
-                   bucket * 4294967296 + CAST(ceil(cum / 512.0) AS BIGINT) AS pack_id
+                   bucket * 4294967296
+                   + greatest(CAST(ceil(cum / 512.0) AS BIGINT), 1) AS pack_id
             FROM packed
         """,
         "dedup_ngram_jaccard": """

@@ -5,8 +5,8 @@ The reference stubs this as a TODO (main/mwas_general.py:564-568,581-584:
 
 * The fingerprint is an ORDER-INDEPENDENT but MULTIPLICITY-SENSITIVE
   aggregate — sum of xxhash64 over every row's canonical column tuple
-  (mod 2^64, via sum of the hash split into two 32-bit halves so the
-  long sum cannot overflow under ANSI), plus the row count — so it is
+  (summed in decimal(38,0) so ANSI overflow can never trip, folded back
+  to 64 bits driver-side), plus the row count — so it is
   stable under repartitioning/shuffling yet distinguishes {A,B,B} from
   {A,C,C} (a bit_xor would cancel any row repeated an even number of
   times, a real hazard in raw observation CSVs). Computes in one

@@ -525,6 +525,15 @@ def dedup_clusters(
         labels = new_labels.drop("changed")
         if n_changed == 0:
             break
+    else:
+        # falling through silently would split one component into several
+        # clusters with multiple keep=true reps — duplicates survive the
+        # drop list. Long chains (templated/serial docs) are exactly the
+        # shape that exceeds small iteration caps.
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_iters={max_iters} "
+            "rounds (a component's diameter exceeds it); raise max_iters"
+        )
     out = labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
     if docs is not None:
         singletons = (
@@ -557,22 +566,34 @@ def embedding_near_dup_pairs(
     """
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
     if planes is not None:
-        bits = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        vec_col,
-                        F.array(*[F.lit(float(x)) for x in p]),
-                        lambda a, b: a.cast("double") * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
+        def _bit(p):
+            dot = F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.array(*[F.lit(float(x)) for x in p]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            # a plane/embedding dimension mismatch null-pads the zip and
+            # nulls the dot; falling through to '0' would silently put
+            # EVERY vector in one bucket — the full cross product the
+            # blocking exists to prevent. Fail fast instead.
+            return (
+                F.when(dot >= 0, F.lit("1"))
+                .when(dot < 0, F.lit("0"))
+                .otherwise(
+                    F.raise_error(
+                        F.lit(
+                            "embedding_near_dup_pairs: plane dimension does "
+                            "not match the embedding dimension (null dot)"
+                        )
+                    ).cast("string")
                 )
-                >= 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0"))
-            for p in planes
-        ]
+            )
+
+        bits = [_bit(p) for p in planes]
         blk = [F.concat(*bits).alias("blk")]
     elif block_col:
         blk = [F.col(block_col).alias("blk")]

@@ -376,12 +376,18 @@ def run_tests(
     # observed = mean_rpm_true - mean_rpm_false comes from the subtraction
     # aggregates, and the null depends only on the group's pooled vector.
     perm_base = base.filter(~F.col("skip_tests") & ~use_t_test)
+    # only permutation-eligible (bio_project, group) pairs need the pooled
+    # vector: the semi-join both avoids the collect_list for t-test-only
+    # groups AND keeps the width guard below from firing on groups whose
+    # vector the kernel would never consume
+    perm_groups = perm_base.select("bio_project", "group").distinct()
     group_vals = (
         rollup.join(
             ref_df.select("bioproject", F.explode("biosamples_ref").alias("bs")),
             (rollup.bio_project == F.col("bioproject"))
             & (rollup.bio_sample == F.col("bs")),
         )
+        .join(perm_groups, ["bio_project", "group"], "left_semi")
         .groupBy("bio_project", "group")
         .agg(F.collect_list("rpm").alias("obs_rpm"))
     )

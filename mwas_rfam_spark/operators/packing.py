@@ -56,9 +56,14 @@ def pack_documents(
     w = Window.partitionBy("bucket").orderBy(
         F.md5(F.col(id_col).cast("string")), F.col(id_col)
     )
+    # greatest(..., 1): a zero-token doc sorting first in its bucket has
+    # cum 0 → ceil 0, which would mint a phantom pack 0 below ordinal 1
     packed = base.withColumn("cum_tokens", F.sum("n_tokens").over(w)).withColumn(
         "pack_in_bucket",
-        F.ceil((F.col("cum_tokens")) / F.lit(max_tokens_per_pack)).cast("long"),
+        F.greatest(
+            F.ceil((F.col("cum_tokens")) / F.lit(max_tokens_per_pack)).cast("long"),
+            F.lit(1).cast("long"),
+        ),
     )
     return packed.select(
         id_col,

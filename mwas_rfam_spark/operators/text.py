@@ -162,7 +162,7 @@ def vocabulary_topk(
 
     toks = docs.select(
         F.col(id_col).alias("did"),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
     ).where(F.col("token") != "")
     counts = toks.groupBy("token").agg(
         F.count("*").alias("tf"), F.countDistinct("did").alias("df")

@@ -178,6 +178,7 @@ def test_pack_documents_chunking(spark):
     from mwas_rfam_spark.operators.packing import pack_documents
 
     rows = [(i, " ".join(["tok"] * (i % 7 + 1))) for i in range(1, 60)]
+    rows += [(i, "") for i in range(60, 80)]  # zero-token docs: no phantom pack 0
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     a = pack_documents(docs, max_tokens_per_pack=10, n_buckets=4).collect()
     b = pack_documents(docs, max_tokens_per_pack=10, n_buckets=4).collect()

@@ -169,3 +169,12 @@ def test_max_group_observations_guard(spark, fixture):
         ).count()
         > 0
     )
+    # with t_test_only the permutation kernel never consumes the vector,
+    # so the width guard must not fire even at an absurdly small cap
+    assert (
+        run_mwas(
+            input_df, catalog_df, sets_df, ref_df,
+            MwasConfig(t_test_only=True, max_group_observations=1),
+        ).count()
+        > 0
+    )

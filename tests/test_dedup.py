@@ -238,3 +238,17 @@ def test_dedup_clusters_matches_union_find(spark):
     docs = spark.createDataFrame([(i,) for i in range(1, n + 1)], ["doc_id"])
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs, docs).collect()}
     assert got == expected
+
+
+def test_embedding_lsh_plane_dim_mismatch_raises(spark):
+    """Mismatched plane dimension must fail fast, not silently collapse
+    all vectors into one bucket (the full cross product)."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    bad_planes = [[1.0, 0.0]]  # dim 2 vs embedding dim 4
+    with pytest.raises(Exception, match="dimension"):
+        embedding_near_dup_pairs(
+            emb, threshold=0.5, block_col=None, planes=bad_planes
+        ).collect()
