@@ -376,26 +376,38 @@ def run_tests(
     # observed = mean_rpm_true - mean_rpm_false comes from the subtraction
     # aggregates, and the null depends only on the group's pooled vector.
     perm_base = base.filter(~F.col("skip_tests") & ~use_t_test)
-    # only permutation-eligible (bio_project, group) pairs need the pooled
-    # vector: the semi-join both avoids the collect_list for t-test-only
-    # groups AND keeps the width guard below from firing on groups whose
-    # vector the kernel would never consume
-    perm_groups = perm_base.select("bio_project", "group").distinct()
+    if cfg.t_test_only:
+        # short-circuit: no row can reach the permutation branch, so don't
+        # build the pooled-vector aggregation at all (Catalyst folds the
+        # false-filtered branch to an empty LocalRelation)
+        perm_base = perm_base.filter(F.lit(False))
     group_vals = (
         rollup.join(
             ref_df.select("bioproject", F.explode("biosamples_ref").alias("bs")),
             (rollup.bio_project == F.col("bioproject"))
             & (rollup.bio_sample == F.col("bs")),
         )
-        .join(perm_groups, ["bio_project", "group"], "left_semi")
         .groupBy("bio_project", "group")
         .agg(F.collect_list("rpm").alias("obs_rpm"))
     )
+    # inner: every eligible (bio_project, group) came from group_stats,
+    # which is built over the same observed rows as group_vals
+    pm = perm_base.select(
+        "bio_project",
+        "group",
+        "set_id",
+        "n_true",
+        "n_false",
+        (F.col("mean_rpm_true") - F.col("mean_rpm_false")).alias("observed"),
+    ).join(group_vals, ["bio_project", "group"], "inner")
     if cfg.max_group_observations is not None:
         # the pooled vector is the one row bounded by biosamples-per-
         # bioproject (the reference's 50 MB cap analog) — fail loudly at
-        # the source instead of OOMing inside the Arrow batch
-        group_vals = group_vals.withColumn(
+        # the source instead of OOMing inside the Arrow batch. The guard
+        # sits AFTER the inner join with the eligible rows, so a job with
+        # no permutation-eligible set in an oversized group never trips
+        # on a vector the kernel would not consume.
+        pm = pm.withColumn(
             "obs_rpm",
             F.when(
                 F.size("obs_rpm") <= cfg.max_group_observations, F.col("obs_rpm")
@@ -417,16 +429,6 @@ def run_tests(
                 ).cast("array<double>")
             ),
         )
-    # inner: every eligible (bio_project, group) came from group_stats,
-    # which is built over the same observed rows as group_vals
-    pm = perm_base.select(
-        "bio_project",
-        "group",
-        "set_id",
-        "n_true",
-        "n_false",
-        (F.col("mean_rpm_true") - F.col("mean_rpm_false")).alias("observed"),
-    ).join(group_vals, ["bio_project", "group"], "inner")
     # one Arrow-batched kernel call per (bio_project, group): the shared
     # permutation-null pass amortizes resampling across all of a group's
     # sets (see _make_grouped_permutation_fn). The explicit repartition
