@@ -191,3 +191,30 @@ def test_pack_documents_chunking(spark):
         ordinals = sorted({r["pack_id"] - bucket * (1 << 32) for r in rs})
         assert ordinals[0] == 1
         assert ordinals == list(range(1, len(ordinals) + 1))  # contiguous
+
+
+def test_t_only_plan_has_no_permutation_kernel(spark):
+    """t_test_only must fold the permutation branch away entirely — no
+    FlatMapGroupsInPandas (the applyInPandas kernel) and no pooled-vector
+    collect_list aggregation in the physical plan."""
+    from mwas_rfam_spark.operators.mwas import run_tests  # noqa: F401 (import check)
+    from mwas_rfam_spark.operators.condense import condense_metadata
+    from mwas_rfam_spark.operators.mwas import run_mwas
+
+    input_df = spark.createDataFrame(
+        [(f"R{i}", "g1", float(10 * i)) for i in range(1, 7)], INPUT_SCHEMA
+    )
+    catalog_df = spark.createDataFrame(
+        [("P1", f"SAM0{i}", f"R{i}", 1_000_000) for i in range(1, 7)], CATALOG_SCHEMA
+    )
+    wide = spark.createDataFrame(
+        [(f"SAM0{i}", "a" if i <= 3 else "b") for i in range(1, 7)],
+        ["biosample_id", "t1"],
+    )
+    sets_df, ref_df = condense_metadata(melt_wide_metadata(wide, "P1"))
+    out = run_mwas(input_df, catalog_df, sets_df, ref_df, MwasConfig(t_test_only=True))
+    plan = _physical(out)
+    assert "FlatMapGroupsInPandas" not in plan
+    # the pooled-vector aggregation must be folded away too (collect_list
+    # still appears legitimately in condense/finalize for member arrays)
+    assert "obs_rpm" not in plan
