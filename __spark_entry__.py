@@ -1130,6 +1130,60 @@ def q_ann_recall(spark, sf_dir):
     return meets("ivf", ivf, 8).unionByName(meets("lsh", lsh, 4))
 
 
+def q_j8_interval_join(spark, sf_dir):
+    """J8 (engine extension — absent in the reference): time-window range
+    join via bucketized equi-join (no theta cross product). Pairs of
+    click/error events within 60 s, rolled up per day."""
+    from mwas_rfam_spark.operators.interval import interval_join_within
+
+    # whole-seconds timeline: the parquet stores nanos, DuckDB surfaces
+    # the column ROUNDED to micros while Spark reads exact nanos — second
+    # granularity puts both engines on identical integers
+    e = _t(spark, sf_dir, "events")  # ts arrives as epoch nanos (see _t)
+    sec = F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long").alias("ts")
+    clicks = e.where(F.col("event_type") == "click").select("event_id", sec)
+    errors = e.where(F.col("event_type") == "error").select("event_id", sec)
+    pairs = interval_join_within(clicks, errors, tolerance=60)
+    day = F.date_trunc("DAY", F.timestamp_seconds(F.col("ts_a")))
+    # sum of integer second deltas is exact cross-engine (an avg of
+    # doubles can flip the last rounded digit with summation order)
+    return pairs.groupBy(day.alias("day")).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("abs_delta").alias("sum_abs_delta_s"),
+    )
+
+
+def q_a11_grouping_sets(spark, sf_dir):
+    """A11 (engine extension): ROLLUP over (status, priority) with
+    grouping_id disambiguating the aggregation level."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "total")
+    )
+
+
+def q_so4_intersect(spark, sf_dir):
+    """SO4 (engine extension): INTERSECT of two derived key sets."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    big_spenders = (
+        o.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("s"))
+        .where(F.col("s") > 100_000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return building.intersect(big_spenders)
+
+
 def q_dedup_embedding_lsh(spark, sf_dir):
     """Embedding near-dup with LSH sign-bucket blocking — the unlabeled-
     corpus scale path (no categorical block key needed). Threshold 0.25
@@ -1277,6 +1331,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "condense_readable": q_condense_readable,
         "j5_sql_api": q_j5_sql_api,
         "j7_positional_join": q_j7_positional_join,
+        "j8_interval_join": q_j8_interval_join,
+        "a11_grouping_sets": q_a11_grouping_sets,
+        "so4_intersect": q_so4_intersect,
         "so2_complement": q_so2_complement,
         "mwas_full": q_mwas_full,
         "mwas_t_only_full": q_mwas_t_only_full,
@@ -1637,6 +1694,35 @@ FROM final
                        AS pos,
                    s_name, round(s_acctbal, 4) AS acctbal
             FROM supplier
+        """,
+        "j8_interval_join": """
+            WITH clicks AS (SELECT event_id, ts FROM events
+                            WHERE event_type = 'click'),
+            errs AS (SELECT event_id, ts FROM events WHERE event_type = 'error'),
+            pairs AS (
+              SELECT epoch_us(c.ts) // 1000000 AS sec_a,
+                     abs(epoch_us(c.ts) // 1000000 - epoch_us(e.ts) // 1000000) AS d
+              FROM clicks c JOIN errs e
+                ON abs(epoch_us(c.ts) // 1000000 - epoch_us(e.ts) // 1000000) <= 60)
+            SELECT CAST(date_trunc('day', to_timestamp(sec_a)) AS TIMESTAMP) AS day,
+                   count(*) AS n_pairs,
+                   CAST(sum(d) AS BIGINT) AS sum_abs_delta_s
+            FROM pairs GROUP BY 1
+        """,
+        "a11_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+                   count(*) AS n, round(sum(o_totalprice), 4) AS total
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "so4_intersect": """
+            SELECT c_custkey AS custkey FROM customer
+            WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT o_custkey AS custkey
+            FROM (SELECT o_custkey, sum(o_totalprice) AS s
+                  FROM orders GROUP BY 1)
+            WHERE s > 100000
         """,
         "so2_complement": """
             SELECT s_nationkey, pos, s_name AS name

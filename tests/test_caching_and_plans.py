@@ -218,3 +218,25 @@ def test_t_only_plan_has_no_permutation_kernel(spark):
     # the pooled-vector aggregation must be folded away too (collect_list
     # still appears legitimately in condense/finalize for member arrays)
     assert "obs_rpm" not in plan
+
+
+def test_interval_join_within(spark):
+    """Bucketized range join equals the naive |ta-tb| <= tol definition,
+    with no duplicate pairs from the bucket expansion."""
+    from mwas_rfam_spark.operators.interval import interval_join_within
+
+    a = spark.createDataFrame([(i, t) for i, t in enumerate([0, 50, 100, 230])], ["id", "ts"])
+    b = spark.createDataFrame([(i, t) for i, t in enumerate([40, 99, 180, 500])], ["id", "ts"])
+    got = {
+        (r["id_a"], r["id_b"], r["abs_delta"])
+        for r in interval_join_within(a, b, tolerance=60).collect()
+    }
+    expected = set()
+    for ia, ta in enumerate([0, 50, 100, 230]):
+        for ib, tb in enumerate([40, 99, 180, 500]):
+            if abs(ta - tb) <= 60:
+                expected.add((ia, ib, abs(ta - tb)))
+    assert got == expected
+    # plan must be an equi-join on the bucket, not a cross product
+    plan = _physical(interval_join_within(a, b, tolerance=60))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
