@@ -1378,7 +1378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # enumeration (functions/stattests.py:227) — and 70 subset sums ARE
 # expressible in SQL as bitmask enumeration. p-values are then exact
 # rationals k/70, identical across engines; the tie tolerance gamma =
-# 1e-14*max(1,|obs|) absorbs the cross-engine ulp noise in subset sums.
+# 1e-14*max(1, |obs|, max|pooled|) absorbs the cross-engine ulp noise in
+# subset sums (same formula as functions/stattests.py).
 _MWAS_PERM_EXACT_ORACLE = (
     _MWAS_CTES_FIRST8
     + """
@@ -1394,14 +1395,15 @@ vals AS (
 pooledv AS (
   SELECT bp, grp, n,
          list_concat(obs, list_transform(range(1, CAST(n - len(obs) + 1 AS BIGINT)),
-                                         x -> 0.0)) AS pooled
+                                         x -> 0.0)) AS pooled,
+         list_max(list_transform(obs, x -> abs(x))) AS pmax
   FROM vals WHERE n = 8),
 masks AS (
   SELECT m FROM (SELECT unnest(range(0, 256)) AS m)
   WHERE ((m >> 0) & 1) + ((m >> 1) & 1) + ((m >> 2) & 1) + ((m >> 3) & 1)
       + ((m >> 4) & 1) + ((m >> 5) & 1) + ((m >> 6) & 1) + ((m >> 7) & 1) = 4),
 nullstats AS (
-  SELECT p.bp, p.grp, ms.m,
+  SELECT p.bp, p.grp, ms.m, any_value(p.pmax) AS pmax,
          sum(CASE WHEN ((ms.m >> (pos.i - 1)) & 1) = 1
                   THEN p.pooled[pos.i] ELSE 0.0 END) / 4.0
          - (any_value(p.total)
@@ -1420,10 +1422,10 @@ counts AS (
   SELECT r.bio_project, r.group_name, r.attributes, r.set_values,
          r.n_true, r.n_false, r.mean_t, r.mean_f, r.sd_t, r.sd_f, r.obs_stat,
          sum(CASE WHEN ns.stat >= r.obs_stat
-                       - 1e-14 * greatest(1.0, abs(r.obs_stat))
+                       - 1e-14 * greatest(1.0, abs(r.obs_stat), ns.pmax)
                   THEN 1 ELSE 0 END) AS ge,
          sum(CASE WHEN ns.stat <= r.obs_stat
-                       + 1e-14 * greatest(1.0, abs(r.obs_stat))
+                       + 1e-14 * greatest(1.0, abs(r.obs_stat), ns.pmax)
                   THEN 1 ELSE 0 END) AS le,
          count(*) AS denom
   FROM rows8 r JOIN nullstats ns ON r.bio_project = ns.bp AND r.group_name = ns.grp

@@ -217,6 +217,10 @@ def grouped_permutation_mean_diff(
     pooled = np.asarray(pooled, dtype=np.float64)
     n = pooled.shape[0]
     total = pooled.sum()
+    # tie tolerance scale: |obs| alone fails under catastrophic
+    # cancellation (huge near-equal values -> tiny obs, but subset-sum
+    # noise scales with the VALUES); include the pooled magnitude
+    absmax = float(np.max(np.abs(pooled))) if n else 0.0
     m = len(n_xs)
     out = np.empty(m, dtype=np.float64)
 
@@ -229,7 +233,7 @@ def grouped_permutation_mean_diff(
                 exact_cache[n_x] = _exact_null_mean_diff(pooled, n_x)
             null = exact_cache[n_x]
             obs = float(observeds[i])
-            gamma = 1e-14 * max(1.0, abs(obs))
+            gamma = 1e-14 * max(1.0, abs(obs), absmax)
             p_ge = np.count_nonzero(null >= obs - gamma) / null.shape[0]
             p_le = np.count_nonzero(null <= obs + gamma) / null.shape[0]
             out[i] = min(1.0, 2.0 * min(p_ge, p_le))
@@ -265,7 +269,7 @@ def grouped_permutation_mean_diff(
                 sum_x = pref[:, col_of[n_x]]
                 null = sum_x / n_x - (total - sum_x) / (n - n_x)
                 obs = float(observeds[i])
-                gamma = 1e-14 * max(1.0, abs(obs))
+                gamma = 1e-14 * max(1.0, abs(obs), absmax)
                 ge[j] += np.count_nonzero(null >= obs - gamma)
                 le[j] += np.count_nonzero(null <= obs + gamma)
             done += k
@@ -308,8 +312,11 @@ def permutation_test_mean_diff(
             rng = np.random.default_rng(rng)
         null = _random_null_mean_diff(pooled, n_x, n_resamples, rng)
 
-    # tolerance for ties at the observed value (scipy uses a relative gamma)
-    gamma = 1e-14 * max(1.0, abs(observed))
+    # tolerance for ties at the observed value (scipy uses a relative
+    # gamma on |obs|; ours also scales with the pooled magnitude so the
+    # observed split's own null value always lands inside the band even
+    # when obs is a tiny difference of huge values)
+    gamma = 1e-14 * max(1.0, abs(observed), float(np.max(np.abs(pooled))) if pooled.size else 0.0)
     if exact:
         denom = null.shape[0]
         adj = 0

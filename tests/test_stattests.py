@@ -88,7 +88,7 @@ def test_permutation_exact_brute_force():
         m[list(comb)] = True
         null.append(pooled[m].mean() - pooled[~m].mean())
     null = np.array(null)
-    gamma = 1e-14 * max(1, abs(obs))
+    gamma = 1e-14 * max(1, abs(obs), float(np.abs(pooled).max()))
     p_ge = (null >= obs - gamma).sum() / 70
     p_le = (null <= obs + gamma).sum() / 70
     expect = min(1.0, 2 * min(p_ge, p_le))
