@@ -1208,6 +1208,37 @@ def q_text_vocab_topk(spark, sf_dir):
     return vocabulary_topk(d, k=50)
 
 
+def q_dedup_quality(spark, sf_dir):
+    """Quality gate for the engine-only (xxhash64) dedup variants, in the
+    ann_recall mold: both MinHash-LSH and SimHash are deterministic, so
+    their recall of the exact-Jaccard >= 0.7 pair set is a fixed number
+    the oracle can pin as a boolean floor (the md5 twins are already
+    value-hash-verified; this pins the throughput variants too)."""
+    d = _t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(d, n=3, threshold=0.7).select("id_a", "id_b")
+    mh = minhash_lsh_pairs(d, num_hashes=64, bands=16, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    # Hamming <= 7 of 64 bits ≈ cosine of the Jaccard-0.7 token overlap
+    # (64·angle/π) — the radius at which SimHash is EXPECTED to recover
+    # Jaccard-0.7 pairs (measured 96-100% here; <= 3 is a much stricter
+    # notion and recalls only ~60-75%)
+    sh = simhash_near_dup_pairs(d, max_hamming=7, bands=8).select("id_a", "id_b")
+
+    def gate(method: str, found: DataFrame) -> DataFrame:
+        hits = found.join(exact, ["id_a", "id_b"], "left_semi").agg(
+            F.count("*").alias("n_hits")
+        )
+        total = exact.agg(F.count("*").alias("n_exact"))
+        return hits.crossJoin(total).select(
+            F.lit(method).alias("method"),
+            # >= 90% of true high-similarity pairs must be recovered
+            (F.col("n_hits") >= F.ceil(F.col("n_exact") * 0.9)).alias("meets_target"),
+        )
+
+    return gate("minhash_lsh", mh).unionByName(gate("simhash", sh))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected components over the exact-Jaccard near-dup pairs → per-doc
     (cluster_id, keep) — the actionable corpus drop list. Iterative
@@ -1351,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_packing": q_doc_packing,
         "condense_accounting": q_condense_accounting,
         "ann_recall": q_ann_recall,
+        "dedup_quality": q_dedup_quality,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1883,6 +1915,11 @@ FROM final
             SELECT 'ivf' AS method, 10 AS k, TRUE AS meets_target
             UNION ALL
             SELECT 'lsh' AS method, 10 AS k, TRUE AS meets_target
+        """,
+        "dedup_quality": """
+            SELECT 'minhash_lsh' AS method, TRUE AS meets_target
+            UNION ALL
+            SELECT 'simhash' AS method, TRUE AS meets_target
         """,
         "dedup_clusters": """
             WITH RECURSIVE
