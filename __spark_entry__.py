@@ -1208,6 +1208,28 @@ def q_text_vocab_topk(spark, sf_dir):
     return vocabulary_topk(d, k=50)
 
 
+def q_dedup_first_seen(spark, sf_dir):
+    """Batch analog of streaming_exact_dedup's keep-first semantics: one
+    surviving doc per content hash, earliest event-time wins (doc_id
+    tie-break) — verifies the same keep-the-first rule the watermarked
+    dropDuplicatesWithinWatermark path applies incrementally."""
+    from mwas_rfam_spark.operators.dedup import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "events").select("event_id", "ts")
+    # deterministic per-doc event time: pair doc_id with an event row
+    with_ts = d.join(e, d.doc_id == e.event_id, "inner").select(
+        "doc_id", "text", F.floor(F.col("ts") / 1_000_000_000).cast("long").alias("ts_s")
+    )
+    hashed = with_ts.withColumn("content_hash", F.md5(normalize_text(F.col("text"))))
+    w = Window.partitionBy("content_hash").orderBy(F.asc("ts_s"), F.asc("doc_id"))
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("content_hash", "doc_id", "ts_s")
+    )
+
+
 def q_dedup_quality(spark, sf_dir):
     """Quality gate for the engine-only (xxhash64) dedup variants, in the
     ann_recall mold: both MinHash-LSH and SimHash are deterministic, so
@@ -1383,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "condense_accounting": q_condense_accounting,
         "ann_recall": q_ann_recall,
         "dedup_quality": q_dedup_quality,
+        "dedup_first_seen": q_dedup_first_seen,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1920,6 +1943,22 @@ FROM final
             SELECT 'minhash_lsh' AS method, TRUE AS meets_target
             UNION ALL
             SELECT 'simhash' AS method, TRUE AS meets_target
+        """,
+        "dedup_first_seen": """
+            WITH with_ts AS (
+              SELECT d.doc_id, d.text, epoch_us(e.ts) // 1000000 AS ts_s
+              FROM documents d JOIN events e ON d.doc_id = e.event_id),
+            hashed AS (
+              SELECT doc_id, ts_s,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                         AS content_hash
+              FROM with_ts)
+            SELECT content_hash, doc_id, ts_s
+            FROM (SELECT content_hash, doc_id, ts_s,
+                         row_number() OVER (PARTITION BY content_hash
+                             ORDER BY ts_s ASC, doc_id ASC) AS rn
+                  FROM hashed)
+            WHERE rn = 1
         """,
         "dedup_clusters": """
             WITH RECURSIVE
