@@ -743,10 +743,15 @@ def q_so2_complement(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    """Exact dedup groups by content hash."""
+    """Exact dedup groups by content hash; member list capped at 4 ids
+    with an overflow marker (the unbounded per-group array is opt-in)."""
     d = _t(spark, sf_dir, "documents")
-    return exact_dedup_groups(d).select(
-        "content_hash", "n_docs", "keep_id", F.array_join("doc_ids", ";").alias("doc_ids")
+    return exact_dedup_groups(d, doc_ids_cap=4).select(
+        "content_hash",
+        "n_docs",
+        "keep_id",
+        F.array_join("doc_ids", ";").alias("doc_ids"),
+        "doc_ids_truncated",
     )
 
 
@@ -861,30 +866,26 @@ def q_multimodal_audio(spark, sf_dir):
     )
 
 
-def q_text_stats(spark, sf_dir):
-    """Token counting, punctuation ratio, prefix fingerprint."""
-    d = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
-    t = F.col("text")
-    return d.select(
-        "doc_id",
-        token_count(t).alias("n_tokens"),
-        F.length(t).cast("long").alias("n_chars_calc"),
-        F.round(punct_ratio(t), 6).alias("punct_ratio"),
-        fingerprint(t).alias("fingerprint"),
-    )
-
-
 def q_text_lang_quality(spark, sf_dir):
-    """Heuristic language ID + quality score + BPE-ish token count
-    (engine-only heuristics)."""
-    from mwas_rfam_spark.operators.text import bpe_ish_token_count
+    """Full per-document text profile — token counts (whitespace + BPE-ish),
+    punctuation/stopword ratios, mean token length, quality score, heuristic
+    language ID, prefix fingerprint — in a single-split plan (text is
+    tokenized once; absorbed the former `text_stats` entry)."""
+    from mwas_rfam_spark.operators.text import text_profile
 
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
+    d = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    p = text_profile(d)
+    return p.select(
         "doc_id",
-        lang_id(F.col("text")).alias("lang_pred"),
-        F.round(quality_score(F.col("text")), 6).alias("quality"),
-        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        "n_tokens",
+        "n_pieces",
+        "n_chars",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+        F.round("quality", 6).alias("quality"),
+        "lang_pred",
+        "fingerprint",
     )
 
 
@@ -1415,7 +1416,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
-        "text_stats": q_text_stats,
         "text_lang_quality": q_text_lang_quality,
         "text_winnowing": q_text_winnowing,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1883,7 +1883,8 @@ FROM final
         "dedup_exact": """
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
                    count(*) AS n_docs, min(doc_id) AS keep_id,
-                   string_agg(doc_id, ';' ORDER BY doc_id) AS doc_ids
+                   array_to_string(list_slice(list_sort(list(doc_id)), 1, 4), ';') AS doc_ids,
+                   count(*) > 4 AS doc_ids_truncated
             FROM documents GROUP BY 1
         """,
         "dedup_pipeline": """
@@ -2052,17 +2053,6 @@ FROM final
             FROM shared JOIN sizes x ON id_a = x.doc_id JOIN sizes y ON id_b = y.doc_id
             WHERE shared * 1.0 / (x.sz + y.sz - shared) >= 0.5
         """,
-        "text_stats": """
-            SELECT doc_id,
-                   CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
-                   length(text) AS n_chars_calc,
-                   round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
-                         * 1.0 / length(text), 6) AS punct_ratio,
-                   md5(array_to_string(list_slice(
-                       string_split_regex(trim(lower(text)), '\\s+'), 1, 16), ' ')) AS fingerprint
-            FROM documents WHERE length(text) > 0
-        """,
         "text_lang_quality": """
             WITH base AS (
               SELECT doc_id, text,
@@ -2072,7 +2062,7 @@ FROM final
                      length(text) AS n_chars,
                      length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
                          AS n_punct
-              FROM documents),
+              FROM documents WHERE length(text) > 0),
             hits AS (
               SELECT *,
                 len(list_filter(toks, t -> list_contains(
@@ -2093,16 +2083,25 @@ FROM final
                           ELSE 'de' END AS lang_pred,
                      CASE WHEN len(toks) > 0 THEN h_en * 1.0 / len(toks)
                           ELSE 0.0 END AS stop_ratio,
+                     CASE WHEN len(toks) > 0 THEN
+                          list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks)
+                          ELSE 0.0 END AS mtl,
                      CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars
                           ELSE 0.0 END AS pr
               FROM hits)
-            SELECT doc_id, lang_pred,
+            SELECT doc_id, n_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                       AS n_pieces,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   round(pr, 6) AS punct_ratio,
+                   round(stop_ratio, 6) AS stopword_ratio,
+                   round(mtl, 6) AS mean_token_len,
                    round((least(n_tokens / 50.0, 1.0)
                           + least(stop_ratio * 5.0, 1.0)
                           + (1.0 - least(pr * 10.0, 1.0))) / 3.0, 6) AS quality,
-                   CAST(len(regexp_extract_all(text,
-                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
-                       AS n_bpe_tokens
+                   lang_pred,
+                   md5(array_to_string(list_slice(toks, 1, 16), ' ')) AS fingerprint
             FROM scored
         """,
         "text_winnowing": """

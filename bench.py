@@ -39,7 +39,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "multimodal_decode",
-    "text_stats",
+    "text_lang_quality",
     "text_winnowing",
     "ann_cosine_topk",
     "ann_ivf_topk",

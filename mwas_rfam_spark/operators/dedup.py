@@ -22,20 +22,42 @@ def normalize_text(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
-def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_dedup_groups(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    doc_ids_cap: int | None = None,
+) -> DataFrame:
     """Exact duplicate groups by md5 of normalized text (hash-groupBy).
 
-    Returns (content_hash, n_docs, keep_id, doc_ids) — keep_id is the
-    minimum id (deterministic canonical representative).
+    Returns (content_hash, n_docs, keep_id) — keep_id is the minimum id
+    (deterministic canonical representative). The full member list is NOT
+    emitted by default: at corpus scale a pathological hash group
+    (billions of identical boilerplate docs) would make one row own an
+    unbounded array. Pass ``doc_ids_cap=k`` to add ``doc_ids`` (the k
+    smallest member ids) plus a ``doc_ids_truncated`` marker; ids beyond
+    the cap are pre-filtered by a rank window that shares the groupBy's
+    hash exchange, so the aggregation buffer is bounded by k — they are
+    never collected then sliced.
     """
-    return (
-        docs.select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("content_hash"))
-        .groupBy("content_hash")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.min(id_col).alias("keep_id"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+    hashed = docs.select(
+        F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    )
+    if doc_ids_cap is None:
+        return hashed.groupBy("content_hash").agg(
+            F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id")
         )
+    if doc_ids_cap < 1:
+        raise ValueError(f"doc_ids_cap must be >= 1, got {doc_ids_cap}")
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    ranked = hashed.withColumn("__rk", F.row_number().over(w))
+    return ranked.groupBy("content_hash").agg(
+        F.count("*").alias("n_docs"),
+        F.min(id_col).alias("keep_id"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("__rk") <= doc_ids_cap, F.col(id_col)))
+        ).alias("doc_ids"),
+        (F.count("*") > doc_ids_cap).alias("doc_ids_truncated"),
     )
 
 

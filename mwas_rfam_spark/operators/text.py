@@ -42,17 +42,24 @@ def punct_ratio(text_col: Column) -> Column:
     return F.when(F.length(text_col) > 0, n_punct / F.length(text_col)).otherwise(F.lit(0.0))
 
 
-def stopword_ratio(text_col: Column, lang: str = "en") -> Column:
+def _stopword_ratio_from(ltoks: Column, lang: str = "en") -> Column:
+    """stopword_ratio over an already-materialized lowercase token array."""
     markers = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
-    toks = tokens(F.lower(text_col))
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
-    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+    hits = F.size(F.filter(ltoks, lambda t: F.array_contains(markers, t)))
+    return F.when(F.size(ltoks) > 0, hits / F.size(ltoks)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text_col: Column, lang: str = "en") -> Column:
+    return _stopword_ratio_from(tokens(F.lower(text_col)), lang)
+
+
+def _mean_token_length_from(toks: Column) -> Column:
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
 
 
 def mean_token_length(text_col: Column) -> Column:
-    toks = tokens(text_col)
-    total = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
-    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+    return _mean_token_length_from(tokens(text_col))
 
 
 def quality_score(text_col: Column) -> Column:
@@ -64,16 +71,13 @@ def quality_score(text_col: Column) -> Column:
     return (length_term + stop_term + punct_term) / 3.0
 
 
-def lang_id(text_col: Column) -> Column:
-    """Heuristic language ID: argmax of marker-stopword hit counts,
-    'und' (undetermined) when no marker hits at all."""
-    toks = tokens(F.lower(text_col))
+def _lang_id_from(ltoks: Column) -> Column:
     scores = []
     for lang, words in _LANG_MARKERS.items():
         markers = F.array(*[F.lit(w) for w in words])
         scores.append(
             F.struct(
-                F.size(F.filter(toks, lambda t: F.array_contains(markers, t))).alias("hits"),
+                F.size(F.filter(ltoks, lambda t: F.array_contains(markers, t))).alias("hits"),
                 F.lit(lang).alias("lang"),
             )
         )
@@ -81,11 +85,20 @@ def lang_id(text_col: Column) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def lang_id(text_col: Column) -> Column:
+    """Heuristic language ID: argmax of marker-stopword hit counts,
+    'und' (undetermined) when no marker hits at all."""
+    return _lang_id_from(tokens(F.lower(text_col)))
+
+
+def _fingerprint_from(ltoks: Column, prefix_tokens: int = 16) -> Column:
+    return F.md5(F.concat_ws(" ", F.slice(ltoks, 1, prefix_tokens)))
+
+
 def fingerprint(text_col: Column, prefix_tokens: int = 16) -> Column:
     """Deterministic document fingerprint: md5 over the normalized leading
     token window (rolling-hash-style prefix signature)."""
-    toks = tokens(F.lower(text_col))
-    return F.md5(F.concat_ws(" ", F.slice(toks, 1, prefix_tokens)))
+    return _fingerprint_from(tokens(F.lower(text_col)), prefix_tokens)
 
 
 def winnowing_fingerprints(
@@ -128,19 +141,48 @@ def winnowing_fingerprints(
 
 
 def text_profile(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """One-pass profile table: all text metrics per document."""
+    """One-pass profile table: all text metrics per document.
+
+    The document is tokenized exactly ONCE: a lower projection materializes
+    the whitespace split, the next one its lowercased mirror (a cheap
+    ``transform`` over the existing array, not a second split), and every
+    metric consumes those arrays. Catalyst's CollapseProject declines to
+    inline a non-cheap alias referenced more than once, so the optimized
+    plan keeps a single ``split`` — asserted by tests/test_text.py.
+    (Previously each of the 6 token metrics re-split the full text.)
+    """
     t = F.col(text_col)
-    return docs.select(
+    toks, ltoks = F.col("__toks"), F.col("__ltoks")
+    staged = docs.select(
+        F.col(id_col), t.alias("__text"), tokens(t).alias("__toks")
+    ).select(
+        F.col(id_col), "__text", "__toks",
+        F.transform(toks, F.lower).alias("__ltoks"),
+    )
+    t = F.col("__text")
+    metrics = staged.select(
         F.col(id_col),
-        token_count(t).alias("n_tokens"),
+        F.when(F.length(F.trim(t)) == 0, F.lit(0))
+        .otherwise(F.size(toks)).cast("long").alias("n_tokens"),
         bpe_ish_token_count(t).alias("n_pieces"),
         F.length(t).cast("long").alias("n_chars"),
         punct_ratio(t).alias("punct_ratio"),
-        stopword_ratio(t).alias("stopword_ratio"),
-        mean_token_length(t).alias("mean_token_len"),
-        quality_score(t).alias("quality"),
-        lang_id(t).alias("lang_pred"),
-        fingerprint(t).alias("fingerprint"),
+        _stopword_ratio_from(ltoks).alias("stopword_ratio"),
+        _mean_token_length_from(ltoks).alias("mean_token_len"),
+        _lang_id_from(ltoks).alias("lang_pred"),
+        _fingerprint_from(ltoks).alias("fingerprint"),
+    )
+    # quality references three sibling metrics, so it lives one projection
+    # up where they are plain attributes (no expression duplication)
+    quality = (
+        F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
+        + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
+        + (F.lit(1.0) - F.least(F.col("punct_ratio") * 10.0, F.lit(1.0)))
+    ) / 3.0
+    return metrics.withColumn("quality", quality).select(
+        id_col, "n_tokens", "n_pieces", "n_chars", "punct_ratio",
+        "stopword_ratio", "mean_token_len", "quality", "lang_pred",
+        "fingerprint",
     )
 
 

@@ -33,7 +33,31 @@ def test_exact_dedup_groups(docs):
     by_n = {r["n_docs"]: r for r in groups}
     assert len(groups) == 4  # 1+2 merge; 3,4,5 alone
     assert by_n[2]["keep_id"] == 1
-    assert by_n[2]["doc_ids"] == [1, 2]
+    # the unbounded member array is opt-in; default schema is bounded
+    assert "doc_ids" not in groups[0].asDict()
+
+
+def test_exact_dedup_doc_ids_cap(spark):
+    """Clone bomb: one content hash owning the whole corpus must NOT
+    produce an unbounded doc_ids array — the cap bounds both the output
+    row and the aggregation buffer (ids beyond the cap are rank-filtered
+    before collect_list, not collected then sliced)."""
+    clones = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.lit("same boilerplate text").alias("text")
+    )
+    row = exact_dedup_groups(clones, doc_ids_cap=8).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["n_docs"] == 10_000
+    assert r["keep_id"] == 0
+    assert r["doc_ids"] == list(range(8))
+    assert r["doc_ids_truncated"] is True
+
+    plan = exact_dedup_groups(clones, doc_ids_cap=8)._jdf.queryExecution().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+    with pytest.raises(ValueError):
+        exact_dedup_groups(clones, doc_ids_cap=0)
 
 
 def test_word_shingles_count(docs):

@@ -56,6 +56,17 @@ def test_fingerprint_stability(spark):
     assert fps[1] == fps[2] != fps[3]
 
 
+def test_text_profile_single_split(spark):
+    """The profile must tokenize each document exactly once: one `split`
+    (the whitespace tokenizer) and one `transform` (its lowercased mirror)
+    in the optimized plan. Guards against CollapseProject re-inlining the
+    tokenizer into every metric (the 5-splits-per-document regression)."""
+    docs = spark.createDataFrame(ROWS, ["doc_id", "text"])
+    plan = text_profile(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, plan
+    assert plan.count("transform(") == 1, plan
+
+
 def test_vocabulary_topk(spark):
     from mwas_rfam_spark.operators.text import vocabulary_topk
 
