@@ -46,10 +46,21 @@ def dataframe_fingerprint(df: DataFrame) -> str:
     return f"{(hs & 0xFFFFFFFFFFFFFFFF):016x}-{out['n']}"
 
 
-def mwas_cache_key(input_df: DataFrame, cfg: MwasConfig) -> str:
-    """Fingerprint of (input relation, config) — the unit of result reuse."""
-    cfg_hash = hashlib.sha256(repr(cfg).encode()).hexdigest()[:16]
-    return f"{dataframe_fingerprint(input_df)}-{cfg_hash}"
+def mwas_cache_key(
+    input_df: DataFrame,
+    cfg: MwasConfig,
+    *side_inputs: DataFrame,
+) -> str:
+    """Fingerprint of (input relation, config, every side relation) — the
+    unit of result reuse. The side inputs (catalog, metadata sets,
+    biosample reference) MUST participate: a changed catalog with the
+    same input CSV is a different result, and keying on the input alone
+    would silently serve the stale one. Their fingerprints are folded
+    into one sha256 alongside the config."""
+    h = hashlib.sha256(repr(cfg).encode())
+    for df in side_inputs:
+        h.update(dataframe_fingerprint(df).encode())
+    return f"{dataframe_fingerprint(input_df)}-{h.hexdigest()[:16]}"
 
 
 def run_mwas_cached(
@@ -64,7 +75,7 @@ def run_mwas_cached(
     """run_mwas with parquet result reuse keyed by the input fingerprint."""
     from .mwas import run_mwas
 
-    key = mwas_cache_key(input_df, cfg)
+    key = mwas_cache_key(input_df, cfg, catalog_df, sets_df, ref_df)
     path = f"{cache_dir.rstrip('/')}/{key}"
     try:
         return spark.read.parquet(path)

@@ -162,7 +162,14 @@ def condense_accounting(
     is_empty path, conv:55-58), else 'ok'.
 
     Returns (bioproject, n_biosamples_raw, n_biosamples_valid,
-    n_rows_dropped, n_attributes, n_sets, status).
+    n_biosamples_dropped, n_attributes, n_sets, status) — the dropped
+    count is DISTINCT BIOSAMPLES with invalid ids, not raw rows.
+
+    Blacklisted bioprojects ABSENT from ``meta_long`` still get a row
+    (all counts 0, status='blacklisted'): the natural caller passes
+    metadata already filtered by the blacklist, and the accounting must
+    classify those projects rather than silently omit them (the
+    reference's converter logs them before skipping, conv:28-31).
     """
     is_valid = F.col("biosample_id").startswith("SAM")
     raw = meta_long.groupBy("bioproject").agg(
@@ -183,17 +190,35 @@ def condense_accounting(
         .when(F.col("n_sets") == 0, F.lit("no_informative_sets"))
         .otherwise(F.lit("ok"))
     )
-    return joined.select(
+    out = joined.select(
         "bioproject",
         "n_biosamples_raw",
         "n_biosamples_valid",
         (F.col("n_biosamples_raw") - F.col("n_biosamples_valid")).alias(
-            "n_rows_dropped"
+            "n_biosamples_dropped"
         ),
         "n_attributes",
         "n_sets",
         status.alias("status"),
     )
+    if blacklist:
+        spark = meta_long.sparkSession
+        zero = F.lit(0).cast("long")
+        missing = (
+            spark.createDataFrame([(b,) for b in blacklist], ["bioproject"])
+            .join(meta_long.select("bioproject").distinct(), "bioproject", "left_anti")
+            .select(
+                "bioproject",
+                zero.alias("n_biosamples_raw"),
+                zero.alias("n_biosamples_valid"),
+                zero.alias("n_biosamples_dropped"),
+                zero.alias("n_attributes"),
+                zero.alias("n_sets"),
+                F.lit("blacklisted").alias("status"),
+            )
+        )
+        out = out.unionByName(missing)
+    return out
 
 
 def expand_sets_to_membership(sets_df: DataFrame) -> DataFrame:

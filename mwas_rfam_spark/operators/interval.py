@@ -29,14 +29,29 @@ def interval_join_within(
     ``ts_col`` must be a numeric timeline in both inputs (e.g. epoch
     nanos); ``tolerance`` is in the same unit. Output columns are the
     inputs' columns suffixed, plus ``abs_delta``.
+
+    Bucketing uses integer `div`, not `/`+floor: Spark's `/` is double
+    division, and epoch-nanos timelines (~1.7e18) exceed 2^53, so the
+    quotient would lose precision before floor — a pair within a few
+    hundred ns of a bucket boundary could land two buckets apart and be
+    silently dropped by the ±1 candidate expansion.
     """
+    if tolerance < 1:
+        raise ValueError(f"tolerance must be a positive integer, got {tolerance}")
     sa, sb = suffixes
+
+    def _bucket(col: str):
+        # integer `div` truncates toward zero, which merely widens the
+        # zero-straddling bucket to 2·tol-1; every bucket still spans
+        # >= tol, so a qualifying pair is never more than one bucket away
+        return F.expr(f"`{col}` div {int(tolerance)}")
+
     left = a.select([F.col(c).alias(c + sa) for c in a.columns]).withColumn(
-        "bucket", F.floor(F.col(ts_col + sa) / F.lit(tolerance))
+        "bucket", _bucket(ts_col + sa)
     )
     right = (
         b.select([F.col(c).alias(c + sb) for c in b.columns])
-        .withColumn("b0", F.floor(F.col(ts_col + sb) / F.lit(tolerance)))
+        .withColumn("b0", _bucket(ts_col + sb))
         .select(
             "*",
             F.explode(

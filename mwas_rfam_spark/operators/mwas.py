@@ -37,6 +37,32 @@ from ..config import DEFAULT_CONFIG, MwasConfig
 from ..functions.scalar import replace_zero_spots, rpm
 from ..functions.stattests import grouped_permutation_mean_diff, student_t_sf
 
+# every relation run_mwas/finalize_results persists, so callers can free
+# the cache once the output is materialized (without this each call
+# leaked its cached subplans for the session lifetime)
+_LIVE_PERSISTS: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_PERSISTS.append(df)
+    return df
+
+
+def release_mwas_persists() -> int:
+    """Unpersist every relation cached by run_mwas / finalize_results in
+    this process and return how many were released. Call after the result
+    has been materialized (written / collected); the result DataFrame
+    remains valid afterwards, it just recomputes if re-queried."""
+    n = len(_LIVE_PERSISTS)
+    for df in _LIVE_PERSISTS:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _LIVE_PERSISTS.clear()
+    return n
+
 # ---------------------------------------------------------------------------
 # stage 1 — resolve runs & normalize (mg:572-577, 506-518)
 # ---------------------------------------------------------------------------
@@ -345,7 +371,7 @@ def run_tests(
     # three branches (t-test / permutation / skipped) consume `base`; without
     # persistence each branch re-executes the full upstream pipeline
     # (catalog join → rollup → cohort stats) — cache once, spill-safe
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    base = _persist(base)
 
     use_t_test = (
         F.least(F.col("n_true"), F.col("n_false")) < cfg.min_cohort_for_permutation
@@ -515,7 +541,7 @@ def finalize_results(
     # two-branch fanout over `rows` — persist + settle so the shared
     # upstream (including the permutation kernel) runs once, same
     # rationale as the stats_df settle in run_mwas
-    rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
+    rows = _persist(rows)
     rows.count()
 
     too_many = F.lit("too many biosamples to list")
@@ -594,17 +620,23 @@ def run_mwas(
     permutation value arrays, and the metadata relations are joined at
     three points — without persistence each consumer re-executes the
     whole upstream pipeline.
+
+    EAGER: constructing the result executes the pipeline (including the
+    permutation kernel) — the two cache settles (`stats_df.count()` here,
+    the pre-finalize union count in ``finalize_results``) are deliberate,
+    since branches racing an unsettled cache inside one action were
+    measured recomputing the kernel concurrently (~2× end-to-end). Plan
+    inspection without execution: use the stage functions directly.
+    The persisted subplans stay cached so the returned DataFrame can be
+    re-queried cheaply; call :func:`release_mwas_persists` once the
+    output is materialized to free them.
     """
-    resolved = resolve_and_normalize(input_df, catalog_df, cfg).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    rollup = biosample_rollup(resolved).persist(StorageLevel.MEMORY_AND_DISK)
-    sets_df = sets_df.persist(StorageLevel.MEMORY_AND_DISK)
-    ref_df = ref_df.persist(StorageLevel.MEMORY_AND_DISK)
+    resolved = _persist(resolve_and_normalize(input_df, catalog_df, cfg))
+    rollup = _persist(biosample_rollup(resolved))
+    sets_df = _persist(sets_df)
+    ref_df = _persist(ref_df)
     skip_flags = group_skip_flags(resolved, cfg)
-    stats_df = cohort_stats(rollup, sets_df, ref_df, cfg).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    stats_df = _persist(cohort_stats(rollup, sets_df, ref_df, cfg))
     # materialize-before-fanout: the three test branches (t / permutation /
     # skipped) otherwise race to compute the shared upstream concurrently
     # inside one action, each filling the caches it finds empty (measured

@@ -53,6 +53,18 @@ def read_catalog_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(CATALOG_SCHEMA).parquet(path)
 
 
+def derive_spots_if_missing(df: DataFrame) -> DataFrame:
+    """S4 derived column: spots = mbases*1e6/avgspotlen (reference mg:47)
+    when the raw sequencing columns are present instead of a spots column.
+    No-op if `spots` already exists or the raw columns are absent."""
+    if "spots" not in df.columns and {"mbases", "avgspotlen"} <= set(df.columns):
+        df = df.withColumn(
+            "spots",
+            (F.col("mbases") * F.lit(1_000_000) / F.col("avgspotlen")).cast("long"),
+        )
+    return df
+
+
 def catalog_from_jdbc(
     spark: SparkSession, url: str, table: str, properties: dict[str, str] | None = None
 ) -> DataFrame:
@@ -61,15 +73,7 @@ def catalog_from_jdbc(
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
-    df = reader.load()
-    # derived column: spots = mbases*1e6/avgspotlen (reference mg:47) when
-    # the raw columns are present instead of a spots column
-    if "spots" not in df.columns and {"mbases", "avgspotlen"} <= set(df.columns):
-        df = df.withColumn(
-            "spots",
-            (F.col("mbases") * F.lit(1_000_000) / F.col("avgspotlen")).cast("long"),
-        )
-    return df
+    return derive_spots_if_missing(reader.load())
 
 
 def melt_wide_metadata(df: DataFrame, bioproject: str) -> DataFrame:

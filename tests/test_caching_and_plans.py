@@ -65,6 +65,13 @@ def test_run_mwas_cached_round_trip(spark, tmp_path):
     run_mwas_cached(spark, input_df, catalog_df, sets_df, ref_df, cache,
                     MwasConfig(t_test_only=True, p_value_threshold=0.5))
     assert len(os.listdir(cache)) == 2
+    # a changed side relation (catalog spots) misses too — same input CSV
+    # with a different catalog must NOT serve the stale cached result
+    catalog2 = spark.createDataFrame(
+        [("P1", f"SAM0{i}", f"R{i}", 2_000_000) for i in range(1, 6)], CATALOG_SCHEMA
+    )
+    run_mwas_cached(spark, input_df, catalog2, sets_df, ref_df, cache, cfg)
+    assert len(os.listdir(cache)) == 3
 
 
 def test_synthetic_input_deterministic(spark, sf_dir):
@@ -240,3 +247,24 @@ def test_interval_join_within(spark):
     # plan must be an equi-join on the bucket, not a cross product
     plan = _physical(interval_join_within(a, b, tolerance=60))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_nanos_precision(spark):
+    """Bucketing must be integer division: at epoch-nanos magnitude
+    (> 2^53) double division rounds the two timestamps of a qualifying
+    pair in opposite directions, pushing computed buckets ~ulp/tol apart
+    and silently dropping the pair past the ±1 candidate expansion."""
+    import pytest
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from mwas_rfam_spark.operators.interval import interval_join_within
+
+    base = 1 << 60  # double ulp here is 256
+    schema = StructType([StructField("id", LongType()), StructField("ts", LongType())])
+    a = spark.createDataFrame([(1, base + 127)], schema)  # rounds DOWN to base
+    b = spark.createDataFrame([(2, base + 129)], schema)  # rounds UP to base+256
+    rows = interval_join_within(a, b, tolerance=2).collect()
+    assert len(rows) == 1 and rows[0]["abs_delta"] == 2
+
+    with pytest.raises(ValueError):
+        interval_join_within(a, b, tolerance=0)

@@ -226,14 +226,57 @@ def test_condense_accounting_statuses(spark):
     sets_df, _ = condense_metadata(meta)
     acc = {
         r["bioproject"]: r
-        for r in condense_accounting(meta, sets_df, blacklist=("P_BLACK",)).collect()
+        for r in condense_accounting(
+            meta, sets_df, blacklist=("P_BLACK", "P_PREFILTERED")
+        ).collect()
     }
     assert acc["P_OK"]["status"] == "ok"
     assert acc["P_OK"]["n_biosamples_raw"] == 5
     assert acc["P_OK"]["n_biosamples_valid"] == 4
-    assert acc["P_OK"]["n_rows_dropped"] == 1
+    assert acc["P_OK"]["n_biosamples_dropped"] == 1
     assert acc["P_OK"]["n_sets"] >= 1
     assert acc["P_FEW"]["status"] == "too_few_biosamples"
     assert acc["P_FEW"]["n_sets"] == 0
     assert acc["P_CONST"]["status"] == "no_informative_sets"
     assert acc["P_BLACK"]["status"] == "blacklisted"
+    # a blacklisted project the caller already filtered out of meta_long
+    # must still be classified, not silently absent
+    assert acc["P_PREFILTERED"]["status"] == "blacklisted"
+    assert acc["P_PREFILTERED"]["n_biosamples_raw"] == 0
+
+
+def test_jdbc_derived_spots(spark):
+    """S4 derivation (reference mg:47): a catalog arriving with raw
+    sequencing columns instead of spots gets spots = mbases*1e6/avgspotlen;
+    a null avgspotlen yields null spots; an existing spots column and a
+    frame without the raw columns are left untouched. (Tested over an
+    in-memory frame shaped like the post-JDBC-load relation — the
+    container has no JDBC driver.)"""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from mwas_rfam_spark.sources.readers import derive_spots_if_missing
+
+    schema = StructType(
+        [
+            StructField("run", StringType()),
+            StructField("mbases", LongType()),
+            StructField("avgspotlen", DoubleType()),
+        ]
+    )
+    raw = spark.createDataFrame(
+        [("R1", 300, 150.0), ("R2", 10, 200.0), ("R3", 5, None)], schema
+    )
+    got = {r["run"]: r["spots"] for r in derive_spots_if_missing(raw).collect()}
+    assert got == {"R1": 2_000_000, "R2": 50_000, "R3": None}
+
+    has_spots = spark.createDataFrame([("R1", 7, 150.0, 42)], schema.add("spots", LongType()))
+    assert derive_spots_if_missing(has_spots).collect()[0]["spots"] == 42
+
+    bare = spark.createDataFrame([("R1",)], ["run"])
+    assert "spots" not in derive_spots_if_missing(bare).columns
