@@ -866,6 +866,34 @@ def q_multimodal_audio(spark, sf_dir):
     )
 
 
+def q_multimodal_pipeline(spark, sf_dir):
+    """The full multimodal surface in one hash-verified entry (absorbed
+    the former `multimodal_meta` / `multimodal_decode` / `multimodal_audio`
+    rows — driver caps the correctness gate at 50 entries): opaque binary
+    payload + typed metadata struct, Arrow-batched mapInPandas image
+    decode (doc_id % 3 == 0 rows) and audio feature extraction
+    (doc_id % 3 == 1 rows), left-joined back so each document carries its
+    metadata plus whichever modality decoded. The deterministic
+    sha256-derived fakes keep even the Python stages oracle-checkable;
+    bench still times the pure decode stage as `multimodal_decode`."""
+    m = attach_binary(_t(spark, sf_dir, "documents"))
+    meta = m.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.sha256").alias("sha"),
+        F.col("media_meta.magic").alias("magic"),
+        F.col("media_meta.media_type").alias("media_type"),
+    )
+    img = decode_images(m, fake=True)
+    aud = extract_audio_features(m, fake=True).select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+    )
+    return meta.join(img, "doc_id", "left").join(aud, "doc_id", "left")
+
+
 def q_text_lang_quality(spark, sf_dir):
     """Full per-document text profile — token counts (whitespace + BPE-ish),
     punctuation/stopword ratios, mean token length, quality score, heuristic
@@ -1064,6 +1092,43 @@ def q_mwas_legacy_full(spark, sf_dir):
         F.when(p_finite, F.round("test_statistic", 6)).alias("t_stat"),
         "true_biosamples",
         "false_biosamples",
+    )
+
+
+def q_mwas_legacy_13col(spark, sf_dir):
+    """The legacy generation's NARROW 13-column schema
+    (old/mwas_rfam.py:11-12 MWAS_COLS / :169-170 output_cols),
+    hash-verified via the t-only regime: `legacy_13col` drops
+    status/telemetry/biosample-list columns entirely and p-sorts, so the
+    finalize stage collapses to a single projection (no fanout, no
+    biosamples_ref join — plan-asserted in tests). p_value is reduced to
+    its SQL-expressible finiteness (finite iff pooled variance > 0 in
+    t-only mode), as in the other t-only entries."""
+    cfg = MwasConfig(t_test_only=True, legacy_13col=True)
+    meta = mwas_metadata_long_from_customer(spark, sf_dir)
+    sets_df, ref_df = condense_metadata(meta)
+    out = run_mwas(
+        mwas_input_from_events(spark, sf_dir),
+        mwas_catalog_from_orders(spark, sf_dir),
+        sets_df,
+        ref_df,
+        cfg,
+    )
+    p_finite = F.col("p_value").isNotNull() & ~F.isnan("p_value")
+    return out.select(
+        "bioproject_id",
+        "family",
+        "metadata_field",
+        "metadata_value",
+        "num_true",
+        "num_false",
+        F.round("mean_rpm_true", 6).alias("mean_rpm_true"),
+        F.round("mean_rpm_false", 6).alias("mean_rpm_false"),
+        F.round("sd_rpm_true", 6).alias("sd_rpm_true"),
+        F.round("sd_rpm_false", 6).alias("sd_rpm_false"),
+        F.round("fold_change", 6).alias("fold_change"),
+        F.when(p_finite, F.round("test_statistic", 6)).alias("t_stat"),
+        p_finite.alias("p_finite"),
     )
 
 
@@ -1376,69 +1441,105 @@ def q_events_hourly(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The driver-checked registry — capped at 50 entries BY THE DRIVER
+    (r02 verified exactly the first 50 of 62), so every entry here gets a
+    fresh correctness row each round instead of silently rotating.
+
+    Consolidation map (round 3) — every deregistered surface stays
+    hash-verified inside a registered green entry (and stays covered by
+    pytest + benchable via :func:`bench_queries`):
+
+    - s1_scan_project      → scan+projection+pushdown via `p_predicates`;
+                             the positional-rename reader via reader tests
+    - a2_count_distinct    → distinct/count-distinct pruning is the heart
+                             of `condense_sets` (nunique factor pruning)
+    - a5_conditional_count → group-skip conditional counts drive the
+                             `status` column of `mwas_t_only_full`
+    - f1_fold_change       → fc_class/fc_value in `mwas_t_only_full` and
+                             the numeric fold_change in `mwas_legacy_full`
+    - a12_capped_list_agg  → capped & swap-gated biosample lists in
+                             `mwas_t_only_full` / `mwas_legacy_full`
+    - w1_topk_sort         → global p-sort in `mwas_legacy_full`; top-k
+                             via `w5_topk_per_group`
+    - t1_welch_from_stats  → Welch t/df/p hash-verified end-to-end in
+                             `mwas_cohort_welch`
+    - mwas_summary         → deterministic analog `mwas_summary_t_only`
+                             is green; the randomized kernel stays
+                             visible through the `mwas_full` rows-only row
+    - ann_cosine_topk      → single-query brute force is the exact arm of
+                             `ann_recall`; batch ranking via `ann_knn_batch`
+    - ann_lsh_topk         → recall-floor-pinned inside `ann_recall`
+    - dedup_simhash        → construction via `dedup_simhash32`, recall
+                             via `dedup_quality`; `dedup_minhash_lsh`
+                             stays as the xxhash64-family rows-only row
+    - multimodal_meta/decode/audio → one `multimodal_pipeline` entry
+    """
     return {
         "mwas_cohort_welch": q_mwas_cohort_welch,
-        "s1_scan_project": q_s1_scan_project,
+        "mwas_full": q_mwas_full,
+        "mwas_t_only_full": q_mwas_t_only_full,
+        "mwas_summary_t_only": q_mwas_summary_t_only,
+        "mwas_legacy_full": q_mwas_legacy_full,
+        "mwas_legacy_13col": q_mwas_legacy_13col,
+        "mwas_perm_exact": q_mwas_perm_exact,
+        "condense_sets": q_condense_sets,
+        "condense_readable": q_condense_readable,
+        "condense_accounting": q_condense_accounting,
         "p_predicates": q_p_predicates,
         "j1_outer_join_agg": q_j1_outer_join_agg,
         "j4_cascading_lookup": q_j4_cascading_lookup,
-        "j6_semi_join": q_j6_semi_join,
-        "so1_anti_join": q_so1_anti_join,
-        "a2_count_distinct": q_a2_count_distinct,
-        "a3_value_counts": q_a3_value_counts,
-        "a4_two_level_rollup": q_a4_two_level_rollup,
-        "a5_conditional_count": q_a5_conditional_count,
-        "a7_signature_dedup": q_a7_signature_dedup,
-        "a9_summary_agg": q_a9_summary_agg,
-        "a12_capped_list_agg": q_a12_capped_list_agg,
-        "w1_topk_sort": q_w1_topk_sort,
-        "w5_topk_per_group": q_w5_topk_per_group,
-        "f_string_funcs": q_f_string_funcs,
-        "f1_fold_change": q_f1_fold_change,
-        "f2_rpm_normalize": q_f2_rpm_normalize,
-        "t1_welch_from_stats": q_t1_welch_from_stats,
-        "condense_sets": q_condense_sets,
-        "condense_readable": q_condense_readable,
         "j5_sql_api": q_j5_sql_api,
+        "j6_semi_join": q_j6_semi_join,
         "j7_positional_join": q_j7_positional_join,
         "j8_interval_join": q_j8_interval_join,
-        "a11_grouping_sets": q_a11_grouping_sets,
-        "so4_intersect": q_so4_intersect,
+        "so1_anti_join": q_so1_anti_join,
         "so2_complement": q_so2_complement,
-        "mwas_full": q_mwas_full,
-        "mwas_t_only_full": q_mwas_t_only_full,
-        "mwas_summary": q_mwas_summary,
-        "mwas_summary_t_only": q_mwas_summary_t_only,
-        "mwas_legacy_full": q_mwas_legacy_full,
-        "mwas_perm_exact": q_mwas_perm_exact,
+        "so4_intersect": q_so4_intersect,
+        "a3_value_counts": q_a3_value_counts,
+        "a4_two_level_rollup": q_a4_two_level_rollup,
+        "a7_signature_dedup": q_a7_signature_dedup,
+        "a9_summary_agg": q_a9_summary_agg,
+        "a11_grouping_sets": q_a11_grouping_sets,
+        "w5_topk_per_group": q_w5_topk_per_group,
+        "f_string_funcs": q_f_string_funcs,
+        "f2_rpm_normalize": q_f2_rpm_normalize,
         "s13_synthetic_input": q_s13_synthetic_input,
         "dedup_exact": q_dedup_exact,
         "dedup_pipeline": q_dedup_pipeline,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "text_vocab_topk": q_text_vocab_topk,
-        "sample_stratified": q_sample_stratified,
-        "doc_packing": q_doc_packing,
-        "condense_accounting": q_condense_accounting,
-        "ann_recall": q_ann_recall,
-        "dedup_quality": q_dedup_quality,
         "dedup_first_seen": q_dedup_first_seen,
+        "dedup_quality": q_dedup_quality,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash32": q_dedup_simhash32,
         "dedup_minhash_md5": q_dedup_minhash_md5,
+        "dedup_simhash32": q_dedup_simhash32,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_audio": q_multimodal_audio,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "text_lang_quality": q_text_lang_quality,
         "text_winnowing": q_text_winnowing,
-        "ann_cosine_topk": q_ann_cosine_topk,
+        "text_vocab_topk": q_text_vocab_topk,
+        "multimodal_pipeline": q_multimodal_pipeline,
         "ann_knn_batch": q_ann_knn_batch,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_recall": q_ann_recall,
+        "sample_stratified": q_sample_stratified,
+        "doc_packing": q_doc_packing,
         "events_hourly": q_events_hourly,
+    }
+
+
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Everything in :func:`queries` plus the deregistered-but-still-
+    benched entries, so bench.py keeps its per-query series comparable
+    across rounds (the correctness registry is driver-capped at 50; the
+    bench headline list is not)."""
+    return {
+        **queries(),
+        "t1_welch_from_stats": q_t1_welch_from_stats,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "multimodal_decode": q_multimodal_decode,
+        "s1_scan_project": q_s1_scan_project,
     }
 
 
@@ -1576,10 +1677,27 @@ SELECT bp AS bioproject, grp AS group_name,
             ELSE '' END AS false_biosamples
 FROM final
 """,
-        "s1_scan_project": """
-            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-            FROM lineitem WHERE l_quantity > 30
-        """,
+        "mwas_legacy_13col": _T_ONLY_CTES
+        + """
+SELECT bp AS bioproject_id, grp AS family,
+       replace(attributes, ',', ' ') AS metadata_field,
+       replace(set_values, ',', ' ') AS metadata_value,
+       CAST(n_true AS INT) AS num_true,
+       CAST(n_false AS INT) AS num_false,
+       round(mean_t, 6) AS mean_rpm_true,
+       round(mean_f, 6) AS mean_rpm_false,
+       round(sd_t, 6) AS sd_rpm_true,
+       round(sd_f, 6) AS sd_rpm_false,
+       CASE WHEN skip_tests THEN NULL
+            WHEN mean_t = 0 AND mean_f = 0 THEN 0.0
+            WHEN mean_t = 0 THEN CAST('-infinity' AS DOUBLE)
+            WHEN mean_f = 0 THEN CAST('infinity' AS DOUBLE)
+            ELSE round(log2(mean_t / mean_f), 6) END AS fold_change,
+       CASE WHEN NOT skip_tests AND vsum > 0
+            THEN round((mean_t - mean_f) / sqrt(vsum), 6) END AS t_stat,
+       (NOT skip_tests AND vsum > 0) AS p_finite
+FROM final
+""",
         "p_predicates": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             WHERE o_orderstatus = 'O' AND o_orderpriority LIKE '1%'
@@ -1613,11 +1731,6 @@ FROM final
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
             GROUP BY 1
         """,
-        "a2_count_distinct": """
-            SELECT count(DISTINCT p_brand) AS n_brand, count(DISTINCT p_type) AS n_type,
-                   count(DISTINCT p_size) AS n_size, count(*) AS n_rows
-            FROM part
-        """,
         "a3_value_counts": """
             SELECT p_brand, p_size, count(*) AS cnt FROM part
             GROUP BY 1, 2 HAVING count(*) >= 2
@@ -1630,11 +1743,6 @@ FROM final
                   FROM orders JOIN customer ON o_custkey = c_custkey
                   GROUP BY 1, 2)
             GROUP BY 1
-        """,
-        "a5_conditional_count": """
-            SELECT event_type, count(CASE WHEN value > 100 THEN 1 END) AS n_big,
-                   count(*) AS n
-            FROM events GROUP BY 1
         """,
         "a7_signature_dedup": """
             SELECT sig, count(*) AS n_brands,
@@ -1653,18 +1761,6 @@ FROM final
                    count(*) AS n
             FROM orders GROUP BY 1
         """,
-        "a12_capped_list_agg": """
-            SELECT n_name, count(*) AS n_supp,
-                   CASE WHEN count(*) < 5
-                        THEN string_agg(s_name, '; ' ORDER BY s_name)
-                        ELSE 'too many to list' END AS suppliers
-            FROM supplier JOIN nation ON s_nationkey = n_nationkey
-            GROUP BY 1
-        """,
-        "w1_topk_sort": """
-            SELECT o_orderkey, o_totalprice FROM orders
-            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
-        """,
         "w5_topk_per_group": """
             SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rank
             FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
@@ -1682,20 +1778,6 @@ FROM final
                    substring(p_name, 1, 5) AS name_prefix
             FROM part
         """,
-        "f1_fold_change": """
-            SELECT c_nationkey,
-                   CASE WHEN b IS NULL AND a IS NULL THEN 'both_missing'
-                        WHEN b IS NULL THEN 'true_missing'
-                        WHEN a IS NULL THEN 'false_missing'
-                        ELSE 'ratio' END AS case_class,
-                   CASE WHEN b IS NOT NULL AND a IS NOT NULL
-                        THEN round(log2(b / a), 6) END AS fold_change
-            FROM (SELECT c_nationkey,
-                         sum(CASE WHEN c_mktsegment = 'BUILDING' THEN o_totalprice END) AS b,
-                         sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN o_totalprice END) AS a
-                  FROM orders JOIN customer ON o_custkey = c_custkey
-                  GROUP BY 1)
-        """,
         "f2_rpm_normalize": """
             WITH nord AS (SELECT max(o_orderkey) AS n FROM orders),
             inp AS (SELECT 'R' || CAST((event_id % (SELECT n FROM nord)) + 1 AS VARCHAR) AS run,
@@ -1709,20 +1791,6 @@ FROM final
                        * 1000000), 6) AS avg_rpm
             FROM inp i JOIN cat c ON i.run = c.run
             GROUP BY 1
-        """,
-        "t1_welch_from_stats": """
-            WITH sides AS (
-              SELECT (l_returnflag = 'R') AS is_true, count(*) AS n,
-                     avg(l_discount) AS m, stddev_pop(l_discount) AS s
-              FROM lineitem GROUP BY 1),
-            t AS (SELECT n AS n1, m AS m1, s AS s1 FROM sides WHERE is_true),
-            f AS (SELECT n AS n2, m AS m2, s AS s2 FROM sides WHERE NOT is_true)
-            SELECT n1, n2, round(m1, 6) AS m1r, round(m2, 6) AS m2r,
-                   round((m1 - m2) / sqrt(s1 ^ 2 / n1 + s2 ^ 2 / n2), 6) AS t_stat,
-                   round((s1 ^ 2 / n1 + s2 ^ 2 / n2) ^ 2
-                         / ((s1 ^ 2 / n1) ^ 2 / (n1 - 1) + (s2 ^ 2 / n2) ^ 2 / (n2 - 1)),
-                         6) AS welch_df
-            FROM t, f
         """,
         "s13_synthetic_input": """
             WITH cat AS (
@@ -1862,39 +1930,41 @@ FROM final
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.9
         """,
-        "multimodal_meta": """
-            SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                   sha256(text) AS sha, substr(sha256(text), 1, 8) AS magic,
-                   CASE WHEN doc_id % 3 = 0 THEN 'image'
-                        WHEN doc_id % 3 = 1 THEN 'audio'
-                        ELSE 'video' END AS media_type
-            FROM documents
-        """,
-        "multimodal_decode": """
-            WITH m AS (SELECT doc_id, sha256(text) AS sha FROM documents
-                       WHERE doc_id % 3 = 0)
-            SELECT doc_id,
-                   CAST(16 + (ascii(substr(sha, 1, 1)) * 256
-                              + ascii(substr(sha, 2, 1))) % 512 AS INT) AS width,
-                   CAST(16 + (ascii(substr(sha, 3, 1)) * 256
-                              + ascii(substr(sha, 4, 1))) % 512 AS INT) AS height,
-                   CAST(1 + ascii(substr(sha, 5, 1)) % 4 AS INT) AS channels
-            FROM m
-        """,
-        "multimodal_audio": """
-            WITH m AS (SELECT doc_id, sha256(text) AS sha FROM documents
-                       WHERE doc_id % 3 = 1),
-            d AS (SELECT doc_id,
-                         CASE ascii(substr(sha, 1, 1)) % 4
-                              WHEN 0 THEN 8000 WHEN 1 THEN 16000
-                              WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
-                         1000 + (ascii(substr(sha, 2, 1)) * 256
-                                 + ascii(substr(sha, 3, 1))) * 17 AS n_samples
-                  FROM m)
-            SELECT doc_id, CAST(sample_rate AS INT) AS sample_rate,
-                   CAST(n_samples AS BIGINT) AS n_samples,
-                   round(n_samples * 1.0 / sample_rate, 6) AS duration_s
-            FROM d
+        "multimodal_pipeline": """
+            WITH meta AS (
+              SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                     sha256(text) AS sha, substr(sha256(text), 1, 8) AS magic,
+                     CASE WHEN doc_id % 3 = 0 THEN 'image'
+                          WHEN doc_id % 3 = 1 THEN 'audio'
+                          ELSE 'video' END AS media_type
+              FROM documents),
+            img AS (
+              SELECT doc_id,
+                     CAST(16 + (ascii(substr(sha, 1, 1)) * 256
+                                + ascii(substr(sha, 2, 1))) % 512 AS INT) AS width,
+                     CAST(16 + (ascii(substr(sha, 3, 1)) * 256
+                                + ascii(substr(sha, 4, 1))) % 512 AS INT) AS height,
+                     CAST(1 + ascii(substr(sha, 5, 1)) % 4 AS INT) AS channels
+              FROM meta WHERE doc_id % 3 = 0),
+            aud0 AS (
+              SELECT doc_id,
+                     CASE ascii(substr(sha, 1, 1)) % 4
+                          WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                          WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
+                     1000 + (ascii(substr(sha, 2, 1)) * 256
+                             + ascii(substr(sha, 3, 1))) * 17 AS n_samples
+              FROM meta WHERE doc_id % 3 = 1),
+            aud AS (
+              SELECT doc_id, CAST(sample_rate AS INT) AS sample_rate,
+                     CAST(n_samples AS BIGINT) AS n_samples,
+                     round(n_samples * 1.0 / sample_rate, 6) AS duration_s
+              FROM aud0)
+            SELECT m.doc_id, m.n_bytes, m.sha, m.magic, m.media_type,
+                   i.width, i.height, i.channels,
+                   a.sample_rate, a.n_samples, a.duration_s
+            FROM meta m
+            LEFT JOIN img i ON m.doc_id = i.doc_id
+            LEFT JOIN aud a ON m.doc_id = a.doc_id
         """,
         "dedup_exact": """
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
@@ -2147,17 +2217,6 @@ FROM final
                                             ORDER BY cos DESC, vec_id ASC) AS rank
                   FROM s)
             WHERE rank <= 5
-        """,
-        "ann_cosine_topk": """
-            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
-                       WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
-            SELECT vec_id,
-                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-                         (SELECT qv FROM q)), 5) AS cosine
-            FROM embeddings
-            ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-                         (SELECT qv FROM q)) DESC, vec_id ASC
-            LIMIT 10
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -106,25 +106,48 @@ def main():
         pass
     _warmup(spark, sf_dir)
 
-    def _timed(fn) -> float:
-        """min of 2 runs: single-shot numbers on this box vary up to 4×
-        (GC / scheduler noise); the minimum is the steady-state cost.
-        Caches are cleared between runs so each timing is cold-plan."""
-        best = float("inf")
-        for _ in range(2):
+    raw_runs: dict[str, list[float]] = {}
+
+    def _timed(name, fn, n=2) -> float:
+        """min of n runs: single-shot numbers on this box vary up to 4×
+        (GC / scheduler / co-tenant noise); the minimum is the steady-state
+        cost. Caches are cleared between runs so each timing is cold-plan.
+        Every raw run is recorded in the output's `runs` field so a drift
+        can be diagnosed from the artifact instead of re-measured."""
+        runs = []
+        for _ in range(n):
             t0 = time.time()
             _force(fn())
-            best = min(best, time.time() - t0)
+            runs.append(round(time.time() - t0, 3))
             spark.catalog.clearCache()
-        return round(best, 3)
+        raw_runs.setdefault(name, []).extend(runs)
+        return min(runs)
 
-    qs = entrymod.queries()
+    qs = entrymod.bench_queries()
     timings: dict[str, float] = {}
+
+    # mwas_full is timed TWICE — min-of-3 right after warmup AND min-of-3
+    # after the other 21 queries have aged the JVM — because the r2 driver
+    # run recorded 21.8 s (last-placement min-of-2) vs r1's 10.3 s with no
+    # plan change. tools/bench_forensics.py traced the swing to the 64-task
+    # permutation applyInPandas stage: its first-ever execution pays
+    # ~+12 s (codegen/JIT + python-worker ramp) and the box adds
+    # co-tenant CPU noise; placement itself measured as a wash
+    # (fresh 13.6 vs aged 13.4 min-of-3). min-of-3 at both placements
+    # makes the number reproducible and keeps the placement question
+    # answerable from the artifact.
+    mwas_full_first = _timed(
+        "mwas_full_first", lambda: _mwas_full(spark, sf_dir), n=3
+    )
+
     for name in HEADLINE:
-        timings[name] = _timed(lambda: qs[name](spark, sf_dir))
+        timings[name] = _timed(name, lambda: qs[name](spark, sf_dir))
 
-    timings["mwas_full"] = _timed(lambda: _mwas_full(spark, sf_dir))
+    timings["mwas_full"] = _timed("mwas_full", lambda: _mwas_full(spark, sf_dir), n=3)
 
+    # `value`/`queries` stay round-over-round comparable (21 headline
+    # queries + last-placement mwas_full); the first-placement number and
+    # every raw run ride alongside.
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -133,6 +156,8 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "mwas_full_first": mwas_full_first,
+                "runs": raw_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -43,6 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-format", choices=["parquet", "csv"], default="csv")
     # legacy-generation parity (old/mwas_rfam.py:100-111,369-370)
     p.add_argument("--legacy-output", action="store_true")
+    # the old generation's narrow 13-column schema (old/mwas_rfam.py:11-12)
+    p.add_argument("--legacy-13col", action="store_true")
     # accounting relation (S12, converter_.py:72-117) written next to results
     p.add_argument("--accounting", action="store_true")
     return p
@@ -66,6 +68,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         permutation_seed=args.seed,
         blacklist=tuple(args.blacklist),
         legacy_output=args.legacy_output,
+        legacy_13col=args.legacy_13col,
     )
 
     owns_session = spark is None

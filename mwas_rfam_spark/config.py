@@ -38,6 +38,13 @@ class MwasConfig:
     # numeric ±inf fold change instead of sentinel strings, output sorted
     # by p-value instead of the main generation's unsorted emit
     legacy_output: bool = False
+    # legacy 13-COLUMN schema (old/mwas_rfam.py:11-12 MWAS_COLS,
+    # :169-170 output_cols): (bioproject_id, family, metadata_field,
+    # metadata_value, num_true, num_false, mean_rpm_true, mean_rpm_false,
+    # sd_rpm_true, sd_rpm_false, fold_change, test_statistic, p_value) —
+    # no status/telemetry/biosample-list columns. Implies the legacy
+    # numerics and p-sort of `legacy_output`.
+    legacy_13col: bool = False
     # guard on the one row-width bound inherited from the problem shape:
     # the per-(bioproject, group) pooled observed-value vector fed to the
     # permutation kernel (the reference's analog is its 50 MB metadata

@@ -499,10 +499,16 @@ def dedup_clusters(
 ) -> DataFrame:
     """Connected components over near-dup pairs: (doc_id, cluster_id, keep).
 
-    cluster_id = the minimum doc id reachable through the pair graph
-    (iterative min-label propagation — each round joins every node's
-    label with its neighbors' and keeps the minimum; converges in
-    O(component diameter) rounds, which for dedup clusters is tiny).
+    cluster_id = the minimum doc id reachable through the pair graph.
+    Each round combines min-label propagation (every node takes the min
+    of its neighbors' labels) with POINTER DOUBLING (label := label of
+    own label — the parallel shortcutting step of classic PRAM/MapReduce
+    connected-components algorithms, e.g. Shiloach-Vishkin '82 and the
+    hash-to-min family, Rastogi et al. ICDE'13), so convergence is
+    O(log diameter) rounds instead of O(diameter): a 10k-node path graph
+    — the adversarial shape for plain propagation (templated/serially-
+    derived documents) — converges in ~15 rounds, not 10k (measured;
+    SCALE.md).
     ``keep`` marks the canonical representative (doc_id == cluster_id) —
     the corpus after dedup is exactly the keep=true rows. Docs appearing
     in no pair (pass ``docs``) are their own singleton clusters.
@@ -533,15 +539,30 @@ def dedup_clusters(
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = labels.withColumnRenamed("label", "old").join(
+            neighbor_min, "node", "left"
+        ).select(
+            "node",
+            "old",
+            F.least(F.col("old"), F.coalesce("nbr_label", F.col("old"))).alias("mid"),
+        )
+        # pointer doubling: follow one more hop through the label map
+        # (label := label of own label). Each round the distance to the
+        # component root roughly halves, so a diameter-D component needs
+        # ~log2(D) rounds instead of D — the difference between 15 and
+        # 10,000 rounds on a 10k path graph.
+        hop = stepped.select(
+            F.col("node").alias("mid_node"), F.col("mid").alias("mid2")
+        )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            stepped.join(hop, stepped["mid"] == hop["mid_node"], "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("changed"),
+                "old",
+                F.least(F.col("mid"), F.coalesce("mid2", F.col("mid"))).alias("label"),
             )
+            .withColumn("changed", F.col("label") < F.col("old"))
+            .drop("old")
         ).localCheckpoint()
         n_changed = new_labels.filter(F.col("changed")).count()
         labels = new_labels.drop("changed")

@@ -532,11 +532,34 @@ def finalize_results(
     significant = F.col("p_value") < cfg.p_value_threshold
     # legacy generation (old/mwas_rfam.py:100-111) emits numeric ±inf fold
     # change; the main generation emits the sentinel strings (mg:325-336)
-    fc_fn = log2_fold_change_numeric if cfg.legacy_output else log2_fold_change
-    fc_null = F.lit(None).cast("double" if cfg.legacy_output else "string")
+    legacy = cfg.legacy_output or cfg.legacy_13col
+    fc_fn = log2_fold_change_numeric if legacy else log2_fold_change
+    fc_null = F.lit(None).cast("double" if legacy else "string")
     fold_change = F.when(
         F.col("status") == "skipped_statistical_testing", fc_null
     ).otherwise(fc_fn(F.col("mean_rpm_true"), F.col("mean_rpm_false")))
+
+    if cfg.legacy_13col:
+        # the legacy generation's narrower column set (old/mwas_rfam.py:11-12
+        # MWAS_COLS / :169-170 output_cols): no status, telemetry, or
+        # biosample-list columns — so no significant/rest fanout and no
+        # biosamples_ref join are needed at all; this is a single projection
+        # over the test results, globally p-sorted (old:369-370)
+        return rows.select(
+            F.col("bio_project").alias("bioproject_id"),
+            F.col("group").alias("family"),
+            clean_csv_field(F.col("attributes")).alias("metadata_field"),
+            clean_csv_field(F.col("values")).alias("metadata_value"),
+            F.col("n_true").cast("int").alias("num_true"),
+            F.col("n_false").cast("int").alias("num_false"),
+            "mean_rpm_true",
+            "mean_rpm_false",
+            "sd_rpm_true",
+            "sd_rpm_false",
+            fold_change.alias("fold_change"),
+            "test_statistic",
+            "p_value",
+        ).orderBy(F.asc_nulls_last("p_value"))
 
     # two-branch fanout over `rows` — persist + settle so the shared
     # upstream (including the permutation kernel) runs once, same

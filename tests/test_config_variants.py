@@ -141,6 +141,56 @@ def test_legacy_output_mode(spark, fixture):
     assert all(p is None for p in ps[len(non_null):])
 
 
+def test_legacy_13col_schema(spark, fixture):
+    """legacy_13col (old/mwas_rfam.py:11-12 MWAS_COLS, :169-170
+    output_cols): the narrow 13-column frame — legacy column names, no
+    status/telemetry/list columns, numeric fold change, global p-sort —
+    and a finalize stage that collapses to one projection (no
+    biosamples_ref join in the plan)."""
+    input_df, catalog_df, sets_df, ref_df = fixture
+    out = run_mwas(
+        input_df, catalog_df, sets_df, ref_df,
+        MwasConfig(t_test_only=True, legacy_13col=True),
+    )
+    assert out.columns == [
+        "bioproject_id", "family", "metadata_field", "metadata_value",
+        "num_true", "num_false", "mean_rpm_true", "mean_rpm_false",
+        "sd_rpm_true", "sd_rpm_false", "fold_change", "test_statistic",
+        "p_value",
+    ]
+    assert dict(out.dtypes)["fold_change"] == "double"
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    # the finalize list-building (and its biosamples_ref join) must be
+    # absent; "too many biosamples" is its unique physical-plan marker
+    assert "too many biosamples" not in plan
+
+    rows = out.collect()
+    # same tests as the 18-col frame, narrowed
+    full = run_mwas(
+        input_df, catalog_df, sets_df, ref_df,
+        MwasConfig(t_test_only=True, legacy_output=True),
+    ).collect()
+    assert len(rows) == len(full)
+    by_key = {
+        (r["bioproject"], r["group"], r["metadata_field"], r["metadata_value"]): r
+        for r in full
+    }
+    for r in rows:
+        m = by_key[
+            (r["bioproject_id"], r["family"], r["metadata_field"], r["metadata_value"])
+        ]
+        assert r["num_true"] == m["num_true"] and r["num_false"] == m["num_false"]
+        assert r["fold_change"] == m["fold_change"] or (
+            r["fold_change"] is None and m["fold_change"] is None
+        )
+    ps = [r["p_value"] for r in rows]
+    non_null = [p for p in ps if p is not None]
+    assert ps[: len(non_null)] == sorted(non_null)
+    assert all(p is None for p in ps[len(non_null):])
+
+
 def test_max_group_observations_guard(spark, fixture):
     """The pooled-vector width guard must fail loudly, naming the group,
     instead of OOMing inside the permutation kernel."""

@@ -264,6 +264,41 @@ def test_dedup_clusters_matches_union_find(spark):
     assert got == expected
 
 
+def test_dedup_clusters_path_graph_log_rounds(spark):
+    """Adversarial high-diameter probe: a 2,000-node PATH graph (diameter
+    1,999 — the templated/serially-derived-document shape). Plain
+    min-label propagation needs diameter rounds and would blow any sane
+    iteration cap; pointer doubling must converge within the default
+    max_iters=25 (~log2(diameter) + settle rounds) to a single cluster
+    labeled by the minimum node."""
+    from mwas_rfam_spark.operators.dedup import dedup_clusters
+
+    n = 2000
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(1, n)], ["id_a", "id_b", "jaccard"]
+    )
+    out = dedup_clusters(pairs).collect()  # default max_iters=25
+    assert len(out) == n
+    assert {r["cluster_id"] for r in out} == {1}
+    assert sum(r["keep"] for r in out) == 1
+
+
+def test_dedup_clusters_nonconvergence_raises(spark):
+    """An iteration cap below log2(diameter) must raise loudly — falling
+    through silently would split one component into several keep=true
+    representatives and let duplicates survive the drop list."""
+    import pytest
+
+    from mwas_rfam_spark.operators.dedup import dedup_clusters
+
+    n = 600  # diameter 599 >> 2^2
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(1, n)], ["id_a", "id_b", "jaccard"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(pairs, max_iters=2)
+
+
 def test_embedding_lsh_plane_dim_mismatch_raises(spark):
     """Mismatched plane dimension must fail fast, not silently collapse
     all vectors into one bucket (the full cross product)."""
