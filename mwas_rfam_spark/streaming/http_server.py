@@ -1,0 +1,153 @@
+"""Thin HTTP wrapper over the server-mode pipeline (§3.2).
+
+The reference's Flask app (main/server.py:14-55) accepts
+``POST /run_mwas`` with a JSON array of row objects plus ``flag`` query
+parameters, writes a temp CSV, shells into the pipeline, and returns only
+an exit status. This wrapper keeps that surface — same route, same JSON
+body shape — on the standard library's ``ThreadingHTTPServer`` (Flask is
+deliberately not a dependency), and, unlike the fire-and-forget
+reference, serves the RESULT ROWS back: the whole point of an engine
+that can answer a request-sized MWAS in seconds.
+
+Config flags arrive as query parameters named after ``MwasConfig``
+fields (``?t_test_only=1&p_value_threshold=0.5``) instead of the
+reference's argv-style ``flag`` list; unknown parameters are a 400, not
+a silent ignore.
+
+Scale note: the server is a driver-side frontend — each request runs the
+same distributed plan `serve_request` builds; nothing here adds a
+driver-side loop over data. For production serving, put the catalog /
+condensed-metadata relations in cached tables so requests share them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qsl, urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import MwasConfig
+
+_BOOL_TRUE = {"1", "true", "yes", "on"}
+
+
+def config_from_params(params: dict[str, str]) -> MwasConfig:
+    """Build an MwasConfig from query parameters keyed by field name.
+
+    Values are coerced by the field's declared type (bool accepts
+    1/true/yes/on, case-insensitive). Unknown names raise ValueError so a
+    typo'd flag fails the request instead of silently running with
+    defaults — the reference forwards unvalidated argv flags (server.py:45)
+    and a bad one dies much later inside the pipeline.
+    """
+    fields = {f.name: f for f in dataclasses.fields(MwasConfig)}
+    kwargs: dict = {}
+    for name, raw in params.items():
+        f = fields.get(name)
+        if f is None:
+            raise ValueError(f"unknown config parameter: {name!r}")
+        if f.type in ("bool", bool):
+            kwargs[name] = raw.strip().lower() in _BOOL_TRUE
+        elif f.type in ("int", int):
+            kwargs[name] = int(raw)
+        elif f.type in ("float", float):
+            kwargs[name] = float(raw)
+        elif name == "blacklist":
+            kwargs[name] = tuple(x for x in raw.split(",") if x)
+        elif name == "max_group_observations":
+            kwargs[name] = None if raw.lower() in ("", "none") else int(raw)
+        else:
+            kwargs[name] = raw
+    return MwasConfig(**kwargs)
+
+
+def _json_safe(v):
+    """NaN/±inf are not valid strict JSON; encode them as strings."""
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "inf" if v > 0 else "-inf"
+    return v
+
+
+def make_server(
+    spark: SparkSession,
+    catalog_df: DataFrame,
+    sets_df: DataFrame,
+    ref_df: DataFrame,
+    host: str = "127.0.0.1",
+    port: int = 0,
+) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server; ``port=0`` picks a free port.
+
+    Routes:
+      POST /run_mwas  body: JSON array of {"run","group","quantifier"}
+                      query params: MwasConfig fields
+                      → 200 {"n": int, "columns": [...], "rows": [...]}
+      GET  /healthz   → 200 {"ok": true}
+    """
+    from .requests import serve_request
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # quiet test runs
+            pass
+
+        def do_GET(self):
+            if urlparse(self.path).path == "/healthz":
+                self._reply(200, {"ok": True})
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            parsed = urlparse(self.path)
+            if parsed.path != "/run_mwas":
+                self._reply(404, {"error": "not found"})
+                return
+            try:
+                cfg = config_from_params(dict(parse_qsl(parsed.query)))
+                n = int(self.headers.get("Content-Length", 0))
+                rows = json.loads(self.rfile.read(n).decode("utf-8"))
+                if not isinstance(rows, list) or not rows:
+                    raise ValueError("body must be a non-empty JSON array of rows")
+            except (ValueError, KeyError, json.JSONDecodeError) as e:
+                self._reply(400, {"error": str(e)})
+                return
+            try:
+                out = serve_request(spark, rows, catalog_df, sets_df, ref_df, cfg)
+                collected = out.collect()
+                self._reply(
+                    200,
+                    {
+                        "n": len(collected),
+                        "columns": out.columns,
+                        "rows": [
+                            {k: _json_safe(v) for k, v in r.asDict().items()}
+                            for r in collected
+                        ],
+                    },
+                )
+            except Exception as e:  # surface pipeline errors as 500 JSON
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_forever_in_thread(server: ThreadingHTTPServer) -> threading.Thread:
+    """Run the server on a daemon thread (tests / embedded use)."""
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return t

@@ -1,0 +1,113 @@
+"""The thin HTTP wrapper (§3.2, reference main/server.py:14-55): same
+POST /run_mwas surface on the stdlib ThreadingHTTPServer, but the
+response carries the result rows instead of the reference's
+fire-and-forget exit status."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+from pyspark.sql import SparkSession
+
+from mwas_rfam_spark.config import MwasConfig
+from mwas_rfam_spark.operators.condense import condense_metadata
+from mwas_rfam_spark.schemas import CATALOG_SCHEMA
+from mwas_rfam_spark.sources.readers import melt_wide_metadata
+from mwas_rfam_spark.streaming.http_server import (
+    config_from_params,
+    make_server,
+    serve_forever_in_thread,
+)
+
+
+@pytest.fixture(scope="module")
+def server_url(spark: SparkSession):
+    wide = spark.createDataFrame(
+        [
+            ("SAM01", "liver", "deep"),
+            ("SAM02", "liver", "deep"),
+            ("SAM03", "brain", "shallow"),
+            ("SAM04", "brain", "shallow"),
+            ("SAM05", "brain", "shallow"),
+            ("SAM06", "brain", "deep"),
+        ],
+        ["biosample_id", "tissue", "depth"],
+    )
+    catalog = spark.createDataFrame(
+        [("PRJH1", f"SAM0{i}", f"R{i}", 1_000_000) for i in range(1, 7)],
+        CATALOG_SCHEMA,
+    )
+    sets, ref = condense_metadata(melt_wide_metadata(wide, "PRJH1"))
+    srv = make_server(spark, catalog, sets, ref)
+    serve_forever_in_thread(srv)
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _post(url, body: bytes):
+    req = urllib.request.Request(url, data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, json.loads(r.read().decode())
+
+
+def test_healthz(server_url):
+    with urllib.request.urlopen(f"{server_url}/healthz", timeout=10) as r:
+        assert r.status == 200 and json.loads(r.read().decode()) == {"ok": True}
+
+
+def test_run_mwas_roundtrip(server_url):
+    rows = [
+        {"run": f"R{i}", "group": "g1", "quantifier": float(10 * i)}
+        for i in range(1, 7)
+    ]
+    status, payload = _post(
+        f"{server_url}/run_mwas?t_test_only=1&p_value_threshold=1.1",
+        json.dumps(rows).encode(),
+    )
+    assert status == 200
+    assert payload["n"] > 0 and len(payload["columns"]) == 18
+    assert all(r["bioproject"] == "PRJH1" for r in payload["rows"])
+    assert {r["status"].split(";")[0] for r in payload["rows"]} <= {
+        "t_test",
+        "skipped_statistical_testing",
+    }
+
+
+def test_bad_request_is_400(server_url):
+    for path, body in [
+        ("/run_mwas", b"not json"),
+        ("/run_mwas", b"[]"),
+        ("/run_mwas?no_such_flag=1", b'[{"run":"R1","group":"g","quantifier":1.0}]'),
+    ]:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"{server_url}{path}", body)
+        assert e.value.code == 400
+        assert "error" in json.loads(e.value.read().decode())
+
+
+def test_unknown_route_is_404(server_url):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{server_url}/other", b"[]")
+    assert e.value.code == 404
+
+
+def test_config_from_params_coercion():
+    cfg = config_from_params(
+        {
+            "t_test_only": "true",
+            "p_value_threshold": "0.5",
+            "permutation_resamples": "100",
+            "blacklist": "P1,P2",
+            "legacy_13col": "1",
+        }
+    )
+    assert cfg == MwasConfig(
+        t_test_only=True,
+        p_value_threshold=0.5,
+        permutation_resamples=100,
+        blacklist=("P1", "P2"),
+        legacy_13col=True,
+    )
+    with pytest.raises(ValueError, match="unknown config parameter"):
+        config_from_params({"nope": "1"})
