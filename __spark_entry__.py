@@ -94,15 +94,19 @@ def _mwas_stats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     input_df = mwas_input_from_events(spark, sf_dir)
     catalog_df = mwas_catalog_from_orders(spark, sf_dir)
     meta = mwas_metadata_long_from_customer(spark, sf_dir)
-    # persist the multiply-consumed relations: cohort_stats joins sets/ref
-    # at three points and without caching the whole condense subplan is
-    # inlined at every use (measured: 20 scans of the same parquet in one
-    # physical plan, no exchange reuse)
+    # localCheckpoint the multiply-consumed relations: cohort_stats joins
+    # sets/ref at three points, and without pinning the whole condense
+    # subplan is inlined at every use (measured: 20 scans of the same
+    # parquet in one physical plan, no exchange reuse). Checkpoint beats
+    # persist+settle here because it also truncates lineage — downstream
+    # planning stops re-running Catalyst over the condense tree
+    # (25-40% of this query's wall at sf0.1; SCALE.md).
     sets_df, ref_df = condense_metadata(meta)
-    sets_df = sets_df.persist()
-    ref_df = ref_df.persist()
-    ref_df.count()  # settle both caches before the fan-out
-    rollup = biosample_rollup(resolve_and_normalize(input_df, catalog_df, cfg)).persist()
+    sets_df = sets_df.localCheckpoint()
+    ref_df = ref_df.localCheckpoint()
+    rollup = biosample_rollup(
+        resolve_and_normalize(input_df, catalog_df, cfg)
+    ).localCheckpoint()
     return cohort_stats(rollup, sets_df, ref_df, cfg)
 
 

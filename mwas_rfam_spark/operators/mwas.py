@@ -37,23 +37,41 @@ from ..config import DEFAULT_CONFIG, MwasConfig
 from ..functions.scalar import replace_zero_spots, rpm
 from ..functions.stattests import grouped_permutation_mean_diff, student_t_sf
 
-# every relation run_mwas/finalize_results persists, so callers can free
-# the cache once the output is materialized (without this each call
+# every relation run_mwas/finalize_results materializes, so callers can
+# free the storage once the output is written (without this each call
 # leaked its cached subplans for the session lifetime)
 _LIVE_PERSISTS: list[DataFrame] = []
 
 
-def _persist(df: DataFrame) -> DataFrame:
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+def _materialize(df: DataFrame, cfg: MwasConfig) -> DataFrame:
+    """Pin a multiply-consumed subplan.
+
+    Default: ``localCheckpoint`` — eager (so fan-out branches can never
+    race an unsettled cache) and lineage-truncating (so every downstream
+    consumer plans against a short ExistingRDD scan instead of re-running
+    Catalyst over the whole condense+cohort tree; measured 25-40% of the
+    relational core's wall at sf0.1 was exactly that re-planning —
+    SCALE.md). ``use_local_checkpoint=False`` falls back to a lazy
+    persist (recomputable lineage for fault-tolerant cluster runs);
+    callers that fan out must settle it themselves (they do — the two
+    count() settles below).
+    """
+    if cfg.use_local_checkpoint:
+        df = df.localCheckpoint()
+    else:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
     _LIVE_PERSISTS.append(df)
     return df
 
 
 def release_mwas_persists() -> int:
-    """Unpersist every relation cached by run_mwas / finalize_results in
-    this process and return how many were released. Call after the result
-    has been materialized (written / collected); the result DataFrame
-    remains valid afterwards, it just recomputes if re-queried."""
+    """Release every subplan pinned by run_mwas / finalize_results in
+    this process and return how many were dropped. Call after the result
+    has been materialized (written / collected). Persisted relations are
+    unpersisted immediately; localCheckpoint'ed blocks are freed by the
+    ContextCleaner once the last DataFrame referencing them (including
+    the returned result) is garbage-collected — dropping our references
+    here is what makes that possible."""
     n = len(_LIVE_PERSISTS)
     for df in _LIVE_PERSISTS:
         try:
@@ -369,9 +387,9 @@ def run_tests(
         .withColumn("skip_tests", F.col("skip_tests") | F.lit(cfg.skip_tests))
     )
     # three branches (t-test / permutation / skipped) consume `base`; without
-    # persistence each branch re-executes the full upstream pipeline
-    # (catalog join → rollup → cohort stats) — cache once, spill-safe
-    base = _persist(base)
+    # pinning, each branch re-executes the full upstream pipeline
+    # (catalog join → rollup → cohort stats) — materialize once
+    base = _materialize(base, cfg)
 
     use_t_test = (
         F.least(F.col("n_true"), F.col("n_false")) < cfg.min_cohort_for_permutation
@@ -561,11 +579,13 @@ def finalize_results(
             "p_value",
         ).orderBy(F.asc_nulls_last("p_value"))
 
-    # two-branch fanout over `rows` — persist + settle so the shared
-    # upstream (including the permutation kernel) runs once, same
-    # rationale as the stats_df settle in run_mwas
-    rows = _persist(rows)
-    rows.count()
+    # two-branch fanout over `rows` — materialize so the shared upstream
+    # (including the permutation kernel) runs once, same rationale as the
+    # stats_df settle in run_mwas (localCheckpoint is already eager; the
+    # persist fallback needs the explicit count settle)
+    rows = _materialize(rows, cfg)
+    if not cfg.use_local_checkpoint:
+        rows.count()
 
     too_many = F.lit("too many biosamples to list")
     complement = F.array_except(F.col("biosamples_ref"), F.col("members"))
@@ -645,24 +665,30 @@ def run_mwas(
     whole upstream pipeline.
 
     EAGER: constructing the result executes the pipeline (including the
-    permutation kernel) — the two cache settles (`stats_df.count()` here,
-    the pre-finalize union count in ``finalize_results``) are deliberate,
-    since branches racing an unsettled cache inside one action were
-    measured recomputing the kernel concurrently (~2× end-to-end). Plan
-    inspection without execution: use the stage functions directly.
-    The persisted subplans stay cached so the returned DataFrame can be
-    re-queried cheaply; call :func:`release_mwas_persists` once the
-    output is materialized to free them.
+    permutation kernel) — each shared subplan is materialized before its
+    fan-out, since branches racing an unsettled cache inside one action
+    were measured recomputing the kernel concurrently (~2× end-to-end).
+    With the default ``use_local_checkpoint`` the materialization also
+    truncates lineage, so downstream stages re-plan against short
+    ExistingRDD scans instead of the whole tree (25-40% of the
+    relational core's wall at sf0.1 was that re-planning). Plan
+    inspection without execution: use the stage functions directly, or
+    set ``use_local_checkpoint=False`` (lazy persists + count settles).
+    The pinned subplans stay materialized so the returned DataFrame can
+    be re-queried cheaply; call :func:`release_mwas_persists` once the
+    output is written to let them be freed.
     """
-    resolved = _persist(resolve_and_normalize(input_df, catalog_df, cfg))
-    rollup = _persist(biosample_rollup(resolved))
-    sets_df = _persist(sets_df)
-    ref_df = _persist(ref_df)
+    resolved = _materialize(resolve_and_normalize(input_df, catalog_df, cfg), cfg)
+    rollup = _materialize(biosample_rollup(resolved), cfg)
+    sets_df = _materialize(sets_df, cfg)
+    ref_df = _materialize(ref_df, cfg)
     skip_flags = group_skip_flags(resolved, cfg)
-    stats_df = _persist(cohort_stats(rollup, sets_df, ref_df, cfg))
-    # materialize-before-fanout: the three test branches (t / permutation /
-    # skipped) otherwise race to compute the shared upstream concurrently
-    # inside one action, each filling the caches it finds empty (measured
-    # ~2× end-to-end). One cheap count settles every persisted relation.
-    stats_df.count()
+    stats_df = _materialize(cohort_stats(rollup, sets_df, ref_df, cfg), cfg)
+    # settle-before-fanout (persist fallback only): the three test
+    # branches (t / permutation / skipped) otherwise race to compute the
+    # shared upstream concurrently inside one action, each filling the
+    # caches it finds empty (measured ~2× end-to-end). localCheckpoint
+    # is already eager, so no extra pass is needed there.
+    if not cfg.use_local_checkpoint:
+        stats_df.count()
     return run_tests(stats_df, rollup, ref_df, skip_flags, cfg)
