@@ -129,10 +129,16 @@ def ngram_jaccard_pairs(
     collisions instead of total collisions.
     """
     sh = word_shingles(docs, n, text_col, id_col)
+    # localCheckpoint, not cache: three consumers (prefix ranking + both
+    # verification joins) would each re-plan the whole shingle subplan
+    # through an InMemoryRelation's retained lineage; the checkpoint
+    # truncates it (same re-planning cost found on the MWAS core —
+    # SCALE.md) and its blocks are freed by GC instead of leaking for
+    # the session lifetime the way the un-unpersisted cache did
     doc_sets = sh.groupBy("id").agg(
         F.sort_array(F.collect_list("shingle")).alias("shingles"),
         F.count("*").alias("sz"),
-    ).cache()
+    ).localCheckpoint()
 
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
@@ -143,6 +149,9 @@ def ngram_jaccard_pairs(
         # Jaccard prefix length: |d| - ceil(t*|d|) + 1
         .where(F.col("pos") < F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
         .select("id", "shingle", "pos", "sz")
+        # self-joined below: materialize once instead of planning (and
+        # possibly executing) the df-count + window subtree twice
+        .localCheckpoint()
     )
     alpha = F.ceil(
         F.lit(threshold / (1.0 + threshold)) * (F.col("sz_a") + F.col("sz_b"))
@@ -220,7 +229,9 @@ def dedup_pipeline_pairs(
     n-gram Jaccard; any (docs) → (id_a, id_b, jaccard)-shaped operator
     such as minhash_lsh_pairs_md5 works).
     """
-    groups = exact_dedup_groups(docs, text_col, id_col)
+    # checkpoint: `groups` feeds the representative semi-join and both
+    # group-size re-attach joins — one exact-dedup pass, not three
+    groups = exact_dedup_groups(docs, text_col, id_col).localCheckpoint()
     reps = docs.join(
         groups.select(F.col("keep_id").alias(id_col)), [id_col], "left_semi"
     )
@@ -292,7 +303,8 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, n, text_col, id_col).cache()
+    # checkpoint: consumed by the band explode AND both estimate joins
+    sigs = minhash_signatures(docs, num_hashes, n, text_col, id_col).localCheckpoint()
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -351,7 +363,8 @@ def minhash_lsh_pairs_md5(
         sh.groupBy("id")
         .agg(*mins)
         .select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
-        .cache()
+        # checkpoint: 32 md5s per shingle must not re-plan/re-run per consumer
+        .localCheckpoint()
     )
     band_cols = [
         F.struct(
