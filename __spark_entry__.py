@@ -553,15 +553,21 @@ def q_w1_topk_sort(spark, sf_dir):
 
 
 def q_w5_topk_per_group(spark, sf_dir):
-    """Window extension — top-3 per group via row_number."""
+    """Window extension — top-3 per group, two-phase (task-local top-k
+    pre-filter, then the exact per-group window over <= k×n_partitions
+    survivors): a per-group window's parallelism is the GROUP COUNT, and
+    3 groups at 100 TB would be 3 giant sorts without the pre-pass."""
+    from mwas_rfam_spark.operators.topk import top_k_per_group
+
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    out = top_k_per_group(
+        li,
+        ["l_returnflag"],
+        [F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        k=3,
     )
-    return (
-        li.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 3)
-        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rank")
+    return out.select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rank"
     )
 
 

