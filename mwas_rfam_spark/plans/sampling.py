@@ -58,12 +58,23 @@ def stratified_sample_exact(
     reproducible in ANSI SQL), and stable under resampling — growing k
     keeps every previously selected row (hash order is a fixed total
     order per stratum), which is what incremental mix tuning needs.
-    One shuffle (the per-stratum rank window).
+
+    Implemented two-phase like ``top_k_per_group``: a stratum window's
+    parallelism is the stratum count (a 3-label corpus at 100 TB would be
+    3 single-task sorts), so each task keeps its local k smallest hashes
+    per stratum first (narrow, no shuffle) and the exact window ranks the
+    ≤ k × n_partitions survivors. (md5(id), id) is a total order, so the
+    output is identical to the one-window form.
     """
-    w = Window.partitionBy(strata_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    w_local = Window.partitionBy(strata_col, F.spark_partition_id()).orderBy(*order)
+    cand = (
+        df.withColumn("_local_rank", F.row_number().over(w_local))
+        .where(F.col("_local_rank") <= k_per_stratum)
+        .drop("_local_rank")
     )
+    w = Window.partitionBy(strata_col).orderBy(*order)
     return (
-        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        cand.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .where(F.col("sample_rank") <= k_per_stratum)
     )
