@@ -60,18 +60,27 @@ def knn_per_query(
     q_vec_col: str = "q_vec",
 ) -> DataFrame:
     """Brute-force k-NN for a batch of query vectors (broadcast the small
-    query side; rank with a per-query window)."""
+    query side; rank two-phase per query).
+
+    A plain per-query window's parallelism is the QUERY COUNT — a batch
+    of 3 queries over a 100 TB embedding table would be 3 single-task
+    sorts of the whole scored relation. ``top_k_per_group`` pre-filters
+    each task's local top-k per query first (narrow window over
+    query × partition id), so the exact per-query rank runs over
+    ≤ k × n_partitions rows; (cosine desc, id) is a total order, so the
+    result is identical.
+    """
+    from .topk import top_k_per_group
+
     joined = emb.crossJoin(F.broadcast(queries)).withColumn(
         "cosine",
         _dot(F.col(vec_col), F.col(q_vec_col))
         / (_norm(F.col(vec_col)) * _norm(F.col(q_vec_col))),
     )
-    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(q_id_col, id_col, "cosine", "rank")
+    out = top_k_per_group(
+        joined, [q_id_col], [F.desc("cosine"), F.asc(id_col)], k=k
     )
+    return out.select(q_id_col, id_col, "cosine", "rank")
 
 
 def signed_random_projection_buckets(
