@@ -289,3 +289,23 @@ def test_top_k_per_group_prefilter_parity(spark):
 
     with pytest.raises(ValueError):
         top_k_per_group(df, ["g"], order, k=0)
+
+
+def test_registry_discipline():
+    """The driver's correctness gate verifies at most 50 entries (r02
+    checked exactly the first 50 of 62 and silently skipped the rest) —
+    the registry must stay within the cap, every oracle key must have a
+    query, and every bench headline name must resolve via
+    bench_queries()."""
+    import __spark_entry__ as entrymod
+    from bench import HEADLINE
+
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    bq = entrymod.bench_queries()
+    assert len(q) <= 50, f"{len(q)} entries would overflow the driver's 50-entry gate"
+    assert set(o) <= set(q), f"orphan oracles: {set(o) - set(q)}"
+    missing = [n for n in HEADLINE if n not in bq]
+    assert not missing, f"bench headline names not resolvable: {missing}"
+    # rows-only entries must stay the documented irreducible set
+    assert set(q) - set(o) <= {"mwas_full", "dedup_minhash_lsh", "ann_ivf_topk"}
