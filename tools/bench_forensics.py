@@ -109,7 +109,7 @@ def main():
 
     fresh = [_run_once(spark, sf_dir, f"fresh_{i}") for i in range(3)]
 
-    qs = entrymod.queries()
+    qs = entrymod.bench_queries()
     t0 = time.time()
     for name in HEADLINE:
         _force(qs[name](spark, sf_dir))
