@@ -1,0 +1,131 @@
+"""Measured scale probes behind SCALE.md's tables (regenerable).
+
+Usage: python tools/scale_probe.py [sf_dir]   (default /root/testdata/sf0.1)
+
+Probe A — clone-heavy dedup, the adversarial shape for set-similarity
+joins: each sf0.1 document replicated 10× under distinct ids with
+IDENTICAL text (exact clones), so the true near-dup pair count is
+quadratic in clone mass. Measures exact dedup, MinHash LSH, exact
+n-gram Jaccard, and the composed pipeline at 1× and 10×.
+
+Probe B — MWAS at 10× input: events/orders/customer replicated 10× with
+key offsets (10× input rows, 10× catalog runs, 10× biosamples per
+bioproject), full permutation config.
+
+Prints one JSON line with all wall times (single-shot each, run on a
+quiet box; these are trend probes, not benchmarks).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from bench import _force, _warmup
+from mwas_rfam_spark.session import get_spark
+
+
+def replicate_docs(docs, times: int):
+    n = times
+    copies = docs.crossJoin(
+        docs.sparkSession.range(n).select(F.col("id").alias("_copy"))
+    )
+    return copies.select(
+        (F.col("doc_id") * n + F.col("_copy")).alias("doc_id"),
+        "text",
+    )
+
+
+def probe_dedup(spark, sf_dir: str, out: dict):
+    from mwas_rfam_spark.operators.dedup import (
+        dedup_pipeline_pairs,
+        exact_dedup_groups,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from mwas_rfam_spark.plans.testdata_mwas import load
+
+    base = load(spark, sf_dir, "documents").select("doc_id", "text")
+    for label, docs in [("1x", base), ("10x_clones", replicate_docs(base, 10))]:
+        docs = docs.localCheckpoint()  # measure the operators, not the clone join
+        for op, fn in [
+            ("exact", lambda d=docs: exact_dedup_groups(d)),
+            ("minhash_lsh", lambda d=docs: minhash_lsh_pairs(d)),
+            ("ngram_jaccard", lambda d=docs: ngram_jaccard_pairs(d)),
+            ("pipeline", lambda d=docs: dedup_pipeline_pairs(d)),
+        ]:
+            t0 = time.time()
+            _force(fn())
+            out[f"dedup_{op}_{label}"] = round(time.time() - t0, 2)
+            spark.catalog.clearCache()
+            print(f"dedup_{op}_{label}: {out[f'dedup_{op}_{label}']}", file=sys.stderr)
+
+
+def probe_mwas(spark, sf_dir: str, out: dict):
+    from mwas_rfam_spark.config import MwasConfig
+    from mwas_rfam_spark.operators.condense import condense_metadata
+    from mwas_rfam_spark.operators.mwas import release_mwas_persists, run_mwas
+    from mwas_rfam_spark.plans.testdata_mwas import (
+        mwas_catalog_from_orders,
+        mwas_input_from_events,
+        mwas_metadata_long_from_customer,
+    )
+
+    def rep(df, key_cols: dict[str, str], times: int):
+        """Replicate with per-copy key offsets: key := key || '_' || copy."""
+        copies = df.crossJoin(
+            spark.range(times).select(F.col("id").cast("string").alias("_copy"))
+        )
+        cols = [
+            (
+                F.when(F.col("_copy") == "0", F.col(c))
+                .otherwise(F.concat(F.col(c), F.lit("_"), F.col("_copy")))
+                .alias(c)
+                if c in key_cols
+                else F.col(c)
+            )
+            for c in df.columns
+        ]
+        return copies.select(*cols)
+
+    cfg = MwasConfig(permutation_resamples=10_000)
+    for label, times in [("1x", 1), ("10x", 10)]:
+        inp = mwas_input_from_events(spark, sf_dir)
+        cat = mwas_catalog_from_orders(spark, sf_dir)
+        meta = mwas_metadata_long_from_customer(spark, sf_dir)
+        if times > 1:
+            # distinct runs + biosamples per copy (10× catalog and input
+            # mass; biosamples-per-bioproject grows 10×, the kernel's n)
+            inp = rep(inp, {"run"}, times)
+            cat = rep(cat, {"run", "bio_sample"}, times)
+            meta = rep(meta, {"biosample_id"}, times)
+        sets_df, ref_df = condense_metadata(meta)
+        t0 = time.time()
+        _force(run_mwas(inp, cat, sets_df, ref_df, cfg))
+        out[f"mwas_full_{label}"] = round(time.time() - t0, 2)
+        release_mwas_persists()
+        spark.catalog.clearCache()
+        print(f"mwas_full_{label}: {out[f'mwas_full_{label}']}", file=sys.stderr)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _warmup(spark, sf_dir)
+    out: dict = {"sf_dir": sf_dir}
+    probe_dedup(spark, sf_dir, out)
+    probe_mwas(spark, sf_dir, out)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
