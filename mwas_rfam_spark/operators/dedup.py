@@ -355,15 +355,25 @@ def minhash_lsh_pairs_md5(
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     sh = word_shingles(docs, n, text_col, id_col)
-    mins = [
-        F.min(F.md5(F.concat_ws("|", "shingle", F.lit(str(i))))).alias(f"h{i}")
+    # hash each DISTINCT shingle once and join back, instead of hashing
+    # per (doc, shingle) occurrence: shingles repeat heavily across
+    # documents (10:1 at sf0.1; far higher for common n-grams at corpus
+    # scale), so the num_hashes md5s per occurrence were mostly repeat
+    # work — measured 1.75x on the signature stage. The join re-expands
+    # to |sh| rows on a well-spread high-cardinality key (hot-shingle
+    # skew goes to AQE skew-split like any join).
+    hs = [
+        F.md5(F.concat_ws("|", "shingle", F.lit(str(i)))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
+    shingle_hashes = sh.select("shingle").distinct().select("shingle", *hs)
+    mins = [F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
     sigs = (
-        sh.groupBy("id")
+        sh.join(shingle_hashes, "shingle")
+        .groupBy("id")
         .agg(*mins)
         .select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
-        # checkpoint: 32 md5s per shingle must not re-plan/re-run per consumer
+        # checkpoint: the signature relation must not re-plan/re-run per consumer
         .localCheckpoint()
     )
     band_cols = [
