@@ -7,6 +7,8 @@ codegen'd); no Python in the hot path.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -215,3 +217,128 @@ def vocabulary_topk(
     top = counts.orderBy(F.desc("tf"), F.asc("token")).limit(k)
     w = Window.orderBy(F.desc("tf"), F.asc("token"))
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+# order matters: emails before phones (an email's digits must not be
+# half-eaten by the phone pattern); all patterns are deliberately
+# conservative/simple — this is corpus hygiene, not a compliance scanner
+_PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    (r"(?<!\d)(?:\+?\d{1,2}[\s.\-]?)?(?:\(\d{3}\)|\d{3})[\s.\-]\d{3}[\s.\-]\d{4}(?!\d)", "[PHONE]"),
+    (r"(?<!\d)\d{3}-\d{2}-\d{4}(?!\d)", "[SSN]"),
+]
+
+
+def redact_pii(text_col: Column) -> Column:
+    """Replace common PII shapes (emails, dotted IPv4s, NANP-style phone
+    numbers, SSN-shaped triples) with typed placeholder tokens.
+
+    Pure chained ``regexp_replace`` — JVM-side, whole-stage codegen, no
+    Python in the path — so it composes with any scan at full scan
+    throughput. Patterns are applied in a fixed order (emails first so
+    their digit runs can't be claimed by the phone pattern)."""
+    out = text_col
+    for pat, repl in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def redact_pii_docs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, text, n_redactions): redacted corpus plus a per-doc count of
+    replaced spans (cheap signal for filtering PII-dense documents; a
+    pre-existing literal placeholder in the source text would inflate
+    the count — acceptable for a filtering signal)."""
+    red = redact_pii(F.col(text_col))
+    n = sum(
+        (F.size(F.split(red, re.escape(marker), -1)) - F.lit(1))
+        for marker in ("[EMAIL]", "[IP]", "[PHONE]", "[SSN]")
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        red.alias(text_col),
+        n.cast("long").alias("n_redactions"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram language-model scoring (perplexity-proxy quality signal)
+# ---------------------------------------------------------------------------
+
+
+def train_bigram_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Corpus bigram/unigram counts for :func:`bigram_logprob`.
+
+    Returns (bigrams, unigrams): (w1, w2, cnt) and (w1, cnt). One
+    explode + two groupBys (map-side combine shrinks both exchanges to
+    distinct keys per partition). Tokens are lowercased whitespace
+    tokens with a <s> sentinel so the first word is scored too.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("did"),
+        F.concat(F.array(F.lit("<s>")), tokens(F.lower(F.col(text_col)))).alias("toks"),
+    )
+    big = toks.select(
+        F.explode(
+            F.expr("transform(slice(toks, 1, size(toks) - 1), (w, i) -> struct(w as w1, toks[i + 1] as w2))")
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bigrams = big.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    unigrams = big.groupBy("w1").agg(F.count("*").alias("cnt"))
+    return bigrams, unigrams
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    bigrams: DataFrame,
+    unigrams: DataFrame,
+    vocab_size: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean bigram log2-probability under the corpus model —
+    a perplexity proxy: fluent in-domain text scores high, garbage and
+    out-of-domain boilerplate score low (the classic LM quality filter).
+
+    Add-one smoothing over the model's w2 vocabulary:
+    P(w2|w1) = (cnt(w1,w2) + 1) / (cnt(w1) + V). All relational —
+    explode the scored corpus to bigram rows, left-join the count
+    relations on their natural keys (both shuffles hash on token keys;
+    hot words are real mass, AQE skew-split applies), aggregate back to
+    one row per document. Returns (id, n_bigrams, mean_log2p).
+    """
+    if vocab_size is None:
+        vocab_size = bigrams.select("w2").distinct().count() or 1
+    toks = docs.select(
+        F.col(id_col).alias("did"),
+        F.concat(F.array(F.lit("<s>")), tokens(F.lower(F.col(text_col)))).alias("toks"),
+    )
+    big = toks.select(
+        "did",
+        F.explode(
+            F.expr("transform(slice(toks, 1, size(toks) - 1), (w, i) -> struct(w as w1, toks[i + 1] as w2))")
+        ).alias("bg"),
+    ).select("did", "bg.w1", "bg.w2")
+    joined = (
+        big.join(bigrams.withColumnRenamed("cnt", "cnt_bg"), ["w1", "w2"], "left")
+        .join(unigrams.withColumnRenamed("cnt", "cnt_u"), ["w1"], "left")
+        .select(
+            "did",
+            (
+                F.log2(F.coalesce("cnt_bg", F.lit(0)) + F.lit(1.0))
+                - F.log2(F.coalesce("cnt_u", F.lit(0)) + F.lit(float(vocab_size)))
+            ).alias("log2p"),
+        )
+    )
+    return joined.groupBy(F.col("did").alias("id")).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.avg("log2p").alias("mean_log2p"),
+    )

@@ -80,3 +80,65 @@ def test_vocabulary_topk(spark):
     assert rows["cat"]["tf"] == 2 and rows["cat"]["df"] == 2
     assert rows["dog"]["tf"] == 2 and rows["dog"]["df"] == 2
     assert {r["rank"] for r in rows.values()} == {1, 2, 3}
+
+
+def test_redact_pii(spark):
+    """Typed placeholders, applied in an order that keeps an email's
+    digits away from the phone pattern; counts per doc."""
+    from mwas_rfam_spark.operators.text import redact_pii_docs
+
+    rows = [
+        (1, "mail me at jane.doe+x@example.co.uk or call 555-867-5309"),
+        (2, "server 10.0.0.1 and (212) 555-0199 and 123-45-6789"),
+        (3, "no pii here, just 12345 and v1.2.3"),
+        (4, ""),
+    ]
+    out = {
+        r["id"]: r
+        for r in redact_pii_docs(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1]["text"] == "mail me at [EMAIL] or call [PHONE]"
+    assert out[1]["n_redactions"] == 2
+    assert out[2]["text"] == "server [IP] and [PHONE] and [SSN]"
+    assert out[2]["n_redactions"] == 3
+    assert out[3]["text"] == rows[2][1] and out[3]["n_redactions"] == 0
+    assert out[4]["n_redactions"] == 0
+
+
+def test_bigram_logprob_matches_hand_model(spark):
+    """Tiny corpus where add-one bigram probabilities are computable by
+    hand; fluent repetition must outscore unseen-word garbage."""
+    import math
+
+    from mwas_rfam_spark.operators.text import bigram_logprob, train_bigram_counts
+
+    corpus = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "the dog sat")],
+        ["doc_id", "text"],
+    )
+    bigrams, unigrams = train_bigram_counts(corpus)
+    bg = {(r["w1"], r["w2"]): r["cnt"] for r in bigrams.collect()}
+    un = {r["w1"]: r["cnt"] for r in unigrams.collect()}
+    assert bg[("<s>", "the")] == 3 and bg[("the", "cat")] == 2
+    assert un["<s>"] == 3 and un["the"] == 3 and un["cat"] == 2
+
+    # V = distinct w2 in the model = {the, cat, dog, sat, ran} = 5
+    scored = bigram_logprob(corpus, bigrams, unigrams)
+    got = {r["id"]: r for r in scored.collect()}
+    # doc 1 "the cat sat": bigrams (<s>,the)(the,cat)(cat,sat)
+    expect = (
+        math.log2((3 + 1) / (3 + 5))
+        + math.log2((2 + 1) / (3 + 5))
+        + math.log2((1 + 1) / (2 + 5))
+    ) / 3
+    assert got[1]["n_bigrams"] == 3
+    assert abs(got[1]["mean_log2p"] - expect) < 1e-12
+
+    # unseen-word garbage scores strictly lower than an in-domain doc
+    test_docs = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zz qq ww")], ["doc_id", "text"]
+    )
+    s = {r["id"]: r["mean_log2p"] for r in bigram_logprob(test_docs, bigrams, unigrams).collect()}
+    assert s[10] > s[11]
