@@ -122,3 +122,52 @@ def test_stream_batch_rpm_parity(spark):
     stream = {r["bio_sample"]: r["rpm"] for r in resolve_stream(req, catalog).collect()}
     assert batch == stream
     assert stream["BS2"] == 7.0  # spots==0 → 1e6 sentinel → rpm == quantifier
+
+
+def test_dedup_operators_empty_corpus(spark):
+    """Every dedup/text operator must return an empty, correctly-typed
+    relation on an empty corpus — not crash in a window, a checkpoint,
+    or the clustering loop."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from mwas_rfam_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_pipeline_pairs,
+        exact_dedup_groups,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_md5,
+        ngram_jaccard_pairs,
+        simhash_near_dup_pairs,
+    )
+    from mwas_rfam_spark.operators.text import (
+        bigram_logprob,
+        redact_pii_docs,
+        text_profile,
+        train_bigram_counts,
+        vocabulary_topk,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    empty = spark.createDataFrame([], schema)
+    assert exact_dedup_groups(empty).count() == 0
+    assert ngram_jaccard_pairs(empty).count() == 0
+    assert minhash_lsh_pairs(empty).count() == 0
+    assert minhash_lsh_pairs_md5(empty).count() == 0
+    assert simhash_near_dup_pairs(empty).count() == 0
+    assert dedup_pipeline_pairs(empty).count() == 0
+    assert text_profile(empty).count() == 0
+    assert vocabulary_topk(empty).count() == 0
+    assert redact_pii_docs(empty).count() == 0
+    bigrams, unigrams = train_bigram_counts(empty)
+    assert bigram_logprob(empty, bigrams, unigrams, vocab_size=1).count() == 0
+
+    no_pairs = spark.createDataFrame(
+        [], "id_a long, id_b long, jaccard double"
+    )
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    # no edges: every doc is its own singleton cluster
+    out = {r["doc_id"]: r for r in dedup_clusters(no_pairs, docs).collect()}
+    assert set(out) == {1, 2}
+    assert all(r["keep"] and r["cluster_id"] == d for d, r in out.items())
