@@ -80,6 +80,32 @@ def windowed_event_rollup(
     )
 
 
+def sessionized_event_rollup(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session-window aggregate: events for a key are grouped into
+    dynamic windows that extend while successive events arrive within
+    ``gap`` of each other and close after a quiet period — the
+    user-session / burst-detection primitive tumbling windows can't
+    express. Native ``F.session_window`` (merging-window state in the
+    streaming engine, plain groupBy in batch — the same function works
+    in both, parity-tested). Watermark bounds the open-session state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 ROLLUP_STATE_SCHEMA = T.StructType(
     [
         T.StructField("cnt", T.LongType()),

@@ -171,3 +171,50 @@ def test_dedup_operators_empty_corpus(spark):
     out = {r["doc_id"]: r for r in dedup_clusters(no_pairs, docs).collect()}
     assert set(out) == {1, 2}
     assert all(r["keep"] and r["cluster_id"] == d for d, r in out.items())
+
+
+def test_session_window_stream_batch_parity(spark, tmp_path):
+    """Session windows (dynamic gap-merged) must agree between the
+    streaming engine's merging-window state and the batch groupBy, and
+    must actually merge: events 3 minutes apart share a session under a
+    5-minute gap, a 20-minute quiet period splits one."""
+    from mwas_rfam_spark.streaming.requests import sessionized_event_rollup
+
+    ev = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", "click", 1.0),
+            ("2024-01-01 00:03:00", "click", 2.0),   # merges (gap 3m < 5m)
+            ("2024-01-01 00:07:59", "click", 4.0),   # still merges
+            ("2024-01-01 00:28:00", "click", 8.0),   # new session (20m quiet)
+            ("2024-01-01 00:02:00", "view", 16.0),
+        ],
+        "ts_s string, event_type string, value double",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+    src = tmp_path / "sess"
+    ev.write.mode("overwrite").parquet(str(src))
+
+    batch = sessionized_event_rollup(ev, gap="5 minutes")
+    rows = {tuple(map(str, r)) for r in batch.collect()}
+    clicks = sorted(
+        (r for r in batch.collect() if r["event_type"] == "click"),
+        key=lambda r: r["session_start"],
+    )
+    assert len(clicks) == 2
+    assert clicks[0]["n"] == 3 and clicks[0]["sum_value"] == 7.0
+    assert str(clicks[0]["session_end"]) == "2024-01-01 00:12:59"  # last + gap
+    assert clicks[1]["n"] == 1
+
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    q = (
+        sessionized_event_rollup(stream, gap="5 minutes")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {tuple(map(str, r)) for r in spark.sql("SELECT * FROM sess_out").collect()}
+    finally:
+        q.stop()
+    assert got == rows
