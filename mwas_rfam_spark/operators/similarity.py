@@ -187,6 +187,48 @@ def ivf_ann_topk(
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def write_ivf_index(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: vectors written parquet partitioned by
+    their nearest-centroid cell. This is what turns the probe's cell
+    filter from a compute-then-discard scan into PARTITION PRUNING — at
+    100 TB only nprobe/k_cells of the files are ever opened."""
+    assign_ivf_cells(emb, centroids, id_col, vec_col).write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(path)
+
+
+def ivf_ann_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe over a :func:`write_ivf_index` table: the nprobe-cell
+    membership is a filter on the PARTITION column, so non-probed cells'
+    files are pruned at planning time (PartitionFilters in the scan —
+    plan-asserted in tests), not scanned and discarded."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = sorted(
+        range(len(centroids)),
+        key=lambda c: float(np.sum((q - np.asarray(centroids[c])) ** 2)),
+    )
+    probe = order[:nprobe]
+    emb = spark.read.parquet(index_path).where(F.col("cell").isin(probe))
+    return brute_force_topk(emb, query_vec, k, id_col, vec_col)
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     query_vec: list[float],

@@ -120,3 +120,38 @@ def test_lsh_multiprobe_improves_recall(spark, sf_dir):
     multi = {r["vec_id"] for r in lsh_ann_topk(e, qvec, planes, k=10, n_probes=16).collect()}
     assert len(multi & exact) >= len(one & exact)
     assert len(multi & exact) >= 4
+
+
+def test_ivf_indexed_probe_prunes_partitions(spark, tmp_path):
+    """The materialized IVF index must (a) return exactly the same top-k
+    as the on-the-fly cell filter and (b) show the probe as
+    PartitionFilters in the scan — pruning at planning time, not a
+    compute-then-discard pass."""
+    from mwas_rfam_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_ann_topk_indexed,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11) for d in range(4)]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_ivf_centroids(emb, k=4, iters=2)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, cents, path)
+
+    qvec = rows[0][1]
+    direct = ivf_ann_topk(emb, qvec, cents, k=5, nprobe=2).collect()
+    indexed_df = ivf_ann_topk_indexed(spark, path, qvec, cents, k=5, nprobe=2)
+    indexed = indexed_df.collect()
+    assert [(r["vec_id"], round(r["cosine"], 9)) for r in direct] == [
+        (r["vec_id"], round(r["cosine"], 9)) for r in indexed
+    ]
+
+    plan = indexed_df._sc._jvm.PythonSQLUtils.explainString(
+        indexed_df._jdf.queryExecution(), "formatted"
+    )
+    pf = plan.split("PartitionFilters")[1][:120]
+    assert "cell" in pf, pf
