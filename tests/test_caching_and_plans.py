@@ -309,3 +309,26 @@ def test_registry_discipline():
     assert not missing, f"bench headline names not resolvable: {missing}"
     # rows-only entries must stay the documented irreducible set
     assert set(q) - set(o) <= {"mwas_full", "dedup_minhash_lsh", "ann_ivf_topk"}
+
+
+def test_profile_table_one_pass(spark):
+    """Per-column stats from ONE aggregate job; exact values on a frame
+    small enough to verify by hand, and a single-Aggregate plan (no
+    per-column jobs)."""
+    from mwas_rfam_spark.plans.profiling import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0, [1]), (2, "b", 4.0, [2]), (3, None, None, None), (4, "b", 6.0, [3])],
+        "id bigint, s string, v double, arr array<int>",
+    )
+    p = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(p) == {"id", "s", "v", "arr"}
+    assert p["id"]["n_rows"] == 4 and p["id"]["n_nulls"] == 0
+    assert p["s"]["n_nulls"] == 1 and p["s"]["null_frac"] == 0.25
+    assert p["s"]["approx_distinct"] == 2  # HLL exact at this cardinality
+    assert p["v"]["min_value"] == "2.0" and p["v"]["max_value"] == "6.0"
+    assert p["v"]["mean"] == 4.0
+    assert p["arr"]["approx_distinct"] is None and p["arr"]["n_nulls"] == 1
+    # one aggregate pass: a single pair of HashAggregates, not per-column
+    plan = _physical(profile_table(df))
+    assert plan.count("HashAggregate") <= 2 or plan.count("SortAggregate") <= 2
