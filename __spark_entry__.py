@@ -927,6 +927,27 @@ def q_text_lang_quality(spark, sf_dir):
     )
 
 
+def q_text_bigram_quality(spark, sf_dir):
+    """Bigram-LM quality scoring (perplexity proxy), hash-verified: train
+    the add-one-smoothed bigram model on the corpus and score each
+    document's mean log2 P(w2|w1) under it. The whole model — counts,
+    vocabulary size, smoothing — is relational, so the Python-free
+    pipeline reproduces exactly in ANSI SQL."""
+    from mwas_rfam_spark.operators.text import bigram_logprob, train_bigram_counts
+
+    d = _t(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    bigrams, unigrams = train_bigram_counts(d)
+    # model hyperparameter (like the IVF centroids): V = |{w2}| of the
+    # trained model — a scalar from the tiny count relation, not data
+    v = bigrams.select("w2").distinct().count()
+    out = bigram_logprob(d, bigrams, unigrams, vocab_size=v)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_bigrams",
+        F.round("mean_log2p", 6).alias("mean_log2p"),
+    )
+
+
 def q_text_winnowing(spark, sf_dir):
     """Winnowing (rolling-hash window-min) fingerprints — shared
     substrings of length >= k+w-1 are guaranteed a common fingerprint."""
@@ -1480,8 +1501,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              `ann_recall`; batch ranking via `ann_knn_batch`
     - ann_lsh_topk         → recall-floor-pinned inside `ann_recall`
     - dedup_simhash        → construction via `dedup_simhash32`, recall
-                             via `dedup_quality`; `dedup_minhash_lsh`
-                             stays as the xxhash64-family rows-only row
+                             via `dedup_quality`
+    - dedup_minhash_lsh    → the xxhash64 family's band→candidate→
+                             estimate pipeline is hash-verified by its
+                             md5 twin `dedup_minhash_md5` and its recall
+                             by `dedup_quality`; its slot went to the
+                             hash-verified `text_bigram_quality` (a ✓
+                             row instead of a rows-only row)
     - multimodal_meta/decode/audio → one `multimodal_pipeline` entry
     """
     return {
@@ -1520,7 +1546,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_first_seen": q_dedup_first_seen,
         "dedup_quality": q_dedup_quality,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_md5": q_dedup_minhash_md5,
         "dedup_simhash32": q_dedup_simhash32,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1528,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_quality": q_text_lang_quality,
         "text_winnowing": q_text_winnowing,
         "text_vocab_topk": q_text_vocab_topk,
+        "text_bigram_quality": q_text_bigram_quality,
         "multimodal_pipeline": q_multimodal_pipeline,
         "ann_knn_batch": q_ann_knn_batch,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1547,6 +1573,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **queries(),
         "t1_welch_from_stats": q_t1_welch_from_stats,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
         "multimodal_decode": q_multimodal_decode,
         "s1_scan_project": q_s1_scan_project,
@@ -2199,6 +2226,27 @@ FROM final
                    lang_pred,
                    md5(array_to_string(list_slice(toks, 1, 16), ' ')) AS fingerprint
             FROM scored
+        """,
+        "text_bigram_quality": """
+            WITH d AS (SELECT doc_id,
+                              string_split_regex(trim(lower(text)), '\\s+') AS tk
+                       FROM documents WHERE length(trim(text)) > 0),
+            t AS (SELECT doc_id, list_prepend('<s>', tk) AS toks FROM d),
+            be AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+                     SELECT doc_id,
+                            unnest(list_transform(range(1, len(toks)),
+                                   i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS b
+                     FROM t)),
+            cb AS (SELECT w1, w2, count(*) AS cnt FROM be GROUP BY 1, 2),
+            cu AS (SELECT w1, count(*) AS cnt FROM be GROUP BY 1),
+            v AS (SELECT count(DISTINCT w2) AS v FROM cb),
+            sc AS (SELECT be.doc_id,
+                          log2(cb.cnt + 1.0)
+                          - log2(cu.cnt + (SELECT v FROM v) * 1.0) AS lp
+                   FROM be JOIN cb USING (w1, w2) JOIN cu USING (w1))
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(avg(lp), 6) AS mean_log2p
+            FROM sc GROUP BY 1
         """,
         "text_winnowing": """
             WITH d AS (SELECT doc_id, lower(text) AS t FROM documents

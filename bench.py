@@ -41,6 +41,7 @@ HEADLINE = [
     "multimodal_decode",
     "text_lang_quality",
     "text_winnowing",
+    "text_bigram_quality",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "events_hourly",
