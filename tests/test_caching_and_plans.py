@@ -332,3 +332,32 @@ def test_profile_table_one_pass(spark):
     # one aggregate pass: a single pair of HashAggregates, not per-column
     plan = _physical(profile_table(df))
     assert plan.count("HashAggregate") <= 2 or plan.count("SortAggregate") <= 2
+
+
+def test_interval_join_matches_bruteforce_randomized(spark):
+    """Property: the bucketized interval join must equal the O(n²)
+    cross-product filter on seeded random timelines — including values
+    landing exactly on bucket boundaries and at the tolerance edge."""
+    import hashlib
+
+    def h(i, salt):
+        return int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16)
+
+    from mwas_rfam_spark.operators.interval import interval_join_within
+
+    for salt, tol in [("s1", 7), ("s2", 60), ("s3", 1)]:
+        a_rows = [(i, h(i, salt) % 500) for i in range(60)]
+        b_rows = [(i, h(i, salt + "b") % 500) for i in range(60)]
+        a = spark.createDataFrame(a_rows, "id bigint, ts bigint")
+        b = spark.createDataFrame(b_rows, "id bigint, ts bigint")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in interval_join_within(a, b, ts_col="ts", tolerance=tol).collect()
+        }
+        expect = {
+            (ia, ib)
+            for ia, ta in a_rows
+            for ib, tb in b_rows
+            if abs(ta - tb) <= tol
+        }
+        assert got == expect, f"salt={salt} tol={tol}"
