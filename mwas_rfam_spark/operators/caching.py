@@ -84,3 +84,55 @@ def run_mwas_cached(
     out = run_mwas(input_df, catalog_df, sets_df, ref_df, cfg)
     out.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+def filter_unprocessed(
+    input_df: DataFrame, catalog_df: DataFrame, done_results: DataFrame
+) -> DataFrame:
+    """W3 resume, relationally: drop input rows whose BioProject already
+    has rows in a previous run's output.
+
+    The reference resumes by processing bioproject files in name order
+    and skipping ones whose outputs exist on disk; here resumability is a
+    plan — resolve each input run to its bioproject through the catalog
+    and anti-join the distinct done set (tiny: one row per finished
+    bioproject, broadcast by AQE). Runs the catalog never maps keep
+    flowing (they surface as unknown-run rows, same as a fresh run).
+    """
+    done = done_results.select(
+        F.col("bioproject").alias("bio_project")
+    ).distinct()
+    resolved = input_df.join(
+        catalog_df.select("run", "bio_project").distinct(), "run", "left"
+    )
+    return resolved.join(done, "bio_project", "left_anti").select(*input_df.columns)
+
+
+def run_mwas_resume(
+    spark: SparkSession,
+    input_df: DataFrame,
+    catalog_df: DataFrame,
+    sets_df: DataFrame,
+    ref_df: DataFrame,
+    output_dir: str,
+    cfg: MwasConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Resume a partitioned-output MWAS run: compute only the bioprojects
+    missing from ``output_dir`` (a ``partitionBy(bioproject)`` sink),
+    append their partitions, return the full combined relation. A crash
+    mid-run costs only the unfinished bioprojects — the reference's
+    file-order resume semantics, minus the file-order coupling."""
+    from .mwas import run_mwas
+    from ..sources.sinks import write_results_partitioned
+
+    try:
+        prev = spark.read.parquet(output_dir)
+    except AnalysisException:
+        prev = None
+    todo = (
+        input_df if prev is None else filter_unprocessed(input_df, catalog_df, prev)
+    )
+    if todo.limit(1).count() > 0:
+        out = run_mwas(todo, catalog_df, sets_df, ref_df, cfg)
+        write_results_partitioned(out, output_dir, fmt="parquet", mode="append")
+    return spark.read.parquet(output_dir)

@@ -11,10 +11,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def write_results_partitioned(results: DataFrame, path: str, fmt: str = "parquet") -> None:
+def write_results_partitioned(
+    results: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite"
+) -> None:
     """S9 — one output per bioproject via partitioned write (replaces the
-    per-BP csv loop at mg:631-650)."""
-    writer = results.write.mode("overwrite").partitionBy("bioproject")
+    per-BP csv loop at mg:631-650). ``mode="append"`` adds new
+    bioprojects' partitions without touching finished ones (the W3
+    resume path in operators/caching.run_mwas_resume)."""
+    writer = results.write.mode(mode).partitionBy("bioproject")
     (writer.parquet(path) if fmt == "parquet" else writer.option("header", True).csv(path))
 
 

@@ -361,3 +361,54 @@ def test_interval_join_matches_bruteforce_randomized(spark):
             if abs(ta - tb) <= tol
         }
         assert got == expect, f"salt={salt} tol={tol}"
+
+
+def test_run_mwas_resume_per_bioproject(spark, tmp_path):
+    """W3 resume: after a run over P1 only, resuming with P1+P2 input
+    must compute P2 alone (filter_unprocessed drops P1's rows) and the
+    combined output must equal a fresh full run."""
+    from mwas_rfam_spark.operators.caching import filter_unprocessed, run_mwas_resume
+    from mwas_rfam_spark.operators.mwas import run_mwas
+
+    catalog_df = spark.createDataFrame(
+        [("P1" if i <= 5 else "P2", f"SAM{i:02d}", f"R{i}", 1_000_000) for i in range(1, 11)],
+        CATALOG_SCHEMA,
+    )
+    wide1 = spark.createDataFrame(
+        [(f"SAM{i:02d}", "a" if i <= 2 else "b") for i in range(1, 6)],
+        ["biosample_id", "t1"],
+    )
+    wide2 = spark.createDataFrame(
+        [(f"SAM{i:02d}", "x" if i <= 8 else "y") for i in range(6, 11)],
+        ["biosample_id", "t1"],
+    )
+    sets_df, ref_df = condense_metadata(
+        melt_wide_metadata(wide1, "P1").unionByName(melt_wide_metadata(wide2, "P2"))
+    )
+    cfg = MwasConfig(t_test_only=True)
+    full_input = spark.createDataFrame(
+        [(f"R{i}", "g1", float(10 * i)) for i in range(1, 11)], INPUT_SCHEMA
+    )
+    p1_input = full_input.where(F.col("run").isin([f"R{i}" for i in range(1, 6)]))
+
+    out_dir = str(tmp_path / "resume_out")
+    first = run_mwas_resume(spark, p1_input, catalog_df, sets_df, ref_df, out_dir, cfg)
+    assert {r["bioproject"] for r in first.collect()} == {"P1"}
+
+    # the resume plan must drop P1's rows before any compute
+    todo = filter_unprocessed(full_input, catalog_df, first)
+    assert {r["run"] for r in todo.collect()} == {f"R{i}" for i in range(6, 11)}
+
+    combined = run_mwas_resume(spark, full_input, catalog_df, sets_df, ref_df, out_dir, cfg)
+    fresh = run_mwas(full_input, catalog_df, sets_df, ref_df, cfg)
+
+    def key(r):
+        return (r["bioproject"], r["group"], r["metadata_field"], r["metadata_value"])
+
+    got = {key(r): (r["num_true"], r["num_false"], r["status"]) for r in combined.collect()}
+    want = {key(r): (r["num_true"], r["num_false"], r["status"]) for r in fresh.collect()}
+    assert got == want and {k[0] for k in got} == {"P1", "P2"}
+
+    # idempotent: a third resume with nothing to do changes nothing
+    again = run_mwas_resume(spark, full_input, catalog_df, sets_df, ref_df, out_dir, cfg)
+    assert again.count() == combined.count()
