@@ -55,3 +55,76 @@ def test_salted_join_rejects_unsupported(spark):
     df = spark.range(1).select(F.col("id").alias("k"))
     with pytest.raises(ValueError):
         salted_join(df, df, "k", how="full_outer")
+
+
+def test_zorder_layout_prunes_both_columns(spark, tmp_path):
+    """Z-order clustering must make row-group min/max stats selective on
+    BOTH keyed columns (verified against real parquet footers via
+    pyarrow), where a single-column sort is selective on one only."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.sources.layout import zorder_write
+
+    n = 40_000
+    df = spark.range(n).select(
+        (F.col("id") % 200).alias("x"),
+        (F.floor(F.col("id") / 200)).alias("y"),
+        F.col("id").alias("payload"),
+    )
+
+    def overlap_fraction(path, col, point):
+        """Fraction of row groups whose [min,max] admits col == point."""
+        total = hit = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            idx = meta.schema.names.index(col)
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                total += 1
+                if st.min <= point <= st.max:
+                    hit += 1
+        assert total > 0
+        return hit / total
+
+    plain = str(tmp_path / "plain")
+    # x-clustered baseline at the SAME file count (8 range files on x)
+    df.repartitionByRange(8, "x").sortWithinPartitions("x").write.mode(
+        "overwrite"
+    ).parquet(plain)
+    zpath = str(tmp_path / "zorder")
+    zorder_write(df, ["x", "y"], zpath, n_files=8)
+
+    # identical content
+    assert (
+        spark.read.parquet(zpath).agg(F.sum("payload")).collect()[0][0]
+        == df.agg(F.sum("payload")).collect()[0][0]
+    )
+
+    # average over probe points (single-point fractions wobble with the
+    # range-partitioner's boundary sampling)
+    xs = [7, 37, 77, 117, 157, 197]
+    ys = [10, 50, 90, 130, 170]
+
+    def mean_overlap(path, col, points):
+        return sum(overlap_fraction(path, col, p) for p in points) / len(points)
+
+    # x-sorted layout: selective on x, useless on y (every group spans y)
+    assert mean_overlap(plain, "x", xs) <= 0.4
+    assert mean_overlap(plain, "y", ys) >= 0.9
+    # z-ordered: selective on BOTH dimensions — y goes from no-pruning to
+    # real pruning while x stays selective
+    zx, zy = mean_overlap(zpath, "x", xs), mean_overlap(zpath, "y", ys)
+    assert zx <= 0.7 and zy <= 0.7, (zx, zy)
+
+
+def test_zorder_key_guards():
+    import pytest
+    from mwas_rfam_spark.sources.layout import zorder_key
+
+    with pytest.raises(ValueError):
+        zorder_key([], [])
+    with pytest.raises(ValueError):
+        zorder_key(["a", "b", "c", "d"], [(0, 1)] * 4, bits=16)
