@@ -927,6 +927,35 @@ def q_text_lang_quality(spark, sf_dir):
     )
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (Rae et al. 2021, table A1):
+    duplicate-line fraction, duplicate-line character fraction, top-n-gram
+    character coverage (n=2,3,4) and duplicate-n-gram character coverage
+    (n=5,10) per document — the standard pre-training repetition gates.
+    Fully relational (explode → two doc-keyed shuffles), so the exact
+    pipeline reproduces in ANSI SQL."""
+    from mwas_rfam_spark.operators.text import repetition_profile
+
+    d = _t(spark, sf_dir, "documents")
+    p = repetition_profile(d)
+    return p.select(
+        "doc_id",
+        "n_lines",
+        *[
+            F.round(c, 6).alias(c)
+            for c in (
+                "dup_line_frac",
+                "dup_line_char_frac",
+                "top2gram_char_frac",
+                "top3gram_char_frac",
+                "top4gram_char_frac",
+                "dup5gram_char_frac",
+                "dup10gram_char_frac",
+            )
+        ],
+    )
+
+
 def q_text_bigram_quality(spark, sf_dir):
     """Bigram-LM quality scoring (perplexity proxy), hash-verified: train
     the add-one-smoothed bigram model on the corpus and score each
@@ -1509,6 +1538,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              hash-verified `text_bigram_quality` (a ✓
                              row instead of a rows-only row)
     - multimodal_meta/decode/audio → one `multimodal_pipeline` entry
+    - a4_two_level_rollup  → the two-level biosample rollup IS stage one
+                             of `mwas_cohort_welch` (per-biosample mean →
+                             cohort stats, hash-verified there incl. the
+                             sd columns); its slot went to the
+                             hash-verified `text_repetition` Gopher gates
     """
     return {
         "mwas_cohort_welch": q_mwas_cohort_welch,
@@ -1532,7 +1566,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "so2_complement": q_so2_complement,
         "so4_intersect": q_so4_intersect,
         "a3_value_counts": q_a3_value_counts,
-        "a4_two_level_rollup": q_a4_two_level_rollup,
         "a7_signature_dedup": q_a7_signature_dedup,
         "a9_summary_agg": q_a9_summary_agg,
         "a11_grouping_sets": q_a11_grouping_sets,
@@ -1551,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "text_lang_quality": q_text_lang_quality,
+        "text_repetition": q_text_repetition,
         "text_winnowing": q_text_winnowing,
         "text_vocab_topk": q_text_vocab_topk,
         "text_bigram_quality": q_text_bigram_quality,
@@ -1572,6 +1606,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         **queries(),
         "t1_welch_from_stats": q_t1_welch_from_stats,
+        "a4_two_level_rollup": q_a4_two_level_rollup,
         "dedup_simhash": q_dedup_simhash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1772,14 +1807,53 @@ FROM final
             SELECT p_brand, p_size, count(*) AS cnt FROM part
             GROUP BY 1, 2 HAVING count(*) >= 2
         """,
-        "a4_two_level_rollup": """
-            SELECT c_mktsegment AS segment, count(*) AS n_cust,
-                   round(avg(cust_avg), 4) AS mean_avg,
-                   round(stddev_pop(cust_avg), 4) AS sd_avg
-            FROM (SELECT c_custkey, c_mktsegment, avg(o_totalprice) AS cust_avg
-                  FROM orders JOIN customer ON o_custkey = c_custkey
-                  GROUP BY 1, 2)
-            GROUP BY 1
+        "text_repetition": """
+            WITH toks AS (
+              SELECT doc_id,
+                     length(text) AS chars,
+                     string_split(text, chr(10)) AS lines,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(trim(text), '\\s+')
+                     END AS tk
+              FROM documents
+            ),
+            units AS (
+              SELECT doc_id, chars, 0 AS n, unnest(lines) AS gram FROM toks
+              UNION ALL
+              SELECT doc_id, chars, ns.n AS n,
+                     unnest(CASE WHEN len(tk) >= ns.n THEN
+                        list_transform(range(1, len(tk) - ns.n + 2),
+                          i -> array_to_string(list_slice(tk, i, i + ns.n - 1), ' '))
+                        ELSE CAST([] AS VARCHAR[]) END) AS gram
+              FROM toks CROSS JOIN (SELECT unnest([2, 3, 4, 5, 10]) AS n) ns
+            ),
+            counted AS (
+              SELECT doc_id, n, gram, count(*) AS cnt, any_value(chars) AS chars
+              FROM units GROUP BY 1, 2, 3
+            ),
+            per_doc AS (
+              SELECT doc_id,
+                     any_value(chars) AS chars,
+                     sum(CASE WHEN n = 0 THEN cnt ELSE 0 END) AS n_lines,
+                     sum(CASE WHEN n = 0 AND cnt >= 2 THEN cnt ELSE 0 END) AS dup_lines,
+                     sum(CASE WHEN n = 0 AND cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS dup_line_chars,
+                     max(CASE WHEN n = 2 THEN cnt * length(gram) ELSE 0 END) AS top2,
+                     max(CASE WHEN n = 3 THEN cnt * length(gram) ELSE 0 END) AS top3,
+                     max(CASE WHEN n = 4 THEN cnt * length(gram) ELSE 0 END) AS top4,
+                     sum(CASE WHEN n = 5 AND cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS dup5,
+                     sum(CASE WHEN n = 10 AND cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS dup10
+              FROM counted GROUP BY 1
+            )
+            SELECT doc_id,
+                   CAST(n_lines AS BIGINT) AS n_lines,
+                   round(dup_lines / CAST(n_lines AS DOUBLE), 6) AS dup_line_frac,
+                   round(dup_line_chars / greatest(chars, 1), 6) AS dup_line_char_frac,
+                   round(top2 / greatest(chars, 1), 6) AS top2gram_char_frac,
+                   round(top3 / greatest(chars, 1), 6) AS top3gram_char_frac,
+                   round(top4 / greatest(chars, 1), 6) AS top4gram_char_frac,
+                   round(dup5 / greatest(chars, 1), 6) AS dup5gram_char_frac,
+                   round(dup10 / greatest(chars, 1), 6) AS dup10gram_char_frac
+            FROM per_doc
         """,
         "a7_signature_dedup": """
             SELECT sig, count(*) AS n_brands,

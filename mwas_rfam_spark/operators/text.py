@@ -342,3 +342,104 @@ def bigram_logprob(
         F.count("*").cast("long").alias("n_bigrams"),
         F.avg("log2p").alias("mean_log2p"),
     )
+
+
+def repetition_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_sizes: tuple = (2, 3, 4),
+    dup_ngram_sizes: tuple = (5, 10),
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, table A1) per doc.
+
+    Output (one row per input document):
+      - ``n_lines``             newline-split line count
+      - ``dup_line_frac``       fraction of line occurrences whose line text
+                                appears >= 2 times in the document (every
+                                occurrence of a repeated line counts)
+      - ``dup_line_char_frac``  characters inside those repeated lines /
+                                ``length(text)``
+      - ``top{n}gram_char_frac``  for n in ``ngram_sizes``: characters covered
+                                by the single most-repeated word n-gram
+                                (count x length(gram)) / length(text)
+      - ``dup{n}gram_char_frac``  for n in ``dup_ngram_sizes``: characters in
+                                ALL n-grams occurring >= 2 times /
+                                length(text) (overlapping grams double-count,
+                                the standard approximation)
+
+    Short/empty documents yield 0.0 for every fraction. Tokens are the
+    whitespace split of the trimmed text; grams join tokens with a single
+    space (so char fractions are comparable across engines regardless of the
+    original inter-token whitespace).
+
+    Scale shape: one explode over (lines + grams) -> groupBy
+    (doc, kind, n, gram) with map-side combine -> groupBy(doc) pivot.
+    Two shuffles, both keyed by doc-sized groups; no per-doc O(L^2) array
+    expression, so million-line documents stay linear. Hot grams are
+    per-document keys, so corpus-level hot shingles cannot skew a bucket.
+    """
+    all_ns = sorted(set(ngram_sizes) | set(dup_ngram_sizes))
+    t = F.col("__text")
+    staged = docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        tokens(F.col(text_col)).alias("__toks"),
+    ).select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("__chars"),
+        F.split(t, "\n").alias("__lines"),
+        F.when(F.length(F.trim(t)) == 0, F.array()).otherwise(F.col("__toks")).alias("__toks"),
+    )
+    # one unit row per line (n=0) and per n-gram occurrence (n=size)
+    gram_arrays = [
+        F.expr(
+            f"CASE WHEN size(__toks) >= {n} THEN "
+            f"transform(sequence(1, size(__toks) - {n} + 1), "
+            f"i -> struct({n} AS n, concat_ws(' ', slice(__toks, i, {n})) AS gram)) "
+            f"ELSE array() END"
+        )
+        for n in all_ns
+    ]
+    units = staged.select(
+        F.col(id_col), "__chars",
+        F.explode(
+            F.concat(
+                F.expr("transform(__lines, l -> struct(0 AS n, l AS gram))"),
+                *gram_arrays,
+            )
+        ).alias("u"),
+    ).select(F.col(id_col), "__chars", F.col("u.n").alias("n"), F.col("u.gram").alias("gram"))
+    counted = units.groupBy(id_col, "n", "gram").agg(
+        F.count("*").alias("cnt"), F.first("__chars").alias("chars")
+    )
+    gram_chars = F.col("cnt") * F.length("gram")
+    per_doc = counted.groupBy(id_col).agg(
+        F.first("chars").alias("chars"),
+        F.sum(F.when(F.col("n") == 0, F.col("cnt")).otherwise(0)).alias("n_lines"),
+        F.sum(F.when((F.col("n") == 0) & (F.col("cnt") >= 2), F.col("cnt")).otherwise(0)).alias("dup_lines"),
+        F.sum(F.when((F.col("n") == 0) & (F.col("cnt") >= 2), gram_chars).otherwise(0)).alias("dup_line_chars"),
+        *[
+            F.max(F.when(F.col("n") == n, gram_chars).otherwise(0)).alias(f"top{n}_chars")
+            for n in ngram_sizes
+        ],
+        *[
+            F.sum(F.when((F.col("n") == n) & (F.col("cnt") >= 2), gram_chars).otherwise(0)).alias(f"dup{n}_chars")
+            for n in dup_ngram_sizes
+        ],
+    )
+    safe_chars = F.greatest(F.col("chars"), F.lit(1))
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        (F.col("dup_lines") / F.col("n_lines")).alias("dup_line_frac"),
+        (F.col("dup_line_chars") / safe_chars).alias("dup_line_char_frac"),
+        *[
+            (F.col(f"top{n}_chars") / safe_chars).alias(f"top{n}gram_char_frac")
+            for n in ngram_sizes
+        ],
+        *[
+            (F.col(f"dup{n}_chars") / safe_chars).alias(f"dup{n}gram_char_frac")
+            for n in dup_ngram_sizes
+        ],
+    )

@@ -142,3 +142,70 @@ def test_bigram_logprob_matches_hand_model(spark):
     )
     s = {r["id"]: r["mean_log2p"] for r in bigram_logprob(test_docs, bigrams, unigrams).collect()}
     assert s[10] > s[11]
+
+
+def test_repetition_profile_hand_computed(spark):
+    from mwas_rfam_spark.operators.text import repetition_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b\na b\nc d"),    # repeated line "a b"; repeated 2-gram "a b"
+            (2, "x y x y x y"),      # one line; "x y" x3 overlaps "y x" x2
+            (3, ""),                 # empty doc -> all fractions 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_profile(
+            docs, ngram_sizes=(2,), dup_ngram_sizes=(2,)
+        ).collect()
+    }
+
+    # doc 1: chars=11, lines ["a b","a b","c d"], tokens [a,b,a,b,c,d]
+    d1 = out[1]
+    assert d1["n_lines"] == 3
+    assert d1["dup_line_frac"] == pytest.approx(2 / 3)
+    assert d1["dup_line_char_frac"] == pytest.approx(2 * 3 / 11)
+    # 2-grams: "a b" x2, "b a" x1, "b c" x1, "c d" x1
+    assert d1["top2gram_char_frac"] == pytest.approx(2 * 3 / 11)
+    assert d1["dup2gram_char_frac"] == pytest.approx(2 * 3 / 11)
+
+    # doc 2: chars=11, one unrepeated line; 2-grams "x y" x3, "y x" x2 —
+    # overlapping occurrences double-count chars (standard approximation),
+    # so the dup fraction may exceed 1.
+    d2 = out[2]
+    assert d2["n_lines"] == 1
+    assert d2["dup_line_frac"] == 0.0
+    assert d2["top2gram_char_frac"] == pytest.approx(3 * 3 / 11)
+    assert d2["dup2gram_char_frac"] == pytest.approx((3 * 3 + 2 * 3) / 11)
+
+    # doc 3: empty — one empty line, zero tokens, every fraction 0
+    d3 = out[3]
+    assert d3["n_lines"] == 1
+    for k, v in d3.items():
+        if k.endswith("_frac"):
+            assert v == 0.0, k
+
+
+def test_repetition_profile_short_docs_and_defaults(spark):
+    """Docs shorter than the gram size produce zero grams (not an error),
+    and the default column set is the Gopher table-A1 shape."""
+    from mwas_rfam_spark.operators.text import repetition_profile
+
+    docs = spark.createDataFrame(
+        [(1, "one two three"), (2, "solo")], "doc_id long, text string"
+    )
+    out = repetition_profile(docs)
+    cols = set(out.columns)
+    assert cols == {
+        "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+        "top2gram_char_frac", "top3gram_char_frac", "top4gram_char_frac",
+        "dup5gram_char_frac", "dup10gram_char_frac",
+    }
+    rows = {r["doc_id"]: r.asDict() for r in out.collect()}
+    # 3-token doc: no 5-grams or 10-grams exist -> 0.0; top3gram covers
+    # the whole doc once (cnt=1, len("one two three")=13, chars=13)
+    assert rows[1]["dup5gram_char_frac"] == 0.0
+    assert rows[1]["top3gram_char_frac"] == pytest.approx(1.0)
+    assert rows[2]["top2gram_char_frac"] == 0.0
