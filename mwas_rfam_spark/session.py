@@ -33,6 +33,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # localCheckpoint blocks are freed by the ContextCleaner only after
+        # the driver JVM garbage-collects the RDD handle; a long-lived
+        # session running many checkpointed pipelines otherwise accretes
+        # dead blocks between full GCs (tools/checkpoint_probe.py measures
+        # ~23 MB per dedup_pipeline run at sf0.1). Force a periodic GC so
+        # block-manager storage is bounded by the interval, not the session
+        # lifetime. (Default is 30min.)
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
