@@ -1500,6 +1500,31 @@ def q_events_hourly(spark, sf_dir):
     ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
 
 
+def q_text_decontam(spark, sf_dir):
+    """Benchmark decontamination (Brown et al. 2020 appendix C): per
+    training document, the fraction of its distinct word 5-gram shingles
+    that collide with the held-out eval split (doc_id % 97 == 0 plays the
+    benchmark). The eval side collapses to distinct shingles and
+    broadcasts; training docs flow only as (id, shingle) rows."""
+    from mwas_rfam_spark.operators.text import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 97 != 0)
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    return decontaminate(train, bench, n=5, threshold=0.2)
+
+
+def q_shuffle_shard(spark, sf_dir):
+    """Deterministic epoch shuffle + shard assignment for training-order
+    writes: md5(seed:id) is the shuffle key, shard = first-two-hex-digits
+    mod 8, seq = position within the shard. Engine-independent (unlike
+    rand(seed)), so the exact shard layout is reproducible in ANSI SQL."""
+    from mwas_rfam_spark.plans.sampling import shuffle_shard
+
+    d = _t(spark, sf_dir, "documents")
+    return shuffle_shard(d, n_shards=8, seed=42).select("doc_id", "shard", "seq")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver-checked registry — capped at 50 entries BY THE DRIVER
     (r02 verified exactly the first 50 of 62), so every entry here gets a
@@ -1543,6 +1568,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              cohort stats, hash-verified there incl. the
                              sd columns); its slot went to the
                              hash-verified `text_repetition` Gopher gates
+    - a3_value_counts      → value counts + HAVING >= 2 is the factor-
+                             pruning core of `condense_sets`
+                             (operators/condense.py:66-74, hash-verified
+                             there); its slot went to the hash-verified
+                             `shuffle_shard` epoch-shuffle primitive
+    - f_string_funcs       → F3-F6 each hash-verified inside larger green
+                             entries: regexp_replace/cast in
+                             `condense_sets`, concat_ws in
+                             `condense_readable`, split/element_at in the
+                             `text_*` tokenization; its slot went to the
+                             hash-verified `text_decontam` benchmark-
+                             decontamination gate
     """
     return {
         "mwas_cohort_welch": q_mwas_cohort_welch,
@@ -1565,12 +1602,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "so1_anti_join": q_so1_anti_join,
         "so2_complement": q_so2_complement,
         "so4_intersect": q_so4_intersect,
-        "a3_value_counts": q_a3_value_counts,
+        "shuffle_shard": q_shuffle_shard,
         "a7_signature_dedup": q_a7_signature_dedup,
         "a9_summary_agg": q_a9_summary_agg,
         "a11_grouping_sets": q_a11_grouping_sets,
         "w5_topk_per_group": q_w5_topk_per_group,
-        "f_string_funcs": q_f_string_funcs,
+        "text_decontam": q_text_decontam,
         "f2_rpm_normalize": q_f2_rpm_normalize,
         "s13_synthetic_input": q_s13_synthetic_input,
         "dedup_exact": q_dedup_exact,
@@ -1612,6 +1649,8 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "multimodal_decode": q_multimodal_decode,
         "s1_scan_project": q_s1_scan_project,
+        "a3_value_counts": q_a3_value_counts,
+        "f_string_funcs": q_f_string_funcs,
     }
 
 
@@ -1803,9 +1842,19 @@ FROM final
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
             GROUP BY 1
         """,
-        "a3_value_counts": """
-            SELECT p_brand, p_size, count(*) AS cnt FROM part
-            GROUP BY 1, 2 HAVING count(*) >= 2
+        "shuffle_shard": """
+            WITH k AS (SELECT doc_id,
+                              md5('42:' || CAST(doc_id AS VARCHAR)) AS key
+                       FROM documents),
+            s AS (SELECT doc_id, key,
+                         CAST(((strpos('0123456789abcdef', substr(key, 1, 1)) - 1) * 16
+                               + (strpos('0123456789abcdef', substr(key, 2, 1)) - 1)) % 8
+                              AS INT) AS shard
+                  FROM k)
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (PARTITION BY shard
+                                           ORDER BY key, doc_id) AS BIGINT) AS seq
+            FROM s
         """,
         "text_repetition": """
             WITH toks AS (
@@ -1881,13 +1930,34 @@ FROM final
                   FROM lineitem)
             WHERE rank <= 3
         """,
-        "f_string_funcs": """
-            SELECT p_partkey, replace(p_type, ' ', '_') AS type_snake,
-                   p_brand || '|' || p_type AS brand_type,
-                   string_split(p_type, ' ')[1] AS type_first_word,
-                   upper(p_brand) AS brand_upper,
-                   substring(p_name, 1, 5) AS name_prefix
-            FROM part
+        "text_decontam": """
+            WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                         FROM documents),
+            sh AS (SELECT DISTINCT doc_id, s FROM (
+                     SELECT doc_id,
+                            unnest(list_transform(range(1, greatest(len(toks) - 3, 1)),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                        || ' ' || toks[i+3] || ' ' || toks[i+4])) AS s
+                     FROM tok)
+                   WHERE s <> ''),
+            bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+            tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
+            stats AS (SELECT tr.doc_id,
+                             count(*) AS n_shingles,
+                             sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)
+                                 AS n_contaminated
+                      FROM tr LEFT JOIN bench b ON tr.s = b.s
+                      GROUP BY tr.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(st.n_shingles, 0) AS BIGINT) AS n_shingles,
+                   CAST(coalesce(st.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+                   round(coalesce(st.n_contaminated / CAST(st.n_shingles AS DOUBLE),
+                                  0.0), 6) AS contamination,
+                   (coalesce(st.n_contaminated / CAST(st.n_shingles AS DOUBLE), 0.0)
+                        >= 0.2
+                    AND coalesce(st.n_shingles, 0) > 0) AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+            LEFT JOIN stats st ON d.doc_id = st.doc_id
         """,
         "f2_rpm_normalize": """
             WITH nord AS (SELECT max(o_orderkey) AS n FROM orders),

@@ -42,6 +42,8 @@ HEADLINE = [
     "text_lang_quality",
     "text_winnowing",
     "text_bigram_quality",
+    "text_decontam",
+    "shuffle_shard",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "events_hourly",

@@ -443,3 +443,69 @@ def repetition_profile(
             for n in dup_ngram_sizes
         ],
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    threshold: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per-training-doc n-gram overlap with an
+    eval corpus (the published long-n-gram collision approach, Brown et
+    al. 2020 appendix C / Chowdhery et al. 2022 §6).
+
+    For each training document: the fraction of its DISTINCT word n-gram
+    shingles that occur anywhere in ``benchmark``. Output one row per
+    training document (including documents too short to shingle):
+
+      (id, n_shingles, n_contaminated, contamination, contaminated)
+
+    where ``contamination = n_contaminated / n_shingles`` (0.0 when the
+    document has no shingles) and ``contaminated = contamination >=
+    threshold AND n_shingles > 0``.
+
+    Scale shape: the benchmark side collapses to DISTINCT shingles before
+    the join — eval sets are tiny relative to a 100 TB training corpus, so
+    it broadcasts (``broadcast_benchmark``; set False for a giant
+    benchmark union, where the equi-join shuffles on the shingle hash).
+    Training text never ships: only exploded (id, shingle) rows flow, and
+    they aggregate straight back down to one row per id. A corpus-hot
+    shingle is NOT a skew key here — the contaminated side is deduped, so
+    each training shingle row matches at most one benchmark row.
+    """
+    from mwas_rfam_spark.operators.dedup import word_shingles
+
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    tr = word_shingles(train, n, text_col, id_col)
+    bench = word_shingles(benchmark, n, text_col, id_col).select("shingle").distinct()
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    marked = tr.join(bench.withColumn("hit", F.lit(1)), "shingle", "left")
+    stats = marked.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_contaminated"),
+    )
+    return (
+        train.select(F.col(id_col).alias("id")).distinct()
+        .join(stats, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+            F.round(
+                F.coalesce(F.col("n_contaminated") / F.col("n_shingles"), F.lit(0.0)), 6
+            ).alias("contamination"),
+            (
+                (
+                    F.coalesce(F.col("n_contaminated") / F.col("n_shingles"), F.lit(0.0))
+                    >= threshold
+                )
+                & (F.coalesce("n_shingles", F.lit(0)) > 0)
+            ).alias("contaminated"),
+        )
+    )

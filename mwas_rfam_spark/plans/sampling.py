@@ -78,3 +78,43 @@ def stratified_sample_exact(
         cand.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .where(F.col("sample_rank") <= k_per_stratum)
     )
+
+
+def shuffle_shard(
+    df: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    with_seq: bool = True,
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training-order
+    writes: every row gets a ``shard`` in [0, n_shards) and (optionally) a
+    ``seq`` giving its position within the shard under the shuffled order.
+
+    The shuffle key is md5(seed || ':' || id) — engine-independent, so the
+    exact shard layout is reproducible in ANSI SQL and across clusters
+    (``rand(seed)`` is partition-layout sensitive; a hash of the row id is
+    not). ``shard`` comes from the key's first two hex digits mod
+    n_shards; because md5 is uniform, shards balance to ~|df|/n_shards
+    without a global sort. Changing ``seed`` reshuffles every epoch.
+
+    Scale shape: shard assignment is a pure projection (no shuffle at
+    all); the per-shard ``seq`` is one hash-partitioned window sort —
+    parallelism = n_shards, which for training-data writes is the file
+    count you wanted anyway (hundreds to thousands at 100 TB). For writes
+    that only need the grouping, ``with_seq=False`` keeps the plan
+    shuffle-free and the writer's ``partitionBy("shard")`` does the rest.
+    """
+    if n_shards < 1 or n_shards > 256:
+        raise ValueError(f"n_shards must be in [1, 256] (two hex digits), got {n_shards}")
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    out = df.withColumn("_shuffle_key", key).withColumn(
+        "shard",
+        (F.conv(F.substring("_shuffle_key", 1, 2), 16, 10).cast("int") % n_shards).cast(
+            "int"
+        ),
+    )
+    if with_seq:
+        w = Window.partitionBy("shard").orderBy(F.col("_shuffle_key"), F.col(id_col))
+        out = out.withColumn("seq", F.row_number().over(w).cast("long"))
+    return out.drop("_shuffle_key")

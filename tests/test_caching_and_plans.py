@@ -412,3 +412,39 @@ def test_run_mwas_resume_per_bioproject(spark, tmp_path):
     # idempotent: a third resume with nothing to do changes nothing
     again = run_mwas_resume(spark, full_input, catalog_df, sets_df, ref_df, out_dir, cfg)
     assert again.count() == combined.count()
+
+
+def test_shuffle_shard_deterministic_balanced_and_reseeds(spark):
+    """Shard assignment is layout-independent (pure hash of id), seq is a
+    dense 1..n_shard_rows order per shard, shards cover the whole input,
+    and changing the seed actually reshuffles."""
+    from mwas_rfam_spark.plans.sampling import shuffle_shard
+
+    df = spark.range(0, 500).selectExpr("id AS doc_id", "CAST(id AS STRING) AS text")
+    out = shuffle_shard(df, n_shards=8, seed=7).select("doc_id", "shard", "seq")
+    rows = out.collect()
+    assert len(rows) == 500 and len({r["doc_id"] for r in rows}) == 500
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r["seq"])
+    for seqs in by_shard.values():
+        assert sorted(seqs) == list(range(1, len(seqs) + 1))
+    # layout independence: a different partitioning yields identical output
+    again = sorted(shuffle_shard(df.repartition(13), 8, seed=7)
+                   .select("doc_id", "shard", "seq").collect())
+    assert again == sorted(rows)
+    # a new seed moves at least some docs to different shards
+    reshuffled = {r["doc_id"]: r["shard"]
+                  for r in shuffle_shard(df, 8, seed=8).select("doc_id", "shard").collect()}
+    moved = sum(1 for r in rows if reshuffled[r["doc_id"]] != r["shard"])
+    assert moved > 100
+    # with_seq=False keeps the plan projection-only (no Exchange at all)
+    plan = shuffle_shard(df, 8, seed=7, with_seq=False)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError):
+        shuffle_shard(df, 0)
+    with pytest.raises(ValueError):
+        shuffle_shard(df, 1000)
+

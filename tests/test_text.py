@@ -209,3 +209,54 @@ def test_repetition_profile_short_docs_and_defaults(spark):
     assert rows[1]["dup5gram_char_frac"] == 0.0
     assert rows[1]["top3gram_char_frac"] == pytest.approx(1.0)
     assert rows[2]["top2gram_char_frac"] == 0.0
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A training doc sharing a full 3-gram window with the benchmark is
+    flagged; disjoint docs are not; too-short docs appear with zero
+    shingles and contaminated=False."""
+    from mwas_rfam_spark.operators.text import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),        # shares "alpha beta gamma"
+            (2, "one two three four five"),       # disjoint
+            (3, "hi"),                            # < n tokens: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma epsilon")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r.asDict()
+           for r in decontaminate(train, bench, n=3, threshold=0.5).collect()}
+    assert set(out) == {1, 2, 3}
+    # doc 1: shingles {"alpha beta gamma", "beta gamma delta"} -> 1/2 hit
+    assert out[1]["n_shingles"] == 2 and out[1]["n_contaminated"] == 1
+    assert out[1]["contamination"] == pytest.approx(0.5)
+    assert out[1]["contaminated"] is True  # >= threshold (boundary)
+    assert out[2]["n_contaminated"] == 0 and out[2]["contaminated"] is False
+    assert out[3]["n_shingles"] == 0 and out[3]["contaminated"] is False
+    assert out[3]["contamination"] == 0.0
+
+
+def test_decontaminate_broadcast_off_matches_and_validates(spark):
+    """broadcast_benchmark=False (the giant-benchmark shuffle path) gives
+    identical results; a bad threshold raises."""
+    from mwas_rfam_spark.operators.text import decontaminate
+
+    docs = spark.range(0, 40).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', 'w', CAST(id % 7 AS STRING), 'x', CAST(id % 3 AS STRING), "
+        "'y', CAST(id % 5 AS STRING)) AS text",
+    )
+    bench = docs.where("doc_id % 10 = 0")
+    train = docs.where("doc_id % 10 != 0")
+    a = sorted(decontaminate(train, bench, n=4, threshold=0.1).collect())
+    b = sorted(
+        decontaminate(train, bench, n=4, threshold=0.1,
+                      broadcast_benchmark=False).collect()
+    )
+    assert a == b and len(a) == 36
+    with pytest.raises(ValueError):
+        decontaminate(train, bench, threshold=1.5)
