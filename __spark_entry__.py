@@ -52,12 +52,12 @@ from mwas_rfam_spark.plans.testdata_mwas import (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    try:
-        # driver testdata uses TIMESTAMP(NANOS) columns → read as long nanos
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read a testdata table with the ts column normalized to epoch-nanos
+    long regardless of the parquet generation's timestamp physical type
+    (see plans/testdata_mwas.ensure_epoch_nanos)."""
+    from mwas_rfam_spark.plans.testdata_mwas import load
+
+    return load(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------

@@ -19,12 +19,10 @@ TABLES = [
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+    from mwas_rfam_spark.plans.testdata_mwas import load
+
     for t in TABLES:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
 def sql(spark: SparkSession, query: str, sf_dir: str | None = None) -> DataFrame:

@@ -23,14 +23,37 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def ensure_epoch_nanos(spark: SparkSession, df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a timestamp column to epoch-nanos LONG across driver
+    testdata generations. TIMESTAMP(NANOS) parquet arrives as long via
+    ``spark.sql.legacy.parquet.nanosAsLong``; micros-precision
+    generations arrive as timestamp/timestamp_ntz and are converted here
+    (naive wall clock read as UTC — exactly DuckDB's ``epoch_us`` view of
+    the same values, so oracles stay engine-identical). Downstream
+    timeline math (hourly rollup, interval join, first-seen ordering)
+    sees the same epoch-nanos long either way."""
+    if col not in df.columns:
+        return df
+    dtype = dict(df.dtypes)[col]
+    if dtype not in ("timestamp", "timestamp_ntz"):
+        return df
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+    return df.withColumn(
+        col, (F.unix_micros(F.col(col).cast("timestamp")) * 1000).cast("long")
+    )
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     try:
-        # the driver testdata stores TIMESTAMP(NANOS); read them as long
+        # TIMESTAMP(NANOS)-generation testdata: read as long nanos
         # (runtime-settable; works on any session the caller hands us)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return ensure_epoch_nanos(spark, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def mwas_input_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -448,3 +448,24 @@ def test_shuffle_shard_deterministic_balanced_and_reseeds(spark):
     with pytest.raises(ValueError):
         shuffle_shard(df, 1000)
 
+
+
+def test_ensure_epoch_nanos_both_generations(spark):
+    """Driver testdata generations differ in the ts physical type
+    (TIMESTAMP(NANOS)-as-long vs timestamp[us]); the loader shim must
+    yield identical epoch-nanos longs for the same wall-clock instant,
+    and pass non-ts frames through untouched."""
+    from datetime import datetime
+
+    from mwas_rfam_spark.plans.testdata_mwas import ensure_epoch_nanos
+
+    wall = datetime(2024, 1, 1, 0, 0, 7, 179575)  # naive micros instant
+    nanos = 1704067207179575000
+    as_ts = spark.createDataFrame([(1, wall)], "id long, ts timestamp_ntz")
+    as_long = spark.createDataFrame([(1, nanos)], "id long, ts long")
+    got_ts = ensure_epoch_nanos(spark, as_ts).collect()[0]
+    got_long = ensure_epoch_nanos(spark, as_long).collect()[0]
+    assert got_ts["ts"] == nanos == got_long["ts"]
+    assert dict(ensure_epoch_nanos(spark, as_ts).dtypes)["ts"] == "bigint"
+    no_ts = spark.createDataFrame([(1,)], "id long")
+    assert ensure_epoch_nanos(spark, no_ts).columns == ["id"]
