@@ -44,6 +44,7 @@ HEADLINE = [
     "text_bigram_quality",
     "text_decontam",
     "shuffle_shard",
+    "curation_pipeline",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "events_hourly",

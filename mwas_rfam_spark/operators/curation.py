@@ -1,0 +1,118 @@
+"""End-to-end corpus curation: the composed training-data pipeline.
+
+One operator chaining the verified pieces in cost order — pure-column
+quality gates first (cheapest, one projection pass), exact keep-first
+dedup second (removes clone mass BEFORE anything shingles), benchmark
+decontamination third (shingle explode only over survivors), PII
+redaction and epoch shuffle-sharding last (only rows that will ship).
+
+Every stage reuses an independently oracle-verified operator
+(text_profile/repetition gates, dedup_first_seen's window-min rule,
+text.decontaminate, text.redact_pii, plans/sampling.shuffle_shard), so
+the composition adds no new semantics — only the order and the
+mark-vs-filter accounting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mwas_rfam_spark.operators.dedup import normalize_text
+from mwas_rfam_spark.operators.text import (
+    decontaminate,
+    lang_id,
+    redact_pii,
+    token_count,
+)
+from mwas_rfam_spark.plans.sampling import shuffle_shard
+
+#: drop-stage labels, in pipeline order (kept = survived everything)
+STAGES = ("quality", "duplicate", "contaminated", "kept")
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    *,
+    min_tokens: int = 5,
+    max_tokens: int = 1_000_000,
+    allowed_langs: tuple | None = None,
+    decontam_n: int = 8,
+    decontam_threshold: float = 0.05,
+    redact: bool = True,
+    n_shards: int | None = None,
+    seed: int = 0,
+    mode: str = "filter",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curate a document corpus for training.
+
+    ``mode='filter'`` returns only surviving rows (plus ``shard``/``seq``
+    when ``n_shards`` is set). ``mode='mark'`` returns EVERY input row
+    with a ``drop_stage`` column in :data:`STAGES` — accounting is then
+    one groupBy, and the marked frame filters to the same survivors
+    (tested). Stages mark in pipeline order: a low-quality duplicate is
+    'quality', never 'duplicate' — each stage only examines rows earlier
+    stages kept, exactly like the filtering pipeline.
+
+    Scale shape: the quality gate is one projection (no shuffle); dedup
+    is one window over content-hash groups; decontamination shuffles only
+    surviving (id, shingle) rows against broadcast eval shingles;
+    redaction is chained codegen'd regexp_replace; sharding is a
+    projection plus the optional per-shard sequence window.
+    """
+    if mode not in ("filter", "mark"):
+        raise ValueError(f"mode must be 'filter' or 'mark', got {mode}")
+
+    base = docs.withColumn("_toks_n", token_count(F.col(text_col)))
+    quality_ok = (F.col("_toks_n") >= min_tokens) & (F.col("_toks_n") <= max_tokens)
+    if allowed_langs is not None:
+        quality_ok = quality_ok & lang_id(F.col(text_col)).isin(list(allowed_langs))
+    base = base.withColumn("_q_ok", quality_ok).drop("_toks_n")
+
+    # keep-first per content hash AMONG quality survivors (same window-min
+    # rule the dedup_first_seen entry hash-verifies); losers mark 'duplicate'
+    # quality failures get a per-row hash so they never pile into one
+    # null-hash window partition (a skew single-task at scale)
+    w = Window.partitionBy("_hash").orderBy(F.col(id_col))
+    base = base.withColumn(
+        "_hash",
+        F.when(F.col("_q_ok"), F.md5(normalize_text(F.col(text_col))))
+        .otherwise(F.concat(F.lit("q-"), F.col(id_col).cast("string"))),
+    ).withColumn(
+        "_dup",
+        F.col("_q_ok") & (F.row_number().over(w) > 1),
+    ).drop("_hash")
+
+    survivors = base.where(F.col("_q_ok") & ~F.col("_dup"))
+    if benchmark is not None:
+        flags = decontaminate(
+            survivors, benchmark, n=decontam_n, threshold=decontam_threshold,
+            text_col=text_col, id_col=id_col,
+        ).select(id_col, "contaminated")
+        base = base.join(flags, id_col, "left").withColumn(
+            "_contam", F.coalesce("contaminated", F.lit(False))
+        ).drop("contaminated")
+    else:
+        base = base.withColumn("_contam", F.lit(False))
+
+    if mode == "mark":
+        out = base.withColumn(
+            "drop_stage",
+            F.when(~F.col("_q_ok"), F.lit("quality"))
+            .when(F.col("_dup"), F.lit("duplicate"))
+            .when(F.col("_contam"), F.lit("contaminated"))
+            .otherwise(F.lit("kept")),
+        ).drop("_q_ok", "_dup", "_contam")
+        return out
+
+    kept = base.where(F.col("_q_ok") & ~F.col("_dup") & ~F.col("_contam")).drop(
+        "_q_ok", "_dup", "_contam"
+    )
+    if redact:
+        kept = kept.withColumn(text_col, redact_pii(F.col(text_col)))
+    if n_shards is not None:
+        kept = shuffle_shard(kept, n_shards=n_shards, seed=seed, id_col=id_col)
+    return kept

@@ -118,3 +118,49 @@ def shuffle_shard(
         w = Window.partitionBy("shard").orderBy(F.col("_shuffle_key"), F.col(id_col))
         out = out.withColumn("seq", F.row_number().over(w).cast("long"))
     return out.drop("_shuffle_key")
+
+
+def weighted_mix_exact(
+    df: DataFrame,
+    strata_col: str,
+    targets: dict,
+    id_col: str,
+) -> DataFrame:
+    """Exact per-stratum mix: take EXACTLY min(targets[s], |stratum s|)
+    rows from each stratum — the "40% web, 40% code, 20% books" data-mix
+    primitive, with the same hash-rank determinism as
+    :func:`stratified_sample_exact` (growing any stratum's target keeps
+    every previously selected row; re-runs on appended data never swap
+    picks).
+
+    ``targets`` maps stratum value -> row count; strata absent from the
+    map are dropped (explicit beats implicit for mix recipes). The
+    per-stratum cap rides the same two-phase window shape as
+    ``stratified_sample_exact`` — a task-local k-smallest-hash prefilter
+    with k = max(targets) (narrow), then one exact stratum window over
+    the ≤ k × n_partitions survivors — so a 3-source corpus at 100 TB is
+    never 3 single-task sorts. The targets map itself is a tiny literal
+    lookup (a broadcast CASE expression), not a join.
+    """
+    if not targets:
+        raise ValueError("targets must name at least one stratum")
+    bad = [k for k, v in targets.items() if v < 0]
+    if bad:
+        raise ValueError(f"negative targets for strata: {bad}")
+    k_max = max(targets.values())
+    target_expr = F.create_map(
+        *[F.lit(x) for kv in targets.items() for x in kv]
+    )[F.col(strata_col)]
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    w_local = Window.partitionBy(strata_col, F.spark_partition_id()).orderBy(*order)
+    cand = (
+        df.where(F.col(strata_col).isin(list(targets)))
+        .withColumn("_local_rank", F.row_number().over(w_local))
+        .where(F.col("_local_rank") <= k_max)
+        .drop("_local_rank")
+    )
+    w = Window.partitionBy(strata_col).orderBy(*order)
+    return (
+        cand.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= target_expr)
+    )

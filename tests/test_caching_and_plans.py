@@ -469,3 +469,34 @@ def test_ensure_epoch_nanos_both_generations(spark):
     assert dict(ensure_epoch_nanos(spark, as_ts).dtypes)["ts"] == "bigint"
     no_ts = spark.createDataFrame([(1,)], "id long")
     assert ensure_epoch_nanos(spark, no_ts).columns == ["id"]
+
+
+def test_weighted_mix_exact_counts_and_stability(spark):
+    """Each stratum contributes exactly min(target, |stratum|) rows;
+    strata outside the recipe are dropped; growing one stratum's target
+    keeps every previously selected row (hash-rank determinism); picks
+    agree with stratified_sample_exact at the same k."""
+    from mwas_rfam_spark.plans.sampling import (
+        stratified_sample_exact,
+        weighted_mix_exact,
+    )
+
+    df = spark.range(0, 300).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 3 = 0 THEN 'web' WHEN id % 3 = 1 THEN 'code' "
+        "ELSE 'books' END AS source",
+    )
+    mix = weighted_mix_exact(df, "source", {"web": 40, "code": 10, "books": 200}, "doc_id")
+    got = mix.groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in got}
+    assert counts == {"web": 40, "code": 10, "books": 100}  # books capped at |stratum|
+    small = weighted_mix_exact(df, "source", {"web": 15, "code": 10}, "doc_id")
+    small_web = {r["doc_id"] for r in small.where("source='web'").collect()}
+    big_web = {r["doc_id"] for r in mix.where("source='web'").collect()}
+    assert small_web <= big_web  # growing the target only adds rows
+    strat = stratified_sample_exact(df.where("source='web'"), "source", 15, "doc_id")
+    assert {r["doc_id"] for r in strat.collect()} == small_web
+    with pytest.raises(ValueError):
+        weighted_mix_exact(df, "source", {}, "doc_id")
+    with pytest.raises(ValueError):
+        weighted_mix_exact(df, "source", {"web": -1}, "doc_id")

@@ -311,3 +311,45 @@ def test_embedding_lsh_plane_dim_mismatch_raises(spark):
         embedding_near_dup_pairs(
             emb, threshold=0.5, block_col=None, planes=bad_planes
         ).collect()
+
+
+def test_curate_corpus_stages_and_modes(spark):
+    """Planted junk lands in the right stage, in pipeline order (a
+    low-quality duplicate is 'quality'); filter mode == mark-then-filter;
+    redaction and sharding apply only to kept rows."""
+    import pytest
+
+    from mwas_rfam_spark.operators.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),        # kept
+            (2, "alpha beta gamma delta epsilon zeta"),        # duplicate of 1
+            (3, "tiny"),                                       # quality (too short)
+            (4, "tiny"),                                       # quality, NOT duplicate
+            (5, "the bench mark secret answer string here ok"),# contaminated
+            (6, "mail me at bob@example.com more words here"), # kept, redacted
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the bench mark secret answer string here ok")],
+        "doc_id long, text string",
+    )
+    marked = curate_corpus(docs, bench, min_tokens=5, decontam_n=5,
+                           decontam_threshold=0.2, mode="mark")
+    stages = {r["doc_id"]: r["drop_stage"] for r in marked.collect()}
+    assert stages == {1: "kept", 2: "duplicate", 3: "quality",
+                      4: "quality", 5: "contaminated", 6: "kept"}
+
+    kept = curate_corpus(docs, bench, min_tokens=5, decontam_n=5,
+                         decontam_threshold=0.2, n_shards=4, seed=1)
+    rows = {r["doc_id"]: r for r in kept.collect()}
+    assert set(rows) == {1, 6}
+    assert "[EMAIL]" in rows[6]["text"] and "@" not in rows[6]["text"]
+    assert all(0 <= r["shard"] < 4 and r["seq"] >= 1 for r in rows.values())
+    # mark-mode survivors == filter-mode survivors
+    assert {k for k, v in stages.items() if v == "kept"} == set(rows)
+
+    with pytest.raises(ValueError):
+        curate_corpus(docs, mode="bogus")
