@@ -225,3 +225,35 @@ def serve_request(
         [(r["run"], r["group"], float(r["quantifier"])) for r in rows], INPUT_SCHEMA
     )
     return run_mwas(df, catalog_df, sets_df, ref_df, cfg or DEFAULT_CONFIG)
+
+
+def streaming_curate(
+    docs: DataFrame,
+    watermark: str = "1 hour",
+    min_tokens: int = 5,
+    max_tokens: int = 1_000_000,
+    redact: bool = True,
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming document curation: the stateless slice of
+    :func:`operators.curation.curate_corpus` as an ingest stream —
+    quality gate (pure projection), keep-first exact dedup within the
+    watermark (bounded state), PII redaction (codegen'd regexp chain).
+
+    Benchmark decontamination and epoch sharding are deliberately batch
+    stages: they need a global view (eval shingle set / total order) and
+    belong after the stream lands. Parity with the batch pipeline: same
+    content groups survive, but streaming keeps each group's FIRST
+    ARRIVAL (processing order) where batch keep-first keeps the min id,
+    and streaming forgets dedup keys once the watermark passes them —
+    both relations pinned by the parity test.
+    """
+    from ..operators.text import redact_pii, token_count
+
+    toks = token_count(F.col(text_col))
+    gated = docs.where((toks >= min_tokens) & (toks <= max_tokens))
+    deduped = streaming_exact_dedup(gated, watermark, ts_col=ts_col, text_col=text_col)
+    if redact:
+        deduped = deduped.withColumn(text_col, redact_pii(F.col(text_col)))
+    return deduped

@@ -260,3 +260,22 @@ def test_decontaminate_broadcast_off_matches_and_validates(spark):
     assert a == b and len(a) == 36
     with pytest.raises(ValueError):
         decontaminate(train, bench, threshold=1.5)
+
+
+def test_decontaminate_self_identity(spark):
+    """Decontaminating a corpus against itself: every doc with at least
+    one shingle is 100% contaminated; shingle-less docs stay at 0."""
+    from mwas_rfam_spark.operators.text import decontaminate
+
+    docs = spark.range(0, 30).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 7 = 0 THEN 'x' ELSE concat_ws(' ', 'a', CAST(id AS STRING), "
+        "'b', CAST(id % 4 AS STRING), 'c', 'd') END AS text",
+    )
+    out = decontaminate(docs, docs, n=3, threshold=0.5).collect()
+    assert len(out) == 30
+    for r in out:
+        if r["n_shingles"] > 0:
+            assert r["contamination"] == 1.0 and r["contaminated"] is True
+        else:
+            assert r["contamination"] == 0.0 and r["contaminated"] is False
