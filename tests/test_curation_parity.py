@@ -1,0 +1,109 @@
+"""Cross-engine parity for the composed curation pipeline: the full
+quality → keep-first dedup → decontamination → shard relational chain,
+replayed in DuckDB SQL over the same parquet, must label and shard every
+document identically. (Redaction is excluded here — DuckDB's RE2 has no
+lookarounds for the phone/SSN patterns — and is unit-tested on its own.)
+"""
+
+import duckdb
+from pyspark.sql import functions as F
+
+
+MIN_TOKENS, DECONTAM_N, THRESH, N_SHARDS, SEED = 5, 5, 0.2, 8, 42
+
+# stage labels per training doc, then shard/seq over the kept set — the
+# exact relational semantics of curate_corpus(mode='mark') + shuffle_shard
+CURATE_SQL = f"""
+WITH train AS (SELECT doc_id, text FROM docs WHERE doc_id % 97 <> 0),
+bench_docs AS (SELECT doc_id, text FROM docs WHERE doc_id % 97 = 0),
+tokd AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_toks
+  FROM train),
+gated AS (SELECT *, n_toks >= {MIN_TOKENS} AS q_ok FROM tokd),
+hashed AS (
+  SELECT *, CASE WHEN q_ok
+                 THEN md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                 ELSE 'q-' || CAST(doc_id AS VARCHAR) END AS h
+  FROM gated),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rk FROM hashed),
+surv AS (SELECT doc_id, text FROM ranked WHERE q_ok AND rk = 1),
+sh AS (SELECT DISTINCT doc_id, s FROM (
+         SELECT doc_id,
+                unnest(list_transform(range(1, greatest(len(toks) - {DECONTAM_N - 2}, 1)),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            || ' ' || toks[i+3] || ' ' || toks[i+4])) AS s
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+               FROM surv))
+       WHERE s <> ''),
+bsh AS (SELECT DISTINCT s FROM (
+          SELECT unnest(list_transform(range(1, greatest(len(toks) - {DECONTAM_N - 2}, 1)),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             || ' ' || toks[i+3] || ' ' || toks[i+4])) AS s
+          FROM (SELECT string_split_regex(trim(text), '\\s+') AS toks
+                FROM bench_docs))
+        WHERE s <> ''),
+contam AS (
+  SELECT sh.doc_id,
+         count(*) AS n_sh,
+         sum(CASE WHEN bsh.s IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM sh LEFT JOIN bsh ON sh.s = bsh.s GROUP BY 1),
+flags AS (
+  SELECT s.doc_id,
+         coalesce(c.n_hit / CAST(c.n_sh AS DOUBLE), 0.0) >= {THRESH}
+             AND coalesce(c.n_sh, 0) > 0 AS contaminated
+  FROM surv s LEFT JOIN contam c USING (doc_id)),
+staged AS (
+  SELECT r.doc_id,
+         CASE WHEN NOT r.q_ok THEN 'quality'
+              WHEN r.rk > 1 THEN 'duplicate'
+              WHEN coalesce(f.contaminated, FALSE) THEN 'contaminated'
+              ELSE 'kept' END AS drop_stage
+  FROM ranked r LEFT JOIN flags f USING (doc_id))
+SELECT s.doc_id, s.drop_stage, k.shard, k.seq
+FROM staged s
+LEFT JOIN (
+  SELECT doc_id,
+         CAST(((strpos('0123456789abcdef', substr(key, 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(key, 2, 1)) - 1)) % {N_SHARDS}
+              AS INT) AS shard,
+         CAST(row_number() OVER (
+             PARTITION BY ((strpos('0123456789abcdef', substr(key, 1, 1)) - 1) * 16
+                           + (strpos('0123456789abcdef', substr(key, 2, 1)) - 1)) % {N_SHARDS}
+             ORDER BY key, doc_id) AS BIGINT) AS seq
+  FROM (SELECT doc_id, md5('{SEED}:' || CAST(doc_id AS VARCHAR)) AS key
+        FROM staged WHERE drop_stage = 'kept')
+) k USING (doc_id)
+"""
+
+
+def test_curation_pipeline_cross_engine(spark, sf_dir):
+    from mwas_rfam_spark.operators.curation import curate_corpus
+    from mwas_rfam_spark.plans.sampling import shuffle_shard
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+
+    marked = curate_corpus(
+        train, bench, min_tokens=MIN_TOKENS, decontam_n=DECONTAM_N,
+        decontam_threshold=THRESH, mode="mark",
+    ).select("doc_id", "drop_stage")
+    kept = curate_corpus(
+        train, bench, min_tokens=MIN_TOKENS, decontam_n=DECONTAM_N,
+        decontam_threshold=THRESH, redact=False, n_shards=N_SHARDS, seed=SEED,
+    ).select("doc_id", "shard", "seq")
+    got = {
+        r["doc_id"]: (r["drop_stage"], r["shard"], r["seq"])
+        for r in marked.join(kept, "doc_id", "left").collect()
+    }
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW docs AS SELECT doc_id, text FROM '{sf_dir}/documents.parquet'")
+    want = {r[0]: (r[1], r[2], r[3]) for r in con.sql(CURATE_SQL).fetchall()}
+
+    assert got == want
+    stages = {v[0] for v in want.values()}
+    assert "kept" in stages  # the comparison isn't vacuous
