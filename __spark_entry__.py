@@ -1525,6 +1525,21 @@ def q_shuffle_shard(spark, sf_dir):
     return shuffle_shard(d, n_shards=8, seed=42).select("doc_id", "shard", "seq")
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (bench-only; DuckDB-ASOF parity in tests/test_asof.py):
+    attach the most recent prior error event per user to every event —
+    one union + one per-user running-last window, no range join."""
+    from mwas_rfam_spark.operators.interval import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    errors = (
+        e.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+    )
+    return asof_join(e.select("event_id", "user_id", "ts"), errors, by="user_id")
+
+
 def q_curation_pipeline(spark, sf_dir):
     """Composed end-to-end curation (bench-only; every stage is an
     independently oracle-verified operator): quality gates → keep-first
@@ -1667,6 +1682,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_value_counts": q_a3_value_counts,
         "f_string_funcs": q_f_string_funcs,
         "curation_pipeline": q_curation_pipeline,
+        "j9_asof_join": q_asof_join,
     }
 
 

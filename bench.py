@@ -45,6 +45,7 @@ HEADLINE = [
     "text_decontam",
     "shuffle_shard",
     "curation_pipeline",
+    "j9_asof_join",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "events_hourly",

@@ -68,3 +68,98 @@ def interval_join_within(
         .where(F.col("abs_delta") <= tolerance)
         .drop("bucket")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str = "ts",
+    by=None,
+    direction: str = "backward",
+    tolerance: int | None = None,
+    right_cols=None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """As-of join (pandas merge_asof / DuckDB ASOF JOIN semantics): attach
+    to each left row the single right row with the greatest right.ts <=
+    left.ts (``backward``; inclusive) or smallest right.ts >= left.ts
+    (``forward``), per ``by`` group, optionally within ``tolerance``
+    timeline units. Unmatched left rows keep nulls (left-join semantics).
+
+    Spark-first formulation — NO range join and no per-row lookup: tag
+    and UNION both inputs on (by, ts), then one running
+    ``last(value, ignorenulls=True)`` window per right payload column
+    carries the most recent right row forward to every left row. One
+    shuffle (hash on ``by``), one sort — the same cost class as any
+    windowed aggregation, and skew-safe when ``by`` keys are balanced.
+    With no ``by`` the window is a single global sort partition — correct
+    but serial; pass a key at scale (the same caveat as any global
+    window).
+
+    Ties: right rows sort before left rows at equal ts (inclusive
+    match); among multiple right rows at the SAME (by, ts) the winner
+    follows the sort's final tiebreak and is engine-dependent — give the
+    right side unique (by, ts) keys (dedup first) for determinism.
+
+    ``tolerance`` (same unit as the timeline, e.g. nanos) null-outs
+    matches farther than the bound instead of dropping the left row.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction}")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError(f"tolerance must be >= 0, got {tolerance}")
+    by = [by] if isinstance(by, str) else list(by or [])
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c != ts_col and c not in by]
+    sign = F.lit(1) if direction == "backward" else F.lit(-1)
+
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
+    ltypes = {f.name: f.dataType for f in left.schema.fields}
+    lcols = list(left.columns)
+
+    l_side = left.select(
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(rtypes[c]).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(rtypes[ts_col]).alias("__r_ts"),
+        (F.col(ts_col) * sign).alias("__sk"),
+        F.lit(None).cast("long").alias("__r_sk"),
+        F.lit(1).alias("__tag"),
+    )
+    r_side = right.select(
+        *[
+            F.col(c).alias(c) if c in by else F.lit(None).cast(ltypes.get(c, rtypes.get(c))).alias(c)
+            for c in lcols
+        ],
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.col(ts_col).alias("__r_ts"),
+        (F.col(ts_col) * sign).alias("__sk"),
+        (F.col(ts_col) * sign).cast("long").alias("__r_sk"),
+        F.lit(0).alias("__tag"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__sk"), F.col("__tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_side.unionByName(r_side).select(
+        *lcols,
+        "__tag",
+        "__sk",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}") for c in right_cols],
+        F.last("__r_ts", ignorenulls=True).over(w).alias("__m_ts"),
+        F.last("__r_sk", ignorenulls=True).over(w).alias("__m_sk"),
+    )
+    out = carried.where(F.col("__tag") == 1)
+    in_range = F.col("__m_sk").isNotNull()
+    if tolerance is not None:
+        in_range = in_range & ((F.col("__sk") - F.col("__m_sk")) <= tolerance)
+    return out.select(
+        *lcols,
+        *[
+            F.when(in_range, F.col(f"__m_{c}")).alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+        F.when(in_range, F.col("__m_ts")).alias(f"{ts_col}{suffix}"),
+    )

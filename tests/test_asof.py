@@ -1,0 +1,93 @@
+"""As-of join: hand-verified semantics plus cross-engine parity against
+DuckDB's native ASOF JOIN over the same parquet."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mwas_rfam_spark.operators.interval import asof_join
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [("u1", 100, "a"), ("u1", 205, "b"), ("u1", 50, "c"), ("u2", 100, "d")],
+        "k string, ts long, ev string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 100, 1.0), ("u1", 200, 2.0), ("u2", 300, 3.0)],
+        "k string, ts long, px double",
+    )
+    out = {
+        (r["k"], r["ts"]): (r["px_r"], r["ts_r"])
+        for r in asof_join(left, right, by="k").collect()
+    }
+    assert out[("u1", 100)] == (1.0, 100)   # inclusive: equal ts matches
+    assert out[("u1", 205)] == (2.0, 200)   # greatest earlier
+    assert out[("u1", 50)] == (None, None)  # nothing earlier
+    assert out[("u2", 100)] == (None, None) # per-group isolation
+
+    fwd = {
+        (r["k"], r["ts"]): (r["px_r"], r["ts_r"])
+        for r in asof_join(left, right, by="k", direction="forward").collect()
+    }
+    assert fwd[("u1", 50)] == (1.0, 100)
+    assert fwd[("u1", 205)] == (None, None)
+    assert fwd[("u2", 100)] == (3.0, 300)
+
+    tol = {
+        (r["k"], r["ts"]): r["px_r"]
+        for r in asof_join(left, right, by="k", tolerance=10).collect()
+    }
+    assert tol[("u1", 100)] == 1.0 and tol[("u1", 205)] == 2.0
+    assert tol[("u2", 100)] is None
+
+    with pytest.raises(ValueError):
+        asof_join(left, right, direction="sideways")
+    with pytest.raises(ValueError):
+        asof_join(left, right, tolerance=-1)
+
+
+def test_asof_join_matches_duckdb(spark, sf_dir):
+    """Most-recent-prior-error-per-user over the events table must agree
+    with DuckDB's native ASOF JOIN row for row."""
+    from mwas_rfam_spark.plans.testdata_mwas import load
+
+    ev = load(spark, sf_dir, "events")  # ts normalized to epoch nanos
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        # unique (user_id, ts) for deterministic tie handling
+        .groupBy("user_id", "ts").agg(F.max("value").alias("err_value"))
+    )
+    got = {
+        r["event_id"]: (r["err_value_r"], r["ts_r"])
+        for r in asof_join(
+            ev.select("event_id", "user_id", "ts"),
+            errors,
+            by="user_id",
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW ev AS SELECT event_id, user_id, "
+        f"epoch_us(ts) * 1000 AS ts, event_type, value "
+        f"FROM '{sf_dir}/events.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            """
+            WITH errors AS (
+              SELECT user_id, ts, max(value) AS err_value
+              FROM ev WHERE event_type = 'error' GROUP BY 1, 2)
+            SELECT l.event_id, e.err_value, e.ts
+            FROM ev l ASOF LEFT JOIN errors e
+              ON l.user_id = e.user_id AND l.ts >= e.ts
+            """
+        ).fetchall()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want
+    # non-vacuous: some rows matched and some did not
+    assert any(v[0] is not None for v in got.values())
+    assert any(v[0] is None for v in got.values())
