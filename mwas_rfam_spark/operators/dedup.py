@@ -685,3 +685,44 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Dedup a NEW batch against the already-ingested corpus — the
+    steady-state form of exact dedup once a pipeline runs continuously:
+    (1) keep-first within the batch (window-min per content hash), then
+    (2) anti-join the batch's content hashes against ``seen_hashes``, the
+    running one-column (content_hash) corpus state.
+
+    Returns ``(survivors, updated_hashes)`` — write ``updated_hashes``
+    back as the next batch's state. The state relation is hashes only
+    (16 bytes-ish per distinct document ever seen), never text; the
+    anti-join shuffles on content_hash, so a 100 TB corpus history costs
+    one hash-partitioned probe per batch, and partitioned state storage
+    makes it a co-located join. The streaming twin is
+    ``streaming.streaming_exact_dedup`` (bounded watermark state); this
+    is the unbounded-history batch complement.
+    """
+    from pyspark.sql import Window
+
+    hashed = new_docs.withColumn("content_hash", F.md5(normalize_text(F.col(text_col))))
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col))
+    batch_first = (
+        hashed.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    if seen_hashes is not None:
+        survivors = batch_first.join(seen_hashes, "content_hash", "left_anti")
+        updated = seen_hashes.unionByName(
+            survivors.select("content_hash")
+        ).distinct()
+    else:
+        survivors = batch_first
+        updated = survivors.select("content_hash").distinct()
+    return survivors.drop("content_hash"), updated

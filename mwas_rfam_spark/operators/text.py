@@ -509,3 +509,25 @@ def decontaminate(
             ).alias("contaminated"),
         )
     )
+
+
+_MARKUP_STEPS = [
+    (r"(?is)<(script|style)\b[^>]*>.*?</\1>", " "),  # blocks WITH content
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]+>", " "),
+    (r"&nbsp;", " "), (r"&amp;", "&"), (r"&lt;", "<"), (r"&gt;", ">"),
+    (r"&quot;", "\""), (r"&#39;", "'"),
+    (r"\s+", " "),
+]
+
+
+def strip_markup(text_col: Column) -> Column:
+    """Boilerplate text extraction: drop script/style blocks (with their
+    content), comments and tags, decode the common entities, collapse
+    whitespace. Chained ``regexp_replace`` — JVM codegen, composes with
+    any scan at scan throughput; the standard first stage before quality
+    scoring on web-crawled corpora."""
+    out = text_col
+    for pat, repl in _MARKUP_STEPS:
+        out = F.regexp_replace(out, pat, repl)
+    return F.trim(out)

@@ -500,3 +500,29 @@ def test_weighted_mix_exact_counts_and_stability(spark):
         weighted_mix_exact(df, "source", {}, "doc_id")
     with pytest.raises(ValueError):
         weighted_mix_exact(df, "source", {"web": -1}, "doc_id")
+
+
+def test_new_operator_plan_shapes(spark):
+    """Plan assertions for the round-3 operators: decontamination
+    broadcasts the eval side (never shuffles training text), and the
+    as-of join is exactly one Exchange (the by-key hash) — no range-join
+    cross product ever appears."""
+    from mwas_rfam_spark.operators.interval import asof_join
+    from mwas_rfam_spark.operators.text import decontaminate
+
+    docs = spark.range(0, 200).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', 'a', CAST(id % 9 AS STRING), 'b', CAST(id % 5 AS STRING), "
+        "'c', 'd') AS text",
+    )
+    plan = decontaminate(
+        docs.where("doc_id % 10 != 0"), docs.where("doc_id % 10 = 0"), n=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    left = spark.range(0, 100).selectExpr("id", "id % 7 AS k", "id * 10 AS ts")
+    right = spark.range(0, 50).selectExpr("id % 7 AS k", "id * 17 AS ts", "id AS v")
+    aplan = asof_join(left, right, by="k")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert aplan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in aplan and "BroadcastNestedLoopJoin" not in aplan

@@ -353,3 +353,27 @@ def test_curate_corpus_stages_and_modes(spark):
 
     with pytest.raises(ValueError):
         curate_corpus(docs, mode="bogus")
+
+
+def test_incremental_exact_dedup_batches(spark):
+    """Batch 1 seeds the hash state; batch 2 drops both its internal dups
+    and anything already seen; state grows by exactly the new distincts."""
+    from mwas_rfam_spark.operators.dedup import incremental_exact_dedup
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "ALPHA   beta"), (3, "gamma delta")],
+        "doc_id long, text string",
+    )
+    s1, h1 = incremental_exact_dedup(b1)
+    assert {r["doc_id"] for r in s1.collect()} == {1, 3}  # 2 is a normalize-dup of 1
+    assert h1.count() == 2
+
+    b2 = spark.createDataFrame(
+        [(10, "gamma delta"), (11, "epsilon zeta"), (12, "epsilon  zeta")],
+        "doc_id long, text string",
+    )
+    s2, h2 = incremental_exact_dedup(b2, h1)
+    assert {r["doc_id"] for r in s2.collect()} == {11}  # 10 seen, 12 in-batch dup
+    assert h2.count() == 3
+    # survivors carry the original schema (no helper columns)
+    assert s2.columns == ["doc_id", "text"]

@@ -279,3 +279,23 @@ def test_decontaminate_self_identity(spark):
             assert r["contamination"] == 1.0 and r["contaminated"] is True
         else:
             assert r["contamination"] == 0.0 and r["contaminated"] is False
+
+
+def test_strip_markup(spark):
+    from mwas_rfam_spark.operators.text import strip_markup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "<html><head><style>p {color: red}</style></head>"
+                "<body><p>Hello <b>world</b></p><!-- hidden -->"
+                "<script>var x = 'evil';</script>Bye &amp; good &lt;night&gt;</body>"),
+            (2, "no markup at all"),
+            (3, "<p>unclosed"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["clean"]
+           for r in docs.select("doc_id", strip_markup(F.col("text")).alias("clean")).collect()}
+    assert out[1] == "Hello world Bye & good <night>"
+    assert out[2] == "no markup at all"
+    assert out[3] == "unclosed"
