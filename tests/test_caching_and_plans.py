@@ -526,3 +526,33 @@ def test_new_operator_plan_shapes(spark):
         .executedPlan().toString()
     assert aplan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in aplan and "BroadcastNestedLoopJoin" not in aplan
+
+
+def test_write_training_shards_order_and_coverage(spark, tmp_path):
+    """Every input row lands in exactly one shard directory, and rows
+    inside each shard file are stored in epoch (seq) order."""
+    from mwas_rfam_spark.plans.sampling import shuffle_shard
+    from mwas_rfam_spark.sources.sinks import write_training_shards
+
+    docs = spark.range(0, 400).selectExpr("id AS doc_id", "CAST(id AS STRING) AS text")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=4, seed=9)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 400
+    assert back.select("doc_id").distinct().count() == 400
+    assert {r["shard"] for r in back.select("shard").distinct().collect()} == {0, 1, 2, 3}
+    # stored order == epoch order: monotonically_increasing_id preserves
+    # parquet row order per file, so seq must be sorted within each shard
+    import pyspark.sql.functions as F
+
+    ordered = back.withColumn("_file_pos", F.monotonically_increasing_id())
+    for s in range(4):
+        rows = ordered.where(F.col("shard") == s).orderBy("_file_pos").collect()
+        seqs = [r["seq"] for r in rows]
+        assert seqs == sorted(seqs)
+    # the written assignment is exactly shuffle_shard's
+    want = {(r["doc_id"], r["shard"], r["seq"])
+            for r in shuffle_shard(docs, 4, seed=9).collect()}
+    got = {(r["doc_id"], r["shard"], r["seq"]) for r in back.collect()}
+    assert got == want
