@@ -164,3 +164,53 @@ def weighted_mix_exact(
         cand.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .where(F.col("sample_rank") <= target_expr)
     )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    strata_col: str,
+    budgets: dict,
+    token_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Mix by TOKEN budget, not row count: per stratum, take rows in the
+    deterministic hash order until the running token total first reaches
+    the stratum's budget ("10B tokens web, 2B code" — the unit recipes
+    are actually written in).
+
+    The row that crosses the budget line is INCLUDED (so a budget > 0
+    always yields at least one row when the stratum is non-empty, and
+    the selection is a prefix of the same hash order
+    :func:`stratified_sample_exact` uses — growing a budget only ever
+    adds rows). Output adds ``cum_tokens``, the running total including
+    the current row.
+
+    Scale shape: one window per stratum computes the running sum in hash
+    order. Unlike the k-row samplers there is no task-local prefilter
+    (a token cumsum needs every earlier row), so parallelism is the
+    stratum count — budget selection is meant for the final, already
+    heavily-filtered mixing stage, not the raw corpus. Strata absent
+    from ``budgets`` are dropped; non-positive budgets raise.
+    """
+    if not budgets:
+        raise ValueError("budgets must name at least one stratum")
+    bad = [k for k, v in budgets.items() if v <= 0]
+    if bad:
+        raise ValueError(f"budgets must be positive; got {bad}")
+    budget_expr = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )[F.col(strata_col)]
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = df.where(F.col(strata_col).isin(list(budgets))).withColumn(
+        "cum_tokens", F.sum(F.col(token_col)).over(w).cast("long")
+    )
+    # keep every row whose PREVIOUS cumulative total was below budget —
+    # i.e. the prefix through the first budget-crossing row
+    return with_cum.where(
+        (F.col("cum_tokens") - F.col(token_col)) < budget_expr
+    )

@@ -556,3 +556,38 @@ def test_write_training_shards_order_and_coverage(spark, tmp_path):
             for r in shuffle_shard(docs, 4, seed=9).collect()}
     got = {(r["doc_id"], r["shard"], r["seq"]) for r in back.collect()}
     assert got == want
+
+
+def test_token_budget_mix_prefix_and_crossing(spark):
+    """Selection is the hash-order prefix through the first
+    budget-crossing row; growing a budget only adds rows; absent strata
+    drop; bad budgets raise."""
+    from mwas_rfam_spark.plans.sampling import token_budget_mix
+
+    df = spark.range(0, 120).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 2 = 0 THEN 'web' ELSE 'code' END AS source",
+        "10 + id % 7 AS n_tokens",
+    )
+    out = token_budget_mix(df, "source", {"web": 100, "code": 45}, "n_tokens", "doc_id")
+    per = {s: [ (r["cum_tokens"], r["n_tokens"]) for r in
+                out.where(F.col("source") == s).orderBy("cum_tokens").collect() ]
+           for s in ("web", "code")}
+    for s, lst in per.items():
+        budget = {"web": 100, "code": 45}[s]
+        # all but the last row are strictly under budget; last row crosses
+        assert all(c - n < budget for c, n in lst)
+        assert lst[-1][0] >= budget
+        # cum_tokens is a proper running total
+        assert all(lst[i][0] < lst[i + 1][0] for i in range(len(lst) - 1))
+    # growing the budget keeps every previous pick
+    small = {r["doc_id"] for r in token_budget_mix(
+        df, "source", {"web": 100}, "n_tokens", "doc_id").collect()}
+    big = {r["doc_id"] for r in token_budget_mix(
+        df, "source", {"web": 300}, "n_tokens", "doc_id").collect()}
+    assert small <= big
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        token_budget_mix(df, "source", {}, "n_tokens", "doc_id")
+    with _pytest.raises(ValueError):
+        token_budget_mix(df, "source", {"web": 0}, "n_tokens", "doc_id")
