@@ -71,3 +71,64 @@ def pack_documents(
         "bucket",
         (F.col("bucket") * F.lit(1 << 32) + F.col("pack_in_bucket")).alias("pack_id"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split long documents into token-window chunks — the complement of
+    :func:`pack_documents` (that concatenates short docs; this slices
+    long ones for a fixed context window).
+
+    Output (id, chunk_id, chunk_text, n_tokens): chunk windows start
+    every ``max_tokens - overlap`` tokens, each carrying up to
+    ``max_tokens`` whitespace tokens; the final window may be short, and
+    a doc at or under ``max_tokens`` yields exactly one chunk (chunk 0).
+    Empty/whitespace-only docs yield no chunks. Tokens re-join with a
+    single space (inter-token whitespace is not preserved — the same
+    normalization every other token operator here applies).
+
+    Pure column expressions: one split, one sequence/transform over
+    window starts, one posexplode — no shuffle at all; the plan is a
+    Generate over a projection and scales with total token count.
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"overlap must be in [0, max_tokens), got {overlap}")
+    step = max_tokens - overlap
+    toked = docs.select(
+        F.col(id_col),
+        F.when(
+            F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
+        ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__toks"),
+    )
+    n = F.size("__toks")
+    # window starts: 0, step, 2*step, ... while start < n (at least one
+    # window for any non-empty doc); sequence is inclusive so cap at n-1
+    starts = F.when(n > 0, F.sequence(F.lit(0), (n - 1) - ((n - 1) % step), F.lit(step)))
+    chunks = toked.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda s: F.slice(F.col("__toks"), s + 1, max_tokens),
+            )
+        ).alias("chunk_id", "__chunk"),
+    )
+    # drop overlap-only tails: a window wholly contained in the previous
+    # one adds no new tokens (happens when the last start lands inside
+    # the previous window's overlap region)
+    return (
+        chunks.where((F.col("chunk_id") == 0) | (F.size("__chunk") > overlap))
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
+            F.size("__chunk").cast("long").alias("n_tokens"),
+        )
+    )

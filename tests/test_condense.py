@@ -280,3 +280,40 @@ def test_jdbc_derived_spots(spark):
 
     bare = spark.createDataFrame([("R1",)], ["run"])
     assert "spots" not in derive_spots_if_missing(bare).columns
+
+
+def test_chunk_documents_windows(spark):
+    """Chunk boundaries, overlap, short-doc single chunk, empty-doc zero
+    chunks, overlap-only tail suppression, and full-coverage reassembly."""
+    import pytest
+
+    from mwas_rfam_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks -> 3 chunks @4/1
+            (2, "a b"),                                 # short -> one chunk
+            (3, "   "),                                 # empty -> none
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, max_tokens=4, overlap=1)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_tokens"])
+         for r in out.collect())
+    )
+    d1 = [r for r in rows if r[0] == 1]
+    # starts every 3: [t0..t3], [t3..t6], [t6..t9], [t9]-dropped (1 <= overlap)
+    assert [r[2] for r in d1] == ["t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"]
+    assert [r[1] for r in d1] == [0, 1, 2] and [r[3] for r in d1] == [4, 4, 4]
+    assert [r for r in rows if r[0] == 2] == [(2, 0, "a b", 2)]
+    assert not [r for r in rows if r[0] == 3]
+    # overlap=0: chunks partition the tokens exactly
+    flat = chunk_documents(docs, max_tokens=3, overlap=0)
+    d1f = [r["chunk_text"] for r in
+           flat.where("doc_id = 1").orderBy("chunk_id").collect()]
+    assert " ".join(d1f) == " ".join(f"t{i}" for i in range(10))
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=4, overlap=4)
