@@ -122,3 +122,48 @@ def read_wide_metadata_csv(spark: SparkSession, path: str, bioproject: str) -> D
     if "biosample_id" not in df.columns:
         df = df.withColumnRenamed(df.columns[0], "biosample_id")
     return melt_wide_metadata(df, bioproject)
+
+
+DOCUMENTS_SCHEMA = "doc_id BIGINT, text STRING, lang STRING, source STRING"
+
+
+def read_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str = DOCUMENTS_SCHEMA,
+) -> DataFrame:
+    """Document-corpus ingest from JSONL (the interchange format crawled
+    corpora actually arrive in): explicit schema (no inference pass over
+    100 TB), PERMISSIVE mode with the malformed raw line captured in
+    ``_corrupt_record`` so bad rows are quarantinable instead of fatal —
+    filter ``_corrupt_record IS NULL`` for the clean stream, or write
+    the complement to a quarantine sink. (Spark refuses queries that
+    reference ONLY the corrupt column on a raw JSON scan — cache() the
+    frame or include a data column when inspecting the quarantine.)
+    """
+    full = f"{schema}, _corrupt_record STRING"
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def read_documents_text(
+    spark: SparkSession, path: str, whole_file: bool = True
+) -> DataFrame:
+    """One document per file (``wholetext``) or per line: (doc_id, text)
+    with doc_id = the stable file path (whole-file mode) or a
+    monotonically increasing id (line mode — ids are unique but NOT
+    stable across re-reads with different partitioning; prefer content
+    hashes downstream)."""
+    if whole_file:
+        df = spark.read.text(path, wholetext=True)
+        return df.select(
+            F.input_file_name().alias("doc_id"), F.col("value").alias("text")
+        )
+    df = spark.read.text(path)
+    return df.select(
+        F.monotonically_increasing_id().alias("doc_id"), F.col("value").alias("text")
+    )

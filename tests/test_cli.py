@@ -124,3 +124,38 @@ def test_cli_legacy_and_accounting(spark, tmp_path):
     rows = {r["bioproject"]: r for r in acc.collect()}
     assert rows["P1"]["status"] == "ok"
     assert int(rows["P1"]["n_sets"]) >= 1
+
+
+def test_read_documents_jsonl_quarantine(spark, tmp_path):
+    """Well-formed rows parse against the explicit schema; malformed lines
+    land in _corrupt_record instead of failing the read."""
+    from mwas_rfam_spark.sources.readers import read_documents_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web"}\n'
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "web"}\n'
+        "this is not json at all\n"
+    )
+    df = read_documents_jsonl(spark, str(p)).cache()
+    clean = df.where("_corrupt_record IS NULL")
+    bad = df.where("_corrupt_record IS NOT NULL")
+    assert {r["doc_id"] for r in clean.collect()} == {1, 2}
+    assert bad.count() == 1
+    assert "not json" in bad.collect()[0]["_corrupt_record"]
+
+
+def test_read_documents_text_modes(spark, tmp_path):
+    from mwas_rfam_spark.sources.readers import read_documents_text
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("doc a line one\ndoc a line two")
+    (d / "b.txt").write_text("doc b")
+    whole = read_documents_text(spark, str(d)).collect()
+    assert len(whole) == 2
+    texts = {r["doc_id"].rsplit("/", 1)[-1]: r["text"] for r in whole}
+    assert texts["a.txt"] == "doc a line one\ndoc a line two"
+    lines = read_documents_text(spark, str(d), whole_file=False)
+    assert lines.count() == 3
+    assert lines.select("doc_id").distinct().count() == 3

@@ -377,3 +377,21 @@ def test_incremental_exact_dedup_batches(spark):
     assert h2.count() == 3
     # survivors carry the original schema (no helper columns)
     assert s2.columns == ["doc_id", "text"]
+
+
+def test_curate_corpus_lang_gate(spark):
+    """allowed_langs drops documents whose heuristic language is outside
+    the allow-list at the quality stage."""
+    from mwas_rfam_spark.operators.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog in a house"),       # en
+            (2, "le chat et le chien est un animal"),    # fr
+            (3, "xyzzy qwerty plugh foobar quux corge"), # und
+        ],
+        "doc_id long, text string",
+    )
+    marked = curate_corpus(docs, min_tokens=3, allowed_langs=("en",), mode="mark")
+    stages = {r["doc_id"]: r["drop_stage"] for r in marked.collect()}
+    assert stages == {1: "kept", 2: "quality", 3: "quality"}
