@@ -114,6 +114,34 @@ def probe_mwas(spark, sf_dir: str, out: dict):
         print(f"mwas_full_{label}: {out[f'mwas_full_{label}']}", file=sys.stderr)
 
 
+def probe_curation(spark, sf_dir: str, out: dict):
+    """Probe C — decontamination + composed curation at 1x and 10x
+    distinct-id replication (unlike the clone probe, ids are distinct AND
+    texts repeat 10x, so the dedup stage absorbs 90% of the mass before
+    the decontam shingle explode — the composition's scale claim)."""
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.operators.curation import curate_corpus
+    from mwas_rfam_spark.operators.text import decontaminate
+    from mwas_rfam_spark.plans.testdata_mwas import load
+
+    base = load(spark, sf_dir, "documents").select("doc_id", "text")
+    for label, docs in [("1x", base), ("10x", replicate_docs(base, 10))]:
+        docs = docs.localCheckpoint()
+        train = docs.where(F.col("doc_id") % 97 != 0)
+        bench = docs.where(F.col("doc_id") % 97 == 0)
+        t0 = time.time()
+        _force(decontaminate(train, bench, n=5, threshold=0.2))
+        out[f"decontam_{label}"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        _force(curate_corpus(train, bench, min_tokens=5, decontam_n=5,
+                             decontam_threshold=0.2, n_shards=8, seed=42))
+        out[f"curation_{label}"] = round(time.time() - t0, 2)
+        spark.catalog.clearCache()
+        print(f"decontam_{label}: {out[f'decontam_{label}']} "
+              f"curation_{label}: {out[f'curation_{label}']}", file=sys.stderr)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="scale-probe")
@@ -123,6 +151,7 @@ def main():
     out: dict = {"sf_dir": sf_dir}
     probe_dedup(spark, sf_dir, out)
     probe_mwas(spark, sf_dir, out)
+    probe_curation(spark, sf_dir, out)
     print(json.dumps(out))
     spark.stop()
 
