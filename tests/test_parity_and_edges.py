@@ -218,3 +218,58 @@ def test_session_window_stream_batch_parity(spark, tmp_path):
     finally:
         q.stop()
     assert got == rows
+
+
+def test_round3_operators_empty_inputs(spark):
+    """The round-3 operators must handle empty inputs on EITHER side:
+    empty corpora, empty benchmark (zero contamination, nothing dropped),
+    empty as-of right side (all-null attach), empty batches."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from mwas_rfam_spark.operators.curation import curate_corpus
+    from mwas_rfam_spark.operators.dedup import incremental_exact_dedup
+    from mwas_rfam_spark.operators.interval import asof_join
+    from mwas_rfam_spark.operators.packing import chunk_documents
+    from mwas_rfam_spark.operators.text import decontaminate
+    from mwas_rfam_spark.plans.sampling import (
+        shuffle_shard,
+        token_budget_mix,
+        weighted_mix_exact,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    empty = spark.createDataFrame([], schema)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+
+    # empty train / empty benchmark
+    assert decontaminate(empty, docs, n=3).count() == 0
+    d = decontaminate(docs, empty, n=3).collect()
+    assert len(d) == 1 and d[0]["contamination"] == 0.0 and not d[0]["contaminated"]
+    # curation: empty corpus; and a non-empty corpus with empty benchmark
+    assert curate_corpus(empty, mode="mark").count() == 0
+    assert curate_corpus(docs, empty, min_tokens=3).count() == 1
+    # sharding / mixing on empty frames
+    assert shuffle_shard(empty, 8).count() == 0
+    assert weighted_mix_exact(
+        empty.withColumn("src", F.lit("a")), "src", {"a": 5}, "doc_id"
+    ).count() == 0
+    assert token_budget_mix(
+        empty.selectExpr("doc_id", "'a' AS src", "1 AS n"), "src", {"a": 5}, "n", "doc_id"
+    ).count() == 0
+    # chunking
+    assert chunk_documents(empty, 4).count() == 0
+    # incremental dedup: empty batch, then empty state
+    s, h = incremental_exact_dedup(empty)
+    assert s.count() == 0 and h.count() == 0
+    s2, h2 = incremental_exact_dedup(docs, h)
+    assert s2.count() == 1 and h2.count() == 1
+    # as-of: empty right side attaches nulls, empty left yields nothing
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    empty_r = spark.createDataFrame([], "k long, ts long, v double")
+    row = asof_join(left, empty_r, by="k").collect()
+    assert len(row) == 1 and row[0]["v_r"] is None and row[0]["ts_r"] is None
+    assert asof_join(spark.createDataFrame([], "k long, ts long"), empty_r, by="k").count() == 0
