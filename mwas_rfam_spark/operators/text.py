@@ -531,3 +531,63 @@ def strip_markup(text_col: Column) -> Column:
     for pat, repl in _MARKUP_STEPS:
         out = F.regexp_replace(out, pat, repl)
     return F.trim(out)
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k_per_doc: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k characteristic terms by TF-IDF — keyword
+    extraction / topic tagging over a corpus.
+
+    (id, token, tf, df, tfidf, rank): tf is the in-document count, df the
+    corpus document frequency, tfidf = tf * ln((N + 1) / (df + 1)) (the
+    smoothed IDF that never goes negative and needs no special case for
+    df == N). N is carried as a broadcast scalar subplan (count agg
+    crossJoined), not a driver-side collect.
+
+    Two shuffles total: token -> (id, token) counts with map-side
+    combine, then the df lookup joins back on token (corpus-hot tokens
+    get LOW idf — skew keys are exactly the ones whose final weight
+    rounds to nothing, and AQE splits them if they still dominate).
+    Per-doc top-k is the two-phase window shape (task-local prefilter,
+    then exact rank) so parallelism never collapses to the doc count.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    df_rel = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.select(
+        F.countDistinct(F.col(id_col)).alias("__n")
+    )
+    scored = (
+        tf.join(df_rel, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log((F.col("__n") + 1) / (F.col("df") + 1)),
+        )
+        .drop("__n")
+    )
+    order = [F.desc("tfidf"), F.asc("token")]
+    w_local = Window.partitionBy("id", F.spark_partition_id()).orderBy(*order)
+    cand = (
+        scored.withColumn("_lr", F.row_number().over(w_local))
+        .where(F.col("_lr") <= k_per_doc)
+        .drop("_lr")
+    )
+    w = Window.partitionBy("id").orderBy(*order)
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k_per_doc)
+        .select(
+            F.col("id").alias(id_col), "token", "tf", "df",
+            F.round("tfidf", 6).alias("tfidf"), "rank",
+        )
+    )

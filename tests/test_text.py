@@ -299,3 +299,32 @@ def test_strip_markup(spark):
     assert out[1] == "Hello world Bye & good <night>"
     assert out[2] == "no markup at all"
     assert out[3] == "unclosed"
+
+
+def test_tfidf_top_terms(spark):
+    """Hand-checked tf-idf: corpus-ubiquitous tokens get near-zero idf,
+    document-unique tokens rank first; rank is dense 1..k per doc."""
+    import math
+
+    from mwas_rfam_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare1 common common"),
+            (2, "common rare2"),
+            (3, "common rare2 rare2"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k_per_doc=2)
+    rows = {(r["doc_id"], r["token"]): r for r in out.collect()}
+    # doc 1: rare1 tf=1 df=1 -> 1*ln(4/2); common tf=3 df=3 -> 3*ln(4/4)=0
+    assert rows[(1, "rare1")]["rank"] == 1
+    assert abs(rows[(1, "rare1")]["tfidf"] - math.log(2.0)) < 1e-6
+    assert rows[(1, "common")]["tfidf"] == 0.0
+    # doc 3: rare2 tf=2 df=2 -> 2*ln(4/3) beats common's 0
+    assert rows[(3, "rare2")]["rank"] == 1
+    assert abs(rows[(3, "rare2")]["tfidf"] - 2 * math.log(4 / 3)) < 1e-6
+    per_doc = {d: sorted(r["rank"] for (dd, t), r in rows.items() if dd == d)
+               for d in (1, 2, 3)}
+    assert all(v == list(range(1, len(v) + 1)) for v in per_doc.values())
