@@ -50,7 +50,77 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def build_curate_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mwas_rfam_spark curate",
+        description="Corpus curation: quality gates -> keep-first dedup -> "
+        "benchmark decontamination -> PII redaction -> epoch shuffle-shard.",
+    )
+    p.add_argument("input", help="documents parquet path or JSONL dir")
+    p.add_argument("--input-format", choices=["parquet", "jsonl"], default="parquet")
+    p.add_argument("--output", required=True)
+    p.add_argument("--benchmark", default=None, help="eval-set parquet (decontamination)")
+    p.add_argument("--min-tokens", type=int, default=5)
+    p.add_argument("--max-tokens", type=int, default=1_000_000)
+    p.add_argument("--langs", nargs="*", default=None)
+    p.add_argument("--decontam-n", type=int, default=8)
+    p.add_argument("--decontam-threshold", type=float, default=0.05)
+    p.add_argument("--no-redact", action="store_true")
+    p.add_argument("--shards", type=int, default=None,
+                   help="write epoch-ordered shard dirs instead of a flat parquet")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--accounting", action="store_true",
+                   help="write per-stage drop counts next to the output")
+    return p
+
+
+def curate_main(argv: list[str], spark: SparkSession | None = None) -> int:
+    from .operators.curation import curate_corpus
+    from .sources.readers import read_documents_jsonl
+    from .sources.sinks import write_training_shards
+
+    args = build_curate_parser().parse_args(argv)
+    owns_session = spark is None
+    if owns_session:
+        from .session import get_spark
+
+        spark = get_spark(app_name="curate-cli")
+    try:
+        if args.input_format == "jsonl":
+            docs = read_documents_jsonl(spark, args.input).where(
+                "_corrupt_record IS NULL"
+            ).drop("_corrupt_record")
+        else:
+            docs = spark.read.parquet(args.input)
+        bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+        kw = dict(
+            min_tokens=args.min_tokens,
+            max_tokens=args.max_tokens,
+            allowed_langs=tuple(args.langs) if args.langs else None,
+            decontam_n=args.decontam_n,
+            decontam_threshold=args.decontam_threshold,
+        )
+        kept = curate_corpus(docs, bench, redact=not args.no_redact, **kw)
+        if args.shards:
+            write_training_shards(kept, args.output, n_shards=args.shards, seed=args.seed)
+        else:
+            kept.write.mode("overwrite").parquet(args.output)
+        if args.accounting:
+            marked = curate_corpus(docs, bench, mode="mark", **kw)
+            marked.groupBy("drop_stage").count().coalesce(1).write.mode(
+                "overwrite"
+            ).csv(f"{args.output.rstrip('/')}/_accounting", header=True)
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "curate":
+        return curate_main(argv[1:], spark)
     from .config import MwasConfig
     from .operators.condense import condense_metadata
     from .operators.mwas import run_mwas

@@ -159,3 +159,49 @@ def test_read_documents_text_modes(spark, tmp_path):
     lines = read_documents_text(spark, str(d), whole_file=False)
     assert lines.count() == 3
     assert lines.select("doc_id").distinct().count() == 3
+
+
+def test_cli_curate_end_to_end(spark, tmp_path):
+    """`python -m mwas_rfam_spark curate`: JSONL in -> sharded parquet out
+    with stage accounting, decontamination against a benchmark parquet."""
+    from mwas_rfam_spark.__main__ import main
+
+    src = tmp_path / "docs.jsonl"
+    lines = [
+        '{"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta"}',
+        '{"doc_id": 2, "text": "alpha beta gamma delta epsilon zeta"}',  # dup
+        '{"doc_id": 3, "text": "tiny"}',                                  # quality
+        '{"doc_id": 4, "text": "the bench mark secret answer string"}',   # contaminated
+        '{"doc_id": 5, "text": "call me at 555-123-4567 ok thanks all"}', # kept+redacted
+        "not json",
+    ]
+    src.write_text("\n".join(lines) + "\n")
+    bench = tmp_path / "bench"
+    spark.createDataFrame(
+        [(100, "the bench mark secret answer string")], "doc_id long, text string"
+    ).write.parquet(str(bench))
+
+    out = str(tmp_path / "curated")
+    rc = main(
+        [
+            "curate", str(src),
+            "--input-format", "jsonl",
+            "--output", out,
+            "--benchmark", str(bench),
+            "--min-tokens", "5",
+            "--decontam-n", "5",
+            "--decontam-threshold", "0.2",
+            "--shards", "2",
+            "--accounting",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    back = spark.read.parquet(out)
+    rows = {r["doc_id"]: r for r in back.collect()}
+    assert set(rows) == {1, 5}
+    assert "[PHONE]" in rows[5]["text"]
+    assert {r["shard"] for r in rows.values()} <= {0, 1}
+    acct = spark.read.option("header", True).csv(f"{out}/_accounting")
+    counts = {r["drop_stage"]: int(r["count"]) for r in acct.collect()}
+    assert counts == {"kept": 2, "duplicate": 1, "quality": 1, "contaminated": 1}
