@@ -63,6 +63,8 @@ def build_curate_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-tokens", type=int, default=5)
     p.add_argument("--max-tokens", type=int, default=1_000_000)
     p.add_argument("--langs", nargs="*", default=None)
+    p.add_argument("--max-dup-line-frac", type=float, default=None,
+                   help="Gopher repetition gate: drop docs above this dup-line fraction")
     p.add_argument("--decontam-n", type=int, default=8)
     p.add_argument("--decontam-threshold", type=float, default=0.05)
     p.add_argument("--no-redact", action="store_true")
@@ -97,6 +99,7 @@ def curate_main(argv: list[str], spark: SparkSession | None = None) -> int:
             min_tokens=args.min_tokens,
             max_tokens=args.max_tokens,
             allowed_langs=tuple(args.langs) if args.langs else None,
+            max_dup_line_frac=args.max_dup_line_frac,
             decontam_n=args.decontam_n,
             decontam_threshold=args.decontam_threshold,
         )

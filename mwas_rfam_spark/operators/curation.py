@@ -38,6 +38,7 @@ def curate_corpus(
     min_tokens: int = 5,
     max_tokens: int = 1_000_000,
     allowed_langs: tuple | None = None,
+    max_dup_line_frac: float | None = None,
     decontam_n: int = 8,
     decontam_threshold: float = 0.05,
     redact: bool = True,
@@ -70,7 +71,20 @@ def curate_corpus(
     quality_ok = (F.col("_toks_n") >= min_tokens) & (F.col("_toks_n") <= max_tokens)
     if allowed_langs is not None:
         quality_ok = quality_ok & lang_id(F.col(text_col)).isin(list(allowed_langs))
-    base = base.withColumn("_q_ok", quality_ok).drop("_toks_n")
+    if max_dup_line_frac is not None:
+        # Gopher repetition gate — a doc-keyed profile join, added ONLY
+        # when requested (it costs the repetition explode+rollup, unlike
+        # the pure-projection gates above)
+        from mwas_rfam_spark.operators.text import repetition_profile
+
+        rp = repetition_profile(docs, text_col=text_col, id_col=id_col).select(
+            id_col, "dup_line_frac"
+        )
+        base = base.join(rp, id_col, "left")
+        quality_ok = quality_ok & (
+            F.coalesce("dup_line_frac", F.lit(0.0)) <= max_dup_line_frac
+        )
+    base = base.withColumn("_q_ok", quality_ok).drop("_toks_n", "dup_line_frac")
 
     # keep-first per content hash AMONG quality survivors (same window-min
     # rule the dedup_first_seen entry hash-verifies); losers mark 'duplicate'

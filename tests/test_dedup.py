@@ -395,3 +395,21 @@ def test_curate_corpus_lang_gate(spark):
     marked = curate_corpus(docs, min_tokens=3, allowed_langs=("en",), mode="mark")
     stages = {r["doc_id"]: r["drop_stage"] for r in marked.collect()}
     assert stages == {1: "kept", 2: "quality", 3: "quality"}
+
+
+def test_curate_corpus_repetition_gate(spark):
+    """max_dup_line_frac drops line-repetitive documents at the quality
+    stage; the gate is inert when unset."""
+    from mwas_rfam_spark.operators.curation import curate_corpus
+
+    rep = "same line here\n" * 6 + "one different closing line"
+    docs = spark.createDataFrame(
+        [(1, "normal words spread over one line nicely"), (2, rep)],
+        "doc_id long, text string",
+    )
+    stages = {r["doc_id"]: r["drop_stage"]
+              for r in curate_corpus(docs, min_tokens=3, max_dup_line_frac=0.5,
+                                     mode="mark").collect()}
+    assert stages == {1: "kept", 2: "quality"}
+    off = curate_corpus(docs, min_tokens=3, mode="mark")
+    assert {r["drop_stage"] for r in off.collect()} == {"kept"}
