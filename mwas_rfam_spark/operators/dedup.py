@@ -726,3 +726,55 @@ def incremental_exact_dedup(
         survivors = batch_first
         updated = survivors.select("content_hash").distinct()
     return survivors.drop("content_hash"), updated
+
+
+def similar_documents(
+    docs: DataFrame,
+    query_text: str,
+    k: int = 10,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents most Jaccard-similar to a query text — the textual
+    twin of the embedding ANN search (similarity.brute_force_topk).
+
+    The query's distinct shingles are a tiny literal array: the corpus
+    inverted index semi-joins against it (shared-shingle counting), so
+    only documents sharing at least one shingle are scored — never a
+    scan-wide similarity computation — and the per-doc shingle counts
+    come from one groupBy. jaccard = shared / (|doc| + |query| - shared);
+    top-k via orderBy+limit (TakeOrdered, no global sort shuffle).
+    Returns (id, shared, sz, jaccard) for documents with shared > 0.
+    """
+    q_shingles = sorted(
+        {
+            " ".join(toks[i : i + n])
+            for toks in [query_text.split()]
+            for i in range(len(toks) - n + 1)
+        }
+    )
+    if not q_shingles:
+        raise ValueError(f"query has fewer than n={n} tokens")
+    sh = word_shingles(docs, n, text_col, id_col)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    q = F.array(*[F.lit(s) for s in q_shingles])
+    shared = (
+        sh.where(F.array_contains(q, F.col("shingle")))
+        .groupBy("id")
+        .agg(F.count("*").alias("shared"))
+    )
+    nq = len(q_shingles)
+    return (
+        shared.join(sizes, "id")
+        .select(
+            F.col("id").alias(id_col),
+            "shared",
+            "sz",
+            F.round(
+                F.col("shared") / (F.col("sz") + F.lit(nq) - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc(id_col))
+        .limit(k)
+    )

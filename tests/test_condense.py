@@ -317,3 +317,26 @@ def test_chunk_documents_windows(spark):
         chunk_documents(docs, max_tokens=0)
     with pytest.raises(ValueError):
         chunk_documents(docs, max_tokens=4, overlap=4)
+
+
+def test_chunk_documents_invariants_grid(spark):
+    """Across a (max_tokens, overlap) grid: chunks cover every token
+    exactly once after removing the overlap prefix of non-first chunks,
+    every non-final chunk is full, and chunk_ids are dense."""
+    from mwas_rfam_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(23))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    for max_tokens, overlap in [(4, 0), (4, 1), (5, 2), (7, 6), (23, 0), (30, 5)]:
+        rows = sorted(
+            (r["chunk_id"], r["chunk_text"].split(), r["n_tokens"])
+            for r in chunk_documents(docs, max_tokens, overlap).collect()
+        )
+        assert [r[0] for r in rows] == list(range(len(rows)))
+        rebuilt = list(rows[0][1])
+        for _, toks, _ in rows[1:]:
+            assert toks[:overlap] == rebuilt[-overlap:] if overlap else True
+            rebuilt.extend(toks[overlap:])
+        assert rebuilt == text.split(), (max_tokens, overlap)
+        for _, toks, ntok in rows[:-1]:
+            assert len(toks) == ntok == max_tokens

@@ -413,3 +413,29 @@ def test_curate_corpus_repetition_gate(spark):
     assert stages == {1: "kept", 2: "quality"}
     off = curate_corpus(docs, min_tokens=3, mode="mark")
     assert {r["drop_stage"] for r in off.collect()} == {"kept"}
+
+
+def test_similar_documents_search(spark):
+    """Shared-shingle scoring: the near-copy ranks first with the right
+    Jaccard, disjoint docs never appear, and the k cap holds."""
+    import pytest
+
+    from mwas_rfam_spark.operators.dedup import similar_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),  # near-copy of the query
+            (2, "alpha beta gamma nothing else"),   # partial overlap
+            (3, "completely different words here"), # disjoint -> absent
+        ],
+        "doc_id long, text string",
+    )
+    out = similar_documents(docs, "alpha beta gamma delta epsilon", k=5, n=3)
+    rows = [(r["doc_id"], r["shared"], r["jaccard"]) for r in out.collect()]
+    assert [r[0] for r in rows] == [1, 2]
+    assert rows[0][1] == 3 and rows[0][2] == 1.0  # identical shingle set
+    # doc 2 shares exactly "alpha beta gamma": 1/(3+3-1)
+    assert rows[1][1] == 1 and abs(rows[1][2] - 1 / 5) < 1e-6
+    assert similar_documents(docs, "alpha beta gamma delta epsilon", k=1).count() == 1
+    with pytest.raises(ValueError):
+        similar_documents(docs, "too short")
