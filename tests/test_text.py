@@ -328,3 +328,48 @@ def test_tfidf_top_terms(spark):
     per_doc = {d: sorted(r["rank"] for (dd, t), r in rows.items() if dd == d)
                for d in (1, 2, 3)}
     assert all(v == list(range(1, len(v) + 1)) for v in per_doc.values())
+
+
+def test_tfidf_matches_duckdb(spark, sf_dir):
+    """TF-IDF top terms replayed in DuckDB SQL over the same parquet:
+    identical (doc, token, tf, df, tfidf, rank) rows. Rank ties are
+    broken by token asc on both sides, so the comparison is exact."""
+    import duckdb
+
+    from mwas_rfam_spark.operators.text import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    got = {
+        (r["doc_id"], r["token"]): (r["tf"], r["df"], r["tfidf"], r["rank"])
+        for r in tfidf_top_terms(docs, k_per_doc=5).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW docs AS SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    )
+    want = {
+        (r[0], r[1]): (r[2], r[3], r[4], r[5])
+        for r in con.sql(
+            """
+            WITH toks AS (
+              SELECT doc_id, t.tok AS token
+              FROM docs, LATERAL unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(tok)
+              WHERE t.tok <> ''),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id) AS n FROM docs),
+            scored AS (
+              SELECT tf.doc_id, tf.token, tf.tf, dfr.df,
+                     round(tf.tf * ln((n.n + 1) / CAST(dfr.df + 1 AS DOUBLE)), 6) AS tfidf,
+                     tf.tf * ln((n.n + 1) / CAST(dfr.df + 1 AS DOUBLE)) AS raw
+              FROM tf JOIN dfr USING (token), n)
+            SELECT doc_id, token, tf, df, tfidf,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY raw DESC, token ASC) AS BIGINT) AS rank
+            FROM scored
+            QUALIFY rank <= 5
+            """
+        ).fetchall()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want
