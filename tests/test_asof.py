@@ -91,3 +91,44 @@ def test_asof_join_matches_duckdb(spark, sf_dir):
     # non-vacuous: some rows matched and some did not
     assert any(v[0] is not None for v in got.values())
     assert any(v[0] is None for v in got.values())
+
+
+def test_asof_join_matches_pandas_randomized(spark):
+    """Randomized cross-check against pandas.merge_asof (the reference
+    implementation of as-of semantics), both directions, with and
+    without tolerance, over several seeds."""
+    import numpy as np
+    import pandas as pd
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        left_pd = pd.DataFrame({
+            "k": rng.integers(0, 4, 60),
+            "ts": rng.choice(np.arange(0, 500), 60, replace=False).astype("int64"),
+        })
+        right_pd = pd.DataFrame({
+            "k": rng.integers(0, 4, 40),
+            "ts": rng.choice(np.arange(0, 500), 40, replace=False).astype("int64"),
+        })
+        right_pd["v"] = rng.normal(size=40).round(6)
+        left = spark.createDataFrame(left_pd.assign(lid=np.arange(60)))
+        right = spark.createDataFrame(right_pd)
+
+        for direction, tol in [("backward", None), ("forward", None),
+                               ("backward", 50), ("forward", 30)]:
+            want_pd = pd.merge_asof(
+                left_pd.assign(lid=np.arange(60)).sort_values("ts"),
+                right_pd.sort_values("ts"),
+                on="ts", by="k", direction=direction,
+                tolerance=tol if tol is None else int(tol),
+            )
+            want = {
+                int(r.lid): (None if pd.isna(r.v) else round(float(r.v), 6))
+                for r in want_pd.itertuples()
+            }
+            got = {
+                int(r["lid"]): (None if r["v_r"] is None else round(r["v_r"], 6))
+                for r in asof_join(left, right, by="k", direction=direction,
+                                   tolerance=tol).collect()
+            }
+            assert got == want, (seed, direction, tol)
