@@ -778,3 +778,46 @@ def similar_documents(
         .orderBy(F.desc("jaccard"), F.asc(id_col))
         .limit(k)
     )
+
+
+def corpus_overlap_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    num_hashes: int = 128,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> float:
+    """Estimated Jaccard overlap between two corpora's SHINGLE SETS — the
+    corpus-level decontamination question ("how much does the new crawl
+    overlap what we already trained on") answered without any join.
+
+    One global MinHash signature per corpus: per Kirsch-Mitzenmacher
+    (same construction as minhash_signatures) each corpus aggregates to
+    num_hashes mins over all its distinct shingles — a single row per
+    corpus regardless of size, all map-side combine — and the estimate
+    is the fraction of matching signature slots. Standard error is
+    ~1/sqrt(num_hashes) (~0.09 at 128). The only driver-side data is the
+    two signatures.
+    """
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+
+    def signature(docs):
+        # same 32-bit Kirsch-Mitzenmacher family as minhash_signatures
+        # (masked to 32 bits so i*h2 never overflows ANSI long arithmetic)
+        sh = word_shingles(docs, n, text_col, id_col).select("shingle").distinct()
+        base = F.xxhash64("shingle")
+        h1 = F.shiftrightunsigned(base, 32)
+        h2 = F.shiftrightunsigned(base, 1).bitwiseAND(F.lit(0x7FFFFFFE)) + 1
+        mask = F.lit((1 << 32) - 1)
+        return sh.agg(
+            *[
+                F.min((h1 + F.lit(i) * h2).bitwiseAND(mask)).alias(f"h{i}")
+                for i in range(num_hashes)
+            ]
+        ).collect()[0]
+    sig_a, sig_b = signature(a), signature(b)
+    if sig_a[0] is None or sig_b[0] is None:
+        raise ValueError("both corpora must contain at least one shingle")
+    return sum(1 for i in range(num_hashes) if sig_a[i] == sig_b[i]) / num_hashes

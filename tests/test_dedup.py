@@ -439,3 +439,29 @@ def test_similar_documents_search(spark):
     assert similar_documents(docs, "alpha beta gamma delta epsilon", k=1).count() == 1
     with pytest.raises(ValueError):
         similar_documents(docs, "too short")
+
+
+def test_corpus_overlap_estimate(spark):
+    """Identical corpora -> 1.0; disjoint -> 0.0; a constructed 50%
+    shingle overlap estimates within MinHash error (~3/sqrt(k))."""
+    import pytest
+
+    from mwas_rfam_spark.operators.dedup import corpus_overlap_estimate
+
+    def corpus(lo, hi):
+        # doc i contributes exactly one distinct 3-shingle "s i end"
+        return spark.range(lo, hi).selectExpr(
+            "id AS doc_id", "concat('s ', CAST(id AS STRING), ' end') AS text"
+        )
+
+    a = corpus(0, 200)
+    assert corpus_overlap_estimate(a, corpus(0, 200)) == 1.0
+    assert corpus_overlap_estimate(a, corpus(200, 400)) == 0.0
+    # corpus b shares shingles 100..200 with a; J = 100/300
+    est = corpus_overlap_estimate(a, corpus(100, 300), num_hashes=256)
+    assert abs(est - 1 / 3) < 3 / (256 ** 0.5), est
+    with pytest.raises(ValueError):
+        corpus_overlap_estimate(a, corpus(0, 10), num_hashes=0)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        corpus_overlap_estimate(a, empty)
