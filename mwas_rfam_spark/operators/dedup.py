@@ -739,28 +739,26 @@ def similar_documents(
     """Top-k documents most Jaccard-similar to a query text — the textual
     twin of the embedding ANN search (similarity.brute_force_topk).
 
-    The query's distinct shingles are a tiny literal array: the corpus
-    inverted index semi-joins against it (shared-shingle counting), so
-    only documents sharing at least one shingle are scored — never a
-    scan-wide similarity computation — and the per-doc shingle counts
-    come from one groupBy. jaccard = shared / (|doc| + |query| - shared);
-    top-k via orderBy+limit (TakeOrdered, no global sort shuffle).
-    Returns (id, shared, sz, jaccard) for documents with shared > 0.
+    The query's distinct shingles broadcast as a one-column relation and
+    the corpus inverted index equi-joins against them (shared-shingle
+    counting), so only documents sharing at least one shingle are scored
+    — never a scan-wide similarity computation — and the join stays a
+    BroadcastHashJoin no matter how long the query document is. jaccard
+    = shared / (|doc| + |query| - shared); top-k via orderBy+limit
+    (TakeOrdered, no global sort shuffle). Returns (id, shared, sz,
+    jaccard) for documents with shared > 0.
     """
-    q_shingles = sorted(
-        {
-            " ".join(toks[i : i + n])
-            for toks in [query_text.split()]
-            for i in range(len(toks) - n + 1)
-        }
-    )
+    toks = query_text.split()
+    q_shingles = sorted({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
     if not q_shingles:
         raise ValueError(f"query has fewer than n={n} tokens")
     sh = word_shingles(docs, n, text_col, id_col)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    q = F.array(*[F.lit(s) for s in q_shingles])
+    qdf = docs.sparkSession.createDataFrame(
+        [(s,) for s in q_shingles], "shingle string"
+    )
     shared = (
-        sh.where(F.array_contains(q, F.col("shingle")))
+        sh.join(F.broadcast(qdf), "shingle")
         .groupBy("id")
         .agg(F.count("*").alias("shared"))
     )
