@@ -1278,9 +1278,9 @@ def q_j8_interval_join(spark, sf_dir):
     click/error events within 60 s, rolled up per day."""
     from mwas_rfam_spark.operators.interval import interval_join_within
 
-    # whole-seconds timeline: the parquet stores nanos, DuckDB surfaces
-    # the column ROUNDED to micros while Spark reads exact nanos — second
-    # granularity puts both engines on identical integers
+    # whole-seconds timeline: ts precision differs across testdata
+    # generations (TIMESTAMP(NANOS) vs micros — see ensure_epoch_nanos);
+    # second granularity puts both engines on identical integers either way
     e = _t(spark, sf_dir, "events")  # ts arrives as epoch nanos (see _t)
     sec = F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long").alias("ts")
     clicks = e.where(F.col("event_type") == "click").select("event_id", sec)
