@@ -435,9 +435,14 @@ def q_j6_semi_join(spark, sf_dir):
 
 
 def q_so1_anti_join(spark, sf_dir):
-    """SO1 — anti-join (customers without orders)."""
+    """SO1 — anti-join: customers with NO high-value order (>300k).
+
+    The unfiltered customers-without-orders variant is 0 rows on the
+    driver's synthetic data (every customer has an order), which made the
+    oracle row trivially green; filtering the right side keeps left_anti
+    semantics and yields survivors at every SF (3 / 30 / 308)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
     return (
         c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti")
         .groupBy(F.col("c_mktsegment").alias("segment"))
@@ -836,9 +841,14 @@ def q_dedup_simhash32(spark, sf_dir):
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs, blocked by label."""
+    """Embedding-cosine near-duplicate pairs, blocked by label.
+
+    Threshold 0.35: the driver's regenerated embeddings top out at
+    cosine ~0.45-0.51 within label blocks, so the old 0.9 produced a
+    trivially green 0-row oracle entry; 0.35 yields 14 / 26 / 391 pairs
+    at sf0.001 / 0.01 / 0.1 — real arithmetic is pinned by the hash."""
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(e, threshold=0.9).select(
+    return embedding_near_dup_pairs(e, threshold=0.35).select(
         "id_a", "id_b", F.round("cosine", 5).alias("cosine")
     )
 
@@ -1033,16 +1043,46 @@ def _ivf_centroids(spark, sf_dir, k=8, iters=2):
     return _IVF_CENTROID_CACHE[key]
 
 
+_IVF_INDEX_CACHE: dict[str, tuple[str, list]] = {}
+
+
+def _ivf_index(spark, sf_dir, k=8, iters=2):
+    """Session-scoped IVF index build (index construction is a build
+    step, not part of the probe query): centroids from the memoized
+    seeded Lloyd trainer, then vectors + centroids materialized as
+    parquet at a deterministic per-SF path
+    (``spark-warehouse/ivf_index/<sf>``). Rebuilt once per process so a
+    driver-side testdata regeneration can never leave a stale index
+    behind; the oracle replays probe + top-k over the SAME files."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse", "ivf_index", tag
+    )
+    if path not in _IVF_INDEX_CACHE:
+        from mwas_rfam_spark.operators.similarity import materialize_ivf
+
+        cents = _ivf_centroids(spark, sf_dir, k=k, iters=iters)
+        materialize_ivf(_t(spark, sf_dir, "embeddings"), cents, path)
+        _IVF_INDEX_CACHE[path] = (path, cents)
+    return _IVF_INDEX_CACHE[path]
+
+
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF ANN: seeded Lloyd coarse quantizer (precomputed per session),
-    nprobe-cell search (engine-only: approximate by design — no exact
-    oracle)."""
-    from mwas_rfam_spark.operators.similarity import ivf_ann_topk
+    """IVF ANN over the MATERIALIZED index (round-3 verdict task #1):
+    probe = partition pruning on the cell-partitioned parquet, centroids
+    stored beside the vectors, so the whole probe + top-k is
+    oracle-replayable SQL over the same files. The entry was rows-only
+    through round 3 only because it retrained centroids in-query."""
+    from mwas_rfam_spark.operators.similarity import ivf_ann_topk_indexed
 
     e = _t(spark, sf_dir, "embeddings")
     qvec = e.orderBy("vec_id").select("embedding").limit(1).collect()[0]["embedding"]
-    cents = _ivf_centroids(spark, sf_dir, k=8, iters=2)
-    top = ivf_ann_topk(e, [float(x) for x in qvec], cents, k=10, nprobe=3)
+    path, cents = _ivf_index(spark, sf_dir, k=8, iters=2)
+    top = ivf_ann_topk_indexed(
+        spark, f"{path}/vectors", [float(x) for x in qvec], cents, k=10, nprobe=3
+    )
     return top.select("vec_id", F.round("cosine", 5).alias("cosine"))
 
 
@@ -1286,7 +1326,12 @@ def q_j8_interval_join(spark, sf_dir):
     clicks = e.where(F.col("event_type") == "click").select("event_id", sec)
     errors = e.where(F.col("event_type") == "error").select("event_id", sec)
     pairs = interval_join_within(clicks, errors, tolerance=60)
-    day = F.date_trunc("DAY", F.timestamp_seconds(F.col("ts_a")))
+    # day truncation in the integer domain + NTZ rebuild — timezone-free
+    # on any session (see q_events_hourly)
+    day = F.expr(
+        "timestampadd(SECOND, (ts_a div 86400) * 86400, "
+        "TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+    )
     # sum of integer second deltas is exact cross-engine (an avg of
     # doubles can flip the last rounded digit with summation order)
     return pairs.groupBy(day.alias("day")).agg(
@@ -1493,10 +1538,17 @@ def q_mwas_t_only_full(spark, sf_dir):
 def q_events_hourly(spark, sf_dir):
     """Time-window aggregation (batch analog of the streaming rollup)."""
     e = _t(spark, sf_dir, "events")
-    # ts arrives as nanos-since-epoch long (see _t); truncate to micros
-    ts = F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    # ts arrives as nanos-since-epoch long (see _t). Truncate to the hour
+    # in the INTEGER domain and rebuild an NTZ timestamp against an NTZ
+    # epoch literal: no session/system timezone is consulted anywhere
+    # (date_trunc on an LTZ value buckets in session tz — the driver's
+    # session is untuned, so nothing guarantees UTC there).
+    hour = F.expr(
+        "timestampadd(MICROSECOND, (ts div 3600000000000) * 3600000000, "
+        "TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+    )
     return e.groupBy(
-        F.date_trunc("hour", ts).alias("hour"), "event_type"
+        hour.alias("hour"), "event_type"
     ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
 
 
@@ -1871,7 +1923,8 @@ FROM final
         "so1_anti_join": """
             SELECT c_mktsegment AS segment, count(*) AS n_customers
             FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
             GROUP BY 1
         """,
         "shuffle_shard": """
@@ -1879,8 +1932,7 @@ FROM final
                               md5('42:' || CAST(doc_id AS VARCHAR)) AS key
                        FROM documents),
             s AS (SELECT doc_id, key,
-                         CAST(((strpos('0123456789abcdef', substr(key, 1, 1)) - 1) * 16
-                               + (strpos('0123456789abcdef', substr(key, 2, 1)) - 1)) % 8
+                         CAST(CAST('0x' || substr(key, 1, 8) AS BIGINT) % 8
                               AS INT) AS shard
                   FROM k)
             SELECT doc_id, shard,
@@ -2141,7 +2193,7 @@ FROM final
             FROM embeddings a
             JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                         CAST(b.embedding AS DOUBLE[])) >= 0.9
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.35
         """,
         "multimodal_pipeline": """
             WITH meta AS (
@@ -2456,5 +2508,34 @@ FROM final
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        # Replays the IVF probe + top-k over the SAME materialized index
+        # the Spark entry queries (built by _ivf_index at a deterministic
+        # path; the driver's gate runs at sf0.01 — tools/check_oracle.py
+        # rewrites the tag when checking other SFs). Probe set = 3 cells
+        # nearest the stored centroids by L2 (ties by cell id, matching
+        # the engine's stable sort); candidates = partition filter;
+        # ranking = cosine DESC, vec_id.
+        "ann_ivf_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings ORDER BY vec_id LIMIT 1),
+            probe AS (
+                SELECT cell
+                FROM read_parquet(
+                    '/root/repo/spark-warehouse/ivf_index/sf0.01/centroids/*.parquet'), q
+                ORDER BY list_sum(list_transform(centroid,
+                                                 (x, i) -> (x - qv[i]) * (x - qv[i]))),
+                         cell
+                LIMIT 3),
+            cand AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                FROM read_parquet(
+                    '/root/repo/spark-warehouse/ivf_index/sf0.01/vectors/*/*.parquet',
+                    hive_partitioning = true)
+                WHERE cell IN (SELECT cell FROM probe))
+            SELECT vec_id, round(list_cosine_similarity(emb, qv), 5) AS cosine
+            FROM cand, q
+            ORDER BY list_cosine_similarity(emb, qv) DESC, vec_id
+            LIMIT 10
         """,
     }

@@ -108,6 +108,20 @@ def asof_join(
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction}")
     if tolerance is not None and tolerance < 0:
         raise ValueError(f"tolerance must be >= 0, got {tolerance}")
+    # the timeline must be integral: the sort keys negate via `ts * sign`
+    # (a timestamp type fails outright there) and the tolerance check
+    # subtracts two keys cast to long (a double timeline would silently
+    # truncate sub-integer deltas). Fail loud instead of either.
+    integral = ("tinyint", "smallint", "int", "bigint")
+    for side, frame in (("left", left), ("right", right)):
+        dt = dict(frame.dtypes).get(ts_col)
+        if dt is None:
+            raise ValueError(f"asof_join: {side} input has no column {ts_col!r}")
+        if dt not in integral:
+            raise ValueError(
+                f"asof_join: {side}.{ts_col} must be an integral timeline "
+                f"(e.g. epoch nanos as BIGINT — see ensure_epoch_nanos), got {dt}"
+            )
     by = [by] if isinstance(by, str) else list(by or [])
     if right_cols is None:
         right_cols = [c for c in right.columns if c != ts_col and c not in by]
@@ -121,7 +135,7 @@ def asof_join(
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(rtypes[c]).alias(f"__r_{c}") for c in right_cols],
         F.lit(None).cast(rtypes[ts_col]).alias("__r_ts"),
-        (F.col(ts_col) * sign).alias("__sk"),
+        (F.col(ts_col) * sign).cast("long").alias("__sk"),
         F.lit(None).cast("long").alias("__r_sk"),
         F.lit(1).alias("__tag"),
     )
@@ -132,7 +146,7 @@ def asof_join(
         ],
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
         F.col(ts_col).alias("__r_ts"),
-        (F.col(ts_col) * sign).alias("__sk"),
+        (F.col(ts_col) * sign).cast("long").alias("__sk"),
         (F.col(ts_col) * sign).cast("long").alias("__r_sk"),
         F.lit(0).alias("__tag"),
     )

@@ -203,6 +203,35 @@ def write_ivf_index(
     ).mode("overwrite").parquet(path)
 
 
+def materialize_ivf(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the COMPLETE IVF index at ``path``: the vectors as
+    cell-partitioned parquet under ``path/vectors`` (the
+    :func:`write_ivf_index` layout — probe = partition pruning) PLUS the
+    trained centroids under ``path/centroids`` as (cell, centroid) rows.
+
+    Storing the centroids beside the vectors is what makes the probe +
+    top-k fully replayable by any SQL engine over the same files: the
+    nprobe cell set is re-derivable from the stored centroids (argmin-k
+    of L2 distance), the candidate scan is a filter on the partition
+    column, and the ranking is a plain cosine ORDER BY ... LIMIT k —
+    no Spark-side state needed beyond the parquet."""
+    spark = emb.sparkSession
+    assign_ivf_cells(emb, centroids, id_col, vec_col).write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(f"{path}/vectors")
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
 def ivf_ann_topk_indexed(
     spark,
     index_path: str,

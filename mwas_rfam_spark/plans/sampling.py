@@ -94,9 +94,12 @@ def shuffle_shard(
     The shuffle key is md5(seed || ':' || id) — engine-independent, so the
     exact shard layout is reproducible in ANSI SQL and across clusters
     (``rand(seed)`` is partition-layout sensitive; a hash of the row id is
-    not). ``shard`` comes from the key's first two hex digits mod
-    n_shards; because md5 is uniform, shards balance to ~|df|/n_shards
-    without a global sort. Changing ``seed`` reshuffles every epoch.
+    not). ``shard`` comes from the key's first EIGHT hex digits (32 bits)
+    mod n_shards; because md5 is uniform and 2^32 >> n_shards, the modulo
+    bias is < n_shards/2^32 (a 2-digit decode would systematically
+    overload low shards whenever n_shards doesn't divide 256), so shards
+    balance to ~|df|/n_shards without a global sort for ANY n_shards.
+    Changing ``seed`` reshuffles every epoch.
 
     Scale shape: shard assignment is a pure projection (no shuffle at
     all); the per-shard ``seq`` is one hash-partitioned window sort —
@@ -105,12 +108,12 @@ def shuffle_shard(
     that only need the grouping, ``with_seq=False`` keeps the plan
     shuffle-free and the writer's ``partitionBy("shard")`` does the rest.
     """
-    if n_shards < 1 or n_shards > 256:
-        raise ValueError(f"n_shards must be in [1, 256] (two hex digits), got {n_shards}")
+    if n_shards < 1 or n_shards > 65536:
+        raise ValueError(f"n_shards must be in [1, 65536], got {n_shards}")
     key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
     out = df.withColumn("_shuffle_key", key).withColumn(
         "shard",
-        (F.conv(F.substring("_shuffle_key", 1, 2), 16, 10).cast("int") % n_shards).cast(
+        (F.conv(F.substring("_shuffle_key", 1, 8), 16, 10).cast("long") % n_shards).cast(
             "int"
         ),
     )

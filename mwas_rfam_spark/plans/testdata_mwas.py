@@ -31,19 +31,25 @@ def ensure_epoch_nanos(spark: SparkSession, df: DataFrame, col: str = "ts") -> D
     (naive wall clock read as UTC — exactly DuckDB's ``epoch_us`` view of
     the same values, so oracles stay engine-identical). Downstream
     timeline math (hourly rollup, interval join, first-seen ordering)
-    sees the same epoch-nanos long either way."""
+    sees the same epoch-nanos long either way.
+
+    Both branches are timezone-INDEPENDENT (an earlier version set
+    ``spark.sql.session.timeZone=UTC`` as a hidden session-global side
+    effect): ``unix_micros`` on TIMESTAMP reads the absolute instant, and
+    the NTZ branch measures the wall clock against an NTZ epoch literal
+    via ``timestampdiff`` — no session state consulted, none mutated."""
     if col not in df.columns:
         return df
     dtype = dict(df.dtypes)[col]
-    if dtype not in ("timestamp", "timestamp_ntz"):
+    if dtype == "timestamp":
+        micros = F.unix_micros(F.col(col))
+    elif dtype == "timestamp_ntz":
+        micros = F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', `{col}`)"
+        )
+    else:
         return df
-    try:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:
-        pass
-    return df.withColumn(
-        col, (F.unix_micros(F.col(col).cast("timestamp")) * 1000).cast("long")
-    )
+    return df.withColumn(col, (micros * 1000).cast("long"))
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -153,17 +153,27 @@ def read_documents_jsonl(
 def read_documents_text(
     spark: SparkSession, path: str, whole_file: bool = True
 ) -> DataFrame:
-    """One document per file (``wholetext``) or per line: (doc_id, text)
-    with doc_id = the stable file path (whole-file mode) or a
-    monotonically increasing id (line mode — ids are unique but NOT
-    stable across re-reads with different partitioning; prefer content
-    hashes downstream)."""
+    """One document per file (``wholetext``) or per line:
+    (doc_id BIGINT, text STRING, source STRING) — BOTH modes yield the
+    DOCUMENTS_SCHEMA doc_id type so frames union cleanly and keep-first
+    ordering stays numeric (an earlier version returned the raw file
+    path as a STRING doc_id in whole-file mode).
+
+    Whole-file mode: doc_id = xxhash64 of the file path (stable across
+    re-reads and partitioning; ``source`` keeps the path for lineage).
+    Line mode: doc_id = monotonically increasing id — unique but NOT
+    stable across re-reads with different partitioning; ``source`` is
+    the originating file. Prefer content hashes downstream."""
     if whole_file:
         df = spark.read.text(path, wholetext=True)
         return df.select(
-            F.input_file_name().alias("doc_id"), F.col("value").alias("text")
+            F.xxhash64(F.input_file_name()).alias("doc_id"),
+            F.col("value").alias("text"),
+            F.input_file_name().alias("source"),
         )
     df = spark.read.text(path)
     return df.select(
-        F.monotonically_increasing_id().alias("doc_id"), F.col("value").alias("text")
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("value").alias("text"),
+        F.input_file_name().alias("source"),
     )

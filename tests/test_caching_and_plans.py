@@ -443,10 +443,28 @@ def test_shuffle_shard_deterministic_balanced_and_reseeds(spark):
     plan = shuffle_shard(df, 8, seed=7, with_seq=False)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_shuffle_shard_balanced_when_nshards_not_power_of_two(spark):
+    """Non-divisor shard counts must NOT systematically overload low
+    shards: the old 2-hex-digit decode gave shard 0 twice the mass at
+    n_shards=255 (256 % 255 = 1); the 8-digit (32-bit) decode bounds the
+    modulo bias at n_shards/2^32. 25,500 rows over 255 shards: mean 100,
+    so any shard above 160 (6σ) means the bias is back."""
+    from mwas_rfam_spark.plans.sampling import shuffle_shard
+
+    df = spark.range(0, 25_500).selectExpr("id AS doc_id")
+    counts = (
+        shuffle_shard(df, n_shards=255, seed=3, with_seq=False)
+        .groupBy("shard").count().collect()
+    )
+    assert sum(r["count"] for r in counts) == 25_500
+    worst = max(r["count"] for r in counts)
+    assert worst < 160, f"shard imbalance: max={worst}, mean=100"
     with pytest.raises(ValueError):
         shuffle_shard(df, 0)
     with pytest.raises(ValueError):
-        shuffle_shard(df, 1000)
+        shuffle_shard(df, 100_000)  # cap is 65536
 
 
 

@@ -154,11 +154,16 @@ def test_read_documents_text_modes(spark, tmp_path):
     (d / "b.txt").write_text("doc b")
     whole = read_documents_text(spark, str(d)).collect()
     assert len(whole) == 2
-    texts = {r["doc_id"].rsplit("/", 1)[-1]: r["text"] for r in whole}
+    # doc_id is BIGINT in BOTH modes (DOCUMENTS_SCHEMA) — the path moves
+    # to `source`
+    assert all(isinstance(r["doc_id"], int) for r in whole)
+    texts = {r["source"].rsplit("/", 1)[-1]: r["text"] for r in whole}
     assert texts["a.txt"] == "doc a line one\ndoc a line two"
+    assert len({r["doc_id"] for r in whole}) == 2  # xxhash64(path) distinct
     lines = read_documents_text(spark, str(d), whole_file=False)
     assert lines.count() == 3
     assert lines.select("doc_id").distinct().count() == 3
+    assert dict(lines.dtypes)["doc_id"] == "bigint"
 
 
 def test_cli_curate_end_to_end(spark, tmp_path):

@@ -66,12 +66,10 @@ SELECT s.doc_id, s.drop_stage, k.shard, k.seq
 FROM staged s
 LEFT JOIN (
   SELECT doc_id,
-         CAST(((strpos('0123456789abcdef', substr(key, 1, 1)) - 1) * 16
-               + (strpos('0123456789abcdef', substr(key, 2, 1)) - 1)) % {N_SHARDS}
+         CAST(CAST('0x' || substr(key, 1, 8) AS BIGINT) % {N_SHARDS}
               AS INT) AS shard,
          CAST(row_number() OVER (
-             PARTITION BY ((strpos('0123456789abcdef', substr(key, 1, 1)) - 1) * 16
-                           + (strpos('0123456789abcdef', substr(key, 2, 1)) - 1)) % {N_SHARDS}
+             PARTITION BY CAST('0x' || substr(key, 1, 8) AS BIGINT) % {N_SHARDS}
              ORDER BY key, doc_id) AS BIGINT) AS seq
   FROM (SELECT doc_id, md5('{SEED}:' || CAST(doc_id AS VARCHAR)) AS key
         FROM staged WHERE drop_stage = 'kept')

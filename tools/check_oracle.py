@@ -71,6 +71,17 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # the driver's gate always runs at sf0.01, so oracle SQL that reads a
+    # materialized index bakes that tag into its path; when checking other
+    # SFs locally, point it at the same-SF index instead
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    if tag != "sf0.01":
+        oracles = {
+            k: v.replace("/ivf_index/sf0.01/", f"/ivf_index/{tag}/")
+            for k, v in oracles.items()
+        }
     n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
