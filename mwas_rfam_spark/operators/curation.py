@@ -74,12 +74,20 @@ def curate_corpus(
     if max_dup_line_frac is not None:
         # Gopher repetition gate — a doc-keyed profile join, added ONLY
         # when requested (it costs the repetition explode+rollup, unlike
-        # the pure-projection gates above)
+        # the pure-projection gates above). The explode runs over rows the
+        # cheap gates already kept, never the whole corpus: a row the
+        # projection gates drop is 'quality' regardless of its repetition
+        # stats, so profiling it is pure waste (at 100 TB the explode is
+        # the expensive half of this stage). Absent profile rows coalesce
+        # to 0.0, which only cheap-gate failures hit — their quality_ok is
+        # already false, so semantics are unchanged (parity-tested).
         from mwas_rfam_spark.operators.text import repetition_profile
 
-        rp = repetition_profile(docs, text_col=text_col, id_col=id_col).select(
-            id_col, "dup_line_frac"
-        )
+        rp = repetition_profile(
+            base.where(quality_ok).select(id_col, text_col),
+            text_col=text_col,
+            id_col=id_col,
+        ).select(id_col, "dup_line_frac")
         base = base.join(rp, id_col, "left")
         quality_ok = quality_ok & (
             F.coalesce("dup_line_frac", F.lit(0.0)) <= max_dup_line_frac

@@ -415,6 +415,32 @@ def test_curate_corpus_repetition_gate(spark):
     assert {r["drop_stage"] for r in off.collect()} == {"kept"}
 
 
+def test_curate_repetition_profiles_only_quality_survivors(spark):
+    """The repetition explode+rollup runs over cheap-gate survivors, not
+    the whole corpus: a doc that fails the token gate marks 'quality'
+    without ever being profiled, and the optimized plan's Generate
+    (explode) sits above a Filter on the token-count condition."""
+    from mwas_rfam_spark.operators.curation import curate_corpus
+
+    rep = "same line again\n" * 6 + "distinct closing line of this document"
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, rep), (3, "plenty of ordinary words in this one")],
+        "doc_id long, text string",
+    )
+    marked = curate_corpus(docs, min_tokens=3, max_dup_line_frac=0.5, mode="mark")
+    stages = {r["doc_id"]: r["drop_stage"] for r in marked.collect()}
+    assert stages == {1: "quality", 2: "quality", 3: "kept"}
+
+    plan = marked._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    gen = next(i for i, ln in enumerate(lines) if "Generate explode" in ln)
+    # the explode's subtree (indented below it) must contain the cheap
+    # quality filter — i.e. profiling consumes pre-filtered rows
+    assert any(
+        "Filter" in ln and "split(" in ln for ln in lines[gen + 1:]
+    ), f"no token-gate Filter below the explode:\n{plan}"
+
+
 def test_similar_documents_search(spark):
     """Shared-shingle scoring: the near-copy ranks first with the right
     Jaccard, disjoint docs never appear, and the k cap holds."""
