@@ -102,6 +102,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT near-duplicate pairs by word-n-gram Jaccard similarity.
 
@@ -127,6 +128,20 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b — identical results to
     the naive all-shared-shingles join, with cost bound by prefix
     collisions instead of total collisions.
+
+    ``max_df`` (the PPJoin+ stop-shingle refinement) additionally drops
+    shingles whose document frequency exceeds the bound from CANDIDATE
+    GENERATION only — verification stays exact over full shingle sets.
+    This is the guard for low-vocabulary corpora, where a handful of hot
+    shingles land inside many prefixes and candidates grow ~Σ df²
+    regardless of prefix filtering (measured on the regenerated sf0.1
+    corpus: 27k distinct shingles over 260k occurrences → 202k candidates
+    for 256 true pairs — SCALE.md). With the cap, candidate cost is
+    bounded by ``max_df²`` per indexed shingle. The trade: a pair is
+    missed only when EVERY prefix shingle it shares is hot (df > bound) —
+    at dedup thresholds a near-duplicate pair shares most of its rare
+    shingles too, so recall on tested corpora is unchanged; the default
+    (None) keeps the join exact.
     """
     sh = word_shingles(docs, n, text_col, id_col)
     # localCheckpoint, not cache: three consumers (prefix ranking + both
@@ -148,7 +163,14 @@ def ngram_jaccard_pairs(
         .join(doc_sets.select("id", "sz"), "id")
         # Jaccard prefix length: |d| - ceil(t*|d|) + 1
         .where(F.col("pos") < F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-        .select("id", "shingle", "pos", "sz")
+    )
+    if max_df is not None:
+        # stop-shingle cap: hot shingles leave the index AFTER ranks and
+        # prefix lengths are fixed, so surviving shingles keep the exact
+        # canonical positions the positional bound below reasons about
+        ranked = ranked.where(F.col("df") <= max_df)
+    ranked = (
+        ranked.select("id", "shingle", "pos", "sz")
         # self-joined below: materialize once instead of planning (and
         # possibly executing) the df-count + window subtree twice
         .localCheckpoint()
@@ -174,11 +196,18 @@ def ngram_jaccard_pairs(
             F.first("sz_a").alias("sz_a"),
             F.first("sz_b").alias("sz_b"),
         )
-        .where(
+    )
+    if max_df is None:
+        # positional prune is only sound over the FULL index: with hot
+        # shingles dropped, min(pa) overestimates the first-shared rank
+        # (a dropped hot shingle may rank earlier), so the bound would
+        # wrongly prune true pairs reachable through a rare shingle. The
+        # df cap already bounds candidate volume, which is all this
+        # filter buys.
+        cand = cand.where(
             F.least(F.col("sz_a") - F.col("pa"), F.col("sz_b") - F.col("pb")) >= alpha
         )
-        .select("id_a", "id_b")
-    )
+    cand = cand.select("id_a", "id_b")
     # explicit repartition: AQE sizes this stage by candidate BYTES (tiny
     # id pairs) but each row pays an array_intersect over full shingle
     # sets — compute AQE can't see; without it verification runs ~2-wide

@@ -76,6 +76,53 @@ def test_ngram_jaccard_finds_near_dup(docs):
     assert not any({a, b} & {4, 5} for a, b in pairs)
 
 
+def test_ngram_jaccard_max_df_recall(spark, docs):
+    """The stop-shingle cap (max_df) keeps results identical to the exact
+    join on a corpus where near-dup pairs share rare shingles alongside a
+    hot one — the configuration the cap targets. Exactness is only
+    forfeited for pairs whose EVERY shared prefix shingle is hot."""
+    # every doc carries the same hot boilerplate sentence (df = n_docs);
+    # docs 1/2 are near-dups via their rare remainder
+    boiler = "subscribe to our newsletter for updates today"
+    rows = [
+        (1, boiler + " aurora borealis shimmered over quiet fjords"),
+        (2, boiler + " aurora borealis shimmered over quiet valleys"),
+        (3, boiler + " completely unrelated musings about sourdough starters"),
+        (4, boiler + " tax form instructions for fiscal year reporting"),
+    ]
+    hot = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in ngram_jaccard_pairs(hot, n=3, threshold=0.3).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in ngram_jaccard_pairs(hot, n=3, threshold=0.3, max_df=3).collect()
+    }
+    assert (1, 2) in exact
+    assert capped == exact
+    # on the standard fixture the cap is inert at df ceiling = corpus size
+    base = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    wide = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df=100).collect()
+    }
+    assert wide == base
+
+
+def test_ngram_jaccard_max_df_drops_hot_only_pairs(spark):
+    """Documented trade: a pair whose ONLY shared shingles are hot is
+    unreachable with the cap on (and found with it off)."""
+    boiler = "one two three four five six seven eight"
+    rows = [(i, boiler) for i in range(1, 5)]  # 4 identical hot-only docs
+    clones = spark.createDataFrame(rows, "doc_id long, text string")
+    assert ngram_jaccard_pairs(clones, n=3, threshold=0.9).count() == 6
+    assert ngram_jaccard_pairs(clones, n=3, threshold=0.9, max_df=3).count() == 0
+
+
 def test_minhash_lsh_candidates(docs):
     pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.5).collect()}
     assert pairs[(1, 2)] == 1.0
