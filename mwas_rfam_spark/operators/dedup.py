@@ -648,6 +648,9 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     block_col: str | None = "label",
     planes: list[list[float]] | None = None,
+    subdivide_above: int | None = 10_000,
+    subdivide_bits: int = 4,
+    seed: int = 0,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates, blocked by a coarse key.
 
@@ -658,6 +661,19 @@ def embedding_near_dup_pairs(
     land in the same sign bucket with high probability (each plane
     separates them with p = angle/π ≈ 0.064). Cosine via
     zip_with/aggregate — JVM higher-order functions, no UDF.
+
+    ``subdivide_above`` is the scale guard on the within-block quadratic
+    (measured: wall grows linearly in Σ C(block,2) — SCALE.md): a block
+    whose row count exceeds the bound gets its key extended with
+    ``subdivide_bits`` sign-projection bits, computed ENTIRELY in-plan
+    from seeded Rademacher (±1) pseudo-planes via xxhash64 — no driver
+    collect, no dimension parameter, deterministic given ``seed``. Blocks
+    at or under the bound keep exact within-block semantics, so small-
+    block results (including every oracle entry) are bit-identical with
+    the guard on; oversized blocks trade recall exactly like the
+    ``planes`` path (near-identical vectors split across sub-buckets with
+    probability ≈ bits·angle/π). Set ``subdivide_above=None`` to forbid
+    subdivision (exact within every block regardless of size).
     """
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
     if planes is not None:
@@ -700,6 +716,41 @@ def embedding_near_dup_pairs(
         norm.alias("nrm"),
         *blk,
     )
+    if subdivide_above is not None:
+        if subdivide_above < 1:
+            raise ValueError("subdivide_above must be >= 1 (or None)")
+        # per-block row count in-plan (window over blk — the join shuffles
+        # on blk anyway, so this adds no new partitioning scheme)
+        cnt = F.count("*").over(Window.partitionBy("blk"))
+        # Rademacher pseudo-plane j: weight for element i is ±1 from the
+        # parity of xxhash64(seed, j, i); sign of Σ v[i]·w_ij is the bit.
+        # Valid SRP hyperplanes (Achlioptas 2003 — ±1 entries suffice for
+        # Johnson-Lindenstrauss-style projections), and expressible
+        # without knowing the dimension or leaving the JVM.
+        def _rbit(j: int):
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.sequence(F.lit(0), F.size("v") - 1),
+                    lambda x, i: x.cast("double")
+                    * F.when(
+                        F.pmod(F.xxhash64(F.lit(seed), F.lit(j), i), F.lit(2)) == 0,
+                        F.lit(1.0),
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+        sub_bits = F.concat(*[_rbit(j) for j in range(subdivide_bits)])
+        base = base.withColumn(
+            "blk",
+            F.when(
+                cnt > subdivide_above,
+                F.concat(F.col("blk").cast("string"), F.lit("#"), sub_bits),
+            ).otherwise(F.col("blk").cast("string")),
+        )
     a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "blk")
     b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "blk")
     dot = F.aggregate(

@@ -168,6 +168,61 @@ def test_embedding_near_dup(spark):
     assert (1, 4) not in pairs  # blocking bounds the self-join
 
 
+def test_embedding_subdivide_guard_inert_on_small_blocks(spark):
+    """Blocks at or under subdivide_above keep exact within-block
+    semantics: the default guard produces bit-identical results to
+    subdivide_above=None on a small corpus."""
+    rows = [
+        (i, [[1.0, 0.2, 0.1, 0.05][(k + i) % 4] for k in range(4)], i % 2)
+        for i in range(1, 21)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    guarded = sorted(
+        (r["id_a"], r["id_b"], round(r["cosine"], 9))
+        for r in embedding_near_dup_pairs(emb, threshold=0.5).collect()
+    )
+    exact = sorted(
+        (r["id_a"], r["id_b"], round(r["cosine"], 9))
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.5, subdivide_above=None
+        ).collect()
+    )
+    assert guarded == exact and len(exact) > 0
+
+
+def test_embedding_subdivide_guard_bounds_big_blocks(spark):
+    """An oversized block is split by seeded Rademacher sign bits:
+    identical vectors always share every bit (same dot, same sign), so
+    exact-duplicate pairs survive subdivision, the output is a subset of
+    the exact join, and the biggest sub-block is genuinely smaller."""
+    import random
+
+    rnd = random.Random(5)
+    rows = []
+    for i in range(120):
+        v = [rnd.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, v, 0))              # ONE label block of 240 rows
+        rows.append((i + 1000, list(v), 0))  # exact duplicate of each
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.999, subdivide_above=None
+        ).collect()
+    }
+    sub = embedding_near_dup_pairs(
+        emb, threshold=0.999, subdivide_above=50, subdivide_bits=3
+    )
+    got = {(r["id_a"], r["id_b"]) for r in sub.collect()}
+    dup_pairs = {(i, i + 1000) for i in range(120)}
+    assert dup_pairs <= got, "identical vectors must never be split apart"
+    assert got <= exact
+
+    with pytest.raises(ValueError):
+        embedding_near_dup_pairs(emb, subdivide_above=0).collect()
+
+
 def test_winnowing_guarantee(spark):
     """Docs sharing a substring of length >= k+w-1 must share at least one
     fingerprint; disjoint docs share none."""
