@@ -57,6 +57,52 @@ TABLES = [
 ]
 
 
+def testdata_fingerprint(sf_dir: str) -> str:
+    """Footer-level fingerprint of the benchmark inputs: md5 over each
+    table's (name, row count, serialized schema, per-row-group sizes).
+    A driver-side testdata regeneration changes it even when row counts
+    survive (the 2026-08-13 regeneration changed the ts physical type
+    and the documents corpus character at identical shapes), so
+    cross-round BENCH deltas are mechanically attributable — same
+    fingerprint = same inputs, different = corpus noise is in play."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    h = hashlib.md5()
+    for t in TABLES:
+        md = pq.ParquetFile(f"{sf_dir}/{t}.parquet").metadata
+        h.update(t.encode())
+        h.update(str(md.num_rows).encode())
+        h.update(md.schema.to_arrow_schema().serialize().to_pybytes())
+        for rg in range(md.num_row_groups):
+            h.update(str(md.row_group(rg).total_byte_size).encode())
+    return h.hexdigest()
+
+
+def _prev_bench_fingerprint() -> str | None:
+    """Fingerprint recorded in the newest BENCH_r*.json beside this
+    script, if any round has recorded one yet."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    for path in reversed(benches):
+        try:
+            with open(path) as f:
+                blob = f.read()
+        except OSError:
+            continue
+        m = re.search(r'"testdata_fingerprint":\s*"([0-9a-f]{32})"', blob)
+        if m:
+            return m.group(1)
+    return None
+
+
 def _warmup(spark, sf_dir):
     """Untimed: pull parquet footers/schemas into cache and warm the JVM
     (codegen, Arrow) and the Python worker pool so timings measure the
@@ -154,6 +200,8 @@ def main():
     # queries + last-placement mwas_full); the first-placement number and
     # every raw run ride alongside.
     total = round(sum(timings.values()), 3)
+    fp = testdata_fingerprint(sf_dir)
+    prev_fp = _prev_bench_fingerprint()
     print(
         json.dumps(
             {
@@ -162,8 +210,20 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "mwas_full_first": mwas_full_first,
+                # the headline mwas_full rows run the kernel at the
+                # reference's production resample count (BASELINE.md) —
+                # recorded here so the artifact is baseline-comparable
+                # without cross-referencing source
+                "mwas_full_resamples": 10_000,
                 "runs": raw_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "testdata_fingerprint": fp,
+                # False = the inputs changed since the previous recorded
+                # round; its per-query deltas carry corpus noise and are
+                # NOT comparable. None = no prior round recorded one.
+                "comparable_to_prev_round": (
+                    None if prev_fp is None else prev_fp == fp
+                ),
             }
         )
     )
