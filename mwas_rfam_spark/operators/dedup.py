@@ -899,3 +899,103 @@ def corpus_overlap_estimate(
     if sig_a[0] is None or sig_b[0] is None:
         raise ValueError("both corpora must contain at least one shingle")
     return sum(1 for i in range(num_hashes) if sig_a[i] == sig_b[i]) / num_hashes
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_dedup_len: int = 0,
+) -> DataFrame:
+    """Cross-document LINE-level dedup (the C4 preprocessing rule,
+    Raffel et al. 2020 §2.2: "we discarded all but one of any three-
+    sentence span occurring more than once", applied at line granularity
+    as in the public C4 reproduction pipelines): only the globally FIRST
+    occurrence of each distinct line survives — ordered by (doc id, line
+    position) — and each document is reassembled from its surviving
+    lines in original order. Documents left with no lines disappear.
+
+    ``min_dedup_len``: lines shorter than this many characters are kept
+    everywhere rather than deduplicated (boilerplate removal targets
+    substantial repeated lines; deduping one-word lines like "Yes."
+    would mangle unrelated documents). 0 dedups every line.
+
+    Scale shape: one posexplode (rows = total line count), one shuffle
+    keyed by line text for the first-occurrence window, one shuffle back
+    on doc id for reassembly (sort_array over collected (pos, line)
+    structs — per-doc memory, not a global sort). Repeated-line mass
+    lands on single line keys; that skew IS real duplication and AQE
+    splits the oversized partitions.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    w = Window.partitionBy("line").orderBy("id", "pos")
+    survivors = lines.withColumn("rn", F.row_number().over(w)).where(
+        (F.col("rn") == 1) | (F.length("line") < min_dedup_len)
+    )
+    return (
+        survivors.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("a"))
+        .select(
+            F.col("id").alias(id_col),
+            F.concat_ws(
+                "\n", F.transform("a", lambda s: s["line"])
+            ).alias(text_col),
+        )
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k_cells: int = 64,
+    threshold: float = 0.95,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cluster the embedding space, find
+    cosine-near pairs WITHIN each cluster only, connected-components the
+    pairs, keep one representative per component.
+
+    Returns (id, cluster_id, keep) — the corpus after semantic dedup is
+    exactly the keep=true rows; a vector near no other is its own
+    singleton with keep=true.
+
+    Composition of independently verified pieces: deterministic Lloyd
+    training (`train_ivf_centroids`, seeded from the k lowest-id
+    vectors — k centroid rows on the driver, a parameter
+    not data), broadcast cell assignment (`assign_ivf_cells`, narrow
+    map), within-cell cosine self-join (`embedding_near_dup_pairs` with
+    the cell as block key — the oversized-cell guard applies, so a
+    pathological k-means cell cannot re-create the quadratic), and
+    pointer-doubling connected components (`dedup_clusters`). Nothing
+    is all-pairs; the cross-cell recall trade is the published
+    algorithm's own (near-dups straddling a k-means boundary are
+    missed — SemDeDup accepts this by construction).
+    """
+    from mwas_rfam_spark.operators.similarity import (
+        assign_ivf_cells,
+        train_ivf_centroids,
+    )
+
+    if k_cells < 1:
+        raise ValueError(f"k_cells must be >= 1, got {k_cells}")
+    centroids = train_ivf_centroids(
+        emb, k=k_cells, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    cells = assign_ivf_cells(emb, centroids, id_col, vec_col)
+    pairs = embedding_near_dup_pairs(
+        cells,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="cell",
+    )
+    return dedup_clusters(
+        pairs.select(F.col("id_a"), F.col("id_b")),
+        docs=emb.select(id_col),
+        id_col=id_col,
+    )

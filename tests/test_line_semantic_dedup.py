@@ -1,0 +1,114 @@
+"""Cross-document line dedup (C4-style) and SemDeDup-style semantic
+dedup — the two r4 pipeline additions."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mwas_rfam_spark.operators.dedup import line_dedup, semantic_dedup
+
+
+def test_line_dedup_keeps_first_occurrence(spark):
+    """The globally first (doc id, position) copy of each line survives;
+    later copies vanish; docs reassemble in original line order; a doc
+    reduced to nothing disappears."""
+    rows = [
+        (1, "alpha\nboilerplate footer\nbeta"),
+        (2, "boilerplate footer\ngamma"),
+        (3, "boilerplate footer"),          # nothing left -> dropped
+        (4, "delta\ndelta"),                # within-doc repeat too
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in line_dedup(docs).collect()}
+    assert out == {
+        1: "alpha\nboilerplate footer\nbeta",
+        2: "gamma",
+        4: "delta",
+    }
+
+
+def test_line_dedup_min_len_spares_short_lines(spark):
+    """Lines under min_dedup_len are kept everywhere — short common
+    lines ("Yes.") must not be cross-document deduplicated."""
+    rows = [(1, "Yes.\nlong substantial repeated line here"),
+            (2, "Yes.\nlong substantial repeated line here\nmore")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in line_dedup(docs, min_dedup_len=10).collect()}
+    assert out == {
+        1: "Yes.\nlong substantial repeated line here",
+        2: "Yes.\nmore",
+    }
+
+
+def test_line_dedup_duckdb_parity(spark, sf_dir):
+    """Same answer as an independent DuckDB formulation over the real
+    documents table — pins explode order, first-occurrence rule, and
+    reassembly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    got = {
+        r["doc_id"]: r["text"] for r in line_dedup(docs).collect()
+    }
+    con = duckdb.connect()
+    oracle = con.sql(
+        f"""
+        WITH lines AS (
+          SELECT doc_id, u.line, u.pos
+          FROM (
+            SELECT doc_id,
+                   unnest(string_split(text, chr(10))) AS line,
+                   unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+            FROM read_parquet('{sf_dir}/documents.parquet')
+          ) u(doc_id, line, pos)
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) rn
+          FROM lines
+        )
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        FROM ranked WHERE rn = 1 GROUP BY doc_id
+        """
+    ).fetchall()
+    want = {r[0]: r[1] for r in oracle}
+    assert got == want and len(want) > 0
+
+
+def test_semantic_dedup_groups_near_vectors(spark):
+    """Vectors nearly parallel within a cell collapse to one keeper;
+    orthogonal vectors stay; every input id appears exactly once."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.012, 0.0, 0.0]),   # ~parallel to 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.999, 0.015, 0.0]),   # ~parallel to 3
+        (5, [0.0, 0.0, 1.0, 0.0]),       # alone
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(emb, k_cells=2, threshold=0.95, iters=2)
+    got = {r["vec_id"]: (r["cluster_id"], r["keep"]) for r in out.collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    kept = {v for v, (_, k) in got.items() if k}
+    # one keeper per near-parallel pair (the min id), singleton kept
+    assert got[2][0] == got[1][0] == 1
+    assert got[4][0] == got[3][0] == 3
+    assert kept == {1, 3, 5}
+
+    with pytest.raises(ValueError):
+        semantic_dedup(emb, k_cells=0)
+
+
+def test_semantic_dedup_testdata_consistency(spark, sf_dir):
+    """On the real embeddings: output covers every vec_id exactly once,
+    keepers are the min id of their cluster, and members of one cluster
+    really are pairwise-reachable at the threshold (spot-check sizes)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    out = semantic_dedup(emb, k_cells=8, threshold=0.35, iters=1).localCheckpoint()
+    assert out.count() == n
+    assert out.select("vec_id").distinct().count() == n
+    # keep=true exactly when the row is its cluster's minimum id
+    bad = out.groupBy("cluster_id").agg(
+        F.min("vec_id").alias("mn"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("keepers"),
+    ).where((F.col("keepers") != 1) | (F.col("mn") != F.col("cluster_id")))
+    assert bad.count() == 0
