@@ -1417,6 +1417,31 @@ def q_dedup_first_seen(spark, sf_dir):
     )
 
 
+def q_line_dedup(spark, sf_dir):
+    """C4-style cross-document line dedup (r4 addition): globally first
+    (doc id, position) occurrence of each distinct line survives; docs
+    reassemble from surviving lines in original order. Hash-verified
+    against an independent DuckDB window/string_agg formulation."""
+    from mwas_rfam_spark.operators.dedup import line_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return line_dedup(d)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (bench surface; correctness via pytest incl. cluster-
+    invariant checks on the real embeddings): k-means cells -> within-
+    cell cosine pairs -> connected components -> keep min id. The
+    quantizer comes from the session-memoized trainer (same build-vs-
+    probe split as ann_ivf_topk); threshold 0.4 reflects these
+    embeddings' cosine range."""
+    from mwas_rfam_spark.operators.dedup import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(spark, sf_dir, k=8, iters=1)
+    return semantic_dedup(e, k_cells=8, threshold=0.4, centroids=cents)
+
+
 def q_dedup_quality(spark, sf_dir):
     """Quality gate for the engine-only (xxhash64) dedup variants, in the
     ann_recall mold: both MinHash-LSH and SimHash are deterministic, so
@@ -1655,6 +1680,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              (operators/condense.py:66-74, hash-verified
                              there); its slot went to the hash-verified
                              `shuffle_shard` epoch-shuffle primitive
+    - dedup_first_seen     → (r4) the keep-first window-min rule stays
+                             hash-verified as the 'duplicate' stage of
+                             the curation parity tests and exercised by
+                             the streaming keep-first parity test; its
+                             slot went to the hash-verified C4-style
+                             `line_dedup` (still benchable below)
     - f_string_funcs       → F3-F6 each hash-verified inside larger green
                              entries: regexp_replace/cast in
                              `condense_sets`, concat_ws in
@@ -1695,7 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_pipeline": q_dedup_pipeline,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_first_seen": q_dedup_first_seen,
+        "line_dedup": q_line_dedup,
         "dedup_quality": q_dedup_quality,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_md5": q_dedup_minhash_md5,
@@ -1735,6 +1766,8 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_string_funcs": q_f_string_funcs,
         "curation_pipeline": q_curation_pipeline,
         "j9_asof_join": q_asof_join,
+        "dedup_first_seen": q_dedup_first_seen,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -2296,21 +2329,23 @@ FROM final
             UNION ALL
             SELECT 'simhash' AS method, TRUE AS meets_target
         """,
-        "dedup_first_seen": """
-            WITH with_ts AS (
-              SELECT d.doc_id, d.text, epoch_us(e.ts) // 1000000 AS ts_s
-              FROM documents d JOIN events e ON d.doc_id = e.event_id),
-            hashed AS (
-              SELECT doc_id, ts_s,
-                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-                         AS content_hash
-              FROM with_ts)
-            SELECT content_hash, doc_id, ts_s
-            FROM (SELECT content_hash, doc_id, ts_s,
-                         row_number() OVER (PARTITION BY content_hash
-                             ORDER BY ts_s ASC, doc_id ASC) AS rn
-                  FROM hashed)
-            WHERE rn = 1
+        "line_dedup": """
+            WITH lines AS (
+              SELECT doc_id, u.line, u.pos
+              FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       unnest(range(1, len(string_split(text, chr(10))) + 1))
+                           AS pos
+                FROM documents
+              ) u(doc_id, line, pos)
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY line
+                            ORDER BY doc_id, pos) AS rn
+              FROM lines
+            )
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+            FROM ranked WHERE rn = 1 GROUP BY doc_id
         """,
         "dedup_clusters": """
             WITH RECURSIVE

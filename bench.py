@@ -44,6 +44,8 @@ HEADLINE = [
     "text_bigram_quality",
     "text_decontam",
     "shuffle_shard",
+    "line_dedup",
+    "semantic_dedup",
     "curation_pipeline",
     "j9_asof_join",
     "ann_cosine_topk",

@@ -585,6 +585,7 @@ def dedup_clusters(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    prev_cache = None
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -616,7 +617,22 @@ def dedup_clusters(
             .withColumn("changed", F.col("label") < F.col("old"))
             .drop("old")
         ).localCheckpoint()
+        # persist ON TOP of the checkpoint to break the size-estimate
+        # bomb: Spark's join stats multiply the two sides' sizeInBytes,
+        # and a checkpoint PRESERVES the product via LogicalRDD's
+        # originStats — so an iterative self-join SQUARES the estimate
+        # every round, the BigInt's digit count doubles, and driver-side
+        # stats arithmetic goes exponential (measured: rounds 18+ jump
+        # 0.4s → 70s while executors sit idle; by round ~19 the estimate
+        # had 8,517 digits). The materialized cache reports its REAL
+        # byte size, resetting the estimate each round; the n_changed
+        # count below materializes it, so no extra pass. SCALE.md has
+        # the full forensics.
+        new_labels = new_labels.persist()
         n_changed = new_labels.filter(F.col("changed")).count()
+        if prev_cache is not None:
+            prev_cache.unpersist()
+        prev_cache = new_labels
         labels = new_labels.drop("changed")
         if n_changed == 0:
             break
@@ -638,6 +654,11 @@ def dedup_clusters(
         )
         out = out.unionByName(singletons)
     edges.unpersist()
+    if prev_cache is not None:
+        # the final label map's cache can go too: the data survives in
+        # its localCheckpoint blocks, so downstream actions recompute
+        # only the trailing projection
+        prev_cache.unpersist()
     return out.withColumn("keep", F.col(id_col) == F.col("cluster_id"))
 
 
@@ -954,6 +975,7 @@ def semantic_dedup(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means cluster the embedding space, find
@@ -983,9 +1005,13 @@ def semantic_dedup(
 
     if k_cells < 1:
         raise ValueError(f"k_cells must be >= 1, got {k_cells}")
-    centroids = train_ivf_centroids(
-        emb, k=k_cells, iters=iters, id_col=id_col, vec_col=vec_col
-    )
+    if centroids is None:
+        # pass pretrained `centroids` to separate the quantizer build
+        # from the dedup query (same build-vs-probe split as the
+        # materialized IVF index)
+        centroids = train_ivf_centroids(
+            emb, k=k_cells, iters=iters, id_col=id_col, vec_col=vec_col
+        )
     cells = assign_ivf_cells(emb, centroids, id_col, vec_col)
     pairs = embedding_near_dup_pairs(
         cells,
