@@ -177,3 +177,62 @@ def asof_join(
         ],
         F.when(in_range, F.col("__m_ts")).alias(f"{ts_col}{suffix}"),
     )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: int,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based batch sessionization: events of one key belong to the
+    same session while consecutive gaps stay <= ``gap`` (same unit as
+    the numeric ``ts_col`` timeline; the streaming analog is
+    `streaming.requests`' session window). Adds:
+
+      - ``session_seq``   0-based session index within the key
+      - ``session_id``    globally unique (key, seq) composite string
+
+    Classic lag/flag/cumsum over ONE per-key window — a single shuffle
+    on the key, no join, no iteration. Per-key event mass lands in one
+    partition task (the window sort); a key with pathological event
+    counts is real hot-entity skew — range-partition on (key, coarse
+    time) upstream if a single entity exceeds a task.
+    """
+    from pyspark.sql import Window
+
+    if gap <= 0:
+        raise ValueError(f"gap must be positive, got {gap}")
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    new_flag = (
+        F.when(
+            F.col(ts_col) - F.lag(ts_col).over(w) > F.lit(gap), F.lit(1)
+        ).otherwise(F.lit(0))
+    )
+    return (
+        events.withColumn("session_seq", F.sum(new_flag).over(w))
+        .withColumn(
+            "session_id",
+            F.concat_ws("-", F.col(key_col).cast("string"), F.col("session_seq")),
+        )
+    )
+
+
+def session_summaries(
+    events: DataFrame,
+    gap: int,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """One row per session: (key, session_seq, start/end ts, n_events,
+    duration). The groupBy reuses sessionize's key partitioning — with
+    the window's shuffle already keyed by ``key_col``, the aggregation
+    is map-side within the same partitions (no second wide exchange of
+    the full event set)."""
+    s = sessionize(events, gap, ts_col, key_col)
+    return s.groupBy(key_col, "session_seq").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+        (F.max(ts_col) - F.min(ts_col)).alias("duration"),
+    )

@@ -132,3 +132,73 @@ def test_asof_join_matches_pandas_randomized(spark):
                                    tolerance=tol).collect()
             }
             assert got == want, (seed, direction, tol)
+
+
+def test_sessionize_gap_rule(spark):
+    """Events split into sessions exactly at gaps > gap; boundaries at
+    == gap stay in-session; per-key independence."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.operators.interval import session_summaries, sessionize
+
+    rows = [
+        (1, 0), (1, 10), (1, 20),      # session 0 (gaps 10 == gap kept)
+        (1, 31),                       # gap 11 > 10 -> session 1
+        (1, 100),                      # session 2
+        (2, 5),                        # other key, own session 0
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts long")
+    got = {(r["user_id"], r["ts"]): r["session_seq"]
+           for r in sessionize(ev, gap=10).collect()}
+    assert got == {(1, 0): 0, (1, 10): 0, (1, 20): 0,
+                   (1, 31): 1, (1, 100): 2, (2, 5): 0}
+
+    summ = {(r["user_id"], r["session_seq"]):
+            (r["session_start"], r["session_end"], r["n_events"], r["duration"])
+            for r in session_summaries(ev, gap=10).collect()}
+    assert summ[(1, 0)] == (0, 20, 3, 20)
+    assert summ[(1, 2)] == (100, 100, 1, 0)
+    assert summ[(2, 0)] == (5, 5, 1, 0)
+
+    with pytest.raises(ValueError):
+        sessionize(ev, gap=0)
+
+
+def test_sessionize_duckdb_parity(spark, sf_dir):
+    """Session summaries over the real events table match an independent
+    DuckDB lag/cumsum formulation (30-minute gap on the epoch-micros
+    timeline)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.operators.interval import session_summaries
+    from mwas_rfam_spark.plans.testdata_mwas import ensure_epoch_nanos
+
+    ev = ensure_epoch_nanos(
+        spark, spark.read.parquet(f"{sf_dir}/events.parquet"), "ts"
+    ).select("user_id", "ts")
+    gap = 30 * 60 * 1_000_000_000  # 30 min in nanos
+    got = sorted(
+        (r["user_id"], r["session_seq"], r["session_start"], r["session_end"],
+         r["n_events"], r["duration"])
+        for r in session_summaries(ev, gap=gap).collect()
+    )
+    con = duckdb.connect()
+    want = sorted(con.sql(f"""
+        WITH t AS (
+          SELECT user_id, epoch_ns(ts) AS ts FROM read_parquet('{sf_dir}/events.parquet')
+        ), flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER w > {gap} THEN 1 ELSE 0 END AS f
+          FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+          SELECT user_id, ts,
+                 sum(f) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS seq
+          FROM flagged
+        )
+        SELECT user_id, seq, min(ts), max(ts), count(*), max(ts)-min(ts)
+        FROM sess GROUP BY user_id, seq
+    """).fetchall())
+    assert got == [tuple(r) for r in want] and len(got) > 0
