@@ -142,6 +142,57 @@ def probe_curation(spark, sf_dir: str, out: dict):
               f"curation_{label}: {out[f'curation_{label}']}", file=sys.stderr)
 
 
+def probe_r4_ops(spark, sf_dir: str, out: dict):
+    """Probe D (r4) — line dedup, semantic dedup, sessionization at 1x
+    and 10x. Replication keeps per-entity structure honest: line_dedup
+    replicates documents with DISTINCT ids (repeated-line mass grows
+    10x, the worst case for the line-key shuffle); sessionize replicates
+    events under 10x distinct user ids (sessions per key constant, keys
+    10x — the layout a bigger corpus actually has); semantic dedup
+    replicates vectors with jitter-free distinct ids (cells grow 10x,
+    the within-cell quadratic's stress)."""
+    from mwas_rfam_spark.operators.dedup import line_dedup, semantic_dedup
+    from mwas_rfam_spark.operators.interval import session_summaries
+    from mwas_rfam_spark.operators.similarity import train_ivf_centroids
+    from mwas_rfam_spark.plans.testdata_mwas import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    for label, d in [("1x", docs), ("10x", replicate_docs(docs, 10))]:
+        d = d.localCheckpoint()
+        t0 = time.time()
+        _force(line_dedup(d))
+        out[f"line_dedup_{label}"] = round(time.time() - t0, 2)
+
+    emb = load(spark, sf_dir, "embeddings")
+    emb10 = emb.crossJoin(
+        spark.range(10).select(F.col("id").alias("_c"))
+    ).select(
+        (F.col("vec_id") * 10 + F.col("_c")).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    for label, e in [("1x", emb), ("10x", emb10)]:
+        e = e.localCheckpoint()
+        cents = train_ivf_centroids(e, k=8, iters=1)
+        t0 = time.time()
+        _force(semantic_dedup(e, k_cells=8, threshold=0.4, centroids=cents))
+        out[f"semantic_dedup_{label}"] = round(time.time() - t0, 2)
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    ev10 = ev.crossJoin(spark.range(10).select(F.col("id").alias("_c"))).select(
+        (F.col("user_id") * 10 + F.col("_c")).alias("user_id"), "ts"
+    )
+    for label, e in [("1x", ev), ("10x", ev10)]:
+        e = e.localCheckpoint()
+        t0 = time.time()
+        _force(session_summaries(e, gap=30 * 60 * 1_000_000_000))
+        out[f"sessionize_{label}"] = round(time.time() - t0, 2)
+
+    spark.catalog.clearCache()
+    print({k: v for k, v in out.items() if "_1x" in k or "_10x" in k},
+          file=sys.stderr)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="scale-probe")
@@ -149,9 +200,16 @@ def main():
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     _warmup(spark, sf_dir)
     out: dict = {"sf_dir": sf_dir}
-    probe_dedup(spark, sf_dir, out)
-    probe_mwas(spark, sf_dir, out)
-    probe_curation(spark, sf_dir, out)
+    only = sys.argv[2] if len(sys.argv) > 2 else None
+    probes = {
+        "dedup": probe_dedup,
+        "mwas": probe_mwas,
+        "curation": probe_curation,
+        "r4": probe_r4_ops,
+    }
+    for name, fn in probes.items():
+        if only is None or only == name:
+            fn(spark, sf_dir, out)
     print(json.dumps(out))
     spark.stop()
 
