@@ -65,6 +65,10 @@ def build_curate_parser() -> argparse.ArgumentParser:
     p.add_argument("--langs", nargs="*", default=None)
     p.add_argument("--max-dup-line-frac", type=float, default=None,
                    help="Gopher repetition gate: drop docs above this dup-line fraction")
+    p.add_argument("--dedup-lines", action="store_true",
+                   help="C4-style cross-document line dedup before the quality gates")
+    p.add_argument("--min-dedup-line-len", type=int, default=0,
+                   help="lines shorter than this are never line-deduped")
     p.add_argument("--decontam-n", type=int, default=8)
     p.add_argument("--decontam-threshold", type=float, default=0.05)
     p.add_argument("--no-redact", action="store_true")
@@ -102,6 +106,8 @@ def curate_main(argv: list[str], spark: SparkSession | None = None) -> int:
             max_dup_line_frac=args.max_dup_line_frac,
             decontam_n=args.decontam_n,
             decontam_threshold=args.decontam_threshold,
+            dedup_lines=args.dedup_lines,
+            min_dedup_line_len=args.min_dedup_line_len,
         )
         kept = curate_corpus(docs, bench, redact=not args.no_redact, **kw)
         if args.shards:

@@ -47,6 +47,8 @@ def curate_corpus(
     mode: str = "filter",
     text_col: str = "text",
     id_col: str = "doc_id",
+    dedup_lines: bool = False,
+    min_dedup_line_len: int = 0,
 ) -> DataFrame:
     """Curate a document corpus for training.
 
@@ -63,9 +65,35 @@ def curate_corpus(
     surviving (id, shingle) rows against broadcast eval shingles;
     redaction is chained codegen'd regexp_replace; sharding is a
     projection plus the optional per-shard sequence window.
+
+    ``dedup_lines=True`` prepends C4-style cross-document line dedup
+    (two more keyed shuffles — line text, then doc id); the downstream
+    stages then see the line-deduped text, and a doc emptied of lines
+    fails the token gate ('quality').
     """
     if mode not in ("filter", "mark"):
         raise ValueError(f"mode must be 'filter' or 'mark', got {mode}")
+
+    if dedup_lines:
+        # C4 stage order: cross-document line dedup BEFORE the quality
+        # gates (Raffel et al. 2020 run the three-sentence rule first),
+        # so boilerplate-stripped docs face the token gate with their
+        # real content. Rewrites text in place; a doc reduced to nothing
+        # loses every line, fails the token gate, and marks 'quality' —
+        # mark-mode rows therefore carry the DEDUPED text (documented).
+        from mwas_rfam_spark.operators.dedup import line_dedup
+
+        deduped = line_dedup(
+            docs.select(id_col, text_col),
+            text_col=text_col,
+            id_col=id_col,
+            min_dedup_len=min_dedup_line_len,
+        ).withColumnRenamed(text_col, "_ld_text")
+        docs = (
+            docs.join(deduped, id_col, "left")
+            .withColumn(text_col, F.coalesce("_ld_text", F.lit("")))
+            .drop("_ld_text")
+        )
 
     base = docs.withColumn("_toks_n", token_count(F.col(text_col)))
     quality_ok = (F.col("_toks_n") >= min_tokens) & (F.col("_toks_n") <= max_tokens)

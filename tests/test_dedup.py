@@ -543,6 +543,31 @@ def test_curate_repetition_profiles_only_quality_survivors(spark):
     ), f"no token-gate Filter below the explode:\n{plan}"
 
 
+def test_curate_corpus_dedup_lines_stage(spark):
+    """dedup_lines=True line-dedups BEFORE the gates: the later copy of
+    a repeated line vanishes from surviving docs, and a doc made of
+    nothing but repeated lines empties and fails the token gate."""
+    from mwas_rfam_spark.operators.curation import curate_corpus
+
+    rows = [
+        (1, "one two three four five\nshared boilerplate line here"),
+        (2, "shared boilerplate line here\nsix seven eight nine ten"),
+        (3, "shared boilerplate line here"),  # emptied -> quality fail
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"]: r["text"]
+            for r in curate_corpus(docs, min_tokens=3, dedup_lines=True,
+                                   redact=False).collect()}
+    assert kept == {
+        1: "one two three four five\nshared boilerplate line here",
+        2: "six seven eight nine ten",
+    }
+    marked = {r["doc_id"]: r["drop_stage"]
+              for r in curate_corpus(docs, min_tokens=3, dedup_lines=True,
+                                     mode="mark").collect()}
+    assert marked == {1: "kept", 2: "kept", 3: "quality"}
+
+
 def test_similar_documents_search(spark):
     """Shared-shingle scoring: the near-copy ranks first with the right
     Jaccard, disjoint docs never appear, and the k cap holds."""
