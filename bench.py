@@ -89,10 +89,12 @@ def _prev_bench_fingerprint() -> str | None:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    benches = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
-    )
+    matched = [
+        (int(m.group(1)), p)
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    benches = [p for _, p in sorted(matched)]
     for path in reversed(benches):
         try:
             with open(path) as f:

@@ -586,79 +586,83 @@ def dedup_clusters(
         .localCheckpoint()
     )
     prev_cache = None
-    for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        stepped = labels.withColumnRenamed("label", "old").join(
-            neighbor_min, "node", "left"
-        ).select(
-            "node",
-            "old",
-            F.least(F.col("old"), F.coalesce("nbr_label", F.col("old"))).alias("mid"),
-        )
-        # pointer doubling: follow one more hop through the label map
-        # (label := label of own label). Each round the distance to the
-        # component root roughly halves, so a diameter-D component needs
-        # ~log2(D) rounds instead of D — the difference between 15 and
-        # 10,000 rounds on a 10k path graph.
-        hop = stepped.select(
-            F.col("node").alias("mid_node"), F.col("mid").alias("mid2")
-        )
-        new_labels = (
-            stepped.join(hop, stepped["mid"] == hop["mid_node"], "left")
-            .select(
+    try:
+        for _ in range(max_iters):
+            neighbor_min = (
+                edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            stepped = labels.withColumnRenamed("label", "old").join(
+                neighbor_min, "node", "left"
+            ).select(
                 "node",
                 "old",
-                F.least(F.col("mid"), F.coalesce("mid2", F.col("mid"))).alias("label"),
+                F.least(F.col("old"), F.coalesce("nbr_label", F.col("old"))).alias("mid"),
             )
-            .withColumn("changed", F.col("label") < F.col("old"))
-            .drop("old")
-        ).localCheckpoint()
-        # persist ON TOP of the checkpoint to break the size-estimate
-        # bomb: Spark's join stats multiply the two sides' sizeInBytes,
-        # and a checkpoint PRESERVES the product via LogicalRDD's
-        # originStats — so an iterative self-join SQUARES the estimate
-        # every round, the BigInt's digit count doubles, and driver-side
-        # stats arithmetic goes exponential (measured: rounds 18+ jump
-        # 0.4s → 70s while executors sit idle; by round ~19 the estimate
-        # had 8,517 digits). The materialized cache reports its REAL
-        # byte size, resetting the estimate each round; the n_changed
-        # count below materializes it, so no extra pass. SCALE.md has
-        # the full forensics.
-        new_labels = new_labels.persist()
-        n_changed = new_labels.filter(F.col("changed")).count()
+            # pointer doubling: follow one more hop through the label map
+            # (label := label of own label). Each round the distance to the
+            # component root roughly halves, so a diameter-D component needs
+            # ~log2(D) rounds instead of D — the difference between 15 and
+            # 10,000 rounds on a 10k path graph.
+            hop = stepped.select(
+                F.col("node").alias("mid_node"), F.col("mid").alias("mid2")
+            )
+            new_labels = (
+                stepped.join(hop, stepped["mid"] == hop["mid_node"], "left")
+                .select(
+                    "node",
+                    "old",
+                    F.least(F.col("mid"), F.coalesce("mid2", F.col("mid"))).alias("label"),
+                )
+                .withColumn("changed", F.col("label") < F.col("old"))
+                .drop("old")
+            ).localCheckpoint()
+            # persist ON TOP of the checkpoint to break the size-estimate
+            # bomb: Spark's join stats multiply the two sides' sizeInBytes,
+            # and a checkpoint PRESERVES the product via LogicalRDD's
+            # originStats — so an iterative self-join SQUARES the estimate
+            # every round, the BigInt's digit count doubles, and driver-side
+            # stats arithmetic goes exponential (measured: rounds 18+ jump
+            # 0.4s → 70s while executors sit idle; by round ~19 the estimate
+            # had 8,517 digits). The materialized cache reports its REAL
+            # byte size, resetting the estimate each round; the n_changed
+            # count below materializes it, so no extra pass. SCALE.md has
+            # the full forensics.
+            new_labels = new_labels.persist()
+            n_changed = new_labels.filter(F.col("changed")).count()
+            if prev_cache is not None:
+                prev_cache.unpersist()
+            prev_cache = new_labels
+            labels = new_labels.drop("changed")
+            if n_changed == 0:
+                break
+        else:
+            # falling through silently would split one component into several
+            # clusters with multiple keep=true reps — duplicates survive the
+            # drop list. Long chains (templated/serial docs) are exactly the
+            # shape that exceeds small iteration caps.
+            raise RuntimeError(
+                f"dedup_clusters did not converge within max_iters={max_iters} "
+                "rounds (a component's diameter exceeds it); raise max_iters"
+            )
+        out = labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+        if docs is not None:
+            singletons = (
+                docs.select(id_col)
+                .join(out.select(id_col), id_col, "left_anti")
+                .withColumn("cluster_id", F.col(id_col))
+            )
+            out = out.unionByName(singletons)
+    finally:
+        # unpersist on EVERY exit (incl. the non-convergence raise and
+        # mid-loop task failures): a long-lived session otherwise
+        # accumulates a cached edge set + label map per failed call. The
+        # final label map survives in its localCheckpoint blocks, so
+        # downstream actions recompute only the trailing projection.
+        edges.unpersist()
         if prev_cache is not None:
             prev_cache.unpersist()
-        prev_cache = new_labels
-        labels = new_labels.drop("changed")
-        if n_changed == 0:
-            break
-    else:
-        # falling through silently would split one component into several
-        # clusters with multiple keep=true reps — duplicates survive the
-        # drop list. Long chains (templated/serial docs) are exactly the
-        # shape that exceeds small iteration caps.
-        raise RuntimeError(
-            f"dedup_clusters did not converge within max_iters={max_iters} "
-            "rounds (a component's diameter exceeds it); raise max_iters"
-        )
-    out = labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
-    if docs is not None:
-        singletons = (
-            docs.select(id_col)
-            .join(out.select(id_col), id_col, "left_anti")
-            .withColumn("cluster_id", F.col(id_col))
-        )
-        out = out.unionByName(singletons)
-    edges.unpersist()
-    if prev_cache is not None:
-        # the final label map's cache can go too: the data survives in
-        # its localCheckpoint blocks, so downstream actions recompute
-        # only the trailing projection
-        prev_cache.unpersist()
     return out.withColumn("keep", F.col(id_col) == F.col("cluster_id"))
 
 
@@ -695,6 +699,16 @@ def embedding_near_dup_pairs(
     ``planes`` path (near-identical vectors split across sub-buckets with
     probability ≈ bits·angle/π). Set ``subdivide_above=None`` to forbid
     subdivision (exact within every block regardless of size).
+
+    Two explicit limits of the guard (it is a mitigation, not a hard
+    bound): (1) identical vectors share every sign bit by construction —
+    the same property that makes exact-duplicate recall perfect means a
+    CLONE-dominated block is never split; clone mass must be exact-
+    collapsed before this join (`semantic_dedup` stage 1 does exactly
+    that). (2) the split is one-shot 2^bits-way, so a diverse block of
+    size m lands at ~m/2^bits expected per sub-block — raise
+    ``subdivide_bits`` if m/2^bits still exceeds the bound; the split is
+    not recursive.
     """
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
     if planes is not None:
@@ -941,20 +955,26 @@ def line_dedup(
     substantial repeated lines; deduping one-word lines like "Yes."
     would mangle unrelated documents). 0 dedups every line.
 
-    Scale shape: one posexplode (rows = total line count), one shuffle
-    keyed by line text for the first-occurrence window, one shuffle back
-    on doc id for reassembly (sort_array over collected (pos, line)
-    structs — per-doc memory, not a global sort). Repeated-line mass
-    lands on single line keys; that skew IS real duplication and AQE
-    splits the oversized partitions.
+    Scale shape: one posexplode (rows = total line count), then the
+    first occurrence per line via groupBy(line).min(struct(id, pos)) —
+    map-side combinable, so a globally hot line (blank lines, common
+    separators) collapses to one partial per task instead of funneling
+    every occurrence into a single task the way a line-partitioned
+    window would — an equi-join back on the line (hot keys there are
+    AQE skew-join territory), and one shuffle on doc id for reassembly
+    (sort_array over collected (pos, line) structs — per-doc memory,
+    not a global sort).
     """
     lines = docs.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )
-    w = Window.partitionBy("line").orderBy("id", "pos")
-    survivors = lines.withColumn("rn", F.row_number().over(w)).where(
-        (F.col("rn") == 1) | (F.length("line") < min_dedup_len)
+    firsts = lines.groupBy("line").agg(
+        F.min(F.struct("id", "pos")).alias("first")
+    )
+    survivors = lines.join(firsts, "line").where(
+        ((F.col("first.id") == F.col("id")) & (F.col("first.pos") == F.col("pos")))
+        | (F.length("line") < min_dedup_len)
     )
     return (
         survivors.groupBy("id")
@@ -986,15 +1006,30 @@ def semantic_dedup(
     exactly the keep=true rows; a vector near no other is its own
     singleton with keep=true.
 
-    Composition of independently verified pieces: deterministic Lloyd
-    training (`train_ivf_centroids`, seeded from the k lowest-id
-    vectors — k centroid rows on the driver, a parameter
-    not data), broadcast cell assignment (`assign_ivf_cells`, narrow
-    map), within-cell cosine self-join (`embedding_near_dup_pairs` with
-    the cell as block key — the oversized-cell guard applies, so a
-    pathological k-means cell cannot re-create the quadratic), and
-    pointer-doubling connected components (`dedup_clusters`). Nothing
-    is all-pairs; the cross-cell recall trade is the published
+    Composition of independently verified pieces, in cost order:
+
+    1. EXACT-COLLAPSE identical vectors (hash-groupBy on a 128-bit
+       vector hash, min id is the representative). This stage is what
+       makes clone mass safe: byte-identical vectors have identical dot
+       products with every hyperplane, so the sign-projection
+       `subdivide_above` guard can NEVER split them apart — exactly the
+       property that keeps its recall perfect also means a clone-
+       dominated cell stays quadratic under subdivision. Collapsing
+       first (the `dedup_pipeline_pairs` move) removes that mass before
+       anything cosine-joins.
+    2. Broadcast cell assignment over representatives
+       (`assign_ivf_cells`, narrow map) with deterministic Lloyd
+       training (`train_ivf_centroids` — k centroid rows on the driver,
+       a parameter not data; pass pretrained ``centroids`` for the
+       build-vs-probe split).
+    3. Within-cell cosine self-join (`embedding_near_dup_pairs`,
+       cell-blocked; the `subdivide_above` guard bounds DIVERSE
+       oversized cells).
+    4. Pointer-doubling connected components over representative pairs
+       (`dedup_clusters`), then every clone inherits its
+       representative's cluster.
+
+    Nothing is all-pairs; the cross-cell recall trade is the published
     algorithm's own (near-dups straddling a k-means boundary are
     missed — SemDeDup accepts this by construction).
     """
@@ -1005,14 +1040,32 @@ def semantic_dedup(
 
     if k_cells < 1:
         raise ValueError(f"k_cells must be >= 1, got {k_cells}")
+
+    # stage 1: identical-vector collapse. Two independently seeded
+    # xxhash64 slots ≈ a 128-bit key; a collision would need BOTH to
+    # collide on different vectors.
+    hashed = emb.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.xxhash64(F.lit(1), vec_col).alias("__vh1"),
+        F.xxhash64(F.lit(2), vec_col).alias("__vh2"),
+    )
+    # groupBy, not a hash-partitioned window: the min is map-side
+    # combinable, so a clone-dominated hash group never funnels into a
+    # single window task (the join back on the hash key is AQE
+    # skew-join territory)
+    rep_of = hashed.groupBy("__vh1", "__vh2").agg(F.min("__id").alias("__rep"))
+    with_rep = hashed.join(rep_of, ["__vh1", "__vh2"])
+    members = with_rep.select("__id", "__rep")
+    reps = with_rep.where(F.col("__id") == F.col("__rep")).select(
+        F.col("__id").alias(id_col), F.col("__vec").alias(vec_col)
+    )
+
     if centroids is None:
-        # pass pretrained `centroids` to separate the quantizer build
-        # from the dedup query (same build-vs-probe split as the
-        # materialized IVF index)
         centroids = train_ivf_centroids(
-            emb, k=k_cells, iters=iters, id_col=id_col, vec_col=vec_col
+            reps, k=k_cells, iters=iters, id_col=id_col, vec_col=vec_col
         )
-    cells = assign_ivf_cells(emb, centroids, id_col, vec_col)
+    cells = assign_ivf_cells(reps, centroids, id_col, vec_col)
     pairs = embedding_near_dup_pairs(
         cells,
         threshold=threshold,
@@ -1020,8 +1073,19 @@ def semantic_dedup(
         vec_col=vec_col,
         block_col="cell",
     )
-    return dedup_clusters(
+    rep_clusters = dedup_clusters(
         pairs.select(F.col("id_a"), F.col("id_b")),
-        docs=emb.select(id_col),
+        docs=reps.select(id_col),
         id_col=id_col,
+    ).select(F.col(id_col).alias("__rep"), "cluster_id")
+
+    # stage 4: clones inherit their representative's cluster; keep marks
+    # the single global-minimum id of each merged component
+    return (
+        members.join(rep_clusters, "__rep")
+        .select(
+            F.col("__id").alias(id_col),
+            "cluster_id",
+            (F.col("__id") == F.col("cluster_id")).alias("keep"),
+        )
     )

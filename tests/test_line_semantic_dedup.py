@@ -97,6 +97,31 @@ def test_semantic_dedup_groups_near_vectors(spark):
         semantic_dedup(emb, k_cells=0)
 
 
+def test_semantic_dedup_collapses_clone_mass(spark):
+    """Byte-identical vectors are exact-collapsed BEFORE the cosine
+    join (sign-projection bits can never split them, so without the
+    collapse a clone-dominated cell stays quadratic): 3,000 copies of
+    one vector cluster to their minimum id with every clone assigned,
+    and the cosine join only ever sees the distinct representatives."""
+    from pyspark.sql import functions as F
+
+    clones = spark.range(3000).select(
+        (F.col("id") + 100).alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0), F.lit(0.0)).alias("embedding"),
+    )
+    other = spark.createDataFrame(
+        [(5, [0.0, 1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    emb = clones.unionByName(other)
+    out = semantic_dedup(emb, k_cells=1, threshold=0.95, iters=1)
+    rows = {r["vec_id"]: (r["cluster_id"], r["keep"]) for r in out.collect()}
+    assert len(rows) == 3001
+    assert rows[100] == (100, True)          # min clone id is the keeper
+    assert rows[2999] == (100, False)        # every clone inherits it
+    assert rows[5] == (5, True)              # orthogonal vector untouched
+    assert sum(1 for _, k in rows.values() if k) == 2
+
+
 def test_semantic_dedup_testdata_consistency(spark, sf_dir):
     """On the real embeddings: output covers every vec_id exactly once,
     keepers are the min id of their cluster, and members of one cluster

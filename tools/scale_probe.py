@@ -164,18 +164,26 @@ def probe_r4_ops(spark, sf_dir: str, out: dict):
         out[f"line_dedup_{label}"] = round(time.time() - t0, 2)
 
     emb = load(spark, sf_dir, "embeddings")
+    # replicate as vec_id + _c*OFFSET so the ORIGINAL vectors keep the
+    # lowest ids: the Lloyd trainer seeds from the k lowest-id vectors,
+    # and vec_id*10+_c style replication would make those k seeds
+    # identical copies of vector 0 — a degenerate one-cell quantizer
+    # that invalidates the 1x-vs-10x comparison
     emb10 = emb.crossJoin(
         spark.range(10).select(F.col("id").alias("_c"))
     ).select(
-        (F.col("vec_id") * 10 + F.col("_c")).alias("vec_id"),
+        (F.col("vec_id") + F.col("_c") * F.lit(10_000_000)).alias("vec_id"),
         "embedding",
         "label",
     )
-    for label, e in [("1x", emb), ("10x", emb10)]:
+    # fixed k at 10x shows the anti-pattern (cells grow 10x); scaled k
+    # (8 -> 80, SemDeDup's own configuration: cluster count tracks
+    # corpus size) keeps cell size constant — both rows in SCALE.md
+    for label, e, k in [("1x", emb, 8), ("10x", emb10, 8), ("10x_k80", emb10, 80)]:
         e = e.localCheckpoint()
-        cents = train_ivf_centroids(e, k=8, iters=1)
+        cents = train_ivf_centroids(e, k=k, iters=1)
         t0 = time.time()
-        _force(semantic_dedup(e, k_cells=8, threshold=0.4, centroids=cents))
+        _force(semantic_dedup(e, k_cells=k, threshold=0.4, centroids=cents))
         out[f"semantic_dedup_{label}"] = round(time.time() - t0, 2)
 
     ev = load(spark, sf_dir, "events").select("user_id", "ts")
@@ -207,6 +215,10 @@ def main():
         "curation": probe_curation,
         "r4": probe_r4_ops,
     }
+    if only is not None and only not in probes:
+        raise SystemExit(
+            f"unknown probe {only!r}; choose from {sorted(probes)}"
+        )
     for name, fn in probes.items():
         if only is None or only == name:
             fn(spark, sf_dir, out)
