@@ -37,3 +37,44 @@ def summarize_results(results: DataFrame, ref_df: DataFrame | None = None) -> Da
             "weight", F.col("num_biosamples") * F.col("number_permutation_tests")
         )
     return agg
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    probabilities: tuple = (0.5, 0.9, 0.99),
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group quantiles of a numeric column — exact or sketched.
+
+    ``exact=False`` (the 100 TB default) uses `approx_percentile`
+    (Greenwald–Khanna sketch): each task folds its rows into a bounded
+    sketch, partial sketches MERGE map-side, and the error is rank-based
+    (<= 1/``accuracy`` of the rank, distribution-independent) — one
+    narrow aggregation regardless of data volume, the only formulation
+    that survives a terabyte group. ``exact=True`` uses `percentile`
+    (true order statistic with linear interpolation, matching DuckDB's
+    ``quantile_cont``): it buffers each group's values, so reserve it
+    for bounded groups (tests, oracles, final small rollups).
+
+    Output: one row per group with a ``p{prob}`` column per requested
+    probability (p0.5, p0.9, ...), names shared by the Spark and oracle
+    sides.
+    """
+    if not probabilities:
+        raise ValueError("probabilities must be non-empty")
+    if not all(0.0 <= p <= 1.0 for p in probabilities):
+        raise ValueError(f"probabilities must be in [0, 1]: {probabilities}")
+    fn = (
+        (lambda c, p: F.percentile(c, F.lit(p)))
+        if exact
+        else (lambda c, p: F.approx_percentile(c, F.lit(p), F.lit(accuracy)))
+    )
+    aggs = [
+        fn(F.col(value_col), p).alias(f"p{p:g}") for p in probabilities
+    ]
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*aggs)
+    return df.agg(*aggs)
