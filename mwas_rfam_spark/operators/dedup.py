@@ -587,7 +587,7 @@ def dedup_clusters(
     )
     prev_cache = None
     try:
-        for _ in range(max_iters):
+        for _round in range(max_iters):
             neighbor_min = (
                 edges.join(labels.withColumnRenamed("node", "dst"), "dst")
                 .groupBy(F.col("src").alias("node"))
@@ -618,22 +618,28 @@ def dedup_clusters(
                 .withColumn("changed", F.col("label") < F.col("old"))
                 .drop("old")
             ).localCheckpoint()
-            # persist ON TOP of the checkpoint to break the size-estimate
-            # bomb: Spark's join stats multiply the two sides' sizeInBytes,
-            # and a checkpoint PRESERVES the product via LogicalRDD's
-            # originStats — so an iterative self-join SQUARES the estimate
-            # every round, the BigInt's digit count doubles, and driver-side
-            # stats arithmetic goes exponential (measured: rounds 18+ jump
-            # 0.4s → 70s while executors sit idle; by round ~19 the estimate
-            # had 8,517 digits). The materialized cache reports its REAL
-            # byte size, resetting the estimate each round; the n_changed
-            # count below materializes it, so no extra pass. SCALE.md has
-            # the full forensics.
-            new_labels = new_labels.persist()
+            # PERIODIC persist on top of the checkpoint to break the
+            # size-estimate bomb: Spark's join stats multiply the two
+            # sides' sizeInBytes, and a checkpoint PRESERVES the product
+            # via LogicalRDD's originStats — so an iterative self-join
+            # SQUARES the estimate every round and the BigInt's digit
+            # count DOUBLES (≈2^round digits; measured 8,517 digits by
+            # round 12, driver stats arithmetic exploding past round ~16:
+            # 0.4s → 70s per round while executors sat idle). The
+            # materialized cache reports its REAL byte size, resetting
+            # the estimate — but persisting EVERY round costs more than
+            # the bomb below its explosion point (measured +1.4 s/round
+            # on a 64-partition label map), so reset once per 10 rounds:
+            # digits stay ≤ ~2^10 (BigInt ops at that size are
+            # microseconds) and the overhead amortizes to 10%. SCALE.md
+            # has the full forensics.
+            if (_round + 1) % 10 == 0:
+                new_labels = new_labels.persist()
             n_changed = new_labels.filter(F.col("changed")).count()
-            if prev_cache is not None:
-                prev_cache.unpersist()
-            prev_cache = new_labels
+            if (_round + 1) % 10 == 0:
+                if prev_cache is not None:
+                    prev_cache.unpersist()
+                prev_cache = new_labels
             labels = new_labels.drop("changed")
             if n_changed == 0:
                 break
