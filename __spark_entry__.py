@@ -1442,6 +1442,26 @@ def q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(e, k_cells=8, threshold=0.4, centroids=cents)
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based batch sessionization rollup (bench surface; DuckDB
+    parity in tests): one user-keyed shuffle, summaries reuse it."""
+    from mwas_rfam_spark.operators.interval import session_summaries
+    from mwas_rfam_spark.plans.testdata_mwas import load
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    return session_summaries(ev, gap=30 * 60 * 1_000_000_000)
+
+
+def q_events_quantiles(spark, sf_dir):
+    """Per-event-type value quantiles via the mergeable GK sketch
+    (bench surface; exact-variant DuckDB parity in tests)."""
+    from mwas_rfam_spark.operators.summary import grouped_quantiles
+    from mwas_rfam_spark.plans.testdata_mwas import load
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    return grouped_quantiles(ev, "value", ["event_type"], (0.5, 0.9, 0.99))
+
+
 def q_dedup_quality(spark, sf_dir):
     """Quality gate for the engine-only (xxhash64) dedup variants, in the
     ann_recall mold: both MinHash-LSH and SimHash are deterministic, so
@@ -1768,6 +1788,8 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j9_asof_join": q_asof_join,
         "dedup_first_seen": q_dedup_first_seen,
         "semantic_dedup": q_semantic_dedup,
+        "j10_sessionize": q_sessionize,
+        "events_quantiles": q_events_quantiles,
     }
 
 

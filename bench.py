@@ -48,6 +48,8 @@ HEADLINE = [
     "semantic_dedup",
     "curation_pipeline",
     "j9_asof_join",
+    "j10_sessionize",
+    "events_quantiles",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "events_hourly",
