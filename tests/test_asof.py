@@ -202,3 +202,41 @@ def test_sessionize_duckdb_parity(spark, sf_dir):
         FROM sess GROUP BY user_id, seq
     """).fetchall())
     assert got == [tuple(r) for r in want] and len(got) > 0
+
+
+def test_sessionize_randomized_reference_model(spark):
+    """Randomized cross-check: session count and assignment per key
+    match a sequential scan over sorted timestamps (3 seeded draws,
+    duplicate timestamps included)."""
+    import random
+
+    from mwas_rfam_spark.operators.interval import sessionize
+
+    for seed in (3, 17, 91):
+        rnd = random.Random(seed)
+        gap = rnd.randint(2, 10)
+        rows = [
+            (u, rnd.randint(0, 60))
+            for u in range(1, 6)
+            for _ in range(rnd.randint(1, 20))
+        ]
+        want = {}
+        by_user: dict = {}
+        for u, t in rows:
+            by_user.setdefault(u, []).append(t)
+        for u, ts in by_user.items():
+            ts.sort()
+            seq = 0
+            prev = None
+            for t in ts:
+                if prev is not None and t - prev > gap:
+                    seq += 1
+                want[(u, t)] = seq  # ties share a session by definition
+                prev = t
+
+        sdf = spark.createDataFrame(rows, "user_id long, ts long")
+        got = {
+            (r["user_id"], r["ts"]): r["session_seq"]
+            for r in sessionize(sdf, gap=gap).collect()
+        }
+        assert got == want, f"seed={seed} gap={gap}"

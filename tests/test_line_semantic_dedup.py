@@ -137,3 +137,39 @@ def test_semantic_dedup_testdata_consistency(spark, sf_dir):
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("keepers"),
     ).where((F.col("keepers") != 1) | (F.col("mn") != F.col("cluster_id")))
     assert bad.count() == 0
+
+
+def test_line_dedup_randomized_reference_model(spark):
+    """Randomized cross-check against a pure-Python reference: on random
+    corpora with heavy line reuse, Spark's line_dedup equals the
+    sequential first-occurrence scan (3 seeded draws)."""
+    import random
+
+    for seed in (11, 23, 47):
+        rnd = random.Random(seed)
+        vocab = [f"line {i} text" for i in range(12)] + ["", "x"]
+        docs = [
+            (i, "\n".join(rnd.choice(vocab) for _ in range(rnd.randint(1, 8))))
+            for i in range(1, rnd.randint(5, 15))
+        ]
+        min_len = rnd.choice([0, 2, 6])
+
+        seen: set = set()
+        want: dict = {}
+        for did, text in docs:  # ids ascending = global (id, pos) order
+            kept = []
+            for line in text.split("\n"):
+                if len(line) < min_len:
+                    kept.append(line)
+                elif line not in seen:
+                    seen.add(line)
+                    kept.append(line)
+            if kept:
+                want[did] = "\n".join(kept)
+
+        sdf = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["text"]
+            for r in line_dedup(sdf, min_dedup_len=min_len).collect()
+        }
+        assert got == want, f"seed={seed} min_len={min_len}"
