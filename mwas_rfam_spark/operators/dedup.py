@@ -1095,3 +1095,103 @@ def semantic_dedup(
             (F.col("__id") == F.col("cluster_id")).alias("keep"),
         )
     )
+
+
+def minhash_band_buckets(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, bucket) LSH band occupancy — the same banding as
+    `minhash_lsh_pairs`, exposed as a relation so it can be STORED as
+    incremental-dedup state (partition the stored table by band for a
+    co-located probe join). Documents too short to shingle occupy no
+    bucket."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, n, text_col, id_col)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.sha2(
+                F.concat_ws(
+                    ",",
+                    *[F.col("sig")[bi * rows + r].cast("string") for r in range(rows)],
+                ),
+                256,
+            ).alias("bucket"),
+        )
+        for bi in range(bands)
+    ]
+    return sigs.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    seen_buckets: DataFrame | None = None,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """NEAR-dup dedup of a new batch against the running corpus — the
+    fuzzy complement of `incremental_exact_dedup`, using the band-
+    collision rule most production LLM dedup pipelines apply (Lee et
+    al. 2022 "Deduplicating Training Data...", and the public FineWeb/
+    Dolma reproductions): two documents sharing ANY LSH band bucket are
+    duplicates — no pairwise verification pass, candidates never
+    materialize as pairs at all.
+
+    Rule, exactly: a new document is DROPPED iff any of its band
+    buckets (a) appears in ``seen_buckets`` (the corpus state), or (b)
+    is also occupied by a smaller-id document of the same batch
+    (whether or not that document itself survives — the one-pass
+    min-per-bucket rule; the chain a~b, b~c therefore drops both b and
+    c even when a≁c, which is the same greedy-transitive behavior as
+    bucket-graph connected components with min keepers).
+
+    Returns ``(survivors, updated_buckets)``: write ``updated_buckets``
+    back as the next batch's state. State is (band, bucket) DISTINCT
+    rows for SURVIVING documents only — ~48 bytes × bands per kept doc,
+    never text or signatures; a dropped document claims nothing, so a
+    later near-duplicate of a dropped (but not of a kept) document
+    survives — keep-first semantics, same as the exact variant. The
+    probe is a band+bucket equi-join; with the state stored partitioned
+    by band it is co-located, and a 100 TB corpus history costs one
+    hash-partitioned semi-join per batch.
+    """
+    buckets = minhash_band_buckets(
+        new_docs, num_hashes, bands, n, text_col, id_col
+    ).localCheckpoint()
+
+    first_ids = buckets.groupBy("band", "bucket").agg(F.min("id").alias("first_id"))
+    drop_batch = (
+        buckets.join(first_ids, ["band", "bucket"])
+        .where(F.col("id") > F.col("first_id"))
+        .select("id")
+    )
+    if seen_buckets is not None:
+        drop_state = buckets.join(
+            seen_buckets, ["band", "bucket"], "leftsemi"
+        ).select("id")
+        dropped = drop_batch.unionByName(drop_state).distinct()
+    else:
+        dropped = drop_batch.distinct()
+
+    survivors = new_docs.join(
+        dropped.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
+    kept_buckets = (
+        buckets.join(dropped, "id", "left_anti").select("band", "bucket").distinct()
+    )
+    if seen_buckets is not None:
+        updated = seen_buckets.unionByName(kept_buckets).distinct()
+    else:
+        updated = kept_buckets
+    return survivors, updated

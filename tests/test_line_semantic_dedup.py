@@ -173,3 +173,75 @@ def test_line_dedup_randomized_reference_model(spark):
             for r in line_dedup(sdf, min_dedup_len=min_len).collect()
         }
         assert got == want, f"seed={seed} min_len={min_len}"
+
+
+def test_incremental_minhash_dedup_two_batches(spark):
+    """Fuzzy incremental dedup: batch-2 near-dups of batch-1 KEEPERS
+    drop via the stored bucket state; unrelated docs survive; within a
+    batch the min id per bucket wins; state grows by survivors only."""
+    from mwas_rfam_spark.operators.dedup import incremental_minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    b1 = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),                      # near-dup of 1 -> drops
+            (3, "completely different musings about sourdough and trains"),
+        ],
+        "doc_id long, text string",
+    )
+    s1, state1 = incremental_minhash_dedup(b1, None, num_hashes=32, bands=16)
+    kept1 = {r["doc_id"] for r in s1.collect()}
+    assert kept1 == {1, 3}
+
+    b2 = spark.createDataFrame(
+        [
+            (10, base),                                 # near-dup of kept 1 -> drops
+            (11, "fresh unrelated content about alpine meadows in spring"),
+        ],
+        "doc_id long, text string",
+    )
+    s2, state2 = incremental_minhash_dedup(b2, state1, num_hashes=32, bands=16)
+    kept2 = {r["doc_id"] for r in s2.collect()}
+    assert kept2 == {11}
+    # state grows monotonically and only with survivors' buckets
+    n1, n2 = state1.count(), state2.count()
+    assert n2 > n1
+    # determinism: same inputs -> same outputs
+    s2b, _ = incremental_minhash_dedup(b2, state1, num_hashes=32, bands=16)
+    assert {r["doc_id"] for r in s2b.collect()} == kept2
+
+
+def test_incremental_minhash_matches_batch_lsh_keepfirst(spark, sf_dir):
+    """Single-batch consistency on real documents: the incremental rule
+    with empty state keeps exactly the docs that are the min id of
+    every bucket they occupy — cross-checked against a direct
+    bucket-min computation from minhash_band_buckets."""
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_band_buckets,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+        .localCheckpoint()
+    )
+    survivors, _ = incremental_minhash_dedup(docs, None)
+    got = {r["doc_id"] for r in survivors.collect()}
+
+    b = minhash_band_buckets(docs)
+    mins = b.groupBy("band", "bucket").agg(F.min("id").alias("mn"))
+    losers = {
+        r["id"]
+        for r in b.join(mins, ["band", "bucket"])
+        .where(F.col("id") > F.col("mn"))
+        .select("id")
+        .distinct()
+        .collect()
+    }
+    want = {r["doc_id"] for r in docs.collect()} - losers
+    assert got == want and len(got) > 0
