@@ -1025,6 +1025,45 @@ def q_ann_knn_batch(spark, sf_dir):
     )
 
 
+_PQ_CODEBOOK_CACHE: dict[tuple, list] = {}
+
+
+def _pq_codebooks(spark, sf_dir, m=8, k=32, iters=5):
+    """PQ codebooks trained once per (sf_dir, m, k, iters) per process —
+    codebook training is an index-build step (deterministic seeded
+    k-means on a bounded sample), not part of the search query, same
+    policy as :func:`_ivf_centroids`."""
+    from mwas_rfam_spark.operators.quantization import train_pq_codebooks
+
+    key = (sf_dir, m, k, iters)
+    if key not in _PQ_CODEBOOK_CACHE:
+        e = _t(spark, sf_dir, "embeddings")
+        _PQ_CODEBOOK_CACHE[key] = train_pq_codebooks(
+            e, m=m, k=k, iters=iters, sample_size=512
+        )
+    return _PQ_CODEBOOK_CACHE[key]
+
+
+def q_pq_adc_topk(spark, sf_dir):
+    """Product-quantization two-stage search (Jégou et al. TPAMI'11;
+    extension — the reference has no vector surface): the corpus-wide
+    scan reads 8-byte PQ codes instead of 256-byte vectors (32× smaller
+    at 100 TB), ADC ranks a rerank pool via per-subspace lookup-table
+    sums inside codegen, and the exact distance re-ranks only the
+    broadcast candidate ids. Bench-only surface (registry is at the
+    driver's 50-entry cap); correctness is pinned by
+    tests/test_quantization.py: ADC == LUT-sum exactly, refined top-k
+    == numpy exact top-k."""
+    from mwas_rfam_spark.operators.quantization import pq_encode, pq_topk_refined
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.orderBy("vec_id").select("embedding").limit(1).collect()[0]["embedding"]
+    books = _pq_codebooks(spark, sf_dir)
+    codes = pq_encode(e, books)
+    top = pq_topk_refined(codes, e, [float(x) for x in qvec], books, k=10, rerank=200)
+    return top.select("vec_id", F.round("dist", 5).alias("dist"))
+
+
 _IVF_CENTROID_CACHE: dict[tuple, list] = {}
 
 
@@ -1790,6 +1829,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "j10_sessionize": q_sessionize,
         "events_quantiles": q_events_quantiles,
+        "pq_adc_topk": q_pq_adc_topk,
     }
 
 

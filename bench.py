@@ -52,6 +52,7 @@ HEADLINE = [
     "events_quantiles",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "pq_adc_topk",
     "events_hourly",
 ]
 

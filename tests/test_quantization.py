@@ -1,0 +1,128 @@
+"""Product-quantization tests: codebook determinism, encode validity,
+ADC error bound vs exact distance, recall on the driver's embeddings
+table, refined search exactness, and index materialization."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mwas_rfam_spark.operators.quantization import (
+    adc_lookup_table,
+    materialize_pq,
+    pq_adc_scores,
+    pq_encode,
+    pq_topk,
+    pq_topk_refined,
+    train_pq_codebooks,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return train_pq_codebooks(emb, m=8, k=32, iters=5, sample_size=512)
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    row = emb.orderBy("vec_id").limit(1).collect()[0]
+    return [float(x) for x in row["embedding"]]
+
+
+def test_codebooks_deterministic(emb, books):
+    again = train_pq_codebooks(emb, m=8, k=32, iters=5, sample_size=512)
+    assert books == again
+    assert len(books) == 8 and all(len(b) == 32 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)  # 64 dims / 8 subspaces
+
+
+def test_encode_codes_valid_and_deterministic(emb, books):
+    codes = pq_encode(emb, books).collect()
+    assert len(codes) == emb.count()
+    for r in codes:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 32 for c in r["codes"])
+    again = pq_encode(emb, books).collect()
+    assert sorted(map(str, codes)) == sorted(map(str, again))
+
+
+def test_encode_is_nearest_centroid(emb, books):
+    # cross-check a handful of rows against numpy argmin
+    rows = emb.orderBy("vec_id").limit(20).collect()
+    coded = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(emb.orderBy("vec_id").limit(20), books).collect()
+    }
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        for j in range(8):
+            sub = v[j * 8 : (j + 1) * 8]
+            C = np.asarray(books[j])
+            want = int(((C - sub) ** 2).sum(axis=1).argmin())
+            assert coded[r["vec_id"]][j] == want
+
+
+def test_adc_equals_lut_sum(emb, books, qvec):
+    """ADC score must be exactly the sum of per-subspace LUT entries."""
+    lut = adc_lookup_table(qvec, books)
+    codes = pq_encode(emb, books)
+    scored = {r["vec_id"]: r["approx_dist"] for r in pq_adc_scores(codes, qvec, books).collect()}
+    raw = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    for vid, cs in list(raw.items())[:50]:
+        want = sum(lut[j][cs[j]] for j in range(8))
+        assert scored[vid] == pytest.approx(want, rel=1e-12)
+
+
+def test_adc_recall_and_refined_exactness(emb, books, qvec):
+    """ADC top-k recovers part of the exact L2 top-k; the refined
+    two-stage search recovers it EXACTLY once the pool is wide enough.
+
+    The driver's synthetic embeddings are distance-concentrated (the
+    10th and 100th neighbor differ by < 25% in squared distance), the
+    adversarial regime for any quantizer — measured here, the true
+    top-10 spreads to ADC rank ≤ ~150 of 500. That is precisely why
+    ``pq_topk_refined`` exists: a modest rerank pool + exact re-rank
+    restores exactness while the corpus-wide scan stays codes-only."""
+    rows = emb.collect()
+    ids = np.asarray([r["vec_id"] for r in rows])
+    X = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    q = np.asarray(qvec)
+    exact_order = np.lexsort((ids, ((X - q) ** 2).sum(axis=1)))
+    exact10 = set(ids[exact_order[:10]].tolist())
+
+    codes = pq_encode(emb, books)
+    adc10 = {r["vec_id"] for r in pq_topk(codes, qvec, books, k=10).collect()}
+    assert len(adc10 & exact10) >= 3  # concentrated distances: coarse codes
+
+    refined = pq_topk_refined(codes, emb, qvec, books, k=10, rerank=200).collect()
+    assert {r["vec_id"] for r in refined} == exact10
+    # refined distances are the true distances, ascending
+    dists = [r["dist"] for r in refined]
+    assert dists == sorted(dists)
+
+
+def test_materialize_pq_roundtrip(spark, emb, books, tmp_path):
+    path = str(tmp_path / "pq")
+    materialize_pq(emb, books, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == emb.count()
+    assert "codes" in codes.columns and "embedding" not in codes.columns
+    cb = spark.read.parquet(f"{path}/codebooks")
+    assert cb.count() == 8 * 32
+    # stored codebooks reproduce the in-memory ones
+    stored = {
+        (r["subspace"], r["centroid_id"]): list(r["centroid"]) for r in cb.collect()
+    }
+    for j in range(8):
+        for c in range(32):
+            assert stored[(j, c)] == pytest.approx(books[j][c])
+
+
+def test_encode_plan_is_single_projection(emb, books):
+    """The corpus-scale encode pass must be a shuffle-free projection."""
+    plan = pq_encode(emb, books)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
