@@ -78,3 +78,71 @@ def grouped_quantiles(
     if group_cols:
         return df.groupBy(*group_cols).agg(*aggs)
     return df.agg(*aggs)
+
+
+def grouped_cardinality(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    exact: bool = False,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Distinct-count per group — exact or HLL-sketched.
+
+    ``exact=False`` (the 100 TB default) uses the Datasketches
+    HyperLogLog aggregate (`hll_sketch_agg`): each task folds keys into
+    a bounded 2^``lg_k``-register sketch, partials merge map-side, and
+    the relative error is ~1.04/sqrt(2^lg_k) (~1.6% at the default)
+    regardless of cardinality — where `countDistinct` would shuffle
+    every distinct key. ``exact=True`` keeps `countDistinct` for
+    bounded inputs and oracle checks. Output column: ``n_distinct``
+    (estimate cast to BIGINT either way).
+    """
+    key = F.col(key_col).cast("string")
+    agg = (
+        F.countDistinct(key)
+        if exact
+        else F.hll_sketch_estimate(F.hll_sketch_agg(key, F.lit(lg_k)))
+    ).alias("n_distinct")
+    if group_cols:
+        return df.groupBy(*group_cols).agg(agg)
+    return df.agg(agg)
+
+
+def cardinality_sketch_state(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """One HLL sketch (binary) per group — the MERGEABLE state form of
+    distinct counting. This is the piece that matters at 100 TB: write
+    one sketch row per (day, shard, source) at ingest time, and any
+    later rollup — per source, per month, global — is a
+    `hll_union_agg` over a few thousand kilobyte-sized rows instead of
+    a rescan of the corpus. Same state-table pattern as the
+    incremental-dedup hash relation: tiny, append-only, engine-agnostic
+    (Datasketches' wire format is portable).
+    """
+    key = F.col(key_col).cast("string")
+    agg = F.hll_sketch_agg(key, F.lit(lg_k)).alias("sketch")
+    if group_cols:
+        return df.groupBy(*group_cols).agg(agg)
+    return df.agg(agg)
+
+
+def cardinality_from_states(
+    states: DataFrame,
+    group_cols: list[str] | None = None,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Roll stored sketch states up to estimates: union the sketches
+    within each (coarser) group and estimate — no source-data access.
+    ``allowDifferentLgConfigK=True`` so states written at different
+    precisions still merge (the union downgrades to the coarsest)."""
+    agg = F.hll_sketch_estimate(
+        F.hll_union_agg(F.col(sketch_col), F.lit(True))
+    ).alias("n_distinct")
+    if group_cols:
+        return states.groupBy(*group_cols).agg(agg)
+    return states.agg(agg)
