@@ -201,6 +201,98 @@ def probe_r4_ops(spark, sf_dir: str, out: dict):
           file=sys.stderr)
 
 
+def probe_r4b_ops(spark, sf_dir: str, out: dict):
+    """Probe E (r4, second wave) — PQ search, Bloom-prefiltered
+    incremental dedup, and HLL cardinality at 1x and 10x.
+
+    PQ replicates vectors under distinct ids (the codes scan and the
+    ADC rank grow 10x; codebooks are trained once on the base vectors —
+    at real scale training is a bounded-sample build step). Bloom
+    builds state over 1x vs 10x DISTINCT hashes (suffix-perturbed text)
+    and then dedups the same fresh batch against each — the metric that
+    matters is probe cost vs state size. HLL tokenizes 1x vs 10x
+    document mass (distinct keys constant — exactly where countDistinct
+    keeps paying shuffle for nothing and the sketch doesn't)."""
+    from mwas_rfam_spark.operators.bloom import (
+        bloom_build,
+        incremental_exact_dedup_bloom,
+    )
+    from mwas_rfam_spark.operators.dedup import normalize_text
+    from mwas_rfam_spark.operators.quantization import (
+        pq_encode,
+        pq_topk_refined,
+        train_pq_codebooks,
+    )
+    from mwas_rfam_spark.operators.summary import (
+        cardinality_from_states,
+        cardinality_sketch_state,
+        grouped_cardinality,
+    )
+    from mwas_rfam_spark.plans.testdata_mwas import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    emb10 = emb.crossJoin(
+        spark.range(10).select(F.col("id").alias("_c"))
+    ).select(
+        (F.col("vec_id") + F.col("_c") * F.lit(10_000_000)).alias("vec_id"),
+        "embedding",
+    )
+    books = train_pq_codebooks(emb, m=8, k=32, iters=5, sample_size=512)
+    qvec = [
+        float(x)
+        for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    ]
+    for label, e in [("1x", emb.select("vec_id", "embedding")), ("10x", emb10)]:
+        e = e.localCheckpoint()
+        t0 = time.time()
+        codes = pq_encode(e, books).localCheckpoint()
+        out[f"pq_encode_{label}"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        _force(pq_topk_refined(codes, e, qvec, books, k=10, rerank=200))
+        out[f"pq_search_{label}"] = round(time.time() - t0, 2)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # distinct-text replication: 10x state rows, not 10x clones
+    docs10 = docs.crossJoin(
+        spark.range(10).select(F.col("id").alias("_c"))
+    ).select(
+        (F.col("doc_id") * 10 + F.col("_c")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v"), F.col("_c")).alias("text"),
+    )
+    fresh = docs.select(
+        (F.col("doc_id") + 99_000_000).alias("doc_id"),
+        F.concat(F.lit("fresh "), F.col("text")).alias("text"),
+    ).localCheckpoint()
+    for label, d in [("1x", docs), ("10x", docs10)]:
+        state = (
+            d.select(F.md5(normalize_text(F.col("text"))).alias("content_hash"))
+            .distinct()
+            .localCheckpoint()
+        )
+        t0 = time.time()
+        bf = bloom_build(state, fpp=0.01)
+        out[f"bloom_build_{label}"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        surv, _, _ = incremental_exact_dedup_bloom(fresh, state, bf)
+        _force(surv)
+        out[f"bloom_dedup_{label}"] = round(time.time() - t0, 2)
+
+    for label, d in [("1x", docs), ("10x", docs10)]:
+        toks = d.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+        ).where(F.col("tok") != "").localCheckpoint()
+        t0 = time.time()
+        _force(cardinality_from_states(cardinality_sketch_state(toks, "tok")))
+        out[f"hll_tokens_{label}"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        _force(grouped_cardinality(toks, "tok", exact=True))
+        out[f"exact_tokens_{label}"] = round(time.time() - t0, 2)
+
+    spark.catalog.clearCache()
+    print({k: v for k, v in out.items() if k.startswith(("pq_", "bloom_", "hll_", "exact_"))},
+          file=sys.stderr)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="scale-probe")
@@ -214,6 +306,7 @@ def main():
         "mwas": probe_mwas,
         "curation": probe_curation,
         "r4": probe_r4_ops,
+        "r4b": probe_r4b_ops,
     }
     if only is not None and only not in probes:
         raise SystemExit(
