@@ -1139,6 +1139,29 @@ def q_ann_lsh_topk(spark, sf_dir):
     return top.select("vec_id", F.round("cosine", 5).alias("cosine"))
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: lexical (shingle-Jaccard inverted index) +
+    semantic (cosine) arms fused by reciprocal-rank fusion (Cormack et
+    al. SIGIR'09). Bench-only surface (registry at the 50-entry cap);
+    RRF arithmetic is hand-model-tested and both arms are pinned by
+    their own green entries (`dedup_ngram_jaccard` family /
+    `ann_knn_batch`)."""
+    from mwas_rfam_spark.operators.retrieval import hybrid_search
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    row = docs.orderBy("doc_id").limit(1).collect()[0]
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == row["doc_id"])
+        .collect()[0]["embedding"]
+    ]
+    out = hybrid_search(docs, emb, row["text"], qvec, k=10, k_each=50)
+    return out.select(
+        "doc_id", F.round("rrf_score", 6).alias("rrf_score"), "lexical_rank", "semantic_rank"
+    )
+
+
 def q_mwas_full(spark, sf_dir):
     """Full MWAS incl. seeded permutation tests (rows-only check: the
     resampling kernel is iterative/stateful, not SQL-expressible; the
@@ -1830,6 +1853,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j10_sessionize": q_sessionize,
         "events_quantiles": q_events_quantiles,
         "pq_adc_topk": q_pq_adc_topk,
+        "hybrid_rrf": q_hybrid_rrf,
     }
 
 

@@ -53,6 +53,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "pq_adc_topk",
+    "hybrid_rrf",
     "events_hourly",
 ]
 

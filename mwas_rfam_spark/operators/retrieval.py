@@ -1,0 +1,115 @@
+"""Hybrid retrieval: reciprocal-rank fusion of heterogeneous rankers.
+
+A training-data pipeline retrieves documents two ways — lexically
+(shingle/Jaccard, `dedup.similar_documents`) and semantically (embedding
+cosine, `similarity.brute_force_topk` / the PQ and IVF variants) — and
+the standard way to combine incomparable score scales is Reciprocal
+Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+
+    rrf(d) = Σ_arms  w_arm / (rrf_k + rank_arm(d))
+
+using each arm's RANK (robust to score distribution) rather than its
+score. Documents missing from an arm contribute 0 for that arm.
+
+Scale shape: each arm is already a top-``k_each`` relation (TakeOrdered
+— per-partition heads, never a global sort of the corpus), so the
+fusion operates on ``arms × k_each`` rows — constant-size regardless of
+corpus. The outer-join + aggregate over that tiny relation is noise; at
+100 TB all the cost lives in the arms, which carry their own scale
+stories (inverted-index broadcast semi-join; codes-only ADC scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_rank(
+    df: DataFrame, order: list[Column], id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach 1-based ``rank`` by the given order. Meant for arm results
+    that are ALREADY top-k (bounded); the single-partition window is
+    deliberate and safe there — never apply this to a corpus-sized
+    relation."""
+    w = Window.orderBy(*order)
+    return df.withColumn("rank", F.row_number().over(w))
+
+
+def rrf_fuse(
+    arms: dict[str, DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fuse named ranked arms (each with ``id_col`` + ``rank``) into a
+    top-``k`` by RRF score. Returns one row per document seen by any
+    arm (outer union of the arms), with per-arm ``<name>_rank`` columns
+    (null where the arm missed the document) and ``rrf_score``
+    descending; ties break on id for determinism."""
+    if not arms:
+        raise ValueError("rrf_fuse: need at least one arm")
+    weights = weights or {}
+    pieces = []
+    for name, df in arms.items():
+        w = float(weights.get(name, 1.0))
+        pieces.append(
+            df.select(
+                F.col(id_col),
+                F.lit(name).alias("__arm"),
+                F.col("rank").cast("long").alias("__rank"),
+                (F.lit(w) / (F.lit(float(rrf_k)) + F.col("rank"))).alias("__score"),
+            )
+        )
+    union = pieces[0]
+    for p in pieces[1:]:
+        union = union.unionByName(p)
+    fused = union.groupBy(id_col).agg(
+        F.sum("__score").alias("rrf_score"),
+        *[
+            F.max(F.when(F.col("__arm") == name, F.col("__rank"))).alias(
+                f"{name}_rank"
+            )
+            for name in arms
+        ],
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)
+
+
+def hybrid_search(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_text: str,
+    query_vec: list[float],
+    k: int = 10,
+    k_each: int = 50,
+    rrf_k: int = 60,
+    n: int = 3,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lexical + semantic retrieval fused by RRF: the shingle-Jaccard
+    arm over ``docs`` and the cosine arm over ``emb`` (ids must share a
+    domain — vec_id == doc_id in the driver's tables), each cut to
+    ``k_each`` before fusion. Output: (doc_id, rrf_score, lexical_rank,
+    semantic_rank) — per-arm ranks kept for explainability."""
+    from .dedup import similar_documents
+    from .similarity import brute_force_topk
+
+    lex = similar_documents(docs, query_text, k=k_each, n=n, text_col=text_col, id_col=id_col)
+    lex = with_rank(lex, [F.desc("jaccard"), F.asc(id_col)], id_col)
+    sem = brute_force_topk(emb, query_vec, k=k_each, id_col=vec_id_col, vec_col=vec_col)
+    sem = with_rank(sem, [F.desc("cosine"), F.asc(vec_id_col)], vec_id_col).select(
+        F.col(vec_id_col).alias(id_col), "rank"
+    )
+    return rrf_fuse(
+        {"lexical": lex.select(id_col, "rank"), "semantic": sem},
+        k=k,
+        rrf_k=rrf_k,
+        weights=weights,
+        id_col=id_col,
+    )

@@ -1,0 +1,85 @@
+"""Hybrid-retrieval tests: RRF fusion against a hand model, weighting,
+single-arm degeneracy, and the composed lexical+semantic search over
+the driver's documents/embeddings tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mwas_rfam_spark.operators.retrieval import hybrid_search, rrf_fuse, with_rank
+
+
+def _arm(spark, pairs):
+    return spark.createDataFrame(pairs, ["doc_id", "rank"])
+
+
+def test_rrf_hand_model(spark):
+    a = _arm(spark, [(1, 1), (2, 2), (3, 3)])
+    b = _arm(spark, [(2, 1), (4, 2)])
+    out = rrf_fuse({"a": a, "b": b}, k=10, rrf_k=60).collect()
+    got = {r["doc_id"]: r["rrf_score"] for r in out}
+    want = {
+        1: 1 / 61,
+        2: 1 / 62 + 1 / 61,
+        3: 1 / 63,
+        4: 1 / 62,
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-12)
+    # doc 2 appears in both arms and must rank first
+    assert out[0]["doc_id"] == 2
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["a_rank"] == 1 and by_id[1]["b_rank"] is None
+    assert by_id[2]["a_rank"] == 2 and by_id[2]["b_rank"] == 1
+
+
+def test_rrf_weights_and_limit(spark):
+    a = _arm(spark, [(1, 1), (2, 2)])
+    b = _arm(spark, [(2, 1), (3, 2)])
+    out = rrf_fuse({"a": a, "b": b}, k=2, rrf_k=10, weights={"b": 3.0}).collect()
+    assert len(out) == 2
+    got = {r["doc_id"]: r["rrf_score"] for r in out}
+    assert got[2] == pytest.approx(1 / 12 + 3 / 11, rel=1e-12)
+    # weighted arm b dominates: doc 3 (b rank 2) beats doc 1 (a rank 1)
+    assert sorted(got) == [2, 3]
+
+
+def test_single_arm_is_rank_order(spark):
+    a = _arm(spark, [(5, 1), (6, 2), (7, 3)])
+    out = rrf_fuse({"only": a}, k=3).collect()
+    assert [r["doc_id"] for r in out] == [5, 6, 7]
+
+
+def test_empty_arms_raise(spark):
+    with pytest.raises(ValueError):
+        rrf_fuse({})
+
+
+def test_with_rank_orders(spark):
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.7)], ["doc_id", "score"]
+    )
+    ranked = with_rank(df, [F.desc("score"), F.asc("doc_id")]).collect()
+    by_id = {r["doc_id"]: r["rank"] for r in ranked}
+    assert by_id == {2: 1, 3: 2, 1: 3}
+
+
+def test_hybrid_search_end_to_end(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    row = docs.orderBy("doc_id").limit(1).collect()[0]
+    qtext = row["text"]
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == row["doc_id"]).collect()[0]["embedding"]
+    ]
+    out = hybrid_search(docs, emb, qtext, qvec, k=10, k_each=50).collect()
+    assert 0 < len(out) <= 10
+    # the query document itself leads both arms, so it must win fusion
+    assert out[0]["doc_id"] == row["doc_id"]
+    assert out[0]["lexical_rank"] == 1 and out[0]["semantic_rank"] == 1
+    # scores strictly ordered, columns complete
+    scores = [r["rrf_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
