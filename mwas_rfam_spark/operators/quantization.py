@@ -251,6 +251,48 @@ def pq_topk_refined(
     )
 
 
+def ivfpq_topk(
+    spark,
+    ivf_index_path: str,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF × PQ — the full inverted-file product-quantization search
+    over a :func:`similarity.write_ivf_index` layout: the nprobe cell
+    filter is PARTITION PRUNING on the cell-partitioned parquet (only
+    nprobe/k_cells of the files open), the pruned candidates are
+    PQ-encoded and ADC-ranked (codes-only arithmetic), and the exact
+    distance re-ranks the broadcast rerank pool from the same pruned
+    scan. The 100 TB composition: IO bounded by partition pruning ×
+    code size, exactness restored for the final k by the re-rank.
+
+    (This encodes the probed cells on the fly, which suits a
+    query-at-a-time pattern over a hot index; for a static corpus,
+    materialize codes once with :func:`materialize_pq` over the
+    cell-assigned vectors — ``cell`` passes through ``pq_encode`` — and
+    feed that table to :func:`pq_topk_refined` directly.)"""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = sorted(
+        range(len(centroids)),
+        key=lambda c: float(np.sum((q - np.asarray(centroids[c])) ** 2)),
+    )
+    probe = order[:nprobe]
+    cand = spark.read.parquet(ivf_index_path).where(F.col("cell").isin(probe))
+    codes = pq_encode(cand, codebooks, id_col, vec_col)
+    return pq_topk_refined(
+        codes, cand, query_vec, codebooks, k=k, rerank=rerank,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
 def materialize_pq(
     emb: DataFrame,
     codebooks: list[list[list[float]]],

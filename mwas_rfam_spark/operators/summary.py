@@ -131,6 +131,67 @@ def cardinality_sketch_state(
     return df.agg(agg)
 
 
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    support: float = 0.01,
+    total_rows: int | None = None,
+) -> DataFrame:
+    """EXACT heavy hitters (keys with frequency ≥ ``support`` × rows)
+    without a full-key shuffle — the two-phase candidate/verify pattern
+    (same shape as the Bloom dedup prefilter):
+
+    Phase 1 — candidates, shuffle-free: each partition counts its own
+    keys (vectorized pandas ``value_counts`` over Arrow batches) and
+    emits only keys with local_count ≥ support × partition_rows. By
+    averaging, any key with GLOBAL frequency ≥ support × N must clear
+    that bar in at least one partition — so the candidate set provably
+    contains every true heavy hitter, and is at most 1/support keys
+    per partition regardless of vocabulary size.
+
+    Phase 2 — exact verify: one aggregation of the input SEMI-JOINED to
+    the broadcast candidate set; only candidate keys shuffle. Output:
+    (key, cnt, frac), true heavy hitters only, exact counts,
+    descending.
+
+    `countDistinct`-style full-vocab shuffles are what this avoids: at
+    100 TB of text the token vocabulary is billions of keys, the heavy
+    hitters a handful. ``total_rows`` skips the count job when the
+    caller already knows N.
+    """
+    if not (0.0 < support <= 1.0):
+        raise ValueError(f"support must be in (0, 1]: {support}")
+    key = F.col(key_col).cast("string")
+    keyed = df.select(key.alias("__k"))
+    n = total_rows if total_rows is not None else keyed.count()
+
+    def local_candidates(batches):
+        import pandas as pd
+
+        counts: dict = {}
+        rows = 0
+        for pdf in batches:
+            rows += len(pdf)
+            for k_, c in pdf["__k"].value_counts().items():
+                counts[k_] = counts.get(k_, 0) + int(c)
+        bar = support * rows
+        cand = [k_ for k_, c in counts.items() if c >= bar]
+        yield pd.DataFrame({"__k": pd.Series(cand, dtype="object")})
+
+    cands = keyed.mapInPandas(local_candidates, "__k STRING").distinct()
+    verified = (
+        keyed.join(F.broadcast(cands), "__k", "left_semi")
+        .groupBy("__k")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= F.lit(float(support) * n))
+    )
+    return verified.select(
+        F.col("__k").alias(key_col),
+        "cnt",
+        (F.col("cnt") / F.lit(float(n))).alias("frac"),
+    ).orderBy(F.desc("cnt"), F.asc(key_col))
+
+
 def cardinality_from_states(
     states: DataFrame,
     group_cols: list[str] | None = None,

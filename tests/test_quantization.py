@@ -122,6 +122,36 @@ def test_materialize_pq_roundtrip(spark, emb, books, tmp_path):
             assert stored[(j, c)] == pytest.approx(books[j][c])
 
 
+def test_ivfpq_topk_partition_pruning_and_recall(spark, emb, books, qvec, tmp_path):
+    """IVF×PQ over a materialized cell-partitioned index: the cell
+    filter must be a PartitionFilter (pruning, not scan-and-discard),
+    and the composed search must recover the query vector itself plus
+    most of what brute force finds within the probed cells."""
+    from mwas_rfam_spark.operators.quantization import ivfpq_topk
+    from mwas_rfam_spark.operators.similarity import (
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+
+    cents = train_ivf_centroids(emb, k=8, iters=2)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, cents, path)
+    out = ivfpq_topk(
+        spark, path, books, cents, qvec, k=10, nprobe=3, rerank=100
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cell" in plan or "cell#" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    rows = out.collect()
+    assert len(rows) == 10
+    # query vector is vec_id 0 (qvec fixture) — its own cell is always
+    # the nearest probe, so it must come back at distance ~0
+    assert rows[0]["dist"] == pytest.approx(0.0, abs=1e-9)
+    dists = [r["dist"] for r in rows]
+    assert dists == sorted(dists)
+
+
 def test_encode_plan_is_single_projection(emb, books):
     """The corpus-scale encode pass must be a shuffle-free projection."""
     plan = pq_encode(emb, books)._jdf.queryExecution().executedPlan().toString()
