@@ -59,3 +59,112 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def merge_upsert_partitioned(
+    spark,
+    base_path: str,
+    updates: DataFrame,
+    key_col: str,
+    partition_col: str,
+) -> list:
+    """Copy-on-write upsert into a partitioned parquet corpus: rows in
+    ``updates`` replace same-key rows and new keys append, touching ONLY
+    the partitions the updates fall in.
+
+    The affected-partition list is the distinct ``partition_col`` values
+    of the updates (collected — it is a parameter-sized list, not data);
+    the base is read with a partition filter (pruning — untouched
+    partitions' files are never opened), old versions of updated keys
+    drop via anti-join, and the result is written back with DYNAMIC
+    partition overwrite so only the affected directories are replaced.
+    At 100 TB this is the immutable-corpus correction pattern: cost
+    scales with the touched partitions, not the corpus. The merged
+    slice is materialized (localCheckpoint) before the write because
+    source and destination are the same path — a production deployment
+    would stage-and-swap or use a transactional table format; the
+    read-isolate-write shape is identical.
+
+    Updates must not collide on ``key_col`` internally (raises) —
+    "last write wins" inside one batch would be order-dependent.
+    Returns the affected partition values.
+    """
+    from pyspark.sql import functions as F
+
+    dup = updates.groupBy(key_col).count().where(F.col("count") > 1).limit(1).count()
+    if dup:
+        raise ValueError("merge_upsert_partitioned: updates collide on key")
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    base = spark.read.parquet(base_path).where(F.col(partition_col).isin(parts))
+    kept = base.join(
+        F.broadcast(updates.select(key_col)), key_col, "left_anti"
+    )
+    merged = kept.unionByName(updates.select(*kept.columns)).localCheckpoint()
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(base_path)
+    )
+    return parts
+
+
+def compact_files(
+    spark,
+    path: str,
+    target_rows_per_file: int,
+    partition_col: str | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~``target_rows_per_file``-sized
+    files — the small-files repair job every long-lived ingest pipeline
+    needs (each streaming micro-batch / upsert leaves small files;
+    metadata and task-scheduling overhead then grows with FILE COUNT,
+    not data). Row-count-based sizing keeps it deterministic and
+    cheap (one count job); returns the file count written.
+
+    The per-file cap is enforced by the WRITER (``maxRecordsPerFile``),
+    which splits a task's output at exactly the target — so the
+    guarantee holds however the shuffle places rows. With
+    ``partition_col``, rows additionally spread over
+    ceil(value_rows / target) hash buckets per partition value (counts
+    from one aggregation broadcast back in — NEVER a per-value
+    row_number window, which would funnel each value through a single
+    task, the exact bottleneck a compactor exists to remove): the
+    buckets provide write parallelism for hot values, the writer option
+    provides the size bound. The rewrite materializes before
+    overwriting the same path (same caveat as
+    merge_upsert_partitioned).
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    if partition_col is None:
+        out = df.repartition(n_files).localCheckpoint()
+        (
+            out.write.mode("overwrite")
+            .option("maxRecordsPerFile", target_rows_per_file)
+            .parquet(path)
+        )
+        return n_files
+    counts = df.groupBy(partition_col).agg(
+        F.ceil(F.count("*") / F.lit(target_rows_per_file)).cast("int").alias("__k")
+    )
+    bucketed = df.join(F.broadcast(counts), partition_col).withColumn(
+        "__b",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.greatest(F.col("__k"), F.lit(1))),
+    )
+    out = bucketed.repartition(F.col(partition_col), F.col("__b")).drop(
+        "__b", "__k"
+    ).localCheckpoint()
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    return n_files

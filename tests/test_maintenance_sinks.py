@@ -1,0 +1,97 @@
+"""Corpus-maintenance sink tests: partition-scoped upsert (only touched
+partitions rewritten, data exact) and small-file compaction (file count
+drops, data identical, hot partitions still split)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mwas_rfam_spark.sources.sinks import compact_files, merge_upsert_partitioned
+
+
+def _files(path):
+    return {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/**/*.parquet", recursive=True)
+    }
+
+
+@pytest.fixture()
+def base(spark, tmp_path):
+    path = str(tmp_path / "corpus")
+    df = spark.createDataFrame(
+        [(i, f"text {i}", chr(ord("a") + i % 3)) for i in range(90)],
+        ["doc_id", "text", "p"],
+    )
+    df.write.partitionBy("p").parquet(path)
+    return path
+
+
+def test_upsert_touches_only_affected_partitions(spark, base):
+    before = _files(base)
+    updates = spark.createDataFrame(
+        [(0, "UPDATED 0", "a"), (1, "UPDATED 1", "b"), (1000, "NEW", "a")],
+        ["doc_id", "text", "p"],
+    )
+    parts = merge_upsert_partitioned(spark, base, updates, "doc_id", "p")
+    assert sorted(parts) == ["a", "b"]
+    after = spark.read.parquet(base)
+    assert after.count() == 91  # 90 + 1 new
+    got = {r["doc_id"]: r["text"] for r in after.collect()}
+    assert got[0] == "UPDATED 0" and got[1] == "UPDATED 1" and got[1000] == "NEW"
+    assert got[2] == "text 2"  # untouched row intact
+    # partition c's files were never rewritten
+    after_files = _files(base)
+    c_before = {f: t for f, t in before.items() if "/p=c/" in f}
+    c_after = {f: t for f, t in after_files.items() if "/p=c/" in f}
+    assert c_before == c_after
+    # a and b were rewritten (different file sets)
+    assert {f for f in before if "/p=a/" in f} != {
+        f for f in after_files if "/p=a/" in f
+    }
+
+
+def test_upsert_key_collision_raises(spark, base):
+    updates = spark.createDataFrame(
+        [(5, "x", "a"), (5, "y", "a")], ["doc_id", "text", "p"]
+    )
+    with pytest.raises(ValueError):
+        merge_upsert_partitioned(spark, base, updates, "doc_id", "p")
+
+
+def test_compact_flat_directory(spark, tmp_path):
+    path = str(tmp_path / "flat")
+    df = spark.range(1000).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    df.repartition(50).write.parquet(path)
+    assert len(_files(path)) >= 50
+    compact_files(spark, path, target_rows_per_file=500)
+    files = _files(path)
+    assert len(files) <= 4
+    out = spark.read.parquet(path)
+    assert out.count() == 1000
+    assert out.agg(F.sum("v")).collect()[0][0] == 999 * 1000
+
+
+def test_compact_partitioned_hot_partition_splits(spark, tmp_path):
+    path = str(tmp_path / "part")
+    # hot partition: 900 rows in p=hot, 50 each in p=c1/c2, many files
+    df = spark.createDataFrame(
+        [(i, "hot" if i < 900 else ("c1" if i < 950 else "c2")) for i in range(1000)],
+        ["id", "p"],
+    )
+    df.repartition(40).write.partitionBy("p").parquet(path)
+    compact_files(spark, path, target_rows_per_file=300, partition_col="p")
+    out = spark.read.parquet(path)
+    assert out.count() == 1000
+    assert out.where("p = 'hot'").count() == 900
+    by_dir: dict = {}
+    for f in _files(path):
+        by_dir.setdefault(f.split("/p=")[1].split("/")[0], []).append(f)
+    # cold partitions compact toward 1 file; the hot one still splits
+    assert len(by_dir["c1"]) <= 2 and len(by_dir["c2"]) <= 2
+    # writer-enforced cap: 900 rows at 300/file → at least 3 files
+    assert 3 <= len(by_dir["hot"]) <= 8
