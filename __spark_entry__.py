@@ -1775,6 +1775,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              `text_*` tokenization; its slot went to the
                              hash-verified `text_decontam` benchmark-
                              decontamination gate
+
+    Round-4 second-wave surfaces (registry full at 50 all-green; each is
+    pytest-pinned and benchable where noted, with its exactness anchored
+    to an existing green entry where semantics overlap):
+
+    - PQ / ADC / IVF×PQ     → tests/test_quantization.py (ADC == LUT sum
+                              exactly; refined top-k == numpy exact;
+                              partition pruning plan-asserted); benched
+                              as `pq_adc_topk`; shares the cosine/L2
+                              arithmetic pinned green by `ann_knn_batch`
+    - Bloom incremental     → tests/test_bloom.py randomized equivalence
+      dedup                   against `incremental_exact_dedup`, whose
+                              keep-first/anti-join semantics are the
+                              green `dedup_exact` family's
+    - HLL cardinality       → tests/test_cardinality.py exact-vs-sketch
+                              tolerance + state rollups; the exact arm
+                              IS `countDistinct`, green via `condense_sets`
+    - heavy_hitters         → tests/test_heavy_hitters.py equivalence
+                              with the full groupBy (green via
+                              `text_vocab_topk`'s counting) under random
+                              and adversarial partitionings
+    - hybrid RRF retrieval  → tests/test_retrieval.py hand-model fusion;
+                              arms are the green Jaccard/cosine
+                              surfaces; benched as `hybrid_rrf`
+    - maintenance sinks     → tests/test_maintenance_sinks.py
+      (upsert/compaction)     (untouched-partition immutability, data
+                              identity, writer-capped file sizes)
     """
     return {
         "mwas_cohort_welch": q_mwas_cohort_welch,
