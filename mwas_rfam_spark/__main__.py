@@ -125,11 +125,62 @@ def curate_main(argv: list[str], spark: SparkSession | None = None) -> int:
             spark.stop()
 
 
+def build_maintain_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mwas_rfam_spark maintain",
+        description="Corpus maintenance: partition-scoped upsert and "
+        "small-file compaction over a parquet corpus.",
+    )
+    sub = p.add_subparsers(dest="op", required=True)
+    up = sub.add_parser("upsert", help="copy-on-write upsert: only touched partitions rewritten")
+    up.add_argument("base", help="partitioned parquet corpus path")
+    up.add_argument("--updates", required=True, help="parquet with replacement/new rows")
+    up.add_argument("--key", required=True)
+    up.add_argument("--partition-col", required=True)
+    co = sub.add_parser("compact", help="rewrite into ~target-row files")
+    co.add_argument("path")
+    co.add_argument("--target-rows", type=int, required=True)
+    co.add_argument("--partition-col", default=None)
+    return p
+
+
+def maintain_main(argv: list[str], spark: SparkSession | None = None) -> int:
+    from .sources.sinks import compact_files, merge_upsert_partitioned
+
+    args = build_maintain_parser().parse_args(argv)
+    owns_session = spark is None
+    if owns_session:
+        from .session import get_spark
+
+        spark = get_spark(app_name="maintain-cli")
+    try:
+        if args.op == "upsert":
+            parts = merge_upsert_partitioned(
+                spark,
+                args.base,
+                spark.read.parquet(args.updates),
+                args.key,
+                args.partition_col,
+            )
+            print(f"rewrote {len(parts)} partition(s): {sorted(map(str, parts))}")
+        else:
+            n = compact_files(
+                spark, args.path, args.target_rows, partition_col=args.partition_col
+            )
+            print(f"compacted toward {n} file(s)")
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
     if argv and argv[0] == "curate":
         return curate_main(argv[1:], spark)
+    if argv and argv[0] == "maintain":
+        return maintain_main(argv[1:], spark)
     from .config import MwasConfig
     from .operators.condense import condense_metadata
     from .operators.mwas import run_mwas

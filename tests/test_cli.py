@@ -210,3 +210,42 @@ def test_cli_curate_end_to_end(spark, tmp_path):
     acct = spark.read.option("header", True).csv(f"{out}/_accounting")
     counts = {r["drop_stage"]: int(r["count"]) for r in acct.collect()}
     assert counts == {"kept": 2, "duplicate": 1, "quality": 1, "contaminated": 1}
+
+
+def test_cli_maintain_upsert_and_compact(spark, tmp_path):
+    """`python -m mwas_rfam_spark maintain upsert|compact` end-to-end."""
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.__main__ import main
+
+    base = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, f"text {i}", chr(ord("a") + i % 2)) for i in range(40)],
+        ["doc_id", "text", "p"],
+    ).repartition(10).write.partitionBy("p").parquet(base)
+
+    upd = str(tmp_path / "updates")
+    spark.createDataFrame(
+        [(0, "FIXED", "a"), (999, "NEW", "b")], ["doc_id", "text", "p"]
+    ).write.parquet(upd)
+    rc = main(
+        ["maintain", "upsert", base, "--updates", upd,
+         "--key", "doc_id", "--partition-col", "p"],
+        spark=spark,
+    )
+    assert rc == 0
+    back = spark.read.parquet(base)
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert got[0] == "FIXED" and got[999] == "NEW" and len(got) == 41
+
+    rc = main(
+        ["maintain", "compact", base, "--target-rows", "100",
+         "--partition-col", "p"],
+        spark=spark,
+    )
+    assert rc == 0
+    import glob
+
+    files = glob.glob(f"{base}/**/*.parquet", recursive=True)
+    assert len(files) <= 4
+    assert spark.read.parquet(base).count() == 41
