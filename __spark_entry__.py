@@ -2256,7 +2256,10 @@ FROM final
                      abs(epoch_us(c.ts) // 1000000 - epoch_us(e.ts) // 1000000) AS d
               FROM clicks c JOIN errs e
                 ON abs(epoch_us(c.ts) // 1000000 - epoch_us(e.ts) // 1000000) <= 60)
-            SELECT CAST(date_trunc('day', to_timestamp(sec_a)) AS TIMESTAMP) AS day,
+            -- make_timestamp(micros) is NAIVE (epoch-based, no session
+            -- TimeZone) — matches the Spark side's NTZ day rebuild;
+            -- to_timestamp would yield TIMESTAMPTZ and shift on non-UTC hosts
+            SELECT make_timestamp((sec_a // 86400) * 86400 * 1000000) AS day,
                    count(*) AS n_pairs,
                    CAST(sum(d) AS BIGINT) AS sum_abs_delta_s
             FROM pairs GROUP BY 1

@@ -167,7 +167,7 @@ def maintain_main(argv: list[str], spark: SparkSession | None = None) -> int:
             n = compact_files(
                 spark, args.path, args.target_rows, partition_col=args.partition_col
             )
-            print(f"compacted toward {n} file(s)")
+            print(f"compacted to {n} file(s)")
         return 0
     finally:
         if owns_session:

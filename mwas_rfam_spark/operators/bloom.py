@@ -19,9 +19,10 @@ that:
 
 The filter itself is built distributively: partitions build local bit
 arrays over Arrow batches (``mapInPandas`` with a vectorized numpy
-kernel), the driver ORs the per-partition arrays — the classic
-treeAggregate shape, sized m/8 bytes per partition (≈120 KB per million
-state rows at 1% fpp). Bit positions come from double hashing
+kernel), OR-merged executor-side in a depth-2 treeAggregate so the
+driver holds O(m/8) bytes, not one array per partition (≈120 KB per
+million state rows at 1% fpp; per-task build memory is m/8, same as
+Spark's built-in bloomFilter aggregate). Bit positions come from double hashing
 (Kirsch–Mitzenmacher 2006: ``pos_i = h1 + i·h2 mod m``) over two
 xxhash64 seeds computed JVM-side, so Python only ever sees two int64
 columns, never the key strings.
@@ -93,6 +94,36 @@ def _positions(h1, h2, num_bits: int, num_hashes: int):
     return pos
 
 
+def _or_merge(parts_df: DataFrame, nbytes: int):
+    """OR per-partition bit arrays EXECUTOR-side (treeAggregate, depth 2)
+    so the driver receives a handful of pre-merged arrays instead of one
+    full-size array per partition. Per-task memory during the build is
+    still m/8 bytes (inherent to a distributed Bloom build — Spark's own
+    DataFrameStatFunctions.bloomFilter pays the same); what this removes
+    is the num_partitions × m/8 driver inflow."""
+    import numpy as np
+
+    def seq(acc, row):
+        b = row["bits"]
+        if b:
+            arr = np.frombuffer(b, dtype=np.uint8)
+            if acc is None:
+                return arr.copy()
+            acc |= arr
+        return acc
+
+    def comb(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        a |= b
+        return a
+
+    merged = parts_df.rdd.treeAggregate(None, seq, comb, depth=2)
+    return np.zeros(nbytes, dtype=np.uint8) if merged is None else merged
+
+
 def bloom_build(
     hashes: DataFrame,
     col: str = "content_hash",
@@ -101,10 +132,11 @@ def bloom_build(
 ) -> BloomState:
     """Build a Bloom filter over a one-column relation (typically the
     seen-hashes dedup state). One distributed pass: per-partition bit
-    arrays built from vectorized numpy over Arrow batches, OR-merged on
-    the driver. ``expected_items`` defaults to ``hashes.count()`` (one
-    extra count job); pass it when the caller already tracks state
-    cardinality."""
+    arrays built from vectorized numpy over Arrow batches, OR-merged
+    executor-side in a depth-2 tree (``_or_merge``) so driver memory is
+    O(m/8), not O(partitions × m/8). ``expected_items`` defaults to
+    ``hashes.count()`` (one extra count job); pass it when the caller
+    already tracks state cardinality."""
     import numpy as np
 
     n = expected_items if expected_items is not None else hashes.count()
@@ -124,11 +156,8 @@ def bloom_build(
                                  (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)))
         yield pd.DataFrame({"bits": [bits.tobytes() if seen_any else b""]})
 
-    parts = _hash_cols(hashes, col).mapInPandas(build, "bits BINARY").collect()
-    merged = np.zeros(nbytes, dtype=np.uint8)
-    for r in parts:
-        if r["bits"]:
-            merged |= np.frombuffer(r["bits"], dtype=np.uint8)
+    parts = _hash_cols(hashes, col).mapInPandas(build, "bits BINARY")
+    merged = _or_merge(parts, nbytes)
     return BloomState(num_bits=m, num_hashes=k, bits=merged.tobytes(), num_items=n)
 
 
@@ -157,11 +186,9 @@ def bloom_add(
                                  (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)))
         yield pd.DataFrame({"bits": [bits.tobytes()]})
 
-    parts = _hash_cols(hashes, col).mapInPandas(build, "bits BINARY").collect()
+    parts = _hash_cols(hashes, col).mapInPandas(build, "bits BINARY")
     merged = np.frombuffer(bloom.bits, dtype=np.uint8).copy()
-    for r in parts:
-        if r["bits"]:
-            merged |= np.frombuffer(r["bits"], dtype=np.uint8)
+    merged |= _or_merge(parts, nbytes)
     return BloomState(m, k, merged.tobytes(), bloom.num_items + added)
 
 
@@ -239,9 +266,22 @@ def incremental_exact_dedup_bloom(
         .where(F.col("_rk") == 1)
         .drop("_rk")
     )
-    if seen_hashes is None or bloom is None:
+    if seen_hashes is None:
         survivors = batch_first
         updated = survivors.select("content_hash").distinct()
+        new_bloom = bloom_build(updated)
+        return survivors.drop("content_hash"), updated, new_bloom
+    if bloom is None:
+        # filter lost but the hash relation survived (e.g. a restart that
+        # persisted only the parquet state): fall back to the plain exact
+        # anti-join against the FULL state — never treat this as "no
+        # state", which would readmit known duplicates and hand back an
+        # updated relation missing all prior history — then rebuild the
+        # filter from the merged state so the fast path resumes next batch
+        survivors = batch_first.join(seen_hashes, "content_hash", "left_anti")
+        updated = seen_hashes.unionByName(
+            survivors.select("content_hash")
+        ).distinct()
         new_bloom = bloom_build(updated)
         return survivors.drop("content_hash"), updated, new_bloom
 

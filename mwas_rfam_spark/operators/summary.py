@@ -141,18 +141,24 @@ def heavy_hitters(
     without a full-key shuffle — the two-phase candidate/verify pattern
     (same shape as the Bloom dedup prefilter):
 
-    Phase 1 — candidates, shuffle-free: each partition counts its own
-    keys (vectorized pandas ``value_counts`` over Arrow batches) and
-    emits only keys with local_count ≥ support × partition_rows. By
-    averaging, any key with GLOBAL frequency ≥ support × N must clear
-    that bar in at least one partition — so the candidate set provably
-    contains every true heavy hitter, and is at most 1/support keys
-    per partition regardless of vocabulary size.
+    Phase 1 — candidates, shuffle-free AND memory-bounded: each
+    partition runs a Misra–Gries summary with ceil(1/support) counters
+    over its Arrow batches (per-batch ``value_counts`` is bounded by the
+    batch size; the summary never exceeds its capacity) and emits every
+    surviving key. Misra–Gries guarantees any key with local frequency
+    > partition_rows / (capacity+1) < support × partition_rows stays in
+    the summary, and by averaging any key with GLOBAL frequency ≥
+    support × N clears that bar in at least one partition — so the
+    candidate set provably contains every true heavy hitter, at most
+    1/support keys per partition regardless of vocabulary size, with
+    O(1/support + batch) per-task memory (a plain dict of every
+    partition-local key would be the partition's whole vocabulary).
 
-    Phase 2 — exact verify: one aggregation of the input SEMI-JOINED to
-    the broadcast candidate set; only candidate keys shuffle. Output:
-    (key, cnt, frac), true heavy hitters only, exact counts,
-    descending.
+    Phase 2 — exact verify: one aggregation of the input SEMI-JOINED
+    (null-safely — a null key is a countable value here, pandas and the
+    join both keep it) to the broadcast candidate set; only candidate
+    keys shuffle. Output: (key, cnt, frac), true heavy hitters only,
+    exact counts, descending.
 
     `countDistinct`-style full-vocab shuffles are what this avoids: at
     100 TB of text the token vocabulary is billions of keys, the heavy
@@ -161,6 +167,9 @@ def heavy_hitters(
     """
     if not (0.0 < support <= 1.0):
         raise ValueError(f"support must be in (0, 1]: {support}")
+    import math as _math
+
+    cap = int(_math.ceil(1.0 / support))
     key = F.col(key_col).cast("string")
     keyed = df.select(key.alias("__k"))
     n = total_rows if total_rows is not None else keyed.count()
@@ -169,18 +178,31 @@ def heavy_hitters(
         import pandas as pd
 
         counts: dict = {}
-        rows = 0
         for pdf in batches:
-            rows += len(pdf)
-            for k_, c in pdf["__k"].value_counts().items():
+            # dropna=False: null keys count like any other value (they
+            # surface as None/NaN in the object column — canonicalized
+            # to None below so dict keys stay stable across batches)
+            for k_, c in pdf["__k"].value_counts(dropna=False).items():
+                if pd.isna(k_):
+                    k_ = None
                 counts[k_] = counts.get(k_, 0) + int(c)
-        bar = support * rows
-        cand = [k_ for k_, c in counts.items() if c >= bar]
-        yield pd.DataFrame({"__k": pd.Series(cand, dtype="object")})
+            if len(counts) > cap:
+                # Misra–Gries decrement: subtract the (cap+1)-th largest
+                # count from everyone, drop the non-positive — at most
+                # cap keys survive, and no key with frequency above
+                # rows/(cap+1) can be evicted
+                dec = sorted(counts.values(), reverse=True)[cap]
+                counts = {k_: c - dec for k_, c in counts.items() if c > dec}
+        yield pd.DataFrame({"__k": pd.Series(list(counts), dtype="object")})
 
     cands = keyed.mapInPandas(local_candidates, "__k STRING").distinct()
     verified = (
-        keyed.join(F.broadcast(cands), "__k", "left_semi")
+        keyed.alias("d")
+        .join(
+            F.broadcast(cands).alias("c"),
+            F.col("d.__k").eqNullSafe(F.col("c.__k")),
+            "left_semi",
+        )
         .groupBy("__k")
         .agg(F.count("*").alias("cnt"))
         .where(F.col("cnt") >= F.lit(float(support) * n))

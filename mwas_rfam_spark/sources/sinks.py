@@ -72,14 +72,26 @@ def merge_upsert_partitioned(
     ``updates`` replace same-key rows and new keys append, touching ONLY
     the partitions the updates fall in.
 
-    The affected-partition list is the distinct ``partition_col`` values
-    of the updates (collected — it is a parameter-sized list, not data);
-    the base is read with a partition filter (pruning — untouched
+    The affected partitions are the updates' own ``partition_col``
+    values UNION every partition currently holding one of the updated
+    keys — found by a column-pruned (partition_col, key_col) scan of the
+    base semi-joined to the update keys. Without that second set, an
+    update that MOVES a key to a new partition value would leave the
+    key's old row stranded in its previous partition (never read, never
+    anti-joined), silently violating the replace contract. The key scan
+    reads two columns of the full base — bounded extra cost; a
+    production table format would answer it from column statistics.
+    Both lists are collected (parameter-sized, not data).
+
+    The base is then read with a partition filter (pruning — untouched
     partitions' files are never opened), old versions of updated keys
     drop via anti-join, and the result is written back with DYNAMIC
     partition overwrite so only the affected directories are replaced.
-    At 100 TB this is the immutable-corpus correction pattern: cost
-    scales with the touched partitions, not the corpus. The merged
+    A partition whose every row moved away ends up EMPTY — dynamic
+    overwrite never rewrites a partition absent from the output, so
+    those directories are deleted explicitly. At 100 TB this is the
+    immutable-corpus correction pattern: cost scales with the touched
+    partitions (plus the 2-column key scan), not the corpus. The merged
     slice is materialized (localCheckpoint) before the write because
     source and destination are the same path — a production deployment
     would stage-and-swap or use a transactional table format; the
@@ -94,18 +106,42 @@ def merge_upsert_partitioned(
     dup = updates.groupBy(key_col).count().where(F.col("count") > 1).limit(1).count()
     if dup:
         raise ValueError("merge_upsert_partitioned: updates collide on key")
-    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    base = spark.read.parquet(base_path).where(F.col(partition_col).isin(parts))
+    upd_keys = updates.select(key_col).distinct()
+    base_all = spark.read.parquet(base_path)
+    holding = (
+        base_all.select(partition_col, key_col)
+        .join(F.broadcast(upd_keys), key_col, "left_semi")
+        .select(partition_col)
+        .distinct()
+        .collect()
+    )
+    parts = sorted(
+        {r[0] for r in updates.select(partition_col).distinct().collect()}
+        | {r[0] for r in holding}
+    )
+    base = base_all.where(F.col(partition_col).isin(parts))
     kept = base.join(
         F.broadcast(updates.select(key_col)), key_col, "left_anti"
     )
     merged = kept.unionByName(updates.select(*kept.columns)).localCheckpoint()
+    written = {r[0] for r in merged.select(partition_col).distinct().collect()}
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(base_path)
     )
+    emptied = [p for p in parts if p not in written]
+    if emptied:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for p in emptied:
+            d = jvm.org.apache.hadoop.fs.Path(
+                f"{base_path}/{partition_col}={p}"
+            )
+            fs = d.getFileSystem(conf)
+            if fs.exists(d):
+                fs.delete(d, True)
     return parts
 
 
@@ -119,8 +155,11 @@ def compact_files(
     files — the small-files repair job every long-lived ingest pipeline
     needs (each streaming micro-batch / upsert leaves small files;
     metadata and task-scheduling overhead then grows with FILE COUNT,
-    not data). Row-count-based sizing keeps it deterministic and
-    cheap (one count job); returns the file count written.
+    not data). Row-count-based sizing keeps it deterministic and cheap
+    (one count job); returns the ACTUAL data-file count after the
+    rewrite (listed from the output — in the partitioned path the count
+    is the sum of per-partition-value ceils further split by task
+    placement, so a global ceil(n/target) would be wrong).
 
     The per-file cap is enforced by the WRITER (``maxRecordsPerFile``),
     which splits a task's output at exactly the target — so the
@@ -142,6 +181,18 @@ def compact_files(
     df = spark.read.parquet(path)
     n = df.count()
     n_files = max(1, math.ceil(n / target_rows_per_file))
+
+    def _count_data_files() -> int:
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(path)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        it, c = fs.listFiles(root, True), 0
+        while it.hasNext():
+            name = it.next().getPath().getName()
+            if name.startswith("part-"):
+                c += 1
+        return c
+
     if partition_col is None:
         out = df.repartition(n_files).localCheckpoint()
         (
@@ -149,7 +200,7 @@ def compact_files(
             .option("maxRecordsPerFile", target_rows_per_file)
             .parquet(path)
         )
-        return n_files
+        return _count_data_files()
     counts = df.groupBy(partition_col).agg(
         F.ceil(F.count("*") / F.lit(target_rows_per_file)).cast("int").alias("__k")
     )
@@ -167,4 +218,4 @@ def compact_files(
         .partitionBy(partition_col)
         .parquet(path)
     )
-    return n_files
+    return _count_data_files()

@@ -115,3 +115,28 @@ def test_overlapping_batch_is_exact(spark):
     ids = sorted(r["doc_id"] for r in surv.collect())
     assert ids == [600 + i for i in range(10)]
     assert upd.count() == 30
+
+
+def test_lost_filter_falls_back_to_exact_path(spark):
+    """bloom=None with a surviving hash relation (e.g. a restart that
+    persisted only the parquet state) must behave exactly like the plain
+    anti-join path — known duplicates stay out and the updated state
+    keeps the full history — and hand back a rebuilt filter."""
+    seen_docs = _docs(spark, [(i, f"doc {i % 20}") for i in range(40)])
+    _, seen, _ = incremental_exact_dedup_bloom(seen_docs, None, None)
+    seen = seen.localCheckpoint()
+    mixed = _docs(
+        spark,
+        [(500 + i, f"doc {i}") for i in range(10)]  # dups of seen (0..9)
+        + [(600 + i, f"unseen {i}") for i in range(10)],
+    )
+    surv, upd, bf = incremental_exact_dedup_bloom(mixed, seen, None)
+    ids = sorted(r["doc_id"] for r in surv.collect())
+    assert ids == [600 + i for i in range(10)]  # dups rejected without a filter
+    assert upd.count() == 30  # 20 historical + 10 new: history preserved
+    # the rebuilt filter covers the merged state: no false negatives
+    from mwas_rfam_spark.operators.dedup import normalize_text
+
+    hashed = seen_docs.withColumn("content_hash", F.md5(normalize_text(F.col("text"))))
+    marked = bloom_mark_maybe_seen(hashed, bf)
+    assert marked.where("NOT __maybe_seen").count() == 0

@@ -80,3 +80,26 @@ def test_documents_tokens(spark, sf_dir):
         for r in heavy_hitters(toks, "tok", support=0.02).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_null_keys_count(spark):
+    """A null key above support is a heavy hitter like any other value —
+    phase 1 must count it (dropna=False) and phase 2's semi-join must be
+    null-safe, or the 'provable superset' claim silently excludes null."""
+    rows = [(None,)] * 30 + [(f"t{i}",) for i in range(70)]
+    df = spark.createDataFrame(rows, "k string").repartition(5)
+    got = {r["k"]: r["cnt"] for r in heavy_hitters(df, "k", support=0.2).collect()}
+    assert got == {None: 30}
+
+
+def test_bounded_memory_candidate_summary(spark):
+    """Misra-Gries phase 1 still matches exact output on a high-vocab
+    partition (the case the bounded summary exists for), including when
+    every key in a partition is distinct."""
+    rng = random.Random(11)
+    rows = [("hh",)] * 400 + [(f"u{i}",) for i in range(9600)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, ["k"]).repartition(3)
+    want = _exact(df, "k", 0.04)
+    got = {r["k"]: r["cnt"] for r in heavy_hitters(df, "k", support=0.04).collect()}
+    assert got == want == {"hh": 400}

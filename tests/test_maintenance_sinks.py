@@ -95,3 +95,56 @@ def test_compact_partitioned_hot_partition_splits(spark, tmp_path):
     assert len(by_dir["c1"]) <= 2 and len(by_dir["c2"]) <= 2
     # writer-enforced cap: 900 rows at 300/file → at least 3 files
     assert 3 <= len(by_dir["hot"]) <= 8
+
+
+def test_upsert_key_moves_partition(spark, base):
+    """An update that changes a key's partition value must remove the
+    old copy from its previous partition — otherwise the corpus holds
+    the key twice (stale text in the old directory)."""
+    updates = spark.createDataFrame(
+        [(0, "MOVED 0", "b")], ["doc_id", "text", "p"]  # doc 0 lives in p=a
+    )
+    parts = merge_upsert_partitioned(spark, base, updates, "doc_id", "p")
+    assert sorted(parts) == ["a", "b"]  # old home + new home both rewritten
+    after = spark.read.parquet(base)
+    rows = after.where("doc_id = 0").collect()
+    assert len(rows) == 1
+    assert rows[0]["text"] == "MOVED 0" and rows[0]["p"] == "b"
+    assert after.count() == 90
+
+
+def test_upsert_move_empties_partition(spark, tmp_path):
+    """If every row of a partition moves away, its directory must be
+    deleted — dynamic overwrite alone never rewrites a partition absent
+    from the output, which would strand the stale rows."""
+    path = str(tmp_path / "tiny")
+    df = spark.createDataFrame(
+        [(1, "one", "solo"), (2, "two", "busy"), (3, "three", "busy")],
+        ["doc_id", "text", "p"],
+    )
+    df.write.partitionBy("p").parquet(path)
+    updates = spark.createDataFrame([(1, "one moved", "busy")], ["doc_id", "text", "p"])
+    merge_upsert_partitioned(spark, path, updates, "doc_id", "p")
+    after = spark.read.parquet(path)
+    assert after.count() == 3
+    assert after.where("p = 'solo'").count() == 0
+    assert {r["text"] for r in after.where("doc_id = 1").collect()} == {"one moved"}
+
+
+def test_compact_returns_actual_file_count(spark, tmp_path):
+    """The return value is the listed post-rewrite data-file count, in
+    both the flat and partitioned paths (a global ceil(n/target) is
+    wrong whenever partition_col splits the rows)."""
+    flat = str(tmp_path / "flat2")
+    spark.range(1000).repartition(20).write.parquet(flat)
+    n = compact_files(spark, flat, target_rows_per_file=500)
+    assert n == len(_files(flat))
+    part = str(tmp_path / "part2")
+    df = spark.createDataFrame(
+        [(i, "hot" if i < 900 else ("c1" if i < 950 else "c2")) for i in range(1000)],
+        ["id", "p"],
+    )
+    df.repartition(40).write.partitionBy("p").parquet(part)
+    n = compact_files(spark, part, target_rows_per_file=300, partition_col="p")
+    assert n == len(_files(part))
+    assert n >= 5  # per-partition ceils: >=3 (hot) + 1 + 1 — global ceil says 4
