@@ -1162,6 +1162,62 @@ def q_hybrid_rrf(spark, sf_dir):
     )
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR-style importance resampling (Xie et al. 2023): hashed-n-gram
+    log-likelihood-ratio weights for every raw doc against a target
+    split, Gumbel-top-k selection of 200. Bench-only surface (registry
+    at the 50-entry cap); the ENTIRE pipeline — weights and the selected
+    set, order included — is replayed exactly by DuckDB SQL in
+    tests/test_selection.py (md5 features, md5-keyed Gumbel noise)."""
+    from mwas_rfam_spark.operators.selection import importance_resample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = d.where(F.col("doc_id") % 7 != 0)
+    tgt = d.where(F.col("doc_id") % 7 == 0)
+    return importance_resample(raw, tgt, k=200, seed=42).select(
+        "doc_id", F.round("log_weight", 6).alias("log_weight"),
+        F.round("selection_key", 6).alias("selection_key"),
+    )
+
+
+def q_quality_linear(spark, sf_dir):
+    """fastText-shaped linear quality scoring: hashed-feature mean dotted
+    with a broadcast weight vector, sigmoid, threshold gate. Bench-only
+    surface; hand-model sigmoid arithmetic and the featureless/empty-doc
+    paths are pinned in tests/test_selection.py. The bench weight vector
+    is a deterministic Knuth-hash synthetic (a real deployment loads a
+    trained model relation)."""
+    from mwas_rfam_spark.operators.selection import score_quality_linear
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    weights = spark.range(4096).select(
+        F.col("id").cast("int").alias("bucket"),
+        ((F.col("id") * F.lit(2654435761)) % 1000 / F.lit(1000.0) - F.lit(0.5)).alias(
+            "weight"
+        ),
+    )
+    out = score_quality_linear(d, weights, bias=0.0, threshold=0.5)
+    return out.select("doc_id", F.round("score", 6).alias("score"), "keep")
+
+
+def q_cluster_sample(spark, sf_dir):
+    """Cluster-balanced embedding subset: Lloyd-trained coarse centroids,
+    nearest-cell assignment, exact per-cell hash-rank sample. Bench-only
+    surface; per-cell caps and determinism are pinned in
+    tests/test_selection.py, the centroid training and assignment
+    arithmetic by the green `ann_recall`/`ann_ivf_topk` family."""
+    from mwas_rfam_spark.operators.similarity import (
+        cluster_balanced_sample,
+        train_ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, k=8, iters=2)
+    return cluster_balanced_sample(emb, cents, per_cluster=20).select(
+        "vec_id", "cell", "sample_rank"
+    )
+
+
 def q_mwas_full(spark, sf_dir):
     """Full MWAS incl. seeded permutation tests (rows-only check: the
     resampling kernel is iterative/stateful, not SQL-expressible; the
@@ -1802,6 +1858,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - maintenance sinks     → tests/test_maintenance_sinks.py
       (upsert/compaction)     (untouched-partition immutability, data
                               identity, writer-capped file sizes)
+    - DSIR importance       → tests/test_selection.py FULL DuckDB replay
+      resampling              (weights AND the Gumbel-top-k selected
+                              set, order included — the same md5 recipe
+                              the green `shuffle_shard` pins); benched
+                              as `dsir_select`
+    - linear quality score  → tests/test_selection.py hand-model sigmoid
+                              + empty-doc paths; benched as
+                              `quality_linear`
+    - cluster-balanced      → tests/test_selection.py per-cell caps +
+      sampling                determinism; the strata sampler IS the
+                              green `sample_stratified`; benched as
+                              `cluster_sample`
     """
     return {
         "mwas_cohort_welch": q_mwas_cohort_welch,
@@ -1881,6 +1949,9 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": q_events_quantiles,
         "pq_adc_topk": q_pq_adc_topk,
         "hybrid_rrf": q_hybrid_rrf,
+        "dsir_select": q_dsir_select,
+        "quality_linear": q_quality_linear,
+        "cluster_sample": q_cluster_sample,
     }
 
 

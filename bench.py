@@ -54,6 +54,9 @@ HEADLINE = [
     "ann_ivf_topk",
     "pq_adc_topk",
     "hybrid_rrf",
+    "dsir_select",
+    "quality_linear",
+    "cluster_sample",
     "events_hourly",
 ]
 

@@ -1,0 +1,243 @@
+"""Data-selection operators: importance resampling and linear quality
+scoring over hashed n-gram features.
+
+Extension surface — the reference engine computes over whatever input it
+is handed (mwas_general.py:744 reads the user CSV as-is); a 100 TB
+pretraining pipeline has a step BEFORE that: choosing which slice of a
+raw crawl to train on. The two standard tools:
+
+* **DSIR-style importance resampling** (Xie et al., "Data Selection for
+  Language Models via Importance Resampling", NeurIPS 2023): model the
+  target corpus and the raw corpus as bag-of-hashed-n-gram
+  distributions, weight every raw document by its log likelihood ratio,
+  and sample proportionally to the weights. Documents that "look like"
+  the target (Wikipedia, textbooks, curated data) get selected from the
+  raw crawl without training a classifier.
+* **Linear quality scoring** (the fastText shape — Joulin et al. 2016):
+  a broadcast (bucket → weight) vector dotted with the document's
+  hashed-feature counts, squashed by a sigmoid. Inference for any
+  externally-trained linear text classifier.
+
+Everything is deterministic and engine-independent by construction:
+features hash through md5 (the repo-wide cross-engine recipe — see
+plans/sampling.shuffle_shard), and the resampling "randomness" is the
+Gumbel-top-k trick (Vieira 2014; Kool et al. 2019) keyed on
+md5(seed:doc_id) — so the exact selected set is reproducible in ANSI
+SQL, across engines, and across cluster layouts (``rand(seed)`` is
+none of those).
+
+Scale shape (the point of doing this relationally):
+
+* the two corpus distributions are ONE aggregation each, down to
+  ``n_buckets`` rows (a parameter, default 4096) — map-side combined,
+  broadcast back out;
+* per-document weights are one explode → broadcast-join → groupBy
+  (doc_id) — a single data-sized shuffle keyed on doc_id;
+* selection is a global top-k (TakeOrdered), never a full sort;
+* nothing is ever collected except the two distribution totals
+  (two scalars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 32-bit uniform decode of an md5 prefix: the repo-standard
+# engine-portable hash (see plans/sampling.shuffle_shard for the
+# modulo-bias analysis; 8 hex digits = 32 bits >> any bucket count here)
+def _md5_u32(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _tokens(text_col: Column) -> Column:
+    """Lowercased whitespace tokens — matches the DuckDB oracle's
+    string_split_regex(trim(lower(text)), '\\s+')."""
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def hashed_ngram_features(
+    docs: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigrams: bool = True,
+) -> DataFrame:
+    """(doc_id, bucket, cnt): hashed bag-of-n-grams per document —
+    unigrams plus (optionally) word bigrams, md5-hashed into
+    ``n_buckets``. The fixed-width feature space is what makes the
+    distribution relations parameter-sized regardless of vocabulary.
+    Empty documents contribute no rows (they carry no evidence either
+    way; ``importance_weights`` gives them weight 0 via its left join).
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    toks = _tokens(F.col(text_col))
+    uni = F.filter(toks, lambda t: t != F.lit(""))
+    big = F.when(
+        F.size(uni) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(uni) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(uni, i), F.element_at(uni, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(uni, big) if bigrams else uni
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
+        .select(
+            "doc_id", (_md5_u32(F.col("gram")) % n_buckets).cast("int").alias("bucket")
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _bucket_counts(features: DataFrame) -> DataFrame:
+    return features.groupBy("bucket").agg(F.sum("cnt").alias("c"))
+
+
+def importance_weights(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigrams: bool = True,
+) -> DataFrame:
+    """(doc_id, log_weight) for every raw document: the DSIR importance
+    log-weight  Σ_f cnt_f · [log p_target(f) − log p_raw(f)]  under
+    add-``alpha`` smoothed hashed-n-gram distributions.
+
+    The per-bucket log-ratio relation has at most ``n_buckets`` rows and
+    broadcasts; buckets never seen in the target corpus fall back to the
+    smoothing floor alpha/(T+alpha·B) via coalesce (every bucket of a
+    raw document is present on the raw side by construction, so only
+    the target side needs the floor). Documents with no features (empty
+    text) keep log_weight 0.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    f_raw = hashed_ngram_features(raw_docs, n_buckets, text_col, id_col, bigrams)
+    f_tgt = hashed_ngram_features(target_docs, n_buckets, text_col, id_col, bigrams)
+    # materialize the two ≤n_buckets-row count relations ONCE
+    # (localCheckpoint): the totals below and the ratio relation then
+    # read parameter-sized state instead of re-featurizing the corpora
+    # per consumer — one pass over the target, two over raw (the per-doc
+    # join re-derives f_raw; at 100 TB recomputing that projection beats
+    # caching a data-sized relation)
+    q = _bucket_counts(f_raw).localCheckpoint()
+    p = _bucket_counts(f_tgt).localCheckpoint()
+    # two scalars — the only driver-side values in the whole operator
+    tot_q = q.agg(F.sum("c")).collect()[0][0] or 0
+    tot_p = p.agg(F.sum("c")).collect()[0][0] or 0
+    denom_q = float(tot_q) + alpha * n_buckets
+    denom_p = float(tot_p) + alpha * n_buckets
+    ratio = (
+        q.join(p.withColumnRenamed("c", "cp"), "bucket", "left")
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("cp"), F.lit(0)) + F.lit(alpha)) / F.lit(denom_p))
+                - F.log((F.col("c") + F.lit(alpha)) / F.lit(denom_q))
+            ).alias("logratio"),
+        )
+    )
+    per_doc = (
+        f_raw.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("logratio")).alias("log_weight"))
+    )
+    ids = raw_docs.select(F.col(id_col).alias("doc_id"))
+    return ids.join(per_doc, "doc_id", "left").select(
+        "doc_id", F.coalesce("log_weight", F.lit(0.0)).alias("log_weight")
+    )
+
+
+def importance_resample(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    k: int,
+    seed: int = 0,
+    temperature: float = 1.0,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigrams: bool = True,
+) -> DataFrame:
+    """Select ``k`` raw documents, sampled WITHOUT replacement with
+    probability ∝ exp(log_weight / temperature), via Gumbel top-k: each
+    document's key is log_weight/temperature + Gumbel(0,1) noise and the
+    k largest keys are exactly such a sample (Kool et al. 2019). The
+    Gumbel draw is deterministic — u = (md5_32(seed:id)+0.5)/2^32,
+    g = −log(−log u) — so the selected set is a pure function of
+    (corpus, seed) and replayable in SQL. ``temperature`` → 0 approaches
+    hard top-k by weight; large values approach uniform sampling.
+
+    Output: the selected documents' columns plus (log_weight,
+    selection_key), ordered by selection_key descending. The plan is a
+    global TakeOrdered over the weights join — no full sort.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    w = importance_weights(
+        raw_docs, target_docs, n_buckets, alpha, text_col, id_col, bigrams
+    )
+    u = (
+        _md5_u32(F.concat_ws(":", F.lit(str(seed)), F.col("doc_id").cast("string")))
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    gumbel = -F.log(-F.log(u))
+    keyed = raw_docs.withColumnRenamed(id_col, "doc_id").join(w, "doc_id").withColumn(
+        "selection_key", F.col("log_weight") / F.lit(float(temperature)) + gumbel
+    )
+    return keyed.orderBy(F.desc("selection_key"), F.asc("doc_id")).limit(k)
+
+
+def score_quality_linear(
+    docs: DataFrame,
+    weights: DataFrame,
+    bias: float = 0.0,
+    n_buckets: int = 4096,
+    threshold: float | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigrams: bool = True,
+) -> DataFrame:
+    """(doc_id, score[, keep]): fastText-shaped linear classifier
+    inference — the document's hashed-feature counts are AVERAGED
+    against a broadcast (bucket, weight) vector and squashed:
+    score = sigmoid(bias + Σ cnt·w / Σ cnt). ``weights`` is the trained
+    model (at most ``n_buckets`` rows — training happens wherever the
+    labels live; this is the 100 TB inference pass). Featureless (empty)
+    documents score sigmoid(bias). With ``threshold`` a boolean ``keep``
+    column is added (score >= threshold) — composable as a curation
+    gate.
+    """
+    feats = hashed_ngram_features(docs, n_buckets, text_col, id_col, bigrams)
+    scored = (
+        feats.join(F.broadcast(weights), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.col("cnt") * F.coalesce(F.col("weight"), F.lit(0.0)))
+                / F.sum("cnt")
+            ).alias("dot")
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    out = ids.join(scored, "doc_id", "left").select(
+        "doc_id",
+        (
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-(F.lit(float(bias)) + F.coalesce("dot", F.lit(0.0)))))
+        ).alias("score"),
+    )
+    if threshold is not None:
+        out = out.withColumn("keep", F.col("score") >= F.lit(float(threshold)))
+    return out

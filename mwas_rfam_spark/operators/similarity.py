@@ -302,3 +302,26 @@ def lsh_ann_topk(
     bucketed = signed_random_projection_buckets(emb, planes, id_col, vec_col)
     cand = bucketed.where(F.col("bucket").isin(probes))
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    per_cluster: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic-diversity subset: nearest-centroid cell assignment (the
+    IVF coarse quantizer doubles as the cluster model) followed by an
+    EXACT deterministic per-cell sample — min(per_cluster, |cell|) rows
+    per cluster, smallest-md5 first (plans/sampling.
+    stratified_sample_exact). Uniform sampling of a skewed embedding
+    space over-represents its dense modes; capping per cluster is the
+    standard diversity-balancing pass before training. Output: the
+    embedding columns plus (cell, sample_rank). Scale shape: assignment
+    is a pure projection against broadcast centroids; the sample is one
+    hash-rank window per cell — no global sort, no collect."""
+    from mwas_rfam_spark.plans.sampling import stratified_sample_exact
+
+    cells = assign_ivf_cells(emb, centroids, id_col, vec_col)
+    return stratified_sample_exact(cells, "cell", per_cluster, id_col)

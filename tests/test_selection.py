@@ -1,0 +1,233 @@
+"""Data-selection operator tests: DuckDB cross-engine parity for the
+DSIR importance weights and the Gumbel-top-k selection (both are
+deterministic md5-keyed relational plans, so the oracle replays them
+exactly), hand-model checks for the linear scorer, enrichment and
+determinism properties, and cluster-balanced sampling invariants."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mwas_rfam_spark.operators.selection import (
+    hashed_ngram_features,
+    importance_resample,
+    importance_weights,
+    score_quality_linear,
+)
+
+N_BUCKETS, ALPHA = 512, 1.0
+
+# the operator's exact relational semantics in DuckDB SQL: lowercased
+# whitespace tokens, unigrams + bigrams, bucket = md5-prefix-32 mod B,
+# add-alpha smoothed log ratio target/raw summed per raw doc
+_WEIGHTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, side, list_filter(
+           string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS t
+  FROM corpus),
+grams AS (
+  SELECT doc_id, side, unnest(t) AS gram FROM toks
+  UNION ALL
+  SELECT doc_id, side,
+         unnest(list_transform(range(1, greatest(len(t), 1)),
+                i -> t[i] || ' ' || t[i+1])) AS gram
+  FROM toks WHERE len(t) >= 2),
+feats AS (
+  SELECT doc_id, side,
+         CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) % {N_BUCKETS}
+             AS bucket,
+         count(*) AS cnt
+  FROM grams GROUP BY 1, 2, 3),
+q AS (SELECT bucket, sum(cnt) AS c FROM feats WHERE side = 'raw' GROUP BY 1),
+p AS (SELECT bucket, sum(cnt) AS c FROM feats WHERE side = 'tgt' GROUP BY 1),
+tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM q) AS tq,
+               (SELECT coalesce(sum(c), 0) FROM p) AS tp),
+ratio AS (
+  SELECT q.bucket,
+         ln((coalesce(p.c, 0) + {ALPHA}) / (tot.tp + {ALPHA} * {N_BUCKETS}))
+       - ln((q.c + {ALPHA}) / (tot.tq + {ALPHA} * {N_BUCKETS})) AS logratio
+  FROM q LEFT JOIN p ON q.bucket = p.bucket CROSS JOIN tot),
+perdoc AS (
+  SELECT f.doc_id, sum(f.cnt * r.logratio) AS log_weight
+  FROM feats f JOIN ratio r ON f.bucket = r.bucket
+  WHERE f.side = 'raw' GROUP BY 1)
+SELECT c.doc_id, round(coalesce(w.log_weight, 0.0), 8) AS log_weight
+FROM (SELECT doc_id FROM corpus WHERE side = 'raw') c
+LEFT JOIN perdoc w USING (doc_id)
+"""
+
+
+@pytest.fixture(scope="module")
+def split_docs(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    raw = d.where(F.col("doc_id") % 7 != 0)
+    tgt = d.where(F.col("doc_id") % 7 == 0)
+    return raw, tgt
+
+
+def test_weights_match_duckdb(spark, sf_dir, split_docs):
+    raw, tgt = split_docs
+    got = {
+        r["doc_id"]: round(r["log_weight"], 8)
+        for r in importance_weights(raw, tgt, n_buckets=N_BUCKETS, alpha=ALPHA).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"""CREATE VIEW corpus AS
+        SELECT doc_id, text, CASE WHEN doc_id % 7 = 0 THEN 'tgt' ELSE 'raw' END AS side
+        FROM '{sf_dir}/documents.parquet'"""
+    )
+    want = {r[0]: r[1] for r in con.sql(_WEIGHTS_SQL).fetchall()}
+    assert len(got) == len(want) > 0
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-6), k
+
+
+def test_resample_matches_duckdb_topk(spark, sf_dir, split_docs):
+    """The full Gumbel-top-k selection replays in SQL: same md5-decoded
+    uniform, same key, same k rows in the same order."""
+    raw, tgt = split_docs
+    sel = importance_resample(
+        raw, tgt, k=20, seed=42, n_buckets=N_BUCKETS, alpha=ALPHA
+    ).select("doc_id", "selection_key")
+    got = [(r["doc_id"], round(r["selection_key"], 6)) for r in sel.collect()]
+    con = duckdb.connect()
+    con.sql(
+        f"""CREATE VIEW corpus AS
+        SELECT doc_id, text, CASE WHEN doc_id % 7 = 0 THEN 'tgt' ELSE 'raw' END AS side
+        FROM '{sf_dir}/documents.parquet'"""
+    )
+    want = con.sql(
+        f"""
+        WITH w AS ({_WEIGHTS_SQL}),
+        keyed AS (
+          SELECT doc_id,
+                 log_weight - ln(-ln(
+                   (CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) + 0.5) / 4294967296.0)) AS selection_key
+          FROM w)
+        SELECT doc_id, round(selection_key, 6) FROM keyed
+        ORDER BY selection_key DESC, doc_id ASC LIMIT 20
+        """
+    ).fetchall()
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-5)
+
+
+def test_weights_enrich_target_like_docs(spark):
+    """Synthetic sanity: raw docs that share the target's vocabulary get
+    higher weights than off-topic docs, and the resampled set at low
+    temperature is dominated by them."""
+    tgt = spark.createDataFrame(
+        [(i, "solar panels generate clean energy from sunlight") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [(i, "solar energy from panels in sunlight") for i in range(30)]
+        + [(100 + i, "recipe for chocolate cake with butter and eggs") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    w = {r["doc_id"]: r["log_weight"] for r in importance_weights(raw, tgt).collect()}
+    on_topic = [w[i] for i in range(30)]
+    off_topic = [w[100 + i] for i in range(30)]
+    assert min(on_topic) > max(off_topic)
+    sel = importance_resample(raw, tgt, k=25, seed=1, temperature=0.05)
+    ids = {r["doc_id"] for r in sel.collect()}
+    assert sum(1 for i in ids if i < 100) >= 24  # ≥24/25 from the on-topic half
+
+
+def test_resample_determinism_and_seed_sensitivity(spark, split_docs):
+    raw, tgt = split_docs
+    a = [r["doc_id"] for r in importance_resample(raw, tgt, k=10, seed=7).collect()]
+    b = [r["doc_id"] for r in importance_resample(raw, tgt, k=10, seed=7).collect()]
+    c = [r["doc_id"] for r in importance_resample(raw, tgt, k=10, seed=8).collect()]
+    assert a == b
+    assert a != c  # different seed reshuffles the Gumbel keys
+
+
+def test_empty_docs_weight_zero(spark):
+    tgt = spark.createDataFrame([(1, "some target text")], ["doc_id", "text"])
+    raw = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "some raw text")], ["doc_id", "text"]
+    )
+    w = {r["doc_id"]: r["log_weight"] for r in importance_weights(raw, tgt).collect()}
+    assert w[1] == 0.0 and w[2] == 0.0
+    assert len(w) == 3
+
+
+def test_linear_scorer_hand_model(spark):
+    """One feature per token with a hand-built weight vector: score must
+    equal sigmoid(bias + mean weight) computed by hand."""
+    docs = spark.createDataFrame(
+        [(1, "good good"), (2, "bad"), (3, "good bad"), (4, "")],
+        ["doc_id", "text"],
+    )
+    feats = hashed_ngram_features(docs, n_buckets=N_BUCKETS, bigrams=False)
+    buckets = {
+        r["doc_id"]: r["bucket"]
+        for r in feats.where(F.col("cnt") >= 1).collect()
+        if r["doc_id"] in (1, 2)
+    }
+    b_good, b_bad = buckets[1], buckets[2]
+    assert b_good != b_bad
+    weights = spark.createDataFrame(
+        [(b_good, 2.0), (b_bad, -2.0)], ["bucket", "weight"]
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in score_quality_linear(
+            docs, weights, bias=0.5, n_buckets=N_BUCKETS, bigrams=False
+        ).collect()
+    }
+    sig = lambda x: 1.0 / (1.0 + math.exp(-x))
+    assert got[1] == pytest.approx(sig(0.5 + 2.0))  # mean of (2,2)
+    assert got[2] == pytest.approx(sig(0.5 - 2.0))
+    assert got[3] == pytest.approx(sig(0.5 + 0.0))  # mean of (2,-2)
+    assert got[4] == pytest.approx(sig(0.5))  # featureless → bias only
+
+
+def test_linear_scorer_threshold_gate(spark):
+    docs = spark.createDataFrame([(1, "x"), (2, "y")], ["doc_id", "text"])
+    weights = spark.createDataFrame([], "bucket INT, weight DOUBLE")
+    out = score_quality_linear(docs, weights, bias=0.0, threshold=0.5)
+    rows = {r["doc_id"]: r["keep"] for r in out.collect()}
+    assert rows == {1: True, 2: True}  # sigmoid(0) = 0.5 >= 0.5
+
+
+def test_cluster_balanced_sample(spark, sf_dir):
+    from mwas_rfam_spark.operators.similarity import (
+        cluster_balanced_sample,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_ivf_centroids(emb, k=4, iters=3)
+    out = cluster_balanced_sample(emb, cents, per_cluster=5, vec_col="embedding")
+    per_cell = {
+        r["cell"]: r["n"]
+        for r in out.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n <= 5 for n in per_cell.values())
+    assert sum(per_cell.values()) == out.count()
+    # deterministic: same centroids + data → identical sample
+    again = cluster_balanced_sample(emb, cents, per_cluster=5, vec_col="embedding")
+    assert sorted(r["vec_id"] for r in out.collect()) == sorted(
+        r["vec_id"] for r in again.collect()
+    )
+
+
+def test_bad_params_raise(spark):
+    d = spark.createDataFrame([(1, "t")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        hashed_ngram_features(d, n_buckets=1)
+    with pytest.raises(ValueError):
+        importance_resample(d, d, k=0)
+    with pytest.raises(ValueError):
+        importance_resample(d, d, k=1, temperature=0.0)
+    with pytest.raises(ValueError):
+        importance_weights(d, d, alpha=0.0)
