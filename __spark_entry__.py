@@ -1218,6 +1218,19 @@ def q_cluster_sample(spark, sf_dir):
     )
 
 
+def q_dup_spans(spark, sf_dir):
+    """Exact duplicate-substring detection (Lee et al. 2021, fixed span
+    length): positional 5-gram explode + hash groupBy, rank-capped
+    example locations. Bench-only surface; DuckDB parity on the real
+    documents table in tests/test_duplicate_spans.py."""
+    from mwas_rfam_spark.operators.dedup import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_spans(d, n=5, min_occurrences=2).select(
+        "span_hash", "n_occurrences", "n_docs"
+    )
+
+
 def q_mwas_full(spark, sf_dir):
     """Full MWAS incl. seeded permutation tests (rows-only check: the
     resampling kernel is iterative/stateful, not SQL-expressible; the
@@ -1870,6 +1883,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       sampling                determinism; the strata sampler IS the
                               green `sample_stratified`; benched as
                               `cluster_sample`
+    - duplicate spans       → tests/test_duplicate_spans.py hand-built
+      (Lee et al. 2021)       corpora + DuckDB parity on the documents
+                              table (find + strip halves); benched as
+                              `dup_spans`
     """
     return {
         "mwas_cohort_welch": q_mwas_cohort_welch,
@@ -1952,6 +1969,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "quality_linear": q_quality_linear,
         "cluster_sample": q_cluster_sample,
+        "dup_spans": q_dup_spans,
     }
 
 

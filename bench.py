@@ -57,6 +57,7 @@ HEADLINE = [
     "dsir_select",
     "quality_linear",
     "cluster_sample",
+    "dup_spans",
     "events_hourly",
 ]
 

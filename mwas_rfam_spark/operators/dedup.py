@@ -1195,3 +1195,136 @@ def incremental_minhash_dedup(
     else:
         updated = kept_buckets
     return survivors, updated
+
+
+def _positional_ngrams(
+    docs: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, pos, span): EVERY word n-gram occurrence with its 1-based
+    token position — positional, not the set-semantics `word_shingles`
+    (duplicate-span detection needs each occurrence, not each distinct
+    shingle per doc). Case-sensitive: exact substring duplication is."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col).alias("id"), F.posexplode(grams).alias("pos0", "span")
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "span")
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 20,
+    min_occurrences: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    examples_cap: int = 3,
+) -> DataFrame:
+    """Exact duplicate-substring detection at fixed span length — the
+    relational re-expression of Lee et al. 2021 ("Deduplicating Training
+    Data Makes Language Models Better"): every word n-gram occurring at
+    >= ``min_occurrences`` token positions across the corpus, with its
+    occurrence count, distinct-document count, and up to ``examples_cap``
+    (doc_id, pos) example locations.
+
+    The paper builds a suffix array — a single-machine structure; for a
+    FIXED n the equivalent is one positional-n-gram explode + hash
+    groupBy. Cost is a token-count-sized shuffle, the method's inherent
+    price (a suffix array also touches every token) — but parallelized,
+    and map-side partial aggregation collapses within-partition repeats
+    before the wire. Example locations use the rank-window prefilter
+    (never collect-then-slice), so a boilerplate span repeated a billion
+    times still owns a bounded row. Spans shorter than n tokens never
+    match (same as the paper's minimum-match length).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_occurrences < 2:
+        raise ValueError(f"min_occurrences must be >= 2, got {min_occurrences}")
+    grams = _positional_ngrams(docs, n, text_col, id_col)
+    w = Window.partitionBy("span").orderBy("id", "pos")
+    ranked = grams.withColumn("__rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("span")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("id").alias("n_docs"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("__rk") <= examples_cap,
+                        F.struct(F.col("id").alias("doc_id"), F.col("pos").alias("pos")),
+                    )
+                )
+            ).alias("examples"),
+            (F.count("*") > examples_cap).alias("examples_truncated"),
+        )
+        .where(F.col("n_occurrences") >= min_occurrences)
+        .select(
+            F.md5("span").alias("span_hash"),
+            "span",
+            "n_occurrences",
+            "n_docs",
+            "examples",
+            "examples_truncated",
+        )
+    )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    n: int = 20,
+    min_occurrences: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The removal half of Lee et al. 2021: rebuild every document with
+    all tokens covered by ANY duplicate span occurrence cut out
+    (overlapping occurrences merge naturally — coverage is a distinct
+    position set, so adjacent/overlapping spans union without interval
+    arithmetic). Documents left empty survive as empty strings (drop
+    them with a length gate downstream if desired); the relative order
+    of surviving tokens is preserved.
+
+    Plan shape: the duplicate spans (aggregated, corpus-small after the
+    >= min_occurrences gate) semi-join back against the positional
+    n-grams to find occurrences; each occurrence explodes to its n
+    covered positions (bounded: occurrences × n); tokens anti-join the
+    covered set on (id, position) and reassemble per doc. Three
+    shuffles, all keyed on span or doc id — never a cross product.
+    """
+    hot = (
+        duplicate_spans(docs, n, min_occurrences, text_col, id_col, examples_cap=1)
+        .select("span")
+    )
+    occ = _positional_ngrams(docs, n, text_col, id_col).join(hot, "span", "leftsemi")
+    covered = occ.select(
+        "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("tpos")
+    ).distinct()
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tpos0", "tok"),
+    ).select("id", (F.col("tpos0") + 1).alias("tpos"), "tok")
+    kept = toks.join(covered, ["id", "tpos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("__stripped")
+    )
+    ids = docs.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("__stripped", F.lit("")).alias(text_col),
+        )
+    )
