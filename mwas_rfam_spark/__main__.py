@@ -125,6 +125,92 @@ def curate_main(argv: list[str], spark: SparkSession | None = None) -> int:
             spark.stop()
 
 
+def build_select_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mwas_rfam_spark select",
+        description="Training-data selection: DSIR importance resampling "
+        "against a target corpus, linear quality-score gating, or "
+        "cluster-balanced embedding sampling.",
+    )
+    sub = p.add_subparsers(dest="op", required=True)
+    ds = sub.add_parser("dsir", help="importance-resample k docs that look like --target")
+    ds.add_argument("input", help="raw documents parquet")
+    ds.add_argument("--target", required=True, help="target documents parquet")
+    ds.add_argument("--output", required=True)
+    ds.add_argument("-k", type=int, required=True)
+    ds.add_argument("--seed", type=int, default=0)
+    ds.add_argument("--temperature", type=float, default=1.0)
+    ds.add_argument("--buckets", type=int, default=4096)
+    qs = sub.add_parser("quality", help="gate docs by a linear classifier score")
+    qs.add_argument("input", help="documents parquet")
+    qs.add_argument("--weights", required=True, help="(bucket, weight) parquet model")
+    qs.add_argument("--output", required=True)
+    qs.add_argument("--bias", type=float, default=0.0)
+    qs.add_argument("--threshold", type=float, default=0.5)
+    qs.add_argument("--buckets", type=int, default=4096)
+    cs = sub.add_parser("cluster", help="cluster-balanced embedding sample")
+    cs.add_argument("input", help="embeddings parquet")
+    cs.add_argument("--output", required=True)
+    cs.add_argument("--clusters", type=int, default=16)
+    cs.add_argument("--per-cluster", type=int, required=True)
+    cs.add_argument("--iters", type=int, default=3)
+    return p
+
+
+def select_main(argv: list[str], spark: SparkSession | None = None) -> int:
+    args = build_select_parser().parse_args(argv)
+    owns_session = spark is None
+    if owns_session:
+        from .session import get_spark
+
+        spark = get_spark(app_name="select-cli")
+    try:
+        if args.op == "dsir":
+            from .operators.selection import importance_resample
+
+            out = importance_resample(
+                spark.read.parquet(args.input),
+                spark.read.parquet(args.target),
+                k=args.k,
+                seed=args.seed,
+                temperature=args.temperature,
+                n_buckets=args.buckets,
+            )
+            out.write.mode("overwrite").parquet(args.output)
+            print(f"selected {out.count()} document(s)")
+        elif args.op == "quality":
+            from .operators.selection import score_quality_linear
+
+            docs = spark.read.parquet(args.input)
+            scored = score_quality_linear(
+                docs,
+                spark.read.parquet(args.weights),
+                bias=args.bias,
+                n_buckets=args.buckets,
+                threshold=args.threshold,
+            )
+            kept = docs.join(
+                scored.where("keep").select("doc_id"), "doc_id", "left_semi"
+            )
+            kept.write.mode("overwrite").parquet(args.output)
+            print(f"kept {kept.count()} of {docs.count()} document(s)")
+        else:
+            from .operators.similarity import (
+                cluster_balanced_sample,
+                train_ivf_centroids,
+            )
+
+            emb = spark.read.parquet(args.input)
+            cents = train_ivf_centroids(emb, k=args.clusters, iters=args.iters)
+            out = cluster_balanced_sample(emb, cents, per_cluster=args.per_cluster)
+            out.write.mode("overwrite").parquet(args.output)
+            print(f"sampled {out.count()} vector(s) from {args.clusters} cluster(s)")
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
 def build_maintain_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="mwas_rfam_spark maintain",
@@ -181,6 +267,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         return curate_main(argv[1:], spark)
     if argv and argv[0] == "maintain":
         return maintain_main(argv[1:], spark)
+    if argv and argv[0] == "select":
+        return select_main(argv[1:], spark)
     from .config import MwasConfig
     from .operators.condense import condense_metadata
     from .operators.mwas import run_mwas

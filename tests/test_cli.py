@@ -249,3 +249,61 @@ def test_cli_maintain_upsert_and_compact(spark, tmp_path):
     files = glob.glob(f"{base}/**/*.parquet", recursive=True)
     assert len(files) <= 4
     assert spark.read.parquet(base).count() == 41
+
+
+def test_cli_select_end_to_end(spark, tmp_path):
+    """`python -m mwas_rfam_spark select dsir|quality|cluster` end-to-end."""
+    from mwas_rfam_spark.__main__ import main
+
+    raw = str(tmp_path / "raw")
+    tgt = str(tmp_path / "tgt")
+    spark.createDataFrame(
+        [(i, "solar energy panels in sunlight") for i in range(20)]
+        + [(100 + i, "chocolate cake recipe with butter") for i in range(20)],
+        ["doc_id", "text"],
+    ).write.parquet(raw)
+    spark.createDataFrame(
+        [(i, "solar panels generate clean energy") for i in range(10)],
+        ["doc_id", "text"],
+    ).write.parquet(tgt)
+
+    out = str(tmp_path / "selected")
+    rc = main(
+        ["select", "dsir", raw, "--target", tgt, "--output", out,
+         "-k", "15", "--seed", "3", "--temperature", "0.05"],
+        spark=spark,
+    )
+    assert rc == 0
+    sel = spark.read.parquet(out)
+    assert sel.count() == 15
+    # low temperature: the on-topic half dominates the selection
+    assert sel.where("doc_id < 100").count() >= 14
+
+    # quality gate: an empty weight model scores every doc sigmoid(bias)
+    wts = str(tmp_path / "weights")
+    spark.createDataFrame([], "bucket INT, weight DOUBLE").write.parquet(wts)
+    out_q = str(tmp_path / "quality")
+    rc = main(
+        ["select", "quality", raw, "--weights", wts, "--output", out_q,
+         "--bias", "1.0", "--threshold", "0.6"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert spark.read.parquet(out_q).count() == 40  # sigmoid(1.0) ≈ 0.73 ≥ 0.6
+
+    emb = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(i, [float(i % 4), float((i * 7) % 5)]) for i in range(60)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    ).write.parquet(emb)
+    out_c = str(tmp_path / "clustered")
+    rc = main(
+        ["select", "cluster", emb, "--output", out_c,
+         "--clusters", "4", "--per-cluster", "5"],
+        spark=spark,
+    )
+    assert rc == 0
+    cs = spark.read.parquet(out_c)
+    assert 0 < cs.count() <= 20
+    per = cs.groupBy("cell").count().collect()
+    assert all(r["count"] <= 5 for r in per)
