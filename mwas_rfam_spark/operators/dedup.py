@@ -1204,7 +1204,13 @@ def _positional_ngrams(
     token position — positional, not the set-semantics `word_shingles`
     (duplicate-span detection needs each occurrence, not each distinct
     shingle per doc). Case-sensitive: exact substring duplication is."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # project the token array FIRST: slice(expr, i, n) inside the lambda
+    # would inline the split per position — O(tokens²) per document
+    toked = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+    )
+    toks = F.col("__toks")
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -1212,8 +1218,8 @@ def _positional_ngrams(
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select(
-        F.col(id_col).alias("id"), F.posexplode(grams).alias("pos0", "span")
+    return toked.select(
+        "id", F.posexplode(grams).alias("pos0", "span")
     ).select("id", (F.col("pos0") + 1).alias("pos"), "span")
 
 

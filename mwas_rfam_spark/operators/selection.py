@@ -56,6 +56,47 @@ def _tokens(text_col: Column) -> Column:
     return F.split(F.trim(F.lower(text_col)), r"\s+")
 
 
+def _bucket_occurrences(
+    docs: DataFrame,
+    n_buckets: int,
+    text_col: str,
+    id_col: str,
+    bigrams: bool,
+) -> DataFrame:
+    """(doc_id, bucket), one row per n-gram OCCURRENCE — the un-aggregated
+    feature stream both consumers reduce differently (the distributions
+    by bucket alone, the per-doc scores by doc). Skipping the
+    (doc_id, bucket) pre-aggregation removes a wide two-key shuffle the
+    arithmetic never needed: Σ_occurrences f(bucket) ≡ Σ_buckets
+    cnt·f(bucket), and the per-doc reduction's map-side combine already
+    collapses each partition to ~one row per document."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    # materialize the token array as a projected COLUMN before any
+    # expression references it: element_at(expr, i) inside the bigram
+    # lambda would otherwise inline the whole filter(split(...)) per
+    # element — re-tokenizing the text O(tokens²) per document (the same
+    # trap text.text_profile's single-tokenize fix removed)
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(_tokens(F.col(text_col)), lambda t: t != F.lit("")).alias("__toks"),
+    )
+    uni = F.col("__toks")
+    big = F.when(
+        F.size(uni) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(uni) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(uni, i), F.element_at(uni, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(uni, big) if bigrams else uni
+    return toked.select("doc_id", F.explode(grams).alias("gram")).select(
+        "doc_id", (_md5_u32(F.col("gram")) % n_buckets).cast("int").alias("bucket")
+    )
+
+
 def hashed_ngram_features(
     docs: DataFrame,
     n_buckets: int = 4096,
@@ -69,33 +110,19 @@ def hashed_ngram_features(
     distribution relations parameter-sized regardless of vocabulary.
     Empty documents contribute no rows (they carry no evidence either
     way; ``importance_weights`` gives them weight 0 via its left join).
+    The weight/score operators below consume the occurrence stream
+    directly (see ``_bucket_occurrences``); this aggregated form is the
+    inspectable per-document feature relation.
     """
-    if n_buckets < 2:
-        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
-    toks = _tokens(F.col(text_col))
-    uni = F.filter(toks, lambda t: t != F.lit(""))
-    big = F.when(
-        F.size(uni) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(uni) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(uni, i), F.element_at(uni, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = F.concat(uni, big) if bigrams else uni
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
-        .select(
-            "doc_id", (_md5_u32(F.col("gram")) % n_buckets).cast("int").alias("bucket")
-        )
+        _bucket_occurrences(docs, n_buckets, text_col, id_col, bigrams)
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
 
 
-def _bucket_counts(features: DataFrame) -> DataFrame:
-    return features.groupBy("bucket").agg(F.sum("cnt").alias("c"))
+def _bucket_counts(occurrences: DataFrame) -> DataFrame:
+    return occurrences.groupBy("bucket").agg(F.count("*").alias("c"))
 
 
 def importance_weights(
@@ -120,16 +147,16 @@ def importance_weights(
     """
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
-    f_raw = hashed_ngram_features(raw_docs, n_buckets, text_col, id_col, bigrams)
-    f_tgt = hashed_ngram_features(target_docs, n_buckets, text_col, id_col, bigrams)
+    occ_raw = _bucket_occurrences(raw_docs, n_buckets, text_col, id_col, bigrams)
+    occ_tgt = _bucket_occurrences(target_docs, n_buckets, text_col, id_col, bigrams)
     # materialize the two ≤n_buckets-row count relations ONCE
     # (localCheckpoint): the totals below and the ratio relation then
     # read parameter-sized state instead of re-featurizing the corpora
     # per consumer — one pass over the target, two over raw (the per-doc
-    # join re-derives f_raw; at 100 TB recomputing that projection beats
-    # caching a data-sized relation)
-    q = _bucket_counts(f_raw).localCheckpoint()
-    p = _bucket_counts(f_tgt).localCheckpoint()
+    # reduction re-derives the occurrence stream; at 100 TB recomputing
+    # that projection beats caching a data-sized relation)
+    q = _bucket_counts(occ_raw).localCheckpoint()
+    p = _bucket_counts(occ_tgt).localCheckpoint()
     # two scalars — the only driver-side values in the whole operator
     tot_q = q.agg(F.sum("c")).collect()[0][0] or 0
     tot_p = p.agg(F.sum("c")).collect()[0][0] or 0
@@ -145,10 +172,13 @@ def importance_weights(
             ).alias("logratio"),
         )
     )
+    # one doc-keyed shuffle: occurrence → broadcast ratio lookup → sum
+    # per doc (map-side combine emits ~one partial row per doc per
+    # partition, so the wire carries documents, not n-grams)
     per_doc = (
-        f_raw.join(F.broadcast(ratio), "bucket")
+        occ_raw.join(F.broadcast(ratio), "bucket")
         .groupBy("doc_id")
-        .agg(F.sum(F.col("cnt") * F.col("logratio")).alias("log_weight"))
+        .agg(F.sum("logratio").alias("log_weight"))
     )
     ids = raw_docs.select(F.col(id_col).alias("doc_id"))
     return ids.join(per_doc, "doc_id", "left").select(
@@ -219,14 +249,13 @@ def score_quality_linear(
     column is added (score >= threshold) — composable as a curation
     gate.
     """
-    feats = hashed_ngram_features(docs, n_buckets, text_col, id_col, bigrams)
+    occ = _bucket_occurrences(docs, n_buckets, text_col, id_col, bigrams)
     scored = (
-        feats.join(F.broadcast(weights), "bucket", "left")
+        occ.join(F.broadcast(weights), "bucket", "left")
         .groupBy("doc_id")
         .agg(
             (
-                F.sum(F.col("cnt") * F.coalesce(F.col("weight"), F.lit(0.0)))
-                / F.sum("cnt")
+                F.sum(F.coalesce(F.col("weight"), F.lit(0.0))) / F.count("*")
             ).alias("dot")
         )
     )

@@ -293,6 +293,66 @@ def probe_r4b_ops(spark, sf_dir: str, out: dict):
           file=sys.stderr)
 
 
+def probe_r4c_ops(spark, sf_dir: str, out: dict):
+    """Probe F (r4, third wave) — DSIR importance resampling, duplicate-
+    span detection/removal, and Misra-Gries heavy hitters at 1x and 10x
+    document mass.
+
+    DSIR replicates the raw side with suffix-perturbed text (distinct
+    docs; the bucket relations stay parameter-sized — the probe shows
+    the cost is the two featurization passes, both linear). dup_spans
+    replicates VERBATIM (clones), the adversarial shape: every span's
+    occurrence count inflates 10x but the span-keyed aggregation stays
+    linear — the quadratic blowup an all-pairs formulation would hit is
+    structurally absent. Heavy hitters tokenize the same masses with a
+    support chosen so candidates stay ~1/support per partition."""
+    from mwas_rfam_spark.operators.dedup import duplicate_spans, strip_duplicate_spans
+    from mwas_rfam_spark.operators.selection import importance_resample
+    from mwas_rfam_spark.operators.summary import heavy_hitters
+    from mwas_rfam_spark.plans.testdata_mwas import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tgt = docs.where(F.col("doc_id") % 7 == 0).localCheckpoint()
+    raw1 = docs.where(F.col("doc_id") % 7 != 0)
+    raw10 = raw1.crossJoin(
+        spark.range(10).select(F.col("id").alias("_c"))
+    ).select(
+        (F.col("doc_id") * 10 + F.col("_c")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v"), F.col("_c")).alias("text"),
+    )
+    clones10 = docs.crossJoin(
+        spark.range(10).select(F.col("id").alias("_c"))
+    ).select((F.col("doc_id") * 10 + F.col("_c")).alias("doc_id"), "text")
+
+    for label, raw in [("1x", raw1), ("10x", raw10)]:
+        raw = raw.localCheckpoint()
+        t0 = time.time()
+        _force(importance_resample(raw, tgt, k=200, seed=42))
+        out[f"dsir_select_{label}"] = round(time.time() - t0, 2)
+
+    for label, d in [("1x", docs), ("10x_clones", clones10)]:
+        d = d.localCheckpoint()
+        t0 = time.time()
+        _force(duplicate_spans(d, n=5, min_occurrences=2))
+        out[f"dup_spans_{label}"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        _force(strip_duplicate_spans(d, n=5, min_occurrences=2))
+        out[f"strip_spans_{label}"] = round(time.time() - t0, 2)
+
+    for label, d in [("1x", docs), ("10x", clones10)]:
+        toks = d.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+        ).where(F.col("tok") != "").localCheckpoint()
+        t0 = time.time()
+        _force(heavy_hitters(toks, "tok", support=0.001))
+        out[f"heavy_hitters_{label}"] = round(time.time() - t0, 2)
+
+    spark.catalog.clearCache()
+    print({k: v for k, v in out.items()
+           if k.startswith(("dsir_", "dup_spans", "strip_", "heavy_"))},
+          file=sys.stderr)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="scale-probe")
@@ -307,6 +367,7 @@ def main():
         "curation": probe_curation,
         "r4": probe_r4_ops,
         "r4b": probe_r4b_ops,
+        "r4c": probe_r4c_ops,
     }
     if only is not None and only not in probes:
         raise SystemExit(
