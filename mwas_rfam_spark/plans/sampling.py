@@ -217,3 +217,53 @@ def token_budget_mix(
     return with_cum.where(
         (F.col("cum_tokens") - F.col(token_col)) < budget_expr
     )
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: a ``split`` column drawn
+    by md5(seed:id) range partitioning of the unit interval — every row
+    gets exactly one label, the SAME label on any engine, cluster
+    layout, or re-run (``randomSplit`` is none of those: it resamples
+    per partition layout and can drop/duplicate rows across actions).
+    Growing one fraction at a fixed seed keeps previously-assigned rows
+    in their split wherever interval prefixes are preserved — the same
+    stability argument as ``stratified_sample_exact``.
+
+    ``fractions`` maps label -> fraction; must sum to 1 (±1e-9).
+    Assignment is a pure projection — no shuffle, no sampling pass;
+    actual split sizes are binomial around n×fraction (md5 is uniform:
+    deviation ~sqrt(n), negligible at corpus scale; use
+    ``stratified_sample_exact`` when a split must be exactly k rows).
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError(f"fractions must be >= 0: {fractions}")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    expr = None
+    upper = 0.0
+    labels = list(fractions)
+    for name in labels[:-1]:
+        upper += fractions[name]
+        cond = u < F.lit(upper)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(labels[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

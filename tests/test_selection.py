@@ -231,3 +231,46 @@ def test_bad_params_raise(spark):
         importance_resample(d, d, k=1, temperature=0.0)
     with pytest.raises(ValueError):
         importance_weights(d, d, alpha=0.0)
+
+
+def test_hash_split_deterministic_and_partitioned(spark):
+    from mwas_rfam_spark.plans.sampling import hash_split
+
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=5)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 10_000  # exactly one label per row
+    assert 7600 <= counts["train"] <= 8400  # binomial around 8000
+    assert 800 <= counts["val"] <= 1250 and 800 <= counts["test"] <= 1250
+    # deterministic across invocations; seed changes the assignment
+    again = hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=5)
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in again.collect()}
+    assert a == b
+    other = hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=6)
+    c = {r["doc_id"]: r["split"] for r in other.collect()}
+    assert a != c
+    # growing train at the same seed never evicts a train row
+    grown = hash_split(df, {"train": 0.9, "test": 0.1}, seed=5)
+    g = {r["doc_id"]: r["split"] for r in grown.collect()}
+    assert all(g[k] == "train" for k, v in a.items() if v == "train")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        hash_split(df, {"train": 0.5, "val": 0.4})
+
+
+def test_corpus_report(spark):
+    from mwas_rfam_spark.operators.summary import corpus_report
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta"), (4, "")],
+        ["doc_id", "text"],
+    )
+    r = corpus_report(docs).collect()[0]
+    assert r["n_docs"] == 4 and r["n_empty"] == 1
+    assert r["n_tokens"] == 7 and r["avg_tokens"] == 1.75
+    # docs 1 and 2 are exact duplicates: 3 distinct of 4 -> 0.25
+    assert r["dup_rate_est"] == pytest.approx(0.25, abs=0.01)
+    assert r["vocab_est"] == 4  # alpha beta gamma delta
