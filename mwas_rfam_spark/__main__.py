@@ -177,7 +177,9 @@ def select_main(argv: list[str], spark: SparkSession | None = None) -> int:
                 n_buckets=args.buckets,
             )
             out.write.mode("overwrite").parquet(args.output)
-            print(f"selected {out.count()} document(s)")
+            # count the WRITTEN parquet — re-counting `out` would re-run
+            # both featurization passes and the top-k from scratch
+            print(f"selected {spark.read.parquet(args.output).count()} document(s)")
         elif args.op == "quality":
             from .operators.selection import score_quality_linear
 
@@ -193,7 +195,8 @@ def select_main(argv: list[str], spark: SparkSession | None = None) -> int:
                 scored.where("keep").select("doc_id"), "doc_id", "left_semi"
             )
             kept.write.mode("overwrite").parquet(args.output)
-            print(f"kept {kept.count()} of {docs.count()} document(s)")
+            n_kept = spark.read.parquet(args.output).count()
+            print(f"kept {n_kept} of {docs.count()} document(s)")
         else:
             from .operators.similarity import (
                 cluster_balanced_sample,
@@ -204,7 +207,10 @@ def select_main(argv: list[str], spark: SparkSession | None = None) -> int:
             cents = train_ivf_centroids(emb, k=args.clusters, iters=args.iters)
             out = cluster_balanced_sample(emb, cents, per_cluster=args.per_cluster)
             out.write.mode("overwrite").parquet(args.output)
-            print(f"sampled {out.count()} vector(s) from {args.clusters} cluster(s)")
+            print(
+                f"sampled {spark.read.parquet(args.output).count()} vector(s) "
+                f"from {args.clusters} cluster(s)"
+            )
         return 0
     finally:
         if owns_session:

@@ -78,3 +78,26 @@ def cohort_signature(members_sorted: Column) -> Column:
     ["A","BC"].
     """
     return F.sha2(F.concat_ws("\x1f", members_sorted), 256)
+
+
+def hex_prefix_u32(hex_col: Column) -> Column:
+    """First 8 hex digits of a hash string decoded to a uniform 32-bit
+    long — the repo-wide engine-portable randomness primitive (DuckDB
+    replay: ``CAST('0x' || substr(h, 1, 8) AS BIGINT)``). 8 digits, not
+    fewer: a 2-digit decode mod n biases low buckets whenever n doesn't
+    divide 256 (see plans/sampling.shuffle_shard)."""
+    return F.conv(F.substring(hex_col, 1, 8), 16, 10).cast("long")
+
+
+def md5_u32(col: Column) -> Column:
+    """Uniform 32-bit long keyed on md5 of a column — ONE definition so
+    the cross-engine SQL-replay invariant can't drift between the
+    selection/sampling/split consumers."""
+    return hex_prefix_u32(F.md5(col))
+
+
+def md5_uniform(col: Column) -> Column:
+    """Deterministic Uniform(0,1) draw keyed on md5: (u32 + 0.5) / 2^32
+    — strictly inside (0,1) so log/log-log transforms (Gumbel) are
+    always finite."""
+    return (md5_u32(col) + F.lit(0.5)) / F.lit(float(2**32))

@@ -1197,18 +1197,30 @@ def incremental_minhash_dedup(
     return survivors, updated
 
 
+def _token_array(text_col):
+    """Whitespace tokens with boundary empties REMOVED: `trim` strips
+    only spaces, so 'a b\\n' splits to ['a','b',''] — the phantom empty
+    token would otherwise fabricate n-grams like 'a b ' that match
+    across documents on only n-1 real tokens, breaking the
+    minimum-match-length guarantee. NULL text yields an empty array."""
+    return F.filter(
+        F.split(F.coalesce(text_col, F.lit("")), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
 def _positional_ngrams(
     docs: DataFrame, n: int, text_col: str, id_col: str
 ) -> DataFrame:
     """(id, pos, span): EVERY word n-gram occurrence with its 1-based
     token position — positional, not the set-semantics `word_shingles`
     (duplicate-span detection needs each occurrence, not each distinct
-    shingle per doc). Case-sensitive: exact substring duplication is."""
+    shingle per doc). Case-sensitive: exact substring duplication is.
+    Positions index the NON-EMPTY token sequence (see `_token_array`)."""
     # project the token array FIRST: slice(expr, i, n) inside the lambda
     # would inline the split per position — O(tokens²) per document
     toked = docs.select(
         F.col(id_col).alias("id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+        _token_array(F.col(text_col)).alias("__toks"),
     )
     toks = F.col("__toks")
     grams = F.when(
@@ -1243,42 +1255,56 @@ def duplicate_spans(
     groupBy. Cost is a token-count-sized shuffle, the method's inherent
     price (a suffix array also touches every token) — but parallelized,
     and map-side partial aggregation collapses within-partition repeats
-    before the wire. Example locations use the rank-window prefilter
-    (never collect-then-slice), so a boilerplate span repeated a billion
-    times still owns a bounded row. Spans shorter than n tokens never
-    match (same as the paper's minimum-match length).
+    before the wire. Example locations come from the two-phase
+    top-k-per-group shape (operators/topk.py): a NARROW local window
+    keyed on (span, physical partition id) keeps each task's smallest
+    ``examples_cap`` (id, pos) pairs first, so a boilerplate span
+    repeated a billion times never funnels its occurrences through one
+    span-keyed window task — the exact window ranks ≤ cap × partitions
+    survivors, and the count aggregation keeps its map-side combine
+    (a plain per-span row_number before the groupBy would forfeit
+    both). Spans shorter than n tokens never match (same as the paper's
+    minimum-match length).
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if min_occurrences < 2:
         raise ValueError(f"min_occurrences must be >= 2, got {min_occurrences}")
+    # the two consumers re-derive this projection; cheaper than caching
+    # a token-count-sized relation (same call as importance_weights)
     grams = _positional_ngrams(docs, n, text_col, id_col)
-    w = Window.partitionBy("span").orderBy("id", "pos")
-    ranked = grams.withColumn("__rk", F.row_number().over(w))
-    return (
-        ranked.groupBy("span")
+    counts = (
+        grams.groupBy("span")
         .agg(
             F.count("*").alias("n_occurrences"),
             F.countDistinct("id").alias("n_docs"),
-            F.sort_array(
-                F.collect_list(
-                    F.when(
-                        F.col("__rk") <= examples_cap,
-                        F.struct(F.col("id").alias("doc_id"), F.col("pos").alias("pos")),
-                    )
-                )
-            ).alias("examples"),
-            (F.count("*") > examples_cap).alias("examples_truncated"),
         )
         .where(F.col("n_occurrences") >= min_occurrences)
-        .select(
-            F.md5("span").alias("span_hash"),
-            "span",
-            "n_occurrences",
-            "n_docs",
-            "examples",
-            "examples_truncated",
+    )
+    order = [F.col("id"), F.col("pos")]
+    w_local = Window.partitionBy("span", F.spark_partition_id()).orderBy(*order)
+    w = Window.partitionBy("span").orderBy(*order)
+    examples = (
+        grams.withColumn("__lrk", F.row_number().over(w_local))
+        .where(F.col("__lrk") <= examples_cap)
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= examples_cap)
+        .groupBy("span")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("id").alias("doc_id"), F.col("pos").alias("pos"))
+                )
+            ).alias("examples")
         )
+    )
+    return counts.join(examples, "span").select(
+        F.md5("span").alias("span_hash"),
+        "span",
+        "n_occurrences",
+        "n_docs",
+        "examples",
+        (F.col("n_occurrences") > examples_cap).alias("examples_truncated"),
     )
 
 
@@ -1289,20 +1315,24 @@ def strip_duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """The removal half of Lee et al. 2021: rebuild every document with
-    all tokens covered by ANY duplicate span occurrence cut out
+    """The removal half of Lee et al. 2021: rebuild ONLY the documents
+    containing a duplicate occurrence, with all covered tokens cut out
     (overlapping occurrences merge naturally — coverage is a distinct
     position set, so adjacent/overlapping spans union without interval
-    arithmetic). Documents left empty survive as empty strings (drop
-    them with a length gate downstream if desired); the relative order
-    of surviving tokens is preserved.
+    arithmetic). Untouched documents pass through with their text
+    byte-identical — including original whitespace and NULLs; a rebuild
+    is token-joined, so it is only applied where a cut actually happened.
+    Affected documents whose every token is covered come back as empty
+    strings (drop with a length gate downstream if desired); surviving
+    tokens keep their relative order, whitespace-normalized.
 
     Plan shape: the duplicate spans (aggregated, corpus-small after the
     >= min_occurrences gate) semi-join back against the positional
     n-grams to find occurrences; each occurrence explodes to its n
-    covered positions (bounded: occurrences × n); tokens anti-join the
-    covered set on (id, position) and reassemble per doc. Three
-    shuffles, all keyed on span or doc id — never a cross product.
+    covered positions (bounded: occurrences × n); only AFFECTED docs'
+    tokens anti-join the covered set on (id, position) and reassemble.
+    All shuffles keyed on span or doc id — never a cross product; the
+    rebuild's cost scales with the contaminated slice, not the corpus.
     """
     hot = (
         duplicate_spans(docs, n, min_occurrences, text_col, id_col, examples_cap=1)
@@ -1312,9 +1342,11 @@ def strip_duplicate_spans(
     covered = occ.select(
         "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("tpos")
     ).distinct()
-    toks = docs.select(
+    cut_ids = covered.select("id").distinct().withColumnRenamed("id", id_col)
+    affected = docs.join(cut_ids, id_col, "left_semi")
+    toks = affected.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tpos0", "tok"),
+        F.posexplode(_token_array(F.col(text_col))).alias("tpos0", "tok"),
     ).select("id", (F.col("tpos0") + 1).alias("tpos"), "tok")
     kept = toks.join(covered, ["id", "tpos"], "left_anti")
     rebuilt = kept.groupBy("id").agg(
@@ -1326,11 +1358,15 @@ def strip_duplicate_spans(
             " ",
         ).alias("__stripped")
     )
-    ids = docs.select(F.col(id_col).alias("id"))
     return (
-        ids.join(rebuilt, "id", "left")
+        docs.join(rebuilt.withColumnRenamed("id", id_col), id_col, "left")
+        .join(cut_ids.withColumn("__cut", F.lit(True)), id_col, "left")
         .select(
-            F.col("id").alias(id_col),
-            F.coalesce("__stripped", F.lit("")).alias(text_col),
+            *[c for c in docs.columns if c != text_col],
+            # __stripped is null for a cut doc whose EVERY token was
+            # covered — that is an empty result, not a pass-through
+            F.when(F.col("__cut"), F.coalesce("__stripped", F.lit("")))
+            .otherwise(F.col(text_col))
+            .alias(text_col),
         )
     )

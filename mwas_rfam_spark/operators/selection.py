@@ -43,11 +43,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# 32-bit uniform decode of an md5 prefix: the repo-standard
-# engine-portable hash (see plans/sampling.shuffle_shard for the
-# modulo-bias analysis; 8 hex digits = 32 bits >> any bucket count here)
-def _md5_u32(col: Column) -> Column:
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+from mwas_rfam_spark.functions.scalar import md5_u32 as _md5_u32
+from mwas_rfam_spark.functions.scalar import md5_uniform as _md5_uniform
 
 
 def _tokens(text_col: Column) -> Column:
@@ -218,10 +215,9 @@ def importance_resample(
     w = importance_weights(
         raw_docs, target_docs, n_buckets, alpha, text_col, id_col, bigrams
     )
-    u = (
-        _md5_u32(F.concat_ws(":", F.lit(str(seed)), F.col("doc_id").cast("string")))
-        + F.lit(0.5)
-    ) / F.lit(float(2**32))
+    u = _md5_uniform(
+        F.concat_ws(":", F.lit(str(seed)), F.col("doc_id").cast("string"))
+    )
     gumbel = -F.log(-F.log(u))
     keyed = raw_docs.withColumnRenamed(id_col, "doc_id").join(w, "doc_id").withColumn(
         "selection_key", F.col("log_weight") / F.lit(float(temperature)) + gumbel

@@ -250,14 +250,14 @@ def corpus_report(
     never shuffling a vocabulary- or corpus-sized key set — at 100 TB
     the report costs two scans, nothing else.
     """
-    from .dedup import normalize_text
+    from .dedup import _token_array, normalize_text
 
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # _token_array drops boundary empties: trim() strips only spaces,
+    # so 'hello world\n' would otherwise count 3 tokens and a '\n'-only
+    # doc would count as 2-token non-empty
     profile = docs.select(
         F.col(id_col),
-        F.when(F.trim(F.col(text_col)) == "", 0)
-        .otherwise(F.size(toks))
-        .alias("__n_toks"),
+        F.size(_token_array(F.col(text_col))).alias("__n_toks"),
         F.md5(normalize_text(F.col(text_col))).alias("__h"),
     )
     doc_stats = profile.agg(

@@ -110,12 +110,12 @@ def shuffle_shard(
     """
     if n_shards < 1 or n_shards > 65536:
         raise ValueError(f"n_shards must be in [1, 65536], got {n_shards}")
+    from mwas_rfam_spark.functions.scalar import hex_prefix_u32
+
     key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
     out = df.withColumn("_shuffle_key", key).withColumn(
         "shard",
-        (F.conv(F.substring("_shuffle_key", 1, 8), 16, 10).cast("long") % n_shards).cast(
-            "int"
-        ),
+        (hex_prefix_u32(F.col("_shuffle_key")) % n_shards).cast("int"),
     )
     if with_seq:
         w = Window.partitionBy("shard").orderBy(F.col("_shuffle_key"), F.col(id_col))
@@ -245,18 +245,11 @@ def hash_split(
         raise ValueError(f"fractions must sum to 1, got {total}")
     if any(f < 0 for f in fractions.values()):
         raise ValueError(f"fractions must be >= 0: {fractions}")
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        + F.lit(0.5)
-    ) / F.lit(float(2**32))
+    from mwas_rfam_spark.functions.scalar import md5_uniform
+
+    u = md5_uniform(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
     expr = None
     upper = 0.0
     labels = list(fractions)

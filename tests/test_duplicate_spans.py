@@ -132,3 +132,36 @@ def test_bad_params_raise(spark):
         duplicate_spans(d, n=0)
     with pytest.raises(ValueError):
         duplicate_spans(d, min_occurrences=1)
+
+
+def test_boundary_whitespace_no_phantom_spans(spark):
+    """trim() strips only spaces; a trailing newline must not fabricate
+    an n-gram ending in an empty token that matches on n-1 real tokens."""
+    docs = spark.createDataFrame(
+        [(1, "x foo bar\n"), (2, "y foo bar\n")], ["doc_id", "text"]
+    )
+    assert duplicate_spans(docs, n=3, min_occurrences=2).count() == 0
+    # the real 2-token repeat is found at its true length
+    out = duplicate_spans(docs, n=2, min_occurrences=2).collect()
+    assert {r["span"] for r in out} == {"foo bar"}
+
+
+def test_strip_preserves_untouched_docs_exactly(spark):
+    """Documents without a duplicate occurrence pass through
+    byte-identical — original whitespace, NULL text, and extra columns
+    intact; only cut docs are whitespace-normalized."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta padding one", "a"),
+            (2, "alpha beta gamma delta cushion two", "b"),
+            (3, "line1\nline2\t tabbed  spaced ", "c"),
+            (4, None, "d"),
+        ],
+        ["doc_id", "text", "extra"],
+    )
+    out = {r["doc_id"]: (r["text"], r["extra"])
+           for r in strip_duplicate_spans(docs, n=4, min_occurrences=2).collect()}
+    assert out[1] == ("padding one", "a")
+    assert out[2] == ("cushion two", "b")
+    assert out[3] == ("line1\nline2\t tabbed  spaced ", "c")  # byte-identical
+    assert out[4] == (None, "d")  # NULL stays NULL

@@ -274,3 +274,16 @@ def test_corpus_report(spark):
     # docs 1 and 2 are exact duplicates: 3 distinct of 4 -> 0.25
     assert r["dup_rate_est"] == pytest.approx(0.25, abs=0.01)
     assert r["vocab_est"] == 4  # alpha beta gamma delta
+
+
+def test_corpus_report_whitespace_boundaries(spark):
+    """Trailing newlines/tabs must not inflate token counts, and a
+    whitespace-only doc counts as empty."""
+    from mwas_rfam_spark.operators.summary import corpus_report
+
+    docs = spark.createDataFrame(
+        [(1, "hello world\n"), (2, "\t"), (3, "  a  b  ")], ["doc_id", "text"]
+    )
+    r = corpus_report(docs).collect()[0]
+    assert r["n_tokens"] == 4  # hello world a b
+    assert r["n_empty"] == 1  # the tab-only doc
