@@ -1887,6 +1887,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       (Lee et al. 2021)       corpora + DuckDB parity on the documents
                               table (find + strip halves); benched as
                               `dup_spans`
+    - hash_split            → tests/test_selection.py determinism +
+                              proportions + grow-stability (same
+                              md5_u32 primitive the green
+                              `shuffle_shard` pins)
+    - corpus_report         → tests/test_selection.py hand-computed
+                              corpus (exact fields exact; HLL fields
+                              are the green `condense` countDistinct
+                              family's sketch form)
+    - embed_documents       → tests/test_multimodal.py determinism +
+                              custom-encoder batch contract + ANN
+                              hand-off (stub convention of the
+                              multimodal codec family)
     """
     return {
         "mwas_cohort_welch": q_mwas_cohort_welch,

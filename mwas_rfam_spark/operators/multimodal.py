@@ -211,3 +211,72 @@ def sample_video_frames(media: DataFrame, every_n: int = 4, fake: bool = True) -
         "doc_id", "payload"
     )
     return video.mapInPandas(sample, VIDEO_FRAMES_SCHEMA)
+
+
+def embed_documents(
+    docs: DataFrame,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    encoder=None,
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """Text → embedding inference: (doc_id, embedding ARRAY<FLOAT>) —
+    the plumbing that turns a documents table into the embeddings table
+    the ANN/semantic-dedup/cluster-sampling family consumes.
+
+    ``encoder`` is any callable ``list[str] -> ndarray[batch, dim]``
+    (a sentence-transformers model, an ONNX session, ...); it runs
+    inside ``mapInPandas``, so each Arrow batch is one vectorized
+    forward pass and the model loads once per Python worker, not per
+    row. With ``encoder=None`` (model libs absent in this container) a
+    deterministic fake embeds each text by seeding numpy from its
+    sha256 and L2-normalizing — unit-norm vectors with the real path's
+    schema, batch shape, and determinism, so everything downstream is
+    exercised for real (same stub convention as the codec family
+    above).
+
+    ``batch_partitions`` repartitions before the Python stage — at real
+    scale set it to a multiple of the GPU/executor count so inference
+    batches balance; by default the scan's partitioning is kept.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            texts = ["" if t is None else str(t) for t in pdf["__text"]]
+            if encoder is not None:
+                vecs = np.asarray(encoder(texts), dtype="float32")
+                if vecs.shape != (len(texts), dim):
+                    raise ValueError(
+                        f"encoder returned shape {vecs.shape}, "
+                        f"expected {(len(texts), dim)}"
+                    )
+            else:
+                rows = []
+                for t in texts:
+                    seed = int.from_bytes(
+                        hashlib.sha256(t.encode()).digest()[:8], "big"
+                    )
+                    rng = np.random.default_rng(seed)
+                    v = rng.standard_normal(dim)
+                    rows.append(v / (np.linalg.norm(v) or 1.0))
+                vecs = np.asarray(rows, dtype="float32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["__id"].astype("int64"),
+                    "embedding": [v.tolist() for v in vecs],
+                }
+            )
+
+    src = docs.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+    )
+    if batch_partitions is not None:
+        src = src.repartition(batch_partitions)
+    return src.mapInPandas(embed, "doc_id BIGINT, embedding ARRAY<FLOAT>")

@@ -83,3 +83,60 @@ def test_video_frame_sampling(media):
         payload_len = len(ROWS[doc_id][1].encode())
         expected = len(range(0, max(1, payload_len // 8), 4))
         assert n == expected
+
+
+def test_embed_documents_fake_deterministic(spark):
+    from mwas_rfam_spark.operators.multimodal import embed_documents
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "different"), (4, None)],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["embedding"] for r in embed_documents(docs, dim=8).collect()}
+    assert len(out) == 4 and all(len(v) == 8 for v in out.values())
+    assert out[1] == out[2]  # same text -> same vector (content-keyed)
+    assert out[1] != out[3]
+    import math
+    for v in out.values():
+        assert math.isqrt(0) == 0 and abs(sum(x * x for x in v) - 1.0) < 1e-5  # unit norm
+    again = {r["doc_id"]: r["embedding"] for r in embed_documents(docs, dim=8).collect()}
+    assert out == again  # deterministic across runs
+
+
+def test_embed_documents_custom_encoder_and_downstream(spark):
+    """A caller-supplied encoder runs batched, and the output feeds the
+    ANN family directly (schema compatibility check)."""
+    import numpy as np
+
+    from mwas_rfam_spark.operators.multimodal import embed_documents
+    from mwas_rfam_spark.operators.similarity import brute_force_topk
+
+    def encoder(texts):
+        # length + vowel-count toy featurizer, vectorized per batch
+        return np.asarray(
+            [[float(len(t)), float(sum(c in "aeiou" for c in t)), 1.0] for t in texts],
+            dtype="float32",
+        )
+
+    docs = spark.createDataFrame(
+        [(i, "x" * i + "a" * (i % 3)) for i in range(1, 21)], ["doc_id", "text"]
+    )
+    emb = embed_documents(docs, dim=3, encoder=encoder).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    top = brute_force_topk(emb, [5.0, 1.0, 1.0], k=3, id_col="vec_id", vec_col="embedding")
+    assert top.count() == 3
+
+
+def test_embed_documents_bad_encoder_shape_raises(spark):
+    import numpy as np
+
+    from mwas_rfam_spark.operators.multimodal import embed_documents
+
+    docs = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    bad = embed_documents(docs, dim=4, encoder=lambda ts: np.zeros((len(ts), 2)))
+    import pytest as _pt
+    from py4j.protocol import Py4JJavaError
+
+    with _pt.raises(Exception):
+        bad.collect()
