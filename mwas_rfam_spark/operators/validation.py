@@ -1,0 +1,193 @@
+"""Declarative data-quality validation — the Deequ-shaped (Schelter et
+al., VLDB 2018) expectations gate every long-lived ingest pipeline puts
+in front of its corpus.
+
+Extension surface: the reference validates its input once, imperatively
+(arity/dtype checks at mwas_general.py:752-759, size gates in
+converter_.py:38-41); a continuously-ingesting 100 TB pipeline needs the
+declarative form — a rule set evaluated in ONE aggregation pass with a
+machine-checkable report, plus a quarantine relation for the rows that
+fail, so bad batches park instead of poisoning the corpus.
+
+Three rule flavors, costed differently on purpose:
+
+* **row-local** rules (not_null / in_range / matches_regex / custom
+  expression) evaluate as boolean columns — the whole report is one
+  map-side-combined aggregation, no shuffle beyond the final 1-row
+  reduce, whatever the rule count;
+* **uniqueness** is relational: violations = rows − distinct(keys),
+  counted in the same pass via count_distinct, with the offending rows
+  recovered only by the quarantine path (groupBy + semi-join);
+* **referential integrity** anti-joins a (broadcast) reference relation.
+
+`validate` returns the one-row report; `quarantine` returns the failing
+rows with a `violations` array naming every rule each row breaks —
+append it to a dead-letter table and re-drive after fixes (the
+maintenance-sink upsert is the re-entry path).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """A named row-local expectation: ``passes`` must be a boolean
+    Column that is True when the row SATISFIES the rule. NULL results
+    count as violations (unknown is not a pass)."""
+
+    name: str
+    passes: Column
+
+
+def not_null(col: str) -> Rule:
+    return Rule(f"not_null({col})", F.col(col).isNotNull())
+
+
+def in_range(col: str, lo, hi) -> Rule:
+    return Rule(
+        f"in_range({col},{lo},{hi})",
+        F.col(col).isNotNull() & (F.col(col) >= lo) & (F.col(col) <= hi),
+    )
+
+
+def matches_regex(col: str, pattern: str) -> Rule:
+    return Rule(
+        f"matches_regex({col})",
+        F.col(col).isNotNull() & F.col(col).rlike(pattern),
+    )
+
+
+def satisfies(name: str, expr: Column) -> Rule:
+    """Escape hatch: any boolean expression as a named rule."""
+    return Rule(name, expr)
+
+
+def _fails(rule: Rule) -> Column:
+    # NULL-safe: a rule evaluating to NULL is a violation
+    return F.when(F.coalesce(rule.passes, F.lit(False)), 0).otherwise(1)
+
+
+def validate(
+    df: DataFrame,
+    rules: list[Rule] | None = None,
+    unique: list[list[str]] | None = None,
+    foreign_keys: list[tuple[str, DataFrame, str]] | None = None,
+) -> DataFrame:
+    """One-row report: ``n_rows``, one ``viol:<rule>`` count per rule,
+    ``viol:unique(...)`` per key set (rows beyond the first of each
+    duplicate group), ``viol:fk(...)`` per reference — and ``ok``
+    (True iff every count is 0).
+
+    Cost model: all row-local rules + uniqueness counts ride ONE
+    aggregation over the input (count_distinct adds its expand, still a
+    single pass); each foreign key is one anti-join count against a
+    broadcast reference projection. Nothing is collected but the report
+    row itself.
+    """
+    rules = rules or []
+    unique = unique or []
+    foreign_keys = foreign_keys or []
+    aggs = [F.count("*").alias("n_rows")]
+    for r in rules:
+        aggs.append(F.sum(_fails(r)).alias(f"viol:{r.name}"))
+    for cols in unique:
+        label = f"viol:unique({','.join(cols)})"
+        # NULL-safe distinct: count(DISTINCT a, b) drops any row with a
+        # null key, which would miscount every null-keyed row as a
+        # duplicate — the sentinel coalesce treats NULL as a value,
+        # matching the quarantine path's grouping
+        keys = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in cols
+        ]
+        aggs.append((F.count("*") - F.count_distinct(*keys)).alias(label))
+    report = df.agg(*aggs)
+    for col, ref, ref_col in foreign_keys:
+        label = f"viol:fk({col})"
+        n_orphans = (
+            df.select(F.col(col))
+            .where(F.col(col).isNotNull())
+            .join(
+                F.broadcast(ref.select(F.col(ref_col).alias(col)).distinct()),
+                col,
+                "left_anti",
+            )
+            .count()
+        )
+        report = report.withColumn(label, F.lit(n_orphans))
+    viol_cols = [c for c in report.columns if c.startswith("viol:")]
+    ok = F.lit(True)
+    for c in viol_cols:
+        # rule names contain dots (range bounds) — backtick-quote so
+        # F.col doesn't parse them as struct field access
+        ok = ok & (F.col(f"`{c}`") <= 0)
+    return report.withColumn("ok", ok)
+
+
+def quarantine(
+    df: DataFrame,
+    rules: list[Rule] | None = None,
+    unique: list[list[str]] | None = None,
+    foreign_keys: list[tuple[str, DataFrame, str]] | None = None,
+) -> DataFrame:
+    """The failing rows, each with a ``violations`` array naming every
+    rule it breaks (row-local rules as expressions; uniqueness marks
+    every row PAST THE FIRST of a duplicate group — keep-first, the
+    dedup family's convention; orphan foreign keys via broadcast
+    anti-membership). Rows violating nothing are absent — at a healthy
+    steady state this relation is empty and costs one filter."""
+    from pyspark.sql import Window
+
+    rules = rules or []
+    unique = unique or []
+    foreign_keys = foreign_keys or []
+    out = df
+    tags = []
+    for r in rules:
+        tag = f"__v_{len(tags)}"
+        out = out.withColumn(
+            tag, F.when(_fails(r) == 1, F.lit(r.name))
+        )
+        tags.append(tag)
+    for cols in unique:
+        tag = f"__v_{len(tags)}"
+        w = Window.partitionBy(*[F.coalesce(F.col(c).cast("string"), F.lit("\0"))
+                                 for c in cols]).orderBy(*df.columns)
+        out = out.withColumn(
+            tag,
+            F.when(
+                F.row_number().over(w) > 1,
+                F.lit(f"unique({','.join(cols)})"),
+            ),
+        )
+        tags.append(tag)
+    for col, ref, ref_col in foreign_keys:
+        tag = f"__v_{len(tags)}"
+        keys = ref.select(F.col(ref_col).alias("__k")).distinct()
+        out = (
+            out.join(
+                F.broadcast(keys.withColumn("__present", F.lit(True))),
+                out[col] == keys["__k"],
+                "left",
+            )
+            .drop("__k")
+            .withColumn(
+                tag,
+                F.when(
+                    F.col(col).isNotNull() & F.col("__present").isNull(),
+                    F.lit(f"fk({col})"),
+                ),
+            )
+            .drop("__present")
+        )
+        tags.append(tag)
+    viol = F.filter(F.array(*[F.col(t) for t in tags]), lambda x: x.isNotNull())
+    return (
+        out.withColumn("violations", viol)
+        .where(F.size("violations") > 0)
+        .drop(*tags)
+    )

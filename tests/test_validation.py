@@ -1,0 +1,102 @@
+"""Data-quality validation tests: report counts computed by hand,
+null semantics (NULL rule result = violation; NULL is a value for
+uniqueness), quarantine reasons, FK orphans, healthy-corpus fast path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mwas_rfam_spark.operators.validation import (
+    in_range,
+    matches_regex,
+    not_null,
+    quarantine,
+    satisfies,
+    validate,
+)
+
+
+@pytest.fixture()
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "en", 10.0),
+            (2, "en", -3.0),     # range violation
+            (3, None, 5.0),      # null lang
+            (3, "fr", 7.0),      # duplicate id
+            (5, "de", None),     # null score -> range rule violated too
+            (6, "zz9", 1.0),     # regex violation
+        ],
+        ["doc_id", "lang", "score"],
+    )
+
+
+def RULES():
+    # built lazily: Column construction needs an active session
+    return [
+        not_null("lang"),
+        in_range("score", 0.0, 100.0),
+        matches_regex("lang", r"^[a-z]{2}$"),
+    ]
+
+
+def test_report_counts(spark, corpus):
+    ref = spark.createDataFrame([(1,), (2,), (3,), (6,)], ["id"])
+    r = validate(
+        corpus,
+        RULES(),
+        unique=[["doc_id"]],
+        foreign_keys=[("doc_id", ref, "id")],
+    ).collect()[0]
+    assert r["n_rows"] == 6
+    assert r["viol:not_null(lang)"] == 1
+    assert r["viol:in_range(score,0.0,100.0)"] == 2  # -3 and NULL
+    assert r["viol:matches_regex(lang)"] == 2  # NULL and 'zz9'
+    assert r["viol:unique(doc_id)"] == 1  # id 3 twice
+    assert r["viol:fk(doc_id)"] == 1  # id 5 has no reference row
+    assert r["ok"] is False
+
+
+def test_healthy_corpus_ok(spark):
+    df = spark.createDataFrame([(1, "en", 1.0), (2, "fr", 2.0)], ["doc_id", "lang", "score"])
+    r = validate(df, RULES(), unique=[["doc_id"]]).collect()[0]
+    assert r["ok"] is True
+    assert all(v == 0 for k, v in r.asDict().items() if k.startswith("viol:"))
+
+
+def test_quarantine_reasons(spark, corpus):
+    ref = spark.createDataFrame([(1,), (2,), (3,), (6,)], ["id"])
+    q = quarantine(
+        corpus,
+        RULES(),
+        unique=[["doc_id"]],
+        foreign_keys=[("doc_id", ref, "id")],
+    )
+    rows = {(r["doc_id"], r["lang"]): set(r["violations"]) for r in q.collect()}
+    assert rows[(2, "en")] == {"in_range(score,0.0,100.0)"}
+    assert rows[(3, None)] == {"not_null(lang)", "matches_regex(lang)"}
+    # the second row of the duplicate id-3 group is the unique violator
+    assert "unique(doc_id)" in rows[(3, "fr")]
+    assert rows[(5, "de")] == {"in_range(score,0.0,100.0)", "fk(doc_id)"}
+    assert rows[(6, "zz9")] == {"matches_regex(lang)"}
+    assert (1, "en") not in rows  # clean row absent
+
+
+def test_custom_rule_and_null_is_violation(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 20)], "id LONG, v INT"
+    )
+    r = validate(df, [satisfies("v_lt_10", F.col("v") < 10)]).collect()[0]
+    # v=NULL evaluates the predicate to NULL -> violation, same as 20
+    assert r["viol:v_lt_10"] == 2
+
+
+def test_unique_treats_null_as_value(spark):
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "b"), (1, "c")], "k INT, x STRING"
+    )
+    r = validate(df, unique=[["k"]]).collect()[0]
+    assert r["viol:unique(k)"] == 1  # two NULL keys = one duplicate
+    q = quarantine(df, unique=[["k"]])
+    assert q.count() == 1
