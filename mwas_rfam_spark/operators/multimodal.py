@@ -269,7 +269,10 @@ def embed_documents(
                 vecs = np.asarray(rows, dtype="float32")
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["__id"].astype("int64"),
+                    # pass the id through untouched — forcing int64 here
+                    # would truncate float ids and crash on string/UUID
+                    # ids the id_col parameter invites
+                    "doc_id": pdf["__id"],
                     "embedding": [v.tolist() for v in vecs],
                 }
             )
@@ -279,4 +282,5 @@ def embed_documents(
     )
     if batch_partitions is not None:
         src = src.repartition(batch_partitions)
-    return src.mapInPandas(embed, "doc_id BIGINT, embedding ARRAY<FLOAT>")
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return src.mapInPandas(embed, f"doc_id {id_type}, embedding ARRAY<FLOAT>")

@@ -215,8 +215,12 @@ def importance_resample(
     w = importance_weights(
         raw_docs, target_docs, n_buckets, alpha, text_col, id_col, bigrams
     )
+    # 'dsir:' domain tag decorrelates this draw from shuffle_shard's
+    # md5('{seed}:{id}') and hash_split's 'split:'-tagged uniform at
+    # equal seeds (shared randomness would couple selection to shard or
+    # split membership)
     u = _md5_uniform(
-        F.concat_ws(":", F.lit(str(seed)), F.col("doc_id").cast("string"))
+        F.concat_ws(":", F.lit("dsir"), F.lit(str(seed)), F.col("doc_id").cast("string"))
     )
     gumbel = -F.log(-F.log(u))
     keyed = raw_docs.withColumnRenamed(id_col, "doc_id").join(w, "doc_id").withColumn(

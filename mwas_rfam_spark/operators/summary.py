@@ -276,9 +276,11 @@ def corpus_report(
             4,
         ),
     ).drop("__distinct_docs")
+    # same _token_array definition as the doc-stats arm — two local
+    # tokenizers in one function is exactly the drift class the
+    # boundary-whitespace fix closed
     vocab = (
-        docs.select(F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("t"))
-        .where(F.col("t") != "")
+        docs.select(F.explode(_token_array(F.lower(F.col(text_col)))).alias("t"))
         .agg(F.approx_count_distinct("t").alias("vocab_est"))
     )
     return doc_stats.crossJoin(vocab)

@@ -83,18 +83,36 @@ def validate(
     duplicate group), ``viol:fk(...)`` per reference — and ``ok``
     (True iff every count is 0).
 
-    Cost model: all row-local rules + uniqueness counts ride ONE
-    aggregation over the input (count_distinct adds its expand, still a
-    single pass); each foreign key is one anti-join count against a
-    broadcast reference projection. Nothing is collected but the report
+    Cost model: all row-local rules + uniqueness counts + foreign-key
+    orphan counts ride ONE lazy aggregation over the input — each FK
+    attaches a broadcast-left-join membership flag BEFORE the agg, so
+    the whole report is a single plan evaluated at collect time
+    (build-time eager FK jobs would also snapshot a different dataset
+    state than the collect-time row-local counts). An empty input
+    reports zero violations and ok=True (sums coalesce — SUM over zero
+    rows is NULL, which would make ``ok`` NULL and fail falsy gates on
+    every healthy-but-empty batch). Nothing is collected but the report
     row itself.
     """
     rules = rules or []
     unique = unique or []
     foreign_keys = foreign_keys or []
+    work = df
+    fk_flags: list[tuple[str, str]] = []
+    for i, (col, ref, ref_col) in enumerate(foreign_keys):
+        flag = f"__fk_ok_{i}"
+        keys = ref.select(F.col(ref_col).alias(f"__fkk_{i}")).distinct()
+        work = work.join(
+            F.broadcast(keys.withColumn(flag, F.lit(True))),
+            work[col] == keys[f"__fkk_{i}"],
+            "left",
+        ).drop(f"__fkk_{i}")
+        fk_flags.append((col, flag))
     aggs = [F.count("*").alias("n_rows")]
     for r in rules:
-        aggs.append(F.sum(_fails(r)).alias(f"viol:{r.name}"))
+        aggs.append(
+            F.coalesce(F.sum(_fails(r)), F.lit(0)).alias(f"viol:{r.name}")
+        )
     for cols in unique:
         label = f"viol:unique({','.join(cols)})"
         # NULL-safe distinct: count(DISTINCT a, b) drops any row with a
@@ -105,20 +123,18 @@ def validate(
             F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in cols
         ]
         aggs.append((F.count("*") - F.count_distinct(*keys)).alias(label))
-    report = df.agg(*aggs)
-    for col, ref, ref_col in foreign_keys:
-        label = f"viol:fk({col})"
-        n_orphans = (
-            df.select(F.col(col))
-            .where(F.col(col).isNotNull())
-            .join(
-                F.broadcast(ref.select(F.col(ref_col).alias(col)).distinct()),
-                col,
-                "left_anti",
-            )
-            .count()
+    for col, flag in fk_flags:
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col(col).isNotNull() & F.col(flag).isNull(), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias(f"viol:fk({col})")
         )
-        report = report.withColumn(label, F.lit(n_orphans))
+    report = work.agg(*aggs)
     viol_cols = [c for c in report.columns if c.startswith("viol:")]
     ok = F.lit(True)
     for c in viol_cols:
@@ -136,10 +152,11 @@ def quarantine(
 ) -> DataFrame:
     """The failing rows, each with a ``violations`` array naming every
     rule it breaks (row-local rules as expressions; uniqueness marks
-    every row PAST THE FIRST of a duplicate group — keep-first, the
-    dedup family's convention; orphan foreign keys via broadcast
-    anti-membership). Rows violating nothing are absent — at a healthy
-    steady state this relation is empty and costs one filter."""
+    every row PAST THE FIRST of a duplicate group, "first" = smallest
+    by the orderable columns, keys leading; orphan foreign keys via
+    broadcast anti-membership). Rows violating nothing are absent — at
+    a healthy steady state this relation is empty and costs one
+    filter."""
     from pyspark.sql import Window
 
     rules = rules or []
@@ -153,10 +170,21 @@ def quarantine(
             tag, F.when(_fails(r) == 1, F.lit(r.name))
         )
         tags.append(tag)
+    # keep-first needs a deterministic within-group order; only
+    # orderable column types participate (a map-typed metadata column
+    # would throw), keys first so ties break on the remaining columns
+    from pyspark.sql.types import MapType
+
+    orderable = [
+        f.name for f in df.schema.fields if not isinstance(f.dataType, MapType)
+    ]
     for cols in unique:
         tag = f"__v_{len(tags)}"
+        order_cols = [c for c in cols if c in orderable] + [
+            c for c in orderable if c not in cols
+        ]
         w = Window.partitionBy(*[F.coalesce(F.col(c).cast("string"), F.lit("\0"))
-                                 for c in cols]).orderBy(*df.columns)
+                                 for c in cols]).orderBy(*order_cols)
         out = out.withColumn(
             tag,
             F.when(

@@ -247,8 +247,12 @@ def hash_split(
         raise ValueError(f"fractions must be >= 0: {fractions}")
     from mwas_rfam_spark.functions.scalar import md5_uniform
 
+    # 'split:' domain tag: without it this u would be the SAME draw as
+    # shuffle_shard's md5('{seed}:{id}') and the DSIR Gumbel uniform at
+    # equal seeds — making the test split exactly the top decile of the
+    # shard/selection key (train/test leakage into top-k selection)
     u = md5_uniform(
-        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+        F.concat_ws(":", F.lit("split"), F.lit(str(seed)), F.col(id_col).cast("string"))
     )
     expr = None
     upper = 0.0

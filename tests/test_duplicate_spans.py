@@ -61,7 +61,11 @@ def test_matches_duckdb(spark, sf_dir):
         for r in con.sql(
             f"""
             WITH toks AS (
-              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              -- list_filter mirrors _token_array: boundary empties from
+              -- non-space whitespace must not fabricate phantom grams
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS t
               FROM '{sf_dir}/documents.parquet'),
             grams AS (
               SELECT doc_id,

@@ -96,9 +96,8 @@ def test_embed_documents_fake_deterministic(spark):
     assert len(out) == 4 and all(len(v) == 8 for v in out.values())
     assert out[1] == out[2]  # same text -> same vector (content-keyed)
     assert out[1] != out[3]
-    import math
     for v in out.values():
-        assert math.isqrt(0) == 0 and abs(sum(x * x for x in v) - 1.0) < 1e-5  # unit norm
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-5  # unit norm
     again = {r["doc_id"]: r["embedding"] for r in embed_documents(docs, dim=8).collect()}
     assert out == again  # deterministic across runs
 
@@ -136,7 +135,6 @@ def test_embed_documents_bad_encoder_shape_raises(spark):
     docs = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
     bad = embed_documents(docs, dim=4, encoder=lambda ts: np.zeros((len(ts), 2)))
     import pytest as _pt
-    from py4j.protocol import Py4JJavaError
 
-    with _pt.raises(Exception):
+    with _pt.raises(Exception, match="encoder returned shape"):
         bad.collect()

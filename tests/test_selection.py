@@ -107,7 +107,7 @@ def test_resample_matches_duckdb_topk(spark, sf_dir, split_docs):
         keyed AS (
           SELECT doc_id,
                  log_weight - ln(-ln(
-                   (CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   (CAST('0x' || substr(md5('dsir:42:' || CAST(doc_id AS VARCHAR)), 1, 8)
                          AS BIGINT) + 0.5) / 4294967296.0)) AS selection_key
           FROM w)
         SELECT doc_id, round(selection_key, 6) FROM keyed
@@ -287,3 +287,24 @@ def test_corpus_report_whitespace_boundaries(spark):
     r = corpus_report(docs).collect()[0]
     assert r["n_tokens"] == 4  # hello world a b
     assert r["n_empty"] == 1  # the tab-only doc
+
+
+def test_randomness_domains_are_separated(spark):
+    """hash_split / shuffle_shard / DSIR-Gumbel at the SAME seed must
+    draw from different md5 domains: the test split must not be exactly
+    the top shard-key decile or systematically own the top Gumbel keys
+    (that coupling was real before the domain tags — selection over-
+    sampled the held-out split)."""
+    from mwas_rfam_spark.functions.scalar import md5_uniform
+    from mwas_rfam_spark.plans.sampling import hash_split
+
+    df = spark.range(4000).withColumnRenamed("id", "doc_id")
+    split = hash_split(df, {"train": 0.9, "test": 0.1}, seed=0)
+    # the untagged (shuffle_shard-domain) uniform for the same ids
+    shard_u = md5_uniform(
+        F.concat_ws(":", F.lit("0"), F.col("doc_id").cast("string"))
+    )
+    joined = split.withColumn("u_shard", shard_u)
+    # if domains were shared, every test row would have u_shard >= 0.9
+    test_low = joined.where((F.col("split") == "test") & (F.col("u_shard") < 0.9))
+    assert test_low.count() > 0

@@ -100,3 +100,28 @@ def test_unique_treats_null_as_value(spark):
     assert r["viol:unique(k)"] == 1  # two NULL keys = one duplicate
     q = quarantine(df, unique=[["k"]])
     assert q.count() == 1
+
+
+def test_empty_batch_reports_ok(spark):
+    """A healthy-but-empty batch must report zero violations and
+    ok=True — SUM over zero rows is NULL without the coalesce, and a
+    NULL ok would park every empty batch at a falsy gate."""
+    df = spark.createDataFrame([], "doc_id LONG, lang STRING, score DOUBLE")
+    ref = spark.createDataFrame([(1,)], ["id"])
+    r = validate(
+        df, RULES(), unique=[["doc_id"]], foreign_keys=[("doc_id", ref, "id")]
+    ).collect()[0]
+    assert r["n_rows"] == 0 and r["ok"] is True
+    assert all(v == 0 for k, v in r.asDict().items() if k.startswith("viol:"))
+
+
+def test_quarantine_with_map_column(spark):
+    """A non-orderable (map) metadata column must not break the
+    uniqueness window's keep-first ordering."""
+    df = spark.createDataFrame(
+        [(1, {"k": "v"}), (1, {"k": "w"}), (2, {"k": "x"})],
+        "doc_id LONG, meta MAP<STRING,STRING>",
+    )
+    q = quarantine(df, unique=[["doc_id"]])
+    assert q.count() == 1
+    assert q.collect()[0]["doc_id"] == 1
