@@ -72,6 +72,10 @@ def build_curate_parser() -> argparse.ArgumentParser:
     p.add_argument("--decontam-n", type=int, default=8)
     p.add_argument("--decontam-threshold", type=float, default=0.05)
     p.add_argument("--no-redact", action="store_true")
+    p.add_argument("--quality-model", default=None,
+                   help="(bucket, weight) parquet: linear classifier gate")
+    p.add_argument("--quality-model-threshold", type=float, default=0.5)
+    p.add_argument("--quality-model-bias", type=float, default=0.0)
     p.add_argument("--shards", type=int, default=None,
                    help="write epoch-ordered shard dirs instead of a flat parquet")
     p.add_argument("--seed", type=int, default=0)
@@ -108,6 +112,13 @@ def curate_main(argv: list[str], spark: SparkSession | None = None) -> int:
             decontam_threshold=args.decontam_threshold,
             dedup_lines=args.dedup_lines,
             min_dedup_line_len=args.min_dedup_line_len,
+            quality_model_weights=(
+                spark.read.parquet(args.quality_model)
+                if args.quality_model
+                else None
+            ),
+            quality_model_threshold=args.quality_model_threshold,
+            quality_model_bias=args.quality_model_bias,
         )
         kept = curate_corpus(docs, bench, redact=not args.no_redact, **kw)
         if args.shards:

@@ -49,6 +49,10 @@ def curate_corpus(
     id_col: str = "doc_id",
     dedup_lines: bool = False,
     min_dedup_line_len: int = 0,
+    quality_model_weights: DataFrame | None = None,
+    quality_model_bias: float = 0.0,
+    quality_model_threshold: float = 0.5,
+    quality_model_buckets: int = 4096,
 ) -> DataFrame:
     """Curate a document corpus for training.
 
@@ -120,7 +124,30 @@ def curate_corpus(
         quality_ok = quality_ok & (
             F.coalesce("dup_line_frac", F.lit(0.0)) <= max_dup_line_frac
         )
-    base = base.withColumn("_q_ok", quality_ok).drop("_toks_n", "dup_line_frac")
+    if quality_model_weights is not None:
+        # classifier gate (fastText-shaped linear scorer) — same
+        # cost discipline as the repetition gate above: the feature
+        # explode runs ONLY over rows the cheap projection gates kept;
+        # unscored rows (cheap-gate failures) coalesce to keep=True so
+        # their drop reason stays the cheap gate's. Failures mark
+        # 'quality' like every other quality sub-gate.
+        from mwas_rfam_spark.operators.selection import score_quality_linear
+
+        scored = score_quality_linear(
+            base.where(quality_ok).select(id_col, text_col),
+            quality_model_weights,
+            bias=quality_model_bias,
+            n_buckets=quality_model_buckets,
+            threshold=quality_model_threshold,
+            text_col=text_col,
+            id_col=id_col,
+        ).withColumnRenamed("doc_id", id_col).select(id_col, "keep")
+        base = base.join(scored, id_col, "left")
+        quality_ok = quality_ok & F.coalesce("keep", F.lit(True))
+
+    base = base.withColumn("_q_ok", quality_ok).drop(
+        "_toks_n", "dup_line_frac", "keep"
+    )
 
     # keep-first per content hash AMONG quality survivors (same window-min
     # rule the dedup_first_seen entry hash-verifies); losers mark 'duplicate'

@@ -270,3 +270,29 @@ def score_quality_linear(
     if threshold is not None:
         out = out.withColumn("keep", F.col("score") >= F.lit(float(threshold)))
     return out
+
+
+def threshold_at_quantile(
+    scored: DataFrame,
+    keep_frac: float,
+    score_col: str = "score",
+    accuracy: int = 10_000,
+) -> float:
+    """Calibrate a score cutoff from the corpus itself: the threshold
+    keeping (approximately) the top ``keep_frac`` of rows by
+    ``score_col``. One Greenwald–Khanna sketch aggregation
+    (`approx_percentile`, rank error <= 1/``accuracy``) — the standard
+    move when the mandate is "keep the best 30%" rather than an
+    absolute score bar, and the score distribution shifts per corpus.
+    Returns a plain float (a parameter, not data). Filter with
+    ``score > threshold`` (strict): the sketch returns a nearest-rank
+    member of the distribution, so ``>=`` would also keep every row
+    tied with the cutoff itself."""
+    if not (0.0 < keep_frac <= 1.0):
+        raise ValueError(f"keep_frac must be in (0, 1]: {keep_frac}")
+    row = scored.agg(
+        F.approx_percentile(
+            F.col(score_col), F.lit(1.0 - keep_frac), F.lit(accuracy)
+        ).alias("cut")
+    ).collect()[0]
+    return float(row["cut"]) if row["cut"] is not None else float("-inf")

@@ -105,3 +105,55 @@ def test_curation_pipeline_cross_engine(spark, sf_dir):
     assert got == want
     stages = {v[0] for v in want.values()}
     assert "kept" in stages  # the comparison isn't vacuous
+
+
+def test_quality_model_gate_composes(spark):
+    """The classifier gate drops exactly the below-threshold docs, only
+    among cheap-gate survivors, and mark-mode labels them 'quality'."""
+    from mwas_rfam_spark.operators.curation import curate_corpus
+    from mwas_rfam_spark.operators.selection import (
+        hashed_ngram_features,
+        score_quality_linear,
+        threshold_at_quantile,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "good text with enough tokens here")] 
+        + [(2, "bad junk with enough tokens here")]
+        + [(3, "tiny")]  # fails min_tokens before the model ever sees it
+        + [(4, "good text with enough tokens here")],  # dup of 1
+        ["doc_id", "text"],
+    )
+    feats = hashed_ngram_features(
+        spark.createDataFrame([(0, "good"), (1, "junk")], ["doc_id", "text"]),
+        bigrams=False,
+    )
+    b = {r["doc_id"]: r["bucket"] for r in feats.collect()}
+    weights = spark.createDataFrame([(b[0], 5.0), (b[1], -5.0)], ["bucket", "weight"])
+
+    marked = curate_corpus(
+        docs, None, min_tokens=3, mode="mark",
+        quality_model_weights=weights, quality_model_threshold=0.5,
+    )
+    stages = {r["doc_id"]: r["drop_stage"] for r in marked.collect()}
+    assert stages[1] == "kept"
+    assert stages[2] == "quality"  # model gate
+    assert stages[3] == "quality"  # cheap gate, never scored
+    assert stages[4] == "duplicate"
+
+    kept = curate_corpus(
+        docs, None, min_tokens=3,
+        quality_model_weights=weights, quality_model_threshold=0.5,
+    )
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+
+    # quantile calibration: cutoff keeping the top half separates the
+    # two scored docs
+    scored = score_quality_linear(
+        docs.where("doc_id in (1, 2)"), weights, bias=0.0
+    )
+    cut = threshold_at_quantile(scored, keep_frac=0.5)
+    # strict >: the sketch returns a nearest-rank member, so >= would
+    # keep the cutoff row too (documented contract)
+    kept_ids = {r["doc_id"] for r in scored.where(F.col("score") > cut).collect()}
+    assert kept_ids == {1}
