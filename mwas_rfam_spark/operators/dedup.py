@@ -899,6 +899,78 @@ def similar_documents(
     )
 
 
+def _global_minhash_row(docs, num_hashes: int, n: int, text_col: str, id_col: str):
+    """One Row of num_hashes global MinHash slots over the corpus's
+    distinct shingles — same 32-bit Kirsch-Mitzenmacher family as
+    minhash_signatures (masked to 32 bits so i*h2 never overflows ANSI
+    long arithmetic); all map-side combine, one row collected."""
+    sh = word_shingles(docs, n, text_col, id_col).select("shingle").distinct()
+    base = F.xxhash64("shingle")
+    h1 = F.shiftrightunsigned(base, 32)
+    h2 = F.shiftrightunsigned(base, 1).bitwiseAND(F.lit(0x7FFFFFFE)) + 1
+    mask = F.lit((1 << 32) - 1)
+    return sh.agg(
+        *[
+            F.min((h1 + F.lit(i) * h2).bitwiseAND(mask)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    ).collect()[0]
+
+
+def corpus_signature(
+    docs: DataFrame,
+    label: str,
+    num_hashes: int = 128,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(corpus, signature ARRAY<BIGINT>): the STORED-state form of the
+    global corpus MinHash — write one row per corpus/snapshot at ingest
+    time and any later pairwise-overlap question is answered from the
+    state table alone (``overlap_matrix_from_signatures``), no corpus
+    rescan. Same state-table pattern as ``cardinality_sketch_state``:
+    tiny, append-only, engine-portable (plain integers). Signatures are
+    comparable only when built with the same (num_hashes, n) — keep one
+    convention per state table."""
+    row = _global_minhash_row(docs, num_hashes, n, text_col, id_col)
+    if row[0] is None:
+        raise ValueError(f"corpus {label!r} contains no shingles")
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [(label, [int(row[i]) for i in range(num_hashes)])],
+        "corpus STRING, signature ARRAY<BIGINT>",
+    )
+
+
+def overlap_matrix_from_signatures(signatures: DataFrame) -> DataFrame:
+    """All pairwise corpus-overlap estimates from stored signatures:
+    (corpus_a, corpus_b, overlap_est) for every unordered pair, computed
+    driver-side — the state table is one row per corpus (parameter-
+    sized), so K corpora cost K(K-1)/2 slot comparisons of 128 ints
+    each, no data access at all. Estimate semantics and error match
+    ``corpus_overlap_estimate`` (~1/sqrt(num_hashes) standard error)."""
+    rows = signatures.collect()
+    if len(rows) < 2:
+        raise ValueError("need at least two corpus signatures")
+    lens = {len(r["signature"]) for r in rows}
+    if len(lens) != 1:
+        raise ValueError(f"signatures have mixed num_hashes: {sorted(lens)}")
+    k = lens.pop()
+    out = []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            est = sum(
+                1 for s in range(k) if a["signature"][s] == b["signature"][s]
+            ) / k
+            out.append((a["corpus"], b["corpus"], round(est, 6)))
+    spark = signatures.sparkSession
+    return spark.createDataFrame(
+        out, "corpus_a STRING, corpus_b STRING, overlap_est DOUBLE"
+    )
+
+
 def corpus_overlap_estimate(
     a: DataFrame,
     b: DataFrame,
@@ -923,19 +995,8 @@ def corpus_overlap_estimate(
         raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
 
     def signature(docs):
-        # same 32-bit Kirsch-Mitzenmacher family as minhash_signatures
-        # (masked to 32 bits so i*h2 never overflows ANSI long arithmetic)
-        sh = word_shingles(docs, n, text_col, id_col).select("shingle").distinct()
-        base = F.xxhash64("shingle")
-        h1 = F.shiftrightunsigned(base, 32)
-        h2 = F.shiftrightunsigned(base, 1).bitwiseAND(F.lit(0x7FFFFFFE)) + 1
-        mask = F.lit((1 << 32) - 1)
-        return sh.agg(
-            *[
-                F.min((h1 + F.lit(i) * h2).bitwiseAND(mask)).alias(f"h{i}")
-                for i in range(num_hashes)
-            ]
-        ).collect()[0]
+        return _global_minhash_row(docs, num_hashes, n, text_col, id_col)
+
     sig_a, sig_b = signature(a), signature(b)
     if sig_a[0] is None or sig_b[0] is None:
         raise ValueError("both corpora must contain at least one shingle")

@@ -618,3 +618,37 @@ def test_corpus_overlap_estimate(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     with pytest.raises(ValueError):
         corpus_overlap_estimate(a, empty)
+
+
+def test_overlap_matrix_from_signatures(spark, sf_dir):
+    """Stored-signature overlap matrix agrees with the direct pairwise
+    estimator, self-overlap of identical corpora is 1.0, and mixed
+    signature widths are rejected."""
+    import pytest as _pt
+
+    from mwas_rfam_spark.operators.dedup import (
+        corpus_overlap_estimate,
+        corpus_signature,
+        overlap_matrix_from_signatures,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    a = d.where("doc_id % 3 = 0")
+    b = d.where("doc_id % 3 = 1")
+    sigs = (
+        corpus_signature(a, "a")
+        .unionByName(corpus_signature(b, "b"))
+        .unionByName(corpus_signature(a, "a2"))  # identical content to a
+    )
+    m = {
+        (r["corpus_a"], r["corpus_b"]): r["overlap_est"]
+        for r in overlap_matrix_from_signatures(sigs).collect()
+    }
+    assert len(m) == 3
+    assert m[("a", "a2")] == 1.0  # identical shingle sets -> identical signature
+    direct = corpus_overlap_estimate(a, b)
+    assert m[("a", "b")] == _pt.approx(direct, abs=1e-9)
+
+    bad = corpus_signature(a, "w64", num_hashes=64)
+    with _pt.raises(ValueError, match="mixed num_hashes"):
+        overlap_matrix_from_signatures(sigs.unionByName(bad)).collect()
