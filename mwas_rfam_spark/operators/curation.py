@@ -141,12 +141,15 @@ def curate_corpus(
             threshold=quality_model_threshold,
             text_col=text_col,
             id_col=id_col,
-        ).withColumnRenamed("doc_id", id_col).select(id_col, "keep")
+        ).withColumnRenamed("doc_id", id_col).select(
+            id_col, F.col("keep").alias("_qm_keep")  # private name: the
+            # input corpus may carry its own 'keep' column
+        )
         base = base.join(scored, id_col, "left")
-        quality_ok = quality_ok & F.coalesce("keep", F.lit(True))
+        quality_ok = quality_ok & F.coalesce("_qm_keep", F.lit(True))
 
     base = base.withColumn("_q_ok", quality_ok).drop(
-        "_toks_n", "dup_line_frac", "keep"
+        "_toks_n", "dup_line_frac", "_qm_keep"
     )
 
     # keep-first per content hash AMONG quality survivors (same window-min
