@@ -1899,6 +1899,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               custom-encoder batch contract + ANN
                               hand-off (stub convention of the
                               multimodal codec family)
+    - validation/quarantine → tests/test_validation.py hand-computed
+                              report, reason arrays, empty-batch and
+                              null semantics (one lazy aggregation
+                              pass; the uniqueness count is the
+                              condense countDistinct family)
+    - curation model gate   → tests/test_curation_parity.py composition
+      + threshold_at_quantile (scored only over cheap-gate survivors;
+                              the scorer itself benched as
+                              `quality_linear`)
+    - corpus signatures /   → tests/test_dedup.py identity + agreement
+      overlap matrix          with the direct estimator + mixed-width
+                              rejection (stored-state twin of the
+                              pytest-pinned corpus_overlap_estimate)
     """
     return {
         "mwas_cohort_welch": q_mwas_cohort_welch,
