@@ -933,6 +933,8 @@ def corpus_signature(
     tiny, append-only, engine-portable (plain integers). Signatures are
     comparable only when built with the same (num_hashes, n) — keep one
     convention per state table."""
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
     row = _global_minhash_row(docs, num_hashes, n, text_col, id_col)
     if row[0] is None:
         raise ValueError(f"corpus {label!r} contains no shingles")
@@ -950,9 +952,14 @@ def overlap_matrix_from_signatures(signatures: DataFrame) -> DataFrame:
     sized), so K corpora cost K(K-1)/2 slot comparisons of 128 ints
     each, no data access at all. Estimate semantics and error match
     ``corpus_overlap_estimate`` (~1/sqrt(num_hashes) standard error)."""
-    rows = signatures.collect()
+    # sort by label: collect() order from a multi-file state table is
+    # not stable, and consumers key on the (corpus_a, corpus_b) tuple
+    rows = sorted(signatures.collect(), key=lambda r: r["corpus"])
     if len(rows) < 2:
         raise ValueError("need at least two corpus signatures")
+    if any(r["signature"] is None for r in rows):
+        bad = [r["corpus"] for r in rows if r["signature"] is None]
+        raise ValueError(f"null signature for corpora: {bad}")
     lens = {len(r["signature"]) for r in rows}
     if len(lens) != 1:
         raise ValueError(f"signatures have mixed num_hashes: {sorted(lens)}")

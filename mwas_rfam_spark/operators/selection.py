@@ -22,9 +22,12 @@ Everything is deterministic and engine-independent by construction:
 features hash through md5 (the repo-wide cross-engine recipe — see
 plans/sampling.shuffle_shard), and the resampling "randomness" is the
 Gumbel-top-k trick (Vieira 2014; Kool et al. 2019) keyed on
-md5(seed:doc_id) — so the exact selected set is reproducible in ANSI
-SQL, across engines, and across cluster layouts (``rand(seed)`` is
-none of those).
+md5('dsir:{seed}:{doc_id}') — the 'dsir:' domain tag keeps the draw
+independent of shuffle_shard's and hash_split's md5 keys at equal
+seeds — so the exact selected set is reproducible in ANSI SQL, across
+engines, and across cluster layouts (``rand(seed)`` is none of those).
+The tagged key is part of the operator's contract: changing it (or
+comparing against untagged draws) silently reassigns every selection.
 
 Scale shape (the point of doing this relationally):
 
@@ -199,8 +202,8 @@ def importance_resample(
     probability ∝ exp(log_weight / temperature), via Gumbel top-k: each
     document's key is log_weight/temperature + Gumbel(0,1) noise and the
     k largest keys are exactly such a sample (Kool et al. 2019). The
-    Gumbel draw is deterministic — u = (md5_32(seed:id)+0.5)/2^32,
-    g = −log(−log u) — so the selected set is a pure function of
+    Gumbel draw is deterministic — u = (md5_32('dsir:{seed}:{id}')+0.5)
+    / 2^32, g = −log(−log u) — so the selected set is a pure function of
     (corpus, seed) and replayable in SQL. ``temperature`` → 0 approaches
     hard top-k by weight; large values approach uniform sampling.
 
@@ -290,6 +293,11 @@ def threshold_at_quantile(
     tied with the cutoff itself."""
     if not (0.0 < keep_frac <= 1.0):
         raise ValueError(f"keep_frac must be in (0, 1]: {keep_frac}")
+    if keep_frac == 1.0:
+        # the sketch would return the min score and the strict > filter
+        # would then drop every minimum-tied row — "keep everything"
+        # must mean everything
+        return float("-inf")
     row = scored.agg(
         F.approx_percentile(
             F.col(score_col), F.lit(1.0 - keep_frac), F.lit(accuracy)

@@ -72,6 +72,52 @@ def _fails(rule: Rule) -> Column:
     return F.when(F.coalesce(rule.passes, F.lit(False)), 0).otherwise(1)
 
 
+def _fk_labels(foreign_keys) -> list[str]:
+    """One label per constraint, disambiguated when the same column is
+    checked against several references (duplicate agg aliases would
+    otherwise make the report's ok-reduction throw
+    AMBIGUOUS_REFERENCE)."""
+    from collections import Counter
+
+    counts = Counter(col for col, _, _ in foreign_keys)
+    seen: Counter = Counter()
+    labels = []
+    for col, _, ref_col in foreign_keys:
+        if counts[col] > 1:
+            labels.append(f"fk({col}->{ref_col}#{seen[col]})")
+            seen[col] += 1
+        else:
+            labels.append(f"fk({col})")
+    return labels
+
+
+def _attach_fk_flag(df: DataFrame, col: str, ref: DataFrame, ref_col: str, flag: str, key: str) -> DataFrame:
+    """Broadcast membership flag: ``flag`` is True where ``col`` exists
+    in the reference — ONE definition shared by the report and the
+    quarantine path so their orphan semantics cannot drift."""
+    keys = ref.select(F.col(ref_col).alias(key)).distinct()
+    return df.join(
+        F.broadcast(keys.withColumn(flag, F.lit(True))),
+        df[col] == keys[key],
+        "left",
+    ).drop(key)
+
+
+def _orderable_type(dt) -> bool:
+    """Mirror of Spark's RowOrdering.isOrderable: a map ANYWHERE in the
+    type makes it non-orderable (top-level, array element, struct
+    field)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _orderable_type(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_orderable_type(f.dataType) for f in dt.fields)
+    return True
+
+
 def validate(
     df: DataFrame,
     rules: list[Rule] | None = None,
@@ -98,16 +144,12 @@ def validate(
     unique = unique or []
     foreign_keys = foreign_keys or []
     work = df
-    fk_flags: list[tuple[str, str]] = []
+    fk_flags: list[tuple[str, str, str]] = []
+    labels = _fk_labels(foreign_keys)
     for i, (col, ref, ref_col) in enumerate(foreign_keys):
         flag = f"__fk_ok_{i}"
-        keys = ref.select(F.col(ref_col).alias(f"__fkk_{i}")).distinct()
-        work = work.join(
-            F.broadcast(keys.withColumn(flag, F.lit(True))),
-            work[col] == keys[f"__fkk_{i}"],
-            "left",
-        ).drop(f"__fkk_{i}")
-        fk_flags.append((col, flag))
+        work = _attach_fk_flag(work, col, ref, ref_col, flag, f"__fkk_{i}")
+        fk_flags.append((col, flag, labels[i]))
     aggs = [F.count("*").alias("n_rows")]
     for r in rules:
         aggs.append(
@@ -123,7 +165,7 @@ def validate(
             F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in cols
         ]
         aggs.append((F.count("*") - F.count_distinct(*keys)).alias(label))
-    for col, flag in fk_flags:
+    for col, flag, label in fk_flags:
         aggs.append(
             F.coalesce(
                 F.sum(
@@ -132,7 +174,7 @@ def validate(
                     ).otherwise(0)
                 ),
                 F.lit(0),
-            ).alias(f"viol:fk({col})")
+            ).alias(f"viol:{label}")
         )
     report = work.agg(*aggs)
     viol_cols = [c for c in report.columns if c.startswith("viol:")]
@@ -171,18 +213,26 @@ def quarantine(
         )
         tags.append(tag)
     # keep-first needs a deterministic within-group order; only
-    # orderable column types participate (a map-typed metadata column
-    # would throw), keys first so ties break on the remaining columns
-    from pyspark.sql.types import MapType
-
+    # orderable column types participate (a map anywhere in the type —
+    # top level, array element, struct field — would throw), keys first
+    # so ties break on the remaining columns. Non-orderable columns
+    # still contribute determinism via their to_json rendering, which
+    # also guards the all-map corner where nothing else is orderable.
     orderable = [
-        f.name for f in df.schema.fields if not isinstance(f.dataType, MapType)
+        f.name for f in df.schema.fields if _orderable_type(f.dataType)
     ]
+    non_orderable = [f.name for f in df.schema.fields if f.name not in orderable]
     for cols in unique:
         tag = f"__v_{len(tags)}"
-        order_cols = [c for c in cols if c in orderable] + [
-            c for c in orderable if c not in cols
-        ]
+        order_cols = (
+            [F.col(c) for c in cols if c in orderable]
+            + [F.col(c) for c in orderable if c not in cols]
+            + (
+                [F.to_json(F.struct(*[F.col(c) for c in non_orderable]))]
+                if non_orderable
+                else []
+            )
+        )
         w = Window.partitionBy(*[F.coalesce(F.col(c).cast("string"), F.lit("\0"))
                                  for c in cols]).orderBy(*order_cols)
         out = out.withColumn(
@@ -193,25 +243,17 @@ def quarantine(
             ),
         )
         tags.append(tag)
-    for col, ref, ref_col in foreign_keys:
+    fk_labels = _fk_labels(foreign_keys)
+    for i, (col, ref, ref_col) in enumerate(foreign_keys):
         tag = f"__v_{len(tags)}"
-        keys = ref.select(F.col(ref_col).alias("__k")).distinct()
-        out = (
-            out.join(
-                F.broadcast(keys.withColumn("__present", F.lit(True))),
-                out[col] == keys["__k"],
-                "left",
-            )
-            .drop("__k")
-            .withColumn(
-                tag,
-                F.when(
-                    F.col(col).isNotNull() & F.col("__present").isNull(),
-                    F.lit(f"fk({col})"),
-                ),
-            )
-            .drop("__present")
-        )
+        flag = f"__present_{i}"
+        out = _attach_fk_flag(out, col, ref, ref_col, flag, f"__qk_{i}").withColumn(
+            tag,
+            F.when(
+                F.col(col).isNotNull() & F.col(flag).isNull(),
+                F.lit(fk_labels[i]),
+            ),
+        ).drop(flag)
         tags.append(tag)
     viol = F.filter(F.array(*[F.col(t) for t in tags]), lambda x: x.isNotNull())
     return (

@@ -228,8 +228,12 @@ def hash_split(
     """Deterministic train/val/test assignment: a ``split`` column drawn
     by md5(seed:id) range partitioning of the unit interval — every row
     gets exactly one label, the SAME label on any engine, cluster
-    layout, or re-run (``randomSplit`` is none of those: it resamples
-    per partition layout and can drop/duplicate rows across actions).
+    layout, or re-run OF THIS VERSION of the operator (``randomSplit``
+    is none of those: it resamples per partition layout and can
+    drop/duplicate rows across actions). The 'split:'-tagged md5 key is
+    part of the contract — re-deriving a split persisted under a
+    different key recipe reassigns labels, so persist the assignment
+    (or pin the engine version) when a holdout must survive releases.
     Growing one fraction at a fixed seed keeps previously-assigned rows
     in their split wherever interval prefixes are preserved — the same
     stability argument as ``stratified_sample_exact``.

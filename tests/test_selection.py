@@ -308,3 +308,11 @@ def test_randomness_domains_are_separated(spark):
     # if domains were shared, every test row would have u_shard >= 0.9
     test_low = joined.where((F.col("split") == "test") & (F.col("u_shard") < 0.9))
     assert test_low.count() > 0
+
+
+def test_threshold_keep_all(spark):
+    from mwas_rfam_spark.operators.selection import threshold_at_quantile
+
+    scored = spark.createDataFrame([(1, 0.2), (2, 0.2), (3, 0.9)], ["doc_id", "score"])
+    cut = threshold_at_quantile(scored, keep_frac=1.0)
+    assert scored.where(F.col("score") > cut).count() == 3  # keep everything

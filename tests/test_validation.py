@@ -125,3 +125,33 @@ def test_quarantine_with_map_column(spark):
     q = quarantine(df, unique=[["doc_id"]])
     assert q.count() == 1
     assert q.collect()[0]["doc_id"] == 1
+
+
+def test_two_fks_on_same_column(spark):
+    """Two references for one column must produce two distinct report
+    labels (duplicate agg aliases made the ok-reduction throw
+    AMBIGUOUS_REFERENCE)."""
+    df = spark.createDataFrame([(1,), (2,), (9,)], ["doc_id"])
+    ref_a = spark.createDataFrame([(1,), (2,)], ["id"])
+    ref_b = spark.createDataFrame([(1,), (9,)], ["id"])
+    r = validate(
+        df, foreign_keys=[("doc_id", ref_a, "id"), ("doc_id", ref_b, "id")]
+    ).collect()[0]
+    viols = {k: v for k, v in r.asDict().items() if k.startswith("viol:fk")}
+    assert sorted(viols.values()) == [1, 1]  # 9 orphan in a, 2 orphan in b
+    assert len(viols) == 2 and r["ok"] is False
+
+
+def test_quarantine_nested_map_and_all_map(spark):
+    """Maps nested in arrays/structs are non-orderable too, and a frame
+    whose every non-key column is map-typed still quarantines."""
+    df = spark.createDataFrame(
+        [(1, [{"k": "v"}]), (1, [{"k": "w"}]), (2, [{"k": "x"}])],
+        "doc_id LONG, metas ARRAY<MAP<STRING,STRING>>",
+    )
+    assert quarantine(df, unique=[["doc_id"]]).count() == 1
+    only_maps = spark.createDataFrame(
+        [({"a": "1"},), ({"a": "1"},)], "m MAP<STRING,STRING>"
+    )
+    q = quarantine(only_maps, unique=[["m"]])
+    assert q.count() == 1  # duplicate map key, ordered via to_json fallback
