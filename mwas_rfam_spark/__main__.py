@@ -228,6 +228,64 @@ def select_main(argv: list[str], spark: SparkSession | None = None) -> int:
             spark.stop()
 
 
+def build_validate_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mwas_rfam_spark validate",
+        description="Data-quality gate: evaluate a JSON rule file "
+        "against a parquet table; print the one-row report; optionally "
+        "write the quarantine relation. Exit code 1 when violations "
+        "exist (pipeline-gate friendly).",
+    )
+    p.add_argument("input", help="parquet path")
+    p.add_argument("--rules", required=True,
+                   help='JSON: {"rules": [{"type": "not_null"|"in_range"|'
+                        '"regex", "col": ..., ("lo"/"hi"/"pattern")...}], '
+                        '"unique": [["col", ...]]}')
+    p.add_argument("--quarantine", default=None,
+                   help="write failing rows (with reasons) to this path")
+    return p
+
+
+def validate_main(argv: list[str], spark: SparkSession | None = None) -> int:
+    import json
+
+    from .operators import validation as V
+
+    args = build_validate_parser().parse_args(argv)
+    with open(args.rules) as f:
+        spec = json.load(f)
+    owns_session = spark is None
+    if owns_session:
+        from .session import get_spark
+
+        spark = get_spark(app_name="validate-cli")
+    try:
+        rules = []
+        for r in spec.get("rules", []):
+            kind = r["type"]
+            if kind == "not_null":
+                rules.append(V.not_null(r["col"]))
+            elif kind == "in_range":
+                rules.append(V.in_range(r["col"], r["lo"], r["hi"]))
+            elif kind == "regex":
+                rules.append(V.matches_regex(r["col"], r["pattern"]))
+            else:
+                raise ValueError(f"unknown rule type: {kind}")
+        unique = spec.get("unique", [])
+        df = spark.read.parquet(args.input)
+        report = V.validate(df, rules, unique=unique).collect()[0]
+        for k, v in report.asDict().items():
+            print(f"{k}={v}")
+        if args.quarantine:
+            V.quarantine(df, rules, unique=unique).write.mode(
+                "overwrite"
+            ).parquet(args.quarantine)
+        return 0 if report["ok"] else 1
+    finally:
+        if owns_session:
+            spark.stop()
+
+
 def build_maintain_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="mwas_rfam_spark maintain",
@@ -286,6 +344,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         return maintain_main(argv[1:], spark)
     if argv and argv[0] == "select":
         return select_main(argv[1:], spark)
+    if argv and argv[0] == "validate":
+        return validate_main(argv[1:], spark)
     from .config import MwasConfig
     from .operators.condense import condense_metadata
     from .operators.mwas import run_mwas

@@ -1015,6 +1015,7 @@ def line_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_dedup_len: int = 0,
+    sep: str = "\n",
 ) -> DataFrame:
     """Cross-document LINE-level dedup (the C4 preprocessing rule,
     Raffel et al. 2020 §2.2: "we discarded all but one of any three-
@@ -1029,6 +1030,12 @@ def line_dedup(
     substantial repeated lines; deduping one-word lines like "Yes."
     would mangle unrelated documents). 0 dedups every line.
 
+    ``sep``: the unit boundary — "\n" (default) dedups lines,
+    "\n\n" dedups PARAGRAPHS (the Dolma/Gopher convention; repeated
+    boilerplate usually spans a whole paragraph, and paragraph grain
+    never splits a sentence across a dedup boundary). Split and rejoin
+    use the same literal separator, so unaffected structure round-trips.
+
     Scale shape: one posexplode (rows = total line count), then the
     first occurrence per line via groupBy(line).min(struct(id, pos)) —
     map-side combinable, so a globally hot line (blank lines, common
@@ -1039,9 +1046,13 @@ def line_dedup(
     (sort_array over collected (pos, line) structs — per-doc memory,
     not a global sort).
     """
+    import re as _re
+
     lines = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep))
+        ).alias("pos", "line"),
     )
     firsts = lines.groupBy("line").agg(
         F.min(F.struct("id", "pos")).alias("first")
@@ -1056,7 +1067,7 @@ def line_dedup(
         .select(
             F.col("id").alias(id_col),
             F.concat_ws(
-                "\n", F.transform("a", lambda s: s["line"])
+                sep, F.transform("a", lambda s: s["line"])
             ).alias(text_col),
         )
     )

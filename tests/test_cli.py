@@ -307,3 +307,33 @@ def test_cli_select_end_to_end(spark, tmp_path):
     assert 0 < cs.count() <= 20
     per = cs.groupBy("cell").count().collect()
     assert all(r["count"] <= 5 for r in per)
+
+
+def test_cli_validate_end_to_end(spark, tmp_path):
+    """`python -m mwas_rfam_spark validate` gates on a JSON rule file:
+    exit 1 + quarantine on violations, exit 0 on a clean table."""
+    import json
+
+    from mwas_rfam_spark.__main__ import main
+
+    path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, "en"), (2, None), (2, "fr")], ["doc_id", "lang"]
+    ).write.parquet(path)
+    rules = str(tmp_path / "rules.json")
+    with open(rules, "w") as f:
+        json.dump(
+            {"rules": [{"type": "not_null", "col": "lang"}],
+             "unique": [["doc_id"]]},
+            f,
+        )
+    quar = str(tmp_path / "bad")
+    rc = main(["validate", path, "--rules", rules, "--quarantine", quar], spark=spark)
+    assert rc == 1
+    bad = spark.read.parquet(quar)
+    assert bad.count() == 2  # the null-lang row + the duplicate id row
+
+    clean = str(tmp_path / "clean")
+    spark.createDataFrame([(1, "en"), (2, "fr")], ["doc_id", "lang"]).write.parquet(clean)
+    rc = main(["validate", clean, "--rules", rules], spark=spark)
+    assert rc == 0

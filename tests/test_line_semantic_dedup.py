@@ -245,3 +245,26 @@ def test_incremental_minhash_matches_batch_lsh_keepfirst(spark, sf_dir):
     }
     want = {r["doc_id"] for r in docs.collect()} - losers
     assert got == want and len(got) > 0
+
+
+def test_paragraph_dedup_separator(spark):
+    """sep='\n\n' dedups at paragraph grain: a repeated paragraph drops
+    from its second document, lines WITHIN paragraphs are untouched,
+    and single-newline structure round-trips."""
+    from mwas_rfam_spark.operators.dedup import line_dedup
+
+    boiler = "subscribe now\nfor more content"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one\n\n{boiler}\n\nbody one"),
+            (2, f"intro two\n\n{boiler}\n\nbody two"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["text"] for r in line_dedup(docs, sep="\n\n").collect()}
+    assert out[1] == f"intro one\n\n{boiler}\n\nbody one"  # first keeps it
+    assert out[2] == "intro two\n\nbody two"  # paragraph gone, lines intact
+    # line-grain on the same corpus would also dedup "intro"? no — they
+    # differ; but it WOULD split the boilerplate into two line units
+    line_out = {r["doc_id"]: r["text"] for r in line_dedup(docs).collect()}
+    assert "subscribe now" not in line_out[2]
