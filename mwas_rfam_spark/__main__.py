@@ -261,17 +261,31 @@ def validate_main(argv: list[str], spark: SparkSession | None = None) -> int:
         spark = get_spark(app_name="validate-cli")
     try:
         rules = []
-        for r in spec.get("rules", []):
-            kind = r["type"]
-            if kind == "not_null":
-                rules.append(V.not_null(r["col"]))
-            elif kind == "in_range":
-                rules.append(V.in_range(r["col"], r["lo"], r["hi"]))
-            elif kind == "regex":
-                rules.append(V.matches_regex(r["col"], r["pattern"]))
-            else:
-                raise ValueError(f"unknown rule type: {kind}")
+        for i, r in enumerate(spec.get("rules", [])):
+            try:
+                kind = r["type"]
+                if kind == "not_null":
+                    rules.append(V.not_null(r["col"]))
+                elif kind == "in_range":
+                    rules.append(V.in_range(r["col"], r["lo"], r["hi"]))
+                elif kind == "regex":
+                    rules.append(V.matches_regex(r["col"], r["pattern"]))
+                else:
+                    raise ValueError(f"unknown rule type: {kind!r}")
+            except KeyError as e:
+                raise ValueError(
+                    f"rules[{i}] is missing key {e.args[0]!r}: {r}"
+                ) from None
         unique = spec.get("unique", [])
+        # a flat ["col"] instead of [["col"]] would iterate the string
+        # character-by-character — reject malformed shapes loudly
+        if not all(
+            isinstance(ks, list) and all(isinstance(c, str) for c in ks)
+            for ks in unique
+        ):
+            raise ValueError(
+                f'"unique" must be a list of column-name LISTS, got {unique}'
+            )
         df = spark.read.parquet(args.input)
         report = V.validate(df, rules, unique=unique).collect()[0]
         for k, v in report.asDict().items():

@@ -952,9 +952,12 @@ def overlap_matrix_from_signatures(signatures: DataFrame) -> DataFrame:
     sized), so K corpora cost K(K-1)/2 slot comparisons of 128 ints
     each, no data access at all. Estimate semantics and error match
     ``corpus_overlap_estimate`` (~1/sqrt(num_hashes) standard error)."""
+    raw = signatures.collect()
+    if any(r["corpus"] is None for r in raw):
+        raise ValueError("state table contains a null corpus label")
     # sort by label: collect() order from a multi-file state table is
     # not stable, and consumers key on the (corpus_a, corpus_b) tuple
-    rows = sorted(signatures.collect(), key=lambda r: r["corpus"])
+    rows = sorted(raw, key=lambda r: r["corpus"])
     if len(rows) < 2:
         raise ValueError("need at least two corpus signatures")
     if any(r["signature"] is None for r in rows):

@@ -295,8 +295,10 @@ def threshold_at_quantile(
         raise ValueError(f"keep_frac must be in (0, 1]: {keep_frac}")
     if keep_frac == 1.0:
         # the sketch would return the min score and the strict > filter
-        # would then drop every minimum-tied row — "keep everything"
-        # must mean everything
+        # would then drop every minimum-tied row. -inf keeps every row
+        # with a comparable score; a score domain containing -inf or
+        # NULL cannot express keep-all as ANY threshold — skip the
+        # filter entirely in that case
         return float("-inf")
     row = scored.agg(
         F.approx_percentile(

@@ -104,18 +104,42 @@ def _attach_fk_flag(df: DataFrame, col: str, ref: DataFrame, ref_col: str, flag:
 
 
 def _orderable_type(dt) -> bool:
-    """Mirror of Spark's RowOrdering.isOrderable: a map ANYWHERE in the
-    type makes it non-orderable (top-level, array element, struct
-    field)."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    """Mirror of Spark's RowOrdering.isOrderable: maps, variants, and
+    calendar intervals are non-orderable ANYWHERE in the type
+    (top-level, array element, struct field)."""
+    from pyspark.sql.types import ArrayType, StructType
 
-    if isinstance(dt, MapType):
+    if type(dt).__name__ in (
+        "MapType",
+        "VariantType",
+        "CalendarIntervalType",
+    ):
         return False
     if isinstance(dt, ArrayType):
         return _orderable_type(dt.elementType)
     if isinstance(dt, StructType):
         return all(_orderable_type(f.dataType) for f in dt.fields)
     return True
+
+
+def _dedupe_labels(labels: list[str]) -> list[str]:
+    """Append '#k' to repeated labels so agg aliases (and the matching
+    quarantine reasons) stay unique — duplicate rule names, unique key
+    sets, or FK targets would otherwise make the report's ok-reduction
+    throw AMBIGUOUS_REFERENCE (reachable from a hand-edited rules.json
+    with a copy-pasted entry)."""
+    from collections import Counter
+
+    counts = Counter(labels)
+    seen: Counter = Counter()
+    out = []
+    for lab in labels:
+        if counts[lab] > 1:
+            out.append(f"{lab}#{seen[lab]}")
+            seen[lab] += 1
+        else:
+            out.append(lab)
+    return out
 
 
 def validate(
@@ -143,20 +167,29 @@ def validate(
     rules = rules or []
     unique = unique or []
     foreign_keys = foreign_keys or []
+    # ONE deduplicated label list across every constraint kind — any
+    # repeated label (copy-pasted rule, duplicate unique set, same FK
+    # twice) would otherwise collide as agg aliases
+    all_labels = _dedupe_labels(
+        [r.name for r in rules]
+        + [f"unique({','.join(cols)})" for cols in unique]
+        + _fk_labels(foreign_keys)
+    )
+    rule_labels = all_labels[: len(rules)]
+    uniq_labels = all_labels[len(rules) : len(rules) + len(unique)]
+    fk_labels = all_labels[len(rules) + len(unique) :]
     work = df
     fk_flags: list[tuple[str, str, str]] = []
-    labels = _fk_labels(foreign_keys)
     for i, (col, ref, ref_col) in enumerate(foreign_keys):
         flag = f"__fk_ok_{i}"
         work = _attach_fk_flag(work, col, ref, ref_col, flag, f"__fkk_{i}")
-        fk_flags.append((col, flag, labels[i]))
+        fk_flags.append((col, flag, fk_labels[i]))
     aggs = [F.count("*").alias("n_rows")]
-    for r in rules:
+    for r, lab in zip(rules, rule_labels):
         aggs.append(
-            F.coalesce(F.sum(_fails(r)), F.lit(0)).alias(f"viol:{r.name}")
+            F.coalesce(F.sum(_fails(r)), F.lit(0)).alias(f"viol:{lab}")
         )
-    for cols in unique:
-        label = f"viol:unique({','.join(cols)})"
+    for cols, lab in zip(unique, uniq_labels):
         # NULL-safe distinct: count(DISTINCT a, b) drops any row with a
         # null key, which would miscount every null-keyed row as a
         # duplicate — the sentinel coalesce treats NULL as a value,
@@ -164,7 +197,9 @@ def validate(
         keys = [
             F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in cols
         ]
-        aggs.append((F.count("*") - F.count_distinct(*keys)).alias(label))
+        aggs.append(
+            (F.count("*") - F.count_distinct(*keys)).alias(f"viol:{lab}")
+        )
     for col, flag, label in fk_flags:
         aggs.append(
             F.coalesce(
@@ -204,12 +239,21 @@ def quarantine(
     rules = rules or []
     unique = unique or []
     foreign_keys = foreign_keys or []
+    # same deduplicated labels as validate's report columns
+    all_labels = _dedupe_labels(
+        [r.name for r in rules]
+        + [f"unique({','.join(cols)})" for cols in unique]
+        + _fk_labels(foreign_keys)
+    )
+    rule_labels = all_labels[: len(rules)]
+    uniq_labels = all_labels[len(rules) : len(rules) + len(unique)]
+    fk_labels = all_labels[len(rules) + len(unique) :]
     out = df
     tags = []
-    for r in rules:
+    for r, lab in zip(rules, rule_labels):
         tag = f"__v_{len(tags)}"
         out = out.withColumn(
-            tag, F.when(_fails(r) == 1, F.lit(r.name))
+            tag, F.when(_fails(r) == 1, F.lit(lab))
         )
         tags.append(tag)
     # keep-first needs a deterministic within-group order; only
@@ -222,7 +266,7 @@ def quarantine(
         f.name for f in df.schema.fields if _orderable_type(f.dataType)
     ]
     non_orderable = [f.name for f in df.schema.fields if f.name not in orderable]
-    for cols in unique:
+    for cols, uq_lab in zip(unique, uniq_labels):
         tag = f"__v_{len(tags)}"
         order_cols = (
             [F.col(c) for c in cols if c in orderable]
@@ -239,11 +283,10 @@ def quarantine(
             tag,
             F.when(
                 F.row_number().over(w) > 1,
-                F.lit(f"unique({','.join(cols)})"),
+                F.lit(uq_lab),
             ),
         )
         tags.append(tag)
-    fk_labels = _fk_labels(foreign_keys)
     for i, (col, ref, ref_col) in enumerate(foreign_keys):
         tag = f"__v_{len(tags)}"
         flag = f"__present_{i}"

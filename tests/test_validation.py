@@ -155,3 +155,21 @@ def test_quarantine_nested_map_and_all_map(spark):
     )
     q = quarantine(only_maps, unique=[["m"]])
     assert q.count() == 1  # duplicate map key, ordered via to_json fallback
+
+
+def test_duplicate_labels_disambiguated(spark):
+    """Copy-pasted rules / duplicate unique sets must yield distinct
+    report columns, not an AMBIGUOUS_REFERENCE crash (reachable from a
+    hand-edited rules.json via the CLI)."""
+    df = spark.createDataFrame([(1, None), (2, "en")], ["doc_id", "lang"])
+    r = validate(
+        df,
+        [not_null("lang"), not_null("lang")],
+        unique=[["doc_id"], ["doc_id"]],
+    ).collect()[0]
+    viols = {k: v for k, v in r.asDict().items() if k.startswith("viol:")}
+    assert len(viols) == 4 and r["ok"] is False
+    assert sorted(viols.values()) == [0, 0, 1, 1]
+    q = quarantine(df, [not_null("lang"), not_null("lang")])
+    reasons = set(q.collect()[0]["violations"])
+    assert reasons == {"not_null(lang)#0", "not_null(lang)#1"}
