@@ -240,7 +240,9 @@ def build_validate_parser() -> argparse.ArgumentParser:
     p.add_argument("--rules", required=True,
                    help='JSON: {"rules": [{"type": "not_null"|"in_range"|'
                         '"regex", "col": ..., ("lo"/"hi"/"pattern")...}], '
-                        '"unique": [["col", ...]]}')
+                        '"unique": [["col", ...]], "foreign_keys": '
+                        '[{"col": ..., "ref": "path.parquet", '
+                        '"ref_col": ...}]}')
     p.add_argument("--quarantine", default=None,
                    help="write failing rows (with reasons) to this path")
     return p
@@ -286,12 +288,22 @@ def validate_main(argv: list[str], spark: SparkSession | None = None) -> int:
             raise ValueError(
                 f'"unique" must be a list of column-name LISTS, got {unique}'
             )
+        fks = []
+        for i, fk in enumerate(spec.get("foreign_keys", [])):
+            try:
+                fks.append(
+                    (fk["col"], spark.read.parquet(fk["ref"]), fk["ref_col"])
+                )
+            except KeyError as e:
+                raise ValueError(
+                    f"foreign_keys[{i}] is missing key {e.args[0]!r}: {fk}"
+                ) from None
         df = spark.read.parquet(args.input)
-        report = V.validate(df, rules, unique=unique).collect()[0]
+        report = V.validate(df, rules, unique=unique, foreign_keys=fks).collect()[0]
         for k, v in report.asDict().items():
             print(f"{k}={v}")
         if args.quarantine:
-            V.quarantine(df, rules, unique=unique).write.mode(
+            V.quarantine(df, rules, unique=unique, foreign_keys=fks).write.mode(
                 "overwrite"
             ).parquet(args.quarantine)
         return 0 if report["ok"] else 1

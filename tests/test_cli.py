@@ -337,3 +337,15 @@ def test_cli_validate_end_to_end(spark, tmp_path):
     spark.createDataFrame([(1, "en"), (2, "fr")], ["doc_id", "lang"]).write.parquet(clean)
     rc = main(["validate", clean, "--rules", rules], spark=spark)
     assert rc == 0
+
+    # foreign-key constraint against a second parquet table
+    ref = str(tmp_path / "ref")
+    spark.createDataFrame([(1,)], ["id"]).write.parquet(ref)
+    rules_fk = str(tmp_path / "rules_fk.json")
+    with open(rules_fk, "w") as f:
+        json.dump(
+            {"foreign_keys": [{"col": "doc_id", "ref": ref, "ref_col": "id"}]},
+            f,
+        )
+    rc = main(["validate", clean, "--rules", rules_fk], spark=spark)
+    assert rc == 1  # doc_id 2 has no reference row
