@@ -53,6 +53,7 @@ def curate_corpus(
     quality_model_bias: float = 0.0,
     quality_model_threshold: float = 0.5,
     quality_model_buckets: int = 4096,
+    quality_model_strict: bool = False,
 ) -> DataFrame:
     """Curate a document corpus for training.
 
@@ -74,6 +75,12 @@ def curate_corpus(
     (two more keyed shuffles — line text, then doc id); the downstream
     stages then see the line-deduped text, and a doc emptied of lines
     fails the token gate ('quality').
+
+    ``quality_model_strict=True`` makes the model gate compare
+    ``score > threshold`` — required when ``quality_model_threshold``
+    was calibrated by ``selection.threshold_at_quantile`` (which returns
+    a member of the score distribution; inclusive would keep ties and
+    overshoot the calibrated keep fraction).
     """
     if mode not in ("filter", "mark"):
         raise ValueError(f"mode must be 'filter' or 'mark', got {mode}")
@@ -141,6 +148,7 @@ def curate_corpus(
             threshold=quality_model_threshold,
             text_col=text_col,
             id_col=id_col,
+            strict=quality_model_strict,
         ).withColumnRenamed("doc_id", id_col).select(
             id_col, F.col("keep").alias("_qm_keep")  # private name: the
             # input corpus may carry its own 'keep' column

@@ -241,6 +241,7 @@ def score_quality_linear(
     text_col: str = "text",
     id_col: str = "doc_id",
     bigrams: bool = True,
+    strict: bool = False,
 ) -> DataFrame:
     """(doc_id, score[, keep]): fastText-shaped linear classifier
     inference — the document's hashed-feature counts are AVERAGED
@@ -249,9 +250,26 @@ def score_quality_linear(
     model (at most ``n_buckets`` rows — training happens wherever the
     labels live; this is the 100 TB inference pass). Featureless (empty)
     documents score sigmoid(bias). With ``threshold`` a boolean ``keep``
-    column is added (score >= threshold) — composable as a curation
-    gate.
+    column is added — ``score >= threshold`` by default, ``score >
+    threshold`` with ``strict=True``. Pass ``strict=True`` whenever the
+    threshold came from ``threshold_at_quantile``: the sketch returns a
+    member of the score distribution, so the inclusive comparison would
+    also keep every row tied with the cutoff itself and overshoot
+    ``keep_frac``.
+
+    ``weights`` must be unique per bucket (raises otherwise): a
+    duplicated bucket row would fan out the broadcast join and silently
+    inflate both Σ cnt·w and Σ cnt for every document touching that
+    bucket. The check is one aggregation over the parameter-sized
+    weights relation, not the corpus.
     """
+    dup = (
+        weights.groupBy("bucket").count().where(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            "score_quality_linear: weights relation has duplicate bucket rows"
+        )
     occ = _bucket_occurrences(docs, n_buckets, text_col, id_col, bigrams)
     scored = (
         occ.join(F.broadcast(weights), "bucket", "left")
@@ -271,7 +289,10 @@ def score_quality_linear(
         ).alias("score"),
     )
     if threshold is not None:
-        out = out.withColumn("keep", F.col("score") >= F.lit(float(threshold)))
+        cut = F.lit(float(threshold))
+        out = out.withColumn(
+            "keep", F.col("score") > cut if strict else F.col("score") >= cut
+        )
     return out
 
 
@@ -290,7 +311,10 @@ def threshold_at_quantile(
     Returns a plain float (a parameter, not data). Filter with
     ``score > threshold`` (strict): the sketch returns a nearest-rank
     member of the distribution, so ``>=`` would also keep every row
-    tied with the cutoff itself."""
+    tied with the cutoff itself. When feeding this into
+    ``score_quality_linear`` or ``curate_corpus``, pass their
+    ``strict=True`` / ``quality_model_strict=True`` flag so the gate
+    applies the same strict comparison."""
     if not (0.0 < keep_frac <= 1.0):
         raise ValueError(f"keep_frac must be in (0, 1]: {keep_frac}")
     if keep_frac == 1.0:

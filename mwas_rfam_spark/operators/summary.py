@@ -205,7 +205,13 @@ def heavy_hitters(
         )
         .groupBy("__k")
         .agg(F.count("*").alias("cnt"))
-        .where(F.col("cnt") >= F.lit(float(support) * n))
+        # compare as cnt/n >= support, NOT cnt >= support*n: the float
+        # product rounds away from the bar (0.01*300 == 3.0000000000000004,
+        # dropping a key sitting exactly AT support × rows). Correctly-
+        # rounded division maps an exact-ratio count onto the same double
+        # as the support literal (3/300 == 0.01), so ties stay kept per
+        # the documented '>= support × rows' contract.
+        .where(F.col("cnt") / F.lit(float(n)) >= F.lit(float(support)))
     )
     return verified.select(
         F.col("__k").alias(key_col),

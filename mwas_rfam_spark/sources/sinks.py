@@ -61,6 +61,28 @@ def write_training_shards(
     )
 
 
+def _hive_partition_dir(spark, partition_col: str, value) -> str:
+    """The directory component Spark's writer produced for this
+    partition value: null → ``__HIVE_DEFAULT_PARTITION__``, unsafe
+    chars %-escaped (Hive path escaping). Asks the JVM's own
+    ``ExternalCatalogUtils.escapePathName`` so the rule can never drift
+    from the writer; the except branch is a transcription of the same
+    charset for environments where the catalyst class is unreachable.
+    """
+    if value is None:
+        return f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
+    s = str(value)
+    try:
+        esc = (
+            spark._jvm.org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.escapePathName(s)
+        )
+    except Exception:
+        unsafe = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(0x20)} | {chr(0x7F)}
+        esc = "".join(f"%{ord(ch):02X}" if ch in unsafe else ch for ch in s)
+    return f"{partition_col}={esc}"
+
+
 def merge_upsert_partitioned(
     spark,
     base_path: str,
@@ -99,7 +121,9 @@ def merge_upsert_partitioned(
 
     Updates must not collide on ``key_col`` internally (raises) —
     "last write wins" inside one batch would be order-dependent.
-    Returns the affected partition values.
+    NULL is a legal partition value throughout (null-safe partition
+    filter; the Hive default-partition directory on delete).
+    Returns the affected partition values (None = null partition).
     """
     from pyspark.sql import functions as F
 
@@ -115,11 +139,21 @@ def merge_upsert_partitioned(
         .distinct()
         .collect()
     )
-    parts = sorted(
-        {r[0] for r in updates.select(partition_col).distinct().collect()}
-        | {r[0] for r in holding}
-    )
-    base = base_all.where(F.col(partition_col).isin(parts))
+    parts_set = {r[0] for r in updates.select(partition_col).distinct().collect()} | {
+        r[0] for r in holding
+    }
+    # NULL is a legal partition value (Spark writes it as the Hive
+    # default-partition directory) but isin() never matches it — a key
+    # moving OUT of the null partition would leave its stale row behind
+    # (duplicate-key corruption). Track null membership explicitly and
+    # build a null-safe partition filter.
+    has_null = None in parts_set
+    nonnull = sorted(p for p in parts_set if p is not None)
+    parts = nonnull + ([None] if has_null else [])
+    cond = F.col(partition_col).isin(nonnull) if nonnull else F.lit(False)
+    if has_null:
+        cond = cond | F.col(partition_col).isNull()
+    base = base_all.where(cond)
     kept = base.join(
         F.broadcast(updates.select(key_col)), key_col, "left_anti"
     )
@@ -137,7 +171,7 @@ def merge_upsert_partitioned(
         conf = spark._jsc.hadoopConfiguration()
         for p in emptied:
             d = jvm.org.apache.hadoop.fs.Path(
-                f"{base_path}/{partition_col}={p}"
+                f"{base_path}/{_hive_partition_dir(spark, partition_col, p)}"
             )
             fs = d.getFileSystem(conf)
             if fs.exists(d):

@@ -103,3 +103,13 @@ def test_bounded_memory_candidate_summary(spark):
     want = _exact(df, "k", 0.04)
     got = {r["k"]: r["cnt"] for r in heavy_hitters(df, "k", support=0.04).collect()}
     assert got == want == {"hh": 400}
+
+
+def test_exact_support_boundary_kept(spark):
+    """ADVICE r4: a key whose frequency is EXACTLY support × rows must
+    be kept — the float product 0.01*300 == 3.0000000000000004 would
+    drop it; the cnt/n >= support comparison keeps it."""
+    rows = [("bar",)] * 3 + [(f"u{i}",) for i in range(297)]
+    df = spark.createDataFrame(rows, ["k"]).repartition(4)
+    got = {r["k"]: r["cnt"] for r in heavy_hitters(df, "k", support=0.01).collect()}
+    assert got["bar"] == 3

@@ -148,3 +148,67 @@ def test_compact_returns_actual_file_count(spark, tmp_path):
     n = compact_files(spark, part, target_rows_per_file=300, partition_col="p")
     assert n == len(_files(part))
     assert n >= 5  # per-partition ceils: >=3 (hot) + 1 + 1 — global ceil says 4
+
+
+def test_upsert_null_partition_move(spark, tmp_path):
+    """ADVICE r4 (medium): a key moving OUT of the NULL partition must
+    have its old row anti-joined away — isin() never matches NULL, so
+    without explicit null handling the key ends up duplicated."""
+    path = str(tmp_path / "nullpart")
+    df = spark.createDataFrame(
+        [(1, "one", None), (2, "two", None), (3, "three", "b")],
+        "doc_id long, text string, p string",
+    )
+    df.write.partitionBy("p").parquet(path)
+    updates = spark.createDataFrame(
+        [(1, "one moved", "b")], "doc_id long, text string, p string"
+    )
+    parts = merge_upsert_partitioned(spark, path, updates, "doc_id", "p")
+    assert parts == ["b", None]
+    after = spark.read.parquet(path)
+    rows = after.where("doc_id = 1").collect()
+    assert len(rows) == 1 and rows[0]["text"] == "one moved" and rows[0]["p"] == "b"
+    assert after.count() == 3
+    # doc 2 stays in the null partition, untouched
+    assert after.where("p IS NULL").count() == 1
+
+
+def test_upsert_null_partition_emptied(spark, tmp_path):
+    """When the null partition's last key moves away, its
+    __HIVE_DEFAULT_PARTITION__ directory must be deleted."""
+    path = str(tmp_path / "nullempty")
+    df = spark.createDataFrame(
+        [(1, "one", None), (2, "two", "b")],
+        "doc_id long, text string, p string",
+    )
+    df.write.partitionBy("p").parquet(path)
+    updates = spark.createDataFrame(
+        [(1, "one moved", "b")], "doc_id long, text string, p string"
+    )
+    merge_upsert_partitioned(spark, path, updates, "doc_id", "p")
+    after = spark.read.parquet(path)
+    assert after.count() == 2
+    assert after.where("p IS NULL").count() == 0
+    assert not os.path.exists(f"{path}/p=__HIVE_DEFAULT_PARTITION__")
+
+
+def test_upsert_escaped_partition_emptied(spark, tmp_path):
+    """ADVICE r4: emptied-partition cleanup must build the directory
+    name with Hive path escaping — a value containing ':' is written as
+    'p=k%3A1', so the unescaped f-string path would never match and the
+    stale rows would survive on disk."""
+    path = str(tmp_path / "escpart")
+    df = spark.createDataFrame(
+        [(1, "one", "k:1"), (2, "two", "ok")],
+        "doc_id long, text string, p string",
+    )
+    df.write.partitionBy("p").parquet(path)
+    assert os.path.exists(f"{path}/p=k%3A1")
+    updates = spark.createDataFrame(
+        [(1, "one moved", "ok")], "doc_id long, text string, p string"
+    )
+    merge_upsert_partitioned(spark, path, updates, "doc_id", "p")
+    after = spark.read.parquet(path)
+    assert after.count() == 2
+    assert after.where("p = 'k:1'").count() == 0
+    assert not os.path.exists(f"{path}/p=k%3A1")

@@ -316,3 +316,41 @@ def test_threshold_keep_all(spark):
     scored = spark.createDataFrame([(1, 0.2), (2, 0.2), (3, 0.9)], ["doc_id", "score"])
     cut = threshold_at_quantile(scored, keep_frac=1.0)
     assert scored.where(F.col("score") > cut).count() == 3  # keep everything
+
+
+def test_linear_scorer_strict_threshold(spark):
+    """ADVICE r4: strict=True applies score > threshold — required for
+    thresholds calibrated by threshold_at_quantile, which returns a
+    member of the distribution (inclusive would keep ties and overshoot
+    the keep fraction)."""
+    docs = spark.createDataFrame([(1, "x"), (2, "y")], ["doc_id", "text"])
+    weights = spark.createDataFrame([], "bucket INT, weight DOUBLE")
+    # all scores are sigmoid(0)=0.5; strict > 0.5 keeps nothing
+    out = score_quality_linear(docs, weights, bias=0.0, threshold=0.5, strict=True)
+    assert {r["keep"] for r in out.collect()} == {False}
+
+
+def test_quantile_threshold_composes_strict(spark):
+    """threshold_at_quantile + strict gate lands at (not over) the
+    requested keep fraction even with heavy score ties at the cut."""
+    from mwas_rfam_spark.operators.selection import threshold_at_quantile
+
+    rows = [(i, 0.3) for i in range(70)] + [(i, 0.8) for i in range(70, 100)]
+    scored = spark.createDataFrame(rows, ["doc_id", "score"])
+    cut = threshold_at_quantile(scored, keep_frac=0.3)
+    kept_strict = scored.where(F.col("score") > cut).count()
+    kept_incl = scored.where(F.col("score") >= cut).count()
+    assert kept_strict == 30  # exactly the top 30%
+    assert kept_incl == 30 or kept_incl == 100  # inclusive may keep every tie
+
+
+def test_linear_scorer_duplicate_buckets_raise(spark):
+    """ADVICE r4: a duplicated bucket row in the weights relation would
+    fan out the broadcast join and inflate every touching doc's score —
+    fail fast instead."""
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    weights = spark.createDataFrame(
+        [(7, 1.0), (7, 2.0)], ["bucket", "weight"]
+    )
+    with pytest.raises(ValueError, match="duplicate bucket"):
+        score_quality_linear(docs, weights)
