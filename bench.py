@@ -227,31 +227,41 @@ def main():
     total = round(sum(timings.values()), 3)
     fp = testdata_fingerprint(sf_dir)
     prev_fp = _prev_bench_fingerprint()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "mwas_full_first": mwas_full_first,
-                # the headline mwas_full rows run the kernel at the
-                # reference's production resample count (BASELINE.md) —
-                # recorded here so the artifact is baseline-comparable
-                # without cross-referencing source
-                "mwas_full_resamples": 10_000,
-                "runs": raw_runs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "testdata_fingerprint": fp,
-                # False = the inputs changed since the previous recorded
-                # round; its per-query deltas carry corpus noise and are
-                # NOT comparable. None = no prior round recorded one.
-                "comparable_to_prev_round": (
-                    None if prev_fp is None else prev_fp == fp
-                ),
-            }
-        )
-    )
+    headline = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "mwas_full_first": mwas_full_first,
+        # the headline mwas_full rows run the kernel at the
+        # reference's production resample count (BASELINE.md) —
+        # recorded here so the artifact is baseline-comparable
+        # without cross-referencing source
+        "mwas_full_resamples": 10_000,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "testdata_fingerprint": fp,
+        # False = the inputs changed since the previous recorded
+        # round; its per-query deltas carry corpus noise and are
+        # NOT comparable. None = no prior round recorded one.
+        "comparable_to_prev_round": (None if prev_fp is None else prev_fp == fp),
+    }
+    # The raw-runs forensics blob made the single JSON line big enough
+    # that the driver's stdout TAIL window truncated its head — BENCH
+    # 'parsed' came back null (r4 judge item #2). Order of emission
+    # matters: the blob goes to a FILE (and stdout first, where head
+    # truncation is harmless), and the compact machine-parsable headline
+    # is the LAST line printed so any tail window captures it whole.
+    full = dict(headline, runs=raw_runs)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_runs_last.json"),
+            "w",
+        ) as fh:
+            json.dump(full, fh)
+    except OSError:
+        pass
+    print(json.dumps(full))
+    print(json.dumps(headline))
     spark.stop()
 
 
