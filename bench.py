@@ -171,12 +171,16 @@ def main():
 
     raw_runs: dict[str, list[float]] = {}
 
-    def _timed(name, fn, n=2) -> float:
+    def _timed(name, fn, n=3) -> float:
         """min of n runs: single-shot numbers on this box vary up to 4×
         (GC / scheduler / co-tenant noise); the minimum is the steady-state
         cost. Caches are cleared between runs so each timing is cold-plan.
         Every raw run is recorded in the output's `runs` field so a drift
-        can be diagnosed from the artifact instead of re-measured."""
+        can be diagnosed from the artifact instead of re-measured.
+        min-of-3, not 2: the r5 forensics on the four r3→r4 'movers'
+        (SCALE.md) traced their +25-40% swings entirely to first-run
+        codegen/JIT/GC debt that one retry doesn't reliably clear —
+        min-of-3 reproduced the steady state at both placements."""
         runs = []
         for _ in range(n):
             t0 = time.time()

@@ -96,13 +96,45 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: s
     )
 
 
+#: auto stop-shingle policy: engage only when the corpus is low-vocab
+#: (mean shingle df above this bound — the regenerated sf0.1 corpus that
+#: motivated the guard measures 9.6; high-vocab natural text sits ~1-2)
+AUTO_MAX_DF_MEAN_BOUND = 5.0
+#: when engaged, cap at this df quantile (drops only the hottest tail)
+AUTO_MAX_DF_QUANTILE = 0.95
+#: never cap below this df — tiny corpora keep every shingle
+AUTO_MAX_DF_FLOOR = 10
+
+
+def auto_max_df(df_counts: DataFrame) -> int | None:
+    """Derive the PPJoin+ stop-shingle cap from the corpus's own
+    document-frequency distribution (one aggregation over the DISTINCT
+    shingles — parameter-sized result): returns None (exact join) when
+    the corpus is high-vocabulary (mean df <= AUTO_MAX_DF_MEAN_BOUND —
+    hot shingles are rare enough that prefix filtering alone bounds
+    candidates), else the AUTO_MAX_DF_QUANTILE df (floored at
+    AUTO_MAX_DF_FLOOR) so only the hottest ~5% of shingles leave
+    candidate generation. Candidate cost is then bounded ~cap² per
+    indexed shingle instead of Σ df² (SCALE.md: 202k candidates for 256
+    true pairs on the low-vocab corpus, unbounded)."""
+    row = df_counts.agg(
+        F.mean("df").alias("m"),
+        F.expr(
+            f"approx_percentile(df, {AUTO_MAX_DF_QUANTILE}, 10000)"
+        ).alias("q"),
+    ).collect()[0]
+    if row["m"] is None or row["m"] <= AUTO_MAX_DF_MEAN_BOUND:
+        return None
+    return max(int(row["q"]), AUTO_MAX_DF_FLOOR)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_df: int | None = None,
+    max_df: int | None | str = "auto",
 ) -> DataFrame:
     """EXACT near-duplicate pairs by word-n-gram Jaccard similarity.
 
