@@ -773,7 +773,7 @@ def q_dedup_exact(spark, sf_dir):
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Word-3-gram Jaccard near-dup pairs (inverted-index formulation)."""
     d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, n=3, threshold=0.5).select(
+    return ngram_jaccard_pairs(d, n=3, threshold=0.5, max_df=None).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 
@@ -1600,7 +1600,7 @@ def q_dedup_quality(spark, sf_dir):
     the oracle can pin as a boolean floor (the md5 twins are already
     value-hash-verified; this pins the throughput variants too)."""
     d = _t(spark, sf_dir, "documents")
-    exact = ngram_jaccard_pairs(d, n=3, threshold=0.7).select("id_a", "id_b")
+    exact = ngram_jaccard_pairs(d, n=3, threshold=0.7, max_df=None).select("id_a", "id_b")
     mh = minhash_lsh_pairs(d, num_hashes=64, bands=16, threshold=0.5).select(
         "id_a", "id_b"
     )
@@ -1632,7 +1632,7 @@ def q_dedup_clusters(spark, sf_dir):
     from mwas_rfam_spark.operators.dedup import dedup_clusters
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    pairs = ngram_jaccard_pairs(d, n=3, threshold=0.5, max_df=None)
     return dedup_clusters(pairs, docs=d)
 
 

@@ -172,8 +172,19 @@ def ngram_jaccard_pairs(
     bounded by ``max_df²`` per indexed shingle. The trade: a pair is
     missed only when EVERY prefix shingle it shares is hot (df > bound) —
     at dedup thresholds a near-duplicate pair shares most of its rare
-    shingles too, so recall on tested corpora is unchanged; the default
-    (None) keeps the join exact.
+    shingles too, so recall on tested corpora is unchanged;
+    ``max_df=None`` keeps the join exact.
+
+    The default ``max_df="auto"`` derives the cap from the corpus's own
+    df distribution (:func:`auto_max_df`): high-vocabulary corpora
+    resolve to None (exact join, no behavior change), low-vocabulary
+    corpora — where prefix filtering alone cannot bound candidates —
+    get the hottest ~5% of shingles capped out of candidate generation
+    without the caller knowing the knob. The resolution costs one extra
+    aggregation pass over the shingles (parameter-sized result). Pass
+    ``max_df=None`` explicitly where bit-exact parity with a full
+    all-pairs oracle is required (the registered correctness entries
+    do).
     """
     sh = word_shingles(docs, n, text_col, id_col)
     # localCheckpoint, not cache: three consumers (prefix ranking + both
@@ -188,6 +199,10 @@ def ngram_jaccard_pairs(
     ).localCheckpoint()
 
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    if isinstance(max_df, str):
+        if max_df != "auto":
+            raise ValueError(f"max_df must be an int, None, or 'auto': {max_df!r}")
+        max_df = auto_max_df(df_counts)
     w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
     ranked = (
         sh.join(df_counts, "shingle")
@@ -271,9 +286,12 @@ def dedup_pipeline_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     pair_fn=None,
+    max_df: int | None | str = None,
 ) -> DataFrame:
     """Composed dedup: exact-collapse → near-dup on representatives →
-    group sizes re-attached.
+    group sizes re-attached. ``max_df`` passes through to the default
+    exact-Jaccard matcher (None — exact, bit-replayable by the SQL
+    oracle; "auto" engages the stop-shingle guard on low-vocab corpora).
 
     The exact Jaccard join is output-bound on clone-heavy corpora (every
     clone pair is a result row — SCALE.md measured 4 s → 74 s at 10×
@@ -297,7 +315,7 @@ def dedup_pipeline_pairs(
         groups.select(F.col("keep_id").alias(id_col)), [id_col], "left_semi"
     )
     if pair_fn is None:
-        pairs = ngram_jaccard_pairs(reps, n, threshold, text_col, id_col)
+        pairs = ngram_jaccard_pairs(reps, n, threshold, text_col, id_col, max_df=max_df)
     else:
         pairs = pair_fn(reps)
     score_col = pairs.columns[2]

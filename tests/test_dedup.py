@@ -652,3 +652,49 @@ def test_overlap_matrix_from_signatures(spark, sf_dir):
     bad = corpus_signature(a, "w64", num_hashes=64)
     with _pt.raises(ValueError, match="mixed num_hashes"):
         overlap_matrix_from_signatures(sigs.unionByName(bad)).collect()
+
+
+def test_auto_max_df_policy(spark, sf_dir):
+    """VERDICT r4 task #6: the default max_df='auto' derives the
+    stop-shingle cap from the corpus's own df distribution — None
+    (exact) on high-vocab corpora, a p95 cap on low-vocab ones — and on
+    the real documents corpus (low-vocab by measurement, mean shingle
+    df ~9.6 at sf0.1) auto keeps recall identical to the exact join."""
+    from mwas_rfam_spark.operators.dedup import auto_max_df, word_shingles
+
+    # high-vocab: 40 docs of distinct content -> mean df ~1 -> exact
+    hi = spark.createDataFrame(
+        [(i, f"unique alpha{i} beta{i} gamma{i} delta{i} epsilon{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    dfc = (
+        word_shingles(hi, 3).groupBy("shingle").agg(F.count("*").alias("df"))
+    )
+    assert auto_max_df(dfc) is None
+    # low-vocab: every doc is a permutation of the same tiny vocabulary
+    lo = spark.createDataFrame(
+        [(i, "one two three four five six seven eight nine ten " * 2) for i in range(60)],
+        "doc_id long, text string",
+    )
+    dfc_lo = (
+        word_shingles(lo, 3).groupBy("shingle").agg(F.count("*").alias("df"))
+    )
+    cap = auto_max_df(dfc_lo)
+    assert cap is not None and cap >= 10
+
+    # real corpus: auto engages AND recall is unchanged vs exact
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in ngram_jaccard_pairs(d, n=3, threshold=0.5, max_df=None).collect()
+    }
+    auto = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in ngram_jaccard_pairs(d, n=3, threshold=0.5).collect()
+    }
+    assert auto == exact
+
+
+def test_auto_max_df_bad_string(spark, docs):
+    with pytest.raises(ValueError, match="max_df"):
+        ngram_jaccard_pairs(docs, max_df="always").count()

@@ -57,7 +57,10 @@ def probe_dedup(spark, sf_dir: str, out: dict):
         for op, fn in [
             ("exact", lambda d=docs: exact_dedup_groups(d)),
             ("minhash_lsh", lambda d=docs: minhash_lsh_pairs(d)),
-            ("ngram_jaccard", lambda d=docs: ngram_jaccard_pairs(d)),
+            # max_df=None: this probe documents the EXACT all-pairs
+            # worst case; the auto guard is probed separately below
+            ("ngram_jaccard", lambda d=docs: ngram_jaccard_pairs(d, max_df=None)),
+            ("ngram_jaccard_auto", lambda d=docs: ngram_jaccard_pairs(d)),
             ("pipeline", lambda d=docs: dedup_pipeline_pairs(d)),
         ]:
             t0 = time.time()
