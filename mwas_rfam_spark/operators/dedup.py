@@ -598,6 +598,7 @@ def dedup_clusters(
     docs: DataFrame | None = None,
     id_col: str = "doc_id",
     max_iters: int = 25,
+    local_threshold_edges: int | None = 500_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (doc_id, cluster_id, keep).
 
@@ -623,11 +624,69 @@ def dedup_clusters(
     grows exponentially until the driver OOMs just *printing* it (on a
     real cluster with a checkpoint dir, ``checkpoint()`` gives the same
     truncation with fault tolerance).
+
+    Size-adaptive execution (``local_threshold_edges``): the edge set is
+    counted first (one job — it forces the persist the loop needs
+    anyway, so nothing runs twice), and when it fits comfortably on the
+    driver the components are computed by a local union-find and the
+    label map shipped back — the SAME cost-model move as Spark's own
+    broadcast join (collect the small side rather than shuffle the big
+    one). Near-dup pair sets are usually a vanishing fraction of the
+    corpus (dedup output, not input), so even 100 TB corpora often land
+    here; when they don't (> threshold edges ≈ tens of MB), the
+    distributed pointer-doubling loop below runs unchanged. The two
+    paths produce identical labels (min reachable id; equivalence
+    pinned by a randomized test). ``local_threshold_edges=None`` forces
+    the distributed path.
     """
     edges_f = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = edges_f.unionByName(
         edges_f.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
+
+    if local_threshold_edges is not None:
+        n_edges = edges.count()  # forces the persist; one scan either way
+        if n_edges <= local_threshold_edges:
+            try:
+                rows = edges_f.collect()
+                parent: dict = {}
+
+                def find(x):
+                    root = x
+                    while parent[root] != root:
+                        root = parent[root]
+                    while parent[x] != root:  # path compression
+                        parent[x], x = root, parent[x]
+                    return root
+
+                for r in rows:
+                    a, b = r["src"], r["dst"]
+                    parent.setdefault(a, a)
+                    parent.setdefault(b, b)
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        # union by MIN root so the representative is the
+                        # minimum id — the distributed loop's invariant
+                        lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                        parent[hi] = lo
+                spark = pairs.sparkSession
+                out = spark.createDataFrame(
+                    [(n, find(n)) for n in parent],
+                    schema=pairs.select(
+                        F.col("id_a").alias(id_col),
+                        F.col("id_b").alias("cluster_id"),
+                    ).schema,
+                )
+                if docs is not None:
+                    singles = (
+                        docs.select(id_col)
+                        .join(out.select(id_col), id_col, "left_anti")
+                        .withColumn("cluster_id", F.col(id_col))
+                    )
+                    out = out.unionByName(singles)
+                return out.withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+            finally:
+                edges.unpersist()
 
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -842,6 +901,15 @@ def embedding_near_dup_pairs(
                 F.concat(F.col("blk").cast("string"), F.lit("#"), sub_bits),
             ).otherwise(F.col("blk").cast("string")),
         )
+    # explicit repartition before the self-join: AQE sizes the join's
+    # shuffle by BYTES (vectors are small) and coalesces it to ~1
+    # partition, but each joined row pays a dim-length dot product —
+    # compute AQE can't see (same trap as the ngram verification join;
+    # measured here: 2.7 s single-task vs sub-second spread). A
+    # user-requested repartition is exempt from AQE coalescing and the
+    # blk-hash distribution satisfies the join on both sides.
+    n_part = max(emb.sparkSession.sparkContext.defaultParallelism, 8)
+    base = base.repartition(n_part, "blk")
     a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "blk")
     b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "blk")
     dot = F.aggregate(

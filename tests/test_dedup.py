@@ -398,7 +398,9 @@ def test_dedup_clusters_nonconvergence_raises(spark):
         [(i, i + 1, 1.0) for i in range(1, n)], ["id_a", "id_b", "jaccard"]
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup_clusters(pairs, max_iters=2)
+        # local_threshold_edges=None: the local union-find path has no
+        # iteration cap to test — force the distributed loop
+        dedup_clusters(pairs, max_iters=2, local_threshold_edges=None)
 
 
 def test_embedding_lsh_plane_dim_mismatch_raises(spark):
@@ -698,3 +700,40 @@ def test_auto_max_df_policy(spark, sf_dir):
 def test_auto_max_df_bad_string(spark, docs):
     with pytest.raises(ValueError, match="max_df"):
         ngram_jaccard_pairs(docs, max_df="always").count()
+
+
+def test_dedup_clusters_local_vs_distributed(spark):
+    """The size-adaptive local union-find cutover must produce labels
+    IDENTICAL to the distributed pointer-doubling loop — randomized
+    graphs incl. chains (the adversarial diameter shape), stars, and
+    isolated nodes."""
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(100))
+    edges = [(a, b) for a, b in zip(nodes, nodes[1:30])]  # a chain
+    edges += [(50, x) for x in range(51, 60)]  # a star
+    edges += [(rng.randrange(60, 95), rng.randrange(60, 95)) for _ in range(40)]
+    edges = [(a, b) for a, b in edges if a != b]
+    from mwas_rfam_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    docs = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    local = {
+        (r["doc_id"], r["cluster_id"], r["keep"])
+        for r in dedup_clusters(pairs, docs=docs).collect()
+    }
+    dist = {
+        (r["doc_id"], r["cluster_id"], r["keep"])
+        for r in dedup_clusters(pairs, docs=docs, local_threshold_edges=None).collect()
+    }
+    assert local == dist and len(local) == 100
+
+
+def test_dedup_clusters_local_empty_pairs(spark):
+    from mwas_rfam_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    rows = {(r["doc_id"], r["cluster_id"], r["keep"]) for r in dedup_clusters(pairs, docs=docs).collect()}
+    assert rows == {(1, 1, True), (2, 2, True)}
