@@ -1292,6 +1292,66 @@ def q_mwas_perm_exact(spark, sf_dir):
     )
 
 
+def q_mwas_perm_calibration(spark, sf_dir):
+    """T2 calibration gate for the RANDOMIZED permutation regime (r4
+    verdict task #3, ann_recall mold): metadata restricted to the first
+    14 biosamples per bioproject puts the largest cohort split at
+    C(14,7)=3432 — one run at resamples=4000 is therefore fully EXACT
+    (complete enumeration, p an exact rational), and a second run at
+    resamples=3000 executes the splits with C(n,k) > 3000 through the
+    RANDOMIZED kernel (seeded Fisher–Yates draws, +1/+1 correction).
+    Each test's randomized p must sit inside the 3σ binomial band of
+    its exact p (|p_r − p_e| <= 3·sqrt(p_e(1−p_e)/R) + 2/(R+1); the
+    additive term covers the +1/+1 correction and draw discreteness);
+    splits small enough that both runs enumerate agree exactly and pass
+    trivially. Seeded kernel + deterministic data ⇒ a deterministic
+    boolean relation; the oracle independently derives n_compared (the
+    permutation-eligible test count under the same restriction) from
+    the relational CTEs, so an eligibility drift also fails the gate.
+    """
+    meta = mwas_metadata_long_from_customer(spark, sf_dir)
+    w = Window.partitionBy("bioproject").orderBy(
+        F.length("biosample_id"), F.col("biosample_id")
+    )
+    keep = (
+        meta.select("bioproject", "biosample_id")
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 14)
+        .drop("rk")
+    )
+    meta14 = meta.join(keep, ["bioproject", "biosample_id"])
+    sets_df, ref_df = condense_metadata(meta14)
+    inp = mwas_input_from_events(spark, sf_dir)
+    cat = mwas_catalog_from_orders(spark, sf_dir)
+    key = ["bioproject", "group", "metadata_field", "metadata_value"]
+
+    def perm_p(resamples: int, alias: str) -> DataFrame:
+        out = run_mwas(inp, cat, sets_df, ref_df, MwasConfig(permutation_resamples=resamples))
+        return out.filter(F.col("status").startswith("permutation")).select(
+            *key, F.col("p_value").alias(alias)
+        )
+
+    R = 3000
+    j = perm_p(4000, "p_exact").join(perm_p(R, "p_rand"), key)
+    band = 3.0 * F.sqrt(F.col("p_exact") * (1.0 - F.col("p_exact")) / F.lit(float(R))) + F.lit(
+        2.0 / (R + 1)
+    )
+    agg = j.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (F.abs(F.col("p_rand") - F.col("p_exact")) <= band).cast("long")
+        ).alias("n_agree"),
+    )
+    return agg.select(
+        F.lit("randomized_vs_exact").alias("check_name"),
+        F.col("n").alias("n_compared"),
+        ((F.col("n") > 0) & (F.col("n_agree") >= F.ceil(F.col("n") * 0.95))).alias(
+            "meets_target"
+        ),
+    )
+
+
 def q_mwas_legacy_full(spark, sf_dir):
     """Legacy-generation output mode (old/mwas_rfam.py:100-111,369-370)
     hash-verified: numeric ±inf fold change survives the cross-engine
@@ -1863,6 +1923,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              hash-verified `text_decontam` benchmark-
                              decontamination gate
 
+    - so4_intersect        → (r5) INTERSECT is a single built-in set op
+                             whose arithmetic (groupBy-sum + filter +
+                             set semantics) is pinned by the green
+                             so1/so2/j6 family; it stays DuckDB-parity-
+                             verified in tests/test_parity_and_edges.py
+                             (same SQL the oracle ran). Its slot went to
+                             `mwas_perm_calibration` — the randomized
+                             permutation kernel's driver-pinned gate
+                             (r4 verdict task #3), which closes the last
+                             rows-only surface's calibration question.
+
     Round-4 second-wave surfaces (registry full at 50 all-green; each is
     pytest-pinned and benchable where noted, with its exactness anchored
     to an existing green entry where semantics overlap):
@@ -1951,7 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j8_interval_join": q_j8_interval_join,
         "so1_anti_join": q_so1_anti_join,
         "so2_complement": q_so2_complement,
-        "so4_intersect": q_so4_intersect,
+        "mwas_perm_calibration": q_mwas_perm_calibration,
         "shuffle_shard": q_shuffle_shard,
         "a7_signature_dedup": q_a7_signature_dedup,
         "a9_summary_agg": q_a9_summary_agg,
@@ -2084,6 +2155,30 @@ SELECT bio_project AS bioproject, group_name,
        round(obs_stat, 6) AS t_stat,
        round(least(1.0, 2.0 * least(ge, le) / denom), 6) AS p_value
 FROM counts
+"""
+)
+
+# Calibration gate oracle (mwas_perm_calibration): the oracle cannot
+# replay the randomized kernel, but it CAN independently derive the
+# number of permutation-eligible tests under the first-14 restriction
+# from the same relational CTE chain (eligibility = min cohort >= 4 and
+# the group-skip rule — exactly what q_mwas_perm_exact's 4/4-at-n=8
+# condition generalizes to), and pin meets_target TRUE. A Spark-side
+# eligibility drift breaks n_compared; a kernel mis-calibration breaks
+# the 3σ band and flips the boolean — both hash-visible.
+_MWAS_PERM_CALIB_ORACLE = (
+    _MWAS_CTES_HEAD
+    + _META_FIRST8.replace("<= 8", "<= 14")
+    + _MWAS_CTES_TAIL
+    + """
+, skipflags AS (
+  SELECT bp, grp, count(*) < 3 AS skip_tests FROM resolved GROUP BY 1, 2)
+SELECT 'randomized_vs_exact' AS check_name,
+       CAST(count(*) AS BIGINT) AS n_compared,
+       TRUE AS meets_target
+FROM stats s
+LEFT JOIN skipflags k ON s.bio_project = k.bp AND s.group_name = k.grp
+WHERE least(s.n_true, s.n_false) >= 4 AND NOT COALESCE(k.skip_tests, TRUE)
 """
 )
 
@@ -2402,15 +2497,7 @@ FROM final
                    count(*) AS n, round(sum(o_totalprice), 4) AS total
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
-        "so4_intersect": """
-            SELECT c_custkey AS custkey FROM customer
-            WHERE c_mktsegment = 'BUILDING'
-            INTERSECT
-            SELECT o_custkey AS custkey
-            FROM (SELECT o_custkey, sum(o_totalprice) AS s
-                  FROM orders GROUP BY 1)
-            WHERE s > 100000
-        """,
+        "mwas_perm_calibration": _MWAS_PERM_CALIB_ORACLE,
         "so2_complement": """
             SELECT s_nationkey, pos, s_name AS name
             FROM (SELECT s_nationkey, s_name, s_acctbal,

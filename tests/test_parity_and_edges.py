@@ -273,3 +273,50 @@ def test_round3_operators_empty_inputs(spark):
     row = asof_join(left, empty_r, by="k").collect()
     assert len(row) == 1 and row[0]["v_r"] is None and row[0]["ts_r"] is None
     assert asof_join(spark.createDataFrame([], "k long, ts long"), empty_r, by="k").count() == 0
+
+
+def test_so4_intersect_duckdb_parity(spark, sf_dir):
+    """so4_intersect left the 50-cap registry in r5 (slot went to the
+    permutation calibration gate); this test runs the SAME DuckDB oracle
+    the driver used to, so the surface stays cross-engine-verified."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    got = sorted(
+        r["custkey"] for r in entry.q_so4_intersect(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{sf_dir}/customer.parquet'"
+    )
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'")
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            """
+            SELECT c_custkey AS custkey FROM customer
+            WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT o_custkey AS custkey
+            FROM (SELECT o_custkey, sum(o_totalprice) AS s
+                  FROM orders GROUP BY 1)
+            WHERE s > 100000
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_mwas_perm_calibration_gate(spark, sf_dir):
+    """The randomized permutation kernel's calibration gate: every
+    randomized p within the 3σ binomial band of its exact-enumeration
+    twin, over a non-trivial comparison set."""
+    import __spark_entry__ as entry
+
+    rows = entry.q_mwas_perm_calibration(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["check_name"] == "randomized_vs_exact"
+    assert r["n_compared"] > 0
+    assert r["meets_target"] is True
