@@ -1301,8 +1301,12 @@ def q_mwas_perm_calibration(spark, sf_dir):
     resamples=3000 executes the splits with C(n,k) > 3000 through the
     RANDOMIZED kernel (seeded Fisher–Yates draws, +1/+1 correction).
     Each test's randomized p must sit inside the 3σ binomial band of
-    its exact p (|p_r − p_e| <= 3·sqrt(p_e(1−p_e)/R) + 2/(R+1); the
-    additive term covers the +1/+1 correction and draw discreteness);
+    its exact p. The p-value is TWO-SIDED — p = 2·q with q = min(ge,le)
+    tail fraction — so the estimator's sd is 2·sqrt(q(1−q)/R) with
+    q = p_e/2, NOT sqrt(p_e(1−p_e)/R) (the un-doubled band is ~half
+    width and rejects ~9% of tests; measured at sf0.01 before the fix).
+    Band: |p_r − p_e| <= 6·sqrt((p_e/2)(1−p_e/2)/R) + 2/(R+1); the
+    additive term covers the +1/+1 correction and draw discreteness;
     splits small enough that both runs enumerate agree exactly and pass
     trivially. Seeded kernel + deterministic data ⇒ a deterministic
     boolean relation; the oracle independently derives n_compared (the
@@ -1334,9 +1338,8 @@ def q_mwas_perm_calibration(spark, sf_dir):
 
     R = 3000
     j = perm_p(4000, "p_exact").join(perm_p(R, "p_rand"), key)
-    band = 3.0 * F.sqrt(F.col("p_exact") * (1.0 - F.col("p_exact")) / F.lit(float(R))) + F.lit(
-        2.0 / (R + 1)
-    )
+    q = F.col("p_exact") / 2.0
+    band = 6.0 * F.sqrt(q * (1.0 - q) / F.lit(float(R))) + F.lit(2.0 / (R + 1))
     agg = j.agg(
         F.count("*").alias("n"),
         F.sum(
