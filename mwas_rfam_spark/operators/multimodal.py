@@ -92,25 +92,53 @@ def _fake_dims(digest_hex: str) -> tuple[int, int, int]:
     return width, height, channels
 
 
+def _real_decode_dims(payload: bytes) -> tuple[int, int, int]:
+    """Real-codec single-image decode → (width, height, channels).
+
+    Preference order: PIL when the wheel exists (every format), else the
+    pure-stdlib PNG decoder (functions/png_codec — zlib+struct, full
+    filter support; the r4 verdict's stretch task), else
+    NotImplementedError naming the missing codec. The ordering means the
+    SAME pipeline code upgrades transparently when real wheels appear."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return im.width, im.height, len(im.getbands())
+    except ImportError:
+        pass
+    from mwas_rfam_spark.functions.png_codec import decode_png, is_png
+
+    if is_png(payload):
+        w, h, c, _px = decode_png(payload)
+        return w, h, c
+    raise NotImplementedError(
+        "real image decode: PIL/pillow not in this container and the "
+        "payload is not a PNG (the stdlib decoder handles PNG only)"
+    )
+
+
 def decode_images(media: DataFrame, fake: bool = True) -> DataFrame:
     """Decode image payloads → (doc_id, width, height, channels).
 
-    ``fake=False`` is the real-codec path (PIL), stubbed in this
-    container. The fake path derives dims from the payload sha256.
+    ``fake=False`` is the real-codec path: PIL when installed, else the
+    pure-stdlib PNG decoder (functions/png_codec) for PNG payloads —
+    other formats raise NotImplementedError naming the missing wheel.
+    The fake path derives dims from the payload sha256.
     Input only needs (doc_id, payload, media_meta); non-image rows are
     filtered out BEFORE the Python stage so Arrow never ships them.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decode needs PIL/pillow (not in this container); "
-                    "use fake=True for the deterministic stub"
-                )
             if len(pdf) == 0:
                 continue
-            dims = [_fake_dims(hashlib.sha256(p).hexdigest()) for p in pdf["payload"]]
+            if fake:
+                dims = [_fake_dims(hashlib.sha256(p).hexdigest()) for p in pdf["payload"]]
+            else:
+                dims = [_real_decode_dims(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),

@@ -138,3 +138,180 @@ def test_embed_documents_bad_encoder_shape_raises(spark):
 
     with _pt.raises(Exception, match="encoder returned shape"):
         bad.collect()
+
+
+# ---- pure-stdlib PNG codec (r4 verdict stretch task #8) ----
+
+
+def _ref_filter(rows, stride, bpp, ftype):
+    """Independent reference implementation of PNG scanline FILTERING
+    (the encoder direction), used to hand-build filtered streams the
+    decoder must invert."""
+    out = []
+    prev = bytes(stride)
+    for row in rows:
+        f = bytearray()
+        for i in range(stride):
+            x = row[i]
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                v = x
+            elif ftype == 1:
+                v = (x - a) & 0xFF
+            elif ftype == 2:
+                v = (x - b) & 0xFF
+            elif ftype == 3:
+                v = (x - ((a + b) >> 1)) & 0xFF
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = (x - pred) & 0xFF
+            f.append(v)
+        # filtering uses RAW neighbors (a from this row, b/c from prev raw)
+        out.append((ftype, bytes(f)))
+        prev = row
+    return out
+
+
+def _png_from_filtered(width, height, channels, filtered):
+    import struct
+    import zlib
+
+    def chunk(ctype, payload):
+        body = ctype + payload
+        return struct.pack(">I", len(payload)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, {1: 0, 3: 2, 2: 4, 4: 6}[channels], 0, 0, 0)
+    raw = b"".join(bytes([f]) + data for f, data in filtered)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_and_all_filters():
+    import hashlib
+    import random
+
+    from mwas_rfam_spark.functions.png_codec import decode_png, encode_png, is_png
+
+    rng = random.Random(3)
+    for channels in (1, 2, 3, 4):
+        w, h = 13, 7  # odd dims: exercises stride edges
+        px = bytes(rng.randrange(256) for _ in range(w * h * channels))
+        data = encode_png(w, h, channels, px)
+        assert is_png(data)
+        gw, gh, gc, gpx = decode_png(data)
+        assert (gw, gh, gc) == (w, h, channels)
+        assert gpx == px
+    # every filter type must invert to the same pixels
+    w, h, channels = 9, 6, 3
+    stride = w * channels
+    px = bytes(rng.randrange(256) for _ in range(stride * h))
+    rows = [px[y * stride : (y + 1) * stride] for y in range(h)]
+    for ftype in range(5):
+        filtered = _ref_filter(rows, stride, channels, ftype)
+        data = _png_from_filtered(w, h, channels, filtered)
+        got = decode_png(data)
+        assert got[3] == px, f"filter {ftype} did not invert"
+    # mixed per-row filters: row y filtered with type y%5 given true prev row
+    mixed = []
+    prev = bytes(stride)
+    for y, row in enumerate(rows):
+        ftype = y % 5
+        one = _ref_filter([row], stride, channels, ftype)
+        # _ref_filter assumes zero prev for first row; recompute with real prev
+        f = bytearray()
+        for i in range(stride):
+            x = row[i]
+            a = row[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if ftype == 0:
+                v = x
+            elif ftype == 1:
+                v = (x - a) & 0xFF
+            elif ftype == 2:
+                v = (x - b) & 0xFF
+            elif ftype == 3:
+                v = (x - ((a + b) >> 1)) & 0xFF
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = (x - pred) & 0xFF
+            f.append(v)
+        mixed.append((ftype, bytes(f)))
+        prev = row
+    data = _png_from_filtered(w, h, channels, mixed)
+    assert decode_png(data)[3] == px
+    # hash sanity so a silent no-op can't pass
+    assert hashlib.sha256(px).hexdigest() != hashlib.sha256(b"").hexdigest()
+
+
+def test_png_rejects_unsupported():
+    import struct
+    import zlib
+
+    import pytest
+
+    from mwas_rfam_spark.functions.png_codec import decode_png, encode_png
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"JFIF not a png")
+    good = encode_png(2, 2, 3, bytes(12))
+    # flip bit depth to 16 inside IHDR (offset: 8 sig + 8 hdr + 8 w/h)
+    bad_depth = bytearray(good)
+    bad_depth[24] = 16
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(bytes(bad_depth))
+    bad_ct = bytearray(good)
+    bad_ct[25] = 3  # palette
+    with pytest.raises(ValueError, match="color type"):
+        decode_png(bytes(bad_ct))
+
+
+def test_decode_images_real_png_path(spark):
+    """fake=False end-to-end through the Spark mapInPandas stage: PNG
+    payloads decode with the stdlib codec (PIL absent in-container) and
+    report true dims — the plumbing (schema, batch contract, image-only
+    filter) is the same as the fake path."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.functions.png_codec import encode_png
+    from mwas_rfam_spark.operators.multimodal import decode_images
+
+    rows = [
+        (1, encode_png(20, 10, 3, bytes(range(256)) * 2 + bytes(88)), "image"),
+        (2, encode_png(5, 4, 1, bytes(20)), "image"),
+        (3, b"not an image", "audio"),  # filtered out before Python
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, payload binary, mt string"
+    ).select(
+        "doc_id",
+        "payload",
+        F.struct(F.col("mt").alias("media_type")).alias("media_meta"),
+    )
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["channels"])
+        for r in decode_images(media, fake=False).collect()
+    }
+    assert got == {1: (20, 10, 3), 2: (5, 4, 1)}
+
+    # a non-PNG payload tagged image raises loudly (missing codec named)
+    bad = spark.createDataFrame(
+        [(9, b"GIF89a...", "image")], "doc_id long, payload binary, mt string"
+    ).select(
+        "doc_id", "payload", F.struct(F.col("mt").alias("media_type")).alias("media_meta")
+    )
+    with pytest.raises(Exception, match="NotImplementedError|not a PNG|PIL"):
+        decode_images(bad, fake=False).collect()
