@@ -58,6 +58,8 @@ HEADLINE = [
     "quality_linear",
     "cluster_sample",
     "dup_spans",
+    "bm25_topk",
+    "incremental_embedding",
     "events_hourly",
 ]
 

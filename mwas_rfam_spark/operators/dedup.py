@@ -1570,3 +1570,104 @@ def strip_duplicate_spans(
             .alias(text_col),
         )
     )
+
+
+def embedding_dedup_state(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the stored state for `incremental_embedding_dedup`:
+    (cell, id, vec, nrm) per KEPT vector, cell-assigned by the shared
+    coarse quantizer. Write it partitioned by ``cell`` so every later
+    probe is a co-located equi-join."""
+    from mwas_rfam_spark.operators.similarity import assign_ivf_cells
+
+    cells = assign_ivf_cells(emb, centroids, id_col, vec_col)
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+    )
+    return cells.select(
+        "cell",
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        nrm.alias("nrm"),
+    )
+
+
+def incremental_embedding_dedup(
+    new_emb: DataFrame,
+    seen_state: DataFrame | None,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """SEMANTIC dedup of a new batch against the running corpus — the
+    embedding-space member of the incremental family (exact anti-join /
+    Bloom / MinHash band-state are the lexical ones). The corpus state
+    is `embedding_dedup_state` rows for SURVIVORS only; both sides
+    share one coarse quantizer (train once, reuse — re-training would
+    silently re-cell the state and break comparability, so centroids
+    are an explicit parameter, never derived here).
+
+    Rule, exactly (keep-first, mirroring `incremental_minhash_dedup`):
+    a new vector is DROPPED iff, within its cell, it has cosine >=
+    ``threshold`` with (a) any state vector, or (b) any smaller-id
+    vector of the same batch (whether or not that one survives — the
+    greedy one-pass rule). Cross-cell near-dups are missed, the same
+    published recall trade as SemDeDup (the batch variant here,
+    `semantic_dedup`, accepts it too).
+
+    Returns ``(survivors, updated_state)``. Scale shape: the batch
+    probes ONLY the state cells it occupies (cell equi-join; with state
+    stored partitioned by cell it is co-located), never rescans corpus
+    vectors wholesale; per-batch cost is Σ_cell batch_c × state_c plus
+    the within-batch Σ C(batch_c, 2) — both bounded by cell granularity
+    (scale k so cells stay ~constant, as in `semantic_dedup`).
+    """
+    batch = embedding_dedup_state(new_emb, centroids, id_col, vec_col).localCheckpoint()
+
+    # (b) within-batch: blocked pair finding, drop the larger id of any pair
+    pairs = embedding_near_dup_pairs(
+        batch.select(F.col("id").alias(id_col), F.col("vec").alias(vec_col), "cell"),
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="cell",
+    )
+    drop_batch = pairs.select(F.col("id_b").alias("id")).distinct()
+
+    if seen_state is not None:
+        dot = F.aggregate(
+            F.zip_with("vec", "svec", lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        drop_state = (
+            batch.join(
+                seen_state.select(
+                    "cell", F.col("vec").alias("svec"), F.col("nrm").alias("snrm")
+                ),
+                "cell",
+            )
+            .withColumn("cos", dot / (F.col("nrm") * F.col("snrm")))
+            .where(F.col("cos") >= threshold)
+            .select("id")
+            .distinct()
+        )
+        dropped = drop_batch.unionByName(drop_state).distinct()
+    else:
+        dropped = drop_batch
+
+    kept_state = batch.join(dropped, "id", "left_anti")
+    survivors = new_emb.join(
+        kept_state.select(F.col("id").alias(id_col)), id_col, "left_semi"
+    )
+    updated = (
+        seen_state.unionByName(kept_state) if seen_state is not None else kept_state
+    )
+    return survivors, updated

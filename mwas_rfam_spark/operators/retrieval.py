@@ -113,3 +113,97 @@ def hybrid_search(
         weights=weights,
         id_col=id_col,
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-``k`` (Robertson & Zaragoza 2009) — the standard
+    lexical ranker, as one declarative plan:
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+        idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))
+
+    over lowercase whitespace tokens (the repo-wide convention —
+    operators/text.tokens). Returns (id, score, n_matched) descending,
+    ties broken on id.
+
+    Scale shape: the exploded token stream is filtered to the QUERY
+    TERMS (a broadcast IN-list of a handful of literals) before any
+    shuffle, so the per-(doc, term) aggregation shuffles only matching
+    tokens — corpus-size-independent for a fixed query. Document length
+    and N/avgdl come from one projection + one scalar aggregate
+    (broadcast via crossJoin of a 1-row relation); no corpus-wide
+    global sort — top-k is TakeOrdered. A persistent inverted index
+    (term-partitioned (term, doc, tf) parquet) drops even the token
+    scan; this is the index-free form whose per-query cost is one
+    corpus scan, the right baseline for the bench corpus.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    if k < 1:
+        raise ValueError(f"bm25_topk: k must be >= 1, got {k}")
+    terms = sorted({t.lower() for t in query_terms})
+
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("toks"),
+    ).select(
+        "id",
+        F.when(
+            F.size("toks") == 1,
+            # a single empty-string token means an empty document
+            F.filter("toks", lambda t: t != ""),
+        )
+        .otherwise(F.col("toks"))
+        .alias("toks"),
+    )
+    lens = base.select("id", F.size("toks").alias("dl"))
+    totals = lens.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    matched = (
+        base.select("id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = matched.groupBy("term").agg(F.count("*").alias("df"))
+
+    scored = (
+        matched.join(F.broadcast(dfreq), "term")
+        .join(lens, "id")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (1.0 - b + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("id")
+        .agg(
+            F.sum("term_score").alias("score"),
+            F.count("*").alias("n_matched"),
+        )
+    )
+    return scored.select(
+        F.col("id").alias(id_col), "score", F.col("n_matched").cast("int").alias("n_matched")
+    ).orderBy(F.desc("score"), F.asc(id_col)).limit(k)

@@ -290,3 +290,52 @@ def corpus_report(
         .agg(F.approx_count_distinct("t").alias("vocab_est"))
     )
     return doc_stats.crossJoin(vocab)
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Join/aggregation-key skew diagnosis — the pre-flight check before
+    any key-partitioned operation at scale: one aggregation pass yields
+    the ``top_n`` hottest keys with, per key,
+
+    - ``cnt`` / ``frac`` — absolute and relative mass;
+    - ``skew_ratio``     — cnt / (rows/parallelism), i.e. how many
+      "fair task shares" the key occupies (1.0 = perfectly spread);
+    - ``salt_factor``    — ceil(skew_ratio): the salt fan-out that
+      brings this key's partitions back to a fair share (1 = no salting
+      needed). Feed it to a salted join/agg, or rely on AQE skew-join
+      if the op qualifies.
+
+    NULL keys count as a key (they're the classic silent hot spot —
+    every unmatched/default row hashes together). The per-key counts
+    are a map-side-combinable groupBy: the shuffle carries one partial
+    row per (task, distinct-key-in-task) — for skew DIAGNOSIS the heavy
+    keys dominate mass by definition, and if the distinct-key count is
+    itself the problem, `heavy_hitters` (bounded-memory Misra–Gries)
+    answers the same question without the full-key shuffle; this
+    operator prefers exact counts because its output feeds a
+    partitioning DECISION.
+    """
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    par = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    counts = df.groupBy(
+        F.col(key_col).cast("string").alias("key")
+    ).agg(F.count("*").alias("cnt"))
+    totals = counts.agg(F.sum("cnt").alias("n_rows"))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("frac", F.col("cnt") / F.col("n_rows"))
+        .withColumn(
+            "skew_ratio", F.col("cnt") / (F.col("n_rows") / F.lit(float(par)))
+        )
+        .withColumn("salt_factor", F.ceil("skew_ratio").cast("int"))
+        .select("key", "cnt", F.round("frac", 6).alias("frac"),
+                F.round("skew_ratio", 4).alias("skew_ratio"), "salt_factor")
+        .orderBy(F.desc("cnt"), F.asc_nulls_first("key"))
+        .limit(top_n)
+    )

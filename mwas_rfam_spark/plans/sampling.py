@@ -268,3 +268,60 @@ def hash_split(
     last = F.lit(labels[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    fractions: dict[str, float],
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/val/test assignment that can NEVER put two near-duplicates
+    on opposite sides of the split: the split unit is the duplicate
+    CLUSTER, not the document. ``clusters`` is any (id, cluster_id)
+    relation — `dedup_clusters` output (exact, MinHash, SimHash,
+    semantic…) drops in directly; docs absent from it are their own
+    singleton unit.
+
+    Near-duplicate leakage is the standard eval failure this prevents:
+    with doc-keyed hashing a template document and its near-copy land in
+    train and test independently, and the model is scored on memorized
+    content. Here the md5 range draw (same 'split:' domain tag and
+    interval-prefix stability as `hash_split`) is keyed on
+    coalesce(cluster_id, id), so every member of a cluster inherits one
+    label.
+
+    Scale shape: one broadcast-able (or hash-partitioned, if the
+    cluster map is corpus-sized) left equi-join + a projection — no
+    shuffle beyond the join, no sampling pass. Split sizes are binomial
+    in CLUSTER counts; a pathological corpus that is one giant cluster
+    ends up entirely in one split, which is exactly the correct answer.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    from mwas_rfam_spark.functions.scalar import md5_uniform
+
+    cmap = clusters.select(
+        F.col(clusters.columns[0]).alias(id_col),
+        F.col("cluster_id").alias("__cluster"),
+    )
+    joined = docs.join(cmap, id_col, "left").withColumn(
+        "__unit", F.coalesce(F.col("__cluster"), F.col(id_col))
+    )
+    u = md5_uniform(
+        F.concat_ws(
+            ":", F.lit("split"), F.lit(str(seed)), F.col("__unit").cast("string")
+        )
+    )
+    expr = None
+    upper = 0.0
+    labels = list(fractions)
+    for name in labels[:-1]:
+        upper += fractions[name]
+        cond = u < F.lit(upper)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(labels[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return joined.withColumn("split", expr).drop("__cluster", "__unit")
