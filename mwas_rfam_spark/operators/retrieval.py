@@ -164,22 +164,24 @@ def bm25_topk(
         .otherwise(F.col("toks"))
         .alias("toks"),
     )
-    lens = base.select("id", F.size("toks").alias("dl"))
-    totals = lens.agg(
+    totals = base.select(F.size("toks").alias("dl")).agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
 
+    # dl rides along through the explode and out of the per-(doc, term)
+    # aggregate — joining a corpus-sized doc-length relation back in
+    # would be a second shuffle (and at bench scale AQE broadcasts it,
+    # hiding the cost until the corpus doesn't fit)
     matched = (
-        base.select("id", F.explode("toks").alias("term"))
+        base.select("id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
         .where(F.col("term").isin(terms))
         .groupBy("id", "term")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
     )
     dfreq = matched.groupBy("term").agg(F.count("*").alias("df"))
 
     scored = (
         matched.join(F.broadcast(dfreq), "term")
-        .join(lens, "id")
         .crossJoin(F.broadcast(totals))
         .withColumn(
             "idf",
