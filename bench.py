@@ -111,7 +111,12 @@ def _prev_bench_fingerprint() -> str | None:
                 blob = f.read()
         except OSError:
             continue
-        m = re.search(r'"testdata_fingerprint":\s*"([0-9a-f]{32})"', blob)
+        # the driver's BENCH_r*.json wraps our output line inside a
+        # "tail" JSON string, so the quotes around the key may arrive
+        # backslash-escaped — match both forms
+        m = re.search(
+            r'\\?"testdata_fingerprint\\?":\s*\\?"([0-9a-f]{32})\\?"', blob
+        )
         if m:
             return m.group(1)
     return None
