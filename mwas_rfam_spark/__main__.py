@@ -312,6 +312,75 @@ def validate_main(argv: list[str], spark: SparkSession | None = None) -> int:
             spark.stop()
 
 
+def build_split_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mwas_rfam_spark split",
+        description="Deterministic train/val/test assignment: md5-range "
+        "hash split, optionally LEAKAGE-SAFE (split by duplicate "
+        "cluster so near-dups never straddle the boundary).",
+    )
+    p.add_argument("input", help="documents parquet")
+    p.add_argument("--output", required=True)
+    p.add_argument(
+        "--fractions",
+        required=True,
+        help="label=frac comma list, e.g. train=0.9,val=0.05,test=0.05",
+    )
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument(
+        "--clusters",
+        default=None,
+        help="(id, cluster_id) parquet from dedup_clusters — enables the "
+        "leakage-safe unit",
+    )
+    return p
+
+
+def split_main(argv: list[str], spark: SparkSession | None = None) -> int:
+    args = build_split_parser().parse_args(argv)
+    fractions = {}
+    for part in args.fractions.split(","):
+        name, _, frac = part.partition("=")
+        if not _:
+            raise SystemExit(f"bad --fractions entry: {part!r} (want label=frac)")
+        fractions[name.strip()] = float(frac)
+    owns_session = spark is None
+    if owns_session:
+        from .session import get_spark
+
+        spark = get_spark(app_name="split-cli")
+    try:
+        from .plans.sampling import hash_split, leakage_safe_split
+
+        docs = spark.read.parquet(args.input)
+        if args.clusters:
+            out = leakage_safe_split(
+                docs,
+                spark.read.parquet(args.clusters),
+                fractions,
+                seed=args.seed,
+                id_col=args.id_col,
+            )
+        else:
+            out = hash_split(docs, fractions, seed=args.seed, id_col=args.id_col)
+        out.write.mode("overwrite").partitionBy("split").parquet(args.output)
+        from pyspark.sql import functions as F
+
+        for r in (
+            spark.read.parquet(args.output)
+            .groupBy("split")
+            .agg(F.count("*").alias("n"))
+            .orderBy("split")
+            .collect()
+        ):
+            print(f"{r['split']}={r['n']}")
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
 def build_maintain_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="mwas_rfam_spark maintain",
@@ -372,6 +441,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         return select_main(argv[1:], spark)
     if argv and argv[0] == "validate":
         return validate_main(argv[1:], spark)
+    if argv and argv[0] == "split":
+        return split_main(argv[1:], spark)
     from .config import MwasConfig
     from .operators.condense import condense_metadata
     from .operators.mwas import run_mwas

@@ -349,3 +349,46 @@ def test_cli_validate_end_to_end(spark, tmp_path):
         )
     rc = main(["validate", clean, "--rules", rules_fk], spark=spark)
     assert rc == 1  # doc_id 2 has no reference row
+
+
+def test_cli_split(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.__main__ import main
+
+    path = str(tmp_path / "docs_split")
+    spark.range(1000).withColumnRenamed("id", "doc_id").withColumn(
+        "text", F.lit("x")
+    ).write.parquet(path)
+    out = str(tmp_path / "split_out")
+    rc = main(
+        ["split", path, "--output", out, "--fractions", "train=0.8,test=0.2"],
+        spark=spark,
+    )
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 1000
+    labels = {r["split"] for r in got.select("split").distinct().collect()}
+    assert labels == {"train", "test"}
+
+    # leakage-safe: clusters of 10 consecutive ids stay together
+    cl = str(tmp_path / "clusters")
+    spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") - F.col("id") % 10).alias("cluster_id"),
+    ).write.parquet(cl)
+    out2 = str(tmp_path / "split_out2")
+    rc = main(
+        ["split", path, "--output", out2, "--fractions", "train=0.8,test=0.2",
+         "--clusters", cl],
+        spark=spark,
+    )
+    assert rc == 0
+    viol = (
+        spark.read.parquet(out2)
+        .select((F.col("doc_id") - F.col("doc_id") % 10).alias("c"), "split")
+        .groupBy("c")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+    )
+    assert viol.count() == 0
