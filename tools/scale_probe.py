@@ -356,6 +356,74 @@ def probe_r4c_ops(spark, sf_dir: str, out: dict):
           file=sys.stderr)
 
 
+def probe_r5_ops(spark, sf_dir: str, out: dict):
+    """Probe G (r5) — the round-5 additions at 1x and 10x.
+
+    BM25 replicates the corpus with suffix-perturbed text (real growth):
+    cost is the one filtered token scan, linear. Incremental embedding
+    dedup replicates the STATE 10x (distinct-id vector perturbations) at
+    a fixed batch — the point of the cell-blocked probe is that batch
+    cost tracks the batch's own cells, not corpus history. The CC
+    cutover is probed on both sides of the threshold: the same 20k-edge
+    graph through the local union-find and the distributed loop."""
+    from mwas_rfam_spark.operators.dedup import (
+        dedup_clusters,
+        embedding_dedup_state,
+        incremental_embedding_dedup,
+    )
+    from mwas_rfam_spark.operators.retrieval import bm25_topk
+    from mwas_rfam_spark.operators.similarity import train_ivf_centroids
+    from mwas_rfam_spark.plans.testdata_mwas import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs10 = docs.crossJoin(
+        spark.range(10).select(F.col("id").alias("_c"))
+    ).select(
+        (F.col("doc_id") * 10 + F.col("_c")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v"), F.col("_c")).alias("text"),
+    )
+    for label, d in [("1x", docs), ("10x", docs10)]:
+        d = d.localCheckpoint()
+        t0 = time.time()
+        _force(bm25_topk(d, ["the", "data", "pipeline"], k=15))
+        out[f"bm25_{label}"] = round(time.time() - t0, 2)
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = train_ivf_centroids(emb, k=8, iters=1)
+    batch = emb.where(F.col("vec_id") % 10 == 0).localCheckpoint()
+    hist1 = emb.where(F.col("vec_id") % 10 != 0)
+    hist10 = hist1.crossJoin(
+        spark.range(10).select(F.col("id").alias("_c"))
+    ).select(
+        (F.col("vec_id") * 10 + F.col("_c")).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x + (F.col("_c").cast("double") / 1000.0)
+        ).alias("embedding"),
+    )
+    for label, hist in [("1x", hist1), ("10x_state", hist10)]:
+        state = embedding_dedup_state(hist, cents).localCheckpoint()
+        t0 = time.time()
+        surv, _ = incremental_embedding_dedup(batch, state, cents, threshold=0.9)
+        _force(surv)
+        out[f"inc_embedding_{label}"] = round(time.time() - t0, 2)
+
+    # CC cutover crossover: identical chain-of-stars graph both ways
+    edges = spark.range(20_000).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    ).localCheckpoint()
+    t0 = time.time()
+    _force(dedup_clusters(edges))
+    out["cc_local_20k_edges"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    _force(dedup_clusters(edges, local_threshold_edges=None))
+    out["cc_distributed_20k_edges"] = round(time.time() - t0, 2)
+
+    spark.catalog.clearCache()
+    print({k: v for k, v in out.items()
+           if k.startswith(("bm25_", "inc_embedding", "cc_"))},
+          file=sys.stderr)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="scale-probe")
@@ -371,6 +439,7 @@ def main():
         "r4": probe_r4_ops,
         "r4b": probe_r4b_ops,
         "r4c": probe_r4c_ops,
+        "r5": probe_r5_ops,
     }
     if only is not None and only not in probes:
         raise SystemExit(
