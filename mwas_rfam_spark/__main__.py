@@ -344,7 +344,12 @@ def split_main(argv: list[str], spark: SparkSession | None = None) -> int:
         name, _, frac = part.partition("=")
         if not _:
             raise SystemExit(f"bad --fractions entry: {part!r} (want label=frac)")
-        fractions[name.strip()] = float(frac)
+        try:
+            fractions[name.strip()] = float(frac)
+        except ValueError:
+            raise SystemExit(
+                f"bad --fractions entry: {part!r} (fraction is not a number)"
+            ) from None
     owns_session = spark is None
     if owns_session:
         from .session import get_spark

@@ -45,8 +45,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         chunk = data[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
+            if len(chunk) < 13:
+                raise ValueError(f"truncated PNG IHDR ({len(chunk)} bytes)")
             width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", chunk
+                ">IIBBBBB", chunk[:13]
             )
             if bit_depth != 8:
                 raise ValueError(f"unsupported PNG bit depth {bit_depth} (only 8)")
@@ -63,7 +65,12 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # keep the documented contract: every rejection is a ValueError
+        # naming the offending field (callers skip bad payloads on it)
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     stride = width * channels
     if len(raw) != (stride + 1) * height:
         raise ValueError(

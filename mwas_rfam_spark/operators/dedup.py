@@ -648,7 +648,12 @@ def dedup_clusters(
         n_edges = edges.count()  # forces the persist; one scan either way
         if n_edges <= local_threshold_edges:
             try:
-                rows = edges_f.collect()
+                # collect from the PERSISTED symmetrized union — a
+                # collect on edges_f would be a different plan, miss the
+                # cache, and re-execute the whole upstream pair join.
+                # The reversed duplicates are harmless to union-find
+                # (2× rows, bounded by the threshold).
+                rows = edges.collect()
                 parent: dict = {}
 
                 def find(x):
@@ -1605,6 +1610,7 @@ def incremental_embedding_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    subdivide_above: int | None = None,
 ):
     """SEMANTIC dedup of a new batch against the running corpus — the
     embedding-space member of the incremental family (exact anti-join /
@@ -1628,6 +1634,12 @@ def incremental_embedding_dedup(
     vectors wholesale; per-batch cost is Σ_cell batch_c × state_c plus
     the within-batch Σ C(batch_c, 2) — both bounded by cell granularity
     (scale k so cells stay ~constant, as in `semantic_dedup`).
+
+    ``subdivide_above`` defaults to None so the rule above holds EXACTLY
+    (the SRP sub-bucket guard trades recall inside oversized cells,
+    which would silently weaken rule (b) while rule (a) kept full
+    recall); pass a bound only when a batch can overload one cell and
+    the asymmetry is acceptable.
     """
     batch = embedding_dedup_state(new_emb, centroids, id_col, vec_col).localCheckpoint()
 
@@ -1638,6 +1650,7 @@ def incremental_embedding_dedup(
         id_col=id_col,
         vec_col=vec_col,
         block_col="cell",
+        subdivide_above=subdivide_above,
     )
     drop_batch = pairs.select(F.col("id_b").alias("id")).distinct()
 

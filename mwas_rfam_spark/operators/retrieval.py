@@ -151,9 +151,14 @@ def bm25_topk(
         raise ValueError(f"bm25_topk: k must be >= 1, got {k}")
     terms = sorted({t.lower() for t in query_terms})
 
+    # NULL text coalesces to the empty document BEFORE tokenizing:
+    # F.size(NULL) is NULL, which would count the row in n_docs but
+    # silently exclude it from avgdl — skewing every score
     base = docs.select(
         F.col(id_col).alias("id"),
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("toks"),
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+        ).alias("toks"),
     ).select(
         "id",
         F.when(

@@ -257,19 +257,25 @@ def score_quality_linear(
     also keep every row tied with the cutoff itself and overshoot
     ``keep_frac``.
 
-    ``weights`` must be unique per bucket (raises otherwise): a
-    duplicated bucket row would fan out the broadcast join and silently
-    inflate both Σ cnt·w and Σ cnt for every document touching that
-    bucket. The check is one aggregation over the parameter-sized
-    weights relation, not the corpus.
+    ``weights`` must be unique per bucket (fails at execution
+    otherwise): a duplicated bucket row would fan out the broadcast
+    join and silently inflate both Σ cnt·w and Σ cnt for every document
+    touching that bucket. The check is IN-PLAN (a window count over the
+    parameter-sized weights relation feeding raise_error), so building
+    the plan stays lazy — no Spark job runs until the caller executes.
     """
-    dup = (
-        weights.groupBy("bucket").count().where(F.col("count") > 1).limit(1).count()
+    from pyspark.sql import Window
+
+    dup_n = F.count("*").over(Window.partitionBy("bucket"))
+    weights = weights.withColumn(
+        "weight",
+        F.when(
+            dup_n > 1,
+            F.raise_error(
+                F.lit("score_quality_linear: weights relation has duplicate bucket rows")
+            ).cast("double"),
+        ).otherwise(F.col("weight")),
     )
-    if dup:
-        raise ValueError(
-            "score_quality_linear: weights relation has duplicate bucket rows"
-        )
     occ = _bucket_occurrences(docs, n_buckets, text_col, id_col, bigrams)
     scored = (
         occ.join(F.broadcast(weights), "bucket", "left")

@@ -298,11 +298,6 @@ def leakage_safe_split(
     in CLUSTER counts; a pathological corpus that is one giant cluster
     ends up entirely in one split, which is exactly the correct answer.
     """
-    total = sum(fractions.values())
-    if abs(total - 1.0) > 1e-9:
-        raise ValueError(f"fractions must sum to 1, got {total}")
-    from mwas_rfam_spark.functions.scalar import md5_uniform
-
     cmap = clusters.select(
         F.col(clusters.columns[0]).alias(id_col),
         F.col("cluster_id").alias("__cluster"),
@@ -310,18 +305,9 @@ def leakage_safe_split(
     joined = docs.join(cmap, id_col, "left").withColumn(
         "__unit", F.coalesce(F.col("__cluster"), F.col(id_col))
     )
-    u = md5_uniform(
-        F.concat_ws(
-            ":", F.lit("split"), F.lit(str(seed)), F.col("__unit").cast("string")
-        )
+    # delegate to hash_split keyed on the unit: same validation
+    # (fractions sum AND non-negativity), same 'split:' md5 domain —
+    # singleton docs therefore get EXACTLY their hash_split label
+    return hash_split(joined, fractions, seed=seed, id_col="__unit").drop(
+        "__cluster", "__unit"
     )
-    expr = None
-    upper = 0.0
-    labels = list(fractions)
-    for name in labels[:-1]:
-        upper += fractions[name]
-        cond = u < F.lit(upper)
-        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
-    last = F.lit(labels[-1])
-    expr = last if expr is None else expr.otherwise(last)
-    return joined.withColumn("split", expr).drop("__cluster", "__unit")

@@ -278,3 +278,58 @@ def test_skew_report_hand_computed(spark):
     assert got[None]["cnt"] == 5 and got[None]["salt_factor"] == 1
     with pytest.raises(ValueError):
         skew_report(df, "k", top_n=0)
+
+
+def test_leakage_safe_split_rejects_negative_fractions(spark):
+    """Review r5: delegation to hash_split restores the negative-fraction
+    guard (sum==1 alone would accept train=1.2/test=-0.2 and silently
+    put every row in train)."""
+    from mwas_rfam_spark.plans.sampling import leakage_safe_split
+
+    docs = spark.range(10).withColumnRenamed("id", "doc_id")
+    cl = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs, cl, {"train": 1.2, "test": -0.2})
+
+
+def test_bm25_null_text_counts_as_empty(spark):
+    """Review r5: a NULL-text row is the empty document (counted in
+    n_docs AND in avgdl as dl=0), not a silent avgdl exclusion."""
+    from mwas_rfam_spark.operators.retrieval import bm25_topk
+
+    with_null = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, None), (3, "apple")],
+        "doc_id long, text string",
+    )
+    with_empty = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, ""), (3, "apple")],
+        "doc_id long, text string",
+    )
+    a = [(r["doc_id"], round(r["score"], 10)) for r in bm25_topk(with_null, ["apple"]).collect()]
+    b = [(r["doc_id"], round(r["score"], 10)) for r in bm25_topk(with_empty, ["apple"]).collect()]
+    assert a == b and len(a) == 2
+
+
+def test_png_corrupt_raises_valueerror():
+    """Review r5: corrupt-but-signed PNGs reject with the documented
+    ValueError, not a leaked zlib/struct error."""
+    import struct
+    import zlib
+
+    from mwas_rfam_spark.functions.png_codec import decode_png, encode_png
+
+    good = encode_png(2, 2, 3, bytes(12))
+
+    def chunk(ctype, payload):
+        body = ctype + payload
+        return struct.pack(">I", len(payload)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    sig = good[:8]
+    truncated_ihdr = sig + chunk(b"IHDR", b"\x00" * 5) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="IHDR"):
+        decode_png(truncated_ihdr)
+    bad_idat = sig + good[8 : 8 + 25] + chunk(b"IDAT", b"notzlibdata") + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="IDAT"):
+        decode_png(bad_idat)

@@ -347,10 +347,12 @@ def test_quantile_threshold_composes_strict(spark):
 def test_linear_scorer_duplicate_buckets_raise(spark):
     """ADVICE r4: a duplicated bucket row in the weights relation would
     fan out the broadcast join and inflate every touching doc's score —
-    fail fast instead."""
+    fail loudly instead. The check is in-plan (plan construction stays
+    lazy), so the error surfaces at execution."""
     docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     weights = spark.createDataFrame(
         [(7, 1.0), (7, 2.0)], ["bucket", "weight"]
     )
-    with pytest.raises(ValueError, match="duplicate bucket"):
-        score_quality_linear(docs, weights)
+    out = score_quality_linear(docs, weights)  # no job yet — lazy
+    with pytest.raises(Exception, match="duplicate bucket"):
+        out.collect()
