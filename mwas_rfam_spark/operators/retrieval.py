@@ -214,3 +214,108 @@ def bm25_topk(
     return scored.select(
         F.col("id").alias(id_col), "score", F.col("n_matched").cast("int").alias("n_matched")
     ).orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def materialize_text_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Build the persistent inverted index behind `bm25_topk_indexed`:
+    postings (term, id, tf, dl) stored as parquet PARTITIONED BY a
+    term-hash bucket, plus a one-row stats table (n_docs, avgdl,
+    n_buckets). The same build-vs-probe split as the IVF ANN index
+    (`similarity.materialize_ivf`): indexing is one corpus scan at
+    ingest; afterwards a query touches only the partitions its terms
+    hash into — partition PRUNING, so at 100 TB a 3-term query opens
+    ~3/n_buckets of the index files and never the corpus.
+
+    dl (the document's token count) is denormalized onto every posting
+    so scoring needs no doc-length join at probe time — the same move
+    as the in-memory formulation, paid once in storage (one long per
+    posting)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+            lambda t: t != "",
+        ).alias("toks"),
+    )
+    postings = (
+        base.select("id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        .groupBy("term", "id")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/postings")
+    stats = base.select(F.size("toks").alias("dl")).agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.lit(n_buckets).alias("n_buckets"),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-``k`` over the materialized index — identical scores to
+    `bm25_topk` on the indexed corpus (equivalence is pytest-pinned),
+    with per-query cost bound by the TOUCHED PARTITIONS: the query
+    terms' buckets become a partition filter (plan-asserted
+    PartitionFilters in tests), document frequencies come from the same
+    posting slice, and N/avgdl from the one-row stats table. Nothing
+    corpus-sized is read or shuffled."""
+    if not query_terms:
+        raise ValueError("bm25_topk_indexed: query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    n_buckets = int(stats["n_buckets"])
+    buckets = sorted(
+        {
+            int(r["b"])
+            for r in spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b"))
+            .collect()
+        }
+    )
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .where(F.col("bucket").isin(buckets))  # partition pruning
+        .where(F.col("term").isin(terms))
+    )
+    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .withColumn(
+            "idf",
+            F.log(
+                1.0 + (F.lit(float(stats["n_docs"])) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (1.0 - b + F.lit(b) * F.col("dl") / F.lit(float(stats["avgdl"])))
+            ),
+        )
+        .groupBy("id")
+        .agg(F.sum("term_score").alias("score"), F.count("*").alias("n_matched"))
+    )
+    return scored.select(
+        F.col("id").alias(id_col), "score", F.col("n_matched").cast("int").alias("n_matched")
+    ).orderBy(F.desc("score"), F.asc(id_col)).limit(k)

@@ -83,3 +83,46 @@ def test_hybrid_search_end_to_end(spark, sf_dir):
     # scores strictly ordered, columns complete
     scores = [r["rrf_score"] for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_indexed_equivalence_and_pruning(spark, sf_dir, tmp_path):
+    """The materialized inverted index returns IDENTICAL scores to the
+    scan formulation, and the probe's scan carries a bucket
+    PartitionFilter (only the query terms' partitions are opened)."""
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+        materialize_text_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    path = str(tmp_path / "text_index")
+    materialize_text_index(docs, path, n_buckets=16)
+
+    terms = ["the", "data", "pipeline"]
+    direct = [
+        (r["doc_id"], round(r["score"], 9), r["n_matched"])
+        for r in bm25_topk(docs, terms, k=12).collect()
+    ]
+    indexed = [
+        (r["doc_id"], round(r["score"], 9), r["n_matched"])
+        for r in bm25_topk_indexed(spark, path, terms, k=12).collect()
+    ]
+    assert indexed == direct and len(direct) == 12
+
+    plan = (
+        bm25_topk_indexed(spark, path, terms, k=12)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters:" in plan
+    pf = plan.split("PartitionFilters:")[1][:160]
+    assert "bucket" in pf  # the probe prunes by term-hash bucket
+
+    with pytest.raises(ValueError):
+        bm25_topk_indexed(spark, path, [])
+    with pytest.raises(ValueError):
+        materialize_text_index(docs, path, n_buckets=0)
