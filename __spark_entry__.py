@@ -2004,6 +2004,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       overlap matrix          with the direct estimator + mixed-width
                               rejection (stored-state twin of the
                               pytest-pinned corpus_overlap_estimate)
+
+    Round-5 surfaces (registry still 50; the one swap this round is
+    so4_intersect → mwas_perm_calibration, documented above):
+
+    - BM25 (scan + indexed) → tests/test_r5_ops.py DuckDB score parity
+                              + hand model; tests/test_retrieval.py
+                              indexed==scan equivalence + PartitionFilter
+                              plan assert; benched as `bm25_topk`
+    - leakage-safe split    → tests/test_r5_ops.py cluster cohesion,
+                              hash_split reduction, real-dedup e2e;
+                              CLI `split --clusters` e2e in test_cli.py
+    - incremental embedding → tests/test_r5_ops.py numpy-reference
+      dedup                   equivalence + state growth + keep-first;
+                              benched as `incremental_embedding`
+    - skew_report           → tests/test_r5_ops.py hand-computed fair-
+                              share ratios incl. the null key
+    - PNG codec (stdlib)    → tests/test_multimodal.py round-trip, all
+                              5 filters, corrupt rejections, Spark e2e
+                              through decode_images(fake=False)
+    - mwaspkl DataSource    → tests/test_mwaspkl_source.py decode +
+                              partition-per-file + sentinel skip (S5
+                              native-format scan)
     """
     return {
         "mwas_cohort_welch": q_mwas_cohort_welch,
