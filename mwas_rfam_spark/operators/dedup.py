@@ -1266,7 +1266,10 @@ def semantic_dedup(
     # single window task (the join back on the hash key is AQE
     # skew-join territory)
     rep_of = hashed.groupBy("__vh1", "__vh2").agg(F.min("__id").alias("__rep"))
-    with_rep = hashed.join(rep_of, ["__vh1", "__vh2"])
+    # checkpoint: the collapse feeds THREE consumers (members, the cell
+    # assignment, and dedup_clusters' singleton anti-join) — without it
+    # the groupBy+join subplan re-executes per consumer
+    with_rep = hashed.join(rep_of, ["__vh1", "__vh2"]).localCheckpoint()
     members = with_rep.select("__id", "__rep")
     reps = with_rep.where(F.col("__id") == F.col("__rep")).select(
         F.col("__id").alias(id_col), F.col("__vec").alias(vec_col)
