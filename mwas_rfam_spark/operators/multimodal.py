@@ -173,23 +173,56 @@ def resize_images(decoded: DataFrame, max_side: int = 64) -> DataFrame:
     )
 
 
+def _real_audio_features(payload: bytes) -> tuple[int, int]:
+    """Real-codec single-clip decode → (sample_rate, n_samples).
+
+    Preference order mirrors the image path: soundfile when the wheel
+    exists (every format), else the pure-stdlib ``wave`` module for
+    RIFF/WAVE payloads (PCM headers — rate and frame count come from
+    the fmt/data chunks, no sample decoding needed), else
+    NotImplementedError naming the missing codec."""
+    import io
+
+    try:
+        import soundfile  # type: ignore
+
+        info = soundfile.info(io.BytesIO(payload))
+        return int(info.samplerate), int(info.frames)
+    except ImportError:
+        pass
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                return int(w.getframerate()), int(w.getnframes())
+        except wave.Error as e:
+            raise ValueError(f"corrupt WAV payload: {e}") from e
+    raise NotImplementedError(
+        "real audio decode: soundfile not in this container and the "
+        "payload is not RIFF/WAVE (the stdlib decoder handles WAV only)"
+    )
+
+
 def extract_audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
-    """Audio feature extraction stub → (doc_id, sample_rate, n_samples,
-    duration_s). Real path (soundfile/librosa) not in container."""
+    """Audio feature extraction → (doc_id, sample_rate, n_samples,
+    duration_s). ``fake=False`` is the real-codec path: soundfile when
+    installed, else the stdlib ``wave`` parser for WAV payloads — other
+    formats raise NotImplementedError naming the missing wheel. The
+    fake path derives features from the payload sha256."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real audio decode needs soundfile/librosa (not in this container)"
-                )
             if len(pdf) == 0:
                 continue
             rates, samples = [], []
             for p in pdf["payload"]:
-                h = hashlib.sha256(p).hexdigest()
-                rate = [8000, 16000, 22050, 44100][ord(h[0]) % 4]
-                n = 1000 + (ord(h[1]) * 256 + ord(h[2])) * 17
+                if fake:
+                    h = hashlib.sha256(p).hexdigest()
+                    rate = [8000, 16000, 22050, 44100][ord(h[0]) % 4]
+                    n = 1000 + (ord(h[1]) * 256 + ord(h[2])) * 17
+                else:
+                    rate, n = _real_audio_features(bytes(p))
                 rates.append(rate)
                 samples.append(n)
             yield pd.DataFrame(

@@ -315,3 +315,50 @@ def test_decode_images_real_png_path(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|not a PNG|PIL"):
         decode_images(bad, fake=False).collect()
+
+
+def test_extract_audio_real_wav_path(spark):
+    """fake=False end-to-end: WAV payloads (built with the stdlib wave
+    writer) decode with the stdlib parser; rate/frames/duration are the
+    real header values."""
+    import io
+    import wave
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.operators.multimodal import extract_audio_features
+
+    def make_wav(rate, n_frames, channels=1):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(b"\x00\x00" * n_frames * channels)
+        return buf.getvalue()
+
+    rows = [
+        (1, make_wav(16000, 3200), "audio"),
+        (2, make_wav(44100, 44100, channels=2), "audio"),
+        (3, b"whatever", "image"),  # filtered before Python
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, payload binary, mt string"
+    ).select(
+        "doc_id", "payload", F.struct(F.col("mt").alias("media_type")).alias("media_meta")
+    )
+    got = {
+        r["doc_id"]: (r["sample_rate"], r["n_samples"], round(r["duration_s"], 6))
+        for r in extract_audio_features(media, fake=False).collect()
+    }
+    assert got == {1: (16000, 3200, 0.2), 2: (44100, 44100, 1.0)}
+
+    # non-WAV audio raises loudly, naming the missing codec
+    bad = spark.createDataFrame(
+        [(9, b"fLaC....", "audio")], "doc_id long, payload binary, mt string"
+    ).select(
+        "doc_id", "payload", F.struct(F.col("mt").alias("media_type")).alias("media_meta")
+    )
+    with pytest.raises(Exception, match="NotImplementedError|soundfile|WAV"):
+        extract_audio_features(bad, fake=False).collect()
