@@ -184,20 +184,27 @@ def _real_audio_features(payload: bytes) -> tuple[int, int]:
     import io
 
     try:
+        # OSError too: the soundfile wheel raises it at import when the
+        # libsndfile shared object is missing — the stdlib WAV fallback
+        # below still works in that environment
         import soundfile  # type: ignore
 
         info = soundfile.info(io.BytesIO(payload))
         return int(info.samplerate), int(info.frames)
-    except ImportError:
+    except (ImportError, OSError):
         pass
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         import wave
 
         try:
             with wave.open(io.BytesIO(payload), "rb") as w:
-                return int(w.getframerate()), int(w.getnframes())
+                rate, frames = int(w.getframerate()), int(w.getnframes())
         except wave.Error as e:
             raise ValueError(f"corrupt WAV payload: {e}") from e
+        if rate <= 0:
+            # the stdlib reader validates channels/width but not rate
+            raise ValueError(f"corrupt WAV payload: framerate {rate}")
+        return rate, frames
     raise NotImplementedError(
         "real audio decode: soundfile not in this container and the "
         "payload is not RIFF/WAVE (the stdlib decoder handles WAV only)"

@@ -115,6 +115,71 @@ def hybrid_search(
     )
 
 
+def _lowered_tokens(text_col: str):
+    """The ONE tokenization every BM25 surface shares (scan, index
+    build, probe equivalence depends on it): lowercase, trim,
+    whitespace-split, empty tokens removed. NULL text coalesces to the
+    empty document first — F.size(NULL) is NULL, which would count the
+    row in n_docs but silently exclude it from avgdl, skewing every
+    score. Trimmed ``\\s+`` splits can only produce an empty token for
+    the empty string, but the unconditional filter keeps the invariant
+    independent of that subtlety."""
+    return F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda tok: tok != "",
+    )
+
+
+def _term_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side twin of the index's bucket function — md5-based so a
+    probe derives its partition filter WITHOUT a Spark job (xxhash64 has
+    no stdlib twin). Must stay bit-identical to `_term_bucket_col`."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
+
+def _term_bucket_col(n_buckets: int):
+    """Engine-side twin of `_term_bucket_py`: first 8 md5 hex digits as
+    an integer, mod n_buckets."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    ).cast("int")
+
+
+def _bm25_rank(matched: DataFrame, dfreq: DataFrame, n_docs, avgdl, k1: float, b: float, k: int, id_col: str) -> DataFrame:
+    """The scoring tail BOTH BM25 surfaces share (the pinned scan/index
+    equivalence is structural, not two copies kept in sync by hand):
+    ``matched`` is (id, term, tf, dl), ``dfreq`` is (term, df), and
+    ``n_docs``/``avgdl`` are Columns or Python numbers.
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+        idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))
+    """
+    n_docs = n_docs if isinstance(n_docs, Column) else F.lit(float(n_docs))
+    avgdl = avgdl if isinstance(avgdl, Column) else F.lit(float(avgdl))
+    scored = (
+        matched.join(F.broadcast(dfreq), "term")
+        .withColumn(
+            "idf", F.log(1.0 + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + F.lit(k1) * (1.0 - b + F.lit(b) * F.col("dl") / avgdl)),
+        )
+        .groupBy("id")
+        .agg(F.sum("term_score").alias("score"), F.count("*").alias("n_matched"))
+    )
+    return scored.select(
+        F.col("id").alias(id_col),
+        "score",
+        F.col("n_matched").cast("int").alias("n_matched"),
+    ).orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -125,25 +190,21 @@ def bm25_topk(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Okapi BM25 top-``k`` (Robertson & Zaragoza 2009) — the standard
-    lexical ranker, as one declarative plan:
-
-        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
-        idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))
-
-    over lowercase whitespace tokens (the repo-wide convention —
-    operators/text.tokens). Returns (id, score, n_matched) descending,
-    ties broken on id.
+    lexical ranker, as one declarative plan (formula in `_bm25_rank`,
+    tokenization in `_lowered_tokens`; both shared with the indexed
+    surface). Returns (id, score, n_matched) descending, ties broken on
+    id.
 
     Scale shape: the exploded token stream is filtered to the QUERY
     TERMS (a broadcast IN-list of a handful of literals) before any
     shuffle, so the per-(doc, term) aggregation shuffles only matching
     tokens — corpus-size-independent for a fixed query. Document length
-    and N/avgdl come from one projection + one scalar aggregate
-    (broadcast via crossJoin of a 1-row relation); no corpus-wide
-    global sort — top-k is TakeOrdered. A persistent inverted index
-    (term-partitioned (term, doc, tf) parquet) drops even the token
-    scan; this is the index-free form whose per-query cost is one
-    corpus scan, the right baseline for the bench corpus.
+    rides through the explode (no doc-length join); N/avgdl come from
+    one scalar aggregate (broadcast via crossJoin of a 1-row relation);
+    top-k is TakeOrdered, never a global sort. This is the index-free
+    form whose per-query cost is one corpus scan — the right baseline
+    for the bench corpus; `bm25_topk_indexed` is the ingest-time-indexed
+    scale path.
     """
     if not query_terms:
         raise ValueError("bm25_topk: query_terms must be non-empty")
@@ -151,32 +212,10 @@ def bm25_topk(
         raise ValueError(f"bm25_topk: k must be >= 1, got {k}")
     terms = sorted({t.lower() for t in query_terms})
 
-    # NULL text coalesces to the empty document BEFORE tokenizing:
-    # F.size(NULL) is NULL, which would count the row in n_docs but
-    # silently exclude it from avgdl — skewing every score
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        F.split(
-            F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
-        ).alias("toks"),
-    ).select(
-        "id",
-        F.when(
-            F.size("toks") == 1,
-            # a single empty-string token means an empty document
-            F.filter("toks", lambda t: t != ""),
-        )
-        .otherwise(F.col("toks"))
-        .alias("toks"),
-    )
+    base = docs.select(F.col(id_col).alias("id"), _lowered_tokens(text_col).alias("toks"))
     totals = base.select(F.size("toks").alias("dl")).agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-
-    # dl rides along through the explode and out of the per-(doc, term)
-    # aggregate — joining a corpus-sized doc-length relation back in
-    # would be a second shuffle (and at bench scale AQE broadcasts it,
-    # hiding the cost until the corpus doesn't fit)
     matched = (
         base.select("id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
         .where(F.col("term").isin(terms))
@@ -184,36 +223,16 @@ def bm25_topk(
         .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
     )
     dfreq = matched.groupBy("term").agg(F.count("*").alias("df"))
-
-    scored = (
-        matched.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(totals))
-        .withColumn(
-            "idf",
-            F.log(
-                1.0
-                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ),
-        )
-        .withColumn(
-            "term_score",
-            F.col("idf")
-            * (F.col("tf") * (k1 + 1.0))
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (1.0 - b + F.lit(b) * F.col("dl") / F.col("avgdl"))
-            ),
-        )
-        .groupBy("id")
-        .agg(
-            F.sum("term_score").alias("score"),
-            F.count("*").alias("n_matched"),
-        )
+    return _bm25_rank(
+        matched.crossJoin(F.broadcast(totals)),
+        dfreq,
+        F.col("n_docs"),
+        F.col("avgdl"),
+        k1,
+        b,
+        k,
+        id_col,
     )
-    return scored.select(
-        F.col("id").alias(id_col), "score", F.col("n_matched").cast("int").alias("n_matched")
-    ).orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
 def materialize_text_index(
@@ -225,11 +244,14 @@ def materialize_text_index(
 ) -> None:
     """Build the persistent inverted index behind `bm25_topk_indexed`:
     postings (term, id, tf, dl) stored as parquet PARTITIONED BY a
-    term-hash bucket, plus a one-row stats table (n_docs, avgdl,
-    n_buckets). The same build-vs-probe split as the IVF ANN index
-    (`similarity.materialize_ivf`): indexing is one corpus scan at
-    ingest; afterwards a query touches only the partitions its terms
-    hash into — partition PRUNING, so at 100 TB a 3-term query opens
+    term-hash bucket (md5-derived — `_term_bucket_col`, whose driver
+    twin lets probes skip a hashing job), plus a one-row stats table
+    (n_docs, avgdl, n_buckets). The same build-vs-probe split as the
+    IVF ANN index (`similarity.materialize_ivf`): indexing is one
+    corpus scan at ingest (the tokenized projection is checkpointed so
+    the stats aggregate reuses it instead of re-reading the corpus);
+    afterwards a query touches only the partitions its terms hash into
+    — partition PRUNING, so at 100 TB a 3-term query opens
     ~3/n_buckets of the index files and never the corpus.
 
     dl (the document's token count) is denormalized onto every posting
@@ -239,17 +261,13 @@ def materialize_text_index(
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     base = docs.select(
-        F.col(id_col).alias("id"),
-        F.filter(
-            F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
-            lambda t: t != "",
-        ).alias("toks"),
-    )
+        F.col(id_col).alias("id"), _lowered_tokens(text_col).alias("toks")
+    ).localCheckpoint()
     postings = (
         base.select("id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
         .groupBy("term", "id")
         .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
-        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+        .withColumn("bucket", _term_bucket_col(n_buckets))
     )
     postings.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/postings")
     stats = base.select(F.size("toks").alias("dl")).agg(
@@ -270,52 +288,34 @@ def bm25_topk_indexed(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """BM25 top-``k`` over the materialized index — identical scores to
-    `bm25_topk` on the indexed corpus (equivalence is pytest-pinned),
-    with per-query cost bound by the TOUCHED PARTITIONS: the query
-    terms' buckets become a partition filter (plan-asserted
-    PartitionFilters in tests), document frequencies come from the same
-    posting slice, and N/avgdl from the one-row stats table. Nothing
-    corpus-sized is read or shuffled."""
+    `bm25_topk` on the indexed corpus (the equivalence is STRUCTURAL:
+    both call `_bm25_rank` over `_lowered_tokens`-derived postings, and
+    it is pytest-pinned besides), with per-query cost bound by the
+    TOUCHED PARTITIONS: the query terms' buckets are computed
+    driver-side (`_term_bucket_py` — no Spark job) and become a
+    partition filter (plan-asserted PartitionFilters in tests),
+    document frequencies come from the same posting slice, and N/avgdl
+    from the one-row stats table. Nothing corpus-sized is read or
+    shuffled."""
     if not query_terms:
         raise ValueError("bm25_topk_indexed: query_terms must be non-empty")
     terms = sorted({t.lower() for t in query_terms})
     stats = spark.read.parquet(f"{path}/stats").collect()[0]
     n_buckets = int(stats["n_buckets"])
-    buckets = sorted(
-        {
-            int(r["b"])
-            for r in spark.createDataFrame([(t,) for t in terms], "term string")
-            .select(F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b"))
-            .collect()
-        }
-    )
+    buckets = sorted({_term_bucket_py(t, n_buckets) for t in terms})
     postings = (
         spark.read.parquet(f"{path}/postings")
         .where(F.col("bucket").isin(buckets))  # partition pruning
         .where(F.col("term").isin(terms))
     )
     dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
-    scored = (
-        postings.join(F.broadcast(dfreq), "term")
-        .withColumn(
-            "idf",
-            F.log(
-                1.0 + (F.lit(float(stats["n_docs"])) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ),
-        )
-        .withColumn(
-            "term_score",
-            F.col("idf")
-            * (F.col("tf") * (k1 + 1.0))
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (1.0 - b + F.lit(b) * F.col("dl") / F.lit(float(stats["avgdl"])))
-            ),
-        )
-        .groupBy("id")
-        .agg(F.sum("term_score").alias("score"), F.count("*").alias("n_matched"))
+    return _bm25_rank(
+        postings,
+        dfreq,
+        float(stats["n_docs"]),
+        float(stats["avgdl"]),
+        k1,
+        b,
+        k,
+        id_col,
     )
-    return scored.select(
-        F.col("id").alias(id_col), "score", F.col("n_matched").cast("int").alias("n_matched")
-    ).orderBy(F.desc("score"), F.asc(id_col)).limit(k)

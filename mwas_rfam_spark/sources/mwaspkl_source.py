@@ -78,6 +78,10 @@ class MwaspklReader(DataSourceReader):
         return [InputPartition(f) for f in files]
 
     def read(self, partition):
+        if partition is None:
+            # pyspark's data-source worker substitutes [None] when
+            # partitions() returns [] (empty directory) — yield nothing
+            return
         path = partition.value
         if os.path.getsize(path) <= 1:
             return  # b'0' empty / b'1' blacklisted sentinel: no rows

@@ -86,3 +86,14 @@ def test_mwaspkl_single_file_and_missing_path(spark, corpus):
     assert one.count() == 1
     with pytest.raises(Exception):
         spark.read.format("mwaspkl").load().collect()
+
+
+def test_mwaspkl_empty_directory(spark, tmp_path):
+    """Review r5: a directory with zero .mwaspkl files must return an
+    empty DataFrame — pyspark substitutes [None] for an empty partition
+    list and read(None) must yield nothing, not crash."""
+    register(spark)
+    empty = tmp_path / "nothing_here"
+    empty.mkdir()
+    df = spark.read.format("mwaspkl").load(str(empty))
+    assert df.count() == 0

@@ -126,3 +126,44 @@ def test_bm25_indexed_equivalence_and_pruning(spark, sf_dir, tmp_path):
         bm25_topk_indexed(spark, path, [])
     with pytest.raises(ValueError):
         materialize_text_index(docs, path, n_buckets=0)
+
+
+def test_bm25_term_bucket_twins_agree(spark):
+    """The driver-side and engine-side bucket functions must stay
+    bit-identical — the probe's partition filter depends on it."""
+    from mwas_rfam_spark.operators.retrieval import _term_bucket_col, _term_bucket_py
+
+    terms = ["the", "data", "pipeline", "ünïcode", "x" * 50, ""]
+    got = {
+        r["term"]: r["b"]
+        for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        .select("term", _term_bucket_col(16).alias("b"))
+        .collect()
+    }
+    for t in terms:
+        assert got[t] == _term_bucket_py(t, 16)
+
+
+def test_mwaspkl_and_bm25_null_safety(spark, tmp_path):
+    """bm25_topk over a corpus with NULL text must match the same corpus
+    with empty text (review r5)."""
+    from mwas_rfam_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+        materialize_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, "alpha")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "null_idx")
+    materialize_text_index(docs, path, n_buckets=4)
+    direct = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk(docs, ["alpha"], k=5).collect()
+    ]
+    indexed = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk_indexed(spark, path, ["alpha"], k=5).collect()
+    ]
+    assert direct == indexed and len(direct) == 2
