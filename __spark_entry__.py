@@ -2108,7 +2108,14 @@ def q_incremental_embedding(spark, sf_dir):
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    cents = _ivf_centroids(spark, sf_dir, k=8, iters=1)
+    # cell count scales with the corpus (constant target cell size) —
+    # the same production policy as q_semantic_dedup; a fixed k would
+    # let state cells grow with corpus and the probe's per-cell product
+    # with them
+    if sf_dir not in _EMB_COUNT_CACHE:
+        _EMB_COUNT_CACHE[sf_dir] = e.count()
+    k = max(8, round(_EMB_COUNT_CACHE[sf_dir] / SEMANTIC_DEDUP_CELL_TARGET))
+    cents = _ivf_centroids(spark, sf_dir, k=k, iters=1)
     # state is STORED in production (partitioned by cell) — building it
     # is ingest-time work, not probe cost; memoize per process like the
     # IVF index (build-vs-probe policy)
