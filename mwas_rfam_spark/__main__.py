@@ -272,6 +272,12 @@ def validate_main(argv: list[str], spark: SparkSession | None = None) -> int:
                     rules.append(V.in_range(r["col"], r["lo"], r["hi"]))
                 elif kind == "regex":
                     rules.append(V.matches_regex(r["col"], r["pattern"]))
+                elif kind == "expr":
+                    # cross-column / arbitrary-SQL constraint: any boolean
+                    # expression, named (library escape hatch V.satisfies)
+                    from pyspark.sql import functions as F
+
+                    rules.append(V.satisfies(r["name"], F.expr(r["sql"])))
                 else:
                     raise ValueError(f"unknown rule type: {kind!r}")
             except KeyError as e:

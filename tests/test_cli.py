@@ -392,3 +392,28 @@ def test_cli_split(spark, tmp_path, capsys):
         .where(F.col("k") > 1)
     )
     assert viol.count() == 0
+
+
+def test_cli_validate_expr_rule(spark, tmp_path):
+    """rules.json 'expr' type: cross-column SQL constraints reach the
+    CLI (the library's satisfies() escape hatch)."""
+    import json
+
+    from mwas_rfam_spark.__main__ import main
+
+    path = str(tmp_path / "xcol")
+    spark.createDataFrame(
+        [(1, 10, 20), (2, 30, 5), (3, 1, 2)], ["doc_id", "lo", "hi"]
+    ).write.parquet(path)
+    rules = str(tmp_path / "xrules.json")
+    with open(rules, "w") as f:
+        json.dump(
+            {"rules": [{"type": "expr", "name": "lo_below_hi", "sql": "lo < hi"}]},
+            f,
+        )
+    quar = str(tmp_path / "xbad")
+    rc = main(["validate", path, "--rules", rules, "--quarantine", quar], spark=spark)
+    assert rc == 1
+    bad = spark.read.parquet(quar).collect()
+    assert len(bad) == 1 and bad[0]["doc_id"] == 2
+    assert "lo_below_hi" in bad[0]["violations"]
