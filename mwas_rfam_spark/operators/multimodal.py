@@ -10,11 +10,14 @@ columns at all; a 100 TB training-data pipeline does. Design rules:
   filters on ``media_type`` never materializes payloads of other types).
 * Decode / feature-extract / resize / frame-sample run as
   ``mapInPandas`` stages: Arrow batches in, Arrow batches out, schema
-  declared up front. Real codecs (PIL / soundfile / av) are NOT in this
-  container, so each op has a clearly-marked stub path
-  (``NotImplementedError``) plus a deterministic fake derived from the
-  payload's sha256 — the Spark-side plumbing (schema, batching,
-  partition behavior) is real and tested either way.
+  declared up front. The full-fat codec wheels (PIL / soundfile / av)
+  are NOT in this container, so each family prefers them when present
+  and falls back to a REAL pure-stdlib decoder — PNG+GIF for images
+  (functions/png_codec, functions/gif_codec), ``wave`` for audio,
+  animated GIF for video frame-sampling — raising a clearly-named
+  NotImplementedError only for formats outside the stdlib decoders'
+  reach. A deterministic sha256-derived fake (``fake=True``) remains
+  for oracle-checkable plumbing tests.
 * The fake is a pure function of the payload hash, reproducible in ANSI
   SQL, so even the Python ``mapInPandas`` stage is oracle-checkable.
 """
@@ -109,14 +112,18 @@ def _real_decode_dims(payload: bytes) -> tuple[int, int, int]:
             return im.width, im.height, len(im.getbands())
     except ImportError:
         pass
+    from mwas_rfam_spark.functions.gif_codec import decode_gif, is_gif
     from mwas_rfam_spark.functions.png_codec import decode_png, is_png
 
     if is_png(payload):
         w, h, c, _px = decode_png(payload)
         return w, h, c
+    if is_gif(payload):
+        w, h, _frames = decode_gif(payload)
+        return w, h, 3  # composited canvas is RGB
     raise NotImplementedError(
         "real image decode: PIL/pillow not in this container and the "
-        "payload is not a PNG (the stdlib decoder handles PNG only)"
+        "payload is neither PNG nor GIF (the stdlib decoders stop there)"
     )
 
 
@@ -247,25 +254,67 @@ def extract_audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return audio.mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
 
 
+def _real_video_frames(payload: bytes, every_n: int) -> list[tuple[int, str]]:
+    """Real-codec frame sampling → [(frame_idx, sha256-of-RGB-canvas)].
+
+    Preference order mirrors the image/audio paths: PyAV when the wheel
+    exists (every container format), else the pure-stdlib animated-GIF
+    decoder (functions/gif_codec — LZW, palettes, interlace, disposal
+    compositing), else NotImplementedError naming the missing codec.
+    The sha is over the composited full-canvas RGB bytes, so the same
+    visual frame hashes identically regardless of how the encoder split
+    it into sub-rectangles — which is what frame-dedup wants."""
+    try:
+        import av  # type: ignore
+        import io
+
+        out = []
+        with av.open(io.BytesIO(payload)) as container:
+            for i, frame in enumerate(container.decode(video=0)):
+                if i % every_n == 0:
+                    rgb = frame.to_ndarray(format="rgb24").tobytes()
+                    out.append((i, hashlib.sha256(rgb).hexdigest()))
+        return out
+    except ImportError:
+        pass
+    from mwas_rfam_spark.functions.gif_codec import decode_gif, is_gif
+
+    if is_gif(payload):
+        _w, _h, frames = decode_gif(payload)
+        return [
+            (i, hashlib.sha256(frames[i]).hexdigest())
+            for i in range(0, len(frames), every_n)
+        ]
+    raise NotImplementedError(
+        "real frame extraction: PyAV/ffmpeg not in this container and the "
+        "payload is not a GIF (the stdlib decoder handles GIF only)"
+    )
+
+
 def sample_video_frames(media: DataFrame, every_n: int = 4, fake: bool = True) -> DataFrame:
-    """Frame sampling stub → one row per sampled frame (doc_id, frame_idx,
-    frame_sha). Frame count derives from payload size (fake); real path
-    (PyAV/ffmpeg) not in container. Output is long-form so downstream
-    per-frame ops (dedup, embedding) stay relational."""
+    """Frame sampling → one row per sampled frame (doc_id, frame_idx,
+    frame_sha). ``fake=False`` is the real-codec path: PyAV when
+    installed, else the pure-stdlib animated-GIF decoder — other
+    formats raise NotImplementedError naming the missing wheel. The
+    fake path derives a frame count from payload size. Output is
+    long-form so downstream per-frame ops (dedup, embedding) stay
+    relational."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real frame extraction needs PyAV/ffmpeg (not in this container)"
-                )
             ids, idxs, shas = [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                n_frames = max(1, len(p) // 8)
-                for i in range(0, n_frames, every_n):
-                    ids.append(doc_id)
-                    idxs.append(i)
-                    shas.append(hashlib.sha256(p + i.to_bytes(4, "big")).hexdigest())
+                if fake:
+                    n_frames = max(1, len(p) // 8)
+                    for i in range(0, n_frames, every_n):
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        shas.append(hashlib.sha256(p + i.to_bytes(4, "big")).hexdigest())
+                else:
+                    for i, sha in _real_video_frames(bytes(p), every_n):
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        shas.append(sha)
             if ids:
                 yield pd.DataFrame(
                     {

@@ -307,13 +307,13 @@ def test_decode_images_real_png_path(spark):
     }
     assert got == {1: (20, 10, 3), 2: (5, 4, 1)}
 
-    # a non-PNG payload tagged image raises loudly (missing codec named)
+    # a payload outside the stdlib decoders (JPEG magic) raises loudly
     bad = spark.createDataFrame(
-        [(9, b"GIF89a...", "image")], "doc_id long, payload binary, mt string"
+        [(9, b"\xff\xd8\xff\xe0 jpeg", "image")], "doc_id long, payload binary, mt string"
     ).select(
         "doc_id", "payload", F.struct(F.col("mt").alias("media_type")).alias("media_meta")
     )
-    with pytest.raises(Exception, match="NotImplementedError|not a PNG|PIL"):
+    with pytest.raises(Exception, match="NotImplementedError|neither PNG nor GIF|PIL"):
         decode_images(bad, fake=False).collect()
 
 
@@ -365,3 +365,164 @@ def test_extract_audio_real_wav_path(spark):
     )
     with pytest.raises(Exception):
         extract_audio_features(bad, fake=False).collect()
+
+
+# ---------------------------------------------------------------- GIF codec
+
+
+def test_gif_roundtrip_multiframe_and_palettes():
+    from mwas_rfam_spark.functions.gif_codec import decode_gif, encode_gif, is_gif
+
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255), (200, 200, 200)]
+    w, h = 5, 4
+    frames_idx = [
+        bytes([0] * 20),
+        bytes([i % 5 for i in range(20)]),
+        bytes([4] * 20),
+    ]
+    data = encode_gif(w, h, frames_idx, pal)
+    assert is_gif(data)
+    gw, gh, frames = decode_gif(data)
+    assert (gw, gh) == (w, h) and len(frames) == 3
+    assert frames == [b"".join(bytes(pal[i]) for i in fr) for fr in frames_idx]
+
+    # 2-color (1-bit) and 256-color palettes; >one LZW sub-block
+    tiny = encode_gif(2, 2, [bytes([0, 1, 1, 0])], [(0, 0, 0), (255, 255, 255)])
+    assert decode_gif(tiny)[2][0] == bytes([0, 0, 0, 255, 255, 255, 255, 255, 255, 0, 0, 0])
+    pal256 = [(i, 255 - i, i // 2) for i in range(256)]
+    big_frame = bytes([i % 256 for i in range(64 * 64)])
+    big = encode_gif(64, 64, [big_frame], pal256)
+    assert decode_gif(big)[2][0] == b"".join(bytes(pal256[i % 256]) for i in big_frame)
+
+
+def test_gif_interlaced_frame():
+    from mwas_rfam_spark.functions.gif_codec import decode_gif, encode_gif
+
+    pal = [(0, 0, 0), (10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120)]
+    frame = bytes([(i // 5) % 5 for i in range(40)])  # 5x8, row-striped
+    data = encode_gif(5, 8, [frame], pal, interlace_first=True)
+    _, _, frames = decode_gif(data)
+    assert frames[0] == b"".join(bytes(pal[i]) for i in frame)
+
+
+def test_gif_disposal_and_transparency():
+    """Hand-assembled GIF89a (sub-rectangle frame 2, transparency,
+    disposal=2 restore-to-background) — the compositing paths the
+    literal-LZW encoder never emits."""
+    import struct
+
+    from mwas_rfam_spark.functions.gif_codec import _lzw_encode_literals, decode_gif
+
+    pal = [(9, 9, 9), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 4, 2, 0x80 | 1, 0, 0)  # 4x2 screen, 4-color GCT, bg=0
+    for r, g, b in pal:
+        out += bytes((r, g, b))
+
+    def add_frame(fx, fy, fw, fh, indices, disposal, transparent=None):
+        flags = (disposal << 2) | (1 if transparent is not None else 0)
+        out.extend(b"\x21\xf9\x04" + bytes([flags, 0, 0, transparent or 0]) + b"\x00")
+        out.extend(b"\x2c" + struct.pack("<HHHHB", fx, fy, fw, fh, 0))
+        out.append(2)  # min code size
+        lzw = _lzw_encode_literals(bytes(indices), 2)
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off : off + 255]
+            out.append(len(chunk))
+            out.extend(chunk)
+        out.append(0)
+
+    # frame 1: full screen of red, disposal=2 (restore bg after)
+    add_frame(0, 0, 4, 2, [1] * 8, disposal=2)
+    # frame 2: 2x1 sub-rect at (1,1): [green, transparent]
+    add_frame(1, 1, 2, 1, [2, 3], disposal=0, transparent=3)
+    out.append(0x3B)
+
+    w, h, frames = decode_gif(bytes(out))
+    assert (w, h) == (4, 2) and len(frames) == 2
+    assert frames[0] == bytes(pal[1]) * 8
+    # after disposal=2 the canvas reverts to bg (pal[0]); frame 2 paints
+    # green at (1,1) and leaves the transparent pixel at (2,1) as bg
+    expect = bytearray(bytes(pal[0]) * 8)
+    expect[(1 * 4 + 1) * 3 : (1 * 4 + 1) * 3 + 3] = bytes(pal[2])
+    assert frames[1] == bytes(expect)
+
+
+def test_gif_rejects_corrupt():
+    import pytest
+
+    from mwas_rfam_spark.functions.gif_codec import decode_gif, encode_gif
+
+    good = encode_gif(3, 3, [bytes([0] * 9)], [(0, 0, 0), (1, 1, 1)])
+    for bad, why in [
+        (b"NOTAGIF", "signature"),
+        (good[:10], "truncated header"),
+        (good[:-5], "truncated"),
+        (good.replace(b"\x2c", b"\x7e", 1), "unknown block"),
+    ]:
+        with pytest.raises(ValueError):
+            decode_gif(bad)
+
+
+def test_video_frames_real_gif_path(spark):
+    """fake=False end-to-end through the Spark mapInPandas stage: GIF
+    payloads decode with the stdlib codec (PyAV absent in-container);
+    identical canvases hash identically across docs, which is exactly
+    what a downstream frame-dedup consumes."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.functions.gif_codec import encode_gif
+    from mwas_rfam_spark.operators.multimodal import sample_video_frames
+
+    pal = [(0, 0, 0), (255, 255, 255), (128, 0, 128)]
+    f_black = bytes([0] * 12)
+    f_white = bytes([1] * 12)
+    f_mix = bytes([i % 3 for i in range(12)])
+    rows = [
+        (1, encode_gif(4, 3, [f_black, f_white, f_mix, f_black, f_white], pal), "video"),
+        (2, encode_gif(4, 3, [f_black], pal), "video"),
+        (3, b"not video", "image"),  # filtered before Python
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, payload binary, mt string"
+    ).select(
+        "doc_id", "payload", F.struct(F.col("mt").alias("media_type")).alias("media_meta")
+    )
+    got = sample_video_frames(media, every_n=2, fake=False).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], {})[r["frame_idx"]] = r["frame_sha"]
+    assert set(by_doc) == {1, 2}
+    assert sorted(by_doc[1]) == [0, 2, 4]  # every_n=2 over 5 frames
+    assert sorted(by_doc[2]) == [0]
+    # same composited canvas => same sha, across docs and within doc 1
+    assert by_doc[1][0] == by_doc[2][0]
+    assert by_doc[1][0] != by_doc[1][2] != by_doc[1][4]
+
+    # a non-GIF payload tagged video raises loudly (missing codec named)
+    bad = spark.createDataFrame(
+        [(9, b"\x00\x00\x00\x18ftypmp42", "video")],
+        "doc_id long, payload binary, mt string",
+    ).select(
+        "doc_id", "payload", F.struct(F.col("mt").alias("media_type")).alias("media_meta")
+    )
+    with pytest.raises(Exception, match="NotImplementedError|not a GIF|PyAV"):
+        sample_video_frames(bad, fake=False).collect()
+
+
+def test_decode_images_real_gif_dims(spark):
+    """Static-GIF payloads report true dims through decode_images'
+    real path (composited canvas is RGB => channels 3)."""
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.functions.gif_codec import encode_gif
+    from mwas_rfam_spark.operators.multimodal import decode_images
+
+    data = encode_gif(7, 5, [bytes([0] * 35)], [(3, 1, 4), (1, 5, 9)])
+    media = spark.createDataFrame(
+        [(1, data, "image")], "doc_id long, payload binary, mt string"
+    ).select(
+        "doc_id", "payload", F.struct(F.col("mt").alias("media_type")).alias("media_meta")
+    )
+    got = decode_images(media, fake=False).collect()
+    assert [(r["width"], r["height"], r["channels"]) for r in got] == [(7, 5, 3)]
