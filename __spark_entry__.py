@@ -1231,6 +1231,19 @@ def q_dup_spans(spark, sf_dir):
     )
 
 
+def q_fuzzy_editdist(spark, sf_dir):
+    """Edit-distance fuzzy self-join (PassJoin pigeonhole blocking,
+    Li et al. PVLDB 2011) on 15-char document prefixes at d=2.
+    Bench-only surface; brute-force + DuckDB levenshtein parity in
+    tests/test_fuzzy.py."""
+    from mwas_rfam_spark.operators.fuzzy import edit_distance_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 15).alias("text")
+    )
+    return edit_distance_pairs(d, max_dist=2)
+
+
 def q_mwas_full(spark, sf_dir):
     """Full MWAS incl. seeded permutation tests (rows-only check: the
     resampling kernel is iterative/stateful, not SQL-expressible; the
@@ -2160,6 +2173,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_linear": q_quality_linear,
         "cluster_sample": q_cluster_sample,
         "dup_spans": q_dup_spans,
+        "fuzzy_editdist": q_fuzzy_editdist,
     }
 
 
