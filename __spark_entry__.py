@@ -1244,6 +1244,22 @@ def q_fuzzy_editdist(spark, sf_dir):
     return edit_distance_pairs(d, max_dist=2)
 
 
+def q_drift_report(spark, sf_dir):
+    """Corpus drift between snapshot halves (bench-only surface; exact-
+    KS reference + DuckDB window-SQL parity in tests/test_drift.py):
+    even vs odd event ids, numeric KS on value + categorical PSI on
+    event_type, one row per watched column."""
+    from mwas_rfam_spark.operators.drift import drift_report
+
+    e = _t(spark, sf_dir, "events")
+    return drift_report(
+        e.where(F.col("event_id") % 2 == 0),
+        e.where(F.col("event_id") % 2 == 1),
+        numeric_cols=["value"],
+        categorical_cols=["event_type"],
+    )
+
+
 def q_mwas_full(spark, sf_dir):
     """Full MWAS incl. seeded permutation tests (rows-only check: the
     resampling kernel is iterative/stateful, not SQL-expressible; the
@@ -2174,6 +2190,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_sample": q_cluster_sample,
         "dup_spans": q_dup_spans,
         "fuzzy_editdist": q_fuzzy_editdist,
+        "drift_report": q_drift_report,
     }
 
 

@@ -1,0 +1,250 @@
+"""Distribution-drift detection between corpus snapshots.
+
+Beyond-parity extension (SURVEY.md §7 M5): a training-data pipeline
+re-ingests its corpus continuously; before a new snapshot replaces the
+old one you want a cheap, exact answer to "did the distribution move?"
+— quality scores, document lengths, language mix, source mix.
+
+Three detectors, all single-pass DataFrame plans:
+
+* :func:`ks_drift` — exact two-sample Kolmogorov–Smirnov statistic
+  over a numeric column. The ECDF difference changes only at sample
+  points, so ``KS = max over distinct values of |F_a(v) - F_b(v)|``.
+  The cumulative counts use a two-level prefix sum: range-partition by
+  value, window WITHIN each partition (parallel), then add broadcast
+  per-partition offsets — the only driver-side collect is one row per
+  partition (parameter-sized, same policy as the IVF centroids), never
+  a single-task global window.
+* :func:`categorical_drift` — per-category counts → PSI (population
+  stability index, the standard banking/monitoring metric) and the
+  Pearson chi-square statistic, with add-eps smoothing for categories
+  absent on one side. One groupBy, broadcast scalar totals.
+* :func:`drift_report` — one row per watched column with the matching
+  statistic, for dashboard-shaped consumption.
+
+100 TB shape: ks_drift shuffles the distinct-value relation once
+(range partition) and keeps every window partition-local; categorical
+drift is one hash aggregation. Nothing is quadratic, nothing collects
+data rows.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _two_level_cumsum(per_value: DataFrame, value_col: str, partitions: int) -> DataFrame:
+    """Exact cumulative sums of cnt_a / cnt_b in ``value_col`` order
+    without a global single-task window: local window inside each range
+    partition + broadcast prefix offsets (one collected row per
+    partition)."""
+    ranged = per_value.repartitionByRange(partitions, value_col).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint(eager=False)
+
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.select(
+        value_col,
+        "__pid",
+        F.sum("cnt_a").over(w_local).alias("loc_a"),
+        F.sum("cnt_b").over(w_local).alias("loc_b"),
+    )
+
+    # per-partition totals: parameter-sized (one row per partition)
+    totals = (
+        ranged.groupBy("__pid")
+        .agg(F.sum("cnt_a").alias("ta"), F.sum("cnt_b").alias("tb"))
+        .collect()
+    )
+    by_pid = {r["__pid"]: (r["ta"], r["tb"]) for r in totals}
+    acc_a = acc_b = 0
+    offsets = []
+    for pid in sorted(by_pid):
+        offsets.append((pid, acc_a, acc_b))
+        ta, tb = by_pid[pid]
+        acc_a += ta or 0
+        acc_b += tb or 0
+
+    spark = per_value.sparkSession
+    off_df = spark.createDataFrame(offsets, "__pid int, off_a long, off_b long")
+    return local.join(F.broadcast(off_df), "__pid").select(
+        value_col,
+        (F.col("loc_a") + F.col("off_a")).alias("cum_a"),
+        (F.col("loc_b") + F.col("off_b")).alias("cum_b"),
+    )
+
+
+def ks_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact two-sample KS statistic → one row
+    (n_a, n_b, ks_stat, ks_at_value).
+
+    ``ks_at_value`` is the largest value where the ECDF gap attains its
+    maximum (deterministic tie-break) — the "where did it move"
+    diagnostic. Nulls are excluded on both sides (an ECDF is undefined
+    over them); use :func:`categorical_drift` on an is-null indicator
+    to watch null-rate drift."""
+    if partitions is None:
+        partitions = df_a.sparkSession.sparkContext.defaultParallelism
+    a = df_a.select(F.col(value_col).alias("v")).where(F.col("v").isNotNull())
+    b = df_b.select(F.col(value_col).alias("v")).where(F.col("v").isNotNull())
+    tagged = a.withColumn("__is_a", F.lit(1)).unionByName(
+        b.withColumn("__is_a", F.lit(0))
+    )
+    per_value = tagged.groupBy("v").agg(
+        F.sum("__is_a").alias("cnt_a"),
+        F.sum(1 - F.col("__is_a")).alias("cnt_b"),
+    )
+    # totals as driver scalars (two numbers), folded in as literals —
+    # never an all-rows window (that would be one task)
+    n_a, n_b = per_value.agg(F.sum("cnt_a"), F.sum("cnt_b")).first()
+    n_a, n_b = int(n_a or 0), int(n_b or 0)
+    if n_a == 0 or n_b == 0:
+        raise ValueError(f"ks_drift needs non-empty sides, got n_a={n_a}, n_b={n_b}")
+
+    cums = _two_level_cumsum(per_value, "v", partitions)
+    gap = cums.select(
+        "v",
+        F.abs(F.col("cum_a") / F.lit(n_a) - F.col("cum_b") / F.lit(n_b)).alias("gap"),
+    )
+    # max(struct(gap, v)): the statistic plus, on ties, the largest
+    # attaining value — one map-side-combinable aggregation
+    best = F.max(F.struct(F.col("gap"), F.col("v")))
+    return gap.agg(
+        F.lit(n_a).alias("n_a"),
+        F.lit(n_b).alias("n_b"),
+        F.round(best.getField("gap"), 9).alias("ks_stat"),
+        best.getField("v").alias("ks_at_value"),
+    )
+
+
+def categorical_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    category_col: str,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-category drift → one row
+    (n_categories, psi, chi2_stat, top_mover, top_mover_psi).
+
+    PSI = Σ (p_a - p_b) · ln(p_a / p_b) with proportions smoothed by
+    ``eps`` so one-sided categories stay finite (the standard
+    monitoring convention: PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25
+    major shift). chi2 is the Pearson statistic of the a-side counts
+    against b-side expected proportions. NULL is a category of its own
+    (null-rate drift is drift)."""
+    if eps <= 0:
+        raise ValueError(f"eps must be > 0, got {eps}")
+    a = df_a.select(F.col(category_col).alias("c")).withColumn("__is_a", F.lit(1))
+    b = df_b.select(F.col(category_col).alias("c")).withColumn("__is_a", F.lit(0))
+    counts = (
+        a.unionByName(b)
+        .groupBy("c")
+        .agg(
+            F.sum("__is_a").alias("cnt_a"),
+            F.sum(1 - F.col("__is_a")).alias("cnt_b"),
+        )
+    )
+    n_a, n_b = counts.agg(F.sum("cnt_a"), F.sum("cnt_b")).first()
+    n_a, n_b = int(n_a or 0), int(n_b or 0)
+    if n_a == 0 or n_b == 0:
+        raise ValueError(f"categorical_drift needs non-empty sides, got n_a={n_a}, n_b={n_b}")
+
+    pa = F.col("cnt_a") / F.lit(n_a) + F.lit(eps)
+    pb = F.col("cnt_b") / F.lit(n_b) + F.lit(eps)
+    per_cat = counts.select(
+        "c",
+        ((pa - pb) * F.log(pa / pb)).alias("psi_term"),
+        # Pearson: (observed_a - expected_a)^2 / expected_a with
+        # expected from the b-side proportions (smoothed likewise)
+        (
+            F.pow(F.col("cnt_a") - pb * F.lit(n_a), F.lit(2.0)) / (pb * F.lit(n_a))
+        ).alias("chi2_term"),
+    )
+    top = per_cat.orderBy(F.desc("psi_term"), F.asc_nulls_last("c")).limit(1).select(
+        F.col("c").alias("top_mover"), F.round("psi_term", 9).alias("top_mover_psi")
+    )
+    agg = per_cat.agg(
+        F.count("*").alias("n_categories"),
+        F.round(F.sum("psi_term"), 9).alias("psi"),
+        F.round(F.sum("chi2_term"), 6).alias("chi2_stat"),
+    )
+    return agg.join(F.broadcast(top), how="cross")
+
+
+def drift_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    numeric_cols: list[str] | None = None,
+    categorical_cols: list[str] | None = None,
+    psi_threshold: float = 0.25,
+    ks_threshold: float = 0.1,
+) -> DataFrame:
+    """One row per watched column:
+    (column, kind, statistic, value, flagged).
+
+    The loop is over the COLUMN LIST (parameter-sized), not data — each
+    iteration contributes one single-row subplan and the union of K
+    single-row relations is trivially cheap."""
+    if not numeric_cols and not categorical_cols:
+        raise ValueError("drift_report needs at least one column to watch")
+    spark = df_a.sparkSession
+    parts: list[DataFrame] = []
+    for col in numeric_cols or []:
+        parts.append(
+            ks_drift(df_a, df_b, col).select(
+                F.lit(col).alias("column"),
+                F.lit("numeric").alias("kind"),
+                F.lit("ks").alias("statistic"),
+                F.col("ks_stat").alias("value"),
+                (F.col("ks_stat") > ks_threshold).alias("flagged"),
+            )
+        )
+    for col in categorical_cols or []:
+        parts.append(
+            categorical_drift(df_a, df_b, col).select(
+                F.lit(col).alias("column"),
+                F.lit("categorical").alias("kind"),
+                F.lit("psi").alias("statistic"),
+                F.col("psi").alias("value"),
+                (F.col("psi") > psi_threshold).alias("flagged"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _norm_cdf(x: float) -> float:
+    return 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))
+
+
+def ks_p_value(ks_stat: float, n_a: int, n_b: int, terms: int = 100) -> float:
+    """Asymptotic two-sample KS p-value (Smirnov's series) — a driver-
+    side scalar helper for interpreting :func:`ks_drift` output; kept
+    out of the plan because it consumes the single aggregated row."""
+    if not 0.0 <= ks_stat <= 1.0:
+        raise ValueError(f"ks_stat must be in [0, 1], got {ks_stat}")
+    if n_a < 1 or n_b < 1:
+        raise ValueError("need n_a, n_b >= 1")
+    en = math.sqrt(n_a * n_b / (n_a + n_b))
+    lam = (en + 0.12 + 0.11 / en) * ks_stat
+    if lam <= 0:
+        return 1.0
+    s = 0.0
+    for k in range(1, terms + 1):
+        s += (-1.0) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)
+    return max(0.0, min(1.0, 2.0 * s))

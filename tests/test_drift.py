@@ -1,0 +1,172 @@
+"""Drift detectors: exact KS vs a Python reference and DuckDB's window
+SQL, PSI/chi-square hand models, report shape, and the prefix-sum
+partitioning invariants."""
+
+import math
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mwas_rfam_spark.operators.drift import (
+    categorical_drift,
+    drift_report,
+    ks_drift,
+    ks_p_value,
+)
+
+
+def _ks_reference(xs: list[float], ys: list[float]) -> float:
+    """Exact two-sample KS by merged-ECDF sweep."""
+    pts = sorted(set(xs) | set(ys))
+    xs_s, ys_s = sorted(xs), sorted(ys)
+
+    def ecdf(sorted_v, p):
+        import bisect
+
+        return bisect.bisect_right(sorted_v, p) / len(sorted_v)
+
+    return max(abs(ecdf(xs_s, p) - ecdf(ys_s, p)) for p in pts)
+
+
+def test_ks_matches_reference_and_partition_invariance(spark):
+    rng = random.Random(7)
+    xs = [rng.gauss(0.0, 1.0) for _ in range(400)]
+    ys = [rng.gauss(0.4, 1.3) for _ in range(300)]
+    a = spark.createDataFrame([(v,) for v in xs], "score double")
+    b = spark.createDataFrame([(v,) for v in ys], "score double")
+    want = _ks_reference(xs, ys)
+    for parts in (1, 3, 16):
+        row = ks_drift(a, b, "score", partitions=parts).first()
+        assert row["n_a"] == 400 and row["n_b"] == 300
+        assert abs(row["ks_stat"] - want) < 1e-9, parts
+    # the attained gap location is a real sample point
+    row = ks_drift(a, b, "score").first()
+    assert row["ks_at_value"] in set(xs) | set(ys)
+
+
+def test_ks_identical_and_disjoint(spark):
+    a = spark.createDataFrame([(float(i),) for i in range(50)], "v double")
+    assert ks_drift(a, a, "v").first()["ks_stat"] == 0.0
+    b = spark.createDataFrame([(float(i + 1000),) for i in range(50)], "v double")
+    assert ks_drift(a, b, "v").first()["ks_stat"] == 1.0
+    with pytest.raises(ValueError, match="non-empty"):
+        ks_drift(a.where("v < 0"), b, "v").first()
+
+
+def test_ks_duckdb_parity_on_documents(spark, sf_dir):
+    """Real-corpus parity: text-length distribution of even vs odd
+    doc_ids, Spark's two-level prefix sum vs DuckDB's window SQL."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.length("text").cast("double").alias("tl")
+    )
+    got = ks_drift(
+        docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1"), "tl"
+    ).first()
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        WITH t AS (
+          SELECT length(text)::DOUBLE AS v, (doc_id % 2 = 0) AS is_a
+          FROM read_parquet('{sf_dir}/documents.parquet')
+        ),
+        per_v AS (
+          SELECT v, sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+                    sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+          FROM t GROUP BY v
+        ),
+        cum AS (
+          SELECT v,
+                 sum(ca) OVER (ORDER BY v) / (SELECT sum(ca) FROM per_v) AS fa,
+                 sum(cb) OVER (ORDER BY v) / (SELECT sum(cb) FROM per_v) AS fb
+          FROM per_v
+        )
+        SELECT round(max(abs(fa - fb)), 9) FROM cum
+        """
+    ).fetchone()[0]
+    con.close()
+    assert abs(got["ks_stat"] - want) < 1e-9
+
+
+def test_categorical_psi_and_chi2_hand_model(spark):
+    a_counts = {"en": 700, "de": 200, "fr": 100}
+    b_counts = {"en": 500, "de": 300, "fr": 150, "es": 50}
+    a = spark.createDataFrame(
+        [(k,) for k, n in a_counts.items() for _ in range(n // 50)], "lang string"
+    )
+    b = spark.createDataFrame(
+        [(k,) for k, n in b_counts.items() for _ in range(n // 50)], "lang string"
+    )
+    row = categorical_drift(a, b, "lang", eps=1e-6).first()
+
+    na = sum(v // 50 for v in a_counts.values())
+    nb = sum(v // 50 for v in b_counts.values())
+    cats = set(a_counts) | set(b_counts)
+    psi = chi2 = 0.0
+    best = None
+    for c in sorted(cats):
+        pa = (a_counts.get(c, 0) // 50) / na + 1e-6
+        pb = (b_counts.get(c, 0) // 50) / nb + 1e-6
+        term = (pa - pb) * math.log(pa / pb)
+        psi += term
+        ea = pb * na
+        chi2 += ((a_counts.get(c, 0) // 50) - ea) ** 2 / ea
+        if best is None or term > best[1]:
+            best = (c, term)
+    assert row["n_categories"] == 4
+    assert abs(row["psi"] - psi) < 1e-8
+    assert abs(row["chi2_stat"] - chi2) < 1e-4
+    assert row["top_mover"] == best[0]
+    assert abs(row["top_mover_psi"] - best[1]) < 1e-8
+
+
+def test_categorical_null_is_a_category(spark):
+    a = spark.createDataFrame([("x",), (None,), (None,), ("y",)], "c string")
+    b = spark.createDataFrame([("x",), ("y",), ("y",), ("y",)], "c string")
+    row = categorical_drift(a, b, "c").first()
+    assert row["n_categories"] == 3  # x, y, NULL
+    assert row["psi"] > 0
+
+
+def test_drift_report_shape_and_flags(spark):
+    rng = random.Random(3)
+    a = spark.createDataFrame(
+        [(rng.gauss(0, 1), "en" if i % 5 else "de") for i in range(200)],
+        "score double, lang string",
+    )
+    b_same = a
+    b_moved = spark.createDataFrame(
+        [(rng.gauss(3, 1), "fr") for _ in range(200)], "score double, lang string"
+    )
+    rep = {
+        (r["column"], r["kind"]): r
+        for r in drift_report(
+            a, b_moved, numeric_cols=["score"], categorical_cols=["lang"]
+        ).collect()
+    }
+    assert rep[("score", "numeric")]["flagged"] is True
+    assert rep[("lang", "categorical")]["flagged"] is True
+    rep_same = {
+        r["column"]: r
+        for r in drift_report(
+            a, b_same, numeric_cols=["score"], categorical_cols=["lang"]
+        ).collect()
+    }
+    assert rep_same["score"]["value"] == 0.0 and rep_same["score"]["flagged"] is False
+    assert rep_same["lang"]["flagged"] is False
+    with pytest.raises(ValueError, match="at least one column"):
+        drift_report(a, b_same)
+
+
+def test_ks_p_value_scalar():
+    # calibration sanity: identical big samples -> p ~ 1; huge gap -> p ~ 0
+    assert ks_p_value(0.0, 1000, 1000) == 1.0
+    assert ks_p_value(0.9, 1000, 1000) < 1e-10
+    # scipy's documented example magnitude: D=0.0574, n=m=1000 -> p ~ 0.073
+    p = ks_p_value(0.0574, 1000, 1000)
+    assert 0.05 < p < 0.11
+    with pytest.raises(ValueError):
+        ks_p_value(1.5, 10, 10)
+    with pytest.raises(ValueError):
+        ks_p_value(0.5, 0, 10)
