@@ -1244,6 +1244,34 @@ def q_fuzzy_editdist(spark, sf_dir):
     return edit_distance_pairs(d, max_dist=2)
 
 
+_BPE_MERGES_CACHE: dict[str, list] = {}
+
+
+def q_bpe_tokenize(spark, sf_dir):
+    """Corpus-scale BPE encode with broadcast merges (bench-only
+    surface; hand-model + round-trip + determinism tests in
+    tests/test_tokenize.py). Training is parameter estimation on a
+    bounded hash-sample — build cost, memoized per process like the
+    IVF centroids/PQ codebooks (build-vs-probe policy)."""
+    from mwas_rfam_spark.operators.tokenize import bpe_encode, train_bpe_merges
+
+    d = _t(spark, sf_dir, "documents")
+    if sf_dir not in _BPE_MERGES_CACHE:
+        _BPE_MERGES_CACHE[sf_dir] = [
+            (r["left"], r["right"])
+            for r in sorted(
+                train_bpe_merges(d, num_merges=256, sample_docs=300).collect(),
+                key=lambda r: r["rank"],
+            )
+        ]
+    enc = bpe_encode(d, _BPE_MERGES_CACHE[sf_dir], emit_tokens=False)
+    return enc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
 def q_drift_report(spark, sf_dir):
     """Corpus drift between snapshot halves (bench-only surface; exact-
     KS reference + DuckDB window-SQL parity in tests/test_drift.py):
@@ -2191,6 +2219,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "fuzzy_editdist": q_fuzzy_editdist,
         "drift_report": q_drift_report,
+        "bpe_tokenize": q_bpe_tokenize,
     }
 
 

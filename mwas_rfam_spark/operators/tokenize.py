@@ -1,0 +1,165 @@
+"""Trainable BPE tokenization as a Spark pipeline stage.
+
+Beyond-parity extension (SURVEY.md §7 M5): the token-budget mix,
+sequence packing and quality gates all count tokens; whitespace and
+regex proxies (operators/text.py) are cheap but drift from a model's
+real tokenizer. This module makes token counts REAL: train a BPE on a
+bounded corpus sample, store the merge table as a tiny relation, and
+encode at corpus scale with the merges broadcast into an Arrow-batched
+``mapInPandas`` kernel.
+
+Design rules (same build-vs-probe policy as the IVF/PQ family):
+
+* TRAINING is parameter estimation — it runs driver-side on a bounded,
+  deterministic hash-sample (a tokenizer is KBs of parameters; nobody
+  trains it on 100 TB). The sample is collected with an explicit
+  byte budget and fails loud when a single row would exceed it.
+* The merge table is a DataFrame (rank, left, right) — storable,
+  versionable, joinable; ``bpe_encode`` accepts either the DataFrame
+  or the in-memory merge list.
+* ENCODING is data-scale: merges are a broadcast variable; the kernel
+  memoizes per distinct word per batch (Zipf: the cache hit rate is
+  the win), so cost is ~O(distinct words) not O(tokens).
+* Python is justified here: BPE's loop-carried merge order is
+  iterative per word — not expressible with the built-in relational
+  operators. The kernel is Arrow-batched, never row-at-a-time UDF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mwas_rfam_spark.functions.bpe import (
+    encode_text,
+    ranks_from_merges,
+    train_bpe,
+    word_frequencies,
+)
+
+MERGES_SCHEMA = "rank INT, left STRING, right STRING"
+
+
+def train_bpe_merges(
+    docs: DataFrame,
+    num_merges: int = 512,
+    text_col: str = "text",
+    sample_docs: int = 2000,
+    max_sample_bytes: int = 32 << 20,
+    seed: int = 7,
+) -> DataFrame:
+    """Learn a BPE merge table from a bounded corpus sample →
+    DataFrame (rank, left, right).
+
+    The sample is the ``sample_docs`` documents with the smallest
+    md5(seed:id-less content hash) — deterministic, engine-independent,
+    and independent of partitioning (the same domain-tagged md5 recipe
+    the sampling family uses). ``max_sample_bytes`` bounds the driver
+    collect; exceeding it raises rather than silently truncating."""
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    if sample_docs < 1:
+        raise ValueError(f"sample_docs must be >= 1, got {sample_docs}")
+    ranked = (
+        docs.select(F.col(text_col).alias("__t"))
+        .where(F.col("__t").isNotNull())
+        .withColumn("__r", F.md5(F.concat_ws(":", F.lit(f"bpe:{seed}"), F.col("__t"))))
+        .orderBy("__r")
+        .limit(sample_docs)
+    )
+    rows = ranked.select("__t").collect()
+    texts = [r["__t"] for r in rows]
+    total = sum(len(t.encode("utf-8", "ignore")) for t in texts)
+    if total > max_sample_bytes:
+        raise ValueError(
+            f"BPE sample is {total} bytes > max_sample_bytes={max_sample_bytes}; "
+            "lower sample_docs or raise the budget explicitly"
+        )
+    merges = train_bpe(word_frequencies(texts), num_merges)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)], MERGES_SCHEMA
+    )
+
+
+def _merge_list(merges) -> list[tuple[str, str]]:
+    if isinstance(merges, DataFrame):
+        return [
+            (r["left"], r["right"])
+            for r in sorted(merges.collect(), key=lambda r: r["rank"])
+        ]
+    return list(merges)
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    emit_tokens: bool = True,
+) -> DataFrame:
+    """Encode a corpus → (id, n_tokens[, tokens ARRAY<STRING>]).
+
+    ``merges`` is the DataFrame from :func:`train_bpe_merges` or a
+    plain merge list. The table is shipped once per executor via a
+    broadcast variable; the kernel caches encodings per distinct word.
+    ``emit_tokens=False`` skips materializing the token arrays — the
+    token-budget / packing consumers only need counts, and at corpus
+    scale the arrays are the dominant shuffle payload."""
+    merge_rows = _merge_list(merges)
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(merge_rows)
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, n_tokens BIGINT"
+    if emit_tokens:
+        schema += ", tokens ARRAY<STRING>"
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ranks = ranks_from_merges(bc.value)
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            toks = [
+                encode_text("" if t is None else str(t), ranks, cache)
+                for t in pdf["__text"]
+            ]
+            out = {
+                id_col: pdf["__id"],
+                "n_tokens": pd.Series([len(t) for t in toks], dtype="int64"),
+            }
+            if emit_tokens:
+                out["tokens"] = toks
+            yield pd.DataFrame(out)
+
+    src = docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    return src.mapInPandas(encode, schema)
+
+
+def bpe_token_budget_counts(
+    docs: DataFrame,
+    merges,
+    group_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group real-token totals → (group, n_docs, n_tokens) — the
+    input the token-budget mix planner consumes, with BPE counts in
+    place of the whitespace proxy. One encode pass (counts only), one
+    map-side-combinable aggregation."""
+    counted = bpe_encode(
+        docs.select(id_col, text_col, group_col),
+        merges,
+        text_col=text_col,
+        id_col=id_col,
+        emit_tokens=False,
+    )
+    keyed = counted.join(
+        docs.select(id_col, group_col), id_col
+    )
+    return keyed.groupBy(F.col(group_col).alias("group")).agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )

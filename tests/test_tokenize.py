@@ -1,0 +1,133 @@
+"""BPE tokenizer: hand-verified merges, encode/decode inverse,
+determinism across partitionings, the bounded-sample guard, and the
+budget-count integration."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mwas_rfam_spark.functions.bpe import (
+    EOW,
+    decode_tokens,
+    encode_text,
+    encode_word,
+    ranks_from_merges,
+    train_bpe,
+    word_frequencies,
+)
+from mwas_rfam_spark.operators.tokenize import (
+    bpe_encode,
+    bpe_token_budget_counts,
+    train_bpe_merges,
+)
+
+
+def test_train_bpe_hand_model():
+    """Sennrich's canonical example family: {low×5, lower×2, newest×6,
+    widest×3}. First merges must assemble 'est</w>' (9 occurrences
+    dominate)."""
+    freq = word_frequencies(["low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3])
+    merges = train_bpe(freq, 4)
+    assert merges[0] == ("e", "s")          # 9 (newest+widest)
+    assert merges[1] == ("es", "t")         # 9
+    assert merges[2] == ("est", EOW)        # 9
+    assert merges[3] == ("l", "o")          # 7 (low+lower)
+    ranks = ranks_from_merges(merges)
+    assert encode_word("newest", ranks) == ["n", "e", "w", "est</w>"]
+    assert encode_word("low", ranks) == ["lo", "w", EOW]
+
+
+def test_train_bpe_tie_break_deterministic():
+    # "ab" and "cd" both appear twice; lexicographically smallest wins
+    merges = train_bpe(word_frequencies(["ab ab cd cd"]), 1)
+    assert merges[0] == ("a", "b")
+    assert train_bpe(word_frequencies(["cd cd ab ab"]), 1) == merges
+
+
+def test_encode_decode_inverse():
+    corpus = "the quick brown fox jumps over the lazy dog the end"
+    merges = train_bpe(word_frequencies([corpus]), 30)
+    ranks = ranks_from_merges(merges)
+    toks = encode_text(corpus, ranks)
+    assert decode_tokens(toks) == corpus
+    # unseen words still encode (down to characters) and round-trip
+    toks2 = encode_text("zebra xylophone", ranks)
+    assert decode_tokens(toks2) == "zebra xylophone"
+    assert encode_text("", ranks) == [] and encode_text(None, ranks) == []
+
+
+def test_train_merges_spark_and_encode(spark):
+    docs = spark.createDataFrame(
+        [(i, "the training corpus has repeated phrases " * 3) for i in range(20)]
+        + [(100 + i, f"rare document {i} with unique text") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    merges = train_bpe_merges(docs, num_merges=50, sample_docs=25)
+    assert merges.columns == ["rank", "left", "right"]
+    n = merges.count()
+    assert 0 < n <= 50
+
+    enc = bpe_encode(docs, merges).collect()
+    by_id = {r["doc_id"]: r for r in enc}
+    assert len(by_id) == 25
+    # identical texts -> identical token streams and counts
+    assert by_id[0]["tokens"] == by_id[19]["tokens"]
+    assert by_id[0]["n_tokens"] == len(by_id[0]["tokens"]) > 0
+    # decode round-trips the normalized text
+    assert decode_tokens(list(by_id[100]["tokens"])) == "rare document 0 with unique text"
+
+    # counts-only path matches the full path, without the arrays
+    counts = bpe_encode(docs, merges, emit_tokens=False)
+    assert counts.columns == ["doc_id", "n_tokens"]
+    got = {r["doc_id"]: r["n_tokens"] for r in counts.collect()}
+    assert got == {i: r["n_tokens"] for i, r in by_id.items()}
+
+    # training is deterministic and partitioning-independent
+    again = train_bpe_merges(docs.repartition(13), num_merges=50, sample_docs=25)
+    assert [tuple(r) for r in merges.collect()] == [tuple(r) for r in again.collect()]
+
+
+def test_bpe_sample_byte_guard(spark):
+    docs = spark.createDataFrame([(1, "x" * 1000)], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="max_sample_bytes"):
+        train_bpe_merges(docs, num_merges=5, sample_docs=1, max_sample_bytes=100)
+    with pytest.raises(ValueError, match="num_merges"):
+        train_bpe_merges(docs, num_merges=0)
+
+
+def test_bpe_token_budget_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "web"),
+            (2, "alpha beta", "web"),
+            (3, "delta epsilon zeta eta", "books"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    merges = train_bpe_merges(docs, num_merges=10, sample_docs=3)
+    enc = {r["doc_id"]: r["n_tokens"] for r in bpe_encode(docs, merges).collect()}
+    got = {
+        r["group"]: (r["n_docs"], r["n_tokens"])
+        for r in bpe_token_budget_counts(docs, merges, "source").collect()
+    }
+    assert got == {
+        "web": (2, enc[1] + enc[2]),
+        "books": (1, enc[3]),
+    }
+
+
+def test_bpe_encode_real_documents(spark, sf_dir):
+    """Real corpus smoke at test SF: every doc encodes, counts are
+    positive for non-empty docs, and compression beats characters
+    (tokens <= whitespace tokens * some factor is not guaranteed, but
+    tokens < characters always holds with any merge applied)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    merges = train_bpe_merges(docs, num_merges=200, sample_docs=200)
+    enc = bpe_encode(docs, merges, emit_tokens=False)
+    joined = enc.join(docs, "doc_id").select(
+        "n_tokens", F.length(F.lower(F.trim("text"))).alias("chars")
+    )
+    bad = joined.where((F.col("chars") > 0) & (F.col("n_tokens") > F.col("chars") + 1)).count()
+    assert bad == 0
+    assert joined.where(F.col("n_tokens") > 0).count() == docs.where(
+        F.length(F.trim("text")) > 0
+    ).count()
