@@ -392,6 +392,130 @@ def split_main(argv: list[str], spark: SparkSession | None = None) -> int:
             spark.stop()
 
 
+def build_drift_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mwas_rfam_spark drift",
+        description="Distribution drift between two corpus snapshots: "
+        "exact two-sample KS on numeric columns, PSI on categorical "
+        "columns. Exit code 2 when any watched column is flagged and "
+        "--fail-on-drift is set (CI-gate shape).",
+    )
+    p.add_argument("baseline", help="baseline snapshot parquet")
+    p.add_argument("candidate", help="candidate snapshot parquet")
+    p.add_argument("--numeric", default="", help="comma list of numeric columns")
+    p.add_argument("--categorical", default="", help="comma list of categorical columns")
+    p.add_argument("--ks-threshold", type=float, default=0.1)
+    p.add_argument("--psi-threshold", type=float, default=0.25)
+    p.add_argument("--output", default=None, help="optional report parquet path")
+    p.add_argument("--fail-on-drift", action="store_true")
+    return p
+
+
+def drift_main(argv: list[str], spark: SparkSession | None = None) -> int:
+    args = build_drift_parser().parse_args(argv)
+    numeric = [c for c in args.numeric.split(",") if c.strip()]
+    categorical = [c for c in args.categorical.split(",") if c.strip()]
+    if not numeric and not categorical:
+        raise SystemExit("drift: need --numeric and/or --categorical columns")
+    owns_session = spark is None
+    if owns_session:
+        from .session import get_spark
+
+        spark = get_spark(app_name="drift-cli")
+    try:
+        from .operators.drift import drift_report
+
+        rep = drift_report(
+            spark.read.parquet(args.baseline),
+            spark.read.parquet(args.candidate),
+            numeric_cols=numeric,
+            categorical_cols=categorical,
+            ks_threshold=args.ks_threshold,
+            psi_threshold=args.psi_threshold,
+        )
+        rows = rep.collect()
+        if args.output:
+            spark.createDataFrame(rows, rep.schema).write.mode("overwrite").parquet(
+                args.output
+            )
+        flagged = 0
+        for r in rows:
+            mark = "DRIFT" if r["flagged"] else "ok"
+            print(f"{r['column']}\t{r['kind']}\t{r['statistic']}={r['value']}\t{mark}")
+            flagged += int(bool(r["flagged"]))
+        if flagged and args.fail_on_drift:
+            return 2
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+def build_tokenize_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mwas_rfam_spark tokenize",
+        description="BPE tokenization: train a merge table on a bounded "
+        "hash-sample and/or encode a corpus with broadcast merges.",
+    )
+    p.add_argument("input", help="documents parquet")
+    p.add_argument("--output", required=True, help="encoded parquet path")
+    p.add_argument("--merges", default=None, help="existing merge-table parquet (skip training)")
+    p.add_argument("--save-merges", default=None, help="write the trained merge table here")
+    p.add_argument("--num-merges", type=int, default=512)
+    p.add_argument("--sample-docs", type=int, default=2000)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument(
+        "--emit-tokens",
+        action="store_true",
+        help="materialize token arrays (default: counts only)",
+    )
+    return p
+
+
+def tokenize_main(argv: list[str], spark: SparkSession | None = None) -> int:
+    args = build_tokenize_parser().parse_args(argv)
+    owns_session = spark is None
+    if owns_session:
+        from .session import get_spark
+
+        spark = get_spark(app_name="tokenize-cli")
+    try:
+        from .operators.tokenize import bpe_encode, train_bpe_merges
+
+        docs = spark.read.parquet(args.input)
+        if args.merges:
+            merges = spark.read.parquet(args.merges)
+        else:
+            merges = train_bpe_merges(
+                docs,
+                num_merges=args.num_merges,
+                text_col=args.text_col,
+                sample_docs=args.sample_docs,
+            )
+        if args.save_merges:
+            merges.write.mode("overwrite").parquet(args.save_merges)
+        enc = bpe_encode(
+            docs,
+            merges,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            emit_tokens=args.emit_tokens,
+        )
+        enc.write.mode("overwrite").parquet(args.output)
+        total = spark.read.parquet(args.output).agg(
+            {"n_tokens": "sum", args.id_col: "count"}
+        ).first()
+        print(
+            f"encoded {total[f'count({args.id_col})']} docs, "
+            f"{total['sum(n_tokens)']} tokens"
+        )
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
 def build_maintain_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="mwas_rfam_spark maintain",
@@ -454,6 +578,10 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         return validate_main(argv[1:], spark)
     if argv and argv[0] == "split":
         return split_main(argv[1:], spark)
+    if argv and argv[0] == "drift":
+        return drift_main(argv[1:], spark)
+    if argv and argv[0] == "tokenize":
+        return tokenize_main(argv[1:], spark)
     from .config import MwasConfig
     from .operators.condense import condense_metadata
     from .operators.mwas import run_mwas

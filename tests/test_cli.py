@@ -417,3 +417,78 @@ def test_cli_validate_expr_rule(spark, tmp_path):
     bad = spark.read.parquet(quar).collect()
     assert len(bad) == 1 and bad[0]["doc_id"] == 2
     assert "lo_below_hi" in bad[0]["violations"]
+
+
+def test_drift_cli(spark, tmp_path, capsys):
+    import random
+
+    rng = random.Random(5)
+    a = spark.createDataFrame(
+        [(rng.gauss(0, 1), "en" if i % 4 else "de") for i in range(200)],
+        "score double, lang string",
+    )
+    b = spark.createDataFrame(
+        [(rng.gauss(4, 1), "fr") for _ in range(200)], "score double, lang string"
+    )
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    a.write.parquet(pa)
+    b.write.parquet(pb)
+    rep_out = str(tmp_path / "rep")
+
+    rc = main(
+        ["drift", pa, pb, "--numeric", "score", "--categorical", "lang",
+         "--output", rep_out],
+        spark=spark,
+    )
+    assert rc == 0  # flagged but --fail-on-drift not set
+    printed = capsys.readouterr().out
+    assert "DRIFT" in printed and "score" in printed
+    back = {r["column"]: r for r in spark.read.parquet(rep_out).collect()}
+    assert back["score"]["flagged"] is True and back["lang"]["flagged"] is True
+
+    rc = main(
+        ["drift", pa, pb, "--numeric", "score", "--fail-on-drift"], spark=spark
+    )
+    assert rc == 2
+    rc = main(["drift", pa, pa, "--numeric", "score", "--fail-on-drift"], spark=spark)
+    assert rc == 0
+
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["drift", pa, pb], spark=spark)  # no columns named
+
+
+def test_tokenize_cli(spark, tmp_path, capsys):
+    docs = spark.createDataFrame(
+        [(i, "repeated phrase corpus text " * 3) for i in range(30)],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    out = str(tmp_path / "enc")
+    merges_path = str(tmp_path / "merges")
+
+    rc = main(
+        ["tokenize", src, "--output", out, "--num-merges", "40",
+         "--sample-docs", "30", "--save-merges", merges_path],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "encoded 30 docs" in capsys.readouterr().out
+    enc = spark.read.parquet(out)
+    assert set(enc.columns) == {"doc_id", "n_tokens"}
+    assert enc.count() == 30 and enc.where("n_tokens <= 0").count() == 0
+
+    # re-encode with the SAVED merges (skip training) — identical output
+    out2 = str(tmp_path / "enc2")
+    rc = main(
+        ["tokenize", src, "--output", out2, "--merges", merges_path,
+         "--emit-tokens"],
+        spark=spark,
+    )
+    assert rc == 0
+    enc2 = spark.read.parquet(out2)
+    assert "tokens" in enc2.columns
+    j = enc.withColumnRenamed("n_tokens", "n1").join(enc2, "doc_id")
+    assert j.where("n1 != n_tokens").count() == 0
