@@ -424,6 +424,92 @@ def probe_r5_ops(spark, sf_dir: str, out: dict):
           file=sys.stderr)
 
 
+def probe_r5b_ops(spark, sf_dir: str, out: dict):
+    """Probe H (r5 session 2) — fuzzy edit-distance join, drift
+    detectors, BPE encode at 1x and 10x.
+
+    Fuzzy grows DISTINCT strings (prefix-perturbed clones): candidate
+    volume then tracks segment-bucket collisions, linear-ish. A
+    clone-grown corpus is instead OUTPUT-bound (10 identical prefixes =
+    45 true pairs each) — same inherent wall every exact all-pairs
+    lister has (see the ngram_jaccard analysis); the composed pipeline
+    (exact-collapse first) is the documented mitigation there too.
+    Drift replicates events with value jitter (distinct values grow);
+    BPE re-encodes a suffix-perturbed corpus (cache hit rate holds
+    because the word population barely grows)."""
+    from mwas_rfam_spark.operators.drift import drift_report
+    from mwas_rfam_spark.operators.fuzzy import edit_distance_pairs
+    from mwas_rfam_spark.operators.tokenize import bpe_encode, train_bpe_merges
+    from mwas_rfam_spark.plans.testdata_mwas import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    prefixed = docs.select(
+        "doc_id", F.substring("text", 1, 15).alias("text")
+    )
+    prefixed10 = docs.crossJoin(
+        spark.range(10).select(F.col("id").alias("_c"))
+    ).select(
+        (F.col("doc_id") * 10 + F.col("_c")).alias("doc_id"),
+        F.substring(
+            F.concat(F.col("_c").cast("string"), F.lit("~"), F.col("text")), 1, 15
+        ).alias("text"),
+    )
+    for label, d in [("1x", prefixed), ("10x", prefixed10)]:
+        d = d.localCheckpoint()
+        t0 = time.time()
+        _force(edit_distance_pairs(d, max_dist=2))
+        out[f"fuzzy_editdist_{label}"] = round(time.time() - t0, 2)
+
+    events = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    # one tiny untimed pass: the first drift plan in a process pays
+    # codegen + window-exec warmup that would otherwise land on the 1x
+    # row (observed: 1x slower than 10x without this)
+    tiny = events.limit(200).localCheckpoint()
+    _force(
+        drift_report(tiny, tiny, numeric_cols=["value"], categorical_cols=["event_type"])
+    )
+    events10 = events.crossJoin(
+        spark.range(10).select(F.col("id").alias("_c"))
+    ).select(
+        (F.col("event_id") * 10 + F.col("_c")).alias("event_id"),
+        "event_type",
+        (F.col("value") + F.col("_c").cast("double") / 977.0).alias("value"),
+    )
+    for label, e in [("1x", events), ("10x", events10)]:
+        e = e.localCheckpoint()
+        t0 = time.time()
+        _force(
+            drift_report(
+                e.where(F.col("event_id") % 2 == 0),
+                e.where(F.col("event_id") % 2 == 1),
+                numeric_cols=["value"],
+                categorical_cols=["event_type"],
+            )
+        )
+        out[f"drift_{label}"] = round(time.time() - t0, 2)
+
+    docs10 = docs.crossJoin(
+        spark.range(10).select(F.col("id").alias("_c"))
+    ).select(
+        (F.col("doc_id") * 10 + F.col("_c")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v"), F.col("_c")).alias("text"),
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in train_bpe_merges(docs, num_merges=256, sample_docs=300).collect()
+    ]
+    for label, d in [("1x", docs), ("10x", docs10)]:
+        d = d.localCheckpoint()
+        t0 = time.time()
+        _force(bpe_encode(d, merges, emit_tokens=False))
+        out[f"bpe_encode_{label}"] = round(time.time() - t0, 2)
+
+    spark.catalog.clearCache()
+    print({k: v for k, v in out.items()
+           if k.startswith(("fuzzy_", "drift_", "bpe_"))},
+          file=sys.stderr)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="scale-probe")
@@ -440,6 +526,7 @@ def main():
         "r4b": probe_r4b_ops,
         "r4c": probe_r4c_ops,
         "r5": probe_r5_ops,
+        "r5b": probe_r5b_ops,
     }
     if only is not None and only not in probes:
         raise SystemExit(
