@@ -2083,6 +2083,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     - mwaspkl DataSource    → tests/test_mwaspkl_source.py decode +
                               partition-per-file + sentinel skip (S5
                               native-format scan)
+
+    Round-5 session-2 surfaces (registry unchanged at 50):
+
+    - GIF codec (stdlib)    → tests/test_multimodal.py round-trip,
+      + real video frames     interlace, disposal/transparency
+                              compositing, corrupt rejections, Spark
+                              e2e through sample_video_frames(
+                              fake=False) — all three media families
+                              now have an in-container real decoder
+    - fuzzy edit-distance   → tests/test_fuzzy.py brute-force parity
+      join (PassJoin)         (self + R-S, d=1..3, short strings) +
+                              DuckDB levenshtein parity on documents;
+                              benched as `fuzzy_editdist`
+    - drift detectors       → tests/test_drift.py exact-KS reference
+      (KS / PSI / chi2)       + DuckDB window-SQL parity + PSI/chi2
+                              hand models; CLI `drift` e2e; benched
+                              as `drift_report`
+    - BPE tokenizer         → tests/test_tokenize.py hand-verified
+                              merges (Sennrich example), encode/
+                              decode inverse, partitioning-
+                              independent determinism; CLI `tokenize`
+                              e2e; benched as `bpe_tokenize`
     """
     return {
         "mwas_cohort_welch": q_mwas_cohort_welch,
