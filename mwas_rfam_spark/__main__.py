@@ -413,8 +413,8 @@ def build_drift_parser() -> argparse.ArgumentParser:
 
 def drift_main(argv: list[str], spark: SparkSession | None = None) -> int:
     args = build_drift_parser().parse_args(argv)
-    numeric = [c for c in args.numeric.split(",") if c.strip()]
-    categorical = [c for c in args.categorical.split(",") if c.strip()]
+    numeric = [c.strip() for c in args.numeric.split(",") if c.strip()]
+    categorical = [c.strip() for c in args.categorical.split(",") if c.strip()]
     if not numeric and not categorical:
         raise SystemExit("drift: need --numeric and/or --categorical columns")
     owns_session = spark is None

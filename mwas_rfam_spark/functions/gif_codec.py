@@ -133,15 +133,31 @@ def _deinterlace(indices: bytearray, w: int, h: int) -> bytearray:
     return out
 
 
-def decode_gif(data: bytes) -> tuple[int, int, list[bytes]]:
+#: default decode budget: canvas pixels (16 MP ≈ 48 MB RGB canvas) and
+#: composited output frames — a 40-byte hostile payload can CLAIM a
+#: 65535×65535 screen; without these bounds the canvas allocation alone
+#: would be ~12.9 GB before any frame data is validated
+MAX_PIXELS = 1 << 24
+MAX_FRAMES = 4096
+
+
+def decode_gif(
+    data: bytes, max_pixels: int = MAX_PIXELS, max_frames: int = MAX_FRAMES
+) -> tuple[int, int, list[bytes]]:
     """Decode a GIF → (width, height, frames) where each frame is the
     full logical-screen canvas as row-major RGB bytes (3·w·h), disposal
-    and transparency already composited."""
+    and transparency already composited. ``max_pixels``/``max_frames``
+    bound the decoded allocation (the header is attacker-controlled;
+    the budget is checked BEFORE the canvas is allocated)."""
     if not is_gif(data):
         raise ValueError("not a GIF (bad signature)")
     if len(data) < 13:
         raise ValueError("truncated GIF header")
     w, h, packed, bg_index, _ratio = struct.unpack("<HHBBB", data[6:13])
+    if w < 1 or h < 1:
+        raise ValueError(f"bad GIF screen {w}x{h}")
+    if w * h > max_pixels:
+        raise ValueError(f"GIF screen {w}x{h} exceeds max_pixels={max_pixels}")
     pos = 13
     global_table: list[tuple[int, int, int]] = []
     if packed & 0x80:
@@ -171,6 +187,8 @@ def decode_gif(data: bytes) -> tuple[int, int, list[bytes]]:
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x} at offset {pos - 1}")
+        if len(frames) >= max_frames:
+            raise ValueError(f"GIF exceeds max_frames={max_frames}")
 
         # image descriptor
         if pos + 9 > len(data):

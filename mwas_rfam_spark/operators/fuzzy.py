@@ -42,22 +42,45 @@ from pyspark.sql import functions as F
 from mwas_rfam_spark.operators.dedup import normalize_text
 
 
-def _segments_expr(text: str, length: str, k: int):
-    """Array of (slot, start, seg_len) for the canonical even split:
-    with base = L div k and rem = L mod k, the first k-rem segments
-    have ``base`` chars and the last ``rem`` have ``base+1`` — the
-    start positions are then a pure function of (L, slot), which is
-    what lets the probe side reconstruct them for any source length.
-    Positions are 1-based (SQL substring convention)."""
+def _seg_struct_sql(k: int, i: str, length: str, shift: str = "0") -> str:
+    """SQL struct (src_len, slot, start, seg_len) for slot ``i`` of the
+    canonical even split of a length-``length`` string: with
+    base = L div k and rem = L mod k, the first k-rem segments have
+    ``base`` chars and the last ``rem`` have ``base+1`` — start
+    positions are a pure function of (L, slot), which is what lets the
+    probe side reconstruct them for any source length. 1-based (SQL
+    substring convention). THE single definition of the pigeonhole
+    arithmetic — index and both probe variants all expand it."""
+    return (
+        f"struct({length} AS src_len, {i} AS slot, "
+        f"1 + {i} * ({length} div {k}) "
+        f"+ greatest(0L, {i} - ({k} - {length} % {k})) + {shift} AS start, "
+        f"({length} div {k}) "
+        f"+ (CASE WHEN {i} >= {k} - {length} % {k} THEN 1 ELSE 0 END) AS seg_len)"
+    )
+
+
+def _segments_expr(length: str, k: int):
+    """Array of segment structs for the indexed side."""
+    return F.expr(
+        f"transform(sequence(0, {k - 1}), i -> {_seg_struct_sql(k, 'i', length)})"
+    )
+
+
+def _probe_expr(k: int, d: int, length_col: str, hi: str):
+    """Array of candidate-substring structs for the probing side: every
+    source length in [max(k, len-d), hi], every slot, every shift in
+    [-d, d], clipped to the probing string's bounds."""
     return F.expr(
         f"""
-        transform(sequence(0, {k - 1}), i -> struct(
-            i AS slot,
-            1 + i * ({length} div {k})
-              + greatest(0L, i - ({k} - {length} % {k})) AS start,
-            ({length} div {k})
-              + (CASE WHEN i >= {k} - {length} % {k} THEN 1 ELSE 0 END) AS seg_len
-        ))
+        filter(
+          flatten(transform(sequence(greatest({k}L, {length_col} - {d}), {hi}), L ->
+            flatten(transform(sequence(0, {k - 1}), i ->
+              transform(sequence(-{d}, {d}), sh -> {_seg_struct_sql(k, "i", "L", "sh")})
+            ))
+          )),
+          p -> p.start >= 1 AND p.start + p.seg_len - 1 <= {length_col}
+        )
         """
     )
 
@@ -94,12 +117,11 @@ def edit_distance_pairs(
     segs = long_enough.select(
         "id",
         "s",
-        F.col("len").alias("src_len"),
-        F.explode(_segments_expr("s", "len", k)).alias("g"),
+        F.explode(_segments_expr("len", k)).alias("g"),
     ).select(
         F.col("id").alias("id_s"),
         F.col("s").alias("s_s"),
-        "src_len",
+        F.col("g.src_len").alias("src_len"),
         F.col("g.slot").alias("slot"),
         F.substring(F.col("s"), F.col("g.start").cast("int"), F.col("g.seg_len").cast("int")).alias("seg"),
     )
@@ -111,27 +133,7 @@ def edit_distance_pairs(
         "id",
         "s",
         F.col("len").alias("probe_len"),
-        F.explode(
-            F.expr(
-                f"""
-                filter(
-                  flatten(transform(sequence(greatest({k}L, len - {d}), len), L ->
-                    flatten(transform(sequence(0, {k - 1}), i ->
-                      transform(sequence(-{d}, {d}), sh -> struct(
-                        L AS src_len,
-                        i AS slot,
-                        1 + i * (L div {k})
-                          + greatest(0L, i - ({k} - L % {k})) + sh AS start,
-                        (L div {k})
-                          + (CASE WHEN i >= {k} - L % {k} THEN 1 ELSE 0 END) AS seg_len
-                      ))
-                    ))
-                  )),
-                  p -> p.start >= 1 AND p.start + p.seg_len - 1 <= len
-                )
-                """
-            )
-        ).alias("p"),
+        F.explode(_probe_expr(k, d, "len", "len")).alias("p"),
     ).select(
         F.col("id").alias("id_t"),
         F.col("s").alias("s_t"),
@@ -220,12 +222,11 @@ def edit_distance_join(
     r_segs = R.where(F.col("right_len") >= k).select(
         "right_id",
         "right_s",
-        F.col("right_len").alias("src_len"),
-        F.explode(_segments_expr("right_s", "right_len", k)).alias("g"),
+        F.explode(_segments_expr("right_len", k)).alias("g"),
     ).select(
         "right_id",
         "right_s",
-        "src_len",
+        F.col("g.src_len").alias("src_len"),
         F.col("g.slot").alias("slot"),
         F.substring(
             F.col("right_s"), F.col("g.start").cast("int"), F.col("g.seg_len").cast("int")
@@ -237,28 +238,7 @@ def edit_distance_join(
     l_probe = L.where(F.col("left_len") + d >= k).select(
         "left_id",
         "left_s",
-        F.explode(
-            F.expr(
-                f"""
-                filter(
-                  flatten(transform(
-                    sequence(greatest({k}L, left_len - {d}), left_len + {d}), L ->
-                    flatten(transform(sequence(0, {k - 1}), i ->
-                      transform(sequence(-{d}, {d}), sh -> struct(
-                        L AS src_len,
-                        i AS slot,
-                        1 + i * (L div {k})
-                          + greatest(0L, i - ({k} - L % {k})) + sh AS start,
-                        (L div {k})
-                          + (CASE WHEN i >= {k} - L % {k} THEN 1 ELSE 0 END) AS seg_len
-                      ))
-                    ))
-                  )),
-                  p -> p.start >= 1 AND p.start + p.seg_len - 1 <= left_len
-                )
-                """
-            )
-        ).alias("p"),
+        F.explode(_probe_expr(k, d, "left_len", f"left_len + {d}")).alias("p"),
     ).select(
         "left_id",
         "left_s",

@@ -104,14 +104,15 @@ def _real_decode_dims(payload: bytes) -> tuple[int, int, int]:
     NotImplementedError naming the missing codec. The ordering means the
     SAME pipeline code upgrades transparently when real wheels appear."""
     try:
-        import io
-
         from PIL import Image  # type: ignore
+    except ImportError:
+        Image = None
+    if Image is not None:
+        # try covers only the import — decode errors must surface
+        import io
 
         with Image.open(io.BytesIO(payload)) as im:
             return im.width, im.height, len(im.getbands())
-    except ImportError:
-        pass
     from mwas_rfam_spark.functions.gif_codec import decode_gif, is_gif
     from mwas_rfam_spark.functions.png_codec import decode_png, is_png
 
@@ -266,6 +267,12 @@ def _real_video_frames(payload: bytes, every_n: int) -> list[tuple[int, str]]:
     it into sub-rectangles — which is what frame-dedup wants."""
     try:
         import av  # type: ignore
+    except ImportError:
+        av = None
+    if av is not None:
+        # the try covers ONLY the import: a decode-time error (bad
+        # payload, PyAV's own missing-numpy ImportError) must surface,
+        # not fall through to a false "PyAV not installed" diagnosis
         import io
 
         out = []
@@ -275,8 +282,6 @@ def _real_video_frames(payload: bytes, every_n: int) -> list[tuple[int, str]]:
                     rgb = frame.to_ndarray(format="rgb24").tobytes()
                     out.append((i, hashlib.sha256(rgb).hexdigest()))
         return out
-    except ImportError:
-        pass
     from mwas_rfam_spark.functions.gif_codec import decode_gif, is_gif
 
     if is_gif(payload):

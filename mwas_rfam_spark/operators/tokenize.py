@@ -69,15 +69,18 @@ def train_bpe_merges(
         .withColumn("__r", F.md5(F.concat_ws(":", F.lit(f"bpe:{seed}"), F.col("__t"))))
         .orderBy("__r")
         .limit(sample_docs)
-    )
-    rows = ranked.select("__t").collect()
-    texts = [r["__t"] for r in rows]
-    total = sum(len(t.encode("utf-8", "ignore")) for t in texts)
+    ).localCheckpoint()
+    # enforce the budget SPARK-SIDE before collecting — checking after
+    # collect() cannot prevent the oversized driver materialization the
+    # budget exists to prevent (the checkpoint pins the sample so the
+    # guard and the collect see the same rows)
+    total = ranked.agg(F.sum(F.octet_length("__t"))).first()[0] or 0
     if total > max_sample_bytes:
         raise ValueError(
             f"BPE sample is {total} bytes > max_sample_bytes={max_sample_bytes}; "
             "lower sample_docs or raise the budget explicitly"
         )
+    texts = [r["__t"] for r in ranked.select("__t").collect()]
     merges = train_bpe(word_frequencies(texts), num_merges)
     spark = docs.sparkSession
     return spark.createDataFrame(
@@ -100,20 +103,27 @@ def bpe_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
     emit_tokens: bool = True,
+    passthrough_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Encode a corpus → (id, n_tokens[, tokens ARRAY<STRING>]).
+    """Encode a corpus → (id[, passthrough...], n_tokens[, tokens]).
 
     ``merges`` is the DataFrame from :func:`train_bpe_merges` or a
     plain merge list. The table is shipped once per executor via a
     broadcast variable; the kernel caches encodings per distinct word.
     ``emit_tokens=False`` skips materializing the token arrays — the
     token-budget / packing consumers only need counts, and at corpus
-    scale the arrays are the dominant shuffle payload."""
+    scale the arrays are the dominant shuffle payload.
+    ``passthrough_cols`` ride through the Arrow stage untouched, so
+    group-wise consumers never need to join back to the corpus."""
     merge_rows = _merge_list(merges)
+    passthrough = list(passthrough_cols or [])
     spark = docs.sparkSession
     bc = spark.sparkContext.broadcast(merge_rows)
     id_type = docs.schema[id_col].dataType.simpleString()
-    schema = f"{id_col} {id_type}, n_tokens BIGINT"
+    schema = f"{id_col} {id_type}"
+    for c in passthrough:
+        schema += f", {c} {docs.schema[c].dataType.simpleString()}"
+    schema += ", n_tokens BIGINT"
     if emit_tokens:
         schema += ", tokens ARRAY<STRING>"
 
@@ -127,15 +137,19 @@ def bpe_encode(
                 encode_text("" if t is None else str(t), ranks, cache)
                 for t in pdf["__text"]
             ]
-            out = {
-                id_col: pdf["__id"],
-                "n_tokens": pd.Series([len(t) for t in toks], dtype="int64"),
-            }
+            out = {id_col: pdf["__id"]}
+            for c in passthrough:
+                out[c] = pdf[c]
+            out["n_tokens"] = pd.Series([len(t) for t in toks], dtype="int64")
             if emit_tokens:
                 out["tokens"] = toks
             yield pd.DataFrame(out)
 
-    src = docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    src = docs.select(
+        F.col(id_col).alias("__id"),
+        *[F.col(c) for c in passthrough],
+        F.col(text_col).alias("__text"),
+    )
     return src.mapInPandas(encode, schema)
 
 
@@ -151,15 +165,13 @@ def bpe_token_budget_counts(
     place of the whitespace proxy. One encode pass (counts only), one
     map-side-combinable aggregation."""
     counted = bpe_encode(
-        docs.select(id_col, text_col, group_col),
+        docs,
         merges,
         text_col=text_col,
         id_col=id_col,
         emit_tokens=False,
+        passthrough_cols=[group_col],
     )
-    keyed = counted.join(
-        docs.select(id_col, group_col), id_col
-    )
-    return keyed.groupBy(F.col(group_col).alias("group")).agg(
+    return counted.groupBy(F.col(group_col).alias("group")).agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
     )

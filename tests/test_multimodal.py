@@ -526,3 +526,35 @@ def test_decode_images_real_gif_dims(spark):
     )
     got = decode_images(media, fake=False).collect()
     assert [(r["width"], r["height"], r["channels"]) for r in got] == [(7, 5, 3)]
+
+
+def test_gif_rejects_allocation_bombs():
+    """A ~40-byte payload may CLAIM a 65535x65535 screen — the decode
+    budget must reject it before allocating the canvas."""
+    import struct
+
+    import pytest
+
+    from mwas_rfam_spark.functions.gif_codec import _lzw_encode_literals, decode_gif
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 65535, 65535, 0x80, 0, 0)  # 2-color GCT
+    out += bytes(6)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0) + b"\x02"
+    lzw = _lzw_encode_literals(b"\x00", 2)
+    out += bytes([len(lzw)]) + lzw + b"\x00\x3b"
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_gif(bytes(out))
+
+    # frame-count bomb: many tiny frames on a tiny screen
+    small = bytearray(b"GIF89a")
+    small += struct.pack("<HHBBB", 2, 2, 0x80, 0, 0)
+    small += bytes(6)
+    frame = b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0) + b"\x02"
+    lzw = _lzw_encode_literals(b"\x00\x00\x00\x00", 2)
+    frame += bytes([len(lzw)]) + lzw + b"\x00"
+    small += frame * 10
+    small += b"\x3b"
+    with pytest.raises(ValueError, match="max_frames"):
+        decode_gif(bytes(small), max_frames=5)
+    assert len(decode_gif(bytes(small))[2]) == 10  # default budget fine

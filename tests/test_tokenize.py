@@ -131,3 +131,18 @@ def test_bpe_encode_real_documents(spark, sf_dir):
     assert joined.where(F.col("n_tokens") > 0).count() == docs.where(
         F.length(F.trim("text")) > 0
     ).count()
+
+
+def test_bpe_encode_passthrough_no_rejoin(spark):
+    """passthrough_cols ride through the Arrow stage — the budget-count
+    plan must contain exactly one scan of the corpus and no join."""
+    docs = spark.createDataFrame(
+        [(1, "a b", "web"), (2, "a", "books")], ["doc_id", "text", "source"]
+    )
+    from mwas_rfam_spark.operators.tokenize import bpe_token_budget_counts
+
+    out = bpe_token_budget_counts(docs, [("a", "</w>")], "source")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    got = {r["group"]: r["n_tokens"] for r in out.collect()}
+    assert got["web"] > 0 and got["books"] > 0

@@ -494,10 +494,9 @@ def probe_r5b_ops(spark, sf_dir: str, out: dict):
         (F.col("doc_id") * 10 + F.col("_c")).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" v"), F.col("_c")).alias("text"),
     )
-    merges = [
-        (r["left"], r["right"])
-        for r in train_bpe_merges(docs, num_merges=256, sample_docs=300).collect()
-    ]
+    # pass the DataFrame straight through — bpe_encode's _merge_list
+    # sorts by rank (collect() row order is not a contract)
+    merges = train_bpe_merges(docs, num_merges=256, sample_docs=300).localCheckpoint()
     for label, d in [("1x", docs), ("10x", docs10)]:
         d = d.localCheckpoint()
         t0 = time.time()
