@@ -1272,6 +1272,30 @@ def q_bpe_tokenize(spark, sf_dir):
     )
 
 
+def q_cdc_dedup(spark, sf_dir):
+    """Chunk-grain binary dedup accounting over content-defined chunks
+    (bench-only surface; vectorized-vs-sequential gear-hash equality,
+    insertion-survival, and reassembly invariants in
+    tests/test_multimodal.py). Payloads are the documents' bytes with a
+    10-doc clone block planted so the dedup_ratio is non-trivial."""
+    from mwas_rfam_spark.operators.multimodal import (
+        binary_dedup_stats,
+        cdc_chunk_payloads,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id",
+        F.encode(
+            F.when(F.col("doc_id") % 10 == 0, F.lit("CLONEBLOCK " * 64)).otherwise(
+                F.col("text")
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    return binary_dedup_stats(cdc_chunk_payloads(payloads, avg_size=256))
+
+
 def q_drift_report(spark, sf_dir):
     """Corpus drift between snapshot halves (bench-only surface; exact-
     KS reference + DuckDB window-SQL parity in tests/test_drift.py):
@@ -2242,6 +2266,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_editdist": q_fuzzy_editdist,
         "drift_report": q_drift_report,
         "bpe_tokenize": q_bpe_tokenize,
+        "cdc_dedup": q_cdc_dedup,
     }
 
 

@@ -335,6 +335,87 @@ def sample_video_frames(media: DataFrame, every_n: int = 4, fake: bool = True) -
     return video.mapInPandas(sample, VIDEO_FRAMES_SCHEMA)
 
 
+CDC_CHUNKS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("chunk_sha", T.StringType()),
+    ]
+)
+
+
+def cdc_chunk_payloads(
+    media: DataFrame,
+    avg_size: int = 1024,
+    min_size: int | None = None,
+    max_size: int | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Content-defined chunking of binary payloads → one row per chunk
+    (doc_id, chunk_idx, offset, length, chunk_sha).
+
+    Gear-hash boundaries (functions/cdc — FastCDC-style, vectorized
+    numpy kernel) depend only on local content, so shared byte ranges
+    chunk identically across payloads regardless of alignment — the
+    property that makes chunk-grain dedup of media/archives work after
+    headers are prepended or bytes edited. Long-form output keeps every
+    downstream question relational: duplicate chunks are a hash-groupBy,
+    cross-payload containment a semi-join, storage savings an
+    aggregation (:func:`binary_dedup_stats`)."""
+    from mwas_rfam_spark.functions.cdc import chunk_payload
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, lens, shas = [], [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                for i, (off, ln, sha) in enumerate(
+                    chunk_payload(bytes(p), avg_size, min_size, max_size, seed)
+                ):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(off)
+                    lens.append(ln)
+                    shas.append(sha)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "chunk_idx": pd.Series(idxs, dtype="int32"),
+                        "offset": pd.Series(offs, dtype="int64"),
+                        "length": pd.Series(lens, dtype="int64"),
+                        "chunk_sha": shas,
+                    }
+                )
+
+    return media.select("doc_id", "payload").mapInPandas(chunk, CDC_CHUNKS_SCHEMA)
+
+
+def binary_dedup_stats(chunks: DataFrame) -> DataFrame:
+    """Chunk-grain dedup accounting → one row
+    (total_bytes, unique_bytes, n_chunks, n_unique_chunks,
+    n_shared_chunks, dedup_ratio).
+
+    ``dedup_ratio`` = total/unique ≥ 1 (1.0 = nothing shared). Two
+    map-side-combinable aggregations over the chunk relation — the
+    payloads themselves are never touched again."""
+    per_sha = chunks.groupBy("chunk_sha").agg(
+        F.count("*").alias("n_occ"),
+        F.max("length").alias("length"),
+    )
+    return per_sha.agg(
+        F.sum(F.col("n_occ") * F.col("length")).alias("total_bytes"),
+        F.sum("length").alias("unique_bytes"),
+        F.sum("n_occ").alias("n_chunks"),
+        F.count("*").alias("n_unique_chunks"),
+        F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias("n_shared_chunks"),
+        F.round(
+            F.sum(F.col("n_occ") * F.col("length")) / F.sum("length"), 6
+        ).alias("dedup_ratio"),
+    )
+
+
 def embed_documents(
     docs: DataFrame,
     dim: int = 16,

@@ -339,3 +339,74 @@ def skew_report(
         .orderBy(F.desc("cnt"), F.asc_nulls_first("key"))
         .limit(top_n)
     )
+
+
+def _content_hash(cols: list[str]):
+    """md5 over content columns with unambiguous null/empty encoding:
+    each value is rendered as 'N' for NULL else 'V' + value, joined
+    with an \\x01 separator — (NULL, 'x') and ('', 'x') and a single
+    'x' column all hash differently, and the recipe is reproducible in
+    ANSI SQL for cross-engine checks."""
+    parts = [
+        F.when(F.col(c).isNull(), F.lit("N")).otherwise(
+            F.concat(F.lit("V"), F.col(c).cast("string"))
+        )
+        for c in cols
+    ]
+    return F.md5(F.concat_ws("\x01", *parts))
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot diff → (id, status) with status in
+    {'added', 'removed', 'changed', 'unchanged'}.
+
+    ``content_cols`` default to every shared non-id column. One content
+    hash per side (map-local), one full outer join on the id — the only
+    shuffle. Feed the 'changed'+'added' slice to incremental dedup /
+    re-embedding instead of reprocessing the snapshot; pair with
+    `merge_upsert_partitioned` for the write-back."""
+    if content_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns) and c != id_col]
+        if not shared:
+            raise ValueError("no shared content columns to diff")
+        content_cols = shared
+    for side_name, side in (("old", old), ("new", new)):
+        missing = [c for c in content_cols + [id_col] if c not in side.columns]
+        if missing:
+            raise ValueError(f"{side_name} side is missing columns {missing}")
+    o = old.select(F.col(id_col).alias("id"), _content_hash(content_cols).alias("h_old"))
+    n = new.select(F.col(id_col).alias("id"), _content_hash(content_cols).alias("h_new"))
+    return o.join(n, "id", "full_outer").select(
+        F.col("id").alias(id_col),
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+def corpus_diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_cols: list[str] | None = None,
+) -> DataFrame:
+    """One row per status with counts (statuses with zero rows appear
+    with n = 0, so the report shape is fixed)."""
+    statuses = ["added", "removed", "changed", "unchanged"]
+    spark = old.sparkSession
+    frame = spark.createDataFrame([(s,) for s in statuses], "status string")
+    counts = corpus_diff(old, new, id_col, content_cols).groupBy("status").agg(
+        F.count("*").alias("n")
+    )
+    return (
+        F.broadcast(frame)
+        .join(counts, "status", "left_outer")
+        .select("status", F.coalesce("n", F.lit(0)).alias("n"))
+    )

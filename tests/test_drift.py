@@ -170,3 +170,71 @@ def test_ks_p_value_scalar():
         ks_p_value(1.5, 10, 10)
     with pytest.raises(ValueError):
         ks_p_value(0.5, 0, 10)
+
+
+# ----------------------------------------------------- snapshot diff
+
+
+def test_corpus_diff_statuses_and_duckdb_parity(spark, sf_dir, tmp_path):
+    from mwas_rfam_spark.operators.summary import corpus_diff, corpus_diff_summary
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, None, 40)],
+        "doc_id long, text string, score int",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "c2", None), (4, "", 40), (5, "e", 50)],
+        "doc_id long, text string, score int",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    # 4: NULL -> '' must be CHANGED (null/empty disambiguation)
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "changed", 5: "added"}
+    summ = {r["status"]: r["n"] for r in corpus_diff_summary(old, new).collect()}
+    assert summ == {"added": 1, "removed": 1, "changed": 2, "unchanged": 1}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="missing columns"):
+        corpus_diff(old, new.drop("score"), content_cols=["text", "score"])
+    with pytest.raises(ValueError, match="no shared"):
+        corpus_diff(old.select("doc_id"), new.select("doc_id"))
+
+    # cross-engine parity on the real corpus: perturb a slice in SQL
+    import duckdb
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    new_real = (
+        docs.where("doc_id % 11 != 0")  # drop some
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" EDIT"))).otherwise(
+                F.col("text")
+            ),
+        )
+    )
+    got_summ = {
+        r["status"]: r["n"] for r in corpus_diff_summary(docs, new_real).collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"""
+            WITH old AS (SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')),
+            new AS (SELECT doc_id, doc_id % 7 = 0 AS edited
+                    FROM read_parquet('{sf_dir}/documents.parquet')
+                    WHERE doc_id % 11 != 0)
+            SELECT CASE WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN n.edited THEN 'changed'
+                        ELSE 'unchanged' END AS status, count(*)
+            FROM old o LEFT JOIN new n USING (doc_id) GROUP BY 1
+            """
+        ).fetchall()
+    )
+    con.close()
+    want.setdefault("changed", 0)
+    assert got_summ["removed"] == want["removed"]
+    assert got_summ["changed"] == want["changed"]
+    assert got_summ["unchanged"] == want["unchanged"]
+    assert got_summ["added"] == 0

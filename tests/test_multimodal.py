@@ -558,3 +558,123 @@ def test_gif_rejects_allocation_bombs():
     with pytest.raises(ValueError, match="max_frames"):
         decode_gif(bytes(small), max_frames=5)
     assert len(decode_gif(bytes(small))[2]) == 10  # default budget fine
+
+
+# -------------------------------------------- content-defined chunking
+
+
+def test_cdc_vectorized_matches_sequential_reference():
+    import random
+
+    import numpy as np
+
+    from mwas_rfam_spark.functions.cdc import gear_hashes, gear_hashes_reference
+
+    rng = random.Random(9)
+    for n in (0, 1, 63, 64, 65, 500):
+        payload = bytes(rng.randrange(256) for _ in range(n))
+        vec = gear_hashes(payload).tolist()
+        assert vec == gear_hashes_reference(payload), n
+    assert gear_hashes(b"").shape == (0,)
+    # seed changes the table
+    p = bytes(rng.randrange(256) for _ in range(100))
+    assert gear_hashes(p, seed=1).tolist() != gear_hashes(p, seed=0).tolist()
+    assert isinstance(gear_hashes(p)[0], np.uint64)
+
+
+def test_cdc_boundaries_cover_and_respect_bounds():
+    import random
+
+    from mwas_rfam_spark.functions.cdc import chunk_boundaries, chunk_payload
+
+    rng = random.Random(4)
+    payload = bytes(rng.randrange(256) for _ in range(50_000))
+    cuts = chunk_boundaries(payload, avg_size=256)
+    assert cuts[-1] == len(payload)
+    assert cuts == sorted(set(cuts))
+    sizes = [b - a for a, b in zip([0] + cuts[:-1], cuts)]
+    # every chunk within [min, max] except possibly the tail remainder
+    assert all(64 <= s <= 1024 for s in sizes[:-1])
+    assert sizes[-1] <= 1024
+    # chunk_payload reassembles exactly
+    chunks = chunk_payload(payload, avg_size=256)
+    assert b"".join(
+        payload[o : o + ln] for o, ln, _ in chunks
+    ) == payload
+
+    import pytest
+
+    with pytest.raises(ValueError, match="power of two"):
+        chunk_boundaries(payload, avg_size=1000)
+    with pytest.raises(ValueError, match="min_size"):
+        chunk_boundaries(payload, avg_size=256, min_size=512)
+    assert chunk_boundaries(b"", 256) == []
+
+
+def test_cdc_alignment_survives_insertion():
+    """THE content-defined property: prepending bytes must leave most
+    chunk hashes intact (fixed-size blocking would lose all of them)."""
+    import random
+
+    from mwas_rfam_spark.functions.cdc import chunk_payload
+
+    rng = random.Random(12)
+    base = bytes(rng.randrange(256) for _ in range(40_000))
+    shifted = b"HEADERBYTES!" + base
+    shas_a = {sha for _, _, sha in chunk_payload(base, avg_size=512)}
+    shas_b = {sha for _, _, sha in chunk_payload(shifted, avg_size=512)}
+    shared = len(shas_a & shas_b) / len(shas_a)
+    assert shared > 0.8, shared
+
+
+def test_cdc_spark_chunking_and_dedup_stats(spark):
+    """Two payloads sharing a large middle section at different offsets
+    → shared chunks found, dedup_ratio > 1; disjoint payloads → ratio
+    1.0."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.operators.multimodal import (
+        binary_dedup_stats,
+        cdc_chunk_payloads,
+    )
+
+    rng = random.Random(21)
+    common = bytes(rng.randrange(256) for _ in range(30_000))
+    a = bytes(rng.randrange(256) for _ in range(5_000)) + common
+    b = bytes(rng.randrange(256) for _ in range(1_000)) + common + b"tail"
+    media = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, payload binary"
+    )
+    chunks = cdc_chunk_payloads(media, avg_size=512)
+    rows = chunks.collect()
+    # reassembly invariant per doc
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, payload in ((1, a), (2, b)):
+        ordered = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        assert sum(r["length"] for r in ordered) == len(payload)
+        assert ordered[0]["offset"] == 0
+
+    shared = (
+        chunks.groupBy("chunk_sha")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where("nd = 2")
+        .count()
+    )
+    assert shared > 20  # the common 30k section chunks identically
+
+    stats = binary_dedup_stats(chunks).first()
+    assert stats["total_bytes"] == len(a) + len(b)
+    assert stats["unique_bytes"] < stats["total_bytes"]
+    assert stats["dedup_ratio"] > 1.2
+    assert stats["n_shared_chunks"] == shared
+
+    disjoint = spark.createDataFrame(
+        [(1, bytes(range(200)) * 30), (2, bytes(reversed(range(200))) * 30)],
+        "doc_id long, payload binary",
+    )
+    s2 = binary_dedup_stats(cdc_chunk_payloads(disjoint, avg_size=512)).first()
+    assert s2["total_bytes"] == 12_000
