@@ -28,6 +28,7 @@ def pack_documents(
     n_buckets: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, bucket, pack_id) — pack_id is unique across
     buckets (bucket * 2^32 + pack ordinal within the bucket).
@@ -41,6 +42,11 @@ def pack_documents(
     final one is exactly full — no padding waste, which is why training
     pipelines prefer this over first-fit (inherently sequential and
     pad-lossy).
+
+    ``token_count_col`` packs by a PRECOMPUTED per-doc token count —
+    e.g. ``tokenize.bpe_encode(..., emit_tokens=False)``'s real BPE
+    ``n_tokens`` — instead of the whitespace proxy on ``text_col``
+    (which is then never read).
     """
     # bucket from the first two md5 hex digits (256 values, uniform when
     # n_buckets divides 256) — cross-engine reproducible, unlike xxhash64
@@ -48,9 +54,14 @@ def pack_documents(
     h = F.md5(F.col(id_col).cast("string"))
     d1 = F.instr(F.lit(hexv), F.substring(h, 1, 1)) - 1
     d2 = F.instr(F.lit(hexv), F.substring(h, 2, 1)) - 1
+    counts = (
+        F.col(token_count_col).cast("long")
+        if token_count_col is not None
+        else token_count(F.col(text_col))
+    )
     base = docs.select(
         F.col(id_col),
-        token_count(F.col(text_col)).alias("n_tokens"),
+        counts.alias("n_tokens"),
         F.pmod(d1 * 16 + d2, F.lit(n_buckets)).cast("long").alias("bucket"),
     )
     w = Window.partitionBy("bucket").orderBy(

@@ -146,3 +146,37 @@ def test_bpe_encode_passthrough_no_rejoin(spark):
     assert "Join" not in plan
     got = {r["group"]: r["n_tokens"] for r in out.collect()}
     assert got["web"] > 0 and got["books"] > 0
+
+
+def test_pack_by_real_bpe_counts(spark):
+    """pack_documents(token_count_col=...) composes with bpe_encode: the
+    pack assignment follows the BPE counts, not the whitespace proxy."""
+    from mwas_rfam_spark.operators.packing import pack_documents
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * (1 + i % 3)) for i in range(40)],
+        ["doc_id", "text"],
+    )
+    merges = train_bpe_merges(docs, num_merges=30, sample_docs=40)
+    counted = bpe_encode(docs, merges, emit_tokens=False)
+    packed = pack_documents(
+        counted.withColumn("text", F.lit(None).cast("string")),
+        max_tokens_per_pack=64,
+        n_buckets=4,
+        token_count_col="n_tokens",
+    )
+    rows = packed.collect()
+    want = {r["doc_id"]: r["n_tokens"] for r in counted.collect()}
+    assert {r["doc_id"]: r["n_tokens"] for r in rows} == want
+    # concat-then-chunk invariant per bucket: total packs = ceil(sum/64)
+    import math
+
+    from collections import defaultdict
+
+    per_bucket = defaultdict(list)
+    for r in rows:
+        per_bucket[r["bucket"]].append(r)
+    for b, rs in per_bucket.items():
+        total = sum(r["n_tokens"] for r in rs)
+        n_packs = len({r["pack_id"] for r in rs})
+        assert n_packs <= max(1, math.ceil(total / 64))
