@@ -2128,7 +2128,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               merges (Sennrich example), encode/
                               decode inverse, partitioning-
                               independent determinism; CLI `tokenize`
-                              e2e; benched as `bpe_tokenize`
+                              e2e; benched as `bpe_tokenize`;
+                              composes into pack_documents via
+                              token_count_col
+    - CDC binary dedup      → tests/test_multimodal.py vectorized==
+                              sequential gear-hash equality,
+                              insertion survival, reassembly, Spark
+                              dedup stats; benched as `cdc_dedup`
+    - corpus snapshot diff  → tests/test_drift.py status matrix +
+                              DuckDB parity on real documents
     """
     return {
         "mwas_cohort_welch": q_mwas_cohort_welch,
