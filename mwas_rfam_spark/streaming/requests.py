@@ -257,3 +257,81 @@ def streaming_curate(
     if redact:
         deduped = deduped.withColumn(text_col, redact_pii(F.col(text_col)))
     return deduped
+
+
+def windowed_psi_stream(
+    events: DataFrame,
+    baseline,
+    category_col: str = "event_type",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    eps: float = 1e-6,
+    psi_threshold: float = 0.25,
+) -> DataFrame:
+    """Per-window population-stability drift vs a FIXED baseline →
+    (window_start, window_end, n, psi, flagged).
+
+    The live-monitoring form of ``operators.drift.categorical_drift``:
+    PSI buckets are frozen at baseline time (the standard monitoring
+    convention — the baseline IS the bucket schema), so the whole
+    computation is ONE watermarked windowed aggregation with a
+    conditional sum per baseline category plus an ``__other__`` bucket
+    for categories the baseline never saw; the PSI formula then runs in
+    the projection over those fixed columns. No second stateful
+    aggregation, so the query is append-mode legal; the same function
+    on a batch DataFrame computes identical rows (parity-tested).
+
+    ``baseline`` is a (category, n) DataFrame or a {category: n}
+    mapping; it is parameter-sized (one row per bucket) and is folded
+    into the plan as literals. NULL categories are a bucket of their
+    own on both sides.
+    """
+    if eps <= 0:
+        raise ValueError(f"eps must be > 0, got {eps}")
+    if isinstance(baseline, DataFrame):
+        rows = baseline.collect()
+        base_counts = {r[0]: r[1] for r in rows}
+    else:
+        base_counts = dict(baseline)
+    if not base_counts:
+        raise ValueError("baseline has no categories")
+    total = float(sum(base_counts.values()))
+    if total <= 0:
+        raise ValueError("baseline counts sum to zero")
+    props = {k: v / total for k, v in base_counts.items()}
+
+    cat = F.col(category_col)
+    buckets: list[tuple[str | None, float]] = list(props.items())
+    conds = [
+        (F.sum(F.when(cat.isNull() if c is None else (cat == F.lit(c)), 1).otherwise(0)))
+        for c, _p in buckets
+    ]
+    known = [c for c, _ in buckets if c is not None]
+    other_cond = cat.isNotNull() if None in props else F.lit(True)
+    if known:
+        other_cond = other_cond & ~cat.isin(known)
+    conds.append(F.sum(F.when(other_cond, 1).otherwise(0)))
+    buckets.append(("__other__", 0.0))
+
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"))
+        .agg(
+            F.count("*").alias("n"),
+            *[c.alias(f"__b{i}") for i, c in enumerate(conds)],
+        )
+    )
+    n = F.col("n").cast("double")
+    psi = None
+    for i, (_c, p_base) in enumerate(buckets):
+        p_win = F.col(f"__b{i}") / n + F.lit(eps)
+        p_b = F.lit(p_base + eps)
+        term = (p_win - p_b) * F.log(p_win / p_b)
+        psi = term if psi is None else psi + term
+    return agg.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "n",
+        F.round(psi, 9).alias("psi"),
+        (psi > F.lit(psi_threshold)).alias("flagged"),
+    )

@@ -204,3 +204,101 @@ def test_streaming_curate_parity_with_batch(spark, tmp_path):
     assert batch_ids == {1, 4}
     assert len(got) == 2 and 4 in got and (set(got) - {4}) <= {1, 2}
     assert "[EMAIL]" in got[4] and "@" not in got[4]
+
+
+def test_windowed_psi_stream_batch_and_stream_parity(spark, tmp_path):
+    """Drift monitor: window 1 matches the baseline mix (low PSI),
+    window 2 is all one category (flagged). The same function computes
+    identical rows on the batch frame and through a file stream."""
+    import datetime as dt
+    import math
+
+    from mwas_rfam_spark.streaming.requests import windowed_psi_stream
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def ts(minute, sec=0):
+        return t0 + dt.timedelta(minutes=minute, seconds=sec)
+
+    rows = []
+    # window [0,5): 8 click / 2 error — the baseline mix
+    for i in range(8):
+        rows.append((ts(0, i), "click"))
+    for i in range(2):
+        rows.append((ts(1, i), "error"))
+    # window [5,10): 10 error — drifted
+    for i in range(10):
+        rows.append((ts(6, i), "error"))
+    batch = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    baseline = {"click": 80, "error": 20}
+
+    out = windowed_psi_stream(
+        batch, baseline, window="5 minutes", psi_threshold=0.25
+    )
+    got = {r["window_start"]: r for r in out.collect()}
+    w1 = got[ts(0)]
+    w2 = got[ts(5)]
+    assert w1["n"] == 10 and w2["n"] == 10
+    assert not w1["flagged"] and w2["flagged"]
+
+    # hand model for window 2: click 0+eps vs 0.8+eps, error 1.0 vs 0.2,
+    # __other__ 0 vs 0 (eps-smoothed term is 0)
+    eps = 1e-6
+    want = 0.0
+    for p_win, p_base in ((eps, 0.8 + eps), (1.0 + eps, 0.2 + eps), (eps, eps)):
+        want += (p_win - p_base) * math.log(p_win / p_base)
+    assert abs(w2["psi"] - want) < 1e-8
+
+    # stream the same rows from JSON files -> identical relation
+    drop = tmp_path / "edrop"
+    drop.mkdir()
+    import json
+
+    (drop / "b.json").write_text(
+        "\n".join(
+            json.dumps({"ts": r[0].isoformat(sep=" "), "event_type": r[1]})
+            for r in rows
+        )
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .json(str(drop))
+    )
+    sout = windowed_psi_stream(stream, baseline, window="5 minutes")
+    assert sout.isStreaming
+    q = (
+        sout.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("psi_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        srows = {r["window_start"]: r for r in spark.sql("SELECT * FROM psi_out").collect()}
+    finally:
+        q.stop()
+    assert set(srows) == set(got)
+    for k in got:
+        assert srows[k]["psi"] == got[k]["psi"]
+        assert srows[k]["flagged"] == got[k]["flagged"]
+
+
+def test_windowed_psi_stream_other_bucket_and_validation(spark):
+    import datetime as dt
+
+    import pytest
+
+    from mwas_rfam_spark.streaming.requests import windowed_psi_stream
+
+    t0 = dt.datetime(2026, 1, 1)
+    batch = spark.createDataFrame(
+        [(t0, "zzz-new"), (t0, None), (t0, "click")],
+        "ts timestamp, event_type string",
+    )
+    row = windowed_psi_stream(batch, {"click": 1, None: 1}).first()
+    # unseen 'zzz-new' lands in __other__ (p_base 0) and inflates PSI
+    assert row["psi"] > 0
+    with pytest.raises(ValueError, match="no categories"):
+        windowed_psi_stream(batch, {})
+    with pytest.raises(ValueError, match="eps"):
+        windowed_psi_stream(batch, {"a": 1}, eps=0)
