@@ -451,6 +451,51 @@ def drift_main(argv: list[str], spark: SparkSession | None = None) -> int:
             spark.stop()
 
 
+def build_diff_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mwas_rfam_spark diff",
+        description="Corpus snapshot diff: per-id added/removed/changed/"
+        "unchanged via content hashing. Prints the summary; --output "
+        "writes the per-id detail parquet (the slice to feed incremental "
+        "dedup / re-embedding / upsert).",
+    )
+    p.add_argument("old", help="baseline snapshot parquet")
+    p.add_argument("new", help="candidate snapshot parquet")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument(
+        "--content-cols",
+        default="",
+        help="comma list (default: all shared non-id columns)",
+    )
+    p.add_argument("--output", default=None, help="per-id detail parquet path")
+    return p
+
+
+def diff_main(argv: list[str], spark: SparkSession | None = None) -> int:
+    args = build_diff_parser().parse_args(argv)
+    content_cols = [c.strip() for c in args.content_cols.split(",") if c.strip()] or None
+    owns_session = spark is None
+    if owns_session:
+        from .session import get_spark
+
+        spark = get_spark(app_name="diff-cli")
+    try:
+        from .operators.summary import corpus_diff, corpus_diff_summary
+
+        old = spark.read.parquet(args.old)
+        new = spark.read.parquet(args.new)
+        for r in corpus_diff_summary(old, new, args.id_col, content_cols).collect():
+            print(f"{r['status']}\t{r['n']}")
+        if args.output:
+            corpus_diff(old, new, args.id_col, content_cols).write.mode(
+                "overwrite"
+            ).parquet(args.output)
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
 def build_tokenize_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="mwas_rfam_spark tokenize",
@@ -580,6 +625,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         return split_main(argv[1:], spark)
     if argv and argv[0] == "drift":
         return drift_main(argv[1:], spark)
+    if argv and argv[0] == "diff":
+        return diff_main(argv[1:], spark)
     if argv and argv[0] == "tokenize":
         return tokenize_main(argv[1:], spark)
     from .config import MwasConfig

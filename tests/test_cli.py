@@ -492,3 +492,24 @@ def test_tokenize_cli(spark, tmp_path, capsys):
     assert "tokens" in enc2.columns
     j = enc.withColumnRenamed("n_tokens", "n1").join(enc2, "doc_id")
     assert j.where("n1 != n_tokens").count() == 0
+
+
+def test_diff_cli(spark, tmp_path, capsys):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, "d")], "doc_id long, text string"
+    )
+    po, pn = str(tmp_path / "old"), str(tmp_path / "new")
+    old.write.parquet(po)
+    new.write.parquet(pn)
+    detail = str(tmp_path / "detail")
+    rc = main(["diff", po, pn, "--output", detail], spark=spark)
+    assert rc == 0
+    printed = dict(
+        line.split("\t") for line in capsys.readouterr().out.strip().splitlines()
+    )
+    assert printed == {"added": "1", "removed": "1", "changed": "1", "unchanged": "1"}
+    back = {r["doc_id"]: r["status"] for r in spark.read.parquet(detail).collect()}
+    assert back == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
