@@ -480,16 +480,18 @@ def diff_main(argv: list[str], spark: SparkSession | None = None) -> int:
 
         spark = get_spark(app_name="diff-cli")
     try:
-        from .operators.summary import corpus_diff, corpus_diff_summary
+        from .operators.summary import corpus_diff, diff_status_counts
 
         old = spark.read.parquet(args.old)
         new = spark.read.parquet(args.new)
-        for r in corpus_diff_summary(old, new, args.id_col, content_cols).collect():
-            print(f"{r['status']}\t{r['n']}")
+        detail = corpus_diff(old, new, args.id_col, content_cols)
         if args.output:
-            corpus_diff(old, new, args.id_col, content_cols).write.mode(
-                "overwrite"
-            ).parquet(args.output)
+            # write once, summarize from the written parquet — never
+            # execute the scan+hash+outer-join twice
+            detail.write.mode("overwrite").parquet(args.output)
+            detail = spark.read.parquet(args.output)
+        for r in diff_status_counts(detail).collect():
+            print(f"{r['status']}\t{r['n']}")
         return 0
     finally:
         if owns_session:

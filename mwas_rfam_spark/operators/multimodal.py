@@ -389,7 +389,10 @@ def cdc_chunk_payloads(
                     }
                 )
 
-    return media.select("doc_id", "payload").mapInPandas(chunk, CDC_CHUNKS_SCHEMA)
+    # NULL payloads (outer-joined docs with no attachment) are dropped
+    # JVM-side — bytes(None) in the kernel would fail the whole task
+    src = media.select("doc_id", "payload").where(F.col("payload").isNotNull())
+    return src.mapInPandas(chunk, CDC_CHUNKS_SCHEMA)
 
 
 def binary_dedup_stats(chunks: DataFrame) -> DataFrame:

@@ -8,7 +8,7 @@ mwas_results_analyze.py:62-65) used to plan cluster scheduling.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -342,18 +342,26 @@ def skew_report(
 
 
 def _content_hash(cols: list[str]):
-    """md5 over content columns with unambiguous null/empty encoding:
-    each value is rendered as 'N' for NULL else 'V' + value, joined
-    with an \\x01 separator — (NULL, 'x') and ('', 'x') and a single
-    'x' column all hash differently, and the recipe is reproducible in
-    ANSI SQL for cross-engine checks."""
+    """md5 over content columns with an INJECTIVE encoding: each value
+    renders as 'N' for NULL else 'V' + char_length + ':' + value. The
+    length prefix makes the concatenation unambiguous — without it a
+    value containing the separator could shift content across column
+    boundaries and two different rows would hash identically (e.g.
+    ('x\\x01Vy', 'z') vs ('x', 'y\\x01Vz')). NULL vs '' also differ
+    ('N' vs 'V0:'). Plain string functions, reproducible in ANSI SQL
+    for cross-engine checks."""
     parts = [
         F.when(F.col(c).isNull(), F.lit("N")).otherwise(
-            F.concat(F.lit("V"), F.col(c).cast("string"))
+            F.concat(
+                F.lit("V"),
+                F.length(F.col(c).cast("string")).cast("string"),
+                F.lit(":"),
+                F.col(c).cast("string"),
+            )
         )
         for c in cols
     ]
-    return F.md5(F.concat_ws("\x01", *parts))
+    return F.md5(F.concat_ws("|", *parts))
 
 
 def corpus_diff(
@@ -369,7 +377,12 @@ def corpus_diff(
     hash per side (map-local), one full outer join on the id — the only
     shuffle. Feed the 'changed'+'added' slice to incremental dedup /
     re-embedding instead of reprocessing the snapshot; pair with
-    `merge_upsert_partitioned` for the write-back."""
+    `merge_upsert_partitioned` for the write-back.
+
+    Each side's ids must be unique — a duplicate would multiply rows
+    through the join and emit conflicting statuses; an in-plan window
+    guard raises at execution (lazily, the codebase's duplicate-guard
+    convention) naming the offending side."""
     if content_cols is None:
         shared = [c for c in old.columns if c in set(new.columns) and c != id_col]
         if not shared:
@@ -379,8 +392,21 @@ def corpus_diff(
         missing = [c for c in content_cols + [id_col] if c not in side.columns]
         if missing:
             raise ValueError(f"{side_name} side is missing columns {missing}")
-    o = old.select(F.col(id_col).alias("id"), _content_hash(content_cols).alias("h_old"))
-    n = new.select(F.col(id_col).alias("id"), _content_hash(content_cols).alias("h_new"))
+    def hashed(side: DataFrame, side_name: str, h_name: str) -> DataFrame:
+        dup_n = F.count("*").over(Window.partitionBy(id_col))
+        guarded = F.when(
+            dup_n > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"corpus_diff: duplicate {id_col} on the {side_name} side: "),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+        ).otherwise(_content_hash(content_cols))
+        return side.select(F.col(id_col).alias("id"), guarded.alias(h_name))
+
+    o = hashed(old, "old", "h_old")
+    n = hashed(new, "new", "h_new")
     return o.join(n, "id", "full_outer").select(
         F.col("id").alias(id_col),
         F.when(F.col("h_old").isNull(), F.lit("added"))
@@ -391,22 +417,28 @@ def corpus_diff(
     )
 
 
+def diff_status_counts(diff: DataFrame) -> DataFrame:
+    """Fixed-shape counts over a :func:`corpus_diff` relation (statuses
+    with zero rows appear with n = 0) — separate so a caller that also
+    wants the detail rows never executes the diff twice."""
+    statuses = ["added", "removed", "changed", "unchanged"]
+    frame = diff.sparkSession.createDataFrame(
+        [(s,) for s in statuses], "status string"
+    )
+    counts = diff.groupBy("status").agg(F.count("*").alias("n"))
+    return (
+        F.broadcast(frame)
+        .join(counts, "status", "left_outer")
+        .select("status", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+
+
 def corpus_diff_summary(
     old: DataFrame,
     new: DataFrame,
     id_col: str = "doc_id",
     content_cols: list[str] | None = None,
 ) -> DataFrame:
-    """One row per status with counts (statuses with zero rows appear
-    with n = 0, so the report shape is fixed)."""
-    statuses = ["added", "removed", "changed", "unchanged"]
-    spark = old.sparkSession
-    frame = spark.createDataFrame([(s,) for s in statuses], "status string")
-    counts = corpus_diff(old, new, id_col, content_cols).groupBy("status").agg(
-        F.count("*").alias("n")
-    )
-    return (
-        F.broadcast(frame)
-        .join(counts, "status", "left_outer")
-        .select("status", F.coalesce("n", F.lit(0)).alias("n"))
-    )
+    """One row per status with counts — :func:`diff_status_counts` over
+    :func:`corpus_diff`."""
+    return diff_status_counts(corpus_diff(old, new, id_col, content_cols))

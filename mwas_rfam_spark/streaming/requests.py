@@ -289,10 +289,15 @@ def windowed_psi_stream(
     if eps <= 0:
         raise ValueError(f"eps must be > 0, got {eps}")
     if isinstance(baseline, DataFrame):
-        rows = baseline.collect()
-        base_counts = {r[0]: r[1] for r in rows}
+        rows = [(r[0], r[1]) for r in baseline.collect()]
     else:
-        base_counts = dict(baseline)
+        rows = list(dict(baseline).items())
+    # SUM duplicate category rows (an un-aggregated baseline is
+    # legitimate input) — a last-wins dict would silently skew every
+    # bucket's proportion
+    base_counts: dict = {}
+    for c, n_ in rows:
+        base_counts[c] = base_counts.get(c, 0) + n_
     if not base_counts:
         raise ValueError("baseline has no categories")
     total = float(sum(base_counts.values()))
@@ -302,15 +307,20 @@ def windowed_psi_stream(
 
     cat = F.col(category_col)
     buckets: list[tuple[str | None, float]] = list(props.items())
-    conds = [
-        (F.sum(F.when(cat.isNull() if c is None else (cat == F.lit(c)), 1).otherwise(0)))
-        for c, _p in buckets
+    # per-bucket membership via NULL-SAFE comparisons: `cat == lit(c)`
+    # is NULL (not False) for NULL categories under three-valued logic,
+    # which would drop NULL events from every bucket including
+    # __other__ — eqNullSafe/isNull never evaluate to NULL, so the
+    # negated disjunction below routes anything unmatched (NULLs
+    # included, when the baseline has no NULL bucket) to __other__
+    matches = [
+        cat.isNull() if c is None else cat.eqNullSafe(F.lit(c)) for c, _p in buckets
     ]
-    known = [c for c, _ in buckets if c is not None]
-    other_cond = cat.isNotNull() if None in props else F.lit(True)
-    if known:
-        other_cond = other_cond & ~cat.isin(known)
-    conds.append(F.sum(F.when(other_cond, 1).otherwise(0)))
+    conds = [F.sum(F.when(m, 1).otherwise(0)) for m in matches]
+    any_match = matches[0]
+    for m in matches[1:]:
+        any_match = any_match | m
+    conds.append(F.sum(F.when(~any_match, 1).otherwise(0)))
     buckets.append(("__other__", 0.0))
 
     agg = (

@@ -238,3 +238,32 @@ def test_corpus_diff_statuses_and_duckdb_parity(spark, sf_dir, tmp_path):
     assert got_summ["changed"] == want["changed"]
     assert got_summ["unchanged"] == want["unchanged"]
     assert got_summ["added"] == 0
+
+
+def test_corpus_diff_hash_injective_and_dup_guard(spark):
+    from mwas_rfam_spark.operators.summary import corpus_diff
+
+    # separator-smuggling rows must hash DIFFERENT (changed, not unchanged)
+    old = spark.createDataFrame([(1, "x|V1:y", "z")], "doc_id long, a string, b string")
+    new = spark.createDataFrame([(1, "x", "y|V1:z")], "doc_id long, a string, b string")
+    assert corpus_diff(old, new).first()["status"] == "changed"
+
+    # duplicate ids fail loud at execution, naming the side
+    dup = spark.createDataFrame([(7, "a"), (7, "b")], "doc_id long, text string")
+    ok = spark.createDataFrame([(7, "a")], "doc_id long, text string")
+    import pytest
+
+    with pytest.raises(Exception, match="duplicate doc_id on the old side"):
+        corpus_diff(dup, ok).collect()
+    with pytest.raises(Exception, match="duplicate doc_id on the new side"):
+        corpus_diff(ok, dup).collect()
+
+
+def test_cdc_null_payload_skipped(spark):
+    from mwas_rfam_spark.operators.multimodal import cdc_chunk_payloads
+
+    media = spark.createDataFrame(
+        [(1, b"0123456789" * 100), (2, None)], "doc_id long, payload binary"
+    )
+    rows = cdc_chunk_payloads(media, avg_size=64).collect()
+    assert {r["doc_id"] for r in rows} == {1}

@@ -302,3 +302,34 @@ def test_windowed_psi_stream_other_bucket_and_validation(spark):
         windowed_psi_stream(batch, {})
     with pytest.raises(ValueError, match="eps"):
         windowed_psi_stream(batch, {"a": 1}, eps=0)
+
+
+def test_windowed_psi_null_influx_flagged(spark):
+    """NULL events with no NULL baseline bucket must land in __other__
+    (three-valued-logic regression: `~isin` is NULL for NULLs, which
+    silently dropped them from every bucket)."""
+    import datetime as dt
+    import math
+
+    from mwas_rfam_spark.streaming.requests import windowed_psi_stream
+
+    t0 = dt.datetime(2026, 1, 1)
+    batch = spark.createDataFrame(
+        [(t0, "click")] * 9 + [(t0, None)],
+        "ts timestamp, event_type string",
+    )
+    row = windowed_psi_stream(batch, {"click": 100}).first()
+    eps = 1e-6
+    want = 0.0
+    for p_win, p_base in ((0.9 + eps, 1.0 + eps), (0.1 + eps, eps)):
+        want += (p_win - p_base) * math.log(p_win / p_base)
+    assert abs(row["psi"] - want) < 1e-8
+    assert row["flagged"]  # 10% NULL influx is real drift
+
+    # duplicate baseline rows SUM, not last-wins
+    base_df = spark.createDataFrame(
+        [("click", 50), ("click", 70), ("error", 30)], "c string, n long"
+    )
+    r2 = windowed_psi_stream(batch, base_df).first()
+    r3 = windowed_psi_stream(batch, {"click": 120, "error": 30}).first()
+    assert r2["psi"] == r3["psi"]
