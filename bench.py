@@ -60,6 +60,10 @@ HEADLINE = [
     "dup_spans",
     "bm25_topk",
     "incremental_embedding",
+    "fuzzy_editdist",
+    "drift_report",
+    "bpe_tokenize",
+    "cdc_dedup",
     "events_hourly",
 ]
 

@@ -406,6 +406,13 @@ def build_drift_parser() -> argparse.ArgumentParser:
     p.add_argument("--categorical", default="", help="comma list of categorical columns")
     p.add_argument("--ks-threshold", type=float, default=0.1)
     p.add_argument("--psi-threshold", type=float, default=0.25)
+    p.add_argument(
+        "--numeric-mode",
+        choices=("exact", "binned"),
+        default="exact",
+        help="numeric scoring: exact KS or baseline-quantile binned PSI",
+    )
+    p.add_argument("--bins", type=int, default=10, help="bins for --numeric-mode binned")
     p.add_argument("--output", default=None, help="optional report parquet path")
     p.add_argument("--fail-on-drift", action="store_true")
     return p
@@ -432,6 +439,8 @@ def drift_main(argv: list[str], spark: SparkSession | None = None) -> int:
             categorical_cols=categorical,
             ks_threshold=args.ks_threshold,
             psi_threshold=args.psi_threshold,
+            numeric_mode=args.numeric_mode,
+            bins=args.bins,
         )
         rows = rep.collect()
         if args.output:

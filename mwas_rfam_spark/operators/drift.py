@@ -191,18 +191,37 @@ def drift_report(
     categorical_cols: list[str] | None = None,
     psi_threshold: float = 0.25,
     ks_threshold: float = 0.1,
+    numeric_mode: str = "exact",
+    bins: int = 10,
 ) -> DataFrame:
     """One row per watched column:
     (column, kind, statistic, value, flagged).
 
-    The loop is over the COLUMN LIST (parameter-sized), not data — each
-    iteration contributes one single-row subplan and the union of K
-    single-row relations is trivially cheap."""
+    ``numeric_mode="exact"`` scores numeric columns with the exact KS
+    statistic; ``"binned"`` uses :func:`binned_numeric_drift` (baseline-
+    quantile PSI — the monitoring-loop shape, judged against
+    ``psi_threshold``). The loop is over the COLUMN LIST
+    (parameter-sized), not data — each iteration contributes one
+    single-row subplan and the union of K single-row relations is
+    trivially cheap."""
     if not numeric_cols and not categorical_cols:
         raise ValueError("drift_report needs at least one column to watch")
+    if numeric_mode not in ("exact", "binned"):
+        raise ValueError(f"numeric_mode must be 'exact' or 'binned', got {numeric_mode!r}")
     spark = df_a.sparkSession
     parts: list[DataFrame] = []
     for col in numeric_cols or []:
+        if numeric_mode == "binned":
+            parts.append(
+                binned_numeric_drift(df_a, df_b, col, bins=bins).select(
+                    F.lit(col).alias("column"),
+                    F.lit("numeric").alias("kind"),
+                    F.lit("psi_binned").alias("statistic"),
+                    F.col("psi").alias("value"),
+                    (F.col("psi") > psi_threshold).alias("flagged"),
+                )
+            )
+            continue
         parts.append(
             ks_drift(df_a, df_b, col).select(
                 F.lit(col).alias("column"),
@@ -248,3 +267,78 @@ def ks_p_value(ks_stat: float, n_a: int, n_b: int, terms: int = 100) -> float:
     for k in range(1, terms + 1):
         s += (-1.0) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)
     return max(0.0, min(1.0, 2.0 * s))
+
+
+def binned_numeric_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    eps: float = 1e-6,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Sketch-path numeric drift → one row
+    (n_a, n_b, n_bins, psi, max_bin_gap).
+
+    The exact :func:`ks_drift` shuffles the distinct-value relation —
+    linear and parallel, but for continuous doubles that relation is
+    row-sized. This is the monitoring-loop variant: bin edges are the
+    BASELINE's ``bins``-quantiles (one `approx_percentile` sketch
+    aggregation — mergeable, KB-sized state), both sides then reduce to
+    ``bins + 2`` bucket counts via arithmetic bucketing and the PSI
+    formula runs over that parameter-sized relation. Edges freeze at
+    baseline time, the same convention as the categorical monitor and
+    :func:`windowed_psi_stream`; NULLs get their own bucket (-1).
+
+    ``max_bin_gap`` is the largest per-bin |p_a − p_b| — a binned lower
+    bound on the KS statistic, so it composes with the same thresholds.
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    if eps <= 0:
+        raise ValueError(f"eps must be > 0, got {eps}")
+    qs = [i / bins for i in range(1, bins)]
+    edges_row = df_a.agg(
+        F.percentile_approx(
+            F.col(value_col), F.lit(qs), F.lit(int(1.0 / relative_error))
+        ).alias("edges")
+    ).first()
+    edges = [e for e in (edges_row["edges"] or []) if e is not None]
+    if not edges:
+        raise ValueError(f"baseline has no non-null values in {value_col}")
+
+    # bucket = count of edges strictly below the value (degenerate /
+    # duplicate edges collapse naturally); NULL -> -1
+    v = F.col(value_col)
+    bucket = F.lit(0)
+    for e in edges:
+        bucket = bucket + F.when(v > F.lit(float(e)), 1).otherwise(0)
+    bucket = F.when(v.isNull(), F.lit(-1)).otherwise(bucket)
+
+    def counted(df: DataFrame, name: str) -> DataFrame:
+        return df.select(bucket.alias("bucket")).groupBy("bucket").agg(
+            F.count("*").alias(name)
+        )
+
+    counts = counted(df_a, "cnt_a").join(counted(df_b, "cnt_b"), "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+        F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+    )
+    n_a, n_b = counts.agg(F.sum("cnt_a"), F.sum("cnt_b")).first()
+    n_a, n_b = int(n_a or 0), int(n_b or 0)
+    if n_a == 0 or n_b == 0:
+        raise ValueError(f"binned_numeric_drift needs non-empty sides, got n_a={n_a}, n_b={n_b}")
+    pa = F.col("cnt_a") / F.lit(n_a) + F.lit(eps)
+    pb = F.col("cnt_b") / F.lit(n_b) + F.lit(eps)
+    per_bin = counts.select(
+        ((pa - pb) * F.log(pa / pb)).alias("psi_term"),
+        F.abs(F.col("cnt_a") / F.lit(n_a) - F.col("cnt_b") / F.lit(n_b)).alias("gap"),
+    )
+    return per_bin.agg(
+        F.lit(n_a).alias("n_a"),
+        F.lit(n_b).alias("n_b"),
+        F.count("*").alias("n_bins"),
+        F.round(F.sum("psi_term"), 9).alias("psi"),
+        F.round(F.max("gap"), 9).alias("max_bin_gap"),
+    )

@@ -267,3 +267,57 @@ def test_cdc_null_payload_skipped(spark):
     )
     rows = cdc_chunk_payloads(media, avg_size=64).collect()
     assert {r["doc_id"] for r in rows} == {1}
+
+
+def test_binned_numeric_drift(spark):
+    """Sketch-path drift: identical sides -> psi 0; shifted sides ->
+    large psi and max_bin_gap <= exact KS (binned lower bound); NULLs
+    get their own bucket; hand model on a 2-bin split."""
+    import random
+
+    from mwas_rfam_spark.operators.drift import binned_numeric_drift
+
+    rng = random.Random(17)
+    xs = [rng.gauss(0, 1) for _ in range(500)]
+    ys = [rng.gauss(1.2, 1) for _ in range(500)]
+    a = spark.createDataFrame([(v,) for v in xs], "v double")
+    b = spark.createDataFrame([(v,) for v in ys], "v double")
+
+    same = binned_numeric_drift(a, a, "v", bins=10).first()
+    assert same["psi"] == 0.0 and same["max_bin_gap"] == 0.0
+
+    moved = binned_numeric_drift(a, b, "v", bins=10).first()
+    assert moved["psi"] > 0.25
+    exact = ks_drift(a, b, "v").first()["ks_stat"]
+    assert moved["max_bin_gap"] <= exact + 1e-9
+
+    # hand model, bins=2: single edge = baseline median
+    xs2 = [1.0, 2.0, 3.0, 4.0]
+    ys2 = [3.5, 3.6, None]
+    a2 = spark.createDataFrame([(v,) for v in xs2], "v double")
+    b2 = spark.createDataFrame([(v,) for v in ys2], "v double")
+    row = binned_numeric_drift(a2, b2, "v", bins=2).first()
+    assert row["n_a"] == 4 and row["n_b"] == 3
+    # hand model with the engine's own median convention
+    import math
+    from collections import Counter
+
+    edge = a2.agg(
+        F.percentile_approx("v", F.lit([0.5]), F.lit(1000)).alias("e")
+    ).first()["e"][0]
+    ca = Counter(-1 if v is None else int(v > edge) for v in xs2)
+    cb = Counter(-1 if v is None else int(v > edge) for v in ys2)
+    eps = 1e-6
+    want = 0.0
+    for bkt in set(ca) | set(cb):
+        p = ca.get(bkt, 0) / 4 + eps
+        q = cb.get(bkt, 0) / 3 + eps
+        want += (p - q) * math.log(p / q)
+    assert abs(row["psi"] - want) < 1e-8
+
+    import pytest
+
+    with pytest.raises(ValueError, match="bins"):
+        binned_numeric_drift(a, b, "v", bins=1)
+    with pytest.raises(ValueError, match="no non-null"):
+        binned_numeric_drift(a.where("v > 1e9"), b, "v").first()
