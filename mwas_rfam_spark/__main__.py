@@ -460,6 +460,62 @@ def drift_main(argv: list[str], spark: SparkSession | None = None) -> int:
             spark.stop()
 
 
+def build_fuzzy_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mwas_rfam_spark fuzzy",
+        description="Edit-distance fuzzy matching (PassJoin blocking): "
+        "all pairs within --max-dist over one corpus, or across two "
+        "with --right (entity resolution).",
+    )
+    p.add_argument("input", help="documents parquet (the left/self side)")
+    p.add_argument("--right", default=None, help="optional right-side parquet (R-S join)")
+    p.add_argument("--output", required=True, help="pairs parquet path")
+    p.add_argument("--max-dist", type=int, default=1)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument(
+        "--raw", action="store_true", help="compare raw text (skip normalization)"
+    )
+    return p
+
+
+def fuzzy_main(argv: list[str], spark: SparkSession | None = None) -> int:
+    args = build_fuzzy_parser().parse_args(argv)
+    owns_session = spark is None
+    if owns_session:
+        from .session import get_spark
+
+        spark = get_spark(app_name="fuzzy-cli")
+    try:
+        from .operators.fuzzy import edit_distance_join, edit_distance_pairs
+
+        left = spark.read.parquet(args.input)
+        if args.right:
+            out = edit_distance_join(
+                left,
+                spark.read.parquet(args.right),
+                max_dist=args.max_dist,
+                text_col=args.text_col,
+                id_col=args.id_col,
+                normalize=not args.raw,
+            )
+        else:
+            out = edit_distance_pairs(
+                left,
+                max_dist=args.max_dist,
+                text_col=args.text_col,
+                id_col=args.id_col,
+                normalize=not args.raw,
+            )
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(f"{n} pair(s) within distance {args.max_dist}")
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
 def build_diff_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="mwas_rfam_spark diff",
@@ -638,6 +694,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         return drift_main(argv[1:], spark)
     if argv and argv[0] == "diff":
         return diff_main(argv[1:], spark)
+    if argv and argv[0] == "fuzzy":
+        return fuzzy_main(argv[1:], spark)
     if argv and argv[0] == "tokenize":
         return tokenize_main(argv[1:], spark)
     from .config import MwasConfig

@@ -513,3 +513,32 @@ def test_diff_cli(spark, tmp_path, capsys):
     assert printed == {"added": "1", "removed": "1", "changed": "1", "unchanged": "1"}
     back = {r["doc_id"]: r["status"] for r in spark.read.parquet(detail).collect()}
     assert back == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_fuzzy_cli(spark, tmp_path, capsys):
+    docs = spark.createDataFrame(
+        [(1, "spark"), (2, "spork"), (3, "Spark"), (4, "entirely different")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "fdocs")
+    docs.write.parquet(src)
+    out = str(tmp_path / "pairs")
+    rc = main(["fuzzy", src, "--output", out, "--max-dist", "1"], spark=spark)
+    assert rc == 0
+    assert "pair(s) within distance 1" in capsys.readouterr().out
+    pairs = {(r["id_a"], r["id_b"]): r["dist"] for r in spark.read.parquet(out).collect()}
+    # normalized: 1==3 (case), both 1 edit from 2
+    assert pairs == {(1, 2): 1, (1, 3): 0, (2, 3): 1}
+
+    # R-S form against a reference list
+    ref = spark.createDataFrame([(100, "spark")], "doc_id long, text string")
+    refp = str(tmp_path / "ref")
+    ref.write.parquet(refp)
+    out2 = str(tmp_path / "pairs2")
+    rc = main(
+        ["fuzzy", src, "--right", refp, "--output", out2, "--max-dist", "1"],
+        spark=spark,
+    )
+    assert rc == 0
+    got = {(r["left_id"], r["right_id"]) for r in spark.read.parquet(out2).collect()}
+    assert got == {(1, 100), (2, 100), (3, 100)}

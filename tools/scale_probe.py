@@ -503,9 +503,26 @@ def probe_r5b_ops(spark, sf_dir: str, out: dict):
         _force(bpe_encode(d, merges, emit_tokens=False))
         out[f"bpe_encode_{label}"] = round(time.time() - t0, 2)
 
+    payloads = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    payloads10 = docs10.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    from mwas_rfam_spark.operators.multimodal import (
+        binary_dedup_stats,
+        cdc_chunk_payloads,
+    )
+
+    for label, p in [("1x", payloads), ("10x", payloads10)]:
+        p = p.localCheckpoint()
+        t0 = time.time()
+        _force(binary_dedup_stats(cdc_chunk_payloads(p, avg_size=256)))
+        out[f"cdc_dedup_{label}"] = round(time.time() - t0, 2)
+
     spark.catalog.clearCache()
     print({k: v for k, v in out.items()
-           if k.startswith(("fuzzy_", "drift_", "bpe_"))},
+           if k.startswith(("fuzzy_", "drift_", "bpe_", "cdc_"))},
           file=sys.stderr)
 
 
