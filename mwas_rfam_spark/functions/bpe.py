@@ -110,3 +110,40 @@ def decode_tokens(tokens: list[str]) -> str:
 
 def ranks_from_merges(merges: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
     return {pair: i for i, pair in enumerate(merges)}
+
+
+UNK = "<unk>"
+
+
+def vocab_from_merges(
+    merges: list[tuple[str, str]], alphabet: "list[str] | None" = None
+) -> list[str]:
+    """Deterministic vocabulary induced by a merge list: id 0 is the
+    reserved ``<unk>``, then the end-of-word marker, then the sorted
+    base alphabet, then merged symbols in rank order.
+
+    Arbitrary unicode means the single-character base set is not
+    enumerable a priori — pass ``alphabet`` (the distinct characters of
+    the corpus after the lowercase whitespace normalization; a tiny
+    relation to compute at any scale) for full coverage. Without it the
+    base set is recovered from the merges' own symbols, and characters
+    that never participated in a merge encode as ``<unk>``."""
+    base: set[str] = set()
+    for a, b in merges:
+        for side in (a, b):
+            for ch in side.replace(EOW, ""):
+                base.add(ch)
+    for ch in alphabet or []:
+        if ch != EOW:
+            base.add(ch)
+    vocab = [UNK, EOW] + sorted(base)
+    vocab += [a + b for a, b in merges]
+    # dedupe preserving first occurrence (keeps ids stable even on
+    # degenerate merge lists)
+    seen: set[str] = set()
+    out = []
+    for t in vocab:
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return out

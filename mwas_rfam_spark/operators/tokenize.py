@@ -175,3 +175,91 @@ def bpe_token_budget_counts(
     return counted.groupBy(F.col(group_col).alias("group")).agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
     )
+
+
+def bpe_vocab(
+    merges,
+    docs: DataFrame | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary relation (id INT, token STRING) for a merge table —
+    the storable artifact that makes :func:`bpe_encode`'s id output
+    stable across runs and engines.
+
+    With ``docs`` the base alphabet is the corpus's distinct characters
+    (one explode + distinct over single characters — a tiny relation at
+    any corpus scale, computed AFTER the same lowercase normalization
+    the encoder applies); without it, only characters appearing in the
+    merges are covered and the rest encode as ``<unk>`` (id 0)."""
+    from mwas_rfam_spark.functions.bpe import vocab_from_merges
+
+    merge_rows = _merge_list(merges)
+    alphabet: list[str] = []
+    if docs is not None:
+        rows = (
+            docs.select(
+                F.explode(
+                    F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "")
+                ).alias("ch")
+            )
+            .where((F.col("ch") != "") & ~F.col("ch").rlike(r"^\s$"))
+            .distinct()
+            .collect()
+        )
+        alphabet = [r["ch"] for r in rows]
+    spark = (docs.sparkSession if docs is not None else None)
+    vocab = vocab_from_merges(merge_rows, alphabet)
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError("bpe_vocab needs an active SparkSession when docs is None")
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(vocab)], "id INT, token STRING"
+    )
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    merges,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-ready encode → (id, n_tokens, token_ids ARRAY<INT>):
+    the :func:`bpe_encode` token stream mapped through a broadcast
+    vocabulary; symbols outside the vocabulary map to ``<unk>`` (0).
+    The int stream is what sequence packing / shard writers consume —
+    ~4 bytes per token instead of a string."""
+    from mwas_rfam_spark.functions.bpe import encode_text, ranks_from_merges
+
+    merge_rows = _merge_list(merges)
+    vocab_rows = {r["token"]: r["id"] for r in vocab.collect()}
+    spark = docs.sparkSession
+    bc_m = spark.sparkContext.broadcast(merge_rows)
+    bc_v = spark.sparkContext.broadcast(vocab_rows)
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ranks = ranks_from_merges(bc_m.value)
+        v = bc_v.value
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_out = []
+            for t in pdf["__text"]:
+                text = "" if t is None else str(t)
+                toks = encode_text(text, ranks, cache)
+                ids_out.append([v.get(tok, 0) for tok in toks])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf["__id"],
+                    "n_tokens": pd.Series([len(x) for x in ids_out], dtype="int64"),
+                    "token_ids": ids_out,
+                }
+            )
+
+    src = docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    return src.mapInPandas(encode, f"{id_col} {id_type}, n_tokens BIGINT, token_ids ARRAY<INT>")

@@ -180,3 +180,39 @@ def test_pack_by_real_bpe_counts(spark):
         total = sum(r["n_tokens"] for r in rs)
         n_packs = len({r["pack_id"] for r in rs})
         assert n_packs <= max(1, math.ceil(total / 64))
+
+
+def test_bpe_vocab_and_id_encode_roundtrip(spark):
+    """Vocabulary relation + id encode: ids are stable, decode through
+    the vocab inverts the text, corpus-alphabet coverage means no <unk>
+    on in-corpus text, and out-of-alphabet symbols map to 0."""
+    from mwas_rfam_spark.functions.bpe import decode_tokens
+    from mwas_rfam_spark.operators.tokenize import bpe_encode_ids, bpe_vocab
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    merges = train_bpe_merges(docs, num_merges=30, sample_docs=10)
+    vocab = bpe_vocab(merges, docs)
+    vrows = {r["id"]: r["token"] for r in vocab.collect()}
+    assert vrows[0] == "<unk>"
+    assert len(vrows) == len(set(vrows.values()))  # injective
+
+    enc = bpe_encode_ids(docs, merges, vocab)
+    row = enc.where("doc_id = 3").first()
+    assert row["n_tokens"] == len(row["token_ids"])
+    assert 0 not in row["token_ids"]  # full alphabet coverage
+    assert (
+        decode_tokens([vrows[i] for i in row["token_ids"]])
+        == "the quick brown fox jumps over the lazy dog"
+    )
+
+    # unseen characters become <unk> but the stream stays aligned
+    weird = spark.createDataFrame([(1, "fox ΩΩΩ")], ["doc_id", "text"])
+    wrow = bpe_encode_ids(weird, merges, vocab).first()
+    assert 0 in wrow["token_ids"] and wrow["n_tokens"] == len(wrow["token_ids"])
+
+    # determinism: same merges + docs -> identical vocab ids
+    again = bpe_vocab(merges, docs)
+    assert sorted(map(tuple, vocab.collect())) == sorted(map(tuple, again.collect()))
