@@ -319,3 +319,55 @@ def bm25_topk_indexed(
         k,
         id_col,
     )
+
+
+def append_text_index(
+    docs_new: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incrementally extend a `materialize_text_index` with NEW
+    documents — no touch of existing postings.
+
+    This works because the index stores raw per-document facts
+    (term, id, tf, dl) and every corpus-level quantity (idf from df,
+    N, avgdl) is derived at probe time from the stats row and the
+    touched posting slice: appending rows and bumping the stats keeps
+    `bm25_topk_indexed` score-identical to a full rebuild over the
+    union (equivalence is pytest-pinned). New postings hash into the
+    SAME term buckets (n_buckets comes from the stored stats), so
+    partition pruning keeps working and each appended file lands only
+    in the buckets its terms belong to.
+
+    Contract: ``docs_new`` ids must not already be in the index (feed
+    the 'added' slice of `summary.corpus_diff`) — a re-appended id
+    would double its postings. Write order is postings first, stats
+    second; a crash between the two leaves scores computed with the
+    old N/avgdl (slightly stale, never corrupt)."""
+    spark = docs_new.sparkSession
+    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    n_buckets = int(stats["n_buckets"])
+    base = docs_new.select(
+        F.col(id_col).alias("id"), _lowered_tokens(text_col).alias("toks")
+    ).localCheckpoint()
+    postings = (
+        base.select("id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        .groupBy("term", "id")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .withColumn("bucket", _term_bucket_col(n_buckets))
+    )
+    postings.write.mode("append").partitionBy("bucket").parquet(f"{path}/postings")
+    new = base.select(F.size("toks").alias("dl")).agg(
+        F.count("*").alias("n_new"), F.sum("dl").alias("sum_dl_new")
+    ).collect()[0]
+    n_new = int(new["n_new"] or 0)
+    if n_new == 0:
+        return
+    n_docs = int(stats["n_docs"]) + n_new
+    avgdl = (
+        float(stats["n_docs"]) * float(stats["avgdl"]) + float(new["sum_dl_new"] or 0)
+    ) / n_docs
+    spark.createDataFrame(
+        [(n_docs, avgdl, n_buckets)], "n_docs BIGINT, avgdl DOUBLE, n_buckets INT"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")

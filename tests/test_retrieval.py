@@ -167,3 +167,48 @@ def test_mwaspkl_and_bm25_null_safety(spark, tmp_path):
         for r in bm25_topk_indexed(spark, path, ["alpha"], k=5).collect()
     ]
     assert direct == indexed and len(direct) == 2
+
+
+def test_append_text_index_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """index(A) + append(B) must score IDENTICALLY to index(A ∪ B):
+    postings are raw per-doc facts, idf/N/avgdl derive at probe time."""
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.operators.retrieval import (
+        append_text_index,
+        bm25_topk_indexed,
+        materialize_text_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    a = docs.where("doc_id % 3 != 0")
+    b = docs.where("doc_id % 3 = 0")
+
+    inc_path = str(tmp_path / "inc_idx")
+    materialize_text_index(a, inc_path, n_buckets=16)
+    append_text_index(b, inc_path)
+
+    full_path = str(tmp_path / "full_idx")
+    materialize_text_index(docs, full_path, n_buckets=16)
+
+    terms = ["the", "data", "pipeline"]
+    got = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in bm25_topk_indexed(spark, inc_path, terms, k=25).collect()
+    }
+    want = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in bm25_topk_indexed(spark, full_path, terms, k=25).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # stats row reflects the union
+    stats = spark.read.parquet(f"{inc_path}/stats").collect()[0]
+    fstats = spark.read.parquet(f"{full_path}/stats").collect()[0]
+    assert int(stats["n_docs"]) == int(fstats["n_docs"])
+    assert abs(float(stats["avgdl"]) - float(fstats["avgdl"])) < 1e-9
+
+    # appending an empty batch is a no-op
+    before = spark.read.parquet(f"{inc_path}/stats").collect()
+    append_text_index(docs.where("doc_id < 0"), inc_path)
+    assert spark.read.parquet(f"{inc_path}/stats").collect() == before
