@@ -325,3 +325,32 @@ def cluster_balanced_sample(
 
     cells = assign_ivf_cells(emb, centroids, id_col, vec_col)
     return stratified_sample_exact(cells, "cell", per_cluster, id_col)
+
+
+def append_ivf_index(
+    emb_new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally extend a :func:`materialize_ivf` index with NEW
+    vectors: assign each to its nearest cell under the STORED centroids
+    (read from ``path/centroids`` — the quantizer is frozen at build
+    time, the same contract as `embedding_dedup_state` /
+    `incremental_embedding_dedup`) and append cell-partitioned files.
+    Probes and the SQL replay are unchanged — they derive everything
+    from the stored centroids plus the partitioned files.
+
+    Contract: ids must be new (feed `summary.corpus_diff`'s 'added'
+    slice). As the corpus drifts from the frozen quantizer, cells skew;
+    `summary.skew_report` on the cell column is the rebuild signal."""
+    spark = emb_new.sparkSession
+    cent_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(), key=lambda r: r["cell"]
+    )
+    if not cent_rows:
+        raise ValueError(f"no centroids found under {path}/centroids")
+    centroids = [list(r["centroid"]) for r in cent_rows]
+    assign_ivf_cells(emb_new, centroids, id_col, vec_col).write.partitionBy(
+        "cell"
+    ).mode("append").parquet(f"{path}/vectors")

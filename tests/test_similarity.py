@@ -155,3 +155,56 @@ def test_ivf_indexed_probe_prunes_partitions(spark, tmp_path):
     )
     pf = plan.split("PartitionFilters")[1][:120]
     assert "cell" in pf, pf
+
+
+def test_append_ivf_index_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """materialize(A) + append(B) probes identically to materialize(A∪B)
+    under the SAME frozen centroids (cell assignment is a pure function
+    of the stored quantizer)."""
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.operators.similarity import (
+        append_ivf_index,
+        ivf_ann_topk_indexed,
+        materialize_ivf,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = train_ivf_centroids(emb, k=8, iters=2)
+    a = emb.where("vec_id % 4 != 0")
+    b = emb.where("vec_id % 4 = 0")
+
+    inc = str(tmp_path / "inc")
+    materialize_ivf(a, cents, inc)
+    append_ivf_index(b, inc)
+    full = str(tmp_path / "full")
+    materialize_ivf(emb, cents, full)
+
+    q = [float(x) for x in emb.first()["embedding"]]
+    got = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in ivf_ann_topk_indexed(
+            spark, f"{inc}/vectors", q, cents, k=10, nprobe=4
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in ivf_ann_topk_indexed(
+            spark, f"{full}/vectors", q, cents, k=10, nprobe=4
+        ).collect()
+    ]
+    assert got == want and len(got) == 10
+
+    # row-count identity across the partitioned files
+    assert (
+        spark.read.parquet(f"{inc}/vectors").count()
+        == spark.read.parquet(f"{full}/vectors").count()
+    )
+
+    import pytest
+
+    with pytest.raises(Exception, match="centroids"):
+        append_ivf_index(b, str(tmp_path / "nowhere"))
