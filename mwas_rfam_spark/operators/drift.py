@@ -278,7 +278,7 @@ def binned_numeric_drift(
     relative_error: float = 0.001,
 ) -> DataFrame:
     """Sketch-path numeric drift → one row
-    (n_a, n_b, n_bins, psi, max_bin_gap).
+    (n_a, n_b, n_bins, psi, ks_lower_bound).
 
     The exact :func:`ks_drift` shuffles the distinct-value relation —
     linear and parallel, but for continuous doubles that relation is
@@ -290,8 +290,10 @@ def binned_numeric_drift(
     baseline time, the same convention as the categorical monitor and
     :func:`windowed_psi_stream`; NULLs get their own bucket (-1).
 
-    ``max_bin_gap`` is the largest per-bin |p_a − p_b| — a binned lower
-    bound on the KS statistic, so it composes with the same thresholds.
+    ``ks_lower_bound`` is the largest |cumulative (p_a − p_b)| over the
+    value-ordered non-null bins with non-null totals — a provable lower
+    bound on :func:`ks_drift`'s exact statistic (each bin edge is a real
+    value threshold), so it composes with the same thresholds.
     """
     if bins < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")
@@ -331,14 +333,39 @@ def binned_numeric_drift(
         raise ValueError(f"binned_numeric_drift needs non-empty sides, got n_a={n_a}, n_b={n_b}")
     pa = F.col("cnt_a") / F.lit(n_a) + F.lit(eps)
     pb = F.col("cnt_b") / F.lit(n_b) + F.lit(eps)
+    # the binned KS lower bound is the max |CUMULATIVE (p_a - p_b)| over
+    # value-ordered NON-NULL bins with proportions over the NON-NULL
+    # totals (matching ks_drift's domain): each bin edge is a real value
+    # threshold, so the binned CDF gap there equals the exact CDF gap at
+    # that point and can never exceed the exact supremum. A per-bin gap
+    # does not have this property — mass moving from bins 1 and 3 into
+    # bin 2 gives per-bin gaps of 1.0 against a true KS of 0.5. The
+    # window is over <= bins+2 rows (parameter-sized), so the
+    # single-task sort is fine.
+    nn = counts.where(F.col("bucket") >= 0).agg(F.sum("cnt_a"), F.sum("cnt_b")).first()
+    na_nn, nb_nn = int(nn[0] or 0), int(nn[1] or 0)
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum_gap = F.when(
+        (F.col("bucket") >= 0) & F.lit(na_nn > 0 and nb_nn > 0),
+        F.abs(
+            F.sum(
+                F.when(
+                    F.col("bucket") >= 0,
+                    F.col("cnt_a") / F.lit(max(na_nn, 1))
+                    - F.col("cnt_b") / F.lit(max(nb_nn, 1)),
+                ).otherwise(0.0)
+            ).over(w_cum)
+        ),
+    )
     per_bin = counts.select(
+        "bucket",
         ((pa - pb) * F.log(pa / pb)).alias("psi_term"),
-        F.abs(F.col("cnt_a") / F.lit(n_a) - F.col("cnt_b") / F.lit(n_b)).alias("gap"),
+        cum_gap.alias("cum_gap"),
     )
     return per_bin.agg(
         F.lit(n_a).alias("n_a"),
         F.lit(n_b).alias("n_b"),
         F.count("*").alias("n_bins"),
         F.round(F.sum("psi_term"), 9).alias("psi"),
-        F.round(F.max("gap"), 9).alias("max_bin_gap"),
+        F.round(F.max("cum_gap"), 9).alias("ks_lower_bound"),
     )

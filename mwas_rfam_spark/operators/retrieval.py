@@ -235,6 +235,22 @@ def bm25_topk(
     )
 
 
+def _build_postings(docs, text_col: str, id_col: str, n_buckets: int):
+    """The ONE definition of the index's posting rows — materialize and
+    append must build identically or probe equivalence breaks, so both
+    call here. Returns (checkpointed tokenized base, postings)."""
+    base = docs.select(
+        F.col(id_col).alias("id"), _lowered_tokens(text_col).alias("toks")
+    ).localCheckpoint()
+    postings = (
+        base.select("id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        .groupBy("term", "id")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .withColumn("bucket", _term_bucket_col(n_buckets))
+    )
+    return base, postings
+
+
 def materialize_text_index(
     docs: DataFrame,
     path: str,
@@ -260,15 +276,7 @@ def materialize_text_index(
     posting)."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    base = docs.select(
-        F.col(id_col).alias("id"), _lowered_tokens(text_col).alias("toks")
-    ).localCheckpoint()
-    postings = (
-        base.select("id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
-        .groupBy("term", "id")
-        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
-        .withColumn("bucket", _term_bucket_col(n_buckets))
-    )
+    base, postings = _build_postings(docs, text_col, id_col, n_buckets)
     postings.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/postings")
     stats = base.select(F.size("toks").alias("dl")).agg(
         F.count("*").alias("n_docs"),
@@ -348,15 +356,7 @@ def append_text_index(
     spark = docs_new.sparkSession
     stats = spark.read.parquet(f"{path}/stats").collect()[0]
     n_buckets = int(stats["n_buckets"])
-    base = docs_new.select(
-        F.col(id_col).alias("id"), _lowered_tokens(text_col).alias("toks")
-    ).localCheckpoint()
-    postings = (
-        base.select("id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
-        .groupBy("term", "id")
-        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
-        .withColumn("bucket", _term_bucket_col(n_buckets))
-    )
+    base, postings = _build_postings(docs_new, text_col, id_col, n_buckets)
     postings.write.mode("append").partitionBy("bucket").parquet(f"{path}/postings")
     new = base.select(F.size("toks").alias("dl")).agg(
         F.count("*").alias("n_new"), F.sum("dl").alias("sum_dl_new")
@@ -365,8 +365,11 @@ def append_text_index(
     if n_new == 0:
         return
     n_docs = int(stats["n_docs"]) + n_new
+    # avgdl is NULL when the index was materialized over an empty
+    # corpus (avg of 0 rows) — the create-empty-then-append bootstrap
     avgdl = (
-        float(stats["n_docs"]) * float(stats["avgdl"]) + float(new["sum_dl_new"] or 0)
+        float(stats["n_docs"]) * float(stats["avgdl"] or 0.0)
+        + float(new["sum_dl_new"] or 0)
     ) / n_docs
     spark.createDataFrame(
         [(n_docs, avgdl, n_buckets)], "n_docs BIGINT, avgdl DOUBLE, n_buckets INT"

@@ -187,20 +187,43 @@ def ivf_ann_topk(
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def _guard_dims(emb: DataFrame, centroids: list[list[float]], vec_col: str) -> DataFrame:
+    """In-plan dimension check where user vectors meet a frozen
+    quantizer: a mismatched vector would zip_with-pad to NULL distances
+    and land in the NULL cell partition, where probes NEVER look — a
+    silent permanent loss. raise_error keeps the plan lazy."""
+    d = len(centroids[0])
+    return emb.withColumn(
+        vec_col,
+        F.when(F.size(vec_col) == d, F.col(vec_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"vector dimension != quantizer dimension {d}: got "),
+                    F.size(vec_col).cast("string"),
+                )
+            )
+        ),
+    )
+
+
 def write_ivf_index(
     emb: DataFrame,
     centroids: list[list[float]],
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    mode: str = "overwrite",
 ) -> None:
     """Materialize the IVF index: vectors written parquet partitioned by
     their nearest-centroid cell. This is what turns the probe's cell
     filter from a compute-then-discard scan into PARTITION PRUNING — at
-    100 TB only nprobe/k_cells of the files are ever opened."""
-    assign_ivf_cells(emb, centroids, id_col, vec_col).write.partitionBy(
+    100 TB only nprobe/k_cells of the files are ever opened. The ONE
+    definition of the index layout — materialize_ivf and
+    append_ivf_index both write through here."""
+    guarded = _guard_dims(emb, centroids, vec_col)
+    assign_ivf_cells(guarded, centroids, id_col, vec_col).write.partitionBy(
         "cell"
-    ).mode("overwrite").parquet(path)
+    ).mode(mode).parquet(path)
 
 
 def materialize_ivf(
@@ -222,9 +245,7 @@ def materialize_ivf(
     column, and the ranking is a plain cosine ORDER BY ... LIMIT k —
     no Spark-side state needed beyond the parquet."""
     spark = emb.sparkSession
-    assign_ivf_cells(emb, centroids, id_col, vec_col).write.partitionBy(
-        "cell"
-    ).mode("overwrite").parquet(f"{path}/vectors")
+    write_ivf_index(emb, centroids, f"{path}/vectors", id_col, vec_col)
     cent_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell INT, centroid ARRAY<DOUBLE>",
@@ -351,6 +372,4 @@ def append_ivf_index(
     if not cent_rows:
         raise ValueError(f"no centroids found under {path}/centroids")
     centroids = [list(r["centroid"]) for r in cent_rows]
-    assign_ivf_cells(emb_new, centroids, id_col, vec_col).write.partitionBy(
-        "cell"
-    ).mode("append").parquet(f"{path}/vectors")
+    write_ivf_index(emb_new, centroids, f"{path}/vectors", id_col, vec_col, mode="append")

@@ -104,8 +104,10 @@ def bpe_encode(
     id_col: str = "doc_id",
     emit_tokens: bool = True,
     passthrough_cols: list[str] | None = None,
+    vocab=None,
 ) -> DataFrame:
-    """Encode a corpus → (id[, passthrough...], n_tokens[, tokens]).
+    """Encode a corpus → (id[, passthrough...], n_tokens[, tokens or
+    token_ids]).
 
     ``merges`` is the DataFrame from :func:`train_bpe_merges` or a
     plain merge list. The table is shipped once per executor via a
@@ -114,21 +116,33 @@ def bpe_encode(
     token-budget / packing consumers only need counts, and at corpus
     scale the arrays are the dominant shuffle payload.
     ``passthrough_cols`` ride through the Arrow stage untouched, so
-    group-wise consumers never need to join back to the corpus."""
+    group-wise consumers never need to join back to the corpus.
+    ``vocab`` (a :func:`bpe_vocab` DataFrame or {token: id} mapping)
+    switches the emitted arrays to ``token_ids ARRAY<INT>`` — symbols
+    outside the vocabulary map to ``<unk>`` (0). ONE kernel serves the
+    string and id paths, so their semantics cannot drift."""
     merge_rows = _merge_list(merges)
     passthrough = list(passthrough_cols or [])
+    vocab_map = None
+    if vocab is not None:
+        if isinstance(vocab, DataFrame):
+            vocab_map = {r["token"]: r["id"] for r in vocab.collect()}
+        else:
+            vocab_map = dict(vocab)
     spark = docs.sparkSession
     bc = spark.sparkContext.broadcast(merge_rows)
+    bc_v = spark.sparkContext.broadcast(vocab_map)
     id_type = docs.schema[id_col].dataType.simpleString()
     schema = f"{id_col} {id_type}"
     for c in passthrough:
         schema += f", {c} {docs.schema[c].dataType.simpleString()}"
     schema += ", n_tokens BIGINT"
     if emit_tokens:
-        schema += ", tokens ARRAY<STRING>"
+        schema += ", token_ids ARRAY<INT>" if vocab_map is not None else ", tokens ARRAY<STRING>"
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ranks = ranks_from_merges(bc.value)
+        v = bc_v.value
         cache: dict[str, list[str]] = {}
         for pdf in batches:
             if len(pdf) == 0:
@@ -142,7 +156,10 @@ def bpe_encode(
                 out[c] = pdf[c]
             out["n_tokens"] = pd.Series([len(t) for t in toks], dtype="int64")
             if emit_tokens:
-                out["tokens"] = toks
+                if v is not None:
+                    out["token_ids"] = [[v.get(t, 0) for t in ts] for ts in toks]
+                else:
+                    out["tokens"] = toks
             yield pd.DataFrame(out)
 
     src = docs.select(
@@ -228,38 +245,10 @@ def bpe_encode_ids(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Training-ready encode → (id, n_tokens, token_ids ARRAY<INT>):
-    the :func:`bpe_encode` token stream mapped through a broadcast
-    vocabulary; symbols outside the vocabulary map to ``<unk>`` (0).
-    The int stream is what sequence packing / shard writers consume —
-    ~4 bytes per token instead of a string."""
-    from mwas_rfam_spark.functions.bpe import encode_text, ranks_from_merges
-
-    merge_rows = _merge_list(merges)
-    vocab_rows = {r["token"]: r["id"] for r in vocab.collect()}
-    spark = docs.sparkSession
-    bc_m = spark.sparkContext.broadcast(merge_rows)
-    bc_v = spark.sparkContext.broadcast(vocab_rows)
-    id_type = docs.schema[id_col].dataType.simpleString()
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ranks = ranks_from_merges(bc_m.value)
-        v = bc_v.value
-        cache: dict[str, list[str]] = {}
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids_out = []
-            for t in pdf["__text"]:
-                text = "" if t is None else str(t)
-                toks = encode_text(text, ranks, cache)
-                ids_out.append([v.get(tok, 0) for tok in toks])
-            yield pd.DataFrame(
-                {
-                    id_col: pdf["__id"],
-                    "n_tokens": pd.Series([len(x) for x in ids_out], dtype="int64"),
-                    "token_ids": ids_out,
-                }
-            )
-
-    src = docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    :func:`bpe_encode` with the ``vocab`` option — kept as a named
+    entry point for the shard-writer consumers; the ~4-byte-per-token
+    int stream replaces the string arrays."""
+    return bpe_encode(
+        docs, merges, text_col=text_col, id_col=id_col, emit_tokens=True, vocab=vocab
+    )
     return src.mapInPandas(encode, f"{id_col} {id_type}, n_tokens BIGINT, token_ids ARRAY<INT>")

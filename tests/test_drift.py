@@ -271,7 +271,7 @@ def test_cdc_null_payload_skipped(spark):
 
 def test_binned_numeric_drift(spark):
     """Sketch-path drift: identical sides -> psi 0; shifted sides ->
-    large psi and max_bin_gap <= exact KS (binned lower bound); NULLs
+    large psi and ks_lower_bound <= exact KS (provable bound); NULLs
     get their own bucket; hand model on a 2-bin split."""
     import random
 
@@ -284,12 +284,12 @@ def test_binned_numeric_drift(spark):
     b = spark.createDataFrame([(v,) for v in ys], "v double")
 
     same = binned_numeric_drift(a, a, "v", bins=10).first()
-    assert same["psi"] == 0.0 and same["max_bin_gap"] == 0.0
+    assert same["psi"] == 0.0 and same["ks_lower_bound"] == 0.0
 
     moved = binned_numeric_drift(a, b, "v", bins=10).first()
     assert moved["psi"] > 0.25
     exact = ks_drift(a, b, "v").first()["ks_stat"]
-    assert moved["max_bin_gap"] <= exact + 1e-9
+    assert moved["ks_lower_bound"] <= exact + 1e-9
 
     # hand model, bins=2: single edge = baseline median
     xs2 = [1.0, 2.0, 3.0, 4.0]
@@ -321,3 +321,25 @@ def test_binned_numeric_drift(spark):
         binned_numeric_drift(a, b, "v", bins=1)
     with pytest.raises(ValueError, match="no non-null"):
         binned_numeric_drift(a.where("v > 1e9"), b, "v").first()
+
+
+def test_binned_ks_bound_mass_shift_counterexample(spark):
+    """Per-bin gaps would report 1.0 here; the true KS is 0.5 and the
+    cumulative bound must respect it. Null-rate changes must not leak
+    into the bound (KS is defined over non-null values)."""
+    from mwas_rfam_spark.operators.drift import binned_numeric_drift
+
+    # baseline: half mass at 1.0, half at 3.0; candidate: all at 2.0
+    a = spark.createDataFrame([(1.0,)] * 50 + [(3.0,)] * 50, "v double")
+    b = spark.createDataFrame([(2.0,)] * 100, "v double")
+    row = binned_numeric_drift(a, b, "v", bins=4).first()
+    exact = ks_drift(a, b, "v").first()["ks_stat"]
+    assert row["ks_lower_bound"] <= exact + 1e-9
+    assert row["ks_lower_bound"] > 0.4  # still detects the move
+
+    # pure null-rate drift: bound stays 0, PSI catches it
+    c = spark.createDataFrame([(1.0,)] * 50 + [(None,)] * 50, "v double")
+    d = spark.createDataFrame([(1.0,)] * 100, "v double")
+    r2 = binned_numeric_drift(c, d, "v", bins=2).first()
+    assert r2["ks_lower_bound"] == 0.0
+    assert r2["psi"] > 0.25

@@ -208,3 +208,30 @@ def test_append_ivf_index_equals_full_rebuild(spark, sf_dir, tmp_path):
 
     with pytest.raises(Exception, match="centroids"):
         append_ivf_index(b, str(tmp_path / "nowhere"))
+
+
+def test_append_ivf_dimension_guard(spark, tmp_path):
+    """Appending vectors of the wrong dimension must fail loud — a
+    silent zip_with pad would strand them in the NULL cell partition
+    where probes never look."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.operators.similarity import (
+        append_ivf_index,
+        materialize_ivf,
+        train_ivf_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i % 3), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = train_ivf_centroids(emb, k=2, iters=1)
+    path = str(tmp_path / "idx")
+    materialize_ivf(emb, cents, path)
+    bad = spark.createDataFrame(
+        [(100, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="dimension"):
+        append_ivf_index(bad, path)
