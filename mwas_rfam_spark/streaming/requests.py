@@ -259,6 +259,45 @@ def streaming_curate(
     return deduped
 
 
+def _windowed_psi(
+    events: DataFrame,
+    matches: list,
+    props: list[float],
+    window: str,
+    watermark: str,
+    eps: float,
+    psi_threshold: float,
+) -> DataFrame:
+    """Shared windowed-PSI tail for the categorical and numeric
+    monitors: one watermarked windowed aggregation with a conditional
+    sum per fixed bucket (``matches[i]`` must be a never-NULL boolean
+    Column; the buckets must partition every row), PSI in the
+    projection."""
+    conds = [F.sum(F.when(m, 1).otherwise(0)) for m in matches]
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"))
+        .agg(
+            F.count("*").alias("n"),
+            *[c.alias(f"__b{i}") for i, c in enumerate(conds)],
+        )
+    )
+    n = F.col("n").cast("double")
+    psi = None
+    for i, p_base in enumerate(props):
+        p_win = F.col(f"__b{i}") / n + F.lit(eps)
+        p_b = F.lit(p_base + eps)
+        term = (p_win - p_b) * F.log(p_win / p_b)
+        psi = term if psi is None else psi + term
+    return agg.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "n",
+        F.round(psi, 9).alias("psi"),
+        (psi > F.lit(psi_threshold)).alias("flagged"),
+    )
+
+
 def windowed_psi_stream(
     events: DataFrame,
     baseline,
@@ -316,32 +355,66 @@ def windowed_psi_stream(
     matches = [
         cat.isNull() if c is None else cat.eqNullSafe(F.lit(c)) for c, _p in buckets
     ]
-    conds = [F.sum(F.when(m, 1).otherwise(0)) for m in matches]
     any_match = matches[0]
     for m in matches[1:]:
         any_match = any_match | m
-    conds.append(F.sum(F.when(~any_match, 1).otherwise(0)))
-    buckets.append(("__other__", 0.0))
-
-    agg = (
-        events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("win"))
-        .agg(
-            F.count("*").alias("n"),
-            *[c.alias(f"__b{i}") for i, c in enumerate(conds)],
-        )
+    matches.append(~any_match)
+    props_list = [p for _c, p in buckets] + [0.0]  # __other__
+    return _windowed_psi(
+        events, matches, props_list, window, watermark, eps, psi_threshold
     )
-    n = F.col("n").cast("double")
-    psi = None
-    for i, (_c, p_base) in enumerate(buckets):
-        p_win = F.col(f"__b{i}") / n + F.lit(eps)
-        p_b = F.lit(p_base + eps)
-        term = (p_win - p_b) * F.log(p_win / p_b)
-        psi = term if psi is None else psi + term
-    return agg.select(
-        F.col("win.start").alias("window_start"),
-        F.col("win.end").alias("window_end"),
-        "n",
-        F.round(psi, 9).alias("psi"),
-        (psi > F.lit(psi_threshold)).alias("flagged"),
+
+
+def windowed_numeric_psi_stream(
+    events: DataFrame,
+    baseline: DataFrame,
+    value_col: str = "value",
+    bins: int = 10,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    eps: float = 1e-6,
+    psi_threshold: float = 0.25,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Numeric twin of :func:`windowed_psi_stream`: PSI per window over
+    FROZEN baseline-quantile bins (the streaming form of
+    ``operators.drift.binned_numeric_drift``). Bin edges come from one
+    ``percentile_approx`` sketch over the baseline (a batch relation);
+    each stream row then routes to a bucket with pure arithmetic —
+    never-NULL conditions, NULLs in their own bucket — and the shared
+    windowed-aggregation tail does the rest. Same rows in batch and
+    stream."""
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    qs = [i / bins for i in range(1, bins)]
+    edges_row = baseline.agg(
+        F.percentile_approx(
+            F.col(value_col), F.lit(qs), F.lit(int(1.0 / relative_error))
+        ).alias("edges")
+    ).first()
+    edges = [float(e) for e in (edges_row["edges"] or []) if e is not None]
+    if not edges:
+        raise ValueError(f"baseline has no non-null values in {value_col}")
+
+    # baseline proportions over the SAME frozen buckets
+    v = F.col(value_col)
+    bucket_of = F.lit(0)
+    for e in edges:
+        bucket_of = bucket_of + F.when(v > F.lit(e), 1).otherwise(0)
+    bucket_of = F.when(v.isNull(), F.lit(-1)).otherwise(bucket_of)
+    base_counts = {
+        r["b"]: r["n"]
+        for r in baseline.select(bucket_of.alias("b")).groupBy("b").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    total = float(sum(base_counts.values()))
+    n_buckets = len(edges) + 1
+    matches = [v.isNull()] + [
+        (~v.isNull()) & bucket_of.eqNullSafe(F.lit(i)) for i in range(n_buckets)
+    ]
+    props = [base_counts.get(-1, 0) / total] + [
+        base_counts.get(i, 0) / total for i in range(n_buckets)
+    ]
+    return _windowed_psi(
+        events, matches, props, window, watermark, eps, psi_threshold
     )

@@ -333,3 +333,66 @@ def test_windowed_psi_null_influx_flagged(spark):
     r2 = windowed_psi_stream(batch, base_df).first()
     r3 = windowed_psi_stream(batch, {"click": 120, "error": 30}).first()
     assert r2["psi"] == r3["psi"]
+
+
+def test_windowed_numeric_psi_stream(spark, tmp_path):
+    """Numeric monitor: window matching the baseline distribution is
+    quiet, a shifted window flags; batch and stream rows identical."""
+    import datetime as dt
+    import json
+
+    from mwas_rfam_spark.streaming.requests import windowed_numeric_psi_stream
+
+    t0 = dt.datetime(2026, 1, 1)
+    baseline = spark.createDataFrame(
+        [(float(i % 100),) for i in range(1000)], "value double"
+    )
+    rows = []
+    for i in range(50):  # window 1: same uniform mix
+        rows.append((t0 + dt.timedelta(seconds=i), float(i * 2 % 100)))
+    for i in range(50):  # window 2: all mass at the top + nulls
+        rows.append((t0 + dt.timedelta(minutes=6, seconds=i), 99.0 if i % 5 else None))
+    batch = spark.createDataFrame(rows, "ts timestamp, value double")
+
+    out = windowed_numeric_psi_stream(
+        batch, baseline, window="5 minutes", bins=10
+    )
+    got = {r["window_start"]: r for r in out.collect()}
+    w1 = got[t0]
+    w2 = got[t0 + dt.timedelta(minutes=5)]
+    assert not w1["flagged"] and w1["psi"] < 0.1
+    assert w2["flagged"] and w2["psi"] > 0.25
+
+    drop = tmp_path / "ndrop"
+    drop.mkdir()
+    (drop / "b.json").write_text(
+        "\n".join(
+            json.dumps({"ts": r[0].isoformat(sep=" "), "value": r[1]}) for r in rows
+        )
+    )
+    stream = spark.readStream.schema("ts timestamp, value double").json(str(drop))
+    q = (
+        windowed_numeric_psi_stream(stream, baseline, window="5 minutes", bins=10)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("npsi_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        srows = {
+            r["window_start"]: r
+            for r in spark.sql("SELECT * FROM npsi_out").collect()
+        }
+    finally:
+        q.stop()
+    assert {k: (v["psi"], v["flagged"]) for k, v in got.items()} == {
+        k: (v["psi"], v["flagged"]) for k, v in srows.items()
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError, match="bins"):
+        windowed_numeric_psi_stream(batch, baseline, bins=1)
+    with pytest.raises(ValueError, match="no non-null"):
+        windowed_numeric_psi_stream(batch, baseline.where("value > 1e9"))
