@@ -460,6 +460,70 @@ def drift_main(argv: list[str], spark: SparkSession | None = None) -> int:
             spark.stop()
 
 
+def build_index_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mwas_rfam_spark index",
+        description="Materialized retrieval indexes: term-bucketed BM25 "
+        "postings (kind=text) or cell-partitioned IVF vectors "
+        "(kind=ann). 'append' extends an existing index with NEW "
+        "rows only (feed the diff CLI's added slice) — score-identical "
+        "to a full rebuild.",
+    )
+    p.add_argument("kind", choices=("text", "ann"))
+    p.add_argument("op", choices=("build", "append"))
+    p.add_argument("input", help="documents (text) or embeddings (ann) parquet")
+    p.add_argument("--path", required=True, help="index root")
+    p.add_argument("--buckets", type=int, default=64, help="text: term buckets")
+    p.add_argument("--cells", type=int, default=32, help="ann build: IVF cells")
+    p.add_argument("--iters", type=int, default=2, help="ann build: Lloyd iterations")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default=None, help="default: doc_id (text) / vec_id (ann)")
+    p.add_argument("--vec-col", default="embedding")
+    return p
+
+
+def index_main(argv: list[str], spark: SparkSession | None = None) -> int:
+    args = build_index_parser().parse_args(argv)
+    owns_session = spark is None
+    if owns_session:
+        from .session import get_spark
+
+        spark = get_spark(app_name="index-cli")
+    try:
+        df = spark.read.parquet(args.input)
+        if args.kind == "text":
+            from .operators.retrieval import append_text_index, materialize_text_index
+
+            id_col = args.id_col or "doc_id"
+            if args.op == "build":
+                materialize_text_index(
+                    df, args.path, n_buckets=args.buckets,
+                    text_col=args.text_col, id_col=id_col,
+                )
+            else:
+                append_text_index(df, args.path, text_col=args.text_col, id_col=id_col)
+        else:
+            from .operators.similarity import (
+                append_ivf_index,
+                materialize_ivf,
+                train_ivf_centroids,
+            )
+
+            id_col = args.id_col or "vec_id"
+            if args.op == "build":
+                cents = train_ivf_centroids(
+                    df, k=args.cells, iters=args.iters, vec_col=args.vec_col
+                )
+                materialize_ivf(df, cents, args.path, id_col=id_col, vec_col=args.vec_col)
+            else:
+                append_ivf_index(df, args.path, id_col=id_col, vec_col=args.vec_col)
+        print(f"{args.kind} index {args.op} complete at {args.path}")
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
 def build_fuzzy_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="mwas_rfam_spark fuzzy",
@@ -696,6 +760,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         return diff_main(argv[1:], spark)
     if argv and argv[0] == "fuzzy":
         return fuzzy_main(argv[1:], spark)
+    if argv and argv[0] == "index":
+        return index_main(argv[1:], spark)
     if argv and argv[0] == "tokenize":
         return tokenize_main(argv[1:], spark)
     from .config import MwasConfig

@@ -542,3 +542,35 @@ def test_fuzzy_cli(spark, tmp_path, capsys):
     assert rc == 0
     got = {(r["left_id"], r["right_id"]) for r in spark.read.parquet(out2).collect()}
     assert got == {(1, 100), (2, 100), (3, 100)}
+
+
+def test_index_cli_build_and_append(spark, tmp_path, capsys):
+    docs = spark.createDataFrame(
+        [(i, f"the data pipeline document {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    docs.where("doc_id < 20").write.parquet(a)
+    docs.where("doc_id >= 20").write.parquet(b)
+    idx = str(tmp_path / "tidx")
+    assert main(["index", "text", "build", a, "--path", idx, "--buckets", "8"], spark=spark) == 0
+    assert main(["index", "text", "append", b, "--path", idx], spark=spark) == 0
+    from mwas_rfam_spark.operators.retrieval import bm25_topk_indexed
+
+    got = bm25_topk_indexed(spark, idx, ["data", "pipeline"], k=30)
+    assert got.count() == 30  # all docs found, including the appended ones
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    ea, eb = str(tmp_path / "ea"), str(tmp_path / "eb")
+    emb.where("vec_id < 30").write.parquet(ea)
+    emb.where("vec_id >= 30").write.parquet(eb)
+    aidx = str(tmp_path / "aidx")
+    assert main(
+        ["index", "ann", "build", ea, "--path", aidx, "--cells", "4", "--iters", "1"],
+        spark=spark,
+    ) == 0
+    assert main(["index", "ann", "append", eb, "--path", aidx], spark=spark) == 0
+    assert spark.read.parquet(f"{aidx}/vectors").count() == 40
