@@ -524,6 +524,46 @@ def index_main(argv: list[str], spark: SparkSession | None = None) -> int:
             spark.stop()
 
 
+def build_search_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mwas_rfam_spark search",
+        description="Query a materialized index (see `index`): BM25 "
+        "top-k over a text index, partition-pruned to the query terms' "
+        "buckets.",
+    )
+    p.add_argument("path", help="text index root (from `index text build`)")
+    p.add_argument("--terms", required=True, help="comma list of query terms")
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("--output", default=None, help="optional results parquet")
+    return p
+
+
+def search_main(argv: list[str], spark: SparkSession | None = None) -> int:
+    args = build_search_parser().parse_args(argv)
+    terms = [t.strip() for t in args.terms.split(",") if t.strip()]
+    if not terms:
+        raise SystemExit("search: --terms must name at least one term")
+    owns_session = spark is None
+    if owns_session:
+        from .session import get_spark
+
+        spark = get_spark(app_name="search-cli")
+    try:
+        from .operators.retrieval import bm25_topk_indexed
+
+        rows = bm25_topk_indexed(spark, args.path, terms, k=args.k).collect()
+        for r in rows:
+            print(f"{r['doc_id']}\t{r['score']:.6f}\t{r['n_matched']}")
+        if args.output:
+            spark.createDataFrame(
+                rows, "doc_id long, score double, n_matched int"
+            ).write.mode("overwrite").parquet(args.output)
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
 def build_fuzzy_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="mwas_rfam_spark fuzzy",
@@ -762,6 +802,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         return fuzzy_main(argv[1:], spark)
     if argv and argv[0] == "index":
         return index_main(argv[1:], spark)
+    if argv and argv[0] == "search":
+        return search_main(argv[1:], spark)
     if argv and argv[0] == "tokenize":
         return tokenize_main(argv[1:], spark)
     from .config import MwasConfig

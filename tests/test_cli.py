@@ -574,3 +574,26 @@ def test_index_cli_build_and_append(spark, tmp_path, capsys):
     ) == 0
     assert main(["index", "ann", "append", eb, "--path", aidx], spark=spark) == 0
     assert spark.read.parquet(f"{aidx}/vectors").count() == 40
+
+
+def test_search_cli(spark, tmp_path, capsys):
+    docs = spark.createDataFrame(
+        [(1, "data pipeline"), (2, "data"), (3, "unrelated words")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "sdocs")
+    docs.write.parquet(src)
+    idx = str(tmp_path / "sidx")
+    assert main(["index", "text", "build", src, "--path", idx], spark=spark) == 0
+    capsys.readouterr()  # drain the index build's status line
+    out = str(tmp_path / "sres")
+    rc = main(
+        ["search", idx, "--terms", "data, pipeline", "-k", "5", "--output", out],
+        spark=spark,
+    )
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 2  # docs 1 and 2 match; doc 1 ranks first
+    assert lines[0].startswith("1\t")
+    back = spark.read.parquet(out)
+    assert back.count() == 2 and set(back.columns) == {"doc_id", "score", "n_matched"}
