@@ -1272,6 +1272,20 @@ def q_bpe_tokenize(spark, sf_dir):
     )
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric n-gram containment pairs (Broder's containment
+    coefficient — quote/boilerplate inclusion that symmetric Jaccard
+    misses). Bench-only surface; brute-force + DuckDB parity in
+    tests/test_fuzzy.py. Exact join (max_df=None) on 120-char
+    prefixes, matching the parity tests' shape."""
+    from mwas_rfam_spark.operators.dedup import ngram_containment_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 120).alias("text")
+    )
+    return ngram_containment_pairs(d, n=3, threshold=0.7, max_df=None)
+
+
 def q_cdc_dedup(spark, sf_dir):
     """Chunk-grain binary dedup accounting over content-defined chunks
     (bench-only surface; vectorized-vs-sequential gear-hash equality,
@@ -2275,6 +2289,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_report": q_drift_report,
         "bpe_tokenize": q_bpe_tokenize,
         "cdc_dedup": q_cdc_dedup,
+        "dedup_containment": q_dedup_containment,
     }
 
 

@@ -64,6 +64,7 @@ HEADLINE = [
     "drift_report",
     "bpe_tokenize",
     "cdc_dedup",
+    "dedup_containment",
     "events_hourly",
 ]
 

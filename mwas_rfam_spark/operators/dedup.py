@@ -1687,3 +1687,93 @@ def incremental_embedding_dedup(
         seen_state.unionByName(kept_state) if seen_state is not None else kept_state
     )
     return survivors, updated
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None | str = "auto",
+) -> DataFrame:
+    """EXACT containment pairs by word-n-gram sets: (id_contained,
+    id_container, containment) with ``|A∩B| / |A| >= threshold`` —
+    the ASYMMETRIC relation symmetric Jaccard misses (a short document
+    quoted wholesale inside a long one scores low Jaccard but 1.0
+    containment; Broder 1997 calls this the containment coefficient).
+
+    Same inverted-index discipline as :func:`ngram_jaccard_pairs`, with
+    the asymmetric prefix filter: |A∩B| >= ceil(t·|a|) forces the
+    CONTAINED side to share a shingle within its first
+    ``|a| - ceil(t·|a|) + 1`` canonically-ranked shingles, while the
+    container side indexes ALL its shingles (containment puts no upper
+    bound on |b|, so its prefix cannot shrink). Candidates then pass the
+    size filter |b| >= ceil(t·|a|) and verify exactly with
+    array_intersect. ``max_df`` (PPJoin+ stop shingles, candidate
+    generation only, "auto" derives from the df distribution) is the
+    same low-vocabulary guard with the same documented trade.
+
+    Self-containment and mirrored duplicates are excluded only as
+    (a, a); both (a⊂b) and (b⊂a) rows can appear — the relation is
+    directional by design.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = word_shingles(docs, n, text_col, id_col)
+    doc_sets = sh.groupBy("id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("shingles"),
+        F.count("*").alias("sz"),
+    ).localCheckpoint()
+
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    if isinstance(max_df, str):
+        if max_df != "auto":
+            raise ValueError(f"max_df must be an int, None, or 'auto': {max_df!r}")
+        max_df = auto_max_df(df_counts)
+    w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
+    ranked = (
+        sh.join(df_counts, "shingle")
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .join(doc_sets.select("id", "sz"), "id")
+    )
+    if max_df is not None:
+        ranked = ranked.where(F.col("df") <= max_df)
+    ranked = ranked.select("id", "shingle", "pos", "sz").localCheckpoint()
+
+    contained = ranked.where(
+        F.col("pos") < F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select(F.col("id").alias("id_a"), "shingle", F.col("sz").alias("sz_a"))
+    container = ranked.select(F.col("id").alias("id_b"), "shingle", F.col("sz").alias("sz_b"))
+    cand = (
+        contained.join(container, "shingle")
+        .where(
+            (F.col("id_a") != F.col("id_b"))
+            # |A∩B| <= min(|a|, |b|), so containment needs |b| >= t*|a|
+            & (F.col("sz_b") >= F.ceil(F.lit(threshold) * F.col("sz_a")))
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    n_part = max(docs.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    verified = (
+        cand.repartition(n_part, "id_a", "id_b")
+        .join(
+            doc_sets.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            doc_sets.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("sh_a", "sh_b")) / F.col("sz_a"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+    return verified.select(
+        F.col("id_a").alias("id_contained"),
+        F.col("id_b").alias("id_container"),
+        F.round("containment", 6).alias("containment"),
+    )

@@ -157,3 +157,100 @@ def test_blocking_is_not_allpairs(spark):
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     plan = edit_distance_pairs(docs, max_dist=1)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------- containment pairs
+
+
+def test_containment_pairs_bruteforce_and_asymmetry(spark):
+    """Quote-inclusion shape: short doc embedded in a long one scores
+    containment 1.0 but low Jaccard; brute-force parity over a mixed
+    corpus; the exact (max_df=None) join is verified."""
+    import itertools
+
+    from mwas_rfam_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, quote),
+        (2, "intro paragraph here . " + quote + " . and a very long tail " +
+            " ".join(f"word{i}" for i in range(40))),
+        (3, "totally unrelated content about spark catalyst tungsten and more filler text"),
+        (4, quote + " with one extra"),
+        (5, "the quick brown fox"),  # too short for full containment of others
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def shingles(t, n=3):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    t = 0.8
+    want = set()
+    for (i, a), (j, b) in itertools.permutations(rows, 2):
+        sa, sb = shingles(a), shingles(b)
+        if sa and len(sa & sb) / len(sa) >= t:
+            want.add((i, j, round(len(sa & sb) / len(sa), 6)))
+    got = {
+        (r["id_contained"], r["id_container"], r["containment"])
+        for r in ngram_containment_pairs(docs, n=3, threshold=t, max_df=None).collect()
+    }
+    assert got == want
+    assert (1, 2, 1.0) in got  # the quote IS contained
+    # and Jaccard misses it at the same bar
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=t, max_df=None).collect()
+    }
+    assert (1, 2) not in jac
+
+    import pytest
+
+    with pytest.raises(ValueError, match="threshold"):
+        ngram_containment_pairs(docs, threshold=0.0)
+
+
+def test_containment_duckdb_parity_on_documents(spark, sf_dir):
+    import duckdb
+
+    from mwas_rfam_spark.operators.dedup import ngram_containment_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.substring("text", 1, 120).alias("text")
+    )
+    got = {
+        (r["id_contained"], r["id_container"], r["containment"])
+        for r in ngram_containment_pairs(docs, n=3, threshold=0.7, max_df=None).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        (r[0], r[1], r[2])
+        for r in con.execute(
+            f"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(substring(text,1,120))),
+                                                 '\\s+', ' ', 'g'), ' ') AS toks
+              FROM read_parquet('{sf_dir}/documents.parquet')
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     )) AS s
+              FROM t WHERE len(toks) >= 3
+            )
+            SELECT a.doc_id, b.doc_id,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s), 6)
+            FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.7
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+    assert len(got) > 0
