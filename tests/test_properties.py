@@ -91,3 +91,70 @@ def test_welch_p_valid(m1, s1, n1, m2, s2, n2):
     t2, _, p2 = welch_ttest_from_stats(m2, s2, n2, m1, s1, n1)
     assert abs(float(t) + float(t2)) < 1e-9 * max(1.0, abs(float(t)))
     assert abs(float(p) - float(p2)) < 1e-12
+
+
+# ---- round-5 kernels: codec / tokenizer / chunking invariants ----
+
+
+@given(
+    st.integers(1, 12),
+    st.integers(1, 10),
+    st.integers(1, 3),
+    st.integers(2, 8),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_roundtrip_property(w, h, n_frames, n_colors, rnd):
+    """encode → decode is the identity on palette-index frames for any
+    dims / frame count / palette size in range."""
+    from mwas_rfam_spark.functions.gif_codec import decode_gif, encode_gif
+
+    pal = [(rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+           for _ in range(n_colors)]
+    frames = [
+        bytes(rnd.randrange(n_colors) for _ in range(w * h)) for _ in range(n_frames)
+    ]
+    data = encode_gif(w, h, frames, pal)
+    gw, gh, out = decode_gif(data)
+    assert (gw, gh) == (w, h) and len(out) == n_frames
+    assert out == [b"".join(bytes(pal[i]) for i in fr) for fr in frames]
+
+
+@given(st.text(alphabet="abcdef \n\t", max_size=120), st.integers(0, 40))
+@settings(max_examples=80, deadline=None)
+def test_bpe_encode_decode_inverse_property(text, n_merges):
+    """decode(encode(text)) == whitespace-normalized lowercase text for
+    ANY merge table trained on ANY corpus (here: the text itself)."""
+    from mwas_rfam_spark.functions.bpe import (
+        decode_tokens,
+        encode_text,
+        ranks_from_merges,
+        train_bpe,
+        word_frequencies,
+    )
+
+    merges = train_bpe(word_frequencies([text]), n_merges)
+    toks = encode_text(text, ranks_from_merges(merges))
+    assert decode_tokens(toks) == " ".join(text.lower().split())
+
+
+@given(st.binary(max_size=4000), st.sampled_from([64, 256, 1024]))
+@settings(max_examples=60, deadline=None)
+def test_cdc_reassembly_and_bounds_property(payload, avg):
+    """Chunks always reassemble the payload exactly; every chunk except
+    the tail respects [min, max]; the vectorized gear hash equals the
+    sequential recurrence on arbitrary bytes."""
+    from mwas_rfam_spark.functions.cdc import (
+        chunk_payload,
+        gear_hashes,
+        gear_hashes_reference,
+    )
+
+    chunks = chunk_payload(payload, avg_size=avg)
+    assert b"".join(payload[o : o + ln] for o, ln, _ in chunks) == payload
+    sizes = [ln for _o, ln, _s in chunks]
+    for s in sizes[:-1]:
+        assert avg // 4 <= s <= avg * 4
+    if sizes:
+        assert sizes[-1] <= avg * 4
+    assert gear_hashes(payload).tolist() == gear_hashes_reference(payload)
