@@ -2150,7 +2150,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               insertion survival, reassembly, Spark
                               dedup stats; benched as `cdc_dedup`
     - corpus snapshot diff  → tests/test_drift.py status matrix +
-                              DuckDB parity on real documents
+                              DuckDB parity on real documents; CLI
+                              `diff` e2e
+    - containment dedup     → tests/test_fuzzy.py brute-force +
+                              DuckDB parity incl. quote-inclusion;
+                              benched as `dedup_containment`
+    - incremental indexes   → append==rebuild equivalence tests
+      (BM25 + IVF appends)    (test_retrieval / test_similarity);
+                              CLI `index` e2e
+    - BPE vocab/id streams  → tests/test_tokenize.py coverage +
+                              round-trip + determinism
+    - streaming PSI (cat +  → tests/test_streaming.py batch/stream
+      numeric bins)           parity, null-influx, hand models
+    - binned numeric drift  → tests/test_drift.py ks_lower_bound
+                              counterexample + null isolation
+    - property suite        → tests/test_properties.py GIF/BPE/CDC
+                              invariants under hypothesis
     """
     return {
         "mwas_cohort_welch": q_mwas_cohort_welch,
