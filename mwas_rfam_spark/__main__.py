@@ -473,7 +473,10 @@ def build_index_parser() -> argparse.ArgumentParser:
     p.add_argument("op", choices=("build", "append"))
     p.add_argument("input", help="documents (text) or embeddings (ann) parquet")
     p.add_argument("--path", required=True, help="index root")
-    p.add_argument("--buckets", type=int, default=64, help="text: term buckets")
+    p.add_argument(
+        "--buckets", type=int, default=64,
+        help="text build: term buckets (append reuses the stored count)",
+    )
     p.add_argument("--cells", type=int, default=32, help="ann build: IVF cells")
     p.add_argument("--iters", type=int, default=2, help="ann build: Lloyd iterations")
     p.add_argument("--text-col", default="text")
@@ -512,7 +515,8 @@ def index_main(argv: list[str], spark: SparkSession | None = None) -> int:
             id_col = args.id_col or "vec_id"
             if args.op == "build":
                 cents = train_ivf_centroids(
-                    df, k=args.cells, iters=args.iters, vec_col=args.vec_col
+                    df, k=args.cells, iters=args.iters,
+                    id_col=id_col, vec_col=args.vec_col,
                 )
                 materialize_ivf(df, cents, args.path, id_col=id_col, vec_col=args.vec_col)
             else:
@@ -551,13 +555,15 @@ def search_main(argv: list[str], spark: SparkSession | None = None) -> int:
     try:
         from .operators.retrieval import bm25_topk_indexed
 
-        rows = bm25_topk_indexed(spark, args.path, terms, k=args.k).collect()
+        result = bm25_topk_indexed(spark, args.path, terms, k=args.k)
+        rows = result.collect()
         for r in rows:
             print(f"{r['doc_id']}\t{r['score']:.6f}\t{r['n_matched']}")
         if args.output:
-            spark.createDataFrame(
-                rows, "doc_id long, score double, n_matched int"
-            ).write.mode("overwrite").parquet(args.output)
+            # the result's own schema — the index id column may be any type
+            spark.createDataFrame(rows, result.schema).write.mode(
+                "overwrite"
+            ).parquet(args.output)
         return 0
     finally:
         if owns_session:

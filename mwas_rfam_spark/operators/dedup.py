@@ -61,6 +61,18 @@ def exact_dedup_groups(
     )
 
 
+def _fp_ceil(x):
+    """ceil for candidate-bound arithmetic on FLOAT thresholds:
+    ``ceil(0.7 * 10)`` is 8 in doubles (0.7*10 = 7.000000000000001),
+    which would demand one more shared shingle than the verification's
+    ``ratio >= t`` accepts — an off-by-one that silently DROPS
+    exact-boundary pairs at candidate generation. Subtracting a 1e-9
+    slack before ceil errs only toward MORE candidates (never fewer),
+    so exactness is preserved and the cost is at most one extra prefix
+    position when t·sz sits within 1e-9 above an integer."""
+    return F.ceil(x - F.lit(1e-9))
+
+
 def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
@@ -128,6 +140,58 @@ def auto_max_df(df_counts: DataFrame) -> int | None:
     return max(int(row["q"]), AUTO_MAX_DF_FLOOR)
 
 
+def _shingle_index(
+    docs: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+    max_df,
+    prefix_threshold: float | None = None,
+):
+    """The ONE construction of the set-similarity inverted index shared
+    by the Jaccard and containment joins → (doc_sets, ranked,
+    resolved_max_df).
+
+    doc_sets: (id, shingles sorted, sz), localCheckpoint'ed (multiple
+    verify-join consumers would otherwise re-plan the shingle subtree).
+    ranked: (id, shingle, pos, sz) with pos the 0-based canonical rank
+    (df ascending, then shingle text), optionally cut to each doc's
+    Jaccard prefix (``prefix_threshold``) BEFORE the checkpoint so the
+    symmetric join materializes prefixes only, and with the PPJoin+
+    ``max_df`` stop-shingle cap applied AFTER ranks are fixed (so
+    surviving shingles keep the canonical positions the positional
+    bound reasons about). ``max_df="auto"`` resolves via
+    :func:`auto_max_df`."""
+    sh = word_shingles(docs, n, text_col, id_col)
+    doc_sets = sh.groupBy("id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("shingles"),
+        F.count("*").alias("sz"),
+    ).localCheckpoint()
+
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    if isinstance(max_df, str):
+        if max_df != "auto":
+            raise ValueError(f"max_df must be an int, None, or 'auto': {max_df!r}")
+        max_df = auto_max_df(df_counts)
+    w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
+    ranked = (
+        sh.join(df_counts, "shingle")
+        .withColumn("pos", F.row_number().over(w) - 1)  # 0-based canonical rank
+        .join(doc_sets.select("id", "sz"), "id")
+    )
+    if prefix_threshold is not None:
+        # Jaccard prefix length: |d| - ceil(t*|d|) + 1 (fp-safe ceil —
+        # a double ceil overshoots at exact boundaries, see _fp_ceil)
+        ranked = ranked.where(
+            F.col("pos")
+            < F.col("sz") - _fp_ceil(F.lit(prefix_threshold) * F.col("sz")) + 1
+        )
+    if max_df is not None:
+        ranked = ranked.where(F.col("df") <= max_df)
+    ranked = ranked.select("id", "shingle", "pos", "sz").localCheckpoint()
+    return doc_sets, ranked, max_df
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -186,43 +250,10 @@ def ngram_jaccard_pairs(
     all-pairs oracle is required (the registered correctness entries
     do).
     """
-    sh = word_shingles(docs, n, text_col, id_col)
-    # localCheckpoint, not cache: three consumers (prefix ranking + both
-    # verification joins) would each re-plan the whole shingle subplan
-    # through an InMemoryRelation's retained lineage; the checkpoint
-    # truncates it (same re-planning cost found on the MWAS core —
-    # SCALE.md) and its blocks are freed by GC instead of leaking for
-    # the session lifetime the way the un-unpersisted cache did
-    doc_sets = sh.groupBy("id").agg(
-        F.sort_array(F.collect_list("shingle")).alias("shingles"),
-        F.count("*").alias("sz"),
-    ).localCheckpoint()
-
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    if isinstance(max_df, str):
-        if max_df != "auto":
-            raise ValueError(f"max_df must be an int, None, or 'auto': {max_df!r}")
-        max_df = auto_max_df(df_counts)
-    w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
-    ranked = (
-        sh.join(df_counts, "shingle")
-        .withColumn("pos", F.row_number().over(w) - 1)  # 0-based canonical rank
-        .join(doc_sets.select("id", "sz"), "id")
-        # Jaccard prefix length: |d| - ceil(t*|d|) + 1
-        .where(F.col("pos") < F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+    doc_sets, ranked, max_df = _shingle_index(
+        docs, n, text_col, id_col, max_df, prefix_threshold=threshold
     )
-    if max_df is not None:
-        # stop-shingle cap: hot shingles leave the index AFTER ranks and
-        # prefix lengths are fixed, so surviving shingles keep the exact
-        # canonical positions the positional bound below reasons about
-        ranked = ranked.where(F.col("df") <= max_df)
-    ranked = (
-        ranked.select("id", "shingle", "pos", "sz")
-        # self-joined below: materialize once instead of planning (and
-        # possibly executing) the df-count + window subtree twice
-        .localCheckpoint()
-    )
-    alpha = F.ceil(
+    alpha = _fp_ceil(
         F.lit(threshold / (1.0 + threshold)) * (F.col("sz_a") + F.col("sz_b"))
     )
     cand = (
@@ -233,8 +264,10 @@ def ngram_jaccard_pairs(
         )
         .where(
             (F.col("id_a") < F.col("id_b"))
-            # length filter: t <= J(a,b) requires t*max(sz) <= min(sz)
-            & (F.lit(threshold) * F.greatest("sz_a", "sz_b") <= F.least("sz_a", "sz_b"))
+            # length filter: t <= J(a,b) requires t*max(sz) <= min(sz);
+            # 1e-9 slack for the same fp boundary as _fp_ceil
+            & (F.lit(threshold) * F.greatest("sz_a", "sz_b") - F.lit(1e-9)
+               <= F.least("sz_a", "sz_b"))
         )
         .groupBy("id_a", "id_b")
         .agg(
@@ -1720,29 +1753,15 @@ def ngram_containment_pairs(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    sh = word_shingles(docs, n, text_col, id_col)
-    doc_sets = sh.groupBy("id").agg(
-        F.sort_array(F.collect_list("shingle")).alias("shingles"),
-        F.count("*").alias("sz"),
-    ).localCheckpoint()
-
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    if isinstance(max_df, str):
-        if max_df != "auto":
-            raise ValueError(f"max_df must be an int, None, or 'auto': {max_df!r}")
-        max_df = auto_max_df(df_counts)
-    w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("shingle"))
-    ranked = (
-        sh.join(df_counts, "shingle")
-        .withColumn("pos", F.row_number().over(w) - 1)
-        .join(doc_sets.select("id", "sz"), "id")
+    # containment has no container-side prefix (no upper bound on |b|),
+    # so the index keeps every shingle (prefix_threshold=None); the
+    # contained-side prefix is applied below
+    doc_sets, ranked, max_df = _shingle_index(
+        docs, n, text_col, id_col, max_df, prefix_threshold=None
     )
-    if max_df is not None:
-        ranked = ranked.where(F.col("df") <= max_df)
-    ranked = ranked.select("id", "shingle", "pos", "sz").localCheckpoint()
 
     contained = ranked.where(
-        F.col("pos") < F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        F.col("pos") < F.col("sz") - _fp_ceil(F.lit(threshold) * F.col("sz")) + 1
     ).select(F.col("id").alias("id_a"), "shingle", F.col("sz").alias("sz_a"))
     container = ranked.select(F.col("id").alias("id_b"), "shingle", F.col("sz").alias("sz_b"))
     cand = (
@@ -1750,7 +1769,8 @@ def ngram_containment_pairs(
         .where(
             (F.col("id_a") != F.col("id_b"))
             # |A∩B| <= min(|a|, |b|), so containment needs |b| >= t*|a|
-            & (F.col("sz_b") >= F.ceil(F.lit(threshold) * F.col("sz_a")))
+            # (fp-safe ceil — see _fp_ceil)
+            & (F.col("sz_b") >= _fp_ceil(F.lit(threshold) * F.col("sz_a")))
         )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])

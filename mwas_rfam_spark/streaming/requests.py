@@ -386,6 +386,10 @@ def windowed_numeric_psi_stream(
     stream."""
     if bins < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")
+    if eps <= 0:
+        raise ValueError(f"eps must be > 0, got {eps}")
+    if relative_error <= 0:
+        raise ValueError(f"relative_error must be > 0, got {relative_error}")
     qs = [i / bins for i in range(1, bins)]
     edges_row = baseline.agg(
         F.percentile_approx(

@@ -185,7 +185,9 @@ def test_containment_pairs_bruteforce_and_asymmetry(spark):
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
 
     def shingles(t, n=3):
-        toks = t.lower().split()
+        # word_shingles is case-sensitive (matching the registered
+        # jaccard oracles) — the reference model must be too
+        toks = t.split()
         return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
     t = 0.8
@@ -232,7 +234,7 @@ def test_containment_duckdb_parity_on_documents(spark, sf_dir):
             f"""
             WITH t AS (
               SELECT doc_id,
-                     string_split(regexp_replace(lower(trim(substring(text,1,120))),
+                     string_split(regexp_replace(trim(substring(text,1,120)),
                                                  '\\s+', ' ', 'g'), ' ') AS toks
               FROM read_parquet('{sf_dir}/documents.parquet')
             ),
@@ -254,3 +256,32 @@ def test_containment_duckdb_parity_on_documents(spark, sf_dir):
     con.close()
     assert got == want
     assert len(got) > 0
+
+
+def test_fp_ceil_boundary_pairs_not_dropped(spark):
+    """ceil(0.7*10) is 8 in doubles — before the _fp_ceil guard the
+    prefix window and size filters demanded one extra shared shingle
+    and silently dropped pairs sitting EXACTLY at the threshold."""
+    from mwas_rfam_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    shared = [f"sh{i}" for i in range(7)]
+    uniq = [f"aa{i}" for i in range(3)]  # df=1: ranked into A's prefix
+    doc_a = " ".join(uniq + shared)      # 10 distinct 1-gram shingles
+    doc_b = " ".join(shared)             # exactly the 7 shared
+    docs = spark.createDataFrame([(1, doc_a), (2, doc_b)], ["doc_id", "text"])
+
+    cont = {
+        (r["id_contained"], r["id_container"]): r["containment"]
+        for r in ngram_containment_pairs(docs, n=1, threshold=0.7, max_df=None).collect()
+    }
+    assert cont[(1, 2)] == 0.7  # the exact-boundary direction
+    assert cont[(2, 1)] == 1.0
+
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=1, threshold=0.7, max_df=None).collect()
+    }
+    assert jac == {(1, 2): 0.7}  # J = 7/10 exactly at t
