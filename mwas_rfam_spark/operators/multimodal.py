@@ -490,3 +490,170 @@ def embed_documents(
         src = src.repartition(batch_partitions)
     id_type = docs.schema[id_col].dataType.simpleString()
     return src.mapInPandas(embed, f"doc_id {id_type}, embedding ARRAY<FLOAT>")
+
+
+RESAMPLED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("new_width", T.IntegerType()),
+        T.StructField("new_height", T.IntegerType()),
+        T.StructField("pixels_sha", T.StringType()),
+    ]
+)
+
+
+def _nearest_resample(px: bytes, w: int, h: int, c: int, nw: int, nh: int) -> bytes:
+    """Nearest-neighbor resample of interleaved row-major pixels —
+    the standard ingest downsample, dependency-free. Index mapping is
+    floor(i * src / dst), the OpenCV INTER_NEAREST convention."""
+    out = bytearray(nw * nh * c)
+    for y in range(nh):
+        sy = y * h // nh
+        row = sy * w * c
+        orow = y * nw * c
+        for x in range(nw):
+            sx = x * w // nw
+            out[orow + x * c : orow + (x + 1) * c] = px[row + sx * c : row + (sx + 1) * c]
+    return bytes(out)
+
+
+def resample_images(media: DataFrame, max_side: int = 64, fake: bool = True) -> DataFrame:
+    """REAL image downsampling → (doc_id, new_width, new_height,
+    pixels_sha): decode (PIL → stdlib PNG/GIF codecs), nearest-neighbor
+    resample preserving aspect ratio capped at ``max_side``, sha256 of
+    the resampled pixel bytes (the dedup/embedding-ready fingerprint —
+    two byte-identical images at different encodings hash the same
+    after this stage). The fake path derives dims from the payload
+    sha256 with the same aspect-cap arithmetic, so plumbing tests run
+    without codecs. Complements :func:`resize_images`, which only
+    PLANS new dims JVM-side."""
+    if max_side < 1:
+        raise ValueError(f"max_side must be >= 1, got {max_side}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mwas_rfam_spark.functions.gif_codec import decode_gif, is_gif
+        from mwas_rfam_spark.functions.png_codec import decode_png, is_png
+
+        for pdf in batches:
+            ids, nws, nhs, shas = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(p)
+                if fake:
+                    w, h, c = _fake_dims(hashlib.sha256(payload).hexdigest())
+                    px = None
+                elif is_png(payload):
+                    w, h, c, px = decode_png(payload)
+                elif is_gif(payload):
+                    w, h, frames = decode_gif(payload)
+                    c, px = 3, frames[0]
+                else:
+                    try:
+                        from PIL import Image  # type: ignore
+                    except ImportError:
+                        raise NotImplementedError(
+                            "real resample: payload is neither PNG nor GIF and "
+                            "PIL is not installed"
+                        ) from None
+                    import io
+
+                    with Image.open(io.BytesIO(payload)) as im:
+                        w, h = im.width, im.height
+                        c = len(im.getbands())
+                        px = im.tobytes()
+                scale = min(1.0, max_side / max(w, h))
+                nw = max(1, round(w * scale))
+                nh = max(1, round(h * scale))
+                if px is None:
+                    sha = hashlib.sha256(
+                        payload + nw.to_bytes(4, "big") + nh.to_bytes(4, "big")
+                    ).hexdigest()
+                else:
+                    sha = hashlib.sha256(
+                        _nearest_resample(px, w, h, c, nw, nh)
+                    ).hexdigest()
+                ids.append(doc_id)
+                nws.append(nw)
+                nhs.append(nh)
+                shas.append(sha)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "new_width": pd.Series(nws, dtype="int32"),
+                        "new_height": pd.Series(nhs, dtype="int32"),
+                        "pixels_sha": shas,
+                    }
+                )
+
+    images = media.filter(F.col("media_meta.media_type") == "image").select(
+        "doc_id", "payload"
+    )
+    return images.mapInPandas(run, RESAMPLED_SCHEMA)
+
+
+AUDIO_SIGNAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("clip_frac", T.DoubleType()),
+    ]
+)
+
+
+def audio_signal_stats(media: DataFrame) -> DataFrame:
+    """REAL signal statistics over 16-bit PCM WAV payloads →
+    (doc_id, rms, peak, clip_frac), all normalized to [-1, 1]:
+    loudness (rms), amplitude ceiling (peak) and the fraction of
+    full-scale samples (clip_frac — the standard corrupt/clipped-clip
+    filter signal). Decoded with the stdlib ``wave`` reader + a numpy
+    int16 view; non-WAV or non-16-bit payloads raise with the field
+    named. This is feature EXTRACTION (header parsing lives in
+    :func:`extract_audio_features`)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            ids, rmss, peaks, clips = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(p)
+                if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                    raise NotImplementedError(
+                        "audio_signal_stats: payload is not RIFF/WAVE"
+                    )
+                with wave.open(io.BytesIO(payload), "rb") as w:
+                    if w.getsampwidth() != 2:
+                        raise ValueError(
+                            f"audio_signal_stats: sample width {w.getsampwidth()} "
+                            "bytes unsupported (16-bit PCM only)"
+                        )
+                    frames = w.readframes(w.getnframes())
+                x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+                if len(x) == 0:
+                    rms = peak = clip = 0.0
+                else:
+                    rms = float(np.sqrt(np.mean(x * x)))
+                    peak = float(np.max(np.abs(x)))
+                    clip = float(np.mean(np.abs(x) >= 32767.0 / 32768.0))
+                ids.append(doc_id)
+                rmss.append(rms)
+                peaks.append(peak)
+                clips.append(clip)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "rms": rmss,
+                        "peak": peaks,
+                        "clip_frac": clips,
+                    }
+                )
+
+    audio = media.filter(F.col("media_meta.media_type") == "audio").select(
+        "doc_id", "payload"
+    )
+    return audio.mapInPandas(run, AUDIO_SIGNAL_SCHEMA)

@@ -678,3 +678,100 @@ def test_cdc_spark_chunking_and_dedup_stats(spark):
     )
     s2 = binary_dedup_stats(cdc_chunk_payloads(disjoint, avg_size=512)).first()
     assert s2["total_bytes"] == 12_000
+
+
+def test_resample_images_real_nearest_neighbor(spark):
+    """Real pixel downsample: PNG and GIF payloads decode, resample by
+    floor-index nearest neighbor, and identical content at different
+    ENCODINGS hashes identically after the stage."""
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.functions.gif_codec import encode_gif
+    from mwas_rfam_spark.functions.png_codec import encode_png
+    from mwas_rfam_spark.operators.multimodal import _nearest_resample, resample_images
+
+    # 8x4 RGB gradient, PNG-encoded and (palette) GIF-encoded
+    w, h = 8, 4
+    px = b"".join(
+        bytes(((x * 30) % 256, (y * 60) % 256, 7)) for y in range(h) for x in range(w)
+    )
+    png = encode_png(w, h, 3, px)
+    # GIF: build a palette of the distinct colors
+    colors = sorted({tuple(px[i : i + 3]) for i in range(0, len(px), 3)})
+    cmap = {c: i for i, c in enumerate(colors)}
+    idx = bytes(cmap[tuple(px[i : i + 3])] for i in range(0, len(px), 3))
+    gif = encode_gif(w, h, [idx], colors)
+
+    media = spark.createDataFrame(
+        [(1, png, "image"), (2, gif, "image"), (3, b"x", "audio")],
+        "doc_id long, payload binary, mt string",
+    ).select(
+        "doc_id", "payload", F.struct(F.col("mt").alias("media_type")).alias("media_meta")
+    )
+    got = {r["doc_id"]: r for r in resample_images(media, max_side=4, fake=False).collect()}
+    assert set(got) == {1, 2}
+    assert (got[1]["new_width"], got[1]["new_height"]) == (4, 2)
+    # both encodings carry the SAME pixels -> same resampled sha
+    assert got[1]["pixels_sha"] == got[2]["pixels_sha"]
+
+    import hashlib
+
+    want = hashlib.sha256(_nearest_resample(px, w, h, 3, 4, 2)).hexdigest()
+    assert got[1]["pixels_sha"] == want
+
+    # identity when already under the cap
+    big = resample_images(media, max_side=64, fake=False).first()
+    assert (big["new_width"], big["new_height"]) == (8, 4)
+
+    # fake path needs no codec and keeps the schema
+    fake = resample_images(media, max_side=4, fake=True).collect()
+    assert len(fake) == 2 and all(r["new_width"] <= 4 and r["new_height"] <= 4 for r in fake)
+
+
+def test_audio_signal_stats_known_waveforms(spark):
+    """rms/peak/clip_frac against hand-computable signals: a half-scale
+    sine (rms = A/sqrt(2), no clipping) and a full-scale square
+    (rms = peak = clip_frac = 1)."""
+    import io
+    import math
+    import struct
+    import wave
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.operators.multimodal import audio_signal_stats
+
+    def wav_of(samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        return buf.getvalue()
+
+    n = 8000
+    half_sine = [round(16384 * math.sin(2 * math.pi * 50 * i / 8000)) for i in range(n)]
+    square = [32767 if i % 2 else -32767 for i in range(n)]
+    media = spark.createDataFrame(
+        [(1, wav_of(half_sine), "audio"), (2, wav_of(square), "audio")],
+        "doc_id long, payload binary, mt string",
+    ).select(
+        "doc_id", "payload", F.struct(F.col("mt").alias("media_type")).alias("media_meta")
+    )
+    got = {r["doc_id"]: r for r in audio_signal_stats(media).collect()}
+    a = 16384 / 32768.0
+    assert abs(got[1]["rms"] - a / math.sqrt(2)) < 1e-3
+    assert abs(got[1]["peak"] - a) < 1e-3
+    assert got[1]["clip_frac"] == 0.0
+    assert abs(got[2]["rms"] - 32767 / 32768.0) < 1e-6
+    assert abs(got[2]["clip_frac"] - 1.0) < 1e-9
+
+    bad = spark.createDataFrame(
+        [(9, b"not audio", "audio")], "doc_id long, payload binary, mt string"
+    ).select(
+        "doc_id", "payload", F.struct(F.col("mt").alias("media_type")).alias("media_meta")
+    )
+    with pytest.raises(Exception, match="RIFF|NotImplementedError"):
+        audio_signal_stats(bad).collect()
