@@ -460,6 +460,48 @@ def drift_main(argv: list[str], spark: SparkSession | None = None) -> int:
             spark.stop()
 
 
+def build_report_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mwas_rfam_spark report",
+        description="One-row corpus health report: doc/token counts, "
+        "length percentiles, empty fraction, estimated duplicate rate "
+        "and vocabulary (HLL).",
+    )
+    p.add_argument("input", help="documents parquet")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--output", default=None, help="optional report parquet path")
+    return p
+
+
+def report_main(argv: list[str], spark: SparkSession | None = None) -> int:
+    args = build_report_parser().parse_args(argv)
+    owns_session = spark is None
+    if owns_session:
+        from .session import get_spark
+
+        spark = get_spark(app_name="report-cli")
+    try:
+        from .operators.summary import corpus_report
+
+        rep = corpus_report(
+            spark.read.parquet(args.input),
+            text_col=args.text_col,
+            id_col=args.id_col,
+        )
+        rows = rep.collect()
+        for field in rep.schema.fieldNames():
+            print(f"{field}\t{rows[0][field]}")
+        if args.output:
+            spark.createDataFrame(rows, rep.schema).write.mode("overwrite").parquet(
+                args.output
+            )
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
 def build_index_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="mwas_rfam_spark index",
@@ -810,6 +852,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         return index_main(argv[1:], spark)
     if argv and argv[0] == "search":
         return search_main(argv[1:], spark)
+    if argv and argv[0] == "report":
+        return report_main(argv[1:], spark)
     if argv and argv[0] == "tokenize":
         return tokenize_main(argv[1:], spark)
     from .config import MwasConfig

@@ -597,3 +597,21 @@ def test_search_cli(spark, tmp_path, capsys):
     assert lines[0].startswith("1\t")
     back = spark.read.parquet(out)
     assert back.count() == 2 and set(back.columns) == {"doc_id", "score", "n_matched"}
+
+
+def test_report_cli(spark, tmp_path, capsys):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta"), (3, ""), (4, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "rdocs")
+    docs.write.parquet(src)
+    out = str(tmp_path / "rep")
+    rc = main(["report", src, "--output", out], spark=spark)
+    assert rc == 0
+    printed = dict(
+        line.split("\t", 1) for line in capsys.readouterr().out.strip().splitlines()
+    )
+    assert printed["n_docs"] == "4"
+    back = spark.read.parquet(out).first()
+    assert back["n_docs"] == 4
