@@ -469,7 +469,6 @@ def build_report_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("input", help="documents parquet")
     p.add_argument("--text-col", default="text")
-    p.add_argument("--id-col", default="doc_id")
     p.add_argument("--output", default=None, help="optional report parquet path")
     return p
 
@@ -485,9 +484,7 @@ def report_main(argv: list[str], spark: SparkSession | None = None) -> int:
         from .operators.summary import corpus_report
 
         rep = corpus_report(
-            spark.read.parquet(args.input),
-            text_col=args.text_col,
-            id_col=args.id_col,
+            spark.read.parquet(args.input), text_col=args.text_col
         )
         rows = rep.collect()
         for field in rep.schema.fieldNames():

@@ -128,6 +128,37 @@ def _real_decode_dims(payload: bytes) -> tuple[int, int, int]:
     )
 
 
+def _real_decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Real-codec decode → (width, height, channels, raw pixels) with
+    the SAME precedence as :func:`_real_decode_dims` (PIL when
+    installed — every format — else the stdlib PNG/GIF codecs), so the
+    dims and pixel paths can never disagree about what decodes. For
+    animated GIFs the pixel bytes are ALL composited frames
+    concatenated — a first-frame-only fingerprint would collide a
+    static image with an animation sharing its title frame."""
+    try:
+        from PIL import Image  # type: ignore
+    except ImportError:
+        Image = None
+    if Image is not None:
+        import io
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return im.width, im.height, len(im.getbands()), im.tobytes()
+    from mwas_rfam_spark.functions.gif_codec import decode_gif, is_gif
+    from mwas_rfam_spark.functions.png_codec import decode_png, is_png
+
+    if is_png(payload):
+        return decode_png(payload)
+    if is_gif(payload):
+        w, h, frames = decode_gif(payload)
+        return w, h, 3, b"".join(frames)
+    raise NotImplementedError(
+        "real image decode: PIL/pillow not in this container and the "
+        "payload is neither PNG nor GIF (the stdlib decoders stop there)"
+    )
+
+
 def decode_images(media: DataFrame, fake: bool = True) -> DataFrame:
     """Decode image payloads → (doc_id, width, height, channels).
 
@@ -181,6 +212,28 @@ def resize_images(decoded: DataFrame, max_side: int = 64) -> DataFrame:
     )
 
 
+def _open_wav_checked(payload: bytes):
+    """The ONE RIFF/WAVE magic check + stdlib open shared by the audio
+    operators, with wave.Error mapped to the family's documented
+    ValueError('corrupt WAV payload: ...') contract. Returns an open
+    Wave_read (caller closes)."""
+    import io
+    import wave
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "payload is not RIFF/WAVE (the stdlib decoder handles WAV only)"
+        )
+    try:
+        return wave.open(io.BytesIO(payload), "rb")
+    except (wave.Error, EOFError, RuntimeError) as e:
+        # the stdlib reader is not uniform about corruption: truncated
+        # chunk tables raise EOFError and an unseekable mid-chunk skip
+        # raises a bare RuntimeError (wave.py Chunk.seek), not
+        # wave.Error — all of them mean the same thing here
+        raise ValueError(f"corrupt WAV payload: {e}") from e
+
+
 def _real_audio_features(payload: bytes) -> tuple[int, int]:
     """Real-codec single-clip decode → (sample_rate, n_samples).
 
@@ -201,22 +254,12 @@ def _real_audio_features(payload: bytes) -> tuple[int, int]:
         return int(info.samplerate), int(info.frames)
     except (ImportError, OSError):
         pass
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        import wave
-
-        try:
-            with wave.open(io.BytesIO(payload), "rb") as w:
-                rate, frames = int(w.getframerate()), int(w.getnframes())
-        except wave.Error as e:
-            raise ValueError(f"corrupt WAV payload: {e}") from e
-        if rate <= 0:
-            # the stdlib reader validates channels/width but not rate
-            raise ValueError(f"corrupt WAV payload: framerate {rate}")
-        return rate, frames
-    raise NotImplementedError(
-        "real audio decode: soundfile not in this container and the "
-        "payload is not RIFF/WAVE (the stdlib decoder handles WAV only)"
-    )
+    with _open_wav_checked(payload) as w:
+        rate, frames = int(w.getframerate()), int(w.getnframes())
+    if rate <= 0:
+        # the stdlib reader validates channels/width but not rate
+        raise ValueError(f"corrupt WAV payload: framerate {rate}")
+    return rate, frames
 
 
 def extract_audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
@@ -502,6 +545,15 @@ RESAMPLED_SCHEMA = T.StructType(
 )
 
 
+def _half_up(x: float) -> int:
+    """round-half-up — matching F.round's HALF_UP so the planned dims
+    (resize_images, JVM) and the resampled dims (here, Python) agree;
+    Python's built-in round() is banker's and disagrees at *.5."""
+    import math
+
+    return int(math.floor(x + 0.5))
+
+
 def _nearest_resample(px: bytes, w: int, h: int, c: int, nw: int, nh: int) -> bytes:
     """Nearest-neighbor resample of interleaved row-major pixels —
     the standard ingest downsample, dependency-free. Index mapping is
@@ -531,9 +583,6 @@ def resample_images(media: DataFrame, max_side: int = 64, fake: bool = True) -> 
         raise ValueError(f"max_side must be >= 1, got {max_side}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from mwas_rfam_spark.functions.gif_codec import decode_gif, is_gif
-        from mwas_rfam_spark.functions.png_codec import decode_png, is_png
-
         for pdf in batches:
             ids, nws, nhs, shas = [], [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
@@ -541,36 +590,27 @@ def resample_images(media: DataFrame, max_side: int = 64, fake: bool = True) -> 
                 if fake:
                     w, h, c = _fake_dims(hashlib.sha256(payload).hexdigest())
                     px = None
-                elif is_png(payload):
-                    w, h, c, px = decode_png(payload)
-                elif is_gif(payload):
-                    w, h, frames = decode_gif(payload)
-                    c, px = 3, frames[0]
                 else:
-                    try:
-                        from PIL import Image  # type: ignore
-                    except ImportError:
-                        raise NotImplementedError(
-                            "real resample: payload is neither PNG nor GIF and "
-                            "PIL is not installed"
-                        ) from None
-                    import io
-
-                    with Image.open(io.BytesIO(payload)) as im:
-                        w, h = im.width, im.height
-                        c = len(im.getbands())
-                        px = im.tobytes()
+                    w, h, c, px = _real_decode_pixels(payload)
                 scale = min(1.0, max_side / max(w, h))
-                nw = max(1, round(w * scale))
-                nh = max(1, round(h * scale))
+                nw = max(1, _half_up(w * scale))
+                nh = max(1, _half_up(h * scale))
                 if px is None:
                     sha = hashlib.sha256(
                         payload + nw.to_bytes(4, "big") + nh.to_bytes(4, "big")
                     ).hexdigest()
                 else:
-                    sha = hashlib.sha256(
-                        _nearest_resample(px, w, h, c, nw, nh)
-                    ).hexdigest()
+                    # px may hold several stacked frames (animated GIF):
+                    # resample each h-row block so the fingerprint covers
+                    # the WHOLE animation
+                    frame_bytes = w * h * c
+                    resampled = b"".join(
+                        _nearest_resample(
+                            px[i : i + frame_bytes], w, h, c, nw, nh
+                        )
+                        for i in range(0, len(px), frame_bytes)
+                    )
+                    sha = hashlib.sha256(resampled).hexdigest()
                 ids.append(doc_id)
                 nws.append(nw)
                 nhs.append(nh)
@@ -612,20 +652,13 @@ def audio_signal_stats(media: DataFrame) -> DataFrame:
     :func:`extract_audio_features`)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-        import wave
-
         import numpy as np
 
         for pdf in batches:
             ids, rmss, peaks, clips = [], [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 payload = bytes(p)
-                if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-                    raise NotImplementedError(
-                        "audio_signal_stats: payload is not RIFF/WAVE"
-                    )
-                with wave.open(io.BytesIO(payload), "rb") as w:
+                with _open_wav_checked(payload) as w:
                     if w.getsampwidth() != 2:
                         raise ValueError(
                             f"audio_signal_stats: sample width {w.getsampwidth()} "

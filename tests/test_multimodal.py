@@ -775,3 +775,50 @@ def test_audio_signal_stats_known_waveforms(spark):
     )
     with pytest.raises(Exception, match="RIFF|NotImplementedError"):
         audio_signal_stats(bad).collect()
+
+
+def test_audio_corrupt_wav_is_value_error(spark):
+    """RIFF/WAVE magic with a garbled body maps wave.Error to the
+    family's ValueError('corrupt WAV payload: ...') contract in BOTH
+    audio operators (shared _open_wav_checked)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.operators.multimodal import (
+        audio_signal_stats,
+        extract_audio_features,
+    )
+
+    corrupt = b"RIFF\x24\x00\x00\x00WAVEjunkjunkjunk"
+    media = spark.createDataFrame(
+        [(1, corrupt, "audio")], "doc_id long, payload binary, mt string"
+    ).select(
+        "doc_id", "payload", F.struct(F.col("mt").alias("media_type")).alias("media_meta")
+    )
+    with pytest.raises(Exception, match="corrupt WAV payload"):
+        audio_signal_stats(media).collect()
+    with pytest.raises(Exception, match="corrupt WAV payload"):
+        extract_audio_features(media, fake=False).collect()
+
+
+def test_resample_animated_gif_full_fingerprint(spark):
+    """An animation sharing its first frame with a static image must NOT
+    fingerprint identically — the sha covers all composited frames."""
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.functions.gif_codec import encode_gif
+    from mwas_rfam_spark.operators.multimodal import resample_images
+
+    pal = [(0, 0, 0), (255, 255, 255)]
+    title = bytes([0] * 16)
+    other = bytes([1] * 16)
+    static = encode_gif(4, 4, [title], pal)
+    animated = encode_gif(4, 4, [title, other], pal)
+    media = spark.createDataFrame(
+        [(1, static, "image"), (2, animated, "image")],
+        "doc_id long, payload binary, mt string",
+    ).select(
+        "doc_id", "payload", F.struct(F.col("mt").alias("media_type")).alias("media_meta")
+    )
+    got = {r["doc_id"]: r["pixels_sha"] for r in resample_images(media, 4, fake=False).collect()}
+    assert got[1] != got[2]
