@@ -1797,3 +1797,35 @@ def ngram_containment_pairs(
         F.col("id_b").alias("id_container"),
         F.round("containment", 6).alias("containment"),
     )
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Soft dedup: (id, weight) with weight = 1 / |near-dup cluster| —
+    the DOWNWEIGHT-instead-of-drop policy. Hard dedup (keep one per
+    cluster) discards paraphrase diversity; reweighting keeps every
+    member while the CLUSTER's total sampling mass stays that of one
+    document, so boilerplate families stop dominating the mix without
+    vanishing from it. Documents outside any cluster get weight 1.
+
+    ``clusters`` is :func:`dedup_clusters` output (or any
+    (id, cluster_id) relation). Plan: one cluster-size aggregation
+    (map-side combinable) + one left join from the corpus — the weights
+    column feeds `plans/sampling.weighted_mix_exact`, DSIR temperature
+    reweighting, or a sampled-training shard writer directly."""
+    member = clusters.select(
+        F.col(id_col).alias("id"), F.col("cluster_id").alias("c")
+    )
+    sizes = member.groupBy("c").agg(F.count("*").alias("n"))
+    weighted = member.join(sizes, "c").select(
+        "id", (F.lit(1.0) / F.col("n")).alias("w")
+    )
+    return docs.select(F.col(id_col).alias("id")).join(
+        weighted, "id", "left_outer"
+    ).select(
+        F.col("id").alias(id_col),
+        F.coalesce("w", F.lit(1.0)).alias("weight"),
+    )

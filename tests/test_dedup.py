@@ -737,3 +737,26 @@ def test_dedup_clusters_local_empty_pairs(spark):
     docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
     rows = {(r["doc_id"], r["cluster_id"], r["keep"]) for r in dedup_clusters(pairs, docs=docs).collect()}
     assert rows == {(1, 1, True), (2, 2, True)}
+
+
+def test_soft_dedup_weights(spark):
+    """Cluster mass = 1 regardless of member count; singletons keep 1;
+    composes end-to-end from real dedup_clusters output."""
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.operators.dedup import dedup_clusters, soft_dedup_weights
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    clusters = dedup_clusters(pairs)
+    got = {
+        r["doc_id"]: r["weight"]
+        for r in soft_dedup_weights(docs, clusters).collect()
+    }
+    assert got[1] == got[2] == got[3] == pytest.approx(1 / 3)
+    assert got[5] == got[6] == pytest.approx(1 / 2)
+    assert got[4] == got[7] == 1.0
+    # total sampling mass = number of distinct contents
+    assert sum(got.values()) == pytest.approx(1 + 1 + 2)  # 2 clusters + 2 singletons
