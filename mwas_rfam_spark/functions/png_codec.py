@@ -25,15 +25,23 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 #: color type → samples per pixel
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+#: allocation budget: IHDR dims are attacker-controlled u32s and zlib
+#: expands ~1000:1, so both the pixel buffer and the inflate output are
+#: bounded by the declared dims BEFORE any allocation (mirrors the GIF
+#: codec's MAX_PIXELS guard).
+MAX_PIXELS = 1 << 24
+
 
 def is_png(data: bytes) -> bool:
     return data[:8] == _PNG_SIG
 
 
-def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+def decode_png(data: bytes, max_pixels: int = MAX_PIXELS) -> tuple[int, int, int, bytes]:
     """Decode a PNG → (width, height, channels, raw pixel bytes,
     row-major, channels interleaved). Raises ValueError on anything
-    outside the supported profile."""
+    outside the supported profile, including images whose declared
+    ``width*height`` exceeds ``max_pixels`` (checked at IHDR parse,
+    before the IDAT stream is inflated)."""
     if not is_png(data):
         raise ValueError("not a PNG (bad signature)")
     pos = 8
@@ -58,6 +66,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                 )
             if interlace != 0:
                 raise ValueError("unsupported interlaced PNG (Adam7)")
+            if width * height > max_pixels:
+                raise ValueError(
+                    f"PNG {width}x{height} exceeds max_pixels={max_pixels}"
+                )
             channels = _CHANNELS[color_type]
         elif ctype == b"IDAT":
             idat.extend(chunk)
@@ -65,17 +77,21 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
+    stride = width * channels
+    expected = (stride + 1) * height
     try:
-        raw = zlib.decompress(bytes(idat))
+        # bounded inflate: output cannot exceed the declared dims even if
+        # the stream is a zlib bomb — ask for one extra byte so an
+        # overlong stream is detected as a length mismatch, not truncated
+        # into a silently-wrong image.
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expected + 1)
     except zlib.error as e:
         # keep the documented contract: every rejection is a ValueError
         # naming the offending field (callers skip bad payloads on it)
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
-    stride = width * channels
-    if len(raw) != (stride + 1) * height:
-        raise ValueError(
-            f"PNG data length {len(raw)} != expected {(stride + 1) * height}"
-        )
+    if len(raw) != expected or dec.unconsumed_tail:
+        raise ValueError(f"PNG data length {len(raw)} != expected {expected}")
     out = bytearray(stride * height)
     prev_row = bytes(stride)
     bpp = channels  # bytes per pixel at depth 8

@@ -200,7 +200,12 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     max_df: int | None | str = "auto",
 ) -> DataFrame:
-    """EXACT near-duplicate pairs by word-n-gram Jaccard similarity.
+    """Near-duplicate pairs by word-n-gram Jaccard similarity — EXACT
+    with ``max_df=None``; the default ``max_df="auto"`` is exact on
+    high-vocabulary corpora and trades bounded recall for bounded cost
+    on low-vocabulary ones (details under ``max_df`` below — this
+    default changed from ``None`` in r5; callers needing bit-exact
+    all-pairs output must pass ``max_df=None``).
 
     Prefix-filtered set-similarity join (the PPJoin family — Xiao et al.,
     WWW'08 — expressed relationally):

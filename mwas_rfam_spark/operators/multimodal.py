@@ -435,6 +435,13 @@ def cdc_chunk_payloads(
     # NULL payloads (outer-joined docs with no attachment) are dropped
     # JVM-side — bytes(None) in the kernel would fail the whole task
     src = media.select("doc_id", "payload").where(F.col("payload").isNotNull())
+    # Small corpora arrive in a handful of input splits, leaving most
+    # cores idle through the Python stage (SCALE.md probe H measured the
+    # 1x row 6.7x off trend from exactly this underfill); the kernel is
+    # per-row, so spread payloads across the cluster first — same
+    # pattern as the dedup families' pre-kernel repartition.
+    spark = media.sparkSession
+    src = src.repartition(spark.sparkContext.defaultParallelism)
     return src.mapInPandas(chunk, CDC_CHUNKS_SCHEMA)
 
 

@@ -251,4 +251,3 @@ def bpe_encode_ids(
     return bpe_encode(
         docs, merges, text_col=text_col, id_col=id_col, emit_tokens=True, vocab=vocab
     )
-    return src.mapInPandas(encode, f"{id_col} {id_type}, n_tokens BIGINT, token_ids ARRAY<INT>")

@@ -278,6 +278,44 @@ def test_png_rejects_unsupported():
         decode_png(bytes(bad_ct))
 
 
+def test_png_allocation_budget():
+    """Hostile dims / zlib bombs are rejected BEFORE allocation: the
+    max_pixels cap fires at IHDR parse, and an IDAT stream inflating
+    past the declared dims is a bounded-decompress length error, never
+    a gigabyte allocation (r5 ADVICE, mirrors the GIF codec guard)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from mwas_rfam_spark.functions.png_codec import decode_png, encode_png
+
+    good = encode_png(4, 4, 3, bytes(48))
+    # declare absurd dims in IHDR (w,h at offsets 16..24); no decompress
+    # should be attempted — the error names max_pixels, not data length
+    huge = bytearray(good)
+    huge[16:24] = struct.pack(">II", 1 << 16, 1 << 16)
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_png(bytes(huge))
+    # a per-call budget tighter than the image also fires
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_png(good, max_pixels=8)
+    # zlib bomb: stream inflates way past the declared 4x4 dims — the
+    # bounded decompress caps output at expected+1 and rejects on length
+    def chunk(ctype, payload):
+        body = ctype + payload
+        return struct.pack(">I", len(payload)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    sig_ihdr = good[: 8 + 25]  # signature + IHDR chunk (4x4 RGB)
+    bomb = zlib.compress(bytes(10_000_000))
+    assert len(bomb) < 20_000  # it IS a bomb
+    evil = sig_ihdr + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="data length"):
+        decode_png(evil)
+
+
 def test_decode_images_real_png_path(spark):
     """fake=False end-to-end through the Spark mapInPandas stage: PNG
     payloads decode with the stdlib codec (PIL absent in-container) and
