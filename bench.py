@@ -61,6 +61,7 @@ HEADLINE = [
     "bm25_topk",
     "incremental_embedding",
     "fuzzy_editdist",
+    "fuzzy_editdist_long",
     "drift_report",
     "bpe_tokenize",
     "cdc_dedup",

@@ -1618,6 +1618,37 @@ def strip_duplicate_spans(
     )
 
 
+def train_dedup_quantizer(
+    emb: DataFrame,
+    cell_target: int = 128,
+    iters: int = 2,
+    min_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Auto-k coarse quantizer for the embedding-dedup family: k is
+    derived from the CURRENT corpus size at a constant target cell
+    population (k = max(min_cells, n / cell_target)), so per-cell
+    candidate products stay bounded as the corpus grows — the
+    production policy the semantic-dedup bench entry uses, packaged
+    as the default for `embedding_dedup_state` builders.
+
+    The frozen-quantizer contract is unchanged: call this at INDEX /
+    RE-INDEX time only, store the centroids with the state, and pass
+    the SAME centroids to every `incremental_embedding_dedup` probe —
+    re-deriving per batch would silently re-cell the stored state and
+    break cross-batch comparability. Cost: one count + `iters`
+    distributed Lloyd passes; the returned list is parameter-sized
+    (k × dim floats)."""
+    if cell_target < 1:
+        raise ValueError(f"cell_target must be >= 1, got {cell_target}")
+    from mwas_rfam_spark.operators.similarity import train_ivf_centroids
+
+    n = emb.count()
+    k = max(min_cells, round(n / cell_target))
+    return train_ivf_centroids(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+
+
 def embedding_dedup_state(
     emb: DataFrame,
     centroids: list[list[float]],
@@ -1673,8 +1704,11 @@ def incremental_embedding_dedup(
     probes ONLY the state cells it occupies (cell equi-join; with state
     stored partitioned by cell it is co-located), never rescans corpus
     vectors wholesale; per-batch cost is Σ_cell batch_c × state_c plus
-    the within-batch Σ C(batch_c, 2) — both bounded by cell granularity
-    (scale k so cells stay ~constant, as in `semantic_dedup`).
+    the within-batch Σ C(batch_c, 2) — both bounded by cell granularity.
+    Derive the centroids with :func:`train_dedup_quantizer` at index /
+    re-index time — it scales k with the corpus at a constant cell
+    target (the `semantic_dedup` production policy), which keeps
+    per-batch cost ~flat as state grows (SCALE.md probe G').
 
     ``subdivide_above`` defaults to None so the rule above holds EXACTLY
     (the SRP sub-bucket guard trades recall inside oversized cells,

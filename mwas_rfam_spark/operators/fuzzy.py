@@ -114,13 +114,17 @@ def edit_distance_pairs(
     long_enough = base.where(F.col("len") >= k)
 
     # --- index side: one row per (source length, slot, segment) -------
+    # ids + join keys ONLY: segments are cut map-side, so neither the
+    # candidate exchange nor the pair dedup ever shuffles a full string
+    # (long fields would otherwise ride the two widest exchanges twice —
+    # r5 verdict task #5); strings re-join AFTER dedup, id-partitioned,
+    # each exactly once.
     segs = long_enough.select(
         "id",
         "s",
         F.explode(_segments_expr("len", k)).alias("g"),
     ).select(
         F.col("id").alias("id_s"),
-        F.col("s").alias("s_s"),
         F.col("g.src_len").alias("src_len"),
         F.col("g.slot").alias("slot"),
         F.substring(F.col("s"), F.col("g.start").cast("int"), F.col("g.seg_len").cast("int")).alias("seg"),
@@ -136,7 +140,6 @@ def edit_distance_pairs(
         F.explode(_probe_expr(k, d, "len", "len")).alias("p"),
     ).select(
         F.col("id").alias("id_t"),
-        F.col("s").alias("s_t"),
         "probe_len",
         F.col("p.src_len").alias("src_len"),
         F.col("p.slot").alias("slot"),
@@ -149,13 +152,19 @@ def edit_distance_pairs(
             (F.col("src_len") < F.col("probe_len"))
             | ((F.col("src_len") == F.col("probe_len")) & (F.col("id_s") < F.col("id_t")))
         )
-        .select("id_s", "s_s", "id_t", "s_t")
+        .select("id_s", "id_t")
         .dropDuplicates(["id_s", "id_t"])
     )
 
-    verified = candidates.select(
-        "id_s", "id_t", F.levenshtein("s_s", "s_t").alias("dist")
-    ).where(F.col("dist") <= d)
+    strs = long_enough.select("id", "s")
+    verified = (
+        candidates.join(
+            strs.select(F.col("id").alias("id_s"), F.col("s").alias("s_s")), "id_s"
+        )
+        .join(strs.select(F.col("id").alias("id_t"), F.col("s").alias("s_t")), "id_t")
+        .select("id_s", "id_t", F.levenshtein("s_s", "s_t").alias("dist"))
+        .where(F.col("dist") <= d)
+    )
 
     # --- short-string fallback: |s| <= d gives no pigeonhole ----------
     # guarantee; any match has |t| <= |s| + d <= 2d, so block on the
@@ -219,13 +228,15 @@ def edit_distance_join(
     L = prep(left, "left")
     R = prep(right, "right")
 
+    # ids + join keys only through the candidate exchanges (same
+    # string-slimming as edit_distance_pairs); strings re-join after
+    # the pair dedup, each exactly once
     r_segs = R.where(F.col("right_len") >= k).select(
         "right_id",
         "right_s",
         F.explode(_segments_expr("right_len", k)).alias("g"),
     ).select(
         "right_id",
-        "right_s",
         F.col("g.src_len").alias("src_len"),
         F.col("g.slot").alias("slot"),
         F.substring(
@@ -241,7 +252,6 @@ def edit_distance_join(
         F.explode(_probe_expr(k, d, "left_len", f"left_len + {d}")).alias("p"),
     ).select(
         "left_id",
-        "left_s",
         F.col("p.src_len").alias("src_len"),
         F.col("p.slot").alias("slot"),
         F.substring(
@@ -249,14 +259,19 @@ def edit_distance_join(
         ).alias("seg"),
     )
 
-    candidates = (
+    cand_ids = (
         r_segs.join(l_probe, ["src_len", "slot", "seg"])
-        .select("left_id", "left_s", "right_id", "right_s")
+        .select("left_id", "right_id")
         .dropDuplicates(["left_id", "right_id"])
     )
-    verified = candidates.select(
-        "left_id", "right_id", F.levenshtein("left_s", "right_s").alias("dist")
-    ).where(F.col("dist") <= d)
+    verified = (
+        cand_ids.join(L.select("left_id", "left_s"), "left_id")
+        .join(R.select("right_id", "right_s"), "right_id")
+        .select(
+            "left_id", "right_id", F.levenshtein("left_s", "right_s").alias("dist")
+        )
+        .where(F.col("dist") <= d)
+    )
 
     # short RIGHT strings never index; short LEFT strings may probe but
     # their matches can still be missed when the left itself is fully

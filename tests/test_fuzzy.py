@@ -149,6 +149,26 @@ def test_duckdb_parity_on_documents(spark, sf_dir):
     assert len(got) > 0  # the corpus has near-identical prefixes
 
 
+def test_candidate_exchange_carries_no_strings(spark):
+    """The candidate generation + pair dedup shuffle ids and segment
+    keys ONLY (r5 verdict task #5): full strings re-join after the
+    dedup. Before the fix, dropDuplicates carried both strings, which
+    the plan shows as first(s_s)/first(s_t) aggregates — assert they
+    are gone (for both the self-join and the R-S join)."""
+    rows = [(i, f"some realistic length document field value {i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    plan = (
+        edit_distance_pairs(docs, max_dist=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "first(s_s" not in plan and "first(s_t" not in plan
+    plan_rs = (
+        edit_distance_join(docs, docs, max_dist=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "first(left_s" not in plan_rs and "first(right_s" not in plan_rs
+
+
 def test_blocking_is_not_allpairs(spark):
     """Plan shape: the candidate path joins on (src_len, slot, seg) —
     no CartesianProduct / BroadcastNestedLoop anywhere except the

@@ -308,6 +308,33 @@ def test_so4_intersect_duckdb_parity(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_relocated_oracle_parity(spark, sf_dir):
+    """The six entries rotated out of the 50-cap registry in r6 (slots
+    went to the r5 operator families) keep running against the SAME
+    DuckDB oracle SQL the driver's gate used through r5 — same compare
+    (column names, row count, order-insensitive stringified values) as
+    tools/check_oracle.py."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from tools.check_oracle import TABLES, compare
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    relocated = entry.relocated_oracles()
+    assert sorted(relocated) == [
+        "a7_signature_dedup", "f2_rpm_normalize", "j4_cascading_lookup",
+        "j6_semi_join", "s13_synthetic_input", "so2_complement",
+    ]
+    bench = entry.bench_queries()
+    for name, sql in relocated.items():
+        assert name not in entry.queries()  # rotated out, not duplicated
+        problems = compare(name, bench[name](spark, sf_dir), con, sql)
+        assert not problems, f"{name}: {problems}"
+    con.close()
+
+
 def test_mwas_perm_calibration_gate(spark, sf_dir):
     """The randomized permutation kernel's calibration gate: every
     randomized p within the 3σ binomial band of its exact-enumeration

@@ -246,6 +246,41 @@ def test_incremental_embedding_dedup_equivalence(spark):
         assert surv2.count() == 0
 
 
+def test_train_dedup_quantizer_auto_k(spark):
+    """Auto-k at a constant cell target (r5 verdict task #3): k tracks
+    corpus size, floors at min_cells, rejects nonsense targets, and the
+    returned centroids drive the incremental probe unchanged."""
+    import numpy as np
+    import pytest
+
+    from mwas_rfam_spark.operators.dedup import (
+        embedding_dedup_state,
+        incremental_embedding_dedup,
+        train_dedup_quantizer,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, (lambda v: (v / np.linalg.norm(v)).tolist())(rng.standard_normal(6)))
+            for i in range(600)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = train_dedup_quantizer(emb, cell_target=50, iters=1)
+    assert len(cents) == 12 and len(cents[0]) == 6  # round(600/50)
+    assert len(train_dedup_quantizer(emb, cell_target=10_000, iters=0)) == 8  # floor
+    with pytest.raises(ValueError, match="cell_target"):
+        train_dedup_quantizer(emb, cell_target=0)
+
+    # the frozen-quantizer contract: the same centroids build the state
+    # and serve later probes — an exact re-submission is dropped
+    state = embedding_dedup_state(emb, cents).localCheckpoint()
+    again = spark.createDataFrame(rows[:5], "vec_id long, embedding array<double>")
+    surv, _ = incremental_embedding_dedup(
+        again.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding"),
+        state, cents, threshold=0.999,
+    )
+    assert surv.count() == 0
+
+
 def test_incremental_embedding_dedup_no_state(spark):
     import numpy as np
 

@@ -407,6 +407,24 @@ def probe_r5_ops(spark, sf_dir: str, out: dict):
         _force(surv)
         out[f"inc_embedding_{label}"] = round(time.time() - t0, 2)
 
+    # Probe G' (r6): same rows under the PRODUCTION quantizer policy —
+    # auto-k at a constant cell target, derived at (re-)index time from
+    # the state corpus (train_dedup_quantizer). Fixed k=8 above lets
+    # cells grow 10x with the state; auto-k holds per-cell products
+    # ~constant, so the per-batch probe cost should stay ~flat.
+    from mwas_rfam_spark.operators.dedup import train_dedup_quantizer
+
+    for label, hist in [("1x", hist1), ("10x_state", hist10)]:
+        auto_cents = train_dedup_quantizer(hist, cell_target=128, iters=1)
+        state = embedding_dedup_state(hist, auto_cents).localCheckpoint()
+        out[f"inc_embedding_cells_{label}"] = len(auto_cents)
+        t0 = time.time()
+        surv, _ = incremental_embedding_dedup(
+            batch, state, auto_cents, threshold=0.9
+        )
+        _force(surv)
+        out[f"inc_embedding_autok_{label}"] = round(time.time() - t0, 2)
+
     # CC cutover crossover: identical chain-of-stars graph both ways
     edges = spark.range(20_000).select(
         F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
