@@ -286,6 +286,27 @@ def materialize_text_index(
     stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
 
 
+def compact_text_index(
+    spark,
+    path: str,
+    target_rows_per_file: int = 1 << 20,
+) -> int:
+    """Small-files repair for a :func:`materialize_text_index` that has
+    taken many :func:`append_text_index` batches — each append lands at
+    least one new file in every bucket its terms hash into, so file
+    count (and with it open/footer overhead per probe) grows with
+    APPEND COUNT, not data. Rewrites ``{path}/postings`` through the
+    maintenance compactor, preserving the bucket partitioning the
+    probes prune on; the stats row and every posting row are untouched,
+    so `bm25_topk_indexed` is score-identical before/after
+    (pytest-pinned). Returns the data-file count after the rewrite."""
+    from mwas_rfam_spark.sources.sinks import compact_files
+
+    return compact_files(
+        spark, f"{path}/postings", target_rows_per_file, partition_col="bucket"
+    )
+
+
 def bm25_topk_indexed(
     spark,
     path: str,

@@ -373,3 +373,23 @@ def append_ivf_index(
         raise ValueError(f"no centroids found under {path}/centroids")
     centroids = [list(r["centroid"]) for r in cent_rows]
     write_ivf_index(emb_new, centroids, f"{path}/vectors", id_col, vec_col, mode="append")
+
+
+def compact_ivf_index(
+    spark,
+    path: str,
+    target_rows_per_file: int = 1 << 20,
+) -> int:
+    """Small-files repair for a :func:`materialize_ivf` index that has
+    taken many :func:`append_ivf_index` batches — each append lands at
+    least one new file per touched cell, so probe-time file overhead
+    grows with append count. Rewrites ``{path}/vectors`` through the
+    maintenance compactor, preserving the cell partitioning the probes
+    prune on; vector rows and the centroids table are untouched, so
+    `ivf_ann_topk_indexed` results are identical before/after
+    (pytest-pinned). Returns the data-file count after the rewrite."""
+    from mwas_rfam_spark.sources.sinks import compact_files
+
+    return compact_files(
+        spark, f"{path}/vectors", target_rows_per_file, partition_col="cell"
+    )

@@ -83,6 +83,8 @@ def make_server(
     ref_df: DataFrame,
     host: str = "127.0.0.1",
     port: int = 0,
+    max_inline_rows: int = 10_000,
+    results_dir: str | None = None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; ``port=0`` picks a free port.
 
@@ -90,9 +92,26 @@ def make_server(
       POST /run_mwas  body: JSON array of {"run","group","quantifier"}
                       query params: MwasConfig fields
                       → 200 {"n": int, "columns": [...], "rows": [...]}
+                      or, past ``max_inline_rows``,
+                      → 200 {"n": int, "columns": [...],
+                             "results_location": "<parquet dir>"}
       GET  /healthz   → 200 {"ok": true}
-    """
+
+    ``max_inline_rows`` bounds the driver-side collect: a pathological
+    request (huge input × many sets) must not OOM the server process,
+    so past the cap the FULL result is written distributed to a
+    parquet directory under ``results_dir`` and the response carries
+    its location instead of inline rows — the §3.2 extension the
+    fire-and-forget reference leaves on the table. The inline path
+    collects at most ``max_inline_rows + 1`` rows (limit pushed into
+    the plan), never the unbounded relation."""
+    import tempfile
+    import uuid
+
     from .requests import serve_request
+
+    if max_inline_rows < 0:
+        raise ValueError(f"max_inline_rows must be >= 0, got {max_inline_rows}")
 
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, payload: dict) -> None:
@@ -128,17 +147,29 @@ def make_server(
                 return
             try:
                 out = serve_request(spark, rows, catalog_df, sets_df, ref_df, cfg)
-                collected = out.collect()
+                # bounded collect: one extra row detects overflow without
+                # ever materializing the unbounded relation on the driver
+                collected = out.limit(max_inline_rows + 1).collect()
+                if len(collected) <= max_inline_rows:
+                    self._reply(
+                        200,
+                        {
+                            "n": len(collected),
+                            "columns": out.columns,
+                            "rows": [
+                                {k: _json_safe(v) for k, v in r.asDict().items()}
+                                for r in collected
+                            ],
+                        },
+                    )
+                    return
+                base = results_dir or tempfile.mkdtemp(prefix="mwas_results_")
+                loc = f"{base}/req-{uuid.uuid4().hex}"
+                out.write.parquet(loc)
+                n = spark.read.parquet(loc).count()  # metadata-only job
                 self._reply(
                     200,
-                    {
-                        "n": len(collected),
-                        "columns": out.columns,
-                        "rows": [
-                            {k: _json_safe(v) for k, v in r.asDict().items()}
-                            for r in collected
-                        ],
-                    },
+                    {"n": n, "columns": out.columns, "results_location": loc},
                 )
             except Exception as e:  # surface pipeline errors as 500 JSON
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})

@@ -212,3 +212,53 @@ def test_append_text_index_equals_full_rebuild(spark, sf_dir, tmp_path):
     before = spark.read.parquet(f"{inc_path}/stats").collect()
     append_text_index(docs.where("doc_id < 0"), inc_path)
     assert spark.read.parquet(f"{inc_path}/stats").collect() == before
+
+
+def test_compact_text_index_bounds_files_and_preserves_scores(spark, sf_dir, tmp_path):
+    """Append-many-then-compact (r5 verdict task #7): repeated appends
+    grow per-bucket small files; the compactor rewrites postings to a
+    bounded file count, keeps the bucket partitioning (probes still
+    prune), and leaves bm25_topk_indexed score-identical."""
+    from mwas_rfam_spark.operators.retrieval import (
+        append_text_index,
+        bm25_topk_indexed,
+        compact_text_index,
+        materialize_text_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    path = str(tmp_path / "idx")
+    materialize_text_index(docs.where("doc_id % 5 = 0"), path, n_buckets=8)
+    for m in range(1, 5):  # four append batches → small files pile up
+        append_text_index(docs.where(f"doc_id % 5 = {m}"), path)
+
+    terms = ["the", "data", "pipeline"]
+    before = [
+        (r["doc_id"], round(r["score"], 9), r["n_matched"])
+        for r in bm25_topk_indexed(spark, path, terms, k=25).collect()
+    ]
+
+    def n_files():
+        import glob
+
+        return len(glob.glob(f"{path}/postings/bucket=*/part-*"))
+
+    files_before = n_files()
+    files_after = compact_text_index(spark, path, target_rows_per_file=1 << 20)
+    assert files_after == n_files() < files_before
+    assert files_after <= 8  # one file per bucket at this tiny scale
+
+    after = [
+        (r["doc_id"], round(r["score"], 9), r["n_matched"])
+        for r in bm25_topk_indexed(spark, path, terms, k=25).collect()
+    ]
+    assert after == before and len(after) > 0
+
+    # probes still prune: the scan keeps PartitionFilters on bucket
+    plan = (
+        bm25_topk_indexed(spark, path, terms, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan and "bucket" in plan.split(
+        "PartitionFilters:"
+    )[1][:200]

@@ -209,6 +209,34 @@ def test_append_ivf_index_equals_full_rebuild(spark, sf_dir, tmp_path):
     with pytest.raises(Exception, match="centroids"):
         append_ivf_index(b, str(tmp_path / "nowhere"))
 
+    # --- compaction (r5 verdict task #7): more appends, then rewrite --
+    from mwas_rfam_spark.operators.similarity import compact_ivf_index
+
+    for m in range(3):
+        append_ivf_index(
+            b.select((F.col("vec_id") + 100_000 * (m + 1)).alias("vec_id"), "embedding"),
+            inc,
+        )
+    probe_before = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in ivf_ann_topk_indexed(
+            spark, f"{inc}/vectors", q, cents, k=10, nprobe=4
+        ).collect()
+    ]
+    import glob
+
+    files_before = len(glob.glob(f"{inc}/vectors/cell=*/part-*"))
+    files_after = compact_ivf_index(spark, inc, target_rows_per_file=1 << 20)
+    assert files_after == len(glob.glob(f"{inc}/vectors/cell=*/part-*")) < files_before
+    assert files_after <= len(cents)  # one file per cell at this scale
+    probe_after = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in ivf_ann_topk_indexed(
+            spark, f"{inc}/vectors", q, cents, k=10, nprobe=4
+        ).collect()
+    ]
+    assert probe_after == probe_before
+
 
 def test_append_ivf_dimension_guard(spark, tmp_path):
     """Appending vectors of the wrong dimension must fail loud — a
