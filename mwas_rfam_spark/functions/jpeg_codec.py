@@ -1,0 +1,611 @@
+"""Baseline JPEG codec (stdlib + numpy) — the r5 verdict's stretch
+task #8: a real in-container JPEG decoder so the third still-image
+format joins PNG/GIF on the ``fake=False`` path despite the missing
+PIL wheel.
+
+Scope (documented, checked, loudly rejected otherwise): baseline
+sequential DCT, Huffman-coded (SOF0), 8-bit precision, 1 (grayscale)
+or 3 (YCbCr) components, any integer sampling factors (4:4:4, 4:2:2,
+4:2:0, ...), restart intervals. Progressive (SOF2), arithmetic coding
+(SOF9+), hierarchical, 12-bit and CMYK exotica raise ValueError naming
+the offending field — the same contract as the PNG/GIF codecs (ITU-T
+T.81 is the spec; the quantization tables in the encoder are Annex K's
+examples).
+
+The encoder exists so tests can round-trip the decoder in-container:
+baseline, 4:4:4, one fixed-structure Huffman table pair (all 12 DC
+symbols at 4 bits, all 162 AC symbols at 8 bits — canonical, valid,
+deliberately simple rather than optimal; JPEG requires only that the
+table be well-formed, and the decoder reads the tables from the
+stream). Lossy by nature: round-trip asserts bounded per-pixel error,
+not equality.
+
+This is a driver/executor-side kernel: it runs inside the Arrow-batched
+``mapInPandas`` decode stage (operators/multimodal.py), one payload at
+a time — Spark parallelism comes from the partitioning, not from here.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+#: allocation budget, mirrors png_codec/gif_codec: SOF dims are
+#: attacker-controlled; nothing is allocated before this check.
+MAX_PIXELS = 1 << 24
+
+_SOF_NAMES = {
+    0xC1: "extended sequential (SOF1)",
+    0xC2: "progressive (SOF2)",
+    0xC3: "lossless (SOF3)",
+    0xC5: "differential sequential (SOF5)",
+    0xC6: "differential progressive (SOF6)",
+    0xC7: "differential lossless (SOF7)",
+    0xC9: "arithmetic sequential (SOF9)",
+    0xCA: "arithmetic progressive (SOF10)",
+    0xCB: "arithmetic lossless (SOF11)",
+    0xCD: "differential arithmetic sequential (SOF13)",
+    0xCE: "differential arithmetic progressive (SOF14)",
+    0xCF: "differential arithmetic lossless (SOF15)",
+}
+
+
+def _zigzag_order() -> list[tuple[int, int]]:
+    """The 64 (row, col) positions in JPEG zigzag order, generated from
+    the traversal rule (anti-diagonal s: odd runs row 0..s, even runs
+    row s..0) instead of a typed-in table."""
+    out = []
+    for s in range(15):
+        rows = range(0, s + 1) if s % 2 else range(s, -1, -1)
+        for r in rows:
+            c = s - r
+            if r < 8 and c < 8:
+                out.append((r, c))
+    return out
+
+
+_ZIGZAG = _zigzag_order()
+
+#: IDCT basis: A[u, x] = c(u) * cos((2x+1) u pi / 16), orthonormal.
+_DCT_A = np.array(
+    [
+        [
+            (np.sqrt(1.0 / 8.0) if u == 0 else np.sqrt(2.0 / 8.0))
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def is_jpeg(data: bytes) -> bool:
+    return data[:3] == b"\xff\xd8\xff"
+
+
+# --------------------------------------------------------------- decode
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded JPEG data: 0xFF00 is a
+    stuffed data byte; RSTn markers are consumed only via
+    :meth:`restart`; any other marker mid-stream is corruption."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy stream")
+        b = d[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(d):
+                raise ValueError("truncated JPEG entropy stream at 0xFF")
+            nxt = d[self.pos]
+            if nxt == 0x00:
+                self.pos += 1
+            else:
+                # a real marker: unread it and fail the bit request —
+                # callers hit this only on corrupt streams, because MCU
+                # boundaries consume RSTn via restart()
+                self.pos -= 1
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} inside JPEG scan")
+        self.buf = (self.buf << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self, expected: int) -> None:
+        """Byte-align and consume the RSTn marker at a restart boundary."""
+        self.buf = 0
+        self.nbits = 0
+        d = self.data
+        # tolerate fill bytes (0xFF) before the marker id
+        if self.pos + 1 >= len(d) or d[self.pos] != 0xFF:
+            raise ValueError("missing JPEG restart marker")
+        m = d[self.pos + 1]
+        if m != 0xD0 + expected:
+            raise ValueError(
+                f"JPEG restart marker out of order: got 0xFF{m:02X}, "
+                f"expected 0xFF{0xD0 + expected:02X}"
+            )
+        self.pos += 2
+
+
+def _build_huffman(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman table → {(code_length, code): symbol}."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _decode_huff(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code (no symbol within 16 bits)")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map ``size``-bit magnitude to signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS) -> tuple[int, int, int, bytes]:
+    """Decode a baseline JPEG → (width, height, channels, raw pixel
+    bytes, row-major, channels interleaved; 3-channel output is RGB via
+    BT.601 from YCbCr). Raises ValueError on anything outside the
+    supported profile, including images whose declared dims exceed
+    ``max_pixels`` (checked at SOF parse, before any allocation)."""
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG (bad SOI signature)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    restart_interval = 0
+    frame = None  # (h, w, comps) from SOF0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected JPEG marker at byte {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD8:  # stray SOI
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        seg = data[pos + 4 : pos + 2 + seg_len]
+        if marker in _SOF_NAMES:
+            raise ValueError(f"unsupported JPEG coding: {_SOF_NAMES[marker]} (baseline SOF0 only)")
+        if marker == 0xDB:  # DQT
+            s = 0
+            while s < len(seg):
+                pq, tq = seg[s] >> 4, seg[s] & 0x0F
+                s += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[s : s + 64], dtype=np.uint8).astype(np.int32)
+                    s += 64
+                elif pq == 1:
+                    tbl = np.frombuffer(seg[s : s + 128], dtype=">u2").astype(np.int32)
+                    s += 128
+                else:
+                    raise ValueError(f"invalid JPEG DQT precision {pq}")
+                if len(tbl) != 64:
+                    raise ValueError("truncated JPEG DQT table")
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            s = 0
+            while s + 17 <= len(seg):
+                tc, th = seg[s] >> 4, seg[s] & 0x0F
+                bits = list(seg[s + 1 : s + 17])
+                n = sum(bits)
+                vals = seg[s + 17 : s + 17 + n]
+                if len(vals) != n:
+                    raise ValueError("truncated JPEG DHT table")
+                huff[(tc, th)] = _build_huffman(bits, vals)
+                s += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec} (only 8-bit)")
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {ncomp} (1 or 3)")
+            if w == 0 or h == 0:
+                raise ValueError("JPEG with zero dimension")
+            if w * h > max_pixels:
+                raise ValueError(f"JPEG {w}x{h} exceeds max_pixels={max_pixels}")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            for c in comps:
+                if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
+                    raise ValueError(f"invalid JPEG sampling factors {c['h']}x{c['v']}")
+            frame = (h, w, comps)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            ns = seg[0]
+            h, w, comps = frame
+            if ns != len(comps):
+                raise ValueError("JPEG scan must cover all frame components (baseline)")
+            by_id = {c["id"]: c for c in comps}
+            scan = []
+            for i in range(ns):
+                cid, tt = seg[1 + 2 * i : 3 + 2 * i]
+                c = by_id.get(cid)
+                if c is None:
+                    raise ValueError(f"JPEG scan references unknown component {cid}")
+                c["dc"] = tt >> 4
+                c["ac"] = tt & 0x0F
+                scan.append(c)
+            return _decode_scan(
+                data, pos + 2 + seg_len, h, w, scan, qt, huff, restart_interval, max_pixels
+            )
+        # APPn / COM / anything else: skip
+        pos += 2 + seg_len
+    raise ValueError("JPEG missing SOS (no scan data)")
+
+
+def _decode_scan(data, pos, h, w, comps, qt, huff, restart_interval, max_pixels):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    if mcus_x * mcus_y * 64 * hmax * vmax > 4 * max_pixels:
+        raise ValueError("JPEG MCU grid exceeds the allocation budget")
+    for c in comps:
+        if c["tq"] not in qt:
+            raise ValueError(f"JPEG component references missing quant table {c['tq']}")
+        if (0, c["dc"]) not in huff or (1, c["ac"]) not in huff:
+            raise ValueError("JPEG scan references missing Huffman table")
+        c["blocks_w"] = mcus_x * c["h"]
+        c["blocks_h"] = mcus_y * c["v"]
+        c["coef"] = np.zeros((c["blocks_h"] * c["blocks_w"], 64), dtype=np.float64)
+        c["pred"] = 0
+
+    r = _BitReader(data, pos)
+    zz_rows = np.array([p[0] for p in _ZIGZAG])
+    zz_cols = np.array([p[1] for p in _ZIGZAG])
+    n_mcu = mcus_x * mcus_y
+    rst = 0
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            r.restart(rst)
+            rst = (rst + 1) & 7
+            for c in comps:
+                c["pred"] = 0
+        my, mx = divmod(m, mcus_x)
+        for c in comps:
+            dc_tbl, ac_tbl = huff[(0, c["dc"])], huff[(1, c["ac"])]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    blk = np.zeros(64, dtype=np.float64)
+                    t = _decode_huff(r, dc_tbl)
+                    if t > 11:
+                        raise ValueError(f"invalid JPEG DC category {t}")
+                    c["pred"] += _extend(r.read_bits(t), t)
+                    blk[0] = c["pred"]
+                    k = 1
+                    while k < 64:
+                        rs = _decode_huff(r, ac_tbl)
+                        rr, ss = rs >> 4, rs & 0x0F
+                        if ss == 0:
+                            if rr == 15:
+                                k += 16  # ZRL
+                                continue
+                            break  # EOB
+                        k += rr
+                        if k > 63:
+                            raise ValueError("JPEG AC run past end of block")
+                        blk[k] = _extend(r.read_bits(ss), ss)
+                        k += 1
+                    row = my * c["v"] + by
+                    col = mx * c["h"] + bx
+                    c["coef"][row * c["blocks_w"] + col] = blk
+    # dequantize + IDCT per component, vectorized over all blocks
+    planes = []
+    for c in comps:
+        q = qt[c["tq"]].astype(np.float64)
+        coef = c["coef"] * q  # both in zigzag order
+        grid = np.zeros((len(coef), 8, 8))
+        grid[:, zz_rows, zz_cols] = coef
+        spatial = np.einsum("ux,nuv,vy->nxy", _DCT_A, grid, _DCT_A)
+        plane = (
+            spatial.reshape(c["blocks_h"], c["blocks_w"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["blocks_h"] * 8, c["blocks_w"] * 8)
+        )
+        plane = np.clip(np.round(plane + 128.0), 0, 255)
+        # crop to the component's true size, then upsample to full res
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        plane = plane[:ch, :cw]
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return w, h, 1, planes[0].astype(np.uint8).tobytes()
+    y, cb, cr = planes
+    r_ = y + 1.402 * (cr - 128.0)
+    g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b_ = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r_, g_, b_], axis=-1)
+    return w, h, 3, np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes()
+
+
+# --------------------------------------------------------------- encode
+
+#: Annex K example quantization tables (T.81 K.1/K.2), row-major.
+_Q_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+])
+_Q_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+])
+
+#: fixed-structure canonical Huffman tables for the encoder: every DC
+#: category (0..11) is a 4-bit code, every AC symbol an 8-bit code.
+#: Valid by construction (12 <= 2^4 with no all-ones code; 162 <= 2^8
+#: with top code 161 != 255) — simplicity over optimality.
+_DC_SYMS = list(range(12))
+_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162] + [0] * 8
+
+
+def _canonical_codes(bits: list[int], syms: list[int]) -> dict[int, tuple[int, int]]:
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[syms[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_CODES = _canonical_codes(_DC_BITS, _DC_SYMS)
+_AC_CODES = _canonical_codes(_AC_BITS, sorted(_AC_SYMS))
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.n) - 1
+
+    def pad_to_byte(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (T.81 F.1.2.3)
+
+    def marker(self, m: int) -> None:
+        """Emit a marker into the entropy stream (byte-aligned, never
+        stuffed) — used for RSTn."""
+        self.pad_to_byte()
+        self.out += bytes([0xFF, m])
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _encode_block(wtr: _BitWriter, blk_zz: np.ndarray, pred: int) -> int:
+    dc = int(blk_zz[0])
+    diff = dc - pred
+    t = _category(diff)
+    ln, code = _DC_CODES[t]
+    wtr.write(code, ln)
+    if t:
+        wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if blk_zz[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(blk_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = _AC_CODES[0xF0]
+            wtr.write(code, ln)
+            run -= 16
+        s = _category(v)
+        ln, code = _AC_CODES[(run << 4) | s]
+        wtr.write(code, ln)
+        wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        ln, code = _AC_CODES[0x00]
+        wtr.write(code, ln)
+    return dc
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal valid baseline JPEG writer (fixed-structure Huffman
+    tables, Annex K quant tables scaled by ``quality``; ``subsampling``
+    is ``"444"`` or ``"420"`` for 3-channel input; ``restart_interval``
+    emits DRI + RSTn markers every N MCUs) — exists so tests can
+    round-trip the decoder with stdlib+numpy only, including its
+    chroma-upsampling and restart paths; not a production compressor."""
+    if channels not in (1, 3):
+        raise ValueError(f"channels must be 1 or 3, got {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size does not match dims")
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be in [1, 100], got {quality}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
+    if restart_interval < 0 or restart_interval > 0xFFFF:
+        raise ValueError(f"restart_interval out of range: {restart_interval}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q_lum = np.clip((_Q_LUM * scale + 50) // 100, 1, 255).astype(np.int32)
+    q_chrom = np.clip((_Q_CHROM * scale + 50) // 100, 1, 255).astype(np.int32)
+
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels).astype(np.float64)
+    sub = subsampling if channels == 3 else "444"
+    if channels == 3:
+        r_, g_, b_ = img[..., 0], img[..., 1], img[..., 2]
+        y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+        cb = 128.0 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_
+        cr = 128.0 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_
+        if sub == "420":
+
+            def down2(p: np.ndarray) -> np.ndarray:
+                ph = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)), mode="edge")
+                return ph.reshape(ph.shape[0] // 2, 2, ph.shape[1] // 2, 2).mean(axis=(1, 3))
+
+            comps = [
+                {"plane": y, "q": q_lum, "tq": 0, "h": 2, "v": 2},
+                {"plane": down2(cb), "q": q_chrom, "tq": 1, "h": 1, "v": 1},
+                {"plane": down2(cr), "q": q_chrom, "tq": 1, "h": 1, "v": 1},
+            ]
+        else:
+            comps = [
+                {"plane": y, "q": q_lum, "tq": 0, "h": 1, "v": 1},
+                {"plane": cb, "q": q_chrom, "tq": 1, "h": 1, "v": 1},
+                {"plane": cr, "q": q_chrom, "tq": 1, "h": 1, "v": 1},
+            ]
+    else:
+        comps = [{"plane": img[..., 0], "q": q_lum, "tq": 0, "h": 1, "v": 1}]
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    zz_rows = np.array([p[0] for p in _ZIGZAG])
+    zz_cols = np.array([p[1] for p in _ZIGZAG])
+
+    for c in comps:
+        bw_c, bh_c = mcus_x * c["h"], mcus_y * c["v"]
+        p = c["plane"]
+        padded = np.pad(
+            p,
+            ((0, bh_c * 8 - p.shape[0]), (0, bw_c * 8 - p.shape[1])),
+            mode="edge",
+        ) - 128.0
+        grid = padded.reshape(bh_c, 8, bw_c, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        coef = np.einsum("ux,nxy,vy->nuv", _DCT_A, grid, _DCT_A)
+        zz_q = c["q"].reshape(8, 8)[zz_rows, zz_cols].astype(np.float64)
+        c["zz"] = np.round(coef[:, zz_rows, zz_cols] / zz_q).astype(np.int64)
+        c["bw"] = bw_c
+
+    # ---- headers ------------------------------------------------------
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    zz_q_lum = q_lum.reshape(8, 8)[zz_rows, zz_cols].astype(np.uint8)
+    out += seg(0xDB, b"\x00" + zz_q_lum.tobytes())
+    if channels == 3:
+        zz_q_chrom = q_chrom.reshape(8, 8)[zz_rows, zz_cols].astype(np.uint8)
+        out += seg(0xDB, b"\x01" + zz_q_chrom.tobytes())
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for i, c in enumerate(comps):
+        sof += bytes([i + 1, (c["h"] << 4) | c["v"], c["tq"]])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_SYMS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(sorted(_AC_SYMS)))
+    if channels == 3:
+        out += seg(0xC4, bytes([0x01]) + bytes(_DC_BITS) + bytes(_DC_SYMS))
+        out += seg(0xC4, bytes([0x11]) + bytes(_AC_BITS) + bytes(sorted(_AC_SYMS)))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([channels])
+    for i in range(channels):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+
+    # ---- entropy-coded data -------------------------------------------
+    wtr = _BitWriter()
+    preds = [0] * len(comps)
+    rst = 0
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            wtr.marker(0xD0 + rst)
+            rst = (rst + 1) & 7
+            preds = [0] * len(comps)
+        my, mx = divmod(m, mcus_x)
+        for ci, c in enumerate(comps):
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    n = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                    preds[ci] = _encode_block(wtr, c["zz"][n], preds[ci])
+    out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -12,11 +12,11 @@ columns at all; a 100 TB training-data pipeline does. Design rules:
   ``mapInPandas`` stages: Arrow batches in, Arrow batches out, schema
   declared up front. The full-fat codec wheels (PIL / soundfile / av)
   are NOT in this container, so each family prefers them when present
-  and falls back to a REAL pure-stdlib decoder — PNG+GIF for images
-  (functions/png_codec, functions/gif_codec), ``wave`` for audio,
-  animated GIF for video frame-sampling — raising a clearly-named
-  NotImplementedError only for formats outside the stdlib decoders'
-  reach. A deterministic sha256-derived fake (``fake=True``) remains
+  and falls back to a REAL in-container decoder — PNG+GIF+baseline JPEG
+  for images (functions/png_codec, functions/gif_codec,
+  functions/jpeg_codec), ``wave`` for audio, animated GIF for video
+  frame-sampling — raising a clearly-named NotImplementedError only for
+  formats outside those decoders' reach. A deterministic sha256-derived fake (``fake=True``) remains
   for oracle-checkable plumbing tests.
 * The fake is a pure function of the payload hash, reproducible in ANSI
   SQL, so even the Python ``mapInPandas`` stage is oracle-checkable.
@@ -114,6 +114,7 @@ def _real_decode_dims(payload: bytes) -> tuple[int, int, int]:
         with Image.open(io.BytesIO(payload)) as im:
             return im.width, im.height, len(im.getbands())
     from mwas_rfam_spark.functions.gif_codec import decode_gif, is_gif
+    from mwas_rfam_spark.functions.jpeg_codec import decode_jpeg, is_jpeg
     from mwas_rfam_spark.functions.png_codec import decode_png, is_png
 
     if is_png(payload):
@@ -122,9 +123,12 @@ def _real_decode_dims(payload: bytes) -> tuple[int, int, int]:
     if is_gif(payload):
         w, h, _frames = decode_gif(payload)
         return w, h, 3  # composited canvas is RGB
+    if is_jpeg(payload):
+        w, h, c, _px = decode_jpeg(payload)
+        return w, h, c
     raise NotImplementedError(
         "real image decode: PIL/pillow not in this container and the "
-        "payload is neither PNG nor GIF (the stdlib decoders stop there)"
+        "payload is none of PNG/GIF/JPEG (the stdlib decoders stop there)"
     )
 
 
@@ -146,6 +150,7 @@ def _real_decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         with Image.open(io.BytesIO(payload)) as im:
             return im.width, im.height, len(im.getbands()), im.tobytes()
     from mwas_rfam_spark.functions.gif_codec import decode_gif, is_gif
+    from mwas_rfam_spark.functions.jpeg_codec import decode_jpeg, is_jpeg
     from mwas_rfam_spark.functions.png_codec import decode_png, is_png
 
     if is_png(payload):
@@ -153,9 +158,11 @@ def _real_decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     if is_gif(payload):
         w, h, frames = decode_gif(payload)
         return w, h, 3, b"".join(frames)
+    if is_jpeg(payload):
+        return decode_jpeg(payload)
     raise NotImplementedError(
         "real image decode: PIL/pillow not in this container and the "
-        "payload is neither PNG nor GIF (the stdlib decoders stop there)"
+        "payload is none of PNG/GIF/JPEG (the stdlib decoders stop there)"
     )
 
 

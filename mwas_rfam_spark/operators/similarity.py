@@ -132,6 +132,18 @@ def train_ivf_centroids(
     return centroids
 
 
+#: beyond this many centroids, assignment runs as an Arrow-batched GEMM
+#: argmin with the centroid matrix broadcast once per executor, instead
+#: of the inline expression (k*dim literals + k HOF aggregates in ONE
+#: projection). Measured on 20k x d=64 vectors (SCALE.md probe I): the
+#: expression path grows linearly in k (k=128: 8.8 s, k=256: 16.9 s —
+#: it outgrows codegen's method limit and evaluates interpreted) while
+#: the kernel is flat (~0.4 s from k=32 through k=1562). The cutover
+#: keeps only tiny-k plans JVM-pure (no Python worker in the pipeline);
+#: everything larger takes the kernel.
+IVF_ASSIGN_CODEGEN_MAX_CELLS = 16
+
+
 def assign_ivf_cells(
     emb: DataFrame,
     centroids: list[list[float]],
@@ -139,26 +151,73 @@ def assign_ivf_cells(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Attach the nearest-centroid cell id (L2) to every vector — the IVF
-    partitioning key. Pure column expressions: per-centroid squared
-    distance via zip_with/aggregate, argmin via array_position of
-    array_min."""
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(x)) for x in c]),
-                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for c in centroids
-        ]
-    )
-    return emb.withColumn(
-        "cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    )
+    partitioning key.
+
+    Two physical strategies, same semantics (argmin of squared L2,
+    first/lowest cell on exact ties), chosen by k:
+
+    * k <= IVF_ASSIGN_CODEGEN_MAX_CELLS: pure column expressions —
+      per-centroid squared distance via zip_with/aggregate, argmin via
+      array_position of array_min. Stays in the JVM, zero Python.
+    * larger k (the auto-k policy at big corpora drives k ~ n/128, so
+      100x corpora land here): Arrow-batched numpy kernel — one
+      broadcast (k x d) centroid matrix per executor, one GEMM per
+      batch, argmin row-wise. The inline expression at this k would be
+      ~k*d literals in a single projection: past codegen's method
+      limit, Catalyst falls back to interpreted eval and per-row cost
+      becomes O(k*d) scalar ops — the measured wall in SCALE.md probe I.
+    """
+    if len(centroids) <= IVF_ASSIGN_CODEGEN_MAX_CELLS:
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in centroids
+            ]
+        )
+        return emb.withColumn(
+            "cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return _assign_cells_arrow(emb, centroids, vec_col)
+
+
+def _assign_cells_arrow(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+) -> DataFrame:
+    """Large-k cell assignment: broadcast centroid matrix + batch GEMM.
+    argmin(|x - c|^2) = argmin(-2 x.C^T + |c|^2) — the |x|^2 term is
+    constant per row, so it never enters the comparison; numpy argmin
+    takes the FIRST minimum, matching the expression path's
+    array_position tie-break (lowest cell id)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    spark = emb.sparkSession
+    C = np.asarray(centroids, dtype=np.float64)
+    bc = spark.sparkContext.broadcast((C, (C * C).sum(axis=1)))
+    schema = T.StructType(emb.schema.fields + [T.StructField("cell", T.IntegerType())])
+
+    def kernel(batches):
+        Cm, c2 = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            out = pdf.copy()
+            out["cell"] = np.argmin(X @ (-2.0 * Cm.T) + c2, axis=1).astype("int32")
+            yield out
+
+    return emb.mapInPandas(kernel, schema)
 
 
 def ivf_ann_topk(

@@ -345,14 +345,130 @@ def test_decode_images_real_png_path(spark):
     }
     assert got == {1: (20, 10, 3), 2: (5, 4, 1)}
 
-    # a payload outside the stdlib decoders (JPEG magic) raises loudly
+    # a payload outside the stdlib decoders (BMP magic) raises loudly
     bad = spark.createDataFrame(
-        [(9, b"\xff\xd8\xff\xe0 jpeg", "image")], "doc_id long, payload binary, mt string"
+        [(9, b"BM not actually a bitmap", "image")], "doc_id long, payload binary, mt string"
     ).select(
         "doc_id", "payload", F.struct(F.col("mt").alias("media_type")).alias("media_meta")
     )
-    with pytest.raises(Exception, match="NotImplementedError|neither PNG nor GIF|PIL"):
+    with pytest.raises(Exception, match="NotImplementedError|none of PNG/GIF/JPEG|PIL"):
         decode_images(bad, fake=False).collect()
+
+
+def test_jpeg_roundtrip_all_modes():
+    """Baseline JPEG codec (r5 verdict stretch task #8): encode with
+    stdlib+numpy, decode with the stdlib decoder, bounded per-pixel
+    error (JPEG is lossy) across 4:4:4, 4:2:0, restart intervals,
+    grayscale and non-multiple-of-8 dims."""
+    import numpy as np
+
+    from mwas_rfam_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg, is_jpeg
+
+    w, h = 37, 23  # deliberately not multiples of 8/16
+    x = np.linspace(0, 255, w)[None, :].repeat(h, 0)
+    y = np.linspace(0, 255, h)[:, None].repeat(w, 1)
+    rgb = np.stack([x, y, (x + y) / 2], axis=-1).astype(np.uint8)
+
+    for sub, ri, tol in [("444", 0, 6), ("444", 2, 6), ("420", 0, 16), ("420", 3, 16)]:
+        data = encode_jpeg(w, h, 3, rgb.tobytes(), quality=90,
+                           subsampling=sub, restart_interval=ri)
+        assert is_jpeg(data)
+        gw, gh, gc, px = decode_jpeg(data)
+        assert (gw, gh, gc) == (w, h, 3)
+        got = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3).astype(int)
+        err = np.abs(got - rgb.astype(int))
+        assert err.max() <= tol, (sub, ri, err.max())
+
+    gray = ((x + y) / 2).astype(np.uint8)
+    gw, gh, gc, px = decode_jpeg(encode_jpeg(w, h, 1, gray.tobytes(), quality=85))
+    assert (gw, gh, gc) == (w, h, 1)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(h, w).astype(int)
+    assert np.abs(got - gray.astype(int)).max() <= 6
+
+
+def test_jpeg_rejects_unsupported():
+    """Everything outside the baseline profile is a ValueError naming
+    the offending field, and hostile dims hit max_pixels BEFORE any
+    allocation (same contract as the PNG/GIF codecs)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mwas_rfam_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg
+
+    good = encode_jpeg(8, 8, 3, bytes(192), quality=90)
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+
+    # flip SOF0 -> SOF2 (progressive): marker byte of the C0 segment
+    prog = bytearray(good)
+    sof_at = prog.find(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(prog))
+    arith = bytearray(good)
+    arith[sof_at + 1] = 0xC9
+    with pytest.raises(ValueError, match="arithmetic"):
+        decode_jpeg(bytes(arith))
+
+    # 12-bit precision field inside SOF
+    deep = bytearray(good)
+    deep[sof_at + 4] = 12
+    with pytest.raises(ValueError, match="precision"):
+        decode_jpeg(bytes(deep))
+
+    # hostile dims: h,w at SOF offsets +5..+9 — error names max_pixels
+    huge = bytearray(good)
+    huge[sof_at + 5 : sof_at + 9] = struct.pack(">HH", 0xFFFF, 0xFFFF)
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_jpeg(bytes(huge))
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_jpeg(good, max_pixels=8)
+
+    # truncated entropy stream: cut mid-scan on a noisy (entropy-rich)
+    # image so the cut lands inside coded data, not the SOS header
+    rng = np.random.default_rng(1)
+    noise = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    big = encode_jpeg(32, 32, 3, noise.tobytes(), quality=95)
+    with pytest.raises(ValueError, match="truncated|marker"):
+        decode_jpeg(big[:-12] + b"\xff\xd9")
+    # a cut that mangles the SOS header itself still fails loudly
+    with pytest.raises(ValueError, match="JPEG"):
+        decode_jpeg(good[:-12] + b"\xff\xd9")
+
+
+def test_decode_images_real_jpeg_path(spark):
+    """fake=False end-to-end through the Spark mapInPandas stage with
+    JPEG payloads: the stdlib decoder reports true dims next to PNG
+    payloads in the same batch (unified precedence)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.functions.jpeg_codec import encode_jpeg
+    from mwas_rfam_spark.functions.png_codec import encode_png
+    from mwas_rfam_spark.operators.multimodal import decode_images
+
+    img = np.tile(np.linspace(0, 255, 24).astype(np.uint8), (16, 1))
+    rows = [
+        (1, encode_jpeg(24, 16, 1, img.tobytes(), quality=90), "image"),
+        (2, encode_jpeg(12, 9, 3, bytes(12 * 9 * 3), quality=80,
+                        subsampling="420"), "image"),
+        (3, encode_png(5, 4, 1, bytes(20)), "image"),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, payload binary, mt string"
+    ).select(
+        "doc_id",
+        "payload",
+        F.struct(F.col("mt").alias("media_type")).alias("media_meta"),
+    )
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["channels"])
+        for r in decode_images(media, fake=False).collect()
+    }
+    assert got == {1: (24, 16, 1), 2: (12, 9, 3), 3: (5, 4, 1)}
 
 
 def test_extract_audio_real_wav_path(spark):

@@ -158,3 +158,35 @@ def test_cdc_reassembly_and_bounds_property(payload, avg):
     if sizes:
         assert sizes[-1] <= avg * 4
     assert gear_hashes(payload).tolist() == gear_hashes_reference(payload)
+
+
+@given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.sampled_from([1, 3]),
+    st.sampled_from(["444", "420"]),
+    st.integers(0, 3),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_roundtrip_property(w, h, channels, sub, ri, rnd):
+    """Baseline JPEG round-trip on random SMOOTH images (constant +
+    small jitter — JPEG's own domain): dims/channels exact, per-pixel
+    error bounded; the stream always declares itself a JPEG."""
+    import numpy as np
+
+    from mwas_rfam_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg, is_jpeg
+
+    base = rnd.randrange(30, 226)
+    rng = np.random.default_rng(rnd.randrange(1 << 30))
+    img = np.clip(
+        base + rng.integers(-8, 9, (h, w, channels)), 0, 255
+    ).astype(np.uint8)
+    data = encode_jpeg(
+        w, h, channels, img.tobytes(), quality=92, subsampling=sub, restart_interval=ri
+    )
+    assert is_jpeg(data)
+    gw, gh, gc, px = decode_jpeg(data)
+    assert (gw, gh, gc) == (w, h, channels)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(h, w, channels).astype(int)
+    assert np.abs(got - img.astype(int)).max() <= 32  # lossy, bounded

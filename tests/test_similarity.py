@@ -157,6 +157,49 @@ def test_ivf_indexed_probe_prunes_partitions(spark, tmp_path):
     assert "cell" in pf, pf
 
 
+def test_assign_cells_arrow_matches_expression_path(spark):
+    """The large-k GEMM kernel and the inline-expression path are the
+    SAME operator (argmin of L2, ties to the lowest cell): identical
+    assignments on a shared corpus, and the kernel handles k past the
+    codegen cutover where the expression path would degrade."""
+    import numpy as np
+
+    from mwas_rfam_spark.operators.similarity import (
+        IVF_ASSIGN_CODEGEN_MAX_CELLS,
+        _assign_cells_arrow,
+        assign_ivf_cells,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [rng.standard_normal(8).tolist() for _ in range(7)]
+
+    via_expr = {
+        r["vec_id"]: r["cell"] for r in assign_ivf_cells(emb, cents).collect()
+    }
+    via_arrow = {
+        r["vec_id"]: r["cell"]
+        for r in _assign_cells_arrow(emb, cents, "embedding").collect()
+    }
+    assert via_expr == via_arrow
+
+    # exact-tie determinism: equidistant centroids -> lowest cell id
+    tie = spark.createDataFrame([(0, [0.0, 0.0])], "vec_id long, embedding array<double>")
+    tie_cents = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]]
+    assert assign_ivf_cells(tie, tie_cents).first()["cell"] == 0
+    assert _assign_cells_arrow(tie, tie_cents, "embedding").first()["cell"] == 0
+
+    # past the cutover the dispatcher picks the kernel and stays correct
+    big_k = IVF_ASSIGN_CODEGEN_MAX_CELLS + 10
+    big_cents = [rng.standard_normal(8).tolist() for _ in range(big_k)]
+    got = assign_ivf_cells(emb, big_cents).collect()
+    C = np.asarray(big_cents)
+    for r in got[:25]:
+        x = np.asarray(r["embedding"])
+        assert r["cell"] == int(np.argmin(((C - x) ** 2).sum(axis=1)))
+
+
 def test_append_ivf_index_equals_full_rebuild(spark, sf_dir, tmp_path):
     """materialize(A) + append(B) probes identically to materialize(A∪B)
     under the SAME frozen centroids (cell assignment is a pure function

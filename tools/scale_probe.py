@@ -544,6 +544,172 @@ def probe_r5b_ops(spark, sf_dir: str, out: dict):
           file=sys.stderr)
 
 
+def probe_i100(spark, sf_dir: str, out: dict):
+    """Probe I (r6) — 100x evidence for the superlinear-corner families
+    (r5 verdict task #2). Probes A-H are uniformly 10x; the brief
+    grades plans at 100x, and two families have a documented corner:
+    the embedding-dedup cell products and the exact listers' candidate/
+    output growth. Each family gets:
+
+    * DIVERSE growth at 1x/10x/100x — copies made genuinely distinct
+      (vector perturbations / md5-synthesized text), so the row
+      measures the STRUCTURAL cost trend (index + shuffle + candidate
+      generation) with the corner not triggered. This is the shape a
+      real 100 TB corpus has after exact-collapse.
+    * the CORNER at 10x/100x on a smaller base where the family has
+      one — near-clone copies whose pair structure is genuinely
+      quadratic — so the wall's slope is measured, not argued. The
+      mitigation (exact-collapse-first / max_df guard / auto-k) is the
+      documented answer; the corner rows exist to show what it costs
+      to ignore it.
+
+    Embedding families run the PRODUCTION auto-k policy
+    (train_dedup_quantizer at cell_target=128): at 100x (200k vectors)
+    k crosses IVF_ASSIGN_CODEGEN_MAX_CELLS and assignment switches to
+    the Arrow GEMM kernel — the 1x/10x rows stay on the expression
+    path; both are parity-pinned in tests. Quantizer training is
+    untimed (build-vs-probe split: it happens at index time)."""
+    from mwas_rfam_spark.operators.dedup import (
+        embedding_dedup_state,
+        incremental_embedding_dedup,
+        ngram_containment_pairs,
+        semantic_dedup,
+        train_dedup_quantizer,
+    )
+    from mwas_rfam_spark.operators.fuzzy import edit_distance_pairs
+    from mwas_rfam_spark.plans.testdata_mwas import load
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def grow_emb(src, times):
+        # DIVERSE growth: the perturbation direction depends on the
+        # copy index AND the element index (decorrelated sinusoids), so
+        # copies are far from their base and from each other — a
+        # constant-direction shift would instead make each family a
+        # dense near-dup cluster and turn this row into a CC corner
+        # measurement rather than a structural-cost trend
+        if times == 1:
+            return src
+        return src.crossJoin(
+            spark.range(times).select(F.col("id").alias("_c"))
+        ).select(
+            (F.col("vec_id") * times + F.col("_c")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + F.sin((F.col("_c") + F.lit(1)).cast("double") * (i + F.lit(1))),
+            ).alias("embedding"),
+        )
+
+    # ---- semantic dedup, auto-k, 1x/10x/100x --------------------------
+    for label, times in [("1x", 1), ("10x", 10), ("100x", 100)]:
+        e = grow_emb(emb, times).localCheckpoint()
+        cents = train_dedup_quantizer(e, cell_target=128, iters=1)
+        out[f"semantic_autok_cells_{label}"] = len(cents)
+        t0 = time.time()
+        _force(semantic_dedup(e, k_cells=len(cents), threshold=0.4, centroids=cents))
+        out[f"semantic_autok_{label}"] = round(time.time() - t0, 2)
+
+    # ---- incremental embedding dedup: fixed batch, state 1x/10x/100x --
+    batch = emb.where(F.col("vec_id") % 10 == 0).localCheckpoint()
+    hist = emb.where(F.col("vec_id") % 10 != 0)
+    for label, times in [("1x", 1), ("10x", 10), ("100x", 100)]:
+        h = grow_emb(hist, times).localCheckpoint()
+        cents = train_dedup_quantizer(h, cell_target=128, iters=1)
+        state = embedding_dedup_state(h, cents).localCheckpoint()
+        out[f"inc_embedding_autok_cells_{label}"] = len(cents)
+        t0 = time.time()
+        surv, _ = incremental_embedding_dedup(batch, state, cents, threshold=0.9)
+        _force(surv)
+        out[f"inc_embedding_autok_{label}"] = round(time.time() - t0, 2)
+
+    # ---- exact listers, DIVERSE growth: md5-synthesized text ----------
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_docs(times, words):
+        base = docs.crossJoin(
+            spark.range(times).select(F.col("id").alias("_c"))
+        ).select((F.col("doc_id") * times + F.col("_c")).alias("doc_id"))
+        return base.select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(words)),
+                    lambda i: F.substring(
+                        F.md5(F.concat_ws(":", F.lit("i100"), "doc_id", i)), 1, 8
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+
+    for label, times in [("1x", 1), ("10x", 10), ("100x", 100)]:
+        d15 = synth_docs(times, 2).select(
+            "doc_id", F.substring("text", 1, 15).alias("text")
+        ).localCheckpoint()
+        t0 = time.time()
+        _force(edit_distance_pairs(d15, max_dist=2))
+        out[f"fuzzy_diverse_{label}"] = round(time.time() - t0, 2)
+
+        d120 = synth_docs(times, 20).select(
+            "doc_id", F.substring("text", 1, 120).alias("text")
+        ).localCheckpoint()
+        t0 = time.time()
+        _force(ngram_containment_pairs(d120, n=3, threshold=0.7, max_df=None))
+        out[f"containment_diverse_{label}"] = round(time.time() - t0, 2)
+
+    # ---- exact listers, the CORNER: near-clone copies, 500-doc base ---
+    # copies of one doc differ only in a short tag, so every same-doc
+    # copy pair is a TRUE pair: output (and verify volume) is
+    # base_docs * C(copies, 2) — quadratic in clone mass BY
+    # CONSTRUCTION. 10x -> 100x multiplies pair count ~110x; the row
+    # exists to measure that slope and what the max_df/auto guard does.
+    base = load(spark, sf_dir, "documents").select("doc_id", "text").where(
+        F.col("doc_id") % 10 == 0
+    )
+    for label, times in [("10x", 10), ("100x", 100)]:
+        clones = base.crossJoin(
+            spark.range(times).select(F.col("id").alias("_c"))
+        ).select(
+            (F.col("doc_id") * times + F.col("_c")).alias("doc_id"),
+            # tag INSIDE the 120-char window, small edit: copies stay
+            # above the containment threshold and within small-ed reach
+            F.concat(
+                F.lpad(F.col("_c").cast("string"), 3, "0"), F.lit("~"), F.col("text")
+            ).alias("text"),
+        ).localCheckpoint()
+        t0 = time.time()
+        _force(
+            ngram_containment_pairs(
+                clones.select("doc_id", F.substring("text", 1, 120).alias("text")),
+                n=3, threshold=0.7, max_df=None,
+            )
+        )
+        out[f"containment_corner_{label}"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        _force(
+            ngram_containment_pairs(
+                clones.select("doc_id", F.substring("text", 1, 120).alias("text")),
+                n=3, threshold=0.7, max_df="auto",
+            )
+        )
+        out[f"containment_corner_autodf_{label}"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        _force(
+            edit_distance_pairs(
+                clones.select("doc_id", F.substring("text", 1, 15).alias("text")),
+                max_dist=2,
+            )
+        )
+        out[f"fuzzy_corner_{label}"] = round(time.time() - t0, 2)
+
+    spark.catalog.clearCache()
+    print({k: v for k, v in out.items()
+           if k.startswith(("semantic_autok", "inc_embedding_autok",
+                            "fuzzy_", "containment_"))},
+          file=sys.stderr)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="scale-probe")
@@ -561,6 +727,7 @@ def main():
         "r4c": probe_r4c_ops,
         "r5": probe_r5_ops,
         "r5b": probe_r5b_ops,
+        "i100": probe_i100,
     }
     if only is not None and only not in probes:
         raise SystemExit(
