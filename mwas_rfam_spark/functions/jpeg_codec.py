@@ -561,7 +561,13 @@ def encode_jpeg(
         grid = padded.reshape(bh_c, 8, bw_c, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
         coef = np.einsum("ux,nxy,vy->nuv", _DCT_A, grid, _DCT_A)
         zz_q = c["q"].reshape(8, 8)[zz_rows, zz_cols].astype(np.float64)
-        c["zz"] = np.round(coef[:, zz_rows, zz_cols] / zz_q).astype(np.int64)
+        # clamp to the 10-bit magnitude the fixed AC table (and baseline
+        # JPEG's size<=10 convention) encodes: at quality >= ~97 quant
+        # values clamp to 1 and an extreme block can quantize to |1024|,
+        # which would need a size-11 symbol — bounded error instead
+        c["zz"] = np.clip(
+            np.round(coef[:, zz_rows, zz_cols] / zz_q), -1023, 1023
+        ).astype(np.int64)
         c["bw"] = bw_c
 
     # ---- headers ------------------------------------------------------

@@ -446,9 +446,14 @@ def cdc_chunk_payloads(
     # cores idle through the Python stage (SCALE.md probe H measured the
     # 1x row 6.7x off trend from exactly this underfill); the kernel is
     # per-row, so spread payloads across the cluster first — same
-    # pattern as the dedup families' pre-kernel repartition.
-    spark = media.sparkSession
-    src = src.repartition(spark.sparkContext.defaultParallelism)
+    # pattern as the dedup families' pre-kernel repartition. Guarded:
+    # a large corpus already carries more splits than cores, and an
+    # unconditional repartition would COALESCE it down to
+    # defaultParallelism (fewer tasks at exactly the scale where more
+    # are needed) besides shuffling every payload byte for nothing.
+    parallelism = media.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism:
+        src = src.repartition(parallelism)
     return src.mapInPandas(chunk, CDC_CHUNKS_SCHEMA)
 
 

@@ -202,6 +202,8 @@ def _assign_cells_arrow(
 
     from pyspark.sql import types as T
 
+    if "cell" in emb.columns:
+        emb = emb.drop("cell")  # match the expression path's withColumn replace
     spark = emb.sparkSession
     C = np.asarray(centroids, dtype=np.float64)
     bc = spark.sparkContext.broadcast((C, (C * C).sum(axis=1)))

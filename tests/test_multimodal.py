@@ -385,6 +385,16 @@ def test_jpeg_roundtrip_all_modes():
     got = np.frombuffer(px, dtype=np.uint8).reshape(h, w).astype(int)
     assert np.abs(got - gray.astype(int)).max() <= 6
 
+    # quality=100 on an extreme checkerboard: quant values clamp to 1
+    # and unclamped AC coefficients would need a size-11 symbol the
+    # fixed table doesn't have — the encoder's +-1023 clamp keeps the
+    # stream legal at bounded error
+    checker = (np.indices((16, 16)).sum(axis=0) % 2 * 255).astype(np.uint8)
+    xrgb = np.stack([checker, 255 - checker, checker], axis=-1)
+    gw, gh, gc, px = decode_jpeg(encode_jpeg(16, 16, 3, xrgb.tobytes(), quality=100))
+    got = np.frombuffer(px, dtype=np.uint8).reshape(16, 16, 3).astype(int)
+    assert np.abs(got - xrgb.astype(int)).max() <= 4
+
 
 def test_jpeg_rejects_unsupported():
     """Everything outside the baseline profile is a ValueError naming
