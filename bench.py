@@ -62,6 +62,7 @@ HEADLINE = [
     "incremental_embedding",
     "fuzzy_editdist",
     "fuzzy_editdist_long",
+    "embed_pca_reduce",
     "drift_report",
     "bpe_tokenize",
     "cdc_dedup",
