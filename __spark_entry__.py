@@ -1235,8 +1235,9 @@ def q_dup_spans(spark, sf_dir):
 def q_fuzzy_editdist(spark, sf_dir):
     """Edit-distance fuzzy self-join (PassJoin pigeonhole blocking,
     Li et al. PVLDB 2011) on 15-char document prefixes at d=2.
-    Bench-only surface; brute-force + DuckDB levenshtein parity in
-    tests/test_fuzzy.py."""
+    Registered correctness entry since r6 (driver-gated DuckDB oracle:
+    brute-force levenshtein over the same normalized prefixes);
+    brute-force parity also in tests/test_fuzzy.py."""
     from mwas_rfam_spark.operators.fuzzy import edit_distance_pairs
 
     d = _t(spark, sf_dir, "documents").select(
@@ -1320,7 +1321,8 @@ def q_fuzzy_editdist_long(spark, sf_dir):
 def q_dedup_containment(spark, sf_dir):
     """Asymmetric n-gram containment pairs (Broder's containment
     coefficient — quote/boilerplate inclusion that symmetric Jaccard
-    misses). Bench-only surface; brute-force + DuckDB parity in
+    misses). Registered correctness entry since r6 (driver-gated
+    DuckDB oracle); brute-force + DuckDB parity also in
     tests/test_fuzzy.py. Exact join (max_df=None) on 120-char
     prefixes, matching the parity tests' shape."""
     from mwas_rfam_spark.operators.dedup import ngram_containment_pairs
@@ -1333,7 +1335,8 @@ def q_dedup_containment(spark, sf_dir):
 
 def q_cdc_dedup(spark, sf_dir):
     """Chunk-grain binary dedup accounting over content-defined chunks
-    (bench-only surface; vectorized-vs-sequential gear-hash equality,
+    (bench surface — the registered `cdc_dedup` correctness entry is
+    q_cdc_roundtrip; vectorized-vs-sequential gear-hash equality,
     insertion-survival, and reassembly invariants in
     tests/test_multimodal.py). Payloads are the documents' bytes with a
     10-doc clone block planted so the dedup_ratio is non-trivial."""
@@ -1356,7 +1359,8 @@ def q_cdc_dedup(spark, sf_dir):
 
 
 def q_drift_report(spark, sf_dir):
-    """Corpus drift between snapshot halves (bench-only surface; exact-
+    """Corpus drift between snapshot halves (registered correctness
+    entry since r6 — driver-gated DuckDB oracle; exact-
     KS reference + DuckDB window-SQL parity in tests/test_drift.py):
     even vs odd event ids, numeric KS on value + categorical PSI on
     event_type, one row per watched column."""
@@ -1386,7 +1390,10 @@ def q_cdc_roundtrip(spark, sf_dir):
     row (binary_dedup_stats over the same corpus)."""
     from mwas_rfam_spark.operators.multimodal import cdc_chunk_payloads
 
-    d = _t(spark, sf_dir, "documents")
+    # null filter BEFORE the clone-plant, matching the oracle's
+    # WHERE text IS NOT NULL ahead of its CASE — otherwise a null-text
+    # doc at doc_id % 10 == 0 would get a payload here but not there
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     payloads = d.select(
         "doc_id",
         F.encode(
@@ -2386,7 +2393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def q_bm25_topk(spark, sf_dir):
-    """Okapi BM25 lexical top-k over documents (bench-only surface;
+    """Okapi BM25 lexical top-k over documents (registered correctness
+    entry since r6 — driver-gated DuckDB oracle;
     DuckDB score-for-score parity + hand model in tests/test_r5_ops.py).
     Index-free form: one token scan filtered to the broadcast query
     terms before any shuffle."""

@@ -84,6 +84,44 @@ def is_jpeg(data: bytes) -> bool:
     return data[:3] == b"\xff\xd8\xff"
 
 
+def jpeg_dims(data: bytes, max_pixels: int = MAX_PIXELS) -> tuple[int, int, int]:
+    """Header-only (width, height, channels) from the SOF0 segment —
+    stops before any entropy decoding, so dims-only pipelines don't pay
+    the Huffman + IDCT cost of a full decode. Applies the same profile
+    checks (baseline only, 8-bit, 1/3 components, max_pixels)."""
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG (bad SOI signature)")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected JPEG marker at byte {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD8:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        seg = data[pos + 4 : pos + 2 + seg_len]
+        if marker in _SOF_NAMES:
+            raise ValueError(
+                f"unsupported JPEG coding: {_SOF_NAMES[marker]} (baseline SOF0 only)"
+            )
+        if marker == 0xC0:
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec} (only 8-bit)")
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {ncomp} (1 or 3)")
+            if w == 0 or h == 0:
+                raise ValueError("JPEG with zero dimension")
+            if w * h > max_pixels:
+                raise ValueError(f"JPEG {w}x{h} exceeds max_pixels={max_pixels}")
+            return w, h, ncomp
+        pos += 2 + seg_len
+    raise ValueError("JPEG missing SOF0 header")
+
+
 # --------------------------------------------------------------- decode
 
 
@@ -132,11 +170,14 @@ class _BitReader:
         return v
 
     def restart(self, expected: int) -> None:
-        """Byte-align and consume the RSTn marker at a restart boundary."""
+        """Byte-align and consume the RSTn marker at a restart boundary.
+        T.81 B.1.1.2 allows any number of 0xFF fill bytes before the
+        marker id — skip them (a marker is 0xFF followed by non-0xFF)."""
         self.buf = 0
         self.nbits = 0
         d = self.data
-        # tolerate fill bytes (0xFF) before the marker id
+        while self.pos + 1 < len(d) and d[self.pos] == 0xFF and d[self.pos + 1] == 0xFF:
+            self.pos += 1
         if self.pos + 1 >= len(d) or d[self.pos] != 0xFF:
             raise ValueError("missing JPEG restart marker")
         m = d[self.pos + 1]
@@ -280,6 +321,15 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS) -> tuple[int, int, in
 def _decode_scan(data, pos, h, w, comps, qt, huff, restart_interval, max_pixels):
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    for c in comps:
+        # upsampling is integer np.repeat; non-divisor factor combos
+        # (e.g. 3:2 — spec-legal, practically unseen) are outside the
+        # supported profile and rejected loudly rather than mis-sized
+        if hmax % c["h"] or vmax % c["v"]:
+            raise ValueError(
+                f"unsupported JPEG sampling ratio {c['h']}x{c['v']} vs "
+                f"max {hmax}x{vmax} (non-integer upsampling factor)"
+            )
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     if mcus_x * mcus_y * 64 * hmax * vmax > 4 * max_pixels:

@@ -107,7 +107,10 @@ def project_embeddings(
                 for row in matrix
             ]
         )
-        return emb.withColumn(out_col, projected)
+        # NULL / wrong-dim vectors → NULL output array (not an array of
+        # NULL elements) on both physical paths — kernel-pinned in tests
+        valid = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == in_dim)
+        return emb.withColumn(out_col, F.when(valid, projected))
     return _project_arrow(emb, matrix, vec_col, out_col, shift)
 
 
@@ -130,19 +133,35 @@ def _project_arrow(
     schema = T.StructType(fields + [T.StructField(out_col, T.ArrayType(T.DoubleType()))])
     src = emb.drop(out_col) if out_col in emb.columns and out_col != vec_col else emb
 
+    in_dim = M.shape[1]
+
     def kernel(batches):
         Mm, mum = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            if mum is not None:
-                X = X - mum
-            Y = X @ Mm.T
+            # NULL / wrong-dimension vectors project to NULL — the same
+            # semantics the inline expression produces, so behavior
+            # cannot flip on matrix size
+            vecs = [
+                np.asarray(v, dtype=np.float64)
+                if v is not None and len(v) == in_dim
+                else None
+                for v in pdf[vec_col]
+            ]
+            valid = [i for i, v in enumerate(vecs) if v is not None]
+            projected: list = [None] * len(vecs)
+            if valid:
+                X = np.stack([vecs[i] for i in valid])
+                if mum is not None:
+                    X = X - mum
+                Y = X @ Mm.T
+                for j, i in enumerate(valid):
+                    projected[i] = Y[j].tolist()
             out = pdf.copy()
             if out_col in out.columns:
                 out = out.drop(columns=[out_col])
-            out[out_col] = list(Y)
+            out[out_col] = projected
             yield out
 
     return src.mapInPandas(kernel, schema)
@@ -159,15 +178,20 @@ def fit_pca(
     bit-stable).
 
     Scale shape: ONE Arrow pass emits per-partition partials
-    (count, Σx as d floats, X'X flattened as d² floats) — each row is
-    parameter-sized, so the driver combine handles #partitions rows of
-    d²+d+1 doubles regardless of corpus size; the d x d
-    eigendecomposition is driver arithmetic on a parameter. No vector
-    ever reaches the driver."""
+    (count, Σx as d floats, X'X flattened as d² floats), then a
+    single-partition combine stage streams those partials into ONE
+    (d²+d+1)-double row — the only thing collected, so driver memory is
+    O(d²) regardless of corpus size or partition count (at d=4096 a
+    partial is ~134 MB; collecting one per partition would scale with
+    the cluster). The d x d eigendecomposition is driver arithmetic on
+    a parameter. No vector ever reaches the driver. NULL embeddings are
+    excluded from the fit (an ECDF-style skip — a moment estimate is
+    undefined over them); wrong-dimension vectors fail loudly."""
     import numpy as np
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    emb = emb.where(F.col(vec_col).isNotNull())
     first = emb.select(F.size(vec_col).alias("d")).first()
     if first is None:
         raise ValueError("fit_pca needs a non-empty corpus")
@@ -203,14 +227,36 @@ def fit_pca(
         if n:
             yield pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]})
 
-    rows = emb.select(F.col(vec_col).cast("array<double>").alias("__v")).mapInPandas(
-        partials, schema
-    ).collect()
-    n = sum(int(r["n"]) for r in rows)
-    if n == 0:
+    def combine(batches):
+        import pandas as pd
+
+        n = 0
+        s = np.zeros(d)
+        g = np.zeros(d * d)
+        for pdf in batches:
+            for i in range(len(pdf)):
+                n += int(pdf["n"].iloc[i])
+                s += np.asarray(pdf["s"].iloc[i])
+                g += np.asarray(pdf["g"].iloc[i])
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g.tolist()]})
+
+    # per-partition partials → one streamed combine partition → ONE row
+    # on the driver (O(d²), independent of partition count). repartition,
+    # NOT coalesce: coalesce(1) would fuse the partials pass itself into
+    # a single task; the shuffle moves only parameter-sized partial rows.
+    rows = (
+        emb.select(F.col(vec_col).cast("array<double>").alias("__v"))
+        .mapInPandas(partials, schema)
+        .repartition(1)
+        .mapInPandas(combine, schema)
+        .collect()
+    )
+    if not rows:
         raise ValueError("fit_pca needs a non-empty corpus")
-    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
-    g = np.sum([np.asarray(r["g"]).reshape(d, d) for r in rows], axis=0)
+    n = int(rows[0]["n"])
+    s = np.asarray(rows[0]["s"])
+    g = np.asarray(rows[0]["g"]).reshape(d, d)
     mean = s / n
     cov = g / n - np.outer(mean, mean)
     vals, vecs = np.linalg.eigh(cov)  # ascending

@@ -114,7 +114,7 @@ def _real_decode_dims(payload: bytes) -> tuple[int, int, int]:
         with Image.open(io.BytesIO(payload)) as im:
             return im.width, im.height, len(im.getbands())
     from mwas_rfam_spark.functions.gif_codec import decode_gif, is_gif
-    from mwas_rfam_spark.functions.jpeg_codec import decode_jpeg, is_jpeg
+    from mwas_rfam_spark.functions.jpeg_codec import is_jpeg, jpeg_dims
     from mwas_rfam_spark.functions.png_codec import decode_png, is_png
 
     if is_png(payload):
@@ -124,8 +124,8 @@ def _real_decode_dims(payload: bytes) -> tuple[int, int, int]:
         w, h, _frames = decode_gif(payload)
         return w, h, 3  # composited canvas is RGB
     if is_jpeg(payload):
-        w, h, c, _px = decode_jpeg(payload)
-        return w, h, c
+        # header-only: dims live in SOF0, no need to entropy-decode
+        return jpeg_dims(payload)
     raise NotImplementedError(
         "real image decode: PIL/pillow not in this container and the "
         "payload is none of PNG/GIF/JPEG (the stdlib decoders stop there)"

@@ -206,17 +206,35 @@ def _assign_cells_arrow(
         emb = emb.drop("cell")  # match the expression path's withColumn replace
     spark = emb.sparkSession
     C = np.asarray(centroids, dtype=np.float64)
+    d = C.shape[1]
     bc = spark.sparkContext.broadcast((C, (C * C).sum(axis=1)))
     schema = T.StructType(emb.schema.fields + [T.StructField("cell", T.IntegerType())])
 
     def kernel(batches):
+        import pandas as pd
+
         Cm, c2 = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            # NULL / wrong-dimension vectors get a NULL cell — the same
+            # semantics the expression path produces (zip_with + aggregate
+            # evaluate to NULL there), so behavior cannot flip on k
+            vecs = [
+                np.asarray(v, dtype=np.float64)
+                if v is not None and len(v) == d
+                else None
+                for v in pdf[vec_col]
+            ]
+            valid = [i for i, v in enumerate(vecs) if v is not None]
+            cells = np.full(len(vecs), -1, dtype=np.int64)
+            if valid:
+                X = np.stack([vecs[i] for i in valid])
+                cells[valid] = np.argmin(X @ (-2.0 * Cm.T) + c2, axis=1)
             out = pdf.copy()
-            out["cell"] = np.argmin(X @ (-2.0 * Cm.T) + c2, axis=1).astype("int32")
+            out["cell"] = pd.array(
+                [int(c) if c >= 0 else None for c in cells], dtype="Int32"
+            )
             yield out
 
     return emb.mapInPandas(kernel, schema)

@@ -104,7 +104,17 @@ def make_server(
     its location instead of inline rows — the §3.2 extension the
     fire-and-forget reference leaves on the table. The inline path
     collects at most ``max_inline_rows + 1`` rows (limit pushed into
-    the plan), never the unbounded relation."""
+    the plan), never the unbounded relation.
+
+    Deployment notes for the overflow path: on a real cluster
+    ``results_dir`` MUST be shared storage every executor can write
+    (HDFS/S3/NFS) — the ``tempfile.mkdtemp`` default is a driver-local
+    convenience for local-mode serving only. Result directories are
+    owned by the caller (the server never deletes them; pair with a
+    retention sweep). An overflowing request computes its plan twice
+    (the bounded probe, then the write) — the probe is limit-pruned,
+    and caching the full relation to avoid the recompute would hold
+    exactly the memory the cap exists to bound."""
     import tempfile
     import uuid
 

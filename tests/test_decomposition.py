@@ -70,6 +70,34 @@ def test_projection_matches_numpy_and_arrow_path(spark):
         project_embeddings(df, M, shift=[0.0])
 
 
+def test_projection_null_semantics_match_across_paths(spark):
+    """NULL / wrong-dim vectors project to NULL on BOTH physical paths
+    (the Arrow kernel must not crash the task), and fit_pca excludes
+    NULL embeddings from the moments instead of failing."""
+    rng = np.random.default_rng(5)
+    M = rng.standard_normal((3, 4)).tolist()
+    messy = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, None), (2, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    for fn in (
+        lambda df: project_embeddings(df, M),
+        lambda df: _project_arrow(df, M, "embedding", "embedding", None),
+    ):
+        got = {r["vec_id"]: r["embedding"] for r in fn(messy).collect()}
+        assert got[0] is not None and len(got[0]) == 3
+        assert got[1] is None and got[2] is None
+
+    clean = np.asarray([[1.0, 2.0, 3.0, 4.0], [2.0, 1.0, 0.0, -1.0],
+                        [0.0, 0.0, 1.0, 1.0]])
+    with_null = spark.createDataFrame(
+        [(i, r.tolist()) for i, r in enumerate(clean)] + [(9, None)],
+        "vec_id long, embedding array<double>",
+    )
+    model = fit_pca(with_null, k=2)
+    np.testing.assert_allclose(model["mean"], clean.mean(axis=0), atol=1e-12)
+
+
 def test_jl_planes_deterministic_and_distance_preserving(spark):
     """JL contract: planes are a pure function of (dims, seed), and
     pairwise squared distances are preserved within the lemma's

@@ -449,6 +449,51 @@ def test_jpeg_rejects_unsupported():
         decode_jpeg(good[:-12] + b"\xff\xd9")
 
 
+def test_jpeg_header_paths_and_spec_edges():
+    """Review regressions: jpeg_dims reads SOF0 only (same profile
+    checks, no entropy work); restart markers tolerate T.81 fill
+    bytes; non-divisor sampling ratios are a clean profile rejection."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mwas_rfam_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_dims,
+    )
+
+    img = np.tile(np.linspace(0, 255, 24).astype(np.uint8), (16, 1))
+    rgb = np.stack([img, img, img], axis=-1)
+    data = encode_jpeg(24, 16, 3, rgb.tobytes(), quality=90, subsampling="420")
+    assert jpeg_dims(data) == (24, 16, 3)
+    with pytest.raises(ValueError, match="max_pixels"):
+        jpeg_dims(data, max_pixels=8)
+    with pytest.raises(ValueError, match="SOF0"):
+        jpeg_dims(data[:20] + b"\xff\xd9")
+
+    # fill byte before a restart marker is spec-legal (T.81 B.1.1.2)
+    with_rst = encode_jpeg(
+        24, 16, 3, rgb.tobytes(), quality=90, restart_interval=1
+    )
+    rst_at = with_rst.find(b"\xff\xd0")
+    assert rst_at > 0
+    padded = with_rst[:rst_at] + b"\xff" + with_rst[rst_at:]
+    assert decode_jpeg(padded)[:3] == (24, 16, 3)
+
+    # 3x3 luma vs 2x2 chroma: legal per spec, outside the integer-
+    # upsampling profile — named rejection, not a shape error
+    bad = bytearray(encode_jpeg(8, 8, 3, bytes(192), subsampling="420"))
+    sof_at = bad.find(b"\xff\xc0")
+    assert bad[sof_at + 11] == 0x22  # Y sampling byte (h=2, v=2)
+    bad[sof_at + 11] = 0x33
+    bad[sof_at + 14] = 0x22
+    bad[sof_at + 17] = 0x22
+    with pytest.raises(ValueError, match="sampling ratio"):
+        decode_jpeg(bytes(bad))
+
+
 def test_decode_images_real_jpeg_path(spark):
     """fake=False end-to-end through the Spark mapInPandas stage with
     JPEG payloads: the stdlib decoder reports true dims next to PNG

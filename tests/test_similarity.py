@@ -199,6 +199,19 @@ def test_assign_cells_arrow_matches_expression_path(spark):
         x = np.asarray(r["embedding"])
         assert r["cell"] == int(np.argmin(((C - x) ** 2).sum(axis=1)))
 
+    # NULL / wrong-dim vectors: both paths yield a NULL cell (the
+    # kernel must not crash the task nor diverge from the expression
+    # path's zip_with/aggregate NULL propagation)
+    messy = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    for cents_m in (tie_cents, [list(r) for r in rng.standard_normal(
+            (IVF_ASSIGN_CODEGEN_MAX_CELLS + 5, 2))]):
+        cells = {r["vec_id"]: r["cell"] for r in assign_ivf_cells(messy, cents_m).collect()}
+        assert cells[0] is not None
+        assert cells[1] is None and cells[2] is None
+
 
 def test_append_ivf_index_equals_full_rebuild(spark, sf_dir, tmp_path):
     """materialize(A) + append(B) probes identically to materialize(A∪B)
