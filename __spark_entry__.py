@@ -1065,6 +1065,36 @@ def q_pq_adc_topk(spark, sf_dir):
     return top.select("vec_id", F.round("dist", 5).alias("dist"))
 
 
+_SQ_PARAMS_CACHE: dict[str, dict] = {}
+
+
+def q_sq8_topk(spark, sf_dir):
+    """8-bit scalar-quantized two-stage search (bench surface): the
+    corpus scan reads SQ8 codes (4× narrower than float32), scoring is
+    one zip_with against a premultiplied query folded driver-side, and
+    exact cosine re-ranks only the broadcast candidate pool.
+    Correctness pinned by tests/test_quantization.py (numpy parity on
+    decoded codes, refined == exact brute force, DuckDB replay of the
+    encode + folded-query arithmetic). Params are one min/max pass,
+    memoized per process (build-vs-probe)."""
+    from mwas_rfam_spark.operators.quantization import (
+        sq_encode,
+        sq_topk_refined,
+        train_sq_params,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    if sf_dir not in _SQ_PARAMS_CACHE:
+        _SQ_PARAMS_CACHE[sf_dir] = train_sq_params(e)
+    params = _SQ_PARAMS_CACHE[sf_dir]
+    qvec = [float(x) for x in e.orderBy("vec_id").first()["embedding"]]
+    codes = sq_encode(e, params)
+    top = sq_topk_refined(e, codes, qvec, params, k=10, rerank=50)
+    return top.select("vec_id", F.round("cosine", 5).alias("cosine"))
+
+
 _IVF_CENTROID_CACHE: dict[tuple, list] = {}
 
 
@@ -2465,6 +2495,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_roundtrip": q_bpe_roundtrip,
         "fuzzy_editdist_long": q_fuzzy_editdist_long,
         "embed_pca_reduce": q_embed_pca_reduce,
+        "sq8_topk": q_sq8_topk,
         "t1_welch_from_stats": q_t1_welch_from_stats,
         "a4_two_level_rollup": q_a4_two_level_rollup,
         "dedup_simhash": q_dedup_simhash,

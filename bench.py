@@ -63,6 +63,7 @@ HEADLINE = [
     "fuzzy_editdist",
     "fuzzy_editdist_long",
     "embed_pca_reduce",
+    "sq8_topk",
     "drift_report",
     "bpe_tokenize",
     "cdc_dedup",

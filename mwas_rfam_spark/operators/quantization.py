@@ -316,3 +316,141 @@ def materialize_pq(
     spark.createDataFrame(
         rows, "subspace INT, centroid_id INT, centroid ARRAY<DOUBLE>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+# ----------------------------------------------------------------- SQ8
+
+def train_sq_params(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+) -> dict:
+    """Per-dimension min/max for 8-bit scalar quantization → {"min":
+    [d floats], "max": [d floats]}. One aggregation pass (2d map-side-
+    combinable aggregates — d is the embedding dim, a parameter);
+    degenerate dims (min == max) get a unit range so encode stays
+    defined. NULL embeddings are excluded (same convention as
+    fit_pca)."""
+    src = emb.where(F.col(vec_col).isNotNull())
+    first = src.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("train_sq_params needs a non-empty corpus")
+    d = int(first["d"])
+    row = src.agg(
+        *[F.min(F.col(vec_col)[i].cast("double")).alias(f"lo{i}") for i in range(d)],
+        *[F.max(F.col(vec_col)[i].cast("double")).alias(f"hi{i}") for i in range(d)],
+    ).first()
+    lo = [float(row[f"lo{i}"]) for i in range(d)]
+    hi = [
+        float(row[f"hi{i}"]) if row[f"hi{i}"] > row[f"lo{i}"] else lo[i] + 1.0
+        for i in range(d)
+    ]
+    return {"min": lo, "max": hi}
+
+
+def sq_encode(
+    emb: DataFrame,
+    params: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """8-bit scalar quantization → (id, codes ARRAY<SMALLINT> in
+    0..255, nrm) — 4× smaller than float32 storage (8× vs float64; the
+    array element is stored as 2 bytes in Spark but 1 byte per code on
+    parquet with byte-packing encodings, and the real saving is the
+    scan/shuffle width either way).
+
+    code_i = round(255 * (x_i - min_i) / (max_i - min_i)), clamped to
+    [0, 255]; ``nrm`` is the DECODED vector's L2 norm, carried so
+    cosine scoring needs no second pass. Pure column expressions
+    (zip_with + transform — stays in codegen, no Python); decode error
+    is at most range_i / 510 per dimension."""
+    lo = params["min"]
+    rng_ = [params["max"][i] - lo[i] for i in range(len(lo))]
+    lo_arr = F.array(*[F.lit(float(x)) for x in lo])
+    scale_arr = F.array(*[F.lit(255.0 / r if r > 0 else 0.0) for r in rng_])
+    codes = F.zip_with(
+        F.zip_with(F.col(vec_col), lo_arr, lambda x, m: x.cast("double") - m),
+        scale_arr,
+        lambda x, s: F.least(
+            F.lit(255), F.greatest(F.lit(0), F.round(x * s, 0).cast("int"))
+        ),
+    )
+    inv_arr = F.array(*[F.lit(r / 255.0) for r in rng_])
+    decoded = F.zip_with(
+        F.zip_with(codes, inv_arr, lambda c, s: c.cast("double") * s),
+        lo_arr,
+        lambda x, m: x + m,
+    )
+    nrm = F.sqrt(
+        F.aggregate(decoded, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return emb.select(
+        F.col(id_col).alias("id"),
+        codes.cast("array<smallint>").alias("codes"),
+        nrm.alias("nrm"),
+    )
+
+
+def sq_topk(
+    codes_df: DataFrame,
+    query_vec: list[float],
+    params: dict,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cosine top-k over SQ8 codes — EXACT over the decoded vectors
+    (pytest-pinned against numpy on the decoded corpus), approximate
+    w.r.t. the original floats only through the quantization error.
+
+    The decode folds into the query driver-side:
+    dot(x̂, q) = Σ q_i·min_i + Σ codes_i · (q_i·range_i/255)
+    so scoring is ONE zip_with/aggregate against a premultiplied query
+    array plus a constant — the codes never decode to a second array
+    column, and the whole score is codegen'd. Top-k is an ordered limit
+    (TakeOrdered)."""
+    import math
+
+    lo = params["min"]
+    rng_ = [params["max"][i] - lo[i] for i in range(len(lo))]
+    if len(query_vec) != len(lo):
+        raise ValueError(f"query has {len(query_vec)} dims, params expect {len(lo)}")
+    const = sum(float(q) * m for q, m in zip(query_vec, lo))
+    pre = [float(q) * r / 255.0 for q, r in zip(query_vec, rng_)]
+    qn = math.sqrt(sum(float(q) ** 2 for q in query_vec)) or 1.0
+    pre_arr = F.array(*[F.lit(x) for x in pre])
+    dot = F.lit(const) + F.aggregate(
+        F.zip_with(F.col("codes"), pre_arr, lambda c, p: c.cast("double") * p),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        codes_df.select(
+            F.col("id").alias(id_col),
+            (dot / (F.col("nrm") * F.lit(qn))).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def sq_topk_refined(
+    emb: DataFrame,
+    codes_df: DataFrame,
+    query_vec: list[float],
+    params: dict,
+    k: int = 10,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage SQ search (the PQ-refined pattern): rank ``rerank``
+    candidates over codes only, then score EXACT cosine for just those
+    rows by joining the broadcast candidate ids back to the full
+    vectors — at scale the codes table is the only full scan."""
+    from mwas_rfam_spark.operators.similarity import brute_force_topk
+
+    if rerank < k:
+        raise ValueError(f"rerank={rerank} must be >= k={k}")
+    cand = sq_topk(codes_df, query_vec, params, k=rerank, id_col=id_col).select(id_col)
+    pool = emb.join(F.broadcast(cand), id_col)
+    return brute_force_topk(pool, query_vec, k, id_col, vec_col)

@@ -156,3 +156,154 @@ def test_encode_plan_is_single_projection(emb, books):
     """The corpus-scale encode pass must be a shuffle-free projection."""
     plan = pq_encode(emb, books)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ----------------------------------------------------------------- SQ8
+
+
+def test_sq8_encode_decode_bounds_and_numpy_parity(spark):
+    """SQ8 contract: per-dim decode error <= range/510; sq_topk is
+    EXACT cosine over the decoded corpus (numpy replica, including the
+    folded-query constant and the carried norm)."""
+    import numpy as np
+
+    from mwas_rfam_spark.operators.quantization import (
+        sq_encode,
+        sq_topk,
+        train_sq_params,
+    )
+
+    rng = np.random.default_rng(8)
+    X = rng.standard_normal((120, 10)) * np.linspace(0.5, 4.0, 10)
+    emb = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    params = train_sq_params(emb)
+    np.testing.assert_allclose(params["min"], X.min(axis=0), atol=1e-12)
+    np.testing.assert_allclose(params["max"], X.max(axis=0), atol=1e-12)
+
+    codes_df = sq_encode(emb, params)
+    rows = {r["id"]: (np.asarray(r["codes"]), r["nrm"]) for r in codes_df.collect()}
+    lo = np.asarray(params["min"])
+    scale = (np.asarray(params["max"]) - lo) / 255.0
+    for i, row in enumerate(X):
+        codes, nrm = rows[i]
+        assert codes.min() >= 0 and codes.max() <= 255
+        decoded = codes * scale + lo
+        assert np.abs(decoded - row).max() <= (scale * 255 / 510 + 1e-9).max()
+        assert abs(nrm - np.linalg.norm(decoded)) < 1e-9
+
+    q = X[3].tolist()
+    got = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in sq_topk(codes_df, q, params, k=10).collect()
+    ]
+    dec = np.stack([rows[i][0] * scale + lo for i in range(len(X))])
+    cos = (dec @ np.asarray(q)) / (
+        np.linalg.norm(dec, axis=1) * np.linalg.norm(q)
+    )
+    want_order = sorted(range(len(X)), key=lambda i: (-round(cos[i], 12), i))[:10]
+    want = [(i, round(float(cos[i]), 9)) for i in want_order]
+    assert got == want
+
+
+def test_sq8_recall_and_refined_on_real_embeddings(spark, sf_dir):
+    """On the real embeddings table: codes-only top-k recalls most of
+    the exact top-k (quantization error is small at 8 bits), and the
+    refined two-stage search returns the EXACT top-k whenever the true
+    top-k survives the candidate pool — pinned by comparing against
+    brute force."""
+    import numpy as np
+
+    from mwas_rfam_spark.operators.quantization import (
+        sq_encode,
+        sq_topk_refined,
+        train_sq_params,
+    )
+    from mwas_rfam_spark.operators.similarity import brute_force_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    params = train_sq_params(emb)
+    codes_df = sq_encode(emb, params).localCheckpoint()
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+
+    exact = [
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in brute_force_topk(emb, q, k=10).collect()
+    ]
+    refined = [
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in sq_topk_refined(emb, codes_df, q, params, k=10, rerank=50).collect()
+    ]
+    assert refined == exact  # rerank=50 pool recovered the true top-10
+
+    from mwas_rfam_spark.operators.quantization import sq_topk
+
+    approx = {r["vec_id"] for r in sq_topk(codes_df, q, params, k=10).collect()}
+    assert len(approx & {v for v, _ in exact}) >= 8
+
+
+def test_sq8_duckdb_parity(spark, sf_dir):
+    """Cross-engine: encode arithmetic (round-half-up, clamp) and the
+    folded-query scoring replay in DuckDB over the same parquet."""
+    import duckdb
+    import numpy as np
+
+    from mwas_rfam_spark.operators.quantization import (
+        sq_encode,
+        sq_topk,
+        train_sq_params,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    params = train_sq_params(emb)
+    codes_df = sq_encode(emb, params).localCheckpoint()
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    got = [
+        (r["vec_id"], round(r["cosine"], 6))
+        for r in sq_topk(codes_df, q, params, k=15).collect()
+    ]
+
+    lo = params["min"]
+    rng_ = [params["max"][i] - lo[i] for i in range(len(lo))]
+    const = sum(qi * m for qi, m in zip(q, lo))
+    pre = [qi * r / 255.0 for qi, r in zip(q, rng_)]
+    qn = float(np.linalg.norm(q))
+
+    def arr(vals):
+        return "CAST([" + ", ".join(repr(float(x)) for x in vals) + "] AS DOUBLE[])"
+
+    con = duckdb.connect()
+    want = [
+        (r[0], r[1])
+        for r in con.execute(f"""
+        WITH c AS (
+          SELECT vec_id,
+                 list_transform(
+                   list_zip(CAST(embedding AS DOUBLE[]), {arr(lo)}, {arr([255.0/r if r > 0 else 0.0 for r in rng_])}),
+                   t -> least(255, greatest(0, CAST(round((t[1] - t[2]) * t[3], 0) AS INT)))
+                 ) AS codes
+          FROM read_parquet('{sf_dir}/embeddings.parquet')),
+        scored AS (
+          SELECT vec_id,
+                 {repr(const)} + list_inner_product(
+                   list_transform(codes, x -> CAST(x AS DOUBLE)), {arr(pre)}) AS dot,
+                 sqrt(list_inner_product(
+                   list_transform(list_zip(codes, {arr([r/255.0 for r in rng_])}, {arr(lo)}),
+                                  t -> CAST(t[1] AS DOUBLE) * t[2] + t[3]),
+                   list_transform(list_zip(codes, {arr([r/255.0 for r in rng_])}, {arr(lo)}),
+                                  t -> CAST(t[1] AS DOUBLE) * t[2] + t[3]))) AS nrm
+          FROM c)
+        SELECT vec_id, round(dot / (nrm * {repr(qn)}), 6) AS cosine
+        FROM scored ORDER BY dot / (nrm * {repr(qn)}) DESC, vec_id LIMIT 15
+        """).fetchall()
+    ]
+    con.close()
+    assert got == want and len(got) == 15
