@@ -143,3 +143,164 @@ def chunk_documents(
             F.size("__chunk").cast("long").alias("n_tokens"),
         )
     )
+
+
+def bin_pack_documents(
+    docs: DataFrame,
+    max_tokens_per_pack: int,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_count_col: str | None = None,
+    oversize: str = "own_pack",
+) -> DataFrame:
+    """WHOLE-document packing (no splitting) → (doc_id, n_tokens,
+    bucket, pack_id, oversize) — the complement of
+    :func:`pack_documents` for pipelines whose loss masking requires
+    document boundaries to survive (each pack is a training sequence of
+    intact documents + padding).
+
+    Algorithm: best-fit-decreasing WITHIN hash buckets. The classic
+    FFD/BFD greedy is inherently sequential over a global order, so —
+    exactly like the cumsum packer — documents spread over
+    ``n_buckets`` by id hash and each bucket packs independently
+    (embarrassingly parallel, packs never span buckets; the waste vs a
+    global greedy is bounded by one partially-filled pack per bucket).
+    Within a bucket: documents sorted by (tokens desc, id), each placed
+    into the fullest pack that still fits (best fit via bisect —
+    O(n log n), not the O(n²) scan), else a new pack. BFD shares FFD's
+    11/9·OPT + 6/9 guarantee.
+
+    ``oversize``: a document longer than the budget cannot pack whole —
+    ``"own_pack"`` (default) isolates it in its own flagged pack (the
+    caller chunks or drops those; `chunk_documents` is the splitter),
+    ``"error"`` raises inside the task.
+
+    Deterministic: bucket assignment and in-bucket order are md5/id
+    functions of the data, so re-runs and different partitionings give
+    identical pack ids. Scale shape: one hash shuffle; per-bucket state
+    is the bucket's (id, count) pairs — scale ``n_buckets`` with the
+    corpus exactly as with `pack_documents`.
+    """
+    if max_tokens_per_pack < 1:
+        raise ValueError(f"max_tokens_per_pack must be >= 1, got {max_tokens_per_pack}")
+    if oversize not in ("own_pack", "error"):
+        raise ValueError(f"oversize must be 'own_pack' or 'error', got {oversize!r}")
+    hexv = "0123456789abcdef"
+    h = F.md5(F.col(id_col).cast("string"))
+    d1 = F.instr(F.lit(hexv), F.substring(h, 1, 1)) - 1
+    d2 = F.instr(F.lit(hexv), F.substring(h, 2, 1)) - 1
+    counts = (
+        F.col(token_count_col).cast("long")
+        if token_count_col is not None
+        else token_count(F.col(text_col))
+    )
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        counts.alias("n_tokens"),
+        F.pmod(d1 * 16 + d2, F.lit(n_buckets)).cast("long").alias("bucket"),
+    )
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, n_tokens BIGINT, bucket BIGINT, "
+        "pack_id BIGINT, oversize BOOLEAN"
+    )
+    budget = int(max_tokens_per_pack)
+
+    def pack(pdf):
+        import bisect
+
+        import pandas as pd
+
+        bucket = int(pdf["bucket"].iloc[0])
+        rows = sorted(
+            zip(pdf["__id"], pdf["n_tokens"]),
+            key=lambda t: (-int(t[1]), t[0]),
+        )
+        # packs: bisect-sorted list of [remaining, pack_ordinal]
+        open_packs: list[list[int]] = []
+        n_packs = 0
+        out_id, out_n, out_pack, out_over = [], [], [], []
+        for doc_id, n in rows:
+            n = int(n)
+            if n > budget:
+                if oversize == "error":
+                    raise ValueError(
+                        f"document {doc_id!r} has {n} tokens > "
+                        f"max_tokens_per_pack={budget} (use oversize='own_pack' "
+                        "or chunk_documents first)"
+                    )
+                n_packs += 1
+                out_id.append(doc_id)
+                out_n.append(n)
+                out_pack.append(n_packs)
+                out_over.append(True)
+                continue
+            # best fit: the SMALLEST remaining capacity that still fits
+            i = bisect.bisect_left(open_packs, [n, -1])
+            if i < len(open_packs):
+                rem, ordinal = open_packs.pop(i)
+                rem -= n
+            else:
+                n_packs += 1
+                ordinal = n_packs
+                rem = budget - n
+            bisect.insort(open_packs, [rem, ordinal])
+            out_id.append(doc_id)
+            out_n.append(n)
+            out_pack.append(ordinal)
+            out_over.append(False)
+        return pd.DataFrame(
+            {
+                id_col: out_id,
+                "n_tokens": pd.Series(out_n, dtype="int64"),
+                "bucket": pd.Series([bucket] * len(out_id), dtype="int64"),
+                "pack_id": pd.Series(
+                    [bucket * (1 << 32) + p for p in out_pack], dtype="int64"
+                ),
+                "oversize": out_over,
+            }
+        )
+
+    return base.groupBy("bucket").applyInPandas(pack, schema)
+
+
+def pack_utilization(
+    packs: DataFrame,
+    max_tokens_per_pack: int,
+) -> DataFrame:
+    """One-row packing report over a :func:`bin_pack_documents` (or
+    :func:`pack_documents`) assignment: (n_packs, n_docs, total_tokens,
+    avg_fill, waste_frac) — ``avg_fill`` is mean per-pack utilization
+    over non-oversize packs, ``waste_frac`` the padding share of the
+    non-oversize budget. Two map-side-combinable aggregations."""
+    if "oversize" not in packs.columns:  # pack_documents has no oversize notion
+        packs = packs.withColumn("oversize", F.lit(False))
+    per_pack = packs.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("fill"),
+        F.count("*").alias("n_docs"),
+        F.max(F.coalesce(F.col("oversize"), F.lit(False))).alias("oversize"),
+    )
+    return per_pack.agg(
+        F.count("*").alias("n_packs"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("fill").alias("total_tokens"),
+        F.round(
+            F.avg(
+                F.when(
+                    ~F.col("oversize"),
+                    F.col("fill") / F.lit(float(max_tokens_per_pack)),
+                )
+            ),
+            6,
+        ).alias("avg_fill"),
+        F.round(
+            1.0
+            - F.sum(F.when(~F.col("oversize"), F.col("fill"))).cast("double")
+            / (
+                F.sum(F.when(~F.col("oversize"), 1).otherwise(0))
+                * F.lit(float(max_tokens_per_pack))
+            ),
+            6,
+        ).alias("waste_frac"),
+    )

@@ -1,0 +1,103 @@
+"""Whole-document bin packing (best-fit-decreasing within hash buckets)
+and the packing utilization report."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mwas_rfam_spark.operators.packing import (
+    bin_pack_documents,
+    pack_documents,
+    pack_utilization,
+)
+
+
+def _docs(spark, counts: dict):
+    return spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in counts.items()],
+        "doc_id long, text string",
+    )
+
+
+def test_binpack_invariants_and_determinism(spark):
+    """Every doc assigned exactly once; no pack exceeds the budget;
+    oversize docs isolate flagged; pack count within the BFD guarantee
+    of the per-bucket lower bound; identical output across input
+    partitionings."""
+    import math
+
+    counts = {i: (i * 37) % 90 + 5 for i in range(150)}
+    counts[900] = 300  # oversize
+    docs = _docs(spark, counts)
+    out = bin_pack_documents(docs, max_tokens_per_pack=128, n_buckets=4)
+    rows = out.collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(counts)
+    assert all(r["n_tokens"] == counts[r["doc_id"]] for r in rows)
+
+    fills: dict = {}
+    for r in rows:
+        if r["oversize"]:
+            continue
+        fills[r["pack_id"]] = fills.get(r["pack_id"], 0) + r["n_tokens"]
+    assert fills and max(fills.values()) <= 128
+
+    over = [r for r in rows if r["oversize"]]
+    assert [r["doc_id"] for r in over] == [900]
+    # the oversize pack holds only that doc
+    assert sum(1 for r in rows if r["pack_id"] == over[0]["pack_id"]) == 1
+
+    # per-bucket BFD guarantee vs the ceil lower bound
+    by_bucket: dict = {}
+    packs_by_bucket: dict = {}
+    for r in rows:
+        if r["oversize"]:
+            continue
+        by_bucket[r["bucket"]] = by_bucket.get(r["bucket"], 0) + r["n_tokens"]
+        packs_by_bucket.setdefault(r["bucket"], set()).add(r["pack_id"])
+    for b, total in by_bucket.items():
+        lower = math.ceil(total / 128)
+        assert len(packs_by_bucket[b]) <= math.ceil(11 * lower / 9) + 1
+
+    again = bin_pack_documents(
+        docs.repartition(13), max_tokens_per_pack=128, n_buckets=4
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_binpack_best_fit_hand_model(spark):
+    """One bucket, hand-checkable: sizes 60, 50, 40, 30, 20 at budget
+    100 — BFD gives {60+40}, {50+30+20}: exactly two packs."""
+    docs = _docs(spark, {1: 60, 2: 50, 3: 40, 4: 30, 5: 20})
+    out = bin_pack_documents(docs, max_tokens_per_pack=100, n_buckets=1).collect()
+    packs: dict = {}
+    for r in out:
+        packs.setdefault(r["pack_id"], set()).add(r["doc_id"])
+    assert sorted(map(sorted, packs.values())) == [[1, 3], [2, 4, 5]]
+
+    with pytest.raises(Exception, match="own_pack|max_tokens_per_pack"):
+        bin_pack_documents(
+            _docs(spark, {1: 200}), max_tokens_per_pack=100, n_buckets=1,
+            oversize="error",
+        ).collect()
+    with pytest.raises(ValueError, match="oversize"):
+        bin_pack_documents(docs, max_tokens_per_pack=100, oversize="maybe")
+    with pytest.raises(ValueError, match="max_tokens_per_pack"):
+        bin_pack_documents(docs, max_tokens_per_pack=0)
+
+
+def test_pack_utilization_hand_model(spark):
+    """Report fields from a hand-built assignment: two full-ish packs +
+    one oversize pack; avg_fill/waste computed over non-oversize only."""
+    docs = _docs(spark, {1: 60, 2: 40, 3: 80, 4: 150})
+    out = bin_pack_documents(docs, max_tokens_per_pack=100, n_buckets=1)
+    rep = pack_utilization(out, 100).first()
+    assert rep["n_docs"] == 4 and rep["total_tokens"] == 330
+    assert rep["n_packs"] == 3  # {60+40}, {80}, oversize {150}
+    assert rep["avg_fill"] == pytest.approx((1.0 + 0.8) / 2, abs=1e-6)
+    assert rep["waste_frac"] == pytest.approx(1.0 - 180 / 200, abs=1e-6)
+
+    # composes with the cumsum packer too (no oversize column there)
+    cum = pack_documents(docs, max_tokens_per_pack=100, n_buckets=1)
+    rep2 = pack_utilization(cum, 100).first()
+    assert rep2["n_docs"] == 4 and rep2["total_tokens"] == 330
