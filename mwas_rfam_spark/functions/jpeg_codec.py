@@ -84,11 +84,45 @@ def is_jpeg(data: bytes) -> bool:
     return data[:3] == b"\xff\xd8\xff"
 
 
+def _parse_sof0(seg: bytes, max_pixels: int) -> tuple[int, int, list[dict]]:
+    """THE single SOF0 profile gate — decode_jpeg and jpeg_dims both
+    parse through here, so the dims-only and pixel paths can never
+    disagree about what decodes (8-bit, 1/3 components, dims budget,
+    1..4 sampling factors that divide the frame maxima — non-divisor
+    ratios would need fractional upsampling and are rejected, not
+    mis-sized)."""
+    prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+    if prec != 8:
+        raise ValueError(f"unsupported JPEG precision {prec} (only 8-bit)")
+    if ncomp not in (1, 3):
+        raise ValueError(f"unsupported JPEG component count {ncomp} (1 or 3)")
+    if w == 0 or h == 0:
+        raise ValueError("JPEG with zero dimension")
+    if w * h > max_pixels:
+        raise ValueError(f"JPEG {w}x{h} exceeds max_pixels={max_pixels}")
+    comps = []
+    for i in range(ncomp):
+        cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+        comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+    for c in comps:
+        if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
+            raise ValueError(f"invalid JPEG sampling factors {c['h']}x{c['v']}")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if hmax % c["h"] or vmax % c["v"]:
+            raise ValueError(
+                f"unsupported JPEG sampling ratio {c['h']}x{c['v']} vs "
+                f"max {hmax}x{vmax} (non-integer upsampling factor)"
+            )
+    return h, w, comps
+
+
 def jpeg_dims(data: bytes, max_pixels: int = MAX_PIXELS) -> tuple[int, int, int]:
     """Header-only (width, height, channels) from the SOF0 segment —
     stops before any entropy decoding, so dims-only pipelines don't pay
-    the Huffman + IDCT cost of a full decode. Applies the same profile
-    checks (baseline only, 8-bit, 1/3 components, max_pixels)."""
+    the Huffman + IDCT cost of a full decode. Applies the SAME profile
+    checks as :func:`decode_jpeg` (shared :func:`_parse_sof0`)."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG (bad SOI signature)")
     pos = 2
@@ -108,16 +142,8 @@ def jpeg_dims(data: bytes, max_pixels: int = MAX_PIXELS) -> tuple[int, int, int]
                 f"unsupported JPEG coding: {_SOF_NAMES[marker]} (baseline SOF0 only)"
             )
         if marker == 0xC0:
-            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
-            if prec != 8:
-                raise ValueError(f"unsupported JPEG precision {prec} (only 8-bit)")
-            if ncomp not in (1, 3):
-                raise ValueError(f"unsupported JPEG component count {ncomp} (1 or 3)")
-            if w == 0 or h == 0:
-                raise ValueError("JPEG with zero dimension")
-            if w * h > max_pixels:
-                raise ValueError(f"JPEG {w}x{h} exceeds max_pixels={max_pixels}")
-            return w, h, ncomp
+            h, w, comps = _parse_sof0(seg, max_pixels)
+            return w, h, len(comps)
         pos += 2 + seg_len
     raise ValueError("JPEG missing SOF0 header")
 
@@ -275,24 +301,8 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS) -> tuple[int, int, in
                 s += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xC0:  # SOF0 baseline
-            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
-            if prec != 8:
-                raise ValueError(f"unsupported JPEG precision {prec} (only 8-bit)")
-            if ncomp not in (1, 3):
-                raise ValueError(f"unsupported JPEG component count {ncomp} (1 or 3)")
-            if w == 0 or h == 0:
-                raise ValueError("JPEG with zero dimension")
-            if w * h > max_pixels:
-                raise ValueError(f"JPEG {w}x{h} exceeds max_pixels={max_pixels}")
-            comps = []
-            for i in range(ncomp):
-                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            for c in comps:
-                if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
-                    raise ValueError(f"invalid JPEG sampling factors {c['h']}x{c['v']}")
-            frame = (h, w, comps)
+        elif marker == 0xC0:  # SOF0 baseline — shared profile gate
+            frame = _parse_sof0(seg, max_pixels)
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF0")
@@ -319,17 +329,9 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS) -> tuple[int, int, in
 
 
 def _decode_scan(data, pos, h, w, comps, qt, huff, restart_interval, max_pixels):
+    # sampling-ratio divisibility already enforced by _parse_sof0
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    for c in comps:
-        # upsampling is integer np.repeat; non-divisor factor combos
-        # (e.g. 3:2 — spec-legal, practically unseen) are outside the
-        # supported profile and rejected loudly rather than mis-sized
-        if hmax % c["h"] or vmax % c["v"]:
-            raise ValueError(
-                f"unsupported JPEG sampling ratio {c['h']}x{c['v']} vs "
-                f"max {hmax}x{vmax} (non-integer upsampling factor)"
-            )
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     if mcus_x * mcus_y * 64 * hmax * vmax > 4 * max_pixels:

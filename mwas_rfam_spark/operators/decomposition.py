@@ -93,17 +93,11 @@ def project_embeddings(
                 F.array(*[F.lit(float(s)) for s in shift]),
                 lambda a, b: a.cast("double") - b,
             )
+        from mwas_rfam_spark.operators.similarity import _dot
+
         projected = F.array(
             *[
-                F.aggregate(
-                    F.zip_with(
-                        x,
-                        F.array(*[F.lit(float(w)) for w in row]),
-                        lambda a, b: a.cast("double") * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
+                _dot(x, F.array(*[F.lit(float(w)) for w in row]))
                 for row in matrix
             ]
         )
@@ -184,14 +178,19 @@ def fit_pca(
     O(d²) regardless of corpus size or partition count (at d=4096 a
     partial is ~134 MB; collecting one per partition would scale with
     the cluster). The d x d eigendecomposition is driver arithmetic on
-    a parameter. No vector ever reaches the driver. NULL embeddings are
-    excluded from the fit (an ECDF-style skip — a moment estimate is
-    undefined over them); wrong-dimension vectors fail loudly."""
+    a parameter. No vector ever reaches the driver. NULL embeddings AND
+    vectors containing NULL elements are excluded from the fit (moments
+    are undefined over them; a NULL element would otherwise round-trip
+    through Arrow as NaN and poison every sum silently); wrong-dimension
+    vectors fail loudly."""
     import numpy as np
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    emb = emb.where(F.col(vec_col).isNotNull())
+    emb = emb.where(
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+    )
     first = emb.select(F.size(vec_col).alias("d")).first()
     if first is None:
         raise ValueError("fit_pca needs a non-empty corpus")

@@ -197,7 +197,10 @@ def bin_pack_documents(
     )
     base = docs.select(
         F.col(id_col).alias("__id"),
-        counts.alias("n_tokens"),
+        # null text / null precomputed counts pack as zero-size docs
+        # (the NaN would otherwise kill the pandas kernel's int sort
+        # key); the cumsum packer's window sum skips NULLs the same way
+        F.coalesce(counts, F.lit(0)).alias("n_tokens"),
         F.pmod(d1 * 16 + d2, F.lit(n_buckets)).cast("long").alias("bucket"),
     )
     id_type = docs.schema[id_col].dataType.simpleString()
@@ -269,13 +272,24 @@ def pack_utilization(
     packs: DataFrame,
     max_tokens_per_pack: int,
 ) -> DataFrame:
-    """One-row packing report over a :func:`bin_pack_documents` (or
-    :func:`pack_documents`) assignment: (n_packs, n_docs, total_tokens,
-    avg_fill, waste_frac) — ``avg_fill`` is mean per-pack utilization
-    over non-oversize packs, ``waste_frac`` the padding share of the
-    non-oversize budget. Two map-side-combinable aggregations."""
-    if "oversize" not in packs.columns:  # pack_documents has no oversize notion
-        packs = packs.withColumn("oversize", F.lit(False))
+    """One-row packing report over a :func:`bin_pack_documents`
+    assignment: (n_packs, n_docs, total_tokens, avg_fill, waste_frac) —
+    ``avg_fill`` is mean per-pack utilization over non-oversize packs,
+    ``waste_frac`` the padding share of the non-oversize budget. Two
+    map-side-combinable aggregations.
+
+    WHOLE-document packers only (the ``oversize`` column is the
+    marker): :func:`pack_documents` attributes a straddling doc's full
+    count to the chunk holding its last token, so its per-pack sums can
+    exceed the budget and these fill metrics would read >1 / negative —
+    that packer has no padding waste by construction, and feeding it
+    here raises instead of reporting nonsense."""
+    if "oversize" not in packs.columns:
+        raise ValueError(
+            "pack_utilization needs a whole-document packing (bin_pack_documents "
+            "output with an 'oversize' column); pack_documents' concat-then-chunk "
+            "assignment has no per-pack fill notion (chunks are exactly full)"
+        )
     per_pack = packs.groupBy("pack_id").agg(
         F.sum("n_tokens").alias("fill"),
         F.count("*").alias("n_docs"),

@@ -375,15 +375,15 @@ def sq_encode(
             F.lit(255), F.greatest(F.lit(0), F.round(x * s, 0).cast("int"))
         ),
     )
+    from mwas_rfam_spark.operators.similarity import _norm
+
     inv_arr = F.array(*[F.lit(r / 255.0) for r in rng_])
     decoded = F.zip_with(
         F.zip_with(codes, inv_arr, lambda c, s: c.cast("double") * s),
         lo_arr,
         lambda x, m: x + m,
     )
-    nrm = F.sqrt(
-        F.aggregate(decoded, F.lit(0.0), lambda a, x: a + x * x)
-    )
+    nrm = _norm(decoded)
     return emb.select(
         F.col(id_col).alias("id"),
         codes.cast("array<smallint>").alias("codes"),
@@ -417,16 +417,20 @@ def sq_topk(
     const = sum(float(q) * m for q, m in zip(query_vec, lo))
     pre = [float(q) * r / 255.0 for q, r in zip(query_vec, rng_)]
     qn = math.sqrt(sum(float(q) ** 2 for q in query_vec)) or 1.0
+    from mwas_rfam_spark.operators.similarity import _dot
+
     pre_arr = F.array(*[F.lit(x) for x in pre])
-    dot = F.lit(const) + F.aggregate(
-        F.zip_with(F.col("codes"), pre_arr, lambda c, p: c.cast("double") * p),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
+    dot = F.lit(const) + _dot(F.col("codes"), pre_arr)
     return (
         codes_df.select(
             F.col("id").alias(id_col),
-            (dot / (F.col("nrm") * F.lit(qn))).alias("cosine"),
+            # zero-norm decoded vectors (all-minima codes — realistic for
+            # non-negative embeddings) have undefined cosine: NULL, which
+            # desc ordering ranks last; an unguarded divide would abort
+            # the whole query under ANSI mode (Spark 4 default)
+            F.when(
+                F.col("nrm") > 0, dot / (F.col("nrm") * F.lit(qn))
+            ).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)

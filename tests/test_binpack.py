@@ -97,7 +97,27 @@ def test_pack_utilization_hand_model(spark):
     assert rep["avg_fill"] == pytest.approx((1.0 + 0.8) / 2, abs=1e-6)
     assert rep["waste_frac"] == pytest.approx(1.0 - 180 / 200, abs=1e-6)
 
-    # composes with the cumsum packer too (no oversize column there)
+    # the cumsum packer's straddle attribution would make fill metrics
+    # read >1 / negative — rejected with a named error, not nonsense
     cum = pack_documents(docs, max_tokens_per_pack=100, n_buckets=1)
-    rep2 = pack_utilization(cum, 100).first()
-    assert rep2["n_docs"] == 4 and rep2["total_tokens"] == 330
+    with pytest.raises(ValueError, match="whole-document"):
+        pack_utilization(cum, 100)
+
+
+def test_binpack_null_text_packs_as_zero(spark):
+    """Null text (present in real corpora) must not kill the kernel:
+    it packs as a zero-size doc; a null PRECOMPUTED count likewise."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "d e")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bin_pack_documents(
+        docs, max_tokens_per_pack=10, n_buckets=2).collect()}
+    assert out[2]["n_tokens"] == 0 and not out[2]["oversize"]
+    assert sorted(out) == [1, 2, 3]
+
+    pre = spark.createDataFrame(
+        [(1, 5), (2, None)], "doc_id long, nt int"
+    ).withColumn("text", F.lit("x"))
+    out2 = {r["doc_id"]: r["n_tokens"] for r in bin_pack_documents(
+        pre, max_tokens_per_pack=10, n_buckets=1, token_count_col="nt").collect()}
+    assert out2 == {1: 5, 2: 0}

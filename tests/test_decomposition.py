@@ -264,3 +264,18 @@ def test_jl_projection_duckdb_parity(spark, sf_dir):
     }
     con.close()
     assert got == want and len(got) > 0
+
+
+def test_fit_pca_excludes_null_elements(spark):
+    """A vector with a NULL ELEMENT (not just a NULL array) is excluded
+    from the fit — it would otherwise round-trip through Arrow as NaN
+    and silently poison every moment sum."""
+    clean = np.asarray([[1.0, 2.0], [3.0, 0.0], [0.0, 1.0]])
+    df = spark.createDataFrame(
+        [(i, r.tolist()) for i, r in enumerate(clean)]
+        + [(8, None), (9, [1.0, None])],
+        "vec_id long, embedding array<double>",
+    )
+    model = fit_pca(df, k=1)
+    np.testing.assert_allclose(model["mean"], clean.mean(axis=0), atol=1e-12)
+    assert np.isfinite(model["explained_variance"][0])

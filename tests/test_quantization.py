@@ -307,3 +307,24 @@ def test_sq8_duckdb_parity(spark, sf_dir):
     ]
     con.close()
     assert got == want and len(got) == 15
+
+
+def test_sq8_zero_norm_vector_is_null_ranked_last(spark):
+    """A zero-norm decoded vector (all-minima codes — realistic for
+    non-negative embeddings) must not abort the query under ANSI mode:
+    its cosine is NULL and ranks last."""
+    from mwas_rfam_spark.operators.quantization import (
+        sq_encode,
+        sq_topk,
+        train_sq_params,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 2.0]), (2, [3.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    params = train_sq_params(emb)
+    got = sq_topk(sq_encode(emb, params), [1.0, 1.0], params, k=3).collect()
+    assert [r["vec_id"] for r in got][-1] == 0
+    assert got[-1]["cosine"] is None
+    assert all(r["cosine"] is not None for r in got[:-1])
