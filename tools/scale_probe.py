@@ -710,6 +710,70 @@ def probe_i100(spark, sf_dir: str, out: dict):
           file=sys.stderr)
 
 
+def probe_r6_ops(spark, sf_dir: str, out: dict):
+    """Probe J (r6) — the round-6 additions at 1x and 10x.
+
+    PCA: fit is the one-pass Gram (linear, d² state per partition);
+    projection is map-only. SQ8: encode + folded-query top-k are one
+    scan each. Bin packing: one hash shuffle + per-bucket O(n log n)
+    greedy — buckets scale with the corpus (n_buckets 10x'd with the
+    data, the documented policy), so per-bucket state stays constant."""
+    from mwas_rfam_spark.operators.decomposition import fit_pca, pca_project
+    from mwas_rfam_spark.operators.packing import bin_pack_documents
+    from mwas_rfam_spark.operators.quantization import (
+        sq_encode,
+        sq_topk,
+        train_sq_params,
+    )
+    from mwas_rfam_spark.plans.testdata_mwas import load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    emb10 = emb.crossJoin(
+        spark.range(10).select(F.col("id").alias("_c"))
+    ).select(
+        (F.col("vec_id") * 10 + F.col("_c")).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.sin((F.col("_c") + F.lit(1)).cast("double") * (i + F.lit(1))),
+        ).alias("embedding"),
+    )
+    for label, e in [("1x", emb), ("10x", emb10)]:
+        e = e.localCheckpoint()
+        model = fit_pca(e, k=16)  # timed separately: build cost
+        t0 = time.time()
+        model = fit_pca(e, k=16)
+        out[f"pca_fit_{label}"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        _force(pca_project(e, model))
+        out[f"pca_project_{label}"] = round(time.time() - t0, 2)
+
+        params = train_sq_params(e)
+        q = [float(x) for x in e.orderBy("vec_id").first()["embedding"]]
+        t0 = time.time()
+        _force(sq_topk(sq_encode(e, params), q, params, k=10))
+        out[f"sq8_encode_topk_{label}"] = round(time.time() - t0, 2)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs10 = docs.crossJoin(
+        spark.range(10).select(F.col("id").alias("_c"))
+    ).select(
+        (F.col("doc_id") * 10 + F.col("_c")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v"), F.col("_c")).alias("text"),
+    )
+    for label, d, buckets in [("1x", docs, 64), ("10x", docs10, 640)]:
+        d = d.localCheckpoint()
+        t0 = time.time()
+        _force(bin_pack_documents(d, max_tokens_per_pack=2048, n_buckets=buckets))
+        out[f"binpack_{label}"] = round(time.time() - t0, 2)
+
+    spark.catalog.clearCache()
+    print({k: v for k, v in out.items()
+           if k.startswith(("pca_", "sq8_", "binpack_"))},
+          file=sys.stderr)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="scale-probe")
@@ -728,6 +792,7 @@ def main():
         "r5": probe_r5_ops,
         "r5b": probe_r5b_ops,
         "i100": probe_i100,
+        "r6": probe_r6_ops,
     }
     if only is not None and only not in probes:
         raise SystemExit(
