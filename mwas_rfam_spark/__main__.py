@@ -777,6 +777,84 @@ def tokenize_main(argv: list[str], spark: SparkSession | None = None) -> int:
             spark.stop()
 
 
+def build_pack_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mwas_rfam_spark pack",
+        description=(
+            "Assign documents to fixed-token-budget training packs: "
+            "concat-then-chunk (chunk mode, zero padding waste, docs may "
+            "split) or whole-document best-fit-decreasing (bin mode, doc "
+            "boundaries survive; prints the utilization report)"
+        ),
+    )
+    p.add_argument("input", help="documents parquet")
+    p.add_argument("--output", required=True, help="assignment parquet dir")
+    p.add_argument("--max-tokens", type=int, required=True, help="pack budget")
+    p.add_argument("--mode", choices=("chunk", "bin"), default="bin")
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument(
+        "--token-count-col",
+        default=None,
+        help="pack by a precomputed per-doc count column (e.g. tokenize's n_tokens)",
+    )
+    return p
+
+
+def pack_main(argv: list[str], spark: SparkSession | None = None) -> int:
+    args = build_pack_parser().parse_args(argv)
+    owns_session = spark is None
+    if owns_session:
+        from .session import get_spark
+
+        spark = get_spark(app_name="pack-cli")
+    try:
+        from pyspark.sql import functions as F
+
+        from .operators.packing import (
+            bin_pack_documents,
+            pack_documents,
+            pack_utilization,
+        )
+
+        docs = spark.read.parquet(args.input)
+        kwargs = dict(
+            max_tokens_per_pack=args.max_tokens,
+            n_buckets=args.n_buckets,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            token_count_col=args.token_count_col,
+        )
+        if args.mode == "bin":
+            out = bin_pack_documents(docs, **kwargs)
+        else:
+            out = pack_documents(docs, **kwargs)
+        out.write.mode("overwrite").parquet(args.output)
+        written = spark.read.parquet(args.output)
+        if args.mode == "bin":
+            rep = pack_utilization(written, args.max_tokens).first()
+            print(
+                f"packed {rep['n_docs']} docs / {rep['total_tokens']} tokens into "
+                f"{rep['n_packs']} packs; avg_fill={rep['avg_fill']} "
+                f"waste_frac={rep['waste_frac']}"
+            )
+        else:
+            agg = written.agg(
+                F.countDistinct("pack_id").alias("n_packs"),
+                F.count("*").alias("n_docs"),
+                F.sum("n_tokens").alias("total_tokens"),
+            ).first()
+            print(
+                f"packed {agg['n_docs']} docs / {agg['total_tokens']} tokens into "
+                f"{agg['n_packs']} chunks"
+            )
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
 def build_maintain_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="mwas_rfam_spark maintain",
@@ -853,6 +931,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         return report_main(argv[1:], spark)
     if argv and argv[0] == "tokenize":
         return tokenize_main(argv[1:], spark)
+    if argv and argv[0] == "pack":
+        return pack_main(argv[1:], spark)
     from .config import MwasConfig
     from .operators.condense import condense_metadata
     from .operators.mwas import run_mwas

@@ -615,3 +615,41 @@ def test_report_cli(spark, tmp_path, capsys):
     assert printed["n_docs"] == "4"
     back = spark.read.parquet(out).first()
     assert back["n_docs"] == 4
+
+
+def test_cli_pack(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.__main__ import main
+
+    path = str(tmp_path / "docs_pack")
+    spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.array_repeat(F.lit("tok"), (F.pmod(F.col("id"), 50) + 1).cast("int"))
+        ).alias("text"),
+    ).write.parquet(path)
+
+    out = str(tmp_path / "packs_bin")
+    rc = main(
+        ["pack", path, "--output", out, "--max-tokens", "100", "--mode", "bin",
+         "--n-buckets", "4"],
+        spark=spark,
+    )
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 200
+    fills = got.where(~F.col("oversize")).groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("fill")
+    )
+    assert fills.where(F.col("fill") > 100).count() == 0
+    assert "avg_fill=" in capsys.readouterr().out
+
+    out2 = str(tmp_path / "packs_chunk")
+    rc = main(
+        ["pack", path, "--output", out2, "--max-tokens", "100", "--mode", "chunk"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert spark.read.parquet(out2).count() == 200
+    assert "chunks" in capsys.readouterr().out
