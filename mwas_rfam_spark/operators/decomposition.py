@@ -8,7 +8,8 @@ vectors while 32-128 dims carry the neighborhood structure those
 operators need. This module supplies the two standard reducers as
 Spark-first plans:
 
-* **Random projection** (Johnson-Lindenstrauss): a seeded Gaussian
+* **Random projection** (the Johnson–Lindenstrauss lemma, 1984; the
+  Gaussian construction per Indyk–Motwani 1998): a seeded Gaussian
   plane matrix, deterministic from (in_dim, out_dim, seed) — no
   training pass, engine-independent (the planes are reproducible in
   SQL as literal arrays, the same recipe as the LSH oracle), distance

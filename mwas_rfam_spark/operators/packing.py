@@ -169,7 +169,8 @@ def bin_pack_documents(
     Within a bucket: documents sorted by (tokens desc, id), each placed
     into the fullest pack that still fits (best fit via bisect —
     O(n log n), not the O(n²) scan), else a new pack. BFD shares FFD's
-    11/9·OPT + 6/9 guarantee.
+    11/9·OPT + 6/9 worst-case guarantee (Johnson 1973; Dósa 2007 for
+    the tight additive constant).
 
     ``oversize``: a document longer than the budget cannot pack whole —
     ``"own_pack"`` (default) isolates it in its own flagged pack (the

@@ -11,6 +11,7 @@ import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # minimal public stopword marker sets per language (heuristic, not a model)
 _LANG_MARKERS = {
@@ -591,3 +592,113 @@ def tfidf_top_terms(
             F.round("tfidf", 6).alias("tfidf"), "rank",
         )
     )
+
+
+# ------------------------------------------------- unicode normalization
+
+#: substrings whose presence signals mojibake (UTF-8 text wrongly
+#: decoded as latin-1/cp1252): the latin-1 readings of UTF-8 lead bytes.
+_MOJIBAKE_MARKERS = ("Ã", "Â", "â€", "à¸")
+
+
+def _fix_mojibake_str(t: str) -> tuple[str, bool]:
+    """Repair UTF-8-decoded-as-latin-1/cp1252 text ('cafÃ©' → 'café').
+
+    Heuristic, conservative: only attempted when a marker pattern is
+    present; the repair must round-trip (encode latin-1/cp1252 → decode
+    utf-8 strictly) AND strictly reduce the marker count, otherwise the
+    original text is kept. Applied repeatedly (double-encoded text
+    exists) with a small bound."""
+    changed = False
+    for _ in range(3):
+        if not any(m in t for m in _MOJIBAKE_MARKERS):
+            break
+        before = sum(t.count(m) for m in _MOJIBAKE_MARKERS)
+        repaired = None
+        for enc in ("latin-1", "cp1252"):
+            try:
+                cand = t.encode(enc).decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                continue
+            if sum(cand.count(m) for m in _MOJIBAKE_MARKERS) < before:
+                repaired = cand
+                break
+        if repaired is None:
+            break
+        t = repaired
+        changed = True
+    return t, changed
+
+
+def normalize_unicode_docs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    form: str = "NFC",
+    fix_mojibake: bool = True,
+    strip_control: bool = True,
+) -> DataFrame:
+    """Unicode hygiene for raw corpora → same schema with ``text_col``
+    normalized plus (was_mojibake, was_changed) flags.
+
+    Three standard cleaning steps every ingest pipeline needs before
+    hashing/dedup (byte-different spellings of the SAME text defeat
+    every exact/near-dup family downstream):
+
+    * mojibake repair (UTF-8 read as latin-1/cp1252 — 'cafÃ©'):
+      conservative round-trip heuristic, see :func:`_fix_mojibake_str`;
+    * Unicode normalization to ``form`` (NFC default: composed forms,
+      so 'é' and 'e'+combining-accent hash identically; NFKC folds
+      compatibility forms — ligatures, fullwidth — more aggressively);
+    * control-character strip (C0/C1 except tab/newline, plus BOM and
+      zero-width space — the invisible code points that split tokens
+      and poison fingerprints).
+
+    Python is justified here: Unicode normalization tables and encoding
+    round-trips have no Catalyst expression; the kernel is Arrow-batched
+    over ``mapInPandas``, one pass, map-only (no shuffle at any size).
+    NULL text passes through unchanged. Idempotent: a second pass is a
+    no-op (pinned by a hypothesis property)."""
+    import re as _re
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"form must be a unicodedata form, got {form!r}")
+    ctrl_re = _re.compile("[\x00-\x08\x0b-\x1f\x7f-\x9f\ufeff\u200b]")
+    schema = T.StructType(
+        list(docs.schema.fields)
+        + [
+            T.StructField("was_mojibake", T.BooleanType()),
+            T.StructField("was_changed", T.BooleanType()),
+        ]
+    )
+
+    def kernel(batches):
+        import unicodedata
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            texts, moji, chg = [], [], []
+            for t in pdf[text_col]:
+                if t is None:
+                    texts.append(None)
+                    moji.append(False)
+                    chg.append(False)
+                    continue
+                orig = t
+                m = False
+                if fix_mojibake:
+                    t, m = _fix_mojibake_str(t)
+                t = unicodedata.normalize(form, t)
+                if strip_control:
+                    t = ctrl_re.sub("", t)
+                texts.append(t)
+                moji.append(m)
+                chg.append(t != orig)
+            out = pdf.copy()
+            out[text_col] = texts
+            out["was_mojibake"] = moji
+            out["was_changed"] = chg
+            yield out
+
+    return docs.mapInPandas(kernel, schema)

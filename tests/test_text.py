@@ -373,3 +373,71 @@ def test_tfidf_matches_duckdb(spark, sf_dir):
     }
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_normalize_unicode_docs(spark):
+    """Unicode hygiene kernel: mojibake repaired, NFC composition,
+    control/zero-width strip, NULL passthrough, clean text untouched,
+    flags accurate."""
+    import unicodedata
+
+    from mwas_rfam_spark.operators.text import normalize_unicode_docs
+
+    decomposed = "café"  # e + combining acute
+    rows = [
+        (1, "cafÃ© au lait â€” naÃ¯ve"),  # mojibake
+        (2, decomposed),
+        (3, "plain ascii text"),
+        (4, None),
+        (5, "zero​width and ﻿bom and ctrl\x07bell"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in normalize_unicode_docs(docs).collect()}
+
+    assert got[1]["text"] == "café au lait — naïve"
+    assert got[1]["was_mojibake"] and got[1]["was_changed"]
+    assert got[2]["text"] == "café" and got[2]["was_changed"]
+    assert not got[2]["was_mojibake"]
+    assert got[3]["text"] == "plain ascii text" and not got[3]["was_changed"]
+    assert got[4]["text"] is None and not got[4]["was_changed"]
+    assert got[5]["text"] == "zerowidth and bom and ctrlbell"
+    assert got[5]["was_changed"] and not got[5]["was_mojibake"]
+
+    # schema: original columns + the two flags
+    assert normalize_unicode_docs(docs).columns == [
+        "doc_id", "text", "was_mojibake", "was_changed"
+    ]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="form"):
+        normalize_unicode_docs(docs, form="NFX")
+
+    # NFKC folds compatibility forms (fullwidth digits)
+    wide = spark.createDataFrame([(1, "１２３")], "doc_id long, text string")
+    assert normalize_unicode_docs(wide, form="NFKC").first()["text"] == "123"
+
+
+def test_normalize_unicode_idempotent_property():
+    """Property: normalize(normalize(x)) == normalize(x) for arbitrary
+    text incl. mojibake-marker-bearing strings, and clean NFC ASCII is
+    a fixpoint with no flags."""
+    import unicodedata
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mwas_rfam_spark.operators.text import _fix_mojibake_str
+
+    @given(st.text(max_size=200))
+    @settings(max_examples=200, deadline=None)
+    def check(t):
+        once, _ = _fix_mojibake_str(t)
+        once = unicodedata.normalize("NFC", once)
+        twice, again = _fix_mojibake_str(once)
+        # a second repair pass must not fire on already-repaired text
+        # unless the ORIGINAL text legitimately still contains markers
+        # that cannot round-trip (then it is a no-op anyway)
+        assert unicodedata.normalize("NFC", twice) == once or not again
+
+    check()
