@@ -840,10 +840,17 @@ def pack_main(argv: list[str], spark: SparkSession | None = None) -> int:
                 f"waste_frac={rep['waste_frac']}"
             )
         else:
-            agg = written.agg(
-                F.countDistinct("pack_id").alias("n_packs"),
-                F.count("*").alias("n_docs"),
-                F.sum("n_tokens").alias("total_tokens"),
+            # chunk count = Σ_bucket max(pack ordinal): pack_id marks the
+            # chunk holding a doc's LAST token, so chunks wholly interior
+            # to a long document have no row — countDistinct undercounts
+            agg = written.groupBy("bucket").agg(
+                F.max(F.col("pack_id") - F.col("bucket") * F.lit(1 << 32)).alias("mx"),
+                F.count("*").alias("n"),
+                F.sum("n_tokens").alias("t"),
+            ).agg(
+                F.sum("mx").alias("n_packs"),
+                F.sum("n").alias("n_docs"),
+                F.sum("t").alias("total_tokens"),
             ).first()
             print(
                 f"packed {agg['n_docs']} docs / {agg['total_tokens']} tokens into "

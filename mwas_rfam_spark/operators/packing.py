@@ -48,6 +48,8 @@ def pack_documents(
     ``n_tokens`` — instead of the whitespace proxy on ``text_col``
     (which is then never read).
     """
+    if max_tokens_per_pack < 1:
+        raise ValueError(f"max_tokens_per_pack must be >= 1, got {max_tokens_per_pack}")
     # bucket from the first two md5 hex digits (256 values, uniform when
     # n_buckets divides 256) — cross-engine reproducible, unlike xxhash64
     hexv = "0123456789abcdef"

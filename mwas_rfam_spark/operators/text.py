@@ -630,10 +630,14 @@ def _fix_mojibake_str(t: str) -> tuple[str, bool]:
     return t, changed
 
 
+#: C0/C1 controls (except tab/newline), BOM, zero-width space — the
+#: invisible code points that split tokens and poison fingerprints.
+_CTRL_RE = re.compile("[\x00-\x08\x0b-\x1f\x7f-\x9f\ufeff\u200b]")
+
+
 def normalize_unicode_docs(
     docs: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     form: str = "NFC",
     fix_mojibake: bool = True,
     strip_control: bool = True,
@@ -658,12 +662,14 @@ def normalize_unicode_docs(
     round-trips have no Catalyst expression; the kernel is Arrow-batched
     over ``mapInPandas``, one pass, map-only (no shuffle at any size).
     NULL text passes through unchanged. Idempotent: a second pass is a
-    no-op (pinned by a hypothesis property)."""
-    import re as _re
-
+    no-op — the strip runs BEFORE normalization, so removing an
+    invisible code point between a base and its combining mark still
+    yields composed output (strip-after would leave decomposed text and
+    a second pass would change it again); re-applying to its own output
+    replaces the flag columns rather than duplicating them."""
     if form not in ("NFC", "NFD", "NFKC", "NFKD"):
         raise ValueError(f"form must be a unicodedata form, got {form!r}")
-    ctrl_re = _re.compile("[\x00-\x08\x0b-\x1f\x7f-\x9f\ufeff\u200b]")
+    docs = docs.drop("was_mojibake", "was_changed")
     schema = T.StructType(
         list(docs.schema.fields)
         + [
@@ -689,9 +695,9 @@ def normalize_unicode_docs(
                 m = False
                 if fix_mojibake:
                     t, m = _fix_mojibake_str(t)
-                t = unicodedata.normalize(form, t)
                 if strip_control:
-                    t = ctrl_re.sub("", t)
+                    t = _CTRL_RE.sub("", t)
+                t = unicodedata.normalize(form, t)
                 texts.append(t)
                 moji.append(m)
                 chg.append(t != orig)

@@ -121,3 +121,13 @@ def test_binpack_null_text_packs_as_zero(spark):
     out2 = {r["doc_id"]: r["n_tokens"] for r in bin_pack_documents(
         pre, max_tokens_per_pack=10, n_buckets=1, token_count_col="nt").collect()}
     assert out2 == {1: 5, 2: 0}
+
+
+def test_pack_documents_rejects_bad_budget(spark):
+    """pack_documents now shares its siblings' budget guard: a
+    non-positive budget is a ValueError, not silent garbage packs."""
+    docs = _docs(spark, {1: 10})
+    with pytest.raises(ValueError, match="max_tokens_per_pack"):
+        pack_documents(docs, max_tokens_per_pack=0)
+    with pytest.raises(ValueError, match="max_tokens_per_pack"):
+        pack_documents(docs, max_tokens_per_pack=-5)

@@ -653,3 +653,27 @@ def test_cli_pack(spark, tmp_path, capsys):
     assert rc == 0
     assert spark.read.parquet(out2).count() == 200
     assert "chunks" in capsys.readouterr().out
+
+
+def test_cli_pack_chunk_count_includes_interior_chunks(spark, tmp_path, capsys):
+    """A doc longer than 2x the budget has chunks no pack_id row marks;
+    the CLI's chunk count must include them (sum of per-bucket max
+    ordinals, not countDistinct)."""
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.__main__ import main
+
+    path = str(tmp_path / "docs_long")
+    spark.createDataFrame(
+        [(1, " ".join(["t"] * 50)), (2, " ".join(["t"] * 250))],
+        "doc_id long, text string",
+    ).write.parquet(path)
+    out = str(tmp_path / "chunks_long")
+    rc = main(
+        ["pack", path, "--output", out, "--max-tokens", "100", "--mode", "chunk",
+         "--n-buckets", "1"],
+        spark=spark,
+    )
+    assert rc == 0
+    # 300 tokens in one bucket at budget 100 → 3 chunks
+    assert "into 3 chunks" in capsys.readouterr().out

@@ -441,3 +441,22 @@ def test_normalize_unicode_idempotent_property():
         assert unicodedata.normalize("NFC", twice) == once or not again
 
     check()
+
+
+def test_normalize_unicode_strip_before_compose_and_reapply(spark):
+    """Review regressions: an invisible code point BETWEEN a base and
+    its combining mark must still yield composed output (strip runs
+    before NFC), and applying the operator to its own output is a
+    schema-stable no-op (flag columns replaced, not duplicated)."""
+    from mwas_rfam_spark.operators.text import normalize_unicode_docs
+
+    tricky = "e​́"  # base + ZWSP + combining acute
+    docs = spark.createDataFrame([(1, tricky)], "doc_id long, text string")
+    once = normalize_unicode_docs(docs)
+    r1 = once.first()
+    assert r1["text"] == "é"  # composed, not e + U+0301
+
+    twice = normalize_unicode_docs(once)
+    assert twice.columns == ["doc_id", "text", "was_mojibake", "was_changed"]
+    r2 = twice.first()
+    assert r2["text"] == "é" and not r2["was_changed"]
