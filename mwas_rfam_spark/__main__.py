@@ -65,6 +65,9 @@ def build_curate_parser() -> argparse.ArgumentParser:
     p.add_argument("--langs", nargs="*", default=None)
     p.add_argument("--max-dup-line-frac", type=float, default=None,
                    help="Gopher repetition gate: drop docs above this dup-line fraction")
+    p.add_argument("--normalize-unicode", action="store_true",
+                   help="unicode hygiene (mojibake repair, NFC, invisible strip) "
+                        "before any hashing stage")
     p.add_argument("--dedup-lines", action="store_true",
                    help="C4-style cross-document line dedup before the quality gates")
     p.add_argument("--min-dedup-line-len", type=int, default=0,
@@ -110,6 +113,7 @@ def curate_main(argv: list[str], spark: SparkSession | None = None) -> int:
             max_dup_line_frac=args.max_dup_line_frac,
             decontam_n=args.decontam_n,
             decontam_threshold=args.decontam_threshold,
+            normalize_unicode=args.normalize_unicode,
             dedup_lines=args.dedup_lines,
             min_dedup_line_len=args.min_dedup_line_len,
             quality_model_weights=(

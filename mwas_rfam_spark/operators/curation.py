@@ -47,6 +47,7 @@ def curate_corpus(
     mode: str = "filter",
     text_col: str = "text",
     id_col: str = "doc_id",
+    normalize_unicode: bool = False,
     dedup_lines: bool = False,
     min_dedup_line_len: int = 0,
     quality_model_weights: DataFrame | None = None,
@@ -71,6 +72,12 @@ def curate_corpus(
     redaction is chained codegen'd regexp_replace; sharding is a
     projection plus the optional per-shard sequence window.
 
+    ``normalize_unicode=True`` prepends the unicode-hygiene kernel
+    (mojibake repair, NFC, invisible-char strip —
+    `text.normalize_unicode_docs`) BEFORE any hashing stage, so
+    byte-different spellings of the same text dedup/decontaminate
+    together; the text column rewrites in place.
+
     ``dedup_lines=True`` prepends C4-style cross-document line dedup
     (two more keyed shuffles — line text, then doc id); the downstream
     stages then see the line-deduped text, and a doc emptied of lines
@@ -84,6 +91,18 @@ def curate_corpus(
     """
     if mode not in ("filter", "mark"):
         raise ValueError(f"mode must be 'filter' or 'mark', got {mode}")
+
+    if normalize_unicode:
+        # unicode hygiene FIRST — every later stage hashes text (line
+        # dedup keys, content-hash dedup, decontam shingles), and
+        # byte-different spellings of the same text (mojibake, NFD,
+        # zero-width) would defeat them all; text rewrites in place,
+        # the flag columns stay internal
+        from mwas_rfam_spark.operators.text import normalize_unicode_docs
+
+        docs = normalize_unicode_docs(docs, text_col=text_col).drop(
+            "was_mojibake", "was_changed"
+        )
 
     if dedup_lines:
         # C4 stage order: cross-document line dedup BEFORE the quality

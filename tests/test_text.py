@@ -460,3 +460,25 @@ def test_normalize_unicode_strip_before_compose_and_reapply(spark):
     assert twice.columns == ["doc_id", "text", "was_mojibake", "was_changed"]
     r2 = twice.first()
     assert r2["text"] == "é" and not r2["was_changed"]
+
+
+def test_curate_normalize_unicode_composition(spark):
+    """normalize_unicode=True makes byte-different spellings of the
+    same text dedup together inside curate_corpus — the composition the
+    operator exists for (without it the mojibake twin survives)."""
+    from mwas_rfam_spark.operators.curation import curate_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    moji = base.replace("again and again", "again and again cafÃ©")
+    clean = base.replace("again and again", "again and again café")
+    docs = spark.createDataFrame(
+        [(1, clean), (2, moji), (3, base + " other tail")],
+        "doc_id long, text string",
+    )
+    plain = curate_corpus(docs, min_tokens=3, redact=False)
+    assert plain.count() == 3  # mojibake twin is byte-different: both survive
+
+    normed = curate_corpus(docs, min_tokens=3, redact=False, normalize_unicode=True)
+    rows = {r["doc_id"]: r["text"] for r in normed.collect()}
+    assert len(rows) == 2 and 3 in rows  # twins collapsed to the first copy
+    assert all("Ã" not in t for t in rows.values())
