@@ -97,12 +97,27 @@ def curate_corpus(
         # dedup keys, content-hash dedup, decontam shingles), and
         # byte-different spellings of the same text (mojibake, NFD,
         # zero-width) would defeat them all; text rewrites in place,
-        # the flag columns stay internal
+        # the flag columns stay internal. BOTH sides of decontamination
+        # normalize — a one-sided repair would unmatch shingles against
+        # a raw benchmark (including previously-exact mojibake matches).
+        # Caller-owned columns that happen to share the kernel's flag
+        # names are shielded (same collision discipline as _qm_keep).
         from mwas_rfam_spark.operators.text import normalize_unicode_docs
 
-        docs = normalize_unicode_docs(docs, text_col=text_col).drop(
-            "was_mojibake", "was_changed"
-        )
+        def _normalize_keep_cols(df: DataFrame) -> DataFrame:
+            shield = [c for c in ("was_mojibake", "was_changed") if c in df.columns]
+            for c in shield:
+                df = df.withColumnRenamed(c, f"__orig_{c}")
+            df = normalize_unicode_docs(df, text_col=text_col).drop(
+                "was_mojibake", "was_changed"
+            )
+            for c in shield:
+                df = df.withColumnRenamed(f"__orig_{c}", c)
+            return df
+
+        docs = _normalize_keep_cols(docs)
+        if benchmark is not None:
+            benchmark = _normalize_keep_cols(benchmark)
 
     if dedup_lines:
         # C4 stage order: cross-document line dedup BEFORE the quality

@@ -480,5 +480,21 @@ def test_curate_normalize_unicode_composition(spark):
 
     normed = curate_corpus(docs, min_tokens=3, redact=False, normalize_unicode=True)
     rows = {r["doc_id"]: r["text"] for r in normed.collect()}
-    assert len(rows) == 2 and 3 in rows  # twins collapsed to the first copy
+    assert len(rows) == 2 and 3 in rows
+    assert 1 in rows  # keep-FIRST: the lowest-id twin survives
     assert all("Ã" not in t for t in rows.values())
+
+    # the benchmark side normalizes too: a mojibake training doc is
+    # caught by a clean-spelled benchmark (and vice versa), which a
+    # one-sided repair would miss
+    bench = spark.createDataFrame([(100, clean)], "doc_id long, text string")
+    decon = curate_corpus(
+        spark.createDataFrame([(2, moji)], "doc_id long, text string"),
+        benchmark=bench,
+        min_tokens=3,
+        redact=False,
+        normalize_unicode=True,
+        decontam_n=4,
+        decontam_threshold=0.05,
+    )
+    assert decon.count() == 0  # contaminated doc dropped
