@@ -286,6 +286,103 @@ def materialize_text_index(
     stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
 
 
+def remove_from_text_index(
+    docs_removed: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Remove documents from a `materialize_text_index` — the delete
+    half of the index lifecycle (create → append → compact → REMOVE),
+    fed by `summary.corpus_diff`'s 'removed' slice (which carries the
+    old snapshot's text; the text is needed to locate the touched
+    buckets and rebase the stats without scanning the index).
+
+    Scale shape: the removed docs' terms hash to their buckets
+    driver-free (`_term_bucket_col` — the same function that placed
+    them), so ONLY those partitions are read (PartitionFilter), the
+    removed ids anti-join away, and dynamic overwrite rewrites just the
+    touched directories; a bucket emptied entirely is deleted
+    explicitly (dynamic overwrite never rewrites a partition absent
+    from the output — the stale files would keep serving the removed
+    postings). Stats rebase exactly: n_docs -= n_removed, avgdl
+    re-derived from the removed docs' true token counts (computed from
+    their text, so zero-token docs rebase correctly too — their dl
+    never appears in any posting).
+
+    Contract: ids must currently be IN the index (the mirror of
+    append's must-be-new contract) — removing an absent id would
+    rebase the stats against documents that never contributed. Write
+    order: postings first, stats second; a crash between the two
+    leaves scores computed with a slightly-stale N/avgdl, never
+    corrupt (same note as append). Probe equivalence vs a full rebuild
+    on the remainder is pytest-pinned."""
+    spark = docs_removed.sparkSession
+    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    n_buckets = int(stats["n_buckets"])
+    base = docs_removed.select(
+        F.col(id_col).alias("id"), _lowered_tokens(text_col).alias("toks")
+    ).localCheckpoint()
+    gone = base.select("id").distinct()
+    n_removed = gone.count()
+    if n_removed == 0:
+        return
+    # buckets the removed docs' terms hash into — parameter-sized list
+    buckets = [
+        int(r["bucket"])
+        for r in base.select(F.explode("toks").alias("term"))
+        .distinct()
+        .withColumn("bucket", _term_bucket_col(n_buckets))
+        .select("bucket")
+        .distinct()
+        .collect()
+    ]
+    if buckets:
+        postings = spark.read.parquet(f"{path}/postings").where(
+            F.col("bucket").isin(buckets)  # partition pruning
+        )
+        kept = postings.join(
+            gone.withColumnRenamed("id", "__gone"),
+            postings["id"] == F.col("__gone"),
+            "left_anti",
+        ).localCheckpoint()  # source == destination: materialize first
+        written = {int(r["bucket"]) for r in kept.select("bucket").distinct().collect()}
+        (
+            kept.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(f"{path}/postings")
+        )
+        emptied = [b for b in buckets if b not in written]
+        if emptied:
+            jvm = spark._jvm
+            conf = spark._jsc.hadoopConfiguration()
+            for b in emptied:
+                d = jvm.org.apache.hadoop.fs.Path(f"{path}/postings/bucket={b}")
+                fs = d.getFileSystem(conf)
+                if fs.exists(d):
+                    fs.delete(d, True)
+    # stats rebase from the removed docs' true token counts
+    rm = base.select(F.size("toks").alias("dl")).agg(
+        F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    n_docs = int(stats["n_docs"]) - n_removed
+    if n_docs < 0:
+        raise ValueError(
+            f"removing {n_removed} docs from an index of {stats['n_docs']} "
+            "(were these ids ever indexed?)"
+        )
+    avgdl = (
+        (float(stats["n_docs"]) * float(stats["avgdl"] or 0.0) - float(rm["sum_dl"] or 0))
+        / n_docs
+        if n_docs > 0
+        else None
+    )
+    spark.createDataFrame(
+        [(n_docs, avgdl, n_buckets)], "n_docs BIGINT, avgdl DOUBLE, n_buckets INT"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
 def compact_text_index(
     spark,
     path: str,
@@ -331,6 +428,11 @@ def bm25_topk_indexed(
     terms = sorted({t.lower() for t in query_terms})
     stats = spark.read.parquet(f"{path}/stats").collect()[0]
     n_buckets = int(stats["n_buckets"])
+    if int(stats["n_docs"]) == 0:
+        # drained (every doc removed) or freshly-bootstrapped empty
+        # index: the partitioned postings dir has no files to infer a
+        # schema from — the correct answer is simply no hits
+        return spark.createDataFrame([], f"{id_col} long, score double, n_matched int")
     buckets = sorted({_term_bucket_py(t, n_buckets) for t in terms})
     postings = (
         spark.read.parquet(f"{path}/postings")

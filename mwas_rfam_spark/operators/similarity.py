@@ -454,6 +454,65 @@ def append_ivf_index(
     write_ivf_index(emb_new, centroids, f"{path}/vectors", id_col, vec_col, mode="append")
 
 
+def remove_from_ivf_index(
+    emb_removed: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Remove vectors from a :func:`materialize_ivf` index — the delete
+    half of the lifecycle (create → append → compact → REMOVE), fed by
+    `summary.corpus_diff`'s 'removed' slice (which carries the old
+    snapshot's vectors; the vectors are needed to locate the touched
+    cells under the FROZEN stored quantizer without scanning the
+    index).
+
+    Scale shape: removed vectors re-assign to their cells with the
+    stored centroids (the same pure function that placed them), so
+    ONLY those partitions are read (PartitionFilter), removed ids
+    anti-join away, dynamic overwrite rewrites just the touched cell
+    directories, and a cell emptied entirely is deleted explicitly
+    (stale files would keep serving removed vectors). The centroids
+    table is untouched — the quantizer stays frozen; probe equivalence
+    vs a rebuild on the remainder is pytest-pinned."""
+    spark = emb_removed.sparkSession
+    cent_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(), key=lambda r: r["cell"]
+    )
+    if not cent_rows:
+        raise ValueError(f"no centroids found under {path}/centroids")
+    centroids = [list(r["centroid"]) for r in cent_rows]
+    assigned = assign_ivf_cells(
+        _guard_dims(emb_removed, centroids, vec_col), centroids, id_col, vec_col
+    ).localCheckpoint()
+    cells = [int(r["cell"]) for r in assigned.select("cell").distinct().collect()]
+    if not cells:
+        return
+    gone = assigned.select(F.col(id_col).alias("__gone")).distinct()
+    vectors = spark.read.parquet(f"{path}/vectors").where(
+        F.col("cell").isin(cells)  # partition pruning
+    )
+    kept = vectors.join(
+        gone, vectors[id_col] == F.col("__gone"), "left_anti"
+    ).localCheckpoint()  # source == destination: materialize first
+    written = {int(r["cell"]) for r in kept.select("cell").distinct().collect()}
+    (
+        kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )
+    emptied = [c for c in cells if c not in written]
+    if emptied:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for c in emptied:
+            d = jvm.org.apache.hadoop.fs.Path(f"{path}/vectors/cell={c}")
+            fs = d.getFileSystem(conf)
+            if fs.exists(d):
+                fs.delete(d, True)
+
+
 def compact_ivf_index(
     spark,
     path: str,

@@ -262,3 +262,66 @@ def test_compact_text_index_bounds_files_and_preserves_scores(spark, sf_dir, tmp
     assert "PartitionFilters: [" in plan and "bucket" in plan.split(
         "PartitionFilters:"
     )[1][:200]
+
+
+def test_remove_from_text_index_equals_rebuild(spark, sf_dir, tmp_path):
+    """index(A ∪ B) − remove(B) must score IDENTICALLY to index(A):
+    touched buckets only are rewritten, emptied buckets are deleted,
+    stats rebase exactly — including a zero-token doc whose dl exists
+    in no posting."""
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        materialize_text_index,
+        remove_from_text_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    empty_doc = spark.createDataFrame([(999_999, "   ")], "doc_id long, text string")
+    full = docs.unionByName(empty_doc)
+    keep = docs.where("doc_id % 3 != 0")
+    gone = docs.where("doc_id % 3 = 0").unionByName(empty_doc)
+
+    inc = str(tmp_path / "inc")
+    materialize_text_index(full, inc, n_buckets=16)
+    remove_from_text_index(gone, inc)
+
+    ref = str(tmp_path / "ref")
+    materialize_text_index(keep, ref, n_buckets=16)
+
+    terms = ["the", "data", "pipeline"]
+    got = [
+        (r["doc_id"], round(r["score"], 9), r["n_matched"])
+        for r in bm25_topk_indexed(spark, inc, terms, k=25).collect()
+    ]
+    want = [
+        (r["doc_id"], round(r["score"], 9), r["n_matched"])
+        for r in bm25_topk_indexed(spark, ref, terms, k=25).collect()
+    ]
+    assert got == want and len(got) > 0
+    assert not {v for v, _s, _n in got} & {r["doc_id"] for r in gone.collect()}
+
+    s_inc = spark.read.parquet(f"{inc}/stats").collect()[0]
+    s_ref = spark.read.parquet(f"{ref}/stats").collect()[0]
+    assert int(s_inc["n_docs"]) == int(s_ref["n_docs"])
+    assert abs(float(s_inc["avgdl"]) - float(s_ref["avgdl"])) < 1e-9
+
+    # a bucket emptied entirely disappears (stale files would keep
+    # serving removed postings): single-doc index, remove the doc —
+    # every touched bucket is emptied by construction (a multi-doc
+    # corpus can collide other docs' terms into the same bucket)
+    tiny = str(tmp_path / "tiny")
+    t = spark.createDataFrame([(1, "zzzuniqueterm")], "doc_id long, text string")
+    materialize_text_index(t, tiny, n_buckets=256)
+    import glob
+
+    from mwas_rfam_spark.operators.retrieval import _term_bucket_py
+
+    b = _term_bucket_py("zzzuniqueterm", 256)
+    assert glob.glob(f"{tiny}/postings/bucket={b}")
+    remove_from_text_index(t, tiny)
+    assert not glob.glob(f"{tiny}/postings/bucket={b}")
+    assert bm25_topk_indexed(spark, tiny, ["zzzuniqueterm"], k=5).count() == 0
+    s_tiny = spark.read.parquet(f"{tiny}/stats").collect()[0]
+    assert int(s_tiny["n_docs"]) == 0 and s_tiny["avgdl"] is None

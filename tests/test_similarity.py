@@ -319,3 +319,55 @@ def test_append_ivf_dimension_guard(spark, tmp_path):
     )
     with pytest.raises(Exception, match="dimension"):
         append_ivf_index(bad, path)
+
+
+def test_remove_from_ivf_index_equals_rebuild(spark, sf_dir, tmp_path):
+    """materialize(A ∪ B) − remove(B) probes identically to
+    materialize(A) under the same frozen centroids; an emptied cell's
+    directory is deleted."""
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.operators.similarity import (
+        ivf_ann_topk_indexed,
+        materialize_ivf,
+        remove_from_ivf_index,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = train_ivf_centroids(emb, k=8, iters=1)
+    keep = emb.where("vec_id % 4 != 0")
+    gone = emb.where("vec_id % 4 = 0")
+
+    inc = str(tmp_path / "inc")
+    materialize_ivf(emb, cents, inc)
+    remove_from_ivf_index(gone, inc)
+    ref = str(tmp_path / "ref")
+    materialize_ivf(keep, cents, ref)
+
+    q = [float(x) for x in emb.first()["embedding"]]
+    got = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in ivf_ann_topk_indexed(
+            spark, f"{inc}/vectors", q, cents, k=10, nprobe=4
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in ivf_ann_topk_indexed(
+            spark, f"{ref}/vectors", q, cents, k=10, nprobe=4
+        ).collect()
+    ]
+    assert got == want and len(got) == 10
+    assert (
+        spark.read.parquet(f"{inc}/vectors").count()
+        == spark.read.parquet(f"{ref}/vectors").count()
+    )
+
+    # empty an entire cell: remove EVERYTHING -> all touched dirs go
+    import glob
+
+    remove_from_ivf_index(keep, inc)
+    assert glob.glob(f"{inc}/vectors/cell=*") == []
