@@ -509,11 +509,13 @@ def build_index_parser() -> argparse.ArgumentParser:
         description="Materialized retrieval indexes: term-bucketed BM25 "
         "postings (kind=text) or cell-partitioned IVF vectors "
         "(kind=ann). 'append' extends an existing index with NEW "
-        "rows only (feed the diff CLI's added slice) — score-identical "
-        "to a full rebuild.",
+        "rows only (feed the diff CLI's added slice); 'remove' deletes "
+        "departed rows (feed the removed slice — it carries the old "
+        "text/vectors that locate the touched partitions). Both are "
+        "score-identical to a full rebuild.",
     )
     p.add_argument("kind", choices=("text", "ann"))
-    p.add_argument("op", choices=("build", "append"))
+    p.add_argument("op", choices=("build", "append", "remove"))
     p.add_argument("input", help="documents (text) or embeddings (ann) parquet")
     p.add_argument("--path", required=True, help="index root")
     p.add_argument(
@@ -538,7 +540,11 @@ def index_main(argv: list[str], spark: SparkSession | None = None) -> int:
     try:
         df = spark.read.parquet(args.input)
         if args.kind == "text":
-            from .operators.retrieval import append_text_index, materialize_text_index
+            from .operators.retrieval import (
+                append_text_index,
+                materialize_text_index,
+                remove_from_text_index,
+            )
 
             id_col = args.id_col or "doc_id"
             if args.op == "build":
@@ -546,8 +552,12 @@ def index_main(argv: list[str], spark: SparkSession | None = None) -> int:
                     df, args.path, n_buckets=args.buckets,
                     text_col=args.text_col, id_col=id_col,
                 )
-            else:
+            elif args.op == "append":
                 append_text_index(df, args.path, text_col=args.text_col, id_col=id_col)
+            else:
+                remove_from_text_index(
+                    df, args.path, text_col=args.text_col, id_col=id_col
+                )
         else:
             from .operators.similarity import (
                 append_ivf_index,
@@ -562,8 +572,12 @@ def index_main(argv: list[str], spark: SparkSession | None = None) -> int:
                     id_col=id_col, vec_col=args.vec_col,
                 )
                 materialize_ivf(df, cents, args.path, id_col=id_col, vec_col=args.vec_col)
-            else:
+            elif args.op == "append":
                 append_ivf_index(df, args.path, id_col=id_col, vec_col=args.vec_col)
+            else:
+                from .operators.similarity import remove_from_ivf_index
+
+                remove_from_ivf_index(df, args.path, id_col=id_col, vec_col=args.vec_col)
         print(f"{args.kind} index {args.op} complete at {args.path}")
         return 0
     finally:

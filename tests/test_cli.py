@@ -575,6 +575,15 @@ def test_index_cli_build_and_append(spark, tmp_path, capsys):
     assert main(["index", "ann", "append", eb, "--path", aidx], spark=spark) == 0
     assert spark.read.parquet(f"{aidx}/vectors").count() == 40
 
+    # --- remove op: feed the departed slices back (the diff's removed
+    # half); both indexes shrink to exactly the remainder
+    assert main(["index", "text", "remove", b, "--path", idx], spark=spark) == 0
+    got = bm25_topk_indexed(spark, idx, ["data", "pipeline"], k=30)
+    assert got.count() == 20 and got.where("doc_id >= 20").count() == 0
+    assert main(["index", "ann", "remove", eb, "--path", aidx], spark=spark) == 0
+    remaining = spark.read.parquet(f"{aidx}/vectors")
+    assert remaining.count() == 30 and remaining.where("vec_id >= 30").count() == 0
+
 
 def test_search_cli(spark, tmp_path, capsys):
     docs = spark.createDataFrame(
