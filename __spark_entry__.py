@@ -1156,6 +1156,49 @@ def q_ann_ivf_topk(spark, sf_dir):
     return top.select("vec_id", F.round("cosine", 5).alias("cosine"))
 
 
+_IVFPQ_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ivfpq_index(spark, sf_dir, k_cells=8, m=8, k=32):
+    """Session-scoped IVF×PQ index build (build-vs-probe split as
+    `_ivf_index`): coarse centroids + PQ codebooks from the memoized
+    seeded trainers, then vectors/codes/centroids/codebooks materialized
+    once per process at a deterministic per-SF path."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "spark-warehouse", "ivfpq_index", tag
+    )
+    if path not in _IVFPQ_INDEX_CACHE:
+        from mwas_rfam_spark.operators.quantization import materialize_ivfpq
+
+        cents = _ivf_centroids(spark, sf_dir, k=k_cells, iters=2)
+        books = _pq_codebooks(spark, sf_dir, m=m, k=k)
+        materialize_ivfpq(_t(spark, sf_dir, "embeddings"), cents, books, path)
+        _IVFPQ_INDEX_CACHE[path] = path
+    return path
+
+
+def q_ivfpq_indexed(spark, sf_dir):
+    """Search over the MATERIALIZED IVF×PQ index — the full faiss-style
+    composition as parquet: nprobe cells resolved from the stored coarse
+    centroids, the ADC scan partition-pruned to those cells' 8-byte
+    codes, exact re-rank broadcast-joined into the equally-pruned full
+    vectors. Bench-only surface (registry at the 50-cap); correctness
+    pinned by tests/test_quantization.py (indexed == on-the-fly ==
+    exact within probed cells; append/remove/compact == rebuild)."""
+    from mwas_rfam_spark.operators.quantization import ivfpq_topk_indexed
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.orderBy("vec_id").select("embedding").limit(1).collect()[0]["embedding"]
+    path = _ivfpq_index(spark, sf_dir)
+    top = ivfpq_topk_indexed(
+        spark, path, [float(x) for x in qvec], k=10, nprobe=3, rerank=100
+    )
+    return top.select("vec_id", F.round("dist", 5).alias("dist"))
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """Approximate top-k via signed-random-projection LSH bucket filter
     (engine-only: approximate by design — no exact oracle)."""
@@ -2496,6 +2539,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_editdist_long": q_fuzzy_editdist_long,
         "embed_pca_reduce": q_embed_pca_reduce,
         "sq8_topk": q_sq8_topk,
+        "ivfpq_indexed": q_ivfpq_indexed,
         "t1_welch_from_stats": q_t1_welch_from_stats,
         "a4_two_level_rollup": q_a4_two_level_rollup,
         "dedup_simhash": q_dedup_simhash,

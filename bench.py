@@ -64,6 +64,7 @@ HEADLINE = [
     "fuzzy_editdist_long",
     "embed_pca_reduce",
     "sq8_topk",
+    "ivfpq_indexed",
     "drift_report",
     "bpe_tokenize",
     "cdc_dedup",

@@ -318,6 +318,207 @@ def materialize_pq(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
 
 
+def _write_codebooks(spark, codebooks: list[list[list[float]]], path: str) -> None:
+    rows = [
+        (j, c, [float(x) for x in cent])
+        for j, book in enumerate(codebooks)
+        for c, cent in enumerate(book)
+    ]
+    spark.createDataFrame(
+        rows, "subspace INT, centroid_id INT, centroid ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def _read_codebooks(spark, path: str) -> list[list[list[float]]]:
+    rows = spark.read.parquet(path).collect()
+    if not rows:
+        raise ValueError(f"no codebooks found under {path}")
+    by_sub: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        by_sub.setdefault(int(r["subspace"]), {})[int(r["centroid_id"])] = list(
+            r["centroid"]
+        )
+    return [
+        [by_sub[j][c] for c in sorted(by_sub[j])] for j in sorted(by_sub)
+    ]
+
+
+def _read_centroids(spark, path: str) -> list[list[float]]:
+    rows = sorted(spark.read.parquet(path).collect(), key=lambda r: r["cell"])
+    if not rows:
+        raise ValueError(f"no centroids found under {path}")
+    return [list(r["centroid"]) for r in rows]
+
+
+def materialize_ivfpq(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the full IVF×PQ index — the faiss ``IVFPQ`` layout
+    re-expressed as self-describing parquet (extension; the reference
+    engine has no vector search):
+
+      - ``path/vectors``   — cell-partitioned full vectors (the
+        :func:`similarity.write_ivf_index` layout; exact re-rank side)
+      - ``path/codes``     — cell-partitioned (id, codes) PQ codes:
+        the ADC scan side, ~32× narrower than the vectors
+      - ``path/centroids`` — (cell, centroid): the frozen coarse
+        quantizer, so probes re-derive the nprobe cell set from the
+        files alone
+      - ``path/codebooks`` — (subspace, centroid_id, centroid): the
+        frozen fine quantizer, so ADC tables and future appends encode
+        identically
+
+    Unlike :func:`ivfpq_topk` (encodes probed cells per query — right
+    for a hot, changing corpus), the codes here are encoded ONCE at
+    build; at 100 TB each query's scan cost is nprobe/k_cells (the
+    partition pruning) × 8 bytes/vector (the codes), and the full
+    vectors are only touched for the broadcast re-rank pool."""
+    from mwas_rfam_spark.operators.similarity import (
+        _guard_dims,
+        assign_ivf_cells,
+        write_ivf_index,
+    )
+
+    spark = emb.sparkSession
+    guarded = _guard_dims(emb, centroids, vec_col)
+    write_ivf_index(guarded, centroids, f"{path}/vectors", id_col, vec_col)
+    assigned = assign_ivf_cells(guarded, centroids, id_col, vec_col)
+    pq_encode(assigned, codebooks, id_col, vec_col).write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    _write_codebooks(spark, codebooks, f"{path}/codebooks")
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a :func:`materialize_ivfpq` index. Self-contained: the
+    coarse centroids and PQ codebooks come from the index itself (two
+    tiny driver-side reads), so the caller needs only the path — the
+    index is the single source of truth for both quantizers.
+
+    Plan shape (the 100 TB story): nprobe-cell membership is a filter
+    on the PARTITION column of ``codes`` (PartitionFilters — only
+    nprobe/k_cells of the code files open), ADC ranks the pruned codes
+    inside whole-stage codegen, and the ``rerank`` survivor ids
+    broadcast-join into the equally-pruned ``vectors`` table for the
+    exact distances that produce the final k."""
+    import numpy as np
+
+    centroids = _read_centroids(spark, f"{path}/centroids")
+    codebooks = _read_codebooks(spark, f"{path}/codebooks")
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = sorted(
+        range(len(centroids)),
+        key=lambda c: float(np.sum((q - np.asarray(centroids[c])) ** 2)),
+    )
+    probe = order[:nprobe]
+    codes = spark.read.parquet(f"{path}/codes").where(F.col("cell").isin(probe))
+    cand = pq_topk(codes, query_vec, codebooks, k=rerank, id_col=id_col)
+    vectors = spark.read.parquet(f"{path}/vectors").where(F.col("cell").isin(probe))
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    exact = vectors.join(F.broadcast(cand.select(id_col)), id_col).withColumn(
+        "dist", _sq_l2(F.col(vec_col), qcol)
+    )
+    return exact.select(id_col, "dist").orderBy(F.asc("dist"), F.asc(id_col)).limit(k)
+
+
+def append_ivfpq_index(
+    emb_new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally extend a :func:`materialize_ivfpq` index: new
+    vectors are cell-assigned under the STORED centroids and PQ-encoded
+    under the STORED codebooks (both quantizers frozen at build — the
+    same contract as :func:`similarity.append_ivf_index`), then appended
+    as new cell-partitioned files on both the vectors and codes sides.
+    Search equivalence vs a full rebuild is pytest-pinned. Ids must be
+    new (feed `summary.corpus_diff`'s 'added' slice); quantizer drift
+    shows up in `summary.skew_report` on the cell column."""
+    from mwas_rfam_spark.operators.similarity import (
+        _guard_dims,
+        assign_ivf_cells,
+        write_ivf_index,
+    )
+
+    spark = emb_new.sparkSession
+    centroids = _read_centroids(spark, f"{path}/centroids")
+    codebooks = _read_codebooks(spark, f"{path}/codebooks")
+    guarded = _guard_dims(emb_new, centroids, vec_col)
+    write_ivf_index(guarded, centroids, f"{path}/vectors", id_col, vec_col, mode="append")
+    assigned = assign_ivf_cells(guarded, centroids, id_col, vec_col)
+    pq_encode(assigned, codebooks, id_col, vec_col).write.partitionBy("cell").mode(
+        "append"
+    ).parquet(f"{path}/codes")
+
+
+def remove_from_ivfpq_index(
+    emb_removed: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Remove vectors from a :func:`materialize_ivfpq` index — both the
+    vectors AND codes sides, touching only the removed vectors' own
+    cells (re-assigned under the frozen stored centroids; partition-
+    pruned read → anti-join → dynamic overwrite → emptied-dir delete,
+    via the shared :func:`similarity.prune_partitioned_rows`). The
+    quantizers stay frozen; search equivalence vs a rebuild on the
+    remainder is pytest-pinned."""
+    from mwas_rfam_spark.operators.similarity import (
+        _guard_dims,
+        assign_ivf_cells,
+        prune_partitioned_rows,
+    )
+
+    spark = emb_removed.sparkSession
+    centroids = _read_centroids(spark, f"{path}/centroids")
+    assigned = assign_ivf_cells(
+        _guard_dims(emb_removed, centroids, vec_col), centroids, id_col, vec_col
+    ).localCheckpoint()
+    cells = [int(r["cell"]) for r in assigned.select("cell").distinct().collect()]
+    if not cells:
+        return
+    gone = assigned.select(F.col(id_col).alias("__gone")).distinct().localCheckpoint()
+    prune_partitioned_rows(spark, f"{path}/vectors", cells, gone, id_col)
+    prune_partitioned_rows(spark, f"{path}/codes", cells, gone, id_col)
+
+
+def compact_ivfpq_index(
+    spark,
+    path: str,
+    target_rows_per_file: int = 1 << 20,
+) -> int:
+    """Small-files repair after many :func:`append_ivfpq_index` batches:
+    compacts BOTH cell-partitioned sides (vectors + codes) through the
+    maintenance compactor, preserving the partitioning the probes prune
+    on. Returns the total data-file count after the rewrite; search
+    results are identical before/after (pytest-pinned)."""
+    from mwas_rfam_spark.sources.sinks import compact_files
+
+    n = compact_files(spark, f"{path}/vectors", target_rows_per_file, partition_col="cell")
+    n += compact_files(spark, f"{path}/codes", target_rows_per_file, partition_col="cell")
+    return n
+
+
 # ----------------------------------------------------------------- SQ8
 
 def train_sq_params(

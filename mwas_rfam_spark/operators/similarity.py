@@ -489,25 +489,44 @@ def remove_from_ivf_index(
     if not cells:
         return
     gone = assigned.select(F.col(id_col).alias("__gone")).distinct()
-    vectors = spark.read.parquet(f"{path}/vectors").where(
-        F.col("cell").isin(cells)  # partition pruning
+    prune_partitioned_rows(spark, f"{path}/vectors", cells, gone, id_col)
+
+
+def prune_partitioned_rows(
+    spark,
+    table_path: str,
+    cells: list[int],
+    gone: DataFrame,
+    id_col: str,
+    part_col: str = "cell",
+) -> None:
+    """Delete the rows whose ``id_col`` appears in ``gone`` (single
+    column ``__gone``) from a ``part_col``-partitioned parquet table,
+    touching ONLY the listed partitions: partition-pruned read,
+    anti-join, dynamic-overwrite rewrite of just those directories, and
+    explicit deletion of any partition left empty (dynamic overwrite
+    never touches a partition it writes zero rows to, so a stale dir
+    would keep serving removed rows). Shared by the IVF and IVF-PQ
+    index removal paths — one definition of the delete dance."""
+    rows = spark.read.parquet(table_path).where(
+        F.col(part_col).isin(cells)  # partition pruning
     )
-    kept = vectors.join(
-        gone, vectors[id_col] == F.col("__gone"), "left_anti"
+    kept = rows.join(
+        gone, rows[id_col] == F.col("__gone"), "left_anti"
     ).localCheckpoint()  # source == destination: materialize first
-    written = {int(r["cell"]) for r in kept.select("cell").distinct().collect()}
+    written = {int(r[part_col]) for r in kept.select(part_col).distinct().collect()}
     (
         kept.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell")
-        .parquet(f"{path}/vectors")
+        .partitionBy(part_col)
+        .parquet(table_path)
     )
     emptied = [c for c in cells if c not in written]
     if emptied:
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
         for c in emptied:
-            d = jvm.org.apache.hadoop.fs.Path(f"{path}/vectors/cell={c}")
+            d = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{part_col}={c}")
             fs = d.getFileSystem(conf)
             if fs.exists(d):
                 fs.delete(d, True)

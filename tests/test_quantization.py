@@ -328,3 +328,135 @@ def test_sq8_zero_norm_vector_is_null_ranked_last(spark):
     assert [r["vec_id"] for r in got][-1] == 0
     assert got[-1]["cosine"] is None
     assert all(r["cosine"] is not None for r in got[:-1])
+
+
+# ------------------------------------------------- materialized IVF-PQ
+
+
+@pytest.fixture(scope="module")
+def ivf_cents(emb):
+    from mwas_rfam_spark.operators.similarity import train_ivf_centroids
+
+    return train_ivf_centroids(emb, k=8, iters=2)
+
+
+def _search(spark, path, qvec, **kw):
+    from mwas_rfam_spark.operators.quantization import ivfpq_topk_indexed
+
+    return [
+        (r["vec_id"], round(r["dist"], 9))
+        for r in ivfpq_topk_indexed(spark, path, qvec, **kw).collect()
+    ]
+
+
+def test_ivfpq_indexed_equals_on_the_fly(spark, emb, books, ivf_cents, qvec, tmp_path):
+    """Self-contained materialized search == the encode-per-query path
+    with the same quantizers, row for row; the codes scan must be
+    partition-pruned (PartitionFilters on cell, not scan-and-discard)."""
+    from mwas_rfam_spark.operators.quantization import (
+        ivfpq_topk,
+        ivfpq_topk_indexed,
+        materialize_ivfpq,
+    )
+    from mwas_rfam_spark.operators.similarity import write_ivf_index
+
+    path = str(tmp_path / "ivfpq")
+    materialize_ivfpq(emb, ivf_cents, books, path)
+    got = ivfpq_topk_indexed(spark, path, qvec, k=10, nprobe=3, rerank=100)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("PartitionFilters: [cell") >= 1 or plan.count(
+        "PartitionFilters: [isnotnull(cell"
+    ) >= 1
+
+    flat = str(tmp_path / "flat_ivf")
+    write_ivf_index(emb, ivf_cents, flat)
+    want = ivfpq_topk(spark, flat, books, ivf_cents, qvec, k=10, nprobe=3, rerank=100)
+    assert [(r["vec_id"], round(r["dist"], 9)) for r in got.collect()] == [
+        (r["vec_id"], round(r["dist"], 9)) for r in want.collect()
+    ]
+
+
+def test_ivfpq_append_equals_rebuild(spark, emb, books, ivf_cents, qvec, tmp_path):
+    from mwas_rfam_spark.operators.quantization import (
+        append_ivfpq_index,
+        materialize_ivfpq,
+    )
+
+    a = emb.where(F.col("vec_id") % 3 != 0)
+    b = emb.where(F.col("vec_id") % 3 == 0)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    materialize_ivfpq(a, ivf_cents, books, inc)
+    append_ivfpq_index(b, inc)
+    materialize_ivfpq(emb, ivf_cents, books, full)
+    kw = dict(k=12, nprobe=4, rerank=80)
+    assert _search(spark, inc, qvec, **kw) == _search(spark, full, qvec, **kw)
+    # the codes side must be identical as a relation, not just search-equal
+    inc_codes = {
+        (r["vec_id"], tuple(r["codes"]), r["cell"])
+        for r in spark.read.parquet(f"{inc}/codes").collect()
+    }
+    full_codes = {
+        (r["vec_id"], tuple(r["codes"]), r["cell"])
+        for r in spark.read.parquet(f"{full}/codes").collect()
+    }
+    assert inc_codes == full_codes
+
+
+def test_ivfpq_remove_equals_rebuild_and_empties_cells(
+    spark, emb, books, ivf_cents, qvec, tmp_path
+):
+    from mwas_rfam_spark.operators.quantization import (
+        materialize_ivfpq,
+        remove_from_ivfpq_index,
+    )
+    from mwas_rfam_spark.operators.similarity import assign_ivf_cells
+
+    # remove every vector of ONE whole cell plus a scattering of others,
+    # so the emptied-directory delete path is exercised on both sides
+    assigned = assign_ivf_cells(emb, ivf_cents)
+    target_cell = int(assigned.groupBy("cell").count().orderBy("count").first()["cell"])
+    gone = emb.join(
+        assigned.where(
+            (F.col("cell") == target_cell) | (F.col("vec_id") % 7 == 1)
+        ).select("vec_id"),
+        "vec_id",
+    )
+    keep = emb.join(gone.select("vec_id"), "vec_id", "left_anti")
+
+    inc, ref = str(tmp_path / "inc"), str(tmp_path / "ref")
+    materialize_ivfpq(emb, ivf_cents, books, inc)
+    remove_from_ivfpq_index(gone, inc)
+    materialize_ivfpq(keep, ivf_cents, books, ref)
+    kw = dict(k=10, nprobe=8, rerank=200)
+    assert _search(spark, inc, qvec, **kw) == _search(spark, ref, qvec, **kw)
+    import os
+
+    for side in ("vectors", "codes"):
+        assert not os.path.exists(f"{inc}/{side}/cell={target_cell}")
+        live = {
+            int(r["cell"])
+            for r in spark.read.parquet(f"{inc}/{side}").select("cell").distinct().collect()
+        }
+        assert target_cell not in live
+
+
+def test_ivfpq_compact_preserves_search(spark, emb, books, ivf_cents, qvec, tmp_path):
+    from mwas_rfam_spark.operators.quantization import (
+        append_ivfpq_index,
+        compact_ivfpq_index,
+        materialize_ivfpq,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    parts = [emb.where(F.col("vec_id") % 4 == i) for i in range(4)]
+    materialize_ivfpq(parts[0], ivf_cents, books, path)
+    for p in parts[1:]:
+        append_ivfpq_index(p, path)
+    kw = dict(k=10, nprobe=3, rerank=100)
+    before = _search(spark, path, qvec, **kw)
+    import glob
+
+    files_before = len(glob.glob(f"{path}/*/cell=*/*.parquet"))
+    n_after = compact_ivfpq_index(spark, path)
+    assert _search(spark, path, qvec, **kw) == before
+    assert n_after < files_before
