@@ -422,3 +422,74 @@ def windowed_numeric_psi_stream(
     return _windowed_psi(
         events, matches, props, window, watermark, eps, psi_threshold
     )
+
+
+def streaming_minhash_dedup(
+    docs_stream: DataFrame,
+    state_dir: str,
+    output_dir: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming NEAR-dup dedup of a document ingest stream — the fuzzy
+    complement of :func:`streaming_exact_dedup`, built the way a 100 TB
+    pipeline actually runs it: ``foreachBatch`` over the pinned batch
+    kernel (`operators.dedup.incremental_minhash_dedup`), with the LSH
+    band-bucket state as a band-partitioned parquet table instead of the
+    state store.
+
+    Why not ``applyInPandasWithState``: a document occupies ``bands``
+    bucket keys and is dropped iff ANY of them collides, so per-key
+    state would need a second stateful per-doc reduction behind the
+    first (legal in append mode but emission then waits on the
+    watermark), and the state store would hold the bucket universe —
+    unbounded and unqueryable. The state TABLE is the better trade:
+    the probe is the same band+bucket co-located semi-join as the batch
+    path, state survives restarts for free, and any engine can inspect
+    it.
+
+    Exactly-once shape: survivors land at
+    ``{output_dir}/ingest_batch=<id>`` with per-batch OVERWRITE, so a
+    replayed micro-batch (foreachBatch is at-least-once) rewrites its
+    own directory idempotently. The state append is naturally
+    idempotent-for-probes: a survivor's buckets are all absent from the
+    prior state AND claimed by exactly one batch survivor (the
+    keep-first rule), so the append keeps the table distinct, and a
+    replayed append only duplicates (band, bucket) rows — harmless to
+    the leftsemi probe and swept by the maintenance compactor.
+
+    Returns the configured ``DataStreamWriter`` (caller adds trigger /
+    checkpoint and ``.start()``).
+    """
+    from ..operators.dedup import incremental_minhash_dedup
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            seen = spark.read.parquet(state_dir)
+            # tolerate an existing-but-empty dir (first batch crashed
+            # before any append): treat as no state
+            _ = seen.schema
+        except Exception:
+            seen = None
+        survivors, _updated = incremental_minhash_dedup(
+            batch_df, seen, num_hashes, bands, n, text_col, id_col
+        )
+        survivors = survivors.localCheckpoint()
+        # recompute ONLY the delta (survivors' buckets) rather than
+        # persisting _updated: the union-with-history would rewrite the
+        # whole state table every batch
+        from ..operators.dedup import minhash_band_buckets
+
+        delta = minhash_band_buckets(
+            survivors, num_hashes, bands, n, text_col, id_col
+        ).select("band", "bucket").distinct()
+        survivors.write.mode("overwrite").parquet(
+            f"{output_dir}/ingest_batch={batch_id}"
+        )
+        delta.write.partitionBy("band").mode("append").parquet(state_dir)
+
+    return docs_stream.writeStream.foreachBatch(_process)

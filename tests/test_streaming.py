@@ -396,3 +396,66 @@ def test_windowed_numeric_psi_stream(spark, tmp_path):
         windowed_numeric_psi_stream(batch, baseline, bins=1)
     with pytest.raises(ValueError, match="no non-null"):
         windowed_numeric_psi_stream(batch, baseline.where("value > 1e9"))
+
+
+def test_streaming_minhash_dedup_parity_with_batch(spark, sf_dir, tmp_path):
+    """foreachBatch near-dup dedup over 3 micro-batches == running the
+    batch incremental kernel over the same splits in the same order;
+    the persisted state table stays distinct (survivor buckets never
+    collide with prior state by construction)."""
+    from mwas_rfam_spark.operators.dedup import incremental_minhash_dedup
+    from mwas_rfam_spark.streaming.requests import streaming_minhash_dedup
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(120)
+        .cache()
+    )
+    src = tmp_path / "src"
+    batches = [
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1) for i in range(3)
+    ]
+    # one file per micro-batch, named in processing order
+    for i, b in enumerate(batches):
+        b.write.mode("overwrite").parquet(str(tmp_path / f"stage{i}"))
+        import glob, shutil, os
+
+        os.makedirs(src, exist_ok=True)
+        f = glob.glob(str(tmp_path / f"stage{i}" / "*.parquet"))[0]
+        shutil.copy(f, str(src / f"batch_{i}.parquet"))
+
+    state_dir = str(tmp_path / "state")
+    out_dir = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    q = (
+        streaming_minhash_dedup(stream, state_dir, out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["doc_id"] for r in spark.read.parquet(out_dir).select("doc_id").collect()
+    }
+
+    seen = None
+    want = set()
+    for b in batches:
+        survivors, seen = incremental_minhash_dedup(b, seen)
+        seen = seen.localCheckpoint()
+        want |= {r["doc_id"] for r in survivors.select("doc_id").collect()}
+    assert got == want
+    assert len(got) < docs.count()  # the corpus does contain near-dups
+
+    state = spark.read.parquet(state_dir)
+    assert state.count() == state.distinct().count()
