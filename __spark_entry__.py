@@ -1156,6 +1156,26 @@ def q_ann_ivf_topk(spark, sf_dir):
     return top.select("vec_id", F.round("cosine", 5).alias("cosine"))
 
 
+def q_source_mix(spark, sf_dir):
+    """Temperature-based source rebalancing (GPT-3/PaLM-style n^alpha
+    mixture weights; bench-only surface — registry at the 50-cap):
+    apportion 80% of the corpus across sources at alpha=0.3 (small
+    sources boosted, possibly into repeat epochs) and return the
+    per-(source, copy) accounting. Correctness pinned by
+    tests/test_selection.py (exact largest-remainder counts, DuckDB
+    replay of the seeded remainder rule, upsample/cap semantics)."""
+    from mwas_rfam_spark.operators.selection import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    mixed = temperature_mix(docs, alpha=0.3, target_rows=int(n * 0.8), seed=11)
+    return (
+        mixed.groupBy("source", "copy")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("source", "copy")
+    )
+
+
 _IVFPQ_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -2540,6 +2560,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pca_reduce": q_embed_pca_reduce,
         "sq8_topk": q_sq8_topk,
         "ivfpq_indexed": q_ivfpq_indexed,
+        "source_mix": q_source_mix,
         "t1_welch_from_stats": q_t1_welch_from_stats,
         "a4_two_level_rollup": q_a4_two_level_rollup,
         "dedup_simhash": q_dedup_simhash,

@@ -65,6 +65,7 @@ HEADLINE = [
     "embed_pca_reduce",
     "sq8_topk",
     "ivfpq_indexed",
+    "source_mix",
     "drift_report",
     "bpe_tokenize",
     "cdc_dedup",

@@ -169,6 +169,19 @@ def build_select_parser() -> argparse.ArgumentParser:
     cs.add_argument("--clusters", type=int, default=16)
     cs.add_argument("--per-cluster", type=int, required=True)
     cs.add_argument("--iters", type=int, default=3)
+    mx = sub.add_parser(
+        "mix", help="temperature-rebalance sources (n^alpha mixture weights)"
+    )
+    mx.add_argument("input", help="documents parquet")
+    mx.add_argument("--output", required=True)
+    mx.add_argument("--alpha", type=float, default=0.5)
+    mx.add_argument("--target-rows", type=int, default=None)
+    mx.add_argument("--source-col", default="source")
+    mx.add_argument("--seed", type=int, default=0)
+    mx.add_argument("--no-upsample", action="store_true",
+                    help="cap boosted sources at one full pass")
+    mx.add_argument("--report-only", action="store_true",
+                    help="print the per-source plan without writing a mix")
     return p
 
 
@@ -212,6 +225,28 @@ def select_main(argv: list[str], spark: SparkSession | None = None) -> int:
             kept.write.mode("overwrite").parquet(args.output)
             n_kept = spark.read.parquet(args.output).count()
             print(f"kept {n_kept} of {docs.count()} document(s)")
+        elif args.op == "mix":
+            from .operators.selection import mix_report, temperature_mix
+
+            docs = spark.read.parquet(args.input)
+            rep = mix_report(
+                docs, alpha=args.alpha, target_rows=args.target_rows,
+                source_col=args.source_col,
+            )
+            for r in rep.collect():
+                print(
+                    f"{r[args.source_col]}: {r['n_docs']} docs "
+                    f"(share {r['natural_share']:.4f}) -> {r['target_rows']} rows "
+                    f"(share {r['mixed_share']:.4f}, {r['epochs']:.2f} epochs)"
+                )
+            if not args.report_only:
+                out = temperature_mix(
+                    docs, alpha=args.alpha, target_rows=args.target_rows,
+                    source_col=args.source_col, seed=args.seed,
+                    allow_upsample=not args.no_upsample,
+                )
+                out.write.mode("overwrite").parquet(args.output)
+                print(f"mixed {spark.read.parquet(args.output).count()} row(s)")
         else:
             from .operators.similarity import (
                 cluster_balanced_sample,

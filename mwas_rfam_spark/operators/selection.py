@@ -336,3 +336,155 @@ def threshold_at_quantile(
         ).alias("cut")
     ).collect()[0]
     return float(row["cut"]) if row["cut"] is not None else float("-inf")
+
+
+def _mix_targets(counts: dict, alpha: float, n_target: int) -> dict:
+    """Largest-remainder apportionment of ``n_target`` rows across
+    sources with mixture weight n_s^alpha — exact: the targets sum to
+    ``n_target`` precisely (plain rounding can be off by ±|sources|)."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    w = {s: float(n) ** alpha for s, n in counts.items()}
+    tot = sum(w.values())
+    raw = {s: n_target * w[s] / tot for s in w}
+    t = {s: int(raw[s]) for s in raw}
+    short = n_target - sum(t.values())
+    # deterministic tie-break: remainder desc, then source asc
+    for s in sorted(raw, key=lambda s: (-(raw[s] - t[s]), str(s)))[:short]:
+        t[s] += 1
+    return t
+
+
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    target_rows: int | None = None,
+    source_col: str = "source",
+    seed: int = 0,
+    id_col: str = "doc_id",
+    allow_upsample: bool = True,
+) -> DataFrame:
+    """Temperature-based source rebalancing — the standard LLM-mixture
+    move (GPT-3's dataset weights, PaLM/mT5's alpha-scaled language
+    sampling): source ``s`` with ``n_s`` documents contributes
+    ``target_rows × n_s^alpha / Σ n^alpha`` rows. ``alpha=1`` keeps
+    natural proportions; ``alpha=0`` equalizes sources; between, small
+    sources are boosted sub-linearly.
+
+    Exact and deterministic: per-source targets come from
+    largest-remainder apportionment (they SUM to ``target_rows``
+    exactly), and the within-source sample is the bottom-``rem`` rows
+    by the seeded draw md5('mix:{seed}:{id}') — a pure function of
+    (corpus, seed), SQL-replayable, domain-tagged so equal seeds don't
+    couple this draw to hash_split ('split:') or DSIR ('dsir:').
+    When a boosted source's target exceeds its size, the source is
+    repeated whole ``target // n_s`` times plus a sampled remainder
+    (``allow_upsample=False`` caps at one full pass instead); output
+    rows carry a ``copy`` index (0-based pass number) so downstream
+    epoch logic can tell replicas apart.
+
+    Scale shape: one map-side-combinable count per source (source
+    cardinality is assumed small — domains, not documents; the targets
+    are driver math on that tiny relation), one two-phase per-group
+    bottom-k (`top_k_per_group` — local prefilter bounds the shuffle),
+    and a broadcast join of the per-source plan. No full sort, no
+    driver-sized collect.
+    """
+    counts = {
+        r["s"]: r["n"]
+        for r in docs.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return docs.withColumn("copy", F.lit(0)).limit(0)
+    if None in counts:
+        raise ValueError("temperature_mix: NULL source values present")
+    total = sum(counts.values())
+    n_target = total if target_rows is None else int(target_rows)
+    targets = _mix_targets(counts, alpha, n_target)
+    plan = []  # (source, full_passes, remainder)
+    for s, t in targets.items():
+        n_s = counts[s]
+        full, rem = divmod(t, n_s)
+        if not allow_upsample and full >= 1:
+            full, rem = 1, 0
+        plan.append((s, full, rem))
+    spark = docs.sparkSession
+    plan_df = spark.createDataFrame(
+        plan, f"`{source_col}` string, __full int, __rem int"
+    ).withColumn(source_col, F.col(source_col).cast(docs.schema[source_col].dataType))
+
+    from mwas_rfam_spark.operators.topk import top_k_per_group
+
+    max_rem = max((rem for _, _, rem in plan), default=0)
+    u = _md5_uniform(
+        F.concat_ws(
+            ":", F.lit("mix"), F.lit(str(seed)), F.col(id_col).cast("string")
+        )
+    )
+    keyed = docs.join(F.broadcast(plan_df), source_col)
+    if max_rem > 0:
+        ranked = top_k_per_group(
+            keyed.withColumn("__u", u),
+            [source_col],
+            [F.asc("__u"), F.asc(id_col)],
+            max_rem,
+            rank_col="__rank",
+        )
+        partial = (
+            ranked.where(F.col("__rank") <= F.col("__rem"))
+            .withColumn("copy", F.col("__full"))
+            .drop("__u", "__rank")
+        )
+    else:
+        partial = keyed.withColumn("copy", F.col("__full")).limit(0)
+    whole = keyed.withColumn(
+        "copy",
+        F.explode(
+            F.when(
+                F.col("__full") > 0, F.sequence(F.lit(0), F.col("__full") - 1)
+            ).otherwise(F.array().cast("array<int>"))
+        ),
+    )
+    return whole.unionByName(partial).drop("__full", "__rem")
+
+
+def mix_report(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    target_rows: int | None = None,
+    source_col: str = "source",
+) -> DataFrame:
+    """The accounting side of :func:`temperature_mix`: one row per
+    source with its natural share, mixture weight, apportioned target,
+    and the implied epoch count (target / n_docs — >1 means the source
+    repeats). Drives the 'is alpha reasonable' review before a mix job
+    is launched."""
+    counts = {
+        r["s"]: r["n"]
+        for r in docs.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if None in counts:
+        raise ValueError("mix_report: NULL source values present")
+    total = sum(counts.values())
+    n_target = total if target_rows is None else int(target_rows)
+    targets = _mix_targets(counts, alpha, n_target)
+    rows = [
+        (
+            s,
+            counts[s],
+            counts[s] / total,
+            targets[s],
+            targets[s] / n_target if n_target else 0.0,
+            targets[s] / counts[s],
+        )
+        for s in sorted(counts, key=str)
+    ]
+    return docs.sparkSession.createDataFrame(
+        rows,
+        f"`{source_col}` string, n_docs long, natural_share double, "
+        "target_rows long, mixed_share double, epochs double",
+    )

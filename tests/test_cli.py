@@ -686,3 +686,32 @@ def test_cli_pack_chunk_count_includes_interior_chunks(spark, tmp_path, capsys):
     assert rc == 0
     # 300 tokens in one bucket at budget 100 → 3 chunks
     assert "into 3 chunks" in capsys.readouterr().out
+
+
+def test_cli_select_mix(spark, tmp_path, capsys):
+    """`select mix`: temperature rebalancing end-to-end + report-only."""
+    from mwas_rfam_spark.__main__ import main
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "t", "big") for i in range(90)] + [(100 + i, "t", "small") for i in range(10)],
+        "doc_id int, text string, source string",
+    ).write.parquet(src)
+    out = str(tmp_path / "mixed")
+    rc = main(
+        ["select", "mix", src, "--output", out, "--alpha", "0", "--target-rows", "100"],
+        spark=spark,
+    )
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "5.00 epochs" in text and "mixed 100 row(s)" in text
+    mixed = spark.read.parquet(out)
+    per = {r["source"]: r["count"] for r in mixed.groupBy("source").count().collect()}
+    assert per == {"big": 50, "small": 50}
+
+    rc = main(
+        ["select", "mix", src, "--output", out, "--alpha", "0.5", "--report-only"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "mixed" not in capsys.readouterr().out
