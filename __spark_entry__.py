@@ -1156,6 +1156,22 @@ def q_ann_ivf_topk(spark, sf_dir):
     return top.select("vec_id", F.round("cosine", 5).alias("cosine"))
 
 
+def q_dedup_approx_eval(spark, sf_dir):
+    """Approximation-quality report: precision/recall/F1 of MinHash-LSH
+    and SimHash against the EXACT n-gram Jaccard relation on a bounded
+    seeded slice (the pre-rollout measurement — complements the
+    registered `dedup_quality` boolean recall GATE with the full
+    numbers; bench-only surface, arithmetic pinned by
+    tests/test_dedup.py::test_approx_dedup_quality_report's independent
+    set recomputation)."""
+    from mwas_rfam_spark.operators.dedup import approx_dedup_quality_report
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return approx_dedup_quality_report(
+        docs, threshold=0.5, sample_docs=300, seed=3
+    ).orderBy("method")
+
+
 def q_source_mix(spark, sf_dir):
     """Temperature-based source rebalancing (GPT-3/PaLM-style n^alpha
     mixture weights; bench-only surface — registry at the 50-cap):
@@ -2561,6 +2577,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_topk": q_sq8_topk,
         "ivfpq_indexed": q_ivfpq_indexed,
         "source_mix": q_source_mix,
+        "dedup_approx_eval": q_dedup_approx_eval,
         "t1_welch_from_stats": q_t1_welch_from_stats,
         "a4_two_level_rollup": q_a4_two_level_rollup,
         "dedup_simhash": q_dedup_simhash,

@@ -66,6 +66,7 @@ HEADLINE = [
     "sq8_topk",
     "ivfpq_indexed",
     "source_mix",
+    "dedup_approx_eval",
     "drift_report",
     "bpe_tokenize",
     "cdc_dedup",

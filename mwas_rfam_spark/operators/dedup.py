@@ -1868,3 +1868,91 @@ def soft_dedup_weights(
         F.col("id").alias(id_col),
         F.coalesce("w", F.lit(1.0)).alias("weight"),
     )
+
+
+def approx_dedup_quality_report(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    simhash_max_hamming: int = 3,
+    simhash_bands: int = 4,
+    sample_docs: int | None = None,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Precision/recall of each approximate near-dup family against the
+    EXACT word-n-gram Jaccard relation at ``threshold`` — the
+    measurement every production dedup rollout needs before trusting an
+    approximation at corpus scale ("what fraction of true near-dup
+    pairs does MinHash at these band settings actually find, on THIS
+    corpus?").
+
+    One row per method: (method, n_truth, n_pred, true_pos, precision,
+    recall, f1). Methods measured: ``minhash_lsh`` (banded candidates,
+    signature-estimated Jaccard >= threshold) and ``simhash`` (banded
+    Hamming <= ``simhash_max_hamming`` — a DIFFERENT similarity notion;
+    its row quantifies how well bit-level similarity reproduces the
+    Jaccard relation, which is exactly what you need to know before
+    substituting it).
+
+    The ground truth is the exact all-pairs lister (``max_df=None``),
+    which is inherently output-bound — so the report is designed to run
+    on a BOUNDED, deterministic slice: ``sample_docs`` keeps the
+    bottom-k documents by the seeded draw md5('eval:{seed}:{id}') (a
+    uniform corpus sample, replayable cross-engine). At 100 TB you
+    measure on the sample, then run only the winning approximation on
+    the corpus; the report itself is never the scale path.
+    """
+    from mwas_rfam_spark.functions.scalar import md5_uniform
+
+    if sample_docs is not None:
+        u = md5_uniform(
+            F.concat_ws(
+                ":", F.lit("eval"), F.lit(str(seed)), F.col(id_col).cast("string")
+            )
+        )
+        docs = (
+            docs.withColumn("__u", u)
+            .orderBy(F.asc("__u"), F.asc(id_col))
+            .limit(int(sample_docs))
+            .drop("__u")
+        )
+    docs = docs.localCheckpoint()  # shared by truth + every method
+
+    truth = (
+        ngram_jaccard_pairs(
+            docs, n=n, threshold=threshold, text_col=text_col,
+            id_col=id_col, max_df=None,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    n_truth = truth.count()
+
+    preds = {
+        "minhash_lsh": minhash_lsh_pairs(
+            docs, num_hashes=num_hashes, bands=bands, n=n,
+            threshold=threshold, text_col=text_col, id_col=id_col,
+        ).select("id_a", "id_b"),
+        "simhash": simhash_near_dup_pairs(
+            docs, max_hamming=simhash_max_hamming, bands=simhash_bands,
+            text_col=text_col, id_col=id_col,
+        ).select("id_a", "id_b"),
+    }
+    rows = []
+    for method, p in preds.items():
+        p = p.localCheckpoint()
+        n_pred = p.count()
+        tp = p.join(truth, ["id_a", "id_b"], "leftsemi").count()
+        prec = tp / n_pred if n_pred else 0.0
+        rec = tp / n_truth if n_truth else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if (prec + rec) else 0.0
+        rows.append((method, n_truth, n_pred, tp, prec, rec, f1))
+    return docs.sparkSession.createDataFrame(
+        rows,
+        "method string, n_truth long, n_pred long, true_pos long, "
+        "precision double, recall double, f1 double",
+    )

@@ -760,3 +760,46 @@ def test_soft_dedup_weights(spark):
     assert got[4] == got[7] == 1.0
     # total sampling mass = number of distinct contents
     assert sum(got.values()) == pytest.approx(1 + 1 + 2)  # 2 clusters + 2 singletons
+
+
+def test_approx_dedup_quality_report(spark, sf_dir):
+    """Report metrics must agree with independently recomputed set
+    arithmetic on the same slice, and MinHash at 64/16 on this corpus
+    should dominate SimHash at reproducing the Jaccard relation."""
+    from mwas_rfam_spark.operators.dedup import (
+        approx_dedup_quality_report,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    rep = {
+        r["method"]: r
+        for r in approx_dedup_quality_report(
+            docs, threshold=0.5, sample_docs=150, seed=3
+        ).collect()
+    }
+    assert set(rep) == {"minhash_lsh", "simhash"}
+
+    # recompute the slice + sets independently
+    from mwas_rfam_spark.functions.scalar import md5_uniform
+
+    u = md5_uniform(F.concat_ws(":", F.lit("eval"), F.lit("3"), F.col("doc_id").cast("string")))
+    sl = docs.withColumn("__u", u).orderBy("__u", "doc_id").limit(150).drop("__u").cache()
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(sl, threshold=0.5, max_df=None).collect()
+    }
+    mh = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(sl, threshold=0.5).collect()}
+    sh = {(r["id_a"], r["id_b"]) for r in simhash_near_dup_pairs(sl).collect()}
+    assert rep["minhash_lsh"]["n_truth"] == len(truth) > 0
+    assert rep["minhash_lsh"]["n_pred"] == len(mh)
+    assert rep["minhash_lsh"]["true_pos"] == len(mh & truth)
+    assert rep["simhash"]["n_pred"] == len(sh)
+    assert rep["simhash"]["true_pos"] == len(sh & truth)
+    for m, s in (("minhash_lsh", mh), ("simhash", sh)):
+        tp = len(s & truth)
+        assert rep[m]["precision"] == pytest.approx(tp / len(s) if s else 0.0)
+        assert rep[m]["recall"] == pytest.approx(tp / len(truth))
+    assert rep["minhash_lsh"]["f1"] >= rep["simhash"]["f1"]
