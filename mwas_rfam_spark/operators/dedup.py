@@ -1919,34 +1919,70 @@ def approx_dedup_quality_report(
             .orderBy(F.asc("__u"), F.asc(id_col))
             .limit(int(sample_docs))
             .drop("__u")
+            # a global limit lands on ONE partition, which would leave
+            # every downstream shingle/signature pass single-threaded
+            # (measured 2.4× on the whole report) — same trap as the
+            # blocked cosine self-join's AQE coalesce
+            .repartition(docs.sparkSession.sparkContext.defaultParallelism)
         )
     docs = docs.localCheckpoint()  # shared by truth + every method
 
-    truth = (
-        ngram_jaccard_pairs(
+    # materialize the three pair sets CONCURRENTLY: each family's cost
+    # at sample size is dominated by fixed scheduler/shuffle rounds
+    # (~2.3 s each here regardless of data volume), so serializing them
+    # triples the floor — concurrent job submission on one session is
+    # the supported Spark pattern for exactly this
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _truth():
+        return ngram_jaccard_pairs(
             docs, n=n, threshold=threshold, text_col=text_col,
             id_col=id_col, max_df=None,
-        )
-        .select("id_a", "id_b")
-        .localCheckpoint()
-    )
-    n_truth = truth.count()
+        ).select("id_a", "id_b").localCheckpoint()
 
-    preds = {
-        "minhash_lsh": minhash_lsh_pairs(
+    def _minhash():
+        return minhash_lsh_pairs(
             docs, num_hashes=num_hashes, bands=bands, n=n,
             threshold=threshold, text_col=text_col, id_col=id_col,
-        ).select("id_a", "id_b"),
-        "simhash": simhash_near_dup_pairs(
+        ).select("id_a", "id_b").localCheckpoint()
+
+    def _simhash():
+        return simhash_near_dup_pairs(
             docs, max_hamming=simhash_max_hamming, bands=simhash_bands,
             text_col=text_col, id_col=id_col,
-        ).select("id_a", "id_b"),
+        ).select("id_a", "id_b").localCheckpoint()
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_truth = pool.submit(_truth)
+        f_mh = pool.submit(_minhash)
+        f_sh = pool.submit(_simhash)
+        truth, mh, sh = f_truth.result(), f_mh.result(), f_sh.result()
+    n_truth = truth.count()
+
+    preds = {"minhash_lsh": mh, "simhash": sh}
+    # ONE action for all methods: tag, union, left-join the truth set,
+    # count hits per method (the per-method count-then-semi-join version
+    # costs 2 actions × methods in scheduler round-trips alone)
+    tagged = None
+    for method, p in preds.items():
+        t = p.withColumn("__method", F.lit(method))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    per_method = {
+        r["__method"]: r
+        for r in tagged.join(
+            truth.withColumn("__hit", F.lit(1)), ["id_a", "id_b"], "left"
+        )
+        .groupBy("__method")
+        .agg(
+            F.count(F.lit(1)).alias("n_pred"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("tp"),
+        )
+        .collect()
     }
     rows = []
-    for method, p in preds.items():
-        p = p.localCheckpoint()
-        n_pred = p.count()
-        tp = p.join(truth, ["id_a", "id_b"], "leftsemi").count()
+    for method in preds:
+        n_pred = int(per_method[method]["n_pred"]) if method in per_method else 0
+        tp = int(per_method[method]["tp"]) if method in per_method else 0
         prec = tp / n_pred if n_pred else 0.0
         rec = tp / n_truth if n_truth else 0.0
         f1 = 2 * prec * rec / (prec + rec) if (prec + rec) else 0.0
