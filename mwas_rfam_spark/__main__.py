@@ -173,7 +173,8 @@ def build_select_parser() -> argparse.ArgumentParser:
         "mix", help="temperature-rebalance sources (n^alpha mixture weights)"
     )
     mx.add_argument("input", help="documents parquet")
-    mx.add_argument("--output", required=True)
+    mx.add_argument("--output", default=None,
+                    help="output parquet (required unless --report-only)")
     mx.add_argument("--alpha", type=float, default=0.5)
     mx.add_argument("--target-rows", type=int, default=None)
     mx.add_argument("--source-col", default="source")
@@ -226,12 +227,21 @@ def select_main(argv: list[str], spark: SparkSession | None = None) -> int:
             n_kept = spark.read.parquet(args.output).count()
             print(f"kept {n_kept} of {docs.count()} document(s)")
         elif args.op == "mix":
-            from .operators.selection import mix_report, temperature_mix
+            from .operators.selection import (
+                _source_counts,
+                mix_report,
+                temperature_mix,
+            )
 
+            if not args.report_only and args.output is None:
+                raise SystemExit("select mix: --output is required unless --report-only")
             docs = spark.read.parquet(args.input)
+            # count once, feed both the report and the mix
+            counts = _source_counts(docs, args.source_col, "select mix")
             rep = mix_report(
                 docs, alpha=args.alpha, target_rows=args.target_rows,
                 source_col=args.source_col,
+                allow_upsample=not args.no_upsample, counts=counts,
             )
             for r in rep.collect():
                 print(
@@ -243,7 +253,7 @@ def select_main(argv: list[str], spark: SparkSession | None = None) -> int:
                 out = temperature_mix(
                     docs, alpha=args.alpha, target_rows=args.target_rows,
                     source_col=args.source_col, seed=args.seed,
-                    allow_upsample=not args.no_upsample,
+                    allow_upsample=not args.no_upsample, counts=counts,
                 )
                 out.write.mode("overwrite").parquet(args.output)
                 print(f"mixed {spark.read.parquet(args.output).count()} row(s)")

@@ -1385,6 +1385,7 @@ def incremental_minhash_dedup(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    with_delta: bool = False,
 ):
     """NEAR-dup dedup of a new batch against the running corpus — the
     fuzzy complement of `incremental_exact_dedup`, using the band-
@@ -1411,6 +1412,12 @@ def incremental_minhash_dedup(
     probe is a band+bucket equi-join; with the state stored partitioned
     by band it is co-located, and a 100 TB corpus history costs one
     hash-partitioned semi-join per batch.
+
+    ``with_delta=True`` returns ``(survivors, updated_buckets,
+    kept_buckets)`` — the batch's own bucket DELTA, already derived for
+    the union; state kept as an append-only table (the streaming sink)
+    should persist this instead of rewriting the whole union, and
+    re-deriving it externally would re-shingle every survivor.
     """
     buckets = minhash_band_buckets(
         new_docs, num_hashes, bands, n, text_col, id_col
@@ -1440,6 +1447,8 @@ def incremental_minhash_dedup(
         updated = seen_buckets.unionByName(kept_buckets).distinct()
     else:
         updated = kept_buckets
+    if with_delta:
+        return survivors, updated, kept_buckets
     return survivors, updated
 
 

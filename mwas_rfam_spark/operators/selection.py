@@ -338,6 +338,37 @@ def threshold_at_quantile(
     return float(row["cut"]) if row["cut"] is not None else float("-inf")
 
 
+def _source_counts(docs: DataFrame, source_col: str, caller: str) -> dict:
+    """Per-source row counts collected to the driver (sources are
+    domains — a small relation by assumption) — ONE definition shared
+    by temperature_mix and mix_report so the CLI can run the
+    aggregation job once and feed both."""
+    counts = {
+        r["s"]: r["n"]
+        for r in docs.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if None in counts:
+        raise ValueError(f"{caller}: NULL source values present")
+    return counts
+
+
+def _mix_plan(
+    counts: dict, alpha: float, n_target: int, allow_upsample: bool
+) -> list:
+    """(source, full_passes, remainder) per source — the one place the
+    upsample cap is applied, so the report and the mix can't disagree."""
+    targets = _mix_targets(counts, alpha, n_target)
+    plan = []
+    for s, t in targets.items():
+        full, rem = divmod(t, counts[s])
+        if not allow_upsample and full >= 1:
+            full, rem = 1, 0
+        plan.append((s, full, rem))
+    return plan
+
+
 def _mix_targets(counts: dict, alpha: float, n_target: int) -> dict:
     """Largest-remainder apportionment of ``n_target`` rows across
     sources with mixture weight n_s^alpha — exact: the targets sum to
@@ -363,6 +394,7 @@ def temperature_mix(
     seed: int = 0,
     id_col: str = "doc_id",
     allow_upsample: bool = True,
+    counts: dict | None = None,
 ) -> DataFrame:
     """Temperature-based source rebalancing — the standard LLM-mixture
     move (GPT-3's dataset weights, PaLM/mT5's alpha-scaled language
@@ -388,31 +420,24 @@ def temperature_mix(
     are driver math on that tiny relation), one two-phase per-group
     bottom-k (`top_k_per_group` — local prefilter bounds the shuffle),
     and a broadcast join of the per-source plan. No full sort, no
-    driver-sized collect.
+    driver-sized collect. ``counts`` accepts a precomputed
+    {source: n_docs} map (e.g. shared with :func:`mix_report`) to skip
+    the aggregation job.
     """
-    counts = {
-        r["s"]: r["n"]
-        for r in docs.groupBy(F.col(source_col).alias("s"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    if counts is None:
+        counts = _source_counts(docs, source_col, "temperature_mix")
     if not counts:
         return docs.withColumn("copy", F.lit(0)).limit(0)
-    if None in counts:
-        raise ValueError("temperature_mix: NULL source values present")
     total = sum(counts.values())
     n_target = total if target_rows is None else int(target_rows)
-    targets = _mix_targets(counts, alpha, n_target)
-    plan = []  # (source, full_passes, remainder)
-    for s, t in targets.items():
-        n_s = counts[s]
-        full, rem = divmod(t, n_s)
-        if not allow_upsample and full >= 1:
-            full, rem = 1, 0
-        plan.append((s, full, rem))
+    plan = _mix_plan(counts, alpha, n_target, allow_upsample)
     spark = docs.sparkSession
+    # build the tiny plan relation with STRING keys (native values of a
+    # non-string source would fail createDataFrame's schema verification
+    # before any cast could run), then cast back to the input's type
     plan_df = spark.createDataFrame(
-        plan, f"`{source_col}` string, __full int, __rem int"
+        [(str(s), full, rem) for s, full, rem in plan],
+        f"`{source_col}` string, __full int, __rem int",
     ).withColumn(source_col, F.col(source_col).cast(docs.schema[source_col].dataType))
 
     from mwas_rfam_spark.operators.topk import top_k_per_group
@@ -455,31 +480,31 @@ def mix_report(
     alpha: float = 0.5,
     target_rows: int | None = None,
     source_col: str = "source",
+    allow_upsample: bool = True,
+    counts: dict | None = None,
 ) -> DataFrame:
     """The accounting side of :func:`temperature_mix`: one row per
-    source with its natural share, mixture weight, apportioned target,
-    and the implied epoch count (target / n_docs — >1 means the source
-    repeats). Drives the 'is alpha reasonable' review before a mix job
-    is launched."""
-    counts = {
-        r["s"]: r["n"]
-        for r in docs.groupBy(F.col(source_col).alias("s"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    if None in counts:
-        raise ValueError("mix_report: NULL source values present")
+    source with its natural share, the EFFECTIVE row target (after the
+    same upsample cap the mix itself applies — the report and the mix
+    derive from one shared plan and cannot disagree), and the implied
+    epoch count (>1 means the source repeats). Drives the 'is alpha
+    reasonable' review before a mix job is launched. Pass the same
+    ``counts`` map to both functions to run the counting job once."""
+    if counts is None:
+        counts = _source_counts(docs, source_col, "mix_report")
     total = sum(counts.values())
     n_target = total if target_rows is None else int(target_rows)
-    targets = _mix_targets(counts, alpha, n_target)
+    plan = _mix_plan(counts, alpha, n_target, allow_upsample)
+    effective = {s: full * counts[s] + rem for s, full, rem in plan}
+    eff_total = sum(effective.values())
     rows = [
         (
-            s,
+            str(s),
             counts[s],
             counts[s] / total,
-            targets[s],
-            targets[s] / n_target if n_target else 0.0,
-            targets[s] / counts[s],
+            effective[s],
+            effective[s] / eff_total if eff_total else 0.0,
+            effective[s] / counts[s],
         )
         for s in sorted(counts, key=str)
     ]

@@ -451,45 +451,53 @@ def streaming_minhash_dedup(
     path, state survives restarts for free, and any engine can inspect
     it.
 
-    Exactly-once shape: survivors land at
-    ``{output_dir}/ingest_batch=<id>`` with per-batch OVERWRITE, so a
-    replayed micro-batch (foreachBatch is at-least-once) rewrites its
-    own directory idempotently. The state append is naturally
-    idempotent-for-probes: a survivor's buckets are all absent from the
-    prior state AND claimed by exactly one batch survivor (the
-    keep-first rule), so the append keeps the table distinct, and a
-    replayed append only duplicates (band, bucket) rows — harmless to
-    the leftsemi probe and swept by the maintenance compactor.
+    Exactly-once shape (foreachBatch is at-least-once, so BOTH sides
+    must be replay-safe): survivors land at
+    ``{output_dir}/ingest_batch=<id>`` and the batch's bucket delta at
+    ``{state_dir}/ingest_batch=<id>``, each with per-batch OVERWRITE —
+    and the probe EXCLUDES the current batch id from the state read, so
+    a replay after a crash between the two writes re-derives the same
+    survivor set instead of seeing its own first attempt's buckets as
+    prior corpus (which would drop every survivor and overwrite the
+    output with nothing). The per-batch state partitions stay distinct
+    by construction (a survivor's buckets are absent from prior state
+    and claimed once per batch under the keep-first rule); many small
+    batch partitions are swept by the maintenance compactor.
 
     Returns the configured ``DataStreamWriter`` (caller adds trigger /
     checkpoint and ``.start()``).
     """
+    from pyspark.errors import AnalysisException
+
     from ..operators.dedup import incremental_minhash_dedup
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         try:
-            seen = spark.read.parquet(state_dir)
-            # tolerate an existing-but-empty dir (first batch crashed
-            # before any append): treat as no state
-            _ = seen.schema
-        except Exception:
+            seen = (
+                spark.read.parquet(state_dir)
+                .where(F.col("ingest_batch") != batch_id)  # replay safety
+                .select("band", "bucket")
+            )
+        except AnalysisException as e:
+            # ONLY no-state-yet shapes may pass: missing dir (first
+            # batch) or existing-but-empty dir (crash before any batch
+            # committed). A corrupt state table must FAIL the batch —
+            # silently proceeding stateless would emit near-dups of the
+            # whole corpus history as survivors.
+            msg = str(e)
+            if "PATH_NOT_FOUND" not in msg and "UNABLE_TO_INFER_SCHEMA" not in msg:
+                raise
             seen = None
-        survivors, _updated = incremental_minhash_dedup(
-            batch_df, seen, num_hashes, bands, n, text_col, id_col
+        survivors, _updated, delta = incremental_minhash_dedup(
+            batch_df, seen, num_hashes, bands, n, text_col, id_col,
+            with_delta=True,
         )
-        survivors = survivors.localCheckpoint()
-        # recompute ONLY the delta (survivors' buckets) rather than
-        # persisting _updated: the union-with-history would rewrite the
-        # whole state table every batch
-        from ..operators.dedup import minhash_band_buckets
-
-        delta = minhash_band_buckets(
-            survivors, num_hashes, bands, n, text_col, id_col
-        ).select("band", "bucket").distinct()
         survivors.write.mode("overwrite").parquet(
             f"{output_dir}/ingest_batch={batch_id}"
         )
-        delta.write.partitionBy("band").mode("append").parquet(state_dir)
+        delta.write.partitionBy("band").mode("overwrite").parquet(
+            f"{state_dir}/ingest_batch={batch_id}"
+        )
 
     return docs_stream.writeStream.foreachBatch(_process)

@@ -476,3 +476,44 @@ def test_mix_report_accounting(spark, sf_dir):
     assert sum(r["mixed_share"] for r in rep) == pytest.approx(1.0)
     for r in rep:
         assert r["epochs"] == pytest.approx(r["target_rows"] / r["n_docs"])
+
+
+def test_temperature_mix_non_string_source(spark):
+    """Numeric source columns must work: the plan relation is built with
+    string keys then cast back to the input's type (regression — native
+    ints used to fail createDataFrame's schema verification)."""
+    from mwas_rfam_spark.operators.selection import mix_report, temperature_mix
+
+    docs = spark.createDataFrame(
+        [(i, i % 3) for i in range(60)], "doc_id int, source int"
+    )
+    mixed = temperature_mix(docs, alpha=0.0, target_rows=30, seed=2)
+    per = {r["source"]: r["count"] for r in mixed.groupBy("source").count().collect()}
+    assert per == {0: 10, 1: 10, 2: 10}
+    assert dict(docs.dtypes)["source"] == dict(mixed.dtypes)["source"] == "int"
+    rep = mix_report(docs, alpha=0.0, target_rows=30)
+    assert sum(r["target_rows"] for r in rep.collect()) == 30
+
+
+def test_mix_report_honors_upsample_cap(spark):
+    """The report must describe the mix actually produced under
+    allow_upsample=False (regression: it used to print uncapped
+    targets that contradicted the written output)."""
+    from mwas_rfam_spark.operators.selection import mix_report, temperature_mix
+
+    rows = [(i, "big") for i in range(90)] + [(100 + i, "small") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id int, source string")
+    rep = {
+        r["source"]: r
+        for r in mix_report(
+            docs, alpha=0.0, target_rows=100, allow_upsample=False
+        ).collect()
+    }
+    got = {
+        r["source"]: r["count"]
+        for r in temperature_mix(
+            docs, alpha=0.0, target_rows=100, seed=1, allow_upsample=False
+        ).groupBy("source").count().collect()
+    }
+    assert {s: rep[s]["target_rows"] for s in rep} == got == {"big": 50, "small": 10}
+    assert rep["small"]["epochs"] == pytest.approx(1.0)

@@ -458,4 +458,29 @@ def test_streaming_minhash_dedup_parity_with_batch(spark, sf_dir, tmp_path):
     assert len(got) < docs.count()  # the corpus does contain near-dups
 
     state = spark.read.parquet(state_dir)
-    assert state.count() == state.distinct().count()
+    n_state = state.count()
+    assert n_state == state.distinct().count()
+    assert set(state.columns) == {"band", "bucket", "ingest_batch"}
+
+    # REPLAY safety: a fresh checkpoint re-delivers the same files as
+    # batches 0..2 against the already-written state + output (the
+    # worst-case at-least-once scenario). Because the probe excludes
+    # the current batch's own state partition and both writes are
+    # per-batch overwrites, the result must be byte-identical — the
+    # naive append-state design would drop every survivor here.
+    q2 = (
+        streaming_minhash_dedup(stream, state_dir, out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt_replay"))
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got2 = {
+        r["doc_id"] for r in spark.read.parquet(out_dir).select("doc_id").collect()
+    }
+    assert got2 == want
+    # fresh read: the pre-replay `state` frame pins now-overwritten files
+    state2 = spark.read.parquet(state_dir)
+    assert state2.count() == n_state
