@@ -774,6 +774,107 @@ def probe_r6_ops(spark, sf_dir: str, out: dict):
           file=sys.stderr)
 
 
+def probe_r6b_ops(spark, sf_dir: str, out: dict):
+    """Probe K (r6 wave 2) — materialized IVF-PQ, temperature mixing,
+    the dedup approximation report, and the streaming-dedup state probe
+    at 1x and 10x.
+
+    IVF-PQ: cells scale ~sqrt(N) (the faiss rule), so probed-cell bytes
+    per query stay ~flat; build is one assignment+encode pass (linear).
+    temperature_mix: one count agg + one per-group bottom-k (the rem
+    fraction is small, so the prefilter discards most rows map-side).
+    approx report: sample-bounded BY DESIGN — flat at any corpus size.
+    minhash state probe: the per-batch semi-join against 1x vs 10x
+    band-bucket state (the streaming sink's scaling axis)."""
+    from mwas_rfam_spark.operators.dedup import (
+        approx_dedup_quality_report,
+        incremental_minhash_dedup,
+        minhash_band_buckets,
+    )
+    from mwas_rfam_spark.operators.quantization import (
+        ivfpq_topk_indexed,
+        materialize_ivfpq,
+        train_pq_codebooks,
+    )
+    from mwas_rfam_spark.operators.selection import temperature_mix
+    from mwas_rfam_spark.operators.similarity import train_ivf_centroids
+    from mwas_rfam_spark.plans.testdata_mwas import load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    emb10 = emb.crossJoin(
+        spark.range(10).select(F.col("id").alias("_c"))
+    ).select(
+        (F.col("vec_id") * 10 + F.col("_c")).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.sin((F.col("_c") + F.lit(1)).cast("double") * (i + F.lit(1))),
+        ).alias("embedding"),
+    )
+    import tempfile
+
+    for label, e, k_cells in [("1x", emb, 8), ("10x", emb10, 26)]:
+        e = e.localCheckpoint()
+        q = [float(x) for x in e.orderBy("vec_id").first()["embedding"]]
+        cents = train_ivf_centroids(e, k=k_cells, iters=2)
+        books = train_pq_codebooks(e, m=8, k=32, iters=3, sample_size=512)
+        path = tempfile.mkdtemp(prefix=f"ivfpq_{label}_")
+        t0 = time.time()
+        materialize_ivfpq(e, cents, books, path)
+        out[f"ivfpq_build_{label}"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        _force(ivfpq_topk_indexed(spark, path, q, k=10, nprobe=3, rerank=100))
+        out[f"ivfpq_search_{label}"] = round(time.time() - t0, 2)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    src = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    src10 = src.crossJoin(
+        spark.range(10).select(F.col("id").alias("_c"))
+    ).select(
+        (F.col("doc_id") * 10 + F.col("_c")).alias("doc_id"),
+        "text",
+        F.concat(F.col("source"), F.lit("_"), (F.col("_c") % 3).cast("string")).alias("source"),
+    )
+    for label, d in [("1x", src), ("10x", src10)]:
+        d = d.localCheckpoint()
+        n = d.count()
+        t0 = time.time()
+        _force(temperature_mix(d, alpha=0.3, target_rows=int(n * 0.8), seed=11))
+        out[f"source_mix_{label}"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        _force(approx_dedup_quality_report(d.select("doc_id", "text"), threshold=0.5, sample_docs=300, seed=3))
+        out[f"dedup_eval_{label}"] = round(time.time() - t0, 2)
+
+    # streaming-dedup state axis: one batch probed against 1x vs 10x state
+    batch = docs.localCheckpoint()
+    state1 = minhash_band_buckets(batch).select("band", "bucket").localCheckpoint()
+    state10 = None
+    grown = [
+        minhash_band_buckets(
+            batch.select(
+                (F.col("doc_id") + F.lit(1_000_000 * i)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" s{i}")).alias("text"),
+            )
+        ).select("band", "bucket")
+        for i in range(10)
+    ]
+    state10 = grown[0]
+    for g in grown[1:]:
+        state10 = state10.unionByName(g)
+    state10 = state10.localCheckpoint()
+    for label, st in [("1x", state1), ("10x", state10)]:
+        t0 = time.time()
+        survivors, _u = incremental_minhash_dedup(batch, st)
+        _force(survivors)
+        out[f"minhash_state_probe_{label}"] = round(time.time() - t0, 2)
+
+    spark.catalog.clearCache()
+    print({k: v for k, v in out.items()
+           if k.startswith(("ivfpq_", "source_mix", "dedup_eval", "minhash_state"))},
+          file=sys.stderr)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="scale-probe")
@@ -793,6 +894,7 @@ def main():
         "r5b": probe_r5b_ops,
         "i100": probe_i100,
         "r6": probe_r6_ops,
+        "r6b": probe_r6b_ops,
     }
     if only is not None and only not in probes:
         raise SystemExit(
