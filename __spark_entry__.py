@@ -1172,6 +1172,30 @@ def q_dedup_approx_eval(spark, sf_dir):
     ).orderBy("method")
 
 
+def q_image_dedup(spark, sf_dir):
+    """Perceptual image dedup (bench surface): dHash fingerprints →
+    banded-Hamming candidate join → connected components → drop list.
+    Testdata payloads are synthetic (text bytes), so the fingerprint
+    stage runs its deterministic fake path — what's timed is the real
+    Arrow decode-stage plumbing plus the FULL banding/verify/cluster
+    pipeline on 8-byte hashes; the real-codec hash path (PNG/GIF/JPEG,
+    BT.601 luma, 9×8 thumb) is pinned by tests/test_multimodal.py's
+    hand-model + invariance tests."""
+    from mwas_rfam_spark.operators.dedup import dedup_clusters
+    from mwas_rfam_spark.operators.multimodal import (
+        attach_binary,
+        image_near_dup_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = attach_binary(d)
+    pairs = image_near_dup_pairs(media, max_hamming=6, bands=8, fake=True)
+    images = media.where(F.col("media_meta.media_type") == "image").select(
+        F.col("doc_id")
+    )
+    return dedup_clusters(pairs, images).orderBy("doc_id")
+
+
 def q_source_mix(spark, sf_dir):
     """Temperature-based source rebalancing (GPT-3/PaLM-style n^alpha
     mixture weights; bench-only surface — registry at the 50-cap):
@@ -1221,9 +1245,11 @@ def q_ivfpq_indexed(spark, sf_dir):
     composition as parquet: nprobe cells resolved from the stored coarse
     centroids, the ADC scan partition-pruned to those cells' 8-byte
     codes, exact re-rank broadcast-joined into the equally-pruned full
-    vectors. Bench-only surface (registry at the 50-cap); correctness
-    pinned by tests/test_quantization.py (indexed == on-the-fly ==
-    exact within probed cells; append/remove/compact == rebuild)."""
+    vectors. Registry-slotted in r6 wave 2 (took ann_knn_batch's slot);
+    the oracle replays the whole composition — probe, LUT, ADC, rerank —
+    in DuckDB over the same index files. Also pinned by
+    tests/test_quantization.py (indexed == on-the-fly == exact within
+    probed cells; append/remove/compact == rebuild)."""
     from mwas_rfam_spark.operators.quantization import ivfpq_topk_indexed
 
     e = _t(spark, sf_dir, "embeddings")
@@ -2312,6 +2338,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              form — see q_bpe_roundtrip; the counts form
                              stays the bench row)
 
+    Round-6 wave-2 rotation (one slot):
+
+    - ann_knn_batch        → batched brute-force kNN; its cosine + top-k
+                             arithmetic stays driver-pinned via
+                             `ann_ivf_topk` (same cosine ranking over
+                             the pruned index) and `ann_recall`, and the
+                             batched form keeps its exact former oracle
+                             in relocated_oracles + stays benchable;
+                             slot → `ivfpq_indexed` (the materialized
+                             IVF×PQ search, oracle-replayed end to end
+                             over the index files)
+
     Round-4 second-wave surfaces (registry full at 50 all-green; each is
     pytest-pinned and benchable where noted, with its exactness anchored
     to an existing green entry where semantics overlap):
@@ -2320,7 +2358,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               exactly; refined top-k == numpy exact;
                               partition pruning plan-asserted); benched
                               as `pq_adc_topk`; shares the cosine/L2
-                              arithmetic pinned green by `ann_knn_batch`
+                              arithmetic pinned green by `ann_ivf_topk`
+                              (and, since the r6 wave-2 rotation, the
+                              full IVF×PQ composition is itself
+                              driver-pinned as `ivfpq_indexed`)
     - Bloom incremental     → tests/test_bloom.py randomized equivalence
       dedup                   against `incremental_exact_dedup`, whose
                               keep-first/anti-join semantics are the
@@ -2492,7 +2533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_topk": q_text_vocab_topk,
         "text_bigram_quality": q_text_bigram_quality,
         "multimodal_pipeline": q_multimodal_pipeline,
-        "ann_knn_batch": q_ann_knn_batch,
+        "ivfpq_indexed": q_ivfpq_indexed,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_recall": q_ann_recall,
         "sample_stratified": q_sample_stratified,
@@ -2575,9 +2616,12 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_editdist_long": q_fuzzy_editdist_long,
         "embed_pca_reduce": q_embed_pca_reduce,
         "sq8_topk": q_sq8_topk,
-        "ivfpq_indexed": q_ivfpq_indexed,
+        # r6 wave-2 rotation: ann_knn_batch's slot went to ivfpq_indexed
+        # (its oracle lives on in relocated_oracles + the parity test)
+        "ann_knn_batch": q_ann_knn_batch,
         "source_mix": q_source_mix,
         "dedup_approx_eval": q_dedup_approx_eval,
+        "image_dedup": q_image_dedup,
         "t1_welch_from_stats": q_t1_welch_from_stats,
         "a4_two_level_rollup": q_a4_two_level_rollup,
         "dedup_simhash": q_dedup_simhash,
@@ -3313,19 +3357,60 @@ FROM final
               FROM grams)
             SELECT DISTINCT doc_id, fingerprint FROM sel
         """,
-        "ann_knn_batch": """
-            WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-                       FROM embeddings ORDER BY vec_id LIMIT 3),
-            s AS (SELECT q.q_id, e.vec_id,
-                         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
-                             AS cos
-                  FROM embeddings e CROSS JOIN q)
-            SELECT q_id, vec_id, round(cos, 5) AS cosine, rank
-            FROM (SELECT q_id, vec_id, cos,
-                         row_number() OVER (PARTITION BY q_id
-                                            ORDER BY cos DESC, vec_id ASC) AS rank
-                  FROM s)
-            WHERE rank <= 5
+        # Replays the FULL IVF×PQ search over the SAME materialized index
+        # the Spark entry queries (built by _ivfpq_index at a
+        # deterministic path; tools/check_oracle.py rewrites the sf tag
+        # like ivf_index). Probe = 3 cells nearest the stored coarse
+        # centroids (ties by cell, matching the engine's stable sort);
+        # ADC = per-subspace LUT from the stored codebooks summed over
+        # each row's codes (the engine's exact arithmetic, in DOUBLE);
+        # the 100-candidate pool re-ranks by exact squared L2 from the
+        # stored vectors — the rerank restores exactness, so the final
+        # 10 rows agree even if float noise reorders the pool's tail.
+        "ivfpq_indexed": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings ORDER BY vec_id LIMIT 1),
+            probe AS (
+                SELECT cell
+                FROM read_parquet(
+                    '/root/repo/spark-warehouse/ivfpq_index/sf0.01/centroids/*.parquet'), q
+                ORDER BY list_sum(list_transform(centroid,
+                                                 (x, i) -> (x - qv[i]) * (x - qv[i]))),
+                         cell
+                LIMIT 3),
+            lut AS (
+                SELECT subspace, centroid_id,
+                       list_sum(list_transform(centroid,
+                           (x, i) -> (x - qv[subspace * 8 + i])
+                                     * (x - qv[subspace * 8 + i]))) AS d
+                FROM read_parquet(
+                    '/root/repo/spark-warehouse/ivfpq_index/sf0.01/codebooks/*.parquet'), q),
+            c AS (
+                SELECT vec_id, codes
+                FROM read_parquet(
+                    '/root/repo/spark-warehouse/ivfpq_index/sf0.01/codes/*/*.parquet',
+                    hive_partitioning = true)
+                WHERE cell IN (SELECT cell FROM probe)),
+            terms AS (
+                SELECT vec_id, unnest(codes) AS code,
+                       unnest(range(len(codes))) AS j
+                FROM c),
+            adc AS (
+                SELECT t.vec_id, sum(l.d) AS approx
+                FROM terms t JOIN lut l
+                  ON l.subspace = t.j AND l.centroid_id = t.code
+                GROUP BY 1),
+            cand AS (SELECT vec_id FROM adc ORDER BY approx, vec_id LIMIT 100),
+            exact AS (
+                SELECT v.vec_id,
+                       list_sum(list_transform(CAST(v.embedding AS DOUBLE[]),
+                           (x, i) -> (x - qv[i]) * (x - qv[i]))) AS dist
+                FROM read_parquet(
+                    '/root/repo/spark-warehouse/ivfpq_index/sf0.01/vectors/*/*.parquet',
+                    hive_partitioning = true) v
+                JOIN cand USING (vec_id), q)
+            SELECT vec_id, round(dist, 5) AS dist
+            FROM exact ORDER BY dist, vec_id LIMIT 10
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
@@ -3506,8 +3591,25 @@ def relocated_oracles() -> dict[str, str]:
     round 6 (their slots went to the r5 families). Each keeps running
     as a pytest DuckDB-parity test (tests/test_parity_and_edges.py)
     with the SAME SQL the driver's gate used through r5 — the surfaces
-    stay cross-engine-verified, just not driver-slotted."""
+    stay cross-engine-verified, just not driver-slotted. r6 wave 2 adds
+    ann_knn_batch (slot went to ivfpq_indexed; the batched-kNN
+    arithmetic stays pinned here, and its cosine/rank components remain
+    driver-pinned via ann_ivf_topk and ann_recall)."""
     return {
+        "ann_knn_batch": """
+            WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings ORDER BY vec_id LIMIT 3),
+            s AS (SELECT q.q_id, e.vec_id,
+                         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+                             AS cos
+                  FROM embeddings e CROSS JOIN q)
+            SELECT q_id, vec_id, round(cos, 5) AS cosine, rank
+            FROM (SELECT q_id, vec_id, cos,
+                         row_number() OVER (PARTITION BY q_id
+                                            ORDER BY cos DESC, vec_id ASC) AS rank
+                  FROM s)
+            WHERE rank <= 5
+        """,
         "f2_rpm_normalize": """
             WITH nord AS (SELECT max(o_orderkey) AS n FROM orders),
             inp AS (SELECT 'R' || CAST((event_id % (SELECT n FROM nord)) + 1 AS VARCHAR) AS run,

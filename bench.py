@@ -67,6 +67,7 @@ HEADLINE = [
     "ivfpq_indexed",
     "source_mix",
     "dedup_approx_eval",
+    "image_dedup",
     "drift_report",
     "bpe_tokenize",
     "cdc_dedup",

@@ -600,6 +600,26 @@ def simhash_near_dup_pairs(
     the pair shares no bucket) — enforced, not just documented.
     Returns (id_a, id_b, hamming).
     """
+    sh = simhash64(docs, text_col, id_col)
+    return hamming_band_pairs(sh, "simhash", "id", max_hamming, bands)
+
+
+def hamming_band_pairs(
+    hashed: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int,
+    bands: int,
+) -> DataFrame:
+    """Near-dup pairs among 64-bit hashes by banded Hamming distance —
+    the pigeonhole candidate-join core shared by SimHash text dedup and
+    perceptual image dedup (`multimodal.image_near_dup_pairs`): two
+    hashes within Hamming distance < ``bands`` must agree on at least
+    one of ``bands`` contiguous chunks, so candidates come from an
+    equi-join on (band, chunk) buckets, never all-pairs; verify is
+    bit_count(xor) <= max_hamming, JVM-side. Recall is guaranteed ONLY
+    when ``max_hamming < bands`` — enforced. Returns
+    (id_a, id_b, hamming)."""
     if max_hamming >= bands:
         raise ValueError(
             f"pigeonhole recall requires max_hamming < bands; got "
@@ -607,21 +627,21 @@ def simhash_near_dup_pairs(
             f"at least {max_hamming + 1})"
         )
     width = 64 // bands
-    sh = simhash64(docs, text_col, id_col)
+    sh = hashed.select(F.col(id_col).alias("id"), F.col(hash_col).alias("__h"))
     chunk_cols = [
         F.struct(
             F.lit(bi).alias("band"),
-            F.shiftrightunsigned(F.col("simhash"), bi * width)
+            F.shiftrightunsigned(F.col("__h"), bi * width)
             .bitwiseAND(F.lit((1 << width) - 1))
             .alias("chunk"),
         )
         for bi in range(bands)
     ]
     buckets = sh.select(
-        "id", "simhash", F.explode(F.array(*chunk_cols)).alias("bc")
-    ).select("id", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
-    x = buckets.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"), "band", "chunk")
-    y = buckets.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"), "band", "chunk")
+        "id", "__h", F.explode(F.array(*chunk_cols)).alias("bc")
+    ).select("id", "__h", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    x = buckets.select(F.col("id").alias("id_a"), F.col("__h").alias("ha"), "band", "chunk")
+    y = buckets.select(F.col("id").alias("id_b"), F.col("__h").alias("hb"), "band", "chunk")
     return (
         x.join(y, ["band", "chunk"])
         .where(F.col("id_a") < F.col("id_b"))

@@ -709,3 +709,112 @@ def audio_signal_stats(media: DataFrame) -> DataFrame:
         "doc_id", "payload"
     )
     return audio.mapInPandas(run, AUDIO_SIGNAL_SCHEMA)
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def _gray_plane(px: bytes, w: int, h: int, c: int) -> bytes:
+    """Interleaved pixels → one 8-bit luma plane. RGB(A) uses the ITU
+    BT.601 integer weights (299/587/114, exact integer arithmetic so
+    the hash is bit-reproducible anywhere); 1- and 2-channel images
+    take channel 0 (gray / gray+alpha)."""
+    if c == 1:
+        return px[: w * h]
+    out = bytearray(w * h)
+    if c >= 3:
+        for i in range(w * h):
+            j = i * c
+            out[i] = (299 * px[j] + 587 * px[j + 1] + 114 * px[j + 2]) // 1000
+    else:  # c == 2: gray + alpha
+        for i in range(w * h):
+            out[i] = px[i * c]
+    return bytes(out)
+
+
+def _dhash64(px: bytes, w: int, h: int, c: int) -> int:
+    """64-bit difference hash (dHash, the standard perceptual image
+    fingerprint): luma plane → 9×8 nearest-neighbor thumbnail → bit
+    (y*8+x) set iff thumb[y][x] > thumb[y][x+1]. Returned in two's
+    complement so it stores as a Spark LONG (same convention as
+    simhash64). Deterministic: integer luma, integer index mapping,
+    strict > — no floats anywhere."""
+    gray = _gray_plane(px, w, h, c)
+    thumb = _nearest_resample(gray, w, h, 1, 9, 8)
+    v = 0
+    for y in range(8):
+        row = y * 9
+        for x in range(8):
+            if thumb[row + x] > thumb[row + x + 1]:
+                v |= 1 << (y * 8 + x)
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def image_dhash(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Perceptual image fingerprints → (doc_id, dhash LONG).
+
+    The real path decodes through the shared precedence
+    (:func:`_real_decode_pixels`: PIL, else the stdlib PNG/GIF/JPEG
+    codecs) and hashes the FIRST frame (the title frame — the
+    perceptual identity of an animation; whole-animation BYTE identity
+    is `resample_images`' job). The fake path derives a deterministic
+    64-bit value from the payload sha256 with the same two's-complement
+    packing, so banding/plumbing tests run without codecs.
+
+    Unlike `resample_images`' pixel sha (exact identity of the
+    downsampled bytes), dHash is STABLE under re-encoding, small
+    resizes, and brightness shifts — the right key for near-dup image
+    dedup. Pair it with :func:`image_near_dup_pairs`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(p)
+                if fake:
+                    v = int.from_bytes(
+                        hashlib.sha256(payload).digest()[:8], "big"
+                    )
+                    v = v - (1 << 64) if v >= 1 << 63 else v
+                else:
+                    w, h, c, px = _real_decode_pixels(payload)
+                    v = _dhash64(px[: w * h * c], w, h, c)
+                ids.append(doc_id)
+                hs.append(v)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "dhash": pd.Series(hs, dtype="int64"),
+                    }
+                )
+
+    images = media.filter(F.col("media_meta.media_type") == "image").select(
+        "doc_id", "payload"
+    )
+    return images.mapInPandas(run, DHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 6,
+    bands: int = 8,
+    fake: bool = True,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: dHash fingerprints through
+    the SAME banded-Hamming candidate join as SimHash text dedup
+    (`dedup.hamming_band_pairs` — pigeonhole bands, equi-join
+    candidates, bit_count verify; never all-pairs). Returns
+    (id_a, id_b, hamming). Feed the pairs to `dedup.dedup_clusters` for
+    the drop list, exactly like the text families — the 100 TB shape is
+    one decode pass (Arrow-batched, shuffle-free) + one band-bucket
+    shuffle on 8-byte hashes."""
+    from mwas_rfam_spark.operators.dedup import hamming_band_pairs
+
+    hashes = image_dhash(media, fake=fake)
+    return hamming_band_pairs(hashes, "dhash", "doc_id", max_hamming, bands)

@@ -1031,3 +1031,128 @@ def test_resample_animated_gif_full_fingerprint(spark):
     )
     got = {r["doc_id"]: r["pixels_sha"] for r in resample_images(media, 4, fake=False).collect()}
     assert got[1] != got[2]
+
+
+def _media_frame(spark, rows):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        rows, "doc_id long, payload binary, mt string"
+    ).select(
+        "doc_id",
+        "payload",
+        F.struct(F.col("mt").alias("media_type")).alias("media_meta"),
+    )
+
+
+def test_image_dhash_hand_model_and_invariances(spark):
+    """dHash on a 9×8 gray image equals the hand-computed bit pattern
+    (no resampling at native thumb size), survives exact 2× nearest
+    upscaling and a non-clipping brightness shift, and separates a
+    genuinely different image."""
+    from mwas_rfam_spark.functions.png_codec import encode_png
+    from mwas_rfam_spark.operators.multimodal import (
+        _dhash64,
+        _nearest_resample,
+        image_dhash,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    base = bytes(rng.randrange(20, 200) for _ in range(9 * 8))
+    # hand model, straight from the definition
+    want = 0
+    for y in range(8):
+        for x in range(8):
+            if base[y * 9 + x] > base[y * 9 + x + 1]:
+                want |= 1 << (y * 8 + x)
+    want = want - (1 << 64) if want >= 1 << 63 else want
+    assert _dhash64(base, 9, 8, 1) == want
+
+    up2 = _nearest_resample(base, 9, 8, 1, 18, 16)  # exact 2x duplication
+    shifted = bytes(min(255, b + 10) for b in base)
+    other = bytes(rng.randrange(0, 256) for _ in range(9 * 8))
+    rows = [
+        (1, encode_png(9, 8, 1, base), "image"),
+        (2, encode_png(18, 16, 1, up2), "image"),
+        (3, encode_png(9, 8, 1, shifted), "image"),
+        (4, encode_png(9, 8, 1, other), "image"),
+        (5, b"ignored", "audio"),
+    ]
+    got = {
+        r["doc_id"]: r["dhash"]
+        for r in image_dhash(_media_frame(spark, rows), fake=False).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] == want
+    assert got[2] == want  # scale-invariant under exact nearest upscale
+    assert got[3] == want  # brightness-shift-invariant (no clipping)
+    assert bin(got[1] ^ got[4]).count("1") > 10  # different image separates
+
+
+def test_image_near_dup_pairs_real_and_fake(spark):
+    from mwas_rfam_spark.functions.png_codec import encode_png
+    from mwas_rfam_spark.operators.multimodal import (
+        _nearest_resample,
+        image_near_dup_pairs,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    base = bytes(rng.randrange(20, 200) for _ in range(12 * 10 * 3))
+    up = _nearest_resample(base, 12, 10, 3, 24, 20)
+    other = bytes(rng.randrange(0, 256) for _ in range(12 * 10 * 3))
+    rows = [
+        (1, encode_png(12, 10, 3, base), "image"),
+        (2, encode_png(24, 20, 3, up), "image"),
+        (7, encode_png(12, 10, 3, other), "image"),
+    ]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dup_pairs(
+            _media_frame(spark, rows), max_hamming=6, bands=8, fake=False
+        ).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 7) not in pairs and (2, 7) not in pairs
+
+    # fake path: plumbing only (no codecs touched), schema intact
+    fake_pairs = image_near_dup_pairs(_media_frame(spark, rows), fake=True)
+    assert fake_pairs.columns == ["id_a", "id_b", "hamming"]
+    fake_pairs.collect()
+
+
+def test_image_dhash_rgb_luma_and_gif_first_frame(spark):
+    """RGB luma uses the exact BT.601 integer weights, and an animated
+    GIF hashes its FIRST frame (documented perceptual identity)."""
+    from mwas_rfam_spark.functions.gif_codec import encode_gif
+    from mwas_rfam_spark.functions.png_codec import encode_png
+    from mwas_rfam_spark.operators.multimodal import _gray_plane, image_dhash
+
+    import random
+
+    rng = random.Random(11)
+    rgb = bytes(rng.randrange(0, 256) for _ in range(9 * 8 * 3))
+    gray = _gray_plane(rgb, 9, 8, 3)
+    for i in range(9 * 8):
+        r, g, b = rgb[i * 3], rgb[i * 3 + 1], rgb[i * 3 + 2]
+        assert gray[i] == (299 * r + 587 * g + 114 * b) // 1000
+
+    palette = [(i * 16, (i * 7) % 256, (i * 13) % 256) for i in range(16)]
+    idx1 = bytes(rng.randrange(16) for _ in range(9 * 8))
+    idx2 = bytes(rng.randrange(16) for _ in range(9 * 8))
+    gif_anim = encode_gif(9, 8, [idx1, idx2], palette)
+    gif_still = encode_gif(9, 8, [idx1], palette)
+    rgb1 = b"".join(bytes(palette[i]) for i in idx1)
+    rows = [
+        (1, gif_anim, "image"),
+        (2, gif_still, "image"),
+        (3, encode_png(9, 8, 3, rgb1), "image"),
+    ]
+    got = {
+        r["doc_id"]: r["dhash"]
+        for r in image_dhash(_media_frame(spark, rows), fake=False).collect()
+    }
+    assert got[1] == got[2] == got[3]

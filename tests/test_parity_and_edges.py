@@ -324,8 +324,9 @@ def test_relocated_oracle_parity(spark, sf_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     relocated = entry.relocated_oracles()
     assert sorted(relocated) == [
-        "a7_signature_dedup", "f2_rpm_normalize", "j4_cascading_lookup",
-        "j6_semi_join", "s13_synthetic_input", "so2_complement",
+        "a7_signature_dedup", "ann_knn_batch", "f2_rpm_normalize",
+        "j4_cascading_lookup", "j6_semi_join", "s13_synthetic_input",
+        "so2_complement",
     ]
     bench = entry.bench_queries()
     for name, sql in relocated.items():

@@ -80,6 +80,7 @@ def main():
     if tag != "sf0.01":
         oracles = {
             k: v.replace("/ivf_index/sf0.01/", f"/ivf_index/{tag}/")
+            .replace("/ivfpq_index/sf0.01/", f"/ivfpq_index/{tag}/")
             for k, v in oracles.items()
         }
     n_fail = 0
