@@ -1172,6 +1172,31 @@ def q_dedup_approx_eval(spark, sf_dir):
     ).orderBy("method")
 
 
+def q_semantic_decontam(spark, sf_dir):
+    """Embedding-space benchmark decontamination (bench surface): the
+    eval slice broadcast as a normalized matrix, training embeddings
+    scanned once with a per-batch GEMM cosine block — EXACT, shuffle-
+    free (the 100 TB cost is the train scan). Arithmetic pinned by
+    tests/test_dedup.py's hand-model + blocked-path-agreement tests."""
+    from mwas_rfam_spark.operators.dedup import semantic_decontaminate
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    eval_emb = e.where(F.col("vec_id") % 11 == 0)
+    # the synthetic embeddings are near-orthogonal across any split, so
+    # plant every 3rd eval item back into the training side under a
+    # shifted id — the contamination the scan must find (plus whatever
+    # organic near-matches exist)
+    leaked = eval_emb.where(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    train = e.where(F.col("vec_id") % 11 != 0).unionByName(leaked)
+    return semantic_decontaminate(train, eval_emb, threshold=0.9).select(
+        "vec_id", "matched_eval_id", F.round("cosine", 5).alias("cosine")
+    )
+
+
 def q_image_dedup(spark, sf_dir):
     """Perceptual image dedup (bench surface): dHash fingerprints →
     banded-Hamming candidate join → connected components → drop list.
@@ -2622,6 +2647,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": q_source_mix,
         "dedup_approx_eval": q_dedup_approx_eval,
         "image_dedup": q_image_dedup,
+        "semantic_decontam": q_semantic_decontam,
         "t1_welch_from_stats": q_t1_welch_from_stats,
         "a4_two_level_rollup": q_a4_two_level_rollup,
         "dedup_simhash": q_dedup_simhash,

@@ -68,6 +68,7 @@ HEADLINE = [
     "source_mix",
     "dedup_approx_eval",
     "image_dedup",
+    "semantic_decontam",
     "drift_report",
     "bpe_tokenize",
     "cdc_dedup",

@@ -2021,3 +2021,159 @@ def approx_dedup_quality_report(
         "method string, n_truth long, n_pred long, true_pos long, "
         "precision double, recall double, f1 double",
     )
+
+
+def semantic_decontaminate(
+    train_emb: DataFrame,
+    eval_emb: DataFrame,
+    threshold: float = 0.95,
+    max_broadcast_eval: int = 100_000,
+    cell_target: int = 128,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic
+    complement of `text.decontaminate`'s n-gram overlap: a training item
+    is CONTAMINATED when its cosine to ANY eval item reaches
+    ``threshold`` (paraphrases and translations that shingle overlap
+    can't see). Returns (``id_col``, matched_eval_id, cosine) — one row
+    per contaminated training item, matched to its most-similar eval
+    item (ties → smallest eval id); anti-join the ids to clean.
+
+    Size-adaptive execution, the same cost-model move as
+    `dedup_clusters`: eval sets are benchmark-sized (thousands), so the
+    DEFAULT path broadcasts the eval matrix and scans training
+    embeddings ONCE with a per-batch numpy GEMM (batch × |eval| cosine
+    block — the `_assign_cells_arrow` pattern) — EXACT, shuffle-free,
+    and the only data motion at 100 TB is the train scan itself. An
+    eval side above ``max_broadcast_eval`` switches to the blocked
+    path: a shared coarse quantizer (trained on the eval side, the
+    distribution being probed), both sides cell-assigned, candidates
+    joined per cell — the `semantic_dedup` approximation with its
+    documented boundary-miss tradeoff.
+
+    NULL / wrong-dimension training embeddings are never contaminated
+    (they have no similarity); NULL and zero-norm eval vectors are
+    excluded from the matrix (cosine undefined).
+    """
+    import numpy as np
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    spark = train_emb.sparkSession
+    ev = eval_emb.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("eval_id"), F.col(vec_col).alias("ev")
+    )
+    n_eval = ev.count()
+    if n_eval == 0:
+        return (
+            train_emb.select(F.col(id_col))
+            .limit(0)
+            .withColumn("matched_eval_id", F.lit(None).cast("long"))
+            .withColumn("cosine", F.lit(None).cast("double"))
+        )
+    if n_eval <= max_broadcast_eval:
+        rows = ev.collect()
+        ids = np.asarray([r["eval_id"] for r in rows], dtype=np.int64)
+        M = np.asarray([list(r["ev"]) for r in rows], dtype=np.float64)
+        norms = np.sqrt((M * M).sum(axis=1))
+        keep = norms > 0.0
+        ids, M, norms = ids[keep], M[keep], norms[keep]
+        if len(ids) == 0:
+            return semantic_decontaminate(  # all-zero eval = empty eval
+                train_emb, ev.limit(0).select(
+                    F.col("eval_id").alias(id_col), F.col("ev").alias(vec_col)
+                ), threshold, max_broadcast_eval, cell_target, id_col, vec_col,
+            )
+        order = np.argsort(ids, kind="stable")
+        ids, M, norms = ids[order], M[order], norms[order]
+        Mn = M / norms[:, None]  # pre-normalized: cosine = (x/|x|) . Mn^T
+        d = M.shape[1]
+        bc = spark.sparkContext.broadcast((ids, Mn))
+
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            [
+                train_emb.schema[id_col],
+                T.StructField("matched_eval_id", T.LongType()),
+                T.StructField("cosine", T.DoubleType()),
+            ]
+        )
+        src = train_emb.select(id_col, vec_col)
+
+        def kernel(batches):
+            import pandas as pd
+
+            eids, E = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vecs = [
+                    np.asarray(v, dtype=np.float64)
+                    if v is not None and len(v) == d
+                    else None
+                    for v in pdf[vec_col]
+                ]
+                valid = [i for i, v in enumerate(vecs) if v is not None]
+                hit_rows, hit_eids, hit_cos = [], [], []
+                if valid:
+                    X = np.stack([vecs[i] for i in valid])
+                    xn = np.sqrt((X * X).sum(axis=1))
+                    ok = xn > 0.0
+                    if ok.any():
+                        Xn = X[ok] / xn[ok, None]
+                        S = Xn @ E.T  # (batch, n_eval) cosine block
+                        best = S.argmax(axis=1)  # first max = smallest eval id
+                        best_cos = S[np.arange(len(best)), best]
+                        rows_ok = np.asarray(valid)[ok]
+                        for r, b, c in zip(rows_ok, best, best_cos):
+                            if c >= threshold:
+                                hit_rows.append(r)
+                                hit_eids.append(int(eids[b]))
+                                hit_cos.append(float(c))
+                yield pd.DataFrame(
+                    {
+                        # iloc[[]] keeps the input dtype for empty batches
+                        id_col: pdf[id_col].iloc[hit_rows].to_numpy(),
+                        "matched_eval_id": pd.Series(hit_eids, dtype="int64"),
+                        "cosine": pd.Series(hit_cos, dtype="float64"),
+                    }
+                )
+
+        return src.mapInPandas(kernel, out_schema)
+
+    # blocked path: shared quantizer from the EVAL distribution
+    from mwas_rfam_spark.operators.similarity import (
+        _dot,
+        _norm,
+        assign_ivf_cells,
+    )
+
+    eval_named = ev.select(F.col("eval_id").alias(id_col), F.col("ev").alias(vec_col))
+    centroids = train_dedup_quantizer(
+        eval_named, cell_target=cell_target, id_col=id_col, vec_col=vec_col
+    )
+    ev_cells = assign_ivf_cells(eval_named, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("eval_id"), F.col(vec_col).alias("ev"), "cell"
+    )
+    tr_cells = assign_ivf_cells(
+        train_emb.where(F.col(vec_col).isNotNull()).select(id_col, vec_col),
+        centroids, id_col, vec_col,
+    )
+    cos = _dot(F.col(vec_col), F.col("ev")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("ev"))
+    )
+    scored = (
+        tr_cells.join(ev_cells, "cell")
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("cosine"), F.asc("eval_id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(id_col, F.col("eval_id").alias("matched_eval_id"), "cosine")
+    )

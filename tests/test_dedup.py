@@ -803,3 +803,74 @@ def test_approx_dedup_quality_report(spark, sf_dir):
         assert rep[m]["precision"] == pytest.approx(tp / len(s) if s else 0.0)
         assert rep[m]["recall"] == pytest.approx(tp / len(truth))
     assert rep["minhash_lsh"]["f1"] >= rep["simhash"]["f1"]
+
+
+def test_semantic_decontaminate_exact_hand_model(spark):
+    from mwas_rfam_spark.operators.dedup import semantic_decontaminate
+
+    d = 8
+    e = lambda i: [1.0 if j == i else 0.0 for j in range(d)]
+    eval_emb = spark.createDataFrame(
+        [(10, e(0)), (11, e(1)), (12, e(0))],  # 12 duplicates 10: tie -> 10
+        "vec_id long, embedding array<double>",
+    )
+    near = [0.99] + [0.0405] * (d - 1)  # cos to e(0) ~ 0.96
+    train = spark.createDataFrame(
+        [
+            (1, [2.0] + [0.0] * (d - 1)),  # scaled e(0): cos 1.0
+            (2, near),
+            (3, e(3)),                     # orthogonal
+            (4, None),                     # NULL: never contaminated
+            (5, [0.0] * d),                # zero norm: never contaminated
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["matched_eval_id"], round(r["cosine"], 6))
+        for r in semantic_decontaminate(train, eval_emb, threshold=0.95).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1] == (10, 1.0)  # tie between eval 10 and 12 -> smallest id
+    assert got[2][0] == 10 and got[2][1] >= 0.95
+
+    # empty eval side -> empty relation, stable schema
+    empty = semantic_decontaminate(
+        train, eval_emb.limit(0), threshold=0.95
+    )
+    assert empty.columns == ["vec_id", "matched_eval_id", "cosine"]
+    assert empty.count() == 0
+
+
+def test_semantic_decontaminate_blocked_path_agrees_on_clones(spark, sf_dir):
+    """The above-threshold-eval blocked path must find every exact clone
+    the broadcast path finds (identical vectors share a cell under any
+    quantizer), and report the same cosines for them."""
+    from mwas_rfam_spark.operators.dedup import semantic_decontaminate
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    eval_emb = emb.where(F.col("vec_id") % 11 == 0)
+    # train contains exact clones of eval (ids shifted) plus other vectors
+    clones = eval_emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    train = emb.where(F.col("vec_id") % 11 != 0).unionByName(clones)
+
+    exact = {
+        r["vec_id"]: (r["matched_eval_id"], round(r["cosine"], 6))
+        for r in semantic_decontaminate(train, eval_emb, threshold=0.999).collect()
+    }
+    blocked = {
+        r["vec_id"]: (r["matched_eval_id"], round(r["cosine"], 6))
+        for r in semantic_decontaminate(
+            train, eval_emb, threshold=0.999, max_broadcast_eval=0
+        ).collect()
+    }
+    clone_ids = {r["vec_id"] for r in clones.select("vec_id").collect()}
+    assert clone_ids <= set(exact)
+    assert clone_ids <= set(blocked)
+    for cid in clone_ids:
+        assert exact[cid][1] == blocked[cid][1] == 1.0
+    # blocked is the documented under-approximation of exact
+    assert set(blocked) <= set(exact)
