@@ -423,6 +423,12 @@ def temperature_mix(
     driver-sized collect. ``counts`` accepts a precomputed
     {source: n_docs} map (e.g. shared with :func:`mix_report`) to skip
     the aggregation job.
+
+    Related primitive: `plans.sampling.weighted_mix_exact` takes an
+    EXPLICIT {stratum: rows} recipe and caps at stratum size (no
+    temperature, no repetition) — use it when the mix is handed to you;
+    use this when the mix is derived from corpus proportions and small
+    sources may need repeat epochs.
     """
     if counts is None:
         counts = _source_counts(docs, source_col, "temperature_mix")
