@@ -3405,10 +3405,13 @@ FROM final
                          cell
                 LIMIT 3),
             lut AS (
+                -- subspace width from the stored codebook row itself
+                -- (len(centroid) = d0), so the replay stays correct if
+                -- m or the embedding dim ever changes
                 SELECT subspace, centroid_id,
                        list_sum(list_transform(centroid,
-                           (x, i) -> (x - qv[subspace * 8 + i])
-                                     * (x - qv[subspace * 8 + i]))) AS d
+                           (x, i) -> (x - qv[subspace * len(centroid) + i])
+                                     * (x - qv[subspace * len(centroid) + i]))) AS d
                 FROM read_parquet(
                     '/root/repo/spark-warehouse/ivfpq_index/sf0.01/codebooks/*.parquet'), q),
             c AS (

@@ -2064,31 +2064,36 @@ def semantic_decontaminate(
     ev = eval_emb.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("eval_id"), F.col(vec_col).alias("ev")
     )
-    n_eval = ev.count()
-    if n_eval == 0:
+
+    def _empty():
         return (
             train_emb.select(F.col(id_col))
             .limit(0)
             .withColumn("matched_eval_id", F.lit(None).cast("long"))
             .withColumn("cosine", F.lit(None).cast("double"))
         )
-    if n_eval <= max_broadcast_eval:
-        rows = ev.collect()
+
+    # ONE eval-side job decides the path AND fetches the broadcast data
+    # (count-then-collect would run the eval plan twice); the +1 row
+    # only signals "too big", it is never used
+    rows = ev.limit(max_broadcast_eval + 1).collect()
+    if not rows:
+        return _empty()
+    if len(rows) <= max_broadcast_eval:
+        # reference dimension: the smallest eval id's vector (stable
+        # under collect order); other-dimension or zero-norm eval rows
+        # are excluded, mirroring the blocked path's NULL-cell drop
+        rows = sorted(rows, key=lambda r: r["eval_id"])
+        d = len(rows[0]["ev"])
+        rows = [r for r in rows if len(r["ev"]) == d]
         ids = np.asarray([r["eval_id"] for r in rows], dtype=np.int64)
         M = np.asarray([list(r["ev"]) for r in rows], dtype=np.float64)
         norms = np.sqrt((M * M).sum(axis=1))
         keep = norms > 0.0
         ids, M, norms = ids[keep], M[keep], norms[keep]
         if len(ids) == 0:
-            return semantic_decontaminate(  # all-zero eval = empty eval
-                train_emb, ev.limit(0).select(
-                    F.col("eval_id").alias(id_col), F.col("ev").alias(vec_col)
-                ), threshold, max_broadcast_eval, cell_target, id_col, vec_col,
-            )
-        order = np.argsort(ids, kind="stable")
-        ids, M, norms = ids[order], M[order], norms[order]
+            return _empty()  # all eval rows degenerate
         Mn = M / norms[:, None]  # pre-normalized: cosine = (x/|x|) . Mn^T
-        d = M.shape[1]
         bc = spark.sparkContext.broadcast((ids, Mn))
 
         from pyspark.sql import types as T

@@ -148,7 +148,21 @@ def _real_decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         import io
 
         with Image.open(io.BytesIO(payload)) as im:
-            return im.width, im.height, len(im.getbands()), im.tobytes()
+            # palette modes must decode to channel VALUES, not palette
+            # indices — raw 'P' bytes would make every downstream
+            # fingerprint (pixel sha, dHash luma) depend on palette
+            # order and disagree with the stdlib codecs, which always
+            # emit real channels. Multi-frame payloads concatenate all
+            # frames, matching the stdlib GIF path.
+            n = getattr(im, "n_frames", 1)
+            parts = []
+            w = h = c = 0
+            for fi in range(n):
+                im.seek(fi)
+                fr = im.convert("RGB") if im.mode in ("P", "PA") else im
+                w, h, c = fr.width, fr.height, len(fr.getbands())
+                parts.append(fr.tobytes())
+            return w, h, c, b"".join(parts)
     from mwas_rfam_spark.functions.gif_codec import decode_gif, is_gif
     from mwas_rfam_spark.functions.jpeg_codec import decode_jpeg, is_jpeg
     from mwas_rfam_spark.functions.png_codec import decode_png, is_png

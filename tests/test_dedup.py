@@ -874,3 +874,22 @@ def test_semantic_decontaminate_blocked_path_agrees_on_clones(spark, sf_dir):
         assert exact[cid][1] == blocked[cid][1] == 1.0
     # blocked is the documented under-approximation of exact
     assert set(blocked) <= set(exact)
+
+
+def test_semantic_decontaminate_tolerates_ragged_eval(spark):
+    """A wrong-dimension eval row is excluded (like the blocked path's
+    NULL cell), not fatal (regression: np.asarray used to raise on the
+    inhomogeneous matrix)."""
+    from mwas_rfam_spark.operators.dedup import semantic_decontaminate
+
+    d = 8
+    e = lambda i: [1.0 if j == i else 0.0 for j in range(d)]
+    eval_emb = spark.createDataFrame(
+        [(10, e(0)), (11, [1.0, 0.0])],  # 11 is 2-dim: excluded
+        "vec_id long, embedding array<double>",
+    )
+    train = spark.createDataFrame(
+        [(1, [3.0] + [0.0] * (d - 1))], "vec_id long, embedding array<double>"
+    )
+    got = semantic_decontaminate(train, eval_emb, threshold=0.95).collect()
+    assert [(r["vec_id"], r["matched_eval_id"]) for r in got] == [(1, 10)]

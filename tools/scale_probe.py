@@ -827,8 +827,8 @@ def probe_r6b_ops(spark, sf_dir: str, out: dict):
         _force(ivfpq_topk_indexed(spark, path, q, k=10, nprobe=3, rerank=100))
         out[f"ivfpq_search_{label}"] = round(time.time() - t0, 2)
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     src = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    docs = src.select("doc_id", "text")
     src10 = src.crossJoin(
         spark.range(10).select(F.col("id").alias("_c"))
     ).select(
@@ -849,7 +849,6 @@ def probe_r6b_ops(spark, sf_dir: str, out: dict):
     # streaming-dedup state axis: one batch probed against 1x vs 10x state
     batch = docs.localCheckpoint()
     state1 = minhash_band_buckets(batch).select("band", "bucket").localCheckpoint()
-    state10 = None
     grown = [
         minhash_band_buckets(
             batch.select(
