@@ -501,3 +501,96 @@ def streaming_minhash_dedup(
         )
 
     return docs_stream.writeStream.foreachBatch(_process)
+
+
+HH_OUT_SCHEMA = (
+    "shard INT, key STRING, est_count LONG"
+)
+HH_STATE_SCHEMA = "keys ARRAY<STRING>, counts ARRAY<LONG>, n_rows LONG"
+
+
+def _mg_merge(summary: dict, incoming: dict, capacity: int) -> dict:
+    """Mergeable Misra–Gries (Agarwal et al., 'Mergeable Summaries',
+    PODS'12): sum counts keywise, then subtract the (capacity+1)-th
+    largest count from everything and drop non-positives. The result
+    keeps the MG guarantee: est_count(k) is in
+    [true_count(k) - n/(capacity+1), true_count(k)] for n rows folded
+    so far. ONE definition shared by the stateful operator and the
+    hand-model replay in tests."""
+    merged = dict(summary)
+    for k, c in incoming.items():
+        merged[k] = merged.get(k, 0) + c
+    if len(merged) > capacity:
+        vals = sorted(merged.values(), reverse=True)
+        sub = vals[capacity]
+        merged = {k: v - sub for k, v in merged.items() if v > sub}
+    return merged
+
+
+def streaming_heavy_hitters(
+    events: DataFrame,
+    key_col: str,
+    capacity: int = 64,
+    shards: int = 8,
+) -> DataFrame:
+    """Streaming heavy-hitter candidates — the streaming form of
+    `summary.heavy_hitters`' phase 1, as a CUSTOM STATEFUL OPERATOR
+    (applyInPandasWithState): keys hash into ``shards`` state keys (the
+    'hh:' md5 domain, decorrelated from the split/shard/selection
+    draws), each shard folds its batch's value counts into a bounded
+    Misra–Gries summary (``capacity`` counters — state is O(capacity)
+    per shard FOREVER, regardless of vocabulary size), and every batch
+    emits the surviving (shard, key, est_count) rows for touched
+    shards.
+
+    Guarantees (each key lives in exactly one shard, so its full mass
+    folds into one summary): any key with true count >
+    shard_rows/(capacity+1) is IN the summary, and est_count is a lower
+    bound within shard_rows/(capacity+1) of the true count. Exact
+    counts, as in the batch operator, come from a downstream verify of
+    the candidate set — the stream's job is to keep the candidate set
+    bounded while the vocabulary is unbounded.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..functions.scalar import md5_u32
+
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+
+    def update(key: tuple, pdfs, state: GroupState):
+        if state.exists:
+            keys, counts, n_rows = state.get
+            summary = dict(zip(keys, counts))
+        else:
+            summary, n_rows = {}, 0
+        for pdf in pdfs:
+            n_rows += int(len(pdf))
+            vc = pdf["__k"].value_counts()
+            summary = _mg_merge(
+                summary, {str(k): int(v) for k, v in vc.items()}, capacity
+            )
+        state.update((list(summary), [summary[k] for k in summary], n_rows))
+        (shard,) = key
+        out = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))
+        yield pd.DataFrame(
+            {
+                "shard": [shard] * len(out),
+                "key": [k for k, _ in out],
+                "est_count": [c for _, c in out],
+            }
+        )
+
+    keyed = events.select(
+        (md5_u32(F.concat_ws(":", F.lit("hh"), F.col(key_col).cast("string")))
+         % shards).cast("int").alias("__shard"),
+        F.col(key_col).cast("string").alias("__k"),
+    )
+    return keyed.groupBy("__shard").applyInPandasWithState(
+        update,
+        HH_OUT_SCHEMA,
+        HH_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

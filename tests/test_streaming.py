@@ -484,3 +484,108 @@ def test_streaming_minhash_dedup_parity_with_batch(spark, sf_dir, tmp_path):
     # fresh read: the pre-replay `state` frame pins now-overwritten files
     state2 = spark.read.parquet(state_dir)
     assert state2.count() == n_state
+
+
+def test_streaming_heavy_hitters_matches_hand_replay(spark, tmp_path):
+    """The stateful Misra–Gries operator's final emission equals a
+    driver-side replay of the SAME mergeable-MG fold over the same
+    micro-batches, and satisfies the MG guarantee against exact counts
+    (every key above the shard threshold survives; estimates are lower
+    bounds within shard_rows/(capacity+1))."""
+    import glob
+    import os
+    import shutil
+    from collections import Counter
+
+    from mwas_rfam_spark.streaming.requests import (
+        _mg_merge,
+        streaming_heavy_hitters,
+    )
+
+    CAP, SHARDS = 4, 2
+    rng_rows = []
+    # skewed vocabulary: k0 dominates, k1 moderate, long tail
+    for i in range(900):
+        if i % 3 == 0:
+            k = "k0"
+        elif i % 9 == 1:
+            k = "k1"
+        else:
+            k = f"tail{i % 37}"
+        rng_rows.append((i, k))
+    rows_df = spark.createDataFrame(rng_rows, "event_id long, key string")
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    batches = []
+    for b in range(3):
+        part = rows_df.where(F.col("event_id") % 3 == b).coalesce(1)
+        stage = tmp_path / f"stage{b}"
+        part.write.mode("overwrite").parquet(str(stage))
+        shutil.copy(
+            glob.glob(str(stage / "*.parquet"))[0], str(src / f"b{b}.parquet")
+        )
+        batches.append(part.collect())
+
+    stream = (
+        spark.readStream.schema(rows_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    emissions = []
+    q = (
+        streaming_heavy_hitters(stream, "key", capacity=CAP, shards=SHARDS)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: emissions.append((bid, df.collect())))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # hand replay with the same shard hash + the same shared merge
+    from mwas_rfam_spark.functions.scalar import md5_u32
+
+    shard_of = {
+        r["key"]: r["s"]
+        for r in rows_df.select(
+            "key",
+            (md5_u32(F.concat_ws(":", F.lit("hh"), F.col("key"))) % SHARDS)
+            .cast("int")
+            .alias("s"),
+        )
+        .distinct()
+        .collect()
+    }
+    summaries = {s: {} for s in range(SHARDS)}
+    for batch in batches:
+        per_shard: dict = {s: Counter() for s in range(SHARDS)}
+        for r in batch:
+            per_shard[shard_of[r["key"]]][r["key"]] += 1
+        for s in range(SHARDS):
+            if per_shard[s]:
+                summaries[s] = _mg_merge(summaries[s], per_shard[s], CAP)
+
+    # last emission per shard wins (update mode re-emits touched shards)
+    final = {}
+    for _, rows in emissions:
+        touched = {}
+        for r in rows:
+            touched.setdefault(r["shard"], {})[r["key"]] = r["est_count"]
+        final.update(touched)
+    assert final == {s: summaries[s] for s in range(SHARDS) if summaries[s]}
+
+    # MG guarantee vs exact
+    exact = Counter(k for _, k in rng_rows)
+    shard_rows = Counter()
+    for _, k in rng_rows:
+        shard_rows[shard_of[k]] += 1
+    for k, n in exact.items():
+        s = shard_of[k]
+        bound = shard_rows[s] / (CAP + 1)
+        if n > bound:
+            assert k in final[s], f"{k} (count {n} > {bound}) must survive"
+            assert n - bound <= final[s][k] <= n
