@@ -1197,6 +1197,26 @@ def q_semantic_decontam(spark, sf_dir):
     )
 
 
+def q_embed_drift(spark, sf_dir):
+    """Embedding-distribution drift (bench surface): both corpus halves
+    projected onto the baseline half's top-3 principal components, exact
+    two-sample KS per component. Arithmetic pinned by
+    tests/test_drift.py's scalar-drift_report cross-check + mean-shift
+    detection test."""
+    from mwas_rfam_spark.operators.drift import embedding_drift_report
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    rep = embedding_drift_report(
+        e.where(F.col("vec_id") % 2 == 0),
+        e.where(F.col("vec_id") % 2 == 1),
+        k=3,
+        ks_threshold=0.2,
+    )
+    return rep.select("column", "kind", "statistic", F.round("value", 6).alias("value"), "flagged")
+
+
 def q_image_dedup(spark, sf_dir):
     """Perceptual image dedup (bench surface): dHash fingerprints →
     banded-Hamming candidate join → connected components → drop list.
@@ -2648,6 +2668,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_approx_eval": q_dedup_approx_eval,
         "image_dedup": q_image_dedup,
         "semantic_decontam": q_semantic_decontam,
+        "embed_drift": q_embed_drift,
         "t1_welch_from_stats": q_t1_welch_from_stats,
         "a4_two_level_rollup": q_a4_two_level_rollup,
         "dedup_simhash": q_dedup_simhash,

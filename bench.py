@@ -69,6 +69,7 @@ HEADLINE = [
     "dedup_approx_eval",
     "image_dedup",
     "semantic_decontam",
+    "embed_drift",
     "drift_report",
     "bpe_tokenize",
     "cdc_dedup",

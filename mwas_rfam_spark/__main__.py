@@ -462,6 +462,11 @@ def build_drift_parser() -> argparse.ArgumentParser:
         help="numeric scoring: exact KS or baseline-quantile binned PSI",
     )
     p.add_argument("--bins", type=int, default=10, help="bins for --numeric-mode binned")
+    p.add_argument("--embedding-col", default=None,
+                   help="embedding drift mode: project both sides onto the "
+                        "baseline's top --components PCs and KS each")
+    p.add_argument("--components", type=int, default=4,
+                   help="retained PCs for --embedding-col")
     p.add_argument("--output", default=None, help="optional report parquet path")
     p.add_argument("--fail-on-drift", action="store_true")
     return p
@@ -471,26 +476,37 @@ def drift_main(argv: list[str], spark: SparkSession | None = None) -> int:
     args = build_drift_parser().parse_args(argv)
     numeric = [c.strip() for c in args.numeric.split(",") if c.strip()]
     categorical = [c.strip() for c in args.categorical.split(",") if c.strip()]
-    if not numeric and not categorical:
-        raise SystemExit("drift: need --numeric and/or --categorical columns")
+    if not numeric and not categorical and not args.embedding_col:
+        raise SystemExit(
+            "drift: need --numeric and/or --categorical columns, or --embedding-col"
+        )
     owns_session = spark is None
     if owns_session:
         from .session import get_spark
 
         spark = get_spark(app_name="drift-cli")
     try:
-        from .operators.drift import drift_report
+        from .operators.drift import drift_report, embedding_drift_report
 
-        rep = drift_report(
-            spark.read.parquet(args.baseline),
-            spark.read.parquet(args.candidate),
-            numeric_cols=numeric,
-            categorical_cols=categorical,
-            ks_threshold=args.ks_threshold,
-            psi_threshold=args.psi_threshold,
-            numeric_mode=args.numeric_mode,
-            bins=args.bins,
-        )
+        if args.embedding_col:
+            rep = embedding_drift_report(
+                spark.read.parquet(args.baseline),
+                spark.read.parquet(args.candidate),
+                k=args.components,
+                ks_threshold=args.ks_threshold,
+                vec_col=args.embedding_col,
+            )
+        else:
+            rep = drift_report(
+                spark.read.parquet(args.baseline),
+                spark.read.parquet(args.candidate),
+                numeric_cols=numeric,
+                categorical_cols=categorical,
+                ks_threshold=args.ks_threshold,
+                psi_threshold=args.psi_threshold,
+                numeric_mode=args.numeric_mode,
+                bins=args.bins,
+            )
         rows = rep.collect()
         if args.output:
             spark.createDataFrame(rows, rep.schema).write.mode("overwrite").parquet(

@@ -369,3 +369,51 @@ def binned_numeric_drift(
         F.round(F.sum("psi_term"), 9).alias("psi"),
         F.round(F.max("cum_gap"), 9).alias("ks_lower_bound"),
     )
+
+
+def embedding_drift_report(
+    emb_base: DataFrame,
+    emb_cur: DataFrame,
+    k: int = 4,
+    ks_threshold: float = 0.1,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distribution drift between two EMBEDDING corpora — did the
+    vectors a model (or a frozen dedup/IVF quantizer) was fit on still
+    look like what's arriving? Raw high-dimensional KS is meaningless;
+    the standard monitoring move is to project both corpora onto the
+    BASELINE's top-``k`` principal components (fit once on the baseline
+    — the distribution being protected, same frozen-quantizer contract
+    as the index family) and score the exact two-sample KS per
+    component. A mean shift, variance collapse, or new mode in any
+    retained direction shows up as a flagged component; drift in a
+    direction PCA discarded is invisible, which is the documented
+    tradeoff of every projected drift monitor.
+
+    Returns one row per component: (column='pc<i>', kind='numeric',
+    statistic='ks', value, flagged) — the same shape as
+    :func:`drift_report`, so downstream alerting is shared. Cost: one
+    PCA fit on the baseline (one Arrow pass + O(d²) combine), one
+    map-only projection per side, k exact-KS subplans.
+    """
+    from mwas_rfam_spark.operators.decomposition import fit_pca, pca_project
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    model = fit_pca(emb_base.where(F.col(vec_col).isNotNull()), k, vec_col=vec_col)
+    cols = [f"pc{i}" for i in range(k)]
+
+    def proj(df):
+        p = pca_project(
+            df.where(F.col(vec_col).isNotNull()), model, vec_col=vec_col, out_col="__p"
+        )
+        return p.select(*[F.col("__p")[i].alias(c) for i, c in enumerate(cols)])
+
+    return drift_report(
+        proj(emb_base),
+        proj(emb_cur),
+        numeric_cols=cols,
+        categorical_cols=[],
+        ks_threshold=ks_threshold,
+        numeric_mode="exact",
+    )

@@ -715,3 +715,25 @@ def test_cli_select_mix(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert "mixed" not in capsys.readouterr().out
+
+
+def test_cli_drift_embedding_mode(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.__main__ import main
+
+    base = str(tmp_path / "base")
+    cur = str(tmp_path / "cur")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    emb.where("vec_id % 2 = 0").write.parquet(base)
+    emb.where("vec_id % 2 = 1").write.parquet(cur)
+    rc = main(
+        ["drift", base, cur, "--embedding-col", "embedding",
+         "--components", "2", "--ks-threshold", "0.2", "--fail-on-drift"],
+        spark=spark,
+    )
+    assert rc == 0  # same distribution: unflagged
+    out = capsys.readouterr().out
+    assert "pc0" in out and "pc1" in out

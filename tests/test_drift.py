@@ -343,3 +343,49 @@ def test_binned_ks_bound_mass_shift_counterexample(spark):
     r2 = binned_numeric_drift(c, d, "v", bins=2).first()
     assert r2["ks_lower_bound"] == 0.0
     assert r2["psi"] > 0.25
+
+
+def test_embedding_drift_report_detects_mean_shift(spark, sf_dir):
+    """A same-distribution split stays unflagged; shifting the current
+    side along a retained direction flags at least the affected
+    component. KS per component must equal a direct drift_report over
+    the projected scalars (shared plan, recomputed independently)."""
+    from mwas_rfam_spark.operators.decomposition import fit_pca, pca_project
+    from mwas_rfam_spark.operators.drift import drift_report, embedding_drift_report
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).cache()
+    base = emb.where(F.col("vec_id") % 2 == 0)
+    same = emb.where(F.col("vec_id") % 2 == 1)
+    calm = embedding_drift_report(base, same, k=3, ks_threshold=0.2).collect()
+    assert [r["column"] for r in calm] == ["pc0", "pc1", "pc2"]
+    assert not any(r["flagged"] for r in calm)
+
+    # shift the current side along the baseline's FIRST component
+    model = fit_pca(base, 3)
+    c0 = model["components"][0]
+    shifted = same.select(
+        "vec_id",
+        F.zip_with(
+            "embedding",
+            F.array(*[F.lit(float(5.0 * x)) for x in c0]),
+            lambda a, b: a + b,
+        ).alias("embedding"),
+    )
+    hot = {r["column"]: r for r in embedding_drift_report(base, shifted, k=3).collect()}
+    assert hot["pc0"]["flagged"]
+
+    # cross-check: identical to a scalar drift_report over the projections
+    def proj(df):
+        p = pca_project(df, model, out_col="__p")
+        return p.select(*[F.col("__p")[i].alias(f"pc{i}") for i in range(3)])
+
+    direct = {
+        r["column"]: round(r["value"], 9)
+        for r in drift_report(
+            proj(base), proj(shifted), numeric_cols=["pc0", "pc1", "pc2"],
+            categorical_cols=[], numeric_mode="exact",
+        ).collect()
+    }
+    assert {c: round(hot[c]["value"], 9) for c in direct} == direct
