@@ -388,9 +388,17 @@ def materialize_ivfpq(
     guarded = _guard_dims(emb, centroids, vec_col)
     write_ivf_index(guarded, centroids, f"{path}/vectors", id_col, vec_col)
     assigned = assign_ivf_cells(guarded, centroids, id_col, vec_col)
-    pq_encode(assigned, codebooks, id_col, vec_col).write.partitionBy("cell").mode(
-        "overwrite"
-    ).parquet(f"{path}/codes")
+    # cluster by cell before the partitioned write (see
+    # similarity.write_ivf_index): one file per cell instead of
+    # n_tasks x n_cells slivers
+    (
+        pq_encode(assigned, codebooks, id_col, vec_col)
+        .repartition("cell")
+        .write.option("maxRecordsPerFile", 1 << 20)
+        .partitionBy("cell")
+        .mode("overwrite")
+        .parquet(f"{path}/codes")
+    )
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell INT, centroid ARRAY<DOUBLE>",
@@ -465,9 +473,14 @@ def append_ivfpq_index(
     guarded = _guard_dims(emb_new, centroids, vec_col)
     write_ivf_index(guarded, centroids, f"{path}/vectors", id_col, vec_col, mode="append")
     assigned = assign_ivf_cells(guarded, centroids, id_col, vec_col)
-    pq_encode(assigned, codebooks, id_col, vec_col).write.partitionBy("cell").mode(
-        "append"
-    ).parquet(f"{path}/codes")
+    (
+        pq_encode(assigned, codebooks, id_col, vec_col)
+        .repartition("cell")
+        .write.option("maxRecordsPerFile", 1 << 20)
+        .partitionBy("cell")
+        .mode("append")
+        .parquet(f"{path}/codes")
+    )
 
 
 def remove_from_ivfpq_index(

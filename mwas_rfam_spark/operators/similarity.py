@@ -300,9 +300,20 @@ def write_ivf_index(
     definition of the index layout — materialize_ivf and
     append_ivf_index both write through here."""
     guarded = _guard_dims(emb, centroids, vec_col)
-    assign_ivf_cells(guarded, centroids, id_col, vec_col).write.partitionBy(
-        "cell"
-    ).mode(mode).parquet(path)
+    assigned = assign_ivf_cells(guarded, centroids, id_col, vec_col)
+    # cluster by cell before the partitioned write: without this every
+    # task writes a sliver into every cell directory and the index is
+    # n_tasks × n_cells small files (measured 64×80 = 5,120 at the 100×
+    # probe — file-listing cost then dominates the probe's partition
+    # pruning). One shuffle at BUILD time buys ~1 file per cell;
+    # maxRecordsPerFile re-splits giant cells so files stay bounded.
+    (
+        assigned.repartition("cell")
+        .write.option("maxRecordsPerFile", 1 << 20)
+        .partitionBy("cell")
+        .mode(mode)
+        .parquet(path)
+    )
 
 
 def materialize_ivf(

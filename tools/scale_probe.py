@@ -874,6 +874,62 @@ def probe_r6b_ops(spark, sf_dir: str, out: dict):
           file=sys.stderr)
 
 
+def probe_r6b100(spark, sf_dir: str, out: dict):
+    """Probe L — the two wave-2 heavyweights at 100× (the brief's bar):
+    IVF-PQ build/search with cells scaled ~sqrt(N) (8 → 80: the
+    large-k Arrow GEMM assignment path), and the exact broadcast-GEMM
+    semantic decontamination whose cost is one linear train scan."""
+    from mwas_rfam_spark.operators.dedup import semantic_decontaminate
+    from mwas_rfam_spark.operators.quantization import (
+        ivfpq_topk_indexed,
+        materialize_ivfpq,
+        train_pq_codebooks,
+    )
+    from mwas_rfam_spark.operators.similarity import train_ivf_centroids
+    from mwas_rfam_spark.plans.testdata_mwas import load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    emb100 = emb.crossJoin(
+        spark.range(100).select(F.col("id").alias("_c"))
+    ).select(
+        (F.col("vec_id") * 100 + F.col("_c")).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.sin((F.col("_c") + F.lit(1)).cast("double") * (i + F.lit(1))),
+        ).alias("embedding"),
+    ).repartition(64).localCheckpoint()
+    n = emb100.count()
+    out["ivfpq_100x_rows"] = n
+    q = [float(x) for x in emb100.orderBy("vec_id").first()["embedding"]]
+
+    import tempfile
+
+    cents = train_ivf_centroids(emb100, k=80, iters=2)
+    books = train_pq_codebooks(emb100, m=8, k=32, iters=3, sample_size=512)
+    path = tempfile.mkdtemp(prefix="ivfpq_100x_")
+    t0 = time.time()
+    materialize_ivfpq(emb100, cents, books, path)
+    out["ivfpq_build_100x"] = round(time.time() - t0, 2)
+    for run in (1, 2):
+        t0 = time.time()
+        _force(ivfpq_topk_indexed(spark, path, q, k=10, nprobe=8, rerank=100))
+        out[f"ivfpq_search_100x_r{run}"] = round(time.time() - t0, 2)
+
+    eval_emb = emb.where(F.col("vec_id") % 11 == 0)
+    t0 = time.time()
+    _force(semantic_decontaminate(emb100, eval_emb, threshold=0.9))
+    out["semantic_decontam_100x"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    _force(semantic_decontaminate(emb, eval_emb, threshold=0.9))
+    out["semantic_decontam_1x"] = round(time.time() - t0, 2)
+
+    spark.catalog.clearCache()
+    print({k: v for k, v in out.items()
+           if "100x" in k or k == "semantic_decontam_1x"}, file=sys.stderr)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="scale-probe")
@@ -894,6 +950,7 @@ def main():
         "i100": probe_i100,
         "r6": probe_r6_ops,
         "r6b": probe_r6b_ops,
+        "r6b100": probe_r6b100,
     }
     if only is not None and only not in probes:
         raise SystemExit(
