@@ -1197,6 +1197,26 @@ def q_semantic_decontam(spark, sf_dir):
     )
 
 
+def q_ann_knn_join(spark, sf_dir):
+    """Batch ANN retrieval (bench surface): k-NN JOIN for a 16-query
+    batch, IVF-blocked — probe cells per query via broadcast GEMM, cell
+    equi-join against the assigned corpus (broadcast query side, corpus
+    never shuffles), two-phase per-query top-k. Exactness at
+    nprobe=k_cells and probe semantics pinned by
+    tests/test_similarity.py::test_ivf_knn_join_parity_and_probe_semantics."""
+    from mwas_rfam_spark.operators.similarity import ivf_knn_join
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = _ivf_centroids(spark, sf_dir, k=8, iters=2)
+    queries = e.orderBy("vec_id").limit(16).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ivf_knn_join(e, queries, cents, k=5, nprobe=3)
+    return out.select("q_id", "vec_id", F.round("cosine", 5).alias("cosine"), "rank")
+
+
 def q_embed_drift(spark, sf_dir):
     """Embedding-distribution drift (bench surface): both corpus halves
     projected onto the baseline half's top-3 principal components, exact
@@ -2669,6 +2689,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup": q_image_dedup,
         "semantic_decontam": q_semantic_decontam,
         "embed_drift": q_embed_drift,
+        "ann_knn_join": q_ann_knn_join,
         "t1_welch_from_stats": q_t1_welch_from_stats,
         "a4_two_level_rollup": q_a4_two_level_rollup,
         "dedup_simhash": q_dedup_simhash,

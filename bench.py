@@ -70,6 +70,7 @@ HEADLINE = [
     "image_dedup",
     "semantic_decontam",
     "embed_drift",
+    "ann_knn_join",
     "drift_report",
     "bpe_tokenize",
     "cdc_dedup",

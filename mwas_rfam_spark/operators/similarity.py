@@ -561,3 +561,104 @@ def compact_ivf_index(
     return compact_files(
         spark, f"{path}/vectors", target_rows_per_file, partition_col="cell"
     )
+
+
+def _assign_probe_cells(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    q_vec_col: str,
+) -> DataFrame:
+    """Attach ``cell`` (exploded, one row per probed cell) to each query:
+    the nprobe nearest coarse centroids by L2, via the same broadcast
+    GEMM pattern as `_assign_cells_arrow` (argmin over -2xC^T + |c|^2).
+    Ties and order are (distance, cell id) — the single-query probe's
+    stable sort, so nprobe = k_cells reproduces exact search. NULL /
+    wrong-dimension query vectors probe nothing and vanish from the
+    output (documented)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    spark = queries.sparkSession
+    C = np.asarray(centroids, dtype=np.float64)
+    d = C.shape[1]
+    npb = min(nprobe, C.shape[0])
+    bc = spark.sparkContext.broadcast((C, (C * C).sum(axis=1)))
+    schema = T.StructType(
+        queries.schema.fields + [T.StructField("cell", T.IntegerType())]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        Cm, c2 = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_rows = []
+            for i, v in enumerate(pdf[q_vec_col]):
+                if v is None or len(v) != d:
+                    continue
+                x = np.asarray(v, dtype=np.float64)
+                dist = x @ (-2.0 * Cm.T) + c2
+                order = np.lexsort((np.arange(len(dist)), dist))[:npb]
+                for c in order:
+                    out_rows.append((i, int(c)))
+            if not out_rows:
+                continue
+            idx = [r for r, _ in out_rows]
+            res = pdf.iloc[idx].copy()
+            res["cell"] = pd.array([c for _, c in out_rows], dtype="Int32")
+            yield res
+
+    return queries.mapInPandas(kernel, schema)
+
+
+def ivf_knn_join(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Batch ANN retrieval — k nearest neighbors for EVERY row of a
+    query table, IVF-blocked: the k-NN JOIN that turns the single-query
+    probes into the retrieval primitive batch pipelines actually run
+    (RAG corpus joins, hard-negative mining, cross-snapshot matching).
+
+    Shape: queries get their ``nprobe`` nearest coarse cells (broadcast
+    GEMM, exploded), vectors carry their one cell (pass a pre-assigned
+    frame with a ``cell`` column — e.g. a `write_ivf_index` read — to
+    skip re-assignment), and candidates come from the cell equi-join:
+    scoring is nprobe/k_cells of the cross product `knn_per_query`
+    would scan. With ``broadcast_queries`` (the common case — query
+    batches are small) the join is a BroadcastHashJoin and the corpus
+    never shuffles; set it False for query tables too big to broadcast
+    and the join shuffles both sides on ``cell``. Exactness:
+    ``nprobe >= len(centroids)`` probes every cell and reproduces
+    `knn_per_query` exactly (pytest-pinned parity); smaller nprobe
+    trades the standard IVF recall for the standard IVF cost.
+
+    Returns (q_id, vec_id, cosine, rank<=k)."""
+    from .topk import top_k_per_group
+
+    if "cell" not in emb.columns:
+        emb = assign_ivf_cells(emb, centroids, id_col, vec_col)
+    probes = _assign_probe_cells(queries, centroids, nprobe, q_vec_col)
+    if broadcast_queries:
+        probes = F.broadcast(probes)
+    joined = emb.join(probes, "cell").withColumn(
+        "cosine",
+        _dot(F.col(vec_col), F.col(q_vec_col))
+        / (_norm(F.col(vec_col)) * _norm(F.col(q_vec_col))),
+    )
+    out = top_k_per_group(
+        joined, [q_id_col], [F.desc("cosine"), F.asc(id_col)], k=k
+    )
+    return out.select(q_id_col, id_col, "cosine", "rank")

@@ -371,3 +371,56 @@ def test_remove_from_ivf_index_equals_rebuild(spark, sf_dir, tmp_path):
 
     remove_from_ivf_index(keep, inc)
     assert glob.glob(f"{inc}/vectors/cell=*") == []
+
+
+def test_ivf_knn_join_parity_and_probe_semantics(spark, sf_dir, tmp_path):
+    """nprobe == k_cells probes everything and must reproduce the
+    brute-force k-NN join exactly; small nprobe still finds each
+    query's own vector (its cell is always the nearest probe); NULL /
+    ragged query vectors probe nothing and vanish."""
+    from mwas_rfam_spark.operators.similarity import (
+        ivf_knn_join,
+        knn_per_query,
+        train_ivf_centroids,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .cache()
+    )
+    cents = train_ivf_centroids(emb, k=8, iters=2)
+    d = len(cents[0])
+    q_rows = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.orderBy("vec_id").limit(3).collect()
+    ]
+    queries = spark.createDataFrame(
+        q_rows + [(99, None), (98, [1.0, 2.0])],
+        "q_id long, q_vec array<double>",
+    )
+
+    key = lambda df: sorted(
+        (r["q_id"], r["rank"], r["vec_id"], round(r["cosine"], 9))
+        for r in df.collect()
+    )
+    exact = knn_per_query(emb, queries.where("q_vec is not null and size(q_vec) = %d" % d), k=5)
+    everything = ivf_knn_join(emb, queries, cents, k=5, nprobe=len(cents))
+    assert key(everything) == key(exact)
+
+    pruned = ivf_knn_join(emb, queries, cents, k=5, nprobe=2)
+    got = {
+        (r["q_id"], r["vec_id"])
+        for r in pruned.where("rank = 1").collect()
+    }
+    # each real query is a corpus vector: its own cell is the nearest
+    # probe, so rank 1 is itself at cosine ~1
+    assert got == {(q, q) for q, _ in q_rows}
+    assert {r["q_id"] for r in pruned.collect()} == {q for q, _ in q_rows}
+
+    # pre-assigned cell column is honored (no re-assignment)
+    from mwas_rfam_spark.operators.similarity import assign_ivf_cells
+
+    pre = assign_ivf_cells(emb, cents)
+    again = ivf_knn_join(pre, queries, cents, k=5, nprobe=len(cents))
+    assert key(again) == key(exact)
