@@ -653,8 +653,14 @@ def build_search_parser() -> argparse.ArgumentParser:
         "top-k over a text index, partition-pruned to the query terms' "
         "buckets.",
     )
-    p.add_argument("path", help="text index root (from `index text build`)")
-    p.add_argument("--terms", required=True, help="comma list of query terms")
+    p.add_argument("path", help="index root (`index text build` or `index ivf build`)")
+    p.add_argument("--terms", default=None, help="text mode: comma list of query terms")
+    p.add_argument("--queries", default=None,
+                   help="vector mode: parquet of query vectors, batch k-NN "
+                        "join against an IVF index root")
+    p.add_argument("--q-id-col", default="vec_id")
+    p.add_argument("--q-vec-col", default="embedding")
+    p.add_argument("--nprobe", type=int, default=4)
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--output", default=None, help="optional results parquet")
     return p
@@ -662,21 +668,47 @@ def build_search_parser() -> argparse.ArgumentParser:
 
 def search_main(argv: list[str], spark: SparkSession | None = None) -> int:
     args = build_search_parser().parse_args(argv)
-    terms = [t.strip() for t in args.terms.split(",") if t.strip()]
-    if not terms:
-        raise SystemExit("search: --terms must name at least one term")
+    if bool(args.terms) == bool(args.queries):
+        raise SystemExit("search: exactly one of --terms or --queries")
     owns_session = spark is None
     if owns_session:
         from .session import get_spark
 
         spark = get_spark(app_name="search-cli")
     try:
-        from .operators.retrieval import bm25_topk_indexed
+        if args.terms:
+            terms = [t.strip() for t in args.terms.split(",") if t.strip()]
+            if not terms:
+                raise SystemExit("search: --terms must name at least one term")
+            from .operators.retrieval import bm25_topk_indexed
 
-        result = bm25_topk_indexed(spark, args.path, terms, k=args.k)
-        rows = result.collect()
-        for r in rows:
-            print(f"{r['doc_id']}\t{r['score']:.6f}\t{r['n_matched']}")
+            result = bm25_topk_indexed(spark, args.path, terms, k=args.k)
+            rows = result.collect()
+            for r in rows:
+                print(f"{r['doc_id']}\t{r['score']:.6f}\t{r['n_matched']}")
+        else:
+            from pyspark.sql import functions as F
+
+            from .operators.similarity import ivf_knn_join
+
+            cents = sorted(
+                spark.read.parquet(f"{args.path}/centroids").collect(),
+                key=lambda r: r["cell"],
+            )
+            if not cents:
+                raise SystemExit(f"search: no centroids under {args.path}/centroids")
+            centroids = [list(r["centroid"]) for r in cents]
+            vectors = spark.read.parquet(f"{args.path}/vectors")
+            queries = spark.read.parquet(args.queries).select(
+                F.col(args.q_id_col).alias("q_id"),
+                F.col(args.q_vec_col).cast("array<double>").alias("q_vec"),
+            )
+            result = ivf_knn_join(
+                vectors, queries, centroids, k=args.k, nprobe=args.nprobe
+            )
+            rows = result.collect()
+            for r in rows:
+                print(f"{r['q_id']}\t{r['vec_id']}\t{r['cosine']:.6f}\t{r['rank']}")
         if args.output:
             # the result's own schema — the index id column may be any type
             spark.createDataFrame(rows, result.schema).write.mode(

@@ -737,3 +737,41 @@ def test_cli_drift_embedding_mode(spark, tmp_path, capsys):
     assert rc == 0  # same distribution: unflagged
     out = capsys.readouterr().out
     assert "pc0" in out and "pc1" in out
+
+
+def test_search_cli_vector_mode(spark, tmp_path, capsys):
+    """`search <ivf index> --queries q.parquet`: batch k-NN join over the
+    materialized index; each query's own vector comes back at rank 1."""
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.operators.similarity import (
+        materialize_ivf,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    idx = str(tmp_path / "ivf")
+    materialize_ivf(emb, train_ivf_centroids(emb, k=4, iters=1), idx)
+    qpath = str(tmp_path / "q")
+    emb.orderBy("vec_id").limit(2).write.parquet(qpath)
+    out = str(tmp_path / "hits")
+    rc = main(
+        ["search", idx, "--queries", qpath, "-k", "3", "--nprobe", "2",
+         "--output", out],
+        spark=spark,
+    )
+    assert rc == 0
+    hits = spark.read.parquet(out)
+    assert hits.count() == 6
+    top = {(r["q_id"], r["vec_id"]) for r in hits.where("rank = 1").collect()}
+    assert top == {(0, 0), (1, 1)}
+    text = capsys.readouterr().out
+    assert "1.000000" in text
+
+    # exactly one of --terms/--queries
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["search", idx], spark=spark)
