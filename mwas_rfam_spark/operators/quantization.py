@@ -427,10 +427,32 @@ def ivfpq_topk_indexed(
     inside whole-stage codegen, and the ``rerank`` survivor ids
     broadcast-join into the equally-pruned ``vectors`` table for the
     exact distances that produce the final k."""
-    import numpy as np
-
     centroids = _read_centroids(spark, f"{path}/centroids")
     codebooks = _read_codebooks(spark, f"{path}/codebooks")
+    return ivfpq_topk_with_meta(
+        spark, path, centroids, codebooks, query_vec,
+        k=k, nprobe=nprobe, rerank=rerank, id_col=id_col, vec_col=vec_col,
+    )
+
+
+def ivfpq_topk_with_meta(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`ivfpq_topk_indexed` with the quantizers already in hand —
+    the steady-state serving shape: both are frozen at build time, so a
+    long-lived process reads them ONCE and probes many times without
+    re-collecting two parquet tables per query."""
+    import numpy as np
+
     q = np.asarray(query_vec, dtype=np.float64)
     order = sorted(
         range(len(centroids)),
