@@ -480,6 +480,13 @@ def drift_main(argv: list[str], spark: SparkSession | None = None) -> int:
         raise SystemExit(
             "drift: need --numeric and/or --categorical columns, or --embedding-col"
         )
+    if args.embedding_col and (numeric or categorical):
+        # silently scoring only the PCs while the caller named scalar
+        # columns would be a monitoring gap; make the modes explicit
+        raise SystemExit(
+            "drift: --embedding-col is its own mode; run scalar columns "
+            "as a separate invocation"
+        )
     owns_session = spark is None
     if owns_session:
         from .session import get_spark
@@ -689,15 +696,10 @@ def search_main(argv: list[str], spark: SparkSession | None = None) -> int:
         else:
             from pyspark.sql import functions as F
 
+            from .operators.quantization import _read_centroids
             from .operators.similarity import ivf_knn_join
 
-            cents = sorted(
-                spark.read.parquet(f"{args.path}/centroids").collect(),
-                key=lambda r: r["cell"],
-            )
-            if not cents:
-                raise SystemExit(f"search: no centroids under {args.path}/centroids")
-            centroids = [list(r["centroid"]) for r in cents]
+            centroids = _read_centroids(spark, f"{args.path}/centroids")
             vectors = spark.read.parquet(f"{args.path}/vectors")
             queries = spark.read.parquet(args.queries).select(
                 F.col(args.q_id_col).alias("q_id"),
@@ -708,7 +710,10 @@ def search_main(argv: list[str], spark: SparkSession | None = None) -> int:
             )
             rows = result.collect()
             for r in rows:
-                print(f"{r['q_id']}\t{r['vec_id']}\t{r['cosine']:.6f}\t{r['rank']}")
+                # zero-norm vectors score NULL cosine (non-ANSI /0);
+                # they rank last but must still print
+                cos = "null" if r["cosine"] is None else f"{r['cosine']:.6f}"
+                print(f"{r['q_id']}\t{r['vec_id']}\t{cos}\t{r['rank']}")
         if args.output:
             # the result's own schema — the index id column may be any type
             spark.createDataFrame(rows, result.schema).write.mode(

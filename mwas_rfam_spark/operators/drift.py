@@ -429,7 +429,12 @@ def embedding_drift_report(
         p = pca_project(
             df.where(F.col(vec_col).isNotNull()), model, vec_col=vec_col, out_col="__p"
         )
-        return p.select(*[F.col("__p")[i].alias(c) for i, c in enumerate(cols)])
+        # checkpoint: drift_report builds an independent KS subplan per
+        # component, each of which would otherwise re-scan the corpus
+        # and recompute the d-dimensional projection — k-fold redundant
+        return p.select(
+            *[F.col("__p")[i].alias(c) for i, c in enumerate(cols)]
+        ).localCheckpoint()
 
     return drift_report(
         proj(emb_base),

@@ -570,8 +570,11 @@ def _assign_probe_cells(
     q_vec_col: str,
 ) -> DataFrame:
     """Attach ``cell`` (exploded, one row per probed cell) to each query:
-    the nprobe nearest coarse centroids by L2, via the same broadcast
-    GEMM pattern as `_assign_cells_arrow` (argmin over -2xC^T + |c|^2).
+    the nprobe nearest coarse centroids by EXACT squared L2 —
+    ``((x - C)**2).sum(axis=1)``, the same floats as the single-query
+    probes (`ivf_ann_topk_indexed` / `ivfpq_topk_indexed`), NOT the
+    GEMM rearrangement (-2xC^T + |c|^2 rounds differently at 1-ulp
+    ties, which would let batch and single-query probe sets disagree).
     Ties and order are (distance, cell id) — the single-query probe's
     stable sort, so nprobe = k_cells reproduces exact search. NULL /
     wrong-dimension query vectors probe nothing and vanish from the
@@ -584,7 +587,7 @@ def _assign_probe_cells(
     C = np.asarray(centroids, dtype=np.float64)
     d = C.shape[1]
     npb = min(nprobe, C.shape[0])
-    bc = spark.sparkContext.broadcast((C, (C * C).sum(axis=1)))
+    bc = spark.sparkContext.broadcast(C)
     schema = T.StructType(
         queries.schema.fields + [T.StructField("cell", T.IntegerType())]
     )
@@ -592,7 +595,7 @@ def _assign_probe_cells(
     def kernel(batches):
         import pandas as pd
 
-        Cm, c2 = bc.value
+        Cm = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -601,7 +604,7 @@ def _assign_probe_cells(
                 if v is None or len(v) != d:
                     continue
                 x = np.asarray(v, dtype=np.float64)
-                dist = x @ (-2.0 * Cm.T) + c2
+                dist = ((x[None, :] - Cm) ** 2).sum(axis=1)
                 order = np.lexsort((np.arange(len(dist)), dist))[:npb]
                 for c in order:
                     out_rows.append((i, int(c)))
@@ -643,11 +646,18 @@ def ivf_knn_join(
     and the join shuffles both sides on ``cell``. Exactness:
     ``nprobe >= len(centroids)`` probes every cell and reproduces
     `knn_per_query` exactly (pytest-pinned parity); smaller nprobe
-    trades the standard IVF recall for the standard IVF cost.
+    trades the standard IVF recall for the standard IVF cost. FP
+    caveat (the standard one, same as faiss): the corpus side assigns
+    cells with Spark-fold arithmetic while the probe kernel uses numpy
+    sums — a centroid distance tied at 1 ulp could place a vector and
+    its identical query on different sides of a cell boundary; real
+    corpora don't sit on exact ties.
 
     Returns (q_id, vec_id, cosine, rank<=k)."""
     from .topk import top_k_per_group
 
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     if "cell" not in emb.columns:
         emb = assign_ivf_cells(emb, centroids, id_col, vec_col)
     probes = _assign_probe_cells(queries, centroids, nprobe, q_vec_col)

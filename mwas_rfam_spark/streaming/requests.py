@@ -504,7 +504,7 @@ def streaming_minhash_dedup(
 
 
 HH_OUT_SCHEMA = (
-    "shard INT, key STRING, est_count LONG"
+    "shard INT, key STRING, est_count LONG, shard_rows LONG"
 )
 HH_STATE_SCHEMA = "keys ARRAY<STRING>, counts ARRAY<LONG>, n_rows LONG"
 
@@ -546,10 +546,15 @@ def streaming_heavy_hitters(
     Guarantees (each key lives in exactly one shard, so its full mass
     folds into one summary): any key with true count >
     shard_rows/(capacity+1) is IN the summary, and est_count is a lower
-    bound within shard_rows/(capacity+1) of the true count. Exact
-    counts, as in the batch operator, come from a downstream verify of
-    the candidate set — the stream's job is to keep the candidate set
-    bounded while the vocabulary is unbounded.
+    bound within shard_rows/(capacity+1) of the true count —
+    ``shard_rows`` is emitted with every row precisely so a consumer
+    can compute that bound. Exact counts, as in the batch operator,
+    come from a downstream verify of the candidate set — the stream's
+    job is to keep the candidate set bounded while the vocabulary is
+    unbounded. (Fold-order note: MG summaries depend on the order
+    counts fold in — per Arrow chunk here — so two runs with different
+    chunking may emit different, EQUALLY VALID summaries; the
+    guarantees above hold for all fold orders.)
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -579,6 +584,7 @@ def streaming_heavy_hitters(
                 "shard": [shard] * len(out),
                 "key": [k for k, _ in out],
                 "est_count": [c for _, c in out],
+                "shard_rows": [n_rows] * len(out),
             }
         )
 
