@@ -1217,6 +1217,24 @@ def q_ann_knn_join(spark, sf_dir):
     return out.select("q_id", "vec_id", F.round("cosine", 5).alias("cosine"), "rank")
 
 
+def q_ivfpq_knn_join(spark, sf_dir):
+    """Batch retrieval over the materialized IVF-PQ index (bench
+    surface): a 16-query k-NN join whose corpus scan reads the 8-byte
+    PQ codes (the 32x-narrower table), ADC via the per-query-LUT Arrow
+    kernel, exact re-rank of survivors only. Single-query equivalence
+    with the registered ivfpq_indexed entry is pytest-pinned."""
+    from mwas_rfam_spark.operators.quantization import ivfpq_knn_join
+
+    e = _t(spark, sf_dir, "embeddings")
+    path, _cents, _books = _ivfpq_index(spark, sf_dir)
+    queries = e.orderBy("vec_id").limit(16).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    )
+    out = ivfpq_knn_join(spark, path, queries, k=5, nprobe=3, rerank=100)
+    return out.select("q_id", "vec_id", F.round("dist", 5).alias("dist"), "rank")
+
+
 _DRIFT_PCA_CACHE: dict[str, dict] = {}
 
 
@@ -2706,6 +2724,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontam": q_semantic_decontam,
         "embed_drift": q_embed_drift,
         "ann_knn_join": q_ann_knn_join,
+        "ivfpq_knn_join": q_ivfpq_knn_join,
         "t1_welch_from_stats": q_t1_welch_from_stats,
         "a4_two_level_rollup": q_a4_two_level_rollup,
         "dedup_simhash": q_dedup_simhash,

@@ -71,6 +71,7 @@ HEADLINE = [
     "semantic_decontam",
     "embed_drift",
     "ann_knn_join",
+    "ivfpq_knn_join",
     "drift_report",
     "bpe_tokenize",
     "cdc_dedup",

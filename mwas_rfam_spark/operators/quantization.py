@@ -694,3 +694,98 @@ def sq_topk_refined(
     cand = sq_topk(codes_df, query_vec, params, k=rerank, id_col=id_col).select(id_col)
     pool = emb.join(F.broadcast(cand), id_col)
     return brute_force_topk(pool, query_vec, k, id_col, vec_col)
+
+
+def ivfpq_knn_join(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int = 50,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch ANN retrieval over a :func:`materialize_ivfpq` index — the
+    k-NN JOIN whose corpus-side scan reads 8-byte PQ CODES, not
+    vectors: at 100 TB this is the difference between joining the
+    query batch against the corpus and joining it against a table 32×
+    smaller. Composition (all one plan): nprobe cells per query from
+    the stored coarse centroids (`similarity._assign_probe_cells`,
+    exploded + broadcast), cell equi-join against the partition-pruned
+    codes, ADC distance via an Arrow kernel (one lookup table per
+    DISTINCT query per batch, then a vectorized table-take per row —
+    the expression formulation with the codebook folded in as ~2k
+    literals costs 3.5-4.7 s of DRIVER ANALYSIS per plan, the same
+    measured wall that pushed `pq_encode` to pandas), two-phase
+    per-query top-``rerank`` over the approximate distances, and an
+    exact re-rank of only the surviving (query, candidate) pairs
+    against the equally-pruned full vectors.
+
+    Single-query equivalence: for one query row this returns exactly
+    :func:`ivfpq_topk_indexed`'s rows (pytest-pinned; ADC per row is
+    the same lut[j][code_j] sum, computed from the same float64 LUT).
+    Returns (q_id, vec_id, dist, rank<=k)."""
+    import numpy as np
+
+    from mwas_rfam_spark.operators.similarity import _assign_probe_cells
+    from mwas_rfam_spark.operators.topk import top_k_per_group
+
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    centroids = _read_centroids(spark, f"{path}/centroids")
+    codebooks = _read_codebooks(spark, f"{path}/codebooks")
+    probes = F.broadcast(
+        _assign_probe_cells(queries, centroids, nprobe, q_vec_col)
+    )
+    codes = spark.read.parquet(f"{path}/codes")
+    joined = codes.join(probes, "cell").select(q_id_col, q_vec_col, id_col, "codes")
+
+    C = np.asarray(codebooks, dtype=np.float64)  # (m, k, d0)
+    m, _, d0 = C.shape
+    bc = spark.sparkContext.broadcast(C)
+    id_field = joined.schema[id_col].simpleString().split(":", 1)[1]
+    q_field = joined.schema[q_id_col].simpleString().split(":", 1)[1]
+    out_schema = f"`{q_id_col}` {q_field}, `{id_col}` {id_field}, approx_dist double"
+
+    def adc(batches):
+        import pandas as pd
+
+        Cm = bc.value
+        m_ = Cm.shape[0]
+        cols = np.arange(m_)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            dist = np.empty(len(pdf), dtype=np.float64)
+            for _, idx in pdf.groupby(q_id_col).indices.items():
+                q = np.asarray(pdf[q_vec_col].iloc[idx[0]], dtype=np.float64)
+                # lut[j][c] = ||q_j - cb[j][c]||² — same floats as
+                # adc_lookup_table (per-subspace numpy sum)
+                lut = ((Cm - q.reshape(m_, 1, d0)) ** 2).sum(axis=2)
+                cd = np.stack(pdf["codes"].iloc[idx].to_numpy())
+                dist[idx] = lut[cols[None, :], cd].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    q_id_col: pdf[q_id_col].to_numpy(),
+                    id_col: pdf[id_col].to_numpy(),
+                    "approx_dist": dist,
+                }
+            )
+
+    scored = joined.mapInPandas(adc, out_schema)
+    cand = top_k_per_group(
+        scored, [q_id_col], [F.asc("approx_dist"), F.asc(id_col)], k=rerank
+    ).select(q_id_col, id_col)
+    # re-attach query vectors for the exact re-rank (tiny, broadcast)
+    qv = queries.select(q_id_col, q_vec_col)
+    vectors = spark.read.parquet(f"{path}/vectors")
+    exact = vectors.join(
+        F.broadcast(cand.join(qv, q_id_col)), id_col
+    ).withColumn("dist", _sq_l2(F.col(vec_col), F.col(q_vec_col)))
+    out = top_k_per_group(
+        exact, [q_id_col], [F.asc("dist"), F.asc(id_col)], k=k
+    )
+    return out.select(q_id_col, id_col, "dist", "rank")

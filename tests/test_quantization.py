@@ -460,3 +460,45 @@ def test_ivfpq_compact_preserves_search(spark, emb, books, ivf_cents, qvec, tmp_
     n_after = compact_ivfpq_index(spark, path)
     assert _search(spark, path, qvec, **kw) == before
     assert n_after < files_before
+
+
+def test_ivfpq_knn_join_single_query_equivalence(spark, emb, books, ivf_cents, qvec, tmp_path):
+    """For each query row, the batch codes-scan join returns exactly the
+    single-query ivfpq_topk_indexed rows (same ADC LUT floats, same
+    rerank); nprobe guard enforced; NULL query vectors vanish."""
+    from mwas_rfam_spark.operators.quantization import (
+        ivfpq_knn_join,
+        ivfpq_topk_indexed,
+        materialize_ivfpq,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    materialize_ivfpq(emb, ivf_cents, books, path)
+    q = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    q = q.unionByName(
+        spark.createDataFrame([(99, None)], "q_id long, q_vec array<float>")
+    )
+    rows = ivfpq_knn_join(spark, path, q, k=5, nprobe=3, rerank=100).collect()
+    assert {r["q_id"] for r in rows} == {0, 1, 2}  # NULL query vanished
+    for qid in (0, 1, 2):
+        qv = [float(x) for x in emb.where(F.col("vec_id") == qid).first()["embedding"]]
+        single = [
+            (r["vec_id"], round(r["dist"], 9))
+            for r in ivfpq_topk_indexed(
+                spark, path, qv, k=5, nprobe=3, rerank=100
+            ).collect()
+        ]
+        batch = [
+            (r["vec_id"], round(r["dist"], 9))
+            for r in sorted(
+                (r for r in rows if r["q_id"] == qid), key=lambda r: r["rank"]
+            )
+        ]
+        assert single == batch
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="nprobe"):
+        ivfpq_knn_join(spark, path, q, k=5, nprobe=0)
