@@ -712,22 +712,29 @@ def ivfpq_knn_join(
     k-NN JOIN whose corpus-side scan reads 8-byte PQ CODES, not
     vectors: at 100 TB this is the difference between joining the
     query batch against the corpus and joining it against a table 32×
-    smaller. Composition (all one plan): nprobe cells per query from
-    the stored coarse centroids (`similarity._assign_probe_cells`,
-    exploded + broadcast), cell equi-join against the partition-pruned
-    codes, ADC distance via an Arrow kernel (one lookup table per
-    DISTINCT query per batch, then a vectorized table-take per row —
-    the expression formulation with the codebook folded in as ~2k
-    literals costs 3.5-4.7 s of DRIVER ANALYSIS per plan, the same
-    measured wall that pushed `pq_encode` to pandas), two-phase
-    per-query top-``rerank`` over the approximate distances, and an
-    exact re-rank of only the surviving (query, candidate) pairs
-    against the equally-pruned full vectors.
+    smaller. Composition: nprobe cells per query from the stored
+    coarse centroids (`similarity._assign_probe_cells`, exploded +
+    broadcast), the probed-cell UNION collected driver-side and pushed
+    as a STATIC partition filter on both the codes and vectors scans
+    (dynamic partition pruning does not fire for a broadcast
+    mapInPandas side, so without the static filter every cell's files
+    would be read — plan-asserted in tests), cell equi-join, ADC via
+    an Arrow kernel (one lookup table per query from a broadcast
+    q_id → vector map — query vectors are NOT shipped per candidate
+    row; the literal-expression ADC alternative costs 3.5-4.7 s of
+    DRIVER ANALYSIS per plan, the same measured wall that pushed
+    `pq_encode` to pandas), two-phase per-query top-``rerank``, then
+    the exact re-rank joins only the surviving pairs against the
+    pruned vectors.
 
-    Single-query equivalence: for one query row this returns exactly
-    :func:`ivfpq_topk_indexed`'s rows (pytest-pinned; ADC per row is
-    the same lut[j][code_j] sum, computed from the same float64 LUT).
-    Returns (q_id, vec_id, dist, rank<=k)."""
+    ``q_id`` must be unique (validated — the per-query LUT keys on
+    it); a NULL-id or NULL/ragged-vector query probes nothing and
+    vanishes. Single-query equivalence: for one query row this returns
+    exactly :func:`ivfpq_topk_indexed`'s rows (pytest-pinned; the
+    kernel folds the m LUT terms LEFT-ASSOCIATED, matching
+    `pq_adc_scores`' sequential add chain bit for bit — numpy pairwise
+    .sum() differs at 1 ulp on ~40% of rows, enough to flip a rerank
+    boundary). Returns (q_id, vec_id, dist, rank<=k)."""
     import numpy as np
 
     from mwas_rfam_spark.operators.similarity import _assign_probe_cells
@@ -735,38 +742,62 @@ def ivfpq_knn_join(
 
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    if rerank < k:
+        raise ValueError(f"rerank must be >= k, got rerank={rerank}, k={k}")
     centroids = _read_centroids(spark, f"{path}/centroids")
     codebooks = _read_codebooks(spark, f"{path}/codebooks")
-    probes = F.broadcast(
-        _assign_probe_cells(queries, centroids, nprobe, q_vec_col)
+
+    qv = queries.select(q_id_col, q_vec_col).where(
+        F.col(q_id_col).isNotNull() & F.col(q_vec_col).isNotNull()
     )
-    codes = spark.read.parquet(f"{path}/codes")
-    joined = codes.join(probes, "cell").select(q_id_col, q_vec_col, id_col, "codes")
+    q_rows = qv.collect()  # query batches are small by contract
+    if len({r[q_id_col] for r in q_rows}) != len(q_rows):
+        raise ValueError("ivfpq_knn_join: duplicate q_id values in queries")
+    qmap = {r[q_id_col]: np.asarray(r[q_vec_col], dtype=np.float64) for r in q_rows}
+
+    probe_df = _assign_probe_cells(
+        queries, centroids, nprobe, q_vec_col
+    ).select(q_id_col, "cell").localCheckpoint()
+    cells = sorted(
+        r["cell"] for r in probe_df.select("cell").distinct().collect()
+    )
+    codes = spark.read.parquet(f"{path}/codes").where(F.col("cell").isin(cells))
+    joined = codes.join(F.broadcast(probe_df), "cell").select(
+        q_id_col, id_col, "codes"
+    )
 
     C = np.asarray(codebooks, dtype=np.float64)  # (m, k, d0)
     m, _, d0 = C.shape
-    bc = spark.sparkContext.broadcast(C)
-    id_field = joined.schema[id_col].simpleString().split(":", 1)[1]
-    q_field = joined.schema[q_id_col].simpleString().split(":", 1)[1]
-    out_schema = f"`{q_id_col}` {q_field}, `{id_col}` {id_field}, approx_dist double"
+    bc = spark.sparkContext.broadcast((C, qmap))
+    id_t = joined.schema[id_col].dataType.simpleString()
+    q_t = joined.schema[q_id_col].dataType.simpleString()
+    out_schema = f"`{q_id_col}` {q_t}, `{id_col}` {id_t}, approx_dist double"
 
     def adc(batches):
         import pandas as pd
 
-        Cm = bc.value
+        Cm, qm = bc.value
         m_ = Cm.shape[0]
-        cols = np.arange(m_)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            dist = np.empty(len(pdf), dtype=np.float64)
-            for _, idx in pdf.groupby(q_id_col).indices.items():
-                q = np.asarray(pdf[q_vec_col].iloc[idx[0]], dtype=np.float64)
+            dist = np.full(len(pdf), np.nan, dtype=np.float64)
+            for qid, idx in pdf.groupby(q_id_col, dropna=False).indices.items():
+                q = qm.get(qid)
+                if q is None or len(q) != m_ * d0:
+                    continue  # stays NaN; dropped by the rerank join
                 # lut[j][c] = ||q_j - cb[j][c]||² — same floats as
                 # adc_lookup_table (per-subspace numpy sum)
                 lut = ((Cm - q.reshape(m_, 1, d0)) ** 2).sum(axis=2)
                 cd = np.stack(pdf["codes"].iloc[idx].to_numpy())
-                dist[idx] = lut[cols[None, :], cd].sum(axis=1)
+                # LEFT-ASSOCIATED fold over subspaces: bit-identical to
+                # pq_adc_scores' sequential add chain (numpy .sum's
+                # pairwise order differs at 1 ulp — enough to flip a
+                # rerank-boundary candidate between batch and single)
+                acc = lut[0][cd[:, 0]]
+                for j in range(1, m_):
+                    acc = acc + lut[j][cd[:, j]]
+                dist[idx] = acc
             yield pd.DataFrame(
                 {
                     q_id_col: pdf[q_id_col].to_numpy(),
@@ -775,13 +806,13 @@ def ivfpq_knn_join(
                 }
             )
 
-    scored = joined.mapInPandas(adc, out_schema)
+    scored = joined.mapInPandas(adc, out_schema).where(
+        ~F.isnan("approx_dist")
+    )
     cand = top_k_per_group(
         scored, [q_id_col], [F.asc("approx_dist"), F.asc(id_col)], k=rerank
     ).select(q_id_col, id_col)
-    # re-attach query vectors for the exact re-rank (tiny, broadcast)
-    qv = queries.select(q_id_col, q_vec_col)
-    vectors = spark.read.parquet(f"{path}/vectors")
+    vectors = spark.read.parquet(f"{path}/vectors").where(F.col("cell").isin(cells))
     exact = vectors.join(
         F.broadcast(cand.join(qv, q_id_col)), id_col
     ).withColumn("dist", _sq_l2(F.col(vec_col), F.col(q_vec_col)))

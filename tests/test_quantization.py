@@ -480,7 +480,15 @@ def test_ivfpq_knn_join_single_query_equivalence(spark, emb, books, ivf_cents, q
     q = q.unionByName(
         spark.createDataFrame([(99, None)], "q_id long, q_vec array<float>")
     )
-    rows = ivfpq_knn_join(spark, path, q, k=5, nprobe=3, rerank=100).collect()
+    out = ivfpq_knn_join(spark, path, q, k=5, nprobe=3, rerank=100)
+    # BOTH corpus-side scans must be statically partition-pruned to the
+    # probed-cell union (dynamic pruning does not fire for a broadcast
+    # mapInPandas side)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("PartitionFilters: [cell") >= 2 or (
+        plan.count("cell#") >= 2 and plan.count(" IN (") >= 2
+    )
+    rows = out.collect()
     assert {r["q_id"] for r in rows} == {0, 1, 2}  # NULL query vanished
     for qid in (0, 1, 2):
         qv = [float(x) for x in emb.where(F.col("vec_id") == qid).first()["embedding"]]
@@ -502,3 +510,8 @@ def test_ivfpq_knn_join_single_query_equivalence(spark, emb, books, ivf_cents, q
 
     with _pytest.raises(ValueError, match="nprobe"):
         ivfpq_knn_join(spark, path, q, k=5, nprobe=0)
+    with _pytest.raises(ValueError, match="rerank"):
+        ivfpq_knn_join(spark, path, q, k=10, rerank=5)
+    dup = q.where("q_id = 0").unionByName(q.where("q_id = 0"))
+    with _pytest.raises(ValueError, match="duplicate q_id"):
+        ivfpq_knn_join(spark, path, dup, k=5, nprobe=3, rerank=100)
