@@ -582,16 +582,20 @@ def build_index_parser() -> argparse.ArgumentParser:
         "text/vectors that locate the touched partitions). Both are "
         "score-identical to a full rebuild.",
     )
-    p.add_argument("kind", choices=("text", "ann"))
+    p.add_argument("kind", choices=("text", "ann", "ivfpq"))
     p.add_argument("op", choices=("build", "append", "remove"))
-    p.add_argument("input", help="documents (text) or embeddings (ann) parquet")
+    p.add_argument("input", help="documents (text) or embeddings (ann/ivfpq) parquet")
     p.add_argument("--path", required=True, help="index root")
     p.add_argument(
         "--buckets", type=int, default=64,
         help="text build: term buckets (append reuses the stored count)",
     )
-    p.add_argument("--cells", type=int, default=32, help="ann build: IVF cells")
-    p.add_argument("--iters", type=int, default=2, help="ann build: Lloyd iterations")
+    p.add_argument("--cells", type=int, default=32, help="ann/ivfpq build: IVF cells")
+    p.add_argument("--iters", type=int, default=2, help="ann/ivfpq build: Lloyd iterations")
+    p.add_argument("--subspaces", type=int, default=8,
+                   help="ivfpq build: PQ subspaces (dim must divide)")
+    p.add_argument("--pq-k", type=int, default=32,
+                   help="ivfpq build: centroids per PQ codebook")
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default=None, help="default: doc_id (text) / vec_id (ann)")
     p.add_argument("--vec-col", default="embedding")
@@ -626,7 +630,7 @@ def index_main(argv: list[str], spark: SparkSession | None = None) -> int:
                 remove_from_text_index(
                     df, args.path, text_col=args.text_col, id_col=id_col
                 )
-        else:
+        elif args.kind == "ann":
             from .operators.similarity import (
                 append_ivf_index,
                 materialize_ivf,
@@ -646,6 +650,32 @@ def index_main(argv: list[str], spark: SparkSession | None = None) -> int:
                 from .operators.similarity import remove_from_ivf_index
 
                 remove_from_ivf_index(df, args.path, id_col=id_col, vec_col=args.vec_col)
+        else:  # ivfpq
+            from .operators.quantization import (
+                append_ivfpq_index,
+                materialize_ivfpq,
+                remove_from_ivfpq_index,
+                train_pq_codebooks,
+            )
+            from .operators.similarity import train_ivf_centroids
+
+            id_col = args.id_col or "vec_id"
+            if args.op == "build":
+                cents = train_ivf_centroids(
+                    df, k=args.cells, iters=args.iters,
+                    id_col=id_col, vec_col=args.vec_col,
+                )
+                books = train_pq_codebooks(
+                    df, m=args.subspaces, k=args.pq_k,
+                    id_col=id_col, vec_col=args.vec_col,
+                )
+                materialize_ivfpq(
+                    df, cents, books, args.path, id_col=id_col, vec_col=args.vec_col
+                )
+            elif args.op == "append":
+                append_ivfpq_index(df, args.path, id_col=id_col, vec_col=args.vec_col)
+            else:
+                remove_from_ivfpq_index(df, args.path, id_col=id_col, vec_col=args.vec_col)
         print(f"{args.kind} index {args.op} complete at {args.path}")
         return 0
     finally:

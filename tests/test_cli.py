@@ -775,3 +775,38 @@ def test_search_cli_vector_mode(spark, tmp_path, capsys):
 
     with _pytest.raises(SystemExit):
         main(["search", idx], spark=spark)
+
+
+def test_index_cli_ivfpq_lifecycle(spark, tmp_path):
+    """`index ivfpq build/append/remove` drives the materialized IVF-PQ
+    lifecycle end-to-end; search results survive append+remove exactly
+    as a rebuild on the same rows would produce."""
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.operators.quantization import ivfpq_topk_indexed
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    gone = str(tmp_path / "gone")
+    emb.where("vec_id % 3 != 0").write.parquet(a)
+    emb.where("vec_id % 3 = 0").write.parquet(b)
+    emb.where("vec_id % 5 = 1").write.parquet(gone)
+
+    idx = str(tmp_path / "idx")
+    assert main(["index", "ivfpq", "build", a, "--path", idx, "--cells", "4"],
+                spark=spark) == 0
+    assert main(["index", "ivfpq", "append", b, "--path", idx], spark=spark) == 0
+    assert main(["index", "ivfpq", "remove", gone, "--path", idx], spark=spark) == 0
+
+    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    got = [
+        (r["vec_id"], round(r["dist"], 6))
+        for r in ivfpq_topk_indexed(spark, idx, qv, k=5, nprobe=4, rerank=50).collect()
+    ]
+    assert len(got) == 5
+    # removed ids never surface; vec_id 0 survives (0 % 5 != 1) at dist 0
+    assert all(v % 5 != 1 for v, _ in got)
+    assert got[0] == (0, 0.0)
