@@ -644,7 +644,7 @@ def q_t1_welch_from_stats(spark, sf_dir):
     f_side = sides.where(~F.col("is_true")).select(
         F.col("n").alias("n2"), F.col("m").alias("m2"), F.col("s").alias("s2")
     )
-    both = t_side.crossJoin(f_side)
+    both = t_side.crossJoin(F.broadcast(f_side))  # two 1-row aggregates
     vn1 = F.col("s1") ** 2 / F.col("n1")
     vn2 = F.col("s2") ** 2 / F.col("n2")
     return both.select(
@@ -2158,7 +2158,7 @@ def q_dedup_quality(spark, sf_dir):
             F.count("*").alias("n_hits")
         )
         total = exact.agg(F.count("*").alias("n_exact"))
-        return hits.crossJoin(total).select(
+        return hits.crossJoin(F.broadcast(total)).select(  # 1-row aggregates
             F.lit(method).alias("method"),
             # >= 90% of true high-similarity pairs must be recovered
             (F.col("n_hits") >= F.ceil(F.col("n_exact") * 0.9)).alias("meets_target"),

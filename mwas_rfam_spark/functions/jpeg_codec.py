@@ -130,8 +130,11 @@ def jpeg_dims(data: bytes, max_pixels: int = MAX_PIXELS) -> tuple[int, int, int]
         if data[pos] != 0xFF:
             raise ValueError(f"expected JPEG marker at byte {pos}")
         marker = data[pos + 1]
-        if marker == 0xD8:
-            pos += 2
+        if marker == 0xFF:  # T.81 B.1.1.2 fill byte before a marker id
+            pos += 1
+            continue
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers (SOI/TEM/RSTn) carry no length
             continue
         if marker == 0xD9:
             break
@@ -263,7 +266,11 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS) -> tuple[int, int, in
         if data[pos] != 0xFF:
             raise ValueError(f"expected JPEG marker at byte {pos}")
         marker = data[pos + 1]
-        if marker == 0xD8:  # stray SOI
+        if marker == 0xFF:  # T.81 B.1.1.2 fill byte before a marker id
+            pos += 1
+            continue
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone markers (stray SOI / TEM / RSTn): no length word
             pos += 2
             continue
         if marker == 0xD9:  # EOI before SOS

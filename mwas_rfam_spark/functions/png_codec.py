@@ -92,6 +92,11 @@ def decode_png(data: bytes, max_pixels: int = MAX_PIXELS) -> tuple[int, int, int
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     if len(raw) != expected or dec.unconsumed_tail:
         raise ValueError(f"PNG data length {len(raw)} != expected {expected}")
+    if not dec.eof:
+        # a truncated stream can still yield exactly `expected` bytes
+        # while missing its final block / adler32 — zlib only verifies
+        # the checksum at end-of-stream, so require it explicitly
+        raise ValueError("truncated PNG IDAT stream (no zlib end-of-stream)")
     out = bytearray(stride * height)
     prev_row = bytes(stride)
     bpp = channels  # bytes per pixel at depth 8

@@ -620,6 +620,12 @@ def hamming_band_pairs(
     bit_count(xor) <= max_hamming, JVM-side. Recall is guaranteed ONLY
     when ``max_hamming < bands`` — enforced. Returns
     (id_a, id_b, hamming)."""
+    if not 1 <= bands <= 64:
+        # bands > 64 would make width = 64 // bands zero: every chunk
+        # collapses to 0, the equi-join degenerates to all-pairs, and
+        # results stay correct (the bit_count verify holds) while cost
+        # silently explodes — reject instead
+        raise ValueError(f"bands must be in [1, 64], got {bands}")
     if max_hamming >= bands:
         raise ValueError(
             f"pigeonhole recall requires max_hamming < bands; got "

@@ -282,6 +282,9 @@ def materialize_text_index(
         F.count("*").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
         F.lit(n_buckets).alias("n_buckets"),
+        # persisted so drained-index probes can reconstruct the id
+        # column's type without any posting file to infer from
+        F.lit(dict(docs.dtypes)[id_col]).alias("id_type"),
     )
     stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
 
@@ -320,10 +323,17 @@ def remove_from_text_index(
     spark = docs_removed.sparkSession
     stats = spark.read.parquet(f"{path}/stats").collect()[0]
     n_buckets = int(stats["n_buckets"])
-    base = docs_removed.select(
-        F.col(id_col).alias("id"), _lowered_tokens(text_col).alias("toks")
-    ).localCheckpoint()
-    gone = base.select("id").distinct()
+    # dedupe on id BEFORE any aggregation: a removed-slice carrying
+    # duplicate ids must subtract each doc's token count exactly once
+    # or the rebased avgdl silently drifts
+    base = (
+        docs_removed.select(
+            F.col(id_col).alias("id"), _lowered_tokens(text_col).alias("toks")
+        )
+        .dropDuplicates(["id"])
+        .localCheckpoint()
+    )
+    gone = base.select("id")
     n_removed = gone.count()
     if n_removed == 0:
         return
@@ -378,8 +388,10 @@ def remove_from_text_index(
         if n_docs > 0
         else None
     )
+    id_type = stats.asDict().get("id_type") or dict(docs_removed.dtypes)[id_col]
     spark.createDataFrame(
-        [(n_docs, avgdl, n_buckets)], "n_docs BIGINT, avgdl DOUBLE, n_buckets INT"
+        [(n_docs, avgdl, n_buckets, id_type)],
+        "n_docs BIGINT, avgdl DOUBLE, n_buckets INT, id_type STRING",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
 
 
@@ -431,8 +443,14 @@ def bm25_topk_indexed(
     if int(stats["n_docs"]) == 0:
         # drained (every doc removed) or freshly-bootstrapped empty
         # index: the partitioned postings dir has no files to infer a
-        # schema from — the correct answer is simply no hits
-        return spark.createDataFrame([], f"{id_col} long, score double, n_matched int")
+        # schema from — the correct answer is simply no hits, with the
+        # id type the index was built over (persisted in the stats row;
+        # 'long' only for pre-id_type indexes) so the empty frame
+        # unions/writes cleanly against non-empty probes
+        id_type = stats.asDict().get("id_type") or "long"
+        return spark.createDataFrame(
+            [], f"{id_col} {id_type}, score double, n_matched int"
+        )
     buckets = sorted({_term_bucket_py(t, n_buckets) for t in terms})
     postings = (
         spark.read.parquet(f"{path}/postings")
@@ -494,6 +512,8 @@ def append_text_index(
         float(stats["n_docs"]) * float(stats["avgdl"] or 0.0)
         + float(new["sum_dl_new"] or 0)
     ) / n_docs
+    id_type = stats.asDict().get("id_type") or dict(docs_new.dtypes)[id_col]
     spark.createDataFrame(
-        [(n_docs, avgdl, n_buckets)], "n_docs BIGINT, avgdl DOUBLE, n_buckets INT"
+        [(n_docs, avgdl, n_buckets, id_type)],
+        "n_docs BIGINT, avgdl DOUBLE, n_buckets INT, id_type STRING",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")

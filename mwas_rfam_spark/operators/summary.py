@@ -289,7 +289,9 @@ def corpus_report(
         docs.select(F.explode(_token_array(F.lower(F.col(text_col)))).alias("t"))
         .agg(F.approx_count_distinct("t").alias("vocab_est"))
     )
-    return doc_stats.crossJoin(vocab)
+    # both sides are 1-row aggregates; the hint keeps the plan visibly
+    # broadcast like every other crossJoin in the codebase
+    return doc_stats.crossJoin(F.broadcast(vocab))
 
 
 def skew_report(

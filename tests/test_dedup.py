@@ -271,6 +271,12 @@ def test_simhash_bands_guard(docs):
     must be rejected."""
     with pytest.raises(ValueError, match="max_hamming < bands"):
         simhash_near_dup_pairs(docs, max_hamming=4, bands=4)
+    # bands > 64 makes width = 64 // bands zero — every chunk collapses
+    # to 0 and the candidate join silently degenerates to all-pairs
+    with pytest.raises(ValueError, match=r"bands must be in \[1, 64\]"):
+        simhash_near_dup_pairs(docs, max_hamming=4, bands=65)
+    with pytest.raises(ValueError, match=r"bands must be in \[1, 64\]"):
+        simhash_near_dup_pairs(docs, max_hamming=-1, bands=0)
 
 
 def test_dedup_pipeline_collapses_clones(spark):

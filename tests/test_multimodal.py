@@ -1156,3 +1156,60 @@ def test_image_dhash_rgb_luma_and_gif_first_frame(spark):
         for r in image_dhash(_media_frame(spark, rows), fake=False).collect()
     }
     assert got[1] == got[2] == got[3]
+
+
+def test_jpeg_marker_walk_spec_edges():
+    """r6 ADVICE: the pre-SOS marker walk must tolerate spec-legal
+    0xFF fill bytes between segments and zero-payload standalone
+    markers (TEM 0x01, stray RSTn) instead of mis-reading them as
+    length-carrying segments."""
+    import numpy as np
+
+    from mwas_rfam_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_dims,
+    )
+
+    img = np.tile(np.linspace(0, 255, 16).astype(np.uint8), (8, 1))
+    rgb = np.stack([img, img, img], axis=-1)
+    data = encode_jpeg(16, 8, 3, rgb.tobytes(), quality=90)
+    # inject fill bytes + TEM + a stray RST right after SOI
+    weird = data[:2] + b"\xff\xff\xff\x01\xff\xd3" + data[2:]
+    assert jpeg_dims(weird) == (16, 8, 3)
+    w, h, c, px = decode_jpeg(weird)
+    assert (w, h, c) == (16, 8, 3)
+    assert decode_jpeg(data)[3] == px  # identical pixels either way
+
+
+def test_png_truncated_stream_exact_length_rejected():
+    """r6 ADVICE: a truncated IDAT zlib stream that still yields
+    exactly the expected byte count (sync-flushed, no final block /
+    adler32) must be rejected — zlib only verifies the checksum at
+    end-of-stream, so dec.eof is required."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from mwas_rfam_spark.functions.png_codec import decode_png
+
+    def chunk(ctype, payload):
+        body = ctype + payload
+        return struct.pack(">I", len(payload)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    w = h = 2
+    raw = b"".join(b"\x00" + bytes(w * 3) for _ in range(h))  # filter 0 rows
+    co = zlib.compressobj()
+    truncated = co.compress(raw) + co.flush(zlib.Z_SYNC_FLUSH)  # no final block
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    sig = b"\x89PNG\r\n\x1a\n"
+    bad = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", truncated) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="end-of-stream"):
+        decode_png(bad)
+    # the complete stream decodes
+    good = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    gw, gh, gc, px = decode_png(good)
+    assert (gw, gh, gc) == (w, h, 3) and px == bytes(w * h * 3)

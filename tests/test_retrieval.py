@@ -325,3 +325,53 @@ def test_remove_from_text_index_equals_rebuild(spark, sf_dir, tmp_path):
     assert bm25_topk_indexed(spark, tiny, ["zzzuniqueterm"], k=5).count() == 0
     s_tiny = spark.read.parquet(f"{tiny}/stats").collect()[0]
     assert int(s_tiny["n_docs"]) == 0 and s_tiny["avgdl"] is None
+
+
+def test_drained_index_schema_and_duplicate_removal_slice(spark, tmp_path):
+    """Two remove-path regressions (r6 ADVICE): (1) a drained index
+    built over STRING doc ids must return the string id schema from the
+    empty-probe early return (the stats row persists id_type — there is
+    no posting file left to infer from), so unions against non-empty
+    probes don't see two shapes; (2) a removed-slice carrying duplicate
+    ids subtracts each doc's token count exactly ONCE when rebasing
+    avgdl."""
+    from mwas_rfam_spark.operators.retrieval import (
+        bm25_topk_indexed,
+        materialize_text_index,
+        remove_from_text_index,
+    )
+
+    # (1) string ids, drain completely
+    p = str(tmp_path / "sidx")
+    docs = spark.createDataFrame(
+        [("a", "alpha beta"), ("b", "beta gamma")], "doc_id string, text string"
+    )
+    materialize_text_index(docs, p, n_buckets=8)
+    stats = spark.read.parquet(f"{p}/stats").collect()[0]
+    assert stats["id_type"] == "string"
+    remove_from_text_index(docs, p)
+    empty = bm25_topk_indexed(spark, p, ["alpha"], k=5)
+    assert empty.count() == 0
+    assert dict(empty.dtypes)["doc_id"] == "string"
+    # the empty frame unions cleanly against a non-empty probe shape
+    q = str(tmp_path / "sidx2")
+    materialize_text_index(docs, q, n_buckets=8)
+    probe = bm25_topk_indexed(spark, q, ["alpha"], k=5)
+    assert probe.unionByName(empty).count() == probe.count()
+
+    # (2) duplicate ids in the removed slice: avgdl must rebase as if
+    # each doc were subtracted once
+    r = str(tmp_path / "dup")
+    three = spark.createDataFrame(
+        [(1, "one two three four"), (2, "five six"), (3, "seven eight")],
+        "doc_id long, text string",
+    )
+    materialize_text_index(three, r, n_buckets=8)
+    dup_slice = spark.createDataFrame(
+        [(1, "one two three four"), (1, "one two three four")],
+        "doc_id long, text string",
+    )
+    remove_from_text_index(dup_slice, r)
+    s = spark.read.parquet(f"{r}/stats").collect()[0]
+    assert int(s["n_docs"]) == 2
+    assert abs(float(s["avgdl"]) - 2.0) < 1e-9  # (2 + 2) / 2, not (8-8)/2
