@@ -1238,29 +1238,54 @@ def q_ivfpq_knn_join(spark, sf_dir):
 _DRIFT_PCA_CACHE: dict[str, dict] = {}
 
 
+def _drift_pca_model(spark, sf_dir, base, k=3):
+    """Baseline PCA model for the drift monitor, fit once per process
+    AND materialized as parquet at a deterministic per-SF path (one row
+    per component: pc, component, mean) — the same build-vs-probe
+    convention as `_ivfpq_index`, and what lets the driver's DuckDB
+    oracle replay the projection arithmetic over the stored model
+    instead of trusting the engine's fit."""
+    import os
+
+    if sf_dir not in _DRIFT_PCA_CACHE:
+        from mwas_rfam_spark.operators.decomposition import fit_pca
+
+        model = fit_pca(base.where(F.col("embedding").isNotNull()), k)
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "spark-warehouse", "drift_pca", tag,
+        )
+        spark.createDataFrame(
+            [(i, model["components"][i], model["mean"]) for i in range(k)],
+            "pc int, component array<double>, mean array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        _DRIFT_PCA_CACHE[sf_dir] = model
+    return _DRIFT_PCA_CACHE[sf_dir]
+
+
 def q_embed_drift(spark, sf_dir):
-    """Embedding-distribution drift (bench surface): both corpus halves
-    projected onto the baseline half's top-3 principal components, exact
-    two-sample KS per component. Arithmetic pinned by
-    tests/test_drift.py's scalar-drift_report cross-check + mean-shift
-    detection test. The baseline PCA model is fit once per process
-    (build-vs-probe: a monitoring loop freezes the baseline model and
-    scores every snapshot against it)."""
-    from mwas_rfam_spark.operators.decomposition import fit_pca
+    """Embedding-distribution drift: both corpus halves projected onto
+    the baseline half's top-3 principal components, exact two-sample KS
+    per component. Registered correctness entry since r7 — the DuckDB
+    oracle replays projection + exact KS over the materialized baseline
+    model (`_drift_pca_model`); also pinned by tests/test_drift.py's
+    scalar-drift_report cross-check + mean-shift detection test. The
+    baseline PCA model is fit once per process (build-vs-probe: a
+    monitoring loop freezes the baseline model and scores every
+    snapshot against it)."""
     from mwas_rfam_spark.operators.drift import embedding_drift_report
 
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     base = e.where(F.col("vec_id") % 2 == 0)
-    if sf_dir not in _DRIFT_PCA_CACHE:
-        _DRIFT_PCA_CACHE[sf_dir] = fit_pca(base.where(F.col("embedding").isNotNull()), 3)
     rep = embedding_drift_report(
         base,
         e.where(F.col("vec_id") % 2 == 1),
         k=3,
         ks_threshold=0.2,
-        model=_DRIFT_PCA_CACHE[sf_dir],
+        model=_drift_pca_model(spark, sf_dir, base, k=3),
     )
     return rep.select("column", "kind", "statistic", F.round("value", 6).alias("value"), "flagged")
 
@@ -1291,12 +1316,14 @@ def q_image_dedup(spark, sf_dir):
 
 def q_source_mix(spark, sf_dir):
     """Temperature-based source rebalancing (GPT-3/PaLM-style n^alpha
-    mixture weights; bench-only surface — registry at the 50-cap):
-    apportion 80% of the corpus across sources at alpha=0.3 (small
-    sources boosted, possibly into repeat epochs) and return the
-    per-(source, copy) accounting. Correctness pinned by
-    tests/test_selection.py (exact largest-remainder counts, DuckDB
-    replay of the seeded remainder rule, upsample/cap semantics)."""
+    mixture weights). Registered correctness entry since r7: the DuckDB
+    oracle replays the FULL composition — largest-remainder
+    apportionment (n^alpha weights, remainder-desc/source-asc
+    tie-break), whole-pass copies, and the seeded md5('mix:11:{id}')
+    bottom-rem remainder draw — and `sum_ids` pins the exact sampled
+    MEMBERSHIP per (source, copy), not just the counts. Also pinned by
+    tests/test_selection.py (exact counts, remainder-rule replay,
+    upsample/cap semantics)."""
     from mwas_rfam_spark.operators.selection import temperature_mix
 
     docs = _t(spark, sf_dir, "documents")
@@ -1304,7 +1331,10 @@ def q_source_mix(spark, sf_dir):
     mixed = temperature_mix(docs, alpha=0.3, target_rows=int(n * 0.8), seed=11)
     return (
         mixed.groupBy("source", "copy")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
         .orderBy("source", "copy")
     )
 
@@ -2449,6 +2479,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              IVF×PQ search, oracle-replayed end to end
                              over the index files)
 
+    Round-7 rotation (r6 verdict task #1): five slots moved from thin
+    entries whose arithmetic is already pinned elsewhere to the round-6
+    operator families. Every rotated-out entry keeps its EXACT former
+    oracle SQL in :func:`relocated_oracles` (pytest DuckDB-parity) and
+    stays benchable below:
+
+    - j5_sql_api           → a surface wrapper (spark.sql over temp
+                             views) whose underlying plans are the green
+                             join/agg family; slot → `ivfpq_knn_join`
+                             (batch ADC retrieval, full DuckDB replay
+                             over the index files incl. per-query LUTs)
+    - dedup_simhash32      → SimHash construction; its banded-Hamming
+                             candidate core is now ALSO driver-pinned
+                             via `image_dedup` (shared
+                             hamming_band_pairs), recall via
+                             `dedup_quality`; slot → `embed_drift`
+                             (exact-KS drift over a materialized
+                             baseline PCA model, projection replayed
+                             from the stored model files)
+    - dedup_embedding_lsh  → the signed-random-projection family's
+                             recall is pinned by `dedup_quality` and its
+                             cosine verify by `dedup_embedding_cosine`;
+                             slot → `source_mix` (largest-remainder
+                             temperature apportionment + seeded md5
+                             remainder draw, sum_ids pins membership)
+    - text_vocab_topk      → tf/df counting is the text family's core,
+                             pinned inside `text_bigram_quality` /
+                             `bm25_topk` (df arithmetic); slot →
+                             `image_dedup` (fake-dhash banding +
+                             connected components replayed in SQL; the
+                             real-codec dhash is pytest-pinned)
+    - ann_ivf_topk         → single-query IVF probe + cosine ranking is
+                             a strict subset of the green
+                             `ivfpq_indexed` composition (same probe
+                             arithmetic over the same stored centroids)
+                             and stays bracketed by `ann_recall`; slot →
+                             `sq8_topk` (SQ8 encode trained in-SQL +
+                             folded-query ranking + exact re-rank)
+
     Round-4 second-wave surfaces (registry full at 50 all-green; each is
     pytest-pinned and benchable where noted, with its exactness anchored
     to an existing green entry where semantics overlap):
@@ -2600,7 +2669,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "condense_accounting": q_condense_accounting,
         "p_predicates": q_p_predicates,
         "j1_outer_join_agg": q_j1_outer_join_agg,
-        "j5_sql_api": q_j5_sql_api,
         "j7_positional_join": q_j7_positional_join,
         "j8_interval_join": q_j8_interval_join,
         "so1_anti_join": q_so1_anti_join,
@@ -2623,17 +2691,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_quality": q_dedup_quality,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_md5": q_dedup_minhash_md5,
-        "dedup_simhash32": q_dedup_simhash32,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "text_lang_quality": q_text_lang_quality,
         "text_repetition": q_text_repetition,
         "text_winnowing": q_text_winnowing,
-        "text_vocab_topk": q_text_vocab_topk,
         "text_bigram_quality": q_text_bigram_quality,
         "multimodal_pipeline": q_multimodal_pipeline,
         "ivfpq_indexed": q_ivfpq_indexed,
-        "ann_ivf_topk": q_ann_ivf_topk,
+        "ivfpq_knn_join": q_ivfpq_knn_join,
+        "sq8_topk": q_sq8_topk,
+        "embed_drift": q_embed_drift,
+        "source_mix": q_source_mix,
+        "image_dedup": q_image_dedup,
         "ann_recall": q_ann_recall,
         "sample_stratified": q_sample_stratified,
         "doc_packing": q_doc_packing,
@@ -2714,17 +2783,22 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_roundtrip": q_bpe_roundtrip,
         "fuzzy_editdist_long": q_fuzzy_editdist_long,
         "embed_pca_reduce": q_embed_pca_reduce,
-        "sq8_topk": q_sq8_topk,
         # r6 wave-2 rotation: ann_knn_batch's slot went to ivfpq_indexed
         # (its oracle lives on in relocated_oracles + the parity test)
         "ann_knn_batch": q_ann_knn_batch,
-        "source_mix": q_source_mix,
         "dedup_approx_eval": q_dedup_approx_eval,
-        "image_dedup": q_image_dedup,
         "semantic_decontam": q_semantic_decontam,
-        "embed_drift": q_embed_drift,
         "ann_knn_join": q_ann_knn_join,
-        "ivfpq_knn_join": q_ivfpq_knn_join,
+        # r7 rotation: the five deregistered entries stay benchable
+        # (their former oracle SQL lives on in relocated_oracles); the
+        # five r6 families that took their slots — sq8_topk, source_mix,
+        # image_dedup, embed_drift, ivfpq_knn_join — now come in through
+        # **queries() above
+        "j5_sql_api": q_j5_sql_api,
+        "dedup_simhash32": q_dedup_simhash32,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "text_vocab_topk": q_text_vocab_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "t1_welch_from_stats": q_t1_welch_from_stats,
         "a4_two_level_rollup": q_a4_two_level_rollup,
         "dedup_simhash": q_dedup_simhash,
@@ -3066,7 +3140,6 @@ FROM final
                    CAST(n AS BIGINT) AS n_biosamples
             FROM sets
         """,
-        "j5_sql_api": _J5_SQL,
         "condense_readable": _MWAS_ORACLE_CTES
         + """
             SELECT s.bp AS bioproject, s.attributes, s.set_values,
@@ -3133,25 +3206,6 @@ FROM final
                     JOIN sig y ON y.doc_id = c.id_b AND x.i = y.i
                     GROUP BY 1, 2)
             SELECT id_a, id_b, round(e, 6) AS est_jaccard FROM est WHERE e >= 0.5
-        """,
-        "dedup_simhash32": """
-            WITH toks AS (
-              SELECT doc_id, md5(t.tok) AS h
-              FROM documents,
-                   LATERAL unnest(string_split_regex(trim(text), '\\s+')) AS t(tok)
-              WHERE length(trim(text)) > 0),
-            bits AS (
-              SELECT doc_id, b.b,
-                     CASE WHEN floor((strpos('0123456789abcdef',
-                                             substr(h, CAST(b.b // 4 AS INT) + 1, 1)) - 1)
-                                / power(2, 3 - (b.b % 4))) % 2 = 1
-                          THEN 1 ELSE -1 END AS vote
-              FROM toks, LATERAL (SELECT unnest(generate_series(0, 31)) AS b) AS b),
-            votes AS (SELECT doc_id, b, sum(vote) AS v FROM bits GROUP BY 1, 2)
-            SELECT doc_id,
-                   CAST(sum(CASE WHEN v > 0
-                                 THEN power(2, 31 - b) ELSE 0 END) AS BIGINT) AS simhash
-            FROM votes GROUP BY 1
         """,
         "dedup_embedding_cosine": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -3309,21 +3363,6 @@ FROM final
             SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
                    d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS keep
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
-        """,
-        "dedup_embedding_lsh": _emb_lsh_oracle(),
-        "text_vocab_topk": """
-            WITH toks AS (
-              SELECT doc_id, t.tok AS token
-              FROM documents,
-                   LATERAL unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(tok)
-              WHERE t.tok <> ''),
-            counts AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
-                       FROM toks GROUP BY 1)
-            SELECT token, tf, df, rank
-            FROM (SELECT token, tf, df,
-                         row_number() OVER (ORDER BY tf DESC, token ASC) AS rank
-                  FROM counts)
-            WHERE rank <= 50
         """,
         "sample_stratified": """
             SELECT vec_id, label, sample_rank
@@ -3518,44 +3557,216 @@ FROM final
             SELECT vec_id, round(dist, 5) AS dist
             FROM exact ORDER BY dist, vec_id LIMIT 10
         """,
+        # SQ8 two-stage search replay: per-dimension min/max trained IN
+        # SQL (unit range for degenerate dims, same as train_sq_params),
+        # encode with round-half-away clamp, the folded-query dot
+        # (const + codes . pre, pre_i = q_i*range_i/255 in that op
+        # order), decoded-norm cosine ranking to rerank=50 candidates,
+        # exact cosine re-rank to k=10. Mirrors the pytest replay that
+        # pinned the arithmetic (tests/test_quantization.py), but
+        # trains the params inside the query so the oracle is
+        # self-contained.
+        "sq8_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1),
+            ex AS (SELECT vec_id, unnest(v) AS x, unnest(range(len(v))) AS i FROM e),
+            dims AS (
+              SELECT i, min(x) AS lo,
+                     CASE WHEN max(x) > min(x) THEN max(x) ELSE min(x) + 1.0 END AS hi
+              FROM ex GROUP BY i),
+            parr AS (SELECT list(lo ORDER BY i) AS lo_l,
+                            list(CASE WHEN hi - lo > 0 THEN 255.0 / (hi - lo) ELSE 0.0 END ORDER BY i) AS scale_l,
+                            list((hi - lo) / 255.0 ORDER BY i) AS inv_l,
+                            list(hi - lo ORDER BY i) AS rng_l
+                     FROM dims),
+            qd AS (SELECT qv,
+                          list_sum(list_transform(list_zip(qv, lo_l), t -> t[1] * t[2])) AS cnst,
+                          list_transform(list_zip(qv, rng_l), t -> t[1] * t[2] / 255.0) AS pre,
+                          sqrt(list_inner_product(qv, qv)) AS qn
+                   FROM q, parr),
+            c AS (
+              SELECT vec_id,
+                     list_transform(list_zip(v, lo_l, scale_l),
+                        t -> least(255, greatest(0, CAST(round((t[1] - t[2]) * t[3], 0) AS INT)))) AS codes
+              FROM e, parr),
+            scored AS (
+              SELECT vec_id,
+                     cnst + list_inner_product(list_transform(codes, x -> CAST(x AS DOUBLE)), pre) AS dot,
+                     sqrt(list_inner_product(
+                         list_transform(list_zip(codes, inv_l, lo_l), t -> CAST(t[1] AS DOUBLE) * t[2] + t[3]),
+                         list_transform(list_zip(codes, inv_l, lo_l), t -> CAST(t[1] AS DOUBLE) * t[2] + t[3]))) AS nrm
+              FROM c, parr, qd),
+            cand AS (
+              SELECT vec_id FROM scored, qd
+              WHERE nrm > 0
+              ORDER BY dot / (nrm * qn) DESC, vec_id LIMIT 50),
+            exact AS (
+              SELECT e.vec_id, list_cosine_similarity(e.v, qd.qv) AS cos
+              FROM e JOIN cand USING (vec_id), qd)
+            SELECT vec_id, round(cos, 5) AS cosine
+            FROM exact ORDER BY cos DESC, vec_id LIMIT 10
+        """,
+        # Batch k-NN join over the materialized IVF-PQ index — the
+        # 16-query generalization of the ivfpq_indexed replay: per-query
+        # probe (L2 to stored coarse centroids, ties by cell), per-query
+        # ADC lookup table from the stored codebooks, top-100 candidates
+        # by (approx, vec_id), exact squared-L2 re-rank to rank<=5 over
+        # the equally-pruned vectors.
+        "ivfpq_knn_join": """
+            WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings ORDER BY vec_id LIMIT 16),
+            probe AS (
+              SELECT q_id, cell FROM (
+                SELECT q.q_id, c.cell,
+                       row_number() OVER (PARTITION BY q.q_id
+                           ORDER BY list_sum(list_transform(c.centroid,
+                                        (x, i) -> (x - q.qv[i]) * (x - q.qv[i]))), c.cell) AS rn
+                FROM read_parquet('/root/repo/spark-warehouse/ivfpq_index/sf0.01/centroids/*.parquet') c, q)
+              WHERE rn <= 3),
+            lut AS (
+              SELECT q.q_id, b.subspace, b.centroid_id,
+                     list_sum(list_transform(b.centroid,
+                         (x, i) -> (x - q.qv[b.subspace * len(b.centroid) + i])
+                                   * (x - q.qv[b.subspace * len(b.centroid) + i]))) AS d
+              FROM read_parquet('/root/repo/spark-warehouse/ivfpq_index/sf0.01/codebooks/*.parquet') b, q),
+            c AS (
+              SELECT p.q_id, cd.vec_id, cd.codes
+              FROM read_parquet('/root/repo/spark-warehouse/ivfpq_index/sf0.01/codes/*/*.parquet',
+                                hive_partitioning = true) cd
+              JOIN probe p USING (cell)),
+            terms AS (
+              SELECT q_id, vec_id, unnest(codes) AS code, unnest(range(len(codes))) AS j FROM c),
+            adc AS (
+              SELECT t.q_id, t.vec_id, sum(l.d) AS approx
+              FROM terms t JOIN lut l
+                ON l.q_id = t.q_id AND l.subspace = t.j AND l.centroid_id = t.code
+              GROUP BY 1, 2),
+            cand AS (
+              SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       row_number() OVER (PARTITION BY q_id ORDER BY approx, vec_id) AS rn
+                FROM adc) WHERE rn <= 100),
+            exact AS (
+              SELECT cand.q_id, v.vec_id,
+                     list_sum(list_transform(CAST(v.embedding AS DOUBLE[]),
+                         (x, i) -> (x - q.qv[i]) * (x - q.qv[i]))) AS dist
+              FROM read_parquet('/root/repo/spark-warehouse/ivfpq_index/sf0.01/vectors/*/*.parquet',
+                                hive_partitioning = true) v
+              JOIN cand ON v.vec_id = cand.vec_id
+              JOIN q ON q.q_id = cand.q_id)
+            SELECT q_id, vec_id, round(dist, 5) AS dist, rank FROM (
+              SELECT q_id, vec_id, dist,
+                     CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS INT) AS rank
+              FROM exact)
+            WHERE rank <= 5
+        """,
+        # Embedding drift replay over the MATERIALIZED baseline PCA model
+        # (written by _drift_pca_model at build time — same build-vs-probe
+        # convention as the index families): project both corpus halves
+        # onto the stored components (mean-centered), exact two-sample KS
+        # per component via cumulative count ratios.
+        "embed_drift": """
+            WITH m AS (SELECT pc, component, mean
+                       FROM read_parquet('/root/repo/spark-warehouse/drift_pca/sf0.01/*.parquet')),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            proj AS (
+              SELECT e.vec_id, m.pc,
+                     list_sum(list_transform(list_zip(e.v, m.mean, m.component),
+                                             t -> (t[1] - t[2]) * t[3])) AS x,
+                     e.vec_id % 2 = 0 AS is_a
+              FROM e, m),
+            per_v AS (
+              SELECT pc, x, sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+                     sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+              FROM proj GROUP BY pc, x),
+            tot AS (SELECT pc, sum(ca) AS na, sum(cb) AS nb FROM per_v GROUP BY pc),
+            cum AS (
+              SELECT p.pc,
+                     sum(ca) OVER (PARTITION BY p.pc ORDER BY x) / t.na AS fa,
+                     sum(cb) OVER (PARTITION BY p.pc ORDER BY x) / t.nb AS fb
+              FROM per_v p JOIN tot t USING (pc)),
+            ks AS (SELECT pc, max(abs(fa - fb)) AS v FROM cum GROUP BY pc)
+            SELECT 'pc' || CAST(pc AS VARCHAR) AS "column", 'numeric' AS kind,
+                   'ks' AS statistic, round(v, 6) AS value, v > 0.2 AS flagged
+            FROM ks
+        """,
+        # Temperature-mix replay: n^0.3 largest-remainder apportionment
+        # (remainder-desc/source-asc tie-break), whole passes + the
+        # seeded md5('mix:11:{id}') bottom-rem remainder draw; sum_ids
+        # pins exact sampled membership. CTEs are MATERIALIZED because
+        # DuckDB re-evaluates plain CTEs per reference and the parallel
+        # float sum of the weights can round differently between
+        # evaluations, making floor/short inconsistent within one query.
+        "source_mix": """
+            WITH c AS MATERIALIZED (SELECT source, count(*) AS n FROM documents GROUP BY source),
+            t0 AS MATERIALIZED (SELECT CAST(trunc(count(*) * 0.8) AS BIGINT) AS T FROM documents),
+            w AS MATERIALIZED (SELECT source, n, pow(n, 0.3) AS wt FROM c),
+            z AS MATERIALIZED (SELECT sum(wt) AS zz FROM w),
+            raw AS MATERIALIZED (SELECT source, n, T * wt / zz AS rw FROM w, z, t0),
+            base AS MATERIALIZED (SELECT source, n, rw, CAST(floor(rw) AS BIGINT) AS b FROM raw),
+            short AS MATERIALIZED (SELECT (SELECT T FROM t0) - sum(b) AS s FROM base),
+            tgt AS MATERIALIZED (
+              SELECT source, n,
+                     b + CASE WHEN row_number() OVER (ORDER BY rw - b DESC, source ASC)
+                                   <= (SELECT s FROM short) THEN 1 ELSE 0 END AS target
+              FROM base),
+            plan AS MATERIALIZED (SELECT source, n, target // n AS fullp, target % n AS rem FROM tgt),
+            sums AS (SELECT source, sum(doc_id) AS sum_all FROM documents GROUP BY source),
+            fullrows AS (
+              SELECT p.source, CAST(u.g AS INT) AS copy, p.n AS n_rows, s.sum_all AS sum_ids
+              FROM plan p JOIN sums s USING (source), unnest(range(p.fullp)) AS u(g)),
+            keyed AS (
+              SELECT d.source, d.doc_id,
+                     row_number() OVER (PARTITION BY d.source
+                         ORDER BY CAST('0x' || substr(md5('mix:11:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT),
+                                  d.doc_id) AS rk
+              FROM documents d),
+            remrows AS (
+              SELECT p.source, CAST(p.fullp AS INT) AS copy,
+                     count(*) AS n_rows, sum(k.doc_id) AS sum_ids
+              FROM keyed k JOIN plan p USING (source)
+              WHERE p.rem > 0 AND k.rk <= p.rem
+              GROUP BY 1, 2)
+            SELECT source, copy, n_rows, sum_ids FROM fullrows
+            UNION ALL
+            SELECT source, copy, n_rows, sum_ids FROM remrows
+        """,
+        # Perceptual image dedup replay on the deterministic fake-dhash
+        # path the entry runs over synthetic payloads (first 8 bytes of
+        # sha256, two's-complement): banded-Hamming candidate join
+        # (8 bands x 8 bits, pigeonhole), bit_count verify <= 6,
+        # recursive-CTE connected components -> (doc_id, cluster_id,
+        # keep). The real-codec dhash path is pytest-pinned.
+        "image_dedup": """
+            WITH RECURSIVE
+            imgs AS (
+              SELECT doc_id, CAST(('0x' || substr(sha256(text), 1, 16)) AS UBIGINT) AS vu
+              FROM documents WHERE doc_id % 3 = 0),
+            buckets AS (
+              SELECT doc_id, vu, CAST(b.g AS INT) AS band,
+                     (vu >> CAST(8 * b.g AS INT)) & 255 AS chunk
+              FROM imgs, unnest(range(8)) AS b(g)),
+            pairs AS (
+              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM buckets x JOIN buckets y
+                ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+              WHERE bit_count(xor(x.vu, y.vu)) <= 6),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION ALL SELECT id_b, id_a FROM pairs),
+            reach(node, origin) AS (
+              SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+              UNION
+              SELECT e.dst, r.origin FROM reach r JOIN edges e ON e.src = r.node),
+            comp AS (SELECT node, min(origin) AS cluster_id FROM reach GROUP BY 1)
+            SELECT i.doc_id, COALESCE(c.cluster_id, i.doc_id) AS cluster_id,
+                   i.doc_id = COALESCE(c.cluster_id, i.doc_id) AS keep
+            FROM imgs i LEFT JOIN comp c ON i.doc_id = c.node
+        """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
         """,
-        # Replays the IVF probe + top-k over the SAME materialized index
-        # the Spark entry queries (built by _ivf_index at a deterministic
-        # path; the driver's gate runs at sf0.01 — tools/check_oracle.py
-        # rewrites the tag when checking other SFs). Probe set = 3 cells
-        # nearest the stored centroids by L2 (ties by cell id, matching
-        # the engine's stable sort); candidates = partition filter;
-        # ranking = cosine DESC, vec_id.
-        "ann_ivf_topk": """
-            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
-                       FROM embeddings ORDER BY vec_id LIMIT 1),
-            probe AS (
-                SELECT cell
-                FROM read_parquet(
-                    '/root/repo/spark-warehouse/ivf_index/sf0.01/centroids/*.parquet'), q
-                ORDER BY list_sum(list_transform(centroid,
-                                                 (x, i) -> (x - qv[i]) * (x - qv[i]))),
-                         cell
-                LIMIT 3),
-            cand AS (
-                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-                FROM read_parquet(
-                    '/root/repo/spark-warehouse/ivf_index/sf0.01/vectors/*/*.parquet',
-                    hive_partitioning = true)
-                WHERE cell IN (SELECT cell FROM probe))
-            SELECT vec_id, round(list_cosine_similarity(emb, qv), 5) AS cosine
-            FROM cand, q
-            ORDER BY list_cosine_similarity(emb, qv) DESC, vec_id
-            LIMIT 10
-        """,
-        # Okapi BM25 (k1=1.2, b=0.75, Robertson idf with the +1 inside
-        # the log) — independent DuckDB formulation of the same ranking
-        # the Spark scan path computes; ties broken identically
-        # (score DESC, doc_id).
         "bm25_topk": """
             WITH base AS (
               SELECT doc_id,
@@ -3702,6 +3913,74 @@ def relocated_oracles() -> dict[str, str]:
     arithmetic stays pinned here, and its cosine/rank components remain
     driver-pinned via ann_ivf_topk and ann_recall)."""
     return {
+        "j5_sql_api": _J5_SQL,
+        "dedup_simhash32": """
+            WITH toks AS (
+              SELECT doc_id, md5(t.tok) AS h
+              FROM documents,
+                   LATERAL unnest(string_split_regex(trim(text), '\\s+')) AS t(tok)
+              WHERE length(trim(text)) > 0),
+            bits AS (
+              SELECT doc_id, b.b,
+                     CASE WHEN floor((strpos('0123456789abcdef',
+                                             substr(h, CAST(b.b // 4 AS INT) + 1, 1)) - 1)
+                                / power(2, 3 - (b.b % 4))) % 2 = 1
+                          THEN 1 ELSE -1 END AS vote
+              FROM toks, LATERAL (SELECT unnest(generate_series(0, 31)) AS b) AS b),
+            votes AS (SELECT doc_id, b, sum(vote) AS v FROM bits GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN v > 0
+                                 THEN power(2, 31 - b) ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY 1
+        """,
+        "dedup_embedding_lsh": _emb_lsh_oracle(),
+        "text_vocab_topk": """
+            WITH toks AS (
+              SELECT doc_id, t.tok AS token
+              FROM documents,
+                   LATERAL unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(tok)
+              WHERE t.tok <> ''),
+            counts AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+                       FROM toks GROUP BY 1)
+            SELECT token, tf, df, rank
+            FROM (SELECT token, tf, df,
+                         row_number() OVER (ORDER BY tf DESC, token ASC) AS rank
+                  FROM counts)
+            WHERE rank <= 50
+        """,
+        # Replays the IVF probe + top-k over the SAME materialized index
+        # the Spark entry queries (built by _ivf_index at a deterministic
+        # path; the driver's gate runs at sf0.01 — tools/check_oracle.py
+        # rewrites the tag when checking other SFs). Probe set = 3 cells
+        # nearest the stored centroids by L2 (ties by cell id, matching
+        # the engine's stable sort); candidates = partition filter;
+        # ranking = cosine DESC, vec_id.
+        "ann_ivf_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings ORDER BY vec_id LIMIT 1),
+            probe AS (
+                SELECT cell
+                FROM read_parquet(
+                    '/root/repo/spark-warehouse/ivf_index/sf0.01/centroids/*.parquet'), q
+                ORDER BY list_sum(list_transform(centroid,
+                                                 (x, i) -> (x - qv[i]) * (x - qv[i]))),
+                         cell
+                LIMIT 3),
+            cand AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                FROM read_parquet(
+                    '/root/repo/spark-warehouse/ivf_index/sf0.01/vectors/*/*.parquet',
+                    hive_partitioning = true)
+                WHERE cell IN (SELECT cell FROM probe))
+            SELECT vec_id, round(list_cosine_similarity(emb, qv), 5) AS cosine
+            FROM cand, q
+            ORDER BY list_cosine_similarity(emb, qv) DESC, vec_id
+            LIMIT 10
+        """,
+        # Okapi BM25 (k1=1.2, b=0.75, Robertson idf with the +1 inside
+        # the log) — independent DuckDB formulation of the same ranking
+        # the Spark scan path computes; ties broken identically
+        # (score DESC, doc_id).
         "ann_knn_batch": """
             WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings ORDER BY vec_id LIMIT 3),

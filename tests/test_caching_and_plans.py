@@ -308,7 +308,7 @@ def test_registry_discipline():
     missing = [n for n in HEADLINE if n not in bq]
     assert not missing, f"bench headline names not resolvable: {missing}"
     # rows-only entries must stay the documented irreducible set
-    assert set(q) - set(o) <= {"mwas_full", "ann_ivf_topk"}
+    assert set(q) - set(o) <= {"mwas_full"}
 
 
 def test_profile_table_one_pass(spark):

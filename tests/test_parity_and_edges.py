@@ -1,6 +1,8 @@
 """Cross-surface parity and edge cases: streaming vs batch window
 results, empty-input schema stability, MinHash estimate quality."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -324,10 +326,22 @@ def test_relocated_oracle_parity(spark, sf_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     relocated = entry.relocated_oracles()
     assert sorted(relocated) == [
-        "a7_signature_dedup", "ann_knn_batch", "f2_rpm_normalize",
-        "j4_cascading_lookup", "j6_semi_join", "s13_synthetic_input",
-        "so2_complement",
+        "a7_signature_dedup", "ann_ivf_topk", "ann_knn_batch",
+        "dedup_embedding_lsh", "dedup_simhash32", "f2_rpm_normalize",
+        "j4_cascading_lookup", "j5_sql_api", "j6_semi_join",
+        "s13_synthetic_input", "so2_complement", "text_vocab_topk",
     ]
+    # oracle SQL that reads a materialized index bakes the driver's
+    # sf0.01 tag into its path — point it at this run's SF instead
+    # (same rewrite tools/check_oracle.py applies)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    if tag != "sf0.01":
+        relocated = {
+            k: v.replace("/ivf_index/sf0.01/", f"/ivf_index/{tag}/")
+            .replace("/ivfpq_index/sf0.01/", f"/ivfpq_index/{tag}/")
+            .replace("/drift_pca/sf0.01/", f"/drift_pca/{tag}/")
+            for k, v in relocated.items()
+        }
     bench = entry.bench_queries()
     for name, sql in relocated.items():
         assert name not in entry.queries()  # rotated out, not duplicated

@@ -81,6 +81,7 @@ def main():
         oracles = {
             k: v.replace("/ivf_index/sf0.01/", f"/ivf_index/{tag}/")
             .replace("/ivfpq_index/sf0.01/", f"/ivfpq_index/{tag}/")
+            .replace("/drift_pca/sf0.01/", f"/drift_pca/{tag}/")
             for k, v in oracles.items()
         }
     n_fail = 0
