@@ -461,8 +461,16 @@ def streaming_minhash_dedup(
     prior corpus (which would drop every survivor and overwrite the
     output with nothing). The per-batch state partitions stay distinct
     by construction (a survivor's buckets are absent from prior state
-    and claimed once per batch under the keep-first rule); many small
-    batch partitions are swept by the maintenance compactor.
+    and claimed once per batch under the keep-first rule).
+
+    State-dir maintenance: do NOT run a generic ``compact_files`` pass
+    over ``state_dir`` — merging ``ingest_batch=`` partitions across
+    batch ids would break the current-batch exclusion above for any
+    batch that can still replay. Use :func:`compact_minhash_state`
+    with the stream's last COMMITTED batch id
+    (:func:`last_committed_batch`): it folds only partitions whose
+    batch can never re-run into a frozen negative-id partition that no
+    live exclusion ever matches.
 
     Returns the configured ``DataStreamWriter`` (caller adds trigger /
     checkpoint and ``.start()``).
@@ -501,6 +509,107 @@ def streaming_minhash_dedup(
         )
 
     return docs_stream.writeStream.foreachBatch(_process)
+
+
+def last_committed_batch(spark: SparkSession, checkpoint_dir: str) -> int | None:
+    """Highest batch id with a commit marker in a Structured Streaming
+    checkpoint (``{checkpoint}/commits/<id>`` — written only after
+    foreachBatch returned successfully, so a committed batch can never
+    re-run; the at-least-once replay window is exactly the ids above
+    this). Returns None for a checkpoint that has committed nothing."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    d = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/commits")
+    fs = d.getFileSystem(conf)
+    if not fs.exists(d):
+        return None
+    best = None
+    for st in fs.listStatus(d):
+        name = st.getPath().getName()
+        if name.isdigit():
+            best = int(name) if best is None else max(best, int(name))
+    return best
+
+
+def compact_minhash_state(
+    spark: SparkSession,
+    state_dir: str,
+    up_to_batch: int,
+) -> int:
+    """Replay-safe small-files repair for a :func:`streaming_minhash_dedup`
+    state table: every trigger lands one ``ingest_batch=<id>`` partition,
+    so file count grows with BATCH COUNT, not data — but a naive
+    compactor that merges those partitions would destroy the per-batch
+    provenance the crash-replay invariant needs (the probe excludes the
+    CURRENT batch id from the state read; a replayed batch whose first
+    attempt's buckets were folded under another id would see them as
+    prior corpus and drop every survivor).
+
+    Safe rule: fold ONLY batches that can never re-run — ids ``<=
+    up_to_batch``, which the caller takes from the stream's checkpoint
+    via :func:`last_committed_batch` (a commit marker means foreachBatch
+    completed; Structured Streaming replays only ids after it) — into
+    ONE frozen partition at the negative id ``-(up_to_batch + 1)``.
+    Live batch ids are non-negative, so the ``!= batch_id`` exclusion
+    never matches a frozen partition and every replay still sees the
+    full folded history. Earlier frozen partitions (previous
+    compactions) are folded in too.
+
+    Crash-safe and idempotent: the merged rows are written to the fresh
+    target partition FIRST (band-partitioned, so probes keep pruning;
+    ``distinct`` because a crash between write and cleanup leaves the
+    same bucket in both the target and a source — harmless to the
+    semi-join probe, and the re-run converges via the _SUCCESS marker),
+    then the source partitions are deleted. Returns the number of
+    partitions folded (0 = nothing to do)."""
+    if up_to_batch < 0:
+        raise ValueError(f"up_to_batch must be >= 0, got {up_to_batch}")
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return 0
+    target_id = -(up_to_batch + 1)
+    sources = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("ingest_batch="):
+            continue
+        try:
+            bid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if bid == target_id:
+            continue
+        if bid <= up_to_batch:  # includes earlier frozen negatives
+            sources.append(bid)
+    if not sources or (len(sources) == 1 and sources[0] < 0):
+        return 0  # nothing worth folding
+    target = jvm.org.apache.hadoop.fs.Path(
+        f"{state_dir}/ingest_batch={target_id}"
+    )
+    success = jvm.org.apache.hadoop.fs.Path(
+        f"{state_dir}/ingest_batch={target_id}/_SUCCESS"
+    )
+    if fs.exists(target) and not fs.exists(success):
+        fs.delete(target, True)  # partial write from a crashed compaction
+    if not fs.exists(target):
+        merged = (
+            spark.read.parquet(state_dir)
+            .where(F.col("ingest_batch").isin(sources))
+            .select("band", "bucket")
+            .distinct()
+            .repartition("band")  # one write task per band, no slivers
+        )
+        merged.write.partitionBy("band").mode("errorifexists").parquet(
+            f"{state_dir}/ingest_batch={target_id}"
+        )
+    for bid in sources:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{state_dir}/ingest_batch={bid}"), True
+        )
+    return len(sources)
 
 
 HH_OUT_SCHEMA = (

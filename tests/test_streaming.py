@@ -598,3 +598,121 @@ def test_streaming_heavy_hitters_matches_hand_replay(spark, tmp_path):
         if n > bound:
             assert k in final[s], f"{k} (count {n} > {bound}) must survive"
             assert n - bound <= final[s][k] <= n
+
+
+def test_minhash_state_compaction_replay_safe(spark, sf_dir, tmp_path):
+    """VERDICT r6 task #4: compacting the minhash state dir must
+    preserve crash-replay idempotence. Scenario: batches 0..2 run;
+    batch 2's commit marker is removed (the crash-between-writes-and-
+    commit window); the compactor folds ONLY committed batches 0..1
+    into the frozen negative partition; the restarted stream re-runs
+    batch 2 against the compacted state and must reproduce the same
+    survivors — the exclusion `ingest_batch != 2` still works because
+    batch 2's own partition was never folded."""
+    import glob
+    import os
+    import shutil
+
+    from mwas_rfam_spark.operators.dedup import incremental_minhash_dedup
+    from mwas_rfam_spark.streaming.requests import (
+        compact_minhash_state,
+        last_committed_batch,
+        streaming_minhash_dedup,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(120)
+        .cache()
+    )
+    src = tmp_path / "src"
+    batches = [docs.where(F.col("doc_id") % 3 == i).coalesce(1) for i in range(3)]
+    for i, b in enumerate(batches):
+        b.write.mode("overwrite").parquet(str(tmp_path / f"stage{i}"))
+        os.makedirs(src, exist_ok=True)
+        f = glob.glob(str(tmp_path / f"stage{i}" / "*.parquet"))[0]
+        shutil.copy(f, str(src / f"batch_{i}.parquet"))
+
+    state_dir = str(tmp_path / "state")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    q = (
+        streaming_minhash_dedup(stream, state_dir, out_dir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    seen = None
+    want = set()
+    for b in batches:
+        survivors, seen = incremental_minhash_dedup(b, seen)
+        seen = seen.localCheckpoint()
+        want |= {r["doc_id"] for r in survivors.select("doc_id").collect()}
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).select("doc_id").collect()}
+    assert got == want
+
+    pre_state = {
+        (r["band"], r["bucket"])
+        for r in spark.read.parquet(state_dir).select("band", "bucket").collect()
+    }
+    assert last_committed_batch(spark, ckpt) == 2
+
+    # crash window: batch 2's writes landed but its commit marker didn't
+    # (drop the local-FS checksum sibling too — a stale .crc makes the
+    # restarted query's checksummed re-create fail as a bogus
+    # "concurrent query" instead of rewriting the commit)
+    os.remove(os.path.join(ckpt, "commits", "2"))
+    crc = os.path.join(ckpt, "commits", ".2.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    assert last_committed_batch(spark, ckpt) == 1
+
+    folded = compact_minhash_state(spark, state_dir, up_to_batch=1)
+    assert folded == 2  # batches 0 and 1
+    parts = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(state_dir, "ingest_batch=*"))
+    }
+    assert parts == {"ingest_batch=-2", "ingest_batch=2"}
+    # band sub-partitioning survives (probes keep pruning)
+    assert glob.glob(os.path.join(state_dir, "ingest_batch=-2", "band=*"))
+    # nothing lost, nothing invented
+    post_state = {
+        (r["band"], r["bucket"])
+        for r in spark.read.parquet(state_dir).select("band", "bucket").collect()
+    }
+    assert post_state == pre_state
+    # idempotent re-run (same up_to): only the frozen partition remains
+    # below the bar, so there is nothing left to fold
+    assert compact_minhash_state(spark, state_dir, up_to_batch=1) == 0
+
+    # the restarted stream re-executes ONLY uncommitted batch 2 against
+    # the compacted state — survivors must be unchanged
+    q2 = (
+        streaming_minhash_dedup(stream, state_dir, out_dir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got2 = {r["doc_id"] for r in spark.read.parquet(out_dir).select("doc_id").collect()}
+    assert got2 == want
+    post_replay = {
+        (r["band"], r["bucket"])
+        for r in spark.read.parquet(state_dir).select("band", "bucket").collect()
+    }
+    assert post_replay == pre_state
