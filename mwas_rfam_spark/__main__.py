@@ -1057,6 +1057,182 @@ def maintain_main(argv: list[str], spark: SparkSession | None = None) -> int:
             spark.stop()
 
 
+REFERENCE_TESTS = "/root/reference/main/tests"
+
+
+def build_demo_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mwas_rfam_spark demo",
+        description="Reference-parity MWAS demo: run the reference repo's "
+        "own test inputs (a 3-column run/group/quantifier CSV — "
+        "main/tests/test5_PRJNA241125.csv shape — plus a raw wide "
+        "per-BioProject metadata CSV from the named failure corpus) "
+        "through the FULL engine path (positional-rename input scan -> "
+        "wide->long melt -> condensation -> run_mwas) and diff the "
+        "18-column output against the pinned expectation CSV. One "
+        "command, end to end, deterministic (seeded permutation "
+        "kernel). The catalog is synthesized deterministically (input "
+        "runs round-robin over the metadata's valid biosamples, spots "
+        "= 100000 + 1000*i) because the reference resolves runs "
+        "through its production SQL catalog, which test inputs don't "
+        "ship.",
+    )
+    p.add_argument(
+        "--input",
+        default=f"{REFERENCE_TESTS}/test5_PRJNA241125.csv",
+        help="3-column observation CSV (positional run/group/quantifier)",
+    )
+    p.add_argument(
+        "--metadata",
+        default=(
+            f"{REFERENCE_TESTS}/metadata_set_maker_tests/test_files/"
+            "TEST_MEDIUM--PRJDB10214.csv"
+        ),
+        help="raw wide per-BioProject metadata CSV (reference corpus shape)",
+    )
+    p.add_argument(
+        "--bioproject",
+        default=None,
+        help="BioProject accession (default: parsed from the metadata filename)",
+    )
+    p.add_argument("--expected", default=None,
+                   help="pinned expectation CSV (default: the packaged golden)")
+    p.add_argument("--update-golden", action="store_true",
+                   help="rewrite the expectation CSV from this run instead of diffing")
+    p.add_argument("--output", default=None, help="also write the run's output CSV here")
+    p.add_argument("--resamples", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=7)
+    return p
+
+
+def _demo_norm_cell(v):
+    """Stringify one output cell for the golden diff: floats rounded to 9
+    significant-decimal places (cross-run float noise), None -> ''."""
+    if v is None:
+        return ""
+    if isinstance(v, float):
+        if v != v:  # NaN
+            return "nan"
+        return repr(round(v, 9))
+    return str(v)
+
+
+def _demo_golden_path() -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "golden", "demo_parity.csv",
+    )
+
+
+def demo_main(argv: list[str], spark: SparkSession | None = None) -> int:
+    import csv
+    import os
+
+    args = build_demo_parser().parse_args(argv)
+    if not os.path.exists(args.input) or not os.path.exists(args.metadata):
+        print(f"demo inputs not found: {args.input} / {args.metadata}", file=sys.stderr)
+        return 2
+    bioproject = args.bioproject
+    if bioproject is None:
+        stem = os.path.basename(args.metadata).replace(".csv", "")
+        bioproject = stem.rsplit("--", 1)[-1].rsplit("_", 1)[-1]
+    owns_session = spark is None
+    if owns_session:
+        from .session import get_spark
+
+        spark = get_spark(app_name="mwas-demo")
+    try:
+        from .config import MwasConfig
+        from .operators.condense import condense_metadata
+        from .operators.mwas import run_mwas
+        from .sources.readers import melt_wide_metadata, read_input_csv
+
+        inp = read_input_csv(spark, args.input)
+        wide = spark.read.options(header=True, multiLine=True, escape='"').csv(
+            args.metadata
+        )
+        # real corpus files contain duplicate headers — make them unique
+        # the same way the corpus round-trip test does
+        seen: dict[str, int] = {}
+        names = []
+        for c in wide.columns:
+            k = seen.get(c, 0)
+            seen[c] = k + 1
+            names.append(c if k == 0 else f"{c}__dup{k}")
+        wide = wide.toDF(*names)
+        sets_df, ref_df = condense_metadata(melt_wide_metadata(wide, bioproject))
+        ref_rows = ref_df.collect()
+        if not ref_rows:
+            print(f"{args.metadata}: condensed to nothing (too few valid "
+                  "biosamples) — no tests to run", file=sys.stderr)
+            return 2
+        runs = [r["run"] for r in inp.select("run").distinct().orderBy("run").collect()]
+        bss = sorted(set(ref_rows[0]["biosamples_ref"]))
+        catalog = spark.createDataFrame(
+            [(bioproject, bss[i % len(bss)], r, 100000 + 1000 * i)
+             for i, r in enumerate(runs)],
+            "bio_project string, bio_sample string, run string, spots long",
+        )
+        cfg = MwasConfig(
+            permutation_seed=args.seed, permutation_resamples=args.resamples
+        )
+        res = run_mwas(inp, catalog, sets_df, ref_df, cfg)
+        cols = res.columns
+        rows = sorted(
+            tuple(_demo_norm_cell(r[c]) for c in cols) for r in res.collect()
+        )
+        from collections import Counter
+
+        status_i = cols.index("status")
+        by_status = Counter(r[status_i] for r in rows)
+        print(f"demo: {len(rows)} result rows, {len(cols)} columns "
+              f"({dict(sorted(by_status.items()))})")
+        if args.output:
+            with open(args.output, "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(cols)
+                w.writerows(rows)
+
+        golden = args.expected or _demo_golden_path()
+        if args.update_golden:
+            os.makedirs(os.path.dirname(golden), exist_ok=True)
+            with open(golden, "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(cols)
+                w.writerows(rows)
+            print(f"golden updated: {golden} ({len(rows)} rows)")
+            return 0
+        if not os.path.exists(golden):
+            print(f"no pinned expectation at {golden} (run with "
+                  "--update-golden to create it)", file=sys.stderr)
+            return 2
+        with open(golden, newline="") as f:
+            rd = csv.reader(f)
+            want_cols = next(rd)
+            want = sorted(tuple(row) for row in rd)
+        problems = []
+        if want_cols != cols:
+            problems.append(f"schema: got {cols} want {want_cols}")
+        if len(want) != len(rows):
+            problems.append(f"rowcount: got {len(rows)} want {len(want)}")
+        if not problems and rows != want:
+            bad = [(g, w) for g, w in zip(rows, want) if g != w][:3]
+            problems.append(f"values: first diffs {bad}")
+        if problems:
+            print("PARITY FAIL", file=sys.stderr)
+            for p_ in problems:
+                print(f"  {p_}", file=sys.stderr)
+            return 1
+        print(f"PARITY OK: output matches {golden} exactly "
+              f"({len(rows)} rows x {len(cols)} cols)")
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
@@ -1086,6 +1262,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         return tokenize_main(argv[1:], spark)
     if argv and argv[0] == "pack":
         return pack_main(argv[1:], spark)
+    if argv and argv[0] == "demo":
+        return demo_main(argv[1:], spark)
     from .config import MwasConfig
     from .operators.condense import condense_metadata
     from .operators.mwas import run_mwas

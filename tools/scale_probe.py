@@ -823,6 +823,13 @@ def probe_r6b_ops(spark, sf_dir: str, out: dict):
         t0 = time.time()
         materialize_ivfpq(e, cents, books, path)
         out[f"ivfpq_build_{label}"] = round(time.time() - t0, 2)
+        # warm row (r6 verdict task #5): the single-shot convention makes
+        # 1x rows of heavy builds JVM-debt-dominated; a second build into
+        # a fresh dir isolates the steady-state cost
+        warm = tempfile.mkdtemp(prefix=f"ivfpq_{label}_warm_")
+        t0 = time.time()
+        materialize_ivfpq(e, cents, books, warm)
+        out[f"ivfpq_build_{label}_warm"] = round(time.time() - t0, 2)
         t0 = time.time()
         _force(ivfpq_topk_indexed(spark, path, q, k=10, nprobe=3, rerank=100))
         out[f"ivfpq_search_{label}"] = round(time.time() - t0, 2)
@@ -912,6 +919,10 @@ def probe_r6b100(spark, sf_dir: str, out: dict):
     t0 = time.time()
     materialize_ivfpq(emb100, cents, books, path)
     out["ivfpq_build_100x"] = round(time.time() - t0, 2)
+    warm = tempfile.mkdtemp(prefix="ivfpq_100x_warm_")
+    t0 = time.time()
+    materialize_ivfpq(emb100, cents, books, warm)
+    out["ivfpq_build_100x_warm"] = round(time.time() - t0, 2)
     for run in (1, 2):
         t0 = time.time()
         _force(ivfpq_topk_indexed(spark, path, q, k=10, nprobe=8, rerank=100))
@@ -928,6 +939,97 @@ def probe_r6b100(spark, sf_dir: str, out: dict):
     spark.catalog.clearCache()
     print({k: v for k, v in out.items()
            if "100x" in k or k == "semantic_decontam_1x"}, file=sys.stderr)
+
+
+
+
+def probe_r7m(spark, sf_dir: str, out: dict):
+    """Probe M (r6 verdict task #3) — the COMPOSED k-NN joins at 100x
+    and 1,000 cells end-to-end (probe L measured build/search
+    components only), plus temperature_mix and bin_pack_documents at
+    100x to finish probe J's families.
+
+    The join probes are the 1000-executor-class shape: a 64-query
+    batch against a 100x corpus under a 1,000-cell coarse quantizer —
+    the regime where the driver-pushed static `cell IN (...)` filter
+    (dynamic pruning does not fire through the broadcast mapInPandas
+    side) and the per-query GEMM/LUT kernels either hold or blow up."""
+    import tempfile
+
+    from mwas_rfam_spark.operators.packing import bin_pack_documents
+    from mwas_rfam_spark.operators.quantization import (
+        ivfpq_knn_join,
+        materialize_ivfpq,
+        train_pq_codebooks,
+    )
+    from mwas_rfam_spark.operators.selection import temperature_mix
+    from mwas_rfam_spark.operators.similarity import ivf_knn_join, train_ivf_centroids
+    from mwas_rfam_spark.plans.testdata_mwas import load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    emb100 = emb.crossJoin(
+        spark.range(100).select(F.col("id").alias("_c"))
+    ).select(
+        (F.col("vec_id") * 100 + F.col("_c")).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.sin((F.col("_c") + F.lit(1)).cast("double") * (i + F.lit(1))),
+        ).alias("embedding"),
+    ).repartition(64).localCheckpoint()
+    out["knn_100x_rows"] = emb100.count()
+
+    def qbatch(e, n=64):
+        return e.orderBy("vec_id").limit(n).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        ).localCheckpoint()
+
+    for label, e, k_cells in [("1x", emb.localCheckpoint(), 8), ("100x", emb100, 1000)]:
+        cents = train_ivf_centroids(e, k=k_cells, iters=2)
+        qs = qbatch(e)
+        t0 = time.time()
+        _force(ivf_knn_join(e, qs, cents, k=5, nprobe=max(3, k_cells // 100)))
+        out[f"ivf_knn_join_{label}"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        _force(ivf_knn_join(e, qs, cents, k=5, nprobe=max(3, k_cells // 100)))
+        out[f"ivf_knn_join_{label}_warm"] = round(time.time() - t0, 2)
+
+        books = train_pq_codebooks(e, m=8, k=32, iters=3, sample_size=512)
+        path = tempfile.mkdtemp(prefix=f"ivfpq_m_{label}_")
+        t0 = time.time()
+        materialize_ivfpq(e, cents, books, path)
+        out[f"ivfpq_m_build_{label}"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        _force(ivfpq_knn_join(spark, path, qs, k=5,
+                              nprobe=max(3, k_cells // 100), rerank=100))
+        out[f"ivfpq_knn_join_{label}"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        _force(ivfpq_knn_join(spark, path, qs, k=5,
+                              nprobe=max(3, k_cells // 100), rerank=100))
+        out[f"ivfpq_knn_join_{label}_warm"] = round(time.time() - t0, 2)
+
+    src100 = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    docs100 = src100.crossJoin(
+        spark.range(100).select(F.col("id").alias("_c"))
+    ).select(
+        (F.col("doc_id") * 100 + F.col("_c")).alias("doc_id"),
+        "text",
+        F.concat(F.col("source"), F.lit("_"), (F.col("_c") % 10).cast("string")).alias("source"),
+    ).repartition(64).localCheckpoint()
+    n100 = docs100.count()
+    out["mix_100x_rows"] = n100
+    t0 = time.time()
+    _force(temperature_mix(docs100, alpha=0.3, target_rows=int(n100 * 0.8), seed=11))
+    out["source_mix_100x"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    _force(bin_pack_documents(docs100.select("doc_id", "text"), max_tokens_per_pack=512))
+    out["binpack_100x"] = round(time.time() - t0, 2)
+
+    spark.catalog.clearCache()
+    print({k: v for k, v in out.items()
+           if k.startswith(("ivf_knn", "ivfpq_", "source_mix", "binpack", "knn_", "mix_"))},
+          file=sys.stderr)
 
 
 def main():
@@ -951,6 +1053,7 @@ def main():
         "r6": probe_r6_ops,
         "r6b": probe_r6b_ops,
         "r6b100": probe_r6b100,
+        "r7m": probe_r7m,
     }
     if only is not None and only not in probes:
         raise SystemExit(
