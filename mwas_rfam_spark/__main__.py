@@ -1107,13 +1107,25 @@ def build_demo_parser() -> argparse.ArgumentParser:
 
 def _demo_norm_cell(v):
     """Stringify one output cell for the golden diff: floats rounded to 9
-    significant-decimal places (cross-run float noise), None -> ''."""
+    decimal places (cross-run float noise: sums associate differently
+    under different partition counts), None -> ''. Numeric-looking
+    STRINGS round too — the legacy fold_change column is a string that
+    may carry an unrounded float repr ('negative inf' and friends fail
+    the parse and pass through untouched)."""
     if v is None:
         return ""
     if isinstance(v, float):
         if v != v:  # NaN
             return "nan"
         return repr(round(v, 9))
+    if isinstance(v, str):
+        try:
+            f = float(v)
+        except ValueError:
+            return v
+        if f != f or f in (float("inf"), float("-inf")):
+            return v
+        return repr(round(f, 9))
     return str(v)
 
 

@@ -810,3 +810,64 @@ def test_index_cli_ivfpq_lifecycle(spark, tmp_path):
     # removed ids never surface; vec_id 0 survives (0 % 5 != 1) at dist 0
     assert all(v % 5 != 1 for v, _ in got)
     assert got[0] == (0, 0.0)
+
+
+def test_cli_demo_reference_parity(spark, tmp_path):
+    """VERDICT r6 task #7: one command runs the reference repo's own
+    test inputs end-to-end (positional input scan -> wide->long melt ->
+    condensation -> seeded run_mwas) and diffs the 18-column output
+    against the pinned golden. Plus: every t-test row's statistic and
+    p-value re-derived from the row's own summary stats with plain
+    Python (the same closed form scipy's ttest_ind_from_stats uses) —
+    an engine-independent check that the pipeline wired the cohort
+    stats into the test correctly."""
+    import csv
+    import math
+    import os
+
+    import pytest as _pytest
+
+    from mwas_rfam_spark.__main__ import _demo_golden_path, demo_main
+
+    if not os.path.isdir("/root/reference/main/tests"):
+        _pytest.skip("reference corpus not present")
+
+    out_csv = str(tmp_path / "demo_out.csv")
+    rc = demo_main(["--output", out_csv], spark)
+    assert rc == 0  # PARITY OK against the pinned golden
+
+    from mwas_rfam_spark.functions.stattests import student_t_sf
+
+    n_checked = 0
+    with open(out_csv, newline="") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 882 and len(rows[0]) == 18
+    for r in rows:
+        if not r["status"].startswith("t_test"):
+            continue
+        n1, n2 = int(r["num_true"]), int(r["num_false"])
+        m1, m2 = float(r["mean_rpm_true"]), float(r["mean_rpm_false"])
+        s1, s2 = float(r["sd_rpm_true"]), float(r["sd_rpm_false"])
+        if n1 < 2 or n2 < 2:
+            continue
+        vn1, vn2 = s1 * s1 / n1, s2 * s2 / n2
+        if vn1 + vn2 == 0:
+            continue
+        t = (m1 - m2) / math.sqrt(vn1 + vn2)
+        assert abs(t - float(r["test_statistic"])) < 1e-6, r
+        dfree = (vn1 + vn2) ** 2 / (
+            (vn1 * vn1 / (n1 - 1)) + (vn2 * vn2 / (n2 - 1))
+        )
+        p = 2.0 * student_t_sf(abs(t), dfree)
+        assert abs(p - float(r["p_value"])) < 1e-6, r
+        n_checked += 1
+    assert n_checked >= 100  # the corpus produces a real t-test population
+
+    # FAIL path: a tampered expectation must be caught, not papered over
+    tampered = str(tmp_path / "tampered.csv")
+    with open(_demo_golden_path(), newline="") as f:
+        lines = f.readlines()
+    lines[1] = lines[1].replace("PRJDB10214", "PRJXXXXXX")
+    with open(tampered, "w", newline="") as f:
+        f.writelines(lines)
+    assert demo_main(["--expected", tampered], spark) == 1
