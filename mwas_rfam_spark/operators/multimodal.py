@@ -60,6 +60,20 @@ VIDEO_FRAMES_SCHEMA = T.StructType(
     ]
 )
 
+VIDEO_METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_video_tracks", T.IntegerType()),
+        T.StructField("n_audio_tracks", T.IntegerType()),
+        T.StructField("audio_sample_rate", T.IntegerType()),
+        T.StructField("bitrate_kbps", T.DoubleType()),
+    ]
+)
+
 
 def attach_binary(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Attach an opaque binary payload + typed metadata struct to each doc.
@@ -275,6 +289,14 @@ def _real_audio_features(payload: bytes) -> tuple[int, int]:
         return int(info.samplerate), int(info.frames)
     except (ImportError, OSError):
         pass
+    from mwas_rfam_spark.functions.media_headers import is_mp3, mp3_metadata
+
+    if is_mp3(payload):
+        # header-only frame-chain walk (functions/media_headers): exact
+        # sample count and rate without decoding any audio — the MP3
+        # family no longer dead-ends on the missing soundfile wheel
+        meta = mp3_metadata(payload)
+        return int(meta["sample_rate"]), int(meta["n_samples"])
     with _open_wav_checked(payload) as w:
         rate, frames = int(w.getframerate()), int(w.getnframes())
     if rate <= 0:
@@ -356,8 +378,108 @@ def _real_video_frames(payload: bytes, every_n: int) -> list[tuple[int, str]]:
         ]
     raise NotImplementedError(
         "real frame extraction: PyAV/ffmpeg not in this container and the "
-        "payload is not a GIF (the stdlib decoder handles GIF only)"
+        "payload is not a GIF (the stdlib decoder handles GIF only; for "
+        "MP4 containers, `video_metadata` reads duration/dims/tracks "
+        "header-only without any wheel)"
     )
+
+
+def _real_video_metadata(payload: bytes) -> dict:
+    """Header-only container metadata → the VIDEO_METADATA_SCHEMA dict.
+
+    MP4: moov-tree walk (functions/media_headers — duration, 16.16
+    tkhd dims, track census, audio rate, container-level bitrate), no
+    sample decoding. GIF: logical-screen dims from the 13-byte header
+    (duration would need the per-frame GCE delays — full parse — so it
+    stays NULL here; `sample_video_frames` is the full-parse path).
+    Other containers raise NotImplementedError naming the missing
+    wheel."""
+    from mwas_rfam_spark.functions.gif_codec import is_gif
+    from mwas_rfam_spark.functions.media_headers import is_mp4, mp4_metadata
+
+    if is_mp4(payload):
+        m = mp4_metadata(payload)
+        return {
+            "container": "mp4",
+            "duration_s": m["duration_s"],
+            "width": m["width"],
+            "height": m["height"],
+            "n_video_tracks": m["n_video_tracks"],
+            "n_audio_tracks": m["n_audio_tracks"],
+            "audio_sample_rate": m["audio_sample_rate"],
+            "bitrate_kbps": m["bitrate_kbps"],
+        }
+    if is_gif(payload):
+        if len(payload) < 13:
+            raise ValueError("truncated GIF header")
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        return {
+            "container": "gif",
+            "duration_s": None,
+            "width": w,
+            "height": h,
+            "n_video_tracks": 1,
+            "n_audio_tracks": 0,
+            "audio_sample_rate": None,
+            "bitrate_kbps": None,
+        }
+    raise NotImplementedError(
+        "video metadata: payload is neither ISO BMFF (mp4/mov) nor GIF — "
+        "other containers need PyAV/ffmpeg, not in this container"
+    )
+
+
+def video_metadata(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Header-only video metadata → (doc_id, container, duration_s,
+    width, height, n_video_tracks, n_audio_tracks, audio_sample_rate,
+    bitrate_kbps). The 100 TB point of header-only: a metadata sweep of
+    a petabyte video corpus reads a few KB per object (ftyp + moov or
+    the GIF header), not the sample data — this is the profiling /
+    filtering stage that runs BEFORE anyone pays for a decode fleet.
+
+    ``fake=False`` is the real parser path: the stdlib moov-tree walk
+    for MP4, the 13-byte header for GIF (testdata payloads are
+    synthetic text bytes, so e2e tests attach real crafted containers);
+    the fake path derives deterministic values from the payload sha256
+    with the same two-hex-char arithmetic as `_fake_dims`."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(p)
+                if fake:
+                    h = hashlib.sha256(payload).hexdigest()
+                    w, ht, _c = _fake_dims(h)
+                    dur = round(1.0 + (ord(h[5]) % 120), 3)
+                    rows.append(
+                        (int(doc_id), "fake", dur, w, ht, 1, ord(h[6]) % 2,
+                         None, len(payload) * 8 / dur / 1000.0)
+                    )
+                else:
+                    m = _real_video_metadata(payload)
+                    rows.append(
+                        (int(doc_id), m["container"], m["duration_s"],
+                         m["width"], m["height"], m["n_video_tracks"],
+                         m["n_audio_tracks"], m["audio_sample_rate"],
+                         m["bitrate_kbps"])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "container", "duration_s", "width", "height",
+                    "n_video_tracks", "n_audio_tracks", "audio_sample_rate",
+                    "bitrate_kbps",
+                ],
+            )
+
+    video = media.filter(F.col("media_meta.media_type") == "video").select(
+        "doc_id", "payload"
+    )
+    return video.mapInPandas(extract, VIDEO_METADATA_SCHEMA)
 
 
 def sample_video_frames(media: DataFrame, every_n: int = 4, fake: bool = True) -> DataFrame:

@@ -1213,3 +1213,164 @@ def test_png_truncated_stream_exact_length_rejected():
     good = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
     gw, gh, gc, px = decode_png(good)
     assert (gw, gh, gc) == (w, h, 3) and px == bytes(w * h * 3)
+
+
+def _mp3_frame(bitrate_idx=9, padding=0, mono=False):
+    """One MPEG-1 Layer III frame at 44100 Hz: valid 4-byte header +
+    zero payload of the exact computed frame length."""
+    _V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+    b2 = 0xFB  # sync + MPEG-1 + Layer III + no CRC
+    b3 = (bitrate_idx << 4) | (0 << 2) | (padding << 1)
+    b4 = 0xC0 if mono else 0x00
+    kbps = _V1L3[bitrate_idx]
+    n = 144 * kbps * 1000 // 44100 + padding
+    return bytes([0xFF, b2, b3, b4]) + bytes(n - 4)
+
+
+def test_mp3_metadata_frame_walk():
+    """Header-only MP3 metadata: exact sample count / duration / average
+    bitrate from the frame chain — CBR, VBR (where the first frame's
+    bitrate field lies), padding bits, ID3v2 prefix, ID3v1 trailer."""
+    import pytest
+
+    from mwas_rfam_spark.functions.media_headers import is_mp3, mp3_metadata
+
+    cbr = b"".join(_mp3_frame() for _ in range(10))
+    assert is_mp3(cbr)
+    m = mp3_metadata(cbr)
+    assert m["sample_rate"] == 44100 and m["channels"] == 2
+    assert m["n_frames"] == 10 and m["n_samples"] == 11520
+    assert abs(m["duration_s"] - 11520 / 44100) < 1e-12
+    # 417-byte frames at nominal 128 kbps -> true average just under
+    assert abs(m["bitrate_kbps"] - (4170 * 8 / (11520 / 44100) / 1000)) < 1e-9
+
+    # VBR: alternating 128/64 kbps frames — the average reflects BOTH
+    vbr = b"".join(_mp3_frame(9 if i % 2 == 0 else 5) for i in range(8))
+    mv = mp3_metadata(vbr)
+    assert mv["n_frames"] == 8 and 60 < mv["bitrate_kbps"] < 128
+
+    # padding bit lengthens the frame by exactly one byte
+    assert len(_mp3_frame(padding=1)) == len(_mp3_frame()) + 1
+    mp = mp3_metadata(_mp3_frame(padding=1) * 3)
+    assert mp["n_frames"] == 3
+
+    # ID3v2 prefix (syncsafe size) and ID3v1 trailer are skipped/stopped
+    id3v2 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 100]) + bytes(100)
+    tagged = id3v2 + cbr + b"TAG" + bytes(125)
+    assert is_mp3(tagged)
+    mt = mp3_metadata(tagged)
+    assert mt["n_frames"] == 10 and mt["n_samples"] == 11520
+
+    # mono flag
+    assert mp3_metadata(_mp3_frame(mono=True) * 2)["channels"] == 1
+
+    # truncated final frame is excluded, not miscounted
+    assert mp3_metadata(cbr + _mp3_frame()[:100])["n_frames"] == 10
+
+    with pytest.raises(ValueError, match="frame sync"):
+        mp3_metadata(b"not audio at all" * 10)
+
+
+def _mp4_box(btype, payload):
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _mp4_fixture(v1=False):
+    """Minimal ISO BMFF: ftyp + moov(mvhd + video trak + audio trak):
+    5.0 s movie, 640x360 video, 48000 Hz audio."""
+    import struct
+
+    if v1:
+        mvhd = _mp4_box(b"mvhd", bytes([1, 0, 0, 0]) + bytes(16)
+                        + struct.pack(">IQ", 1000, 5000) + bytes(80))
+        tkhd_v = _mp4_box(b"tkhd", bytes([1, 0, 0, 0]) + bytes(84)
+                          + struct.pack(">II", 640 << 16, 360 << 16))
+        mdhd_a = _mp4_box(b"mdhd", bytes([1, 0, 0, 0]) + bytes(16)
+                          + struct.pack(">I", 48000) + bytes(12))
+    else:
+        mvhd = _mp4_box(b"mvhd", bytes(12) + struct.pack(">II", 1000, 5000) + bytes(80))
+        tkhd_v = _mp4_box(b"tkhd", bytes(76) + struct.pack(">II", 640 << 16, 360 << 16))
+        mdhd_a = _mp4_box(b"mdhd", bytes(12) + struct.pack(">I", 48000) + bytes(8))
+    hdlr_v = _mp4_box(b"hdlr", bytes(8) + b"vide" + bytes(12))
+    hdlr_a = _mp4_box(b"hdlr", bytes(8) + b"soun" + bytes(12))
+    trak_v = _mp4_box(b"trak", tkhd_v + _mp4_box(b"mdia", hdlr_v))
+    trak_a = _mp4_box(b"trak", _mp4_box(b"mdia", mdhd_a + hdlr_a))
+    moov = _mp4_box(b"moov", mvhd + trak_v + trak_a)
+    ftyp = _mp4_box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
+    return ftyp + moov + _mp4_box(b"mdat", bytes(1000))
+
+
+def test_mp4_metadata_moov_walk():
+    """Header-only MP4 metadata: mvhd duration, 16.16 tkhd dims, track
+    census, audio rate — version 0 AND version 1 boxes; named rejections
+    for non-BMFF and moov-less fragments."""
+    import pytest
+
+    from mwas_rfam_spark.functions.media_headers import is_mp4, mp4_metadata
+
+    for v1 in (False, True):
+        data = _mp4_fixture(v1=v1)
+        assert is_mp4(data)
+        m = mp4_metadata(data)
+        assert m["duration_s"] == 5.0
+        assert (m["width"], m["height"]) == (640, 360)
+        assert m["n_video_tracks"] == 1 and m["n_audio_tracks"] == 1
+        assert m["audio_sample_rate"] == 48000
+        assert abs(m["bitrate_kbps"] - len(data) * 8 / 5.0 / 1000) < 1e-9
+
+    assert not is_mp4(b"RIFF....WAVE")
+    with pytest.raises(ValueError, match="ftyp"):
+        mp4_metadata(b"0123456789abcdef")
+    no_moov = _mp4_box(b"ftyp", b"isom" + bytes(8)) + _mp4_box(b"mdat", bytes(10))
+    with pytest.raises(ValueError, match="moov"):
+        mp4_metadata(no_moov)
+
+
+def test_media_metadata_spark_paths(spark):
+    """fake=False end-to-end: extract_audio_features over a real crafted
+    MP3 payload (header-only frame walk — no soundfile wheel needed) and
+    video_metadata over crafted MP4 + GIF payloads, through the same
+    Arrow mapInPandas stages as the fake path."""
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.functions.gif_codec import encode_gif
+    from mwas_rfam_spark.operators.multimodal import (
+        extract_audio_features,
+        video_metadata,
+    )
+
+    mp3 = b"".join(_mp3_frame() for _ in range(5))
+    media = spark.createDataFrame(
+        [(1, bytearray(mp3))], "doc_id long, payload binary"
+    ).select(
+        "doc_id", "payload",
+        F.struct(F.lit("audio").alias("media_type")).alias("media_meta"),
+    )
+    rows = extract_audio_features(media, fake=False).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["sample_rate"] == 44100 and r["n_samples"] == 5 * 1152
+    assert abs(r["duration_s"] - 5 * 1152 / 44100) < 1e-9
+
+    gif = encode_gif(7, 5, [bytes(7 * 5)], palette=[(0, 0, 0), (255, 255, 255)])
+    vids = spark.createDataFrame(
+        [(2, bytearray(_mp4_fixture())), (5, bytearray(gif))],
+        "doc_id long, payload binary",
+    ).select(
+        "doc_id", "payload",
+        F.struct(F.lit("video").alias("media_type")).alias("media_meta"),
+    )
+    got = {r["doc_id"]: r for r in video_metadata(vids, fake=False).collect()}
+    assert got[2]["container"] == "mp4" and got[2]["duration_s"] == 5.0
+    assert (got[2]["width"], got[2]["height"]) == (640, 360)
+    assert got[2]["n_audio_tracks"] == 1 and got[2]["audio_sample_rate"] == 48000
+    assert got[5]["container"] == "gif"
+    assert (got[5]["width"], got[5]["height"]) == (7, 5)
+    assert got[5]["duration_s"] is None and got[5]["n_video_tracks"] == 1
+
+    # the fake path still runs for synthetic payloads (deterministic)
+    fake1 = video_metadata(vids, fake=True).collect()
+    fake2 = video_metadata(vids, fake=True).collect()
+    assert sorted(map(tuple, fake1)) == sorted(map(tuple, fake2))
