@@ -1569,6 +1569,81 @@ def q_embed_pca_reduce(spark, sf_dir):
     return pca_project(e, _PCA_MODEL_CACHE[sf_dir])
 
 
+def q_model_eval(spark, sf_dir):
+    """Distributed classifier evaluation (bench surface; exact-AUC
+    numpy + DuckDB midrank parity, one-pass threshold report and
+    calibration/ECE in tests/test_evaluation.py): exact midrank AUC +
+    a 3-threshold confusion report + 10-bin calibration over a
+    sigmoid score of the embeddings' first component vs label parity,
+    folded into one (metric, value) relation."""
+    from mwas_rfam_spark.operators.evaluation import (
+        binary_auc,
+        calibration_report,
+        threshold_report,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("embedding")[0].cast("double")))).alias("score"),
+        (F.col("label") % 2).alias("label"),
+    )
+    auc = binary_auc(e).select(
+        F.lit("auc").alias("metric"), F.round("auc", 9).alias("value")
+    )
+    thr = threshold_report(e, [0.25, 0.5, 0.75]).select(
+        F.concat(F.lit("f1@"), F.col("threshold").cast("string")).alias("metric"),
+        F.round("f1", 9).alias("value"),
+    )
+    cal = calibration_report(e, n_bins=10).select(
+        F.concat(F.lit("gap@bin"), F.col("bin").cast("string")).alias("metric"),
+        F.round("gap", 9).alias("value"),
+    )
+    return auc.unionByName(thr).unionByName(cal).orderBy("metric")
+
+
+def q_cms_freq(spark, sf_dir):
+    """Count-min sketch build + point lookups (bench surface; one-sided
+    guarantee, merge==one-pass, weighted counts and bit-exact DuckDB
+    sketch replay in tests/test_sketches.py): sketch the documents'
+    token stream (exploded) at 4x2048 counters, then estimate the
+    frequency of a probe set of common words."""
+    from mwas_rfam_spark.operators.sketches import cms_build, cms_lookup
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    sketch = cms_build(toks, "tok", width=2048, depth=4, seed=5)
+    probes = spark.createDataFrame(
+        [("the",), ("data",), ("pipeline",), ("of",), ("zzz-absent",)], "tok string"
+    )
+    return cms_lookup(sketch, probes, "tok", width=2048, depth=4, seed=5).orderBy("key")
+
+
+_OPQ_MODEL_CACHE: dict[str, dict] = {}
+
+
+def q_opq_encode(spark, sf_dir):
+    """OPQ rotate + PQ encode (bench surface; rotation-orthogonality,
+    error-reduction vs identity split, geometry preservation and
+    determinism in tests/test_quantization.py). The OPQ model is
+    trained once per process (build-vs-probe, like every quantizer
+    here); the timed body is the map-only rotate + encode pass."""
+    from mwas_rfam_spark.operators.decomposition import project_embeddings
+    from mwas_rfam_spark.operators.quantization import pq_encode, train_opq
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    if sf_dir not in _OPQ_MODEL_CACHE:
+        _OPQ_MODEL_CACHE[sf_dir] = train_opq(e, m=8, k=32, opq_iters=2)
+    opq = _OPQ_MODEL_CACHE[sf_dir]
+    rotated = project_embeddings(e, opq["rotation"])
+    return pq_encode(rotated, opq["codebooks"]).select(
+        "vec_id", F.col("codes")
+    ).orderBy("vec_id")
+
+
 def q_fuzzy_editdist_long(spark, sf_dir):
     """Realistic-field fuzzy join variant (r5 verdict task #5): 80-char
     prefixes — title-length strings, not the 15-char oracle shape — so
@@ -2789,6 +2864,10 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_approx_eval": q_dedup_approx_eval,
         "semantic_decontam": q_semantic_decontam,
         "ann_knn_join": q_ann_knn_join,
+        # r7 wave: evaluation / sketch / OPQ surfaces (pytest-pinned)
+        "model_eval": q_model_eval,
+        "cms_freq": q_cms_freq,
+        "opq_encode": q_opq_encode,
         # r7 rotation: the five deregistered entries stay benchable
         # (their former oracle SQL lives on in relocated_oracles); the
         # five r6 families that took their slots — sq8_topk, source_mix,

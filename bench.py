@@ -63,6 +63,9 @@ HEADLINE = [
     "fuzzy_editdist",
     "fuzzy_editdist_long",
     "embed_pca_reduce",
+    "model_eval",
+    "cms_freq",
+    "opq_encode",
     "sq8_topk",
     "ivfpq_indexed",
     "source_mix",

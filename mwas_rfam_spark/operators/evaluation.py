@@ -1,0 +1,211 @@
+"""Distributed binary-classifier evaluation — exact, no sklearn.
+
+The quality-model workflow (`selection.score_quality_linear`,
+`curation.curate_corpus(quality_model_weights=...)`) gates corpora on a
+classifier score; before anyone trusts a threshold at 100 TB they need
+the score EVALUATED against labels at the same scale. sklearn's
+`roc_auc_score` collects everything to one machine; every statistic
+here is a Spark plan over rank/aggregate primitives, exact (not
+sampled), and cross-engine replayable in plain SQL:
+
+- AUC via the Mann–Whitney U rank statistic with the standard
+  midrank tie correction: AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻),
+  where ranks are midranks over the POOLED scores — one global
+  rank (a sort-based window, the same shape as a top-k) and one
+  aggregate. Equal to the trapezoidal ROC area with ties handled the
+  way scipy/sklearn handle them.
+- precision / recall / F1 at caller thresholds: one conditional
+  aggregate per confusion cell, all thresholds in ONE pass (no
+  per-threshold jobs).
+- calibration: equal-width score bins → (mean predicted, observed
+  positive rate, count) per bin, plus ECE (expected calibration
+  error, the count-weighted |gap| sum). One aggregate pass.
+
+Reference scope note: the MWAS reference repo has no evaluation layer;
+this extends the engine's training-data surface (cited convention:
+SURVEY.md §2 extensions table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def binary_auc(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Exact ROC AUC → one row (auc, n_pos, n_neg, n_null).
+
+    Midrank (average-rank) tie handling over the pooled scores — the
+    Mann–Whitney formulation, identical to sklearn's trapezoidal
+    `roc_auc_score` incl. ties. NULL scores or labels are excluded and
+    counted (a silent drop would bias the estimate invisibly).
+
+    Scale shape: one global sort (the rank window — Spark executes
+    rangepartition + local sort, the same cost class as a global
+    orderBy), one aggregate. No driver-side data; no per-threshold
+    loop. Degenerate inputs (single-class) return NULL auc rather than
+    raising — a monitoring pipeline must survive an all-negative
+    batch."""
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    base = scored.select(
+        s.alias("__s"),
+        F.when(y > 0, 1).otherwise(0).alias("__y"),
+        (s.isNull() | y.isNull()).alias("__null"),
+    )
+    valid = base.where(~F.col("__null"))
+    # midrank = average of the min and max rank over each tied score
+    # group = rank() + (cnt-1)/2 with rank() being the min rank
+    w = Window.orderBy("__s")
+    ranked = valid.withColumn("__minrank", F.rank().over(w)).withColumn(
+        "__cnt", F.count("*").over(Window.partitionBy("__s"))
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.when(
+                F.col("__y") == 1,
+                F.col("__minrank") + (F.col("__cnt") - 1) / 2.0,
+            )
+        ).alias("__rsum"),
+        F.sum("__y").alias("n_pos"),
+        F.sum(1 - F.col("__y")).alias("n_neg"),
+    )
+    nulls = base.agg(F.sum(F.col("__null").cast("long")).alias("n_null"))
+    return agg.crossJoin(F.broadcast(nulls)).select(
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            (F.col("__rsum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * F.col("n_neg")),
+        ).alias("auc"),
+        "n_pos",
+        "n_neg",
+        "n_null",
+    )
+
+
+def threshold_report(
+    scored: DataFrame,
+    thresholds: list[float],
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Confusion-matrix metrics at each threshold, ALL in one aggregate
+    pass → (threshold, tp, fp, fn, tn, precision, recall, f1,
+    selected_frac). Prediction rule: score >= threshold. NULL
+    score/label rows are excluded (see `binary_auc`). Empty-cell
+    precision/recall are NULL, not 0/0 errors."""
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    s = F.col(score_col).cast("double")
+    y = F.when(F.col(label_col).cast("int") > 0, 1).otherwise(0)
+    valid = scored.where(s.isNotNull() & F.col(label_col).isNotNull()).select(
+        s.alias("__s"), y.alias("__y")
+    )
+    aggs = []
+    for i, t in enumerate(thresholds):
+        pred = (F.col("__s") >= F.lit(float(t))).cast("int")
+        aggs += [
+            F.sum(pred * F.col("__y")).alias(f"tp{i}"),
+            F.sum(pred * (1 - F.col("__y"))).alias(f"fp{i}"),
+            F.sum((1 - pred) * F.col("__y")).alias(f"fn{i}"),
+            F.sum((1 - pred) * (1 - F.col("__y"))).alias(f"tn{i}"),
+        ]
+    row = valid.agg(*aggs)
+    per = [
+        F.struct(
+            F.lit(float(t)).alias("threshold"),
+            F.col(f"tp{i}").alias("tp"),
+            F.col(f"fp{i}").alias("fp"),
+            F.col(f"fn{i}").alias("fn"),
+            F.col(f"tn{i}").alias("tn"),
+        )
+        for i, t in enumerate(thresholds)
+    ]
+    exploded = row.select(F.explode(F.array(*per)).alias("m")).select("m.*")
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))
+    )
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))
+    )
+    return exploded.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        F.when(
+            prec + rec > 0, 2 * prec * rec / (prec + rec)
+        ).alias("f1"),
+        (
+            (F.col("tp") + F.col("fp"))
+            / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn"))
+        ).alias("selected_frac"),
+    )
+
+
+def calibration_report(
+    scored: DataFrame,
+    n_bins: int = 10,
+    score_col: str = "score",
+    label_col: str = "label",
+    score_min: float = 0.0,
+    score_max: float = 1.0,
+) -> DataFrame:
+    """Equal-width calibration bins over [score_min, score_max] →
+    (bin, bin_lo, bin_hi, n, mean_score, pos_rate, gap). Scores at or
+    past the edges clamp into the terminal bins (a sigmoid output can
+    sit exactly at 1.0). One aggregate pass; ECE is
+    Σ n_b/N · |gap_b| — compute it from the returned relation
+    (`ece()` below does) so the per-bin table and the scalar can't
+    disagree."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if not score_max > score_min:
+        raise ValueError("score_max must exceed score_min")
+    s = F.col(score_col).cast("double")
+    y = F.when(F.col(label_col).cast("int") > 0, 1).otherwise(0)
+    width = (score_max - score_min) / n_bins
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((s - F.lit(score_min)) / F.lit(width)).cast("int")
+        ),
+    )
+    valid = scored.where(s.isNotNull() & F.col(label_col).isNotNull())
+    return (
+        valid.select(b.alias("bin"), s.alias("__s"), y.alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("__s").alias("mean_score"),
+            F.avg("__y").alias("pos_rate"),
+        )
+        .select(
+            "bin",
+            (F.lit(score_min) + F.col("bin") * width).alias("bin_lo"),
+            (F.lit(score_min) + (F.col("bin") + 1) * width).alias("bin_hi"),
+            "n",
+            "mean_score",
+            "pos_rate",
+            (F.col("pos_rate") - F.col("mean_score")).alias("gap"),
+        )
+        .orderBy("bin")
+    )
+
+
+def ece(calibration: DataFrame) -> float:
+    """Expected calibration error from a `calibration_report` relation
+    (count-weighted mean |gap|). One tiny aggregate; returns 0.0 for an
+    empty report."""
+    row = calibration.agg(
+        F.sum(F.col("n") * F.abs(F.col("gap"))).alias("w"),
+        F.sum("n").alias("n"),
+    ).collect()[0]
+    return float(row["w"] / row["n"]) if row["n"] else 0.0

@@ -111,6 +111,144 @@ def train_pq_codebooks(
     return books
 
 
+def train_opq(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    opq_iters: int = 4,
+    kmeans_iters: int = 10,
+    sample_size: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Optimized Product Quantization (OPQ-NP, Ge et al. CVPR'13): learn
+    an ORTHOGONAL rotation R so the subspace split PQ imposes matches
+    the data's correlation structure, then train codebooks in the
+    rotated space. Plain PQ slices dimensions in storage order; when
+    variance lies across slice boundaries (any correlated embedding
+    space), rotating first cuts quantization error at the SAME code
+    budget — the standard faiss `OPQMatrix` preprocessing.
+
+    Alternating minimization, each round:
+      1. codebooks <- train_pq_codebooks on the rotated corpus (bounded
+         driver-side sample, deterministic — unchanged recipe);
+      2. R <- argmin ||X R^T - Y||_F over orthogonal matrices, where Y
+         is the quantized reconstruction of the rotated corpus: the
+         orthogonal-Procrustes solution R = V U^T from the SVD
+         U S V^T of the cross-moment M = X^T Y.
+
+    Scale shape: step 2's only corpus-sized work is accumulating M — a
+    d x d parameter — done exactly like `decomposition.fit_pca`: one
+    Arrow pass of per-partition (count, d^2 partial) rows, a
+    single-partition streamed combine, ONE parameter-sized row
+    collected. Codebooks + R travel as broadcast parameters; no vector
+    reaches the driver outside the bounded training sample. The SVD is
+    driver math on a d x d matrix.
+
+    Because R is orthogonal, exact L2/cosine geometry is untouched —
+    brute-force search over rotated vectors returns IDENTICAL results
+    (pytest-pinned); only the PQ approximation error changes (down).
+    Returns {"rotation": d x d, "codebooks": m x k x d0} — compose via
+    `decomposition.project_embeddings(emb, rotation)` before
+    `pq_encode` / `materialize_ivfpq`, and rotate queries driver-side
+    with the same matrix."""
+    import numpy as np
+
+    from mwas_rfam_spark.operators.decomposition import project_embeddings
+
+    if opq_iters < 1:
+        raise ValueError(f"opq_iters must be >= 1, got {opq_iters}")
+    first = emb.where(F.col(vec_col).isNotNull()).select(
+        F.size(vec_col).alias("d")
+    ).first()
+    if first is None:
+        raise ValueError("train_opq needs a non-empty corpus")
+    d = int(first["d"])
+    if d % m != 0:
+        raise ValueError(f"train_opq: dim {d} not divisible by m={m}")
+    src = emb.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).localCheckpoint()
+
+    R = np.eye(d)
+    books = None
+    for _ in range(opq_iters):
+        rotated = project_embeddings(
+            src, [[float(x) for x in row] for row in R], vec_col=vec_col
+        )
+        books = train_pq_codebooks(
+            rotated, m=m, k=k, iters=kmeans_iters, sample_size=sample_size,
+            id_col=id_col, vec_col=vec_col,
+        )
+        M = _opq_cross_moment(src, R, books, vec_col)
+        U, _s, Vt = np.linalg.svd(M)
+        # min ||X R^T - Y|| over orthogonal R: R = V U^T for M = X^T Y
+        R = Vt.T @ U.T
+    return {
+        "rotation": [[float(x) for x in row] for row in R],
+        "codebooks": books,
+    }
+
+
+def _opq_cross_moment(src: DataFrame, R, books, vec_col: str):
+    """M = X^T Y where Y = pq_decode(pq_encode(X R^T)) — accumulated as
+    per-partition d^2 partials, combined in ONE single-partition stage,
+    ONE parameter-sized row collected (the fit_pca pattern; repartition
+    not coalesce, so the partials pass keeps its parallelism)."""
+    import numpy as np
+
+    spark = src.sparkSession
+    d = R.shape[0]
+    C = np.asarray(books, dtype=np.float64)  # (m, k, d0)
+    m_, _k, d0 = C.shape
+    bc = spark.sparkContext.broadcast((np.asarray(R, dtype=np.float64), C))
+    schema = "n long, g array<double>"
+
+    def partials(batches):
+        import pandas as pd
+
+        Rm, Cm = bc.value
+        acc = np.zeros((d, d), dtype=np.float64)
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Xr = X @ Rm.T
+            Y = np.empty_like(Xr)
+            for j in range(m_):
+                sub = Xr[:, j * d0 : (j + 1) * d0]
+                dist = ((sub[:, None, :] - Cm[j][None, :, :]) ** 2).sum(axis=2)
+                Y[:, j * d0 : (j + 1) * d0] = Cm[j][dist.argmin(axis=1)]
+            acc += X.T @ Y
+            n += len(X)
+        if n:
+            yield pd.DataFrame({"n": [n], "g": [acc.ravel().tolist()]})
+
+    def combine(batches):
+        import pandas as pd
+
+        acc = np.zeros(d * d, dtype=np.float64)
+        n = 0
+        for pdf in batches:
+            for i in range(len(pdf)):
+                n += int(pdf["n"].iloc[i])
+                acc += np.asarray(pdf["g"].iloc[i])
+        if n:
+            yield pd.DataFrame({"n": [n], "g": [acc.tolist()]})
+
+    rows = (
+        src.select(vec_col)
+        .mapInPandas(partials, schema)
+        .repartition(1)
+        .mapInPandas(combine, schema)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("train_opq needs a non-empty corpus")
+    return np.asarray(rows[0]["g"]).reshape(d, d)
+
+
 def pq_encode(
     emb: DataFrame,
     codebooks: list[list[list[float]]],

@@ -1,0 +1,138 @@
+"""Count-min sketch — a mergeable frequency summary as a RELATION.
+
+Misra–Gries (`streaming.streaming_heavy_hitters`) answers "which keys
+are frequent"; count-min answers "how frequent is THIS key" for any
+key, in O(depth × width) state independent of key cardinality, with
+the classic one-sided guarantee: est ≥ true, and
+est ≤ true + (e/width)·N with probability ≥ 1 − e^(−depth) (Cormode &
+Muthukrishnan, J. Algorithms 2005).
+
+Spark-first shape: the sketch is a (depth, bucket, cnt) relation, not
+a driver-side array — built by ONE explode + groupBy over the corpus
+(map-side combinable), merged by union + re-aggregate (the counters
+are linear), probed by a broadcast join on the keys' own buckets.
+Hashing is md5-derived and domain-tagged ('cms:{seed}:{row}:')
+exactly like the engine's other seeded draws (`hash_split`,
+`temperature_mix`), so every stage — including the sketch CONTENT —
+replays bit-for-bit in plain SQL on any engine with md5.
+
+Reference scope note: the MWAS reference repo has no sketch layer;
+this extends the engine's training-data surface next to HLL
+cardinality and Misra–Gries heavy hitters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(key_col, seed: int, row: int, width: int):
+    """md5-derived bucket for hash row ``row`` — first 8 hex chars as a
+    uint32, mod width (the same primitive as `_md5_uniform`, with the
+    row index inside the tag so the depth rows are independent)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit("cms"), F.lit(str(seed)), F.lit(str(row)), key_col
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    ).cast("int")
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    width: int = 2048,
+    depth: int = 4,
+    seed: int = 0,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build the sketch relation (depth, bucket, cnt) over ``df``'s
+    keys — one explode (depth struct rows per input row) + one
+    map-side-combinable aggregate. NULL keys are excluded (they have
+    no identity to count). ``weight_col`` aggregates a weighted
+    frequency instead of row counts. At most depth × width rows come
+    back regardless of corpus size."""
+    if width < 1 or depth < 1:
+        raise ValueError(f"width/depth must be >= 1, got {width}/{depth}")
+    k = F.col(key_col).cast("string")
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    rows = df.where(k.isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("depth"),
+                        _bucket(k, seed, d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("db"),
+        w.alias("__w"),
+    )
+    return (
+        rows.select("db.depth", "db.bucket", "__w")
+        .groupBy("depth", "bucket")
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches built with the SAME (width, depth, seed) —
+    counters are linear, so merge is union + re-aggregate. The result
+    estimates the concatenated stream exactly as if built in one pass
+    (pytest-pinned). Mismatched parameters are undetectable from the
+    relation alone (bucket ids overlap), so the caller owns that
+    contract — same as every mergeable-sketch API."""
+    return (
+        a.unionByName(b)
+        .groupBy("depth", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int,
+    depth: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Point-estimate each key in ``keys`` → (key, est): min over the
+    depth rows of the key's own buckets, absent buckets counting 0.
+    The keys relation is expected to be probe-sized (it broadcasts);
+    the sketch side is at most depth × width rows, so this join never
+    touches the original corpus."""
+    k = F.col(key_col).cast("string")
+    probes = keys.where(k.isNotNull()).select(k.alias("key")).distinct()
+    probe_rows = probes.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("depth"),
+                        _bucket(F.col("key"), seed, d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("db"),
+    ).select("key", "db.depth", "db.bucket")
+    joined = F.broadcast(probe_rows).join(sketch, ["depth", "bucket"], "left")
+    return (
+        joined.groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

@@ -1,0 +1,161 @@
+"""Distributed binary-classifier evaluation: exact AUC (midrank ties),
+one-pass threshold metrics, calibration bins — vs independent numpy/
+DuckDB references."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mwas_rfam_spark.operators.evaluation import (
+    binary_auc,
+    calibration_report,
+    ece,
+    threshold_report,
+)
+
+
+def _auc_ref(scores, labels):
+    """Independent midrank AUC (no sklearn in container): scipy's
+    rankdata(average) formulation in plain numpy."""
+    s = np.asarray(scores, dtype=float)
+    y = np.asarray(labels, dtype=int)
+    order = np.argsort(s, kind="mergesort")
+    ranks = np.empty(len(s), dtype=float)
+    sorted_s = s[order]
+    i = 0
+    while i < len(s):
+        j = i
+        while j + 1 < len(s) and sorted_s[j + 1] == sorted_s[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    n_pos = int(y.sum())
+    n_neg = len(y) - n_pos
+    return (ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+
+
+def test_auc_exact_with_ties_and_nulls(spark):
+    rng = np.random.default_rng(5)
+    # quantized scores force heavy ties; signal so auc is informative
+    y = rng.integers(0, 2, 400)
+    s = np.round(rng.normal(0, 1, 400) + 0.8 * y, 1)
+    rows = [(float(si), int(yi)) for si, yi in zip(s, y)]
+    rows += [(None, 1), (0.5, None), (None, None)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = binary_auc(df).collect()[0]
+    want = _auc_ref(s, y)
+    assert abs(got["auc"] - want) < 1e-12
+    assert got["n_pos"] == int(y.sum())
+    assert got["n_neg"] == int((1 - y).sum())
+    assert got["n_null"] == 3
+
+    # perfect and inverted separability; single-class degenerates to NULL
+    perf = spark.createDataFrame(
+        [(1.0, 1), (0.9, 1), (0.1, 0), (0.0, 0)], "score double, label int"
+    )
+    assert binary_auc(perf).collect()[0]["auc"] == 1.0
+    inv = spark.createDataFrame(
+        [(0.0, 1), (1.0, 0)], "score double, label int"
+    )
+    assert binary_auc(inv).collect()[0]["auc"] == 0.0
+    mono = spark.createDataFrame([(0.3, 1), (0.7, 1)], "score double, label int")
+    assert binary_auc(mono).collect()[0]["auc"] is None
+
+
+def test_auc_duckdb_parity(spark, sf_dir):
+    """Cross-engine: the same midrank formulation in plain SQL over the
+    embeddings table (score = first component, label = label parity)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("embedding")[0].cast("double").alias("score"),
+        (F.col("label") % 2).alias("label"),
+    )
+    got = binary_auc(emb).collect()[0]
+    con = duckdb.connect()
+    want = con.execute(f"""
+        WITH v AS (
+          SELECT CAST(embedding[1] AS DOUBLE) AS s,
+                 CASE WHEN label % 2 > 0 THEN 1 ELSE 0 END AS y
+          FROM read_parquet('{sf_dir}/embeddings.parquet')),
+        r AS (
+          SELECT y,
+                 rank() OVER (ORDER BY s)
+                   + (count(*) OVER (PARTITION BY s) - 1) / 2.0 AS midrank
+          FROM v)
+        SELECT (sum(CASE WHEN y = 1 THEN midrank END)
+                  - sum(y) * (sum(y) + 1) / 2.0)
+               / (sum(y) * sum(1 - y)) AS auc,
+               sum(y) AS n_pos, sum(1 - y) AS n_neg
+        FROM r
+    """).fetchone()
+    con.close()
+    assert abs(got["auc"] - want[0]) < 1e-12
+    assert (got["n_pos"], got["n_neg"]) == (want[1], want[2])
+
+
+def test_threshold_report_one_pass(spark):
+    rows = [(0.9, 1), (0.8, 0), (0.7, 1), (0.4, 1), (0.2, 0), (0.1, 0)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    rep = {r["threshold"]: r for r in threshold_report(df, [0.5, 0.75, 1.5]).collect()}
+    r5 = rep[0.5]
+    assert (r5["tp"], r5["fp"], r5["fn"], r5["tn"]) == (2, 1, 1, 2)
+    assert r5["precision"] == pytest.approx(2 / 3)
+    assert r5["recall"] == pytest.approx(2 / 3)
+    assert r5["f1"] == pytest.approx(2 / 3)
+    assert r5["selected_frac"] == pytest.approx(0.5)
+    r75 = rep[0.75]
+    assert (r75["tp"], r75["fp"]) == (1, 1)
+    # threshold above every score: nothing selected, precision undefined
+    r15 = rep[1.5]
+    assert (r15["tp"], r15["fp"]) == (0, 0)
+    assert r15["precision"] is None and r15["recall"] == 0.0
+    # the whole report is ONE aggregate pass (no per-threshold jobs)
+    plan = threshold_report(df, [0.1, 0.5, 0.9])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") <= 2 or plan.count("SortAggregate") <= 2
+    with pytest.raises(ValueError, match="non-empty"):
+        threshold_report(df, [])
+
+
+def test_calibration_and_ece(spark):
+    # scores exactly at bin edges + past the clamp edges
+    rows = [
+        (0.05, 0), (0.05, 0),          # bin 0, pos_rate 0
+        (0.55, 1), (0.55, 0),          # bin 5, pos_rate .5 (gap ~ -.05)
+        (0.95, 1), (1.0, 1),           # 1.0 clamps into bin 9
+    ]
+    df = spark.createDataFrame(rows, "score double, label int")
+    cal = calibration_report(df, n_bins=10)
+    got = {r["bin"]: r for r in cal.collect()}
+    assert set(got) == {0, 5, 9}
+    assert got[0]["pos_rate"] == 0.0 and got[0]["n"] == 2
+    assert got[5]["mean_score"] == pytest.approx(0.55)
+    assert got[5]["gap"] == pytest.approx(0.5 - 0.55)
+    assert got[9]["n"] == 2 and got[9]["pos_rate"] == 1.0
+    assert got[9]["bin_hi"] == pytest.approx(1.0)
+    want_ece = (
+        2 * abs(0.0 - 0.05) + 2 * abs(0.5 - 0.55) + 2 * abs(1.0 - 0.975)
+    ) / 6
+    assert ece(cal) == pytest.approx(want_ece)
+    with pytest.raises(ValueError, match="n_bins"):
+        calibration_report(df, n_bins=0)
+
+
+def test_quality_model_composition(spark, sf_dir):
+    """The intended workflow: evaluate the linear quality scorer's
+    output against (synthetic) labels — scores flow straight from
+    score_quality_linear into the evaluators."""
+    from mwas_rfam_spark.operators.selection import score_quality_linear
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = spark.createDataFrame(
+        [(i, (-1.0) ** i * 0.3) for i in range(16)], "bucket int, weight double"
+    )
+    scored = score_quality_linear(docs, weights, n_buckets=16).withColumn(
+        "label", (F.col("doc_id") % 2).cast("int")
+    )
+    auc = binary_auc(scored).collect()[0]
+    assert auc["auc"] is not None and 0.0 <= auc["auc"] <= 1.0
+    rep = threshold_report(scored, [0.5])
+    assert rep.count() == 1
+    cal = calibration_report(scored)
+    assert 0.0 <= ece(cal) <= 1.0

@@ -515,3 +515,73 @@ def test_ivfpq_knn_join_single_query_equivalence(spark, emb, books, ivf_cents, q
     dup = q.where("q_id = 0").unionByName(q.where("q_id = 0"))
     with _pytest.raises(ValueError, match="duplicate q_id"):
         ivfpq_knn_join(spark, path, dup, k=5, nprobe=3, rerank=100)
+
+
+def test_opq_rotation_reduces_quantization_error(spark):
+    """OPQ (Ge et al. CVPR'13): on correlated data whose variance
+    crosses subspace boundaries, the learned orthogonal rotation must
+    cut PQ reconstruction error vs the identity split at the same code
+    budget; R must be orthogonal; and because R preserves geometry,
+    exact search over rotated vectors returns identical ids."""
+    import numpy as np
+
+    from mwas_rfam_spark.operators.decomposition import project_embeddings
+    from mwas_rfam_spark.operators.quantization import (
+        pq_encode,
+        train_opq,
+        train_pq_codebooks,
+    )
+    from mwas_rfam_spark.operators.similarity import brute_force_topk
+
+    rng = np.random.default_rng(11)
+    d, n = 16, 600
+    # correlated: a random linear mix of 4 latent factors + small noise
+    A = rng.standard_normal((d, 4))
+    X = rng.standard_normal((n, 4)) @ A.T + 0.05 * rng.standard_normal((n, d))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+
+    opq = train_opq(emb, m=4, k=16, opq_iters=3, sample_size=n)
+    R = np.asarray(opq["rotation"])
+    assert np.allclose(R @ R.T, np.eye(d), atol=1e-9)  # orthogonal
+
+    def recon_mse(vectors, books):
+        C = [np.asarray(b) for b in books]
+        d0 = C[0].shape[1]
+        err = 0.0
+        for v in vectors:
+            for j in range(len(C)):
+                sub = v[j * d0 : (j + 1) * d0]
+                dist = ((C[j] - sub[None, :]) ** 2).sum(axis=1)
+                err += dist.min()
+        return err / len(vectors)
+
+    plain_books = train_pq_codebooks(emb, m=4, k=16, sample_size=n)
+    mse_plain = recon_mse(X, plain_books)
+    mse_opq = recon_mse(X @ R.T, opq["codebooks"])
+    assert mse_opq < mse_plain * 0.9  # a real win, not noise
+
+    # geometry preserved: exact top-k over rotated == over raw
+    rotated = project_embeddings(emb, opq["rotation"]).cache()
+    q = [float(x) for x in X[0]]
+    qr = [float(x) for x in (np.asarray(q) @ R.T)]
+    raw_ids = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
+    rot_ids = [r["vec_id"] for r in brute_force_topk(rotated, qr, k=10).collect()]
+    assert raw_ids == rot_ids
+
+    # composes with pq_encode (codes valid, deterministic)
+    codes = pq_encode(rotated, opq["codebooks"]).collect()
+    assert len(codes) == n and all(len(r["codes"]) == 4 for r in codes)
+
+    # determinism: same corpus -> same rotation bit for bit
+    again = train_opq(emb, m=4, k=16, opq_iters=3, sample_size=n)
+    assert again["rotation"] == opq["rotation"]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="divisible"):
+        train_opq(emb, m=5)
+    with _pt.raises(ValueError, match="opq_iters"):
+        train_opq(emb, m=4, opq_iters=0)
