@@ -8,12 +8,16 @@ the score EVALUATED against labels at the same scale. sklearn's
 here is a Spark plan over rank/aggregate primitives, exact (not
 sampled), and cross-engine replayable in plain SQL:
 
-- AUC via the Mann–Whitney U rank statistic with the standard
-  midrank tie correction: AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻),
-  where ranks are midranks over the POOLED scores — one global
-  rank (a sort-based window, the same shape as a top-k) and one
-  aggregate. Equal to the trapezoidal ROC area with ties handled the
-  way scipy/sklearn handle them.
+- AUC via the Mann–Whitney probability form with the standard
+  midrank tie handling: AUC = P(s⁺ > s⁻) + ½·P(s⁺ = s⁻)
+  = Σ_s pos(s)·(neg_below(s) + ½·neg_at(s)) / (n⁺·n⁻), computed over
+  the per-DISTINCT-SCORE counts with the drift module's two-level
+  prefix sum (`drift._two_level_cumsum`: range partition + local
+  window + broadcast offsets) — NOT an unpartitioned rank window,
+  which Spark executes as one task holding every row. Equal to the
+  trapezoidal ROC area with ties handled the way scipy/sklearn
+  handle them (the midrank identity is pytest-pinned against the
+  rank-sum reference).
 - precision / recall / F1 at caller thresholds: one conditional
   aggregate per confusion cell, all thresholds in ONE pass (no
   per-threshold jobs).
@@ -36,20 +40,29 @@ def binary_auc(
     scored: DataFrame,
     score_col: str = "score",
     label_col: str = "label",
+    partitions: int | None = None,
 ) -> DataFrame:
     """Exact ROC AUC → one row (auc, n_pos, n_neg, n_null).
 
-    Midrank (average-rank) tie handling over the pooled scores — the
-    Mann–Whitney formulation, identical to sklearn's trapezoidal
+    Midrank tie handling, identical to sklearn's trapezoidal
     `roc_auc_score` incl. ties. NULL scores or labels are excluded and
     counted (a silent drop would bias the estimate invisibly).
 
-    Scale shape: one global sort (the rank window — Spark executes
-    rangepartition + local sort, the same cost class as a global
-    orderBy), one aggregate. No driver-side data; no per-threshold
-    loop. Degenerate inputs (single-class) return NULL auc rather than
+    Scale shape: the corpus reduces to per-DISTINCT-SCORE (pos, neg)
+    counts in one map-side-combinable aggregate; the cumulative
+    negatives come from the drift module's two-level prefix sum (range
+    partition + LOCAL window + broadcast per-partition offsets), so no
+    stage ever holds all rows in one task — the naive
+    `rank().over(Window.orderBy(score))` formulation does exactly
+    that (Spark's "No Partition Defined for Window" single-partition
+    execution) and is the reason this isn't written as a rank window.
+    Degenerate inputs (single-class) return NULL auc rather than
     raising — a monitoring pipeline must survive an all-negative
     batch."""
+    from mwas_rfam_spark.operators.drift import _two_level_cumsum
+
+    if partitions is None:
+        partitions = scored.sparkSession.sparkContext.defaultParallelism
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("int")
     base = scored.select(
@@ -58,28 +71,28 @@ def binary_auc(
         (s.isNull() | y.isNull()).alias("__null"),
     )
     valid = base.where(~F.col("__null"))
-    # midrank = average of the min and max rank over each tied score
-    # group = rank() + (cnt-1)/2 with rank() being the min rank
-    w = Window.orderBy("__s")
-    ranked = valid.withColumn("__minrank", F.rank().over(w)).withColumn(
-        "__cnt", F.count("*").over(Window.partitionBy("__s"))
+    # per-distinct-score counts: cnt_a = positives, cnt_b = negatives
+    # (the cumsum helper's column contract)
+    per_s = valid.groupBy(F.col("__s").alias("v")).agg(
+        F.sum("__y").alias("cnt_a"),
+        F.sum(1 - F.col("__y")).alias("cnt_b"),
     )
-    agg = ranked.agg(
+    cums = _two_level_cumsum(per_s, "v", partitions)
+    # AUC = Σ_s pos(s)·(neg_below(s) + ½·neg_at(s)) / (n⁺·n⁻); the
+    # inclusive cum_b minus half the at-score negatives is exactly
+    # neg_below + ½·neg_at (the midrank identity)
+    contrib = cums.join(per_s, "v").agg(
         F.sum(
-            F.when(
-                F.col("__y") == 1,
-                F.col("__minrank") + (F.col("__cnt") - 1) / 2.0,
-            )
-        ).alias("__rsum"),
-        F.sum("__y").alias("n_pos"),
-        F.sum(1 - F.col("__y")).alias("n_neg"),
+            F.col("cnt_a") * (F.col("cum_b") - F.col("cnt_b") / 2.0)
+        ).alias("__u"),
+        F.sum("cnt_a").alias("n_pos"),
+        F.sum("cnt_b").alias("n_neg"),
     )
     nulls = base.agg(F.sum(F.col("__null").cast("long")).alias("n_null"))
-    return agg.crossJoin(F.broadcast(nulls)).select(
+    return contrib.crossJoin(F.broadcast(nulls)).select(
         F.when(
             (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
-            (F.col("__rsum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
-            / (F.col("n_pos") * F.col("n_neg")),
+            F.col("__u") / (F.col("n_pos") * F.col("n_neg")),
         ).alias("auc"),
         "n_pos",
         "n_neg",
