@@ -205,8 +205,12 @@ def mp4_metadata(data: bytes) -> dict:
     mvhd = _find(data, ms, me, b"mvhd")
     if mvhd is None:
         raise ValueError("MP4 moov missing mvhd")
-    vs, _ve = mvhd
+    vs, ve = mvhd
+    if ve - vs < 20:
+        raise ValueError(f"truncated MP4 mvhd box ({ve - vs} bytes)")
     version = data[vs]
+    if version == 1 and ve - vs < 32:
+        raise ValueError(f"truncated MP4 mvhd box ({ve - vs} bytes)")
     if version == 1:
         timescale, duration = struct.unpack(">IQ", data[vs + 20 : vs + 32])
     else:
@@ -232,12 +236,19 @@ def mp4_metadata(data: bytes) -> dict:
             if width is None:
                 tkhd = _find(data, s, e, b"tkhd")
                 if tkhd is not None:
-                    ts, _te = tkhd
+                    ts, te = tkhd
+                    if te - ts < 1:
+                        raise ValueError("truncated MP4 tkhd box (empty)")
                     # width/height sit after FullBox + times + track_ID +
                     # reserved + duration + reserved[2] + layer/alt/vol/
                     # reserved + matrix: payload offset 76 (v0) / 88 (v1,
                     # 64-bit times+duration)
-                    off = ts + (88 if data[ts] == 1 else 76)
+                    rel = 88 if data[ts] == 1 else 76
+                    if te - ts < rel + 8:
+                        raise ValueError(
+                            f"truncated MP4 tkhd box ({te - ts} bytes)"
+                        )
+                    off = ts + rel
                     w_fp, h_fp = struct.unpack(">II", data[off : off + 8])
                     width, height = w_fp >> 16, h_fp >> 16
         elif handler == b"soun":
@@ -245,11 +256,15 @@ def mp4_metadata(data: bytes) -> dict:
             if audio_rate is None and mdia is not None:
                 mdhd = _find(data, mdia[0], mdia[1], b"mdhd")
                 if mdhd is not None:
-                    ds, _de = mdhd
-                    if data[ds] == 1:
-                        (audio_rate,) = struct.unpack(">I", data[ds + 20 : ds + 24])
-                    else:
-                        (audio_rate,) = struct.unpack(">I", data[ds + 12 : ds + 16])
+                    ds, de = mdhd
+                    if de - ds < 1:
+                        raise ValueError("truncated MP4 mdhd box (empty)")
+                    rel = 20 if data[ds] == 1 else 12
+                    if de - ds < rel + 4:
+                        raise ValueError(
+                            f"truncated MP4 mdhd box ({de - ds} bytes)"
+                        )
+                    (audio_rate,) = struct.unpack(">I", data[ds + rel : ds + rel + 4])
     return {
         "duration_s": duration_s,
         "width": width,

@@ -32,7 +32,7 @@ SURVEY.md §2 extensions table).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -70,32 +70,49 @@ def binary_auc(
         F.when(y > 0, 1).otherwise(0).alias("__y"),
         (s.isNull() | y.isNull()).alias("__null"),
     )
-    valid = base.where(~F.col("__null"))
-    # per-distinct-score counts: cnt_a = positives, cnt_b = negatives
-    # (the cumsum helper's column contract)
-    per_s = valid.groupBy(F.col("__s").alias("v")).agg(
-        F.sum("__y").alias("cnt_a"),
-        F.sum(1 - F.col("__y")).alias("cnt_b"),
+    # ONE corpus scan: per-distinct-score (pos, neg) counts with the
+    # invalid rows folded into a dedicated v-NULL group (a valid row's
+    # score is never NULL, so the group is unambiguous); the
+    # parameter-sized result is lazily checkpointed because three
+    # consumers (cumsum, contrib join, null row) would otherwise each
+    # re-run the corpus aggregate
+    per_s = (
+        base.groupBy(
+            F.when(~F.col("__null"), F.col("__s")).alias("v")
+        )
+        .agg(
+            F.sum(
+                F.when(~F.col("__null") & (F.col("__y") == 1), 1).otherwise(0)
+            ).alias("cnt_a"),
+            F.sum(
+                F.when(~F.col("__null") & (F.col("__y") == 0), 1).otherwise(0)
+            ).alias("cnt_b"),
+            F.sum(F.col("__null").cast("long")).alias("cnt_null"),
+        )
+        .localCheckpoint(eager=False)
     )
-    cums = _two_level_cumsum(per_s, "v", partitions)
+    valid_per = per_s.where(F.col("v").isNotNull()).select("v", "cnt_a", "cnt_b")
+    cums = _two_level_cumsum(valid_per, "v", partitions)
     # AUC = Σ_s pos(s)·(neg_below(s) + ½·neg_at(s)) / (n⁺·n⁻); the
     # inclusive cum_b minus half the at-score negatives is exactly
     # neg_below + ½·neg_at (the midrank identity)
-    contrib = cums.join(per_s, "v").agg(
+    contrib = cums.join(valid_per, "v").agg(
         F.sum(
             F.col("cnt_a") * (F.col("cum_b") - F.col("cnt_b") / 2.0)
         ).alias("__u"),
         F.sum("cnt_a").alias("n_pos"),
         F.sum("cnt_b").alias("n_neg"),
     )
-    nulls = base.agg(F.sum(F.col("__null").cast("long")).alias("n_null"))
+    nulls = per_s.agg(F.coalesce(F.sum("cnt_null"), F.lit(0)).alias("n_null"))
     return contrib.crossJoin(F.broadcast(nulls)).select(
         F.when(
             (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
             F.col("__u") / (F.col("n_pos") * F.col("n_neg")),
         ).alias("auc"),
-        "n_pos",
-        "n_neg",
+        # an all-invalid corpus leaves the contrib aggregate empty-NULL;
+        # the honest count is 0, not NULL
+        F.coalesce(F.col("n_pos"), F.lit(0)).alias("n_pos"),
+        F.coalesce(F.col("n_neg"), F.lit(0)).alias("n_neg"),
         "n_null",
     )
 

@@ -166,28 +166,33 @@ def train_opq(
     d = int(first["d"])
     if d % m != 0:
         raise ValueError(f"train_opq: dim {d} not divisible by m={m}")
+    # persist (not localCheckpoint) so training can RELEASE the corpus
+    # copy when done — checkpoint blocks would stay resident for the
+    # session; unpersist in finally frees the executors' storage
     src = emb.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
-    ).localCheckpoint()
-
-    R = np.eye(d)
-    books = None
-    for _ in range(opq_iters):
-        rotated = project_embeddings(
-            src, [[float(x) for x in row] for row in R], vec_col=vec_col
-        )
-        books = train_pq_codebooks(
-            rotated, m=m, k=k, iters=kmeans_iters, sample_size=sample_size,
-            id_col=id_col, vec_col=vec_col,
-        )
-        M = _opq_cross_moment(src, R, books, vec_col)
-        U, _s, Vt = np.linalg.svd(M)
-        # min ||X R^T - Y|| over orthogonal R: R = V U^T for M = X^T Y
-        R = Vt.T @ U.T
-    return {
-        "rotation": [[float(x) for x in row] for row in R],
-        "codebooks": books,
-    }
+    ).persist()
+    try:
+        R = np.eye(d)
+        books = None
+        for _ in range(opq_iters):
+            rotated = project_embeddings(
+                src, [[float(x) for x in row] for row in R], vec_col=vec_col
+            )
+            books = train_pq_codebooks(
+                rotated, m=m, k=k, iters=kmeans_iters, sample_size=sample_size,
+                id_col=id_col, vec_col=vec_col,
+            )
+            M = _opq_cross_moment(src, R, books, vec_col)
+            U, _s, Vt = np.linalg.svd(M)
+            # min ||X R^T - Y|| over orthogonal R: R = V U^T for M = X^T Y
+            R = Vt.T @ U.T
+        return {
+            "rotation": [[float(x) for x in row] for row in R],
+            "codebooks": books,
+        }
+    finally:
+        src.unpersist()
 
 
 def _opq_cross_moment(src: DataFrame, R, books, vec_col: str):
@@ -237,13 +242,18 @@ def _opq_cross_moment(src: DataFrame, R, books, vec_col: str):
         if n:
             yield pd.DataFrame({"n": [n], "g": [acc.tolist()]})
 
-    rows = (
-        src.select(vec_col)
-        .mapInPandas(partials, schema)
-        .repartition(1)
-        .mapInPandas(combine, schema)
-        .collect()
-    )
+    try:
+        rows = (
+            src.select(vec_col)
+            .mapInPandas(partials, schema)
+            .repartition(1)
+            .mapInPandas(combine, schema)
+            .collect()
+        )
+    finally:
+        # one broadcast per OPQ iteration: release it instead of
+        # accumulating (R, codebooks) copies on every executor
+        bc.unpersist()
     if not rows:
         raise ValueError("train_opq needs a non-empty corpus")
     return np.asarray(rows[0]["g"]).reshape(d, d)

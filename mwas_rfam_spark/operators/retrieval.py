@@ -251,6 +251,21 @@ def _build_postings(docs, text_col: str, id_col: str, n_buckets: int):
     return base, postings
 
 
+def _postings_id_type(spark, path: str) -> str | None:
+    """The id type an index was BUILT with, inferred from the stored
+    postings parquet schema (footer read only, no data scan) — the
+    backfill source when a pre-id_type stats row is rebased by
+    append/remove. The mutating SLICE's dtype is deliberately not
+    used: a caller may hand ints to a bigint-built index and the
+    persisted type would silently flip. None when no posting file
+    exists to infer from (drained legacy index — the probe's 'long'
+    fallback covers it)."""
+    try:
+        return dict(spark.read.parquet(f"{path}/postings").dtypes)["id"]
+    except Exception:
+        return None
+
+
 def materialize_text_index(
     docs: DataFrame,
     path: str,
@@ -323,6 +338,10 @@ def remove_from_text_index(
     spark = docs_removed.sparkSession
     stats = spark.read.parquet(f"{path}/stats").collect()[0]
     n_buckets = int(stats["n_buckets"])
+    # resolve the built id type NOW (pre-id_type backfill reads the
+    # postings schema, and this function may be about to delete the
+    # last posting files)
+    id_type = stats.asDict().get("id_type") or _postings_id_type(spark, path)
     # dedupe on id BEFORE any aggregation: a removed-slice carrying
     # duplicate ids must subtract each doc's token count exactly once
     # or the rebased avgdl silently drifts
@@ -388,7 +407,6 @@ def remove_from_text_index(
         if n_docs > 0
         else None
     )
-    id_type = stats.asDict().get("id_type") or dict(docs_removed.dtypes)[id_col]
     spark.createDataFrame(
         [(n_docs, avgdl, n_buckets, id_type)],
         "n_docs BIGINT, avgdl DOUBLE, n_buckets INT, id_type STRING",
@@ -497,6 +515,10 @@ def append_text_index(
     spark = docs_new.sparkSession
     stats = spark.read.parquet(f"{path}/stats").collect()[0]
     n_buckets = int(stats["n_buckets"])
+    # resolve the built id type BEFORE appending: afterwards the
+    # postings schema is polluted by the slice's own files, so a
+    # wrong-typed slice would launder its dtype into the stats
+    id_type = stats.asDict().get("id_type") or _postings_id_type(spark, path)
     base, postings = _build_postings(docs_new, text_col, id_col, n_buckets)
     postings.write.mode("append").partitionBy("bucket").parquet(f"{path}/postings")
     new = base.select(F.size("toks").alias("dl")).agg(
@@ -512,7 +534,6 @@ def append_text_index(
         float(stats["n_docs"]) * float(stats["avgdl"] or 0.0)
         + float(new["sum_dl_new"] or 0)
     ) / n_docs
-    id_type = stats.asDict().get("id_type") or dict(docs_new.dtypes)[id_col]
     spark.createDataFrame(
         [(n_docs, avgdl, n_buckets, id_type)],
         "n_docs BIGINT, avgdl DOUBLE, n_buckets INT, id_type STRING",

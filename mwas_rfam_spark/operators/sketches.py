@@ -61,12 +61,16 @@ def cms_build(
     keys — one explode (depth struct rows per input row) + one
     map-side-combinable aggregate. NULL keys are excluded (they have
     no identity to count). ``weight_col`` aggregates a weighted
-    frequency instead of row counts. At most depth × width rows come
-    back regardless of corpus size."""
+    frequency instead of row counts: ``cnt`` is then DOUBLE (fractional
+    weights sum exactly — a per-row integer cast would silently
+    undercount and break the one-sided guarantee), LONG otherwise;
+    weights must be non-negative for est ≥ true to hold (the classic
+    CM contract). At most depth × width rows come back regardless of
+    corpus size."""
     if width < 1 or depth < 1:
         raise ValueError(f"width/depth must be >= 1, got {width}/{depth}")
     k = F.col(key_col).cast("string")
-    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1).cast("long")
     rows = df.where(k.isNotNull()).select(
         F.explode(
             F.array(
@@ -112,9 +116,10 @@ def cms_lookup(
 ) -> DataFrame:
     """Point-estimate each key in ``keys`` → (key, est): min over the
     depth rows of the key's own buckets, absent buckets counting 0.
-    The keys relation is expected to be probe-sized (it broadcasts);
-    the sketch side is at most depth × width rows, so this join never
-    touches the original corpus."""
+    The SKETCH side broadcasts (at most depth × width rows — the
+    preserved left side of a left join cannot be broadcast, so the
+    hint goes on the build side); this join never touches the
+    original corpus."""
     k = F.col(key_col).cast("string")
     probes = keys.where(k.isNotNull()).select(k.alias("key")).distinct()
     probe_rows = probes.select(
@@ -131,7 +136,7 @@ def cms_lookup(
             )
         ).alias("db"),
     ).select("key", "db.depth", "db.bucket")
-    joined = F.broadcast(probe_rows).join(sketch, ["depth", "bucket"], "left")
+    joined = probe_rows.join(F.broadcast(sketch), ["depth", "bucket"], "left")
     return (
         joined.groupBy("key")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))

@@ -584,14 +584,21 @@ def compact_minhash_state(
             continue
         if bid <= up_to_batch:  # includes earlier frozen negatives
             sources.append(bid)
-    if not sources or (len(sources) == 1 and sources[0] < 0):
-        return 0  # nothing worth folding
+    if not sources:
+        return 0
     target = jvm.org.apache.hadoop.fs.Path(
         f"{state_dir}/ingest_batch={target_id}"
     )
     success = jvm.org.apache.hadoop.fs.Path(
         f"{state_dir}/ingest_batch={target_id}/_SUCCESS"
     )
+    if len(sources) == 1 and sources[0] < 0 and not fs.exists(success):
+        # the lone frozen partition IS the current folded state —
+        # nothing to fold. (When a COMPLETED target also exists, a
+        # prior run crashed between write and cleanup: fall through so
+        # the now-duplicated old frozen partition gets deleted instead
+        # of surviving every future run.)
+        return 0
     if fs.exists(target) and not fs.exists(success):
         fs.delete(target, True)  # partial write from a crashed compaction
     if not fs.exists(target):

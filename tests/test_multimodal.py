@@ -1374,3 +1374,30 @@ def test_media_metadata_spark_paths(spark):
     fake1 = video_metadata(vids, fake=True).collect()
     fake2 = video_metadata(vids, fake=True).collect()
     assert sorted(map(tuple, fake1)) == sorted(map(tuple, fake2))
+
+
+def test_mp4_truncated_boxes_rejected():
+    """Review regression: fixed-offset reads must be bounds-checked —
+    a short tkhd/mvhd is a named ValueError, never garbage dims or a
+    bare struct.error."""
+    import struct
+
+    import pytest
+
+    from mwas_rfam_spark.functions.media_headers import mp4_metadata
+
+    hdlr_v = _mp4_box(b"hdlr", bytes(8) + b"vide" + bytes(12))
+    short_tkhd = _mp4_box(b"tkhd", bytes(40))  # < 84-byte v0 payload
+    mvhd = _mp4_box(b"mvhd", bytes(12) + struct.pack(">II", 1000, 5000) + bytes(80))
+    trak = _mp4_box(b"trak", short_tkhd + _mp4_box(b"mdia", hdlr_v))
+    bad = (
+        _mp4_box(b"ftyp", b"isom" + bytes(8))
+        + _mp4_box(b"moov", mvhd + trak)
+    )
+    with pytest.raises(ValueError, match="tkhd"):
+        mp4_metadata(bad)
+
+    short_mvhd = _mp4_box(b"mvhd", bytes(8))
+    bad2 = _mp4_box(b"ftyp", b"isom" + bytes(8)) + _mp4_box(b"moov", short_mvhd)
+    with pytest.raises(ValueError, match="mvhd"):
+        mp4_metadata(bad2)

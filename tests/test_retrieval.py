@@ -375,3 +375,35 @@ def test_drained_index_schema_and_duplicate_removal_slice(spark, tmp_path):
     s = spark.read.parquet(f"{r}/stats").collect()[0]
     assert int(s["n_docs"]) == 2
     assert abs(float(s["avgdl"]) - 2.0) < 1e-9  # (2 + 2) / 2, not (8-8)/2
+
+
+def test_legacy_index_id_type_backfill_from_postings(spark, tmp_path):
+    """Review regression: appending to a PRE-id_type index must backfill
+    the built type from the stored postings schema, NOT from the
+    mutating slice's dtype (a caller may hand ints to a bigint-built
+    index)."""
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.operators.retrieval import materialize_text_index
+
+    p = str(tmp_path / "legacy")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    materialize_text_index(docs, p, n_buckets=8)
+    # simulate a legacy stats row (no id_type column)
+    legacy = spark.read.parquet(f"{p}/stats").select("n_docs", "avgdl", "n_buckets")
+    legacy.collect()  # materialize before overwriting the file we read
+    spark.createDataFrame(legacy.collect(), legacy.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{p}/stats")
+    assert "id_type" not in spark.read.parquet(f"{p}/stats").columns
+
+    from mwas_rfam_spark.operators.retrieval import append_text_index
+
+    new = spark.createDataFrame(
+        [(3, "delta")], "doc_id int, text string"  # WRONG dtype on purpose
+    ).select(F.col("doc_id"), "text")
+    append_text_index(new, p)
+    stats = spark.read.parquet(f"{p}/stats").collect()[0]
+    assert stats["id_type"] == "bigint"  # from the postings, not the slice

@@ -113,3 +113,21 @@ def test_cms_duckdb_replay(spark, sf_dir):
     )
     con.close()
     assert got == want and len(got) > 0
+
+
+def test_cms_fractional_weights_exact(spark):
+    """Review regression: fractional weights must sum exactly (cnt is
+    DOUBLE under weight_col) — a per-row integer cast would store 0 for
+    0.5-weight rows and break the one-sided est >= true guarantee."""
+    df = spark.createDataFrame(
+        [("a", 0.5), ("a", 0.5), ("a", 0.5), ("a", 0.5), ("b", 0.25)],
+        "key string, w double",
+    )
+    sk = cms_build(df, "key", width=64, depth=3, seed=4, weight_col="w")
+    est = {
+        r["key"]: r["est"]
+        for r in cms_lookup(
+            sk, df.select("key"), "key", width=64, depth=3, seed=4
+        ).collect()
+    }
+    assert est["a"] >= 2.0 and est["b"] >= 0.25

@@ -716,3 +716,47 @@ def test_minhash_state_compaction_replay_safe(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(state_dir).select("band", "bucket").collect()
     }
     assert post_replay == pre_state
+
+
+def test_minhash_state_compaction_orphan_cleanup(spark, tmp_path):
+    """Review regression: a crash AFTER the new frozen partition's
+    _SUCCESS but BEFORE source deletion used to leave the old frozen
+    partition duplicated forever (the lone-negative early return
+    skipped it); a re-run must now clean it up."""
+    import glob
+    import os
+    import shutil
+
+    from mwas_rfam_spark.streaming.requests import compact_minhash_state
+
+    state = str(tmp_path / "state")
+
+    def write_batch(bid, offset):
+        spark.createDataFrame(
+            [(b, 100 + offset + b) for b in range(4)], "band int, bucket long"
+        ).write.partitionBy("band").parquet(f"{state}/ingest_batch={bid}")
+
+    write_batch(0, 0)
+    assert compact_minhash_state(spark, state, up_to_batch=0) == 1  # -> -1
+    write_batch(1, 10)
+    # stash the current frozen partition to resurrect it post-compaction
+    shutil.copytree(f"{state}/ingest_batch=-1", str(tmp_path / "stash"))
+    assert compact_minhash_state(spark, state, up_to_batch=1) == 2  # -> -2
+    pre = sorted(
+        map(tuple, spark.read.parquet(state).select("band", "bucket").distinct().collect())
+    )
+    # simulate the crash window: old frozen partition still on disk
+    shutil.copytree(str(tmp_path / "stash"), f"{state}/ingest_batch=-1")
+    # re-run at the same bar: the duplicated old frozen partition must
+    # be folded away (it is already fully contained in -2)
+    assert compact_minhash_state(spark, state, up_to_batch=1) == 1
+    parts = {
+        os.path.basename(p) for p in glob.glob(os.path.join(state, "ingest_batch=*"))
+    }
+    assert parts == {"ingest_batch=-2"}
+    post = sorted(
+        map(tuple, spark.read.parquet(state).select("band", "bucket").distinct().collect())
+    )
+    assert post == pre
+    # steady state: nothing left to fold
+    assert compact_minhash_state(spark, state, up_to_batch=1) == 0
