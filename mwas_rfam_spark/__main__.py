@@ -1060,6 +1060,73 @@ def maintain_main(argv: list[str], spark: SparkSession | None = None) -> int:
 REFERENCE_TESTS = "/root/reference/main/tests"
 
 
+def build_evaluate_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mwas_rfam_spark evaluate",
+        description="Distributed classifier evaluation over a scored "
+        "parquet (score + binary label columns): exact midrank ROC AUC "
+        "(optionally per group slice), one-pass threshold "
+        "precision/recall/F1, and calibration bins + ECE — no sklearn, "
+        "no driver-side collect of the corpus.",
+    )
+    p.add_argument("input", help="parquet with the score and label columns")
+    p.add_argument("--score-col", default="score")
+    p.add_argument("--label-col", default="label")
+    p.add_argument("--thresholds", type=float, nargs="*", default=[0.5])
+    p.add_argument("--group-by", nargs="*", default=[],
+                   help="also report per-slice AUC over these columns")
+    p.add_argument("--bins", type=int, default=10)
+    p.add_argument("--output", default=None,
+                   help="also write the threshold report as parquet here")
+    return p
+
+
+def evaluate_main(argv: list[str], spark: SparkSession | None = None) -> int:
+    args = build_evaluate_parser().parse_args(argv)
+    owns_session = spark is None
+    if owns_session:
+        from .session import get_spark
+
+        spark = get_spark(app_name="evaluate-cli")
+    try:
+        from .operators.evaluation import (
+            binary_auc,
+            calibration_report,
+            ece,
+            grouped_auc,
+            threshold_report,
+        )
+
+        df = spark.read.parquet(args.input)
+        a = binary_auc(df, args.score_col, args.label_col).collect()[0]
+        print(f"auc\t{a['auc']}\tn_pos={a['n_pos']} n_neg={a['n_neg']} "
+              f"n_null={a['n_null']}")
+        rep = threshold_report(df, args.thresholds, args.score_col, args.label_col)
+        rows = rep.collect()
+        for r in rows:
+            print(f"threshold {r['threshold']}\tprecision={r['precision']} "
+                  f"recall={r['recall']} f1={r['f1']} "
+                  f"selected_frac={r['selected_frac']}")
+        cal = calibration_report(
+            df, args.bins, args.score_col, args.label_col
+        )
+        print(f"ece\t{ece(cal)}")
+        for g in args.group_by:
+            for r in grouped_auc(df, [g], args.score_col, args.label_col).orderBy(
+                g
+            ).collect():
+                print(f"auc[{g}={r[g]}]\t{r['auc']}\tn_pos={r['n_pos']} "
+                      f"n_neg={r['n_neg']}")
+        if args.output:
+            spark.createDataFrame(rows, rep.schema).write.mode(
+                "overwrite"
+            ).parquet(args.output)
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
 def build_demo_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="mwas_rfam_spark demo",
@@ -1276,6 +1343,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         return pack_main(argv[1:], spark)
     if argv and argv[0] == "demo":
         return demo_main(argv[1:], spark)
+    if argv and argv[0] == "evaluate":
+        return evaluate_main(argv[1:], spark)
     from .config import MwasConfig
     from .operators.condense import condense_metadata
     from .operators.mwas import run_mwas

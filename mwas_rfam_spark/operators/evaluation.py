@@ -239,3 +239,59 @@ def ece(calibration: DataFrame) -> float:
         F.sum("n").alias("n"),
     ).collect()[0]
     return float(row["w"] / row["n"]) if row["n"] else 0.0
+
+
+def grouped_auc(
+    scored: DataFrame,
+    group_cols: list[str],
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-slice exact AUC → one row per group (group_cols..., auc,
+    n_pos, n_neg) — the fairness/QA question "is the quality model as
+    good on lang=ko as on lang=en?" answered in ONE plan instead of a
+    driver loop over filters.
+
+    Same midrank arithmetic as :func:`binary_auc`, but the cumulative
+    negatives come from a window PARTITIONED BY the group over the
+    per-(group, distinct score) counts — partitioned windows distribute
+    (parallelism = number of groups; each task holds one group's
+    DISTINCT SCORES, already aggregated, not its rows). Single-class
+    groups get NULL auc. NULL score/label rows are excluded per group.
+    """
+    from pyspark.sql import Window
+
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty (use binary_auc)")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    valid = scored.where(s.isNotNull() & y.isNotNull())
+    per = valid.groupBy(*group_cols, s.alias("__v")).agg(
+        F.sum(F.when(y > 0, 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(y > 0, 0).otherwise(1)).alias("cnt_b"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per.withColumn("cum_b", F.sum("cnt_b").over(w))
+    return (
+        cum.groupBy(*group_cols)
+        .agg(
+            F.sum(
+                F.col("cnt_a") * (F.col("cum_b") - F.col("cnt_b") / 2.0)
+            ).alias("__u"),
+            F.sum("cnt_a").alias("n_pos"),
+            F.sum("cnt_b").alias("n_neg"),
+        )
+        .select(
+            *group_cols,
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.col("__u") / (F.col("n_pos") * F.col("n_neg")),
+            ).alias("auc"),
+            "n_pos",
+            "n_neg",
+        )
+    )

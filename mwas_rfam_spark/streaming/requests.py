@@ -716,3 +716,49 @@ def streaming_heavy_hitters(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_cms(
+    docs_stream: DataFrame,
+    state_dir: str,
+    key_col: str,
+    width: int = 2048,
+    depth: int = 4,
+    seed: int = 0,
+):
+    """Streaming count-min maintenance: every micro-batch's keys fold
+    into a persistent sketch under ``state_dir`` — the always-current
+    "how frequent is X" answer over an unbounded ingest stream, in
+    O(depth × width) state per batch partition regardless of key
+    cardinality (the state-store alternative would hold every key).
+
+    Replay-safe by construction, simpler than the minhash sink: a
+    batch's sketch is a pure function of the batch, written with
+    per-batch OVERWRITE to ``{state_dir}/ingest_batch=<id>`` — an
+    at-least-once re-delivery rewrites identical bytes, and because
+    count-min counters are linear, the merged estimate
+    (:func:`cms_state_sketch` = read + re-aggregate) equals the
+    one-pass sketch of everything ingested (pytest-pinned). Returns
+    the configured writer (caller adds trigger/checkpoint and
+    ``.start()``)."""
+    from ..operators.sketches import cms_build
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        cms_build(batch_df, key_col, width=width, depth=depth, seed=seed).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/ingest_batch={batch_id}")
+
+    return docs_stream.writeStream.foreachBatch(_process)
+
+
+def cms_state_sketch(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The merged sketch over every ingested batch partition — feed it
+    to `operators.sketches.cms_lookup`. Counters are linear, so merge
+    is one aggregate over at most depth × width × n_batches rows (use
+    `compact_minhash_state`-style folding only if batch count itself
+    becomes a files problem; the rows are already tiny)."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("depth", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -871,3 +871,27 @@ def test_cli_demo_reference_parity(spark, tmp_path):
     with open(tampered, "w", newline="") as f:
         f.writelines(lines)
     assert demo_main(["--expected", tampered], spark) == 1
+
+
+def test_cli_evaluate(spark, tmp_path):
+    """evaluate CLI end-to-end: scored parquet in -> AUC / threshold /
+    ECE / per-slice lines out + parquet report."""
+    import numpy as np
+
+    from mwas_rfam_spark.__main__ import evaluate_main
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (float(1 / (1 + np.exp(-(rng.normal() + 1.2 * y)))), int(y), "en" if i % 2 else "ko")
+        for i, y in enumerate(rng.integers(0, 2, 300))
+    ]
+    src = str(tmp_path / "scored")
+    spark.createDataFrame(rows, "score double, label int, lang string").write.parquet(src)
+    out = str(tmp_path / "rep")
+    rc = evaluate_main(
+        [src, "--thresholds", "0.3", "0.5", "--group-by", "lang", "--output", out],
+        spark,
+    )
+    assert rc == 0
+    rep = spark.read.parquet(out)
+    assert rep.count() == 2 and "f1" in rep.columns

@@ -11,6 +11,7 @@ from mwas_rfam_spark.operators.evaluation import (
     binary_auc,
     calibration_report,
     ece,
+    grouped_auc,
     threshold_report,
 )
 
@@ -159,3 +160,28 @@ def test_quality_model_composition(spark, sf_dir):
     assert rep.count() == 1
     cal = calibration_report(scored)
     assert 0.0 <= ece(cal) <= 1.0
+
+
+def test_grouped_auc_matches_per_group_binary_auc(spark):
+    """grouped_auc == binary_auc run per slice, in one plan — including
+    a single-class group (NULL auc) and heavy ties."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for g, shift in (("en", 1.0), ("ko", 0.2), ("onlypos", 0.0)):
+        for _ in range(150):
+            y = int(rng.integers(0, 2)) if g != "onlypos" else 1
+            s = float(np.round(rng.normal(0, 1) + shift * y, 1))
+            rows.append((g, s, y))
+    df = spark.createDataFrame(rows, "lang string, score double, label int")
+    got = {r["lang"]: r for r in grouped_auc(df, ["lang"]).collect()}
+    for g in ("en", "ko"):
+        want = binary_auc(df.where(F.col("lang") == g)).collect()[0]
+        assert abs(got[g]["auc"] - want["auc"]) < 1e-12
+        assert got[g]["n_pos"] == want["n_pos"]
+    assert got["onlypos"]["auc"] is None and got["onlypos"]["n_neg"] == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="group_cols"):
+        grouped_auc(df, [])

@@ -760,3 +760,68 @@ def test_minhash_state_compaction_orphan_cleanup(spark, tmp_path):
     assert post == pre
     # steady state: nothing left to fold
     assert compact_minhash_state(spark, state, up_to_batch=1) == 0
+
+
+def test_streaming_cms_matches_one_pass(spark, tmp_path):
+    """Streaming count-min over 3 micro-batches == the one-pass batch
+    sketch of all rows (linear counters), and a fresh-checkpoint replay
+    changes nothing (per-batch sketches are pure functions of their
+    batch, overwritten in place)."""
+    import glob
+    import os
+    import shutil
+
+    from mwas_rfam_spark.operators.sketches import cms_build, cms_lookup
+    from mwas_rfam_spark.streaming.requests import cms_state_sketch, streaming_cms
+
+    docs = spark.createDataFrame(
+        [(i, f"k{i % 17}") for i in range(300)], "doc_id long, key string"
+    ).cache()
+    src = tmp_path / "src"
+    os.makedirs(src, exist_ok=True)
+    for i in range(3):
+        b = docs.where(F.col("doc_id") % 3 == i).coalesce(1)
+        b.write.mode("overwrite").parquet(str(tmp_path / f"stage{i}"))
+        f = glob.glob(str(tmp_path / f"stage{i}" / "*.parquet"))[0]
+        shutil.copy(f, str(src / f"batch_{i}.parquet"))
+
+    state = str(tmp_path / "cms_state")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_cms(stream, state, "key", width=64, depth=3, seed=9)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    merged = cms_state_sketch(spark, state)
+    whole = cms_build(docs, "key", width=64, depth=3, seed=9)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+    # probing the streamed state gives the exact same estimates
+    keys = docs.select("key").distinct()
+    est_s = dict(
+        map(tuple, cms_lookup(merged, keys, "key", 64, 3, 9).collect())
+    )
+    est_b = dict(map(tuple, cms_lookup(whole, keys, "key", 64, 3, 9).collect()))
+    assert est_s == est_b
+
+    # fresh-checkpoint replay: same files re-delivered, state unchanged
+    q2 = (
+        streaming_cms(stream, state, "key", width=64, depth=3, seed=9)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    again = cms_state_sketch(spark, state)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, whole.collect()))
