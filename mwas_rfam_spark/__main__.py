@@ -596,6 +596,10 @@ def build_index_parser() -> argparse.ArgumentParser:
                    help="ivfpq build: PQ subspaces (dim must divide)")
     p.add_argument("--pq-k", type=int, default=32,
                    help="ivfpq build: centroids per PQ codebook")
+    p.add_argument("--residual", action="store_true",
+                   help="ivfpq build: encode residuals to the coarse "
+                        "centroid (faiss default; finer quantization at "
+                        "the same 8 bytes)")
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default=None, help="default: doc_id (text) / vec_id (ann)")
     p.add_argument("--vec-col", default="embedding")
@@ -670,7 +674,8 @@ def index_main(argv: list[str], spark: SparkSession | None = None) -> int:
                     id_col=id_col, vec_col=args.vec_col,
                 )
                 materialize_ivfpq(
-                    df, cents, books, args.path, id_col=id_col, vec_col=args.vec_col
+                    df, cents, books, args.path, id_col=id_col,
+                    vec_col=args.vec_col, residual=args.residual,
                 )
             elif args.op == "append":
                 append_ivfpq_index(df, args.path, id_col=id_col, vec_col=args.vec_col)

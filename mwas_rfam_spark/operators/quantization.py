@@ -264,12 +264,22 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual_centroids: list[list[float]] | None = None,
+    cell_col: str = "cell",
 ) -> DataFrame:
     """Attach ``codes`` (array<int>, one centroid id per subspace) and
     drop the full vector. All other columns (e.g. an IVF ``cell``) pass
     through, so PQ composes with the IVF layout: encode the
     cell-partitioned vectors and the codes table inherits the partition
     pruning.
+
+    ``residual_centroids`` switches to RESIDUAL encoding (the faiss
+    IVFPQ default): each row encodes ``x − centroid[cell]`` instead of
+    ``x``, so the codebooks only have to cover the spread WITHIN a
+    cell, not the whole space — materially finer quantization at the
+    same 8 bytes once a coarse quantizer exists. Requires ``cell_col``
+    on the input (the IVF assignment); the coarse centroids travel in
+    the closure next to the codebooks.
 
     Shuffle-free ``mapInPandas`` pass; the codebooks travel in the
     closure (m × k × d0 doubles — a few KB). Ties break to the lowest
@@ -282,6 +292,15 @@ def pq_encode(
 
     C = np.asarray(codebooks, dtype=np.float64)  # (m, k, d0)
     m, _, d0 = C.shape
+    if residual_centroids is not None and cell_col not in emb.columns:
+        raise ValueError(
+            f"pq_encode: residual encoding needs the {cell_col!r} column"
+        )
+    Coarse = (
+        np.asarray(residual_centroids, dtype=np.float64)
+        if residual_centroids is not None
+        else None
+    )
     keep = [c for c in emb.columns if c != vec_col]
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
@@ -298,6 +317,8 @@ def pq_encode(
                     raise ValueError(
                         f"pq_encode: vector dim {X.shape[1]} != m*d0 = {m * d0}"
                     )
+                if Coarse is not None:
+                    X = X - Coarse[pdf[cell_col].to_numpy(dtype=np.int64)]
                 for j in range(m):
                     sub = X[:, j * d0 : (j + 1) * d0]
                     d = ((sub[:, None, :] - C[j][None, :, :]) ** 2).sum(axis=2)
@@ -505,6 +526,7 @@ def materialize_ivfpq(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> None:
     """Materialize the full IVF×PQ index — the faiss ``IVFPQ`` layout
     re-expressed as self-describing parquet (extension; the reference
@@ -540,7 +562,10 @@ def materialize_ivfpq(
     # similarity.write_ivf_index): one file per cell instead of
     # n_tasks x n_cells slivers
     (
-        pq_encode(assigned, codebooks, id_col, vec_col)
+        pq_encode(
+            assigned, codebooks, id_col, vec_col,
+            residual_centroids=centroids if residual else None,
+        )
         .repartition("cell")
         .write.option("maxRecordsPerFile", 1 << 20)
         .partitionBy("cell")
@@ -552,6 +577,26 @@ def materialize_ivfpq(
         "cell INT, centroid ARRAY<DOUBLE>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     _write_codebooks(spark, codebooks, f"{path}/codebooks")
+    # self-describing encoding flag: probes and appends resolve it from
+    # the files alone (absent meta = raw codes, the pre-residual layout)
+    spark.createDataFrame(
+        [(bool(residual),)], "residual BOOLEAN"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _index_is_residual(spark, path: str) -> bool:
+    """The stored encoding flag; absent meta = raw codes (legacy
+    layout). Any read failure other than a missing directory must
+    surface — silently assuming raw against a residual index would
+    return wrong ADC candidates with no error."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return bool(spark.read.parquet(f"{path}/meta").collect()[0]["residual"])
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            return False
+        raise
 
 
 def ivfpq_topk_indexed(
@@ -594,6 +639,7 @@ def ivfpq_topk_with_meta(
     rerank: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool | None = None,
 ) -> DataFrame:
     """:func:`ivfpq_topk_indexed` with the quantizers already in hand —
     the steady-state serving shape: both are frozen at build time, so a
@@ -608,7 +654,31 @@ def ivfpq_topk_with_meta(
     )
     probe = order[:nprobe]
     codes = spark.read.parquet(f"{path}/codes").where(F.col("cell").isin(probe))
-    cand = pq_topk(codes, query_vec, codebooks, k=rerank, id_col=id_col)
+    if residual is None:
+        residual = _index_is_residual(spark, path)
+    if residual:
+        # per-cell ADC: codes in cell c encode x − centroid_c, and
+        # ||q − x|| == ||(q − centroid_c) − (x − centroid_c)||, so each
+        # probed cell ranks against the query's OWN residual — nprobe
+        # small subplans over the pruned codes, unioned before the
+        # global candidate cut (exactly faiss's per-list ADC)
+        parts = [
+            pq_adc_scores(
+                codes.where(F.col("cell") == int(c)),
+                [float(x) for x in (q - np.asarray(centroids[c]))],
+                codebooks,
+                id_col,
+            )
+            for c in probe
+        ]
+        scored = parts[0]
+        for p in parts[1:]:
+            scored = scored.unionByName(p)
+        cand = (
+            scored.orderBy(F.asc("approx_dist"), F.asc(id_col)).limit(rerank)
+        )
+    else:
+        cand = pq_topk(codes, query_vec, codebooks, k=rerank, id_col=id_col)
     vectors = spark.read.parquet(f"{path}/vectors").where(F.col("cell").isin(probe))
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     exact = vectors.join(F.broadcast(cand.select(id_col)), id_col).withColumn(
@@ -644,7 +714,14 @@ def append_ivfpq_index(
     write_ivf_index(guarded, centroids, f"{path}/vectors", id_col, vec_col, mode="append")
     assigned = assign_ivf_cells(guarded, centroids, id_col, vec_col)
     (
-        pq_encode(assigned, codebooks, id_col, vec_col)
+        pq_encode(
+            assigned, codebooks, id_col, vec_col,
+            # honor the stored encoding: appending raw codes to a
+            # residual index (or vice versa) would corrupt every probe
+            residual_centroids=(
+                centroids if _index_is_residual(spark, path) else None
+            ),
+        )
         .repartition("cell")
         .write.option("maxRecordsPerFile", 1 << 20)
         .partitionBy("cell")
@@ -894,6 +971,7 @@ def ivfpq_knn_join(
         raise ValueError(f"rerank must be >= k, got rerank={rerank}, k={k}")
     centroids = _read_centroids(spark, f"{path}/centroids")
     codebooks = _read_codebooks(spark, f"{path}/codebooks")
+    residual = _index_is_residual(spark, path)
 
     qv = queries.select(q_id_col, q_vec_col).where(
         F.col(q_id_col).isNotNull() & F.col(q_vec_col).isNotNull()
@@ -910,13 +988,16 @@ def ivfpq_knn_join(
         r["cell"] for r in probe_df.select("cell").distinct().collect()
     )
     codes = spark.read.parquet(f"{path}/codes").where(F.col("cell").isin(cells))
+    # a residual index needs the cell per row (the LUT is per
+    # (query, cell) — codes encode x − centroid_cell)
     joined = codes.join(F.broadcast(probe_df), "cell").select(
-        q_id_col, id_col, "codes"
+        q_id_col, id_col, "codes", *(["cell"] if residual else [])
     )
 
     C = np.asarray(codebooks, dtype=np.float64)  # (m, k, d0)
     m, _, d0 = C.shape
-    bc = spark.sparkContext.broadcast((C, qmap))
+    Coarse = np.asarray(centroids, dtype=np.float64) if residual else None
+    bc = spark.sparkContext.broadcast((C, qmap, Coarse))
     id_t = joined.schema[id_col].dataType.simpleString()
     q_t = joined.schema[q_id_col].dataType.simpleString()
     out_schema = f"`{q_id_col}` {q_t}, `{id_col}` {id_t}, approx_dist double"
@@ -924,16 +1005,26 @@ def ivfpq_knn_join(
     def adc(batches):
         import pandas as pd
 
-        Cm, qm = bc.value
+        Cm, qm, Co = bc.value
         m_ = Cm.shape[0]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             dist = np.full(len(pdf), np.nan, dtype=np.float64)
-            for qid, idx in pdf.groupby(q_id_col, dropna=False).indices.items():
+            # scalar grouper when raw (keys come back as scalars),
+            # two-column grouper when residual (keys are 2-tuples) —
+            # a one-element LIST grouper's key shape varies across
+            # pandas versions, so avoid it
+            grouper = [q_id_col, "cell"] if Co is not None else q_id_col
+            for gkey, idx in pdf.groupby(grouper, dropna=False).indices.items():
+                qid = gkey[0] if Co is not None else gkey
                 q = qm.get(qid)
                 if q is None or len(q) != m_ * d0:
                     continue  # stays NaN; dropped by the rerank join
+                if Co is not None:
+                    # per-(query, cell) residual: same identity as the
+                    # single-query path — ||q − x|| over residuals
+                    q = q - Co[int(gkey[1])]
                 # lut[j][c] = ||q_j - cb[j][c]||² — same floats as
                 # adc_lookup_table (per-subspace numpy sum)
                 lut = ((Cm - q.reshape(m_, 1, d0)) ** 2).sum(axis=2)

@@ -585,3 +585,110 @@ def test_opq_rotation_reduces_quantization_error(spark):
         train_opq(emb, m=5)
     with _pt.raises(ValueError, match="opq_iters"):
         train_opq(emb, m=4, opq_iters=0)
+
+
+def test_ivfpq_residual_encoding(spark, emb, books, ivf_cents, qvec, tmp_path):
+    """Residual IVF-PQ (the faiss default): codes encode x − centroid,
+    so the codebooks only cover within-cell spread. Pins: (1) the meta
+    flag is self-describing and a legacy index (no meta) reads as raw;
+    (2) residual ADC approximates true distances strictly better than
+    raw ADC on the same corpus/codebooks; (3) search with re-rank stays
+    exact within probed cells; (4) append == rebuild under the stored
+    residual flag; (5) the batch k-NN join's single-query slice equals
+    the single-query search."""
+    from mwas_rfam_spark.operators.quantization import (
+        ivfpq_knn_join,
+        ivfpq_topk_indexed,
+        materialize_ivfpq,
+        pq_adc_scores,
+        _index_is_residual,
+    )
+    from mwas_rfam_spark.operators.similarity import assign_ivf_cells
+
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    raw_path = str(tmp_path / "raw")
+    res_path = str(tmp_path / "res")
+    materialize_ivfpq(e, ivf_cents, books, raw_path)
+    materialize_ivfpq(e, ivf_cents, books, res_path, residual=True)
+    assert _index_is_residual(spark, res_path) is True
+    assert _index_is_residual(spark, raw_path) is False
+
+    # (1) legacy layout: delete the meta dir -> raw semantics
+    import shutil
+
+    legacy = str(tmp_path / "legacy")
+    shutil.copytree(raw_path, legacy)
+    shutil.rmtree(f"{legacy}/meta")
+    assert _index_is_residual(spark, legacy) is False
+
+    # (2) residual ADC error < raw ADC error (same books, clustered data)
+    import numpy as np
+
+    q = np.asarray(qvec)
+    assigned = assign_ivf_cells(e, ivf_cents).localCheckpoint()
+    true_d = {
+        r["vec_id"]: float(np.sum((np.asarray(r["embedding"]) - q) ** 2))
+        for r in assigned.collect()
+    }
+
+    def adc_err(path):
+        codes = spark.read.parquet(f"{path}/codes")
+        resid = _index_is_residual(spark, path)
+        total, n = 0.0, 0
+        for cell in range(len(ivf_cents)):
+            part = codes.where(F.col("cell") == cell)
+            qq = q - np.asarray(ivf_cents[cell]) if resid else q
+            for r in pq_adc_scores(part, [float(x) for x in qq], books).collect():
+                total += abs(r["approx_dist"] - true_d[r["vec_id"]])
+                n += 1
+        return total / n
+
+    assert adc_err(res_path) < adc_err(raw_path) * 0.9
+
+    # (3) exactness with a generous re-rank: residual search == raw
+    # search == exact within the SAME probed cells
+    got_res = [
+        (r["vec_id"], round(r["dist"], 9))
+        for r in ivfpq_topk_indexed(spark, res_path, qvec, k=10, nprobe=8, rerank=500).collect()
+    ]
+    got_raw = [
+        (r["vec_id"], round(r["dist"], 9))
+        for r in ivfpq_topk_indexed(spark, raw_path, qvec, k=10, nprobe=8, rerank=500).collect()
+    ]
+    assert got_res == got_raw and len(got_res) == 10
+
+    # (4) append == rebuild, honoring the stored residual flag
+    inc = str(tmp_path / "inc")
+    half_a = e.where(F.col("vec_id") % 2 == 0)
+    half_b = e.where(F.col("vec_id") % 2 == 1)
+    materialize_ivfpq(half_a, ivf_cents, books, inc, residual=True)
+    from mwas_rfam_spark.operators.quantization import append_ivfpq_index
+
+    append_ivfpq_index(half_b, inc)
+    want = [
+        (r["vec_id"], round(r["dist"], 9))
+        for r in ivfpq_topk_indexed(spark, res_path, qvec, k=10, nprobe=3, rerank=60).collect()
+    ]
+    got = [
+        (r["vec_id"], round(r["dist"], 9))
+        for r in ivfpq_topk_indexed(spark, inc, qvec, k=10, nprobe=3, rerank=60).collect()
+    ]
+    assert got == want
+
+    # (5) batch join, single-query slice == single-query search
+    queries = spark.createDataFrame(
+        [(0, qvec)], "q_id long, q_vec array<double>"
+    )
+    jn = [
+        (r["vec_id"], round(r["dist"], 9))
+        for r in ivfpq_knn_join(spark, res_path, queries, k=10, nprobe=3, rerank=60)
+        .orderBy("rank")
+        .collect()
+    ]
+    single = [
+        (r["vec_id"], round(r["dist"], 9))
+        for r in ivfpq_topk_indexed(spark, res_path, qvec, k=10, nprobe=3, rerank=60).collect()
+    ]
+    assert jn == single
