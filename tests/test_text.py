@@ -498,3 +498,31 @@ def test_curate_normalize_unicode_composition(spark):
         decontam_threshold=0.05,
     )
     assert decon.count() == 0  # contaminated doc dropped
+
+
+def test_compression_ratio_signal(spark):
+    """zlib ratio separates repetitive from natural-ish text; hand-pinned
+    against direct zlib; null/empty rows preserved with NULL ratio."""
+    import zlib
+
+    from mwas_rfam_spark.operators.text import compression_ratio
+
+    natural = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "zebras argue about quantum chromodynamics near a vending machine"
+    )
+    spammy = "buy cheap pills now " * 40
+    docs = spark.createDataFrame(
+        [(1, natural), (2, spammy), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    assert len(got) == 4
+    for doc_id, t in ((1, natural), (2, spammy)):
+        raw = t.encode()
+        want = len(raw) / len(zlib.compress(raw, 6))
+        assert got[doc_id]["compression_ratio"] == want
+        assert got[doc_id]["n_chars"] == len(raw)
+    assert got[2]["compression_ratio"] > 3 * got[1]["compression_ratio"]
+    assert got[3]["compression_ratio"] is None and got[3]["n_chars"] == 0
+    assert got[4]["compression_ratio"] is None
