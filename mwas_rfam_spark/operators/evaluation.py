@@ -246,23 +246,32 @@ def grouped_auc(
     group_cols: list[str],
     score_col: str = "score",
     label_col: str = "label",
+    partitions: int | None = None,
 ) -> DataFrame:
     """Per-slice exact AUC → one row per group (group_cols..., auc,
     n_pos, n_neg) — the fairness/QA question "is the quality model as
     good on lang=ko as on lang=en?" answered in ONE plan instead of a
     driver loop over filters.
 
-    Same midrank arithmetic as :func:`binary_auc`, but the cumulative
-    negatives come from a window PARTITIONED BY the group over the
-    per-(group, distinct score) counts — partitioned windows distribute
-    (parallelism = number of groups; each task holds one group's
-    DISTINCT SCORES, already aggregated, not its rows). Single-class
-    groups get NULL auc. NULL score/label rows are excluded per group.
-    """
+    Same midrank arithmetic as :func:`binary_auc`, with the same
+    no-single-task-window discipline: the per-(group, distinct score)
+    counts are RANGE-partitioned on (group..., score), the cumulative
+    negatives come from a window local to each (partition, group)
+    slice, and per-(partition, group) totals — a parameter-sized
+    relation (≤ partitions + number of groups rows: range partitioning
+    keeps each group contiguous) — are collected once to compute the
+    broadcast prefix offsets. A hot group with millions of distinct
+    scores therefore spans MANY tasks instead of collapsing into one
+    (`Window.partitionBy(group)` would hand the whole group's distinct
+    scores to a single task — the per-group version of the wall
+    binary_auc refuses). Single-class groups get NULL auc; NULL
+    score/label rows are excluded per group."""
     from pyspark.sql import Window
 
     if not group_cols:
         raise ValueError("group_cols must be non-empty (use binary_auc)")
+    if partitions is None:
+        partitions = scored.sparkSession.sparkContext.defaultParallelism
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("int")
     valid = scored.where(s.isNotNull() & y.isNotNull())
@@ -270,12 +279,47 @@ def grouped_auc(
         F.sum(F.when(y > 0, 1).otherwise(0)).alias("cnt_a"),
         F.sum(F.when(y > 0, 0).otherwise(1)).alias("cnt_b"),
     )
-    w = (
-        Window.partitionBy(*group_cols)
+    ranged = per.repartitionByRange(partitions, *group_cols, "__v").withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint(eager=False)
+    w_local = (
+        Window.partitionBy("__pid", *group_cols)
         .orderBy("__v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = per.withColumn("cum_b", F.sum("cnt_b").over(w))
+    local = ranged.withColumn("loc_b", F.sum("cnt_b").over(w_local))
+    totals = (
+        ranged.groupBy("__pid", *group_cols)
+        .agg(F.sum("cnt_b").alias("tb"))
+        .collect()
+    )
+    # per-group running offsets in pid order (range partitioning makes
+    # pid order == value order within a group)
+    acc: dict = {}
+    offsets = []
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        gkey = tuple(r[c] for c in group_cols)
+        offsets.append((r["__pid"], *gkey, acc.get(gkey, 0)))
+        acc[gkey] = acc.get(gkey, 0) + (r["tb"] or 0)
+    spark = scored.sparkSession
+    gtypes = ", ".join(
+        f"`{c}` {dict(per.dtypes)[c]}" for c in group_cols
+    )
+    off_df = spark.createDataFrame(
+        offsets, f"__pid int, {gtypes}, off_b long"
+    ).withColumnsRenamed({c: f"__o_{c}" for c in group_cols}).withColumnRenamed(
+        "__pid", "__o_pid"
+    )
+    # NULL-SAFE key match: a NULL group value is a legitimate slice
+    # (dirty metadata) — a plain equi-join would drop it silently
+    cond = F.col("__pid") == F.col("__o_pid")
+    for c in group_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__o_{c}"))
+    cum = (
+        local.join(F.broadcast(off_df), cond)
+        .withColumn("cum_b", F.col("loc_b") + F.col("off_b"))
+        .drop("__o_pid", *[f"__o_{c}" for c in group_cols])
+    )
     return (
         cum.groupBy(*group_cols)
         .agg(

@@ -555,6 +555,14 @@ def materialize_ivfpq(
     )
 
     spark = emb.sparkSession
+    # in-progress marker FIRST: an in-place rebuild is not atomic (no
+    # ordering of the five writes can make it so — residual codes with
+    # raw meta and raw codes with residual meta are both silently
+    # wrong), so probes must REFUSE an interrupted build instead of
+    # guessing; the final meta write below clears the flag
+    spark.createDataFrame(
+        [(bool(residual), True)], "residual BOOLEAN, building BOOLEAN"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     guarded = _guard_dims(emb, centroids, vec_col)
     write_ivf_index(guarded, centroids, f"{path}/vectors", id_col, vec_col)
     assigned = assign_ivf_cells(guarded, centroids, id_col, vec_col)
@@ -578,25 +586,34 @@ def materialize_ivfpq(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     _write_codebooks(spark, codebooks, f"{path}/codebooks")
     # self-describing encoding flag: probes and appends resolve it from
-    # the files alone (absent meta = raw codes, the pre-residual layout)
+    # the files alone (absent meta = raw codes, the pre-residual layout);
+    # building=false marks the build complete
     spark.createDataFrame(
-        [(bool(residual),)], "residual BOOLEAN"
+        [(bool(residual), False)], "residual BOOLEAN, building BOOLEAN"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def _index_is_residual(spark, path: str) -> bool:
     """The stored encoding flag; absent meta = raw codes (legacy
-    layout). Any read failure other than a missing directory must
-    surface — silently assuming raw against a residual index would
-    return wrong ADC candidates with no error."""
+    layout). An index whose meta still says ``building`` was
+    interrupted mid-(re)build and is REFUSED — its codes and flag may
+    disagree, and either silent guess returns wrong ADC candidates.
+    Any read failure other than a missing directory surfaces for the
+    same reason."""
     from pyspark.errors import AnalysisException
 
     try:
-        return bool(spark.read.parquet(f"{path}/meta").collect()[0]["residual"])
+        row = spark.read.parquet(f"{path}/meta").collect()[0]
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e):
             return False
         raise
+    if "building" in row.asDict() and row["building"]:
+        raise ValueError(
+            f"IVF-PQ index at {path} has an interrupted (re)build — "
+            "its codes and encoding flag may disagree; rebuild it"
+        )
+    return bool(row["residual"])
 
 
 def ivfpq_topk_indexed(
@@ -625,6 +642,7 @@ def ivfpq_topk_indexed(
     return ivfpq_topk_with_meta(
         spark, path, centroids, codebooks, query_vec,
         k=k, nprobe=nprobe, rerank=rerank, id_col=id_col, vec_col=vec_col,
+        residual=_index_is_residual(spark, path),
     )
 
 
@@ -647,6 +665,8 @@ def ivfpq_topk_with_meta(
     re-collecting two parquet tables per query."""
     import numpy as np
 
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     q = np.asarray(query_vec, dtype=np.float64)
     order = sorted(
         range(len(centroids)),
@@ -655,6 +675,9 @@ def ivfpq_topk_with_meta(
     probe = order[:nprobe]
     codes = spark.read.parquet(f"{path}/codes").where(F.col("cell").isin(probe))
     if residual is None:
+        # steady-state servers should resolve this ONCE next to the
+        # quantizers and pass it (ivfpq_topk_indexed does) — the
+        # fallback costs a meta read per call
         residual = _index_is_residual(spark, path)
     if residual:
         # per-cell ADC: codes in cell c encode x − centroid_c, and

@@ -259,11 +259,20 @@ def _postings_id_type(spark, path: str) -> str | None:
     used: a caller may hand ints to a bigint-built index and the
     persisted type would silently flip. None when no posting file
     exists to infer from (drained legacy index — the probe's 'long'
-    fallback covers it)."""
+    fallback covers it). Only the no-files shapes may pass; a real read
+    failure (permissions, corrupt footer) must surface — silently
+    falling back would launder a string-built index into wrong-typed
+    'long' probes (same narrow-catch rule as
+    quantization._index_is_residual)."""
+    from pyspark.errors import AnalysisException
+
     try:
         return dict(spark.read.parquet(f"{path}/postings").dtypes)["id"]
-    except Exception:
-        return None
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            return None
+        raise
 
 
 def materialize_text_index(

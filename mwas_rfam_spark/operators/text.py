@@ -710,58 +710,60 @@ def normalize_unicode_docs(
     return docs.mapInPandas(kernel, schema)
 
 
-COMPRESSION_RATIO_SCHEMA = "doc_id long, n_chars int, compressed_bytes int, compression_ratio double"
-
-
 def compression_ratio(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     level: int = 6,
 ) -> DataFrame:
-    """Per-document zlib compression ratio → (doc_id, n_chars,
+    """Per-document zlib compression ratio → (id_col, n_bytes,
     compressed_bytes, compression_ratio = utf8_bytes / compressed) —
     the classic cheap repetitiveness signal (deduplicated-web curation
     uses it next to the Gopher gates: boilerplate, keyword stuffing and
     generated spam compress far better than natural prose, which sits
     around ~2–3×; ratios ≫ 4 flag machine-repetitive text that n-gram
-    gates can miss when the repetition unit is long).
+    gates can miss when the repetition unit is long). ``n_bytes`` is
+    the UTF-8 byte length (what zlib actually saw — NOT a character
+    count; CJK text is ~3 bytes/char).
 
     Arrow-batched ``mapInPandas`` over stdlib zlib — Python is
     unavoidable (no zlib in Catalyst) but the pass is shuffle-free and
     map-only; compose the ratio with `quality_score` /
-    `repetition_profile` in one curation gate. NULL/empty text → NULL
-    ratio (nothing to measure), row preserved so gates can decide."""
+    `repetition_profile` in one curation gate. The id column passes
+    through with its own type and nullability (dirty corpora carry
+    NULL ids; a gate decides, not a task crash); NULL/empty text →
+    NULL ratio."""
     import zlib as _zlib
 
     lvl = int(level)
+    id_t = dict(docs.dtypes)[id_col]
+    out_schema = (
+        f"`{id_col}` {id_t}, n_bytes int, compressed_bytes int, "
+        "compression_ratio double"
+    )
 
     def kernel(batches):
         import pandas as pd
 
         for pdf in batches:
-            ids, nchars, comp, ratio = [], [], [], []
-            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
-                ids.append(int(doc_id))
+            nbytes, comp, ratio = [], [], []
+            for t in pdf[text_col]:
                 if t is None or t == "":
-                    nchars.append(0)
+                    nbytes.append(0)
                     comp.append(0)
                     ratio.append(None)
                     continue
                 raw = t.encode("utf-8")
                 c = len(_zlib.compress(raw, lvl))
-                nchars.append(len(raw))
+                nbytes.append(len(raw))
                 comp.append(c)
                 ratio.append(len(raw) / c)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "n_chars": pd.Series(nchars, dtype="int32"),
-                    "compressed_bytes": pd.Series(comp, dtype="int32"),
-                    "compression_ratio": pd.Series(ratio, dtype="float64"),
-                }
+            res = pdf[[id_col]].copy()  # id passes through: type + nulls
+            res["n_bytes"] = pd.Series(nbytes, dtype="int32", index=pdf.index)
+            res["compressed_bytes"] = pd.Series(comp, dtype="int32", index=pdf.index)
+            res["compression_ratio"] = pd.Series(
+                ratio, dtype="float64", index=pdf.index
             )
+            yield res
 
-    return docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias(text_col)).mapInPandas(
-        kernel, COMPRESSION_RATIO_SCHEMA
-    )
+    return docs.select(id_col, text_col).mapInPandas(kernel, out_schema)

@@ -181,6 +181,15 @@ def test_grouped_auc_matches_per_group_binary_auc(spark):
         assert abs(got[g]["auc"] - want["auc"]) < 1e-12
         assert got[g]["n_pos"] == want["n_pos"]
     assert got["onlypos"]["auc"] is None and got["onlypos"]["n_neg"] == 0
+
+    # a NULL group value is a legitimate slice and must survive the
+    # null-safe offset join
+    withnull = df.withColumn(
+        "lang", F.when(F.col("lang") == "ko", None).otherwise(F.col("lang"))
+    )
+    gn = {r["lang"]: r for r in grouped_auc(withnull, ["lang"]).collect()}
+    want_null = binary_auc(withnull.where(F.col("lang").isNull())).collect()[0]
+    assert abs(gn[None]["auc"] - want_null["auc"]) < 1e-12
     import pytest as _pt
 
     with _pt.raises(ValueError, match="group_cols"):

@@ -692,3 +692,34 @@ def test_ivfpq_residual_encoding(spark, emb, books, ivf_cents, qvec, tmp_path):
         for r in ivfpq_topk_indexed(spark, res_path, qvec, k=10, nprobe=3, rerank=60).collect()
     ]
     assert jn == single
+
+
+def test_ivfpq_interrupted_build_refused(spark, emb, books, ivf_cents, tmp_path):
+    """Review regression: an in-place rebuild is not atomic, so probes
+    must REFUSE an index whose meta still says building (codes and
+    encoding flag may disagree) instead of silently guessing raw."""
+    from mwas_rfam_spark.operators.quantization import (
+        _index_is_residual,
+        ivfpq_topk_indexed,
+        materialize_ivfpq,
+    )
+
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    p = str(tmp_path / "idx")
+    materialize_ivfpq(e, ivf_cents, books, p, residual=True)
+    assert _index_is_residual(spark, p) is True
+    # simulate a crash mid-rebuild: rewrite meta to building=True
+    spark.createDataFrame(
+        [(False, True)], "residual boolean, building boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{p}/meta")
+    with pytest.raises(ValueError, match="interrupted"):
+        _index_is_residual(spark, p)
+    q = [float(x) for x in e.orderBy("vec_id").first()["embedding"]]
+    with pytest.raises(ValueError, match="interrupted"):
+        ivfpq_topk_indexed(spark, p, q, k=5).collect()
+    with pytest.raises(ValueError, match="nprobe"):
+        # validated before any IO-path divergence between encodings
+        materialize_ivfpq(e, ivf_cents, books, p)  # repair first
+        ivfpq_topk_indexed(spark, p, q, k=5, nprobe=0)

@@ -522,7 +522,20 @@ def test_compression_ratio_signal(spark):
         raw = t.encode()
         want = len(raw) / len(zlib.compress(raw, 6))
         assert got[doc_id]["compression_ratio"] == want
-        assert got[doc_id]["n_chars"] == len(raw)
+        assert got[doc_id]["n_bytes"] == len(raw)
     assert got[2]["compression_ratio"] > 3 * got[1]["compression_ratio"]
-    assert got[3]["compression_ratio"] is None and got[3]["n_chars"] == 0
+    assert got[3]["compression_ratio"] is None and got[3]["n_bytes"] == 0
     assert got[4]["compression_ratio"] is None
+
+    # review regressions: non-default id_col, string ids, NULL ids, and
+    # multibyte text (n_bytes is BYTES, what zlib saw)
+    cjk = "\u4e16\u754c" * 50
+    other = spark.createDataFrame(
+        [("a", cjk), (None, "plain text here")], "uid string, body string"
+    )
+    rows = {
+        r["uid"]: r
+        for r in compression_ratio(other, text_col="body", id_col="uid").collect()
+    }
+    assert rows["a"]["n_bytes"] == len(cjk.encode("utf-8"))  # 3 bytes/char
+    assert rows[None]["compression_ratio"] is not None  # null id preserved
