@@ -275,6 +275,83 @@ def _lzw_encode_literals(indices: bytes, min_code_size: int) -> bytes:
     return bytes(out)
 
 
+def gif_metadata(
+    data: bytes, max_frames: int = MAX_FRAMES
+) -> tuple[int, int, int, float]:
+    """Header-only (width, height, n_frames, duration_s) — walks the
+    block structure skipping LZW image data by sub-block LENGTH only
+    (no decompression, no canvas allocation), so a metadata sweep pays
+    bytes-proportional IO and near-zero CPU. Duration is the sum of the
+    graphic-control delays (centiseconds; frames without a GCE
+    contribute 0, so a single-frame still reports 0.0)."""
+    if not is_gif(data):
+        raise ValueError("not a GIF (bad signature)")
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
+    w, h, packed, _bg, _ratio = struct.unpack("<HHBBB", data[6:13])
+    if w < 1 or h < 1:
+        raise ValueError(f"bad GIF screen {w}x{h}")
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+        if pos > len(data):
+            raise ValueError("truncated GIF global color table")
+    n_frames = 0
+    total_cs = 0
+    pending_delay = 0
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos >= len(data):
+                raise ValueError("truncated GIF extension")
+            label = data[pos]
+            pos += 1
+            payload, pos = _read_subblocks(data, pos)
+            if label == 0xF9 and len(payload) >= 4:
+                pending_delay = payload[1] | (payload[2] << 8)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x} at offset {pos - 1}")
+        if pos + 9 > len(data):
+            raise ValueError("truncated GIF image descriptor")
+        fpacked = data[pos + 8]
+        pos += 9
+        if fpacked & 0x80:
+            pos += 3 * (2 << (fpacked & 0x07))
+            if pos > len(data):
+                raise ValueError("truncated GIF local color table")
+        if pos >= len(data):
+            raise ValueError("truncated GIF image data")
+        pos += 1  # LZW min code size
+        _payload, pos = _skip_subblocks(data, pos)
+        n_frames += 1
+        if n_frames > max_frames:
+            raise ValueError(f"GIF exceeds max_frames={max_frames}")
+        total_cs += pending_delay
+        pending_delay = 0
+    if n_frames == 0:
+        raise ValueError("GIF contains no image frames")
+    return w, h, n_frames, total_cs / 100.0
+
+
+def _skip_subblocks(data: bytes, pos: int) -> tuple[None, int]:
+    """Advance past a sub-block chain WITHOUT materializing the payload
+    (the metadata walk's whole point — image data is skipped by length)."""
+    while True:
+        if pos >= len(data):
+            raise ValueError("truncated GIF sub-blocks")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            return None, pos
+        if pos + n > len(data):
+            raise ValueError("truncated GIF sub-block")
+        pos += n
+
+
 def encode_gif(
     width: int,
     height: int,

@@ -67,6 +67,7 @@ VIDEO_METADATA_SCHEMA = T.StructType(
         T.StructField("duration_s", T.DoubleType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
         T.StructField("n_video_tracks", T.IntegerType()),
         T.StructField("n_audio_tracks", T.IntegerType()),
         T.StructField("audio_sample_rate", T.IntegerType()),
@@ -404,25 +405,31 @@ def _real_video_metadata(payload: bytes) -> dict:
             "duration_s": m["duration_s"],
             "width": m["width"],
             "height": m["height"],
+            "n_frames": None,  # sample counts live in stts/stsz, not read
             "n_video_tracks": m["n_video_tracks"],
             "n_audio_tracks": m["n_audio_tracks"],
             "audio_sample_rate": m["audio_sample_rate"],
             "bitrate_kbps": m["bitrate_kbps"],
         }
     if is_gif(payload):
-        if len(payload) < 13:
-            raise ValueError("truncated GIF header")
-        w = int.from_bytes(payload[6:8], "little")
-        h = int.from_bytes(payload[8:10], "little")
+        from mwas_rfam_spark.functions.gif_codec import gif_metadata
+
+        w, h, n_frames, dur = gif_metadata(payload)
         return {
             "container": "gif",
-            "duration_s": None,
+            # header-only block walk (image data skipped by sub-block
+            # LENGTH, never decompressed): real frame count and the
+            # summed graphic-control delays
+            "duration_s": dur,
             "width": w,
             "height": h,
+            "n_frames": n_frames,
             "n_video_tracks": 1,
             "n_audio_tracks": 0,
             "audio_sample_rate": None,
-            "bitrate_kbps": None,
+            "bitrate_kbps": (
+                len(payload) * 8 / dur / 1000.0 if dur > 0 else None
+            ),
         }
     raise NotImplementedError(
         "video metadata: payload is neither ISO BMFF (mp4/mov) nor GIF — "
@@ -456,23 +463,24 @@ def video_metadata(media: DataFrame, fake: bool = True) -> DataFrame:
                     w, ht, _c = _fake_dims(h)
                     dur = round(1.0 + (ord(h[5]) % 120), 3)
                     rows.append(
-                        (int(doc_id), "fake", dur, w, ht, 1, ord(h[6]) % 2,
+                        (int(doc_id), "fake", dur, w, ht,
+                         1 + ord(h[7]) % 120, 1, ord(h[6]) % 2,
                          None, len(payload) * 8 / dur / 1000.0)
                     )
                 else:
                     m = _real_video_metadata(payload)
                     rows.append(
                         (int(doc_id), m["container"], m["duration_s"],
-                         m["width"], m["height"], m["n_video_tracks"],
-                         m["n_audio_tracks"], m["audio_sample_rate"],
-                         m["bitrate_kbps"])
+                         m["width"], m["height"], m.get("n_frames"),
+                         m["n_video_tracks"], m["n_audio_tracks"],
+                         m["audio_sample_rate"], m["bitrate_kbps"])
                     )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "doc_id", "container", "duration_s", "width", "height",
-                    "n_video_tracks", "n_audio_tracks", "audio_sample_rate",
-                    "bitrate_kbps",
+                    "n_frames", "n_video_tracks", "n_audio_tracks",
+                    "audio_sample_rate", "bitrate_kbps",
                 ],
             )
 

@@ -531,37 +531,19 @@ def last_committed_batch(spark: SparkSession, checkpoint_dir: str) -> int | None
     return best
 
 
-def compact_minhash_state(
+def _compact_batch_state(
     spark: SparkSession,
     state_dir: str,
     up_to_batch: int,
+    merge_write,
 ) -> int:
-    """Replay-safe small-files repair for a :func:`streaming_minhash_dedup`
-    state table: every trigger lands one ``ingest_batch=<id>`` partition,
-    so file count grows with BATCH COUNT, not data — but a naive
-    compactor that merges those partitions would destroy the per-batch
-    provenance the crash-replay invariant needs (the probe excludes the
-    CURRENT batch id from the state read; a replayed batch whose first
-    attempt's buckets were folded under another id would see them as
-    prior corpus and drop every survivor).
-
-    Safe rule: fold ONLY batches that can never re-run — ids ``<=
-    up_to_batch``, which the caller takes from the stream's checkpoint
-    via :func:`last_committed_batch` (a commit marker means foreachBatch
-    completed; Structured Streaming replays only ids after it) — into
-    ONE frozen partition at the negative id ``-(up_to_batch + 1)``.
-    Live batch ids are non-negative, so the ``!= batch_id`` exclusion
-    never matches a frozen partition and every replay still sees the
-    full folded history. Earlier frozen partitions (previous
-    compactions) are folded in too.
-
-    Crash-safe and idempotent: the merged rows are written to the fresh
-    target partition FIRST (band-partitioned, so probes keep pruning;
-    ``distinct`` because a crash between write and cleanup leaves the
-    same bucket in both the target and a source — harmless to the
-    semi-join probe, and the re-run converges via the _SUCCESS marker),
-    then the source partitions are deleted. Returns the number of
-    partitions folded (0 = nothing to do)."""
+    """The crash-safe fold skeleton BOTH per-batch state compactors
+    share (minhash buckets fold by DISTINCT, count-min counters fold by
+    SUM — the callback owns that semantics): list ``ingest_batch=``
+    partitions, fold every id ≤ up_to_batch (including earlier frozen
+    negatives) into the fresh frozen partition ``-(up_to_batch + 1)``,
+    write-target-first with _SUCCESS convergence, delete sources last.
+    See :func:`compact_minhash_state` for the replay-safety argument."""
     if up_to_batch < 0:
         raise ValueError(f"up_to_batch must be >= 0, got {up_to_batch}")
     jvm = spark._jvm
@@ -602,21 +584,86 @@ def compact_minhash_state(
     if fs.exists(target) and not fs.exists(success):
         fs.delete(target, True)  # partial write from a crashed compaction
     if not fs.exists(target):
-        merged = (
-            spark.read.parquet(state_dir)
-            .where(F.col("ingest_batch").isin(sources))
-            .select("band", "bucket")
-            .distinct()
-            .repartition("band")  # one write task per band, no slivers
+        src_rows = spark.read.parquet(state_dir).where(
+            F.col("ingest_batch").isin(sources)
         )
-        merged.write.partitionBy("band").mode("errorifexists").parquet(
-            f"{state_dir}/ingest_batch={target_id}"
-        )
+        merge_write(src_rows, f"{state_dir}/ingest_batch={target_id}")
     for bid in sources:
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(f"{state_dir}/ingest_batch={bid}"), True
         )
     return len(sources)
+
+
+def compact_minhash_state(
+    spark: SparkSession,
+    state_dir: str,
+    up_to_batch: int,
+) -> int:
+    """Replay-safe small-files repair for a :func:`streaming_minhash_dedup`
+    state table: every trigger lands one ``ingest_batch=<id>`` partition,
+    so file count grows with BATCH COUNT, not data — but a naive
+    compactor that merges those partitions would destroy the per-batch
+    provenance the crash-replay invariant needs (the probe excludes the
+    CURRENT batch id from the state read; a replayed batch whose first
+    attempt's buckets were folded under another id would see them as
+    prior corpus and drop every survivor).
+
+    Safe rule: fold ONLY batches that can never re-run — ids ``<=
+    up_to_batch``, which the caller takes from the stream's checkpoint
+    via :func:`last_committed_batch` (a commit marker means foreachBatch
+    completed; Structured Streaming replays only ids after it) — into
+    ONE frozen partition at the negative id ``-(up_to_batch + 1)``.
+    Live batch ids are non-negative, so the ``!= batch_id`` exclusion
+    never matches a frozen partition and every replay still sees the
+    full folded history. Earlier frozen partitions (previous
+    compactions) are folded in too.
+
+    Crash-safe and idempotent: the merged rows are written to the fresh
+    target partition FIRST (band-partitioned, so probes keep pruning;
+    ``distinct`` because a crash between write and cleanup leaves the
+    same bucket in both the target and a source — harmless to the
+    semi-join probe, and the re-run converges via the _SUCCESS marker),
+    then the source partitions are deleted. Returns the number of
+    partitions folded (0 = nothing to do)."""
+
+    def merge_write(rows: DataFrame, path: str) -> None:
+        (
+            rows.select("band", "bucket")
+            .distinct()
+            .repartition("band")  # one write task per band, no slivers
+            .write.partitionBy("band")
+            .mode("errorifexists")
+            .parquet(path)
+        )
+
+    return _compact_batch_state(spark, state_dir, up_to_batch, merge_write)
+
+
+def compact_cms_state(
+    spark: SparkSession,
+    state_dir: str,
+    up_to_batch: int,
+) -> int:
+    """:func:`compact_minhash_state`'s twin for a :func:`streaming_cms`
+    state dir — count-min counters are LINEAR, so committed batch
+    partitions fold by (depth, bucket) SUM into the frozen negative
+    partition and :func:`cms_state_sketch` reads the identical totals
+    before and after (pytest-pinned). Same crash-safety skeleton; the
+    folded partition stays ≤ depth × width rows forever, so repeated
+    compaction keeps the state dir O(1) files regardless of how many
+    triggers ever fired."""
+
+    def merge_write(rows: DataFrame, path: str) -> None:
+        (
+            rows.groupBy("depth", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .coalesce(1)  # ≤ depth × width rows — one file
+            .write.mode("errorifexists")
+            .parquet(path)
+        )
+
+    return _compact_batch_state(spark, state_dir, up_to_batch, merge_write)
 
 
 HH_OUT_SCHEMA = (

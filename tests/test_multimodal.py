@@ -1368,7 +1368,9 @@ def test_media_metadata_spark_paths(spark):
     assert got[2]["n_audio_tracks"] == 1 and got[2]["audio_sample_rate"] == 48000
     assert got[5]["container"] == "gif"
     assert (got[5]["width"], got[5]["height"]) == (7, 5)
-    assert got[5]["duration_s"] is None and got[5]["n_video_tracks"] == 1
+    # single still frame, no GCE delay -> 1 frame, 0.0 s
+    assert got[5]["n_frames"] == 1 and got[5]["duration_s"] == 0.0
+    assert got[5]["n_video_tracks"] == 1
 
     # the fake path still runs for synthetic payloads (deterministic)
     fake1 = video_metadata(vids, fake=True).collect()
@@ -1401,3 +1403,47 @@ def test_mp4_truncated_boxes_rejected():
     bad2 = _mp4_box(b"ftyp", b"isom" + bytes(8)) + _mp4_box(b"moov", short_mvhd)
     with pytest.raises(ValueError, match="mvhd"):
         mp4_metadata(bad2)
+
+
+def test_gif_metadata_header_walk():
+    """gif_metadata walks blocks by LENGTH only (no LZW decode): frame
+    count and summed GCE delays match the full decoder's view; truncated
+    payloads are named rejections; a multi-frame animation with 12 and
+    34 centisecond delays reports 0.46 s."""
+    import pytest
+
+    from mwas_rfam_spark.functions.gif_codec import (
+        decode_gif,
+        encode_gif,
+        gif_metadata,
+    )
+
+    frames = [bytes([i % 2] * 6 * 4) for i in range(3)]
+    data = encode_gif(6, 4, frames, palette=[(0, 0, 0), (255, 255, 255)])
+    w, h, n, dur = gif_metadata(data)
+    assert (w, h, n) == (6, 4, 3)
+    assert n == len(decode_gif(data)[2])
+    # the stdlib encoder writes zero delays; patch two GCE delay fields
+    # (offset: GCE blocks are 8 bytes \\x21\\xf9\\x04 flags d_lo d_hi t \\x00)
+    patched = bytearray(data)
+    seen = 0
+    i = 0
+    while i < len(patched) - 1:
+        if patched[i] == 0x21 and patched[i + 1] == 0xF9:
+            if seen == 0:
+                patched[i + 4 : i + 6] = (12).to_bytes(2, "little")
+            elif seen == 1:
+                patched[i + 4 : i + 6] = (34).to_bytes(2, "little")
+            seen += 1
+        i += 1
+    assert seen == 3
+    _w, _h, n2, dur2 = gif_metadata(bytes(patched))
+    assert n2 == 3 and dur2 == (12 + 34) / 100.0
+
+    # cut INSIDE the final frame's sub-block chain (dropping its
+    # terminator and the trailer) — a boundary-aligned cut parses as a
+    # shorter animation, same leniency as decode_gif
+    with pytest.raises(ValueError, match="truncated"):
+        gif_metadata(data[:-2])
+    with pytest.raises(ValueError, match="signature"):
+        gif_metadata(b"notagif" * 4)

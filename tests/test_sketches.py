@@ -83,6 +83,18 @@ def test_cms_weighted_and_null_keys(spark):
     assert all(r["m"] == 10 for r in per_depth)
     with pytest.raises(ValueError, match="width/depth"):
         cms_build(df, "key", width=0)
+    # the JVM fast path and a depth > 4 sketch (second digest group)
+    for h, dep in (("xxhash64", 3), ("md5", 6)):
+        sk2 = cms_build(df, "key", width=64, depth=dep, seed=1, hash=h)
+        est2 = {
+            r["key"]: r["est"]
+            for r in cms_lookup(
+                sk2, df.select("key"), "key", width=64, depth=dep, seed=1, hash=h
+            ).collect()
+        }
+        assert est2["a"] >= 2 and est2["b"] >= 1  # unweighted row counts
+    with pytest.raises(ValueError, match="hash"):
+        cms_build(df, "key", hash="sha9000")
 
 
 def test_cms_duckdb_replay(spark, sf_dir):
@@ -102,9 +114,11 @@ def test_cms_duckdb_replay(spark, sf_dir):
                    FROM read_parquet('{sf_dir}/documents.parquet')
                    WHERE source IS NOT NULL),
         rows AS (
+          -- depth d's bucket is the d-th 8-hex-char slice of ONE digest
+          -- (digest group g = d // 4; all three depths share group 0)
           SELECT g.g AS depth,
-                 CAST(CAST(('0x' || substr(md5('cms:2:' || CAST(g.g AS VARCHAR)
-                                           || ':' || key), 1, 8)) AS UBIGINT)
+                 CAST(CAST(('0x' || substr(md5('cms:2:0:' || key),
+                                           1 + 8 * g.g, 8)) AS UBIGINT)
                       % 128 AS INT) AS bucket
           FROM d, unnest(range(3)) AS g(g))
         SELECT CAST(depth AS INT), bucket, count(*) AS cnt

@@ -825,3 +825,19 @@ def test_streaming_cms_matches_one_pass(spark, tmp_path):
         q2.stop()
     again = cms_state_sketch(spark, state)
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, whole.collect()))
+
+    # compaction folds the committed batches into one frozen partition
+    # with IDENTICAL totals (linear counters), and converges when re-run
+    import glob as _glob
+    import os as _os
+
+    from mwas_rfam_spark.streaming.requests import compact_cms_state
+
+    assert compact_cms_state(spark, state, up_to_batch=2) == 3
+    parts = {
+        _os.path.basename(p) for p in _glob.glob(_os.path.join(state, "ingest_batch=*"))
+    }
+    assert parts == {"ingest_batch=-3"}
+    folded = cms_state_sketch(spark, state)
+    assert sorted(map(tuple, folded.collect())) == sorted(map(tuple, whole.collect()))
+    assert compact_cms_state(spark, state, up_to_batch=2) == 0

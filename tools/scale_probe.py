@@ -1032,6 +1032,64 @@ def probe_r7m(spark, sf_dir: str, out: dict):
           file=sys.stderr)
 
 
+
+
+def probe_r7e(spark, sf_dir: str, out: dict):
+    """Probe N (r7) — the evaluation family on its worst axis:
+    CONTINUOUS scores make every row a distinct score, so the AUC
+    cumsum relation is corpus-sized. binary_auc rides the two-level
+    prefix sum and grouped_auc its grouped variant; both should scale
+    ~linearly with rows, never collapse into one window task. Also the
+    count-min build, whose output is depth x width rows at ANY input
+    size (the flat-state claim)."""
+    from mwas_rfam_spark.operators.evaluation import binary_auc, grouped_auc
+    from mwas_rfam_spark.operators.sketches import cms_build
+    from mwas_rfam_spark.plans.testdata_mwas import load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("embedding")[0].cast("double").alias("score0"),
+        (F.col("label") % 2).alias("label"),
+        (F.col("label") % 5).cast("string").alias("grp"),
+        "vec_id",
+    )
+    e100 = emb.crossJoin(
+        spark.range(100).select(F.col("id").alias("_c"))
+    ).select(
+        # perturb so every one of the 100x rows has a DISTINCT score
+        (F.col("score0") + F.col("_c") * 1e-9 + F.col("vec_id") * 1e-13).alias("score"),
+        "label",
+        F.concat(F.col("grp"), F.lit("_"), (F.col("_c") % 4).cast("string")).alias("grp"),
+    ).repartition(64).localCheckpoint()
+    e1 = emb.select(F.col("score0").alias("score"), "label", "grp").localCheckpoint()
+    out["auc_100x_rows"] = e100.count()
+    for label, e in (("1x", e1), ("100x", e100)):
+        t0 = time.time()
+        _force(binary_auc(e))
+        out[f"binary_auc_{label}"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        _force(grouped_auc(e, ["grp"]))
+        out[f"grouped_auc_{label}"] = round(time.time() - t0, 2)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    toks100 = toks.crossJoin(
+        spark.range(100).select(F.col("id").alias("_c"))
+    ).select(F.concat("tok", F.lit("_"), (F.col("_c") % 7).cast("string")).alias("tok"))
+    for label, t in (("1x", toks), ("100x", toks100)):
+        for h in ("md5", "xxhash64"):
+            t0 = time.time()
+            sk = cms_build(t, "tok", width=2048, depth=4, seed=5, hash=h)
+            n = sk.count()
+            out[f"cms_build_{label}_{h}"] = round(time.time() - t0, 2)
+            out[f"cms_rows_{label}"] = n
+    spark.catalog.clearCache()
+    print({k: v for k, v in out.items()
+           if k.startswith(("binary_auc", "grouped_auc", "cms_", "auc_"))},
+          file=sys.stderr)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="scale-probe")
@@ -1054,6 +1112,7 @@ def main():
         "r6b": probe_r6b_ops,
         "r6b100": probe_r6b100,
         "r7m": probe_r7m,
+        "r7e": probe_r7e,
     }
     if only is not None and only not in probes:
         raise SystemExit(
