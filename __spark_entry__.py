@@ -1385,7 +1385,8 @@ def q_ivfpq_indexed(spark, sf_dir):
     path, cents, books = _ivfpq_index(spark, sf_dir)
     top = ivfpq_topk_with_meta(
         spark, path, cents, books, [float(x) for x in qvec],
-        k=10, nprobe=3, rerank=100,
+        k=10, nprobe=3, rerank=100, residual=False,  # raw build above —
+        # resolved here once, not via a per-query meta read
     )
     return top.select("vec_id", F.round("dist", 5).alias("dist"))
 

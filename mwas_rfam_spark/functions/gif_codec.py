@@ -309,9 +309,14 @@ def gif_metadata(
                 raise ValueError("truncated GIF extension")
             label = data[pos]
             pos += 1
-            payload, pos = _read_subblocks(data, pos)
-            if label == 0xF9 and len(payload) >= 4:
-                pending_delay = payload[1] | (payload[2] << 8)
+            if label == 0xF9:
+                payload, pos = _read_subblocks(data, pos)
+                if len(payload) >= 4:
+                    pending_delay = payload[1] | (payload[2] << 8)
+            else:
+                # comments / application blocks can be arbitrarily large:
+                # skip by length, never materialize (the walk's promise)
+                _n, pos = _skip_subblocks(data, pos)
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x} at offset {pos - 1}")

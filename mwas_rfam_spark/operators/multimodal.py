@@ -390,11 +390,13 @@ def _real_video_metadata(payload: bytes) -> dict:
 
     MP4: moov-tree walk (functions/media_headers — duration, 16.16
     tkhd dims, track census, audio rate, container-level bitrate), no
-    sample decoding. GIF: logical-screen dims from the 13-byte header
-    (duration would need the per-frame GCE delays — full parse — so it
-    stays NULL here; `sample_video_frames` is the full-parse path).
+    sample decoding. GIF: dims, REAL frame count and duration (summed
+    graphic-control delays) from `gif_codec.gif_metadata`'s block walk
+    — image data skipped by sub-block length, never decompressed.
     Other containers raise NotImplementedError naming the missing
-    wheel."""
+    wheel; malformed payloads of a recognized container raise
+    ValueError (see ``video_metadata(on_error=)`` for sweep-grade
+    tolerance)."""
     from mwas_rfam_spark.functions.gif_codec import is_gif
     from mwas_rfam_spark.functions.media_headers import is_mp4, mp4_metadata
 
@@ -437,19 +439,29 @@ def _real_video_metadata(payload: bytes) -> dict:
     )
 
 
-def video_metadata(media: DataFrame, fake: bool = True) -> DataFrame:
+def video_metadata(
+    media: DataFrame, fake: bool = True, on_error: str = "fail"
+) -> DataFrame:
     """Header-only video metadata → (doc_id, container, duration_s,
-    width, height, n_video_tracks, n_audio_tracks, audio_sample_rate,
-    bitrate_kbps). The 100 TB point of header-only: a metadata sweep of
-    a petabyte video corpus reads a few KB per object (ftyp + moov or
-    the GIF header), not the sample data — this is the profiling /
-    filtering stage that runs BEFORE anyone pays for a decode fleet.
+    width, height, n_frames, n_video_tracks, n_audio_tracks,
+    audio_sample_rate, bitrate_kbps). The 100 TB point of header-only:
+    a metadata sweep of a petabyte video corpus reads a few KB per
+    object (ftyp + moov, or the GIF block chain skipped by sub-block
+    length), not the sample data — this is the profiling / filtering
+    stage that runs BEFORE anyone pays for a decode fleet.
 
     ``fake=False`` is the real parser path: the stdlib moov-tree walk
-    for MP4, the 13-byte header for GIF (testdata payloads are
-    synthetic text bytes, so e2e tests attach real crafted containers);
-    the fake path derives deterministic values from the payload sha256
-    with the same two-hex-char arithmetic as `_fake_dims`."""
+    for MP4, `gif_codec.gif_metadata` for GIF (real frame count +
+    summed GCE delays; testdata payloads are synthetic text bytes, so
+    e2e tests attach real crafted containers); the fake path derives
+    deterministic values from the payload sha256 with the same
+    two-hex-char arithmetic as `_fake_dims`. ``on_error="null"`` is
+    sweep-grade tolerance over attacker-controlled bytes: a malformed
+    or unsupported payload yields a row with NULL container/fields
+    instead of failing the job (``"fail"``, the default, surfaces the
+    first error — right for curated corpora and tests)."""
+    if on_error not in ("fail", "null"):
+        raise ValueError(f"on_error must be 'fail' or 'null', got {on_error!r}")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -468,7 +480,16 @@ def video_metadata(media: DataFrame, fake: bool = True) -> DataFrame:
                          None, len(payload) * 8 / dur / 1000.0)
                     )
                 else:
-                    m = _real_video_metadata(payload)
+                    try:
+                        m = _real_video_metadata(payload)
+                    except (ValueError, NotImplementedError):
+                        if on_error == "fail":
+                            raise
+                        rows.append(
+                            (int(doc_id), None, None, None, None, None,
+                             None, None, None, None)
+                        )
+                        continue
                     rows.append(
                         (int(doc_id), m["container"], m["duration_s"],
                          m["width"], m["height"], m.get("n_frames"),

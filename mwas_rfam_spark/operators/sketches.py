@@ -11,10 +11,17 @@ Spark-first shape: the sketch is a (depth, bucket, cnt) relation, not
 a driver-side array — built by ONE explode + groupBy over the corpus
 (map-side combinable), merged by union + re-aggregate (the counters
 are linear), probed by a broadcast join on the keys' own buckets.
-Hashing is md5-derived and domain-tagged ('cms:{seed}:{row}:')
-exactly like the engine's other seeded draws (`hash_split`,
-`temperature_mix`), so every stage — including the sketch CONTENT —
-replays bit-for-bit in plain SQL on any engine with md5.
+Two hash derivations (the derivation is part of a sketch's identity,
+exactly like width/depth/seed — sketches built under different
+derivations must never be merged or cross-probed):
+
+- ``hash="md5"`` (default): depth row d's bucket is the d%4-th
+  8-hex-char slice of md5('cms:{seed}:{d//4}:' || key) — one digest
+  covers four depth rows, and the whole derivation is plain SQL, so
+  the sketch CONTENT replays bit-for-bit in DuckDB (pytest-pinned).
+- ``hash="xxhash64"``: the JVM hash, seeded per depth — measured ~6×
+  faster at ingest scale (SCALE.md probe N) but JVM-only, no
+  cross-engine replay.
 
 Reference scope note: the MWAS reference repo has no sketch layer;
 this extends the engine's training-data surface next to HLL

@@ -649,10 +649,15 @@ def compact_cms_state(
     state dir — count-min counters are LINEAR, so committed batch
     partitions fold by (depth, bucket) SUM into the frozen negative
     partition and :func:`cms_state_sketch` reads the identical totals
-    before and after (pytest-pinned). Same crash-safety skeleton; the
-    folded partition stays ≤ depth × width rows forever, so repeated
-    compaction keeps the state dir O(1) files regardless of how many
-    triggers ever fired."""
+    before and after (pytest-pinned). Same crash-safety skeleton — but
+    note the division of labor: under SUM a crash between the frozen
+    write and the source deletes WOULD double-count, so the
+    authoritative-frozen-partition rule lives in the READER
+    (:func:`cms_state_sketch` excludes batches at or below the deepest
+    frozen bar), and re-running this compactor converges the files.
+    The folded partition stays ≤ depth × width rows forever, so
+    repeated compaction keeps the state dir O(1) files regardless of
+    how many triggers ever fired."""
 
     def merge_write(rows: DataFrame, path: str) -> None:
         (
@@ -799,13 +804,29 @@ def streaming_cms(
 
 
 def cms_state_sketch(spark: SparkSession, state_dir: str) -> DataFrame:
-    """The merged sketch over every ingested batch partition — feed it
+    """The merged sketch over the ingested batch partitions — feed it
     to `operators.sketches.cms_lookup`. Counters are linear, so merge
-    is one aggregate over at most depth × width × n_batches rows (use
-    `compact_minhash_state`-style folding only if batch count itself
-    becomes a files problem; the rows are already tiny)."""
-    return (
-        spark.read.parquet(state_dir)
-        .groupBy("depth", "bucket")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
+    is one aggregate over at most depth × width × n_batches rows; fold
+    the partitions with :func:`compact_cms_state` when batch count
+    itself becomes a files problem.
+
+    CRASH-CONSISTENT under compaction: unlike the minhash state (where
+    a bucket duplicated between a frozen partition and a not-yet-
+    deleted source is harmless to the DISTINCT semi-join), duplicated
+    CM rows would DOUBLE-COUNT under SUM. The deepest frozen partition
+    is therefore treated as AUTHORITATIVE for every batch at or below
+    its bar: sources the compactor wrote into it but crashed before
+    deleting (and older frozen partitions it subsumed) are excluded
+    here, so a reader racing a compaction — or running after a crashed
+    one — always sums each ingested row exactly once."""
+    df = spark.read.parquet(state_dir)
+    ids = [r["ingest_batch"] for r in df.select("ingest_batch").distinct().collect()]
+    neg = [i for i in ids if i < 0]
+    if neg:
+        bar = min(neg)  # deepest frozen partition
+        folded_up_to = -bar - 1
+        df = df.where(
+            (F.col("ingest_batch") == bar)
+            | (F.col("ingest_batch") > folded_up_to)
+        )
+    return df.groupBy("depth", "bucket").agg(F.sum("cnt").alias("cnt"))

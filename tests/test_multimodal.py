@@ -1447,3 +1447,30 @@ def test_gif_metadata_header_walk():
         gif_metadata(data[:-2])
     with pytest.raises(ValueError, match="signature"):
         gif_metadata(b"notagif" * 4)
+
+
+def test_video_metadata_on_error_null(spark):
+    """Sweep-grade tolerance: a corrupt GIF body yields a NULL row under
+    on_error='null' instead of failing the job; 'fail' surfaces it."""
+    import pytest
+
+    from mwas_rfam_spark.functions.gif_codec import encode_gif
+    from mwas_rfam_spark.operators.multimodal import video_metadata
+    from pyspark.sql import functions as F
+
+    good = encode_gif(4, 3, [bytes(12)], palette=[(0, 0, 0), (9, 9, 9)])
+    corrupt = good[:-3]  # inside the final sub-block chain
+    vids = spark.createDataFrame(
+        [(2, bytearray(good)), (5, bytearray(corrupt))],
+        "doc_id long, payload binary",
+    ).select(
+        "doc_id", "payload",
+        F.struct(F.lit("video").alias("media_type")).alias("media_meta"),
+    )
+    got = {r["doc_id"]: r for r in video_metadata(vids, fake=False, on_error="null").collect()}
+    assert got[2]["container"] == "gif" and got[2]["n_frames"] == 1
+    assert got[5]["container"] is None and got[5]["width"] is None
+    with pytest.raises(Exception, match="truncated|ValueError"):
+        video_metadata(vids, fake=False, on_error="fail").collect()
+    with pytest.raises(ValueError, match="on_error"):
+        video_metadata(vids, fake=False, on_error="skip")

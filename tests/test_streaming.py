@@ -841,3 +841,39 @@ def test_streaming_cms_matches_one_pass(spark, tmp_path):
     folded = cms_state_sketch(spark, state)
     assert sorted(map(tuple, folded.collect())) == sorted(map(tuple, whole.collect()))
     assert compact_cms_state(spark, state, up_to_batch=2) == 0
+
+
+def test_cms_state_reader_crash_consistent(spark, tmp_path):
+    """The SUM reader must not double-count when a compactor crashed
+    between the frozen write and the source deletes: the deepest frozen
+    partition is authoritative for every batch at or below its bar."""
+    from mwas_rfam_spark.operators.sketches import cms_build
+    from mwas_rfam_spark.streaming.requests import cms_state_sketch, compact_cms_state
+
+    state = str(tmp_path / "state")
+    docs = spark.createDataFrame(
+        [(i, f"k{i % 9}") for i in range(120)], "doc_id long, key string"
+    )
+    for b in range(3):
+        cms_build(
+            docs.where(F.col("doc_id") % 3 == b), "key", width=32, depth=2, seed=1
+        ).write.parquet(f"{state}/ingest_batch={b}")
+    want = sorted(
+        map(tuple, cms_build(docs, "key", width=32, depth=2, seed=1).collect())
+    )
+    assert sorted(map(tuple, cms_state_sketch(spark, state).collect())) == want
+
+    # simulate the crash: fold batches 0..1 into -2, then RESURRECT them
+    import shutil
+
+    shutil.copytree(f"{state}/ingest_batch=0", str(tmp_path / "s0"))
+    shutil.copytree(f"{state}/ingest_batch=1", str(tmp_path / "s1"))
+    assert compact_cms_state(spark, state, up_to_batch=1) == 2
+    shutil.copytree(str(tmp_path / "s0"), f"{state}/ingest_batch=0")
+    shutil.copytree(str(tmp_path / "s1"), f"{state}/ingest_batch=1")
+    # naive sum over all partitions would double batches 0-1; the reader
+    # must return the exact one-pass totals regardless
+    assert sorted(map(tuple, cms_state_sketch(spark, state).collect())) == want
+    # re-running the compactor converges the files, totals unchanged
+    assert compact_cms_state(spark, state, up_to_batch=1) == 2
+    assert sorted(map(tuple, cms_state_sketch(spark, state).collect())) == want

@@ -1083,7 +1083,7 @@ def probe_r7e(spark, sf_dir: str, out: dict):
             sk = cms_build(t, "tok", width=2048, depth=4, seed=5, hash=h)
             n = sk.count()
             out[f"cms_build_{label}_{h}"] = round(time.time() - t0, 2)
-            out[f"cms_rows_{label}"] = n
+            out[f"cms_rows_{label}_{h}"] = n
     spark.catalog.clearCache()
     print({k: v for k, v in out.items()
            if k.startswith(("binary_auc", "grouped_auc", "cms_", "auc_"))},
