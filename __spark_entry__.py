@@ -2594,6 +2594,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              `sq8_topk` (SQ8 encode trained in-SQL +
                              folded-query ranking + exact re-rank)
 
+    Round-8 rotation candidates (for the next swap, same machinery):
+    IN — `model_eval` (exact midrank AUC is plain SQL; the DuckDB
+    parity already exists as a pytest), `cms_freq` (the sketch CONTENT
+    replays bit-for-bit under the md5 derivation), `opq_encode`
+    (materialize the rotation like drift_pca and replay the projection
+    + per-subspace argmin in SQL). OUT candidates — thin entries whose
+    arithmetic is pinned inside larger green rows, e.g.
+    `t1_welch_from_stats` (⊂ mwas_cohort_welch), `a9_summary_agg`
+    (⊂ mwas_summary_t_only), `j7_positional_join` (map/array access
+    also exercised by the condense family).
+
     Round-4 second-wave surfaces (registry full at 50 all-green; each is
     pytest-pinned and benchable where noted, with its exactness anchored
     to an existing green entry where semantics overlap):
