@@ -672,6 +672,9 @@ def index_main(argv: list[str], spark: SparkSession | None = None) -> int:
                 books = train_pq_codebooks(
                     df, m=args.subspaces, k=args.pq_k,
                     id_col=id_col, vec_col=args.vec_col,
+                    # a residual index needs residual-TRAINED codebooks
+                    # (raw-trained ones explode the quantization error)
+                    residual_centroids=cents if args.residual else None,
                 )
                 materialize_ivfpq(
                     df, cents, books, args.path, id_col=id_col,

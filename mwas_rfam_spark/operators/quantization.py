@@ -62,10 +62,21 @@ def train_pq_codebooks(
     sample_size: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual_centroids: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Per-subspace k-means codebooks, trained driver-side on the
     ``sample_size`` lowest-id vectors (deterministic: same corpus → same
     codebooks; no RNG anywhere).
+
+    ``residual_centroids``: train on RESIDUALS to the given coarse
+    centroids instead of raw vectors — REQUIRED when the codebooks will
+    feed a ``residual=True`` index (faiss trains IVFPQ codebooks on
+    residuals for the same reason): residuals live near zero with
+    within-cell spread, so raw-trained centroids sit far off-center and
+    the quantization error EXPLODES instead of shrinking (measured ~15×
+    WORSE on the r7 probe corpus before this contract was enforced in
+    training; probe O / SCALE.md). The sample is cell-assigned
+    driver-side — sample_size × k_cells distances, parameter-sized.
 
     Returns ``m`` codebooks of ``k`` centroids each, covering
     ``dim / m`` dims. Training on a bounded sample is the standard PQ
@@ -79,6 +90,10 @@ def train_pq_codebooks(
 
     rows = emb.orderBy(id_col).limit(sample_size).select(vec_col).collect()
     X = np.asarray([list(map(float, r[vec_col])) for r in rows], dtype=np.float64)
+    if residual_centroids is not None:
+        Co = np.asarray(residual_centroids, dtype=np.float64)
+        d2 = ((X[:, None, :] - Co[None, :, :]) ** 2).sum(axis=2)
+        X = X - Co[d2.argmin(axis=1)]
     dim = X.shape[1]
     if dim % m != 0:
         raise ValueError(f"train_pq_codebooks: dim {dim} not divisible by m={m}")
@@ -528,7 +543,13 @@ def materialize_ivfpq(
     vec_col: str = "embedding",
     residual: bool = False,
 ) -> None:
-    """Materialize the full IVF×PQ index — the faiss ``IVFPQ`` layout
+    """Materialize the full IVF×PQ index — the faiss ``IVFPQ`` layout.
+
+    ``residual=True`` contract: the ``codebooks`` MUST have been trained
+    on residuals (``train_pq_codebooks(residual_centroids=centroids)``)
+    — raw-trained codebooks sit far off-center for residual inputs and
+    the quantization error explodes ~15× instead of shrinking (probe O).
+    The rest of the faiss ``IVFPQ`` layout
     re-expressed as self-describing parquet (extension; the reference
     engine has no vector search):
 

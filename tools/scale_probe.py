@@ -1090,6 +1090,131 @@ def probe_r7e(spark, sf_dir: str, out: dict):
           file=sys.stderr)
 
 
+
+
+def probe_r7q(spark, sf_dir: str, out: dict):
+    """Probe O (r7) — residual vs raw IVF-PQ at 10x: the QUALITY claim
+    (residual codes approximate distances better, so ADC-only recall at
+    a fixed candidate budget rises) and the COST claim (residual's
+    per-cell LUTs add no measurable wall to the batch k-NN join)."""
+    import tempfile
+
+    import numpy as np
+
+    from mwas_rfam_spark.operators.quantization import (
+        ivfpq_knn_join,
+        ivfpq_topk_indexed,
+        materialize_ivfpq,
+        train_pq_codebooks,
+    )
+    from mwas_rfam_spark.operators.similarity import train_ivf_centroids
+    from mwas_rfam_spark.plans.testdata_mwas import load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    e10 = emb.crossJoin(
+        spark.range(10).select(F.col("id").alias("_c"))
+    ).select(
+        (F.col("vec_id") * 10 + F.col("_c")).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.sin((F.col("_c") + F.lit(1)).cast("double") * (i + F.lit(1))),
+        ).alias("embedding"),
+    ).repartition(32).localCheckpoint()
+    n = e10.count()
+    out["resq_rows"] = n
+    cents = train_ivf_centroids(e10, k=40, iters=2)
+    books = train_pq_codebooks(e10, m=8, k=32, iters=3, sample_size=512)
+    res_books = train_pq_codebooks(
+        e10, m=8, k=32, iters=3, sample_size=512, residual_centroids=cents
+    )
+    kind_books = {"raw": books, "res": res_books}
+    paths = {}
+    for kind, residual in (("raw", False), ("res", True)):
+        p = tempfile.mkdtemp(prefix=f"resq_{kind}_")
+        t0 = time.time()
+        materialize_ivfpq(e10, cents, kind_books[kind], p, residual=residual)
+        out[f"resq_build_{kind}"] = round(time.time() - t0, 2)
+        paths[kind] = p
+
+    # recall@10 of ADC-only candidates (rerank == k strips the exact
+    # re-rank's error recovery, exposing pure code quality) vs exact
+    # within the SAME probed cells (rerank >> k is exact there)
+    qrows = e10.orderBy("vec_id").limit(8).collect()
+    rec = {"raw": 0.0, "res": 0.0}
+    for r in qrows:
+        q = [float(x) for x in r["embedding"]]
+        truth = {
+            x["vec_id"]
+            for x in ivfpq_topk_indexed(
+                spark, paths["raw"], q, k=10, nprobe=8, rerank=2000
+            ).collect()
+        }
+        for kind in ("raw", "res"):
+            got = {
+                x["vec_id"]
+                for x in ivfpq_topk_indexed(
+                    spark, paths[kind], q, k=10, nprobe=8, rerank=10
+                ).collect()
+            }
+            rec[kind] += len(got & truth) / 10.0 / len(qrows)
+    out["resq_recall_raw"] = round(rec["raw"], 3)
+    out["resq_recall_res"] = round(rec["res"], 3)
+
+    # mean |ADC − true| per kind (the quantity the residual claim is
+    # actually about; recall@k at rerank=k saturates into near-tie noise
+    # on this clone-heavy synthetic corpus and reads as a wash)
+    from mwas_rfam_spark.operators.quantization import pq_adc_scores
+
+    q0 = [float(x) for x in qrows[0]["embedding"]]
+    qarr = np.asarray(q0)
+    exact_d = e10.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                F.array(*[F.lit(float(x)) for x in q0]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("true_d"),
+    )
+    for kind in ("raw", "res"):
+        codes = spark.read.parquet(f"{paths[kind]}/codes")
+        if kind == "res":
+            parts = [
+                pq_adc_scores(
+                    codes.where(F.col("cell") == c),
+                    [float(x) for x in (qarr - np.asarray(cents[c]))],
+                    kind_books[kind],
+                )
+                for c in range(len(cents))
+            ]
+            scored = parts[0]
+            for p_ in parts[1:]:
+                scored = scored.unionByName(p_)
+        else:
+            scored = pq_adc_scores(codes, q0, kind_books[kind])
+        err = (
+            scored.join(exact_d, "vec_id")
+            .agg(F.avg(F.abs(F.col("approx_dist") - F.col("true_d"))))
+            .collect()[0][0]
+        )
+        out[f"resq_adc_err_{kind}"] = round(float(err), 3)
+
+    queries = e10.orderBy("vec_id").limit(32).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    ).localCheckpoint()
+    for kind in ("raw", "res"):
+        t0 = time.time()
+        _force(ivfpq_knn_join(spark, paths[kind], queries, k=5, nprobe=8, rerank=100))
+        out[f"resq_knn_join_{kind}"] = round(time.time() - t0, 2)
+    spark.catalog.clearCache()
+    print({k: v for k, v in out.items() if k.startswith("resq_")}, file=sys.stderr)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="scale-probe")
@@ -1113,6 +1238,7 @@ def main():
         "r6b100": probe_r6b100,
         "r7m": probe_r7m,
         "r7e": probe_r7e,
+        "r7q": probe_r7q,
     }
     if only is not None and only not in probes:
         raise SystemExit(
