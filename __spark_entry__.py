@@ -3802,7 +3802,7 @@ FROM final
                                    <= (SELECT s FROM short) THEN 1 ELSE 0 END AS target
               FROM base),
             plan AS MATERIALIZED (SELECT source, n, target // n AS fullp, target % n AS rem FROM tgt),
-            sums AS (SELECT source, sum(doc_id) AS sum_all FROM documents GROUP BY source),
+            sums AS (SELECT source, CAST(sum(doc_id) AS BIGINT) AS sum_all FROM documents GROUP BY source),
             fullrows AS (
               SELECT p.source, CAST(u.g AS INT) AS copy, p.n AS n_rows, s.sum_all AS sum_ids
               FROM plan p JOIN sums s USING (source), unnest(range(p.fullp)) AS u(g)),
@@ -3814,7 +3814,7 @@ FROM final
               FROM documents d),
             remrows AS (
               SELECT p.source, CAST(p.fullp AS INT) AS copy,
-                     count(*) AS n_rows, sum(k.doc_id) AS sum_ids
+                     count(*) AS n_rows, CAST(sum(k.doc_id) AS BIGINT) AS sum_ids
               FROM keyed k JOIN plan p USING (source)
               WHERE p.rem > 0 AND k.rk <= p.rem
               GROUP BY 1, 2)

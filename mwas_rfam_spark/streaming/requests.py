@@ -540,10 +540,22 @@ def _compact_batch_state(
     """The crash-safe fold skeleton BOTH per-batch state compactors
     share (minhash buckets fold by DISTINCT, count-min counters fold by
     SUM — the callback owns that semantics): list ``ingest_batch=``
-    partitions, fold every id ≤ up_to_batch (including earlier frozen
-    negatives) into the fresh frozen partition ``-(up_to_batch + 1)``,
-    write-target-first with _SUCCESS convergence, delete sources last.
-    See :func:`compact_minhash_state` for the replay-safety argument."""
+    partitions, fold into the fresh frozen partition
+    ``-(up_to_batch + 1)``, write-target-first with _SUCCESS
+    convergence, delete sources last.
+
+    Source selection applies the READER's authoritative rule
+    (:func:`cms_state_sketch`): the deepest *complete* (_SUCCESS-
+    marked) frozen source already contains every batch at or below its
+    bar, so raw partitions a crashed earlier compaction left behind —
+    plus shallower frozen partitions it subsumed, plus any partial
+    (_SUCCESS-less) frozen write — are DELETED WITHOUT FOLDING. Under
+    SUM semantics folding them again would permanently double-count
+    (the r7 ADVICE scenario: crash mid-delete at watermark 5, next
+    compaction at watermark 9 folds both frozen -6 and the leftover raw
+    batch 3 it contains); under DISTINCT the exclusion is a harmless
+    no-op. See :func:`compact_minhash_state` for the replay-safety
+    argument."""
     if up_to_batch < 0:
         raise ValueError(f"up_to_batch must be >= 0, got {up_to_batch}")
     jvm = spark._jvm
@@ -553,7 +565,18 @@ def _compact_batch_state(
     if not fs.exists(root):
         return 0
     target_id = -(up_to_batch + 1)
-    sources = []
+
+    def _part(bid: int):
+        return jvm.org.apache.hadoop.fs.Path(f"{state_dir}/ingest_batch={bid}")
+
+    def _complete(bid: int) -> bool:
+        return fs.exists(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{state_dir}/ingest_batch={bid}/_SUCCESS"
+            )
+        )
+
+    raws, frozen_ok, frozen_partial = [], [], []
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if not name.startswith("ingest_batch="):
@@ -564,35 +587,48 @@ def _compact_batch_state(
             continue
         if bid == target_id:
             continue
-        if bid <= up_to_batch:  # includes earlier frozen negatives
-            sources.append(bid)
-    if not sources:
+        if bid > up_to_batch:  # live batches may still re-run
+            continue
+        if bid >= 0:
+            raws.append(bid)
+        elif _complete(bid):
+            frozen_ok.append(bid)
+        else:
+            frozen_partial.append(bid)
+
+    fold = list(raws)
+    subsumed = list(frozen_partial)  # partial frozen = garbage bytes
+    deepest = min(frozen_ok) if frozen_ok else None
+    if deepest is not None:
+        bar = -deepest - 1  # deepest already holds every batch <= bar
+        subsumed += [b for b in raws if b <= bar]
+        subsumed += [b for b in frozen_ok if b != deepest]
+        fold = [deepest] + [b for b in raws if b > bar]
+    if not fold and not subsumed:
         return 0
-    target = jvm.org.apache.hadoop.fs.Path(
-        f"{state_dir}/ingest_batch={target_id}"
-    )
+    has_new = any(b >= 0 for b in fold)
+    target = _part(target_id)
     success = jvm.org.apache.hadoop.fs.Path(
         f"{state_dir}/ingest_batch={target_id}/_SUCCESS"
     )
-    if len(sources) == 1 and sources[0] < 0 and not fs.exists(success):
-        # the lone frozen partition IS the current folded state —
-        # nothing to fold. (When a COMPLETED target also exists, a
-        # prior run crashed between write and cleanup: fall through so
-        # the now-duplicated old frozen partition gets deleted instead
-        # of surviving every future run.)
-        return 0
+    target_done = fs.exists(target) and fs.exists(success)
+    if fold and not has_new and not target_done:
+        # the lone (deepest) frozen partition IS the current folded
+        # state — rewriting it into a deeper target would churn bytes
+        # without changing totals. Just clear the subsumed leftovers.
+        for bid in subsumed:
+            fs.delete(_part(bid), True)
+        return len(subsumed)
     if fs.exists(target) and not fs.exists(success):
         fs.delete(target, True)  # partial write from a crashed compaction
-    if not fs.exists(target):
+    if fold and not fs.exists(target):
         src_rows = spark.read.parquet(state_dir).where(
-            F.col("ingest_batch").isin(sources)
+            F.col("ingest_batch").isin(fold)
         )
         merge_write(src_rows, f"{state_dir}/ingest_batch={target_id}")
-    for bid in sources:
-        fs.delete(
-            jvm.org.apache.hadoop.fs.Path(f"{state_dir}/ingest_batch={bid}"), True
-        )
-    return len(sources)
+    for bid in subsumed + fold:
+        fs.delete(_part(bid), True)
+    return len(subsumed) + len(fold)
 
 
 def compact_minhash_state(
@@ -818,15 +854,39 @@ def cms_state_sketch(spark: SparkSession, state_dir: str) -> DataFrame:
     its bar: sources the compactor wrote into it but crashed before
     deleting (and older frozen partitions it subsumed) are excluded
     here, so a reader racing a compaction — or running after a crashed
-    one — always sums each ingested row exactly once."""
+    one — always sums each ingested row exactly once. A frozen
+    partition is only honored as the bar when its _SUCCESS marker
+    exists — a compaction that crashed mid-write (task files renamed
+    into the target, job commit never reached) must not suppress the
+    still-present source partitions, or the merged sketch silently
+    undercounts until the compactor re-runs. Partial frozen partitions
+    are excluded from the sum entirely (their rows duplicate a subset
+    of the sources the crashed compactor never deleted)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = root.getFileSystem(conf)
     df = spark.read.parquet(state_dir)
     ids = [r["ingest_batch"] for r in df.select("ingest_batch").distinct().collect()]
-    neg = [i for i in ids if i < 0]
+    neg = sorted(i for i in ids if i < 0)  # deepest first
     if neg:
-        bar = min(neg)  # deepest frozen partition
-        folded_up_to = -bar - 1
-        df = df.where(
-            (F.col("ingest_batch") == bar)
-            | (F.col("ingest_batch") > folded_up_to)
-        )
+        bar = None
+        for cand in neg:
+            if fs.exists(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{state_dir}/ingest_batch={cand}/_SUCCESS"
+                )
+            ):
+                bar = cand  # deepest COMPLETE frozen partition
+                break
+        if bar is not None:
+            folded_up_to = -bar - 1
+            df = df.where(
+                (F.col("ingest_batch") == bar)
+                | (F.col("ingest_batch") > folded_up_to)
+            )
+        else:
+            # no complete frozen partition: every negative id is a
+            # partial write — ignore them, the raw batches are whole
+            df = df.where(F.col("ingest_batch") >= 0)
     return df.groupBy("depth", "bucket").agg(F.sum("cnt").alias("cnt"))

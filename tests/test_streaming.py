@@ -877,3 +877,95 @@ def test_cms_state_reader_crash_consistent(spark, tmp_path):
     # re-running the compactor converges the files, totals unchanged
     assert compact_cms_state(spark, state, up_to_batch=1) == 2
     assert sorted(map(tuple, cms_state_sketch(spark, state).collect())) == want
+
+
+def test_cms_compactor_no_double_count_at_higher_watermark(spark, tmp_path):
+    """r7 ADVICE (medium): a compaction that crashed mid-delete at
+    watermark 1 leaves raw batches already folded into frozen -2; a
+    LATER compaction at watermark 2 must delete those leftovers WITHOUT
+    folding them (under SUM they'd be double-counted into the new
+    frozen partition permanently — the reader's deepest-frozen rule
+    would then make the inflated totals canonical)."""
+    import glob
+    import shutil
+
+    from mwas_rfam_spark.operators.sketches import cms_build
+    from mwas_rfam_spark.streaming.requests import cms_state_sketch, compact_cms_state
+
+    state = str(tmp_path / "state")
+    docs = spark.createDataFrame(
+        [(i, f"k{i % 7}") for i in range(90)], "doc_id long, key string"
+    )
+    for b in range(3):
+        cms_build(
+            docs.where(F.col("doc_id") % 3 == b), "key", width=16, depth=2, seed=3
+        ).write.parquet(f"{state}/ingest_batch={b}")
+    want = sorted(
+        map(tuple, cms_build(docs, "key", width=16, depth=2, seed=3).collect())
+    )
+
+    # crash window at watermark 1: frozen -2 written, batch 1 not deleted
+    shutil.copytree(f"{state}/ingest_batch=1", str(tmp_path / "stash1"))
+    assert compact_cms_state(spark, state, up_to_batch=1) == 2
+    shutil.copytree(str(tmp_path / "stash1"), f"{state}/ingest_batch=1")
+
+    # next compaction runs at a HIGHER watermark — leftover batch 1 is
+    # subsumed by -2 and must be dropped, not folded again
+    compact_cms_state(spark, state, up_to_batch=2)
+    parts = {
+        os.path.basename(p) for p in glob.glob(os.path.join(state, "ingest_batch=*"))
+    }
+    assert parts == {"ingest_batch=-3"}
+    assert sorted(map(tuple, cms_state_sketch(spark, state).collect())) == want
+    # converged: re-run is a no-op, totals stable
+    assert compact_cms_state(spark, state, up_to_batch=2) == 0
+    assert sorted(map(tuple, cms_state_sketch(spark, state).collect())) == want
+
+
+def test_cms_partial_frozen_partition_not_authoritative(spark, tmp_path):
+    """r7 ADVICE (low): a frozen partition without _SUCCESS (compaction
+    crashed mid-write, after some task-file renames) must neither
+    suppress the still-present raw sources in the READER (silent
+    undercount) nor be folded as a source by the COMPACTOR (partial
+    duplicate counts)."""
+    import glob
+    import shutil
+
+    from mwas_rfam_spark.operators.sketches import cms_build
+    from mwas_rfam_spark.streaming.requests import cms_state_sketch, compact_cms_state
+
+    state = str(tmp_path / "state")
+    docs = spark.createDataFrame(
+        [(i, f"k{i % 5}") for i in range(60)], "doc_id long, key string"
+    )
+    for b in range(2):
+        cms_build(
+            docs.where(F.col("doc_id") % 2 == b), "key", width=16, depth=2, seed=5
+        ).write.parquet(f"{state}/ingest_batch={b}")
+    want = sorted(
+        map(tuple, cms_build(docs, "key", width=16, depth=2, seed=5).collect())
+    )
+
+    # manufacture a partial frozen write: compact, resurrect sources,
+    # then strip the target's _SUCCESS (+ its local-FS .crc sibling)
+    shutil.copytree(f"{state}/ingest_batch=0", str(tmp_path / "s0"))
+    shutil.copytree(f"{state}/ingest_batch=1", str(tmp_path / "s1"))
+    assert compact_cms_state(spark, state, up_to_batch=1) == 2
+    shutil.copytree(str(tmp_path / "s0"), f"{state}/ingest_batch=0")
+    shutil.copytree(str(tmp_path / "s1"), f"{state}/ingest_batch=1")
+    for marker in ("_SUCCESS", "._SUCCESS.crc"):
+        p = os.path.join(state, "ingest_batch=-2", marker)
+        if os.path.exists(p):
+            os.remove(p)
+
+    # reader: partial -2 is ignored, raw batches sum to exact totals
+    assert sorted(map(tuple, cms_state_sketch(spark, state).collect())) == want
+
+    # compactor: partial -2 is deleted without folding; rebuild is exact
+    compact_cms_state(spark, state, up_to_batch=1)
+    parts = {
+        os.path.basename(p) for p in glob.glob(os.path.join(state, "ingest_batch=*"))
+    }
+    assert parts == {"ingest_batch=-2"}
+    assert os.path.exists(os.path.join(state, "ingest_batch=-2", "_SUCCESS"))
+    assert sorted(map(tuple, cms_state_sketch(spark, state).collect())) == want

@@ -30,6 +30,20 @@ def norm_cell(v):
     return str(v)
 
 
+def _kind(dtype) -> str:
+    """Collapse a pandas dtype to a hash-relevant kind bucket.
+
+    The driver hashes pandas VALUE BYTES, so DuckDB HUGEINT (sum of a
+    BIGINT column) arriving as float64 840.0 vs Spark's int64 840 is a
+    hash mismatch even though norm_cell renders both as "840" — the
+    exact failure mode of the r7 `source_mix` red row. int/uint are one
+    bucket; float its own; everything else (object/bool/datetime) by
+    pandas kind char.
+    """
+    k = dtype.kind
+    return "int" if k in "iu" else ("float" if k == "f" else k)
+
+
 def compare(name, spark_df, con, sql):
     spark_rows = spark_df.collect()
     spark_cols = sorted(spark_df.columns)
@@ -41,6 +55,23 @@ def compare(name, spark_df, con, sql):
     problems = []
     if spark_cols != o_cols:
         problems.append(f"schema: spark={spark_cols} oracle={o_cols}")
+    else:
+        # dtype-kind audit: catches DuckDB integer-sum widening
+        # (HUGEINT -> pandas float64) that string normalization hides.
+        try:
+            s_pd = spark_df.limit(0).toPandas()
+            o_pd = con.sql(f"SELECT * FROM ({sql}) q LIMIT 0").df()
+            for c in spark_cols:
+                sk, ok = _kind(s_pd.dtypes[c]), _kind(o_pd.dtypes[c])
+                # pandas renders nullable ints as object/float sometimes;
+                # only flag the unambiguous int-vs-float disagreement.
+                if {sk, ok} == {"int", "float"}:
+                    problems.append(
+                        f"dtype-kind: column {c!r} spark={sk} oracle={ok}"
+                        " (driver hash WILL differ; CAST the oracle side)"
+                    )
+        except Exception as e:  # pragma: no cover - audit is best-effort
+            problems.append(f"dtype-audit error: {type(e).__name__}: {e}")
     if len(spark_rows) != len(o_rows):
         problems.append(f"rowcount: spark={len(spark_rows)} oracle={len(o_rows)}")
     if not problems:
