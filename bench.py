@@ -1,12 +1,15 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE JSON line (last):
   {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...}
+   "queries": {name: sec, ...}, "protocol": "...", "sf": ...}
 
 Each query is forced end-to-end with the noop sink (full computation, no
-driver-side collect overhead).
+driver-side collect overhead), and measured as a FRESH-JVM min-of-3:
+the headline list runs in fixed chunks of CHUNK_SIZE queries, each
+chunk in its own subprocess SparkSession (see the protocol note at
+CHUNK_SIZE) — the r5-r7 aged-session drift cannot reach any number.
 """
 
 from __future__ import annotations
@@ -184,76 +187,142 @@ def _mwas_full(spark, sf_dir):
     )
 
 
-def main():
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="mwas-bench")
+# Fresh-JVM chunk protocol (r8): three consecutive rounds of forensics
+# (SCALE.md r5/r6/r7) concluded the verdict's "regression" lists were
+# dominated by AGED-SESSION measurement drift — queries late in a
+# 58-query single-JVM run land 20-60% above their fresh-JVM minima with
+# zero plan change, and fresh-JVM isolation returns every flagged mover
+# to baseline. The protocol, not the operators, was the bug. Fix: the
+# headline list runs in fixed-order chunks of CHUNK_SIZE, EACH IN ITS
+# OWN SUBPROCESS JVM with its own warmup — no query ever executes in a
+# JVM older than ~8 queries, so every number is a fresh-JVM min-of-3
+# and round-over-round deltas compare like with like. Chunk membership
+# is a pure function of HEADLINE order; new queries append to the END
+# of HEADLINE so only the final chunk's composition ever changes.
+CHUNK_SIZE = 8
 
+
+def _timed(spark, raw_runs, name, fn, n=3) -> float:
+    """min of n runs: single-shot numbers on this box vary up to 4×
+    (GC / scheduler / co-tenant noise); the minimum is the steady-state
+    cost. Caches are cleared between runs so each timing is cold-plan.
+    Every raw run is recorded in the output's `runs` field so a drift
+    can be diagnosed from the artifact instead of re-measured.
+    min-of-3, not 2: the r5 forensics on the four r3→r4 'movers'
+    (SCALE.md) traced their +25-40% swings entirely to first-run
+    codegen/JIT/GC debt that one retry doesn't reliably clear."""
+    import gc
+
+    runs = []
+    for _ in range(n):
+        t0 = time.time()
+        _force(fn())
+        runs.append(round(time.time() - t0, 3))
+        spark.catalog.clearCache()
+        # untimed GC between runs, BOTH sides of the gateway:
+        # localCheckpoint blocks from prior queries are only freed when
+        # their RDD handles are garbage-collected, and the py4j proxies
+        # holding those handles die on the PYTHON collector's schedule —
+        # System.gc() alone can't free a block whose proxy still pins it
+        # (measured on dedup_ngram_jaccard: [11.7, 4.0, 3.3, 3.1]
+        # back-to-back without GC vs [2.8, 3.1, 3.2, 3.0] with)
+        try:
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+    raw_runs.setdefault(name, []).extend(runs)
+    return min(runs)
+
+
+def _chunk_worker(spec_path: str) -> None:
+    """Subprocess entry: fresh JVM, warmup, time the spec'd names,
+    write {timings, runs} JSON, exit (the JVM dies with the process —
+    that death IS the protocol)."""
+    with open(spec_path) as f:
+        spec = json.load(f)
+    sf_dir = spec["sf_dir"]
+    spark = get_spark(app_name="mwas-bench-chunk")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
     _warmup(spark, sf_dir)
-
-    raw_runs: dict[str, list[float]] = {}
-
-    def _timed(name, fn, n=3) -> float:
-        """min of n runs: single-shot numbers on this box vary up to 4×
-        (GC / scheduler / co-tenant noise); the minimum is the steady-state
-        cost. Caches are cleared between runs so each timing is cold-plan.
-        Every raw run is recorded in the output's `runs` field so a drift
-        can be diagnosed from the artifact instead of re-measured.
-        min-of-3, not 2: the r5 forensics on the four r3→r4 'movers'
-        (SCALE.md) traced their +25-40% swings entirely to first-run
-        codegen/JIT/GC debt that one retry doesn't reliably clear —
-        min-of-3 reproduced the steady state at both placements."""
-        runs = []
-        for _ in range(n):
-            t0 = time.time()
-            _force(fn())
-            runs.append(round(time.time() - t0, 3))
-            spark.catalog.clearCache()
-            # untimed JVM GC between runs: localCheckpoint blocks from
-            # prior queries are only freed when their RDD handles are
-            # garbage-collected, and the bench compresses hours of
-            # queries into minutes — without this, accumulated dead
-            # blocks leak GC pressure into whichever query runs next
-            # (measured on dedup_ngram_jaccard: [11.7, 4.0, 3.3, 3.1]
-            # back-to-back without GC vs [2.8, 3.1, 3.2, 3.0] with;
-            # production sessions get the same effect from the
-            # 5-minute periodicGC interval in session.py)
-            try:
-                spark.sparkContext._jvm.System.gc()
-            except Exception:
-                pass
-        raw_runs.setdefault(name, []).extend(runs)
-        return min(runs)
-
     qs = entrymod.bench_queries()
+    raw_runs: dict[str, list[float]] = {}
     timings: dict[str, float] = {}
+    for name in spec["names"]:
+        if name == "mwas_full":
+            # one fresh-JVM chunk, six runs: the first three report as
+            # mwas_full_first, the last three as mwas_full — the two
+            # fields keep their round-over-round series alive, but under
+            # this protocol both placements are fresh (the r2-r7
+            # placement question is closed by construction)
+            timings["mwas_full_first"] = _timed(
+                spark, raw_runs, "mwas_full_first",
+                lambda: _mwas_full(spark, sf_dir), n=3,
+            )
+            timings[name] = _timed(
+                spark, raw_runs, name, lambda: _mwas_full(spark, sf_dir), n=3
+            )
+        else:
+            timings[name] = _timed(
+                spark, raw_runs, name, lambda: qs[name](spark, sf_dir)
+            )
+    with open(spec["out"], "w") as f:
+        json.dump({"timings": timings, "runs": raw_runs}, f)
+    spark.stop()
 
-    # mwas_full is timed TWICE — min-of-3 right after warmup AND min-of-3
-    # after the other 21 queries have aged the JVM — because the r2 driver
-    # run recorded 21.8 s (last-placement min-of-2) vs r1's 10.3 s with no
-    # plan change. tools/bench_forensics.py traced the swing to the 64-task
-    # permutation applyInPandas stage: its first-ever execution pays
-    # ~+12 s (codegen/JIT + python-worker ramp) and the box adds
-    # co-tenant CPU noise; placement itself measured as a wash
-    # (fresh 13.6 vs aged 13.4 min-of-3). min-of-3 at both placements
-    # makes the number reproducible and keeps the placement question
-    # answerable from the artifact.
-    mwas_full_first = _timed(
-        "mwas_full_first", lambda: _mwas_full(spark, sf_dir), n=3
-    )
 
-    for name in HEADLINE:
-        timings[name] = _timed(name, lambda: qs[name](spark, sf_dir))
+def main():
+    import subprocess
+    import tempfile
 
-    timings["mwas_full"] = _timed("mwas_full", lambda: _mwas_full(spark, sf_dir), n=3)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    # `value`/`queries` stay round-over-round comparable (21 headline
-    # queries + last-placement mwas_full); the first-placement number and
-    # every raw run ride alongside.
+    chunks = [
+        HEADLINE[i : i + CHUNK_SIZE] for i in range(0, len(HEADLINE), CHUNK_SIZE)
+    ]
+    chunks.append(["mwas_full"])  # the permutation kernel gets its own JVM
+
+    timings: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
+    mwas_full_first = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    with tempfile.TemporaryDirectory() as td:
+        for ci, names in enumerate(chunks):
+            spec = {
+                "sf_dir": sf_dir,
+                "names": names,
+                "out": os.path.join(td, f"chunk{ci}.json"),
+            }
+            spec_path = os.path.join(td, f"spec{ci}.json")
+            with open(spec_path, "w") as f:
+                json.dump(spec, f)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--chunk", spec_path],
+                cwd=here,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+            )
+            if proc.returncode != 0 or not os.path.exists(spec["out"]):
+                tail = proc.stdout.decode(errors="replace")[-3000:]
+                raise RuntimeError(
+                    f"bench chunk {ci} ({names}) failed "
+                    f"(exit {proc.returncode}):\n{tail}"
+                )
+            with open(spec["out"]) as f:
+                res = json.load(f)
+            mwas_full_first = res["timings"].pop(
+                "mwas_full_first", mwas_full_first
+            )
+            timings.update(res["timings"])
+            raw_runs.update(res["runs"])
+
+    # `value`/`queries` stay round-over-round comparable; every number
+    # is now a fresh-JVM min-of-3 (see the CHUNK_SIZE note), and every
+    # raw run rides alongside.
     total = round(sum(timings.values()), 3)
     fp = testdata_fingerprint(sf_dir)
     prev_fp = _prev_bench_fingerprint()
@@ -262,6 +331,12 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # r8 protocol change: each number is measured in a subprocess
+        # JVM running at most CHUNK_SIZE queries after warmup, so aged-
+        # session drift (the r5-r7 phantom-mover source) cannot occur.
+        # Deltas vs BENCH_r07 and earlier mix protocols; from r8 on
+        # they compare like with like.
+        "protocol": f"fresh_jvm_chunks_of_{CHUNK_SIZE}_min_of_3",
         "mwas_full_first": mwas_full_first,
         # the headline mwas_full rows run the kernel at the
         # reference's production resample count (BASELINE.md) —
@@ -296,4 +371,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--chunk":
+        _chunk_worker(sys.argv[2])
+    else:
+        main()

@@ -45,8 +45,11 @@ def binary_auc(
     """Exact ROC AUC → one row (auc, n_pos, n_neg, n_null).
 
     Midrank tie handling, identical to sklearn's trapezoidal
-    `roc_auc_score` incl. ties. NULL scores or labels are excluded and
-    counted (a silent drop would bias the estimate invisibly).
+    `roc_auc_score` incl. ties. NULL or NaN scores and NULL labels are
+    excluded and counted in n_null (a silent drop would bias the
+    estimate invisibly; letting NaN through would be worse — Spark
+    sorts NaN greater than every number, so it would silently rank as
+    the top score where sklearn raises).
 
     Scale shape: the corpus reduces to per-DISTINCT-SCORE (pos, neg)
     counts in one map-side-combinable aggregate; the cumulative
@@ -68,7 +71,7 @@ def binary_auc(
     base = scored.select(
         s.alias("__s"),
         F.when(y > 0, 1).otherwise(0).alias("__y"),
-        (s.isNull() | y.isNull()).alias("__null"),
+        (s.isNull() | F.isnan(s) | y.isNull()).alias("__null"),
     )
     # ONE corpus scan: per-distinct-score (pos, neg) counts with the
     # invalid rows folded into a dedicated v-NULL group (a valid row's
@@ -125,14 +128,16 @@ def threshold_report(
 ) -> DataFrame:
     """Confusion-matrix metrics at each threshold, ALL in one aggregate
     pass → (threshold, tp, fp, fn, tn, precision, recall, f1,
-    selected_frac). Prediction rule: score >= threshold. NULL
-    score/label rows are excluded (see `binary_auc`). Empty-cell
-    precision/recall are NULL, not 0/0 errors."""
+    selected_frac). Prediction rule: score >= threshold. NULL/NaN
+    score and NULL label rows are excluded (see `binary_auc`).
+    Empty-cell precision/recall are NULL, not 0/0 errors."""
     if not thresholds:
         raise ValueError("thresholds must be non-empty")
     s = F.col(score_col).cast("double")
     y = F.when(F.col(label_col).cast("int") > 0, 1).otherwise(0)
-    valid = scored.where(s.isNotNull() & F.col(label_col).isNotNull()).select(
+    valid = scored.where(
+        s.isNotNull() & ~F.isnan(s) & F.col(label_col).isNotNull()
+    ).select(
         s.alias("__s"), y.alias("__y")
     )
     aggs = []
@@ -208,7 +213,9 @@ def calibration_report(
             F.lit(0), F.floor((s - F.lit(score_min)) / F.lit(width)).cast("int")
         ),
     )
-    valid = scored.where(s.isNotNull() & F.col(label_col).isNotNull())
+    valid = scored.where(
+        s.isNotNull() & ~F.isnan(s) & F.col(label_col).isNotNull()
+    )
     return (
         valid.select(b.alias("bin"), s.alias("__s"), y.alias("__y"))
         .groupBy("bin")
@@ -247,6 +254,7 @@ def grouped_auc(
     score_col: str = "score",
     label_col: str = "label",
     partitions: int | None = None,
+    max_offset_groups: int = 100_000,
 ) -> DataFrame:
     """Per-slice exact AUC → one row per group (group_cols..., auc,
     n_pos, n_neg) — the fairness/QA question "is the quality model as
@@ -264,8 +272,18 @@ def grouped_auc(
     scores therefore spans MANY tasks instead of collapsing into one
     (`Window.partitionBy(group)` would hand the whole group's distinct
     scores to a single task — the per-group version of the wall
-    binary_auc refuses). Single-class groups get NULL auc; NULL
-    score/label rows are excluded per group."""
+    binary_auc refuses). Single-class groups get NULL auc; NULL/NaN
+    score and NULL label rows are excluded per group.
+
+    DRIVER-SIDE BOUND: the offset relation is O(partitions + n_groups)
+    rows collected to the driver — parameter-sized for dashboard-style
+    slices (languages, sources) but NOT for a high-cardinality key
+    (per-domain AUC over millions of domains). The group count is
+    checked first (one cheap agg on the already-reduced per-score
+    relation) and the call REFUSES above ``max_offset_groups`` with
+    the remedy named, instead of dying in an unexplained driver OOM —
+    the same cost-model move `dedup_clusters` makes with
+    `local_threshold_edges`."""
     from pyspark.sql import Window
 
     if not group_cols:
@@ -274,7 +292,7 @@ def grouped_auc(
         partitions = scored.sparkSession.sparkContext.defaultParallelism
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("int")
-    valid = scored.where(s.isNotNull() & y.isNotNull())
+    valid = scored.where(s.isNotNull() & ~F.isnan(s) & y.isNotNull())
     per = valid.groupBy(*group_cols, s.alias("__v")).agg(
         F.sum(F.when(y > 0, 1).otherwise(0)).alias("cnt_a"),
         F.sum(F.when(y > 0, 0).otherwise(1)).alias("cnt_b"),
@@ -282,6 +300,19 @@ def grouped_auc(
     ranged = per.repartitionByRange(partitions, *group_cols, "__v").withColumn(
         "__pid", F.spark_partition_id()
     ).localCheckpoint(eager=False)
+    # cardinality guard BEFORE the driver-side offset collect; runs on
+    # the checkpointed reduced relation so the corpus is scanned once
+    n_groups = ranged.select(*group_cols).distinct().count()
+    if n_groups > max_offset_groups:
+        raise ValueError(
+            f"grouped_auc: {n_groups} distinct groups exceeds "
+            f"max_offset_groups={max_offset_groups}; the per-(partition,"
+            " group) prefix offsets are collected to the driver, which is"
+            " sized for slice-style keys (language, source), not"
+            " per-entity keys. Aggregate the key first (e.g. bucket"
+            " domains), filter to the slices you report on, or raise"
+            " max_offset_groups if the driver has the memory."
+        )
     w_local = (
         Window.partitionBy("__pid", *group_cols)
         .orderBy("__v")

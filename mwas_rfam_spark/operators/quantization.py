@@ -620,21 +620,24 @@ def _index_is_residual(spark, path: str) -> bool:
     interrupted mid-(re)build and is REFUSED — its codes and flag may
     disagree, and either silent guess returns wrong ADC candidates.
     Any read failure other than a missing directory surfaces for the
-    same reason."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        row = spark.read.parquet(f"{path}/meta").collect()[0]
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e):
-            return False
-        raise
-    if "building" in row.asDict() and row["building"]:
+    same reason. The missing-directory case is detected with a
+    filesystem existence check (NOT by matching the AnalysisException
+    message, which is formatted differently across Spark versions —
+    a legacy no-meta index must stay a soft 'raw' fallback, never a
+    hard failure); unknown meta layouts (no ``residual`` column)
+    default to raw the same way ``building`` defaults to absent."""
+    jvm = spark._jvm
+    meta_path = jvm.org.apache.hadoop.fs.Path(f"{path}/meta")
+    fs = meta_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(meta_path):
+        return False  # legacy pre-meta layout = raw codes
+    row = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    if row.get("building", False):
         raise ValueError(
             f"IVF-PQ index at {path} has an interrupted (re)build — "
             "its codes and encoding flag may disagree; rebuild it"
         )
-    return bool(row["residual"])
+    return bool(row.get("residual", False))
 
 
 def ivfpq_topk_indexed(

@@ -194,3 +194,53 @@ def test_grouped_auc_matches_per_group_binary_auc(spark):
 
     with _pt.raises(ValueError, match="group_cols"):
         grouped_auc(df, [])
+
+
+def test_nan_scores_excluded_not_ranked(spark):
+    """r7 ADVICE: NaN survives cast('double') + isNotNull, and Spark
+    sorts it greater than every number — letting it through would
+    silently rank it as the top score where sklearn raises. All four
+    report surfaces must treat NaN score like NULL (excluded; counted
+    in n_null where the surface counts)."""
+    clean = [(0.9, 1), (0.7, 0), (0.6, 1), (0.2, 0), (0.1, 0)]
+    dirty = clean + [(float("nan"), 0), (float("nan"), 1)]
+    cdf = spark.createDataFrame(clean, "score double, label int")
+    ddf = spark.createDataFrame(dirty, "score double, label int")
+
+    want = binary_auc(cdf).collect()[0]
+    got = binary_auc(ddf).collect()[0]
+    assert got["auc"] == want["auc"]
+    assert (got["n_pos"], got["n_neg"]) == (want["n_pos"], want["n_neg"])
+    assert got["n_null"] == 2
+
+    rep_c = threshold_report(cdf, [0.5]).collect()
+    rep_d = threshold_report(ddf, [0.5]).collect()
+    assert [tuple(r) for r in rep_c] == [tuple(r) for r in rep_d]
+
+    cal_c = calibration_report(cdf, n_bins=4).collect()
+    cal_d = calibration_report(ddf, n_bins=4).collect()
+    assert [tuple(r) for r in cal_c] == [tuple(r) for r in cal_d]
+
+    gdf_c = cdf.withColumn("g", F.lit("a"))
+    gdf_d = ddf.withColumn("g", F.lit("a"))
+    gc = grouped_auc(gdf_c, ["g"]).collect()[0]
+    gd = grouped_auc(gdf_d, ["g"]).collect()[0]
+    assert (gc["auc"], gc["n_pos"], gc["n_neg"]) == (
+        gd["auc"], gd["n_pos"], gd["n_neg"]
+    )
+
+
+def test_grouped_auc_cardinality_guard(spark):
+    """The per-(partition, group) offset collect is driver-sized for
+    slice keys only; a pathological per-entity key must hit the named
+    guard, not an unexplained driver OOM."""
+    df = spark.range(0, 500).select(
+        F.col("id").cast("string").alias("domain"),
+        (F.rand(7)).alias("score"),
+        (F.col("id") % 2).cast("int").alias("label"),
+    )
+    with pytest.raises(ValueError, match="max_offset_groups"):
+        grouped_auc(df, ["domain"], max_offset_groups=100)
+    # and the same call with the bound raised succeeds
+    out = grouped_auc(df, ["domain"], max_offset_groups=1000)
+    assert out.count() == 500
