@@ -1571,34 +1571,95 @@ def q_embed_pca_reduce(spark, sf_dir):
 
 
 def q_model_eval(spark, sf_dir):
-    """Distributed classifier evaluation (bench surface; exact-AUC
-    numpy + DuckDB midrank parity, one-pass threshold report and
-    calibration/ECE in tests/test_evaluation.py): exact midrank AUC +
-    a 3-threshold confusion report + 10-bin calibration over a
-    sigmoid score of the embeddings' first component vs label parity,
-    folded into one (metric, value) relation."""
+    """Distributed classifier evaluation (registered correctness entry
+    since r9 — driver-gated DuckDB oracle replays the midrank AUC, the
+    3-threshold confusion report, and the 10-bin calibration gaps in
+    plain SQL; exact-AUC numpy + DuckDB midrank parity, one-pass
+    threshold report and calibration/ECE also in
+    tests/test_evaluation.py): exact midrank AUC + f1@{.25,.5,.75} +
+    per-bin calibration gap over a squashed score of the embeddings'
+    first component vs label parity, folded into one (metric, value)
+    relation.
+
+    The score squash is the ALGEBRAIC sigmoid 0.5 + x/(2(1+|x|)), not
+    1/(1+e^-x): exp() is a libm transcendental whose last bit differs
+    between the JVM and DuckDB's C runtime, which would perturb tie
+    structure and threshold/bin membership cross-engine; +,*,/,abs are
+    IEEE-exactly-rounded, so the scores are bit-identical in both
+    engines. Same monotone (0,1) squash, zero cross-engine noise."""
     from mwas_rfam_spark.operators.evaluation import (
         binary_auc,
         calibration_report,
         threshold_report,
     )
 
+    x = F.col("embedding")[0].cast("double")
     e = _t(spark, sf_dir, "embeddings").select(
-        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("embedding")[0].cast("double")))).alias("score"),
+        (F.lit(0.5) + x / (F.lit(2.0) * (F.lit(1.0) + F.abs(x)))).alias("score"),
         (F.col("label") % 2).alias("label"),
     )
     auc = binary_auc(e).select(
-        F.lit("auc").alias("metric"), F.round("auc", 9).alias("value")
+        F.lit("auc").alias("metric"), F.round("auc", 6).alias("value")
     )
     thr = threshold_report(e, [0.25, 0.5, 0.75]).select(
         F.concat(F.lit("f1@"), F.col("threshold").cast("string")).alias("metric"),
-        F.round("f1", 9).alias("value"),
+        F.round("f1", 6).alias("value"),
     )
     cal = calibration_report(e, n_bins=10).select(
         F.concat(F.lit("gap@bin"), F.col("bin").cast("string")).alias("metric"),
-        F.round("gap", 9).alias("value"),
+        F.round("gap", 6).alias("value"),
     )
     return auc.unionByName(thr).unionByName(cal).orderBy("metric")
+
+
+def _model_eval_scored(spark, sf_dir):
+    """The shared scored relation for the evaluation family: algebraic
+    sigmoid of the embeddings' first component (bit-identical
+    cross-engine — see q_model_eval) vs label parity."""
+    x = F.col("embedding")[0].cast("double")
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (F.lit(0.5) + x / (F.lit(2.0) * (F.lit(1.0) + F.abs(x)))).alias("score"),
+        (F.col("label") % 2).alias("label"),
+    )
+
+
+def q_grouped_auc(spark, sf_dir):
+    """Per-slice exact AUC (bench surface since r9 — the 100 TB
+    fairness query; per-group == binary_auc equivalence, the
+    cardinality guard, and NaN exclusion in tests/test_evaluation.py;
+    DuckDB replay via relocated_oracles): 8 slices of the embeddings
+    by vec_id % 8, grouped two-level prefix sum, no unpartitioned
+    window anywhere."""
+    from mwas_rfam_spark.operators.evaluation import grouped_auc
+
+    scored = _model_eval_scored(spark, sf_dir).withColumn(
+        "grp", (F.col("vec_id") % 8).cast("int")
+    )
+    return grouped_auc(scored, ["grp"]).select(
+        "grp", F.round("auc", 6).alias("auc"), "n_pos", "n_neg"
+    )
+
+
+def q_threshold_report(spark, sf_dir):
+    """One-pass confusion-matrix metrics at three thresholds (full
+    relation form; the f1 column also rides inside the registered
+    `model_eval` oracle; DuckDB replay via relocated_oracles)."""
+    from mwas_rfam_spark.operators.evaluation import threshold_report
+
+    return threshold_report(
+        _model_eval_scored(spark, sf_dir), [0.25, 0.5, 0.75]
+    ).select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+        F.round("selected_frac", 6).alias("selected_frac"),
+    )
 
 
 def q_cms_freq(spark, sf_dir):
@@ -1631,18 +1692,89 @@ def q_opq_encode(spark, sf_dir):
     trained once per process (build-vs-probe, like every quantizer
     here); the timed body is the map-only rotate + encode pass."""
     from mwas_rfam_spark.operators.decomposition import project_embeddings
-    from mwas_rfam_spark.operators.quantization import pq_encode, train_opq
+    from mwas_rfam_spark.operators.quantization import pq_encode
 
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    if sf_dir not in _OPQ_MODEL_CACHE:
-        _OPQ_MODEL_CACHE[sf_dir] = train_opq(e, m=8, k=32, opq_iters=2)
-    opq = _OPQ_MODEL_CACHE[sf_dir]
+    opq = _opq_model(spark, sf_dir)
     rotated = project_embeddings(e, opq["rotation"])
     return pq_encode(rotated, opq["codebooks"]).select(
         "vec_id", F.col("codes")
     ).orderBy("vec_id")
+
+
+def _opq_model(spark, sf_dir):
+    """OPQ model (rotation + codebooks), trained once per process AND
+    materialized as parquet at a deterministic per-SF path — the same
+    build-vs-probe + oracle-replay convention as `_drift_pca_model`:
+    the driver's DuckDB oracle replays projection + per-subspace argmin
+    over the STORED model files instead of trusting the engine's
+    training. Layout: rotation/ (row, vals — row = output dim) and
+    codebooks/ (subspace, centroid_id, centroid)."""
+    import os
+
+    from mwas_rfam_spark.operators.quantization import train_opq
+
+    if sf_dir not in _OPQ_MODEL_CACHE:
+        e = _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        model = train_opq(e, m=8, k=32, opq_iters=2)
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        base = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "spark-warehouse", "opq_model", tag,
+        )
+        spark.createDataFrame(
+            [(i, row) for i, row in enumerate(model["rotation"])],
+            "row int, vals array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(base, "rotation"))
+        spark.createDataFrame(
+            [
+                (j, c, centroid)
+                for j, book in enumerate(model["codebooks"])
+                for c, centroid in enumerate(book)
+            ],
+            "subspace int, centroid_id int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(base, "codebooks"))
+        _OPQ_MODEL_CACHE[sf_dir] = model
+    return _OPQ_MODEL_CACHE[sf_dir]
+
+
+def q_opq_encode_replay(spark, sf_dir):
+    """OPQ rotate + PQ encode, oracle-replayable form (registered
+    correctness entry since r9): the rotation and codebooks are
+    materialized parquet (`_opq_model`), the rotated coordinates are
+    rounded to 7 decimals BEFORE encoding on both sides, and the codes
+    come back exploded as (vec_id, subspace, code) so the DuckDB oracle
+    can replay projection + per-subspace argmin in plain SQL.
+
+    Why the 7-decimal round: the engine's 64x64 projection runs the
+    Arrow GEMM path (BLAS summation order) while SQL's list_sum is a
+    left fold — the same doubles differ in the last ~bit between the
+    two associations. Rounding both sides to 7dp collapses that ulp
+    noise before the argmin; the argmin itself then sees bit-identical
+    inputs in both engines (centroid distances are 8-term sums whose
+    sub-ulp association noise cannot flip a non-tied argmin). Ties
+    break to the lowest centroid id in both engines (numpy argmin /
+    ORDER BY d, centroid_id). The unrounded scale-path form stays the
+    bench row (`bench_queries()['opq_encode']`)."""
+    from mwas_rfam_spark.operators.decomposition import project_embeddings
+    from mwas_rfam_spark.operators.quantization import pq_encode
+
+    model = _opq_model(spark, sf_dir)
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    rotated = project_embeddings(e, model["rotation"]).withColumn(
+        "embedding", F.transform("embedding", lambda x: F.round(x, 7))
+    )
+    return (
+        pq_encode(rotated, model["codebooks"])
+        .select("vec_id", F.posexplode("codes").alias("subspace", "code"))
+        .orderBy("vec_id", "subspace")
+    )
 
 
 def q_fuzzy_editdist_long(spark, sf_dir):
@@ -2594,16 +2726,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              `sq8_topk` (SQ8 encode trained in-SQL +
                              folded-query ranking + exact re-rank)
 
-    Round-8 rotation candidates (for the next swap, same machinery):
-    IN — `model_eval` (exact midrank AUC is plain SQL; the DuckDB
-    parity already exists as a pytest), `cms_freq` (the sketch CONTENT
-    replays bit-for-bit under the md5 derivation), `opq_encode`
-    (materialize the rotation like drift_pca and replay the projection
-    + per-subspace argmin in SQL). OUT candidates — thin entries whose
-    arithmetic is pinned inside larger green rows, e.g.
-    `t1_welch_from_stats` (⊂ mwas_cohort_welch), `a9_summary_agg`
-    (⊂ mwas_summary_t_only), `j7_positional_join` (map/array access
-    also exercised by the condense family).
+    Round-9 rotation (r8 verdict task #1, same machinery): three slots
+    moved to the r7 evaluation/sketch/OPQ families. Every rotated-out
+    entry keeps its EXACT former oracle SQL in :func:`relocated_oracles`
+    (pytest DuckDB-parity) and stays benchable below:
+
+    - a9_summary_agg       → summary aggregates (A9/S12) are hash-pinned
+                             inside `mwas_summary_t_only` (same
+                             max/avg/sum/conditional-avg family) and
+                             `condense_accounting`; slot → `model_eval`
+                             (midrank AUC + f1@t + calibration gaps, all
+                             replayed in plain SQL — the score squash is
+                             the algebraic sigmoid so both engines see
+                             bit-identical scores)
+    - j7_positional_join   → J7/F10's window-position + array access
+                             also flow through the condense family
+                             (`condense_readable` complement indexing)
+                             and `a11_grouping_sets`' struct access;
+                             slot → `cms_freq` (count-min sketch build +
+                             probe lookups; the md5 bucket derivation is
+                             plain SQL so the sketch CONTENT replays
+                             bit-for-bit)
+    - dedup_exact          → exact-collapse is STAGE ONE of the green
+                             `dedup_pipeline` (same content-hash
+                             groupBy, hash-pinned there) and of
+                             `line_dedup`; slot → `opq_encode`
+                             (= q_opq_encode_replay: materialized
+                             rotation+codebooks, projection +
+                             per-subspace argmin replayed in SQL; the
+                             unrounded scale form stays the bench row)
 
     Round-4 second-wave surfaces (registry full at 50 all-green; each is
     pytest-pinned and benchable where noted, with its exactness anchored
@@ -2756,12 +2907,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "condense_accounting": q_condense_accounting,
         "p_predicates": q_p_predicates,
         "j1_outer_join_agg": q_j1_outer_join_agg,
-        "j7_positional_join": q_j7_positional_join,
         "j8_interval_join": q_j8_interval_join,
         "so1_anti_join": q_so1_anti_join,
         "mwas_perm_calibration": q_mwas_perm_calibration,
         "shuffle_shard": q_shuffle_shard,
-        "a9_summary_agg": q_a9_summary_agg,
         "a11_grouping_sets": q_a11_grouping_sets,
         "w5_topk_per_group": q_w5_topk_per_group,
         "text_decontam": q_text_decontam,
@@ -2771,7 +2920,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_report": q_drift_report,
         "cdc_dedup": q_cdc_roundtrip,
         "bpe_tokenize": q_bpe_roundtrip,
-        "dedup_exact": q_dedup_exact,
+        "model_eval": q_model_eval,
+        "cms_freq": q_cms_freq,
+        "opq_encode": q_opq_encode_replay,
         "dedup_pipeline": q_dedup_pipeline,
         "dedup_clusters": q_dedup_clusters,
         "line_dedup": q_line_dedup,
@@ -2876,10 +3027,22 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_approx_eval": q_dedup_approx_eval,
         "semantic_decontam": q_semantic_decontam,
         "ann_knn_join": q_ann_knn_join,
-        # r7 wave: evaluation / sketch / OPQ surfaces (pytest-pinned)
+        # r7 wave: evaluation / sketch / OPQ surfaces — registered since
+        # the r9 rotation; opq_encode's bench row stays the UNROUNDED
+        # scale-path form (the registry holds q_opq_encode_replay)
         "model_eval": q_model_eval,
         "cms_freq": q_cms_freq,
         "opq_encode": q_opq_encode,
+        # r9 rotation: the three deregistered entries stay benchable
+        # (their former oracle SQL lives on in relocated_oracles)
+        "a9_summary_agg": q_a9_summary_agg,
+        "j7_positional_join": q_j7_positional_join,
+        "dedup_exact": q_dedup_exact,
+        # r9: evaluation-family replay surfaces (DuckDB parity via
+        # relocated_oracles; grouped_auc is also a HEADLINE bench row —
+        # the per-slice fairness query needed plan-regression coverage)
+        "grouped_auc": q_grouped_auc,
+        "threshold_report": q_threshold_report,
         # r7 rotation: the five deregistered entries stay benchable
         # (their former oracle SQL lives on in relocated_oracles); the
         # five r6 families that took their slots — sq8_topk, source_mix,
@@ -3175,15 +3338,6 @@ FROM final
                    round(dup10 / greatest(chars, 1), 6) AS dup10gram_char_frac
             FROM per_doc
         """,
-        "a9_summary_agg": """
-            SELECT o_orderstatus, round(max(o_totalprice), 4) AS max_price,
-                   round(avg(o_totalprice), 4) AS avg_price,
-                   round(sum(o_totalprice), 4) AS sum_price,
-                   round(avg(CASE WHEN o_orderpriority = '1-URGENT'
-                                  THEN o_totalprice END), 4) AS avg_urgent_price,
-                   count(*) AS n
-            FROM orders GROUP BY 1
-        """,
         "w5_topk_per_group": """
             SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rank
             FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
@@ -3238,13 +3392,6 @@ FROM final
                    string_agg(m.bs, '; ' ORDER BY m.bs) AS included_biosamples
             FROM sets s JOIN membership m ON s.bp = m.bp AND s.sig = m.sig
             GROUP BY s.bp, s.sig, s.attributes, s.set_values, s.cnt
-        """,
-        "j7_positional_join": """
-            SELECT s_nationkey,
-                   row_number() OVER (PARTITION BY s_nationkey ORDER BY s_name) - 1
-                       AS pos,
-                   s_name, round(s_acctbal, 4) AS acctbal
-            FROM supplier
         """,
         "j8_interval_join": """
             WITH clicks AS (SELECT event_id, ts FROM events
@@ -3343,13 +3490,6 @@ FROM final
             FROM meta m
             LEFT JOIN img i ON m.doc_id = i.doc_id
             LEFT JOIN aud a ON m.doc_id = a.doc_id
-        """,
-        "dedup_exact": """
-            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
-                   count(*) AS n_docs, min(doc_id) AS keep_id,
-                   array_to_string(list_slice(list_sort(list(doc_id)), 1, 4), ';') AS doc_ids,
-                   count(*) > 4 AS doc_ids_truncated
-            FROM documents GROUP BY 1
         """,
         "dedup_pipeline": """
             WITH g AS (
@@ -3756,6 +3896,133 @@ FROM final
         # convention as the index families): project both corpus halves
         # onto the stored components (mean-centered), exact two-sample KS
         # per component via cumulative count ratios.
+        # Classifier-evaluation replay (r9 rotation): midrank AUC,
+        # f1 at three thresholds, and 10-bin calibration gaps — all in
+        # one SQL pass over the same algebraic-sigmoid score the Spark
+        # entry computes (bit-identical cross-engine: no transcendentals;
+        # see q_model_eval's docstring). tp/fp/fn are exact integers, so
+        # f1 is a deterministic chain of single divisions; mean_score is
+        # the only summation-order-sensitive term, absorbed by round 6.
+        "model_eval": """
+            WITH v AS (
+              SELECT 0.5 + x / (2.0 * (1.0 + abs(x))) AS s,
+                     CASE WHEN label % 2 > 0 THEN 1 ELSE 0 END AS y
+              FROM (SELECT CAST(embedding[1] AS DOUBLE) AS x, label
+                    FROM embeddings
+                    WHERE embedding IS NOT NULL AND label IS NOT NULL)),
+            r AS (
+              SELECT y, rank() OVER (ORDER BY s)
+                        + (count(*) OVER (PARTITION BY s) - 1) / 2.0 AS midrank
+              FROM v),
+            auc AS (
+              SELECT 'auc' AS metric,
+                     round((sum(CASE WHEN y = 1 THEN midrank END)
+                              - sum(y) * (sum(y) + 1) / 2.0)
+                           / (sum(y) * sum(1 - y)), 6) AS value
+              FROM r),
+            cells AS (
+              SELECT t.ts,
+                     sum(CASE WHEN s >= CAST(t.ts AS DOUBLE) AND y = 1
+                              THEN 1 ELSE 0 END) AS tp,
+                     sum(CASE WHEN s >= CAST(t.ts AS DOUBLE) AND y = 0
+                              THEN 1 ELSE 0 END) AS fp,
+                     sum(CASE WHEN s < CAST(t.ts AS DOUBLE) AND y = 1
+                              THEN 1 ELSE 0 END) AS fn
+              FROM v, unnest(['0.25', '0.5', '0.75']) AS t(ts)
+              GROUP BY 1),
+            f1 AS (
+              SELECT 'f1@' || ts AS metric,
+                     round(CASE WHEN COALESCE(p, 0) + COALESCE(rc, 0) > 0
+                                THEN 2 * p * rc / (p + rc) END, 6) AS value
+              FROM (SELECT ts,
+                           CASE WHEN tp + fp > 0
+                                THEN CAST(tp AS DOUBLE) / (tp + fp) END AS p,
+                           CASE WHEN tp + fn > 0
+                                THEN CAST(tp AS DOUBLE) / (tp + fn) END AS rc
+                    FROM cells)),
+            cal AS (
+              SELECT 'gap@bin' || CAST(bin AS VARCHAR) AS metric,
+                     round(avg(y) - avg(s), 6) AS value
+              FROM (SELECT least(9, greatest(0,
+                               CAST(floor(s / 0.1) AS INT))) AS bin, s, y
+                    FROM v)
+              GROUP BY 1)
+            SELECT metric, value FROM auc
+            UNION ALL SELECT metric, value FROM f1
+            UNION ALL SELECT metric, value FROM cal
+        """,
+        # Count-min sketch replay (r9 rotation): DuckDB builds the SAME
+        # sketch (the md5 bucket derivation is plain SQL — depth d's
+        # bucket is the d-th 8-hex-char slice of md5('cms:5:0:'||key)
+        # for depth<=4) over the same token stream, then replays the
+        # min-over-depths point lookups, absent buckets counting 0.
+        "cms_freq": """
+            WITH toks AS (
+              SELECT t.tok AS key
+              FROM documents,
+                   LATERAL unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS t(tok)
+              WHERE t.tok <> ''),
+            sk AS (
+              SELECT d.d AS depth,
+                     CAST(CAST(('0x' || substr(md5('cms:5:0:' || key),
+                                               1 + 8 * d.d, 8)) AS UBIGINT)
+                          % 2048 AS INT) AS bucket,
+                     count(*) AS cnt
+              FROM toks, unnest(range(4)) AS d(d)
+              GROUP BY 1, 2),
+            probes AS (
+              SELECT unnest(['the', 'data', 'pipeline', 'of', 'zzz-absent'])
+                  AS key),
+            pr AS (
+              SELECT key, d.d AS depth,
+                     CAST(CAST(('0x' || substr(md5('cms:5:0:' || key),
+                                               1 + 8 * d.d, 8)) AS UBIGINT)
+                          % 2048 AS INT) AS bucket
+              FROM probes, unnest(range(4)) AS d(d))
+            SELECT key, min(COALESCE(sk.cnt, 0)) AS est
+            FROM pr LEFT JOIN sk USING (depth, bucket)
+            GROUP BY 1
+        """,
+        # OPQ encode replay (r9 rotation): projection (left-fold dot
+        # against the STORED rotation rows) + 7dp round + per-subspace
+        # argmin against the STORED codebooks — the whole encode path
+        # recomputed from the materialized model files (written by
+        # _opq_model; same build-vs-probe convention as drift_pca).
+        # Ties break (d, centroid_id) ascending = numpy argmin.
+        "opq_encode": """
+            WITH rot AS (
+              SELECT row, vals
+              FROM read_parquet(
+                  '/root/repo/spark-warehouse/opq_model/sf0.01/rotation/*.parquet')),
+            cb AS (
+              SELECT subspace, centroid_id, centroid
+              FROM read_parquet(
+                  '/root/repo/spark-warehouse/opq_model/sf0.01/codebooks/*.parquet')),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+            proj AS (
+              SELECT e.vec_id, r.row,
+                     round(list_sum(list_transform(list_zip(e.v, r.vals),
+                                                   t -> t[1] * t[2])), 7) AS x
+              FROM e, rot r),
+            sub AS (
+              SELECT vec_id, CAST(row // 8 AS INT) AS subspace,
+                     list(x ORDER BY row) AS sv
+              FROM proj GROUP BY 1, 2),
+            dist AS (
+              SELECT s.vec_id, s.subspace, c.centroid_id,
+                     list_sum(list_transform(list_zip(s.sv, c.centroid),
+                                             t -> (t[1] - t[2]) * (t[1] - t[2])))
+                         AS d
+              FROM sub s JOIN cb c ON c.subspace = s.subspace)
+            SELECT vec_id, subspace, code
+            FROM (SELECT vec_id, subspace, centroid_id AS code,
+                         row_number() OVER (PARTITION BY vec_id, subspace
+                                            ORDER BY d, centroid_id) AS rk
+                  FROM dist)
+            WHERE rk = 1
+        """,
         "embed_drift": """
             WITH m AS (SELECT pc, component, mean
                        FROM read_parquet('/root/repo/spark-warehouse/drift_pca/sf0.01/*.parquet')),
@@ -4002,8 +4269,94 @@ def relocated_oracles() -> dict[str, str]:
     stay cross-engine-verified, just not driver-slotted. r6 wave 2 adds
     ann_knn_batch (slot went to ivfpq_indexed; the batched-kNN
     arithmetic stays pinned here, and its cosine/rank components remain
-    driver-pinned via ann_ivf_topk and ann_recall)."""
+    driver-pinned via ann_ivf_topk and ann_recall). r9 adds the three
+    entries whose slots went to model_eval/cms_freq/opq_encode —
+    a9_summary_agg, j7_positional_join, dedup_exact — with the exact
+    SQL the driver's gate ran through r8, plus two replay-only
+    evaluation surfaces that were never registry-slotted
+    (threshold_report, grouped_auc — r8 verdict task #4: the per-slice
+    AUC and the full confusion relation get standing cross-engine
+    coverage without consuming 50-cap slots)."""
     return {
+        "threshold_report": """
+            WITH v AS (
+              SELECT 0.5 + x / (2.0 * (1.0 + abs(x))) AS s,
+                     CASE WHEN label % 2 > 0 THEN 1 ELSE 0 END AS y
+              FROM (SELECT CAST(embedding[1] AS DOUBLE) AS x, label
+                    FROM embeddings
+                    WHERE embedding IS NOT NULL AND label IS NOT NULL)),
+            cells AS (
+              SELECT CAST(t.ts AS DOUBLE) AS threshold,
+                     sum(CASE WHEN s >= CAST(t.ts AS DOUBLE) AND y = 1
+                              THEN 1 ELSE 0 END) AS tp,
+                     sum(CASE WHEN s >= CAST(t.ts AS DOUBLE) AND y = 0
+                              THEN 1 ELSE 0 END) AS fp,
+                     sum(CASE WHEN s < CAST(t.ts AS DOUBLE) AND y = 1
+                              THEN 1 ELSE 0 END) AS fn,
+                     sum(CASE WHEN s < CAST(t.ts AS DOUBLE) AND y = 0
+                              THEN 1 ELSE 0 END) AS tn
+              FROM v, unnest(['0.25', '0.5', '0.75']) AS t(ts)
+              GROUP BY 1)
+            SELECT threshold, CAST(tp AS BIGINT) AS tp,
+                   CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+                   CAST(tn AS BIGINT) AS tn,
+                   round(p, 6) AS precision, round(rc, 6) AS recall,
+                   round(CASE WHEN COALESCE(p, 0) + COALESCE(rc, 0) > 0
+                              THEN 2 * p * rc / (p + rc) END, 6) AS f1,
+                   round(CAST(tp + fp AS DOUBLE) / (tp + fp + fn + tn), 6)
+                       AS selected_frac
+            FROM (SELECT *,
+                         CASE WHEN tp + fp > 0
+                              THEN CAST(tp AS DOUBLE) / (tp + fp) END AS p,
+                         CASE WHEN tp + fn > 0
+                              THEN CAST(tp AS DOUBLE) / (tp + fn) END AS rc
+                  FROM cells)
+        """,
+        "grouped_auc": """
+            WITH v AS (
+              SELECT CAST(vec_id % 8 AS INT) AS grp,
+                     0.5 + x / (2.0 * (1.0 + abs(x))) AS s,
+                     CASE WHEN label % 2 > 0 THEN 1 ELSE 0 END AS y
+              FROM (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x, label
+                    FROM embeddings
+                    WHERE embedding IS NOT NULL AND label IS NOT NULL)),
+            r AS (
+              SELECT grp, y,
+                     rank() OVER (PARTITION BY grp ORDER BY s)
+                       + (count(*) OVER (PARTITION BY grp, s) - 1) / 2.0
+                           AS midrank
+              FROM v)
+            SELECT grp,
+                   round((sum(CASE WHEN y = 1 THEN midrank END)
+                            - sum(y) * (sum(y) + 1) / 2.0)
+                         / (sum(y) * sum(1 - y)), 6) AS auc,
+                   CAST(sum(y) AS BIGINT) AS n_pos,
+                   CAST(sum(1 - y) AS BIGINT) AS n_neg
+            FROM r GROUP BY 1
+        """,
+        "a9_summary_agg": """
+            SELECT o_orderstatus, round(max(o_totalprice), 4) AS max_price,
+                   round(avg(o_totalprice), 4) AS avg_price,
+                   round(sum(o_totalprice), 4) AS sum_price,
+                   round(avg(CASE WHEN o_orderpriority = '1-URGENT'
+                                  THEN o_totalprice END), 4) AS avg_urgent_price,
+                   count(*) AS n
+            FROM orders GROUP BY 1
+        """,
+        "j7_positional_join": """
+            SELECT s_nationkey,
+                   row_number() OVER (PARTITION BY s_nationkey ORDER BY s_name) - 1
+                       AS pos,
+                   s_name, round(s_acctbal, 4) AS acctbal
+            FROM supplier
+        """,
+        "dedup_exact": """
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+                   count(*) AS n_docs, min(doc_id) AS keep_id,
+                   array_to_string(list_slice(list_sort(list(doc_id)), 1, 4), ';') AS doc_ids,
+                   count(*) > 4 AS doc_ids_truncated
+            FROM documents GROUP BY 1
+        """,
         "j5_sql_api": _J5_SQL,
         "dedup_simhash32": """
             WITH toks AS (

@@ -326,10 +326,12 @@ def test_relocated_oracle_parity(spark, sf_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     relocated = entry.relocated_oracles()
     assert sorted(relocated) == [
-        "a7_signature_dedup", "ann_ivf_topk", "ann_knn_batch",
-        "dedup_embedding_lsh", "dedup_simhash32", "f2_rpm_normalize",
+        "a7_signature_dedup", "a9_summary_agg", "ann_ivf_topk",
+        "ann_knn_batch", "dedup_embedding_lsh", "dedup_exact",
+        "dedup_simhash32", "f2_rpm_normalize", "grouped_auc",
         "j4_cascading_lookup", "j5_sql_api", "j6_semi_join",
-        "s13_synthetic_input", "so2_complement", "text_vocab_topk",
+        "j7_positional_join", "s13_synthetic_input", "so2_complement",
+        "text_vocab_topk", "threshold_report",
     ]
     # oracle SQL that reads a materialized index bakes the driver's
     # sf0.01 tag into its path — point it at this run's SF instead
@@ -340,6 +342,7 @@ def test_relocated_oracle_parity(spark, sf_dir):
             k: v.replace("/ivf_index/sf0.01/", f"/ivf_index/{tag}/")
             .replace("/ivfpq_index/sf0.01/", f"/ivfpq_index/{tag}/")
             .replace("/drift_pca/sf0.01/", f"/drift_pca/{tag}/")
+            .replace("/opq_model/sf0.01/", f"/opq_model/{tag}/")
             for k, v in relocated.items()
         }
     bench = entry.bench_queries()

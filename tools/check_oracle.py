@@ -71,7 +71,16 @@ def compare(name, spark_df, con, sql):
                         " (driver hash WILL differ; CAST the oracle side)"
                     )
         except Exception as e:  # pragma: no cover - audit is best-effort
-            problems.append(f"dtype-audit error: {type(e).__name__}: {e}")
+            # best-effort means best-effort: an audit-infrastructure
+            # hiccup (LIMIT-0 wrap breaking on a trailing semicolon, a
+            # toPandas conversion quirk) must not turn a values-green
+            # row red — warn and let the value compare below decide
+            # (r8 ADVICE item)
+            print(
+                f"  [warn] {name}: dtype-audit skipped "
+                f"({type(e).__name__}: {e})",
+                file=sys.stderr,
+            )
     if len(spark_rows) != len(o_rows):
         problems.append(f"rowcount: spark={len(spark_rows)} oracle={len(o_rows)}")
     if not problems:
@@ -113,6 +122,7 @@ def main():
             k: v.replace("/ivf_index/sf0.01/", f"/ivf_index/{tag}/")
             .replace("/ivfpq_index/sf0.01/", f"/ivfpq_index/{tag}/")
             .replace("/drift_pca/sf0.01/", f"/drift_pca/{tag}/")
+            .replace("/opq_model/sf0.01/", f"/opq_model/{tag}/")
             for k, v in oracles.items()
         }
     n_fail = 0
