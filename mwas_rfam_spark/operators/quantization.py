@@ -624,8 +624,12 @@ def _index_is_residual(spark, path: str) -> bool:
     filesystem existence check (NOT by matching the AnalysisException
     message, which is formatted differently across Spark versions —
     a legacy no-meta index must stay a soft 'raw' fallback, never a
-    hard failure); unknown meta layouts (no ``residual`` column)
-    default to raw the same way ``building`` defaults to absent."""
+    hard failure). A meta that EXISTS but has no ``residual`` column is
+    anomalous (written by some newer/foreign layout), not the
+    documented legacy case — that raises rather than silently guessing
+    raw and returning wrong ADC candidates (r8 ADVICE item);
+    ``building`` stays soft-absent because a flag-less meta cannot be
+    an interrupted write of a layout that always writes the flag."""
     jvm = spark._jvm
     meta_path = jvm.org.apache.hadoop.fs.Path(f"{path}/meta")
     fs = meta_path.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -637,7 +641,14 @@ def _index_is_residual(spark, path: str) -> bool:
             f"IVF-PQ index at {path} has an interrupted (re)build — "
             "its codes and encoding flag may disagree; rebuild it"
         )
-    return bool(row.get("residual", False))
+    if "residual" not in row:
+        raise ValueError(
+            f"IVF-PQ index meta at {path}/meta has no 'residual' column "
+            f"(columns: {sorted(row)}) — unknown meta layout; refusing to "
+            "guess the encoding (a wrong guess silently returns wrong ADC "
+            "candidates). Rebuild the index with this version."
+        )
+    return bool(row["residual"])
 
 
 def ivfpq_topk_indexed(

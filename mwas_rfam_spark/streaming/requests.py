@@ -615,14 +615,23 @@ def _compact_batch_state(
     if fold and not has_new and not target_done:
         # the lone (deepest) frozen partition IS the current folded
         # state — rewriting it into a deeper target would churn bytes
-        # without changing totals. Just clear the subsumed leftovers.
+        # without changing totals. Just clear the subsumed leftovers —
+        # including a partial (_SUCCESS-less) TARGET a crashed run left
+        # at this watermark, which readers ignore but which would
+        # otherwise linger until a higher watermark subsumes it
+        # (r8 ADVICE item)
+        if fs.exists(target) and not fs.exists(success):
+            fs.delete(target, True)
         for bid in subsumed:
             fs.delete(_part(bid), True)
         return len(subsumed)
     if fs.exists(target) and not fs.exists(success):
         fs.delete(target, True)  # partial write from a crashed compaction
     if fold and not fs.exists(target):
-        src_rows = spark.read.parquet(state_dir).where(
+        # mergeSchema: a state dir upgraded mid-stream mixes partitions
+        # with and without the CMS derivation column — the fold must
+        # see the column wherever it exists (absent = legacy NULL)
+        src_rows = spark.read.option("mergeSchema", "true").parquet(state_dir).where(
             F.col("ingest_batch").isin(fold)
         )
         merge_write(src_rows, f"{state_dir}/ingest_batch={target_id}")
@@ -693,11 +702,35 @@ def compact_cms_state(
     frozen bar), and re-running this compactor converges the files.
     The folded partition stays ≤ depth × width rows forever, so
     repeated compaction keeps the state dir O(1) files regardless of
-    how many triggers ever fired."""
+    how many triggers ever fired.
+
+    Sketch identity: the hash derivation rides the state as the
+    ``derivation`` column (see :func:`streaming_cms`); folding
+    partitions built under DIFFERENT derivations would merge garbage
+    (same (depth, bucket) ids, unrelated key→bucket maps), so the fold
+    REFUSES mixed-derivation sources. Legacy partitions without the
+    column count as 'md5' (the only derivation the pre-r9 sink ever
+    wrote)."""
 
     def merge_write(rows: DataFrame, path: str) -> None:
+        keys = ["depth", "bucket"]
+        if "derivation" in rows.columns:
+            rows = rows.withColumn(
+                "derivation", F.coalesce(F.col("derivation"), F.lit("md5"))
+            )
+            derivs = sorted(
+                r[0] for r in rows.select("derivation").distinct().collect()
+            )
+            if len(derivs) > 1:
+                raise ValueError(
+                    "compact_cms_state: state dir mixes hash derivations "
+                    f"{derivs} — sketches built under different derivations "
+                    "must never be merged; split the state dirs per "
+                    "derivation"
+                )
+            keys.append("derivation")
         (
-            rows.groupBy("depth", "bucket")
+            rows.groupBy(*keys)
             .agg(F.sum("cnt").alias("cnt"))
             .coalesce(1)  # ≤ depth × width rows — one file
             .write.mode("errorifexists")
@@ -813,12 +846,27 @@ def streaming_cms(
     width: int = 2048,
     depth: int = 4,
     seed: int = 0,
+    hash: str = "xxhash64",
 ):
     """Streaming count-min maintenance: every micro-batch's keys fold
     into a persistent sketch under ``state_dir`` — the always-current
     "how frequent is X" answer over an unbounded ingest stream, in
     O(depth × width) state per batch partition regardless of key
     cardinality (the state-store alternative would hold every key).
+
+    ``hash`` picks the bucket derivation (see
+    ``operators.sketches._bucket_cols``): the default is ``xxhash64``
+    because this sink IS the ingest-scale path and the JVM hash
+    measured ~6× faster than md5 at 27M tokens (SCALE.md probe N —
+    79 s md5-inlined / 45 s md5-staged / 9.3 s xxhash64); pass
+    ``"md5"`` when the sketch must stay bit-replayable in external
+    SQL engines. The derivation is PART OF THE SKETCH'S IDENTITY
+    (same (depth, bucket) ids, unrelated key→bucket maps), so every
+    state row records it in a ``derivation`` column and both the
+    reader (:func:`cms_state_sketch`) and the compactor
+    (:func:`compact_cms_state`) REFUSE to merge mixed-derivation
+    partitions instead of summing garbage. Probes must pass the same
+    ``hash`` to ``cms_lookup``.
 
     Replay-safe by construction, simpler than the minhash sink: a
     batch's sketch is a pure function of the batch, written with
@@ -831,8 +879,14 @@ def streaming_cms(
     ``.start()``)."""
     from ..operators.sketches import cms_build
 
+    if hash not in ("md5", "xxhash64"):
+        # fail at sink construction, not inside the N-th micro-batch
+        raise ValueError(f"hash must be 'md5' or 'xxhash64', got {hash!r}")
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        cms_build(batch_df, key_col, width=width, depth=depth, seed=seed).write.mode(
+        cms_build(
+            batch_df, key_col, width=width, depth=depth, seed=seed, hash=hash
+        ).withColumn("derivation", F.lit(hash)).write.mode(
             "overwrite"
         ).parquet(f"{state_dir}/ingest_batch={batch_id}")
 
@@ -861,12 +915,19 @@ def cms_state_sketch(spark: SparkSession, state_dir: str) -> DataFrame:
     still-present source partitions, or the merged sketch silently
     undercounts until the compactor re-runs. Partial frozen partitions
     are excluded from the sum entirely (their rows duplicate a subset
-    of the sources the crashed compactor never deleted)."""
+    of the sources the crashed compactor never deleted).
+
+    Sketch identity: if the summed partitions record more than one
+    hash derivation (``derivation`` column; absent = legacy 'md5'),
+    this REFUSES instead of returning a garbage merge — see
+    :func:`streaming_cms`. The returned relation keeps the
+    (depth, bucket, cnt) shape either way; pass the matching ``hash``
+    to ``cms_lookup``."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(state_dir)
     fs = root.getFileSystem(conf)
-    df = spark.read.parquet(state_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(state_dir)
     ids = [r["ingest_batch"] for r in df.select("ingest_batch").distinct().collect()]
     neg = sorted(i for i in ids if i < 0)  # deepest first
     if neg:
@@ -889,4 +950,21 @@ def cms_state_sketch(spark: SparkSession, state_dir: str) -> DataFrame:
             # no complete frozen partition: every negative id is a
             # partial write — ignore them, the raw batches are whole
             df = df.where(F.col("ingest_batch") >= 0)
+    if "derivation" in df.columns:
+        # identity check runs AFTER the bar filter: excluded (subsumed/
+        # partial) partitions can't poison a read that never sums them
+        derivs = sorted(
+            r[0]
+            for r in df.select(
+                F.coalesce(F.col("derivation"), F.lit("md5")).alias("d")
+            )
+            .distinct()
+            .collect()
+        )
+        if len(derivs) > 1:
+            raise ValueError(
+                "cms_state_sketch: state dir mixes hash derivations "
+                f"{derivs} — sketches built under different derivations "
+                "must never be merged; split the state dirs per derivation"
+            )
     return df.groupBy("depth", "bucket").agg(F.sum("cnt").alias("cnt"))

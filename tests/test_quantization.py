@@ -626,6 +626,20 @@ def test_ivfpq_residual_encoding(spark, emb, books, ivf_cents, qvec, tmp_path):
     shutil.rmtree(f"{legacy}/meta")
     assert _index_is_residual(spark, legacy) is False
 
+    # (1b) a meta that EXISTS but lacks the residual column is an
+    # unknown layout, not legacy — refuse rather than guess raw
+    # (r8 ADVICE: a silent raw guess returns wrong ADC candidates)
+    import pytest
+
+    anomalous = str(tmp_path / "anomalous")
+    shutil.copytree(raw_path, anomalous)
+    shutil.rmtree(f"{anomalous}/meta")
+    spark.createDataFrame([(False,)], "building BOOLEAN").coalesce(
+        1
+    ).write.parquet(f"{anomalous}/meta")
+    with pytest.raises(ValueError, match="no 'residual' column"):
+        _index_is_residual(spark, anomalous)
+
     # (2) residual ADC error < raw ADC error (same books, clustered data)
     import numpy as np
 

@@ -766,7 +766,9 @@ def test_streaming_cms_matches_one_pass(spark, tmp_path):
     """Streaming count-min over 3 micro-batches == the one-pass batch
     sketch of all rows (linear counters), and a fresh-checkpoint replay
     changes nothing (per-batch sketches are pure functions of their
-    batch, overwritten in place)."""
+    batch, overwritten in place). Runs the sink's production default
+    derivation (xxhash64 — SCALE.md probe N's ingest-scale choice), so
+    the one-pass reference is built under the same hash."""
     import glob
     import os
     import shutil
@@ -802,15 +804,17 @@ def test_streaming_cms_matches_one_pass(spark, tmp_path):
         q.stop()
 
     merged = cms_state_sketch(spark, state)
-    whole = cms_build(docs, "key", width=64, depth=3, seed=9)
+    whole = cms_build(docs, "key", width=64, depth=3, seed=9, hash="xxhash64")
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
 
     # probing the streamed state gives the exact same estimates
     keys = docs.select("key").distinct()
     est_s = dict(
-        map(tuple, cms_lookup(merged, keys, "key", 64, 3, 9).collect())
+        map(tuple, cms_lookup(merged, keys, "key", 64, 3, 9, hash="xxhash64").collect())
     )
-    est_b = dict(map(tuple, cms_lookup(whole, keys, "key", 64, 3, 9).collect()))
+    est_b = dict(
+        map(tuple, cms_lookup(whole, keys, "key", 64, 3, 9, hash="xxhash64").collect())
+    )
     assert est_s == est_b
 
     # fresh-checkpoint replay: same files re-delivered, state unchanged
@@ -968,4 +972,116 @@ def test_cms_partial_frozen_partition_not_authoritative(spark, tmp_path):
     }
     assert parts == {"ingest_batch=-2"}
     assert os.path.exists(os.path.join(state, "ingest_batch=-2", "_SUCCESS"))
+    assert sorted(map(tuple, cms_state_sketch(spark, state).collect())) == want
+
+
+def test_streaming_cms_derivation_identity(spark, tmp_path):
+    """r8 verdict task #5: the hash derivation is part of a sketch's
+    identity. The sink records it per state partition; the reader and
+    the compactor REFUSE a state dir that mixes derivations (same
+    (depth, bucket) ids, unrelated key→bucket maps — a sum would be
+    garbage, not an estimate). Legacy partitions without the column
+    count as md5 (the only derivation the pre-r9 sink wrote), so an
+    md5-tagged dir merges with them and an xxhash64 dir refuses."""
+    import pytest
+
+    from mwas_rfam_spark.operators.sketches import cms_build
+    from mwas_rfam_spark.streaming.requests import (
+        cms_state_sketch,
+        compact_cms_state,
+        streaming_cms,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"k{i % 6}") for i in range(80)], "doc_id long, key string"
+    )
+
+    # invalid derivation refuses at sink CONSTRUCTION, not mid-stream
+    with pytest.raises(ValueError, match="hash must be"):
+        streaming_cms(docs, str(tmp_path / "x"), "key", hash="sha1")
+
+    # md5-tagged partitions merge with legacy (column-less) partitions
+    state = str(tmp_path / "state_md5")
+    cms_build(
+        docs.where(F.col("doc_id") % 2 == 0), "key", width=16, depth=2, seed=4
+    ).write.parquet(f"{state}/ingest_batch=0")  # legacy: no derivation col
+    cms_build(
+        docs.where(F.col("doc_id") % 2 == 1), "key", width=16, depth=2, seed=4
+    ).withColumn("derivation", F.lit("md5")).write.parquet(
+        f"{state}/ingest_batch=1"
+    )
+    want = sorted(
+        map(tuple, cms_build(docs, "key", width=16, depth=2, seed=4).collect())
+    )
+    got = cms_state_sketch(spark, state)
+    assert sorted(got.columns) == ["bucket", "cnt", "depth"]  # shape kept
+    assert sorted(map(tuple, got.collect())) == want
+    # compactor preserves the identity column through the fold
+    assert compact_cms_state(spark, state, up_to_batch=1) == 2
+    frozen = spark.read.parquet(f"{state}/ingest_batch=-2")
+    assert set(frozen.select("derivation").distinct().toPandas()["derivation"]) == {
+        "md5"
+    }
+    assert sorted(map(tuple, cms_state_sketch(spark, state).collect())) == want
+
+    # a mixed dir refuses in BOTH the reader and the compactor
+    mixed = str(tmp_path / "state_mixed")
+    cms_build(
+        docs.where(F.col("doc_id") % 2 == 0), "key", width=16, depth=2, seed=4
+    ).withColumn("derivation", F.lit("md5")).write.parquet(
+        f"{mixed}/ingest_batch=0"
+    )
+    cms_build(
+        docs.where(F.col("doc_id") % 2 == 1),
+        "key",
+        width=16,
+        depth=2,
+        seed=4,
+        hash="xxhash64",
+    ).withColumn("derivation", F.lit("xxhash64")).write.parquet(
+        f"{mixed}/ingest_batch=1"
+    )
+    with pytest.raises(ValueError, match="mixes hash derivations"):
+        cms_state_sketch(spark, mixed).collect()
+    with pytest.raises(ValueError, match="mixes hash derivations"):
+        compact_cms_state(spark, mixed, up_to_batch=1)
+
+
+def test_cms_compactor_early_exit_clears_partial_target(spark, tmp_path):
+    """r8 ADVICE (low): when the lone deepest frozen partition already
+    IS the folded state (no new raws), the early-exit must still delete
+    a partial (_SUCCESS-less) TARGET partition a crashed compaction
+    left at this watermark — readers ignore it, but without the cleanup
+    it lingers until a higher watermark subsumes it."""
+    import glob
+    import shutil
+
+    from mwas_rfam_spark.operators.sketches import cms_build
+    from mwas_rfam_spark.streaming.requests import cms_state_sketch, compact_cms_state
+
+    state = str(tmp_path / "state")
+    docs = spark.createDataFrame(
+        [(i, f"k{i % 5}") for i in range(60)], "doc_id long, key string"
+    )
+    for b in range(2):
+        cms_build(
+            docs.where(F.col("doc_id") % 2 == b), "key", width=16, depth=2, seed=6
+        ).write.parquet(f"{state}/ingest_batch={b}")
+    want = sorted(
+        map(tuple, cms_build(docs, "key", width=16, depth=2, seed=6).collect())
+    )
+    assert compact_cms_state(spark, state, up_to_batch=1) == 2  # frozen -2
+
+    # crashed compaction at watermark 2: partial target -3, no _SUCCESS
+    shutil.copytree(f"{state}/ingest_batch=-2", f"{state}/ingest_batch=-3")
+    for marker in ("_SUCCESS", "._SUCCESS.crc"):
+        p = os.path.join(state, "ingest_batch=-3", marker)
+        if os.path.exists(p):
+            os.remove(p)
+
+    compact_cms_state(spark, state, up_to_batch=2)
+    parts = {
+        os.path.basename(p) for p in glob.glob(os.path.join(state, "ingest_batch=*"))
+    }
+    assert parts == {"ingest_batch=-2"}  # partial -3 cleared, -2 intact
     assert sorted(map(tuple, cms_state_sketch(spark, state).collect())) == want
