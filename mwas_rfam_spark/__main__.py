@@ -1102,6 +1102,8 @@ def evaluate_main(argv: list[str], spark: SparkSession | None = None) -> int:
             calibration_report,
             ece,
             grouped_auc,
+            grouped_calibration_report,
+            grouped_ece,
             threshold_report,
         )
 
@@ -1125,6 +1127,11 @@ def evaluate_main(argv: list[str], spark: SparkSession | None = None) -> int:
             ).collect():
                 print(f"auc[{g}={r[g]}]\t{r['auc']}\tn_pos={r['n_pos']} "
                       f"n_neg={r['n_neg']}")
+            gcal = grouped_calibration_report(
+                df, [g], args.bins, args.score_col, args.label_col
+            )
+            for r in grouped_ece(gcal, [g]).orderBy(g).collect():
+                print(f"ece[{g}={r[g]}]\t{r['ece']}\tn={r['n']}")
         if args.output:
             spark.createDataFrame(rows, rep.schema).write.mode(
                 "overwrite"

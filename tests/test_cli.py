@@ -895,3 +895,18 @@ def test_cli_evaluate(spark, tmp_path):
     assert rc == 0
     rep = spark.read.parquet(out)
     assert rep.count() == 2 and "f1" in rep.columns
+
+
+def test_cli_evaluate_grouped_ece_lines(spark, tmp_path, capsys):
+    """--group-by also prints per-slice ECE (r9: grouped calibration)."""
+    from mwas_rfam_spark.__main__ import evaluate_main
+
+    src = str(tmp_path / "scored")
+    spark.createDataFrame(
+        [(0.1, 0, "en"), (0.9, 1, "en"), (0.4, 1, "ko"), (0.6, 0, "ko")],
+        "score double, label int, lang string",
+    ).write.parquet(src)
+    assert evaluate_main([src, "--group-by", "lang"], spark) == 0
+    lines = capsys.readouterr().out.splitlines()
+    assert any(line.startswith("ece[lang=en]") for line in lines)
+    assert any(line.startswith("ece[lang=ko]") for line in lines)

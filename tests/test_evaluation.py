@@ -12,6 +12,8 @@ from mwas_rfam_spark.operators.evaluation import (
     calibration_report,
     ece,
     grouped_auc,
+    grouped_calibration_report,
+    grouped_ece,
     threshold_report,
 )
 
@@ -139,6 +141,58 @@ def test_calibration_and_ece(spark):
     assert ece(cal) == pytest.approx(want_ece)
     with pytest.raises(ValueError, match="n_bins"):
         calibration_report(df, n_bins=0)
+
+
+def test_grouped_calibration_hand_golden_and_slice_equivalence(spark):
+    """r8 verdict task #8 (stretch): grouped calibration/ECE. Pins a
+    hand-computed golden, per-group == ungrouped-on-the-slice (clamp
+    and bin edges included), NaN/NULL score exclusion, and the NULL
+    group slice surviving."""
+    rows = [
+        # grp a: perfectly calibrated bin 0 + clamped 1.0 into bin 9
+        ("a", 0.05, 0), ("a", 0.05, 0), ("a", 1.0, 1),
+        # grp b: bin 5 with gap -0.05; plus excluded NaN/NULL rows
+        ("b", 0.55, 1), ("b", 0.55, 0),
+        ("b", float("nan"), 1), ("b", None, 0),
+        # NULL group: a legitimate dirty-metadata slice
+        (None, 0.95, 1),
+    ]
+    df = spark.createDataFrame(rows, "grp string, score double, label int")
+    cal = grouped_calibration_report(df, ["grp"], n_bins=10)
+    got = {(r["grp"], r["bin"]): r for r in cal.collect()}
+    assert set(got) == {("a", 0), ("a", 9), ("b", 5), (None, 9)}
+    assert got[("a", 0)]["n"] == 2 and got[("a", 0)]["pos_rate"] == 0.0
+    assert got[("a", 0)]["gap"] == pytest.approx(-0.05)
+    assert got[("a", 9)]["n"] == 1  # 1.0 clamps into the terminal bin
+    assert got[("b", 5)]["n"] == 2  # NaN + NULL rows excluded
+    assert got[("b", 5)]["gap"] == pytest.approx(0.5 - 0.55)
+    assert got[(None, 9)]["pos_rate"] == 1.0
+
+    # per-group rows == the ungrouped report run on each slice alone
+    for g in ("a", "b", None):
+        cond = F.col("grp").isNull() if g is None else (F.col("grp") == g)
+        alone = {
+            r["bin"]: r for r in calibration_report(df.where(cond)).collect()
+        }
+        mine = {k[1]: r for k, r in got.items() if k[0] == g}
+        assert set(alone) == set(mine)
+        for b_ in alone:
+            for c in ("n", "mean_score", "pos_rate", "gap", "bin_lo", "bin_hi"):
+                assert mine[b_][c] == pytest.approx(alone[b_][c])
+
+    # grouped ECE == scalar ece() per slice, derived from the SAME relation
+    eces = {r["grp"]: r for r in grouped_ece(cal, ["grp"]).collect()}
+    assert eces["a"]["n"] == 3 and eces["b"]["n"] == 2
+    for g in ("a", "b", None):
+        cond = F.col("grp").isNull() if g is None else (F.col("grp") == g)
+        assert eces[g]["ece"] == pytest.approx(
+            ece(calibration_report(df.where(cond)))
+        )
+
+    with pytest.raises(ValueError, match="group_cols"):
+        grouped_calibration_report(df, [])
+    with pytest.raises(ValueError, match="group_cols"):
+        grouped_ece(cal, [])
 
 
 def test_quality_model_composition(spark, sf_dir):

@@ -1215,6 +1215,82 @@ def probe_r7q(spark, sf_dir: str, out: dict):
     print({k: v for k, v in out.items() if k.startswith("resq_")}, file=sys.stderr)
 
 
+def probe_r9o(spark, sf_dir: str, out: dict):
+    """Probe O addendum (r9, r8 verdict task #6) — residual vs raw
+    IVF-PQ at the PRODUCTION search shape: recall@10 with rerank=100
+    (ADC ranks candidates, exact re-rank recovers the top-k), measured
+    against the GLOBAL exact top-10. Two corpora: the plain sf
+    embeddings (8 cells, nprobe 3 — the scale the pytest pins), and the
+    10x derived corpus probe O used (40 cells, nprobe 8) where ADC
+    error separated 1.15 vs 1.54. Both index kinds share the coarse
+    quantizer, so any recall difference is CODE quality (probe misses
+    are identical by construction)."""
+    import tempfile
+
+    import numpy as np
+
+    from mwas_rfam_spark.operators.quantization import (
+        ivfpq_topk_indexed,
+        materialize_ivfpq,
+        train_pq_codebooks,
+    )
+    from mwas_rfam_spark.operators.similarity import train_ivf_centroids
+    from mwas_rfam_spark.plans.testdata_mwas import load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    e10 = emb.crossJoin(
+        spark.range(10).select(F.col("id").alias("_c"))
+    ).select(
+        (F.col("vec_id") * 10 + F.col("_c")).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.sin((F.col("_c") + F.lit(1)).cast("double") * (i + F.lit(1))),
+        ).alias("embedding"),
+    ).repartition(32).localCheckpoint()
+
+    for tag, corpus, k_cells, nprobe in (
+        ("sf", emb.localCheckpoint(), 8, 3),
+        ("10x", e10, 40, 8),
+    ):
+        cents = train_ivf_centroids(corpus, k=k_cells, iters=2)
+        books = train_pq_codebooks(corpus, m=8, k=32, iters=3, sample_size=512)
+        res_books = train_pq_codebooks(
+            corpus, m=8, k=32, iters=3, sample_size=512, residual_centroids=cents
+        )
+        paths = {}
+        for kind, residual, bks in (("raw", False, books), ("res", True, res_books)):
+            p = tempfile.mkdtemp(prefix=f"r9o_{tag}_{kind}_")
+            materialize_ivfpq(corpus, cents, bks, p, residual=residual)
+            paths[kind] = p
+        rows = corpus.collect()
+        mat = np.stack([np.asarray(r["embedding"]) for r in rows])
+        ids = np.asarray([r["vec_id"] for r in rows])
+        qrows = rows[:8]
+        rec = {"raw": 0.0, "res": 0.0}
+        for r in qrows:
+            q = np.asarray(r["embedding"])
+            d = ((mat - q) ** 2).sum(axis=1)
+            truth = set(ids[np.argsort(d, kind="stable")[:10]].tolist())
+            for kind in ("raw", "res"):
+                got = {
+                    x["vec_id"]
+                    for x in ivfpq_topk_indexed(
+                        spark,
+                        paths[kind],
+                        [float(x) for x in q],
+                        k=10,
+                        nprobe=nprobe,
+                        rerank=100,
+                    ).collect()
+                }
+                rec[kind] += len(got & truth) / 10.0 / len(qrows)
+        out[f"r9o_recall10_rerank100_{tag}_raw"] = round(rec["raw"], 3)
+        out[f"r9o_recall10_rerank100_{tag}_res"] = round(rec["res"], 3)
+    print({k: v for k, v in out.items() if k.startswith("r9o_")}, file=sys.stderr)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="scale-probe")
@@ -1239,6 +1315,7 @@ def main():
         "r7m": probe_r7m,
         "r7e": probe_r7e,
         "r7q": probe_r7q,
+        "r9o": probe_r9o,
     }
     if only is not None and only not in probes:
         raise SystemExit(
