@@ -1593,11 +1593,7 @@ def q_model_eval(spark, sf_dir):
         threshold_report,
     )
 
-    x = F.col("embedding")[0].cast("double")
-    e = _t(spark, sf_dir, "embeddings").select(
-        (F.lit(0.5) + x / (F.lit(2.0) * (F.lit(1.0) + F.abs(x)))).alias("score"),
-        (F.col("label") % 2).alias("label"),
-    )
+    e = _model_eval_scored(spark, sf_dir).select("score", "label")
     auc = binary_auc(e).select(
         F.lit("auc").alias("metric"), F.round("auc", 6).alias("value")
     )
@@ -1746,19 +1742,24 @@ def q_opq_encode_replay(spark, sf_dir):
     """OPQ rotate + PQ encode, oracle-replayable form (registered
     correctness entry since r9): the rotation and codebooks are
     materialized parquet (`_opq_model`), the rotated coordinates are
-    rounded to 7 decimals BEFORE encoding on both sides, and the codes
+    snapped to a 1e-7 grid BEFORE encoding on both sides, and the codes
     come back exploded as (vec_id, subspace, code) so the DuckDB oracle
     can replay projection + per-subspace argmin in plain SQL.
 
-    Why the 7-decimal round: the engine's 64x64 projection runs the
-    Arrow GEMM path (BLAS summation order) while SQL's list_sum is a
-    left fold — the same doubles differ in the last ~bit between the
-    two associations. Rounding both sides to 7dp collapses that ulp
-    noise before the argmin; the argmin itself then sees bit-identical
-    inputs in both engines (centroid distances are 8-term sums whose
+    Why the grid snap: the engine's 64x64 projection runs the Arrow
+    GEMM path (BLAS summation order) while SQL's list_sum is a left
+    fold — the same doubles differ in the last ~bit between the two
+    associations. Snapping both sides collapses that ulp noise before
+    the argmin. The snap is floor(x*1e7 + 0.5)/1e7 — the SAME sequence
+    of IEEE-exactly-rounded double ops in both engines — NOT round(x,7):
+    Spark's round works HALF_UP on the double's shortest DECIMAL repr
+    while DuckDB rounds the binary value, so a coordinate whose
+    shortest repr ends in ...5 at the 8th decimal can round differently
+    across engines (review finding). After the snap, the argmin sees
+    bit-identical inputs (centroid distances are 8-term sums whose
     sub-ulp association noise cannot flip a non-tied argmin). Ties
     break to the lowest centroid id in both engines (numpy argmin /
-    ORDER BY d, centroid_id). The unrounded scale-path form stays the
+    ORDER BY d, centroid_id). The unsnapped scale-path form stays the
     bench row (`bench_queries()['opq_encode']`)."""
     from mwas_rfam_spark.operators.decomposition import project_embeddings
     from mwas_rfam_spark.operators.quantization import pq_encode
@@ -1768,7 +1769,12 @@ def q_opq_encode_replay(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     rotated = project_embeddings(e, model["rotation"]).withColumn(
-        "embedding", F.transform("embedding", lambda x: F.round(x, 7))
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x * F.lit(1e7) + F.lit(0.5)).cast("double")
+            / F.lit(1e7),
+        ),
     )
     return (
         pq_encode(rotated, model["codebooks"])
@@ -3908,8 +3914,8 @@ FROM final
               SELECT 0.5 + x / (2.0 * (1.0 + abs(x))) AS s,
                      CASE WHEN label % 2 > 0 THEN 1 ELSE 0 END AS y
               FROM (SELECT CAST(embedding[1] AS DOUBLE) AS x, label
-                    FROM embeddings
-                    WHERE embedding IS NOT NULL AND label IS NOT NULL)),
+                    FROM embeddings)
+              WHERE x IS NOT NULL AND NOT isnan(x) AND label IS NOT NULL),
             r AS (
               SELECT y, rank() OVER (ORDER BY s)
                         + (count(*) OVER (PARTITION BY s) - 1) / 2.0 AS midrank
@@ -3985,11 +3991,14 @@ FROM final
             GROUP BY 1
         """,
         # OPQ encode replay (r9 rotation): projection (left-fold dot
-        # against the STORED rotation rows) + 7dp round + per-subspace
-        # argmin against the STORED codebooks — the whole encode path
-        # recomputed from the materialized model files (written by
-        # _opq_model; same build-vs-probe convention as drift_pca).
-        # Ties break (d, centroid_id) ascending = numpy argmin.
+        # against the STORED rotation rows) + 1e-7 grid snap
+        # (floor(x*1e7+0.5)/1e7 — the same IEEE op sequence the engine
+        # runs; see q_opq_encode_replay for why NOT round(x,7)) +
+        # per-subspace argmin against the STORED codebooks — the whole
+        # encode path recomputed from the materialized model files
+        # (written by _opq_model; same build-vs-probe convention as
+        # drift_pca). Ties break (d, centroid_id) ascending = numpy
+        # argmin.
         "opq_encode": """
             WITH rot AS (
               SELECT row, vals
@@ -4003,8 +4012,9 @@ FROM final
                   FROM embeddings),
             proj AS (
               SELECT e.vec_id, r.row,
-                     round(list_sum(list_transform(list_zip(e.v, r.vals),
-                                                   t -> t[1] * t[2])), 7) AS x
+                     floor(list_sum(list_transform(list_zip(e.v, r.vals),
+                                                   t -> t[1] * t[2]))
+                           * 10000000.0 + 0.5) / 10000000.0 AS x
               FROM e, rot r),
             sub AS (
               SELECT vec_id, CAST(row // 8 AS INT) AS subspace,
@@ -4283,8 +4293,8 @@ def relocated_oracles() -> dict[str, str]:
               SELECT 0.5 + x / (2.0 * (1.0 + abs(x))) AS s,
                      CASE WHEN label % 2 > 0 THEN 1 ELSE 0 END AS y
               FROM (SELECT CAST(embedding[1] AS DOUBLE) AS x, label
-                    FROM embeddings
-                    WHERE embedding IS NOT NULL AND label IS NOT NULL)),
+                    FROM embeddings)
+              WHERE x IS NOT NULL AND NOT isnan(x) AND label IS NOT NULL),
             cells AS (
               SELECT CAST(t.ts AS DOUBLE) AS threshold,
                      sum(CASE WHEN s >= CAST(t.ts AS DOUBLE) AND y = 1
@@ -4318,8 +4328,8 @@ def relocated_oracles() -> dict[str, str]:
                      0.5 + x / (2.0 * (1.0 + abs(x))) AS s,
                      CASE WHEN label % 2 > 0 THEN 1 ELSE 0 END AS y
               FROM (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x, label
-                    FROM embeddings
-                    WHERE embedding IS NOT NULL AND label IS NOT NULL)),
+                    FROM embeddings)
+              WHERE x IS NOT NULL AND NOT isnan(x) AND label IS NOT NULL),
             r AS (
               SELECT grp, y,
                      rank() OVER (PARTITION BY grp ORDER BY s)

@@ -66,6 +66,28 @@ def binary_auc(
 
     if partitions is None:
         partitions = scored.sparkSession.sparkContext.defaultParallelism
+    # ONE corpus scan reduced to per-distinct-score counts; the
+    # parameter-sized result is lazily checkpointed because three
+    # consumers (cumsum, contrib join, null row) would otherwise each
+    # re-run the corpus aggregate
+    per_s = per_score_counts(scored, score_col, label_col).localCheckpoint(
+        eager=False
+    )
+    return auc_from_score_counts(per_s, partitions=partitions)
+
+
+def per_score_counts(
+    scored: DataFrame, score_col: str = "score", label_col: str = "label"
+) -> DataFrame:
+    """Per-DISTINCT-SCORE (v, cnt_a, cnt_b, cnt_null) counts — the
+    corpus-scan stage of :func:`binary_auc`, public because the counts
+    are LINEAR: they sum across corpus slices and micro-batches, so
+    exact AUC state can be maintained incrementally
+    (:func:`streaming.requests.streaming_eval_counts`) and finished by
+    :func:`auc_from_score_counts` without re-touching rows. Invalid
+    rows (NULL/NaN score or NULL label) fold into a dedicated v-NULL
+    group — a valid row's score is never NULL, so the group is
+    unambiguous."""
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("int")
     base = scored.select(
@@ -73,13 +95,7 @@ def binary_auc(
         F.when(y > 0, 1).otherwise(0).alias("__y"),
         (s.isNull() | F.isnan(s) | y.isNull()).alias("__null"),
     )
-    # ONE corpus scan: per-distinct-score (pos, neg) counts with the
-    # invalid rows folded into a dedicated v-NULL group (a valid row's
-    # score is never NULL, so the group is unambiguous); the
-    # parameter-sized result is lazily checkpointed because three
-    # consumers (cumsum, contrib join, null row) would otherwise each
-    # re-run the corpus aggregate
-    per_s = (
+    return (
         base.groupBy(
             F.when(~F.col("__null"), F.col("__s")).alias("v")
         )
@@ -92,8 +108,26 @@ def binary_auc(
             ).alias("cnt_b"),
             F.sum(F.col("__null").cast("long")).alias("cnt_null"),
         )
-        .localCheckpoint(eager=False)
     )
+
+
+def auc_from_score_counts(
+    per_s: DataFrame, partitions: int | None = None
+) -> DataFrame:
+    """Midrank AUC from a per-DISTINCT-SCORE counts relation
+    (v, cnt_a, cnt_b[, cnt_null]) — the second stage of
+    :func:`binary_auc`, public because these counts are LINEAR (they
+    sum across corpus slices / micro-batches), which makes exact AUC
+    computable over any pre-aggregated or streamed state
+    (:func:`streaming.requests.streaming_eval_counts`) without ever
+    re-touching the rows. Rows with v IS NULL carry the invalid
+    (NULL/NaN score or NULL label) tally in cnt_null."""
+    from mwas_rfam_spark.operators.drift import _two_level_cumsum
+
+    if partitions is None:
+        partitions = per_s.sparkSession.sparkContext.defaultParallelism
+    if "cnt_null" not in per_s.columns:
+        per_s = per_s.withColumn("cnt_null", F.lit(0).cast("long"))
     valid_per = per_s.where(F.col("v").isNotNull()).select("v", "cnt_a", "cnt_b")
     cums = _two_level_cumsum(valid_per, "v", partitions)
     # AUC = Σ_s pos(s)·(neg_below(s) + ½·neg_at(s)) / (n⁺·n⁻); the
@@ -200,6 +234,25 @@ def calibration_report(
     Σ n_b/N · |gap_b| — compute it from the returned relation
     (`ece()` below does) so the per-bin table and the scalar can't
     disagree."""
+    return _calibration_binned(
+        scored, [], n_bins, score_col, label_col, score_min, score_max
+    ).orderBy("bin")
+
+
+def _calibration_binned(
+    scored: DataFrame,
+    group_cols: list[str],
+    n_bins: int,
+    score_col: str,
+    label_col: str,
+    score_min: float,
+    score_max: float,
+) -> DataFrame:
+    """The ONE calibration aggregation both the ungrouped and grouped
+    reports run — bin rule, terminal-bin clamp, and NULL/NaN exclusion
+    live here exactly once, so the two surfaces cannot silently
+    diverge (the per-group == ungrouped-on-the-slice pytest pins the
+    equivalence)."""
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     if not score_max > score_min:
@@ -217,14 +270,15 @@ def calibration_report(
         s.isNotNull() & ~F.isnan(s) & F.col(label_col).isNotNull()
     )
     return (
-        valid.select(b.alias("bin"), s.alias("__s"), y.alias("__y"))
-        .groupBy("bin")
+        valid.select(*group_cols, b.alias("bin"), s.alias("__s"), y.alias("__y"))
+        .groupBy(*group_cols, "bin")
         .agg(
             F.count("*").alias("n"),
             F.avg("__s").alias("mean_score"),
             F.avg("__y").alias("pos_rate"),
         )
         .select(
+            *group_cols,
             "bin",
             (F.lit(score_min) + F.col("bin") * width).alias("bin_lo"),
             (F.lit(score_min) + (F.col("bin") + 1) * width).alias("bin_hi"),
@@ -233,7 +287,6 @@ def calibration_report(
             "pos_rate",
             (F.col("pos_rate") - F.col("mean_score")).alias("gap"),
         )
-        .orderBy("bin")
     )
 
 
@@ -401,40 +454,8 @@ def grouped_calibration_report(
     per-group-equals-ungrouped-on-the-slice is pytest-pinned."""
     if not group_cols:
         raise ValueError("group_cols must be non-empty (use calibration_report)")
-    if n_bins < 1:
-        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
-    if not score_max > score_min:
-        raise ValueError("score_max must exceed score_min")
-    s = F.col(score_col).cast("double")
-    y = F.when(F.col(label_col).cast("int") > 0, 1).otherwise(0)
-    width = (score_max - score_min) / n_bins
-    b = F.least(
-        F.lit(n_bins - 1),
-        F.greatest(
-            F.lit(0), F.floor((s - F.lit(score_min)) / F.lit(width)).cast("int")
-        ),
-    )
-    valid = scored.where(
-        s.isNotNull() & ~F.isnan(s) & F.col(label_col).isNotNull()
-    )
-    return (
-        valid.select(*group_cols, b.alias("bin"), s.alias("__s"), y.alias("__y"))
-        .groupBy(*group_cols, "bin")
-        .agg(
-            F.count("*").alias("n"),
-            F.avg("__s").alias("mean_score"),
-            F.avg("__y").alias("pos_rate"),
-        )
-        .select(
-            *group_cols,
-            "bin",
-            (F.lit(score_min) + F.col("bin") * width).alias("bin_lo"),
-            (F.lit(score_min) + (F.col("bin") + 1) * width).alias("bin_hi"),
-            "n",
-            "mean_score",
-            "pos_rate",
-            (F.col("pos_rate") - F.col("mean_score")).alias("gap"),
-        )
+    return _calibration_binned(
+        scored, group_cols, n_bins, score_col, label_col, score_min, score_max
     )
 
 

@@ -846,7 +846,7 @@ def streaming_cms(
     width: int = 2048,
     depth: int = 4,
     seed: int = 0,
-    hash: str = "xxhash64",
+    hash: str = "md5",
 ):
     """Streaming count-min maintenance: every micro-batch's keys fold
     into a persistent sketch under ``state_dir`` — the always-current
@@ -855,12 +855,20 @@ def streaming_cms(
     cardinality (the state-store alternative would hold every key).
 
     ``hash`` picks the bucket derivation (see
-    ``operators.sketches._bucket_cols``): the default is ``xxhash64``
-    because this sink IS the ingest-scale path and the JVM hash
-    measured ~6× faster than md5 at 27M tokens (SCALE.md probe N —
-    79 s md5-inlined / 45 s md5-staged / 9.3 s xxhash64); pass
-    ``"md5"`` when the sketch must stay bit-replayable in external
-    SQL engines. The derivation is PART OF THE SKETCH'S IDENTITY
+    ``operators.sketches._bucket_cols``). Ingest-scale deployments
+    should pass ``hash="xxhash64"`` — this sink IS the ingest-scale
+    path and the JVM hash measured ~6× faster than md5 at 27M tokens
+    (SCALE.md probe N — 79 s md5-inlined / 45 s md5-staged / 9.3 s
+    xxhash64); md5 buys bit-replayability in external SQL engines.
+    The DEFAULT stays md5 deliberately: it must agree with
+    ``cms_build``/``cms_lookup``'s default, because a caller who
+    builds with this sink's default and probes with ``cms_lookup``'s
+    default would otherwise read unrelated counters — silent
+    undercounts that break the est ≥ true guarantee — and a pre-r9
+    stream resumed on an existing (md5) state dir would start writing
+    refusal-triggering mixed partitions. One family, one default;
+    performance is an explicit opt-in. The derivation is PART OF THE
+    SKETCH'S IDENTITY
     (same (depth, bucket) ids, unrelated key→bucket maps), so every
     state row records it in a ``derivation`` column and both the
     reader (:func:`cms_state_sketch`) and the compactor
@@ -893,7 +901,140 @@ def streaming_cms(
     return docs_stream.writeStream.foreachBatch(_process)
 
 
-def cms_state_sketch(spark: SparkSession, state_dir: str) -> DataFrame:
+def streaming_eval_counts(
+    scored_stream: DataFrame,
+    state_dir: str,
+    score_col: str = "score",
+    label_col: str = "label",
+):
+    """Streaming EXACT-AUC state maintenance (r9 stretch): every
+    micro-batch of (score, label) rows reduces to its per-DISTINCT-
+    SCORE (v, cnt_a, cnt_b, cnt_null) counts — which are LINEAR, like
+    count-min counters — and lands as one overwrite-on-replay
+    ``ingest_batch=<id>`` partition. :func:`eval_state_auc` then
+    answers "what is the exact ROC AUC of everything scored so far"
+    at any moment without re-touching a single row: monitoring a
+    quality model at ingest scale costs one tiny counts-aggregate per
+    trigger plus a state-sized fold per read. Same replay-safety
+    argument as :func:`streaming_cms` (a batch's counts are a pure
+    function of the batch; at-least-once redelivery rewrites identical
+    bytes), same crash-consistent compaction family
+    (:func:`compact_eval_state`), pytest-pinned stream==batch parity.
+
+    State size: ≤ (distinct scores in batch + 1) rows per batch — for
+    continuous scores quantize upstream (e.g. ``F.round(score, 4)``,
+    which changes AUC by at most the mass of ties it creates) if
+    distinct-score cardinality is a concern; compaction folds the
+    partitions to one ≤ total-distinct-scores relation."""
+    from ..operators.evaluation import per_score_counts
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        per_score_counts(batch_df, score_col, label_col).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/ingest_batch={batch_id}")
+
+    return scored_stream.writeStream.foreachBatch(_process)
+
+
+def eval_state_auc(
+    spark: SparkSession, state_dir: str, partitions: int | None = None
+) -> DataFrame:
+    """Exact midrank ROC AUC over everything a
+    :func:`streaming_eval_counts` stream has ingested → one row
+    (auc, n_pos, n_neg, n_null), equal to ``binary_auc`` over the
+    concatenated batches (pytest-pinned). Reads the state under the
+    deepest-complete-frozen-bar rule (see
+    :func:`_authoritative_state_rows` — counts fold by SUM, so the
+    crash-consistency contract is count-min's), re-sums per distinct
+    score, and finishes with the SAME two-level-prefix-sum plan
+    ``binary_auc`` uses — no unpartitioned window even when the folded
+    score relation is large."""
+    from ..operators.evaluation import auc_from_score_counts
+
+    per_s = (
+        _authoritative_state_rows(spark, state_dir)
+        .groupBy("v")
+        .agg(
+            F.sum("cnt_a").alias("cnt_a"),
+            F.sum("cnt_b").alias("cnt_b"),
+            F.sum("cnt_null").alias("cnt_null"),
+        )
+    )
+    return auc_from_score_counts(per_s, partitions=partitions)
+
+
+def compact_eval_state(
+    spark: SparkSession,
+    state_dir: str,
+    up_to_batch: int,
+) -> int:
+    """:func:`compact_cms_state`'s twin for a
+    :func:`streaming_eval_counts` state dir — per-score counts are
+    linear, so committed batch partitions fold by per-``v`` SUM into
+    the frozen negative partition and :func:`eval_state_auc` reads
+    identical totals before and after (pytest-pinned). Same crash-
+    safety skeleton and reader-side authority rule as count-min."""
+
+    def merge_write(rows: DataFrame, path: str) -> None:
+        (
+            rows.groupBy("v")
+            .agg(
+                F.sum("cnt_a").alias("cnt_a"),
+                F.sum("cnt_b").alias("cnt_b"),
+                F.sum("cnt_null").alias("cnt_null"),
+            )
+            .coalesce(1)  # ≤ distinct-scores rows — one file
+            .write.mode("errorifexists")
+            .parquet(path)
+        )
+
+    return _compact_batch_state(spark, state_dir, up_to_batch, merge_write)
+
+
+def _authoritative_state_rows(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Read a per-batch SUM-folded state dir applying the deepest-
+    complete-frozen-bar rule (the crash-consistency contract
+    :func:`cms_state_sketch` documents): the deepest _SUCCESS-complete
+    frozen (negative-id) partition is authoritative for every batch at
+    or below its bar; raw batches it subsumes, shallower frozen
+    partitions, and partial (_SUCCESS-less) frozen writes are excluded,
+    so a SUM reader folds each ingested row exactly once even racing or
+    following a crashed compaction. Shared by every linear-counter
+    state family (count-min, per-score eval counts); read with
+    mergeSchema so mid-stream schema upgrades surface their columns."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = root.getFileSystem(conf)
+    df = spark.read.option("mergeSchema", "true").parquet(state_dir)
+    ids = [r["ingest_batch"] for r in df.select("ingest_batch").distinct().collect()]
+    neg = sorted(i for i in ids if i < 0)  # deepest first
+    if neg:
+        bar = None
+        for cand in neg:
+            if fs.exists(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{state_dir}/ingest_batch={cand}/_SUCCESS"
+                )
+            ):
+                bar = cand  # deepest COMPLETE frozen partition
+                break
+        if bar is not None:
+            folded_up_to = -bar - 1
+            df = df.where(
+                (F.col("ingest_batch") == bar)
+                | (F.col("ingest_batch") > folded_up_to)
+            )
+        else:
+            # no complete frozen partition: every negative id is a
+            # partial write — ignore them, the raw batches are whole
+            df = df.where(F.col("ingest_batch") >= 0)
+    return df
+
+
+def cms_state_sketch(
+    spark: SparkSession, state_dir: str, expected_hash: str | None = None
+) -> DataFrame:
     """The merged sketch over the ingested batch partitions — feed it
     to `operators.sketches.cms_lookup`. Counters are linear, so merge
     is one aggregate over at most depth × width × n_batches rows; fold
@@ -922,34 +1063,11 @@ def cms_state_sketch(spark: SparkSession, state_dir: str) -> DataFrame:
     this REFUSES instead of returning a garbage merge — see
     :func:`streaming_cms`. The returned relation keeps the
     (depth, bucket, cnt) shape either way; pass the matching ``hash``
-    to ``cms_lookup``."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    root = jvm.org.apache.hadoop.fs.Path(state_dir)
-    fs = root.getFileSystem(conf)
-    df = spark.read.option("mergeSchema", "true").parquet(state_dir)
-    ids = [r["ingest_batch"] for r in df.select("ingest_batch").distinct().collect()]
-    neg = sorted(i for i in ids if i < 0)  # deepest first
-    if neg:
-        bar = None
-        for cand in neg:
-            if fs.exists(
-                jvm.org.apache.hadoop.fs.Path(
-                    f"{state_dir}/ingest_batch={cand}/_SUCCESS"
-                )
-            ):
-                bar = cand  # deepest COMPLETE frozen partition
-                break
-        if bar is not None:
-            folded_up_to = -bar - 1
-            df = df.where(
-                (F.col("ingest_batch") == bar)
-                | (F.col("ingest_batch") > folded_up_to)
-            )
-        else:
-            # no complete frozen partition: every negative id is a
-            # partial write — ignore them, the raw batches are whole
-            df = df.where(F.col("ingest_batch") >= 0)
+    to ``cms_lookup``, and pass it HERE as ``expected_hash`` too — the
+    read then refuses when the state was built under a different
+    derivation, instead of the probe silently reading unrelated
+    counters (legacy column-less state counts as md5)."""
+    df = _authoritative_state_rows(spark, state_dir)
     if "derivation" in df.columns:
         # identity check runs AFTER the bar filter: excluded (subsumed/
         # partial) partitions can't poison a read that never sums them
@@ -967,4 +1085,12 @@ def cms_state_sketch(spark: SparkSession, state_dir: str) -> DataFrame:
                 f"{derivs} — sketches built under different derivations "
                 "must never be merged; split the state dirs per derivation"
             )
+    else:
+        derivs = ["md5"]  # pre-derivation layout: the sink only wrote md5
+    if expected_hash is not None and derivs and derivs != [expected_hash]:
+        raise ValueError(
+            f"cms_state_sketch: state at {state_dir} was built under "
+            f"derivation {derivs[0]!r}, caller expects {expected_hash!r} — "
+            "probing it with a different hash reads unrelated counters"
+        )
     return df.groupBy("depth", "bucket").agg(F.sum("cnt").alias("cnt"))

@@ -766,9 +766,11 @@ def test_streaming_cms_matches_one_pass(spark, tmp_path):
     """Streaming count-min over 3 micro-batches == the one-pass batch
     sketch of all rows (linear counters), and a fresh-checkpoint replay
     changes nothing (per-batch sketches are pure functions of their
-    batch, overwritten in place). Runs the sink's production default
-    derivation (xxhash64 — SCALE.md probe N's ingest-scale choice), so
-    the one-pass reference is built under the same hash."""
+    batch, overwritten in place). Runs the EXPLICIT ingest-scale
+    derivation (hash='xxhash64', SCALE.md probe N) so the opt-in path
+    is the one exercised end-to-end; the one-pass reference is built
+    under the same hash, and the reader's expected_hash guard is
+    asserted both ways."""
     import glob
     import os
     import shutil
@@ -794,7 +796,7 @@ def test_streaming_cms_matches_one_pass(spark, tmp_path):
         .parquet(str(src))
     )
     q = (
-        streaming_cms(stream, state, "key", width=64, depth=3, seed=9)
+        streaming_cms(stream, state, "key", width=64, depth=3, seed=9, hash="xxhash64")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
@@ -803,7 +805,11 @@ def test_streaming_cms_matches_one_pass(spark, tmp_path):
     finally:
         q.stop()
 
-    merged = cms_state_sketch(spark, state)
+    merged = cms_state_sketch(spark, state, expected_hash="xxhash64")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="caller expects"):
+        cms_state_sketch(spark, state, expected_hash="md5")
     whole = cms_build(docs, "key", width=64, depth=3, seed=9, hash="xxhash64")
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
 
@@ -819,7 +825,7 @@ def test_streaming_cms_matches_one_pass(spark, tmp_path):
 
     # fresh-checkpoint replay: same files re-delivered, state unchanged
     q2 = (
-        streaming_cms(stream, state, "key", width=64, depth=3, seed=9)
+        streaming_cms(stream, state, "key", width=64, depth=3, seed=9, hash="xxhash64")
         .option("checkpointLocation", str(tmp_path / "ckpt2"))
         .start()
     )
@@ -1045,6 +1051,107 @@ def test_streaming_cms_derivation_identity(spark, tmp_path):
         cms_state_sketch(spark, mixed).collect()
     with pytest.raises(ValueError, match="mixes hash derivations"):
         compact_cms_state(spark, mixed, up_to_batch=1)
+
+
+def test_streaming_eval_counts_auc_matches_batch(spark, tmp_path):
+    """Streaming exact-AUC state (r9 stretch): AUC from the per-score
+    counts state over 3 micro-batches == binary_auc over all rows
+    (counts are linear); a fresh-checkpoint replay changes nothing;
+    compaction folds the committed batches with identical AUC."""
+    import glob
+    import os
+    import shutil
+
+    from mwas_rfam_spark.operators.evaluation import binary_auc
+    from mwas_rfam_spark.streaming.requests import (
+        compact_eval_state,
+        eval_state_auc,
+        streaming_eval_counts,
+    )
+
+    rows = [
+        (i, round(0.05 * (i % 20) + (0.2 if i % 3 == 0 else 0.0), 3), i % 2)
+        for i in range(300)
+    ]
+    # seed ties, a NaN and a NULL label so the exclusion path streams too
+    docs = spark.createDataFrame(
+        rows + [(300, float("nan"), 1), (301, 0.5, None)],
+        "doc_id long, score double, label int",
+    ).cache()
+    src = tmp_path / "src"
+    os.makedirs(src, exist_ok=True)
+    for i in range(3):
+        b = docs.where(F.col("doc_id") % 3 == i).coalesce(1)
+        b.write.mode("overwrite").parquet(str(tmp_path / f"stage{i}"))
+        f = glob.glob(str(tmp_path / f"stage{i}" / "*.parquet"))[0]
+        shutil.copy(f, str(src / f"batch_{i}.parquet"))
+
+    state = str(tmp_path / "eval_state")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_eval_counts(stream, state)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    want = binary_auc(docs).collect()[0]
+    got = eval_state_auc(spark, state).collect()[0]
+    assert got["auc"] == pytest.approx(want["auc"], abs=1e-12)
+    assert (got["n_pos"], got["n_neg"], got["n_null"]) == (
+        want["n_pos"], want["n_neg"], want["n_null"],
+    )
+    assert got["n_null"] == 2  # the NaN score + NULL label rows streamed
+
+    # fresh-checkpoint replay: identical bytes, state unchanged
+    q2 = (
+        streaming_eval_counts(stream, state)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    again = eval_state_auc(spark, state).collect()[0]
+    assert again["auc"] == pytest.approx(want["auc"], abs=1e-12)
+
+    # compaction: one frozen partition, identical AUC, converged re-run
+    assert compact_eval_state(spark, state, up_to_batch=2) == 3
+    parts = {
+        os.path.basename(p) for p in glob.glob(os.path.join(state, "ingest_batch=*"))
+    }
+    assert parts == {"ingest_batch=-3"}
+    folded = eval_state_auc(spark, state).collect()[0]
+    assert folded["auc"] == pytest.approx(want["auc"], abs=1e-12)
+    assert folded["n_null"] == 2
+    assert compact_eval_state(spark, state, up_to_batch=2) == 0
+
+    # crash window: fold 0..1, resurrect sources — the reader's
+    # deepest-frozen bar must not double-count (shared
+    # _authoritative_state_rows rule)
+    state2 = str(tmp_path / "eval_state2")
+    from mwas_rfam_spark.operators.evaluation import per_score_counts
+
+    for b in range(2):
+        per_score_counts(docs.where(F.col("doc_id") % 2 == b)).write.parquet(
+            f"{state2}/ingest_batch={b}"
+        )
+    shutil.copytree(f"{state2}/ingest_batch=0", str(tmp_path / "s0"))
+    assert compact_eval_state(spark, state2, up_to_batch=1) == 2
+    shutil.copytree(str(tmp_path / "s0"), f"{state2}/ingest_batch=0")
+    resurrected = eval_state_auc(spark, state2).collect()[0]
+    assert resurrected["auc"] == pytest.approx(want["auc"], abs=1e-12)
+    assert (resurrected["n_pos"], resurrected["n_neg"]) == (
+        want["n_pos"], want["n_neg"],
+    )
 
 
 def test_cms_compactor_early_exit_clears_partial_target(spark, tmp_path):
