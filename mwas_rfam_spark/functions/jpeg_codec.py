@@ -1,24 +1,33 @@
-"""Baseline JPEG codec (stdlib + numpy) — the r5 verdict's stretch
-task #8: a real in-container JPEG decoder so the third still-image
-format joins PNG/GIF on the ``fake=False`` path despite the missing
-PIL wheel.
+"""Baseline + progressive JPEG codec (stdlib + numpy) — the r5
+verdict's stretch task #8 plus the r9 closure of the last named codec
+gap: a real in-container JPEG decoder so the third still-image format
+joins PNG/GIF on the ``fake=False`` path despite the missing PIL
+wheel.
 
-Scope (documented, checked, loudly rejected otherwise): baseline
-sequential DCT, Huffman-coded (SOF0), 8-bit precision, 1 (grayscale)
-or 3 (YCbCr) components, any integer sampling factors (4:4:4, 4:2:2,
-4:2:0, ...), restart intervals. Progressive (SOF2), arithmetic coding
-(SOF9+), hierarchical, 12-bit and CMYK exotica raise ValueError naming
-the offending field — the same contract as the PNG/GIF codecs (ITU-T
-T.81 is the spec; the quantization tables in the encoder are Annex K's
-examples).
+Scope (documented, checked, loudly rejected otherwise): Huffman-coded
+sequential DCT (SOF0) AND progressive DCT (SOF2 — spectral selection
+and successive approximation, DC and AC first+refinement scans, EOB
+runs, per T.81 annexes F/G; the refinement control flow follows the
+spec's G.1.2.3 procedure, the same one libjpeg implements), 8-bit
+precision, 1 (grayscale) or 3 (YCbCr) components, any integer
+sampling factors (4:4:4, 4:2:2, 4:2:0, ...), restart intervals.
+Arithmetic coding (SOF9+), hierarchical, lossless, 12-bit and CMYK
+exotica raise ValueError naming the offending field — the same
+contract as the PNG/GIF codecs (ITU-T T.81 is the spec; the
+quantization tables in the encoder are Annex K's examples).
 
 The encoder exists so tests can round-trip the decoder in-container:
-baseline, 4:4:4, one fixed-structure Huffman table pair (all 12 DC
-symbols at 4 bits, all 162 AC symbols at 8 bits — canonical, valid,
-deliberately simple rather than optimal; JPEG requires only that the
-table be well-formed, and the decoder reads the tables from the
-stream). Lossy by nature: round-trip asserts bounded per-pixel error,
-not equality.
+baseline or progressive (``progressive=True`` emits a
+libjpeg-style scan script — DC first at Al=1, DC refinement, and
+per-component AC band scans at Al=1 with their Al=0 refinements — so
+every progressive decode path is exercised, including EOB runs via
+the encoder's EOBn accumulation), 4:4:4 or 4:2:0, fixed-structure
+canonical Huffman tables (all 12 DC symbols at 4 bits, the AC symbols
+at 8 bits — valid, deliberately simple rather than optimal; the
+decoder reads the tables from the stream). Lossy by nature:
+round-trip asserts bounded per-pixel error, not equality — but
+progressive and baseline encodes of the SAME pixels quantize to the
+SAME coefficients, so their decodes are asserted bit-identical.
 
 This is a driver/executor-side kernel: it runs inside the Arrow-batched
 ``mapInPandas`` decode stage (operators/multimodal.py), one payload at
@@ -37,7 +46,6 @@ MAX_PIXELS = 1 << 24
 
 _SOF_NAMES = {
     0xC1: "extended sequential (SOF1)",
-    0xC2: "progressive (SOF2)",
     0xC3: "lossless (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -119,10 +127,10 @@ def _parse_sof0(seg: bytes, max_pixels: int) -> tuple[int, int, list[dict]]:
 
 
 def jpeg_dims(data: bytes, max_pixels: int = MAX_PIXELS) -> tuple[int, int, int]:
-    """Header-only (width, height, channels) from the SOF0 segment —
-    stops before any entropy decoding, so dims-only pipelines don't pay
-    the Huffman + IDCT cost of a full decode. Applies the SAME profile
-    checks as :func:`decode_jpeg` (shared :func:`_parse_sof0`)."""
+    """Header-only (width, height, channels) from the SOF0/SOF2 segment
+    — stops before any entropy decoding, so dims-only pipelines don't
+    pay the Huffman + IDCT cost of a full decode. Applies the SAME
+    profile checks as :func:`decode_jpeg` (shared :func:`_parse_sof0`)."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG (bad SOI signature)")
     pos = 2
@@ -142,13 +150,14 @@ def jpeg_dims(data: bytes, max_pixels: int = MAX_PIXELS) -> tuple[int, int, int]
         seg = data[pos + 4 : pos + 2 + seg_len]
         if marker in _SOF_NAMES:
             raise ValueError(
-                f"unsupported JPEG coding: {_SOF_NAMES[marker]} (baseline SOF0 only)"
+                f"unsupported JPEG coding: {_SOF_NAMES[marker]} "
+                "(baseline SOF0 / progressive SOF2 only)"
             )
-        if marker == 0xC0:
+        if marker in (0xC0, 0xC2):
             h, w, comps = _parse_sof0(seg, max_pixels)
             return w, h, len(comps)
         pos += 2 + seg_len
-    raise ValueError("JPEG missing SOF0 header")
+    raise ValueError("JPEG missing SOF0/SOF2 header")
 
 
 # --------------------------------------------------------------- decode
@@ -250,18 +259,24 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS) -> tuple[int, int, int, bytes]:
-    """Decode a baseline JPEG → (width, height, channels, raw pixel
-    bytes, row-major, channels interleaved; 3-channel output is RGB via
-    BT.601 from YCbCr). Raises ValueError on anything outside the
-    supported profile, including images whose declared dims exceed
-    ``max_pixels`` (checked at SOF parse, before any allocation)."""
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG → (width,
+    height, channels, raw pixel bytes, row-major, channels interleaved;
+    3-channel output is RGB via BT.601 from YCbCr). Raises ValueError
+    on anything outside the supported profile, including images whose
+    declared dims exceed ``max_pixels`` (checked at SOF parse, before
+    any allocation). A progressive stream accumulates coefficients
+    across its scans and renders once at EOI — successive-approximation
+    completeness is the stream author's contract (T.81 allows truncated
+    progressions; whatever precision the scans delivered is rendered)."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG (bad SOI signature)")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
     restart_interval = 0
-    frame = None  # (h, w, comps) from SOF0
+    frame = None  # (h, w, comps) from SOF0/SOF2
+    progressive = False
+    prog: dict | None = None  # progressive state (allocated at first SOS)
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected JPEG marker at byte {pos}")
@@ -273,12 +288,15 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS) -> tuple[int, int, in
             # standalone markers (stray SOI / TEM / RSTn): no length word
             pos += 2
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI: renders the accumulated progressive scans
             break
         (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         seg = data[pos + 4 : pos + 2 + seg_len]
         if marker in _SOF_NAMES:
-            raise ValueError(f"unsupported JPEG coding: {_SOF_NAMES[marker]} (baseline SOF0 only)")
+            raise ValueError(
+                f"unsupported JPEG coding: {_SOF_NAMES[marker]} "
+                "(baseline SOF0 / progressive SOF2 only)"
+            )
         if marker == 0xDB:  # DQT
             s = 0
             while s < len(seg):
@@ -308,13 +326,23 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS) -> tuple[int, int, in
                 s += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xC0:  # SOF0 baseline — shared profile gate
+        elif marker in (0xC0, 0xC2):  # SOF0/SOF2 — shared profile gate
+            if frame is not None:
+                raise ValueError("multiple JPEG frame headers")
             frame = _parse_sof0(seg, max_pixels)
+            progressive = marker == 0xC2
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise ValueError("JPEG SOS before SOF0")
-            ns = seg[0]
+                raise ValueError("JPEG SOS before SOF0/SOF2")
             h, w, comps = frame
+            if progressive:
+                if prog is None:
+                    prog = _alloc_progressive(h, w, comps, max_pixels)
+                pos = _decode_progressive_scan(
+                    data, pos + 2 + seg_len, seg, prog, huff, restart_interval
+                )
+                continue  # pos now points at the next marker
+            ns = seg[0]
             if ns != len(comps):
                 raise ValueError("JPEG scan must cover all frame components (baseline)")
             by_id = {c["id"]: c for c in comps}
@@ -332,6 +360,15 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS) -> tuple[int, int, in
             )
         # APPn / COM / anything else: skip
         pos += 2 + seg_len
+    if prog is not None:
+        h, w, comps = frame
+        for c in comps:
+            if c["tq"] not in qt:
+                raise ValueError(
+                    f"JPEG component references missing quant table {c['tq']}"
+                )
+            c["coef"] = c["coef"].astype(np.float64)
+        return _idct_planes(comps, qt, h, w)
     raise ValueError("JPEG missing SOS (no scan data)")
 
 
@@ -354,8 +391,6 @@ def _decode_scan(data, pos, h, w, comps, qt, huff, restart_interval, max_pixels)
         c["pred"] = 0
 
     r = _BitReader(data, pos)
-    zz_rows = np.array([p[0] for p in _ZIGZAG])
-    zz_cols = np.array([p[1] for p in _ZIGZAG])
     n_mcu = mcus_x * mcus_y
     rst = 0
     for m in range(n_mcu):
@@ -392,7 +427,233 @@ def _decode_scan(data, pos, h, w, comps, qt, huff, restart_interval, max_pixels)
                     row = my * c["v"] + by
                     col = mx * c["h"] + bx
                     c["coef"][row * c["blocks_w"] + col] = blk
-    # dequantize + IDCT per component, vectorized over all blocks
+    return _idct_planes(comps, qt, h, w)
+
+
+def _alloc_progressive(h, w, comps, max_pixels):
+    """Allocate the cross-scan coefficient state for a SOF2 frame: one
+    int32 (n_blocks, 64) array per component over the MCU-padded grid
+    (interleaved DC scans cover padding blocks; non-interleaved scans
+    iterate only the true block grid and leave padding zero), plus the
+    per-component true block dims and DC predictors."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    if mcus_x * mcus_y * 64 * hmax * vmax > 4 * max_pixels:
+        raise ValueError("JPEG MCU grid exceeds the allocation budget")
+    for c in comps:
+        c["blocks_w"] = mcus_x * c["h"]
+        c["blocks_h"] = mcus_y * c["v"]
+        # true (unpadded) block grid for non-interleaved scans —
+        # T.81 A.2.2: ceil(component dim / 8), NOT the MCU-padded grid
+        c["tb_w"] = -(-(-(-w * c["h"] // hmax)) // 8)
+        c["tb_h"] = -(-(-(-h * c["v"] // vmax)) // 8)
+        c["coef"] = np.zeros((c["blocks_h"] * c["blocks_w"], 64), dtype=np.int32)
+        c["pred"] = 0
+    return {
+        "comps": comps,
+        "by_id": {c["id"]: c for c in comps},
+        "mcus_x": mcus_x,
+        "mcus_y": mcus_y,
+    }
+
+
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """Position of the next marker at/after ``pos`` in the entropy
+    stream's tail: skips the final byte's padding bits are already
+    consumed, so the next bytes must be 0xFF fill/marker."""
+    d = data
+    while pos + 1 < len(d) and d[pos] == 0xFF and d[pos + 1] == 0xFF:
+        pos += 1  # fill bytes before a marker id
+    if pos + 1 >= len(d) or d[pos] != 0xFF or d[pos + 1] == 0x00:
+        raise ValueError("expected JPEG marker after progressive scan data")
+    return pos
+
+
+def _decode_progressive_scan(data, pos, seg, prog, huff, restart_interval):
+    """One SOF2 scan (T.81 G.2): parse the scan header (Ss/Se/Ah/Al +
+    per-component entropy table ids), route each block through the
+    right procedure (DC first / DC refine / AC first / AC refine), and
+    return the stream position of the marker that follows the scan's
+    entropy data. Interleaved (ns>1, DC only) scans walk the frame MCU
+    grid; single-component scans walk that component's true block grid.
+    Restart intervals reset DC predictors and the EOB run."""
+    ns = seg[0]
+    if not 1 <= ns <= len(prog["comps"]):
+        raise ValueError(f"invalid JPEG scan component count {ns}")
+    scan = []
+    for i in range(ns):
+        cid, tt = seg[1 + 2 * i : 3 + 2 * i]
+        c = prog["by_id"].get(cid)
+        if c is None:
+            raise ValueError(f"JPEG scan references unknown component {cid}")
+        c["dc"] = tt >> 4
+        c["ac"] = tt & 0x0F
+        scan.append(c)
+    ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    if not (0 <= ss <= se <= 63) or al > 13:
+        raise ValueError(f"invalid JPEG progressive band Ss={ss} Se={se} Al={al}")
+    if ss == 0 and se != 0:
+        raise ValueError(
+            "progressive JPEG scan with Ss=0 must have Se=0 "
+            "(DC and AC may not share a scan)"
+        )
+    if ss > 0 and ns != 1:
+        raise ValueError("progressive JPEG AC scans must be single-component")
+    if ah != 0 and ah != al + 1:
+        raise ValueError(
+            f"invalid JPEG successive approximation Ah={ah} Al={al}"
+        )
+    r = _BitReader(data, pos)
+    if ss == 0:
+        _decode_dc_scan(r, prog, scan, ah, al, huff, restart_interval)
+    else:
+        _decode_ac_scan(r, scan[0], ss, se, ah, al, huff, restart_interval)
+    return _next_marker_pos(data, r.pos)
+
+
+def _decode_dc_scan(r, prog, scan, ah, al, huff, restart_interval):
+    first = ah == 0
+    if first:
+        for c in scan:
+            if (0, c["dc"]) not in huff:
+                raise ValueError("JPEG scan references missing Huffman table")
+            c["pred"] = 0
+    interleaved = len(scan) > 1
+    if interleaved:
+        units = prog["mcus_x"] * prog["mcus_y"]
+    else:
+        units = scan[0]["tb_w"] * scan[0]["tb_h"]
+
+    def dc_block(c, n):
+        if first:
+            t = _decode_huff(r, huff[(0, c["dc"])])
+            if t > 11:
+                raise ValueError(f"invalid JPEG DC category {t}")
+            c["pred"] += _extend(r.read_bits(t), t)
+            c["coef"][n, 0] = c["pred"] << al
+        else:
+            if r.read_bit():
+                c["coef"][n, 0] = int(c["coef"][n, 0]) | (1 << al)
+
+    rst = 0
+    for m in range(units):
+        if restart_interval and m and m % restart_interval == 0:
+            r.restart(rst)
+            rst = (rst + 1) & 7
+            for c in scan:
+                c["pred"] = 0
+        if interleaved:
+            my, mx = divmod(m, prog["mcus_x"])
+            for c in scan:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        dc_block(c, row * c["blocks_w"] + col)
+        else:
+            c = scan[0]
+            row, col = divmod(m, c["tb_w"])
+            dc_block(c, row * c["blocks_w"] + col)
+
+
+def _decode_ac_scan(r, c, ss, se, ah, al, huff, restart_interval):
+    if (1, c["ac"]) not in huff:
+        raise ValueError("JPEG scan references missing Huffman table")
+    ac_tbl = huff[(1, c["ac"])]
+    units = c["tb_w"] * c["tb_h"]
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+    rst = 0
+    for m in range(units):
+        if restart_interval and m and m % restart_interval == 0:
+            r.restart(rst)
+            rst = (rst + 1) & 7
+            eobrun = 0
+        row, col = divmod(m, c["tb_w"])
+        blk = c["coef"][row * c["blocks_w"] + col]
+        if ah == 0:
+            # AC first scan (T.81 G.1.2.2): EOBn runs skip whole blocks
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _decode_huff(r, ac_tbl)
+                rr, sz = rs >> 4, rs & 0x0F
+                if sz == 0:
+                    if rr != 15:
+                        eobrun = (1 << rr) - 1
+                        if rr:
+                            eobrun += r.read_bits(rr)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += rr
+                if k > se:
+                    raise ValueError("JPEG AC run past end of band")
+                blk[k] = _extend(r.read_bits(sz), sz) << al
+                k += 1
+        else:
+            # AC refinement scan (T.81 G.1.2.3): correction bits for
+            # already-nonzero coefficients, +-1<<Al for newly-nonzero
+            # ones, EOB runs carrying correction bits
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _decode_huff(r, ac_tbl)
+                    rr, sz = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if sz == 0:
+                        if rr != 15:
+                            eobrun = 1 << rr
+                            if rr:
+                                eobrun += r.read_bits(rr)
+                            break  # EOB tail below handles this block
+                        # rr == 15: ZRL — skip 16 zero-history coefs
+                    else:
+                        if sz != 1:
+                            raise ValueError(
+                                "invalid JPEG AC refinement symbol (size != 1)"
+                            )
+                        newval = p1 if r.read_bit() else m1
+                    while k <= se:
+                        v = int(blk[k])
+                        if v != 0:
+                            if r.read_bit() and not (v & p1):
+                                blk[k] = v + (p1 if v >= 0 else m1)
+                        else:
+                            if rr == 0:
+                                break
+                            rr -= 1
+                        k += 1
+                    if newval:
+                        if k > se:
+                            raise ValueError("JPEG AC refinement run past band")
+                        blk[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    v = int(blk[k])
+                    if v != 0:
+                        if r.read_bit() and not (v & p1):
+                            blk[k] = v + (p1 if v >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+
+def _idct_planes(comps, qt, h, w):
+    """Dequantize + IDCT + upsample + color-convert the accumulated
+    per-component coefficient arrays — the SHARED finishing stage of
+    the baseline single-scan path and the progressive multi-scan path
+    (each comp carries coef (n_blocks, 64, zigzag order), blocks_w/h,
+    tq, h, v)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    zz_rows = np.array([p[0] for p in _ZIGZAG])
+    zz_cols = np.array([p[1] for p in _ZIGZAG])
     planes = []
     for c in comps:
         q = qt[c["tq"]].astype(np.float64)
@@ -474,6 +735,18 @@ def _canonical_codes(bits: list[int], syms: list[int]) -> dict[int, tuple[int, i
 _DC_CODES = _canonical_codes(_DC_BITS, _DC_SYMS)
 _AC_CODES = _canonical_codes(_AC_BITS, sorted(_AC_SYMS))
 
+#: progressive AC table: the baseline 162 symbols PLUS the EOBn
+#: symbols (r<<4 for r=1..14) progressive scans use to code EOB runs
+#: of up to 2^15-1 blocks (T.81 G.1.2.2) — 176 symbols, all at 8 bits,
+#: canonical-valid (top code 175 != 255).
+_AC_SYMS_PROG = sorted(
+    {r << 4 for r in range(15)}
+    | {0xF0}
+    | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+)
+_AC_BITS_PROG = [0, 0, 0, 0, 0, 0, 0, len(_AC_SYMS_PROG)] + [0] * 8
+_AC_CODES_PROG = _canonical_codes(_AC_BITS_PROG, _AC_SYMS_PROG)
+
 
 class _BitWriter:
     def __init__(self):
@@ -554,13 +827,26 @@ def encode_jpeg(
     quality: int = 90,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Minimal valid baseline JPEG writer (fixed-structure Huffman
-    tables, Annex K quant tables scaled by ``quality``; ``subsampling``
-    is ``"444"`` or ``"420"`` for 3-channel input; ``restart_interval``
-    emits DRI + RSTn markers every N MCUs) — exists so tests can
-    round-trip the decoder with stdlib+numpy only, including its
-    chroma-upsampling and restart paths; not a production compressor."""
+    """Minimal valid JPEG writer (fixed-structure Huffman tables,
+    Annex K quant tables scaled by ``quality``; ``subsampling`` is
+    ``"444"`` or ``"420"`` for 3-channel input; ``restart_interval``
+    emits DRI + RSTn markers every N MCUs, baseline only) — exists so
+    tests can round-trip the decoder with stdlib+numpy only, including
+    its chroma-upsampling, restart, and progressive paths; not a
+    production compressor.
+
+    ``progressive=True`` emits SOF2 with a libjpeg-style scan script —
+    interleaved DC first at Al=1, DC refinement, then per component the
+    AC bands 1-5 and 6-63 each as an Al=1 first scan plus its Al=0
+    refinement — so a round-trip exercises spectral selection,
+    successive approximation (DC and AC), EOB-run accumulation (the
+    progressive AC table carries the EOBn symbols), and the refinement
+    correction-bit buffering. The quantized coefficients are IDENTICAL
+    to the baseline encode of the same pixels (same quant step, same
+    clamping), so progressive and baseline decodes agree bit-for-bit
+    once all scans are applied — pytest-pinned."""
     if channels not in (1, 3):
         raise ValueError(f"channels must be 1 or 3, got {channels}")
     if len(pixels) != width * height * channels:
@@ -571,6 +857,12 @@ def encode_jpeg(
         raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
     if restart_interval < 0 or restart_interval > 0xFFFF:
         raise ValueError(f"restart_interval out of range: {restart_interval}")
+    if progressive and restart_interval:
+        raise ValueError(
+            "progressive encode does not support restart_interval "
+            "(decoder handles progressive restarts; the test encoder "
+            "keeps its scan emitters restart-free)"
+        )
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
     q_lum = np.clip((_Q_LUM * scale + 50) // 100, 1, 255).astype(np.int32)
     q_chrom = np.clip((_Q_CHROM * scale + 50) // 100, 1, 255).astype(np.int32)
@@ -628,6 +920,10 @@ def encode_jpeg(
             np.round(coef[:, zz_rows, zz_cols] / zz_q), -1023, 1023
         ).astype(np.int64)
         c["bw"] = bw_c
+        # true (unpadded) block grid — non-interleaved progressive
+        # scans iterate these blocks only (T.81 A.2.2)
+        c["tb_w"] = -(-p.shape[1] // 8)
+        c["tb_h"] = -(-p.shape[0] // 8)
 
     # ---- headers ------------------------------------------------------
     def seg(marker: int, payload: bytes) -> bytes:
@@ -642,12 +938,19 @@ def encode_jpeg(
     sof = struct.pack(">BHHB", 8, height, width, channels)
     for i, c in enumerate(comps):
         sof += bytes([i + 1, (c["h"] << 4) | c["v"], c["tq"]])
-    out += seg(0xC0, sof)
+    out += seg(0xC2 if progressive else 0xC0, sof)
+    ac_bits, ac_syms = (
+        (_AC_BITS_PROG, _AC_SYMS_PROG) if progressive else (_AC_BITS, sorted(_AC_SYMS))
+    )
     out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_SYMS))
-    out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(sorted(_AC_SYMS)))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_syms))
     if channels == 3:
         out += seg(0xC4, bytes([0x01]) + bytes(_DC_BITS) + bytes(_DC_SYMS))
-        out += seg(0xC4, bytes([0x11]) + bytes(_AC_BITS) + bytes(sorted(_AC_SYMS)))
+        out += seg(0xC4, bytes([0x11]) + bytes(ac_bits) + bytes(ac_syms))
+    if progressive:
+        out += _encode_progressive_scans(comps, mcus_x, mcus_y, seg)
+        out += b"\xff\xd9"
+        return bytes(out)
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([channels])
@@ -674,3 +977,191 @@ def encode_jpeg(
     out += wtr.flush()
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ------------------------------------------------- progressive encode
+
+
+def _encode_progressive_scans(comps, mcus_x, mcus_y, seg) -> bytes:
+    """Emit the SOS segments + entropy data for the fixed progressive
+    scan script (see :func:`encode_jpeg`). DC scans interleave every
+    component over the MCU grid; AC scans are single-component over the
+    true block grid, per band, first pass at Al=1 then the Al=0
+    refinement — the script touches every decoder code path."""
+    ncomp = len(comps)
+    allc = list(range(ncomp))
+    scans = [(allc, 0, 0, 0, 1), (allc, 0, 0, 1, 0)]
+    for ci in range(ncomp):
+        scans += [
+            ([ci], 1, 5, 0, 1),
+            ([ci], 6, 63, 0, 1),
+            ([ci], 1, 5, 1, 0),
+            ([ci], 6, 63, 1, 0),
+        ]
+    out = bytearray()
+    for cis, ss, se, ah, al in scans:
+        sos = bytes([len(cis)])
+        for ci in cis:
+            tbl = 0 if ci == 0 else 1
+            # DC scans use Td (high nibble), AC scans Ta (low nibble);
+            # the unused nibble is 0 per T.81 B.2.3
+            sos += bytes([ci + 1, (tbl << 4) if ss == 0 else tbl])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        if ss == 0:
+            out += _emit_dc_scan(comps, cis, ah, al, mcus_x, mcus_y)
+        elif ah == 0:
+            out += _emit_ac_first_scan(comps[cis[0]], ss, se, al)
+        else:
+            out += _emit_ac_refine_scan(comps[cis[0]], ss, se, al)
+    return bytes(out)
+
+
+def _emit_dc_scan(comps, cis, ah, al, mcus_x, mcus_y) -> bytes:
+    wtr = _BitWriter()
+    preds = {ci: 0 for ci in cis}
+    for m in range(mcus_x * mcus_y):
+        my, mx = divmod(m, mcus_x)
+        for ci in cis:
+            c = comps[ci]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    n = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                    dc = int(c["zz"][n][0])
+                    if ah == 0:
+                        # point transform: arithmetic shift (T.81 G.1.2.1)
+                        v = dc >> al
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        t = _category(diff)
+                        ln, code = _DC_CODES[t]
+                        wtr.write(code, ln)
+                        if t:
+                            wtr.write(
+                                diff if diff >= 0 else diff + (1 << t) - 1, t
+                            )
+                    else:
+                        wtr.write((dc >> al) & 1, 1)
+    return wtr.flush()
+
+
+def _emit_eobrun(wtr, eobrun: int, pending_bits: list[int]) -> None:
+    """EOBn symbol (T.81 G.1.2.2): n = floor(log2(EOBRUN)), followed by
+    the n low bits of EOBRUN, then any correction bits the run buffered
+    (refinement scans only)."""
+    if eobrun:
+        nb = eobrun.bit_length() - 1
+        ln, code = _AC_CODES_PROG[nb << 4]
+        wtr.write(code, ln)
+        if nb:
+            wtr.write(eobrun - (1 << nb), nb)
+    for b in pending_bits:
+        wtr.write(b, 1)
+
+
+def _emit_ac_first_scan(c, ss, se, al) -> bytes:
+    wtr = _BitWriter()
+    eobrun = 0
+    for m in range(c["tb_w"] * c["tb_h"]):
+        row, col = divmod(m, c["tb_w"])
+        blk = c["zz"][row * c["bw"] + col]
+        # point transform on AC: sign-magnitude shift (T.81 G.1.2.2)
+        vals = [
+            (int(v) >> al) if v >= 0 else -((-int(v)) >> al)
+            for v in blk[ss : se + 1]
+        ]
+        last = -1
+        for i in range(len(vals) - 1, -1, -1):
+            if vals[i]:
+                last = i
+                break
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                _emit_eobrun(wtr, eobrun, [])
+                eobrun = 0
+            continue
+        _emit_eobrun(wtr, eobrun, [])
+        eobrun = 0
+        run = 0
+        for i in range(last + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = _AC_CODES_PROG[0xF0]
+                wtr.write(code, ln)
+                run -= 16
+            s = _category(v)
+            ln, code = _AC_CODES_PROG[(run << 4) | s]
+            wtr.write(code, ln)
+            wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                _emit_eobrun(wtr, eobrun, [])
+                eobrun = 0
+    _emit_eobrun(wtr, eobrun, [])
+    return wtr.flush()
+
+
+def _emit_ac_refine_scan(c, ss, se, al) -> bytes:
+    """AC successive-approximation refinement (T.81 G.1.2.3, the
+    libjpeg encode_mcu_AC_refine control flow): newly-significant
+    coefficients emit (run<<4)|1 + a sign bit, previously-significant
+    ones ride as buffered correction bits after the next emitted
+    symbol, and all-EOB tails fold into an EOB run that carries its
+    blocks' correction bits."""
+    wtr = _BitWriter()
+    eobrun = 0
+    pending: list[int] = []  # correction bits owed to the pending EOB run
+    for m in range(c["tb_w"] * c["tb_h"]):
+        row, col = divmod(m, c["tb_w"])
+        blk = c["zz"][row * c["bw"] + col]
+        band = [int(v) for v in blk[ss : se + 1]]
+        mags = [(abs(v) >> al) for v in band]
+        eob = -1  # index of the LAST newly-significant coefficient
+        for i, t in enumerate(mags):
+            if t == 1:
+                eob = i
+        run = 0
+        br: list[int] = []  # correction bits since the last symbol
+        for i, t in enumerate(mags):
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eob:
+                _emit_eobrun(wtr, eobrun, pending)
+                eobrun = 0
+                pending = []
+                ln, code = _AC_CODES_PROG[0xF0]
+                wtr.write(code, ln)
+                run -= 16
+                for b in br:
+                    wtr.write(b, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            # t == 1: newly significant
+            _emit_eobrun(wtr, eobrun, pending)
+            eobrun = 0
+            pending = []
+            ln, code = _AC_CODES_PROG[(run << 4) | 1]
+            wtr.write(code, ln)
+            wtr.write(1 if band[i] >= 0 else 0, 1)
+            for b in br:
+                wtr.write(b, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            eobrun += 1
+            pending += br
+            if eobrun == 0x7FFF or len(pending) > 900:
+                _emit_eobrun(wtr, eobrun, pending)
+                eobrun = 0
+                pending = []
+    _emit_eobrun(wtr, eobrun, pending)
+    return wtr.flush()

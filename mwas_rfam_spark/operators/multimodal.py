@@ -12,7 +12,7 @@ columns at all; a 100 TB training-data pipeline does. Design rules:
   ``mapInPandas`` stages: Arrow batches in, Arrow batches out, schema
   declared up front. The full-fat codec wheels (PIL / soundfile / av)
   are NOT in this container, so each family prefers them when present
-  and falls back to a REAL in-container decoder — PNG+GIF+baseline JPEG
+  and falls back to a REAL in-container decoder — PNG+GIF+JPEG (baseline and progressive)
   for images (functions/png_codec, functions/gif_codec,
   functions/jpeg_codec), ``wave`` for audio, animated GIF for video
   frame-sampling — raising a clearly-named NotImplementedError only for

@@ -396,6 +396,65 @@ def test_jpeg_roundtrip_all_modes():
     assert np.abs(got - xrgb.astype(int)).max() <= 4
 
 
+def test_jpeg_progressive_bit_identical_to_baseline():
+    """Progressive JPEG (r9, closing the last named codec gap): the
+    encoder's scan script exercises spectral selection, DC and AC
+    successive approximation, EOB runs, and refinement correction
+    bits; because progressive and baseline encodes of the same pixels
+    quantize to the SAME coefficients, the two decodes must agree
+    BIT-FOR-BIT once all scans are applied — a much stronger pin than
+    bounded error (the entropy paths share no code; only the
+    coefficient computation is common)."""
+    import numpy as np
+
+    from mwas_rfam_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_dims,
+    )
+
+    rng = np.random.default_rng(7)
+    for (w, h, ch, sub) in [
+        (32, 24, 3, "444"),
+        (37, 21, 3, "420"),  # odd dims + subsampled chroma
+        (16, 16, 1, "444"),  # grayscale: ns=1 non-interleaved DC scan
+        (64, 48, 3, "420"),
+    ]:
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        base = 128 + 60 * np.sin(xx / 9) + 50 * np.cos(yy / 7)
+        img = np.clip(
+            base[..., None] + rng.normal(0, 12, (h, w, ch)), 0, 255
+        ).astype(np.uint8)
+        for q in (50, 90):
+            b = encode_jpeg(w, h, ch, img.tobytes(), quality=q, subsampling=sub)
+            p = encode_jpeg(
+                w, h, ch, img.tobytes(), quality=q, subsampling=sub,
+                progressive=True,
+            )
+            assert jpeg_dims(p) == (w, h, ch)  # header-only reads SOF2
+            assert decode_jpeg(p) == decode_jpeg(b)
+
+    # a flat image maximizes EOB runs (every AC band empty -> one EOBn
+    # covering the whole scan) — the run length needs the multi-bit
+    # EOBn path, not just EOB0
+    flat = np.full((40, 40, 3), 77, dtype=np.uint8)
+    pf = encode_jpeg(40, 40, 3, flat.tobytes(), quality=90, progressive=True)
+    bf = encode_jpeg(40, 40, 3, flat.tobytes(), quality=90)
+    assert decode_jpeg(pf) == decode_jpeg(bf)
+    assert len(pf) < len(bf) * 2  # EOBn folding actually compresses
+
+    # truncated progressive stream fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="truncated|marker"):
+        decode_jpeg(pf[: len(pf) // 2])
+
+    # progressive encode + restarts is declared out of the test
+    # encoder's scope (the DECODER handles progressive restarts)
+    with pytest.raises(ValueError, match="restart"):
+        encode_jpeg(16, 16, 3, bytes(768), progressive=True, restart_interval=2)
+
+
 def test_jpeg_rejects_unsupported():
     """Everything outside the baseline profile is a ValueError naming
     the offending field, and hostile dims hit max_pixels BEFORE any
@@ -412,11 +471,14 @@ def test_jpeg_rejects_unsupported():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
 
-    # flip SOF0 -> SOF2 (progressive): marker byte of the C0 segment
+    # flip SOF0 -> SOF2: since r9 progressive IS supported, a relabeled
+    # baseline stream is now a CORRUPT progressive stream (its single
+    # scan declares Ss=0, Se=63 — DC and AC may not share a progressive
+    # scan) and must still fail loudly, just further down the parser
+    sof_at = bytearray(good).find(b"\xff\xc0")
     prog = bytearray(good)
-    sof_at = prog.find(b"\xff\xc0")
     prog[sof_at + 1] = 0xC2
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(bytes(prog))
     arith = bytearray(good)
     arith[sof_at + 1] = 0xC9
