@@ -274,3 +274,246 @@ def mp4_metadata(data: bytes) -> dict:
         "audio_sample_rate": audio_rate,
         "bitrate_kbps": (len(data) * 8 / duration_s / 1000.0) if duration_s > 0 else None,
     }
+
+
+# ------------------------------------------------------------- AVI (RIFF)
+
+
+def is_avi(data: bytes) -> bool:
+    return len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"AVI "
+
+
+def _riff_chunks(data: bytes, start: int, end: int):
+    """(fourcc, payload_start, payload_end) for each chunk in a RIFF
+    span — chunks are word-aligned (odd payload sizes pad one byte)."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        ps = pos + 8
+        pe = ps + size
+        if pe > end:
+            raise ValueError(f"truncated AVI chunk {fourcc!r}")
+        yield fourcc, ps, pe
+        pos = pe + (size & 1)  # word alignment
+
+
+def avi_metadata(data: bytes) -> dict:
+    """Header-only AVI metadata from the `hdrl` LIST (AVI 1.0, the
+    RIFF layout Microsoft's AVIMAINHEADER/AVISTREAMHEADER documents):
+    {duration_s, width, height, n_frames, n_video_tracks,
+    n_audio_tracks, audio_sample_rate, bitrate_kbps}. Duration prefers
+    the video stream header's exact dwLength·dwScale/dwRate over
+    avih's microseconds-per-frame (the latter is advisory); the movi
+    payload is never touched. Raises ValueError on a missing/truncated
+    header tree."""
+    if not is_avi(data):
+        raise ValueError("not an AVI (RIFF/'AVI ' signature missing)")
+    (riff_size,) = struct.unpack("<I", data[4:8])
+    end = min(len(data), 8 + riff_size)
+    avih = None
+    n_video = n_audio = 0
+    audio_rate = None
+    vid_duration = None
+    for fourcc, ps, pe in _riff_chunks(data, 12, end):
+        if fourcc != b"LIST" or data[ps : ps + 4] != b"hdrl":
+            continue
+        for f2, s2, e2 in _riff_chunks(data, ps + 4, pe):
+            if f2 == b"avih":
+                if e2 - s2 < 40:
+                    raise ValueError(f"truncated AVI avih chunk ({e2 - s2} bytes)")
+                avih = struct.unpack("<10I", data[s2 : s2 + 40])
+            elif f2 == b"LIST" and data[s2 : s2 + 4] == b"strl":
+                strh = None
+                for f3, s3, e3 in _riff_chunks(data, s2 + 4, e2):
+                    if f3 == b"strh":
+                        if e3 - s3 < 32:
+                            raise ValueError(
+                                f"truncated AVI strh chunk ({e3 - s3} bytes)"
+                            )
+                        strh = (data[s3 : s3 + 4], s3, e3)
+                    elif f3 == b"strf" and strh is not None:
+                        if strh[0] == b"auds" and audio_rate is None:
+                            if e3 - s3 >= 8:
+                                (audio_rate,) = struct.unpack(
+                                    "<I", data[s3 + 4 : s3 + 8]
+                                )  # WAVEFORMATEX nSamplesPerSec
+                if strh is not None:
+                    fcc_type, s3, _e3 = strh
+                    if fcc_type == b"vids":
+                        n_video += 1
+                        scale, rate, _start, length = struct.unpack(
+                            "<4I", data[s3 + 20 : s3 + 36]
+                        )
+                        if vid_duration is None and rate:
+                            vid_duration = length * scale / rate
+                    elif fcc_type == b"auds":
+                        n_audio += 1
+        break  # hdrl found and parsed
+    if avih is None:
+        raise ValueError("AVI missing avih header (no hdrl LIST?)")
+    usec_per_frame, _maxbps, _pad, _flags, total_frames = avih[:5]
+    width, height = avih[8], avih[9]
+    duration = (
+        vid_duration
+        if vid_duration is not None
+        else (total_frames * usec_per_frame / 1e6 if usec_per_frame else None)
+    )
+    return {
+        "duration_s": duration,
+        "width": width or None,
+        "height": height or None,
+        "n_frames": total_frames,
+        "n_video_tracks": n_video,
+        "n_audio_tracks": n_audio,
+        "audio_sample_rate": audio_rate,
+        "bitrate_kbps": (
+            len(data) * 8 / duration / 1000.0 if duration else None
+        ),
+    }
+
+
+# ------------------------------------------------- Matroska / WebM (EBML)
+
+
+def is_mkv(data: bytes) -> bool:
+    return data[:4] == b"\x1a\x45\xdf\xa3"
+
+
+def _ebml_vint(data: bytes, pos: int, keep_marker: bool):
+    """EBML variable-length integer at ``pos`` → (value, next_pos).
+    Element IDs keep the length-marker bit (the convention Matroska IDs
+    are quoted in); sizes clear it. A size with all value bits set
+    means 'unknown' → returned as None."""
+    if pos >= len(data):
+        raise ValueError("truncated EBML varint")
+    first = data[pos]
+    if first == 0:
+        raise ValueError("invalid EBML varint (>8 bytes)")
+    length = 8 - first.bit_length() + 1
+    if pos + length > len(data):
+        raise ValueError("truncated EBML varint")
+    if keep_marker:
+        v = 0
+        for i in range(length):
+            v = (v << 8) | data[pos + i]
+    else:
+        v = first & ((1 << (8 - length)) - 1)
+        unknown = v == (1 << (8 - length)) - 1
+        for i in range(1, length):
+            v = (v << 8) | data[pos + i]
+            unknown = unknown and data[pos + i] == 0xFF
+        if unknown:
+            return None, pos + length
+    return v, pos + length
+
+
+def _ebml_children(data: bytes, start: int, end: int):
+    """(element_id, payload_start, payload_end) for each child element;
+    an unknown-size element (streamed Segment) extends to ``end``."""
+    pos = start
+    while pos < end:
+        eid, pos = _ebml_vint(data, pos, keep_marker=True)
+        size, pos = _ebml_vint(data, pos, keep_marker=False)
+        pe = end if size is None else pos + size
+        if pe > end:
+            raise ValueError(f"truncated EBML element 0x{eid:X}")
+        yield eid, pos, pe
+        pos = pe
+
+
+def _ebml_float(data: bytes, s: int, e: int) -> float:
+    if e - s == 4:
+        return struct.unpack(">f", data[s:e])[0]
+    if e - s == 8:
+        return struct.unpack(">d", data[s:e])[0]
+    raise ValueError(f"invalid EBML float width {e - s}")
+
+
+def _ebml_uint(data: bytes, s: int, e: int) -> int:
+    if not 0 < e - s <= 8:
+        raise ValueError(f"invalid EBML uint width {e - s}")
+    v = 0
+    for i in range(s, e):
+        v = (v << 8) | data[i]
+    return v
+
+
+def mkv_metadata(data: bytes) -> dict:
+    """Header-only Matroska/WebM metadata from the Segment's Info and
+    Tracks elements (EBML walk; Clusters are SKIPPED by their declared
+    size — no frame data is touched): {container ('matroska'/'webm'
+    from the EBML DocType), duration_s (Info Duration x TimestampScale,
+    ns-scaled per the Matroska spec), width/height (first video
+    TrackEntry's PixelWidth/PixelHeight), track census, first audio
+    track's SamplingFrequency, container-level bitrate}. Raises
+    ValueError when the Segment or Info is missing."""
+    if not is_mkv(data):
+        raise ValueError("not an EBML stream (Matroska/WebM signature missing)")
+    doctype = "matroska"
+    segment = None
+    for eid, s, e in _ebml_children(data, 0, len(data)):
+        if eid == 0x1A45DFA3:  # EBML header
+            for cid, cs, ce in _ebml_children(data, s, e):
+                if cid == 0x4282:  # DocType
+                    doctype = data[cs:ce].decode("ascii", "replace").rstrip("\x00")
+        elif eid == 0x18538067:  # Segment
+            segment = (s, e)
+            break
+    if segment is None:
+        raise ValueError("Matroska stream has no Segment element")
+    timescale = 1_000_000  # default: ns per timestamp tick
+    duration_ticks = None
+    width = height = None
+    audio_rate = None
+    n_video = n_audio = 0
+    for eid, s, e in _ebml_children(data, *segment):
+        if eid == 0x1549A966:  # Info
+            for cid, cs, ce in _ebml_children(data, s, e):
+                if cid == 0x2AD7B1:
+                    timescale = _ebml_uint(data, cs, ce)
+                elif cid == 0x4489:
+                    duration_ticks = _ebml_float(data, cs, ce)
+        elif eid == 0x1654AE6B:  # Tracks
+            for cid, cs, ce in _ebml_children(data, s, e):
+                if cid != 0xAE:  # TrackEntry
+                    continue
+                ttype = None
+                tw = th = trate = None
+                for tid, ts, te in _ebml_children(data, cs, ce):
+                    if tid == 0x83:
+                        ttype = _ebml_uint(data, ts, te)
+                    elif tid == 0xE0:  # Video
+                        for vid, vs, ve in _ebml_children(data, ts, te):
+                            if vid == 0xB0:
+                                tw = _ebml_uint(data, vs, ve)
+                            elif vid == 0xBA:
+                                th = _ebml_uint(data, vs, ve)
+                    elif tid == 0xE1:  # Audio
+                        for aid, as_, ae in _ebml_children(data, ts, te):
+                            if aid == 0xB5:
+                                trate = _ebml_float(data, as_, ae)
+                if ttype == 1:
+                    n_video += 1
+                    if width is None:
+                        width, height = tw, th
+                elif ttype == 2:
+                    n_audio += 1
+                    if audio_rate is None:
+                        audio_rate = trate
+        # Clusters (0x1F43B675) and everything else: skipped by size
+    duration_s = (
+        duration_ticks * timescale / 1e9 if duration_ticks is not None else None
+    )
+    return {
+        "container": doctype,
+        "duration_s": duration_s,
+        "width": width,
+        "height": height,
+        "n_video_tracks": n_video,
+        "n_audio_tracks": n_audio,
+        "audio_sample_rate": audio_rate,
+        "bitrate_kbps": (
+            len(data) * 8 / duration_s / 1000.0 if duration_s else None
+        ),
+    }

@@ -390,16 +390,51 @@ def _real_video_metadata(payload: bytes) -> dict:
 
     MP4: moov-tree walk (functions/media_headers — duration, 16.16
     tkhd dims, track census, audio rate, container-level bitrate), no
-    sample decoding. GIF: dims, REAL frame count and duration (summed
-    graphic-control delays) from `gif_codec.gif_metadata`'s block walk
-    — image data skipped by sub-block length, never decompressed.
-    Other containers raise NotImplementedError naming the missing
-    wheel; malformed payloads of a recognized container raise
-    ValueError (see ``video_metadata(on_error=)`` for sweep-grade
-    tolerance)."""
+    sample decoding. AVI: RIFF hdrl walk (avih + per-stream strh/strf;
+    movi payload untouched). Matroska/WebM: EBML walk of the Segment's
+    Info + Tracks (Clusters skipped by declared size). GIF: dims, REAL
+    frame count and duration (summed graphic-control delays) from
+    `gif_codec.gif_metadata`'s block walk — image data skipped by
+    sub-block length, never decompressed. Other containers raise
+    NotImplementedError naming the missing wheel; malformed payloads
+    of a recognized container raise ValueError (see
+    ``video_metadata(on_error=)`` for sweep-grade tolerance)."""
     from mwas_rfam_spark.functions.gif_codec import is_gif
-    from mwas_rfam_spark.functions.media_headers import is_mp4, mp4_metadata
+    from mwas_rfam_spark.functions.media_headers import (
+        avi_metadata,
+        is_avi,
+        is_mkv,
+        is_mp4,
+        mkv_metadata,
+        mp4_metadata,
+    )
 
+    if is_avi(payload):
+        m = avi_metadata(payload)
+        return {
+            "container": "avi",
+            "duration_s": m["duration_s"],
+            "width": m["width"],
+            "height": m["height"],
+            "n_frames": m["n_frames"],
+            "n_video_tracks": m["n_video_tracks"],
+            "n_audio_tracks": m["n_audio_tracks"],
+            "audio_sample_rate": m["audio_sample_rate"],
+            "bitrate_kbps": m["bitrate_kbps"],
+        }
+    if is_mkv(payload):
+        m = mkv_metadata(payload)
+        return {
+            "container": m["container"],  # 'matroska' or 'webm' (DocType)
+            "duration_s": m["duration_s"],
+            "width": m["width"],
+            "height": m["height"],
+            "n_frames": None,  # per-frame data lives in Clusters, not read
+            "n_video_tracks": m["n_video_tracks"],
+            "n_audio_tracks": m["n_audio_tracks"],
+            "audio_sample_rate": m["audio_sample_rate"],
+            "bitrate_kbps": m["bitrate_kbps"],
+        }
     if is_mp4(payload):
         m = mp4_metadata(payload)
         return {
@@ -434,8 +469,9 @@ def _real_video_metadata(payload: bytes) -> dict:
             ),
         }
     raise NotImplementedError(
-        "video metadata: payload is neither ISO BMFF (mp4/mov) nor GIF — "
-        "other containers need PyAV/ffmpeg, not in this container"
+        "video metadata: payload is none of ISO BMFF (mp4/mov), AVI, "
+        "Matroska/WebM, or GIF — other containers need PyAV/ffmpeg, not "
+        "in this container"
     )
 
 
