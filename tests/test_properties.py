@@ -190,3 +190,30 @@ def test_jpeg_roundtrip_property(w, h, channels, sub, ri, rnd):
     assert (gw, gh, gc) == (w, h, channels)
     got = np.frombuffer(px, dtype=np.uint8).reshape(h, w, channels).astype(int)
     assert np.abs(got - img.astype(int)).max() <= 32  # lossy, bounded
+
+
+@given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.sampled_from([1, 3]),
+    st.sampled_from(["444", "420"]),
+    st.integers(30, 95),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_progressive_equals_baseline_property(w, h, channels, sub, q, rnd):
+    """Progressive (SOF2) and baseline (SOF0) encodes of the SAME
+    pixels quantize to the same coefficients, so their decodes must be
+    BIT-IDENTICAL — on arbitrary random images (not just JPEG's smooth
+    domain: identity of the coefficient path needs no smoothness)."""
+    import numpy as np
+
+    from mwas_rfam_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(rnd.randrange(1 << 30))
+    img = rng.integers(0, 256, (h, w, channels)).astype(np.uint8)
+    base = encode_jpeg(w, h, channels, img.tobytes(), quality=q, subsampling=sub)
+    prog = encode_jpeg(
+        w, h, channels, img.tobytes(), quality=q, subsampling=sub, progressive=True
+    )
+    assert decode_jpeg(prog) == decode_jpeg(base)
