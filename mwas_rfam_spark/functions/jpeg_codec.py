@@ -99,7 +99,13 @@ def _parse_sof0(seg: bytes, max_pixels: int) -> tuple[int, int, list[dict]]:
     1..4 sampling factors that divide the frame maxima — non-divisor
     ratios would need fractional upsampling and are rejected, not
     mis-sized)."""
+    if len(seg) < 6:
+        raise ValueError(f"truncated JPEG SOF segment ({len(seg)} bytes)")
     prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+    if len(seg) < 6 + 3 * ncomp:
+        raise ValueError(
+            f"truncated JPEG SOF segment ({len(seg)} bytes for {ncomp} components)"
+        )
     if prec != 8:
         raise ValueError(f"unsupported JPEG precision {prec} (only 8-bit)")
     if ncomp not in (1, 3):
@@ -325,6 +331,8 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS) -> tuple[int, int, in
                 huff[(tc, th)] = _build_huffman(bits, vals)
                 s += 17 + n
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError(f"truncated JPEG DRI segment ({len(seg)} bytes)")
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker in (0xC0, 0xC2):  # SOF0/SOF2 — shared profile gate
             if frame is not None:
@@ -334,6 +342,10 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS) -> tuple[int, int, in
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF0/SOF2")
+            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0] + 3:
+                raise ValueError(
+                    f"truncated JPEG SOS header ({len(seg)} bytes)"
+                )
             h, w, comps = frame
             if progressive:
                 if prog is None:

@@ -455,6 +455,30 @@ def test_jpeg_progressive_bit_identical_to_baseline():
         encode_jpeg(16, 16, 3, bytes(768), progressive=True, restart_interval=2)
 
 
+def test_jpeg_truncated_segments_valueerror_not_crash():
+    """Fuzz regression (r9, 12k mutations): a payload truncated inside
+    the SOF / SOS / DRI SEGMENT HEADERS must raise ValueError like
+    every other corruption — not struct.error / IndexError (the decode
+    stage's on_error sweep handling catches ValueError only)."""
+    import pytest
+
+    from mwas_rfam_spark.functions.jpeg_codec import decode_jpeg, encode_jpeg
+
+    good = encode_jpeg(16, 16, 3, bytes(768), quality=80, restart_interval=2)
+
+    def cut_inside(marker: bytes) -> bytes:
+        at = good.find(marker)
+        assert at > 0
+        return good[: at + 5]  # keeps the length word, truncates payload
+
+    with pytest.raises(ValueError, match="truncated JPEG SOF"):
+        decode_jpeg(cut_inside(b"\xff\xc0"))
+    with pytest.raises(ValueError, match="truncated JPEG DRI"):
+        decode_jpeg(cut_inside(b"\xff\xdd"))
+    with pytest.raises(ValueError, match="truncated JPEG SOS"):
+        decode_jpeg(cut_inside(b"\xff\xda"))
+
+
 def test_jpeg_rejects_unsupported():
     """Everything outside the baseline profile is a ValueError naming
     the offending field, and hostile dims hit max_pixels BEFORE any
