@@ -220,10 +220,7 @@ class _BitReader:
         self.buf = 0
         self.nbits = 0
         d = self.data
-        while self.pos + 1 < len(d) and d[self.pos] == 0xFF and d[self.pos + 1] == 0xFF:
-            self.pos += 1
-        if self.pos + 1 >= len(d) or d[self.pos] != 0xFF:
-            raise ValueError("missing JPEG restart marker")
+        self.pos = _next_marker_pos(d, self.pos)
         m = d[self.pos + 1]
         if m != 0xD0 + expected:
             raise ValueError(
@@ -384,14 +381,22 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS) -> tuple[int, int, in
     raise ValueError("JPEG missing SOS (no scan data)")
 
 
-def _decode_scan(data, pos, h, w, comps, qt, huff, restart_interval, max_pixels):
-    # sampling-ratio divisibility already enforced by _parse_sof0
+def _mcu_grid(h, w, comps, max_pixels):
+    """(hmax, vmax, mcus_x, mcus_y) + the allocation-budget guard — THE
+    one MCU-geometry computation the baseline and progressive paths
+    share (sampling-ratio divisibility already enforced by
+    _parse_sof0)."""
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     if mcus_x * mcus_y * 64 * hmax * vmax > 4 * max_pixels:
         raise ValueError("JPEG MCU grid exceeds the allocation budget")
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _decode_scan(data, pos, h, w, comps, qt, huff, restart_interval, max_pixels):
+    hmax, vmax, mcus_x, mcus_y = _mcu_grid(h, w, comps, max_pixels)
     for c in comps:
         if c["tq"] not in qt:
             raise ValueError(f"JPEG component references missing quant table {c['tq']}")
@@ -448,12 +453,7 @@ def _alloc_progressive(h, w, comps, max_pixels):
     (interleaved DC scans cover padding blocks; non-interleaved scans
     iterate only the true block grid and leave padding zero), plus the
     per-component true block dims and DC predictors."""
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    if mcus_x * mcus_y * 64 * hmax * vmax > 4 * max_pixels:
-        raise ValueError("JPEG MCU grid exceeds the allocation budget")
+    hmax, vmax, mcus_x, mcus_y = _mcu_grid(h, w, comps, max_pixels)
     for c in comps:
         c["blocks_w"] = mcus_x * c["h"]
         c["blocks_h"] = mcus_y * c["v"]
@@ -472,14 +472,16 @@ def _alloc_progressive(h, w, comps, max_pixels):
 
 
 def _next_marker_pos(data: bytes, pos: int) -> int:
-    """Position of the next marker at/after ``pos`` in the entropy
-    stream's tail: skips the final byte's padding bits are already
-    consumed, so the next bytes must be 0xFF fill/marker."""
+    """Position of the next real marker at/after ``pos``. Used where
+    the entropy stream has ENDED (a progressive scan decoded its full
+    block count; a restart boundary): any 0xFF fill bytes are skipped
+    (T.81 B.1.1.2 — a marker is 0xFF followed by a non-0xFF id) and the
+    next bytes must then be a marker, not stuffed data."""
     d = data
     while pos + 1 < len(d) and d[pos] == 0xFF and d[pos + 1] == 0xFF:
         pos += 1  # fill bytes before a marker id
     if pos + 1 >= len(d) or d[pos] != 0xFF or d[pos + 1] == 0x00:
-        raise ValueError("expected JPEG marker after progressive scan data")
+        raise ValueError("expected JPEG marker at end of entropy data")
     return pos
 
 

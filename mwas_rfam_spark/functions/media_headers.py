@@ -327,7 +327,14 @@ def avi_metadata(data: bytes) -> dict:
                 strh = None
                 for f3, s3, e3 in _riff_chunks(data, s2 + 4, e2):
                     if f3 == b"strh":
-                        if e3 - s3 < 32:
+                        # the vids branch below reads through offset 36
+                        # (dwScale/dwRate/dwStart/dwLength) — a shorter
+                        # strh must fail HERE as ValueError, not as a
+                        # struct.error at buffer end or a silent read of
+                        # the NEXT chunk's header bytes as dwLength
+                        # (review finding; a legal AVISTREAMHEADER is
+                        # 56 bytes)
+                        if e3 - s3 < 36:
                             raise ValueError(
                                 f"truncated AVI strh chunk ({e3 - s3} bytes)"
                             )
@@ -452,14 +459,27 @@ def mkv_metadata(data: bytes) -> dict:
         raise ValueError("not an EBML stream (Matroska/WebM signature missing)")
     doctype = "matroska"
     segment = None
-    for eid, s, e in _ebml_children(data, 0, len(data)):
+    # top-level walk is manual (not _ebml_children) for ONE leniency:
+    # a partially-downloaded file truncates the Segment's declared
+    # extent — clamp it to the buffer instead of refusing, and let the
+    # child walk recover whatever Info/Tracks are fully present (its
+    # early break below stops before the torn tail). Every NESTED
+    # element keeps the strict truncation contract.
+    pos = 0
+    while pos < len(data):
+        eid, pos = _ebml_vint(data, pos, keep_marker=True)
+        size, pos = _ebml_vint(data, pos, keep_marker=False)
+        pe = len(data) if size is None else pos + size
+        if eid == 0x18538067:  # Segment
+            segment = (pos, min(pe, len(data)))
+            break
+        if pe > len(data):
+            raise ValueError(f"truncated EBML element 0x{eid:X}")
         if eid == 0x1A45DFA3:  # EBML header
-            for cid, cs, ce in _ebml_children(data, s, e):
+            for cid, cs, ce in _ebml_children(data, pos, pe):
                 if cid == 0x4282:  # DocType
                     doctype = data[cs:ce].decode("ascii", "replace").rstrip("\x00")
-        elif eid == 0x18538067:  # Segment
-            segment = (s, e)
-            break
+        pos = pe
     if segment is None:
         raise ValueError("Matroska stream has no Segment element")
     timescale = 1_000_000  # default: ns per timestamp tick
@@ -467,14 +487,17 @@ def mkv_metadata(data: bytes) -> dict:
     width = height = None
     audio_rate = None
     n_video = n_audio = 0
+    seen_info = seen_tracks = False
     for eid, s, e in _ebml_children(data, *segment):
         if eid == 0x1549A966:  # Info
+            seen_info = True
             for cid, cs, ce in _ebml_children(data, s, e):
                 if cid == 0x2AD7B1:
                     timescale = _ebml_uint(data, cs, ce)
                 elif cid == 0x4489:
                     duration_ticks = _ebml_float(data, cs, ce)
         elif eid == 0x1654AE6B:  # Tracks
+            seen_tracks = True
             for cid, cs, ce in _ebml_children(data, s, e):
                 if cid != 0xAE:  # TrackEntry
                     continue
@@ -501,7 +524,15 @@ def mkv_metadata(data: bytes) -> dict:
                     n_audio += 1
                     if audio_rate is None:
                         audio_rate = trate
-        # Clusters (0x1F43B675) and everything else: skipped by size
+        # Clusters (0x1F43B675) and everything else: skipped by size.
+        # Header-only intent: Info + Tracks live at the front of a
+        # well-formed Segment — once BOTH are parsed, stop BEFORE
+        # pulling the next element header, so a partially-downloaded
+        # file's truncated trailing Cluster cannot discard metadata
+        # that is fully present (review finding; mirrors avi_metadata's
+        # break after hdrl)
+        if seen_info and seen_tracks:
+            break
     duration_s = (
         duration_ticks * timescale / 1e9 if duration_ticks is not None else None
     )

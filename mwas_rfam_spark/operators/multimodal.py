@@ -385,6 +385,25 @@ def _real_video_frames(payload: bytes, every_n: int) -> list[tuple[int, str]]:
     )
 
 
+def _i32(v):
+    """Container-declared count/dim/rate → nullable int32. Headers are
+    attacker-controlled: an MKV can declare PixelWidth=2^40 or a float
+    SamplingFrequency, an AVI dwTotalFrames=2^32-1 — values that crash
+    the pandas→Arrow IntegerType cast OUTSIDE the on_error guard
+    (review finding). Out-of-range / non-finite values become NULL;
+    integral floats (48000.0) round to their int."""
+    if v is None:
+        return None
+    try:
+        f = float(v)
+    except (TypeError, ValueError):
+        return None
+    if f != f or f in (float("inf"), float("-inf")):
+        return None
+    i = int(round(f))
+    return i if 0 <= i <= 2**31 - 1 else None
+
+
 def _real_video_metadata(payload: bytes) -> dict:
     """Header-only container metadata → the VIDEO_METADATA_SCHEMA dict.
 
@@ -414,12 +433,12 @@ def _real_video_metadata(payload: bytes) -> dict:
         return {
             "container": "avi",
             "duration_s": m["duration_s"],
-            "width": m["width"],
-            "height": m["height"],
-            "n_frames": m["n_frames"],
-            "n_video_tracks": m["n_video_tracks"],
-            "n_audio_tracks": m["n_audio_tracks"],
-            "audio_sample_rate": m["audio_sample_rate"],
+            "width": _i32(m["width"]),
+            "height": _i32(m["height"]),
+            "n_frames": _i32(m["n_frames"]),
+            "n_video_tracks": _i32(m["n_video_tracks"]),
+            "n_audio_tracks": _i32(m["n_audio_tracks"]),
+            "audio_sample_rate": _i32(m["audio_sample_rate"]),
             "bitrate_kbps": m["bitrate_kbps"],
         }
     if is_mkv(payload):
@@ -427,12 +446,12 @@ def _real_video_metadata(payload: bytes) -> dict:
         return {
             "container": m["container"],  # 'matroska' or 'webm' (DocType)
             "duration_s": m["duration_s"],
-            "width": m["width"],
-            "height": m["height"],
+            "width": _i32(m["width"]),
+            "height": _i32(m["height"]),
             "n_frames": None,  # per-frame data lives in Clusters, not read
-            "n_video_tracks": m["n_video_tracks"],
-            "n_audio_tracks": m["n_audio_tracks"],
-            "audio_sample_rate": m["audio_sample_rate"],
+            "n_video_tracks": _i32(m["n_video_tracks"]),
+            "n_audio_tracks": _i32(m["n_audio_tracks"]),
+            "audio_sample_rate": _i32(m["audio_sample_rate"]),
             "bitrate_kbps": m["bitrate_kbps"],
         }
     if is_mp4(payload):
@@ -443,9 +462,10 @@ def _real_video_metadata(payload: bytes) -> dict:
             "width": m["width"],
             "height": m["height"],
             "n_frames": None,  # sample counts live in stts/stsz, not read
-            "n_video_tracks": m["n_video_tracks"],
-            "n_audio_tracks": m["n_audio_tracks"],
-            "audio_sample_rate": m["audio_sample_rate"],
+            "n_video_tracks": _i32(m["n_video_tracks"]),
+            "n_audio_tracks": _i32(m["n_audio_tracks"]),
+            # mdhd timescale is a raw uint32 — same int32 clamp
+            "audio_sample_rate": _i32(m["audio_sample_rate"]),
             "bitrate_kbps": m["bitrate_kbps"],
         }
     if is_gif(payload):

@@ -1512,10 +1512,13 @@ def _ebml(eid_bytes, payload):
 
 
 def _mkv_fixture(doctype=b"matroska", dur_ticks=12000.0, tscale=1_000_000,
-                 w=1280, h=720, audio_hz=48000.0):
+                 w=1280, h=720, audio_hz=48000.0,
+                 w_raw=None, rate_raw=None):
     """Minimal Matroska: EBML(DocType) + Segment[Info(TimestampScale,
     Duration), Tracks[video TrackEntry, audio TrackEntry], one skipped
-    Cluster]."""
+    Cluster]. w_raw/rate_raw override the encoded PixelWidth /
+    SamplingFrequency BYTES (hostile-field tests) — sizes stay
+    consistent because the tree is rebuilt, not byte-patched."""
     import struct
 
     header = _ebml(b"\x1a\x45\xdf\xa3", _ebml(b"\x42\x82", doctype))
@@ -1524,16 +1527,18 @@ def _mkv_fixture(doctype=b"matroska", dur_ticks=12000.0, tscale=1_000_000,
         _ebml(b"\x2a\xd7\xb1", tscale.to_bytes(4, "big"))
         + _ebml(b"\x44\x89", struct.pack(">d", dur_ticks)),
     )
+    wb = w_raw if w_raw is not None else w.to_bytes(2, "big")
+    rb = rate_raw if rate_raw is not None else struct.pack(">f", audio_hz)
     video_entry = _ebml(
         b"\xae",
         _ebml(b"\x83", b"\x01")
-        + _ebml(b"\xe0", _ebml(b"\xb0", w.to_bytes(2, "big"))
+        + _ebml(b"\xe0", _ebml(b"\xb0", wb)
                 + _ebml(b"\xba", h.to_bytes(2, "big"))),
     )
     audio_entry = _ebml(
         b"\xae",
         _ebml(b"\x83", b"\x02")
-        + _ebml(b"\xe1", _ebml(b"\xb5", struct.pack(">f", audio_hz))),
+        + _ebml(b"\xe1", _ebml(b"\xb5", rb)),
     )
     tracks = _ebml(b"\x16\x54\xae\x6b", video_entry + audio_entry)
     cluster = _ebml(b"\x1f\x43\xb6\x75", b"\x00" * 64)  # skipped by size
@@ -1582,8 +1587,58 @@ def test_avi_and_mkv_header_metadata():
         avi_metadata(avi[: len(avi) - 40])
     with pytest.raises(ValueError, match="Segment"):
         mkv_metadata(_ebml(b"\x1a\x45\xdf\xa3", b""))
+    # a partially-downloaded file whose truncation hits the trailing
+    # Cluster keeps its fully-present Info+Tracks metadata (the walk
+    # stops once both are parsed — review finding); truncation INSIDE
+    # Tracks still refuses
+    partial = mkv_metadata(mkv[: len(mkv) - 30])
+    assert (partial["width"], partial["height"]) == (1280, 720)
+    assert partial["duration_s"] == pytest.approx(12.0)
     with pytest.raises(ValueError, match="truncated EBML"):
-        mkv_metadata(mkv[: len(mkv) - 30])
+        mkv_metadata(mkv[: mkv.index(b"\xb0") + 2])
+
+
+def test_video_metadata_hostile_fields_clamped(spark):
+    """Review regression: container headers are attacker-controlled —
+    an MKV declaring PixelWidth=2^40 or a NaN SamplingFrequency, or an
+    AVI with dwTotalFrames=2^32-1, must land as NULL int32 cells (the
+    _i32 clamp), not crash the Arrow cast outside the on_error guard;
+    a 32-byte vids strh is a ValueError (not struct.error / a silent
+    read of the next chunk's bytes as dwLength)."""
+    import struct
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.functions.media_headers import avi_metadata
+    from mwas_rfam_spark.operators.multimodal import video_metadata
+
+    hostile_mkv = _mkv_fixture(
+        w_raw=(1 << 40).to_bytes(6, "big"),
+        rate_raw=struct.pack(">f", float("nan")),
+    )
+    hostile_avi = _avi_fixture(total_frames=2**32 - 1, usec=0)
+
+    vids = spark.createDataFrame(
+        [(1, bytearray(hostile_mkv)), (2, bytearray(hostile_avi))],
+        "doc_id long, payload binary",
+    ).select(
+        "doc_id", "payload",
+        F.struct(F.lit("video").alias("media_type")).alias("media_meta"),
+    )
+    got = {r["doc_id"]: r for r in video_metadata(vids, fake=False).collect()}
+    assert got[1]["width"] is None  # 2^40 clamps to NULL, task survives
+    assert got[1]["audio_sample_rate"] is None  # NaN clamps to NULL
+    assert got[1]["height"] == 720  # sane fields untouched
+    assert got[2]["n_frames"] is None  # 2^32-1 exceeds int32
+
+    # short vids strh: ValueError at the parser, never a mid-file read
+    avi = _avi_fixture()
+    strh_at = avi.index(b"strh")
+    short = bytearray(avi)
+    short[strh_at + 4 : strh_at + 8] = struct.pack("<I", 32)  # declare 32 bytes
+    with pytest.raises(ValueError, match="truncated AVI strh"):
+        avi_metadata(bytes(short))
 
 
 def test_video_metadata_avi_mkv_spark_path(spark):
