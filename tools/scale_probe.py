@@ -1303,6 +1303,67 @@ def probe_r9o(spark, sf_dir: str, out: dict):
     print({k: v for k, v in out.items() if k.startswith("r9o_")}, file=sys.stderr)
 
 
+def probe_r9e(spark, sf_dir: str, out: dict):
+    """r9 new-operator scale probe: (a) grouped_calibration_report at
+    1x vs 100x rows and 16 vs 10k groups — one map-side-combinable
+    aggregate, so wall should track the scan, not the group count;
+    (b) eval_state_auc fold cost vs batch count on a streamed per-score
+    counts state (state rows = distinct scores x batches, corpus-size
+    independent), before and after compact_eval_state."""
+    from mwas_rfam_spark.operators.evaluation import grouped_calibration_report
+    from mwas_rfam_spark.streaming.requests import (
+        compact_eval_state,
+        eval_state_auc,
+    )
+
+    def scored(n_rows: int, n_groups: int):
+        # algebraic squash of a hash — arbitrary but deterministic scores
+        x = (F.xxhash64("id") % 1000).cast("double") / 100.0
+        return spark.range(n_rows).select(
+            (F.lit(0.5) + x / (F.lit(2.0) * (F.lit(1.0) + F.abs(x)))).alias("score"),
+            (F.col("id") % 2).cast("int").alias("label"),
+            (F.col("id") % n_groups).alias("grp"),
+        )
+
+    for tag, n, g in (("1x", 200_000, 16), ("100x", 20_000_000, 16),
+                      ("100x_10kgrp", 20_000_000, 10_000)):
+        t0 = time.time()
+        _force(grouped_calibration_report(scored(n, g), ["grp"]))
+        out[f"r9e_grouped_cal_{tag}"] = round(time.time() - t0, 2)
+
+    # streamed eval state: 4001 distinct quantized scores per batch
+    import tempfile
+
+    from mwas_rfam_spark.operators.evaluation import per_score_counts
+
+    state = tempfile.mkdtemp(prefix="r9e_eval_state_")
+    q = F.round(F.col("score"), 3).alias("score")
+    for b in range(100):
+        per_score_counts(
+            scored(50_000, 2).select(q, "label")
+        ).write.mode("overwrite").parquet(f"{state}/ingest_batch={b}")
+        if b == 9:
+            t0 = time.time()
+            auc10 = eval_state_auc(spark, state).collect()[0]["auc"]
+            out["r9e_eval_state_read_10b"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    auc100 = eval_state_auc(spark, state).collect()[0]["auc"]
+    out["r9e_eval_state_read_100b"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    compact_eval_state(spark, state, up_to_batch=99)
+    out["r9e_eval_state_compact"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    auc_f = eval_state_auc(spark, state).collect()[0]["auc"]
+    out["r9e_eval_state_read_folded"] = round(time.time() - t0, 2)
+    assert abs(auc100 - auc_f) < 1e-12, (auc100, auc_f)
+    out["r9e_eval_state_auc"] = round(float(auc100), 6)
+    _ = auc10
+    import shutil
+
+    shutil.rmtree(state, ignore_errors=True)
+    print({k: v for k, v in out.items() if k.startswith("r9e_")}, file=sys.stderr)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="scale-probe")
@@ -1328,6 +1389,7 @@ def main():
         "r7e": probe_r7e,
         "r7q": probe_r7q,
         "r9o": probe_r9o,
+        "r9e": probe_r9e,
     }
     if only is not None and only not in probes:
         raise SystemExit(
