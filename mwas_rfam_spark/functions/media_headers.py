@@ -189,6 +189,37 @@ def _find(data: bytes, start: int, end: int, btype: bytes):
     return None
 
 
+def _stts_sample_count(data: bytes, mdia_s: int, mdia_e: int):
+    """Exact sample (frame) count of a track from its stts
+    (time-to-sample) box: mdia -> minf -> stbl -> stts, sum of the
+    entries\' sample_count fields — header-only, the sample DATA is
+    never touched. Returns None when the chain is absent (fragmented
+    files keep sample tables in moof boxes); a declared entry table
+    that exceeds its box is a ValueError like every other truncation."""
+    minf = _find(data, mdia_s, mdia_e, b"minf")
+    if minf is None:
+        return None
+    stbl = _find(data, minf[0], minf[1], b"stbl")
+    if stbl is None:
+        return None
+    stts = _find(data, stbl[0], stbl[1], b"stts")
+    if stts is None:
+        return None
+    ss, se = stts
+    if se - ss < 8:
+        raise ValueError(f"truncated MP4 stts box ({se - ss} bytes)")
+    (entry_count,) = struct.unpack(">I", data[ss + 4 : ss + 8])
+    if se - ss < 8 + 8 * entry_count:
+        raise ValueError(
+            f"truncated MP4 stts box ({se - ss} bytes for {entry_count} entries)"
+        )
+    total = 0
+    for i in range(entry_count):
+        (cnt,) = struct.unpack(">I", data[ss + 8 + 8 * i : ss + 12 + 8 * i])
+        total += cnt
+    return total
+
+
 def mp4_metadata(data: bytes) -> dict:
     """Header-only MP4 metadata from the moov tree: {duration_s, width,
     height, n_video_tracks, n_audio_tracks, audio_sample_rate,
@@ -221,6 +252,7 @@ def mp4_metadata(data: bytes) -> dict:
 
     width = height = None
     audio_rate = None
+    n_frames = None
     n_video = n_audio = 0
     for t, s, e in _boxes(data, ms, me):
         if t != b"trak":
@@ -251,6 +283,8 @@ def mp4_metadata(data: bytes) -> dict:
                     off = ts + rel
                     w_fp, h_fp = struct.unpack(">II", data[off : off + 8])
                     width, height = w_fp >> 16, h_fp >> 16
+            if n_frames is None and mdia is not None:
+                n_frames = _stts_sample_count(data, mdia[0], mdia[1])
         elif handler == b"soun":
             n_audio += 1
             if audio_rate is None and mdia is not None:
@@ -269,6 +303,7 @@ def mp4_metadata(data: bytes) -> dict:
         "duration_s": duration_s,
         "width": width,
         "height": height,
+        "n_frames": n_frames,
         "n_video_tracks": n_video,
         "n_audio_tracks": n_audio,
         "audio_sample_rate": audio_rate,

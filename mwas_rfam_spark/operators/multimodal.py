@@ -461,7 +461,9 @@ def _real_video_metadata(payload: bytes) -> dict:
             "duration_s": m["duration_s"],
             "width": m["width"],
             "height": m["height"],
-            "n_frames": None,  # sample counts live in stts/stsz, not read
+            # exact video sample count from the stts walk (None for
+            # fragmented files whose sample tables live in moof boxes)
+            "n_frames": _i32(m["n_frames"]),
             "n_video_tracks": _i32(m["n_video_tracks"]),
             "n_audio_tracks": _i32(m["n_audio_tracks"]),
             # mdhd timescale is a raw uint32 — same int32 clamp

@@ -1381,7 +1381,15 @@ def _mp4_fixture(v1=False):
         mdhd_a = _mp4_box(b"mdhd", bytes(12) + struct.pack(">I", 48000) + bytes(8))
     hdlr_v = _mp4_box(b"hdlr", bytes(8) + b"vide" + bytes(12))
     hdlr_a = _mp4_box(b"hdlr", bytes(8) + b"soun" + bytes(12))
-    trak_v = _mp4_box(b"trak", tkhd_v + _mp4_box(b"mdia", hdlr_v))
+    # stts: 120 frames at delta 250 + 5 frames at delta 500 = 125 total
+    stts = _mp4_box(
+        b"stts",
+        bytes(4) + struct.pack(">I", 2)
+        + struct.pack(">II", 120, 250) + struct.pack(">II", 5, 500),
+    )
+    stbl_v = _mp4_box(b"stbl", stts)
+    minf_v = _mp4_box(b"minf", stbl_v)
+    trak_v = _mp4_box(b"trak", tkhd_v + _mp4_box(b"mdia", hdlr_v + minf_v))
     trak_a = _mp4_box(b"trak", _mp4_box(b"mdia", mdhd_a + hdlr_a))
     moov = _mp4_box(b"moov", mvhd + trak_v + trak_a)
     ftyp = _mp4_box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
@@ -1404,6 +1412,7 @@ def test_mp4_metadata_moov_walk():
         assert (m["width"], m["height"]) == (640, 360)
         assert m["n_video_tracks"] == 1 and m["n_audio_tracks"] == 1
         assert m["audio_sample_rate"] == 48000
+        assert m["n_frames"] == 125  # stts sum: 120@250 + 5@500 (r9)
         assert abs(m["bitrate_kbps"] - len(data) * 8 / 5.0 / 1000) < 1e-9
 
     assert not is_mp4(b"RIFF....WAVE")
