@@ -192,32 +192,36 @@ def _find(data: bytes, start: int, end: int, btype: bytes):
 def _stts_sample_count(data: bytes, mdia_s: int, mdia_e: int):
     """Exact sample (frame) count of a track from its stts
     (time-to-sample) box: mdia -> minf -> stbl -> stts, sum of the
-    entries\' sample_count fields — header-only, the sample DATA is
-    never touched. Returns None when the chain is absent (fragmented
-    files keep sample tables in moof boxes); a declared entry table
-    that exceeds its box is a ValueError like every other truncation."""
-    minf = _find(data, mdia_s, mdia_e, b"minf")
-    if minf is None:
-        return None
-    stbl = _find(data, minf[0], minf[1], b"stbl")
-    if stbl is None:
-        return None
-    stts = _find(data, stbl[0], stbl[1], b"stts")
-    if stts is None:
-        return None
-    ss, se = stts
-    if se - ss < 8:
-        raise ValueError(f"truncated MP4 stts box ({se - ss} bytes)")
-    (entry_count,) = struct.unpack(">I", data[ss + 4 : ss + 8])
-    if se - ss < 8 + 8 * entry_count:
-        raise ValueError(
-            f"truncated MP4 stts box ({se - ss} bytes for {entry_count} entries)"
+    entries\' sample_count fields (ONE bulk unpack — a VFR file can
+    legitimately carry one entry per sample) — header-only, the sample
+    DATA is never touched. BEST-EFFORT by contract: returns None when
+    the chain is absent OR malformed OR empty (entry_count == 0 is the
+    spec-conforming FRAGMENTED layout — samples live in moof/trun, so
+    0 would be a wrong concrete value) — this ancillary census field
+    must not fail metadata extraction for a file whose mvhd/tkhd
+    parsed fine before it existed (review finding: mp4_metadata never
+    walked minf/stbl pre-r9, so nothing nested there may now throw)."""
+    try:
+        minf = _find(data, mdia_s, mdia_e, b"minf")
+        if minf is None:
+            return None
+        stbl = _find(data, minf[0], minf[1], b"stbl")
+        if stbl is None:
+            return None
+        stts = _find(data, stbl[0], stbl[1], b"stts")
+        if stts is None:
+            return None
+        ss, se = stts
+        if se - ss < 8:
+            return None
+        (entry_count,) = struct.unpack(">I", data[ss + 4 : ss + 8])
+        if entry_count == 0 or se - ss < 8 + 8 * entry_count:
+            return None
+        return sum(
+            struct.unpack_from(f">{2 * entry_count}I", data, ss + 8)[0::2]
         )
-    total = 0
-    for i in range(entry_count):
-        (cnt,) = struct.unpack(">I", data[ss + 8 + 8 * i : ss + 12 + 8 * i])
-        total += cnt
-    return total
+    except ValueError:
+        return None
 
 
 def mp4_metadata(data: bytes) -> dict:
@@ -265,6 +269,7 @@ def mp4_metadata(data: bytes) -> dict:
                 handler = data[hdlr[0] + 8 : hdlr[0] + 12]
         if handler == b"vide":
             n_video += 1
+            first_vide = n_video == 1
             if width is None:
                 tkhd = _find(data, s, e, b"tkhd")
                 if tkhd is not None:
@@ -283,7 +288,10 @@ def mp4_metadata(data: bytes) -> dict:
                     off = ts + rel
                     w_fp, h_fp = struct.unpack(">II", data[off : off + 8])
                     width, height = w_fp >> 16, h_fp >> 16
-            if n_frames is None and mdia is not None:
+            if first_vide and mdia is not None:
+                # FIRST video track only — the same convention as
+                # width/height, so the row can never mix one track\'s
+                # dims with another\'s frame count (review finding)
                 n_frames = _stts_sample_count(data, mdia[0], mdia[1])
         elif handler == b"soun":
             n_audio += 1

@@ -1415,6 +1415,36 @@ def test_mp4_metadata_moov_walk():
         assert m["n_frames"] == 125  # stts sum: 120@250 + 5@500 (r9)
         assert abs(m["bitrate_kbps"] - len(data) * 8 / 5.0 / 1000) < 1e-9
 
+    # n_frames contract (r9 review): best-effort and first-video-track
+    # scoped — an EMPTY stts (entry_count=0, the fragmented-MP4 layout:
+    # samples live in moof/trun) is None, not a wrong 0; a CORRUPT
+    # nested stbl degrades to None instead of failing metadata that
+    # parsed fine before the stts walk existed
+    import struct as _st
+
+    def _with_stts(stts_payload):
+        stts_ = _mp4_box(b"stts", stts_payload)
+        mdia = _mp4_box(
+            b"mdia",
+            _mp4_box(b"hdlr", bytes(8) + b"vide" + bytes(12))
+            + _mp4_box(b"minf", _mp4_box(b"stbl", stts_)),
+        )
+        tk = _mp4_box(b"tkhd", bytes(76) + _st.pack(">II", 64 << 16, 48 << 16))
+        moov = _mp4_box(
+            b"moov",
+            _mp4_box(b"mvhd", bytes(12) + _st.pack(">II", 1000, 5000) + bytes(80))
+            + _mp4_box(b"trak", tk + mdia),
+        )
+        return _mp4_box(b"ftyp", b"isom" + bytes(8)) + moov
+
+    frag = mp4_metadata(_with_stts(bytes(4) + _st.pack(">I", 0)))
+    assert frag["n_frames"] is None and frag["width"] == 64
+    # declared 5 entries, only 1 present -> malformed stts, soft None
+    short = mp4_metadata(
+        _with_stts(bytes(4) + _st.pack(">I", 5) + _st.pack(">II", 3, 250))
+    )
+    assert short["n_frames"] is None and short["duration_s"] == 5.0
+
     assert not is_mp4(b"RIFF....WAVE")
     with pytest.raises(ValueError, match="ftyp"):
         mp4_metadata(b"0123456789abcdef")

@@ -1331,7 +1331,10 @@ def probe_r9e(spark, sf_dir: str, out: dict):
         _force(grouped_calibration_report(scored(n, g), ["grp"]))
         out[f"r9e_grouped_cal_{tag}"] = round(time.time() - t0, 2)
 
-    # streamed eval state: 4001 distinct quantized scores per batch
+    # streamed eval state: 605 distinct quantized scores per batch
+    # (xxhash64 % 1000 -> <=1999 raw x values; the algebraic squash +
+    # round(3) merges the asymptotic tails — counted exactly, review
+    # finding corrected the earlier 4001 claim)
     import tempfile
 
     from mwas_rfam_spark.operators.evaluation import per_score_counts
