@@ -220,7 +220,11 @@ def _stts_sample_count(data: bytes, mdia_s: int, mdia_e: int):
         return sum(
             struct.unpack_from(f">{2 * entry_count}I", data, ss + 8)[0::2]
         )
-    except ValueError:
+    except (ValueError, struct.error):
+        # struct.error is NOT a ValueError subclass; today the length
+        # checks above make the unpacks safe, but the never-throws
+        # contract must be enforced by the handler, not by that
+        # invariant surviving future edits (r9 ADVICE).
         return None
 
 
@@ -576,6 +580,14 @@ def mkv_metadata(data: bytes) -> dict:
         # break after hdrl)
         if seen_info and seen_tracks:
             break
+    if not seen_info:
+        # Enforce the documented contract: a Segment whose Info never
+        # materialized (absent outright, or hidden behind a torn /
+        # unknown-size Cluster the clamp extended to the buffer end)
+        # must error, not yield a silently all-None metadata row
+        # (r9 ADVICE). The truncated-download leniency above only keeps
+        # files whose Info+Tracks ARE fully present.
+        raise ValueError("Matroska Segment has no Info element")
     duration_s = (
         duration_ticks * timescale / 1e9 if duration_ticks is not None else None
     )

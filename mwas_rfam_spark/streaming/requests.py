@@ -714,12 +714,23 @@ def compact_cms_state(
 
     def merge_write(rows: DataFrame, path: str) -> None:
         keys = ["depth", "bucket"]
-        if "derivation" in rows.columns:
+        has_deriv = "derivation" in rows.columns
+        if has_deriv:
             rows = rows.withColumn(
                 "derivation", F.coalesce(F.col("derivation"), F.lit("md5"))
             )
+            keys.append("derivation")
+        # Fold FIRST (derivation is a grouping key, so a mixed state
+        # never sums across derivations even transiently), then run the
+        # identity check on the checkpointed ≤ depth × width × derivs
+        # relation — the source-partition scan happens exactly once
+        # instead of once for the check and again for the write
+        # (r9 ADVICE).
+        agg = rows.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+        if has_deriv:
+            agg = agg.localCheckpoint(eager=True)
             derivs = sorted(
-                r[0] for r in rows.select("derivation").distinct().collect()
+                r[0] for r in agg.select("derivation").distinct().collect()
             )
             if len(derivs) > 1:
                 raise ValueError(
@@ -728,10 +739,8 @@ def compact_cms_state(
                     "must never be merged; split the state dirs per "
                     "derivation"
                 )
-            keys.append("derivation")
         (
-            rows.groupBy(*keys)
-            .agg(F.sum("cnt").alias("cnt"))
+            agg
             .coalesce(1)  # ≤ depth × width rows — one file
             .write.mode("errorifexists")
             .parquet(path)

@@ -1635,6 +1635,15 @@ def test_avi_and_mkv_header_metadata():
     assert partial["duration_s"] == pytest.approx(12.0)
     with pytest.raises(ValueError, match="truncated EBML"):
         mkv_metadata(mkv[: mkv.index(b"\xb0") + 2])
+    # a Segment whose Info never materializes (here: only a Cluster)
+    # raises instead of returning an all-None metadata row — the
+    # docstring's 'Info missing' contract, enforced (r9 ADVICE)
+    header = _ebml(b"\x1a\x45\xdf\xa3", _ebml(b"\x42\x82", b"matroska"))
+    no_info = header + _ebml(
+        b"\x18\x53\x80\x67", _ebml(b"\x1f\x43\xb6\x75", b"\x00" * 16)
+    )
+    with pytest.raises(ValueError, match="no Info"):
+        mkv_metadata(no_info)
 
 
 def test_video_metadata_hostile_fields_clamped(spark):
