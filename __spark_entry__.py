@@ -1358,7 +1358,15 @@ def _ivfpq_index(spark, sf_dir, k_cells=8, m=8, k=32):
 
         cents = _ivf_centroids(spark, sf_dir, k=k_cells, iters=2)
         books = _pq_codebooks(spark, sf_dir, m=m, k=k)
-        materialize_ivfpq(_t(spark, sf_dir, "embeddings"), cents, books, path)
+        # residual=False EXPLICITLY (the r11 recipe default is residual;
+        # see materialize_ivfpq's docstring): this index feeds the
+        # driver's DuckDB replay, whose SQL reconstructs the raw-vector
+        # ADC — and _pq_codebooks above are raw-trained. The residual
+        # path holds its own coverage (probe r9o + the raw-vs-residual
+        # recall test in tests/test_quantization.py).
+        materialize_ivfpq(
+            _t(spark, sf_dir, "embeddings"), cents, books, path, residual=False
+        )
         # the quantizers are frozen at build: pin them with the path so
         # the probe entry never re-collects the meta tables (the
         # steady-state serving shape; ivfpq_topk_with_meta)
@@ -1655,6 +1663,116 @@ def q_threshold_report(spark, sf_dir):
         F.round("recall", 6).alias("recall"),
         F.round("f1", 6).alias("f1"),
         F.round("selected_frac", 6).alias("selected_frac"),
+    )
+
+
+def q_grouped_threshold_report(spark, sf_dir):
+    """Per-slice confusion metrics at three thresholds (replay-only
+    surface like threshold_report/grouped_auc — DuckDB parity via
+    relocated_oracles, not a 50-cap slot; hand golden + slice
+    equivalence in tests/test_evaluation.py): 8 slices of the
+    embeddings by vec_id % 8, one map-side-combinable aggregate."""
+    from mwas_rfam_spark.operators.evaluation import grouped_threshold_report
+
+    scored = _model_eval_scored(spark, sf_dir).withColumn(
+        "grp", (F.col("vec_id") % 8).cast("int")
+    )
+    return grouped_threshold_report(scored, ["grp"], [0.25, 0.5, 0.75]).select(
+        "grp",
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+        F.round("selected_frac", 6).alias("selected_frac"),
+    )
+
+
+def q_grouped_calibration(spark, sf_dir):
+    """Per-slice calibration + per-group ECE (registered correctness
+    entry since r11 — driver-gated DuckDB oracle; grouped == ungrouped-
+    on-the-slice equivalence, NULL-group retention, terminal-bin clamp
+    and NaN exclusion in tests/test_evaluation.py): 4 slices of the
+    embeddings by vec_id % 4, 10 equal-width bins over the algebraic-
+    sigmoid score (bit-identical cross-engine — see q_model_eval), one
+    map-side-combinable groupBy(grp, bin) for the table and one more
+    parameter-sized aggregate for the per-group ECE. No window, no
+    collect, no prefix sums — the 100 TB fairness-calibration query is
+    two shuffles over ≤ n_groups x n_bins rows of output."""
+    from mwas_rfam_spark.operators.evaluation import (
+        grouped_calibration_report,
+        grouped_ece,
+    )
+
+    scored = _model_eval_scored(spark, sf_dir).withColumn(
+        "grp", (F.col("vec_id") % 4).cast("int")
+    )
+    rep = grouped_calibration_report(scored, ["grp"], n_bins=10).localCheckpoint(
+        eager=False
+    )
+    e = grouped_ece(rep, ["grp"]).select("grp", F.round("ece", 6).alias("grp_ece"))
+    return rep.join(e, "grp").select(
+        "grp",
+        "bin",
+        F.round("bin_lo", 6).alias("bin_lo"),
+        F.round("bin_hi", 6).alias("bin_hi"),
+        "n",
+        F.round("mean_score", 6).alias("mean_score"),
+        F.round("pos_rate", 6).alias("pos_rate"),
+        F.round("gap", 6).alias("gap"),
+        "grp_ece",
+    )
+
+
+_EVAL_STATE_CACHE: set[str] = set()
+
+
+def q_eval_state_auc(spark, sf_dir):
+    """Streaming exact-AUC state → read-side AUC (registered
+    correctness entry since r11 — driver-gated DuckDB oracle replays
+    the midrank AUC over the SAME scored relation the state was folded
+    from; stream==batch parity, compaction identity, and the deepest-
+    complete-frozen-bar reader rule in tests/test_streaming.py /
+    tests/test_evaluation.py): the scored embeddings are split into
+    three ingest batches (vec_id % 3) and reduced to per-DISTINCT-SCORE
+    (v, cnt_a, cnt_b, cnt_null) counts per batch — exactly the
+    foreachBatch body of streaming_eval_counts — then batches 0..1 are
+    crash-safely compacted into a frozen negative partition, and
+    eval_state_auc answers over the mixed frozen+raw state without
+    re-touching a single scored row. Because the per-score counts are
+    LINEAR, the state AUC equals binary_auc over the full relation —
+    which is what the oracle computes in plain SQL (midrank form), so a
+    fold/compaction/reader bug anywhere in the state path is
+    hash-visible. State build is ingest-time work, memoized per process
+    (build-vs-probe, same policy as the index entries)."""
+    import os
+    import shutil
+
+    from mwas_rfam_spark.operators.evaluation import per_score_counts
+    from mwas_rfam_spark.streaming.requests import (
+        compact_eval_state,
+        eval_state_auc,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    state_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "spark-warehouse", "eval_state", tag,
+    )
+    if state_dir not in _EVAL_STATE_CACHE:
+        shutil.rmtree(state_dir, ignore_errors=True)
+        scored = _model_eval_scored(spark, sf_dir)
+        for b in range(3):
+            per_score_counts(
+                scored.where(F.col("vec_id") % 3 == b), "score", "label"
+            ).write.mode("overwrite").parquet(f"{state_dir}/ingest_batch={b}")
+        compact_eval_state(spark, state_dir, up_to_batch=1)
+        _EVAL_STATE_CACHE.add(state_dir)
+    return eval_state_auc(spark, state_dir).select(
+        F.round("auc", 6).alias("auc"), "n_pos", "n_neg", "n_null"
     )
 
 
@@ -2762,6 +2880,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              per-subspace argmin replayed in SQL; the
                              unrounded scale form stays the bench row)
 
+    Round-11 rotation (r10 verdict task #1, same machinery): two slots
+    moved to the two newest evaluation surfaces — the last r9 additions
+    that held no green oracle rows. Every rotated-out entry keeps its
+    EXACT former oracle SQL in :func:`relocated_oracles` (pytest
+    DuckDB-parity) and stays benchable below:
+
+    - drift_report         → the scalar drift family's exact-KS +
+                             eps-smoothed-PSI arithmetic is a strict
+                             subset of the still-registered
+                             `embed_drift` (same exact-KS two-level
+                             prefix sum over the projected components,
+                             replayed there from the stored PCA model)
+                             and stays hand-model-pinned in
+                             tests/test_drift.py; slot →
+                             `grouped_calibration` (per-slice bins +
+                             per-group ECE, the grouped twin whose
+                             ungrouped form rides green inside
+                             `model_eval`'s gap@bin rows)
+    - condense_accounting  → the accounting sink's countDistinct /
+                             status-rule arithmetic is the condense
+                             family's, hash-pinned by the still-
+                             registered `condense_sets` +
+                             `condense_readable` (same meta/sets CTE
+                             chain — S12 stays (r)-covered exactly as
+                             A9 has been since r9); slot →
+                             `eval_state_auc` (the streaming exact-AUC
+                             state reader incl. crash-safe compaction,
+                             folded counts == full-relation midrank
+                             AUC replayed in plain SQL)
+
     Round-4 second-wave surfaces (registry full at 50 all-green; each is
     pytest-pinned and benchable where noted, with its exactness anchored
     to an existing green entry where semantics overlap):
@@ -2910,7 +3058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mwas_perm_exact": q_mwas_perm_exact,
         "condense_sets": q_condense_sets,
         "condense_readable": q_condense_readable,
-        "condense_accounting": q_condense_accounting,
+        "eval_state_auc": q_eval_state_auc,
         "p_predicates": q_p_predicates,
         "j1_outer_join_agg": q_j1_outer_join_agg,
         "j8_interval_join": q_j8_interval_join,
@@ -2923,7 +3071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "fuzzy_editdist": q_fuzzy_editdist,
         "dedup_containment": q_dedup_containment,
-        "drift_report": q_drift_report,
+        "grouped_calibration": q_grouped_calibration,
         "cdc_dedup": q_cdc_roundtrip,
         "bpe_tokenize": q_bpe_roundtrip,
         "model_eval": q_model_eval,
@@ -3044,11 +3192,18 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_summary_agg": q_a9_summary_agg,
         "j7_positional_join": q_j7_positional_join,
         "dedup_exact": q_dedup_exact,
+        # r11 rotation: the two deregistered entries stay benchable
+        # (their former oracle SQL lives on in relocated_oracles)
+        "drift_report": q_drift_report,
+        "condense_accounting": q_condense_accounting,
         # r9: evaluation-family replay surfaces (DuckDB parity via
         # relocated_oracles; grouped_auc is also a HEADLINE bench row —
         # the per-slice fairness query needed plan-regression coverage)
         "grouped_auc": q_grouped_auc,
         "threshold_report": q_threshold_report,
+        # r11 stretch: the grouped confusion twin (replay-only, same
+        # convention)
+        "grouped_threshold_report": q_grouped_threshold_report,
         # r7 rotation: the five deregistered entries stay benchable
         # (their former oracle SQL lives on in relocated_oracles); the
         # five r6 families that took their slots — sq8_topk, source_mix,
@@ -3527,23 +3682,38 @@ FROM final
             FROM jac j JOIN g ga ON ga.keep_id = j.id_a
                        JOIN g gb ON gb.keep_id = j.id_b
         """,
-        "condense_accounting": _MWAS_ORACLE_CTES
-        + """
-            , acc_raw AS (
-              SELECT bp, count(DISTINCT bs) AS n_raw,
-                     count(DISTINCT attribute) AS n_attr
-              FROM meta GROUP BY 1),
-            acc_sets AS (SELECT bp, count(*) AS n_sets FROM sets GROUP BY 1)
-            SELECT r.bp AS bioproject,
-                   r.n_raw AS n_biosamples_raw,
-                   r.n_raw AS n_biosamples_valid,
-                   CAST(0 AS BIGINT) AS n_biosamples_dropped,
-                   r.n_attr AS n_attributes,
-                   COALESCE(s.n_sets, 0) AS n_sets,
-                   CASE WHEN r.n_raw < 3 THEN 'too_few_biosamples'
-                        WHEN COALESCE(s.n_sets, 0) = 0 THEN 'no_informative_sets'
-                        ELSE 'ok' END AS status
-            FROM acc_raw r LEFT JOIN acc_sets s ON r.bp = s.bp
+        # Streaming exact-AUC state replay (r11 rotation): the state
+        # dir q_eval_state_auc folds (three per-batch per-score counts
+        # partitions, batches 0..1 compacted into a frozen partition)
+        # carries counts that are LINEAR, so the state-side AUC equals
+        # the midrank AUC over the full scored relation — which is what
+        # this SQL computes directly (same midrank window form the
+        # green model_eval row replays; n_null counted from the same
+        # NULL/NaN-score-or-NULL-label rule the engine folds into the
+        # v-IS-NULL state row).
+        "eval_state_auc": """
+            WITH raw AS (
+              SELECT CAST(embedding[1] AS DOUBLE) AS x, label
+              FROM embeddings),
+            v AS (
+              SELECT 0.5 + x / (2.0 * (1.0 + abs(x))) AS s,
+                     CASE WHEN label % 2 > 0 THEN 1 ELSE 0 END AS y
+              FROM raw
+              WHERE x IS NOT NULL AND NOT isnan(x) AND label IS NOT NULL),
+            nn AS (
+              SELECT count(*) AS n_null FROM raw
+              WHERE x IS NULL OR isnan(x) OR label IS NULL),
+            r AS (
+              SELECT y, rank() OVER (ORDER BY s)
+                        + (count(*) OVER (PARTITION BY s) - 1) / 2.0 AS midrank
+              FROM v)
+            SELECT round((sum(CASE WHEN y = 1 THEN midrank END)
+                            - sum(y) * (sum(y) + 1) / 2.0)
+                         / (sum(y) * sum(1 - y)), 6) AS auc,
+                   CAST(sum(y) AS BIGINT) AS n_pos,
+                   CAST(sum(1 - y) AS BIGINT) AS n_neg,
+                   (SELECT CAST(n_null AS BIGINT) FROM nn) AS n_null
+            FROM r
         """,
         "ann_recall": """
             SELECT 'ivf' AS method, 10 AS k, TRUE AS meets_target
@@ -4200,41 +4370,41 @@ FROM final
             FROM sh a JOIN sh b ON a.doc_id != b.doc_id
             WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.7
         """,
-        # Drift report oracle: exact two-sample KS over events.value
-        # (window cumulative ECDFs — same integer-count arithmetic as
-        # the engine's two-level prefix sum, so the doubles agree
-        # bitwise) plus eps-smoothed PSI over event_type, with the same
-        # rounded-then-thresholded flag semantics.
-        "drift_report": """
-            WITH t AS (
-              SELECT CAST(value AS DOUBLE) AS v, (event_id % 2 = 0) AS is_a
-              FROM events WHERE value IS NOT NULL),
-            per_v AS (
-              SELECT v, sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
-                        sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
-              FROM t GROUP BY v),
-            cum AS (
-              SELECT sum(ca) OVER (ORDER BY v) / (SELECT sum(ca) FROM per_v) AS fa,
-                     sum(cb) OVER (ORDER BY v) / (SELECT sum(cb) FROM per_v) AS fb
-              FROM per_v),
-            ks AS (SELECT round(max(abs(fa - fb)), 9) AS value FROM cum),
-            c AS (
-              SELECT event_type,
-                     sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
-                     sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
-              FROM events GROUP BY 1),
-            tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
-            psi AS (
-              SELECT round(sum((ca / na + 1e-6 - (cb / nb + 1e-6))
-                               * ln((ca / na + 1e-6) / (cb / nb + 1e-6))), 9)
-                         AS value
-              FROM c, tot)
-            SELECT 'value' AS "column", 'numeric' AS kind, 'ks' AS statistic,
-                   value, value > 0.1 AS flagged
-            FROM ks
-            UNION ALL
-            SELECT 'event_type', 'categorical', 'psi', value, value > 0.25
-            FROM psi
+        # Grouped calibration replay (r11 rotation): the bin rule is a
+        # pure function of the score (least/greatest clamp + floor over
+        # equal widths — the same expression the green model_eval
+        # gap@bin rows replay, here per (grp, bin)), and the per-group
+        # ECE is re-derived from the SAME binned relation the table
+        # comes from (the grouped_ece convention). mean_score is the
+        # only summation-order-sensitive term, absorbed by round 6; the
+        # score is the algebraic sigmoid so both engines bin
+        # bit-identical values.
+        "grouped_calibration": """
+            WITH v AS (
+              SELECT CAST(vec_id % 4 AS INT) AS grp,
+                     0.5 + x / (2.0 * (1.0 + abs(x))) AS s,
+                     CASE WHEN label % 2 > 0 THEN 1 ELSE 0 END AS y
+              FROM (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x, label
+                    FROM embeddings)
+              WHERE x IS NOT NULL AND NOT isnan(x) AND label IS NOT NULL),
+            cal AS (
+              SELECT grp,
+                     least(9, greatest(0, CAST(floor(s / 0.1) AS INT))) AS bin,
+                     count(*) AS n, avg(s) AS mean_score, avg(y) AS pos_rate
+              FROM v GROUP BY 1, 2),
+            e AS (
+              SELECT grp,
+                     sum(n * abs(pos_rate - mean_score)) / sum(n) AS ece
+              FROM cal GROUP BY 1)
+            SELECT cal.grp, cal.bin,
+                   round(cal.bin * CAST(0.1 AS DOUBLE), 6) AS bin_lo,
+                   round((cal.bin + 1) * CAST(0.1 AS DOUBLE), 6) AS bin_hi,
+                   CAST(cal.n AS BIGINT) AS n,
+                   round(cal.mean_score, 6) AS mean_score,
+                   round(cal.pos_rate, 6) AS pos_rate,
+                   round(cal.pos_rate - cal.mean_score, 6) AS gap,
+                   round(e.ece, 6) AS grp_ece
+            FROM cal JOIN e ON cal.grp = e.grp
         """,
         # CDC roundtrip oracle: md5/byte-length of each planted payload
         # computed DIRECTLY — the Spark side reaches the same values
@@ -4286,8 +4456,64 @@ def relocated_oracles() -> dict[str, str]:
     evaluation surfaces that were never registry-slotted
     (threshold_report, grouped_auc — r8 verdict task #4: the per-slice
     AUC and the full confusion relation get standing cross-engine
-    coverage without consuming 50-cap slots)."""
+    coverage without consuming 50-cap slots). r11 adds the two entries
+    whose slots went to grouped_calibration/eval_state_auc —
+    drift_report and condense_accounting — with the exact SQL the
+    driver's gate ran through r10."""
     return {
+        # r11 rotation OUT (slot → grouped_calibration): exact SQL the
+        # driver's gate ran through r10.
+        "drift_report": """
+            WITH t AS (
+              SELECT CAST(value AS DOUBLE) AS v, (event_id % 2 = 0) AS is_a
+              FROM events WHERE value IS NOT NULL),
+            per_v AS (
+              SELECT v, sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+                        sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+              FROM t GROUP BY v),
+            cum AS (
+              SELECT sum(ca) OVER (ORDER BY v) / (SELECT sum(ca) FROM per_v) AS fa,
+                     sum(cb) OVER (ORDER BY v) / (SELECT sum(cb) FROM per_v) AS fb
+              FROM per_v),
+            ks AS (SELECT round(max(abs(fa - fb)), 9) AS value FROM cum),
+            c AS (
+              SELECT event_type,
+                     sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+                     sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+              FROM events GROUP BY 1),
+            tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+            psi AS (
+              SELECT round(sum((ca / na + 1e-6 - (cb / nb + 1e-6))
+                               * ln((ca / na + 1e-6) / (cb / nb + 1e-6))), 9)
+                         AS value
+              FROM c, tot)
+            SELECT 'value' AS "column", 'numeric' AS kind, 'ks' AS statistic,
+                   value, value > 0.1 AS flagged
+            FROM ks
+            UNION ALL
+            SELECT 'event_type', 'categorical', 'psi', value, value > 0.25
+            FROM psi
+        """,
+        # r11 rotation OUT (slot → eval_state_auc): exact SQL the
+        # driver's gate ran through r10.
+        "condense_accounting": _MWAS_ORACLE_CTES
+        + """
+            , acc_raw AS (
+              SELECT bp, count(DISTINCT bs) AS n_raw,
+                     count(DISTINCT attribute) AS n_attr
+              FROM meta GROUP BY 1),
+            acc_sets AS (SELECT bp, count(*) AS n_sets FROM sets GROUP BY 1)
+            SELECT r.bp AS bioproject,
+                   r.n_raw AS n_biosamples_raw,
+                   r.n_raw AS n_biosamples_valid,
+                   CAST(0 AS BIGINT) AS n_biosamples_dropped,
+                   r.n_attr AS n_attributes,
+                   COALESCE(s.n_sets, 0) AS n_sets,
+                   CASE WHEN r.n_raw < 3 THEN 'too_few_biosamples'
+                        WHEN COALESCE(s.n_sets, 0) = 0 THEN 'no_informative_sets'
+                        ELSE 'ok' END AS status
+            FROM acc_raw r LEFT JOIN acc_sets s ON r.bp = s.bp
+        """,
         "threshold_report": """
             WITH v AS (
               SELECT 0.5 + x / (2.0 * (1.0 + abs(x))) AS s,
@@ -4308,6 +4534,41 @@ def relocated_oracles() -> dict[str, str]:
               FROM v, unnest(['0.25', '0.5', '0.75']) AS t(ts)
               GROUP BY 1)
             SELECT threshold, CAST(tp AS BIGINT) AS tp,
+                   CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+                   CAST(tn AS BIGINT) AS tn,
+                   round(p, 6) AS precision, round(rc, 6) AS recall,
+                   round(CASE WHEN COALESCE(p, 0) + COALESCE(rc, 0) > 0
+                              THEN 2 * p * rc / (p + rc) END, 6) AS f1,
+                   round(CAST(tp + fp AS DOUBLE) / (tp + fp + fn + tn), 6)
+                       AS selected_frac
+            FROM (SELECT *,
+                         CASE WHEN tp + fp > 0
+                              THEN CAST(tp AS DOUBLE) / (tp + fp) END AS p,
+                         CASE WHEN tp + fn > 0
+                              THEN CAST(tp AS DOUBLE) / (tp + fn) END AS rc
+                  FROM cells)
+        """,
+        "grouped_threshold_report": """
+            WITH v AS (
+              SELECT CAST(vec_id % 8 AS INT) AS grp,
+                     0.5 + x / (2.0 * (1.0 + abs(x))) AS s,
+                     CASE WHEN label % 2 > 0 THEN 1 ELSE 0 END AS y
+              FROM (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x, label
+                    FROM embeddings)
+              WHERE x IS NOT NULL AND NOT isnan(x) AND label IS NOT NULL),
+            cells AS (
+              SELECT grp, CAST(t.ts AS DOUBLE) AS threshold,
+                     sum(CASE WHEN s >= CAST(t.ts AS DOUBLE) AND y = 1
+                              THEN 1 ELSE 0 END) AS tp,
+                     sum(CASE WHEN s >= CAST(t.ts AS DOUBLE) AND y = 0
+                              THEN 1 ELSE 0 END) AS fp,
+                     sum(CASE WHEN s < CAST(t.ts AS DOUBLE) AND y = 1
+                              THEN 1 ELSE 0 END) AS fn,
+                     sum(CASE WHEN s < CAST(t.ts AS DOUBLE) AND y = 0
+                              THEN 1 ELSE 0 END) AS tn
+              FROM v, unnest(['0.25', '0.5', '0.75']) AS t(ts)
+              GROUP BY 1, 2)
+            SELECT grp, threshold, CAST(tp AS BIGINT) AS tp,
                    CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
                    CAST(tn AS BIGINT) AS tn,
                    round(p, 6) AS precision, round(rc, 6) AS recall,

@@ -86,6 +86,10 @@ HEADLINE = [
     # r9: the per-slice fairness query (grouped two-level prefix sum) —
     # appended at the END per the chunk-composition rule above
     "grouped_auc",
+    # r11: the two newest registered evaluation surfaces (rotation IN)
+    # — appended at the END per the chunk-composition rule above
+    "grouped_calibration",
+    "eval_state_auc",
 ]
 
 TABLES = [
@@ -261,6 +265,57 @@ def _timed(spark, raw_runs, name, fn, n=3, prerun=None) -> float:
     return min(runs[1:] if prerun else runs)
 
 
+def _cache_state(
+    raw_runs: dict[str, list[float]], cached_gb_start: float | None
+) -> dict:
+    """Compact cache-state summary for the parsed artifact (see
+    `_meminfo_cached_gb`). first_over_min quantiles are computed from
+    the pre-run (runs[0]) over the timed min for every PRERUN query —
+    mwas_full/_first run prerun=False by design and are excluded. A
+    median near 1.0 with Cached ≈ prior round's means per-query deltas
+    are adjudicable; a high median or a cold start stamp means the
+    round-over-round comparison is cache-confounded."""
+    ratios = sorted(
+        runs[0] / min(runs[1:])
+        for name, runs in raw_runs.items()
+        if PRERUN
+        and name not in ("mwas_full", "mwas_full_first")
+        and len(runs) >= 2
+        and min(runs[1:]) > 0
+    )
+    state: dict = {
+        "meminfo_cached_gb_start": cached_gb_start,
+        "meminfo_cached_gb_end": _meminfo_cached_gb(),
+    }
+    if ratios:
+        state["first_over_min_median"] = round(ratios[len(ratios) // 2], 3)
+        state["first_over_min_p90"] = round(
+            ratios[min(len(ratios) - 1, int(0.9 * (len(ratios) - 1) + 0.5))], 3
+        )
+    return state
+
+
+def _meminfo_cached_gb() -> float | None:
+    """OS page-cache stamp (GiB of /proc/meminfo Cached). The r9→r10
+    forensics closed the 'movers' question with data: all three r9
+    movers reverted in r10 on byte-identical plans, and the WHOLE
+    59-row series moved −16.6% on a round with zero benched-plan
+    changes — the sf0.1 parquet either is or isn't OS-cache-resident
+    when the round's first chunk starts, and that alone swings chunks
+    ±17%. Stamping Cached into the artifact (r9 verdict task #1 /
+    r10 carry-over #2) turns the next movers question into a data
+    read: per-round deltas under ~20% are unadjudicable unless the
+    two rounds' cache stamps agree."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("Cached:"):
+                    return round(int(line.split()[1]) / (1024 * 1024), 2)
+    except (OSError, ValueError, IndexError):
+        pass
+    return None
+
+
 def _chunk_worker(spec_path: str) -> None:
     """Subprocess entry: fresh JVM, warmup, time the spec'd names,
     write {timings, runs} JSON, exit (the JVM dies with the process —
@@ -321,6 +376,7 @@ def main():
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     mwas_full_first = None
+    cached_gb_start = _meminfo_cached_gb()
     here = os.path.dirname(os.path.abspath(__file__))
     with tempfile.TemporaryDirectory() as td:
         for ci, names in enumerate(chunks):
@@ -390,6 +446,15 @@ def main():
         "comparable_to_prev_round": (
             None if prev is None else (prev[0] == fp and prev[1] == protocol)
         ),
+        # Cache-state marker (r10 carry-over task #2): meminfo Cached
+        # at round start/end plus the distribution of per-query
+        # first-run/timed-min ratios (the pre-run is always runs[0]
+        # under PRERUN, so the ratio measures exactly the
+        # codegen+page-cache debt the timed min excludes). Two rounds
+        # are comparable at the per-query level only when these agree —
+        # the r10 data showed ±17% whole-series swings on untouched
+        # plans tracking nothing but this state.
+        "cache_state": _cache_state(raw_runs, cached_gb_start),
     }
     # The raw-runs forensics blob made the single JSON line big enough
     # that the driver's stdout TAIL window truncated its head — BENCH

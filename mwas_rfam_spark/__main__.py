@@ -596,10 +596,14 @@ def build_index_parser() -> argparse.ArgumentParser:
                    help="ivfpq build: PQ subspaces (dim must divide)")
     p.add_argument("--pq-k", type=int, default=32,
                    help="ivfpq build: centroids per PQ codebook")
-    p.add_argument("--residual", action="store_true",
+    p.add_argument("--residual", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="ivfpq build: encode residuals to the coarse "
-                        "centroid (faiss default; finer quantization at "
-                        "the same 8 bytes)")
+                        "centroid (faiss default; DEFAULT since r11 — "
+                        "probe r9o measured +86%% recall@10@rerank=100 on "
+                        "a clustered corpus, never worse; the build trains "
+                        "the codebooks on residuals to match. "
+                        "--no-residual keeps the raw-vector encoding)")
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default=None, help="default: doc_id (text) / vec_id (ann)")
     p.add_argument("--vec-col", default="embedding")

@@ -427,6 +427,74 @@ def avi_metadata(data: bytes) -> dict:
     }
 
 
+def avi_video_frames_raw(data: bytes) -> tuple[str | None, list[tuple[int, int]]]:
+    """FIRST video stream's frame-chunk byte spans from the `movi`
+    LIST → (codec, [(payload_start, payload_end), ...]) in stream
+    order — a container walk, no decoding, so the caller slices (and
+    decodes) only the frames it samples. ``codec`` is the uppercased
+    compression fourcc, preferring strf's biCompression over strh's
+    fccHandler (players resolve the decoder the same way; some muxers
+    leave fccHandler blank). Frame chunks are ``NNdc``/``NNdb`` where
+    NN is the stream's 2-digit index counted over ALL strl entries in
+    hdrl order (the AVI stream-numbering rule), including chunks nested
+    one level down in ``LIST rec `` groups (the interleaving unit
+    OpenDML muxers emit). Zero-length chunks are kept: an AVI encodes a
+    dropped/repeated frame as an empty chunk, and frame INDEX fidelity
+    matters to samplers. Raises ValueError when the payload is not an
+    AVI or the header/movi tree is truncated; returns (codec, []) for
+    a well-formed AVI with no movi frames."""
+    if not is_avi(data):
+        raise ValueError("not an AVI (RIFF/'AVI ' signature missing)")
+    (riff_size,) = struct.unpack("<I", data[4:8])
+    end = min(len(data), 8 + riff_size)
+    stream_no = 0
+    vid_index = None
+    codec = None
+    spans: list[tuple[int, int]] = []
+    for fourcc, ps, pe in _riff_chunks(data, 12, end):
+        if fourcc != b"LIST":
+            continue
+        list_type = data[ps : ps + 4]
+        if list_type == b"hdrl" and vid_index is None:
+            for f2, s2, e2 in _riff_chunks(data, ps + 4, pe):
+                if f2 != b"LIST" or data[s2 : s2 + 4] != b"strl":
+                    continue
+                fcc_type = handler = None
+                compression = None
+                for f3, s3, e3 in _riff_chunks(data, s2 + 4, e2):
+                    if f3 == b"strh" and e3 - s3 >= 8:
+                        fcc_type = data[s3 : s3 + 4]
+                        handler = data[s3 + 4 : s3 + 8]
+                    elif (
+                        f3 == b"strf"
+                        and fcc_type == b"vids"
+                        and e3 - s3 >= 20
+                    ):
+                        # BITMAPINFOHEADER.biCompression at offset 16
+                        compression = data[s3 + 16 : s3 + 20]
+                if fcc_type == b"vids" and vid_index is None:
+                    vid_index = stream_no
+                    raw = compression if compression and compression.strip(b"\x00") else handler
+                    codec = (
+                        raw.decode("ascii", "replace").strip().upper()
+                        if raw is not None
+                        else None
+                    )
+                stream_no += 1
+        elif list_type == b"movi" and vid_index is not None:
+            prefix = b"%02d" % vid_index
+            for f2, s2, e2 in _riff_chunks(data, ps + 4, pe):
+                if f2[:2] == prefix and f2[2:4] in (b"dc", b"db"):
+                    spans.append((s2, e2))
+                elif f2 == b"LIST" and data[s2 : s2 + 4] == b"rec ":
+                    for f3, s3, e3 in _riff_chunks(data, s2 + 4, e2):
+                        if f3[:2] == prefix and f3[2:4] in (b"dc", b"db"):
+                            spans.append((s3, e3))
+    if vid_index is None:
+        raise ValueError("AVI has no video stream (no 'vids' strh in hdrl)")
+    return codec, spans
+
+
 # ------------------------------------------------- Matroska / WebM (EBML)
 
 

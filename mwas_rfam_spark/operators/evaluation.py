@@ -165,6 +165,48 @@ def threshold_report(
     selected_frac). Prediction rule: score >= threshold. NULL/NaN
     score and NULL label rows are excluded (see `binary_auc`).
     Empty-cell precision/recall are NULL, not 0/0 errors."""
+    return _threshold_cells(scored, [], thresholds, score_col, label_col)
+
+
+def grouped_threshold_report(
+    scored: DataFrame,
+    group_cols: list[str],
+    thresholds: list[float],
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-slice confusion metrics — :func:`threshold_report`'s grouped
+    twin (r10 carry-over stretch; the third grouped twin after
+    grouped_auc / grouped_calibration_report): one row per
+    (group..., threshold), the fairness/ops question "does the
+    production threshold select the same fraction, at the same
+    precision, on every language/source?" in ONE aggregate pass
+    instead of a driver loop over filters.
+
+    Scale shape: like the calibration twin this needs NO prefix sums,
+    NO window, and NO driver-side offsets — every confusion cell is a
+    map-side-combinable conditional SUM, so the whole relation is one
+    groupBy(group...) over ≤ n_groups × n_thresholds output rows that
+    stays distributed end to end. NULL/NaN scores and NULL labels are
+    excluded per group (the family's shared exclusion rule); NULL
+    group values are legitimate slices and kept. Per-group ==
+    ungrouped-on-the-slice is pytest-pinned via the shared body."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty (use threshold_report)")
+    return _threshold_cells(scored, group_cols, thresholds, score_col, label_col)
+
+
+def _threshold_cells(
+    scored: DataFrame,
+    group_cols: list[str],
+    thresholds: list[float],
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """The ONE confusion aggregation both the ungrouped and grouped
+    reports run (the `_calibration_binned` convention — prediction
+    rule, exclusion rule, and empty-cell NULL semantics live here
+    exactly once)."""
     if not thresholds:
         raise ValueError("thresholds must be non-empty")
     s = F.col(score_col).cast("double")
@@ -172,7 +214,7 @@ def threshold_report(
     valid = scored.where(
         s.isNotNull() & ~F.isnan(s) & F.col(label_col).isNotNull()
     ).select(
-        s.alias("__s"), y.alias("__y")
+        *group_cols, s.alias("__s"), y.alias("__y")
     )
     aggs = []
     for i, t in enumerate(thresholds):
@@ -183,7 +225,7 @@ def threshold_report(
             F.sum((1 - pred) * F.col("__y")).alias(f"fn{i}"),
             F.sum((1 - pred) * (1 - F.col("__y"))).alias(f"tn{i}"),
         ]
-    row = valid.agg(*aggs)
+    row = valid.groupBy(*group_cols).agg(*aggs)
     per = [
         F.struct(
             F.lit(float(t)).alias("threshold"),
@@ -194,7 +236,9 @@ def threshold_report(
         )
         for i, t in enumerate(thresholds)
     ]
-    exploded = row.select(F.explode(F.array(*per)).alias("m")).select("m.*")
+    exploded = row.select(
+        *group_cols, F.explode(F.array(*per)).alias("m")
+    ).select(*group_cols, "m.*")
     prec = F.when(
         F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))
     )
@@ -202,6 +246,7 @@ def threshold_report(
         F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))
     )
     return exploded.select(
+        *group_cols,
         "threshold",
         "tp",
         "fp",

@@ -348,7 +348,10 @@ def _real_video_frames(payload: bytes, every_n: int) -> list[tuple[int, str]]:
     Preference order mirrors the image/audio paths: PyAV when the wheel
     exists (every container format), else the pure-stdlib animated-GIF
     decoder (functions/gif_codec — LZW, palettes, interlace, disposal
-    compositing), else NotImplementedError naming the missing codec.
+    compositing), else the pure-stdlib MJPEG-in-AVI path (the one video
+    codec needing no wheel: `media_headers.avi_video_frames_raw` walks
+    the movi chunk spans and `jpeg_codec.decode_jpeg` decodes only the
+    sampled frames), else NotImplementedError naming the missing codec.
     The sha is over the composited full-canvas RGB bytes, so the same
     visual frame hashes identically regardless of how the encoder split
     it into sub-rectangles — which is what frame-dedup wants."""
@@ -377,12 +380,67 @@ def _real_video_frames(payload: bytes, every_n: int) -> list[tuple[int, str]]:
             (i, hashlib.sha256(frames[i]).hexdigest())
             for i in range(0, len(frames), every_n)
         ]
+    from mwas_rfam_spark.functions.media_headers import is_avi
+
+    if is_avi(payload):
+        return _mjpeg_avi_frames(payload, every_n)
     raise NotImplementedError(
         "real frame extraction: PyAV/ffmpeg not in this container and the "
-        "payload is not a GIF (the stdlib decoder handles GIF only; for "
-        "MP4 containers, `video_metadata` reads duration/dims/tracks "
-        "header-only without any wheel)"
+        "payload is not a GIF or an MJPEG AVI (the stdlib decoders handle "
+        "those two; for MP4/MKV containers, `video_metadata` reads "
+        "duration/dims/tracks header-only without any wheel)"
     )
+
+
+def _mjpeg_avi_frames(payload: bytes, every_n: int) -> list[tuple[int, str]]:
+    """MJPEG-in-AVI frame sampling with stdlib+numpy only — the movi
+    walk yields (start, end) spans so ONLY the sampled frames are
+    sliced and JPEG-decoded (an every_n=30 thumbnail pass over an hour
+    of 30 fps MJPEG decodes 1/30th of the chunks; the container walk
+    itself is header arithmetic). Zero-length chunks are the AVI
+    encoding for a dropped/repeated frame: the sampler hashes the
+    nearest preceding non-empty frame (what a player displays at that
+    index), memoized by span so a run of drops decodes its source
+    frame once. Grayscale JPEGs are expanded to RGB so the sha
+    convention (composited full-canvas RGB bytes) holds across
+    codecs. Non-MJPEG AVIs raise NotImplementedError naming the codec;
+    MJPEG streams whose frames omit the Huffman tables (the OpenDML
+    'AVI1' convention some hardware encoders use) fail ValueError in
+    the JPEG decoder rather than silently substituting tables."""
+    from mwas_rfam_spark.functions.jpeg_codec import decode_jpeg
+    from mwas_rfam_spark.functions.media_headers import avi_video_frames_raw
+
+    codec, spans = avi_video_frames_raw(payload)
+    if codec != "MJPG":
+        raise NotImplementedError(
+            f"AVI video codec {codec!r}: only MJPG decodes in-container "
+            "(PyAV/ffmpeg wheel needed for other codecs)"
+        )
+    sha_by_span: dict[tuple[int, int], str] = {}
+
+    def _frame_sha(span: tuple[int, int]) -> str:
+        if span not in sha_by_span:
+            s, e = span
+            _w, _h, ch, px = decode_jpeg(payload[s:e])
+            if ch == 1:
+                import numpy as np
+
+                px = np.repeat(np.frombuffer(px, dtype=np.uint8), 3).tobytes()
+            sha_by_span[span] = hashlib.sha256(px).hexdigest()
+        return sha_by_span[span]
+
+    out = []
+    for i in range(0, len(spans), every_n):
+        src = i
+        while src >= 0 and spans[src][0] == spans[src][1]:
+            src -= 1  # dropped frame: show the previous picture
+        if src < 0:
+            raise ValueError(
+                "MJPEG AVI starts with empty (dropped) frame chunks — "
+                "no picture exists to sample at index 0"
+            )
+        out.append((i, _frame_sha(spans[src])))
+    return out
 
 
 def _i32(v):

@@ -549,6 +549,18 @@ def materialize_ivfpq(
     on residuals (``train_pq_codebooks(residual_centroids=centroids)``)
     — raw-trained codebooks sit far off-center for residual inputs and
     the quantization error explodes ~15× instead of shrinking (probe O).
+
+    Default decision (r10 carry-over task #5): the RECIPE defaults to
+    residual wherever this codebase trains the codebooks itself (the
+    `index ivfpq build` CLI since r11 — probe r9o: +86% recall@10@
+    rerank=100 on a clustered corpus, a wash on unclustered, never
+    worse). THIS function's ``residual`` kwarg keeps ``False`` as its
+    default on purpose: the flag is a CLAIM about how the caller
+    trained the ``codebooks`` argument, not a preference — flipping it
+    here would silently mis-declare every existing raw-trained book
+    and recreate exactly the 15× error the contract above exists to
+    prevent. Callers composing their own build pass it explicitly;
+    the stored meta + refusal machinery handle the rest.
     The rest of the faiss ``IVFPQ`` layout
     re-expressed as self-describing parquet (extension; the reference
     engine has no vector search):

@@ -811,6 +811,18 @@ def test_index_cli_ivfpq_lifecycle(spark, tmp_path):
     assert all(v % 5 != 1 for v, _ in got)
     assert got[0] == (0, 0.0)
 
+    # r11 default decision: the CLI recipe trains its own codebooks, so
+    # residual encoding (probe r9o: +86% recall on clustered corpora)
+    # is the build default — recorded in meta and honored by append —
+    # and --no-residual restores the raw layout
+    from mwas_rfam_spark.operators.quantization import _index_is_residual
+
+    assert _index_is_residual(spark, idx) is True
+    raw_idx = str(tmp_path / "idx_raw")
+    assert main(["index", "ivfpq", "build", a, "--path", raw_idx,
+                 "--cells", "4", "--no-residual"], spark=spark) == 0
+    assert _index_is_residual(spark, raw_idx) is False
+
 
 def test_cli_demo_reference_parity(spark, tmp_path):
     """VERDICT r6 task #7: one command runs the reference repo's own

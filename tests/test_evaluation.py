@@ -298,3 +298,58 @@ def test_grouped_auc_cardinality_guard(spark):
     # and the same call with the bound raised succeeds
     out = grouped_auc(df, ["domain"], max_offset_groups=1000)
     assert out.count() == 500
+
+
+def test_grouped_threshold_report_hand_golden_and_slice_equivalence(spark):
+    """r10 carry-over stretch: the grouped confusion twin. Hand-computed
+    golden per slice, per-group == ungrouped-on-the-slice (shared body),
+    NULL group kept as its own slice, NaN/NULL rows excluded per group,
+    still ONE aggregate pass."""
+    from mwas_rfam_spark.operators.evaluation import (
+        grouped_threshold_report,
+        threshold_report,
+    )
+
+    rows = [
+        # grp a: tp=2 fp=1 fn=1 tn=1 at t=0.5
+        ("a", 0.9, 1), ("a", 0.8, 0), ("a", 0.7, 1), ("a", 0.4, 1), ("a", 0.2, 0),
+        # grp b: all negative, nothing selected at 0.5
+        ("b", 0.3, 0), ("b", 0.1, 0),
+        # NULL group: a real slice
+        (None, 0.6, 1), (None, 0.4, 0),
+        # excluded rows land in NO slice
+        ("a", float("nan"), 1), ("b", None, 1), (None, 0.7, None),
+    ]
+    df = spark.createDataFrame(rows, "grp string, score double, label int")
+    rep = grouped_threshold_report(df, ["grp"], [0.5])
+    got = {r["grp"]: r for r in rep.collect()}
+    assert set(got) == {"a", "b", None}
+    ra = got["a"]
+    assert (ra["tp"], ra["fp"], ra["fn"], ra["tn"]) == (2, 1, 1, 1)
+    assert ra["precision"] == pytest.approx(2 / 3)
+    assert ra["recall"] == pytest.approx(2 / 3)
+    assert ra["selected_frac"] == pytest.approx(3 / 5)
+    rb = got["b"]
+    assert (rb["tp"], rb["fp"], rb["tn"]) == (0, 0, 2)
+    assert rb["precision"] is None and rb["recall"] is None  # no positives
+    rn = got[None]
+    assert (rn["tp"], rn["fp"], rn["fn"], rn["tn"]) == (1, 0, 0, 1)
+
+    # per-group == ungrouped over the slice, every column, 3 thresholds
+    ts = [0.25, 0.5, 0.75]
+    full = grouped_threshold_report(df, ["grp"], ts)
+    for g in ["a", "b"]:
+        slice_rep = threshold_report(df.where(F.col("grp") == g), ts)
+        want = sorted(map(tuple, slice_rep.collect()))
+        have = sorted(
+            tuple(r)[1:] for r in full.where(F.col("grp") == g).collect()
+        )
+        assert have == want
+
+    # one aggregate pass, grouped or not
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") <= 2 or plan.count("SortAggregate") <= 2
+    with pytest.raises(ValueError, match="group_cols"):
+        grouped_threshold_report(df, [], ts)
+    with pytest.raises(ValueError, match="non-empty"):
+        grouped_threshold_report(df, ["grp"], [])

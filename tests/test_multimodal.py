@@ -1512,21 +1512,27 @@ def _avi_chunk(fourcc, payload):
 
 
 def _avi_fixture(total_frames=100, usec=40000, w=320, h=240, rate=25,
-                 scale=1, audio_hz=22050):
+                 scale=1, audio_hz=22050, movi_chunks=None, handler=b"MJPG",
+                 strf_v=None):
     """Minimal AVI: RIFF('AVI ') > LIST(hdrl)[avih, LIST(strl)[strh
-    vids + strf], LIST(strl)[strh auds + strf WAVEFORMATEX]] + empty
-    movi."""
+    vids + strf], LIST(strl)[strh auds + strf WAVEFORMATEX]] + movi
+    (empty by default; `movi_chunks` is a list of ALREADY-WRAPPED
+    chunks — _avi_chunk output, including nested LIST(rec ) groups —
+    appended in order). `handler`/`strf_v` override the video stream's
+    strh fccHandler / strf BITMAPINFOHEADER for codec-resolution
+    tests."""
     import struct
 
     avih = struct.pack(
         "<10I", usec, 0, 0, 0, total_frames, 0, 2, 0, w, h
     ) + bytes(16)
     strh_v = (
-        b"vids" + b"MJPG" + struct.pack("<3I", 0, 0, 0)
+        b"vids" + handler + struct.pack("<3I", 0, 0, 0)
         + struct.pack("<4I", scale, rate, 0, total_frames)
         + bytes(20)
     )
-    strf_v = bytes(40)  # BITMAPINFOHEADER, unused by the parser
+    if strf_v is None:
+        strf_v = bytes(40)  # BITMAPINFOHEADER, unused by the parser
     strh_a = (
         b"auds" + bytes(4) + struct.pack("<3I", 0, 0, 0)
         + struct.pack("<4I", 1, audio_hz, 0, audio_hz * 4)
@@ -1539,7 +1545,7 @@ def _avi_fixture(total_frames=100, usec=40000, w=320, h=240, rate=25,
                         + _avi_chunk(b"strf", strf_a))
     hdrl = _avi_chunk(b"LIST", b"hdrl" + _avi_chunk(b"avih", avih)
                       + strl_v + strl_a)
-    movi = _avi_chunk(b"LIST", b"movi")
+    movi = _avi_chunk(b"LIST", b"movi" + b"".join(movi_chunks or []))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -1809,3 +1815,141 @@ def test_video_metadata_on_error_null(spark):
         video_metadata(vids, fake=False, on_error="fail").collect()
     with pytest.raises(ValueError, match="on_error"):
         video_metadata(vids, fake=False, on_error="skip")
+
+
+def _solid_jpeg(r, g, b, w=8, h=8, quality=95):
+    from mwas_rfam_spark.functions.jpeg_codec import encode_jpeg
+
+    return encode_jpeg(w, h, 3, bytes([r, g, b] * (w * h)), quality=quality)
+
+
+def _rgb_sha(jpeg_bytes):
+    import hashlib
+
+    import numpy as np
+
+    from mwas_rfam_spark.functions.jpeg_codec import decode_jpeg
+
+    _w, _h, ch, px = decode_jpeg(jpeg_bytes)
+    if ch == 1:
+        px = np.repeat(np.frombuffer(px, dtype=np.uint8), 3).tobytes()
+    return hashlib.sha256(px).hexdigest()
+
+
+def test_avi_video_frames_raw_walk():
+    """Container walk only: 00dc/00db spans for the FIRST video stream
+    in stream order, audio chunks ignored, LIST(rec ) groups entered,
+    zero-length (dropped-frame) chunks kept, codec from strf
+    biCompression with strh fccHandler fallback."""
+    from mwas_rfam_spark.functions.media_headers import avi_video_frames_raw
+
+    f0, f1, f3 = b"AA", b"BBBB", b"CCCCCC"
+    chunks = [
+        _avi_chunk(b"00dc", f0),
+        _avi_chunk(b"01wb", b"audio-bytes"),  # audio: ignored
+        _avi_chunk(b"LIST", b"rec " + _avi_chunk(b"00dc", f1)),
+        _avi_chunk(b"00dc", b""),  # dropped frame: kept, empty span
+        _avi_chunk(b"00db", f3),
+    ]
+    avi = _avi_fixture(movi_chunks=chunks)
+    codec, spans = avi_video_frames_raw(avi)
+    assert codec == "MJPG"  # strf blank -> strh fccHandler fallback
+    assert [avi[s:e] for s, e in spans] == [f0, f1, b"", f3]
+
+    # strf biCompression wins over the handler when present
+    strf = bytes(16) + b"MJPG" + bytes(20)
+    avi2 = _avi_fixture(movi_chunks=chunks, handler=b"\x00\x00\x00\x00",
+                        strf_v=strf)
+    codec2, spans2 = avi_video_frames_raw(avi2)
+    assert codec2 == "MJPG" and len(spans2) == 4
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not an AVI"):
+        avi_video_frames_raw(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_mjpeg_avi_real_frames():
+    """The no-wheel video slice (r10 carry-over task #3): MJPEG frames
+    inside an AVI decode with the repo's own JPEG decoder; sampled
+    shas equal the direct decode of each sampled frame's JPEG bytes."""
+    from mwas_rfam_spark.operators.multimodal import _real_video_frames
+
+    jpegs = [
+        _solid_jpeg(255, 0, 0),
+        _solid_jpeg(0, 255, 0),
+        _solid_jpeg(0, 0, 255),
+        _solid_jpeg(255, 255, 0),
+        _solid_jpeg(30, 60, 90),
+    ]
+    avi = _avi_fixture(movi_chunks=[_avi_chunk(b"00dc", j) for j in jpegs])
+    got = _real_video_frames(avi, every_n=2)
+    assert [i for i, _ in got] == [0, 2, 4]
+    assert [s for _, s in got] == [_rgb_sha(jpegs[0]), _rgb_sha(jpegs[2]),
+                                   _rgb_sha(jpegs[4])]
+    assert len({s for _, s in got}) == 3  # distinct colors, distinct shas
+
+
+def test_mjpeg_avi_dropped_frames_and_grayscale():
+    """A zero-length chunk repeats the nearest preceding picture (what
+    a player shows at that index); grayscale JPEG frames expand to RGB
+    so the sha convention holds across pixel formats."""
+    from mwas_rfam_spark.functions.jpeg_codec import encode_jpeg
+    from mwas_rfam_spark.operators.multimodal import _real_video_frames
+
+    gray = encode_jpeg(8, 8, 1, bytes([77] * 64), quality=95)
+    jpegs = [_solid_jpeg(200, 10, 10), None, None, gray]
+    chunks = [_avi_chunk(b"00dc", j if j is not None else b"") for j in jpegs]
+    got = dict(_real_video_frames(_avi_fixture(movi_chunks=chunks), every_n=1))
+    assert got[1] == got[0] and got[2] == got[0]
+    assert got[3] == _rgb_sha(gray) and got[3] != got[0]
+
+    # an AVI that OPENS with dropped frames has no picture to show
+    import pytest
+
+    empty_first = [_avi_chunk(b"00dc", b""), _avi_chunk(b"00dc", gray)]
+    with pytest.raises(ValueError, match="dropped"):
+        _real_video_frames(_avi_fixture(movi_chunks=empty_first), every_n=1)
+
+
+def test_mjpeg_avi_non_mjpg_raises_named():
+    """A non-MJPEG AVI names the codec it can't decode in-container."""
+    import pytest
+
+    from mwas_rfam_spark.operators.multimodal import _real_video_frames
+
+    avi = _avi_fixture(movi_chunks=[_avi_chunk(b"00dc", b"xx")],
+                       handler=b"XVID")
+    with pytest.raises(NotImplementedError, match="XVID"):
+        _real_video_frames(avi, every_n=1)
+
+
+def test_video_frames_real_mjpeg_avi_spark_path(spark):
+    """fake=False end-to-end through the Spark mapInPandas stage with
+    an MJPEG AVI next to a GIF: both stdlib decoders serve the same
+    long-form (doc_id, frame_idx, frame_sha) relation a frame-dedup
+    consumes."""
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.functions.gif_codec import encode_gif
+    from mwas_rfam_spark.operators.multimodal import sample_video_frames
+
+    jpegs = [_solid_jpeg(255, 0, 0), _solid_jpeg(0, 255, 0),
+             _solid_jpeg(0, 0, 255)]
+    avi = _avi_fixture(movi_chunks=[_avi_chunk(b"00dc", j) for j in jpegs])
+    gif = encode_gif(4, 3, [bytes(12)], [(0, 0, 0), (9, 9, 9)])
+    media = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(gif))],
+        "doc_id long, payload binary",
+    ).select(
+        "doc_id", "payload",
+        F.struct(F.lit("video").alias("media_type")).alias("media_meta"),
+    )
+    got = sample_video_frames(media, every_n=2, fake=False).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], {})[r["frame_idx"]] = r["frame_sha"]
+    assert sorted(by_doc[1]) == [0, 2]
+    assert by_doc[1][0] == _rgb_sha(jpegs[0])
+    assert by_doc[1][2] == _rgb_sha(jpegs[2])
+    assert sorted(by_doc[2]) == [0]

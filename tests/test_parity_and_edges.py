@@ -327,8 +327,9 @@ def test_relocated_oracle_parity(spark, sf_dir):
     relocated = entry.relocated_oracles()
     assert sorted(relocated) == [
         "a7_signature_dedup", "a9_summary_agg", "ann_ivf_topk",
-        "ann_knn_batch", "dedup_embedding_lsh", "dedup_exact",
-        "dedup_simhash32", "f2_rpm_normalize", "grouped_auc",
+        "ann_knn_batch", "condense_accounting", "dedup_embedding_lsh",
+        "dedup_exact", "dedup_simhash32", "drift_report",
+        "f2_rpm_normalize", "grouped_auc", "grouped_threshold_report",
         "j4_cascading_lookup", "j5_sql_api", "j6_semi_join",
         "j7_positional_join", "s13_synthetic_input", "so2_complement",
         "text_vocab_topk", "threshold_report",

@@ -1154,6 +1154,85 @@ def test_streaming_eval_counts_auc_matches_batch(spark, tmp_path):
     )
 
 
+def test_streaming_eval_counts_quantize_bounds_state(spark, tmp_path):
+    """quantize= (r10 carry-over task #4): a CONTINUOUS score stream —
+    every row a new distinct float — must not grow per-score state with
+    the corpus. With quantize=2 the folded state stays ≤ 10²+1 rows by
+    construction, the state AUC equals binary_auc over the identically
+    rounded relation exactly (counts stay linear), and the perturbation
+    vs the unrounded AUC is within the documented tie-mass bound. A bad
+    quantize fails at sink construction, not in the N-th micro-batch."""
+    import glob
+    import os
+    import shutil
+
+    from mwas_rfam_spark.operators.evaluation import binary_auc
+    from mwas_rfam_spark.streaming.requests import (
+        eval_state_auc,
+        streaming_eval_counts,
+    )
+
+    # continuous scores: i/997 mod 1 — 600 rows, 600 distinct doubles
+    rows = [(i, (i * 357 % 997) / 997.0, (i * 7 % 13) % 2) for i in range(600)]
+    docs = spark.createDataFrame(rows, "doc_id long, score double, label int").cache()
+    assert docs.select("score").distinct().count() == 600
+
+    src = tmp_path / "qsrc"
+    os.makedirs(src, exist_ok=True)
+    for i in range(3):
+        b = docs.where(F.col("doc_id") % 3 == i).coalesce(1)
+        b.write.mode("overwrite").parquet(str(tmp_path / f"qstage{i}"))
+        f = glob.glob(str(tmp_path / f"qstage{i}" / "*.parquet"))[0]
+        shutil.copy(f, str(src / f"batch_{i}.parquet"))
+
+    state = str(tmp_path / "q_eval_state")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_eval_counts(stream, state, quantize=2)
+        .option("checkpointLocation", str(tmp_path / "qckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # state cardinality bounded by construction: ≤ 10^2 + 1 distinct v
+    # (101 grid points on [0,1) at 2 digits, +1 for the null row)
+    folded = spark.read.parquet(state).groupBy("v").count()
+    assert folded.count() <= 101 + 1
+
+    got = eval_state_auc(spark, state).collect()[0]
+    rounded = docs.withColumn("score", F.round("score", 2))
+    want = binary_auc(rounded).collect()[0]
+    assert got["auc"] == pytest.approx(want["auc"], abs=1e-12)
+    assert (got["n_pos"], got["n_neg"], got["n_null"]) == (
+        want["n_pos"], want["n_neg"], 0,
+    )
+    # tie-mass perturbation bound vs the unrounded AUC: Σ pos_g·neg_g
+    # over rounded-tie groups / (n⁺·n⁻)
+    exact = binary_auc(docs).collect()[0]
+    tie_mass = (
+        rounded.groupBy("score")
+        .agg(
+            F.sum(F.col("label")).alias("p"),
+            F.sum(1 - F.col("label")).alias("n"),
+        )
+        .agg(F.sum(F.col("p") * F.col("n")))
+        .collect()[0][0]
+    ) / (want["n_pos"] * want["n_neg"])
+    assert abs(got["auc"] - exact["auc"]) <= tie_mass + 1e-12
+
+    with pytest.raises(ValueError, match="quantize"):
+        streaming_eval_counts(stream, state, quantize=-1)
+    with pytest.raises(ValueError, match="quantize"):
+        streaming_eval_counts(stream, state, quantize=2.5)
+
+
 def test_cms_compactor_early_exit_clears_partial_target(spark, tmp_path):
     """r8 ADVICE (low): when the lone deepest frozen partition already
     IS the folded state (no new raws), the early-exit must still delete
