@@ -382,20 +382,94 @@ def grouped_auc(
     the remedy named, instead of dying in an unexplained driver OOM —
     the same cost-model move `dedup_clusters` makes with
     `local_threshold_edges`."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty (use binary_auc)")
+    per = grouped_per_score_counts(scored, group_cols, score_col, label_col)
+    return grouped_auc_from_score_counts(
+        per,
+        group_cols,
+        partitions=partitions,
+        max_offset_groups=max_offset_groups,
+        include_null_counts=False,
+    )
+
+
+def grouped_per_score_counts(
+    scored: DataFrame,
+    group_cols: list[str],
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-(group..., DISTINCT score) (v, cnt_a, cnt_b, cnt_null)
+    counts — :func:`per_score_counts`' grouped twin and the corpus-scan
+    stage of :func:`grouped_auc`. Public for the same reason: the
+    counts are LINEAR per group, so exact per-slice AUC state can be
+    maintained incrementally (``streaming_eval_counts(group_cols=...)``)
+    and finished by :func:`grouped_auc_from_score_counts` without
+    re-touching rows. Invalid rows (NULL/NaN score or NULL label) fold
+    into the group's dedicated v-NULL row; NULL GROUP values are
+    legitimate slices and kept (groupBy keeps NULL keys)."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty (use per_score_counts)")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    base = scored.select(
+        *group_cols,
+        s.alias("__s"),
+        F.when(y > 0, 1).otherwise(0).alias("__y"),
+        (s.isNull() | F.isnan(s) | y.isNull()).alias("__null"),
+    )
+    return (
+        base.groupBy(
+            *group_cols, F.when(~F.col("__null"), F.col("__s")).alias("v")
+        )
+        .agg(
+            F.sum(
+                F.when(~F.col("__null") & (F.col("__y") == 1), 1).otherwise(0)
+            ).alias("cnt_a"),
+            F.sum(
+                F.when(~F.col("__null") & (F.col("__y") == 0), 1).otherwise(0)
+            ).alias("cnt_b"),
+            F.sum(F.col("__null").cast("long")).alias("cnt_null"),
+        )
+    )
+
+
+def grouped_auc_from_score_counts(
+    per: DataFrame,
+    group_cols: list[str],
+    partitions: int | None = None,
+    max_offset_groups: int = 100_000,
+    include_null_counts: bool = True,
+) -> DataFrame:
+    """Per-group midrank AUC from a per-(group..., DISTINCT score)
+    counts relation (group..., v, cnt_a, cnt_b[, cnt_null]) — the
+    second stage of :func:`grouped_auc`, public because the counts are
+    LINEAR per group (they sum across corpus slices / micro-batches),
+    which makes exact per-slice AUC computable over streamed or
+    pre-aggregated state (``eval_state_grouped_auc``) without
+    re-touching rows. Same range-partition + local-window +
+    broadcast-offset discipline and the same ``max_offset_groups``
+    driver-side cost guard as :func:`grouped_auc` (see its docstring).
+
+    ``include_null_counts=True`` (the state-reader shape) adds an
+    ``n_null`` column and KEEPS all-invalid groups (auc NULL, counts
+    0 — a slice whose every score was NaN should show up in monitoring,
+    not vanish); ``False`` (the :func:`grouped_auc` shape) drops the
+    null tally and the all-invalid groups, preserving that surface's
+    pinned schema and semantics."""
     from pyspark.sql import Window
 
     if not group_cols:
-        raise ValueError("group_cols must be non-empty (use binary_auc)")
+        raise ValueError("group_cols must be non-empty")
     if partitions is None:
-        partitions = scored.sparkSession.sparkContext.defaultParallelism
-    s = F.col(score_col).cast("double")
-    y = F.col(label_col).cast("int")
-    valid = scored.where(s.isNotNull() & ~F.isnan(s) & y.isNotNull())
-    per = valid.groupBy(*group_cols, s.alias("__v")).agg(
-        F.sum(F.when(y > 0, 1).otherwise(0)).alias("cnt_a"),
-        F.sum(F.when(y > 0, 0).otherwise(1)).alias("cnt_b"),
+        partitions = per.sparkSession.sparkContext.defaultParallelism
+    if "cnt_null" not in per.columns:
+        per = per.withColumn("cnt_null", F.lit(0).cast("long"))
+    valid_per = per.where(F.col("v").isNotNull()).select(
+        *group_cols, F.col("v").alias("__v"), "cnt_a", "cnt_b"
     )
-    ranged = per.repartitionByRange(partitions, *group_cols, "__v").withColumn(
+    ranged = valid_per.repartitionByRange(partitions, *group_cols, "__v").withColumn(
         "__pid", F.spark_partition_id()
     ).localCheckpoint(eager=False)
     # cardinality guard BEFORE the driver-side offset collect; runs on
@@ -430,7 +504,7 @@ def grouped_auc(
         gkey = tuple(r[c] for c in group_cols)
         offsets.append((r["__pid"], *gkey, acc.get(gkey, 0)))
         acc[gkey] = acc.get(gkey, 0) + (r["tb"] or 0)
-    spark = scored.sparkSession
+    spark = per.sparkSession
     gtypes = ", ".join(
         f"`{c}` {dict(per.dtypes)[c]}" for c in group_cols
     )
@@ -449,7 +523,7 @@ def grouped_auc(
         .withColumn("cum_b", F.col("loc_b") + F.col("off_b"))
         .drop("__o_pid", *[f"__o_{c}" for c in group_cols])
     )
-    return (
+    auc_rel = (
         cum.groupBy(*group_cols)
         .agg(
             F.sum(
@@ -467,6 +541,30 @@ def grouped_auc(
             "n_pos",
             "n_neg",
         )
+    )
+    if not include_null_counts:
+        return auc_rel
+    # state-reader shape: per-group invalid tally joined back in; FULL
+    # OUTER + null-safe keys so an ALL-invalid group still surfaces
+    # (auc NULL, counts 0) and a NULL group value stays a real slice.
+    # Both sides are ≤ n_groups rows — parameter-sized.
+    nulls = (
+        per.groupBy(*group_cols)
+        .agg(F.coalesce(F.sum("cnt_null"), F.lit(0)).alias("n_null"))
+        .withColumnsRenamed({c: f"__n_{c}" for c in group_cols})
+    )
+    jcond = F.lit(True)
+    for c in group_cols:
+        jcond = jcond & F.col(c).eqNullSafe(F.col(f"__n_{c}"))
+    return auc_rel.join(nulls, jcond, "full_outer").select(
+        *[
+            F.coalesce(F.col(c), F.col(f"__n_{c}")).alias(c)
+            for c in group_cols
+        ],
+        "auc",
+        F.coalesce(F.col("n_pos"), F.lit(0)).alias("n_pos"),
+        F.coalesce(F.col("n_neg"), F.lit(0)).alias("n_neg"),
+        F.coalesce(F.col("n_null"), F.lit(0)).alias("n_null"),
     )
 
 

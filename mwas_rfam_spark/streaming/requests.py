@@ -928,6 +928,7 @@ def streaming_eval_counts(
     score_col: str = "score",
     label_col: str = "label",
     quantize: int | None = None,
+    group_cols: list[str] | None = None,
 ):
     """Streaming EXACT-AUC state maintenance (r9 stretch): every
     micro-batch of (score, label) rows reduces to its per-DISTINCT-
@@ -960,11 +961,21 @@ def streaming_eval_counts(
     the N-th micro-batch); replay safety is unchanged (rounding is a
     pure row function, redelivered batches still rewrite identical
     bytes). NaN/NULL rows are unaffected — round(NaN) is NaN and still
-    folds into the cnt_null row."""
-    from ..operators.evaluation import per_score_counts
+    folds into the cnt_null row.
+
+    ``group_cols`` folds per-(group..., v) counts instead (r11
+    stretch): the state then answers PER-SLICE exact AUC via
+    :func:`eval_state_grouped_auc` — still linear, still one tiny
+    aggregate per trigger, state ≤ n_groups × distinct-scores rows
+    (combine with ``quantize`` for the by-construction bound). One
+    state dir is one layout: the grouped reader/compactor derive the
+    key set from the stored columns, so mixing grouped and ungrouped
+    writes in a dir would mis-fold — use separate dirs per layout."""
+    from ..operators.evaluation import grouped_per_score_counts, per_score_counts
 
     if quantize is not None and (not isinstance(quantize, int) or quantize < 0):
         raise ValueError(f"quantize must be a non-negative int, got {quantize!r}")
+    gcols = list(group_cols or [])
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df
@@ -972,9 +983,14 @@ def streaming_eval_counts(
             b = b.withColumn(
                 score_col, F.round(F.col(score_col).cast("double"), quantize)
             )
-        per_score_counts(b, score_col, label_col).write.mode(
-            "overwrite"
-        ).parquet(f"{state_dir}/ingest_batch={batch_id}")
+        counts = (
+            grouped_per_score_counts(b, gcols, score_col, label_col)
+            if gcols
+            else per_score_counts(b, score_col, label_col)
+        )
+        counts.write.mode("overwrite").parquet(
+            f"{state_dir}/ingest_batch={batch_id}"
+        )
 
     return scored_stream.writeStream.foreachBatch(_process)
 
