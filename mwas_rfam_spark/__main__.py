@@ -1081,7 +1081,8 @@ def build_evaluate_parser() -> argparse.ArgumentParser:
         "precision/recall/F1, and calibration bins + ECE — no sklearn, "
         "no driver-side collect of the corpus.",
     )
-    p.add_argument("input", help="parquet with the score and label columns")
+    p.add_argument("input", help="parquet with the score and label columns "
+                   "(or, with --state, a streaming_eval_counts state dir)")
     p.add_argument("--score-col", default="score")
     p.add_argument("--label-col", default="label")
     p.add_argument("--thresholds", type=float, nargs="*", default=[0.5])
@@ -1090,6 +1091,15 @@ def build_evaluate_parser() -> argparse.ArgumentParser:
     p.add_argument("--bins", type=int, default=10)
     p.add_argument("--output", default=None,
                    help="also write the threshold report as parquet here")
+    p.add_argument("--state", action="store_true",
+                   help="treat input as a streaming_eval_counts state dir: "
+                   "print the exact global AUC (eval_state_auc) and "
+                   "calibration ECE (eval_state_calibration — per-score "
+                   "counts determine calibration exactly) and, when the dir "
+                   "was written with group_cols=, the per-slice AUCs and "
+                   "ECEs (key set derived from the stored columns). "
+                   "Thresholds need the scored rows and stay unavailable "
+                   "from counts state.")
     return p
 
 
@@ -1101,6 +1111,41 @@ def evaluate_main(argv: list[str], spark: SparkSession | None = None) -> int:
 
         spark = get_spark(app_name="evaluate-cli")
     try:
+        if args.state:
+            from .operators.evaluation import ece as ece_fn
+            from .operators.evaluation import grouped_ece
+            from .streaming.requests import (
+                _eval_state_group_cols,
+                eval_state_auc,
+                eval_state_calibration,
+                eval_state_grouped_auc,
+            )
+
+            a = eval_state_auc(spark, args.input).collect()[0]
+            print(f"auc\t{a['auc']}\tn_pos={a['n_pos']} n_neg={a['n_neg']} "
+                  f"n_null={a['n_null']}")
+            gcols = _eval_state_group_cols(
+                spark.read.option("mergeSchema", "true")
+                .parquet(args.input).columns
+            )
+            print(
+                "ece\t"
+                f"{ece_fn(eval_state_calibration(spark, args.input, args.bins, per_slice=False))}"
+            )
+            if not gcols:
+                return 0
+            sliced = eval_state_grouped_auc(spark, args.input, gcols)
+            for r in sliced.orderBy(*gcols).collect():
+                key = ",".join(f"{c}={r[c]}" for c in gcols)
+                print(f"auc[{key}]\t{r['auc']}\tn_pos={r['n_pos']} "
+                      f"n_neg={r['n_neg']} n_null={r['n_null']}")
+            cal = eval_state_calibration(spark, args.input, args.bins)
+            for r in grouped_ece(cal, gcols).orderBy(*gcols).collect():
+                key = ",".join(f"{c}={r[c]}" for c in gcols)
+                print(f"ece[{key}]\t{r['ece']}\tn={r['n']}")
+            if args.output:
+                sliced.write.mode("overwrite").parquet(args.output)
+            return 0
         from .operators.evaluation import (
             binary_auc,
             calibration_report,

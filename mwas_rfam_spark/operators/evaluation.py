@@ -284,6 +284,82 @@ def calibration_report(
     ).orderBy("bin")
 
 
+def _bin_rule(s, n_bins: int, score_min: float, score_max: float):
+    """The ONE equal-width bin rule every calibration surface shares
+    (validation + terminal-bin clamp): returns (width, bin column for
+    score expression ``s``). Extracted so the row-level reports and the
+    counts-state reconstruction (:func:`calibration_from_score_counts`)
+    cannot bin differently."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if not score_max > score_min:
+        raise ValueError("score_max must exceed score_min")
+    width = (score_max - score_min) / n_bins
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((s - F.lit(score_min)) / F.lit(width)).cast("int")
+        ),
+    )
+    return width, b
+
+
+def calibration_from_score_counts(
+    per: DataFrame,
+    group_cols: list[str] | None = None,
+    n_bins: int = 10,
+    score_min: float = 0.0,
+    score_max: float = 1.0,
+) -> DataFrame:
+    """Calibration report RECONSTRUCTED from a per-(group...,) DISTINCT-
+    score counts relation (:func:`per_score_counts` /
+    :func:`grouped_per_score_counts` shape, or a
+    ``streaming_eval_counts`` state dir's rows) — same
+    (group..., bin, bin_lo, bin_hi, n, mean_score, pos_rate, gap)
+    columns as :func:`calibration_report` / the grouped twin, equal on
+    the same rows (pytest-pinned): bins are a pure function of the
+    score and every row behind a counts row has exactly score v, so
+    n = Σ(cnt_a+cnt_b), mean_score = Σ v·(cnt_a+cnt_b)/n and
+    pos_rate = Σ cnt_a/n per bin reproduce the row-level aggregate.
+    The v-NULL tally rows are the invalid rows the row-level report
+    excludes — excluded here too. Counts rows need not be pre-folded
+    per distinct score (they sum linearly), so a multi-batch state dir
+    feeds this directly. On a ``quantize=``-d state the report is the
+    calibration of the ROUNDED scores — same ≤ half-grid-step
+    mean_score perturbation the sink documents for AUC ties."""
+    gcols = list(group_cols or [])
+    width, b = _bin_rule(F.col("v"), n_bins, score_min, score_max)
+    rel = (
+        per.where(F.col("v").isNotNull())
+        .select(
+            *gcols,
+            b.alias("bin"),
+            F.col("v").alias("__v"),
+            (F.col("cnt_a") + F.col("cnt_b")).alias("__n"),
+            F.col("cnt_a").alias("__a"),
+        )
+        .groupBy(*gcols, "bin")
+        .agg(
+            F.sum("__n").alias("n"),
+            (F.sum(F.col("__v") * F.col("__n")) / F.sum("__n")).alias(
+                "mean_score"
+            ),
+            (F.sum("__a") / F.sum("__n")).alias("pos_rate"),
+        )
+        .select(
+            *gcols,
+            "bin",
+            (F.lit(score_min) + F.col("bin") * width).alias("bin_lo"),
+            (F.lit(score_min) + (F.col("bin") + 1) * width).alias("bin_hi"),
+            "n",
+            "mean_score",
+            "pos_rate",
+            (F.col("pos_rate") - F.col("mean_score")).alias("gap"),
+        )
+    )
+    return rel.orderBy("bin") if not gcols else rel
+
+
 def _calibration_binned(
     scored: DataFrame,
     group_cols: list[str],
@@ -298,19 +374,9 @@ def _calibration_binned(
     live here exactly once, so the two surfaces cannot silently
     diverge (the per-group == ungrouped-on-the-slice pytest pins the
     equivalence)."""
-    if n_bins < 1:
-        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
-    if not score_max > score_min:
-        raise ValueError("score_max must exceed score_min")
     s = F.col(score_col).cast("double")
     y = F.when(F.col(label_col).cast("int") > 0, 1).otherwise(0)
-    width = (score_max - score_min) / n_bins
-    b = F.least(
-        F.lit(n_bins - 1),
-        F.greatest(
-            F.lit(0), F.floor((s - F.lit(score_min)) / F.lit(width)).cast("int")
-        ),
-    )
+    width, b = _bin_rule(s, n_bins, score_min, score_max)
     valid = scored.where(
         s.isNotNull() & ~F.isnan(s) & F.col(label_col).isNotNull()
     )

@@ -967,10 +967,15 @@ def streaming_eval_counts(
     stretch): the state then answers PER-SLICE exact AUC via
     :func:`eval_state_grouped_auc` — still linear, still one tiny
     aggregate per trigger, state ≤ n_groups × distinct-scores rows
-    (combine with ``quantize`` for the by-construction bound). One
-    state dir is one layout: the grouped reader/compactor derive the
-    key set from the stored columns, so mixing grouped and ungrouped
-    writes in a dir would mis-fold — use separate dirs per layout."""
+    (combine with ``quantize`` for the by-construction bound). A
+    TIME-WINDOWED AUC is the same mechanism, no new machinery: put an
+    event-time bucket (e.g. ``F.date_trunc('hour', ts)``) in
+    ``group_cols`` and the state answers per-window exact AUC — one
+    aggregate, no driver offsets beyond the window count
+    (pytest-pinned). One state dir is one layout: the grouped
+    reader/compactor derive the key set from the stored columns, so
+    mixing grouped and ungrouped writes in a dir would mis-fold — use
+    separate dirs per layout."""
     from ..operators.evaluation import grouped_per_score_counts, per_score_counts
 
     if quantize is not None and (not isinstance(quantize, int) or quantize < 0):
@@ -1007,7 +1012,14 @@ def eval_state_auc(
     crash-consistency contract is count-min's), re-sums per distinct
     score, and finishes with the SAME two-level-prefix-sum plan
     ``binary_auc`` uses — no unpartitioned window even when the folded
-    score relation is large."""
+    score relation is large.
+
+    Also correct over a GROUPED state dir
+    (``streaming_eval_counts(group_cols=...)``): counts are linear
+    across slices too, so summing away the group columns here yields
+    exactly the global per-score counts — the corpus-wide AUC of a
+    per-slice-monitored stream costs the same one fold (pytest-pinned
+    vs ``binary_auc`` over the concatenated rows)."""
     from ..operators.evaluation import auc_from_score_counts
 
     per_s = (
@@ -1022,6 +1034,115 @@ def eval_state_auc(
     return auc_from_score_counts(per_s, partitions=partitions)
 
 
+# columns every eval-counts state layout shares; anything else stored
+# beside them is a group key the writer added via group_cols=
+_EVAL_STATE_COUNT_COLS = ("cnt_a", "cnt_b", "cnt_null")
+
+
+def _eval_state_group_cols(columns: list[str]) -> list[str]:
+    return [
+        c
+        for c in columns
+        if c != "v" and c != "ingest_batch" and c not in _EVAL_STATE_COUNT_COLS
+    ]
+
+
+def eval_state_grouped_auc(
+    spark: SparkSession,
+    state_dir: str,
+    group_cols: list[str] | None = None,
+    partitions: int | None = None,
+    max_offset_groups: int = 100_000,
+) -> DataFrame:
+    """PER-SLICE exact midrank ROC AUC over everything a
+    ``streaming_eval_counts(group_cols=...)`` stream has ingested →
+    one row per slice (group..., auc, n_pos, n_neg, n_null), equal to
+    ``grouped_auc`` over the concatenated batches plus the per-group
+    invalid tally (pytest-pinned) — "is the live quality model still
+    as good on lang=ko as on lang=en?" answered from state without
+    re-touching a single scored row.
+
+    The key set is DERIVED from the stored columns (everything beside
+    v/cnt_a/cnt_b/cnt_null and the ingest_batch partition id), so the
+    reader needs no out-of-band layout record; pass ``group_cols`` to
+    pin an expectation — a mismatch with the stored layout raises
+    instead of silently slicing by the wrong key. An ungrouped dir
+    raises too (use :func:`eval_state_auc`). Reads under the same
+    deepest-complete-frozen-bar rule (counts fold by SUM per
+    (group..., v)), finishes with ``grouped_auc_from_score_counts`` —
+    the same range-partition + local-window + broadcast-offset plan and
+    the same ``max_offset_groups`` driver guard as ``grouped_auc``.
+    All-invalid slices surface as (auc NULL, 0, 0, n_null) rather than
+    vanishing — monitoring must show a slice whose every score was NaN."""
+    df = _authoritative_state_rows(spark, state_dir)
+    stored = _eval_state_group_cols(df.columns)
+    if group_cols is not None:
+        want = list(group_cols)
+        if sorted(want) != sorted(stored):
+            raise ValueError(
+                f"eval_state_grouped_auc: state dir {state_dir!r} stores "
+                f"group columns {stored!r} but group_cols={want!r} was "
+                "requested; one state dir is one layout — point at the "
+                "dir written with these group_cols or drop the argument "
+                "to derive the key set from the stored columns."
+            )
+        gcols = want  # caller's order wins for the output columns
+    else:
+        gcols = stored
+    if not gcols:
+        raise ValueError(
+            f"eval_state_grouped_auc: state dir {state_dir!r} is ungrouped "
+            "(columns are exactly v/cnt_a/cnt_b/cnt_null) — use "
+            "eval_state_auc for the global AUC."
+        )
+    from ..operators.evaluation import grouped_auc_from_score_counts
+
+    per = df.groupBy(*gcols, "v").agg(
+        F.sum("cnt_a").alias("cnt_a"),
+        F.sum("cnt_b").alias("cnt_b"),
+        F.sum("cnt_null").alias("cnt_null"),
+    )
+    return grouped_auc_from_score_counts(
+        per,
+        gcols,
+        partitions=partitions,
+        max_offset_groups=max_offset_groups,
+        include_null_counts=True,
+    )
+
+
+def eval_state_calibration(
+    spark: SparkSession,
+    state_dir: str,
+    n_bins: int = 10,
+    score_min: float = 0.0,
+    score_max: float = 1.0,
+    per_slice: bool = True,
+) -> DataFrame:
+    """Calibration report (+ ECE via ``ece``/``grouped_ece``) straight
+    from a :func:`streaming_eval_counts` state dir — the per-score
+    counts determine it exactly (every row behind a counts row has
+    exactly score v; see ``calibration_from_score_counts``), so live
+    calibration monitoring costs a state-sized aggregate, no scored-row
+    rescan. Layout-agnostic like the AUC readers: an ungrouped dir
+    yields ``calibration_report``'s shape, a grouped dir the grouped
+    twin's (key set derived from the stored columns) —
+    ``per_slice=False`` collapses a grouped dir to the GLOBAL report
+    instead (counts are linear, the slices sum away exactly, same
+    ungrouped-reader-over-grouped-dir move as :func:`eval_state_auc`).
+    Reads under the same deepest-complete-frozen-bar rule; counts need
+    no per-v pre-fold (they sum linearly into the bins). On a
+    ``quantize=``-d state this is the calibration of the rounded
+    scores."""
+    from ..operators.evaluation import calibration_from_score_counts
+
+    df = _authoritative_state_rows(spark, state_dir)
+    gcols = _eval_state_group_cols(df.columns) if per_slice else []
+    return calibration_from_score_counts(
+        df.drop("ingest_batch"), gcols, n_bins, score_min, score_max
+    )
+
+
 def compact_eval_state(
     spark: SparkSession,
     state_dir: str,
@@ -1032,17 +1153,23 @@ def compact_eval_state(
     linear, so committed batch partitions fold by per-``v`` SUM into
     the frozen negative partition and :func:`eval_state_auc` reads
     identical totals before and after (pytest-pinned). Same crash-
-    safety skeleton and reader-side authority rule as count-min."""
+    safety skeleton and reader-side authority rule as count-min.
+    Layout-agnostic like the readers: the fold keys are derived from
+    the stored columns, so a GROUPED state dir
+    (``streaming_eval_counts(group_cols=...)``) folds per
+    (group..., v) and keeps its slices intact — a fixed groupBy("v")
+    here would silently merge every slice into one on first compaction."""
 
     def merge_write(rows: DataFrame, path: str) -> None:
+        keys = ["v"] + _eval_state_group_cols(rows.columns)
         (
-            rows.groupBy("v")
+            rows.groupBy(*keys)
             .agg(
                 F.sum("cnt_a").alias("cnt_a"),
                 F.sum("cnt_b").alias("cnt_b"),
                 F.sum("cnt_null").alias("cnt_null"),
             )
-            .coalesce(1)  # ≤ distinct-scores rows — one file
+            .coalesce(1)  # ≤ groups × distinct-scores rows — one file
             .write.mode("errorifexists")
             .parquet(path)
         )

@@ -922,3 +922,42 @@ def test_cli_evaluate_grouped_ece_lines(spark, tmp_path, capsys):
     lines = capsys.readouterr().out.splitlines()
     assert any(line.startswith("ece[lang=en]") for line in lines)
     assert any(line.startswith("ece[lang=ko]") for line in lines)
+
+def test_cli_evaluate_state_mode(spark, tmp_path, capsys):
+    """evaluate --state: exact AUC straight from a streaming_eval_counts
+    state dir — global line always, per-slice lines when the dir was
+    written grouped (key set derived from the stored columns)."""
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.__main__ import evaluate_main
+    from mwas_rfam_spark.operators.evaluation import (
+        binary_auc,
+        grouped_per_score_counts,
+        per_score_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "ko", 0.1 * (i % 10), i % 2) for i in range(80)],
+        "doc_id long, lang string, score double, label int",
+    ).cache()
+
+    gstate = str(tmp_path / "gstate")
+    for b in range(2):
+        grouped_per_score_counts(
+            docs.where(F.col("doc_id") % 2 == b), ["lang"]
+        ).write.parquet(f"{gstate}/ingest_batch={b}")
+    assert evaluate_main([gstate, "--state"], spark) == 0
+    out = capsys.readouterr().out.splitlines()
+    want = binary_auc(docs).collect()[0]
+    assert out[0].split("\t")[1] == str(want["auc"])
+    assert any(line.startswith("auc[lang=en]") for line in out)
+    assert any(line.startswith("auc[lang=ko]") for line in out)
+    assert any(line.startswith("ece\t") for line in out)
+    assert any(line.startswith("ece[lang=en]") for line in out)
+
+    ustate = str(tmp_path / "ustate")
+    per_score_counts(docs).write.parquet(f"{ustate}/ingest_batch=0")
+    assert evaluate_main([ustate, "--state"], spark) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert len([line for line in out if line.startswith("auc")]) == 1
+    assert any(line.startswith("ece\t") for line in out)

@@ -353,3 +353,64 @@ def test_grouped_threshold_report_hand_golden_and_slice_equivalence(spark):
         grouped_threshold_report(df, [], ts)
     with pytest.raises(ValueError, match="non-empty"):
         grouped_threshold_report(df, ["grp"], [])
+
+
+def test_calibration_from_score_counts_matches_row_level(spark):
+    """Counts-state calibration reconstruction: per-score counts
+    determine the calibration report exactly (every row behind a counts
+    row has exactly score v), ungrouped and grouped, and the counts
+    need no per-v pre-fold — a union of two batch relations (duplicate
+    v rows) yields the identical report by linearity."""
+    from mwas_rfam_spark.operators.evaluation import (
+        calibration_from_score_counts,
+        calibration_report,
+        ece,
+        grouped_calibration_report,
+        grouped_per_score_counts,
+        per_score_counts,
+    )
+
+    rows = [
+        (i, "en" if i % 2 else "ko", 0.05 * (i % 21), i % 3 > 0)
+        for i in range(420)
+    ]
+    rows += [(420, "en", float("nan"), True), (421, "ko", 0.4, None)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, score double, label boolean"
+    ).cache()
+
+    def rel(df):
+        return sorted(
+            (r["bin"], r["n"], round(r["mean_score"], 9),
+             round(r["pos_rate"], 9), round(r["gap"], 9))
+            for r in df.collect()
+        )
+
+    want = calibration_report(docs)
+    got = calibration_from_score_counts(per_score_counts(docs))
+    assert rel(got) == rel(want)
+    assert ece(got) == pytest.approx(ece(want), abs=1e-12)
+
+    gwant = grouped_calibration_report(docs, ["lang"])
+    gper = grouped_per_score_counts(docs, ["lang"])
+    ggot = calibration_from_score_counts(gper, ["lang"])
+
+    def grel(df):
+        return sorted(
+            (r["lang"], r["bin"], r["n"], round(r["mean_score"], 9),
+             round(r["pos_rate"], 9))
+            for r in df.collect()
+        )
+
+    assert grel(ggot) == grel(gwant)
+    # global report from the grouped counts: slices sum away exactly
+    assert rel(calibration_from_score_counts(gper, [])) == rel(want)
+
+    # unfolded multi-batch counts (duplicate v rows) are fine: linear
+    halves = per_score_counts(docs.where(F.col("doc_id") % 2 == 0)).unionByName(
+        per_score_counts(docs.where(F.col("doc_id") % 2 == 1))
+    )
+    assert rel(calibration_from_score_counts(halves)) == rel(want)
+
+    with pytest.raises(ValueError, match="n_bins"):
+        calibration_from_score_counts(per_score_counts(docs), n_bins=0)

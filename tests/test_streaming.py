@@ -1271,3 +1271,204 @@ def test_cms_compactor_early_exit_clears_partial_target(spark, tmp_path):
     }
     assert parts == {"ingest_batch=-2"}  # partial -3 cleared, -2 intact
     assert sorted(map(tuple, cms_state_sketch(spark, state).collect())) == want
+
+
+def test_streaming_eval_counts_grouped_state(spark, tmp_path):
+    """group_cols= (r11 stretch): per-slice exact-AUC state. The
+    grouped state reader matches binary_auc computed independently per
+    slice (incl. a NULL group value and an ALL-invalid slice, which
+    must surface as auc NULL / counts 0 / n_null > 0, not vanish); the
+    UNGROUPED reader over the same grouped dir still yields the exact
+    global AUC (counts are linear across slices); compaction derives
+    its fold keys from the stored columns so the slices survive the
+    fold; layout pinning and the ungrouped-dir refusal raise."""
+    import glob
+    import os
+    import shutil
+
+    from mwas_rfam_spark.operators.evaluation import binary_auc, per_score_counts
+    from mwas_rfam_spark.streaming.requests import (
+        compact_eval_state,
+        eval_state_auc,
+        eval_state_grouped_auc,
+        streaming_eval_counts,
+    )
+
+    langs = ["en", "ko", None]
+    rows = [
+        (i, langs[i % 3], round(0.07 * (i % 14) + (0.15 if i % 4 == 0 else 0.0), 3), i % 2)
+        for i in range(240)
+    ]
+    # an all-invalid slice (every score NaN) and a NULL-label row in en
+    rows += [(240 + j, "zz", float("nan"), j % 2) for j in range(4)]
+    rows += [(244, "en", 0.5, None)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, score double, label int"
+    ).cache()
+
+    src = tmp_path / "gsrc"
+    os.makedirs(src, exist_ok=True)
+    for i in range(3):
+        b = docs.where(F.col("doc_id") % 3 == i).coalesce(1)
+        b.write.mode("overwrite").parquet(str(tmp_path / f"gstage{i}"))
+        f = glob.glob(str(tmp_path / f"gstage{i}" / "*.parquet"))[0]
+        shutil.copy(f, str(src / f"batch_{i}.parquet"))
+
+    state = str(tmp_path / "g_eval_state")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_eval_counts(stream, state, group_cols=["lang"])
+        .option("checkpointLocation", str(tmp_path / "gckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def check_slices(got_rows):
+        got = {r["lang"]: r for r in got_rows}
+        assert set(got) == {"en", "ko", None, "zz"}
+        # valid slices: exact parity with binary_auc on the filtered rows
+        for lang in ("en", "ko", None):
+            cond = F.col("lang").isNull() if lang is None else F.col("lang") == lang
+            want = binary_auc(docs.where(cond)).collect()[0]
+            g = got[lang]
+            assert g["auc"] == pytest.approx(want["auc"], abs=1e-12)
+            assert (g["n_pos"], g["n_neg"], g["n_null"]) == (
+                want["n_pos"], want["n_neg"], want["n_null"],
+            )
+        # the all-NaN slice surfaces instead of vanishing
+        z = got["zz"]
+        assert z["auc"] is None
+        assert (z["n_pos"], z["n_neg"], z["n_null"]) == (0, 0, 4)
+        assert got["en"]["n_null"] == 1  # the NULL-label row
+
+    check_slices(eval_state_grouped_auc(spark, state).collect())
+    # pinned layout: matching group_cols passes, a mismatch raises
+    check_slices(eval_state_grouped_auc(spark, state, group_cols=["lang"]).collect())
+    with pytest.raises(ValueError, match="stores group columns"):
+        eval_state_grouped_auc(spark, state, group_cols=["source"])
+
+    # linearity across slices: the ungrouped reader over the grouped
+    # dir is the exact global AUC
+    want_all = binary_auc(docs).collect()[0]
+    glob_row = eval_state_auc(spark, state).collect()[0]
+    assert glob_row["auc"] == pytest.approx(want_all["auc"], abs=1e-12)
+    assert (glob_row["n_pos"], glob_row["n_neg"], glob_row["n_null"]) == (
+        want_all["n_pos"], want_all["n_neg"], want_all["n_null"],
+    )
+
+    # compaction derives (v, lang) fold keys from the stored columns:
+    # one frozen partition, slices intact, converged re-run
+    assert compact_eval_state(spark, state, up_to_batch=2) == 3
+    parts = {
+        os.path.basename(p) for p in glob.glob(os.path.join(state, "ingest_batch=*"))
+    }
+    assert parts == {"ingest_batch=-3"}
+    assert "lang" in spark.read.parquet(state).columns
+    check_slices(eval_state_grouped_auc(spark, state).collect())
+    assert compact_eval_state(spark, state, up_to_batch=2) == 0
+
+    # an ungrouped dir refuses the grouped reader by name
+    state2 = str(tmp_path / "u_eval_state")
+    per_score_counts(docs).write.parquet(f"{state2}/ingest_batch=0")
+    with pytest.raises(ValueError, match="ungrouped"):
+        eval_state_grouped_auc(spark, state2)
+
+
+def test_eval_state_calibration_matches_batch(spark, tmp_path):
+    """eval_state_calibration: calibration reconstructed from a
+    multi-batch counts state equals the row-level report over the
+    concatenated rows — grouped dir gives the grouped twin's shape,
+    per_slice=False collapses it to the exact global report."""
+    from mwas_rfam_spark.operators.evaluation import (
+        calibration_report,
+        ece,
+        grouped_calibration_report,
+        grouped_ece,
+        grouped_per_score_counts,
+        per_score_counts,
+    )
+    from mwas_rfam_spark.streaming.requests import eval_state_calibration
+
+    docs = spark.createDataFrame(
+        [
+            (i, "en" if i % 2 else "ko", 0.03 * (i % 34), int(i % 5 > 1))
+            for i in range(340)
+        ]
+        + [(340, "en", float("nan"), 1)],
+        "doc_id long, lang string, score double, label int",
+    ).cache()
+
+    ustate = str(tmp_path / "cal_u")
+    gstate = str(tmp_path / "cal_g")
+    for b in range(3):
+        part = docs.where(F.col("doc_id") % 3 == b)
+        per_score_counts(part).write.parquet(f"{ustate}/ingest_batch={b}")
+        grouped_per_score_counts(part, ["lang"]).write.parquet(
+            f"{gstate}/ingest_batch={b}"
+        )
+
+    def rel(df, keys=("bin",)):
+        return sorted(
+            tuple(r[k] for k in keys)
+            + (r["n"], round(r["mean_score"], 9), round(r["pos_rate"], 9))
+            for r in df.collect()
+        )
+
+    want = calibration_report(docs)
+    got_u = eval_state_calibration(spark, ustate)
+    assert rel(got_u) == rel(want)
+    assert ece(got_u) == pytest.approx(ece(want), abs=1e-12)
+
+    gwant = grouped_calibration_report(docs, ["lang"])
+    got_g = eval_state_calibration(spark, gstate)
+    assert rel(got_g, ("lang", "bin")) == rel(gwant, ("lang", "bin"))
+    e_want = {r["lang"]: r["ece"] for r in grouped_ece(gwant, ["lang"]).collect()}
+    e_got = {r["lang"]: r["ece"] for r in grouped_ece(got_g, ["lang"]).collect()}
+    assert e_got == pytest.approx(e_want, abs=1e-12)
+    # global report straight off the grouped dir
+    assert rel(eval_state_calibration(spark, gstate, per_slice=False)) == rel(want)
+
+
+def test_eval_state_windowed_auc_via_time_bucket_group(spark, tmp_path):
+    """Windowed AUC over eval-counts state is group_cols with a time
+    bucket — no new machinery: per-hour slices from state match
+    binary_auc over each hour's rows, computed independently."""
+    from mwas_rfam_spark.operators.evaluation import (
+        binary_auc,
+        grouped_per_score_counts,
+    )
+    from mwas_rfam_spark.streaming.requests import eval_state_grouped_auc
+
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                "2026-08-16 %02d:%02d:00" % (9 + (i % 3), i % 60),
+                0.04 * (i % 26),
+                int(i % 7 > 2),
+            )
+            for i in range(390)
+        ],
+        "doc_id long, ts string, score double, label int",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).cache()
+    bucketed = docs.withColumn("hour", F.date_trunc("hour", "ts"))
+
+    state = str(tmp_path / "w_eval_state")
+    for b in range(2):
+        grouped_per_score_counts(
+            bucketed.where(F.col("doc_id") % 2 == b), ["hour"]
+        ).write.parquet(f"{state}/ingest_batch={b}")
+
+    got = {r["hour"]: r for r in eval_state_grouped_auc(spark, state).collect()}
+    assert len(got) == 3
+    for hour, g in got.items():
+        want = binary_auc(bucketed.where(F.col("hour") == hour)).collect()[0]
+        assert g["auc"] == pytest.approx(want["auc"], abs=1e-12)
+        assert (g["n_pos"], g["n_neg"]) == (want["n_pos"], want["n_neg"])

@@ -1367,6 +1367,76 @@ def probe_r9e(spark, sf_dir: str, out: dict):
     print({k: v for k, v in out.items() if k.startswith("r9e_")}, file=sys.stderr)
 
 
+def probe_r11g(spark, sf_dir: str, out: dict):
+    """r11 grouped eval state on its scale axes: per-(grp, v) counts
+    streamed over 100 batches — state rows <= groups x distinct scores,
+    corpus-size independent — read per-slice (eval_state_grouped_auc)
+    at 10 vs 100 batches, globally (eval_state_auc over the SAME
+    grouped dir: linearity sums the slices away), compacted
+    (fold keys derived from stored columns), and at 10k groups (the
+    driver-offset axis: offsets are O(partitions + n_groups) rows)."""
+    import shutil
+    import tempfile
+
+    from mwas_rfam_spark.operators.evaluation import grouped_per_score_counts
+    from mwas_rfam_spark.streaming.requests import (
+        compact_eval_state,
+        eval_state_auc,
+        eval_state_grouped_auc,
+    )
+
+    def scored(n_rows: int, n_groups: int):
+        x = (F.xxhash64("id") % 1000).cast("double") / 100.0
+        return spark.range(n_rows).select(
+            F.round(
+                F.lit(0.5) + x / (F.lit(2.0) * (F.lit(1.0) + F.abs(x))), 3
+            ).alias("score"),
+            (F.col("id") % 2).cast("int").alias("label"),
+            (F.col("id") % n_groups).alias("grp"),
+        )
+
+    state = tempfile.mkdtemp(prefix="r11g_eval_state_")
+    for b in range(100):
+        grouped_per_score_counts(scored(50_000, 16), ["grp"]).write.mode(
+            "overwrite"
+        ).parquet(f"{state}/ingest_batch={b}")
+        if b == 9:
+            t0 = time.time()
+            _force(eval_state_grouped_auc(spark, state))
+            out["r11g_grouped_read_10b"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    sliced = {r["grp"]: r["auc"] for r in eval_state_grouped_auc(spark, state).collect()}
+    out["r11g_grouped_read_100b"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    auc_g = eval_state_auc(spark, state).collect()[0]["auc"]
+    out["r11g_global_over_grouped_100b"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    compact_eval_state(spark, state, up_to_batch=99)
+    out["r11g_compact"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    folded = {r["grp"]: r["auc"] for r in eval_state_grouped_auc(spark, state).collect()}
+    out["r11g_grouped_read_folded"] = round(time.time() - t0, 2)
+    assert len(folded) == 16 and all(
+        abs(folded[g] - sliced[g]) < 1e-12 for g in sliced
+    ), "slices must survive compaction bit-identically"
+    auc_gf = eval_state_auc(spark, state).collect()[0]["auc"]
+    assert abs(auc_g - auc_gf) < 1e-12
+    shutil.rmtree(state, ignore_errors=True)
+
+    # group-cardinality axis: one 5M-row batch at 10k groups — the
+    # grouped finish collects O(partitions + n_groups) offset rows
+    state2 = tempfile.mkdtemp(prefix="r11g_eval_state10k_")
+    grouped_per_score_counts(scored(5_000_000, 10_000), ["grp"]).write.parquet(
+        f"{state2}/ingest_batch=0"
+    )
+    t0 = time.time()
+    n = eval_state_grouped_auc(spark, state2).count()
+    out["r11g_grouped_read_10kgrp"] = round(time.time() - t0, 2)
+    assert n == 10_000
+    shutil.rmtree(state2, ignore_errors=True)
+    print({k: v for k, v in out.items() if k.startswith("r11g_")}, file=sys.stderr)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="scale-probe")
@@ -1393,6 +1463,7 @@ def main():
         "r7q": probe_r7q,
         "r9o": probe_r9o,
         "r9e": probe_r9e,
+        "r11g": probe_r11g,
     }
     if only is not None and only not in probes:
         raise SystemExit(
