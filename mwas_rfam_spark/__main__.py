@@ -889,6 +889,14 @@ def build_tokenize_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="materialize token arrays (default: counts only)",
     )
+    p.add_argument(
+        "--corpus-stats",
+        action="store_true",
+        help="train from CORPUS-WIDE word frequencies (distributed "
+        "aggregate, word-type-sized collect capped by --max-word-types) "
+        "instead of the --sample-docs hash-sample",
+    )
+    p.add_argument("--max-word-types", type=int, default=1_000_000)
     return p
 
 
@@ -900,11 +908,22 @@ def tokenize_main(argv: list[str], spark: SparkSession | None = None) -> int:
 
         spark = get_spark(app_name="tokenize-cli")
     try:
-        from .operators.tokenize import bpe_encode, train_bpe_merges
+        from .operators.tokenize import (
+            bpe_encode,
+            train_bpe_merges,
+            train_bpe_merges_corpus,
+        )
 
         docs = spark.read.parquet(args.input)
         if args.merges:
             merges = spark.read.parquet(args.merges)
+        elif args.corpus_stats:
+            merges = train_bpe_merges_corpus(
+                docs,
+                num_merges=args.num_merges,
+                text_col=args.text_col,
+                max_word_types=args.max_word_types,
+            )
         else:
             merges = train_bpe_merges(
                 docs,

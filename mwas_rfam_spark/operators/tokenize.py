@@ -88,6 +88,84 @@ def train_bpe_merges(
     )
 
 
+def corpus_word_frequencies(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_word_types: int = 1_000_000,
+) -> DataFrame:
+    """Corpus-WIDE word frequencies → (word, freq), word-TYPE-sized.
+
+    One distributed explode + groupBy under the SAME normalization
+    :func:`functions.bpe.word_frequencies` applies driver-side
+    (lowercase, then split on Unicode whitespace runs — ``(?U)\\s+`` is
+    Java regex's spelling of Python ``str.split()``'s rule; pytest pins
+    the two agree), so the merge learner can see the WHOLE corpus's
+    statistics instead of a document sample while the collected relation
+    stays bounded: Zipf's law makes the word-type table tiny relative to
+    the corpus, and ``max_word_types`` caps it outright (top types by
+    frequency, word-lexicographic tie-break so the cap is
+    deterministic). Dropping the tail barely moves pair counts — a
+    frequency-1 word type contributes 1 to its pairs, the head types
+    contribute millions."""
+    if max_word_types < 1:
+        raise ValueError(f"max_word_types must be >= 1, got {max_word_types}")
+    return (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"(?U)\s+")
+            ).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(max_word_types)
+    )
+
+
+def train_bpe_merges_corpus(
+    docs: DataFrame,
+    num_merges: int = 512,
+    text_col: str = "text",
+    max_word_types: int = 1_000_000,
+    max_collect_bytes: int = 64 << 20,
+) -> DataFrame:
+    """:func:`train_bpe_merges` with CORPUS-WIDE statistics: the word-
+    frequency table is aggregated distributed
+    (:func:`corpus_word_frequencies`), only the word-TYPE-sized
+    (word, freq) relation is collected, and the same deterministic
+    merge learner runs on it driver-side — so at 100 TB the training
+    signal is every document's words, not a 2000-doc sample, while the
+    driver materializes megabytes. With ``max_word_types`` covering the
+    corpus's full vocabulary the result is EXACTLY
+    ``train_bpe(word_frequencies(all texts))`` (pytest-pinned).
+
+    ``max_collect_bytes`` guards the collect the same way
+    ``train_bpe_merges``'s byte budget does — checked Spark-side on the
+    capped relation before materializing, fails loud with the remedy
+    named (a no-whitespace corpus can make single "words" arbitrarily
+    large)."""
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    from collections import Counter
+
+    wf = corpus_word_frequencies(docs, text_col, max_word_types)
+    wf = wf.localCheckpoint()  # pin: the guard and collect see the same rows
+    total = wf.agg(F.sum(F.octet_length("word"))).first()[0] or 0
+    if total > max_collect_bytes:
+        raise ValueError(
+            f"word-type relation is {total} bytes > max_collect_bytes="
+            f"{max_collect_bytes}; lower max_word_types or raise the "
+            "budget explicitly"
+        )
+    freq = Counter({r["word"]: r["freq"] for r in wf.collect()})
+    merges = train_bpe(freq, num_merges)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)], MERGES_SCHEMA
+    )
+
+
 def _merge_list(merges) -> list[tuple[str, str]]:
     if isinstance(merges, DataFrame):
         return [

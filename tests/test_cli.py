@@ -493,6 +493,21 @@ def test_tokenize_cli(spark, tmp_path, capsys):
     j = enc.withColumnRenamed("n_tokens", "n1").join(enc2, "doc_id")
     assert j.where("n1 != n_tokens").count() == 0
 
+    # --corpus-stats: trained from the distributed word-frequency
+    # aggregate; every doc is identical here, so the sample-trained and
+    # corpus-trained tables must agree
+    out3 = str(tmp_path / "enc3")
+    merges3 = str(tmp_path / "merges3")
+    rc = main(
+        ["tokenize", src, "--output", out3, "--num-merges", "40",
+         "--corpus-stats", "--save-merges", merges3],
+        spark=spark,
+    )
+    assert rc == 0
+    assert sorted(map(tuple, spark.read.parquet(merges3).collect())) == sorted(
+        map(tuple, spark.read.parquet(merges_path).collect())
+    )
+
 
 def test_diff_cli(spark, tmp_path, capsys):
     old = spark.createDataFrame(

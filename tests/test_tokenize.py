@@ -216,3 +216,58 @@ def test_bpe_vocab_and_id_encode_roundtrip(spark):
     # determinism: same merges + docs -> identical vocab ids
     again = bpe_vocab(merges, docs)
     assert sorted(map(tuple, vocab.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_corpus_trained_bpe_matches_driver_side_exactly(spark):
+    """train_bpe_merges_corpus: distributed word-frequency aggregation
+    under word_frequencies' exact normalization (lower + Unicode-
+    whitespace split, incl. tabs/newlines/NBSP and None texts), so with
+    an uncapped vocabulary the corpus-trained merge table equals
+    train_bpe(word_frequencies(all texts)) verbatim; the type cap is
+    deterministic (freq desc, word asc) and the collect byte budget
+    fails loud."""
+    from collections import Counter
+
+    from mwas_rfam_spark.functions.bpe import train_bpe, word_frequencies
+    from mwas_rfam_spark.operators.tokenize import (
+        bpe_encode,
+        corpus_word_frequencies,
+        train_bpe_merges_corpus,
+    )
+
+    texts = [
+        "the Quick\tbrown FOX", "the the THE lazy dog\n dog",
+        "pack my box with five dozen jugs", None,
+        "  leading and trailing  ", "MiXeD CaSe mixed case",
+    ] * 3 + ["zebra quartz"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).cache()
+
+    want_freq = word_frequencies([t for t in texts if t])
+    got_freq = {
+        r["word"]: r["freq"] for r in corpus_word_frequencies(docs).collect()
+    }
+    assert got_freq == dict(want_freq)
+
+    want = train_bpe(want_freq, 40)
+    got = train_bpe_merges_corpus(docs, num_merges=40)
+    assert [(r["left"], r["right"]) for r in
+            sorted(got.collect(), key=lambda r: r["rank"])] == want
+
+    # deterministic cap: top-3 types by (freq desc, word asc)
+    top3 = Counter(dict(sorted(
+        want_freq.items(), key=lambda kv: (-kv[1], kv[0]))[:3]))
+    want_capped = train_bpe(top3, 10)
+    got_capped = train_bpe_merges_corpus(docs, num_merges=10, max_word_types=3)
+    assert [(r["left"], r["right"]) for r in
+            sorted(got_capped.collect(), key=lambda r: r["rank"])] == want_capped
+
+    # the corpus-trained table drives the same encoder
+    enc = bpe_encode(docs.where("text IS NOT NULL"), got)
+    assert enc.where("n_tokens <= 0").count() == 0
+
+    with pytest.raises(ValueError, match="max_collect_bytes"):
+        train_bpe_merges_corpus(docs, num_merges=5, max_collect_bytes=10)
+    with pytest.raises(ValueError, match="max_word_types"):
+        corpus_word_frequencies(docs, max_word_types=0)

@@ -1387,11 +1387,14 @@ def probe_r11g(spark, sf_dir: str, out: dict):
 
     def scored(n_rows: int, n_groups: int):
         x = (F.xxhash64("id") % 1000).cast("double") / 100.0
+        # label from id // n_groups so every group sees both classes
+        # (id % 2 would be CONSTANT within grp = id % n_groups for even
+        # n_groups -> all-NULL AUCs)
         return spark.range(n_rows).select(
             F.round(
                 F.lit(0.5) + x / (F.lit(2.0) * (F.lit(1.0) + F.abs(x))), 3
             ).alias("score"),
-            (F.col("id") % 2).cast("int").alias("label"),
+            ((F.col("id") / n_groups).cast("long") % 2).cast("int").alias("label"),
             (F.col("id") % n_groups).alias("grp"),
         )
 
