@@ -450,7 +450,9 @@ def grouped_auc(
     `local_threshold_edges`."""
     if not group_cols:
         raise ValueError("group_cols must be non-empty (use binary_auc)")
-    per = grouped_per_score_counts(scored, group_cols, score_col, label_col)
+    per = grouped_per_score_counts(
+        scored, group_cols, score_col, label_col, track_invalid=False
+    )
     return grouped_auc_from_score_counts(
         per,
         group_cols,
@@ -465,6 +467,7 @@ def grouped_per_score_counts(
     group_cols: list[str],
     score_col: str = "score",
     label_col: str = "label",
+    track_invalid: bool = True,
 ) -> DataFrame:
     """Per-(group..., DISTINCT score) (v, cnt_a, cnt_b, cnt_null)
     counts — :func:`per_score_counts`' grouped twin and the corpus-scan
@@ -474,11 +477,22 @@ def grouped_per_score_counts(
     and finished by :func:`grouped_auc_from_score_counts` without
     re-touching rows. Invalid rows (NULL/NaN score or NULL label) fold
     into the group's dedicated v-NULL row; NULL GROUP values are
-    legitimate slices and kept (groupBy keeps NULL keys)."""
+    legitimate slices and kept (groupBy keeps NULL keys).
+    ``track_invalid=False`` drops invalid rows with a pre-aggregation
+    filter instead (no v-NULL rows, no cnt_null column) — the
+    :func:`grouped_auc` batch path takes it because it discards the
+    null tally anyway, and the filter keeps the scan inside one
+    codegen stage with no wasted aggregation over invalid rows."""
     if not group_cols:
         raise ValueError("group_cols must be non-empty (use per_score_counts)")
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("int")
+    if not track_invalid:
+        valid = scored.where(s.isNotNull() & ~F.isnan(s) & y.isNotNull())
+        return valid.groupBy(*group_cols, s.alias("v")).agg(
+            F.sum(F.when(y > 0, 1).otherwise(0)).alias("cnt_a"),
+            F.sum(F.when(y > 0, 0).otherwise(1)).alias("cnt_b"),
+        )
     base = scored.select(
         *group_cols,
         s.alias("__s"),
