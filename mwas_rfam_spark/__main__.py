@@ -1109,7 +1109,9 @@ def build_evaluate_parser() -> argparse.ArgumentParser:
                    help="also report per-slice AUC over these columns")
     p.add_argument("--bins", type=int, default=10)
     p.add_argument("--output", default=None,
-                   help="also write the threshold report as parquet here")
+                   help="also write the threshold report as parquet here "
+                   "(with --state: the AUC relation — per-slice when the "
+                   "dir is grouped, the single global row otherwise)")
     p.add_argument("--state", action="store_true",
                    help="treat input as a streaming_eval_counts state dir: "
                    "print the exact global AUC (eval_state_auc) and "
@@ -1131,39 +1133,52 @@ def evaluate_main(argv: list[str], spark: SparkSession | None = None) -> int:
         spark = get_spark(app_name="evaluate-cli")
     try:
         if args.state:
+            # ONE authoritative read of the state dir feeds every
+            # consumer below (the eval_state_* wrappers would each
+            # re-list and re-scan it — 5x the FS listing for one
+            # report); the composable *_from_score_counts operators
+            # fold the raw multi-batch rows themselves
+            from .operators.evaluation import (
+                auc_from_score_counts,
+                calibration_from_score_counts,
+            )
             from .operators.evaluation import ece as ece_fn
-            from .operators.evaluation import grouped_ece
+            from .operators.evaluation import (
+                grouped_auc_from_score_counts,
+                grouped_ece,
+            )
             from .streaming.requests import (
+                _authoritative_state_rows,
                 _eval_state_group_cols,
-                eval_state_auc,
-                eval_state_calibration,
-                eval_state_grouped_auc,
             )
 
-            a = eval_state_auc(spark, args.input).collect()[0]
-            print(f"auc\t{a['auc']}\tn_pos={a['n_pos']} n_neg={a['n_neg']} "
-                  f"n_null={a['n_null']}")
-            gcols = _eval_state_group_cols(
-                spark.read.option("mergeSchema", "true")
-                .parquet(args.input).columns
-            )
-            print(
-                "ece\t"
-                f"{ece_fn(eval_state_calibration(spark, args.input, args.bins, per_slice=False))}"
-            )
-            if not gcols:
-                return 0
-            sliced = eval_state_grouped_auc(spark, args.input, gcols)
-            for r in sliced.orderBy(*gcols).collect():
-                key = ",".join(f"{c}={r[c]}" for c in gcols)
-                print(f"auc[{key}]\t{r['auc']}\tn_pos={r['n_pos']} "
-                      f"n_neg={r['n_neg']} n_null={r['n_null']}")
-            cal = eval_state_calibration(spark, args.input, args.bins)
-            for r in grouped_ece(cal, gcols).orderBy(*gcols).collect():
-                key = ",".join(f"{c}={r[c]}" for c in gcols)
-                print(f"ece[{key}]\t{r['ece']}\tn={r['n']}")
-            if args.output:
-                sliced.write.mode("overwrite").parquet(args.output)
+            rows = _authoritative_state_rows(spark, args.input).drop(
+                "ingest_batch"
+            ).persist()
+            try:
+                gcols = _eval_state_group_cols(rows.columns)
+                auc_rel = auc_from_score_counts(rows)
+                a = auc_rel.collect()[0]
+                print(f"auc\t{a['auc']}\tn_pos={a['n_pos']} n_neg={a['n_neg']} "
+                      f"n_null={a['n_null']}")
+                cal = calibration_from_score_counts(rows, [], args.bins)
+                print(f"ece\t{ece_fn(cal)}")
+                out_rel = auc_rel
+                if gcols:
+                    sliced = grouped_auc_from_score_counts(rows, gcols)
+                    for r in sliced.orderBy(*gcols).collect():
+                        key = ",".join(f"{c}={r[c]}" for c in gcols)
+                        print(f"auc[{key}]\t{r['auc']}\tn_pos={r['n_pos']} "
+                              f"n_neg={r['n_neg']} n_null={r['n_null']}")
+                    gcal = calibration_from_score_counts(rows, gcols, args.bins)
+                    for r in grouped_ece(gcal, gcols).orderBy(*gcols).collect():
+                        key = ",".join(f"{c}={r[c]}" for c in gcols)
+                        print(f"ece[{key}]\t{r['ece']}\tn={r['n']}")
+                    out_rel = sliced
+                if args.output:
+                    out_rel.write.mode("overwrite").parquet(args.output)
+            finally:
+                rows.unpersist()
             return 0
         from .operators.evaluation import (
             binary_auc,

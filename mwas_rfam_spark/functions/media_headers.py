@@ -362,11 +362,21 @@ def avi_metadata(data: bytes) -> dict:
     n_video = n_audio = 0
     audio_rate = None
     vid_duration = None
+    odml_frames = None
     for fourcc, ps, pe in _riff_chunks(data, 12, end):
         if fourcc != b"LIST" or data[ps : ps + 4] != b"hdrl":
             continue
         for f2, s2, e2 in _riff_chunks(data, ps + 4, pe):
-            if f2 == b"avih":
+            if f2 == b"LIST" and data[s2 : s2 + 4] == b"odml":
+                # OpenDML extended header: dmlh dwTotalFrames counts
+                # frames across ALL segments (avih's dwTotalFrames
+                # covers only the first RIFF in an AVIX-extended file)
+                for f3, s3, e3 in _riff_chunks(data, s2 + 4, e2):
+                    if f3 == b"dmlh" and e3 - s3 >= 4:
+                        (odml_frames,) = struct.unpack(
+                            "<I", data[s3 : s3 + 4]
+                        )
+            elif f2 == b"avih":
                 if e2 - s2 < 40:
                     raise ValueError(f"truncated AVI avih chunk ({e2 - s2} bytes)")
                 avih = struct.unpack("<10I", data[s2 : s2 + 40])
@@ -401,6 +411,7 @@ def avi_metadata(data: bytes) -> dict:
                         )
                         if vid_duration is None and rate:
                             vid_duration = length * scale / rate
+                            vid_secs_per_frame = scale / rate
                     elif fcc_type == b"auds":
                         n_audio += 1
         break  # hdrl found and parsed
@@ -408,6 +419,12 @@ def avi_metadata(data: bytes) -> dict:
         raise ValueError("AVI missing avih header (no hdrl LIST?)")
     usec_per_frame, _maxbps, _pad, _flags, total_frames = avih[:5]
     width, height = avih[8], avih[9]
+    if odml_frames:
+        # OpenDML: dmlh's cross-segment total supersedes the first-
+        # segment counts, and the duration scales with it
+        total_frames = odml_frames
+        if vid_duration is not None:
+            vid_duration = odml_frames * vid_secs_per_frame
     duration = (
         vid_duration
         if vid_duration is not None
@@ -440,9 +457,19 @@ def avi_video_frames_raw(data: bytes) -> tuple[str | None, list[tuple[int, int]]
     one level down in ``LIST rec `` groups (the interleaving unit
     OpenDML muxers emit). Zero-length chunks are kept: an AVI encodes a
     dropped/repeated frame as an empty chunk, and frame INDEX fidelity
-    matters to samplers. Raises ValueError when the payload is not an
-    AVI or the header/movi tree is truncated; returns (codec, []) for
-    a well-formed AVI with no movi frames."""
+    matters to samplers.
+
+    OpenDML (AVI 2.0) EXTENSION SEGMENTS are walked too: a long
+    recording cannot fit one AVI-1.0 RIFF chunk (~1-4 GB form-size
+    cap), so muxers continue frames in trailing ``RIFF AVIX`` chunks,
+    each holding its own ``LIST movi`` — stopping at the first RIFF's
+    end would silently return only the first segment's frames while a
+    sampler believes it covered the whole video (r11 review finding).
+    A trailing RIFF chunk with any OTHER form type, or one whose
+    declared size overruns the payload, raises by name. Raises
+    ValueError when the payload is not an AVI or the header/movi tree
+    is truncated; returns (codec, []) for a well-formed AVI with no
+    movi frames."""
     if not is_avi(data):
         raise ValueError("not an AVI (RIFF/'AVI ' signature missing)")
     (riff_size,) = struct.unpack("<I", data[4:8])
@@ -451,6 +478,17 @@ def avi_video_frames_raw(data: bytes) -> tuple[str | None, list[tuple[int, int]]
     vid_index = None
     codec = None
     spans: list[tuple[int, int]] = []
+
+    def _scan_movi(ms: int, me: int) -> None:
+        prefix = b"%02d" % vid_index
+        for f2, s2, e2 in _riff_chunks(data, ms, me):
+            if f2[:2] == prefix and f2[2:4] in (b"dc", b"db"):
+                spans.append((s2, e2))
+            elif f2 == b"LIST" and data[s2 : s2 + 4] == b"rec ":
+                for f3, s3, e3 in _riff_chunks(data, s2 + 4, e2):
+                    if f3[:2] == prefix and f3[2:4] in (b"dc", b"db"):
+                        spans.append((s3, e3))
+
     for fourcc, ps, pe in _riff_chunks(data, 12, end):
         if fourcc != b"LIST":
             continue
@@ -482,16 +520,29 @@ def avi_video_frames_raw(data: bytes) -> tuple[str | None, list[tuple[int, int]]
                     )
                 stream_no += 1
         elif list_type == b"movi" and vid_index is not None:
-            prefix = b"%02d" % vid_index
-            for f2, s2, e2 in _riff_chunks(data, ps + 4, pe):
-                if f2[:2] == prefix and f2[2:4] in (b"dc", b"db"):
-                    spans.append((s2, e2))
-                elif f2 == b"LIST" and data[s2 : s2 + 4] == b"rec ":
-                    for f3, s3, e3 in _riff_chunks(data, s2 + 4, e2):
-                        if f3[:2] == prefix and f3[2:4] in (b"dc", b"db"):
-                            spans.append((s3, e3))
+            _scan_movi(ps + 4, pe)
     if vid_index is None:
         raise ValueError("AVI has no video stream (no 'vids' strh in hdrl)")
+    # OpenDML extension segments: trailing RIFF('AVIX') chunks, each
+    # with its own LIST(movi); word-aligned like every RIFF chunk
+    pos = 8 + riff_size + (riff_size & 1)
+    while pos + 12 <= len(data):
+        if data[pos : pos + 4] != b"RIFF":
+            break  # trailing non-RIFF bytes are padding/junk, not frames
+        (seg_size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        form = data[pos + 8 : pos + 12]
+        if form != b"AVIX":
+            raise ValueError(
+                f"unexpected RIFF form {form!r} after the AVI segment "
+                "(OpenDML continuation chunks must be 'AVIX')"
+            )
+        seg_end = pos + 8 + seg_size
+        if seg_end > len(data):
+            raise ValueError("truncated AVIX extension segment")
+        for fourcc, ps, pe in _riff_chunks(data, pos + 12, seg_end):
+            if fourcc == b"LIST" and data[ps : ps + 4] == b"movi":
+                _scan_movi(ps + 4, pe)
+        pos = seg_end + (seg_size & 1)
     return codec, spans
 
 

@@ -73,7 +73,9 @@ def binary_auc(
     per_s = per_score_counts(scored, score_col, label_col).localCheckpoint(
         eager=False
     )
-    return auc_from_score_counts(per_s, partitions=partitions)
+    return auc_from_score_counts(
+        per_s, partitions=partitions, assume_folded=True
+    )
 
 
 def per_score_counts(
@@ -112,7 +114,9 @@ def per_score_counts(
 
 
 def auc_from_score_counts(
-    per_s: DataFrame, partitions: int | None = None
+    per_s: DataFrame,
+    partitions: int | None = None,
+    assume_folded: bool = False,
 ) -> DataFrame:
     """Midrank AUC from a per-DISTINCT-SCORE counts relation
     (v, cnt_a, cnt_b[, cnt_null]) — the second stage of
@@ -121,13 +125,28 @@ def auc_from_score_counts(
     computable over any pre-aggregated or streamed state
     (:func:`streaming.requests.streaming_eval_counts`) without ever
     re-touching the rows. Rows with v IS NULL carry the invalid
-    (NULL/NaN score or NULL label) tally in cnt_null."""
+    (NULL/NaN score or NULL label) tally in cnt_null.
+
+    Because the counts sum linearly, the input need NOT be pre-folded
+    to one row per distinct score: duplicate v rows (a raw multi-batch
+    state union) are folded HERE first — without the fold the prefix
+    sum would treat each duplicate as a separate distinct score and the
+    contribution join would multiply rows, silently mis-ranking every
+    tie (r11 review finding). ``assume_folded=True`` skips that
+    aggregate as a pure optimization for callers that just produced
+    exactly-folded counts (:func:`binary_auc`, the state readers)."""
     from mwas_rfam_spark.operators.drift import _two_level_cumsum
 
     if partitions is None:
         partitions = per_s.sparkSession.sparkContext.defaultParallelism
     if "cnt_null" not in per_s.columns:
         per_s = per_s.withColumn("cnt_null", F.lit(0).cast("long"))
+    if not assume_folded:
+        per_s = per_s.groupBy("v").agg(
+            F.sum("cnt_a").alias("cnt_a"),
+            F.sum("cnt_b").alias("cnt_b"),
+            F.sum("cnt_null").alias("cnt_null"),
+        )
     valid_per = per_s.where(F.col("v").isNotNull()).select("v", "cnt_a", "cnt_b")
     cums = _two_level_cumsum(valid_per, "v", partitions)
     # AUC = Σ_s pos(s)·(neg_below(s) + ½·neg_at(s)) / (n⁺·n⁻); the
@@ -459,6 +478,7 @@ def grouped_auc(
         partitions=partitions,
         max_offset_groups=max_offset_groups,
         include_null_counts=False,
+        assume_folded=True,
     )
 
 
@@ -521,6 +541,7 @@ def grouped_auc_from_score_counts(
     partitions: int | None = None,
     max_offset_groups: int = 100_000,
     include_null_counts: bool = True,
+    assume_folded: bool = False,
 ) -> DataFrame:
     """Per-group midrank AUC from a per-(group..., DISTINCT score)
     counts relation (group..., v, cnt_a, cnt_b[, cnt_null]) — the
@@ -537,7 +558,15 @@ def grouped_auc_from_score_counts(
     0 — a slice whose every score was NaN should show up in monitoring,
     not vanish); ``False`` (the :func:`grouped_auc` shape) drops the
     null tally and the all-invalid groups, preserving that surface's
-    pinned schema and semantics."""
+    pinned schema and semantics.
+
+    Like :func:`auc_from_score_counts`, duplicate (group..., v) rows —
+    a raw multi-batch state union — are folded HERE by default: the
+    local window's prefix sum would otherwise count each duplicate as a
+    separate distinct score and silently mis-rank every tie (r11 review
+    finding, empirically a 0.875→0.75 AUC corruption on a 2-batch
+    union). ``assume_folded=True`` skips the fold for callers that just
+    produced exactly-folded counts."""
     from pyspark.sql import Window
 
     if not group_cols:
@@ -546,6 +575,12 @@ def grouped_auc_from_score_counts(
         partitions = per.sparkSession.sparkContext.defaultParallelism
     if "cnt_null" not in per.columns:
         per = per.withColumn("cnt_null", F.lit(0).cast("long"))
+    if not assume_folded:
+        per = per.groupBy(*group_cols, "v").agg(
+            F.sum("cnt_a").alias("cnt_a"),
+            F.sum("cnt_b").alias("cnt_b"),
+            F.sum("cnt_null").alias("cnt_null"),
+        )
     valid_per = per.where(F.col("v").isNotNull()).select(
         *group_cols, F.col("v").alias("__v"), "cnt_a", "cnt_b"
     )

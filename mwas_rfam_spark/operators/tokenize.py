@@ -69,18 +69,26 @@ def train_bpe_merges(
         .withColumn("__r", F.md5(F.concat_ws(":", F.lit(f"bpe:{seed}"), F.col("__t"))))
         .orderBy("__r")
         .limit(sample_docs)
-    ).localCheckpoint()
+    ).persist()
     # enforce the budget SPARK-SIDE before collecting — checking after
     # collect() cannot prevent the oversized driver materialization the
-    # budget exists to prevent (the checkpoint pins the sample so the
-    # guard and the collect see the same rows)
-    total = ranked.agg(F.sum(F.octet_length("__t"))).first()[0] or 0
-    if total > max_sample_bytes:
-        raise ValueError(
-            f"BPE sample is {total} bytes > max_sample_bytes={max_sample_bytes}; "
-            "lower sample_docs or raise the budget explicitly"
-        )
-    texts = [r["__t"] for r in ranked.select("__t").collect()]
+    # budget exists to prevent. persist (released in the finally), not
+    # localCheckpoint: checkpoint blocks outlive unpersist() and would
+    # pin executor storage until GC on a long-lived driver (r11 review
+    # finding); a cache eviction merely recomputes, and the sample is
+    # recompute-stable (the sort key is md5 of the text itself, so tied
+    # rows are identical texts — any tie order selects the same
+    # multiset).
+    try:
+        total = ranked.agg(F.sum(F.octet_length("__t"))).first()[0] or 0
+        if total > max_sample_bytes:
+            raise ValueError(
+                f"BPE sample is {total} bytes > max_sample_bytes={max_sample_bytes}; "
+                "lower sample_docs or raise the budget explicitly"
+            )
+        texts = [r["__t"] for r in ranked.select("__t").collect()]
+    finally:
+        ranked.unpersist()
     merges = train_bpe(word_frequencies(texts), num_merges)
     spark = docs.sparkSession
     return spark.createDataFrame(
@@ -149,16 +157,21 @@ def train_bpe_merges_corpus(
         raise ValueError(f"num_merges must be >= 1, got {num_merges}")
     from collections import Counter
 
-    wf = corpus_word_frequencies(docs, text_col, max_word_types)
-    wf = wf.localCheckpoint()  # pin: the guard and collect see the same rows
-    total = wf.agg(F.sum(F.octet_length("word"))).first()[0] or 0
-    if total > max_collect_bytes:
-        raise ValueError(
-            f"word-type relation is {total} bytes > max_collect_bytes="
-            f"{max_collect_bytes}; lower max_word_types or raise the "
-            "budget explicitly"
-        )
-    freq = Counter({r["word"]: r["freq"] for r in wf.collect()})
+    # persist (released below), not localCheckpoint — see
+    # train_bpe_merges; the cap's (freq desc, word asc) sort is a total
+    # order, so an eviction-recompute selects identical rows
+    wf = corpus_word_frequencies(docs, text_col, max_word_types).persist()
+    try:
+        total = wf.agg(F.sum(F.octet_length("word"))).first()[0] or 0
+        if total > max_collect_bytes:
+            raise ValueError(
+                f"word-type relation is {total} bytes > max_collect_bytes="
+                f"{max_collect_bytes}; lower max_word_types or raise the "
+                "budget explicitly"
+            )
+        freq = Counter({r["word"]: r["freq"] for r in wf.collect()})
+    finally:
+        wf.unpersist()
     merges = train_bpe(freq, num_merges)
     spark = docs.sparkSession
     return spark.createDataFrame(

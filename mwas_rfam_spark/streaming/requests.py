@@ -722,15 +722,22 @@ def compact_cms_state(
             keys.append("derivation")
         # Fold FIRST (derivation is a grouping key, so a mixed state
         # never sums across derivations even transiently), then run the
-        # identity check on the checkpointed ≤ depth × width × derivs
+        # identity check on the cached ≤ depth × width × derivs
         # relation — the source-partition scan happens exactly once
         # instead of once for the check and again for the write
-        # (r9 ADVICE).
+        # (r9 ADVICE). persist(), NOT localCheckpoint: after a
+        # localCheckpoint DataFrame.unpersist() is a no-op (it clears
+        # CacheManager entries, not checkpoint RDD blocks — those wait
+        # for the ContextCleaner), so the r10-ADVICE deterministic
+        # release only works through the cache path (r11 review
+        # finding, verified against this pyspark). The distinct()
+        # collect materializes the cache; the write reuses it; eviction
+        # under pressure merely re-scans the state-sized sources.
         agg = rows.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
         ckpt = None
         try:
             if has_deriv:
-                agg = ckpt = agg.localCheckpoint(eager=True)
+                agg = ckpt = agg.persist()
                 derivs = sorted(
                     r[0] for r in agg.select("derivation").distinct().collect()
                 )
@@ -748,10 +755,6 @@ def compact_cms_state(
                 .parquet(path)
             )
         finally:
-            # release the checkpoint's executor storage deterministically
-            # (r10 ADVICE): a long-lived driver compacting many state
-            # dirs otherwise leans on the ContextCleaner's GC schedule
-            # to evict non-replicated blocks
             if ckpt is not None:
                 try:
                     ckpt.unpersist()
@@ -981,6 +984,22 @@ def streaming_eval_counts(
     if quantize is not None and (not isinstance(quantize, int) or quantize < 0):
         raise ValueError(f"quantize must be a non-negative int, got {quantize!r}")
     gcols = list(group_cols or [])
+    # same construction-time contract as quantize: a bad group_cols
+    # must not fail inside the N-th micro-batch (or worse, silently
+    # corrupt the layout derivation every reader relies on)
+    reserved = {"v", "cnt_a", "cnt_b", "cnt_null", "ingest_batch"}
+    bad = [c for c in gcols if c in reserved]
+    if bad:
+        raise ValueError(
+            f"group_cols {bad} collide with the state layout's reserved "
+            f"columns {sorted(reserved)}; rename the column(s) upstream."
+        )
+    missing = [c for c in gcols if c not in scored_stream.columns]
+    if missing:
+        raise ValueError(
+            f"group_cols {missing} not in the stream's columns "
+            f"{scored_stream.columns}"
+        )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df
@@ -1031,7 +1050,9 @@ def eval_state_auc(
             F.sum("cnt_null").alias("cnt_null"),
         )
     )
-    return auc_from_score_counts(per_s, partitions=partitions)
+    return auc_from_score_counts(
+        per_s, partitions=partitions, assume_folded=True
+    )
 
 
 # columns every eval-counts state layout shares; anything else stored
@@ -1108,6 +1129,7 @@ def eval_state_grouped_auc(
         partitions=partitions,
         max_offset_groups=max_offset_groups,
         include_null_counts=True,
+        assume_folded=True,
     )
 
 

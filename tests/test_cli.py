@@ -3,6 +3,8 @@ surface (main/mwas_general.py:703-788 analog)."""
 
 import csv
 
+import pytest
+
 from mwas_rfam_spark.__main__ import main
 from mwas_rfam_spark.sources.readers import melt_wide_metadata
 
@@ -972,7 +974,14 @@ def test_cli_evaluate_state_mode(spark, tmp_path, capsys):
 
     ustate = str(tmp_path / "ustate")
     per_score_counts(docs).write.parquet(f"{ustate}/ingest_batch=0")
-    assert evaluate_main([ustate, "--state"], spark) == 0
+    rep = str(tmp_path / "urep")
+    assert evaluate_main([ustate, "--state", "--output", rep], spark) == 0
     out = capsys.readouterr().out.splitlines()
     assert len([line for line in out if line.startswith("auc")]) == 1
     assert any(line.startswith("ece\t") for line in out)
+    # --output on an ungrouped state dir writes the global AUC row
+    # (r11 review finding: it used to exit without writing)
+    urep = spark.read.parquet(rep)
+    assert urep.count() == 1 and urep.collect()[0]["auc"] == pytest.approx(
+        want["auc"], abs=1e-12
+    )

@@ -414,3 +414,44 @@ def test_calibration_from_score_counts_matches_row_level(spark):
 
     with pytest.raises(ValueError, match="n_bins"):
         calibration_from_score_counts(per_score_counts(docs), n_bins=0)
+
+
+def test_auc_from_score_counts_folds_duplicate_v_rows(spark):
+    """r11 review finding: a raw multi-batch counts union has duplicate
+    v rows; without the internal fold the prefix sum treats them as
+    successive distinct scores and corrupts midrank tie handling
+    (0.875 -> 0.75 on this exact input). Both finish stages must fold
+    by default; assume_folded=True on already-folded input is
+    identical."""
+    from mwas_rfam_spark.operators.evaluation import (
+        auc_from_score_counts,
+        grouped_auc_from_score_counts,
+        grouped_per_score_counts,
+        per_score_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [("g", 0.5, 1), ("g", 0.5, 0), ("g", 0.2, 0), ("g", 0.8, 1)],
+        "grp string, score double, label int",
+    )
+    folded = per_score_counts(docs)
+    want = auc_from_score_counts(folded, assume_folded=True).collect()[0]
+    assert want["auc"] == pytest.approx(0.875, abs=1e-12)
+
+    # two-batch union: score 0.5 appears in BOTH batches
+    b1 = spark.createDataFrame(
+        [("g", 0.5, 1), ("g", 0.2, 0)], "grp string, score double, label int"
+    )
+    b2 = spark.createDataFrame(
+        [("g", 0.5, 0), ("g", 0.8, 1)], "grp string, score double, label int"
+    )
+    unfolded = per_score_counts(b1).unionByName(per_score_counts(b2))
+    got = auc_from_score_counts(unfolded).collect()[0]
+    assert got["auc"] == pytest.approx(0.875, abs=1e-12)
+    assert (got["n_pos"], got["n_neg"]) == (want["n_pos"], want["n_neg"])
+
+    gunfolded = grouped_per_score_counts(b1, ["grp"]).unionByName(
+        grouped_per_score_counts(b2, ["grp"])
+    )
+    g = grouped_auc_from_score_counts(gunfolded, ["grp"]).collect()[0]
+    assert g["auc"] == pytest.approx(0.875, abs=1e-12)

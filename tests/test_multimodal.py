@@ -1513,14 +1513,16 @@ def _avi_chunk(fourcc, payload):
 
 def _avi_fixture(total_frames=100, usec=40000, w=320, h=240, rate=25,
                  scale=1, audio_hz=22050, movi_chunks=None, handler=b"MJPG",
-                 strf_v=None):
+                 strf_v=None, odml_frames=None, avix_movi=None):
     """Minimal AVI: RIFF('AVI ') > LIST(hdrl)[avih, LIST(strl)[strh
     vids + strf], LIST(strl)[strh auds + strf WAVEFORMATEX]] + movi
     (empty by default; `movi_chunks` is a list of ALREADY-WRAPPED
     chunks — _avi_chunk output, including nested LIST(rec ) groups —
     appended in order). `handler`/`strf_v` override the video stream's
     strh fccHandler / strf BITMAPINFOHEADER for codec-resolution
-    tests."""
+    tests. `odml_frames` adds the OpenDML LIST(odml)[dmlh] extended
+    header; `avix_movi` (a list of movi-chunk lists) appends one
+    RIFF('AVIX') extension segment per entry."""
     import struct
 
     avih = struct.pack(
@@ -1543,11 +1545,22 @@ def _avi_fixture(total_frames=100, usec=40000, w=320, h=240, rate=25,
                         + _avi_chunk(b"strf", strf_v))
     strl_a = _avi_chunk(b"LIST", b"strl" + _avi_chunk(b"strh", strh_a)
                         + _avi_chunk(b"strf", strf_a))
+    odml = (
+        _avi_chunk(b"LIST", b"odml" + _avi_chunk(
+            b"dmlh", struct.pack("<I", odml_frames) + bytes(244)))
+        if odml_frames is not None else b""
+    )
     hdrl = _avi_chunk(b"LIST", b"hdrl" + _avi_chunk(b"avih", avih)
-                      + strl_v + strl_a)
+                      + strl_v + strl_a + odml)
     movi = _avi_chunk(b"LIST", b"movi" + b"".join(movi_chunks or []))
     body = b"AVI " + hdrl + movi
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    out = b"RIFF" + struct.pack("<I", len(body)) + body
+    for seg_chunks in avix_movi or []:
+        seg = b"AVIX" + _avi_chunk(
+            b"LIST", b"movi" + b"".join(seg_chunks)
+        )
+        out += b"RIFF" + struct.pack("<I", len(seg)) + seg
+    return out
 
 
 def _ebml(eid_bytes, payload):
@@ -1953,3 +1966,60 @@ def test_video_frames_real_mjpeg_avi_spark_path(spark):
     assert by_doc[1][0] == _rgb_sha(jpegs[0])
     assert by_doc[1][2] == _rgb_sha(jpegs[2])
     assert sorted(by_doc[2]) == [0]
+
+
+def test_avi_opendml_avix_segments():
+    """r11 review finding: a long AVI continues frames in trailing
+    RIFF('AVIX') extension segments (the AVI-1.0 form-size cap makes
+    the docstring's 'hour of 30fps MJPEG' impossible in one RIFF) —
+    the walk must cover every segment's movi, keep stream order across
+    segments, and the MJPEG decode path must sample across the seam;
+    avi_metadata prefers the OpenDML dmlh cross-segment frame total."""
+    import pytest
+
+    from mwas_rfam_spark.functions.media_headers import (
+        avi_metadata,
+        avi_video_frames_raw,
+    )
+    from mwas_rfam_spark.operators.multimodal import _real_video_frames
+
+    f = [b"S0F0", b"S0F1", b"S1F0", b"S1F1x", b"S2F0yz"]
+    avi = _avi_fixture(
+        movi_chunks=[_avi_chunk(b"00dc", f[0]), _avi_chunk(b"00dc", f[1])],
+        avix_movi=[
+            # rec-nesting and audio chunks inside an AVIX segment too
+            [_avi_chunk(b"LIST", b"rec " + _avi_chunk(b"00dc", f[2])),
+             _avi_chunk(b"01wb", b"audio"), _avi_chunk(b"00dc", f[3])],
+            [_avi_chunk(b"00db", f[4])],
+        ],
+        total_frames=2, odml_frames=5, rate=25, scale=1,
+    )
+    codec, spans = avi_video_frames_raw(avi)
+    assert codec == "MJPG"
+    assert [avi[s:e] for s, e in spans] == f
+
+    meta = avi_metadata(avi)
+    assert meta["n_frames"] == 5  # dmlh total, not avih's first-segment 2
+    assert meta["duration_s"] == pytest.approx(5 / 25)
+
+    # sampling decodes across the segment seam
+    jpegs = [_solid_jpeg(10 * i, 0, 255 - 10 * i) for i in range(4)]
+    avi2 = _avi_fixture(
+        movi_chunks=[_avi_chunk(b"00dc", jpegs[0]), _avi_chunk(b"00dc", jpegs[1])],
+        avix_movi=[[_avi_chunk(b"00dc", jpegs[2]), _avi_chunk(b"00dc", jpegs[3])]],
+    )
+    got = _real_video_frames(avi2, every_n=3)
+    assert [i for i, _ in got] == [0, 3]
+    assert [s for _, s in got] == [_rgb_sha(jpegs[0]), _rgb_sha(jpegs[3])]
+
+    # a trailing RIFF that is NOT an AVIX continuation raises by name
+    bad = avi + b"RIFF" + (8).to_bytes(4, "little") + b"WAVEdata"
+    with pytest.raises(ValueError, match="AVIX"):
+        avi_video_frames_raw(bad)
+    # a truncated AVIX segment raises rather than silently stopping
+    trunc = avi[:-3]
+    with pytest.raises(ValueError, match="truncated"):
+        avi_video_frames_raw(trunc)
+    # trailing non-RIFF padding is tolerated
+    codec3, spans3 = avi_video_frames_raw(avi + b"\x00\x00\x00")
+    assert [avi[s:e] for s, e in spans3] == f

@@ -1472,3 +1472,26 @@ def test_eval_state_windowed_auc_via_time_bucket_group(spark, tmp_path):
         want = binary_auc(bucketed.where(F.col("hour") == hour)).collect()[0]
         assert g["auc"] == pytest.approx(want["auc"], abs=1e-12)
         assert (g["n_pos"], g["n_neg"]) == (want["n_pos"], want["n_neg"])
+
+
+def test_streaming_eval_counts_validates_group_cols_at_construction(spark, tmp_path):
+    """r11 review finding: a bad group_cols must fail at sink
+    construction like a bad quantize does — not inside the N-th
+    micro-batch, and a reserved name must never corrupt the layout
+    derivation readers rely on."""
+    from mwas_rfam_spark.streaming.requests import streaming_eval_counts
+
+    src = tmp_path / "vsrc"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema("score double, label int, lang string")
+        .parquet(str(src))
+    )
+    state = str(tmp_path / "vstate")
+    for bad in (["v"], ["cnt_a"], ["ingest_batch"], ["lang", "cnt_null"]):
+        with pytest.raises(ValueError, match="reserved"):
+            streaming_eval_counts(stream, state, group_cols=bad)
+    with pytest.raises(ValueError, match="not in the stream"):
+        streaming_eval_counts(stream, state, group_cols=["lng"])
+    # a valid spec still constructs
+    assert streaming_eval_counts(stream, state, group_cols=["lang"]) is not None
