@@ -546,6 +546,49 @@ def avi_video_frames_raw(data: bytes) -> tuple[str | None, list[tuple[int, int]]
     return codec, spans
 
 
+def avi_video_stream_format(data: bytes) -> dict:
+    """FIRST video stream's strf BITMAPINFOHEADER, header-only →
+    {width, height, bit_count, compression, top_down}. The frame-chunk
+    walk (:func:`avi_video_frames_raw`) resolves WHICH codec; this
+    resolves HOW its raw frames are laid out — needed by the
+    uncompressed (BI_RGB, biCompression=0) decode path, where a frame
+    chunk is rows of BGR(X) pixels padded to 4-byte stride, bottom-up
+    unless biHeight is negative (the DIB convention). Raises ValueError
+    when the payload is not an AVI or has no video strf."""
+    if not is_avi(data):
+        raise ValueError("not an AVI (RIFF/'AVI ' signature missing)")
+    (riff_size,) = struct.unpack("<I", data[4:8])
+    end = min(len(data), 8 + riff_size)
+    for fourcc, ps, pe in _riff_chunks(data, 12, end):
+        if fourcc != b"LIST" or data[ps : ps + 4] != b"hdrl":
+            continue
+        for f2, s2, e2 in _riff_chunks(data, ps + 4, pe):
+            if f2 != b"LIST" or data[s2 : s2 + 4] != b"strl":
+                continue
+            fcc_type = None
+            for f3, s3, e3 in _riff_chunks(data, s2 + 4, e2):
+                if f3 == b"strh" and e3 - s3 >= 4:
+                    fcc_type = data[s3 : s3 + 4]
+                elif f3 == b"strf" and fcc_type == b"vids":
+                    if e3 - s3 < 20:
+                        raise ValueError(
+                            f"truncated AVI video strf ({e3 - s3} bytes; "
+                            "BITMAPINFOHEADER needs >= 20)"
+                        )
+                    w, h = struct.unpack("<ii", data[s3 + 4 : s3 + 12])
+                    (bits,) = struct.unpack("<H", data[s3 + 14 : s3 + 16])
+                    (comp,) = struct.unpack("<I", data[s3 + 16 : s3 + 20])
+                    return {
+                        "width": w,
+                        "height": abs(h),
+                        "bit_count": bits,
+                        "compression": comp,
+                        "top_down": h < 0,
+                    }
+        break
+    raise ValueError("AVI has no video strf (no 'vids' strl in hdrl)")
+
+
 # ------------------------------------------------- Matroska / WebM (EBML)
 
 

@@ -383,50 +383,76 @@ def _real_video_frames(payload: bytes, every_n: int) -> list[tuple[int, str]]:
     from mwas_rfam_spark.functions.media_headers import is_avi
 
     if is_avi(payload):
-        return _mjpeg_avi_frames(payload, every_n)
+        return _avi_frames(payload, every_n)
     raise NotImplementedError(
         "real frame extraction: PyAV/ffmpeg not in this container and the "
-        "payload is not a GIF or an MJPEG AVI (the stdlib decoders handle "
-        "those two; for MP4/MKV containers, `video_metadata` reads "
-        "duration/dims/tracks header-only without any wheel)"
+        "payload is not a GIF or an MJPEG/uncompressed AVI (the stdlib "
+        "decoders handle those; for MP4/MKV containers, `video_metadata` "
+        "reads duration/dims/tracks header-only without any wheel)"
     )
 
 
-def _mjpeg_avi_frames(payload: bytes, every_n: int) -> list[tuple[int, str]]:
-    """MJPEG-in-AVI frame sampling with stdlib+numpy only — the movi
-    walk yields (start, end) spans so ONLY the sampled frames are
-    sliced and JPEG-decoded (an every_n=30 thumbnail pass over an hour
-    of 30 fps MJPEG decodes 1/30th of the chunks; the container walk
-    itself is header arithmetic). Zero-length chunks are the AVI
-    encoding for a dropped/repeated frame: the sampler hashes the
-    nearest preceding non-empty frame (what a player displays at that
-    index), memoized by span so a run of drops decodes its source
-    frame once. Grayscale JPEGs are expanded to RGB so the sha
-    convention (composited full-canvas RGB bytes) holds across
-    codecs. Non-MJPEG AVIs raise NotImplementedError naming the codec;
-    MJPEG streams whose frames omit the Huffman tables (the OpenDML
-    'AVI1' convention some hardware encoders use) fail ValueError in
-    the JPEG decoder rather than silently substituting tables."""
+def _avi_frames(payload: bytes, every_n: int) -> list[tuple[int, str]]:
+    """In-container AVI frame sampling with stdlib+numpy only — the
+    movi walk yields (start, end) spans so ONLY the sampled frames are
+    sliced and decoded (an every_n=30 thumbnail pass over an hour of
+    30 fps video decodes 1/30th of the chunks; the container walk
+    itself is header arithmetic). Two no-wheel codecs:
+
+    * MJPEG (``MJPG``): each chunk is a JPEG, decoded by the repo's
+      own decoder; grayscale frames expand to RGB so the sha
+      convention (composited full-canvas RGB bytes) holds across
+      codecs. Streams whose frames omit the Huffman tables (the
+      OpenDML 'AVI1' convention some hardware encoders use) fail
+      ValueError in the JPEG decoder rather than silently
+      substituting tables.
+    * Uncompressed (strf ``biCompression=0``, 24/32-bit): each chunk
+      is a raw DIB — BGR(X) rows padded to 4-byte stride, bottom-up
+      unless biHeight was negative — reordered to the same RGB canvas
+      (:func:`_dib_frame_rgb`). Undersized chunks raise ValueError.
+
+    Zero-length chunks are the AVI encoding for a dropped/repeated
+    frame: the sampler hashes the nearest preceding non-empty frame
+    (what a player displays at that index), memoized by span so a run
+    of drops decodes its source frame once. Other codecs raise
+    NotImplementedError naming the codec."""
     from mwas_rfam_spark.functions.jpeg_codec import decode_jpeg
-    from mwas_rfam_spark.functions.media_headers import avi_video_frames_raw
+    from mwas_rfam_spark.functions.media_headers import (
+        avi_video_frames_raw,
+        avi_video_stream_format,
+    )
 
     codec, spans = avi_video_frames_raw(payload)
-    if codec != "MJPG":
-        raise NotImplementedError(
-            f"AVI video codec {codec!r}: only MJPG decodes in-container "
-            "(PyAV/ffmpeg wheel needed for other codecs)"
-        )
+    if codec == "MJPG":
+
+        def _decode_rgb(chunk: bytes) -> bytes:
+            _w, _h, ch, px = decode_jpeg(chunk)
+            if ch == 1:
+                import numpy as np
+
+                px = np.repeat(np.frombuffer(px, dtype=np.uint8), 3).tobytes()
+            return px
+
+    else:
+        fmt = avi_video_stream_format(payload)
+        if fmt["compression"] != 0 or fmt["bit_count"] not in (24, 32):
+            raise NotImplementedError(
+                f"AVI video codec {codec!r}: only MJPG and uncompressed "
+                "24/32-bit BI_RGB decode in-container (PyAV/ffmpeg wheel "
+                "needed for other codecs)"
+            )
+
+        def _decode_rgb(chunk: bytes) -> bytes:
+            return _dib_frame_rgb(chunk, fmt)
+
     sha_by_span: dict[tuple[int, int], str] = {}
 
     def _frame_sha(span: tuple[int, int]) -> str:
         if span not in sha_by_span:
             s, e = span
-            _w, _h, ch, px = decode_jpeg(payload[s:e])
-            if ch == 1:
-                import numpy as np
-
-                px = np.repeat(np.frombuffer(px, dtype=np.uint8), 3).tobytes()
-            sha_by_span[span] = hashlib.sha256(px).hexdigest()
+            sha_by_span[span] = hashlib.sha256(
+                _decode_rgb(payload[s:e])
+            ).hexdigest()
         return sha_by_span[span]
 
     out = []
@@ -436,11 +462,40 @@ def _mjpeg_avi_frames(payload: bytes, every_n: int) -> list[tuple[int, str]]:
             src -= 1  # dropped frame: show the previous picture
         if src < 0:
             raise ValueError(
-                "MJPEG AVI starts with empty (dropped) frame chunks — "
+                "AVI starts with empty (dropped) frame chunks — "
                 "no picture exists to sample at index 0"
             )
         out.append((i, _frame_sha(spans[src])))
     return out
+
+
+def _dib_frame_rgb(chunk: bytes, fmt: dict) -> bytes:
+    """One uncompressed AVI frame chunk → top-down RGB canvas bytes.
+    DIB layout: rows of BGR (24-bit) or BGRX (32-bit) pixels, each row
+    padded to a 4-byte stride, stored bottom-up unless the
+    BITMAPINFOHEADER declared a negative height (``fmt['top_down']``).
+    The declared dims are attacker-controlled: a chunk smaller than
+    stride×height raises ValueError (``on_error`` absorbs it at the
+    Spark layer) instead of reading past the buffer."""
+    import numpy as np
+
+    w, h = fmt["width"], fmt["height"]
+    bpp = fmt["bit_count"] // 8
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid DIB dims {w}x{h}")
+    stride = (w * bpp + 3) & ~3
+    need = stride * h
+    if len(chunk) < need:
+        raise ValueError(
+            f"undersized uncompressed frame chunk: {len(chunk)} bytes < "
+            f"stride {stride} x height {h}"
+        )
+    rows = np.frombuffer(chunk[:need], dtype=np.uint8).reshape(h, stride)
+    px = rows[:, : w * bpp].reshape(h, w, bpp)
+    rgb = px[:, :, 2::-1]  # BGR(X) -> RGB, alpha/pad byte dropped
+    if not fmt["top_down"]:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb).tobytes()
 
 
 def _i32(v):

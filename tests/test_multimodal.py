@@ -2023,3 +2023,61 @@ def test_avi_opendml_avix_segments():
     # trailing non-RIFF padding is tolerated
     codec3, spans3 = avi_video_frames_raw(avi + b"\x00\x00\x00")
     assert [avi[s:e] for s, e in spans3] == f
+
+
+def test_uncompressed_dib_avi_frames():
+    """Second no-wheel AVI codec: uncompressed BI_RGB frames (raw
+    BGR(X) rows, 4-byte stride padding, bottom-up unless biHeight<0)
+    decode to the same RGB-canvas sha convention as every other frame
+    path — 24 and 32 bpp, dropped-frame repeats, undersized chunks
+    rejected by name."""
+    import hashlib
+    import struct
+
+    import pytest
+
+    from mwas_rfam_spark.functions.media_headers import avi_video_stream_format
+    from mwas_rfam_spark.operators.multimodal import _real_video_frames
+
+    def strf(w, h, bits, comp=0):
+        return struct.pack("<IiiHHIIiiII", 40, w, h, 1, bits, comp,
+                           0, 0, 0, 0, 0)
+
+    # 3x2, 24bpp, bottom-up: stride = (3*3+3)&~3 = 12 (3 pad bytes/row)
+    # rows stored bottom-first; RGB canvas is top-down
+    top = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    bot = [(10, 20, 30), (40, 50, 60), (70, 80, 90)]
+    def row24(pxs):
+        return b"".join(bytes([b, g, r]) for r, g, b in pxs) + bytes(3)
+    frame_a = row24(bot) + row24(top)  # bottom-up storage
+    want_rgb = b"".join(bytes(p) for p in top + bot)
+    avi = _avi_fixture(
+        handler=b"DIB ", strf_v=strf(3, 2, 24),
+        movi_chunks=[_avi_chunk(b"00db", frame_a), _avi_chunk(b"00db", b""),
+                     _avi_chunk(b"00db", frame_a)],
+    )
+    fmt = avi_video_stream_format(avi)
+    assert fmt == {"width": 3, "height": 2, "bit_count": 24,
+                   "compression": 0, "top_down": False}
+    got = dict(_real_video_frames(avi, every_n=1))
+    assert got[0] == hashlib.sha256(want_rgb).hexdigest()
+    assert got[1] == got[0] and got[2] == got[0]  # dropped repeats
+
+    # 32bpp top-down (biHeight<0): BGRX, no row padding needed at w=2
+    px32 = bytes([30, 20, 10, 0, 60, 50, 40, 255])  # 2 pixels, 1 row
+    avi32 = _avi_fixture(
+        handler=b"DIB ", strf_v=strf(2, 1, 32, comp=0),
+        movi_chunks=[_avi_chunk(b"00db", px32)],
+    )
+    got32 = dict(_real_video_frames(avi32, every_n=1))
+    assert got32[0] == hashlib.sha256(
+        bytes([10, 20, 30, 40, 50, 60])
+    ).hexdigest()
+
+    # undersized chunk raises by name (attacker-declared dims)
+    short = _avi_fixture(
+        handler=b"DIB ", strf_v=strf(3, 2, 24),
+        movi_chunks=[_avi_chunk(b"00db", b"tiny")],
+    )
+    with pytest.raises(ValueError, match="undersized"):
+        _real_video_frames(short, every_n=1)
