@@ -1114,13 +1114,11 @@ def build_evaluate_parser() -> argparse.ArgumentParser:
                    "dir is grouped, the single global row otherwise)")
     p.add_argument("--state", action="store_true",
                    help="treat input as a streaming_eval_counts state dir: "
-                   "print the exact global AUC (eval_state_auc) and "
-                   "calibration ECE (eval_state_calibration — per-score "
-                   "counts determine calibration exactly) and, when the dir "
-                   "was written with group_cols=, the per-slice AUCs and "
-                   "ECEs (key set derived from the stored columns). "
-                   "Thresholds need the scored rows and stay unavailable "
-                   "from counts state.")
+                   "print the exact global AUC, threshold report, and "
+                   "calibration ECE — per-score counts determine all three "
+                   "exactly — and, when the dir was written with "
+                   "group_cols=, the per-slice AUCs and ECEs (key set "
+                   "derived from the stored columns).")
     return p
 
 
@@ -1146,6 +1144,7 @@ def evaluate_main(argv: list[str], spark: SparkSession | None = None) -> int:
             from .operators.evaluation import (
                 grouped_auc_from_score_counts,
                 grouped_ece,
+                threshold_report_from_score_counts,
             )
             from .streaming.requests import (
                 _authoritative_state_rows,
@@ -1161,6 +1160,13 @@ def evaluate_main(argv: list[str], spark: SparkSession | None = None) -> int:
                 a = auc_rel.collect()[0]
                 print(f"auc\t{a['auc']}\tn_pos={a['n_pos']} n_neg={a['n_neg']} "
                       f"n_null={a['n_null']}")
+                rep = threshold_report_from_score_counts(
+                    rows, args.thresholds
+                )
+                for r in rep.collect():
+                    print(f"threshold {r['threshold']}\t"
+                          f"precision={r['precision']} recall={r['recall']} "
+                          f"f1={r['f1']} selected_frac={r['selected_frac']}")
                 cal = calibration_from_score_counts(rows, [], args.bins)
                 print(f"ece\t{ece_fn(cal)}")
                 out_rel = auc_rel

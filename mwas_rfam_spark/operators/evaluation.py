@@ -245,6 +245,17 @@ def _threshold_cells(
             F.sum((1 - pred) * (1 - F.col("__y"))).alias(f"tn{i}"),
         ]
     row = valid.groupBy(*group_cols).agg(*aggs)
+    return _threshold_metrics(row, group_cols, thresholds)
+
+
+def _threshold_metrics(
+    row: DataFrame, group_cols: list[str], thresholds: list[float]
+) -> DataFrame:
+    """Explode the wide per-threshold cell columns (tp{i}/fp{i}/fn{i}/
+    tn{i}) into the family's pinned (threshold, tp, fp, fn, tn,
+    precision, recall, f1, selected_frac) rows — shared by the
+    row-level cells and the counts-state reconstruction so the derived
+    metrics and NULL-cell semantics cannot diverge."""
     per = [
         F.struct(
             F.lit(float(t)).alias("threshold"),
@@ -281,6 +292,42 @@ def _threshold_cells(
             / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn"))
         ).alias("selected_frac"),
     )
+
+
+def threshold_report_from_score_counts(
+    per: DataFrame,
+    thresholds: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Threshold confusion metrics RECONSTRUCTED from a per-(group...,)
+    DISTINCT-score counts relation (:func:`per_score_counts` shape, or
+    a ``streaming_eval_counts`` state dir's rows) — the prediction rule
+    ``score >= threshold`` is a pure score function, so every confusion
+    cell is an exact weighted sum over counts rows: tp(t) = Σ_{v≥t}
+    cnt_a, fp(t) = Σ_{v≥t} cnt_b, fn/tn the complements. Same pinned
+    columns and NULL-cell semantics as :func:`threshold_report` /
+    :func:`grouped_threshold_report` (shared metric tail,
+    pytest-pinned equality on the same rows). Counts need no pre-fold
+    (sums are linear over duplicate v rows), so a raw multi-batch
+    state union feeds this directly; v-NULL tally rows are the invalid
+    rows the row-level report excludes. On a ``quantize=``-d state the
+    report is that of the ROUNDED scores — a threshold inside a grid
+    cell moves decisions by at most the cell's tie mass."""
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    gcols = list(group_cols or [])
+    valid = per.where(F.col("v").isNotNull())
+    aggs = []
+    for i, t in enumerate(thresholds):
+        sel = (F.col("v") >= F.lit(float(t))).cast("long")
+        aggs += [
+            F.sum(sel * F.col("cnt_a")).alias(f"tp{i}"),
+            F.sum(sel * F.col("cnt_b")).alias(f"fp{i}"),
+            F.sum((1 - sel) * F.col("cnt_a")).alias(f"fn{i}"),
+            F.sum((1 - sel) * F.col("cnt_b")).alias(f"tn{i}"),
+        ]
+    row = valid.groupBy(*gcols).agg(*aggs)
+    return _threshold_metrics(row, gcols, thresholds)
 
 
 def calibration_report(

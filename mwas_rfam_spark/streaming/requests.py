@@ -1165,6 +1165,30 @@ def eval_state_calibration(
     )
 
 
+def eval_state_threshold_report(
+    spark: SparkSession,
+    state_dir: str,
+    thresholds: list[float],
+    per_slice: bool = True,
+) -> DataFrame:
+    """Threshold precision/recall/F1 straight from a
+    :func:`streaming_eval_counts` state dir — the per-score counts
+    determine the confusion cells exactly (``score >= t`` is a pure
+    score function; see ``threshold_report_from_score_counts``), so
+    "what would the production threshold select over everything scored
+    so far" costs a state-sized aggregate, no rescan. Same layout
+    derivation and ``per_slice=False`` global-collapse semantics as
+    :func:`eval_state_calibration`; on a ``quantize=``-d state the
+    report is that of the rounded scores."""
+    from ..operators.evaluation import threshold_report_from_score_counts
+
+    df = _authoritative_state_rows(spark, state_dir)
+    gcols = _eval_state_group_cols(df.columns) if per_slice else []
+    return threshold_report_from_score_counts(
+        df.drop("ingest_batch"), thresholds, gcols
+    )
+
+
 def compact_eval_state(
     spark: SparkSession,
     state_dir: str,

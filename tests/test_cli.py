@@ -971,6 +971,7 @@ def test_cli_evaluate_state_mode(spark, tmp_path, capsys):
     assert any(line.startswith("auc[lang=ko]") for line in out)
     assert any(line.startswith("ece\t") for line in out)
     assert any(line.startswith("ece[lang=en]") for line in out)
+    assert any(line.startswith("threshold 0.5") for line in out)
 
     ustate = str(tmp_path / "ustate")
     per_score_counts(docs).write.parquet(f"{ustate}/ingest_batch=0")

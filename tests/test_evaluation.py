@@ -455,3 +455,55 @@ def test_auc_from_score_counts_folds_duplicate_v_rows(spark):
     )
     g = grouped_auc_from_score_counts(gunfolded, ["grp"]).collect()[0]
     assert g["auc"] == pytest.approx(0.875, abs=1e-12)
+
+
+def test_threshold_report_from_score_counts_matches_row_level(spark):
+    """Counts-state threshold reconstruction: score>=t is a pure score
+    function, so confusion cells are exact weighted sums over per-score
+    counts — equal to the row-level report (ungrouped and grouped,
+    incl. empty-cell NULL semantics), and linear over an unfolded
+    multi-batch union."""
+    from mwas_rfam_spark.operators.evaluation import (
+        grouped_per_score_counts,
+        grouped_threshold_report,
+        per_score_counts,
+        threshold_report,
+        threshold_report_from_score_counts,
+    )
+
+    rows = [
+        (i, "en" if i % 2 else "ko", 0.05 * (i % 21), i % 3 > 0)
+        for i in range(210)
+    ]
+    rows += [(210, "en", float("nan"), True), (211, "ko", 0.4, None)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, score double, label boolean"
+    ).cache()
+    ts = [0.0, 0.3, 0.5, 1.5]  # 1.5 selects nothing -> NULL precision
+
+    def rel(df, keys=()):
+        return sorted(
+            tuple(r[k] for k in keys)
+            + (r["threshold"], r["tp"], r["fp"], r["fn"], r["tn"],
+               r["precision"], r["recall"], r["f1"], r["selected_frac"])
+            for r in df.collect()
+        )
+
+    want = threshold_report(docs, ts)
+    got = threshold_report_from_score_counts(per_score_counts(docs), ts)
+    assert rel(got) == rel(want)
+
+    gwant = grouped_threshold_report(docs, ["lang"], ts)
+    gper = grouped_per_score_counts(docs, ["lang"])
+    assert rel(
+        threshold_report_from_score_counts(gper, ts, ["lang"]), ("lang",)
+    ) == rel(gwant, ("lang",))
+    # global from grouped counts; unfolded two-batch union
+    assert rel(threshold_report_from_score_counts(gper, ts)) == rel(want)
+    halves = per_score_counts(docs.where(F.col("doc_id") % 2 == 0)).unionByName(
+        per_score_counts(docs.where(F.col("doc_id") % 2 == 1))
+    )
+    assert rel(threshold_report_from_score_counts(halves, ts)) == rel(want)
+
+    with pytest.raises(ValueError, match="thresholds"):
+        threshold_report_from_score_counts(per_score_counts(docs), [])
