@@ -88,7 +88,18 @@ def train_pq_codebooks(
     """
     import numpy as np
 
-    rows = emb.orderBy(id_col).limit(sample_size).select(vec_col).collect()
+    rows = (
+        emb.where(F.col(vec_col).isNotNull())
+        .orderBy(id_col)
+        .limit(sample_size)
+        .select(vec_col)
+        .collect()
+    )
+    if not rows:
+        raise ValueError(
+            "train_pq_codebooks needs a non-empty corpus (every "
+            f"{vec_col!r} was NULL or the input had no rows)"
+        )
     X = np.asarray([list(map(float, r[vec_col])) for r in rows], dtype=np.float64)
     if residual_centroids is not None:
         Co = np.asarray(residual_centroids, dtype=np.float64)
@@ -202,6 +213,21 @@ def train_opq(
             U, _s, Vt = np.linalg.svd(M)
             # min ||X R^T - Y|| over orthogonal R: R = V U^T for M = X^T Y
             R = Vt.T @ U.T
+        # final retrain: inside the loop each `books` was trained under
+        # the PREVIOUS rotation and the Procrustes step then advanced R
+        # once more — returning that pair hands callers codebooks that
+        # were never trained in the returned rotated space (at
+        # opq_iters=1 the books are trained on the UNROTATED corpus; the
+        # train/encode-space mismatch this module's residual contract
+        # documents as exploding quantization error; r11 review
+        # finding). One more bounded-sample k-means pins them together.
+        rotated = project_embeddings(
+            src, [[float(x) for x in row] for row in R], vec_col=vec_col
+        )
+        books = train_pq_codebooks(
+            rotated, m=m, k=k, iters=kmeans_iters, sample_size=sample_size,
+            id_col=id_col, vec_col=vec_col,
+        )
         return {
             "rotation": [[float(x) for x in row] for row in R],
             "codebooks": books,
@@ -356,6 +382,15 @@ def adc_lookup_table(
     q = np.asarray(query_vec, dtype=np.float64)
     m = len(codebooks)
     d0 = len(codebooks[0][0])
+    if len(q) != m * d0:
+        # numpy slicing would silently truncate a longer query (and
+        # broadcast-error only sometimes on a shorter one) — every ADC
+        # path funnels through here, so the dim check lives here once
+        # (r11 review finding; sq_topk already had its own)
+        raise ValueError(
+            f"query dimension {len(q)} != codebook dimension {m}x{d0}"
+            f"={m * d0}"
+        )
     lut = []
     for j in range(m):
         qj = q[j * d0 : (j + 1) * d0]
@@ -430,7 +465,10 @@ def pq_topk_refined(
     )
     return (
         exact.select(id_col, "dist")
-        .orderBy(F.asc("dist"), F.asc(id_col))
+        # NULLS LAST: a stored vector with mismatched dims zip_with-pads
+        # its exact dist to NULL, and plain asc ranks NULL FIRST —
+        # garbage ids would displace every real neighbor (r11 review)
+        .orderBy(F.asc_nulls_last("dist"), F.asc(id_col))
         .limit(k)
     )
 
@@ -492,14 +530,7 @@ def materialize_pq(
     pq_encode(emb, codebooks, id_col, vec_col).write.mode("overwrite").parquet(
         f"{path}/codes"
     )
-    rows = [
-        (j, c, [float(x) for x in cent])
-        for j, book in enumerate(codebooks)
-        for c, cent in enumerate(book)
-    ]
-    spark.createDataFrame(
-        rows, "subspace INT, centroid_id INT, centroid ARRAY<DOUBLE>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    _write_codebooks(spark, codebooks, f"{path}/codebooks")
 
 
 def _write_codebooks(spark, codebooks: list[list[list[float]]], path: str) -> None:
@@ -589,16 +620,29 @@ def materialize_ivfpq(
 
     spark = emb.sparkSession
     # in-progress marker FIRST: an in-place rebuild is not atomic (no
-    # ordering of the five writes can make it so — residual codes with
-    # raw meta and raw codes with residual meta are both silently
-    # wrong), so probes must REFUSE an interrupted build instead of
-    # guessing; the final meta write below clears the flag
+    # ordering of the writes can make it so — residual codes with raw
+    # meta and raw codes with residual meta are both silently wrong),
+    # so probes must REFUSE an interrupted build instead of guessing.
+    # The marker is a SENTINEL FILE, not (only) the meta flag: the meta
+    # dir itself is rewritten twice below with delete-then-write
+    # semantics, so a crash inside either rewrite would leave NO meta —
+    # and a missing meta is the soft legacy-raw fallback, silently
+    # demoting a residual index (r11 review finding). The sentinel
+    # survives both rewrites and is removed only after the final meta
+    # commit; the meta building flag is kept for readers of the files
+    # alone.
+    _set_index_building(spark, path)
     spark.createDataFrame(
         [(bool(residual), True)], "residual BOOLEAN, building BOOLEAN"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     guarded = _guard_dims(emb, centroids, vec_col)
     write_ivf_index(guarded, centroids, f"{path}/vectors", id_col, vec_col)
-    assigned = assign_ivf_cells(guarded, centroids, id_col, vec_col)
+    # codes side: re-read the JUST-WRITTEN cell-partitioned vectors
+    # instead of running assign_ivf_cells again — the k_cells × dim
+    # assignment kernel is the dominant build cost and was previously
+    # paid twice per build (r11 review finding); the parquet read-back
+    # carries the cell partition column pq_encode's residual path needs
+    assigned = spark.read.parquet(f"{path}/vectors")
     # cluster by cell before the partitioned write (see
     # similarity.write_ivf_index): one file per cell instead of
     # n_tasks x n_cells slivers
@@ -624,6 +668,28 @@ def materialize_ivfpq(
     spark.createDataFrame(
         [(bool(residual), False)], "residual BOOLEAN, building BOOLEAN"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    _clear_index_building(spark, path)
+
+
+def _building_sentinel(spark, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_building")
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _set_index_building(spark, path: str) -> None:
+    """Drop the crash sentinel an index mutation holds while its
+    multi-write sequence is in flight — a single-file create, so it
+    exists (and probes refuse) from before the first data write until
+    :func:`_clear_index_building` after the last commit, surviving the
+    meta dir's own delete-then-write rewrites."""
+    fs, p = _building_sentinel(spark, path)
+    fs.create(p, True).close()
+
+
+def _clear_index_building(spark, path: str) -> None:
+    fs, p = _building_sentinel(spark, path)
+    fs.delete(p, False)
 
 
 def _index_is_residual(spark, path: str) -> bool:
@@ -645,6 +711,16 @@ def _index_is_residual(spark, path: str) -> bool:
     jvm = spark._jvm
     meta_path = jvm.org.apache.hadoop.fs.Path(f"{path}/meta")
     fs = meta_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    # the sentinel outranks everything INCLUDING a missing meta: a crash
+    # inside a meta rewrite deletes the dir, and falling through to the
+    # legacy-raw branch would silently demote a residual index
+    sfs, sp = _building_sentinel(spark, path)
+    if sfs.exists(sp):
+        raise ValueError(
+            f"IVF-PQ index at {path} has an interrupted build/append "
+            "(_building sentinel present) — its sides may disagree; "
+            "rebuild it or re-run the interrupted operation"
+        )
     if not fs.exists(meta_path):
         return False  # legacy pre-meta layout = raw codes
     row = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
@@ -754,7 +830,9 @@ def ivfpq_topk_with_meta(
     exact = vectors.join(F.broadcast(cand.select(id_col)), id_col).withColumn(
         "dist", _sq_l2(F.col(vec_col), qcol)
     )
-    return exact.select(id_col, "dist").orderBy(F.asc("dist"), F.asc(id_col)).limit(k)
+    return exact.select(id_col, "dist").orderBy(
+        F.asc_nulls_last("dist"), F.asc(id_col)  # see pq_topk_refined
+    ).limit(k)
 
 
 def append_ivfpq_index(
@@ -778,26 +856,41 @@ def append_ivfpq_index(
     )
 
     spark = emb_new.sparkSession
+    # resolve the stored encoding BEFORE any write: _index_is_residual
+    # is also the refusal gate (interrupted build, anomalous meta), and
+    # refusing AFTER the vectors append would itself leave the two
+    # sides inconsistent (r11 review finding)
+    residual = _index_is_residual(spark, path)
     centroids = _read_centroids(spark, f"{path}/centroids")
     codebooks = _read_codebooks(spark, f"{path}/codebooks")
     guarded = _guard_dims(emb_new, centroids, vec_col)
-    write_ivf_index(guarded, centroids, f"{path}/vectors", id_col, vec_col, mode="append")
-    assigned = assign_ivf_cells(guarded, centroids, id_col, vec_col)
-    (
-        pq_encode(
-            assigned, codebooks, id_col, vec_col,
-            # honor the stored encoding: appending raw codes to a
-            # residual index (or vice versa) would corrupt every probe
-            residual_centroids=(
-                centroids if _index_is_residual(spark, path) else None
-            ),
+    # assign ONCE (appends are increment-sized — the persist is bounded
+    # by the new slice, not the corpus) and feed both sides from it;
+    # the sentinel makes a crash between the two appends refuse at the
+    # next probe instead of silently hiding the half-appended ids
+    assigned = assign_ivf_cells(guarded, centroids, id_col, vec_col).persist()
+    _set_index_building(spark, path)
+    try:
+        write_ivf_index(
+            guarded, centroids, f"{path}/vectors", id_col, vec_col,
+            mode="append", assigned=assigned,
         )
-        .repartition("cell")
-        .write.option("maxRecordsPerFile", 1 << 20)
-        .partitionBy("cell")
-        .mode("append")
-        .parquet(f"{path}/codes")
-    )
+        (
+            pq_encode(
+                assigned, codebooks, id_col, vec_col,
+                # honor the stored encoding: appending raw codes to a
+                # residual index (or vice versa) would corrupt every probe
+                residual_centroids=centroids if residual else None,
+            )
+            .repartition("cell")
+            .write.option("maxRecordsPerFile", 1 << 20)
+            .partitionBy("cell")
+            .mode("append")
+            .parquet(f"{path}/codes")
+        )
+    finally:
+        assigned.unpersist()
+    _clear_index_building(spark, path)
 
 
 def remove_from_ivfpq_index(
@@ -828,8 +921,13 @@ def remove_from_ivfpq_index(
     if not cells:
         return
     gone = assigned.select(F.col(id_col).alias("__gone")).distinct().localCheckpoint()
+    # sentinel across the two prunes: a crash in between leaves removed
+    # ids still ADC-visible in codes (they waste rerank slots until the
+    # re-run) — refuse probes until the prune converges
+    _set_index_building(spark, path)
     prune_partitioned_rows(spark, f"{path}/vectors", cells, gone, id_col)
     prune_partitioned_rows(spark, f"{path}/codes", cells, gone, id_col)
+    _clear_index_building(spark, path)
 
 
 def compact_ivfpq_index(

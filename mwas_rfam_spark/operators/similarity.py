@@ -292,15 +292,22 @@ def write_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mode: str = "overwrite",
+    assigned: DataFrame | None = None,
 ) -> None:
     """Materialize the IVF index: vectors written parquet partitioned by
     their nearest-centroid cell. This is what turns the probe's cell
     filter from a compute-then-discard scan into PARTITION PRUNING — at
     100 TB only nprobe/k_cells of the files are ever opened. The ONE
     definition of the index layout — materialize_ivf and
-    append_ivf_index both write through here."""
-    guarded = _guard_dims(emb, centroids, vec_col)
-    assigned = assign_ivf_cells(guarded, centroids, id_col, vec_col)
+    append_ivf_index both write through here. ``assigned`` (a frame
+    that ALREADY carries the ``cell`` column from
+    :func:`assign_ivf_cells` over these centroids, dims guarded)
+    skips the guard+assign here — the IVFPQ build/append paths assign
+    once and write both the vectors and codes sides from it instead of
+    paying the k_cells × dim assignment kernel twice."""
+    if assigned is None:
+        guarded = _guard_dims(emb, centroids, vec_col)
+        assigned = assign_ivf_cells(guarded, centroids, id_col, vec_col)
     # cluster by cell before the partitioned write: without this every
     # task writes a sliver into every cell directory and the index is
     # n_tasks × n_cells small files (measured 64×80 = 5,120 at the 100×

@@ -744,3 +744,142 @@ def test_ivfpq_interrupted_build_refused(spark, emb, books, ivf_cents, tmp_path)
         # validated before any IO-path divergence between encodings
         materialize_ivfpq(e, ivf_cents, books, p)  # repair first
         ivfpq_topk_indexed(spark, p, q, k=5, nprobe=0)
+
+
+def test_opq_returned_pair_is_self_consistent(spark):
+    """r11 review finding: train_opq used to return codebooks trained
+    under the PREVIOUS rotation (the Procrustes step advances R once
+    more after training). The returned pair must be exactly what
+    retraining in the returned rotated space produces — the trainer is
+    deterministic, so this is an equality pin, and it holds at
+    opq_iters=1 where the old code returned raw-trained books with a
+    non-identity rotation."""
+    import numpy as np
+
+    from mwas_rfam_spark.operators.decomposition import project_embeddings
+    from mwas_rfam_spark.operators.quantization import (
+        train_opq,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(11)
+    n, d = 160, 8
+    base = rng.normal(size=(n, 2))
+    mix = rng.normal(size=(2, d))
+    X = base @ mix + 0.05 * rng.normal(size=(n, d))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+
+    for iters in (1, 3):
+        opq = train_opq(emb, m=4, k=8, opq_iters=iters, sample_size=n)
+        R = np.asarray(opq["rotation"])
+        assert not np.allclose(R, np.eye(d))  # the rotation is real
+        rotated = project_embeddings(emb, opq["rotation"])
+        retrained = train_pq_codebooks(rotated, m=4, k=8, sample_size=n)
+        assert retrained == opq["codebooks"]
+
+
+def test_pq_query_dim_validated_and_nulls_last(spark):
+    """r11 review finding: a query longer than m*d0 was silently
+    truncated by the ADC table and the exact re-rank then ranked
+    all-NULL distances FIRST. Every ADC path now raises by name."""
+    import pytest as _pt
+
+    from mwas_rfam_spark.operators.quantization import (
+        adc_lookup_table,
+        pq_encode,
+        pq_topk,
+        pq_topk_refined,
+        train_pq_codebooks,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i % 3), 1.0, 0.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    books = train_pq_codebooks(emb, m=2, k=4, sample_size=40)
+    codes = pq_encode(emb, books).cache()
+    for bad_q in ([1.0] * 8, [1.0] * 3):
+        with _pt.raises(ValueError, match="query dimension"):
+            adc_lookup_table(bad_q, books)
+        with _pt.raises(ValueError, match="query dimension"):
+            pq_topk(codes, bad_q, books, k=3)
+        with _pt.raises(ValueError, match="query dimension"):
+            pq_topk_refined(codes, emb, bad_q, books, k=3).collect()
+
+
+def test_pq_trainer_null_and_empty_guards(spark):
+    import pytest as _pt
+
+    from mwas_rfam_spark.operators.quantization import train_pq_codebooks
+
+    mixed = spark.createDataFrame(
+        [(0, None), (1, [1.0, 2.0]), (2, [3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    books = train_pq_codebooks(mixed, m=2, k=2, sample_size=10)
+    assert len(books) == 2  # NULL row filtered, not a TypeError
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pt.raises(ValueError, match="non-empty"):
+        train_pq_codebooks(empty, m=2, k=2)
+
+
+def test_ivfpq_building_sentinel_refuses_torn_states(spark, tmp_path):
+    """r11 review findings: (a) a crash inside a meta rewrite deletes
+    the meta dir, and the missing-meta legacy fallback would silently
+    demote a residual index to raw — the _building sentinel survives
+    the rewrite and makes probes refuse instead; (b) an append against
+    a refusing index must raise BEFORE writing its vectors side."""
+    import glob
+
+    import numpy as np
+    import pytest as _pt
+
+    from mwas_rfam_spark.operators.quantization import (
+        append_ivfpq_index,
+        ivfpq_topk_indexed,
+        materialize_ivfpq,
+        train_pq_codebooks,
+    )
+    from mwas_rfam_spark.operators.similarity import train_ivf_centroids
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(80, 4))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    cents = train_ivf_centroids(emb, k=4)
+    books = train_pq_codebooks(emb, m=2, k=8, residual_centroids=cents)
+    path = str(tmp_path / "ivfpq")
+    materialize_ivfpq(emb, cents, books, path, residual=True)
+    assert ivfpq_topk_indexed(spark, path, [0.0] * 4, k=3).count() == 3
+    assert not (tmp_path / "ivfpq" / "_building").exists()  # cleared
+
+    # simulate the crash window: sentinel present, meta dir GONE
+    import shutil
+
+    shutil.rmtree(f"{path}/meta")
+    (tmp_path / "ivfpq" / "_building").touch()
+    with _pt.raises(ValueError, match="interrupted"):
+        ivfpq_topk_indexed(spark, path, [0.0] * 4, k=3)
+
+    # an append against the refusing index raises BEFORE its first
+    # write — the vectors side must be untouched
+    before = set(glob.glob(f"{path}/vectors/**/*.parquet", recursive=True))
+    new = spark.createDataFrame(
+        [(100 + i, [float(x) for x in rng.normal(size=4)]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pt.raises(ValueError, match="interrupted"):
+        append_ivfpq_index(new, path)
+    after = set(glob.glob(f"{path}/vectors/**/*.parquet", recursive=True))
+    assert after == before
+
+    # a completed rebuild converges: sentinel cleared, residual honored
+    materialize_ivfpq(emb, cents, books, path, residual=True)
+    assert not (tmp_path / "ivfpq" / "_building").exists()
+    got = ivfpq_topk_indexed(spark, path, [float(x) for x in X[3]], k=1)
+    assert got.collect()[0]["vec_id"] == 3
