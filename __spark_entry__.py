@@ -3509,7 +3509,7 @@ FROM final
             WHERE rank <= 3
         """,
         "text_decontam": """
-            WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
                          FROM documents),
             sh AS (SELECT DISTINCT doc_id, s FROM (
                      SELECT doc_id,
@@ -3579,7 +3579,7 @@ FROM final
         """,
         "mwas_perm_calibration": _MWAS_PERM_CALIB_ORACLE,
         "dedup_minhash_md5": """
-            WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
                          FROM documents),
             sh AS (SELECT DISTINCT doc_id, s FROM (
                      SELECT doc_id,
@@ -3654,12 +3654,12 @@ FROM final
         """,
         "dedup_pipeline": """
             WITH g AS (
-              SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h,
+              SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h,
                      min(doc_id) AS keep_id, count(*) AS n_docs
               FROM documents GROUP BY 1),
             reps AS (SELECT d.doc_id, d.text FROM documents d
                      JOIN g ON d.doc_id = g.keep_id),
-            tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
                     FROM reps),
             sh AS (SELECT DISTINCT doc_id, s FROM (
                      SELECT doc_id,
@@ -3741,11 +3741,13 @@ FROM final
               FROM lines
             )
             SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
-            FROM ranked WHERE rn = 1 GROUP BY doc_id
+            -- empty lines are paragraph boundaries, unconditionally kept
+            -- (mirrors dedup.line_dedup's length(line) == 0 keep)
+            FROM ranked WHERE rn = 1 OR length(line) = 0 GROUP BY doc_id
         """,
         "dedup_clusters": """
             WITH RECURSIVE
-            tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
                     FROM documents),
             sh AS (SELECT DISTINCT doc_id, s FROM (
                      SELECT doc_id,
@@ -3784,7 +3786,7 @@ FROM final
             WITH base AS (
               SELECT doc_id,
                      CASE WHEN length(trim(text)) = 0 THEN 0
-                          ELSE len(string_split_regex(trim(text), '\\s+')) END
+                          ELSE len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) END
                          AS n_tokens,
                      ((strpos('0123456789abcdef',
                               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
@@ -3803,7 +3805,7 @@ FROM final
             FROM packed
         """,
         "dedup_ngram_jaccard": """
-            WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            WITH tok AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
                          FROM documents),
             sh AS (SELECT DISTINCT doc_id, s FROM (
                      SELECT doc_id,
@@ -3823,9 +3825,9 @@ FROM final
         "text_lang_quality": """
             WITH base AS (
               SELECT doc_id, text,
-                     string_split_regex(trim(lower(text)), '\\s+') AS toks,
+                     list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks,
                      CASE WHEN length(trim(text)) = 0 THEN 0
-                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                          ELSE len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) END AS n_tokens,
                      length(text) AS n_chars,
                      length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
                          AS n_punct
@@ -3873,7 +3875,7 @@ FROM final
         """,
         "text_bigram_quality": """
             WITH d AS (SELECT doc_id,
-                              string_split_regex(trim(lower(text)), '\\s+') AS tk
+                              list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
                        FROM documents WHERE length(trim(text)) > 0),
             t AS (SELECT doc_id, list_prepend('<s>', tk) AS toks FROM d),
             be AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
@@ -4308,7 +4310,7 @@ FROM final
         "bm25_topk": """
             WITH base AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     list_filter(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''),
                                  x -> x <> '') AS toks
               FROM documents),
             lens AS (SELECT doc_id, len(toks) AS dl FROM base),
@@ -4339,8 +4341,8 @@ FROM final
         "fuzzy_editdist": """
             WITH t AS (
               SELECT doc_id,
-                     regexp_replace(lower(trim(substring(text, 1, 15))),
-                                    '\\s+', ' ', 'g') AS s
+                     trim(regexp_replace(lower(substring(text, 1, 15)),
+                                         '\\s+', ' ', 'g')) AS s
               FROM documents)
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(levenshtein(a.s, b.s) AS INT) AS dist
@@ -4354,8 +4356,9 @@ FROM final
         "dedup_containment": """
             WITH t AS (
               SELECT doc_id,
-                     string_split(regexp_replace(trim(substring(text, 1, 120)),
-                                                 '\\s+', ' ', 'g'), ' ') AS toks
+                     list_filter(string_split(trim(regexp_replace(
+                         substring(text, 1, 120), '\\s+', ' ', 'g')), ' '),
+                                 t -> t <> '') AS toks
               FROM documents),
             sh AS (
               SELECT doc_id,
@@ -4622,7 +4625,7 @@ def relocated_oracles() -> dict[str, str]:
             FROM supplier
         """,
         "dedup_exact": """
-            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
                    count(*) AS n_docs, min(doc_id) AS keep_id,
                    array_to_string(list_slice(list_sort(list(doc_id)), 1, 4), ';') AS doc_ids,
                    count(*) > 4 AS doc_ids_truncated
@@ -4633,7 +4636,7 @@ def relocated_oracles() -> dict[str, str]:
             WITH toks AS (
               SELECT doc_id, md5(t.tok) AS h
               FROM documents,
-                   LATERAL unnest(string_split_regex(trim(text), '\\s+')) AS t(tok)
+                   LATERAL unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS t(tok)
               WHERE length(trim(text)) > 0),
             bits AS (
               SELECT doc_id, b.b,
@@ -4653,7 +4656,7 @@ def relocated_oracles() -> dict[str, str]:
             WITH toks AS (
               SELECT doc_id, t.tok AS token
               FROM documents,
-                   LATERAL unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(tok)
+                   LATERAL unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS t(tok)
               WHERE t.tok <> ''),
             counts AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
                        FROM toks GROUP BY 1)

@@ -18,8 +18,13 @@ from pyspark.sql import functions as F
 
 
 def normalize_text(col):
-    """Canonical text for hashing: lowercase, collapsed whitespace."""
-    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    """Canonical text for hashing: lowercase, collapsed whitespace.
+    Collapse BEFORE trim: `trim` strips only ASCII spaces, so trimming
+    first left a boundary artifact when the text started/ended with
+    \n or \t ('hello world\n' -> 'hello world ') and exact dedup
+    missed documents differing only by a trailing newline — the
+    near-universal crawled-text case (r11 review finding, verified)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
 def exact_dedup_groups(
@@ -91,7 +96,7 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: s
     under ANSI mode (on by default in Spark 4).
     """
     toked = docs.select(
-        F.col(id_col).alias("id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("toks")
+        F.col(id_col).alias("id"), _token_array(F.col(text_col)).alias("toks")
     )
     toks = F.col("toks")
     idx = F.when(
@@ -401,6 +406,48 @@ def minhash_signatures(
     return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
+def _band_buckets(sigs: DataFrame, bands: int, rows: int, bucket_hash: str) -> DataFrame:
+    """(id, band, bucket) from an (id, sig) signature relation — THE
+    banding/bucketing definition, shared by both pair finders and the
+    stored incremental state (:func:`minhash_band_buckets`). One
+    definition because the bucket key is PERSISTED: a fix applied to a
+    pair finder but not the stored-state builder (or vice versa) would
+    silently diverge probe from state (r11 review finding — this logic
+    existed in three hand-synced copies). ``bucket_hash``: 'sha2' for
+    the xxhash64 long signatures (cast to string first), 'md5' for the
+    hex-string signatures (the ANSI-SQL-replayable variant)."""
+
+    def _bucket(bi: int):
+        parts = [F.col("sig")[bi * rows + r] for r in range(rows)]
+        if bucket_hash == "sha2":
+            return F.sha2(
+                F.concat_ws(",", *[x.cast("string") for x in parts]), 256
+            )
+        if bucket_hash == "md5":
+            return F.md5(F.concat_ws(",", *parts))
+        raise ValueError(f"unknown bucket_hash {bucket_hash!r}")
+
+    band_cols = [
+        F.struct(F.lit(bi).alias("band"), _bucket(bi).alias("bucket"))
+        for bi in range(bands)
+    ]
+    return sigs.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def _band_candidates(buckets: DataFrame) -> DataFrame:
+    """Distinct (id_a < id_b) candidate pairs from band-bucket
+    occupancy — the equi-join that replaces all-pairs."""
+    return (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "bucket"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_hashes: int = 64,
@@ -422,23 +469,7 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     # checkpoint: consumed by the band explode AND both estimate joins
     sigs = minhash_signatures(docs, num_hashes, n, text_col, id_col).localCheckpoint()
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.sha2(F.concat_ws(",", *[F.col("sig")[bi * rows + r].cast("string") for r in range(rows)]), 256).alias("bucket"),
-        )
-        for bi in range(bands)
-    ]
-    buckets = sigs.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
-    cand = (
-        buckets.alias("x")
-        .join(buckets.alias("y"), ["band", "bucket"])
-        .where(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-    )
+    cand = _band_candidates(_band_buckets(sigs, bands, rows, "sha2"))
     est = (
         cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
         .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
@@ -493,23 +524,7 @@ def minhash_lsh_pairs_md5(
         # checkpoint: the signature relation must not re-plan/re-run per consumer
         .localCheckpoint()
     )
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.md5(F.concat_ws(",", *[F.col("sig")[bi * rows + r] for r in range(rows)])).alias("bucket"),
-        )
-        for bi in range(bands)
-    ]
-    buckets = sigs.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
-    cand = (
-        buckets.alias("x")
-        .join(buckets.alias("y"), ["band", "bucket"])
-        .where(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-    )
+    cand = _band_candidates(_band_buckets(sigs, bands, rows, "md5"))
     return (
         cand.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
         .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
@@ -532,7 +547,7 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """
     toks = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        F.explode(_token_array(F.col(text_col))).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
     votes = toks.groupBy("id").agg(
         *[
@@ -559,7 +574,7 @@ def simhash32_md5(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     """
     toks = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        F.explode(_token_array(F.col(text_col))).alias("tok"),
     ).withColumn("h", F.md5("tok"))
     hexv = "0123456789abcdef"
 
@@ -633,12 +648,16 @@ def hamming_band_pairs(
             f"at least {max_hamming + 1})"
         )
     width = 64 // bands
+    # bands=1 -> width=64 -> (1<<64)-1 overflows Long; the all-bits
+    # mask in signed-long arithmetic is -1 (r11 review finding — the
+    # documented-legal exact-match configuration crashed at plan build)
+    mask = F.lit(-1 if width == 64 else (1 << width) - 1).cast("long")
     sh = hashed.select(F.col(id_col).alias("id"), F.col(hash_col).alias("__h"))
     chunk_cols = [
         F.struct(
             F.lit(bi).alias("band"),
             F.shiftrightunsigned(F.col("__h"), bi * width)
-            .bitwiseAND(F.lit((1 << width) - 1))
+            .bitwiseAND(mask)
             .alias("chunk"),
         )
         for bi in range(bands)
@@ -926,7 +945,26 @@ def embedding_near_dup_pairs(
         bits = [_bit(p) for p in planes]
         blk = [F.concat(*bits).alias("blk")]
     elif block_col:
-        blk = [F.col(block_col).alias("blk")]
+        # NULL block keys never match a self-equi-join — such rows would
+        # be silently excluded from ALL comparison (not even against
+        # each other) and their near-dups survive dedup with no signal
+        # (r11 review finding). Same fail-fast as the planes path's
+        # null-dot guard; coalesce the key upstream to opt NULLs into a
+        # shared bucket deliberately.
+        blk = [
+            F.when(F.col(block_col).isNotNull(), F.col(block_col))
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"embedding_near_dup_pairs: NULL {block_col!r} "
+                        "block key — NULL never equi-joins, so the row "
+                        "would silently skip near-dup comparison; "
+                        "coalesce the blocking column first"
+                    )
+                ).cast(dict(emb.dtypes)[block_col])
+            )
+            .alias("blk")
+        ]
     else:
         blk = [F.lit(0).alias("blk")]
     base = emb.select(
@@ -1250,6 +1288,11 @@ def line_dedup(
     survivors = lines.join(firsts, "line").where(
         ((F.col("first.id") == F.col("id")) & (F.col("first.pos") == F.col("pos")))
         | (F.length("line") < min_dedup_len)
+        # the EMPTY line is a paragraph boundary, not content — at the
+        # default min_dedup_len=0 it used to dedup GLOBALLY, silently
+        # merging paragraphs in every doc but the corpus-first (r11
+        # review finding, verified); structure is unconditionally kept
+        | (F.length("line") == 0)
     )
     return (
         survivors.groupBy("id")
@@ -1385,22 +1428,7 @@ def minhash_band_buckets(
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes, n, text_col, id_col)
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.sha2(
-                F.concat_ws(
-                    ",",
-                    *[F.col("sig")[bi * rows + r].cast("string") for r in range(rows)],
-                ),
-                256,
-            ).alias("bucket"),
-        )
-        for bi in range(bands)
-    ]
-    return sigs.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    return _band_buckets(sigs, bands, rows, "sha2")
 
 
 def incremental_minhash_dedup(
@@ -1554,14 +1582,7 @@ def duplicate_spans(
     # the two consumers re-derive this projection; cheaper than caching
     # a token-count-sized relation (same call as importance_weights)
     grams = _positional_ngrams(docs, n, text_col, id_col)
-    counts = (
-        grams.groupBy("span")
-        .agg(
-            F.count("*").alias("n_occurrences"),
-            F.countDistinct("id").alias("n_docs"),
-        )
-        .where(F.col("n_occurrences") >= min_occurrences)
-    )
+    counts = _duplicate_span_counts(grams, min_occurrences)
     order = [F.col("id"), F.col("pos")]
     w_local = Window.partitionBy("span", F.spark_partition_id()).orderBy(*order)
     w = Window.partitionBy("span").orderBy(*order)
@@ -1586,6 +1607,22 @@ def duplicate_spans(
         "n_docs",
         "examples",
         (F.col("n_occurrences") > examples_cap).alias("examples_truncated"),
+    )
+
+
+def _duplicate_span_counts(grams: DataFrame, min_occurrences: int) -> DataFrame:
+    """(span, n_occurrences, n_docs) over a positional-n-gram relation,
+    gated at >= min_occurrences — the map-side-combinable core of
+    :func:`duplicate_spans`, shared with :func:`strip_duplicate_spans`
+    so the stripper never pays the example-location window machinery
+    whose output it would immediately discard (r11 review finding)."""
+    return (
+        grams.groupBy("span")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("id").alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") >= min_occurrences)
     )
 
 
@@ -1615,11 +1652,15 @@ def strip_duplicate_spans(
     All shuffles keyed on span or doc id — never a cross product; the
     rebuild's cost scales with the contaminated slice, not the corpus.
     """
-    hot = (
-        duplicate_spans(docs, n, min_occurrences, text_col, id_col, examples_cap=1)
-        .select("span")
-    )
-    occ = _positional_ngrams(docs, n, text_col, id_col).join(hot, "span", "leftsemi")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_occurrences < 2:
+        raise ValueError(f"min_occurrences must be >= 2, got {min_occurrences}")
+    grams = _positional_ngrams(docs, n, text_col, id_col)
+    # counts-only span detection: the example-location windows
+    # duplicate_spans adds are for the REPORT surface, not removal
+    hot = _duplicate_span_counts(grams, min_occurrences).select("span")
+    occ = grams.join(hot, "span", "leftsemi")
     covered = occ.select(
         "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("tpos")
     ).distinct()
@@ -2071,11 +2112,13 @@ def semantic_decontaminate(
         F.col(id_col).alias("eval_id"), F.col(vec_col).alias("ev")
     )
 
+    eval_id_type = eval_emb.schema[id_col].dataType
+
     def _empty():
         return (
             train_emb.select(F.col(id_col))
             .limit(0)
-            .withColumn("matched_eval_id", F.lit(None).cast("long"))
+            .withColumn("matched_eval_id", F.lit(None).cast(eval_id_type))
             .withColumn("cosine", F.lit(None).cast("double"))
         )
 
@@ -2086,17 +2129,32 @@ def semantic_decontaminate(
     if not rows:
         return _empty()
     if len(rows) <= max_broadcast_eval:
-        # reference dimension: the smallest eval id's vector (stable
-        # under collect order); other-dimension or zero-norm eval rows
-        # are excluded, mirroring the blocked path's NULL-cell drop
+        # reference dimension: the MAJORITY dimension (count desc, then
+        # smaller d — deterministic). Taking it from the single
+        # smallest-id row meant one corrupt short vector holding that id
+        # silently discarded the ENTIRE valid eval set and contamination
+        # passed unreported (r11 review finding); other-dimension and
+        # zero-norm eval rows are excluded, mirroring the blocked path's
+        # NULL-cell drop. Ids stay Python objects — the eval id column
+        # keeps ITS OWN type (the blocked path always did; hardcoding
+        # int64 here made the same call crash on string ids only below
+        # the broadcast cutoff).
         rows = sorted(rows, key=lambda r: r["eval_id"])
-        d = len(rows[0]["ev"])
+        from collections import Counter
+
+        dim_counts = Counter(len(r["ev"]) for r in rows)
+        best = max(dim_counts.values())
+        modal = {d_ for d_, c in dim_counts.items() if c == best}
+        # ties (e.g. 1 vs 1) fall back to the old stable rule applied
+        # among the modal dims only: the smallest eval id's dimension
+        d = next(len(r["ev"]) for r in rows if len(r["ev"]) in modal)
         rows = [r for r in rows if len(r["ev"]) == d]
-        ids = np.asarray([r["eval_id"] for r in rows], dtype=np.int64)
+        ids = [r["eval_id"] for r in rows]
         M = np.asarray([list(r["ev"]) for r in rows], dtype=np.float64)
         norms = np.sqrt((M * M).sum(axis=1))
         keep = norms > 0.0
-        ids, M, norms = ids[keep], M[keep], norms[keep]
+        ids = [i for i, k in zip(ids, keep) if k]
+        M, norms = M[keep], norms[keep]
         if len(ids) == 0:
             return _empty()  # all eval rows degenerate
         Mn = M / norms[:, None]  # pre-normalized: cosine = (x/|x|) . Mn^T
@@ -2107,7 +2165,7 @@ def semantic_decontaminate(
         out_schema = T.StructType(
             [
                 train_emb.schema[id_col],
-                T.StructField("matched_eval_id", T.LongType()),
+                T.StructField("matched_eval_id", eval_id_type),
                 T.StructField("cosine", T.DoubleType()),
             ]
         )
@@ -2141,13 +2199,15 @@ def semantic_decontaminate(
                         for r, b, c in zip(rows_ok, best, best_cos):
                             if c >= threshold:
                                 hit_rows.append(r)
-                                hit_eids.append(int(eids[b]))
+                                hit_eids.append(eids[b])
                                 hit_cos.append(float(c))
                 yield pd.DataFrame(
                     {
                         # iloc[[]] keeps the input dtype for empty batches
                         id_col: pdf[id_col].iloc[hit_rows].to_numpy(),
-                        "matched_eval_id": pd.Series(hit_eids, dtype="int64"),
+                        # object dtype: Arrow casts to the declared eval
+                        # id type (long ids AND string ids both work)
+                        "matched_eval_id": pd.Series(hit_eids, dtype="object"),
                         "cosine": pd.Series(hit_cos, dtype="float64"),
                     }
                 )

@@ -116,9 +116,10 @@ def chunk_documents(
     step = max_tokens - overlap
     toked = docs.select(
         F.col(id_col),
-        F.when(
-            F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
-        ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__toks"),
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+            lambda t: t != F.lit(""),
+        ).alias("__toks"),  # boundary empties removed (see text.tokens)
     )
     n = F.size("__toks")
     # window starts: 0, step, 2*step, ... while start < n (at least one

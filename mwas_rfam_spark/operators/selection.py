@@ -51,9 +51,13 @@ from mwas_rfam_spark.functions.scalar import md5_uniform as _md5_uniform
 
 
 def _tokens(text_col: Column) -> Column:
-    """Lowercased whitespace tokens — matches the DuckDB oracle's
-    string_split_regex(trim(lower(text)), '\\s+')."""
-    return F.split(F.trim(F.lower(text_col)), r"\s+")
+    """Lowercased whitespace tokens, boundary empties removed — matches
+    the DuckDB oracle's list_filter(string_split_regex(lower(text),
+    '\\s+'), t -> t <> '') (see text.tokens for the phantom-token
+    rationale)."""
+    return F.filter(
+        F.split(F.lower(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
 
 
 def _bucket_occurrences(

@@ -23,7 +23,11 @@ _LANG_MARKERS = {
 
 
 def tokens(text_col: Column) -> Column:
-    return F.split(F.trim(text_col), r"\s+")
+    """Whitespace tokens, boundary empties removed: `trim` strips only
+    spaces, so a text ending in \n or \t would otherwise contribute a
+    phantom '' token to every count and ratio (r11 review finding —
+    same fix as dedup._token_array)."""
+    return F.filter(F.split(text_col, r"\s+"), lambda t: t != F.lit(""))
 
 
 def token_count(text_col: Column) -> Column:

@@ -899,3 +899,112 @@ def test_semantic_decontaminate_tolerates_ragged_eval(spark):
     )
     got = semantic_decontaminate(train, eval_emb, threshold=0.95).collect()
     assert [(r["vec_id"], r["matched_eval_id"]) for r in got] == [(1, 10)]
+
+
+def test_boundary_whitespace_tokenization_fixes(spark):
+    """r11 review findings (verified-by-execution set): trailing \\n/\\t
+    must not change exact-dedup hashes, fabricate phantom shingles, or
+    flip SimHash bits — `trim` strips only spaces, so the pre-fix
+    pipeline treated 'hello world\\n' and 'hello world' as different
+    docs while matching fabricated 3-grams across 2-token texts."""
+    from mwas_rfam_spark.operators.dedup import (
+        exact_dedup_groups,
+        simhash32_md5,
+        simhash64,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world\n"), (2, "hello world\t"), (3, "hello world")],
+        "doc_id long, text string",
+    )
+    groups = exact_dedup_groups(docs).collect()
+    assert len(groups) == 1 and groups[0]["n_docs"] == 3  # one hash, all three
+
+    # 2 real tokens at n=3: NO shingles for any variant (the phantom
+    # empty token used to fabricate 'hello world ' for docs 1 and 2)
+    assert word_shingles(docs, n=3).count() == 0
+    # and with n=2 all three docs emit the SAME single shingle
+    sh = word_shingles(docs, n=2).collect()
+    assert {r["shingle"] for r in sh} == {"hello world"} and len(sh) == 3
+
+    for fn in (simhash64, simhash32_md5):
+        h = {r["id"]: r["simhash"] for r in fn(docs).collect()}
+        assert h[1] == h[2] == h[3]
+
+
+def test_line_dedup_preserves_paragraph_boundaries(spark):
+    """r11 review finding: at min_dedup_len=0 the empty line used to
+    dedup GLOBALLY — every doc after the corpus-first lost its blank
+    lines and paragraphs silently merged."""
+    from mwas_rfam_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a\n\nb"), (2, "c\n\nd")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["text"] for r in line_dedup(docs).collect()}
+    assert got == {1: "a\n\nb", 2: "c\n\nd"}
+
+
+def test_hamming_band_pairs_bands_one_exact_match(spark):
+    """r11 review finding: bands=1 (the documented-legal exact-hash
+    configuration) crashed at plan build — (1<<64)-1 overflows Long;
+    the all-bits mask in signed arithmetic is -1."""
+    from mwas_rfam_spark.operators.dedup import hamming_band_pairs
+
+    df = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, -7), (4, -7), (5, 9)], "id long, h long"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in hamming_band_pairs(df, "h", "id", max_hamming=0, bands=1).collect()
+    )
+    assert got == [(1, 2), (3, 4)]  # exact matches only, negatives incl.
+
+
+def test_semantic_decontaminate_majority_dim_and_string_ids(spark):
+    """r11 review findings: (a) one corrupt short vector holding the
+    SMALLEST eval id used to define the reference dimension and
+    silently discard the entire valid eval set — the majority dimension
+    now wins; (b) the broadcast path hardcoded int64 eval ids while the
+    blocked path accepted any type — string ids crashed only below the
+    broadcast cutoff."""
+    from mwas_rfam_spark.operators.dedup import semantic_decontaminate
+
+    d = 6
+    e = lambda i: [1.0 if j == i else 0.0 for j in range(d)]
+    eval_emb = spark.createDataFrame(
+        [(1, [0.5, 0.5]), (10, e(0)), (11, e(1)), (12, e(2))],  # id 1 corrupt
+        "vec_id long, embedding array<double>",
+    )
+    train = spark.createDataFrame(
+        [(100, [3.0] + [0.0] * (d - 1))], "vec_id long, embedding array<double>"
+    )
+    got = semantic_decontaminate(train, eval_emb, threshold=0.95).collect()
+    assert [(r["vec_id"], r["matched_eval_id"]) for r in got] == [(100, 10)]
+
+    seval = spark.createDataFrame(
+        [("mmlu-001", e(0)), ("mmlu-002", e(1))],
+        "vec_id string, embedding array<double>",
+    )
+    got = semantic_decontaminate(train, seval, threshold=0.95).collect()
+    assert [(r["vec_id"], r["matched_eval_id"]) for r in got] == [(100, "mmlu-001")]
+    assert dict(
+        semantic_decontaminate(train, seval, threshold=0.95).dtypes
+    )["matched_eval_id"] == "string"
+
+
+def test_embedding_near_dup_null_block_key_raises(spark):
+    """r11 review finding: NULL block keys never self-equi-join, so
+    such rows silently skipped ALL near-dup comparison; fail fast by
+    name instead (the planes path already did for null dots)."""
+    import pytest as _pt
+
+    from mwas_rfam_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a"), (2, [1.0, 0.0], None)],
+        "vec_id long, embedding array<double>, label string",
+    )
+    with _pt.raises(Exception, match="NULL 'label' block key"):
+        embedding_near_dup_pairs(emb, block_col="label").collect()

@@ -159,7 +159,9 @@ def test_line_dedup_randomized_reference_model(spark):
         for did, text in docs:  # ids ascending = global (id, pos) order
             kept = []
             for line in text.split("\n"):
-                if len(line) < min_len:
+                if len(line) == 0 or len(line) < min_len:
+                    # empty lines are paragraph boundaries: kept
+                    # unconditionally (r11 fix), short lines per min_len
                     kept.append(line)
                 elif line not in seen:
                     seen.add(line)
