@@ -147,6 +147,16 @@ def welch_ttest_from_stats(mean1, std1, nobs1, mean2, std2, nobs2):
     return t, df, p
 
 
+def perm_chunk_rows(n_resamples: int, n: int) -> int:
+    """Rows per permutation buffer: ≤ ~32 MB per task regardless of
+    group size (SCALE.md 'Statistical kernel memory bound'). THE chunk
+    rule — the kernels below and the per-test telemetry in
+    operators/mwas.py must agree on it (it was copy-pasted three times;
+    a strategy change would have silently staled the telemetry — r11
+    review finding)."""
+    return max(1, min(n_resamples, 4_000_000 // max(n, 1)))
+
+
 def mean_diff_statistic(x, y):
     """mean(x) - mean(y) — reference main/mwas_general.py:339-341."""
     return float(np.mean(x) - np.mean(y))
@@ -173,7 +183,7 @@ def _random_null_mean_diff(
     n = pooled.shape[0]
     total = pooled.sum()
     out = np.empty(n_resamples, dtype=np.float64)
-    chunk = max(1, min(n_resamples, 4_000_000 // max(n, 1)))
+    chunk = perm_chunk_rows(n_resamples, n)
     done = 0
     while done < n_resamples:
         k = min(chunk, n_resamples - done)
@@ -254,7 +264,7 @@ def grouped_permutation_mean_diff(
         ds = np.unique(np.asarray([int(n_xs[i]) for i in random_rows], dtype=np.int64))
         col_of = {int(d): j for j, d in enumerate(ds)}
         idxs = np.concatenate([[0], ds])
-        chunk = max(1, min(n_resamples, 4_000_000 // max(n, 1)))
+        chunk = perm_chunk_rows(n_resamples, n)
         buf = np.empty((chunk, n), dtype=np.float64)
         done = 0
         while done < n_resamples:

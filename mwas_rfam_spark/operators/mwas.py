@@ -35,7 +35,11 @@ from pyspark import StorageLevel
 
 from ..config import DEFAULT_CONFIG, MwasConfig
 from ..functions.scalar import replace_zero_spots, rpm
-from ..functions.stattests import grouped_permutation_mean_diff, student_t_sf
+from ..functions.stattests import (
+    grouped_permutation_mean_diff,
+    perm_chunk_rows,
+    student_t_sf,
+)
 
 # every relation run_mwas/finalize_results materializes, so callers can
 # free the storage once the output is written (without this each call
@@ -294,9 +298,18 @@ def _make_grouped_permutation_fn(n_resamples: int, base_seed: int):
     """
     import hashlib
 
-    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key: tuple, pdf: pd.DataFrame, vals: pd.DataFrame) -> pd.DataFrame:
         import time
 
+        # cogrouped: `pdf` holds the group's per-SET rows, `vals` its ONE
+        # (obs_rpm) row — joining the pooled array onto every set row
+        # used to hold |sets| copies of an up-to-cap-sized vector in a
+        # single Arrow batch, defeating max_group_observations (r11
+        # review finding). A group missing either side yields no rows.
+        if len(pdf) == 0 or len(vals) == 0:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in _PERM_GROUP_RESULT}
+            )
         t0 = time.perf_counter()
         bp, group = key
         seed_hex = hashlib.sha256(f"{bp}|{group}".encode()).hexdigest()[:15]
@@ -305,7 +318,7 @@ def _make_grouped_permutation_fn(n_resamples: int, base_seed: int):
         # implicit zeros to the cohort universe size, in canonical sorted
         # order. Identical for every set row of the group by construction.
         n_tot = int(pdf["n_true"].iloc[0]) + int(pdf["n_false"].iloc[0])
-        obs = np.asarray(pdf["obs_rpm"].iloc[0], dtype=np.float64)
+        obs = np.asarray(vals["obs_rpm"].iloc[0], dtype=np.float64)
         pooled = np.zeros(n_tot, dtype=np.float64)
         pooled[: obs.shape[0]] = obs
         pooled = np.sort(pooled)
@@ -319,7 +332,7 @@ def _make_grouped_permutation_fn(n_resamples: int, base_seed: int):
         # per-test runtime = group kernel time / #tests; bytes = the
         # permutation buffer high-water mark
         elapsed = (time.perf_counter() - t0) / max(len(pdf), 1)
-        chunk = max(1, min(n_resamples, 4_000_000 // max(n_tot, 1)))
+        chunk = perm_chunk_rows(n_resamples, n_tot)
         kernel_bytes = int(chunk * n_tot * 8)
         return pd.DataFrame(
             {
@@ -339,13 +352,39 @@ def _make_grouped_permutation_fn(n_resamples: int, base_seed: int):
 def _welch_columns(df: DataFrame) -> DataFrame:
     """Closed-form Welch t statistic + Welch–Satterthwaite df in Spark SQL
     (identical formulas to scipy.stats.ttest_ind_from_stats(equal_var=False),
-    fed population SDs exactly as the reference does — mg:407-412)."""
+    fed population SDs exactly as the reference does — mg:407-412).
+
+    Degenerate-cohort algebra mirrors the numpy kernel
+    (``stattests.welch_ttest_from_stats`` under errstate-ignore) rather
+    than raw SQL division, because Spark 4's default ANSI mode THROWS
+    on x/0 — one both-SDs-zero cohort anywhere in the input used to
+    abort the entire run_mwas job with DIVIDE_BY_ZERO (r11 review
+    finding, reproduced end-to-end):
+
+    * both variances 0, means differ → t = ±inf, df 1, p 0 — perfectly
+      separated cohorts are SIGNIFICANT (the reference's numbers);
+    * both variances 0, means equal → t NaN (0/0), p NaN;
+    * a single-observation cohort (population SD 0 by definition) makes
+      its df denominator term 0/0 = NaN in numpy → df 1 here (the NULL
+      branch folds through the existing coalesce)."""
     vn1 = F.col("sd_rpm_true") ** 2 / F.col("n_true")
     vn2 = F.col("sd_rpm_false") ** 2 / F.col("n_false")
-    t = (F.col("mean_rpm_true") - F.col("mean_rpm_false")) / F.sqrt(vn1 + vn2)
-    dfree = (vn1 + vn2) ** 2 / (
-        vn1**2 / (F.col("n_true") - 1) + vn2**2 / (F.col("n_false") - 1)
+    vsum = vn1 + vn2
+    md = F.col("mean_rpm_true") - F.col("mean_rpm_false")
+    t = (
+        F.when(vsum > 0, md / F.sqrt(vsum))
+        .when(md > 0, F.lit(float("inf")))
+        .when(md < 0, F.lit(float("-inf")))
+        .otherwise(F.lit(float("nan")))
     )
+    # n==1 ⟹ population SD 0 ⟹ vn 0 ⟹ numpy 0/0 = NaN term: NULL here,
+    # nulling the whole df expression into the coalesce(., 1.0) below —
+    # exactly numpy's isnan(df) → 1.0 replacement. When vsum > 0 and
+    # both n > 1, the denominator is strictly positive (the nonzero vn
+    # contributes a positive term), so the division is ANSI-safe.
+    den1 = F.when(F.col("n_true") > 1, vn1**2 / (F.col("n_true") - 1))
+    den2 = F.when(F.col("n_false") > 1, vn2**2 / (F.col("n_false") - 1))
+    dfree = F.when(vsum > 0, vsum**2 / (den1 + den2))
     return df.withColumn("test_statistic", t).withColumn(
         "welch_df", F.coalesce(dfree, F.lit(1.0))
     )
@@ -425,8 +464,25 @@ def run_tests(
         # build the pooled-vector aggregation at all (Catalyst folds the
         # false-filtered branch to an empty LocalRelation)
         perm_base = perm_base.filter(F.lit(False))
+    # pooled vectors ONLY for permutation-eligible groups: without the
+    # semi-join the collect_list materialized a potentially multi-
+    # million-element array per group for groups no kernel would ever
+    # read (most rows take the t branch at the default thresholds —
+    # r11 review finding)
+    # renamed keys: eligible and rollup share upstream lineage (both
+    # trace to the rollup), and a name-based semi-join trips the
+    # ambiguous-self-join analyzer when lineage is not checkpoint-cut
+    eligible = perm_base.select(
+        F.col("bio_project").alias("__e_bp"), F.col("group").alias("__e_g")
+    ).distinct()
     group_vals = (
         rollup.join(
+            eligible,
+            (rollup.bio_project == F.col("__e_bp"))
+            & (rollup.group == F.col("__e_g")),
+            "left_semi",
+        )
+        .join(
             ref_df.select("bioproject", F.explode("biosamples_ref").alias("bs")),
             (rollup.bio_project == F.col("bioproject"))
             & (rollup.bio_sample == F.col("bs")),
@@ -434,8 +490,6 @@ def run_tests(
         .groupBy("bio_project", "group")
         .agg(F.collect_list("rpm").alias("obs_rpm"))
     )
-    # inner: every eligible (bio_project, group) came from group_stats,
-    # which is built over the same observed rows as group_vals
     pm = perm_base.select(
         "bio_project",
         "group",
@@ -443,15 +497,17 @@ def run_tests(
         "n_true",
         "n_false",
         (F.col("mean_rpm_true") - F.col("mean_rpm_false")).alias("observed"),
-    ).join(group_vals, ["bio_project", "group"], "inner")
+    )
     if cfg.max_group_observations is not None:
         # the pooled vector is the one row bounded by biosamples-per-
         # bioproject (the reference's 50 MB cap analog) — fail loudly at
         # the source instead of OOMing inside the Arrow batch. The guard
-        # sits AFTER the inner join with the eligible rows, so a job with
-        # no permutation-eligible set in an oversized group never trips
-        # on a vector the kernel would not consume.
-        pm = pm.withColumn(
+        # sits on the one-row-per-group values relation AFTER the
+        # eligibility semi-join, so a job with no permutation-eligible
+        # set in an oversized group never trips on a vector the kernel
+        # would not consume — and the checked vector is never
+        # replicated per set row.
+        group_vals = group_vals.withColumn(
             "obs_rpm",
             F.when(
                 F.size("obs_rpm") <= cfg.max_group_observations, F.col("obs_rpm")
@@ -481,9 +537,23 @@ def run_tests(
     # that skew (bytes are tiny; the cost is compute, which AQE can't see).
     n_part = max(stats_df.sparkSession.sparkContext.defaultParallelism * 2, 8)
     kernel = _make_grouped_permutation_fn(cfg.permutation_resamples, cfg.permutation_seed)
+    # fresh attribute ids on the values side: both cogroup sides trace
+    # to the rollup, and flatMapCoGroupsInPandas (unlike a name-list
+    # join) has no disambiguation rule for shared-lineage columns;
+    # cogroup matches keys by POSITION, so the rename is free
+    gv = group_vals.select(
+        F.col("bio_project").alias("__gv_bp"),
+        F.col("group").alias("__gv_g"),
+        "obs_rpm",
+    )
     perm_res = (
         pm.repartition(n_part, "bio_project", "group")
         .groupBy("bio_project", "group")
+        .cogroup(
+            gv.repartition(n_part, "__gv_bp", "__gv_g").groupBy(
+                "__gv_bp", "__gv_g"
+            )
+        )
         .applyInPandas(kernel, _PERM_GROUP_RESULT)
     )
     perm_done = (

@@ -35,6 +35,10 @@ from ..config import MwasConfig
 
 _BOOL_TRUE = {"1", "true", "yes", "on"}
 
+# serializes run_mwas + release_mwas_persists across handler threads —
+# the pinned-subplan registry is process-global (see do_POST)
+_MWAS_LOCK = threading.Lock()
+
 
 def config_from_params(params: dict[str, str]) -> MwasConfig:
     """Build an MwasConfig from query parameters keyed by field name.
@@ -156,31 +160,57 @@ def make_server(
                 self._reply(400, {"error": str(e)})
                 return
             try:
-                out = serve_request(spark, rows, catalog_df, sets_df, ref_df, cfg)
-                # bounded collect: one extra row detects overflow without
-                # ever materializing the unbounded relation on the driver
-                collected = out.limit(max_inline_rows + 1).collect()
-                if len(collected) <= max_inline_rows:
-                    self._reply(
-                        200,
-                        {
-                            "n": len(collected),
-                            "columns": out.columns,
-                            "rows": [
-                                {k: _json_safe(v) for k, v in r.asDict().items()}
-                                for r in collected
-                            ],
-                        },
-                    )
-                    return
-                base = results_dir or tempfile.mkdtemp(prefix="mwas_results_")
-                loc = f"{base}/req-{uuid.uuid4().hex}"
-                out.write.parquet(loc)
-                n = spark.read.parquet(loc).count()  # metadata-only job
-                self._reply(
-                    200,
-                    {"n": n, "columns": out.columns, "results_location": loc},
-                )
+                # _MWAS_LOCK serializes the run AND the release: the
+                # pinned-subplan registry (mwas._LIVE_PERSISTS) is
+                # process-global, so releasing after one request would
+                # otherwise unpersist another thread's in-flight
+                # subplans. Without the release every POST pinned ~7
+                # materialized relations for the server's lifetime —
+                # the exact leak release_mwas_persists exists to
+                # prevent, and the long-running server is the one
+                # caller that never called it (r11 review finding; the
+                # CLI path always has, __main__.py). MWAS runs are
+                # whole-cluster jobs — serializing them on one driver
+                # costs no real concurrency.
+                with _MWAS_LOCK:
+                    try:
+                        out = serve_request(
+                            spark, rows, catalog_df, sets_df, ref_df, cfg
+                        )
+                        # bounded collect: one extra row detects overflow
+                        # without ever materializing the unbounded
+                        # relation on the driver
+                        collected = out.limit(max_inline_rows + 1).collect()
+                        if len(collected) > max_inline_rows:
+                            base = results_dir or tempfile.mkdtemp(
+                                prefix="mwas_results_"
+                            )
+                            loc = f"{base}/req-{uuid.uuid4().hex}"
+                            out.write.parquet(loc)
+                            # metadata-only job
+                            n_rows = spark.read.parquet(loc).count()
+                            reply = {
+                                "n": n_rows,
+                                "columns": out.columns,
+                                "results_location": loc,
+                            }
+                        else:
+                            reply = {
+                                "n": len(collected),
+                                "columns": out.columns,
+                                "rows": [
+                                    {
+                                        k: _json_safe(v)
+                                        for k, v in r.asDict().items()
+                                    }
+                                    for r in collected
+                                ],
+                            }
+                    finally:
+                        from ..operators.mwas import release_mwas_persists
+
+                        release_mwas_persists()
+                self._reply(200, reply)
             except Exception as e:  # surface pipeline errors as 500 JSON
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 

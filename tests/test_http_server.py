@@ -150,3 +150,26 @@ def test_config_from_params_coercion():
     )
     with pytest.raises(ValueError, match="unknown config parameter"):
         config_from_params({"nope": "1"})
+
+
+def test_server_releases_mwas_persists(server_url):
+    """r11 review finding: the long-running server never called
+    release_mwas_persists, pinning ~7 materialized relations per POST
+    forever; the handler now releases inside the serialized section."""
+    import json
+    import urllib.request
+
+    from mwas_rfam_spark.operators import mwas as mwas_mod
+
+    url = server_url
+    body = json.dumps(
+        [{"run": f"R{i}", "group": "g1", "quantifier": 10.0 * i} for i in range(1, 7)]
+    ).encode()
+    req = urllib.request.Request(
+        f"{url}/run_mwas?t_test_only=1", data=body,
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 200
+        json.loads(resp.read())
+    assert mwas_mod._LIVE_PERSISTS == []

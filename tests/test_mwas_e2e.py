@@ -127,7 +127,12 @@ def _expected():
         for bs, v in per_bs.items():
             if bs in biosamples:
                 vec[biosamples.index(bs)] = float(np.mean(v))
-        skip = len(rows) < CFG.group_nonzeros_threshold
+        # catalog-resolved rows only: an unknown run (R99) never lands
+        # in a bioproject's group subset, so it must not count toward
+        # the skip threshold (r11 review finding — the raw-row count
+        # silently diverged from the engine's rule at the boundary)
+        n_resolved = sum(1 for run, _ in rows if run in run_to_bs)
+        skip = n_resolved < CFG.group_nonzeros_threshold
         for matching, (attrs, values, include, members) in sets.items():
             member_idx = [biosamples.index(b) for b in members]
             mask = np.zeros(n, bool)
@@ -238,3 +243,54 @@ def test_e2e_branches_covered(spark_result):
     assert "t_test" in statuses
     assert "permutation_test" in statuses
     assert "skipped_statistical_testing" in statuses
+
+
+def test_zero_variance_cohorts_match_reference_not_crash(spark):
+    """r11 review finding (reproduced): a t-branch row with BOTH cohort
+    SDs zero crashed the whole run under Spark 4's default ANSI mode
+    (DIVIDE_BY_ZERO). The reference kernel's numbers for that row are
+    t=±inf, df=1, p=0 — perfectly separated cohorts are SIGNIFICANT —
+    and equal-mean constant cohorts give t=NaN, p=NaN (not
+    significant). The SQL branch must reproduce the numpy kernel."""
+    import math
+
+    cat = spark.createDataFrame(
+        [("PZ", f"SAM{i}", f"R{i}", 1_000_000) for i in range(1, 6)],
+        CATALOG_SCHEMA,
+    )
+    wide = spark.createDataFrame(
+        [(f"SAM{i}", "a" if i <= 2 else "b") for i in range(1, 6)],
+        ["biosample_id", "tissue"],
+    )
+    sets_df, ref_df = condense_metadata(melt_wide_metadata(wide, "PZ"))
+    rows = (
+        # g1: true cohort {5,5} vs false {0,0,0} — separated, sds 0
+        [(f"R{i}", "g1", 5.0) for i in (1, 2)]
+        + [(f"R{i}", "g1", 0.0) for i in (3, 4, 5)]
+        # g2: both cohorts constant 7 — equal means, sds 0
+        + [(f"R{i}", "g2", 7.0) for i in range(1, 6)]
+    )
+    input_df = spark.createDataFrame(rows, INPUT_SCHEMA)
+    out = {
+        (r["group"], r["metadata_value"]): r
+        for r in run_mwas(input_df, cat, sets_df, ref_df, CFG).collect()
+    }
+    assert len(out) == 4  # one row per (group, set)
+
+    want_t, want_df, want_p = welch_ttest_from_stats(5.0, 0.0, 2, 0.0, 0.0, 3)
+    assert math.isinf(want_t) and want_p == 0.0  # the reference's numbers
+    g1a = out[("g1", "a")]
+    assert math.isinf(g1a["test_statistic"]) and g1a["test_statistic"] > 0
+    assert g1a["p_value"] == 0.0
+    assert g1a["status"] == "t_test; significant"
+    g1b = out[("g1", "b")]  # the mirrored set: separated the other way
+    assert math.isinf(g1b["test_statistic"]) and g1b["test_statistic"] < 0
+    assert g1b["p_value"] == 0.0 and g1b["fold_change"] == "negative inf"
+
+    for mv in ("a", "b"):
+        g2 = out[("g2", mv)]
+        assert math.isnan(g2["test_statistic"])
+        # reference p is NaN (0/0 t); the engine surfaces the
+        # undecidable row as NULL p — both mean "not significant"
+        assert g2["p_value"] is None or math.isnan(g2["p_value"])
+        assert g2["status"] == "t_test"
