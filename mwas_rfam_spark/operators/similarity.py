@@ -12,6 +12,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _validate_unique_q_ids(queries: DataFrame, q_id_col: str, caller: str) -> None:
+    """Duplicate query ids would silently MERGE distinct queries'
+    candidates into one ranked top-k (the rank partitions on q_id
+    alone) — refuse by name instead, the same contract
+    quantization.ivfpq_knn_join enforces (r11 review finding: the
+    brute-force and IVF joins lacked it). One query-sized aggregate."""
+    dup = queries.groupBy(q_id_col).count().where(F.col("count") > 1).limit(1)
+    if dup.count() > 0:
+        raise ValueError(f"{caller}: duplicate {q_id_col} values in queries")
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -24,14 +35,26 @@ def _norm(v: Column) -> Column:
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
 
 
+def _safe_cosine(a, b):
+    """cosine(a, b) with a zero-norm side yielding NULL — Spark 4's
+    default ANSI mode otherwise ABORTS the whole job with
+    DIVIDE_BY_ZERO on the first degenerate vector anywhere in the
+    corpus (r11 review finding, confirmed live; quantization.py's SQ
+    path had the same guard already, and the CLI documents zero-norm
+    vectors as 'score NULL cosine')."""
+    den = _norm(a) * _norm(b)
+    return F.when(den > 0, _dot(a, b) / den)
+
+
 def cosine_to_query(
     emb: DataFrame, query_vec: list[float], id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Cosine similarity of every vector to a constant query vector."""
+    """Cosine similarity of every vector to a constant query vector
+    (NULL for a zero-norm side — see :func:`_safe_cosine`)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return emb.select(
         F.col(id_col),
-        (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))).alias("cosine"),
+        _safe_cosine(F.col(vec_col), q).alias("cosine"),
     )
 
 
@@ -72,10 +95,10 @@ def knn_per_query(
     """
     from .topk import top_k_per_group
 
+    _validate_unique_q_ids(queries, q_id_col, "knn_per_query")
     joined = emb.crossJoin(F.broadcast(queries)).withColumn(
         "cosine",
-        _dot(F.col(vec_col), F.col(q_vec_col))
-        / (_norm(F.col(vec_col)) * _norm(F.col(q_vec_col))),
+        _safe_cosine(F.col(vec_col), F.col(q_vec_col)),
     )
     out = top_k_per_group(
         joined, [q_id_col], [F.desc("cosine"), F.asc(id_col)], k=k
@@ -113,7 +136,13 @@ def train_ivf_centroids(
     mean). The returned centroids are a tiny driver-side list — the only
     data ever collected; assignments stay distributed.
     """
+    emb = emb.where(F.col(vec_col).isNotNull())
     seeds = emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    if not seeds:
+        raise ValueError(
+            "train_ivf_centroids needs a non-empty corpus (every "
+            f"{vec_col!r} was NULL or the input had no rows)"
+        )
     centroids = [list(map(float, r[vec_col])) for r in seeds]
     for _ in range(iters):
         assigned = assign_ivf_cells(emb, centroids, id_col, vec_col)
@@ -127,7 +156,15 @@ def train_ivf_centroids(
             )
             .collect()
         )
-        by_cell = {r["cell"]: [float(r[f"c{i}"]) for i in range(len(centroids[0]))] for r in new}
+        by_cell = {
+            r["cell"]: [float(r[f"c{i}"]) for i in range(len(centroids[0]))]
+            for r in new
+            # NULL cell (wrong-dim / NaN-element vectors) and NULL means
+            # are excluded from the update — the cell keeps its previous
+            # centroid instead of crashing float(None) (r11 review)
+            if r["cell"] is not None
+            and all(r[f"c{i}"] is not None for i in range(len(centroids[0])))
+        }
         centroids = [by_cell.get(c, centroids[c]) for c in range(len(centroids))]
     return centroids
 
@@ -182,8 +219,21 @@ def assign_ivf_cells(
                 for c in centroids
             ]
         )
+        # NaN-element guard: every distance is NaN for such a vector and
+        # array_position(dists, array_min) MATCHES NaN (Spark's NaN ==
+        # NaN in collection functions), silently filing the corrupt
+        # vector into cell 0 — same failure the Arrow kernel had via
+        # argmin of an all-NaN row (r11 review finding). Both paths now
+        # agree: NULL element, wrong dim, or NaN element → NULL cell.
+        clean = ~F.exists(
+            F.col(vec_col), lambda x: F.isnan(x.cast("double"))
+        )
         return emb.withColumn(
-            "cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            "cell",
+            F.when(
+                clean,
+                (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+            ),
         )
     return _assign_cells_arrow(emb, centroids, vec_col)
 
@@ -217,14 +267,23 @@ def _assign_cells_arrow(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            # NULL / wrong-dimension vectors get a NULL cell — the same
-            # semantics the expression path produces (zip_with + aggregate
-            # evaluate to NULL there), so behavior cannot flip on k
-            vecs = [
+            # NULL / wrong-dimension / NaN-element vectors get a NULL
+            # cell — the same semantics the expression path produces
+            # (zip_with + aggregate evaluate to NULL there), so behavior
+            # cannot flip on k. The NaN check matters: a NULL ELEMENT
+            # arrives as NaN, every GEMM distance becomes NaN, and
+            # np.argmin of an all-NaN row is 0 — the corrupt vector was
+            # silently filed into cell 0's partition at production k
+            # (r11 review finding, confirmed live)
+            raw = [
                 np.asarray(v, dtype=np.float64)
                 if v is not None and len(v) == d
                 else None
                 for v in pdf[vec_col]
+            ]
+            vecs = [
+                v if v is not None and not np.isnan(v).any() else None
+                for v in raw
             ]
             valid = [i for i, v in enumerate(vecs) if v is not None]
             cells = np.full(len(vecs), -1, dtype=np.int64)
@@ -240,6 +299,20 @@ def _assign_cells_arrow(
     return emb.mapInPandas(kernel, schema)
 
 
+def _probe_cells(query_vec, centroids, nprobe: int) -> list[int]:
+    """The nprobe nearest cells by squared L2, driver-side — ONE
+    definition (it was duplicated in both single-query probes; the
+    float recipe is parity-critical, see _assign_probe_cells)."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = sorted(
+        range(len(centroids)),
+        key=lambda c: float(np.sum((q - np.asarray(centroids[c])) ** 2)),
+    )
+    return order[:nprobe]
+
+
 def ivf_ann_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -253,14 +326,7 @@ def ivf_ann_topk(
     nearest cells. With the table written partitioned by cell, the cell
     filter becomes partition pruning — the 100 TB scale path: scan cost
     drops by ~k/nprobe versus the full brute-force pass."""
-    import numpy as np
-
-    q = np.asarray(query_vec, dtype=np.float64)
-    order = sorted(
-        range(len(centroids)),
-        key=lambda c: float(np.sum((q - np.asarray(centroids[c])) ** 2)),
-    )
-    probe = order[:nprobe]
+    probe = _probe_cells(query_vec, centroids, nprobe)
     cells = assign_ivf_cells(emb, centroids, id_col, vec_col)
     cand = cells.where(F.col("cell").isin(probe))
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
@@ -364,14 +430,7 @@ def ivf_ann_topk_indexed(
     membership is a filter on the PARTITION column, so non-probed cells'
     files are pruned at planning time (PartitionFilters in the scan —
     plan-asserted in tests), not scanned and discarded."""
-    import numpy as np
-
-    q = np.asarray(query_vec, dtype=np.float64)
-    order = sorted(
-        range(len(centroids)),
-        key=lambda c: float(np.sum((q - np.asarray(centroids[c])) ** 2)),
-    )
-    probe = order[:nprobe]
+    probe = _probe_cells(query_vec, centroids, nprobe)
     emb = spark.read.parquet(index_path).where(F.col("cell").isin(probe))
     return brute_force_topk(emb, query_vec, k, id_col, vec_col)
 
@@ -393,9 +452,16 @@ def lsh_ann_topk(
     also searches the buckets reached by flipping the lowest-|margin|
     sign bits — the planes the query is closest to — ordered by the sum
     of flipped margins. The probe list is computed driver-side from the
-    plane dots (tiny); executors still see one pushed-down
-    ``bucket IN (...)`` filter replacing the full scan, ~n_probes/2^planes
-    of the table.
+    plane dots (tiny).
+
+    COST HONESTY (r11 review): the buckets here are computed ON THE
+    FLY, so every row still pays len(planes) dot products before the
+    ``bucket IN (...)`` filter — the filter bounds what reaches the
+    top-k RANKING (~n_probes/2^planes of the table), not the scan. The
+    scale path for repeated queries is to MATERIALIZE
+    ``signed_random_projection_buckets`` partitioned by bucket (then
+    the IN list is partition pruning), exactly as the IVF family's
+    indexed variants do; this convenience form is for one-off probes.
     """
     import numpy as _np
     from itertools import combinations
@@ -462,13 +528,10 @@ def append_ivf_index(
     Contract: ids must be new (feed `summary.corpus_diff`'s 'added'
     slice). As the corpus drifts from the frozen quantizer, cells skew;
     `summary.skew_report` on the cell column is the rebuild signal."""
+    from .quantization import _read_centroids
+
     spark = emb_new.sparkSession
-    cent_rows = sorted(
-        spark.read.parquet(f"{path}/centroids").collect(), key=lambda r: r["cell"]
-    )
-    if not cent_rows:
-        raise ValueError(f"no centroids found under {path}/centroids")
-    centroids = [list(r["centroid"]) for r in cent_rows]
+    centroids = _read_centroids(spark, f"{path}/centroids")
     write_ivf_index(emb_new, centroids, f"{path}/vectors", id_col, vec_col, mode="append")
 
 
@@ -493,13 +556,10 @@ def remove_from_ivf_index(
     (stale files would keep serving removed vectors). The centroids
     table is untouched — the quantizer stays frozen; probe equivalence
     vs a rebuild on the remainder is pytest-pinned."""
+    from .quantization import _read_centroids
+
     spark = emb_removed.sparkSession
-    cent_rows = sorted(
-        spark.read.parquet(f"{path}/centroids").collect(), key=lambda r: r["cell"]
-    )
-    if not cent_rows:
-        raise ValueError(f"no centroids found under {path}/centroids")
-    centroids = [list(r["centroid"]) for r in cent_rows]
+    centroids = _read_centroids(spark, f"{path}/centroids")
     assigned = assign_ivf_cells(
         _guard_dims(emb_removed, centroids, vec_col), centroids, id_col, vec_col
     ).localCheckpoint()
@@ -590,6 +650,13 @@ def _assign_probe_cells(
 
     from pyspark.sql import types as T
 
+    if "cell" in queries.columns:
+        # match _assign_cells_arrow's withColumn-replace semantics: a
+        # queries frame read back from a write_ivf_index layout carries
+        # its own 'cell', and appending a second field would make the
+        # declared schema disagree with the kernel's single-column
+        # output (r11 review finding)
+        queries = queries.drop("cell")
     spark = queries.sparkSession
     C = np.asarray(centroids, dtype=np.float64)
     d = C.shape[1]
@@ -665,15 +732,29 @@ def ivf_knn_join(
 
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
-    if "cell" not in emb.columns:
+    _validate_unique_q_ids(queries, q_id_col, "ivf_knn_join")
+    pre_assigned = "cell" in emb.columns
+    if not pre_assigned:
         emb = assign_ivf_cells(emb, centroids, id_col, vec_col)
     probes = _assign_probe_cells(queries, centroids, nprobe, q_vec_col)
+    if pre_assigned:
+        # STATIC partition filter on the corpus side: dynamic partition
+        # pruning does not fire for a broadcast mapInPandas side, so a
+        # cell-partitioned index read would otherwise scan EVERY cell's
+        # files and only the equi-join would discard rows — full-index
+        # IO per batch instead of the probed-union/k_cells fraction the
+        # index exists for (r11 review finding; ivfpq_knn_join already
+        # collects the probed-cell union the same way — query-batch ×
+        # nprobe ints, parameter-sized)
+        cells = sorted(
+            {r["cell"] for r in probes.select("cell").distinct().collect()}
+        )
+        emb = emb.where(F.col("cell").isin(cells))
     if broadcast_queries:
         probes = F.broadcast(probes)
     joined = emb.join(probes, "cell").withColumn(
         "cosine",
-        _dot(F.col(vec_col), F.col(q_vec_col))
-        / (_norm(F.col(vec_col)) * _norm(F.col(q_vec_col))),
+        _safe_cosine(F.col(vec_col), F.col(q_vec_col)),
     )
     out = top_k_per_group(
         joined, [q_id_col], [F.desc("cosine"), F.asc(id_col)], k=k

@@ -424,3 +424,107 @@ def test_ivf_knn_join_parity_and_probe_semantics(spark, sf_dir, tmp_path):
     pre = assign_ivf_cells(emb, cents)
     again = ivf_knn_join(pre, queries, cents, k=5, nprobe=len(cents))
     assert key(again) == key(exact)
+
+
+def test_similarity_degenerate_vector_guards(spark):
+    """r11 review findings (confirmed live before fixing): a zero-norm
+    vector used to abort every cosine path with ANSI DIVIDE_BY_ZERO;
+    a NaN-element vector was silently filed into cell 0 by the Arrow
+    assignment path (argmin of all-NaN = 0) while the expression path
+    gave cell NULL; train_ivf_centroids crashed opaquely on NULL rows
+    and empty input."""
+    import pytest as _pt
+
+    from mwas_rfam_spark.operators.similarity import (
+        assign_ivf_cells,
+        cosine_to_query,
+        knn_per_query,
+        train_ivf_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.6, 0.8]), (4, None)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r["cosine"] for r in cosine_to_query(emb, [1.0, 0.0]).collect()}
+    assert got[1] == 1.0 and got[2] is None and got[4] is None
+
+    queries = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "q_id long, q_vec array<double>"
+    )
+    rows = knn_per_query(emb, queries, k=4).collect()
+    assert {r["vec_id"] for r in rows} <= {1, 2, 3, 4}
+    # zero-norm query side too
+    zq = spark.createDataFrame([(8, [0.0, 0.0])], "q_id long, q_vec array<double>")
+    assert all(r["cosine"] is None for r in knn_per_query(emb, zq, k=2).collect())
+
+    # Arrow-vs-expression cell parity on a NaN element: both NULL
+    nan_emb = spark.createDataFrame(
+        [(1, [1.0, float("nan")]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    for k in (2, 17):
+        cents = [[float(i), float(i)] for i in range(k)]
+        cells = {
+            r["vec_id"]: r["cell"]
+            for r in assign_ivf_cells(nan_emb, cents).collect()
+        }
+        assert cells[1] is None, f"k={k}: NaN vector must get NULL cell"
+        assert cells[2] is not None
+
+    # trainer guards: NULL rows filtered; Lloyd update survives them
+    cents = train_ivf_centroids(emb, k=2, iters=2)
+    assert len(cents) == 2
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pt.raises(ValueError, match="non-empty"):
+        train_ivf_centroids(empty, k=2)
+
+
+def test_ivf_knn_join_qid_validation_and_static_pruning(spark, tmp_path):
+    """r11 review findings: duplicate q_ids silently merged two queries'
+    candidates into one top-k (now refused by name, the ivfpq_knn_join
+    contract); and a pre-assigned (index-read) corpus side now carries
+    a STATIC probed-cell filter so partition pruning actually fires
+    instead of scanning every cell's files."""
+    import numpy as np
+    import pytest as _pt
+
+    from mwas_rfam_spark.operators.similarity import (
+        ivf_knn_join,
+        knn_per_query,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(60, 4))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    cents = train_ivf_centroids(emb, k=4)
+
+    dup_q = spark.createDataFrame(
+        [(7, [1.0, 0.0, 0.0, 0.0]), (7, [0.0, 1.0, 0.0, 0.0])],
+        "q_id long, q_vec array<double>",
+    )
+    with _pt.raises(ValueError, match="duplicate q_id"):
+        ivf_knn_join(emb, dup_q, cents, k=3)
+    with _pt.raises(ValueError, match="duplicate q_id"):
+        knn_per_query(emb, dup_q, k=3)
+
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, cents, f"{path}/vectors")
+    stored = spark.read.parquet(f"{path}/vectors")
+    queries = spark.createDataFrame(
+        [(1, [float(x) for x in X[5]]), (2, [float(x) for x in X[40]])],
+        "q_id long, q_vec array<double>",
+    )
+    out = ivf_knn_join(stored, queries, cents, k=3, nprobe=1)
+    got = {r["q_id"]: r for r in out.where("rank = 1").collect()}
+    assert got[1]["vec_id"] == 5 and got[2]["vec_id"] == 40
+    # the probed-cell union appears as a static partition filter
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan.replace("#", " #").replace(
+        "cell #", "cell#"
+    ) or "cell IN" in plan or "cell#" in plan.split("PartitionFilters")[1][:200]
