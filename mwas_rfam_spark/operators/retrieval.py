@@ -25,9 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def with_rank(
-    df: DataFrame, order: list[Column], id_col: str = "doc_id"
-) -> DataFrame:
+def with_rank(df: DataFrame, order: list[Column]) -> DataFrame:
     """Attach 1-based ``rank`` by the given order. Meant for arm results
     that are ALREADY top-k (bounded); the single-partition window is
     deliberate and safe there — never apply this to a corpus-sized
@@ -51,6 +49,14 @@ def rrf_fuse(
     if not arms:
         raise ValueError("rrf_fuse: need at least one arm")
     weights = weights or {}
+    unknown = set(weights) - set(arms)
+    if unknown:
+        # a typo'd weight key would silently leave both arms at 1.0 and
+        # the intended boost vanishes with plausible-looking results
+        raise ValueError(
+            f"rrf_fuse: weights for unknown arms {sorted(unknown)}; "
+            f"arms are {sorted(arms)}"
+        )
     pieces = []
     for name, df in arms.items():
         w = float(weights.get(name, 1.0))
@@ -100,19 +106,51 @@ def hybrid_search(
     from .dedup import similar_documents
     from .similarity import brute_force_topk
 
-    lex = similar_documents(docs, query_text, k=k_each, n=n, text_col=text_col, id_col=id_col)
-    lex = with_rank(lex, [F.desc("jaccard"), F.asc(id_col)], id_col)
-    sem = brute_force_topk(emb, query_vec, k=k_each, id_col=vec_id_col, vec_col=vec_col)
-    sem = with_rank(sem, [F.desc("cosine"), F.asc(vec_id_col)], vec_id_col).select(
+    # NULL-cosine (zero-norm) vectors have no defined similarity: they
+    # used to survive the top-k cut on a small corpus and collect RRF
+    # credit at the tail ranks (r11 review finding) — cut them like the
+    # lexical arm's shared>0 rule cuts non-matches
+    sem = brute_force_topk(
+        emb, query_vec, k=k_each, id_col=vec_id_col, vec_col=vec_col
+    ).where(F.col("cosine").isNotNull())
+    sem = with_rank(sem, [F.desc("cosine"), F.asc(vec_id_col)]).select(
         F.col(vec_id_col).alias(id_col), "rank"
     )
+    arms = {"semantic": sem}
+    # a query shorter than the shingle width has NO lexical arm — a
+    # normal runtime input, not an error: fuse semantic-only instead of
+    # propagating similar_documents' ValueError (r11 review finding)
+    if len(query_text.split()) >= n:
+        lex = similar_documents(
+            docs, query_text, k=k_each, n=n, text_col=text_col, id_col=id_col
+        )
+        lex = with_rank(lex, [F.desc("jaccard"), F.asc(id_col)])
+        arms["lexical"] = lex.select(id_col, "rank")
+    elif weights and "lexical" in weights:
+        weights = {k_: v for k_, v in weights.items() if k_ != "lexical"}
     return rrf_fuse(
-        {"lexical": lex.select(id_col, "rank"), "semantic": sem},
+        arms,
         k=k,
         rrf_k=rrf_k,
         weights=weights,
         id_col=id_col,
     )
+
+
+def _normalize_terms(query_terms: list[str], caller: str) -> list[str]:
+    """Query terms under the SAME rule documents are tokenized with
+    (lowercase, whitespace-split, empties dropped): a term carrying
+    whitespace ('pipeline ' / 'machine learning') can never equal a
+    stored token, so it used to match NOTHING silently (r11 review
+    finding) — multi-word inputs now contribute each word (BM25 is
+    bag-of-words) and pure-whitespace inputs raise by name."""
+    terms = sorted({w for t in query_terms for w in t.lower().split()})
+    if not terms:
+        raise ValueError(
+            f"{caller}: query_terms {query_terms!r} contain no tokens "
+            "after whitespace normalization"
+        )
+    return terms
 
 
 def _lowered_tokens(text_col: str):
@@ -202,15 +240,18 @@ def bm25_topk(
     rides through the explode (no doc-length join); N/avgdl come from
     one scalar aggregate (broadcast via crossJoin of a 1-row relation);
     top-k is TakeOrdered, never a global sort. This is the index-free
-    form whose per-query cost is one corpus scan — the right baseline
-    for the bench corpus; `bm25_topk_indexed` is the ingest-time-indexed
-    scale path.
+    form; per-query cost is TWO column-pruned corpus scans (the scalar
+    totals pass and the matched pass — caching the tokenized corpus per
+    query would hold corpus-sized state for a one-shot read, the wrong
+    trade; r11 review corrected the old one-scan claim). The right
+    baseline for the bench corpus; `bm25_topk_indexed` is the
+    ingest-time-indexed scale path that amortizes both scans.
     """
     if not query_terms:
         raise ValueError("bm25_topk: query_terms must be non-empty")
     if k < 1:
         raise ValueError(f"bm25_topk: k must be >= 1, got {k}")
-    terms = sorted({t.lower() for t in query_terms})
+    terms = _normalize_terms(query_terms, "bm25_topk")
 
     base = docs.select(F.col(id_col).alias("id"), _lowered_tokens(text_col).alias("toks"))
     totals = base.select(F.size("toks").alias("dl")).agg(
@@ -362,7 +403,12 @@ def remove_from_text_index(
         .localCheckpoint()
     )
     gone = base.select("id")
-    n_removed = gone.count()
+    # one combined aggregate (count + token sum) over the checkpointed
+    # base — append_text_index's mirror shape; it was two driver jobs
+    agg = base.select(F.size("toks").alias("dl")).agg(
+        F.count("*").alias("n_removed"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    n_removed = int(agg["n_removed"] or 0)
     if n_removed == 0:
         return
     # buckets the removed docs' terms hash into — parameter-sized list
@@ -401,9 +447,7 @@ def remove_from_text_index(
                 if fs.exists(d):
                     fs.delete(d, True)
     # stats rebase from the removed docs' true token counts
-    rm = base.select(F.size("toks").alias("dl")).agg(
-        F.sum("dl").alias("sum_dl")
-    ).collect()[0]
+    rm = agg
     n_docs = int(stats["n_docs"]) - n_removed
     if n_docs < 0:
         raise ValueError(
@@ -464,7 +508,9 @@ def bm25_topk_indexed(
     shuffled."""
     if not query_terms:
         raise ValueError("bm25_topk_indexed: query_terms must be non-empty")
-    terms = sorted({t.lower() for t in query_terms})
+    if k < 1:
+        raise ValueError(f"bm25_topk_indexed: k must be >= 1, got {k}")
+    terms = _normalize_terms(query_terms, "bm25_topk_indexed")
     stats = spark.read.parquet(f"{path}/stats").collect()[0]
     n_buckets = int(stats["n_buckets"])
     if int(stats["n_docs"]) == 0:
@@ -484,6 +530,11 @@ def bm25_topk_indexed(
         .where(F.col("bucket").isin(buckets))  # partition pruning
         .where(F.col("term").isin(terms))
     )
+    # NOTE both dfreq and the scoring join consume this slice, so the
+    # touched partition files decode twice per probe; pinning it would
+    # hide the plan-asserted PartitionFilters evidence behind an
+    # ExistingRDD scan, and the slice is query-term-sized — the double
+    # decode is the cheaper honest trade (r11 review, adjudicated)
     dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
     return _bm25_rank(
         postings,
@@ -528,6 +579,25 @@ def append_text_index(
     # postings schema is polluted by the slice's own files, so a
     # wrong-typed slice would launder its dtype into the stats
     id_type = stats.asDict().get("id_type") or _postings_id_type(spark, path)
+    new_type = dict(docs_new.dtypes)[id_col]
+    if id_type is not None and new_type != id_type:
+        # mixed-schema posting files can brick the index: a later
+        # postings read picks one footer schema and may throw on files
+        # of the other type (r11 review finding — the stats row was
+        # protected but the files themselves were not). Lossless
+        # integer widenings are CAST to the stored type; anything else
+        # (string vs numeric, narrowing) refuses by name.
+        widenable = {"tinyint", "smallint", "int"}
+        if id_type == "bigint" and new_type in widenable:
+            docs_new = docs_new.withColumn(
+                id_col, F.col(id_col).cast("bigint")
+            )
+        else:
+            raise ValueError(
+                f"append_text_index: {id_col!r} is {new_type} but the "
+                f"index at {path} was built with {id_type} ids; cast "
+                "the slice before appending"
+            )
     base, postings = _build_postings(docs_new, text_col, id_col, n_buckets)
     postings.write.mode("append").partitionBy("bucket").parquet(f"{path}/postings")
     new = base.select(F.size("toks").alias("dl")).agg(

@@ -407,3 +407,54 @@ def test_legacy_index_id_type_backfill_from_postings(spark, tmp_path):
     append_text_index(new, p)
     stats = spark.read.parquet(f"{p}/stats").collect()[0]
     assert stats["id_type"] == "bigint"  # from the postings, not the slice
+
+
+def test_retrieval_r11_review_guards(spark, tmp_path):
+    """r11 review findings: whitespace-bearing query terms silently
+    matched nothing (now normalized under the document rule — multi-word
+    inputs contribute each word, pure-whitespace raises); a wrong-typed
+    append refuses before polluting posting files (safe integer
+    widenings cast); rrf_fuse names typo'd weight keys; hybrid_search
+    degrades to semantic-only on queries shorter than the shingle
+    width instead of crashing."""
+    import pytest as _pt
+
+    from mwas_rfam_spark.operators.retrieval import (
+        append_text_index,
+        bm25_topk,
+        hybrid_search,
+        materialize_text_index,
+        rrf_fuse,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "machine learning pipeline"), (2, "data pipeline tools"),
+         (3, "gardening and botany")],
+        "doc_id long, text string",
+    ).cache()
+
+    # multi-word / padded terms now match (bag-of-words)
+    got = {r["doc_id"] for r in bm25_topk(docs, ["machine learning"], k=3).collect()}
+    assert 1 in got
+    padded = {r["doc_id"] for r in bm25_topk(docs, ["pipeline "], k=3).collect()}
+    assert padded == {1, 2}
+    with _pt.raises(ValueError, match="no tokens"):
+        bm25_topk(docs, ["   "], k=3)
+
+    path = str(tmp_path / "tix")
+    materialize_text_index(docs, path)
+    wrong = spark.createDataFrame([("x1", "new doc")], "doc_id string, text string")
+    with _pt.raises(ValueError, match="built with bigint"):
+        append_text_index(wrong, path)
+
+    a = spark.createDataFrame([(1, 1)], "doc_id long, rank long")
+    with _pt.raises(ValueError, match="unknown arms"):
+        rrf_fuse({"lexical": a}, weights={"lexcal": 2.0})
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 0.0])],  # 3 zero-norm
+        "vec_id long, embedding array<double>",
+    )
+    out = hybrid_search(docs, emb, "hi", [1.0, 0.0], k=3, n=3).collect()
+    # semantic-only fusion; the zero-norm vector earns no RRF credit
+    assert {r["doc_id"] for r in out} == {1, 2}
