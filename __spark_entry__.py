@@ -3455,13 +3455,19 @@ FROM final
             WITH toks AS (
               SELECT doc_id,
                      length(text) AS chars,
-                     string_split(text, chr(10)) AS lines,
-                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                          ELSE regexp_split_to_array(trim(text), '\\s+')
-                     END AS tk
+                     -- empty lines are paragraph boundaries, excluded
+                     -- from the dup-line stats (r11, lockstep with
+                     -- repetition_profile)
+                     list_filter(string_split(text, chr(10)),
+                                 l -> l <> '') AS lines,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 t -> t <> '') AS tk
               FROM documents
             ),
             units AS (
+              -- sentinel keeps empty/all-blank docs in the output
+              SELECT doc_id, chars, -1 AS n, '' AS gram FROM toks
+              UNION ALL
               SELECT doc_id, chars, 0 AS n, unnest(lines) AS gram FROM toks
               UNION ALL
               SELECT doc_id, chars, ns.n AS n,
@@ -3481,16 +3487,27 @@ FROM final
                      sum(CASE WHEN n = 0 THEN cnt ELSE 0 END) AS n_lines,
                      sum(CASE WHEN n = 0 AND cnt >= 2 THEN cnt ELSE 0 END) AS dup_lines,
                      sum(CASE WHEN n = 0 AND cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS dup_line_chars,
-                     max(CASE WHEN n = 2 THEN cnt * length(gram) ELSE 0 END) AS top2,
-                     max(CASE WHEN n = 3 THEN cnt * length(gram) ELSE 0 END) AS top3,
-                     max(CASE WHEN n = 4 THEN cnt * length(gram) ELSE 0 END) AS top4,
+                     -- Gopher A1: coverage of the MOST FREQUENT gram
+                     -- (arg_max by cnt, ties to larger coverage — r11,
+                     -- lockstep with repetition_profile's max_by)
+                     -- composite key cnt*2^32 + coverage == the
+                     -- lexicographic (cnt, coverage) struct order the
+                     -- Spark side's max_by uses (coverage < 2^32)
+                     coalesce(arg_max(cnt * length(gram),
+                        CASE WHEN n = 2 THEN cnt * 4294967296 + cnt * length(gram) END), 0) AS top2,
+                     coalesce(arg_max(cnt * length(gram),
+                        CASE WHEN n = 3 THEN cnt * 4294967296 + cnt * length(gram) END), 0) AS top3,
+                     coalesce(arg_max(cnt * length(gram),
+                        CASE WHEN n = 4 THEN cnt * 4294967296 + cnt * length(gram) END), 0) AS top4,
                      sum(CASE WHEN n = 5 AND cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS dup5,
                      sum(CASE WHEN n = 10 AND cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS dup10
               FROM counted GROUP BY 1
             )
             SELECT doc_id,
                    CAST(n_lines AS BIGINT) AS n_lines,
-                   round(dup_lines / CAST(n_lines AS DOUBLE), 6) AS dup_line_frac,
+                   round(CASE WHEN n_lines > 0
+                              THEN dup_lines / CAST(n_lines AS DOUBLE)
+                              ELSE 0.0 END, 6) AS dup_line_frac,
                    round(dup_line_chars / greatest(chars, 1), 6) AS dup_line_char_frac,
                    round(top2 / greatest(chars, 1), 6) AS top2gram_char_frac,
                    round(top3 / greatest(chars, 1), 6) AS top3gram_char_frac,

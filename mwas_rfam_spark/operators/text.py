@@ -26,15 +26,19 @@ def tokens(text_col: Column) -> Column:
     """Whitespace tokens, boundary empties removed: `trim` strips only
     spaces, so a text ending in \n or \t would otherwise contribute a
     phantom '' token to every count and ratio (r11 review finding —
-    same fix as dedup._token_array)."""
-    return F.filter(F.split(text_col, r"\s+"), lambda t: t != F.lit(""))
+    same fix as dedup._token_array). NULL text coalesces to the empty
+    array — size(NULL) is NULL and every count/ratio/fingerprint built
+    on it silently NULL-propagated, letting NULL-text garbage outscore
+    real prose in quality ranking (r11 review finding, verified)."""
+    return F.filter(
+        F.split(F.coalesce(text_col, F.lit("")), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
 
 
 def token_count(text_col: Column) -> Column:
-    """Whitespace token count (empty text → 0)."""
-    return F.when(F.length(F.trim(text_col)) == 0, F.lit(0)).otherwise(
-        F.size(tokens(text_col))
-    ).cast("long")
+    """Whitespace token count (empty and NULL text → 0)."""
+    return F.size(tokens(text_col)).cast("long")
 
 
 def bpe_ish_token_count(text_col: Column) -> Column:
@@ -72,6 +76,7 @@ def mean_token_length(text_col: Column) -> Column:
 def quality_score(text_col: Column) -> Column:
     """Composite quality heuristic in [0,1]: favors moderate length,
     some stopwords, low punctuation density."""
+    text_col = F.coalesce(text_col, F.lit(""))  # NULL scores like empty
     length_term = F.least(token_count(text_col) / F.lit(50.0), F.lit(1.0))
     stop_term = F.least(stopword_ratio(text_col) * 5.0, F.lit(1.0))
     punct_term = F.lit(1.0) - F.least(punct_ratio(text_col) * 10.0, F.lit(1.0))
@@ -212,7 +217,7 @@ def vocabulary_topk(
     toks = docs.select(
         F.col(id_col).alias("did"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
-    ).where(F.col("token") != "")
+    )
     counts = toks.groupBy("token").agg(
         F.count("*").alias("tf"), F.countDistinct("did").alias("df")
     )
@@ -234,7 +239,10 @@ def vocabulary_topk(
 _PII_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
-    (r"(?<!\d)(?:\+?\d{1,2}[\s.\-]?)?(?:\(\d{3}\)|\d{3})[\s.\-]\d{3}[\s.\-]\d{4}(?!\d)", "[PHONE]"),
+    # separator OPTIONAL after '(ddd)' — '(212)555-0199' is ubiquitous
+    # and was never redacted (r11 review finding); it stays MANDATORY
+    # after a bare area code so 10 plain digits aren't claimed
+    (r"(?<!\d)(?:\+?\d{1,2}[\s.\-]?)?(?:\(\d{3}\)[\s.\-]?|\d{3}[\s.\-])\d{3}[\s.\-]\d{4}(?!\d)", "[PHONE]"),
     (r"(?<!\d)\d{3}-\d{2}-\d{4}(?!\d)", "[SSN]"),
 ]
 
@@ -266,9 +274,11 @@ def redact_pii_docs(
         for marker in ("[EMAIL]", "[IP]", "[PHONE]", "[SSN]")
     )
     return docs.select(
-        F.col(id_col).alias("id"),
+        F.col(id_col),  # caller's id name preserved (r11 review: the
+        # hard-coded 'id' alias broke every id_col-keyed join downstream)
         red.alias(text_col),
-        n.cast("long").alias("n_redactions"),
+        # NULL text must count 0, not NULL-propagate (r11 review)
+        F.coalesce(n.cast("long"), F.lit(0)).alias("n_redactions"),
     )
 
 
@@ -385,7 +395,9 @@ def repetition_profile(
     per-document keys, so corpus-level hot shingles cannot skew a bucket.
     """
     all_ns = sorted(set(ngram_sizes) | set(dup_ngram_sizes))
-    t = F.col("__text")
+    # NULL text profiles like empty text (concat of a NULL lines array
+    # would otherwise NULL the whole unit array and drop the doc)
+    t = F.coalesce(F.col("__text"), F.lit(""))
     staged = docs.select(
         F.col(id_col),
         F.col(text_col).alias("__text"),
@@ -410,7 +422,19 @@ def repetition_profile(
         F.col(id_col), "__chars",
         F.explode(
             F.concat(
-                F.expr("transform(__lines, l -> struct(0 AS n, l AS gram))"),
+                # sentinel row (n=-1): keeps a doc with NO content units
+                # (empty / all-blank text) in the output with zero stats
+                # instead of vanishing from the profile
+                F.expr("array(struct(-1 AS n, '' AS gram))"),
+                # EMPTY lines are paragraph boundaries, not content: two
+                # blank separator lines used to count as a duplicate
+                # group, pushing ordinary multi-paragraph prose past the
+                # Gopher dup-line gate (r11 review finding, verified:
+                # a clean 3-paragraph doc scored dup_line_frac=0.4)
+                F.expr(
+                    "transform(filter(__lines, l -> l <> ''), "
+                    "l -> struct(0 AS n, l AS gram))"
+                ),
                 *gram_arrays,
             )
         ).alias("u"),
@@ -425,7 +449,23 @@ def repetition_profile(
         F.sum(F.when((F.col("n") == 0) & (F.col("cnt") >= 2), F.col("cnt")).otherwise(0)).alias("dup_lines"),
         F.sum(F.when((F.col("n") == 0) & (F.col("cnt") >= 2), gram_chars).otherwise(0)).alias("dup_line_chars"),
         *[
-            F.max(F.when(F.col("n") == n, gram_chars).otherwise(0)).alias(f"top{n}_chars")
+            # Gopher A1 is the coverage of the MOST FREQUENT n-gram —
+            # max(cnt*len) instead picked a long once-occurring gram and
+            # inflated the signal with zero repetition (r11 review
+            # finding, verified 0.660 vs the correct 0.283); ties on cnt
+            # break to the larger coverage for determinism
+            F.coalesce(
+                F.max_by(
+                    F.when(F.col("n") == n, gram_chars),
+                    F.when(
+                        F.col("n") == n,
+                        F.struct(
+                            F.col("cnt").alias("c"), gram_chars.alias("g")
+                        ),
+                    ),
+                ),
+                F.lit(0),
+            ).alias(f"top{n}_chars")
             for n in ngram_sizes
         ],
         *[
@@ -437,7 +477,14 @@ def repetition_profile(
     return per_doc.select(
         F.col(id_col),
         F.col("n_lines").cast("long").alias("n_lines"),
-        (F.col("dup_lines") / F.col("n_lines")).alias("dup_line_frac"),
+        # no content lines (empty / all-blank doc) -> 0.0, matching the
+        # old empty-text behavior and keeping <=-threshold gates passing
+        F.coalesce(
+            F.when(
+                F.col("n_lines") > 0, F.col("dup_lines") / F.col("n_lines")
+            ),
+            F.lit(0.0),
+        ).alias("dup_line_frac"),
         (F.col("dup_line_chars") / safe_chars).alias("dup_line_char_frac"),
         *[
             (F.col(f"top{n}_chars") / safe_chars).alias(f"top{n}gram_char_frac")
@@ -520,8 +567,11 @@ _MARKUP_STEPS = [
     (r"(?is)<(script|style)\b[^>]*>.*?</\1>", " "),  # blocks WITH content
     (r"(?s)<!--.*?-->", " "),
     (r"<[^>]+>", " "),
-    (r"&nbsp;", " "), (r"&amp;", "&"), (r"&lt;", "<"), (r"&gt;", ">"),
-    (r"&quot;", "\""), (r"&#39;", "'"),
+    # &amp; decodes LAST: decoding it first turns an author's escaped
+    # '&amp;lt;' into a live entity the &lt; step double-decodes
+    # (r11 review finding, verified on documentation-style crawls)
+    (r"&nbsp;", " "), (r"&lt;", "<"), (r"&gt;", ">"),
+    (r"&quot;", "\""), (r"&#39;", "'"), (r"&amp;", "&"),
     (r"\s+", " "),
 ]
 
@@ -565,7 +615,7 @@ def tfidf_top_terms(
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
-    ).where(F.col("token") != "")
+    )
     tf = toks.groupBy("id", "token").agg(F.count("*").alias("tf"))
     df_rel = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = docs.select(
@@ -636,7 +686,12 @@ def _fix_mojibake_str(t: str) -> tuple[str, bool]:
 
 #: C0/C1 controls (except tab/newline), BOM, zero-width space — the
 #: invisible code points that split tokens and poison fingerprints.
-_CTRL_RE = re.compile("[\x00-\x08\x0b-\x1f\x7f-\x9f\ufeff\u200b]")
+#: separator-class controls (VT/FF/CR) REPLACE with a space — they are
+#: \s-class token boundaries, and deleting them glued adjacent words
+#: into one bogus token ('line one\rline two' -> 'line oneline two';
+#: r11 review finding, verified) — the rest delete outright
+_CTRL_SEP_RE = re.compile("[\x0b-\x0d]")
+_CTRL_RE = re.compile("[\x00-\x08\x0e-\x1f\x7f-\x9f\ufeff\u200b]")
 
 
 def normalize_unicode_docs(
@@ -700,6 +755,7 @@ def normalize_unicode_docs(
                 if fix_mojibake:
                     t, m = _fix_mojibake_str(t)
                 if strip_control:
+                    t = _CTRL_SEP_RE.sub(" ", t)
                     t = _CTRL_RE.sub("", t)
                 t = unicodedata.normalize(form, t)
                 texts.append(t)

@@ -94,7 +94,7 @@ def test_redact_pii(spark):
         (4, ""),
     ]
     out = {
-        r["id"]: r
+        r["doc_id"]: r  # id_col preserved since the r11 fix
         for r in redact_pii_docs(
             spark.createDataFrame(rows, ["doc_id", "text"])
         ).collect()
@@ -180,9 +180,10 @@ def test_repetition_profile_hand_computed(spark):
     assert d2["top2gram_char_frac"] == pytest.approx(3 * 3 / 11)
     assert d2["dup2gram_char_frac"] == pytest.approx((3 * 3 + 2 * 3) / 11)
 
-    # doc 3: empty — one empty line, zero tokens, every fraction 0
+    # doc 3: empty — no content lines since the r11 blank-line fix,
+    # zero tokens, every fraction 0
     d3 = out[3]
-    assert d3["n_lines"] == 1
+    assert d3["n_lines"] == 0
     for k, v in d3.items():
         if k.endswith("_frac"):
             assert v == 0.0, k
@@ -539,3 +540,64 @@ def test_compression_ratio_signal(spark):
     }
     assert rows["a"]["n_bytes"] == len(cjk.encode("utf-8"))  # 3 bytes/char
     assert rows[None]["compression_ratio"] is not None  # null id preserved
+
+
+def test_text_r11_review_guards(spark):
+    """r11 review findings (verified before fixing): blank lines counted
+    as duplicate groups (normal multi-paragraph prose failed the Gopher
+    dup-line gate); top-n-gram coverage picked max(cnt*len) instead of
+    the MOST FREQUENT gram; NULL text NULL-propagated through every
+    count and outscored empty docs; CR/FF deletion glued words; &amp;
+    decoded before &lt; double-decoded escaped entities; '(212)555-0199'
+    phones were never redacted; redact_pii_docs renamed the id column
+    and emitted NULL counts for NULL text."""
+    import math
+
+    from mwas_rfam_spark.operators.text import (
+        normalize_unicode_docs,
+        quality_score,
+        redact_pii_docs,
+        repetition_profile,
+        strip_markup,
+        token_count,
+    )
+
+    para = "Some opening prose here.\n\nA second paragraph follows.\n\nAnd a third one."
+    docs = spark.createDataFrame(
+        [(1, para),
+         (2, "aa bb aa bb aa bb superlongtoken anotherverylongtoken"),
+         (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    prof = {r["doc_id"]: r for r in repetition_profile(docs, ngram_sizes=[2]).collect()}
+    assert prof[1]["dup_line_frac"] == 0.0  # blank separators excluded
+    assert prof[1]["n_lines"] == 3
+    # most-frequent 2-gram is 'aa bb' (cnt 3): 15/53, not the long one-off
+    assert abs(prof[2]["top2gram_char_frac"] - 15 / 53) < 1e-9
+    assert prof[3]["dup_line_frac"] == 0.0 and prof[3]["n_lines"] == 0
+    assert 4 in prof  # NULL text keeps its profile row
+
+    # NULL text counts 0 tokens and scores like empty text
+    sc = docs.select("doc_id", token_count(F.col("text")).alias("n"),
+                     quality_score(F.col("text")).alias("q")).collect()
+    by = {r["doc_id"]: r for r in sc}
+    assert by[4]["n"] == 0 and by[3]["n"] == 0
+    assert abs(by[4]["q"] - by[3]["q"]) < 1e-12
+
+    # entity decode order + separator-class controls
+    m = spark.createDataFrame([(1, "a &amp;lt; b"), (2, "x &lt; y")],
+                              "doc_id long, text string")
+    got = {r["doc_id"]: r["s"] for r in
+           m.select("doc_id", strip_markup(F.col("text")).alias("s")).collect()}
+    assert got[1] == "a &lt; b" and got[2] == "x < y"
+    ctrl = spark.createDataFrame([(1, "line one\rline two")], "doc_id long, text string")
+    fixed = normalize_unicode_docs(ctrl).collect()[0]["text"]
+    assert "oneline" not in fixed and "one line" in fixed
+
+    # phone w/o separator after (ddd); id name + NULL count preserved
+    pii = spark.createDataFrame(
+        [(1, "call (212)555-0199 now"), (2, None)], "doc_id long, text string"
+    )
+    red = {r["doc_id"]: r for r in redact_pii_docs(pii).collect()}
+    assert "[PHONE]" in red[1]["text"] and red[1]["n_redactions"] == 1
+    assert red[2]["n_redactions"] == 0
