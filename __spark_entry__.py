@@ -1730,6 +1730,38 @@ def q_grouped_calibration(spark, sf_dir):
 _EVAL_STATE_CACHE: set[str] = set()
 
 
+def _ensure_eval_state(spark, sf_dir):
+    """Build (once per process, memoized) the 3-batch partially-
+    compacted streaming eval-counts state dir that BOTH eval_state_*
+    entries read: the scored embeddings split into three ingest
+    batches (vec_id % 3), reduced to per-DISTINCT-SCORE
+    (v, cnt_a, cnt_b, cnt_null) counts per batch — exactly the
+    foreachBatch body of streaming_eval_counts — then batches 0..1
+    crash-safely compacted into a frozen negative partition, so the
+    readers answer over a MIXED frozen+raw layout."""
+    import os
+    import shutil
+
+    from mwas_rfam_spark.operators.evaluation import per_score_counts
+    from mwas_rfam_spark.streaming.requests import compact_eval_state
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    state_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "spark-warehouse", "eval_state", tag,
+    )
+    if state_dir not in _EVAL_STATE_CACHE:
+        shutil.rmtree(state_dir, ignore_errors=True)
+        scored = _model_eval_scored(spark, sf_dir)
+        for b in range(3):
+            per_score_counts(
+                scored.where(F.col("vec_id") % 3 == b), "score", "label"
+            ).write.mode("overwrite").parquet(f"{state_dir}/ingest_batch={b}")
+        compact_eval_state(spark, state_dir, up_to_batch=1)
+        _EVAL_STATE_CACHE.add(state_dir)
+    return state_dir
+
+
 def q_eval_state_auc(spark, sf_dir):
     """Streaming exact-AUC state → read-side AUC (registered
     correctness entry since r11 — driver-gated DuckDB oracle replays
@@ -1747,32 +1779,43 @@ def q_eval_state_auc(spark, sf_dir):
     which is what the oracle computes in plain SQL (midrank form), so a
     fold/compaction/reader bug anywhere in the state path is
     hash-visible. State build is ingest-time work, memoized per process
-    (build-vs-probe, same policy as the index entries)."""
-    import os
-    import shutil
+    (build-vs-probe, same policy as the index entries; shared with
+    q_eval_state_calibration via _ensure_eval_state)."""
+    from mwas_rfam_spark.streaming.requests import eval_state_auc
 
-    from mwas_rfam_spark.operators.evaluation import per_score_counts
-    from mwas_rfam_spark.streaming.requests import (
-        compact_eval_state,
-        eval_state_auc,
-    )
-
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    state_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "spark-warehouse", "eval_state", tag,
-    )
-    if state_dir not in _EVAL_STATE_CACHE:
-        shutil.rmtree(state_dir, ignore_errors=True)
-        scored = _model_eval_scored(spark, sf_dir)
-        for b in range(3):
-            per_score_counts(
-                scored.where(F.col("vec_id") % 3 == b), "score", "label"
-            ).write.mode("overwrite").parquet(f"{state_dir}/ingest_batch={b}")
-        compact_eval_state(spark, state_dir, up_to_batch=1)
-        _EVAL_STATE_CACHE.add(state_dir)
+    state_dir = _ensure_eval_state(spark, sf_dir)
     return eval_state_auc(spark, state_dir).select(
         F.round("auc", 6).alias("auc"), "n_pos", "n_neg", "n_null"
+    )
+
+
+def q_eval_state_calibration(spark, sf_dir):
+    """Streaming eval-counts state → read-side calibration report
+    (registered correctness entry since r12 — driver-gated DuckDB
+    oracle; stream==batch parity, counts-reconstruction equality
+    (calibration_from_score_counts == calibration_report on the same
+    rows), terminal-bin clamp and NaN exclusion in
+    tests/test_streaming.py / tests/test_evaluation.py): reads the
+    SAME mixed frozen+raw state dir q_eval_state_auc answers over
+    (memoized per process, _ensure_eval_state). Per-score counts are
+    LINEAR and the 10 equal-width bins are a pure function of the
+    score, so the state-side calibration equals calibration_report
+    over the full scored relation — which is what the oracle computes
+    in plain SQL. A fold/compaction/reader/bin-rule bug anywhere in
+    the state path is hash-visible; live calibration monitoring costs
+    a state-sized aggregate, no scored-row rescan (the 100 TB point
+    of the state readers)."""
+    from mwas_rfam_spark.streaming.requests import eval_state_calibration
+
+    state_dir = _ensure_eval_state(spark, sf_dir)
+    return eval_state_calibration(spark, state_dir).select(
+        "bin",
+        F.round("bin_lo", 6).alias("bin_lo"),
+        F.round("bin_hi", 6).alias("bin_hi"),
+        "n",
+        F.round("mean_score", 6).alias("mean_score"),
+        F.round("pos_rate", 6).alias("pos_rate"),
+        F.round("gap", 6).alias("gap"),
     )
 
 
@@ -2910,6 +2953,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              folded counts == full-relation midrank
                              AUC replayed in plain SQL)
 
+    Round-12 rotation (r11 verdict task #3, same machinery — one slot
+    to the second of the three eval-state readers):
+
+    - j1_outer_join_agg    → the full-outer-join + NULL-coalesce +
+                             aggregate core is hash-pinned as stage one
+                             of EVERY green mwas entry (the input⟗
+                             catalog join, operators/mwas.py:93-113);
+                             exact former oracle SQL in
+                             relocated_oracles, stays benchable; slot →
+                             `eval_state_calibration` (10-bin
+                             calibration reconstructed from the mixed
+                             frozen+raw counts state == row-level
+                             report over the full scored relation,
+                             replayed in plain SQL)
+
     Round-4 second-wave surfaces (registry full at 50 all-green; each is
     pytest-pinned and benchable where noted, with its exactness anchored
     to an existing green entry where semantics overlap):
@@ -3059,8 +3117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "condense_sets": q_condense_sets,
         "condense_readable": q_condense_readable,
         "eval_state_auc": q_eval_state_auc,
+        "eval_state_calibration": q_eval_state_calibration,
         "p_predicates": q_p_predicates,
-        "j1_outer_join_agg": q_j1_outer_join_agg,
         "j8_interval_join": q_j8_interval_join,
         "so1_anti_join": q_so1_anti_join,
         "mwas_perm_calibration": q_mwas_perm_calibration,
@@ -3196,6 +3254,9 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (their former oracle SQL lives on in relocated_oracles)
         "drift_report": q_drift_report,
         "condense_accounting": q_condense_accounting,
+        # r12 rotation: slot → eval_state_calibration; stays benchable
+        # (exact former oracle SQL in relocated_oracles)
+        "j1_outer_join_agg": q_j1_outer_join_agg,
         # r9: evaluation-family replay surfaces (DuckDB parity via
         # relocated_oracles; grouped_auc is also a HEADLINE bench row —
         # the per-slice fairness query needed plan-regression coverage)
@@ -3424,13 +3485,6 @@ FROM final
             WHERE o_orderstatus = 'O' AND o_orderpriority LIKE '1%'
               AND o_totalprice > 50000 AND o_orderpriority LIKE '%URGENT%'
         """,
-        "j1_outer_join_agg": """
-            SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
-                   count(o_orderkey) AS n_orders,
-                   round(sum(COALESCE(o_totalprice, 0)), 4) AS total
-            FROM orders FULL OUTER JOIN customer ON o_custkey = c_custkey
-            GROUP BY 1
-        """,
         "so1_anti_join": """
             SELECT c_mktsegment AS segment, count(*) AS n_customers
             FROM customer
@@ -3492,7 +3546,13 @@ FROM final
                      -- lockstep with repetition_profile's max_by)
                      -- composite key cnt*2^32 + coverage == the
                      -- lexicographic (cnt, coverage) struct order the
-                     -- Spark side's max_by uses (coverage < 2^32)
+                     -- Spark side's max_by uses. BOUND: assumes
+                     -- per-doc gram coverage < 2^32 chars and
+                     -- cnt < 2^31 — a multi-GB single document would
+                     -- overflow BIGINT here and diverge from the
+                     -- Spark struct ordering. Fine for the bench
+                     -- corpora (docs are KB-scale); clamp both sides
+                     -- if giant docs ever enter the oracle corpus.
                      coalesce(arg_max(cnt * length(gram),
                         CASE WHEN n = 2 THEN cnt * 4294967296 + cnt * length(gram) END), 0) AS top2,
                      coalesce(arg_max(cnt * length(gram),
@@ -3731,6 +3791,33 @@ FROM final
                    CAST(sum(1 - y) AS BIGINT) AS n_neg,
                    (SELECT CAST(n_null AS BIGINT) FROM nn) AS n_null
             FROM r
+        """,
+        # Streaming eval-state calibration replay (r12 rotation): the
+        # same state dir as eval_state_auc above — per-score counts are
+        # LINEAR and the bin rule is a pure score function, so the
+        # state-side 10-bin calibration equals the direct row-level
+        # report over the full scored relation, which this SQL computes
+        # (same v/y derivation; same least/greatest terminal-bin clamp
+        # as the grouped_calibration oracle).
+        "eval_state_calibration": """
+            WITH v AS (
+              SELECT 0.5 + x / (2.0 * (1.0 + abs(x))) AS s,
+                     CASE WHEN label % 2 > 0 THEN 1 ELSE 0 END AS y
+              FROM (SELECT CAST(embedding[1] AS DOUBLE) AS x, label
+                    FROM embeddings)
+              WHERE x IS NOT NULL AND NOT isnan(x) AND label IS NOT NULL),
+            cal AS (
+              SELECT least(9, greatest(0, CAST(floor(s / 0.1) AS INT))) AS bin,
+                     count(*) AS n, avg(s) AS mean_score, avg(y) AS pos_rate
+              FROM v GROUP BY 1)
+            SELECT bin,
+                   round(bin * CAST(0.1 AS DOUBLE), 6) AS bin_lo,
+                   round((bin + 1) * CAST(0.1 AS DOUBLE), 6) AS bin_hi,
+                   CAST(n AS BIGINT) AS n,
+                   round(mean_score, 6) AS mean_score,
+                   round(pos_rate, 6) AS pos_rate,
+                   round(pos_rate - mean_score, 6) AS gap
+            FROM cal
         """,
         "ann_recall": """
             SELECT 'ivf' AS method, 10 AS k, TRUE AS meets_target
@@ -4479,8 +4566,21 @@ def relocated_oracles() -> dict[str, str]:
     coverage without consuming 50-cap slots). r11 adds the two entries
     whose slots went to grouped_calibration/eval_state_auc —
     drift_report and condense_accounting — with the exact SQL the
-    driver's gate ran through r10."""
+    driver's gate ran through r10. r12 adds j1_outer_join_agg (slot →
+    eval_state_calibration) with the exact SQL the gate ran through
+    r11."""
     return {
+        # r12 rotation OUT (slot → eval_state_calibration): exact SQL
+        # the driver's gate ran through r11. The outer-join + NULL-
+        # coalesce arithmetic stays hash-pinned as stage one of every
+        # green mwas entry (operators/mwas.py:93-113).
+        "j1_outer_join_agg": """
+            SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+                   count(o_orderkey) AS n_orders,
+                   round(sum(COALESCE(o_totalprice, 0)), 4) AS total
+            FROM orders FULL OUTER JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
         # r11 rotation OUT (slot → grouped_calibration): exact SQL the
         # driver's gate ran through r10.
         "drift_report": """

@@ -371,11 +371,18 @@ def _welch_columns(df: DataFrame) -> DataFrame:
     vn2 = F.col("sd_rpm_false") ** 2 / F.col("n_false")
     vsum = vn1 + vn2
     md = F.col("mean_rpm_true") - F.col("mean_rpm_false")
-    t = (
+    # Outer isNotNull gate: NULL stats must yield NULL t, never ±inf.
+    # Without it, a NULL vsum (any NULL sd) makes `vsum > 0` NULL and
+    # the chain falls through to the sign-of-md branches — today NULL
+    # sd co-occurs with NULL means so md is NULL too and the branches
+    # stay NULL, but an upstream change yielding non-NULL means with
+    # NULL sds would silently mint ±inf significance (r12 advice).
+    t = F.when(
+        vsum.isNotNull() & md.isNotNull(),
         F.when(vsum > 0, md / F.sqrt(vsum))
         .when(md > 0, F.lit(float("inf")))
         .when(md < 0, F.lit(float("-inf")))
-        .otherwise(F.lit(float("nan")))
+        .otherwise(F.lit(float("nan"))),
     )
     # n==1 ⟹ population SD 0 ⟹ vn 0 ⟹ numpy 0/0 = NaN term: NULL here,
     # nulling the whole df expression into the coalesce(., 1.0) below —

@@ -745,7 +745,13 @@ def ivf_knn_join(
         # IO per batch instead of the probed-union/k_cells fraction the
         # index exists for (r11 review finding; ivfpq_knn_join already
         # collects the probed-cell union the same way — query-batch ×
-        # nprobe ints, parameter-sized)
+        # nprobe ints, parameter-sized). Pin probes FIRST: the collect
+        # and the join below evaluate the same relation twice, and a
+        # non-deterministic upstream (sample/limit) could otherwise
+        # probe cells at join time that the static filter already
+        # dropped — silent candidate loss (r12 advice; same pattern as
+        # ivfpq's probe_df localCheckpoint).
+        probes = probes.localCheckpoint()
         cells = sorted(
             {r["cell"] for r in probes.select("cell").distinct().collect()}
         )

@@ -294,3 +294,31 @@ def test_zero_variance_cohorts_match_reference_not_crash(spark):
         # undecidable row as NULL p — both mean "not significant"
         assert g2["p_value"] is None or math.isnan(g2["p_value"])
         assert g2["status"] == "t_test"
+
+
+def test_welch_columns_null_sd_yields_null_t(spark):
+    """r12 advice: NULL stats must yield NULL t, never ±inf.
+
+    A row with non-NULL, differing means but a NULL sd used to fall
+    through the when-chain into the sign-of-md ±inf branches (vsum NULL
+    makes `vsum > 0` NULL); the gate keeps it NULL."""
+    from mwas_rfam_spark.operators.mwas import _welch_columns
+
+    df = spark.createDataFrame(
+        [
+            # (id, mean_t, sd_t, n_t, mean_f, sd_f, n_f)
+            (0, 5.0, None, 3, 0.0, 1.0, 3),  # NULL sd, means differ
+            (1, 5.0, 1.0, 3, 0.0, None, 3),  # NULL sd other side
+            (2, None, None, 0, 0.0, 1.0, 3),  # empty cohort: all NULL
+            (3, 5.0, 1.0, 3, 0.0, 1.0, 3),  # healthy row for contrast
+        ],
+        "id long, mean_rpm_true double, sd_rpm_true double, n_true long, "
+        "mean_rpm_false double, sd_rpm_false double, n_false long",
+    )
+    rows = {r["id"]: r for r in _welch_columns(df).collect()}
+    assert rows[0]["test_statistic"] is None
+    assert rows[1]["test_statistic"] is None
+    assert rows[2]["test_statistic"] is None
+    assert rows[3]["test_statistic"] is not None and not math.isnan(
+        rows[3]["test_statistic"]
+    )
