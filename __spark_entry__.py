@@ -179,15 +179,29 @@ meta AS (SELECT m.* FROM meta0 m JOIN keep8 k ON m.bp = k.bp AND m.bs = k.bs)"""
 _MWAS_CTES_TAIL = """,
 ref AS (SELECT bp, count(DISTINCT bs) AS n FROM meta GROUP BY 1
         HAVING count(DISTINCT bs) >= 3),
-nuniq AS (SELECT bp, attribute, count(DISTINCT value) AS nu FROM meta GROUP BY 1, 2),
+-- a COLUMN is (attribute, attr_pos): prune per column, and membership
+-- joins carry attr_pos, so duplicate attribute names stay independent
+-- (r12 lockstep with condense_metadata's window partition). informative
+-- mirrors condense_metadata's filter of the same name (pandas NA tokens ==
+-- missing; the synthetic values never contain them, so this is the
+-- lockstep guard, not a behavior change on this corpus)
+informative AS (
+  SELECT * FROM meta
+  WHERE value IS NOT NULL AND value NOT IN
+    ('', '#N/A', '#N/A N/A', '#NA', '-1.#IND', '-1.#QNAN', '-NaN',
+     '-nan', '1.#IND', '1.#QNAN', '<NA>', 'N/A', 'NA', 'NULL', 'NaN',
+     'None', 'n/a', 'nan', 'null')),
+nuniq AS (SELECT bp, attribute, attr_pos, count(DISTINCT value) AS nu
+          FROM informative GROUP BY 1, 2, 3),
 factors AS (
   SELECT m.bp, m.attribute, m.attr_pos, m.value,
          count(DISTINCT m.bs) AS cnt,
          md5(string_agg(DISTINCT m.bs, chr(31) ORDER BY m.bs)) AS sig
-  FROM meta m GROUP BY 1, 2, 3, 4),
+  FROM informative m GROUP BY 1, 2, 3, 4),
 pruned AS (
   SELECT f.*, r.n FROM factors f
   JOIN nuniq u ON f.bp = u.bp AND f.attribute = u.attribute
+                AND f.attr_pos = u.attr_pos
   JOIN ref r ON f.bp = r.bp
   WHERE u.nu > 1 AND u.nu < r.n AND f.cnt >= 2 AND f.cnt < r.n),
 sets AS (
@@ -198,7 +212,8 @@ sets AS (
 membership AS (
   SELECT DISTINCT m.bp, p.sig, m.bs
   FROM meta m JOIN pruned p
-    ON m.bp = p.bp AND m.attribute = p.attribute AND m.value = p.value),
+    ON m.bp = p.bp AND m.attribute = p.attribute
+   AND m.attr_pos = p.attr_pos AND m.value = p.value),
 uni AS (SELECT DISTINCT bp, bs FROM meta),
 group_stats AS (
   SELECT r.bp, r.grp, count(*) AS n_obs, sum(r.rpm) AS sum_all,

@@ -1330,21 +1330,12 @@ def demo_main(argv: list[str], spark: SparkSession | None = None) -> int:
         from .config import MwasConfig
         from .operators.condense import condense_metadata
         from .operators.mwas import run_mwas
-        from .sources.readers import melt_wide_metadata, read_input_csv
+        from .sources.readers import melt_wide_metadata, read_input_csv, read_wide_metadata
 
         inp = read_input_csv(spark, args.input)
-        wide = spark.read.options(header=True, multiLine=True, escape='"').csv(
-            args.metadata
-        )
-        # real corpus files contain duplicate headers — make them unique
-        # the same way the corpus round-trip test does
-        seen: dict[str, int] = {}
-        names = []
-        for c in wide.columns:
-            k = seen.get(c, 0)
-            seen[c] = k + 1
-            names.append(c if k == 0 else f"{c}__dup{k}")
-        wide = wide.toDF(*names)
+        # multiLine/escape + duplicate-header uniquification live in the
+        # S2 reader now (r12 consolidation)
+        wide = read_wide_metadata(spark, args.metadata)
         sets_df, ref_df = condense_metadata(melt_wide_metadata(wide, bioproject))
         ref_rows = ref_df.collect()
         if not ref_rows:

@@ -15,13 +15,29 @@ Deliberate divergences from the reference, documented per SURVEY.md §7:
 * The dedup key is sha2 over the sorted matching-cohort membership instead
   of an arbitrary-precision bitmap int (metadata_set_maker.py:81-87) —
   constant-size and shuffle-friendly at any cardinality.
-* Values are kept as raw strings (no pandas dtype inference round-trip).
+* Values are kept as raw strings (no pandas dtype inference round-trip) —
+  but pandas' default NA tokens ('NA', 'N/A', 'NaN', 'None', 'null', …)
+  are treated as missing exactly as the reference's read_csv parse does
+  (``_PANDAS_NA_TOKENS`` below).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# pandas.read_csv's default NA token set (the reference reads wide
+# metadata through pandas, so every one of these parses to NaN and is
+# invisible to nunique/factor counting — metadata_set_maker.py:45-63 via
+# pd.isna at msm:57-58). The engine keeps values as raw strings, so the
+# SAME tokens must be excluded explicitly or a column holding 'NA'/'N/A'
+# cells would emit cohort sets the reference never produces (r12 review
+# finding; previously only NULL and lowercase 'nan' were excluded).
+_PANDAS_NA_TOKENS = (
+    "", "#N/A", "#N/A N/A", "#NA", "-1.#IND", "-1.#QNAN", "-NaN", "-nan",
+    "1.#IND", "1.#QNAN", "<NA>", "N/A", "NA", "NULL", "NaN", "None",
+    "n/a", "nan", "null",
+)
 
 
 def condense_metadata(meta_long: DataFrame, min_biosamples: int = 3) -> tuple[DataFrame, DataFrame]:
@@ -55,13 +71,21 @@ def condense_metadata(meta_long: DataFrame, min_biosamples: int = 3) -> tuple[Da
     # factor cohorts: matching biosamples per (attribute, value), frequency
     # >= 2 (singletons skipped, metadata_set_maker.py:61-63). The
     # attribute-pruning statistic (nunique: drop constant <=1 and key-like
-    # ==n columns, metadata_set_maker.py:45-50; 'nan'/null don't count,
+    # ==n columns, metadata_set_maker.py:45-50; NA tokens/null don't count,
     # pandas nunique semantics) is a window count over this SAME
     # aggregation — the factor rows ARE the distinct (attribute, value)
     # pairs — instead of a second full pass over the melted relation plus
-    # a join. The window shuffles only the post-agg factor rows.
-    informative = F.col("value").isNotNull() & (F.col("value") != "nan")
-    w_attr = Window.partitionBy("bioproject", "attribute")
+    # a join. The window shuffles only the post-agg factor rows. It
+    # partitions by attr_pos too: a COLUMN is (attribute, attr_pos) — two
+    # columns sharing a name (real corpora have duplicate headers) must
+    # prune independently, or their merged value count wrongly fails the
+    # nunique < n key-like test (r12 review finding, execution-confirmed:
+    # an informative column next to a same-named key-like column returned
+    # zero sets).
+    informative = F.col("value").isNotNull() & ~F.col("value").isin(
+        *_PANDAS_NA_TOKENS
+    )
+    w_attr = Window.partitionBy("bioproject", "attribute", "attr_pos")
     factors = (
         valid.filter(informative)
         .groupBy("bioproject", "attribute", "attr_pos", "value")
@@ -205,7 +229,13 @@ def condense_accounting(
         spark = meta_long.sparkSession
         zero = F.lit(0).cast("long")
         missing = (
-            spark.createDataFrame([(b,) for b in blacklist], ["bioproject"])
+            # dedupe: the CLI's repeatable --blacklist flag can pass the
+            # same project twice; without set() the anti-join keeps both
+            # rows and the accounting sink breaks its one-row-per-
+            # bioproject contract (r12 review finding)
+            spark.createDataFrame(
+                [(b,) for b in sorted(set(blacklist))], ["bioproject"]
+            )
             .join(meta_long.select("bioproject").distinct(), "bioproject", "left_anti")
             .select(
                 "bioproject",

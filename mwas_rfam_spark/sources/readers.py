@@ -15,12 +15,20 @@ from pyspark.sql import types as T
 from ..schemas import CATALOG_SCHEMA, INPUT_SCHEMA
 
 
-def read_input_csv(spark: SparkSession, path: str) -> DataFrame:
+def read_input_csv(spark: SparkSession, path: str, validate: bool = True) -> DataFrame:
     """S1 — user observation CSV with positional column semantics.
 
     The reference renames whatever 3 headers arrive to (run, group,
     quantifier) by position and type-checks them (mg:744-759). We read with
-    header then rename positionally; arity is validated eagerly.
+    header then rename positionally; arity AND quantifier numericness are
+    validated eagerly — the reference errors cleanly ('quantifier column
+    must contain numeric values', mg:756-759) before any work, where a
+    bare ANSI cast would throw CAST_INVALID_INPUT from deep inside the
+    first downstream action (r12 review finding). The check is one
+    pushed-down scan that stops at the first offender; pass
+    ``validate=False`` to skip it on a trusted 100 TB ingest, in which
+    case non-numeric cells become NULL (try_cast) and flow through the
+    engine's documented NULL-quantifier tolerance.
     """
     raw = spark.read.option("header", True).csv(path)
     if len(raw.columns) != 3:
@@ -28,19 +36,47 @@ def read_input_csv(spark: SparkSession, path: str) -> DataFrame:
             f"input must have exactly 3 columns (run, group, quantifier); got {raw.columns}"
         )
     df = raw.toDF("run", "group", "quantifier")
+    if validate:
+        bad = (
+            df.where(
+                F.col("quantifier").isNotNull()
+                & F.col("quantifier").try_cast("double").isNull()
+            )
+            .select("quantifier")
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                "quantifier column must contain numeric values; "
+                f"got {bad[0][0]!r}"
+            )
     return df.select(
         F.col("run").cast("string"),
         F.col("group").cast("string"),
-        F.col("quantifier").cast("double"),
+        F.col("quantifier").try_cast("double").alias("quantifier"),
     )
 
 
 def input_from_rows(spark: SparkSession, rows: list[dict]) -> DataFrame:
     """S8 — JSON request ingest (reference server.py:14-55 writes a temp CSV;
-    we build the DataFrame directly)."""
-    return spark.createDataFrame(
-        [(r["run"], r["group"], float(r["quantifier"])) for r in rows], INPUT_SCHEMA
-    )
+    we build the DataFrame directly). A null or absent ``quantifier``
+    becomes NULL — INPUT_SCHEMA declares it nullable and every consumer
+    coalesces NULL to 0 (streaming rpm, resolve_and_normalize) — instead
+    of the former float(None) TypeError that surfaced as an HTTP 500
+    (r12 review finding); a row missing run/group is a clean ValueError
+    the server maps to a 400."""
+    def _tup(r: dict):
+        try:
+            run, group = r["run"], r["group"]
+        except KeyError as e:
+            raise ValueError(
+                f"request row missing required key {e.args[0]!r}: {r!r}"
+            ) from None
+        q = r.get("quantifier")
+        return (run, group, None if q is None else float(q))
+
+    return spark.createDataFrame([_tup(r) for r in rows], INPUT_SCHEMA)
 
 
 def read_catalog_parquet(spark: SparkSession, path: str) -> DataFrame:
@@ -49,18 +85,39 @@ def read_catalog_parquet(spark: SparkSession, path: str) -> DataFrame:
     (mg:46-54,163-184); with Parquet, Catalyst's predicate pushdown plus a
     broadcast semi-join against the input's run set achieves the same
     result without hand-built SQL strings.
+
+    Derives ``spots`` from mbases/avgspotlen when the export carries the
+    raw sequencing columns instead (the same rule the JDBC path applies),
+    and REFUSES a catalog with neither: the former pinned-schema read
+    returned spots=NULL for every row of such an export, and NULL spots
+    silently zero all downstream RPM statistics (r12 review finding).
     """
-    return spark.read.schema(CATALOG_SCHEMA).parquet(path)
+    df = derive_spots_if_missing(spark.read.parquet(path))
+    missing = [f.name for f in CATALOG_SCHEMA.fields if f.name not in df.columns]
+    if missing:
+        raise ValueError(
+            f"catalog parquet at {path!r} lacks required columns {missing} "
+            "(and no mbases/avgspotlen pair to derive spots from)"
+        )
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in CATALOG_SCHEMA.fields]
+    )
 
 
 def derive_spots_if_missing(df: DataFrame) -> DataFrame:
     """S4 derived column: spots = mbases*1e6/avgspotlen (reference mg:47)
     when the raw sequencing columns are present instead of a spots column.
-    No-op if `spots` already exists or the raw columns are absent."""
+    No-op if `spots` already exists or the raw columns are absent.
+    try_divide: SRA catalogs contain avgspotlen=0 rows (no spot-length
+    metadata), and under Spark 4's default ANSI mode a plain division
+    aborts the whole job with DIVIDE_BY_ZERO (r12 review finding) — NULL
+    spots instead flow through the engine's documented null tolerance."""
     if "spots" not in df.columns and {"mbases", "avgspotlen"} <= set(df.columns):
         df = df.withColumn(
             "spots",
-            (F.col("mbases") * F.lit(1_000_000) / F.col("avgspotlen")).cast("long"),
+            F.try_divide(
+                F.col("mbases") * F.lit(1_000_000), F.col("avgspotlen")
+            ).cast("long"),
         )
     return df
 
@@ -95,7 +152,15 @@ def melt_wide_metadata(df: DataFrame, bioproject: str) -> DataFrame:
             F.struct(
                 F.lit(c).alias("attribute"),
                 F.lit(i).alias("attr_pos"),
-                F.col(c).cast("string").alias("value"),
+                # backtick-quoted reference (inner backticks doubled),
+                # not bare F.col(c)/df[c]: headers are arbitrary user
+                # strings — a dot ('geo.loc') parses as struct access
+                # and a stray backtick is a syntax error under either
+                # bare form, killing the whole BioProject's melt (r12
+                # review finding, verified live)
+                F.col("`" + c.replace("`", "``") + "`")
+                .cast("string")
+                .alias("value"),
             )
         )
     return (
@@ -114,11 +179,46 @@ def melt_wide_metadata(df: DataFrame, bioproject: str) -> DataFrame:
     )
 
 
+def read_wide_metadata(spark: SparkSession, path: str) -> DataFrame:
+    """S2 wide form — ONE raw per-bioproject metadata CSV, all columns as
+    strings (the reference treats timestamps/numerics as opaque
+    categoricals, SURVEY.md §1.2), read the way the reference's pandas
+    parse behaves (r12 review findings, consolidating the convention the
+    demo CLI and the corpus round-trip test previously each carried):
+
+    * ``multiLine`` + ``escape='"'`` — real corpus files contain quoted
+      multi-line values (TEST_PARAGRAPH--PRJNA706648.csv); without the
+      options the value is truncated AND a garbage biosample row appears.
+    * duplicate headers: Spark's CSV reader silently mangles them
+      (att,att → att1,att2), losing the original name for BOTH copies.
+      The raw header line is re-read and columns renamed positionally —
+      first occurrence keeps its exact name, later duplicates get
+      ``__dup{k}`` (pandas keeps att/att.1; real corpus files have
+      duplicate headers). If the raw header can't be recovered (empty
+      file, multi-file glob, embedded-newline header) Spark's mangled
+      names stand.
+    """
+    df = spark.read.options(header=True, multiLine=True, escape='"').csv(path)
+    header = spark.read.text(path).limit(1).collect()
+    if header:
+        import csv as _csv
+
+        raw = next(_csv.reader([header[0]["value"]]), [])
+        if len(raw) == len(df.columns):
+            seen: dict[str, int] = {}
+            names = []
+            for c in raw:
+                k = seen.get(c, 0)
+                seen[c] = k + 1
+                names.append(c if k == 0 else f"{c}__dup{k}")
+            df = df.toDF(*names)
+    return df
+
+
 def read_wide_metadata_csv(spark: SparkSession, path: str, bioproject: str) -> DataFrame:
-    """S2 — raw bioproject metadata CSV, all columns as strings (the
-    reference treats timestamps/numerics as opaque categoricals,
-    SURVEY.md §1.2), then melted long."""
-    df = spark.read.option("header", True).csv(path)
+    """S2 — :func:`read_wide_metadata` melted long (first column adopted
+    as ``biosample_id`` when no column carries that name)."""
+    df = read_wide_metadata(spark, path)
     if "biosample_id" not in df.columns:
         df = df.withColumnRenamed(df.columns[0], "biosample_id")
     return melt_wide_metadata(df, bioproject)

@@ -14,7 +14,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.scalar import replace_zero_spots, rpm
-from ..schemas import INPUT_SCHEMA
 
 
 def _stream_rpm_col():
@@ -178,11 +177,10 @@ def resolve_stream(requests: DataFrame, catalog_df: DataFrame) -> DataFrame:
 def run_request_batch(spark: SparkSession, rows: list[dict], catalog_df: DataFrame) -> DataFrame:
     """S8 synchronous ingest path (server.py:27-45 equivalent): a JSON
     request body processed as one batch through the same plan."""
-    df = spark.createDataFrame(
-        [(r["run"], r["group"], float(r["quantifier"])) for r in rows], INPUT_SCHEMA
-    )
     from ..operators.mwas import biosample_rollup, resolve_and_normalize
+    from ..sources.readers import input_from_rows
 
+    df = input_from_rows(spark, rows)
     return biosample_rollup(resolve_and_normalize(df, catalog_df))
 
 
@@ -220,10 +218,9 @@ def serve_request(
     status), the caller gets the results to serve back."""
     from ..config import DEFAULT_CONFIG
     from ..operators.mwas import run_mwas
+    from ..sources.readers import input_from_rows
 
-    df = spark.createDataFrame(
-        [(r["run"], r["group"], float(r["quantifier"])) for r in rows], INPUT_SCHEMA
-    )
+    df = input_from_rows(spark, rows)
     return run_mwas(df, catalog_df, sets_df, ref_df, cfg or DEFAULT_CONFIG)
 
 

@@ -340,3 +340,74 @@ def test_chunk_documents_invariants_grid(spark):
         assert rebuilt == text.split(), (max_tokens, overlap)
         for _, toks, ntok in rows[:-1]:
             assert len(toks) == ntok == max_tokens
+
+
+def test_duplicate_attribute_names_prune_independently(spark):
+    """r12 review finding (execution-confirmed): a COLUMN is
+    (attribute, attr_pos). An informative column next to a same-named
+    key-like column used to merge their nunique window counts (2+n)
+    and wrongly fail the key-like test, returning zero sets."""
+    rows = [
+        # attr 'tissue' at pos 0: informative {x:3, y:2}
+        (f"SAM{i}", "PDUP", "tissue", 0, "x" if i <= 3 else "y")
+        for i in range(1, 6)
+    ] + [
+        # attr 'tissue' AGAIN at pos 1: key-like, 5 unique values
+        (f"SAM{i}", "PDUP", "tissue", 1, f"u{i}")
+        for i in range(1, 6)
+    ]
+    meta = spark.createDataFrame(
+        rows, ["biosample_id", "bioproject", "attribute", "attr_pos", "value"]
+    )
+    sets_df, _ = condense_metadata(meta)
+    got = sets_df.collect()
+    # the informative column's two factors → two sets (complementary
+    # cohorts key differently, as in the reference's boolean-vector
+    # dedup); the key-like twin contributes none. Pre-fix this was
+    # ZERO sets (merged window count 2+5=7 failed nunique < n).
+    assert len(got) == 2
+    assert {r["attributes"] for r in got} == {"tissue"}
+    assert {r["values"] for r in got} == {"x", "y"}
+
+
+def test_pandas_na_tokens_treated_as_missing(spark):
+    """r12 review finding: the reference reads metadata through pandas,
+    so 'NA'/'N/A'/'NaN'/'None'/... parse to NaN and never form factor
+    cohorts nor count toward nunique. A column ['NA','NA','x','y','z']
+    over n=5 must emit no sets (all real factors are singletons)."""
+    vals = ["NA", "NA", "x", "y", "z"]
+    rows = [
+        (f"SAM{i}", "PNA", "col", 0, v) for i, v in enumerate(vals, 1)
+    ] + [
+        # second informative column so the bioproject itself is viable
+        (f"SAM{i}", "PNA", "t", 1, "a" if i <= 3 else "b")
+        for i in range(1, 6)
+    ]
+    meta = spark.createDataFrame(
+        rows, ["biosample_id", "bioproject", "attribute", "attr_pos", "value"]
+    )
+    sets_df, _ = condense_metadata(meta)
+    got = sets_df.collect()
+    # only the 't' split's two sets; no 'NA' cohort set from 'col'
+    assert len(got) == 2
+    assert {r["attributes"] for r in got} == {"t"}
+
+
+def test_blacklist_duplicates_one_accounting_row(spark):
+    """r12 review finding: the repeatable --blacklist flag can name the
+    same absent project twice; the accounting must still emit exactly
+    one 'blacklisted' row for it."""
+    from mwas_rfam_spark.operators.condense import condense_accounting
+
+    wide = spark.createDataFrame(
+        [(f"SAMZ{i}", "x" if i <= 2 else "y") for i in range(1, 5)],
+        ["biosample_id", "t1"],
+    )
+    meta = melt_wide_metadata(wide, "P_OK2")
+    sets_df, _ = condense_metadata(meta)
+    acc = condense_accounting(
+        meta, sets_df, blacklist=("P_TWICE", "P_TWICE")
+    ).collect()
+    twice = [r for r in acc if r["bioproject"] == "P_TWICE"]
+    assert len(twice) == 1
+    assert twice[0]["status"] == "blacklisted"

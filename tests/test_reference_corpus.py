@@ -43,17 +43,13 @@ corpus_available = pytest.mark.skipif(
 
 
 def _read_corpus_csv(spark, path):
-    """Read a raw bioproject metadata CSV the way the engine would: header,
-    quoted multi-line fields, all columns as strings, duplicate headers
-    made unique (real corpus files contain them)."""
-    df = spark.read.options(header=True, multiLine=True, escape='"').csv(path)
-    seen: dict[str, int] = {}
-    names = []
-    for c in df.columns:
-        k = seen.get(c, 0)
-        seen[c] = k + 1
-        names.append(c if k == 0 else f"{c}__dup{k}")
-    return df.toDF(*names)
+    """Read a raw bioproject metadata CSV the way the engine would —
+    the convention (multiLine, escape, duplicate headers made unique
+    with the ORIGINAL first-occurrence name preserved) now lives in the
+    S2 reader itself (r12 consolidation)."""
+    from mwas_rfam_spark.sources.readers import read_wide_metadata
+
+    return read_wide_metadata(spark, path)
 
 
 @corpus_available
