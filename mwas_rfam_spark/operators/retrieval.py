@@ -439,13 +439,9 @@ def remove_from_text_index(
         )
         emptied = [b for b in buckets if b not in written]
         if emptied:
-            jvm = spark._jvm
-            conf = spark._jsc.hadoopConfiguration()
-            for b in emptied:
-                d = jvm.org.apache.hadoop.fs.Path(f"{path}/postings/bucket={b}")
-                fs = d.getFileSystem(conf)
-                if fs.exists(d):
-                    fs.delete(d, True)
+            from ..sources.sinks import delete_partition_dirs
+
+            delete_partition_dirs(spark, f"{path}/postings", "bucket", emptied)
     # stats rebase from the removed docs' true token counts
     rm = agg
     n_docs = int(stats["n_docs"]) - n_removed

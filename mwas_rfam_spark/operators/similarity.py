@@ -601,13 +601,9 @@ def prune_partitioned_rows(
     )
     emptied = [c for c in cells if c not in written]
     if emptied:
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        for c in emptied:
-            d = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{part_col}={c}")
-            fs = d.getFileSystem(conf)
-            if fs.exists(d):
-                fs.delete(d, True)
+        from ..sources.sinks import delete_partition_dirs
+
+        delete_partition_dirs(spark, table_path, part_col, emptied)
 
 
 def compact_ivf_index(

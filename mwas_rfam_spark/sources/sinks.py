@@ -71,7 +71,21 @@ def _hive_partition_dir(spark, partition_col: str, value) -> str:
     """
     if value is None:
         return f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
-    s = str(value)
+    # render the value the way Spark's writer did: the partition path
+    # fragment comes from a cast-to-string, which for double/decimal is
+    # the JVM rendering ('1.0E-7'), NOT Python's str ('1e-07') — a
+    # mismatch here leaves the emptied directory undeleted and the
+    # moved key silently duplicated (r12 review finding)
+    if isinstance(value, float):
+        s = spark._jvm.java.lang.Double.toString(float(value))
+    else:
+        import decimal
+
+        s = (
+            format(value, "f")
+            if isinstance(value, decimal.Decimal)
+            else str(value)
+        )
     try:
         esc = (
             spark._jvm.org.apache.spark.sql.catalyst.catalog
@@ -81,6 +95,27 @@ def _hive_partition_dir(spark, partition_col: str, value) -> str:
         unsafe = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(0x20)} | {chr(0x7F)}
         esc = "".join(f"%{ord(ch):02X}" if ch in unsafe else ch for ch in s)
     return f"{partition_col}={esc}"
+
+
+def delete_partition_dirs(spark, base_path: str, partition_col: str, values) -> None:
+    """Delete the partition directories for ``values`` under
+    ``base_path`` (escaping + null/float rendering via
+    :func:`_hive_partition_dir`) — the emptied-partition cleanup both
+    the upsert sink and the index prunes need after a dynamic overwrite
+    (dynamic overwrite never rewrites a partition absent from the
+    output, so a partition whose every row moved away keeps its stale
+    files). One definition so the escaping rule cannot drift between
+    call sites (r12 review finding: retrieval.py carried a hand-rolled
+    unescaped copy)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for v in values:
+        d = jvm.org.apache.hadoop.fs.Path(
+            f"{base_path}/{_hive_partition_dir(spark, partition_col, v)}"
+        )
+        fs = d.getFileSystem(conf)
+        if fs.exists(d):
+            fs.delete(d, True)
 
 
 def merge_upsert_partitioned(
@@ -130,8 +165,29 @@ def merge_upsert_partitioned(
     dup = updates.groupBy(key_col).count().where(F.col("count") > 1).limit(1).count()
     if dup:
         raise ValueError("merge_upsert_partitioned: updates collide on key")
+    # NULL keys are unjoinable: a NULL-key update would pass the dup
+    # check (one NULL groups to count 1) yet never match the anti-join,
+    # silently DUPLICATING an existing NULL-key base row instead of
+    # replacing it (r12 review finding) — refuse, like the collision
+    if updates.where(F.col(key_col).isNull()).limit(1).count():
+        raise ValueError(
+            f"merge_upsert_partitioned: updates contain a NULL {key_col!r} "
+            "key — NULL keys cannot be matched for replacement"
+        )
     upd_keys = updates.select(key_col).distinct()
     base_all = spark.read.parquet(base_path)
+    # parquet partition-column type inference can read the partition
+    # value back as int/double while `updates` carries the original
+    # string (e.g. p='2021' → directory p=2021 → inferred int): align
+    # the base's partition/key column types to the updates' — the
+    # caller's live schema is the truth — or the collected value sets
+    # mix Python types (sorted() TypeError) and the union/anti-join
+    # compare across types (r12 review finding)
+    for c in (partition_col, key_col):
+        if base_all.schema[c].dataType != updates.schema[c].dataType:
+            base_all = base_all.withColumn(
+                c, F.col(c).cast(updates.schema[c].dataType)
+            )
     holding = (
         base_all.select(partition_col, key_col)
         .join(F.broadcast(upd_keys), key_col, "left_semi")
@@ -167,15 +223,7 @@ def merge_upsert_partitioned(
     )
     emptied = [p for p in parts if p not in written]
     if emptied:
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        for p in emptied:
-            d = jvm.org.apache.hadoop.fs.Path(
-                f"{base_path}/{_hive_partition_dir(spark, partition_col, p)}"
-            )
-            fs = d.getFileSystem(conf)
-            if fs.exists(d):
-                fs.delete(d, True)
+        delete_partition_dirs(spark, base_path, partition_col, emptied)
     return parts
 
 
@@ -213,8 +261,6 @@ def compact_files(
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(path)
-    n = df.count()
-    n_files = max(1, math.ceil(n / target_rows_per_file))
 
     def _count_data_files() -> int:
         jvm = spark._jvm
@@ -228,6 +274,24 @@ def compact_files(
         return c
 
     if partition_col is None:
+        # guard: compacting a PARTITIONED directory flat would silently
+        # destroy its layout (partition dirs become data columns in flat
+        # part- files; pruning probes full-scan, later partitionBy
+        # writes into the root corrupt it) — refuse instead (r12 review
+        # finding)
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(path)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if st.isDirectory() and "=" in name and not name.startswith("."):
+                raise ValueError(
+                    f"compact_files: {path!r} is partitioned "
+                    f"(found directory {name!r}) — pass partition_col "
+                    "or the rewrite would flatten the layout"
+                )
+        n = df.count()
+        n_files = max(1, math.ceil(n / target_rows_per_file))
         out = df.repartition(n_files).localCheckpoint()
         (
             out.write.mode("overwrite")
@@ -238,7 +302,14 @@ def compact_files(
     counts = df.groupBy(partition_col).agg(
         F.ceil(F.count("*") / F.lit(target_rows_per_file)).cast("int").alias("__k")
     )
-    bucketed = df.join(F.broadcast(counts), partition_col).withColumn(
+    # eqNullSafe join: NULL is a legal partition value (the Hive default
+    # partition, produced by merge_upsert_partitioned) and a plain equi-
+    # join would silently EXCLUDE it from compaction — its small files
+    # would accumulate forever (r12 review finding)
+    bucketed = df.join(
+        F.broadcast(counts.withColumnRenamed(partition_col, "__pc")),
+        F.col(partition_col).eqNullSafe(F.col("__pc")),
+    ).drop("__pc").withColumn(
         "__b",
         F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.greatest(F.col("__k"), F.lit(1))),
     )
