@@ -65,9 +65,13 @@ class MwaspklReader(DataSourceReader):
     def partitions(self):
         if os.path.isdir(self._path):
             files = sorted(
-                os.path.join(self._path, f)
+                p
                 for f in os.listdir(self._path)
                 if f.endswith(".mwaspkl")
+                # skip junk entries: a stray subdirectory or dangling
+                # symlink named *.mwaspkl would otherwise crash the
+                # whole scan inside a task (r12 review finding)
+                and os.path.isfile(p := os.path.join(self._path, f))
             )
         else:
             files = [self._path]
@@ -85,23 +89,42 @@ class MwaspklReader(DataSourceReader):
         path = partition.value
         if os.path.getsize(path) <= 1:
             return  # b'0' empty / b'1' blacklisted sentinel: no rows
-        bioproject = os.path.basename(path)[: -len(".mwaspkl")]
+        base = os.path.basename(path)
+        # the directory branch guarantees the extension; a single-file
+        # load does not — blind [:-8] silently corrupted the bioproject
+        # name for any other extension (r12 review finding)
+        bioproject = (
+            base[: -len(".mwaspkl")]
+            if base.endswith(".mwaspkl")
+            else os.path.splitext(base)[0]
+        )
         with open(path, "rb") as f:
             biosamples_ref = pickle.load(f)
             set_df = pickle.load(f)
         n_total = len(biosamples_ref)
-        for _, row in set_df.iterrows():
-            idx = set(row["biosample_index_list"])
-            if row["include?"]:
-                members = [biosamples_ref[i] for i in sorted(idx)]
+        # column-zip, not iterrows: no per-row Series construction on
+        # the per-file decode hot path (r12 review finding)
+        for attrs, vals, idx_list, include in zip(
+            set_df["attributes"],
+            set_df["values"],
+            set_df["biosample_index_list"],
+            set_df["include?"],
+        ):
+            if include:
+                # preserve stored order and duplicates — the reference
+                # decode derefs the index list as-is
+                # (mwaspkl_to_readable_csv.py:20-29; r12 review finding:
+                # sorted(set(...)) deviated on non-sorted-unique lists)
+                members = [biosamples_ref[i] for i in idx_list]
             else:
+                idx = set(idx_list)
                 members = [
                     s for i, s in enumerate(biosamples_ref) if i not in idx
                 ]
             yield (
                 bioproject,
-                str(row["attributes"]),
-                str(row["values"]),
+                str(attrs),
+                str(vals),
                 members,
                 len(members),
                 n_total,

@@ -97,3 +97,76 @@ def test_mwaspkl_empty_directory(spark, tmp_path):
     empty.mkdir()
     df = spark.read.format("mwaspkl").load(str(empty))
     assert df.count() == 0
+
+
+def test_single_file_non_mwaspkl_extension_keeps_stem(spark, tmp_path):
+    """r12 review finding: the single-file branch stripped 8 chars
+    blindly — a '.pkl' file got a corrupted bioproject name."""
+    import pandas as pd
+
+    p = tmp_path / "PRJA1.pkl"
+    set_df = pd.DataFrame(
+        {
+            "attributes": ["t"],
+            "values": ["x"],
+            "biosample_index_list": [[0]],
+            "include?": [True],
+        }
+    )
+    with open(p, "wb") as f:
+        pickle.dump(["SAMX", "SAMY"], f)
+        pickle.dump(set_df, f)
+    from mwas_rfam_spark.sources.mwaspkl_source import register
+
+    register(spark)
+    rows = spark.read.format("mwaspkl").load(str(p)).collect()
+    assert rows and rows[0]["bioproject"] == "PRJA1"
+
+
+def test_directory_scan_skips_junk_entries(spark, tmp_path):
+    """r12 review finding: a stray subdirectory named *.mwaspkl used to
+    crash the whole scan (IsADirectoryError inside the task)."""
+    import pandas as pd
+
+    (tmp_path / "junk.mwaspkl").mkdir()
+    p = tmp_path / "PRJB2.mwaspkl"
+    set_df = pd.DataFrame(
+        {
+            "attributes": ["t"],
+            "values": ["x"],
+            "biosample_index_list": [[1]],
+            "include?": [True],
+        }
+    )
+    with open(p, "wb") as f:
+        pickle.dump(["SAMX", "SAMY"], f)
+        pickle.dump(set_df, f)
+    from mwas_rfam_spark.sources.mwaspkl_source import register
+
+    register(spark)
+    rows = spark.read.format("mwaspkl").load(str(tmp_path)).collect()
+    assert [r["bioproject"] for r in rows] == ["PRJB2"]
+
+
+def test_include_list_preserves_stored_order(spark, tmp_path):
+    """r12 review finding: the reference decode derefs the stored index
+    list AS-IS (order + duplicates); sorted(set(...)) deviated."""
+    import pandas as pd
+
+    p = tmp_path / "PRJC3.mwaspkl"
+    set_df = pd.DataFrame(
+        {
+            "attributes": ["t"],
+            "values": ["x"],
+            "biosample_index_list": [[2, 0]],
+            "include?": [True],
+        }
+    )
+    with open(p, "wb") as f:
+        pickle.dump(["SAMA", "SAMB", "SAMC"], f)
+        pickle.dump(set_df, f)
+    from mwas_rfam_spark.sources.mwaspkl_source import register
+
+    register(spark)
+    rows = spark.read.format("mwaspkl").load(str(p)).collect()
+    assert rows[0]["biosample_ids"] == ["SAMC", "SAMA"]
