@@ -406,6 +406,20 @@ def minhash_signatures(
     return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
+# Version of the PERSISTED banding scheme: the (band, bucket) keys a
+# stored incremental/streaming dedup state carries are a pure function
+# of (1) text canonicalization (_canonical_text), (2) the shingle rule,
+# (3) the minhash signature scheme (h1 + i*h2, 32-bit mask), and
+# (4) _band_buckets' bucket-hash derivation. BUMP this whenever any of
+# those changes semantically: a stamped state dir written under a
+# different version is REFUSED by the streaming sink/compactor instead
+# of silently diverging (old buckets never collide with new probes —
+# every historical near-dup would pass as novel). r12 stretch; the
+# single-definition guarantee (r11) made the rule unforkable, this
+# makes it un-upgradable-past silently.
+BANDING_VERSION = 1
+
+
 def _band_buckets(sigs: DataFrame, bands: int, rows: int, bucket_hash: str) -> DataFrame:
     """(id, band, bucket) from an (id, sig) signature relation — THE
     banding/bucketing definition, shared by both pair finders and the

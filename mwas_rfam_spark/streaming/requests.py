@@ -478,6 +478,7 @@ def streaming_minhash_dedup(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _verify_banding_stamp(spark, state_dir, num_hashes, bands, n)
         try:
             seen = (
                 spark.read.parquet(state_dir)
@@ -506,6 +507,70 @@ def streaming_minhash_dedup(
         )
 
     return docs_stream.writeStream.foreachBatch(_process)
+
+
+_BANDING_STAMP_SCHEMA = "banding_version int, num_hashes int, bands int, n int"
+
+
+def _verify_banding_stamp(
+    spark: SparkSession,
+    state_dir: str,
+    num_hashes: int | None,
+    bands: int | None,
+    n: int | None,
+) -> None:
+    """Refuse to probe a band-bucket state dir written under a DIFFERENT
+    banding scheme (r12 stretch, extending r11's single-definition
+    guarantee): the stored (band, bucket) keys are a pure function of
+    the banding version (``operators.dedup.BANDING_VERSION`` — the
+    canonicalization/shingle/minhash/bucket-hash covenant) and the
+    num_hashes/bands/n parameters, so a changed scheme never collides
+    with historical buckets — every near-dup of the corpus history
+    would silently pass as novel. The stamp lives at
+    ``{state_dir}/_banding`` (underscore-prefixed: invisible to the
+    state table's own parquet reads); a stamp-less dir (legacy, or
+    first batch) is stamped and protected from that point on. The
+    compactor passes None parameters to verify the version only."""
+    from ..operators.dedup import BANDING_VERSION
+
+    path = f"{state_dir}/_banding"
+    want = {
+        "banding_version": BANDING_VERSION,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "n": n,
+    }
+    from pyspark.errors import AnalysisException
+
+    try:
+        got = spark.read.schema(_BANDING_STAMP_SCHEMA).json(path).collect()
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" not in msg and "UNABLE_TO_INFER_SCHEMA" not in msg:
+            raise
+        got = []
+    if got:
+        bad = {
+            k: (got[0][k], v)
+            for k, v in want.items()
+            if v is not None and got[0][k] is not None and got[0][k] != v
+        }
+        if bad:
+            raise ValueError(
+                f"banding-scheme mismatch for state dir {state_dir!r}: "
+                + ", ".join(
+                    f"{k}: stored={s} requested={w}" for k, (s, w) in bad.items()
+                )
+                + " — stored band buckets were derived under a different "
+                "scheme and can never match these probes; rebuild the "
+                "state (or restart with the stored parameters)"
+            )
+        return
+    if num_hashes is None:
+        return  # version-only check (compactor) on a stamp-less dir
+    spark.createDataFrame(
+        [(BANDING_VERSION, num_hashes, bands, n)], _BANDING_STAMP_SCHEMA
+    ).coalesce(1).write.mode("overwrite").json(path)
 
 
 def last_committed_batch(spark: SparkSession, checkpoint_dir: str) -> int | None:
@@ -668,6 +733,11 @@ def compact_minhash_state(
     semi-join probe, and the re-run converges via the _SUCCESS marker),
     then the source partitions are deleted. Returns the number of
     partitions folded (0 = nothing to do)."""
+
+    # version-only stamp check: folding partitions written under an
+    # older banding scheme into state the current code will probe would
+    # cement the silent-divergence hazard the stamp exists to stop
+    _verify_banding_stamp(spark, state_dir, None, None, None)
 
     def merge_write(rows: DataFrame, path: str) -> None:
         (

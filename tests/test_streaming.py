@@ -1495,3 +1495,36 @@ def test_streaming_eval_counts_validates_group_cols_at_construction(spark, tmp_p
         streaming_eval_counts(stream, state, group_cols=["lng"])
     # a valid spec still constructs
     assert streaming_eval_counts(stream, state, group_cols=["lang"]) is not None
+
+
+def test_banding_stamp_guards_state_dir(spark, tmp_path, monkeypatch):
+    """r12 stretch: a band-bucket state dir is stamped with the banding
+    scheme (BANDING_VERSION + num_hashes/bands/n); probing it under a
+    different scheme is REFUSED instead of silently treating every
+    historical near-dup as novel (changed buckets never collide)."""
+    import mwas_rfam_spark.operators.dedup as dedup_mod
+    from mwas_rfam_spark.streaming.requests import _verify_banding_stamp
+
+    state = str(tmp_path / "mh_state")
+    # fresh dir → stamp written
+    _verify_banding_stamp(spark, state, 64, 16, 3)
+    # same scheme → fine (idempotent)
+    _verify_banding_stamp(spark, state, 64, 16, 3)
+    # parameter drift → refused, naming the field
+    with pytest.raises(ValueError, match="bands: stored=16 requested=32"):
+        _verify_banding_stamp(spark, state, 64, 32, 3)
+    # version-only check (the compactor's): passes on the current code
+    _verify_banding_stamp(spark, state, None, None, None)
+    # a future banding change (version bump) → refused even with the
+    # same parameters, and by the version-only compactor check too
+    monkeypatch.setattr(dedup_mod, "BANDING_VERSION", 2)
+    with pytest.raises(ValueError, match="banding_version"):
+        _verify_banding_stamp(spark, state, 64, 16, 3)
+    with pytest.raises(ValueError, match="banding_version"):
+        _verify_banding_stamp(spark, state, None, None, None)
+    # the underscore-prefixed stamp is invisible to the state table's
+    # own parquet reads
+    spark.createDataFrame([(0, "b")], "band int, bucket string").write.parquet(
+        f"{state}/ingest_batch=0"
+    )
+    assert spark.read.parquet(state).columns == ["band", "bucket", "ingest_batch"]

@@ -1440,6 +1440,89 @@ def probe_r11g(spark, sf_dir: str, out: dict):
     print({k: v for k, v in out.items() if k.startswith("r11g_")}, file=sys.stderr)
 
 
+def probe_r12p(spark, sf_dir: str, out: dict):
+    """r12: the cogrouped permutation kernel's structural memory bound,
+    MEASURED (r11 verdict task #4 — SCALE.md claimed the cogroup's win
+    is 'the structural memory bound, which the small-SF bench cannot
+    see'; this stamps it). One 50-set group with a 500k-element pooled
+    value vector (a cap-scale group: max_group_observations defaults to
+    5M) is driven through BOTH shapes and each kernel reports the ACTUAL
+    materialized bytes of the Arrow batch it received:
+
+    * join-replicated (the pre-r11 shape): every set row carries its own
+      copy of the pooled array — batch bytes ~ |sets| x N x 8;
+    * cogrouped (current): per-set rows on one side, ONE pooled-array
+      row on the other — batch bytes ~ N x 8 + set-row overhead.
+
+    The ratio is the |sets| replication factor the r11 restructure
+    removed; at the 5M cap and a 50-set group the old shape is a 2 GB
+    single Arrow batch (OOM-adjacent), the cogroup 40 MB."""
+    import numpy as np
+    import pandas as pd
+
+    n_sets, n_obs = 50, 500_000
+    pooled_col = F.transform(
+        F.sequence(F.lit(1), F.lit(n_obs)),
+        lambda i: i.cast("double") / F.lit(1000.0),
+    )
+    sets = spark.range(n_sets).select(
+        F.lit("BP").alias("bp"),
+        F.lit("g").alias("grp"),
+        F.col("id").cast("string").alias("set_id"),
+    )
+    RES = "bp string, grp string, batch_bytes long, n_rows long"
+
+    def _arr_bytes(series) -> int:
+        return int(
+            sum(np.asarray(a, dtype=np.float64).nbytes for a in series)
+        )
+
+    def kernel_old(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        b = _arr_bytes(pdf["pooled"]) + int(
+            pdf.drop(columns=["pooled"]).memory_usage(deep=True).sum()
+        )
+        return pd.DataFrame(
+            {"bp": [key[0]], "grp": [key[1]], "batch_bytes": [b], "n_rows": [len(pdf)]}
+        )
+
+    def kernel_new(key, pdf: pd.DataFrame, vdf: pd.DataFrame) -> pd.DataFrame:
+        b = _arr_bytes(vdf["obs_rpm"]) + int(pdf.memory_usage(deep=True).sum())
+        return pd.DataFrame(
+            {"bp": [key[0]], "grp": [key[1]], "batch_bytes": [b], "n_rows": [len(pdf)]}
+        )
+
+    t0 = time.time()
+    old_row = (
+        sets.withColumn("pooled", pooled_col)
+        .groupBy("bp", "grp")
+        .applyInPandas(kernel_old, RES)
+        .collect()[0]
+    )
+    out["r12p_joinrep_seconds"] = round(time.time() - t0, 2)
+    out["r12p_joinrep_batch_mb"] = round(old_row["batch_bytes"] / 1e6, 1)
+
+    vals = spark.range(1).select(
+        F.lit("BP").alias("bp2"), F.lit("g").alias("grp2"), pooled_col.alias("obs_rpm")
+    )
+    t0 = time.time()
+    new_row = (
+        sets.groupBy("bp", "grp")
+        .cogroup(vals.groupBy("bp2", "grp2"))
+        .applyInPandas(kernel_new, RES)
+        .collect()[0]
+    )
+    out["r12p_cogroup_seconds"] = round(time.time() - t0, 2)
+    out["r12p_cogroup_batch_mb"] = round(new_row["batch_bytes"] / 1e6, 1)
+    out["r12p_replication_ratio"] = round(
+        old_row["batch_bytes"] / max(new_row["batch_bytes"], 1), 1
+    )
+    assert old_row["n_rows"] == new_row["n_rows"] == n_sets
+    # the measured ratio must reflect the |sets| replication (within
+    # set-row overhead): the structural claim, stamped
+    assert out["r12p_replication_ratio"] > n_sets * 0.8, out
+    print({k: v for k, v in out.items() if k.startswith("r12p_")}, file=sys.stderr)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="scale-probe")
@@ -1467,6 +1550,7 @@ def main():
         "r9o": probe_r9o,
         "r9e": probe_r9e,
         "r11g": probe_r11g,
+        "r12p": probe_r12p,
     }
     if only is not None and only not in probes:
         raise SystemExit(
