@@ -53,11 +53,34 @@ from mwas_rfam_spark.functions.scalar import md5_uniform as _md5_uniform
 def _tokens(text_col: Column) -> Column:
     """Lowercased whitespace tokens, boundary empties removed — matches
     the DuckDB oracle's list_filter(string_split_regex(lower(text),
-    '\\s+'), t -> t <> '') (see text.tokens for the phantom-token
-    rationale)."""
-    return F.filter(
-        F.split(F.lower(text_col), r"\s+"), lambda t: t != F.lit("")
-    )
+    '\\s+'), t -> t <> ''). Delegates to text.tokens (lowercased) so
+    the ONE tokenization definition — including its phantom-token and
+    NULL-text hardening — cannot fork between the text family and the
+    selection family (r12 review finding: this was a hand-copy missing
+    the NULL coalesce; behaviorally identical here because NULL
+    propagation and the empty array both explode to zero rows)."""
+    from mwas_rfam_spark.operators.text import tokens as _ws_tokens
+
+    return _ws_tokens(F.lower(text_col))
+
+
+def _nonnull_id_guard(col: Column, caller: str, id_col: str, dtype) -> Column:
+    """In-plan loud failure for NULL ids in the seeded-draw operators:
+    every NULL-id row draws the identical md5 uniform (concat_ws skips
+    NULLs) with a NULL tie-break, so which rows are selected becomes
+    partition-order dependent — silently violating the documented
+    'pure function of (corpus, seed)' contract (r12 review finding).
+    Same lazy raise_error pattern as score_quality_linear's
+    duplicate-bucket guard: no job runs until the caller executes."""
+    return F.when(
+        col.isNull(),
+        F.raise_error(
+            F.lit(
+                f"{caller}: NULL {id_col!r} — the seeded draw needs a "
+                "unique non-null id per row; fill ids first"
+            )
+        ).cast(dtype),
+    ).otherwise(col)
 
 
 def _bucket_occurrences(
@@ -83,7 +106,7 @@ def _bucket_occurrences(
     # trap text.text_profile's single-tokenize fix removed)
     toked = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.filter(_tokens(F.col(text_col)), lambda t: t != F.lit("")).alias("__toks"),
+        _tokens(F.col(text_col)).alias("__toks"),
     )
     uni = F.col("__toks")
     big = F.when(
@@ -230,10 +253,27 @@ def importance_resample(
         F.concat_ws(":", F.lit("dsir"), F.lit(str(seed)), F.col("doc_id").cast("string"))
     )
     gumbel = -F.log(-F.log(u))
-    keyed = raw_docs.withColumnRenamed(id_col, "doc_id").join(w, "doc_id").withColumn(
+    # NULL ids break the determinism contract twice over: the inner
+    # join with the weights relation silently drops them (while
+    # importance_weights reports them eligible at log_weight 0), and
+    # the seeded draw would be identical for every NULL-id row. Refuse
+    # in-plan (r12 review finding).
+    raw_keyed = raw_docs.withColumnRenamed(id_col, "doc_id").withColumn(
+        "doc_id",
+        _nonnull_id_guard(
+            F.col("doc_id"),
+            "importance_resample",
+            id_col,
+            raw_docs.schema[id_col].dataType,
+        ),
+    )
+    keyed = raw_keyed.join(w, "doc_id").withColumn(
         "selection_key", F.col("log_weight") / F.lit(float(temperature)) + gumbel
     )
-    return keyed.orderBy(F.desc("selection_key"), F.asc("doc_id")).limit(k)
+    out = keyed.orderBy(F.desc("selection_key"), F.asc("doc_id")).limit(k)
+    # hand back the caller's own id column name (r12 review finding:
+    # the internal rename leaked into the output)
+    return out.withColumnRenamed("doc_id", id_col) if id_col != "doc_id" else out
 
 
 def score_quality_linear(
@@ -271,6 +311,13 @@ def score_quality_linear(
     from pyspark.sql import Window
 
     dup_n = F.count("*").over(Window.partitionBy("bucket"))
+    # same in-plan loud-failure treatment for a bucket OUTSIDE
+    # [0, n_buckets): such a row can never match any occurrence (they
+    # are md5 % n_buckets), which is the signature of a model trained
+    # at a different bucket count — half the weights would silently
+    # vanish from the join and every score drift toward sigmoid(bias)
+    # (r12 review finding)
+    out_of_range = (F.col("bucket") < 0) | (F.col("bucket") >= n_buckets)
     weights = weights.withColumn(
         "weight",
         F.when(
@@ -278,7 +325,18 @@ def score_quality_linear(
             F.raise_error(
                 F.lit("score_quality_linear: weights relation has duplicate bucket rows")
             ).cast("double"),
-        ).otherwise(F.col("weight")),
+        )
+        .when(
+            out_of_range,
+            F.raise_error(
+                F.lit(
+                    "score_quality_linear: weights relation has bucket ids "
+                    f"outside [0, {n_buckets}) — was the model trained with "
+                    "a different n_buckets?"
+                )
+            ).cast("double"),
+        )
+        .otherwise(F.col("weight")),
     )
     occ = _bucket_occurrences(docs, n_buckets, text_col, id_col, bigrams)
     scored = (
@@ -379,6 +437,12 @@ def _mix_targets(counts: dict, alpha: float, n_target: int) -> dict:
     ``n_target`` precisely (plain rounding can be off by ±|sources|)."""
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
+    # guard the one shared entry (mix AND report flow through here): a
+    # negative target fell through Python floor-division as
+    # (full=-1, rem>0) and EMITTED rows with copy=-1 (r12 review
+    # finding, execution-confirmed)
+    if n_target < 0:
+        raise ValueError(f"target_rows must be >= 0, got {n_target}")
     w = {s: float(n) ** alpha for s, n in counts.items()}
     tot = sum(w.values())
     raw = {s: n_target * w[s] / tot for s in w}
@@ -458,10 +522,23 @@ def temperature_mix(
             ":", F.lit("mix"), F.lit(str(seed)), F.col(id_col).cast("string")
         )
     )
+    # NULL ids would all draw the identical seeded uniform with a NULL
+    # tie-break — selection becomes partition-order dependent (r12
+    # review finding; same guard as importance_resample)
+    docs = docs.withColumn(
+        id_col,
+        _nonnull_id_guard(
+            F.col(id_col), "temperature_mix", id_col, docs.schema[id_col].dataType
+        ),
+    )
     keyed = docs.join(F.broadcast(plan_df), source_col)
     if max_rem > 0:
+        # rem=0 sources (capped, or targets dividing evenly) contribute
+        # nothing to the sampled remainder — keep their rows out of both
+        # window sorts instead of ranking and then discarding them (r12
+        # review finding)
         ranked = top_k_per_group(
-            keyed.withColumn("__u", u),
+            keyed.where(F.col("__rem") > 0).withColumn("__u", u),
             [source_col],
             [F.asc("__u"), F.asc(id_col)],
             max_rem,

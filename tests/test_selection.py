@@ -517,3 +517,66 @@ def test_mix_report_honors_upsample_cap(spark):
     }
     assert {s: rep[s]["target_rows"] for s in rep} == got == {"big": 50, "small": 10}
     assert rep["small"]["epochs"] == pytest.approx(1.0)
+
+
+def test_negative_target_rows_raises(spark):
+    """r12 review finding (execution-confirmed): a negative target fell
+    through floor-division as (full=-1, rem>0) and EMITTED rows with
+    copy=-1; both the mix and its report now refuse."""
+    from mwas_rfam_spark.operators.selection import mix_report, temperature_mix
+
+    docs = spark.createDataFrame(
+        [(i, "a") for i in range(10)], ["doc_id", "source"]
+    )
+    with pytest.raises(ValueError, match="target_rows must be >= 0"):
+        temperature_mix(docs, alpha=0.5, target_rows=-3)
+    with pytest.raises(ValueError, match="target_rows must be >= 0"):
+        mix_report(docs, alpha=0.5, target_rows=-3)
+
+
+def test_quality_weights_bucket_out_of_range_raises(spark):
+    """r12 review finding: a model trained at a different n_buckets has
+    weight rows that can never match any occurrence — half the model
+    silently vanished from the join; now an in-plan loud failure."""
+    from mwas_rfam_spark.operators.selection import score_quality_linear
+
+    docs = spark.createDataFrame([(1, "some text here")], ["doc_id", "text"])
+    weights = spark.createDataFrame(
+        [(9999, 1.0)], "bucket int, weight double"
+    )
+    with pytest.raises(Exception, match="different n_buckets"):
+        score_quality_linear(docs, weights, n_buckets=4096).collect()
+
+
+def test_seeded_draw_operators_refuse_null_ids(spark):
+    """r12 review finding: NULL ids all draw the identical seeded
+    uniform (concat_ws skips NULLs) with a NULL tie-break — selection
+    becomes partition-order dependent; refuse loudly instead."""
+    from mwas_rfam_spark.operators.selection import (
+        importance_resample,
+        temperature_mix,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a", "x"), (None, "a", "y")],
+        "doc_id long, source string, text string",
+    )
+    with pytest.raises(Exception, match="non-null id"):
+        temperature_mix(docs, alpha=0.5, target_rows=1, seed=7).collect()
+    tgt = spark.createDataFrame([(5, "x")], "doc_id long, text string")
+    with pytest.raises(Exception, match="non-null id"):
+        importance_resample(docs, tgt, k=1).collect()
+
+
+def test_importance_resample_preserves_id_column_name(spark):
+    """r12 review finding: the internal doc_id rename leaked into the
+    output when the caller's id column had another name."""
+    from mwas_rfam_spark.operators.selection import importance_resample
+
+    raw = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(8)], ["my_id", "text"]
+    )
+    tgt = spark.createDataFrame([(100, "text number 1")], ["my_id", "text"])
+    out = importance_resample(raw, tgt, k=3, id_col="my_id")
+    assert "my_id" in out.columns and "doc_id" not in out.columns
+    assert out.count() == 3
