@@ -80,13 +80,19 @@ def cohort_signature(members_sorted: Column) -> Column:
     return F.sha2(F.concat_ws("\x1f", members_sorted), 256)
 
 
-def hex_prefix_u32(hex_col: Column) -> Column:
-    """First 8 hex digits of a hash string decoded to a uniform 32-bit
-    long — the repo-wide engine-portable randomness primitive (DuckDB
-    replay: ``CAST('0x' || substr(h, 1, 8) AS BIGINT)``). 8 digits, not
+def hex_prefix_u32(hex_col: Column, slice_index: int = 0) -> Column:
+    """8 hex digits of a hash string decoded to a uniform 32-bit long —
+    the repo-wide engine-portable randomness primitive (DuckDB replay:
+    ``CAST('0x' || substr(h, 1 + 8*i, 8) AS BIGINT)``). 8 digits, not
     fewer: a 2-digit decode mod n biases low buckets whenever n doesn't
-    divide 256 (see plans/sampling.shuffle_shard)."""
-    return F.conv(F.substring(hex_col, 1, 8), 16, 10).cast("long")
+    divide 256 (see plans/sampling.shuffle_shard). ``slice_index``
+    selects the i-th non-overlapping 8-digit window of the digest (an
+    md5 has four) — the CMS bucket derivation consumes all four per
+    domain-tagged digest (r12: that decode was a hand-copy of this
+    one; ONE definition so the replay invariant can't drift)."""
+    return F.conv(F.substring(hex_col, 1 + 8 * slice_index, 8), 16, 10).cast(
+        "long"
+    )
 
 
 def md5_u32(col: Column) -> Column:

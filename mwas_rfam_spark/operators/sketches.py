@@ -70,13 +70,10 @@ def _bucket_cols(key_col, seed: int, depth: int, width: int, hash: str):
         ).alias(f"__dig{g}")
         for g in range(n_groups)
     ]
+    from mwas_rfam_spark.functions.scalar import hex_prefix_u32
+
     cols = [
-        (
-            F.conv(
-                F.substring(F.col(f"__dig{d // 4}"), 1 + 8 * (d % 4), 8), 16, 10
-            ).cast("long")
-            % width
-        ).cast("int")
+        (hex_prefix_u32(F.col(f"__dig{d // 4}"), d % 4) % width).cast("int")
         for d in range(depth)
     ]
     return cols, digests
@@ -94,19 +91,25 @@ def cms_build(
     """Build the sketch relation (depth, bucket, cnt) over ``df``'s
     keys — one explode (depth struct rows per input row) + one
     map-side-combinable aggregate. NULL keys are excluded (they have
-    no identity to count). ``weight_col`` aggregates a weighted
-    frequency instead of row counts: ``cnt`` is then DOUBLE (fractional
-    weights sum exactly — a per-row integer cast would silently
-    undercount and break the one-sided guarantee), LONG otherwise;
-    weights must be non-negative for est ≥ true to hold (the classic
-    CM contract). At most depth × width rows come back regardless of
-    corpus size."""
+    no identity to count); with ``weight_col``, NULL-WEIGHT rows are
+    likewise excluded — explicitly filtered, not silently summed as 0
+    by SUM's NULL-skip (r12 review finding: the exclusion existed but
+    was an undocumented accident of aggregate semantics). ``weight_col``
+    aggregates a weighted frequency instead of row counts: ``cnt`` is
+    then DOUBLE (fractional weights sum exactly — a per-row integer
+    cast would silently undercount and break the one-sided guarantee),
+    LONG otherwise; weights must be non-negative for est ≥ true to hold
+    (the classic CM contract). At most depth × width rows come back
+    regardless of corpus size."""
     if width < 1 or depth < 1:
         raise ValueError(f"width/depth must be >= 1, got {width}/{depth}")
     k = F.col(key_col).cast("string")
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1).cast("long")
     buckets, digests = _bucket_cols(k, seed, depth, width, hash)
-    staged = df.where(k.isNotNull()).select(*digests, w.alias("__w"))
+    cond = k.isNotNull()
+    if weight_col:
+        cond = cond & F.col(weight_col).isNotNull()
+    staged = df.where(cond).select(*digests, w.alias("__w"))
     rows = staged.select(
         F.explode(
             F.array(
@@ -126,12 +129,19 @@ def cms_build(
 
 
 def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Merge two sketches built with the SAME (width, depth, seed) —
-    counters are linear, so merge is union + re-aggregate. The result
-    estimates the concatenated stream exactly as if built in one pass
-    (pytest-pinned). Mismatched parameters are undetectable from the
-    relation alone (bucket ids overlap), so the caller owns that
-    contract — same as every mergeable-sketch API."""
+    """Merge two sketches built with the SAME (width, depth, seed, hash
+    derivation) — counters are linear, so merge is union + re-aggregate.
+    The derivation is part of sketch identity exactly like width/depth/
+    seed (r12: it was missing from this list — an md5-built and an
+    xxhash64-built sketch merge into plausible-looking garbage; the
+    streaming layer's cms_state_sketch/compact_cms_state REFUSE that
+    mix, this relation-level API cannot detect it). The result
+    estimates the concatenated stream as if built in one pass —
+    bit-exactly for the unweighted LONG path (pytest-pinned); weighted
+    DOUBLE counters agree up to float summation order. Mismatched
+    parameters are undetectable from the relation alone (bucket ids
+    overlap), so the caller owns that contract — same as every
+    mergeable-sketch API."""
     return (
         a.unionByName(b)
         .groupBy("depth", "bucket")
@@ -150,13 +160,21 @@ def cms_lookup(
 ) -> DataFrame:
     """Point-estimate each key in ``keys`` → (key, est): min over the
     depth rows of the key's own buckets, absent buckets counting 0.
-    The SKETCH side broadcasts (at most depth × width rows — the
-    preserved left side of a left join cannot be broadcast, so the
-    hint goes on the build side); this join never touches the
-    original corpus."""
-    k = F.col(key_col).cast("string")
+    ``key`` keeps the caller's column TYPE (r12 review finding: it came
+    back silently cast to string, breaking typed joins back to the
+    probe relation); hashing still normalizes through the same string
+    cast the build side applies. The SKETCH side broadcasts (at most
+    depth × width rows — the preserved left side of a left join cannot
+    be broadcast, so the hint goes on the build side); this join never
+    touches the original corpus."""
+    # same guard as cms_build (r12 review finding: asymmetric — a
+    # depth=0 lookup silently returned an EMPTY relation, width=0 threw
+    # DIVIDE_BY_ZERO mid-job under ANSI)
+    if width < 1 or depth < 1:
+        raise ValueError(f"width/depth must be >= 1, got {width}/{depth}")
+    k = F.col(key_col)
     probes = keys.where(k.isNotNull()).select(k.alias("key")).distinct()
-    buckets, digests = _bucket_cols(F.col("key"), seed, depth, width, hash)
+    buckets, digests = _bucket_cols(F.col("key").cast("string"), seed, depth, width, hash)
     probe_rows = probes.select("key", *digests).select(
         "key",
         F.explode(

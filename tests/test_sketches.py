@@ -145,3 +145,47 @@ def test_cms_fractional_weights_exact(spark):
         ).collect()
     }
     assert est["a"] >= 2.0 and est["b"] >= 0.25
+
+
+def test_cms_lookup_validates_width_depth(spark):
+    """r12 review finding: cms_lookup lacked cms_build's guard — a
+    depth=0 lookup silently returned an empty relation and width=0
+    threw DIVIDE_BY_ZERO mid-job under ANSI."""
+    sketch = cms_build(
+        spark.createDataFrame([("a",)], ["key"]), "key", width=8, depth=2
+    )
+    keys = spark.createDataFrame([("a",)], ["key"])
+    with pytest.raises(ValueError, match="width/depth"):
+        cms_lookup(sketch, keys, "key", width=8, depth=0)
+    with pytest.raises(ValueError, match="width/depth"):
+        cms_lookup(sketch, keys, "key", width=0, depth=2)
+
+
+def test_cms_lookup_preserves_key_type(spark):
+    """r12 review finding: the estimate relation's key column came back
+    cast to string, breaking typed joins back to the probe relation."""
+    df = spark.createDataFrame([(42,), (42,), (7,)], "key long")
+    sketch = cms_build(df, "key", width=64, depth=3, seed=1)
+    out = cms_lookup(sketch, df, "key", width=64, depth=3, seed=1)
+    assert dict(out.dtypes)["key"] == "bigint"
+    got = {r["key"]: r["est"] for r in out.collect()}
+    assert got[42] >= 2 and got[7] >= 1
+
+
+def test_cms_build_null_weight_rows_excluded(spark):
+    """r12 review finding: NULL-weight rows were dropped by SUM's
+    NULL-skip as an undocumented accident; now explicitly filtered —
+    same estimates, pinned semantics."""
+    df = spark.createDataFrame(
+        [("a", 2.0), ("a", None), ("b", 1.5)], "key string, w double"
+    )
+    sketch = cms_build(df, "key", width=64, depth=3, seed=2, weight_col="w")
+    keys = spark.createDataFrame([("a",), ("b",)], ["key"])
+    got = {
+        r["key"]: r["est"]
+        for r in cms_lookup(sketch, keys, "key", width=64, depth=3, seed=2).collect()
+    }
+    assert got["a"] >= 2.0 and got["b"] >= 1.5
+    # total mass excludes the NULL-weight row exactly
+    total = sketch.groupBy("depth").sum("cnt").collect()
+    assert all(abs(r["sum(cnt)"] - 3.5) < 1e-12 for r in total)
