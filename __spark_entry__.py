@@ -3822,7 +3822,7 @@ FROM final
                     FROM embeddings)
               WHERE x IS NOT NULL AND NOT isnan(x) AND label IS NOT NULL),
             cal AS (
-              SELECT least(9, greatest(0, CAST(floor(s / 0.1) AS INT))) AS bin,
+              SELECT CAST(floor(least(9.0, greatest(0.0, s / 0.1))) AS INT) AS bin,
                      count(*) AS n, avg(s) AS mean_score, avg(y) AS pos_rate
               FROM v GROUP BY 1)
             SELECT bin,
@@ -4230,7 +4230,9 @@ FROM final
             f1 AS (
               SELECT 'f1@' || ts AS metric,
                      round(CASE WHEN COALESCE(p, 0) + COALESCE(rc, 0) > 0
-                                THEN 2 * p * rc / (p + rc) END, 6) AS value
+                                THEN 2 * p * rc / (p + rc)
+                                WHEN p IS NOT NULL AND rc IS NOT NULL
+                                THEN 0.0 END, 6) AS value
               FROM (SELECT ts,
                            CASE WHEN tp + fp > 0
                                 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS p,
@@ -4240,8 +4242,8 @@ FROM final
             cal AS (
               SELECT 'gap@bin' || CAST(bin AS VARCHAR) AS metric,
                      round(avg(y) - avg(s), 6) AS value
-              FROM (SELECT least(9, greatest(0,
-                               CAST(floor(s / 0.1) AS INT))) AS bin, s, y
+              FROM (SELECT CAST(floor(least(9.0, greatest(0.0,
+                               s / 0.1))) AS INT) AS bin, s, y
                     FROM v)
               GROUP BY 1)
             SELECT metric, value FROM auc
@@ -4511,7 +4513,7 @@ FROM final
               WHERE x IS NOT NULL AND NOT isnan(x) AND label IS NOT NULL),
             cal AS (
               SELECT grp,
-                     least(9, greatest(0, CAST(floor(s / 0.1) AS INT))) AS bin,
+                     CAST(floor(least(9.0, greatest(0.0, s / 0.1))) AS INT) AS bin,
                      count(*) AS n, avg(s) AS mean_score, avg(y) AS pos_rate
               FROM v GROUP BY 1, 2),
             e AS (
@@ -4673,7 +4675,9 @@ def relocated_oracles() -> dict[str, str]:
                    CAST(tn AS BIGINT) AS tn,
                    round(p, 6) AS precision, round(rc, 6) AS recall,
                    round(CASE WHEN COALESCE(p, 0) + COALESCE(rc, 0) > 0
-                              THEN 2 * p * rc / (p + rc) END, 6) AS f1,
+                              THEN 2 * p * rc / (p + rc)
+                              WHEN p IS NOT NULL AND rc IS NOT NULL
+                              THEN 0.0 END, 6) AS f1,
                    round(CAST(tp + fp AS DOUBLE) / (tp + fp + fn + tn), 6)
                        AS selected_frac
             FROM (SELECT *,
@@ -4708,7 +4712,9 @@ def relocated_oracles() -> dict[str, str]:
                    CAST(tn AS BIGINT) AS tn,
                    round(p, 6) AS precision, round(rc, 6) AS recall,
                    round(CASE WHEN COALESCE(p, 0) + COALESCE(rc, 0) > 0
-                              THEN 2 * p * rc / (p + rc) END, 6) AS f1,
+                              THEN 2 * p * rc / (p + rc)
+                              WHEN p IS NOT NULL AND rc IS NOT NULL
+                              THEN 0.0 END, 6) AS f1,
                    round(CAST(tp + fp AS DOUBLE) / (tp + fp + fn + tn), 6)
                        AS selected_frac
             FROM (SELECT *,

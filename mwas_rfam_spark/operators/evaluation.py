@@ -62,8 +62,6 @@ def binary_auc(
     Degenerate inputs (single-class) return NULL auc rather than
     raising — a monitoring pipeline must survive an all-negative
     batch."""
-    from mwas_rfam_spark.operators.drift import _two_level_cumsum
-
     if partitions is None:
         partitions = scored.sparkSession.sparkContext.defaultParallelism
     # ONE corpus scan reduced to per-distinct-score counts; the
@@ -90,26 +88,12 @@ def per_score_counts(
     rows (NULL/NaN score or NULL label) fold into a dedicated v-NULL
     group — a valid row's score is never NULL, so the group is
     unambiguous."""
-    s = F.col(score_col).cast("double")
-    y = F.col(label_col).cast("int")
-    base = scored.select(
-        s.alias("__s"),
-        F.when(y > 0, 1).otherwise(0).alias("__y"),
-        (s.isNull() | F.isnan(s) | y.isNull()).alias("__null"),
-    )
-    return (
-        base.groupBy(
-            F.when(~F.col("__null"), F.col("__s")).alias("v")
-        )
-        .agg(
-            F.sum(
-                F.when(~F.col("__null") & (F.col("__y") == 1), 1).otherwise(0)
-            ).alias("cnt_a"),
-            F.sum(
-                F.when(~F.col("__null") & (F.col("__y") == 0), 1).otherwise(0)
-            ).alias("cnt_b"),
-            F.sum(F.col("__null").cast("long")).alias("cnt_null"),
-        )
+    # thin wrapper over the grouped twin with group_cols=[] — ONE
+    # implementation of the invalid-row folding rule (r12 review
+    # finding: the two bodies were line-for-line copies; the r11 fold
+    # fix had to be applied to both AUC finishers for the same reason)
+    return grouped_per_score_counts(
+        scored, [], score_col, label_col, track_invalid=True
     )
 
 
@@ -142,11 +126,17 @@ def auc_from_score_counts(
     if "cnt_null" not in per_s.columns:
         per_s = per_s.withColumn("cnt_null", F.lit(0).cast("long"))
     if not assume_folded:
+        # the folded parameter-sized relation is consumed by THREE
+        # sub-plans below (cumsum input, contrib join probe, nulls
+        # aggregate) — without the lazy checkpoint each re-runs the
+        # upstream scan+fold (3 scans of a state dir for one AUC; the
+        # same reason binary_auc checkpoints its counts — r12 review
+        # finding)
         per_s = per_s.groupBy("v").agg(
             F.sum("cnt_a").alias("cnt_a"),
             F.sum("cnt_b").alias("cnt_b"),
             F.sum("cnt_null").alias("cnt_null"),
-        )
+        ).localCheckpoint(eager=False)
     valid_per = per_s.where(F.col("v").isNotNull()).select("v", "cnt_a", "cnt_b")
     cums = _two_level_cumsum(valid_per, "v", partitions)
     # AUC = Σ_s pos(s)·(neg_below(s) + ½·neg_at(s)) / (n⁺·n⁻); the
@@ -268,13 +258,22 @@ def _threshold_metrics(
     ]
     exploded = row.select(
         *group_cols, F.explode(F.array(*per)).alias("m")
-    ).select(*group_cols, "m.*")
+    ).select(
+        *group_cols,
+        "m.threshold",
+        # empty/all-invalid input leaves the global aggregate's sums
+        # NULL; the honest count is 0, not NULL — same convention
+        # auc_from_score_counts pins for n_pos/n_neg (r12 review
+        # finding, execution-confirmed on an all-NaN batch)
+        *[F.coalesce(F.col(f"m.{c}"), F.lit(0)).alias(c) for c in ("tp", "fp", "fn", "tn")],
+    )
     prec = F.when(
         F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))
     )
     rec = F.when(
         F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))
     )
+    total = F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")
     return exploded.select(
         *group_cols,
         "threshold",
@@ -284,13 +283,19 @@ def _threshold_metrics(
         "tn",
         prec.alias("precision"),
         rec.alias("recall"),
-        F.when(
-            prec + rec > 0, 2 * prec * rec / (prec + rec)
-        ).alias("f1"),
-        (
-            (F.col("tp") + F.col("fp"))
-            / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn"))
-        ).alias("selected_frac"),
+        # sklearn parity: a defined-but-zero precision AND recall is
+        # f1 = 0.0 (the model got everything wrong), not NULL — NULL
+        # stays reserved for undefined cells (r12 review finding; a
+        # dashboard ranking by f1 silently dropped exactly the
+        # worst-performing thresholds)
+        F.when(prec + rec > 0, 2 * prec * rec / (prec + rec))
+        .when(prec.isNotNull() & rec.isNotNull(), F.lit(0.0))
+        .alias("f1"),
+        # guard: with the cells coalesced to 0 an empty input would hit
+        # 0/0 (ANSI throw) — NULL is the honest fraction of nothing
+        F.when(total > 0, (F.col("tp") + F.col("fp")) / total).alias(
+            "selected_frac"
+        ),
     )
 
 
@@ -361,12 +366,15 @@ def _bin_rule(s, n_bins: int, score_min: float, score_max: float):
     if not score_max > score_min:
         raise ValueError("score_max must exceed score_min")
     width = (score_max - score_min) / n_bins
-    b = F.least(
-        F.lit(n_bins - 1),
-        F.greatest(
-            F.lit(0), F.floor((s - F.lit(score_min)) / F.lit(width)).cast("int")
-        ),
-    )
+    # clamp in the DOUBLE domain BEFORE floor/cast: an out-of-range or
+    # infinite score (raw pre-sigmoid output, exp overflow) made
+    # floor()'s long conversion CAST_OVERFLOW under ANSI — aborting the
+    # whole job instead of clamping into the terminal bin the docstring
+    # promises (r12 review finding, execution-confirmed on 3e8 and +inf)
+    ratio = (s - F.lit(score_min)) / F.lit(width)
+    b = F.floor(
+        F.least(F.lit(float(n_bins - 1)), F.greatest(F.lit(0.0), ratio))
+    ).cast("int")
     return width, b
 
 
@@ -549,9 +557,9 @@ def grouped_per_score_counts(
     filter instead (no v-NULL rows, no cnt_null column) — the
     :func:`grouped_auc` batch path takes it because it discards the
     null tally anyway, and the filter keeps the scan inside one
-    codegen stage with no wasted aggregation over invalid rows."""
-    if not group_cols:
-        raise ValueError("group_cols must be non-empty (use per_score_counts)")
+    codegen stage with no wasted aggregation over invalid rows.
+    ``group_cols=[]`` is legal — :func:`per_score_counts` IS this
+    function ungrouped (one shared body, r12)."""
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("int")
     if not track_invalid:
@@ -622,12 +630,28 @@ def grouped_auc_from_score_counts(
         partitions = per.sparkSession.sparkContext.defaultParallelism
     if "cnt_null" not in per.columns:
         per = per.withColumn("cnt_null", F.lit(0).cast("long"))
+    # group keys must be hashable driver-side (the offset accumulation
+    # dict below) — refuse complex types eagerly instead of throwing
+    # TypeError AFTER the full cluster computation ran (r12 review
+    # finding)
+    dtypes = dict(per.dtypes)
+    for c in group_cols:
+        if dtypes[c].startswith(("array", "map", "struct")):
+            raise ValueError(
+                f"grouped AUC: group column {c!r} has complex type "
+                f"{dtypes[c]} — the per-(partition, group) offset "
+                "accumulation needs hashable scalar keys; cast or "
+                "serialize the column first"
+            )
     if not assume_folded:
+        # lazy checkpoint for the same three-consumer reason as the
+        # ungrouped finisher (the nulls aggregate re-read the unfolded
+        # relation — r12 review finding)
         per = per.groupBy(*group_cols, "v").agg(
             F.sum("cnt_a").alias("cnt_a"),
             F.sum("cnt_b").alias("cnt_b"),
             F.sum("cnt_null").alias("cnt_null"),
-        )
+        ).localCheckpoint(eager=False)
     valid_per = per.where(F.col("v").isNotNull()).select(
         *group_cols, F.col("v").alias("__v"), "cnt_a", "cnt_b"
     )

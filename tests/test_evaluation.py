@@ -507,3 +507,61 @@ def test_threshold_report_from_score_counts_matches_row_level(spark):
 
     with pytest.raises(ValueError, match="thresholds"):
         threshold_report_from_score_counts(per_score_counts(docs), [])
+
+
+def test_calibration_clamps_out_of_range_scores(spark):
+    """r12 review finding (execution-confirmed): an out-of-range or
+    infinite score made the bin rule's long conversion CAST_OVERFLOW
+    under ANSI instead of clamping into the terminal bin."""
+    from mwas_rfam_spark.operators.evaluation import calibration_report
+
+    df = spark.createDataFrame(
+        [(3e8, 1), (float("inf"), 1), (-5.0, 0), (0.55, 1)],
+        "score double, label int",
+    )
+    rows = {r["bin"]: r for r in calibration_report(df).collect()}
+    assert rows[9]["n"] == 2  # 3e8 and +inf clamp into the top bin
+    assert rows[0]["n"] == 1  # -5 clamps into bin 0
+    assert rows[5]["n"] == 1
+
+
+def test_f1_zero_when_model_all_wrong(spark):
+    """r12 review finding (execution-confirmed): tp=0 with fp>0 and
+    fn>0 gave f1=NULL; sklearn reports 0.0 — NULL stays reserved for
+    undefined cells."""
+    from mwas_rfam_spark.operators.evaluation import threshold_report
+
+    df = spark.createDataFrame(
+        [(0.9, 0), (0.1, 1)], "score double, label int"
+    )
+    r = threshold_report(df, [0.5]).collect()[0]
+    assert r["precision"] == 0.0 and r["recall"] == 0.0
+    assert r["f1"] == 0.0
+
+
+def test_threshold_report_empty_input_zero_cells(spark):
+    """r12 review finding (execution-confirmed): an all-invalid batch
+    returned NULL confusion cells; the honest count is 0 (the family's
+    pinned convention), with NULL ratios."""
+    from mwas_rfam_spark.operators.evaluation import threshold_report
+
+    df = spark.createDataFrame(
+        [(float("nan"), 1), (None, 0)], "score double, label int"
+    )
+    r = threshold_report(df, [0.5]).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (0, 0, 0, 0)
+    assert r["precision"] is None and r["f1"] is None
+    assert r["selected_frac"] is None
+
+
+def test_grouped_auc_refuses_complex_group_type(spark):
+    """r12 review finding: an array-typed group column crashed the
+    driver with an unhashable-type TypeError AFTER the cluster work
+    ran; now an eager ValueError."""
+    from mwas_rfam_spark.operators.evaluation import grouped_auc
+
+    df = spark.createDataFrame(
+        [(["a"], 0.5, 1)], "tags array<string>, score double, label int"
+    )
+    with pytest.raises(ValueError, match="complex type"):
+        grouped_auc(df, ["tags"])
