@@ -3712,8 +3712,9 @@ FROM final
             WITH meta AS (
               SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                      sha256(text) AS sha, substr(sha256(text), 1, 8) AS magic,
-                     CASE WHEN doc_id % 3 = 0 THEN 'image'
-                          WHEN doc_id % 3 = 1 THEN 'audio'
+                     -- ((x%3)+3)%3 == Spark's pmod (r12 lockstep: negative ids)
+                     CASE WHEN ((doc_id % 3) + 3) % 3 = 0 THEN 'image'
+                          WHEN ((doc_id % 3) + 3) % 3 = 1 THEN 'audio'
                           ELSE 'video' END AS media_type
               FROM documents),
             img AS (
@@ -3723,7 +3724,7 @@ FROM final
                      CAST(16 + (ascii(substr(sha, 3, 1)) * 256
                                 + ascii(substr(sha, 4, 1))) % 512 AS INT) AS height,
                      CAST(1 + ascii(substr(sha, 5, 1)) % 4 AS INT) AS channels
-              FROM meta WHERE doc_id % 3 = 0),
+              FROM meta WHERE ((doc_id % 3) + 3) % 3 = 0),
             aud0 AS (
               SELECT doc_id,
                      CASE ascii(substr(sha, 1, 1)) % 4
@@ -3731,7 +3732,7 @@ FROM final
                           WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
                      1000 + (ascii(substr(sha, 2, 1)) * 256
                              + ascii(substr(sha, 3, 1))) * 17 AS n_samples
-              FROM meta WHERE doc_id % 3 = 1),
+              FROM meta WHERE ((doc_id % 3) + 3) % 3 = 1),
             aud AS (
               SELECT doc_id, CAST(sample_rate AS INT) AS sample_rate,
                      CAST(n_samples AS BIGINT) AS n_samples,

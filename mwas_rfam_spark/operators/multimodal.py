@@ -94,7 +94,11 @@ def attach_binary(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
             F.substring(sha, 1, 8).alias("magic"),
             F.element_at(
                 F.array(*[F.lit(m) for m in MEDIA_TYPES]),
-                (F.col(id_col) % 3 + 1).cast("int"),
+                # pmod, not %: Spark's % follows the dividend's sign, so
+                # a negative doc_id produced element_at index 0 (runtime
+                # error) or -1 (silent wrap from the array END) — r12
+                # review finding; oracle CASE moved in lockstep
+                (F.pmod(F.col(id_col), F.lit(3)) + 1).cast("int"),
             ).alias("media_type"),
         ).alias("media_meta"),
     )
@@ -127,7 +131,17 @@ def _real_decode_dims(payload: bytes) -> tuple[int, int, int]:
         import io
 
         with Image.open(io.BytesIO(payload)) as im:
-            return im.width, im.height, len(im.getbands())
+            # report the channels the PIXEL path would emit: modes
+            # outside the 8-bit-interleaved set decode via convert(RGB)
+            # there, so a palette GIF must be 3 here too — the stdlib
+            # fallback already says 3, and the channels column must not
+            # change with wheel presence (r12 review finding)
+            c = (
+                len(im.getbands())
+                if im.mode in ("L", "LA", "RGB", "RGBA")
+                else 3
+            )
+            return im.width, im.height, c
     from mwas_rfam_spark.functions.gif_codec import decode_gif, is_gif
     from mwas_rfam_spark.functions.jpeg_codec import is_jpeg, jpeg_dims
     from mwas_rfam_spark.functions.png_codec import decode_png, is_png
@@ -174,7 +188,18 @@ def _real_decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             w = h = c = 0
             for fi in range(n):
                 im.seek(fi)
-                fr = im.convert("RGB") if im.mode in ("P", "PA") else im
+                # normalize EVERY non-8-bit-interleaved mode, not just
+                # palettes: '1' packs 8 px/byte, 'I;16'/'I'/'F' are
+                # 2-4 bytes per sample, so tobytes() would violate the
+                # len(px) == w*h*c invariant every downstream consumer
+                # (frame loops, dHash resample) silently relies on —
+                # zero-padded garbage fingerprints with no error (r12
+                # review finding)
+                fr = (
+                    im
+                    if im.mode in ("L", "LA", "RGB", "RGBA")
+                    else im.convert("RGB")
+                )
                 w, h, c = fr.width, fr.height, len(fr.getbands())
                 parts.append(fr.tobytes())
             return w, h, c, b"".join(parts)
@@ -223,7 +248,14 @@ def decode_images(media: DataFrame, fake: bool = True) -> DataFrame:
                 }
             )
 
-    images = media.filter(F.col("media_meta.media_type") == "image").select(
+    images = media.filter(
+        (F.col("media_meta.media_type") == "image")
+        # NULL payloads: same drop-before-Python convention as
+        # cdc_chunk_payloads — bytes(None)/sha256(None) would fail the
+        # whole task (r12 review finding; attach_binary emits payload
+        # NULL for NULL text while media_type stays non-NULL)
+        & F.col("payload").isNotNull()
+    ).select(
         "doc_id", "payload"
     )
     return images.mapInPandas(decode, DECODED_IMAGE_SCHEMA)
@@ -285,11 +317,15 @@ def _real_audio_features(payload: bytes) -> tuple[int, int]:
         # libsndfile shared object is missing — the stdlib WAV fallback
         # below still works in that environment
         import soundfile  # type: ignore
-
+    except (ImportError, OSError):
+        soundfile = None
+    if soundfile is not None:
+        # outside the try — the file's convention: the except covers
+        # only the import, a real decode failure must SURFACE, not be
+        # swallowed into the MP3/WAV fallbacks' misdiagnosis (r12
+        # review finding; same guard as the image/video paths)
         info = soundfile.info(io.BytesIO(payload))
         return int(info.samplerate), int(info.frames)
-    except (ImportError, OSError):
-        pass
     from mwas_rfam_spark.functions.media_headers import is_mp3, mp3_metadata
 
     if is_mp3(payload):
@@ -336,7 +372,14 @@ def extract_audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
                 }
             )
 
-    audio = media.filter(F.col("media_meta.media_type") == "audio").select(
+    audio = media.filter(
+        (F.col("media_meta.media_type") == "audio")
+        # NULL payloads: same drop-before-Python convention as
+        # cdc_chunk_payloads — bytes(None)/sha256(None) would fail the
+        # whole task (r12 review finding; attach_binary emits payload
+        # NULL for NULL text while media_type stays non-NULL)
+        & F.col("payload").isNotNull()
+    ).select(
         "doc_id", "payload"
     )
     return audio.mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
@@ -676,7 +719,14 @@ def video_metadata(
                 ],
             )
 
-    video = media.filter(F.col("media_meta.media_type") == "video").select(
+    video = media.filter(
+        (F.col("media_meta.media_type") == "video")
+        # NULL payloads: same drop-before-Python convention as
+        # cdc_chunk_payloads — bytes(None)/sha256(None) would fail the
+        # whole task (r12 review finding; attach_binary emits payload
+        # NULL for NULL text while media_type stays non-NULL)
+        & F.col("payload").isNotNull()
+    ).select(
         "doc_id", "payload"
     )
     return video.mapInPandas(extract, VIDEO_METADATA_SCHEMA)
@@ -690,6 +740,11 @@ def sample_video_frames(media: DataFrame, every_n: int = 4, fake: bool = True) -
     fake path derives a frame count from payload size. Output is
     long-form so downstream per-frame ops (dedup, embedding) stay
     relational."""
+    # driver-side like the sibling params (max_side, dim, on_error):
+    # every_n=0 used to die inside the executor as range()'s
+    # ValueError / a ZeroDivisionError (r12 review finding)
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -715,7 +770,14 @@ def sample_video_frames(media: DataFrame, every_n: int = 4, fake: bool = True) -
                     }
                 )
 
-    video = media.filter(F.col("media_meta.media_type") == "video").select(
+    video = media.filter(
+        (F.col("media_meta.media_type") == "video")
+        # NULL payloads: same drop-before-Python convention as
+        # cdc_chunk_payloads — bytes(None)/sha256(None) would fail the
+        # whole task (r12 review finding; attach_binary emits payload
+        # NULL for NULL text while media_type stays non-NULL)
+        & F.col("payload").isNotNull()
+    ).select(
         "doc_id", "payload"
     )
     return video.mapInPandas(sample, VIDEO_FRAMES_SCHEMA)
@@ -980,7 +1042,14 @@ def resample_images(media: DataFrame, max_side: int = 64, fake: bool = True) -> 
                     }
                 )
 
-    images = media.filter(F.col("media_meta.media_type") == "image").select(
+    images = media.filter(
+        (F.col("media_meta.media_type") == "image")
+        # NULL payloads: same drop-before-Python convention as
+        # cdc_chunk_payloads — bytes(None)/sha256(None) would fail the
+        # whole task (r12 review finding; attach_binary emits payload
+        # NULL for NULL text while media_type stays non-NULL)
+        & F.col("payload").isNotNull()
+    ).select(
         "doc_id", "payload"
     )
     return images.mapInPandas(run, RESAMPLED_SCHEMA)
@@ -1041,7 +1110,14 @@ def audio_signal_stats(media: DataFrame) -> DataFrame:
                     }
                 )
 
-    audio = media.filter(F.col("media_meta.media_type") == "audio").select(
+    audio = media.filter(
+        (F.col("media_meta.media_type") == "audio")
+        # NULL payloads: same drop-before-Python convention as
+        # cdc_chunk_payloads — bytes(None)/sha256(None) would fail the
+        # whole task (r12 review finding; attach_binary emits payload
+        # NULL for NULL text while media_type stays non-NULL)
+        & F.col("payload").isNotNull()
+    ).select(
         "doc_id", "payload"
     )
     return audio.mapInPandas(run, AUDIO_SIGNAL_SCHEMA)
@@ -1080,8 +1156,13 @@ def _dhash64(px: bytes, w: int, h: int, c: int) -> int:
     complement so it stores as a Spark LONG (same convention as
     simhash64). Deterministic: integer luma, integer index mapping,
     strict > — no floats anywhere."""
-    gray = _gray_plane(px, w, h, c)
-    thumb = _nearest_resample(gray, w, h, 1, 9, 8)
+    # resample FIRST, then gray: nearest-neighbor only SELECTS source
+    # pixels, so graying the 72 selected pixels is bit-identical to
+    # graying all w*h and selecting — but ~w*h/72 times cheaper on the
+    # mapInPandas hot path (r12 review finding: a 12 MP image paid a
+    # 12M-iteration Python luma loop for 72 survivors)
+    thumb_px = _nearest_resample(px, w, h, c, 9, 8)
+    thumb = _gray_plane(thumb_px, 9, 8, c)
     v = 0
     for y in range(8):
         row = y * 9
@@ -1130,7 +1211,14 @@ def image_dhash(media: DataFrame, fake: bool = True) -> DataFrame:
                     }
                 )
 
-    images = media.filter(F.col("media_meta.media_type") == "image").select(
+    images = media.filter(
+        (F.col("media_meta.media_type") == "image")
+        # NULL payloads: same drop-before-Python convention as
+        # cdc_chunk_payloads — bytes(None)/sha256(None) would fail the
+        # whole task (r12 review finding; attach_binary emits payload
+        # NULL for NULL text while media_type stays non-NULL)
+        & F.col("payload").isNotNull()
+    ).select(
         "doc_id", "payload"
     )
     return images.mapInPandas(run, DHASH_SCHEMA)

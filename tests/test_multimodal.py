@@ -2081,3 +2081,80 @@ def test_uncompressed_dib_avi_frames():
     )
     with pytest.raises(ValueError, match="undersized"):
         _real_video_frames(short, every_n=1)
+
+
+def test_null_payload_rows_dropped_not_crashed(spark):
+    """r12 review finding: attach_binary emits payload NULL for NULL
+    text while media_type stays non-NULL; every media operator now
+    applies cdc_chunk_payloads' drop-before-Python convention instead
+    of dying on bytes(None)/sha256(None)."""
+    from mwas_rfam_spark.operators.multimodal import (
+        attach_binary,
+        decode_images,
+        extract_audio_features,
+        sample_video_frames,
+        video_metadata,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, None if i < 3 else f"text {i}") for i in range(9)],
+        "doc_id long, text string",
+    )
+    media = attach_binary(docs)
+    assert decode_images(media).count() > 0  # no crash, NULLs dropped
+    assert extract_audio_features(media).count() > 0
+    assert video_metadata(media).count() > 0
+    assert sample_video_frames(media).count() > 0
+    got_ids = {r["doc_id"] for r in decode_images(media).collect()}
+    assert got_ids.isdisjoint({0, 1, 2})
+
+
+def test_attach_binary_negative_doc_id(spark):
+    """r12 review finding: Spark's % follows the dividend's sign, so a
+    negative doc_id hit element_at index 0 (runtime error) or wrapped
+    from the array END; pmod fixes the rotation."""
+    from mwas_rfam_spark.operators.multimodal import attach_binary
+
+    docs = spark.createDataFrame(
+        [(-1, "a"), (-2, "b"), (-3, "c"), (3, "d")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["media_meta"]["media_type"]
+        for r in attach_binary(docs).collect()
+    }
+    assert got[-3] == "image" and got[3] == "image"
+    assert got[-2] == "audio" and got[-1] == "video"
+
+
+def test_sample_video_frames_validates_every_n(spark):
+    """r12 review finding: every_n=0 died inside the executor."""
+    from mwas_rfam_spark.operators.multimodal import (
+        attach_binary,
+        sample_video_frames,
+    )
+
+    docs = spark.createDataFrame([(2, "v")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="every_n"):
+        sample_video_frames(attach_binary(docs), every_n=0)
+
+
+def test_dhash_resample_first_identical(spark):
+    """r12 efficiency fix: resample-then-gray must be bit-identical to
+    the old gray-then-resample (nearest-neighbor only selects pixels).
+    Pin the hash of a known gradient so the reorder can't drift."""
+    from mwas_rfam_spark.operators.multimodal import _dhash64, _gray_plane, _nearest_resample
+
+    w, h, c = 31, 17, 3
+    px = bytes((x * 7 + y * 13 + ch * 29) % 256 for y in range(h) for x in range(w) for ch in range(c))
+    new = _dhash64(px, w, h, c)
+    gray = _gray_plane(px, w, h, c)
+    thumb = _nearest_resample(gray, w, h, 1, 9, 8)
+    v = 0
+    for y in range(8):
+        row = y * 9
+        for x in range(8):
+            if thumb[row + x] > thumb[row + x + 1]:
+                v |= 1 << (y * 8 + x)
+    old = v - (1 << 64) if v >= 1 << 63 else v
+    assert new == old
