@@ -50,7 +50,11 @@ def rpm_rollup_stream(requests: DataFrame, catalog_df: DataFrame) -> DataFrame:
     joined = requests.join(catalog_df, "run", "left")
     return (
         joined.withColumn("rpm", _stream_rpm_col())
-        .filter(F.col("bio_project").isNotNull())
+        # SAME resolve filter as batch resolve_and_normalize
+        # (mwas.py:115-117): bio_sample too — streaming used to keep
+        # NULL-biosample rows the batch path drops, breaking the
+        # one-observation-one-value parity (r12 review finding)
+        .filter(F.col("bio_project").isNotNull() & F.col("bio_sample").isNotNull())
         .groupBy("request_id", "bio_project", "group", "bio_sample")
         .agg(F.avg("rpm").alias("rpm"), F.count("*").alias("n_runs"))
     )
@@ -169,7 +173,8 @@ def resolve_stream(requests: DataFrame, catalog_df: DataFrame) -> DataFrame:
     joined = requests.join(catalog_df, "run", "left")
     return (
         joined.withColumn("rpm", _stream_rpm_col())
-        .filter(F.col("bio_project").isNotNull())
+        # parity with batch resolve_and_normalize: bio_sample too (r12)
+        .filter(F.col("bio_project").isNotNull() & F.col("bio_sample").isNotNull())
         .select("bio_project", "group", "bio_sample", "rpm")
     )
 
@@ -253,7 +258,11 @@ def streaming_curate(
     deduped = streaming_exact_dedup(gated, watermark, ts_col=ts_col, text_col=text_col)
     if redact:
         deduped = deduped.withColumn(text_col, redact_pii(F.col(text_col)))
-    return deduped
+    # drop the dedup-internal hash like batch curate_corpus drops its
+    # _hash columns — the leaked column diverged from the batch schema
+    # AND carried a PRE-redaction content fingerprint of redacted text
+    # (r12 review finding)
+    return deduped.drop("content_hash")
 
 
 def _windowed_psi(
@@ -333,6 +342,13 @@ def windowed_psi_stream(
     # bucket's proportion
     base_counts: dict = {}
     for c, n_ in rows:
+        # a NULL count raised an opaque TypeError below; a negative one
+        # silently NaN'd every window's psi (r12 review finding)
+        if n_ is None or n_ < 0:
+            raise ValueError(
+                f"baseline count for category {c!r} must be a "
+                f"non-negative number, got {n_!r}"
+            )
         base_counts[c] = base_counts.get(c, 0) + n_
     if not base_counts:
         raise ValueError("baseline has no categories")
@@ -385,8 +401,13 @@ def windowed_numeric_psi_stream(
         raise ValueError(f"bins must be >= 2, got {bins}")
     if eps <= 0:
         raise ValueError(f"eps must be > 0, got {eps}")
-    if relative_error <= 0:
-        raise ValueError(f"relative_error must be > 0, got {relative_error}")
+    if not 0 < relative_error <= 1.0:
+        # > 1 passed the old guard and died in percentile_approx with
+        # an unrelated 'accuracy must be greater than 0' (r12 review
+        # finding: int(1/relative_error) == 0)
+        raise ValueError(
+            f"relative_error must be in (0, 1], got {relative_error}"
+        )
     qs = [i / bins for i in range(1, bins)]
     edges_row = baseline.agg(
         F.percentile_approx(
@@ -476,9 +497,15 @@ def streaming_minhash_dedup(
 
     from ..operators.dedup import incremental_minhash_dedup
 
+    stamp_ok = []  # memoized: the stamp and params are immutable, so
+    # after one successful check the per-trigger Spark JSON read is
+    # pure overhead (r12 review finding)
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _verify_banding_stamp(spark, state_dir, num_hashes, bands, n)
+        if not stamp_ok:
+            _verify_banding_stamp(spark, state_dir, num_hashes, bands, n)
+            stamp_ok.append(True)
         try:
             seen = (
                 spark.read.parquet(state_dir)
@@ -550,6 +577,15 @@ def _verify_banding_stamp(
             raise
         got = []
     if got:
+        if got[0]["banding_version"] is None:
+            # a truncated/hand-edited stamp parses PERMISSIVE to an
+            # all-NULL row; silently accepting it would permanently
+            # disable the guard (r12 review finding) — refuse instead
+            raise ValueError(
+                f"corrupt banding stamp at {path!r} (unparseable or "
+                "missing banding_version) — restore it or delete the "
+                "file AND rebuild the state"
+            )
         bad = {
             k: (got[0][k], v)
             for k, v in want.items()
@@ -596,7 +632,7 @@ def last_committed_batch(spark: SparkSession, checkpoint_dir: str) -> int | None
 def _compact_batch_state(
     spark: SparkSession,
     state_dir: str,
-    up_to_batch: int,
+    up_to_batch: int | None,
     merge_write,
 ) -> int:
     """The crash-safe fold skeleton BOTH per-batch state compactors
@@ -618,6 +654,12 @@ def _compact_batch_state(
     batch 3 it contains); under DISTINCT the exclusion is a harmless
     no-op. See :func:`compact_minhash_state` for the replay-safety
     argument."""
+    if up_to_batch is None:
+        # the documented recipe feeds last_committed_batch() straight
+        # in, and that returns None for a checkpoint with no commits
+        # yet — nothing can be safely folded, so the compaction is a
+        # clean no-op instead of a bare TypeError (r12 review finding)
+        return 0
     if up_to_batch < 0:
         raise ValueError(f"up_to_batch must be >= 0, got {up_to_batch}")
     jvm = spark._jvm
@@ -705,7 +747,7 @@ def _compact_batch_state(
 def compact_minhash_state(
     spark: SparkSession,
     state_dir: str,
-    up_to_batch: int,
+    up_to_batch: int | None,
 ) -> int:
     """Replay-safe small-files repair for a :func:`streaming_minhash_dedup`
     state table: every trigger lands one ``ingest_batch=<id>`` partition,
@@ -755,7 +797,7 @@ def compact_minhash_state(
 def compact_cms_state(
     spark: SparkSession,
     state_dir: str,
-    up_to_batch: int,
+    up_to_batch: int | None,
 ) -> int:
     """:func:`compact_minhash_state`'s twin for a :func:`streaming_cms`
     state dir — count-min counters are LINEAR, so committed batch
@@ -891,6 +933,10 @@ def streaming_heavy_hitters(
 
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
+    if shards < 1:
+        # fail at sink construction, not inside the N-th micro-batch
+        # (% 0 is DIVIDE_BY_ZERO under ANSI — r12 review finding)
+        raise ValueError(f"shards must be >= 1, got {shards}")
 
     def update(key: tuple, pdfs, state: GroupState):
         if state.exists:
@@ -916,7 +962,11 @@ def streaming_heavy_hitters(
             }
         )
 
-    keyed = events.select(
+    # drop NULL keys BEFORE sharding: they have no identity to count,
+    # and they used to inflate one shard's n_rows (value_counts drops
+    # NaN) — silently loosening the emitted shard_rows/(capacity+1)
+    # error bound ~|nulls|-fold (r12 review finding)
+    keyed = events.where(F.col(key_col).isNotNull()).select(
         (md5_u32(F.concat_ws(":", F.lit("hh"), F.col(key_col).cast("string")))
          % shards).cast("int").alias("__shard"),
         F.col(key_col).cast("string").alias("__k"),
@@ -1116,6 +1166,10 @@ def eval_state_auc(
             F.sum("cnt_b").alias("cnt_b"),
             F.sum("cnt_null").alias("cnt_null"),
         )
+        # assume_folded=True skips the finisher's own checkpoint, and
+        # its three sub-plans would otherwise each re-scan + re-fold
+        # the state dir (r12 review finding) — pin the state-sized fold
+        .localCheckpoint(eager=False)
     )
     return auc_from_score_counts(
         per_s, partitions=partitions, assume_folded=True
@@ -1259,7 +1313,7 @@ def eval_state_threshold_report(
 def compact_eval_state(
     spark: SparkSession,
     state_dir: str,
-    up_to_batch: int,
+    up_to_batch: int | None,
 ) -> int:
     """:func:`compact_cms_state`'s twin for a
     :func:`streaming_eval_counts` state dir — per-score counts are

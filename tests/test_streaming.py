@@ -1528,3 +1528,70 @@ def test_banding_stamp_guards_state_dir(spark, tmp_path, monkeypatch):
         f"{state}/ingest_batch=0"
     )
     assert spark.read.parquet(state).columns == ["band", "bucket", "ingest_batch"]
+
+
+def test_compactors_noop_on_uncommitted_checkpoint(spark, tmp_path):
+    """r12 review finding: the documented recipe feeds
+    last_committed_batch() straight into the compactors, and that
+    returns None before any commit — clean no-op, not TypeError."""
+    from mwas_rfam_spark.streaming.requests import (
+        compact_cms_state,
+        compact_minhash_state,
+    )
+
+    state = str(tmp_path / "none_state")
+    assert compact_minhash_state(spark, state, None) == 0
+    assert compact_cms_state(spark, state, None) == 0
+
+
+def test_banding_stamp_corrupt_refused(spark, tmp_path):
+    """r12 review finding: a truncated/hand-edited stamp parsed
+    PERMISSIVE to an all-NULL row and silently disabled the guard."""
+    import os
+
+    from mwas_rfam_spark.streaming.requests import _verify_banding_stamp
+
+    state = str(tmp_path / "mh2")
+    os.makedirs(f"{state}/_banding")
+    with open(f"{state}/_banding/part-corrupt.json", "w") as f:
+        f.write('{"garbage": tru')
+    with pytest.raises(ValueError, match="corrupt banding stamp"):
+        _verify_banding_stamp(spark, state, 64, 16, 3)
+
+
+def test_heavy_hitters_validates_shards_and_drops_null_keys(spark, tmp_path):
+    """r12 review findings: shards<=0 died inside the Nth micro-batch
+    (DIVIDE_BY_ZERO under ANSI); NULL keys inflated one shard's n_rows
+    while value_counts dropped them from the summary, silently
+    loosening the emitted error bound."""
+    import datetime as dt
+
+    from mwas_rfam_spark.streaming.requests import streaming_heavy_hitters
+
+    base = spark.createDataFrame(
+        [(dt.datetime(2026, 1, 1), None)] * 5
+        + [(dt.datetime(2026, 1, 1), "hot")] * 3,
+        "ts timestamp, k string",
+    )
+    with pytest.raises(ValueError, match="shards"):
+        streaming_heavy_hitters(base, "k", shards=0)
+    src = str(tmp_path / "hh_src")
+    base.write.json(src)
+    stream = spark.readStream.schema("ts timestamp, k string").json(src)
+    out = streaming_heavy_hitters(stream, "k", capacity=4, shards=1)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hh_nulls")
+        .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM hh_nulls").collect()
+    finally:
+        q.stop()
+    assert {r["key"] for r in rows} == {"hot"}
+    # shard_rows counts only folded (non-NULL) keys — the bound's
+    # denominator matches what the summary actually saw
+    assert all(r["shard_rows"] == 3 for r in rows)
