@@ -4340,7 +4340,8 @@ FROM final
             per_v AS (
               SELECT pc, x, sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
                      sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
-              FROM proj GROUP BY pc, x),
+              -- NaN excluded like NULL (r12 lockstep with ks_drift)
+              FROM proj WHERE NOT isnan(x) GROUP BY pc, x),
             tot AS (SELECT pc, sum(ca) AS na, sum(cb) AS nb FROM per_v GROUP BY pc),
             cum AS (
               SELECT p.pc,
@@ -4604,7 +4605,9 @@ def relocated_oracles() -> dict[str, str]:
         "drift_report": """
             WITH t AS (
               SELECT CAST(value AS DOUBLE) AS v, (event_id % 2 = 0) AS is_a
-              FROM events WHERE value IS NOT NULL),
+              FROM events
+              -- NaN excluded like NULL (r12 lockstep with ks_drift)
+              WHERE value IS NOT NULL AND NOT isnan(value)),
             per_v AS (
               SELECT v, sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
                         sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb

@@ -36,6 +36,67 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _finite_cond(df: DataFrame, col: str, alias: str | None = None):
+    """NULL-and-NaN exclusion predicate for a numeric monitoring column
+    (dtype-aware: isnan only applies to float/double — an int column
+    can't carry NaN and F.isnan would not analyze on it). NaN passes
+    isNotNull and sorts greater than every number in Spark, so without
+    this every ECDF/bucket statistic silently absorbed the NaN rate
+    (r12 review finding)."""
+    c = F.col(alias or col)
+    cond = c.isNotNull()
+    if dict(df.dtypes).get(col) in ("double", "float"):
+        cond = cond & ~F.isnan(c)
+    return cond
+
+
+def baseline_quantile_bucket(
+    baseline: DataFrame,
+    value_col: str,
+    bins: int,
+    relative_error: float,
+):
+    """(edges, bucket_expr) — THE frozen-baseline-quantile bucketing
+    shared by the batch monitor (:func:`binned_numeric_drift`) and the
+    streaming one (``windowed_numeric_psi_stream``). One definition
+    because the two hand-copies had already diverged — the
+    relative_error guard landed in only one of them (r12 review
+    finding). ``bucket_expr`` routes NULL AND NaN to bucket -1 (a
+    missing-ish value is not 'greater than every edge') and counts
+    edges strictly below the value otherwise; duplicate/degenerate
+    edges collapse naturally. ``bins`` is bounded: the bucket
+    expression is a bins-deep when-chain, and an unbounded value builds
+    a pathologically deep Catalyst tree (codegen fallback, ultimately
+    StackOverflow) instead of failing fast."""
+    if not 2 <= bins <= 10_000:
+        raise ValueError(f"bins must be in [2, 10000], got {bins}")
+    if not 0 < relative_error <= 1.0:
+        # > 1 passed a bare positivity check and died inside
+        # percentile_approx with an unrelated 'accuracy must be greater
+        # than 0' (int(1/relative_error) == 0)
+        raise ValueError(
+            f"relative_error must be in (0, 1], got {relative_error}"
+        )
+    qs = [i / bins for i in range(1, bins)]
+    edges_row = baseline.where(_finite_cond(baseline, value_col)).agg(
+        F.percentile_approx(
+            F.col(value_col), F.lit(qs), F.lit(int(1.0 / relative_error))
+        ).alias("edges")
+    ).first()
+    edges = [float(e) for e in (edges_row["edges"] or []) if e is not None]
+    if not edges:
+        raise ValueError(f"baseline has no non-null values in {value_col}")
+    v = F.col(value_col)
+    bucket = F.lit(0)
+    for e in edges:
+        bucket = bucket + F.when(v > F.lit(e), 1).otherwise(0)
+    finite = v.isNotNull()
+    if dict(baseline.dtypes).get(value_col) in ("double", "float"):
+        finite = finite & ~F.isnan(v)
+    bucket = F.when(~finite, F.lit(-1)).otherwise(bucket)
+    return edges, bucket
+
+
 def _two_level_cumsum(per_value: DataFrame, value_col: str, partitions: int) -> DataFrame:
     """Exact cumulative sums of cnt_a / cnt_b in ``value_col`` order
     without a global single-task window: local window inside each range
@@ -93,20 +154,26 @@ def ks_drift(
 
     ``ks_at_value`` is the largest value where the ECDF gap attains its
     maximum (deterministic tie-break) — the "where did it move"
-    diagnostic. Nulls are excluded on both sides (an ECDF is undefined
-    over them); use :func:`categorical_drift` on an is-null indicator
-    to watch null-rate drift."""
+    diagnostic. Nulls AND NaNs are excluded on both sides (an ECDF is
+    undefined over them — r12 review finding: NaN passed isNotNull and,
+    sorting greater than every number, inflated the statistic by the
+    NaN-rate difference); use :func:`categorical_drift` on an
+    is-null/is-nan indicator to watch missingness drift."""
     if partitions is None:
         partitions = df_a.sparkSession.sparkContext.defaultParallelism
-    a = df_a.select(F.col(value_col).alias("v")).where(F.col("v").isNotNull())
-    b = df_b.select(F.col(value_col).alias("v")).where(F.col("v").isNotNull())
+    a = df_a.select(F.col(value_col).alias("v")).where(_finite_cond(df_a, value_col, "v"))
+    b = df_b.select(F.col(value_col).alias("v")).where(_finite_cond(df_b, value_col, "v"))
     tagged = a.withColumn("__is_a", F.lit(1)).unionByName(
         b.withColumn("__is_a", F.lit(0))
     )
+    # lazy checkpoint: the totals agg below and _two_level_cumsum's
+    # ranged relation both consume this reduced relation — without it
+    # the union+groupBy over both corpora ran twice per call (r12
+    # review finding)
     per_value = tagged.groupBy("v").agg(
         F.sum("__is_a").alias("cnt_a"),
         F.sum(1 - F.col("__is_a")).alias("cnt_b"),
-    )
+    ).localCheckpoint(eager=False)
     # totals as driver scalars (two numbers), folded in as literals —
     # never an all-rows window (that would be one task)
     n_a, n_b = per_value.agg(F.sum("cnt_a"), F.sum("cnt_b")).first()
@@ -149,6 +216,9 @@ def categorical_drift(
         raise ValueError(f"eps must be > 0, got {eps}")
     a = df_a.select(F.col(category_col).alias("c")).withColumn("__is_a", F.lit(1))
     b = df_b.select(F.col(category_col).alias("c")).withColumn("__is_a", F.lit(0))
+    # lazy checkpoint: three consumers (totals, top-mover subplan, the
+    # final agg) each re-ran the union+groupBy over both corpora (r12
+    # review finding)
     counts = (
         a.unionByName(b)
         .groupBy("c")
@@ -156,6 +226,7 @@ def categorical_drift(
             F.sum("__is_a").alias("cnt_a"),
             F.sum(1 - F.col("__is_a")).alias("cnt_b"),
         )
+        .localCheckpoint(eager=False)
     )
     n_a, n_b = counts.agg(F.sum("cnt_a"), F.sum("cnt_b")).first()
     n_a, n_b = int(n_a or 0), int(n_b or 0)
@@ -298,47 +369,46 @@ def binned_numeric_drift(
     ``bins + 2`` bucket counts via arithmetic bucketing and the PSI
     formula runs over that parameter-sized relation. Edges freeze at
     baseline time, the same convention as the categorical monitor and
-    :func:`windowed_psi_stream`; NULLs get their own bucket (-1).
+    :func:`windowed_psi_stream`; NULLs AND NaNs get their own bucket (-1)
+    — the bucketing rule is shared with the streaming monitor via
+    :func:`baseline_quantile_bucket`.
 
     ``ks_lower_bound`` is the largest |cumulative (p_a − p_b)| over the
     value-ordered non-null bins with non-null totals — a provable lower
     bound on :func:`ks_drift`'s exact statistic (each bin edge is a real
     value threshold), so it composes with the same thresholds.
     """
-    if bins < 2:
-        raise ValueError(f"bins must be >= 2, got {bins}")
     if eps <= 0:
         raise ValueError(f"eps must be > 0, got {eps}")
-    qs = [i / bins for i in range(1, bins)]
-    edges_row = df_a.agg(
-        F.percentile_approx(
-            F.col(value_col), F.lit(qs), F.lit(int(1.0 / relative_error))
-        ).alias("edges")
-    ).first()
-    edges = [e for e in (edges_row["edges"] or []) if e is not None]
-    if not edges:
-        raise ValueError(f"baseline has no non-null values in {value_col}")
-
-    # bucket = count of edges strictly below the value (degenerate /
-    # duplicate edges collapse naturally); NULL -> -1
-    v = F.col(value_col)
-    bucket = F.lit(0)
-    for e in edges:
-        bucket = bucket + F.when(v > F.lit(float(e)), 1).otherwise(0)
-    bucket = F.when(v.isNull(), F.lit(-1)).otherwise(bucket)
+    # edges + NULL/NaN-to-bucket(-1) rule shared with the streaming
+    # monitor (r12: the hand-copies had diverged); bins and
+    # relative_error validate in the helper
+    _edges, bucket = baseline_quantile_bucket(
+        df_a, value_col, bins, relative_error
+    )
 
     def counted(df: DataFrame, name: str) -> DataFrame:
         return df.select(bucket.alias("bucket")).groupBy("bucket").agg(
             F.count("*").alias(name)
         )
 
+    # lazy checkpoint: the totals .first() and the returned plan both
+    # consume the parameter-sized counts relation — without it the two
+    # corpus groupBys re-ran per consumer (r12 review finding)
     counts = counted(df_a, "cnt_a").join(counted(df_b, "cnt_b"), "bucket", "full_outer").select(
         "bucket",
         F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
         F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
-    )
-    n_a, n_b = counts.agg(F.sum("cnt_a"), F.sum("cnt_b")).first()
-    n_a, n_b = int(n_a or 0), int(n_b or 0)
+    ).localCheckpoint(eager=False)
+    # ONE totals job for all four scalars (overall + non-null) instead
+    # of two separate aggregation jobs (r12 review finding)
+    nn_a = F.when(F.col("bucket") >= 0, F.col("cnt_a")).otherwise(F.lit(0))
+    nn_b = F.when(F.col("bucket") >= 0, F.col("cnt_b")).otherwise(F.lit(0))
+    tot = counts.agg(
+        F.sum("cnt_a"), F.sum("cnt_b"), F.sum(nn_a), F.sum(nn_b)
+    ).first()
+    n_a, n_b = int(tot[0] or 0), int(tot[1] or 0)
+    na_nn, nb_nn = int(tot[2] or 0), int(tot[3] or 0)
     if n_a == 0 or n_b == 0:
         raise ValueError(f"binned_numeric_drift needs non-empty sides, got n_a={n_a}, n_b={n_b}")
     pa = F.col("cnt_a") / F.lit(n_a) + F.lit(eps)
@@ -352,8 +422,6 @@ def binned_numeric_drift(
     # bin 2 gives per-bin gaps of 1.0 against a true KS of 0.5. The
     # window is over <= bins+2 rows (parameter-sized), so the
     # single-task sort is fine.
-    nn = counts.where(F.col("bucket") >= 0).agg(F.sum("cnt_a"), F.sum("cnt_b")).first()
-    na_nn, nb_nn = int(nn[0] or 0), int(nn[1] or 0)
     w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     cum_gap = F.when(
         (F.col("bucket") >= 0) & F.lit(na_nn > 0 and nb_nn > 0),

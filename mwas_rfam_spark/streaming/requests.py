@@ -397,33 +397,18 @@ def windowed_numeric_psi_stream(
     never-NULL conditions, NULLs in their own bucket — and the shared
     windowed-aggregation tail does the rest. Same rows in batch and
     stream."""
-    if bins < 2:
-        raise ValueError(f"bins must be >= 2, got {bins}")
     if eps <= 0:
         raise ValueError(f"eps must be > 0, got {eps}")
-    if not 0 < relative_error <= 1.0:
-        # > 1 passed the old guard and died in percentile_approx with
-        # an unrelated 'accuracy must be greater than 0' (r12 review
-        # finding: int(1/relative_error) == 0)
-        raise ValueError(
-            f"relative_error must be in (0, 1], got {relative_error}"
-        )
-    qs = [i / bins for i in range(1, bins)]
-    edges_row = baseline.agg(
-        F.percentile_approx(
-            F.col(value_col), F.lit(qs), F.lit(int(1.0 / relative_error))
-        ).alias("edges")
-    ).first()
-    edges = [float(e) for e in (edges_row["edges"] or []) if e is not None]
-    if not edges:
-        raise ValueError(f"baseline has no non-null values in {value_col}")
+    # edges + NULL/NaN-to-bucket(-1) rule + bins/relative_error
+    # validation shared with the batch monitor (r12: the hand-copies
+    # had diverged — the relative_error guard existed here only)
+    from ..operators.drift import baseline_quantile_bucket
 
-    # baseline proportions over the SAME frozen buckets
+    edges, bucket_of = baseline_quantile_bucket(
+        baseline, value_col, bins, relative_error
+    )
     v = F.col(value_col)
-    bucket_of = F.lit(0)
-    for e in edges:
-        bucket_of = bucket_of + F.when(v > F.lit(e), 1).otherwise(0)
-    bucket_of = F.when(v.isNull(), F.lit(-1)).otherwise(bucket_of)
+    # baseline proportions over the SAME frozen buckets
     base_counts = {
         r["b"]: r["n"]
         for r in baseline.select(bucket_of.alias("b")).groupBy("b").count()
@@ -431,8 +416,11 @@ def windowed_numeric_psi_stream(
     }
     total = float(sum(base_counts.values()))
     n_buckets = len(edges) + 1
-    matches = [v.isNull()] + [
-        (~v.isNull()) & bucket_of.eqNullSafe(F.lit(i)) for i in range(n_buckets)
+    # matcher 0 must be EXACTLY bucket -1's membership (NULL or NaN
+    # under the shared rule), or stream rows would bucket differently
+    # than the frozen baseline proportions
+    matches = [bucket_of.eqNullSafe(F.lit(-1))] + [
+        bucket_of.eqNullSafe(F.lit(i)) for i in range(n_buckets)
     ]
     props = [base_counts.get(-1, 0) / total] + [
         base_counts.get(i, 0) / total for i in range(n_buckets)

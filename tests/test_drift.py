@@ -389,3 +389,40 @@ def test_embedding_drift_report_detects_mean_shift(spark, sf_dir):
         ).collect()
     }
     assert {c: round(hot[c]["value"], 9) for c in direct} == direct
+
+
+def test_ks_drift_excludes_nan(spark):
+    """r12 review finding: NaN passed isNotNull and, sorting greater
+    than every number, inflated the KS statistic by the NaN-rate
+    difference — a corpus whose real-valued distribution did not move
+    got flagged."""
+    import math
+
+    from mwas_rfam_spark.operators.drift import ks_drift
+
+    a = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    b = spark.createDataFrame(
+        [(float(i),) for i in range(100)] + [(float("nan"),)] * 40, "v double"
+    )
+    r = ks_drift(a, b, "v").collect()[0]
+    assert r["n_b"] == 100  # NaNs excluded from the side count too
+    assert r["ks_stat"] == 0.0
+
+
+def test_binned_drift_nan_in_null_bucket_and_guards(spark):
+    """r12 review findings: NaN landed in the top non-null bucket
+    (polluting psi and the KS lower bound); relative_error > 1 died
+    inside percentile_approx with an unrelated error; bins is bounded
+    (the bucket expr is a bins-deep when-chain)."""
+    from mwas_rfam_spark.operators.drift import binned_numeric_drift
+
+    a = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    b = spark.createDataFrame(
+        [(float(i),) for i in range(100)] + [(float("nan"),)] * 50, "v double"
+    )
+    r = binned_numeric_drift(a, b, "v", bins=4).collect()[0]
+    assert r["ks_lower_bound"] == 0.0  # NaNs sit in bucket -1, not the top bin
+    with pytest.raises(ValueError, match="relative_error"):
+        binned_numeric_drift(a, b, "v", relative_error=2.0)
+    with pytest.raises(ValueError, match="bins"):
+        binned_numeric_drift(a, b, "v", bins=100_000)
