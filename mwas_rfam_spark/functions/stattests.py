@@ -79,17 +79,29 @@ def _betacf(a, b, x):
     return h
 
 
+# hoisted: np.vectorize is a Python-loop wrapper whose construction was
+# paid three times per betainc_reg call on the Arrow-batched t-test hot
+# path (r12 review finding)
+_lgamma = np.vectorize(math.lgamma)
+
+
 def betainc_reg(a, b, x):
-    """Regularized incomplete beta function I_x(a, b), vectorized."""
+    """Regularized incomplete beta function I_x(a, b), vectorized.
+    Out-of-domain parameters (a <= 0 or b <= 0) yield NaN — scipy
+    parity (r12 review finding: math.lgamma(0) raised ValueError, so a
+    df=0 Welch row crashed the whole batch instead of reporting NaN)."""
     a = np.asarray(a, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64)
     x = np.asarray(x, dtype=np.float64)
     x = np.clip(x, 0.0, 1.0)
+    bad = (a <= 0) | (b <= 0) | np.isnan(a) | np.isnan(b)
+    a = np.where(bad, 1.0, a)
+    b = np.where(bad, 1.0, b)
     with np.errstate(divide="ignore", invalid="ignore"):
         ln_front = (
-            -np.vectorize(math.lgamma)(a)
-            - np.vectorize(math.lgamma)(b)
-            + np.vectorize(math.lgamma)(a + b)
+            -_lgamma(a)
+            - _lgamma(b)
+            + _lgamma(a + b)
             + a * np.log(np.where(x > 0, x, 1.0))
             + b * np.log1p(np.where(x < 1, -x, 0.0))
         )
@@ -102,7 +114,7 @@ def betainc_reg(a, b, x):
     out = np.where(use_direct, direct, mirrored)
     out = np.where(x <= 0.0, 0.0, out)
     out = np.where(x >= 1.0, 1.0, out)
-    return np.clip(out, 0.0, 1.0)
+    return np.where(bad, np.nan, np.clip(out, 0.0, 1.0))
 
 
 def student_t_sf(t, df):
@@ -157,6 +169,25 @@ def perm_chunk_rows(n_resamples: int, n: int) -> int:
     return max(1, min(n_resamples, 4_000_000 // max(n, 1)))
 
 
+def comb_at_most(n: int, k: int, cap: int) -> int:
+    """Early-exit binomial: the exact C(n, k) when it is <= cap, else
+    any value > cap. The running product after i steps is C(n-k+i, i),
+    non-decreasing toward C(n, k), so the first partial above cap
+    proves the total is too. math.comb at cap-scale groups is a
+    multi-megabit integer costing seconds PER SET ROW just to learn
+    the answer dwarfs n_resamples (r12 review finding, measured 8.8 s
+    at n=1M)."""
+    k = min(k, n - k)
+    if k < 0:
+        return 0
+    c = 1
+    for i in range(1, k + 1):
+        c = c * (n - k + i) // i
+        if c > cap:
+            return cap + 1
+    return c
+
+
 def mean_diff_statistic(x, y):
     """mean(x) - mean(y) — reference main/mwas_general.py:339-341."""
     return float(np.mean(x) - np.mean(y))
@@ -184,11 +215,17 @@ def _random_null_mean_diff(
     total = pooled.sum()
     out = np.empty(n_resamples, dtype=np.float64)
     chunk = perm_chunk_rows(n_resamples, n)
+    # same reusable-buffer pattern as grouped_permutation_mean_diff
+    # (r12: this copy still paid a tile + an out-of-place permuted —
+    # two fresh k×n arrays per chunk; in-place permuted consumes the
+    # identical rng stream, pinned by the known-example tests)
+    buf = np.empty((chunk, n), dtype=np.float64)
     done = 0
     while done < n_resamples:
         k = min(chunk, n_resamples - done)
-        mat = np.tile(pooled, (k, 1))
-        mat = rng.permuted(mat, axis=1)
+        mat = buf[:k]
+        mat[:] = pooled
+        rng.permuted(mat, axis=1, out=mat)
         sum_x = mat[:, :n_x].sum(axis=1)
         out[done : done + k] = sum_x / n_x - (total - sum_x) / (n - n_x)
         done += k
@@ -218,6 +255,13 @@ def grouped_permutation_mean_diff(
       pass pooled as-is; pass a canonical ordering for determinism),
       n_resamples and the rng seed — never on which rows are evaluated.
       Evaluating one row alone reproduces its batched p exactly.
+      (Caveat, r12 review: the segmented reduceat groups sums at the
+      DISTINCT cohort sizes present, so float summation ORDER can
+      differ by ulps between alone and batched; a null value within
+      1 ulp of the tie-band edge could then flip one count. Not
+      observed in 4000 randomized trials — measure-rare — but the
+      equality is exact-by-construction only when the evaluated rows'
+      cohort-size set is unchanged.)
     * Exact-enumeration switch per row (C(n, n_x) <= n_resamples), null
       memoized per distinct n_x.
 
@@ -238,7 +282,15 @@ def grouped_permutation_mean_diff(
     random_rows = []
     for i in range(m):
         n_x = int(n_xs[i])
-        if math.comb(n, n_x) <= n_resamples:
+        if not 0 < n_x < n:
+            # n_x=0 crashed in an obscure reshape; n_x=n silently
+            # returned p=0.0 through NaN comparisons (r12 review
+            # finding) — both cohorts must be non-empty for the
+            # statistic to exist
+            raise ValueError(
+                f"cohort size must satisfy 0 < n_x < n, got n_x={n_x} n={n}"
+            )
+        if comb_at_most(n, n_x, n_resamples) <= n_resamples:
             if n_x not in exact_cache:
                 exact_cache[n_x] = _exact_null_mean_diff(pooled, n_x)
             null = exact_cache[n_x]
@@ -307,14 +359,17 @@ def permutation_test_mean_diff(
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     n_x, n_y = x.shape[0], y.shape[0]
+    if n_x == 0 or n_y == 0:
+        raise ValueError(
+            f"both samples must be non-empty, got len(x)={n_x} len(y)={n_y}"
+        )
     # canonical pooled ordering: the null depends on the value multiset
     # only, but float summation order would otherwise leak the caller's
     # row order into the last ulp of the null values (and flip tie counts)
     pooled = np.sort(np.concatenate([x, y]))
     observed = mean_diff_statistic(x, y)
 
-    n_total = math.comb(n_x + n_y, n_x)
-    exact = n_total <= n_resamples
+    exact = comb_at_most(n_x + n_y, n_x, n_resamples) <= n_resamples
     if exact:
         null = _exact_null_mean_diff(pooled, n_x)
     else:

@@ -113,3 +113,45 @@ def test_permutation_null_uniformish():
     y = rng.normal(0, 1, 10)
     _, p = permutation_test_mean_diff(x, y, 5_000, rng=1)
     assert p > 0.05  # same distribution → not significant
+
+
+def test_welch_df_zero_returns_nan_not_crash():
+    """r12 review finding: df computing to exactly 0 (nobs=1 with a
+    positive SD on one side) made math.lgamma(0) raise ValueError
+    inside the p-value batch; scipy parity is NaN."""
+    t, df, p = welch_ttest_from_stats(1.0, 1.0, 1, 0.0, 1.0, 5)
+    assert df == 0.0
+    assert math.isnan(p)
+
+
+def test_comb_at_most_exact_and_capped():
+    """r12 review finding: exact math.comb on cap-scale groups costs
+    seconds per set row; the early-exit partial product is exact below
+    the cap and merely 'too big' above it."""
+    import math as _m
+
+    from mwas_rfam_spark.functions.stattests import comb_at_most
+
+    for n, k in [(10, 3), (22, 11), (5, 0), (5, 5), (7, 9)]:
+        want = _m.comb(n, k) if k <= n else 0
+        assert comb_at_most(n, k, 10_000) == min(want, 10_001) or want <= 10_000
+        if want <= 10_000:
+            assert comb_at_most(n, k, 10_000) == want
+    assert comb_at_most(1_000_000, 500_000, 10_000) == 10_001  # instant
+
+
+def test_permutation_kernels_validate_cohorts():
+    """r12 review finding: n_x=0 crashed in an obscure reshape and
+    n_x=n silently returned p=0.0 (maximally significant)."""
+    from mwas_rfam_spark.functions.stattests import (
+        grouped_permutation_mean_diff,
+        permutation_test_mean_diff,
+    )
+
+    pooled = np.array([1.0, 2.0, 3.0, 4.0])
+    with pytest.raises(ValueError, match="0 < n_x < n"):
+        grouped_permutation_mean_diff(pooled, [0], [0.0], 100, 0)
+    with pytest.raises(ValueError, match="0 < n_x < n"):
+        grouped_permutation_mean_diff(pooled, [4], [0.0], 100, 0)
+    with pytest.raises(ValueError, match="non-empty"):
+        permutation_test_mean_diff([], [1.0, 2.0])
