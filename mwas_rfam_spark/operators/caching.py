@@ -6,15 +6,28 @@ The reference stubs this as a TODO (main/mwas_general.py:564-568,581-584:
 * The fingerprint is an ORDER-INDEPENDENT but MULTIPLICITY-SENSITIVE
   aggregate — sum of xxhash64 over every row's canonical column tuple
   (summed in decimal(38,0) so ANSI overflow can never trip, folded back
-  to 64 bits driver-side), plus the row count — so it is
-  stable under repartitioning/shuffling yet distinguishes {A,B,B} from
-  {A,C,C} (a bit_xor would cancel any row repeated an even number of
-  times, a real hazard in raw observation CSVs). Computes in one
-  distributed pass with no collect of data.
+  to 64 bits driver-side), plus the row count and a schema digest — so
+  it is stable under repartitioning/shuffling yet distinguishes
+  {A,B,B} from {A,C,C} (a bit_xor would cancel any row repeated an even
+  number of times, a real hazard in raw observation CSVs). Columns are
+  hashed NATIVELY (not cast to string) with an explicit per-column
+  null flag: Spark's xxhash64 SKIPS null children, so without the flag
+  a value MOVING between columns while its neighbors are NULL produced
+  the identical hash, and array-to-string rendering collided
+  ['a, b'] with ['a', 'b'] (r12 review findings, both verified).
+  Computes in one distributed pass with no collect of data.
 * The cache is a parquet directory per fingerprint under ``cache_dir``
-  (any Hadoop-compatible FS path — local, HDFS, s3a). Presence check is
-  read-and-fallback, so there is no racy exists/create window: worst
-  case two writers compute the same result and one overwrite wins.
+  (any Hadoop-compatible FS path — local, HDFS, s3a). A directory
+  counts as a hit only when its ``_SUCCESS`` marker exists — a write
+  interrupted mid-job leaves readable partial files that would
+  otherwise be served as a complete result forever (r12 review
+  finding). Presence check is read-and-fallback, so there is no racy
+  exists/create window: worst case two writers compute the same result
+  and one overwrite wins. (Reader-side caveat: a cache-hit DataFrame
+  is lazy — if another writer OVERWRITES the same key before the
+  caller's action runs, the scan can hit deleted files. Same-key
+  overwrites only happen while a concurrent writer is mid-compute of
+  the identical result; collect promptly in that topology.)
 """
 
 from __future__ import annotations
@@ -27,23 +40,71 @@ from pyspark.sql.utils import AnalysisException
 
 from ..config import DEFAULT_CONFIG, MwasConfig
 
+# the repo's narrow-catch rule (streaming/requests.py, retrieval.py):
+# ONLY no-previous-output shapes may pass — any other analysis failure
+# (conflicting schemas, unreadable footers) must surface, not silently
+# trigger a full recompute that appends duplicates (r12 review finding)
+_MISSING_MARKERS = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+
+
+def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        msg = str(e)
+        if any(m in msg for m in _MISSING_MARKERS):
+            return None
+        raise
+
+
+def _read_partitioned_string(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a partitionBy output with partition-column type inference
+    OFF: numeric-looking bioproject ids ('0123') would otherwise come
+    back as ints, silently missing the string done-set anti-join and
+    recomputing (= duplicating) finished partitions (r12 review
+    finding)."""
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        return _read_if_exists(spark, path)
+    finally:
+        spark.conf.set(key, old)
+
 
 def dataframe_fingerprint(df: DataFrame) -> str:
     """64-bit order-independent, multiplicity-sensitive content hash, hex.
 
-    sum(xxhash64(row)) mod 2^64 + row count. The sum runs in decimal(38,0)
-    so it cannot overflow (ANSI would throw on a long sum) for any input
-    under ~10^19 rows; the mod folds it back to 64 bits driver-side.
-    """
+    sum(xxhash64(null-flagged native row)) mod 2^64 + row count + an
+    8-hex schema digest (names AND types bind — same values under a
+    different schema is a different relation). The sum runs in
+    decimal(38,0) so it cannot overflow (ANSI would throw on a long
+    sum) for any input under ~10^19 rows; the mod folds it back to 64
+    bits driver-side. Map-typed columns fall back to a string cast
+    (Spark cannot hash maps natively)."""
     cols = sorted(df.columns)
-    row_hash = F.xxhash64(*[F.col(c).cast("string") for c in cols])
+    dtypes = dict(df.dtypes)
+    parts = []
+    for c in cols:
+        col = F.col(c)
+        if dtypes[c].startswith("map"):
+            col = col.cast("string")
+        # the null flag makes NULL a first-class token: xxhash64 skips
+        # null children, so without it (run='X', group=NULL) and
+        # (run=NULL, group='X') hashed identically (r12, verified)
+        parts.append(col.isNull().cast("int"))
+        parts.append(col)
+    row_hash = F.xxhash64(*parts)
     out = (
         df.select(row_hash.cast("decimal(38,0)").alias("h"))
         .agg(F.sum("h").alias("hs"), F.count("*").alias("n"))
         .first()
     )
     hs = int(out["hs"]) if out["hs"] is not None else 0
-    return f"{(hs & 0xFFFFFFFFFFFFFFFF):016x}-{out['n']}"
+    schema_digest = hashlib.sha256(
+        repr([(c, dtypes[c]) for c in cols]).encode()
+    ).hexdigest()[:8]
+    return f"{(hs & 0xFFFFFFFFFFFFFFFF):016x}-{out['n']}-{schema_digest}"
 
 
 def mwas_cache_key(
@@ -72,15 +133,21 @@ def run_mwas_cached(
     cache_dir: str,
     cfg: MwasConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
-    """run_mwas with parquet result reuse keyed by the input fingerprint."""
+    """run_mwas with parquet result reuse keyed by the input fingerprint.
+    A cache directory counts as a hit only with its ``_SUCCESS`` job
+    marker — partial files from an interrupted write recompute instead
+    of serving truncated results (r12 review finding)."""
     from .mwas import run_mwas
 
     key = mwas_cache_key(input_df, cfg, catalog_df, sets_df, ref_df)
     path = f"{cache_dir.rstrip('/')}/{key}"
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException:
-        pass
+    jvm = spark._jvm
+    success = jvm.org.apache.hadoop.fs.Path(f"{path}/_SUCCESS")
+    fs = success.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(success):
+        hit = _read_if_exists(spark, path)
+        if hit is not None:
+            return hit
     out = run_mwas(input_df, catalog_df, sets_df, ref_df, cfg)
     out.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
@@ -96,16 +163,52 @@ def filter_unprocessed(
     and skipping ones whose outputs exist on disk; here resumability is a
     plan — resolve each input run to its bioproject through the catalog
     and anti-join the distinct done set (tiny: one row per finished
-    bioproject, broadcast by AQE). Runs the catalog never maps keep
-    flowing (they surface as unknown-run rows, same as a fresh run).
+    bioproject, broadcast by AQE). Runs the catalog never maps are
+    dropped too (r12 review finding): resolve_and_normalize discards
+    them before any statistics, so on a fully-resumed run they used to
+    keep the todo set permanently non-empty — a full pipeline execution
+    per invocation that appended nothing.
     """
     done = done_results.select(
-        F.col("bioproject").alias("bio_project")
+        F.col("bioproject").cast("string").alias("bio_project")
     ).distinct()
     resolved = input_df.join(
         catalog_df.select("run", "bio_project").distinct(), "run", "left"
-    )
+    ).where(F.col("bio_project").isNotNull())
     return resolved.join(done, "bio_project", "left_anti").select(*input_df.columns)
+
+
+def _check_resume_config(spark: SparkSession, output_dir: str, cfg: MwasConfig) -> None:
+    """Bind the output dir to ONE config: resuming a 17-col run with
+    legacy_13col=True would append a different schema into the same
+    parquet directory (silently dropped/nulled columns on read), and
+    any config change makes old partitions stale-but-served (r12 review
+    finding). First run stamps ``_mwas_config``; later runs refuse a
+    mismatch."""
+    digest = hashlib.sha256(repr(cfg).encode()).hexdigest()[:16]
+    stamp = f"{output_dir.rstrip('/')}/_mwas_config"
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(stamp)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        stream = fs.open(p)
+        try:
+            stored = bytes(stream.readAllBytes()).decode().strip()
+        finally:
+            stream.close()
+        if stored != digest:
+            raise ValueError(
+                f"run_mwas_resume: {output_dir!r} was written under a "
+                "different MwasConfig — resuming would mix schemas/"
+                "semantics in one output; use a fresh output_dir (or "
+                "delete the old one)"
+            )
+        return
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(digest.encode()))
+    finally:
+        out.close()
 
 
 def run_mwas_resume(
@@ -121,18 +224,32 @@ def run_mwas_resume(
     missing from ``output_dir`` (a ``partitionBy(bioproject)`` sink),
     append their partitions, return the full combined relation. A crash
     mid-run costs only the unfinished bioprojects — the reference's
-    file-order resume semantics, minus the file-order coupling."""
+    file-order resume semantics, minus the file-order coupling.
+
+    Committer assumption (documented, not checked): done-ness is
+    "the bioproject has rows on disk", which is crash-safe under the
+    default v1 FileOutputCommitter (partition files appear at job
+    commit). A v2 or s3a direct committer can expose individual task
+    outputs mid-job; under those, a crash can leave a PARTIAL partition
+    that this resume then counts as done — use a fresh output_dir after
+    a crash in such deployments. The output dir is config-stamped:
+    resuming under a different MwasConfig refuses instead of appending
+    a mismatched schema (r12 review finding)."""
     from .mwas import run_mwas
     from ..sources.sinks import write_results_partitioned
 
-    try:
-        prev = spark.read.parquet(output_dir)
-    except AnalysisException:
-        prev = None
+    _check_resume_config(spark, output_dir, cfg)
+    prev = _read_partitioned_string(spark, output_dir)
     todo = (
         input_df if prev is None else filter_unprocessed(input_df, catalog_df, prev)
     )
     if todo.limit(1).count() > 0:
         out = run_mwas(todo, catalog_df, sets_df, ref_df, cfg)
         write_results_partitioned(out, output_dir, fmt="parquet", mode="append")
-    return spark.read.parquet(output_dir)
+    result = _read_partitioned_string(spark, output_dir)
+    if result is None:
+        # fresh dir + empty input: nothing was ever written — an empty
+        # relation with the right schema, not PATH_NOT_FOUND (r12
+        # review finding)
+        return run_mwas(input_df.limit(0), catalog_df, sets_df, ref_df, cfg)
+    return result

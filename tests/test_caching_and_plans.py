@@ -609,3 +609,89 @@ def test_token_budget_mix_prefix_and_crossing(spark):
         token_budget_mix(df, "source", {}, "n_tokens", "doc_id")
     with _pytest.raises(ValueError):
         token_budget_mix(df, "source", {"web": 0}, "n_tokens", "doc_id")
+
+
+def test_fingerprint_null_position_and_array_boundaries(spark):
+    """r12 review findings (verified): xxhash64 skips NULL children, so
+    a value moving between columns with NULL neighbors used to produce
+    the identical fingerprint; array-to-string rendering collided
+    ['a, b'] with ['a', 'b']; and schema now binds."""
+    from mwas_rfam_spark.operators.caching import dataframe_fingerprint
+
+    a = spark.createDataFrame([("X", None)], "run string, grp string")
+    b = spark.createDataFrame([(None, "X")], "run string, grp string")
+    assert dataframe_fingerprint(a) != dataframe_fingerprint(b)
+    c = spark.createDataFrame([(["a, b"],)], "m array<string>")
+    d = spark.createDataFrame([(["a", "b"],)], "m array<string>")
+    assert dataframe_fingerprint(c) != dataframe_fingerprint(d)
+    e = spark.createDataFrame([(1,)], "x int")
+    f2 = spark.createDataFrame([(1,)], "x long")
+    assert dataframe_fingerprint(e) != dataframe_fingerprint(f2)
+
+
+def test_cached_run_ignores_partial_cache_dir(spark, tmp_path):
+    """r12 review finding: a cache directory without _SUCCESS (write
+    interrupted mid-job) must recompute, not serve truncated results
+    forever."""
+    import os
+
+    from mwas_rfam_spark.operators.caching import mwas_cache_key, run_mwas_cached
+    from mwas_rfam_spark.operators.condense import condense_metadata
+    from mwas_rfam_spark.sources.readers import melt_wide_metadata
+
+    wide = spark.createDataFrame(
+        [(f"SAM{i}", "x" if i <= 2 else "y") for i in range(1, 6)],
+        ["biosample_id", "t1"],
+    )
+    sets_df, ref_df = condense_metadata(melt_wide_metadata(wide, "PC"))
+    cat = spark.createDataFrame(
+        [("PC", f"SAM{i}", f"R{i}", 1000) for i in range(1, 6)],
+        "bio_project string, bio_sample string, run string, spots long",
+    )
+    inp = spark.createDataFrame(
+        [(f"R{i}", "g", float(i)) for i in range(1, 6)],
+        "run string, group string, quantifier double",
+    )
+    cfg = None
+    from mwas_rfam_spark.config import MwasConfig
+
+    cfg = MwasConfig(permutation_resamples=50, permutation_seed=1)
+    key = mwas_cache_key(inp, cfg, cat, sets_df, ref_df)
+    cache = tmp_path / "cache"
+    # plant a PARTIAL cache dir: truncated garbage, no _SUCCESS
+    partial = cache / key
+    partial.mkdir(parents=True)
+    (partial / "part-00000.parquet").write_bytes(b"PAR1garbage")
+    out = run_mwas_cached(spark, inp, cat, sets_df, ref_df, str(cache), cfg)
+    assert out.count() >= 1  # recomputed, not crashed on garbage
+    assert os.path.exists(partial / "_SUCCESS")  # now a real cache entry
+
+
+def test_resume_refuses_config_change(spark, tmp_path):
+    """r12 review finding: resuming a 17-col output with a different
+    config (e.g. legacy_13col) would append a mismatched schema into
+    the same directory — refuse instead."""
+    from mwas_rfam_spark.config import MwasConfig
+    from mwas_rfam_spark.operators.caching import run_mwas_resume
+    from mwas_rfam_spark.operators.condense import condense_metadata
+    from mwas_rfam_spark.sources.readers import melt_wide_metadata
+
+    wide = spark.createDataFrame(
+        [(f"SAM{i}", "x" if i <= 2 else "y") for i in range(1, 6)],
+        ["biosample_id", "t1"],
+    )
+    sets_df, ref_df = condense_metadata(melt_wide_metadata(wide, "PR"))
+    cat = spark.createDataFrame(
+        [("PR", f"SAM{i}", f"R{i}", 1000) for i in range(1, 6)],
+        "bio_project string, bio_sample string, run string, spots long",
+    )
+    inp = spark.createDataFrame(
+        [(f"R{i}", "g", float(i)) for i in range(1, 6)],
+        "run string, group string, quantifier double",
+    )
+    outdir = str(tmp_path / "res")
+    cfg1 = MwasConfig(permutation_resamples=50, permutation_seed=1)
+    run_mwas_resume(spark, inp, cat, sets_df, ref_df, outdir, cfg1)
+    cfg2 = MwasConfig(permutation_resamples=50, permutation_seed=1, legacy_13col=True)
+    with pytest.raises(ValueError, match="different MwasConfig"):
+        run_mwas_resume(spark, inp, cat, sets_df, ref_df, outdir, cfg2)
