@@ -59,24 +59,17 @@ def stratified_sample_exact(
     keeps every previously selected row (hash order is a fixed total
     order per stratum), which is what incremental mix tuning needs.
 
-    Implemented two-phase like ``top_k_per_group``: a stratum window's
-    parallelism is the stratum count (a 3-label corpus at 100 TB would be
-    3 single-task sorts), so each task keeps its local k smallest hashes
-    per stratum first (narrow, no shuffle) and the exact window ranks the
-    ≤ k × n_partitions survivors. (md5(id), id) is a total order, so the
-    output is identical to the one-window form.
+    Delegates to ``top_k_per_group`` (r12: this was a line-for-line copy
+    of the former hand-rolled two-phase pattern; the optimizer's
+    map-side ``WindowGroupLimit`` now provides the per-task bound — see
+    topk.py's module docstring for the measured comparison). (md5(id),
+    id) is a total order, so the sample is exact and layout-independent.
     """
+    from mwas_rfam_spark.operators.topk import top_k_per_group
+
     order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
-    w_local = Window.partitionBy(strata_col, F.spark_partition_id()).orderBy(*order)
-    cand = (
-        df.withColumn("_local_rank", F.row_number().over(w_local))
-        .where(F.col("_local_rank") <= k_per_stratum)
-        .drop("_local_rank")
-    )
-    w = Window.partitionBy(strata_col).orderBy(*order)
-    return (
-        cand.withColumn("sample_rank", F.row_number().over(w).cast("long"))
-        .where(F.col("sample_rank") <= k_per_stratum)
+    return top_k_per_group(
+        df, [strata_col], order, k_per_stratum, rank_col="sample_rank"
     )
 
 
@@ -155,18 +148,19 @@ def weighted_mix_exact(
         *[F.lit(x) for kv in targets.items() for x in kv]
     )[F.col(strata_col)]
     order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
-    w_local = Window.partitionBy(strata_col, F.spark_partition_id()).orderBy(*order)
-    cand = (
-        df.where(F.col(strata_col).isin(list(targets)))
-        .withColumn("_local_rank", F.row_number().over(w_local))
-        .where(F.col("_local_rank") <= k_max)
-        .drop("_local_rank")
+    # rank to the LARGEST stratum target via the shared operator (r12:
+    # this was the third hand-rolled copy of the two-phase pattern),
+    # then keep each stratum's own prefix
+    from mwas_rfam_spark.operators.topk import top_k_per_group
+
+    ranked = top_k_per_group(
+        df.where(F.col(strata_col).isin(list(targets))),
+        [strata_col],
+        order,
+        k_max,
+        rank_col="sample_rank",
     )
-    w = Window.partitionBy(strata_col).orderBy(*order)
-    return (
-        cand.withColumn("sample_rank", F.row_number().over(w).cast("long"))
-        .where(F.col("sample_rank") <= target_expr)
-    )
+    return ranked.where(F.col("sample_rank") <= target_expr)
 
 
 def token_budget_mix(

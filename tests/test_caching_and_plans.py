@@ -280,15 +280,21 @@ def test_top_k_per_group_prefilter_parity(spark):
     df = spark.createDataFrame(rows, ["g", "v", "id"]).repartition(16)
     order = [F.desc("v"), F.asc("id")]
     fast = top_k_per_group(df, ["g"], order, k=5)
-    slow = top_k_per_group(df, ["g"], order, k=5, local_prefilter=False)
+    slow = top_k_per_group(df, ["g"], order, k=5, local_prefilter=True)
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
     assert fast.groupBy("g").count().agg(F.max("count")).collect()[0][0] == 5
     plan = _physical(fast)
-    assert plan.count("RunningWindowFunction") >= 0  # plan renders
+    # r12: the default plan must carry the optimizer's map-side bound
+    # (the former assertion `count(...) >= 0` was vacuously true)
+    assert "WindowGroupLimit" in plan and "Partial" in plan
     import pytest
 
     with pytest.raises(ValueError):
         top_k_per_group(df, ["g"], order, k=0)
+    with pytest.raises(ValueError, match="order_cols"):
+        top_k_per_group(df, ["g"], [], k=3)
+    with pytest.raises(ValueError, match="rank"):
+        top_k_per_group(fast, ["g"], order, k=3)  # already has 'rank' 
 
 
 def test_registry_discipline():
