@@ -91,6 +91,21 @@ def curate_corpus(
     """
     if mode not in ("filter", "mark"):
         raise ValueError(f"mode must be 'filter' or 'mark', got {mode}")
+    if mode == "mark" and n_shards is not None:
+        # sharding assigns training order to SURVIVORS; a shard over
+        # dropped rows is meaningless and was silently ignored (r12
+        # review finding) — refuse instead
+        raise ValueError("n_shards applies to mode='filter' only")
+    if benchmark is not None:
+        missing = [c for c in (id_col, text_col) if c not in benchmark.columns]
+        if missing:
+            # decontaminate shingles the benchmark under the SAME
+            # column names; without the check the failure was an
+            # UNRESOLVED_COLUMN deep inside word_shingles (r12 review)
+            raise ValueError(
+                f"benchmark frame lacks column(s) {missing} — it must "
+                f"carry {id_col!r} and {text_col!r} like the corpus"
+            )
 
     if normalize_unicode:
         # unicode hygiene FIRST — every later stage hashes text (line
@@ -160,10 +175,13 @@ def curate_corpus(
             base.where(quality_ok).select(id_col, text_col),
             text_col=text_col,
             id_col=id_col,
-        ).select(id_col, "dup_line_frac")
+        ).select(id_col, F.col("dup_line_frac").alias("_rp_dlf"))
+        # private name (_rp_dlf): a caller-owned dup_line_frac column
+        # made the join ambiguous (crash) or was silently dropped later
+        # (r12 review finding; same shield discipline as _qm_keep)
         base = base.join(rp, id_col, "left")
         quality_ok = quality_ok & (
-            F.coalesce("dup_line_frac", F.lit(0.0)) <= max_dup_line_frac
+            F.coalesce("_rp_dlf", F.lit(0.0)) <= max_dup_line_frac
         )
     if quality_model_weights is not None:
         # classifier gate (fastText-shaped linear scorer) — same
@@ -191,8 +209,16 @@ def curate_corpus(
         quality_ok = quality_ok & F.coalesce("_qm_keep", F.lit(True))
 
     base = base.withColumn("_q_ok", quality_ok).drop(
-        "_toks_n", "dup_line_frac", "_qm_keep"
+        "_toks_n", "_rp_dlf", "_qm_keep"
     )
+    if mode == "filter":
+        # filter mode never reports drop stages, so rows the quality
+        # gates dropped need not ride through the dedup window's
+        # full-corpus shuffle and the decontamination join just to be
+        # discarded at the end — at scale this was roughly double the
+        # shuffle mass of the two heaviest stages (r12 review finding;
+        # mark mode keeps every row, as its contract requires)
+        base = base.where(F.col("_q_ok"))
 
     # keep-first per content hash AMONG quality survivors (same window-min
     # rule the dedup_first_seen entry hash-verifies); losers mark 'duplicate'
@@ -201,7 +227,16 @@ def curate_corpus(
     w = Window.partitionBy("_hash").orderBy(F.col(id_col))
     base = base.withColumn(
         "_hash",
-        F.when(F.col("_q_ok"), F.md5(normalize_text(F.col(text_col))))
+        # coalesce: NULL text is "no content" == the empty document
+        # (the text family's pinned convention) — a NULL md5 would
+        # funnel every NULL-text row into one null-hash window
+        # partition, the exact skew the q- sentinel exists to avoid
+        # (r12 review finding); empty/NULL docs that pass a
+        # min_tokens=0 gate dedup together to one survivor
+        F.when(
+            F.col("_q_ok"),
+            F.md5(F.coalesce(normalize_text(F.col(text_col)), F.lit(""))),
+        )
         .otherwise(F.concat(F.lit("q-"), F.col(id_col).cast("string"))),
     ).withColumn(
         "_dup",
@@ -213,10 +248,13 @@ def curate_corpus(
         flags = decontaminate(
             survivors, benchmark, n=decontam_n, threshold=decontam_threshold,
             text_col=text_col, id_col=id_col,
-        ).select(id_col, "contaminated")
+        ).select(id_col, F.col("contaminated").alias("_decon_flag"))
+        # private name: a caller-owned 'contaminated' column (the
+        # decontaminate output being re-curated) made this join
+        # ambiguous (r12 review finding)
         base = base.join(flags, id_col, "left").withColumn(
-            "_contam", F.coalesce("contaminated", F.lit(False))
-        ).drop("contaminated")
+            "_contam", F.coalesce("_decon_flag", F.lit(False))
+        ).drop("_decon_flag")
     else:
         base = base.withColumn("_contam", F.lit(False))
 
@@ -228,6 +266,19 @@ def curate_corpus(
             .when(F.col("_contam"), F.lit("contaminated"))
             .otherwise(F.lit("kept")),
         ).drop("_q_ok", "_dup", "_contam")
+        if redact:
+            # the marked frame's 'kept' rows must carry the SAME text
+            # filter mode would ship — redact was silently ignored in
+            # mark mode, leaving PII in rows downstream filters to
+            # 'kept' (r12 review finding); dropped rows keep their
+            # original text for forensics
+            out = out.withColumn(
+                text_col,
+                F.when(
+                    F.col("drop_stage") == "kept",
+                    redact_pii(F.col(text_col)),
+                ).otherwise(F.col(text_col)),
+            )
         return out
 
     kept = base.where(F.col("_q_ok") & ~F.col("_dup") & ~F.col("_contam")).drop(

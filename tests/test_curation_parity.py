@@ -157,3 +157,57 @@ def test_quality_model_gate_composes(spark):
     # keep the cutoff row too (documented contract)
     kept_ids = {r["doc_id"] for r in scored.where(F.col("score") > cut).collect()}
     assert kept_ids == {1}
+
+
+def test_curate_shields_caller_owned_columns(spark):
+    """r12 review findings: caller-owned dup_line_frac / contaminated
+    columns used to make the gate joins ambiguous (crash) or be
+    silently dropped."""
+    from mwas_rfam_spark.operators.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today", 0.9, True),
+            (2, "an entirely different document with plenty of words", 0.1, False),
+        ],
+        "doc_id long, text string, dup_line_frac double, contaminated boolean",
+    )
+    bench = spark.createDataFrame(
+        [(100, "completely unrelated benchmark text body")], "doc_id long, text string"
+    )
+    out = curate_corpus(
+        docs, benchmark=bench, min_tokens=2, max_dup_line_frac=0.5, mode="mark"
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # caller columns survive untouched
+    assert rows[1]["dup_line_frac"] == 0.9 and rows[1]["contaminated"] is True
+    assert rows[1]["drop_stage"] == "kept"
+
+
+def test_curate_mark_mode_redacts_kept_rows(spark):
+    """r12 review finding: mode='mark' silently ignored redact — rows
+    marked 'kept' carried unredacted PII."""
+    from mwas_rfam_spark.operators.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "contact me at someone@example.com for all the details")],
+        "doc_id long, text string",
+    )
+    out = curate_corpus(docs, min_tokens=2, mode="mark", redact=True).collect()[0]
+    assert out["drop_stage"] == "kept"
+    assert "@" not in out["text"]
+
+
+def test_curate_mark_rejects_n_shards_and_bad_benchmark(spark):
+    import pytest
+
+    from mwas_rfam_spark.operators.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "some words here")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="n_shards"):
+        curate_corpus(docs, mode="mark", n_shards=4)
+    bad_bench = spark.createDataFrame([("text only",)], "text string")
+    with pytest.raises(ValueError, match="benchmark frame lacks"):
+        curate_corpus(docs, benchmark=bad_bench)
