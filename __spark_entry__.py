@@ -3905,8 +3905,11 @@ FROM final
         "doc_packing": """
             WITH base AS (
               SELECT doc_id,
-                     CASE WHEN length(trim(text)) = 0 THEN 0
-                          ELSE len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) END
+                     -- COALESCE: NULL text counts 0 tokens, in lockstep
+                     -- with token_count's coalesce (r12 — the CASE fell
+                     -- through to NULL on NULL text)
+                     COALESCE(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) END, 0)
                          AS n_tokens,
                      ((strpos('0123456789abcdef',
                               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16

@@ -19,7 +19,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import token_count
+from .text import token_count, tokens
+
+
+def _bucket_expr(id_col: str, n_buckets: int):
+    """THE id→bucket derivation both packers share (r12: it was
+    copy-pasted and the NULL/validation semantics had already drifted).
+    First two md5 hex digits → [0, 256), pmod n_buckets — cross-engine
+    reproducible, unlike xxhash64. n_buckets is bounded by the digit
+    source: values past 256 silently stopped adding parallelism, and 0
+    was a mid-job ANSI DIVIDE_BY_ZERO (r12 review finding). NULL ids
+    refuse in-plan: a deterministic assignment needs an identity (the
+    same rule as the selection family's seeded draws)."""
+    if not 1 <= n_buckets <= 256:
+        raise ValueError(
+            f"n_buckets must be in [1, 256] (two md5 hex digits are the "
+            f"bucket source), got {n_buckets}"
+        )
+    h = F.md5(F.col(id_col).cast("string"))
+    hexv = "0123456789abcdef"
+    d1 = F.instr(F.lit(hexv), F.substring(h, 1, 1)) - 1
+    d2 = F.instr(F.lit(hexv), F.substring(h, 2, 1)) - 1
+    bucket = F.pmod(d1 * 16 + d2, F.lit(n_buckets)).cast("long")
+    return F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(
+            F.lit("packing: NULL doc id — deterministic pack assignment "
+                  "needs a non-null id; fill ids first")
+        ).cast("long"),
+    ).otherwise(bucket)
 
 
 def pack_documents(
@@ -50,12 +78,6 @@ def pack_documents(
     """
     if max_tokens_per_pack < 1:
         raise ValueError(f"max_tokens_per_pack must be >= 1, got {max_tokens_per_pack}")
-    # bucket from the first two md5 hex digits (256 values, uniform when
-    # n_buckets divides 256) — cross-engine reproducible, unlike xxhash64
-    hexv = "0123456789abcdef"
-    h = F.md5(F.col(id_col).cast("string"))
-    d1 = F.instr(F.lit(hexv), F.substring(h, 1, 1)) - 1
-    d2 = F.instr(F.lit(hexv), F.substring(h, 2, 1)) - 1
     counts = (
         F.col(token_count_col).cast("long")
         if token_count_col is not None
@@ -63,12 +85,16 @@ def pack_documents(
     )
     base = docs.select(
         F.col(id_col),
-        counts.alias("n_tokens"),
-        F.pmod(d1 * 16 + d2, F.lit(n_buckets)).cast("long").alias("bucket"),
+        # coalesce: a NULL precomputed count packs as a zero-size doc,
+        # like bin_pack_documents — the NULL used to leak into the
+        # output column (r12 review finding; oracle moved in lockstep)
+        F.coalesce(counts, F.lit(0)).alias("n_tokens"),
+        _bucket_expr(id_col, n_buckets).alias("bucket"),
+        # project the order hash ONCE — the window otherwise recomputed
+        # md5 per row after the shuffle (r12 review finding)
+        F.md5(F.col(id_col).cast("string")).alias("__h"),
     )
-    w = Window.partitionBy("bucket").orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
-    )
+    w = Window.partitionBy("bucket").orderBy(F.col("__h"), F.col(id_col))
     # greatest(..., 1): a zero-token doc sorting first in its bucket has
     # cum 0 → ceil 0, which would mint a phantom pack 0 below ordinal 1
     packed = base.withColumn("cum_tokens", F.sum("n_tokens").over(w)).withColumn(
@@ -83,7 +109,7 @@ def pack_documents(
         "n_tokens",
         "bucket",
         (F.col("bucket") * F.lit(1 << 32) + F.col("pack_in_bucket")).alias("pack_id"),
-    )
+    )  # __h dropped by the explicit select
 
 
 def chunk_documents(
@@ -106,8 +132,13 @@ def chunk_documents(
     normalization every other token operator here applies).
 
     Pure column expressions: one split, one sequence/transform over
-    window starts, one posexplode — no shuffle at all; the plan is a
-    Generate over a projection and scales with total token count.
+    window starts, one posexplode — no shuffle at all. Memory caveat
+    (r12): the transform materializes ALL of a document's windows in
+    one row before the Generate explodes them, so per-row memory is
+    O(n_tokens × max_tokens/step) — with near-total overlap (step ≪
+    max_tokens) a very long document multiplies itself; keep overlap a
+    small fraction of max_tokens (the standard setting) and chunk
+    pathological documents with a smaller overlap first.
     """
     if max_tokens < 1:
         raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
@@ -116,10 +147,9 @@ def chunk_documents(
     step = max_tokens - overlap
     toked = docs.select(
         F.col(id_col),
-        F.filter(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-            lambda t: t != F.lit(""),
-        ).alias("__toks"),  # boundary empties removed (see text.tokens)
+        # text.tokens itself (r12: this was an inline copy of the
+        # helper it cited — future tokenization fixes must propagate)
+        tokens(F.col(text_col)).alias("__toks"),
     )
     n = F.size("__toks")
     # window starts: 0, step, 2*step, ... while start < n (at least one
@@ -190,10 +220,6 @@ def bin_pack_documents(
         raise ValueError(f"max_tokens_per_pack must be >= 1, got {max_tokens_per_pack}")
     if oversize not in ("own_pack", "error"):
         raise ValueError(f"oversize must be 'own_pack' or 'error', got {oversize!r}")
-    hexv = "0123456789abcdef"
-    h = F.md5(F.col(id_col).cast("string"))
-    d1 = F.instr(F.lit(hexv), F.substring(h, 1, 1)) - 1
-    d2 = F.instr(F.lit(hexv), F.substring(h, 2, 1)) - 1
     counts = (
         F.col(token_count_col).cast("long")
         if token_count_col is not None
@@ -203,9 +229,9 @@ def bin_pack_documents(
         F.col(id_col).alias("__id"),
         # null text / null precomputed counts pack as zero-size docs
         # (the NaN would otherwise kill the pandas kernel's int sort
-        # key); the cumsum packer's window sum skips NULLs the same way
+        # key); same rule as the cumsum packer since r12
         F.coalesce(counts, F.lit(0)).alias("n_tokens"),
-        F.pmod(d1 * 16 + d2, F.lit(n_buckets)).cast("long").alias("bucket"),
+        _bucket_expr(id_col, n_buckets).alias("bucket"),
     )
     id_type = docs.schema[id_col].dataType.simpleString()
     schema = (
@@ -252,7 +278,13 @@ def bin_pack_documents(
                 n_packs += 1
                 ordinal = n_packs
                 rem = budget - n
-            bisect.insort(open_packs, [rem, ordinal])
+            if rem > 0:
+                # retire full packs: no n>=1 doc can ever fit rem==0,
+                # and keeping them made a many-tiny-docs bucket's
+                # insort/pop O(n*P) — quadratic in one task (r12 review
+                # finding; zero-token docs still place into whichever
+                # open pack remains, or a new one)
+                bisect.insort(open_packs, [rem, ordinal])
             out_id.append(doc_id)
             out_n.append(n)
             out_pack.append(ordinal)
@@ -288,6 +320,10 @@ def pack_utilization(
     exceed the budget and these fill metrics would read >1 / negative —
     that packer has no padding waste by construction, and feeding it
     here raises instead of reporting nonsense."""
+    if max_tokens_per_pack < 1:
+        # same guard as the packers — a zero budget reported
+        # Infinity/negative metrics instead of raising (r12 review)
+        raise ValueError(f"max_tokens_per_pack must be >= 1, got {max_tokens_per_pack}")
     if "oversize" not in packs.columns:
         raise ValueError(
             "pack_utilization needs a whole-document packing (bin_pack_documents "

@@ -131,3 +131,69 @@ def test_pack_documents_rejects_bad_budget(spark):
         pack_documents(docs, max_tokens_per_pack=0)
     with pytest.raises(ValueError, match="max_tokens_per_pack"):
         pack_documents(docs, max_tokens_per_pack=-5)
+
+
+def test_packers_validate_n_buckets_and_null_ids(spark):
+    """r12 review findings: n_buckets=0 was a mid-job ANSI
+    DIVIDE_BY_ZERO and values past 256 silently stopped adding
+    parallelism (two hex digits are the bucket source); a NULL doc_id
+    crashed bin_pack's kernel with int(NaN) — both now refuse."""
+    from mwas_rfam_spark.operators.packing import (
+        bin_pack_documents,
+        pack_documents,
+        pack_utilization,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a few words"), (2, "more words here")], "doc_id long, text string"
+    )
+    for bad in (0, 257):
+        with pytest.raises(ValueError, match="n_buckets"):
+            pack_documents(docs, 512, n_buckets=bad)
+        with pytest.raises(ValueError, match="n_buckets"):
+            bin_pack_documents(docs, 512, n_buckets=bad)
+    nulled = spark.createDataFrame(
+        [(None, "ghost doc words")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="non-null id"):
+        bin_pack_documents(nulled, 512).collect()
+    with pytest.raises(Exception, match="non-null id"):
+        pack_documents(nulled, 512).collect()
+    with pytest.raises(ValueError, match="max_tokens_per_pack"):
+        pack_utilization(bin_pack_documents(docs, 512), 0)
+
+
+def test_pack_documents_null_precomputed_count_is_zero(spark):
+    """r12 review finding: a NULL precomputed token count leaked NULL
+    into pack_documents' n_tokens output where bin_pack emitted 0."""
+    from mwas_rfam_spark.operators.packing import pack_documents
+
+    docs = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", None)], "doc_id long, text string, n long"
+    )
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in pack_documents(docs, 512, token_count_col="n").collect()
+    }
+    assert got == {1: 10, 2: 0}
+
+
+def test_bin_pack_many_tiny_docs_fast(spark):
+    """r12 review finding: full (rem==0) packs were never retired, so a
+    many-tiny-uniform-docs bucket paid O(n*P) element shifts — this run
+    completes quickly now (and the assignment stays valid)."""
+    import time
+
+    from mwas_rfam_spark.operators.packing import bin_pack_documents
+
+    docs = spark.createDataFrame(
+        [(i, 64) for i in range(40_000)], "doc_id long, n long"
+    )
+    t0 = time.time()
+    out = bin_pack_documents(
+        docs, 128, n_buckets=1, text_col="doc_id", token_count_col="n"
+    )
+    per_pack = out.groupBy("pack_id").sum("n_tokens").collect()
+    assert time.time() - t0 < 60
+    assert all(r["sum(n_tokens)"] <= 128 for r in per_pack)
+    assert len(per_pack) == 20_000  # perfect 2-per-pack fit
