@@ -38,6 +38,11 @@ def interval_join_within(
     """
     if tolerance < 1:
         raise ValueError(f"tolerance must be a positive integer, got {tolerance}")
+    # same loud integral-timeline check as asof_join (r12 review
+    # finding: a double ts died deep in analysis with a cryptic
+    # DATATYPE_MISMATCH from `ts div tol`)
+    _require_integral_ts(a, ts_col, "left", "interval_join_within")
+    _require_integral_ts(b, ts_col, "right", "interval_join_within")
     sa, sb = suffixes
 
     def _bucket(col: str):
@@ -68,6 +73,20 @@ def interval_join_within(
         .where(F.col("abs_delta") <= tolerance)
         .drop("bucket")
     )
+
+
+_INTEGRAL_TS = ("tinyint", "smallint", "int", "bigint")
+
+
+def _require_integral_ts(frame, ts_col: str, side: str, fn: str) -> None:
+    dt = dict(frame.dtypes).get(ts_col)
+    if dt is None:
+        raise ValueError(f"{fn}: {side} input has no column {ts_col!r}")
+    if dt not in _INTEGRAL_TS:
+        raise ValueError(
+            f"{fn}: {side}.{ts_col} must be an integral timeline "
+            f"(e.g. epoch nanos as BIGINT — see ensure_epoch_nanos), got {dt}"
+        )
 
 
 def asof_join(
@@ -112,42 +131,68 @@ def asof_join(
     # (a timestamp type fails outright there) and the tolerance check
     # subtracts two keys cast to long (a double timeline would silently
     # truncate sub-integer deltas). Fail loud instead of either.
-    integral = ("tinyint", "smallint", "int", "bigint")
-    for side, frame in (("left", left), ("right", right)):
-        dt = dict(frame.dtypes).get(ts_col)
-        if dt is None:
-            raise ValueError(f"asof_join: {side} input has no column {ts_col!r}")
-        if dt not in integral:
-            raise ValueError(
-                f"asof_join: {side}.{ts_col} must be an integral timeline "
-                f"(e.g. epoch nanos as BIGINT — see ensure_epoch_nanos), got {dt}"
-            )
+    _require_integral_ts(left, ts_col, "left", "asof_join")
+    _require_integral_ts(right, ts_col, "right", "asof_join")
     by = [by] if isinstance(by, str) else list(by or [])
     if right_cols is None:
         right_cols = [c for c in right.columns if c != ts_col and c not in by]
+    else:
+        missing = [c for c in right_cols if c not in right.columns]
+        if missing:
+            # was a bare KeyError with no context (r12 review finding)
+            raise ValueError(
+                f"asof_join: right_cols {missing} not in the right "
+                f"frame's columns {right.columns}"
+            )
+        # ts_r is emitted automatically; including ts_col here used to
+        # crash with COLUMN_ALREADY_EXISTS (r12 review finding)
+        right_cols = [c for c in right_cols if c != ts_col]
+    # a NULL-ts right row is unordered on the timeline and must never
+    # supply a match (r12 review finding: its payload leaked through
+    # the per-column carry)
+    right = right.where(F.col(ts_col).isNotNull())
     sign = F.lit(1) if direction == "backward" else F.lit(-1)
 
     rtypes = {f.name: f.dataType for f in right.schema.fields}
     ltypes = {f.name: f.dataType for f in left.schema.fields}
     lcols = list(left.columns)
 
+    # ONE struct per right row, carried atomically: per-column
+    # last(ignorenulls=True) skipped genuine NULLs in the matched row's
+    # payload and backfilled each column independently from OLDER right
+    # rows — values torn from different rows (and outside tolerance)
+    # in one output row (r12 review finding, execution-confirmed; the
+    # DuckDB-ASOF/merge_asof semantics this module pins return the
+    # matched row's own NULL). The struct is non-null for every right
+    # row, so the carry picks the nearest right ROW whole.
+    def _r_struct_fields(src: bool):
+        f_ts = (F.col(ts_col) if src else F.lit(None).cast(rtypes[ts_col])).alias("__ts")
+        f_sk = (
+            (F.col(ts_col) * sign).cast("long")
+            if src
+            else F.lit(None).cast("long")
+        ).alias("__rsk")
+        pay = [
+            (F.col(c) if src else F.lit(None).cast(rtypes[c])).alias(c)
+            for c in right_cols
+        ]
+        return [f_ts, f_sk, *pay]
+
     l_side = left.select(
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(rtypes[c]).alias(f"__r_{c}") for c in right_cols],
-        F.lit(None).cast(rtypes[ts_col]).alias("__r_ts"),
+        # when(False, ...) -> a typed NULL struct (a struct OF nulls is
+        # itself non-null and would be carried)
+        F.when(F.lit(False), F.struct(*_r_struct_fields(False))).alias("__r_row"),
         (F.col(ts_col) * sign).cast("long").alias("__sk"),
-        F.lit(None).cast("long").alias("__r_sk"),
         F.lit(1).alias("__tag"),
     )
     r_side = right.select(
         *[
-            F.col(c).alias(c) if c in by else F.lit(None).cast(ltypes.get(c, rtypes.get(c))).alias(c)
+            F.col(c).alias(c) if c in by else F.lit(None).cast(ltypes[c]).alias(c)
             for c in lcols
         ],
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
-        F.col(ts_col).alias("__r_ts"),
+        F.struct(*_r_struct_fields(True)).alias("__r_row"),
         (F.col(ts_col) * sign).cast("long").alias("__sk"),
-        (F.col(ts_col) * sign).cast("long").alias("__r_sk"),
         F.lit(0).alias("__tag"),
     )
     from pyspark.sql import Window
@@ -161,21 +206,21 @@ def asof_join(
         *lcols,
         "__tag",
         "__sk",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}") for c in right_cols],
-        F.last("__r_ts", ignorenulls=True).over(w).alias("__m_ts"),
-        F.last("__r_sk", ignorenulls=True).over(w).alias("__m_sk"),
+        F.last("__r_row", ignorenulls=True).over(w).alias("__m_row"),
     )
     out = carried.where(F.col("__tag") == 1)
-    in_range = F.col("__m_sk").isNotNull()
+    in_range = F.col("__m_row").isNotNull()
     if tolerance is not None:
-        in_range = in_range & ((F.col("__sk") - F.col("__m_sk")) <= tolerance)
+        in_range = in_range & (
+            (F.col("__sk") - F.col("__m_row.__rsk")) <= tolerance
+        )
     return out.select(
         *lcols,
         *[
-            F.when(in_range, F.col(f"__m_{c}")).alias(f"{c}{suffix}")
+            F.when(in_range, F.col(f"__m_row.{c}")).alias(f"{c}{suffix}")
             for c in right_cols
         ],
-        F.when(in_range, F.col("__m_ts")).alias(f"{ts_col}{suffix}"),
+        F.when(in_range, F.col("__m_row.__ts")).alias(f"{ts_col}{suffix}"),
     )
 
 

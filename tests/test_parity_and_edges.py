@@ -366,3 +366,41 @@ def test_mwas_perm_calibration_gate(spark, sf_dir):
     assert r["check_name"] == "randomized_vs_exact"
     assert r["n_compared"] > 0
     assert r["meets_target"] is True
+
+
+def test_asof_join_matched_row_is_atomic(spark):
+    """r12 review finding (execution-confirmed): per-column
+    last(ignorenulls) tore the matched right row apart — a NULL payload
+    in the matched row was backfilled from OLDER rows (even outside
+    tolerance), and a NULL-ts right row could supply payload. The
+    matched row now carries whole: merge_asof/DuckDB-ASOF semantics."""
+    from mwas_rfam_spark.operators.interval import asof_join
+
+    left = spark.createDataFrame([("u1", 300)], "k string, ts long")
+    right = spark.createDataFrame(
+        [("u1", 100, 5.0), ("u1", 200, None), ("u1", None, 9.0)],
+        "k string, ts long, px double",
+    )
+    r = asof_join(left, right, by="k").collect()[0]
+    assert r["ts_r"] == 200
+    assert r["px_r"] is None  # the matched row's own NULL, not 5.0/9.0
+    # right_cols naming ts no longer crashes; unknown cols raise clearly
+    r2 = asof_join(left, right, by="k", right_cols=["ts", "px"]).collect()[0]
+    assert r2["ts_r"] == 200 and r2["px_r"] is None
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="right_cols"):
+        asof_join(left, right, by="k", right_cols=["nope"])
+
+
+def test_interval_join_loud_on_double_timeline(spark):
+    """r12 review finding: a double ts died deep in analysis with a
+    cryptic DATATYPE_MISMATCH; now the same clear error as asof_join."""
+    import pytest as _pt
+
+    from mwas_rfam_spark.operators.interval import interval_join_within
+
+    a = spark.createDataFrame([(1.5, "x")], "ts double, v string")
+    b = spark.createDataFrame([(1.6, "y")], "ts double, v string")
+    with _pt.raises(ValueError, match="integral timeline"):
+        interval_join_within(a, b, tolerance=10)
