@@ -63,8 +63,12 @@ def chunk_boundaries(
     seed: int = 0,
 ) -> list[int]:
     """End offsets (exclusive) of content-defined chunks covering the
-    payload. ``avg_size`` must be a power of two (the boundary mask is
-    avg_size - 1); min/max default to avg/4 and avg*4."""
+    payload. ``avg_size`` must be a power of two (the boundary tests
+    the top log2(avg_size) hash bits); min/max default to avg/4 and
+    avg*4. Size calibration note (r12): candidates closer than
+    min_size are SKIPPED, not re-drawn, so the realized mean chunk
+    size is ~min_size + avg_size (measured 1275 at avg 1024 on random
+    data) — size avg_size accordingly when targeting a chunk count."""
     if avg_size < 64 or avg_size & (avg_size - 1):
         raise ValueError(f"avg_size must be a power of two >= 64, got {avg_size}")
     min_size = avg_size // 4 if min_size is None else min_size
@@ -78,9 +82,22 @@ def chunk_boundaries(
         return []
     import numpy as np
 
-    mask = np.uint64(avg_size - 1)
+    # boundary = the TOP log2(avg_size) bits all zero. Gear's k-th bit
+    # is a function of only the last k+1 bytes, so the former LOW-bit
+    # mask made the whole predicate depend on just log2(avg_size)
+    # trailing bytes — structured payloads with fixed record suffixes
+    # (zero padding, PCM silence, constant trailers) degenerated to
+    # all-min or all-max chunks regardless of the 50+ preceding bytes
+    # (r12 review finding, reproduced; Ddelta/FastCDC mask high bits
+    # for exactly this reason — bits 64-m..63 each see >= 64-m trailing
+    # bytes of context). Same 2^-m boundary probability, so the size
+    # distribution target is unchanged. NOTE: this changes boundary
+    # POSITIONS (chunk sha identities) relative to pre-r12 outputs —
+    # chunk relations are derived per run, nothing persists them.
+    m = int(avg_size).bit_length() - 1
+    shift = np.uint64(64 - m)
     h = gear_hashes(payload, seed)
-    candidates = np.nonzero((h & mask) == 0)[0]
+    candidates = np.nonzero((h >> shift) == 0)[0]
 
     cuts: list[int] = []
     last = 0
@@ -112,8 +129,9 @@ def chunk_payload(
     """(offset, length, sha256-hex) per content-defined chunk."""
     out = []
     start = 0
+    mv = memoryview(payload)  # zero-copy slices on the hot path (r12)
     for end in chunk_boundaries(payload, avg_size, min_size, max_size, seed):
-        out.append((start, end - start, hashlib.sha256(payload[start:end]).hexdigest()))
+        out.append((start, end - start, hashlib.sha256(mv[start:end]).hexdigest()))
         start = end
     return out
 

@@ -2158,3 +2158,25 @@ def test_dhash_resample_first_identical(spark):
                 v |= 1 << (y * 8 + x)
     old = v - (1 << 64) if v >= 1 << 63 else v
     assert new == old
+
+
+def test_cdc_boundary_uses_leading_context():
+    """r12 review finding (reproduced): the low-bit boundary mask made
+    the predicate a function of just log2(avg_size) trailing bytes —
+    records with fixed suffixes (zero padding) degenerated to all-min
+    or all-max chunks. The high-bit mask sees the 64-byte window."""
+    import hashlib as _h
+
+    from mwas_rfam_spark.functions.cdc import chunk_boundaries
+
+    # records with varying heads and a FIXED 16-byte zero suffix: under
+    # the old low-bit mask every record position had the identical
+    # boundary predicate value
+    rec = lambda i: _h.sha256(f"r{i}".encode()).digest() * 3 + b"\x00" * 16
+    payload = b"".join(rec(i) for i in range(200))
+    cuts = chunk_boundaries(payload, avg_size=256)
+    sizes = [b - a for a, b in zip([0] + cuts[:-1], cuts)]
+    # a healthy content-defined distribution: not all-min, not all-max
+    assert len(set(sizes[:-1])) > 3
+    assert any(s != 1024 for s in sizes[:-1])  # not uniformly max_size
+    assert any(s != 64 for s in sizes[:-1])  # not uniformly min_size
