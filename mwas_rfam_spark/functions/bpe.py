@@ -40,11 +40,21 @@ def train_bpe(word_freq: Counter, num_merges: int) -> list[tuple[str, str]]:
         (list(w) + [EOW], n) for w, n in word_freq.items() if w
     ]
     merges: list[tuple[str, str]] = []
+    # incremental pair statistics + pair->word index (the Sennrich
+    # reference structure): the former full recount re-scanned EVERY
+    # word per merge — ~num_merges x corpus passes in pure Python,
+    # tens of minutes at the corpus-training defaults (r12 review
+    # finding). Per affected word the delta is the difference of full
+    # per-word pair Counters, so the counts are IDENTICAL to a global
+    # recount (same ties, same merges — pinned tests unchanged).
+    pairs: Counter = Counter()
+    where: dict[tuple[str, str], set[int]] = {}
+    for wi, (syms, n) in enumerate(words):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pairs[p] += n
+            where.setdefault(p, set()).add(wi)
     for _ in range(num_merges):
-        pairs: Counter = Counter()
-        for syms, n in words:
-            for i in range(len(syms) - 1):
-                pairs[(syms[i], syms[i + 1])] += n
         if not pairs:
             break
         # deterministic: most frequent pair, ties to the
@@ -52,32 +62,89 @@ def train_bpe(word_freq: Counter, num_merges: int) -> list[tuple[str, str]]:
         pair = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         merges.append(pair)
         joined = pair[0] + pair[1]
-        for syms, _n in words:
+        for wi in sorted(where.get(pair, ())):
+            syms, n = words[wi]
+            old_c: Counter = Counter(
+                (syms[i], syms[i + 1]) for i in range(len(syms) - 1)
+            )
             i = 0
+            changed = False
             while i < len(syms) - 1:
                 if syms[i] == pair[0] and syms[i + 1] == pair[1]:
                     syms[i : i + 2] = [joined]
+                    changed = True
                 else:
                     i += 1
+            if not changed:
+                continue  # stale index entry
+            new_c: Counter = Counter(
+                (syms[i], syms[i + 1]) for i in range(len(syms) - 1)
+            )
+            for p in set(old_c) | set(new_c):
+                d = new_c[p] - old_c[p]
+                if d:
+                    pairs[p] += d * n
+                    if pairs[p] == 0:
+                        del pairs[p]
+                if new_c[p]:
+                    where.setdefault(p, set()).add(wi)
+                elif p in where:
+                    where[p].discard(wi)
+        where.pop(pair, None)
+        pairs.pop(pair, None)
     return merges
 
 
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Encode one (lowercase) word with a merge-rank table: repeatedly
-    merge the lowest-rank adjacent pair — exactly the training order,
-    so training data re-encodes to the training segmentation."""
+    merge the lowest-rank adjacent pair (ties leftmost) — exactly the
+    training order, so training data re-encodes to the training
+    segmentation. Heap + linked list, O(L log L): the former rescan-
+    per-merge loop was O(L^2), and one unbroken megabyte 'word'
+    (sequence data, base64, minified JS) effectively hung the encode
+    kernel (r12 review finding); result is identical — the heap pops
+    the globally lowest (rank, leftmost-position) pair, which is what
+    the scan selected."""
+    import heapq
+
     syms = list(word) + [EOW]
-    while len(syms) > 1:
-        best_rank = None
-        best_i = -1
-        for i in range(len(syms) - 1):
-            r = ranks.get((syms[i], syms[i + 1]))
-            if r is not None and (best_rank is None or r < best_rank):
-                best_rank, best_i = r, i
-        if best_rank is None:
-            break
-        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
-    return syms
+    m = len(syms)
+    if m < 2:
+        return syms
+    nxt = list(range(1, m)) + [-1]
+    prv = [-1] + list(range(0, m - 1))
+    alive = [True] * m
+    heap = []
+    for i in range(m - 1):
+        r = ranks.get((syms[i], syms[i + 1]))
+        if r is not None:
+            heap.append((r, i))
+    heapq.heapify(heap)
+    while heap:
+        r, i = heapq.heappop(heap)
+        if not alive[i]:
+            continue
+        j = nxt[i]
+        if j == -1:
+            continue
+        if ranks.get((syms[i], syms[j])) != r:
+            continue  # stale entry: one side already merged away
+        syms[i] = syms[i] + syms[j]
+        alive[j] = False
+        nxt[i] = nxt[j]
+        if nxt[j] != -1:
+            prv[nxt[j]] = i
+        p = prv[i]
+        if p != -1:
+            rp = ranks.get((syms[p], syms[i]))
+            if rp is not None:
+                heapq.heappush(heap, (rp, p))
+        q = nxt[i]
+        if q != -1:
+            rq = ranks.get((syms[i], syms[q]))
+            if rq is not None:
+                heapq.heappush(heap, (rq, i))
+    return [syms[k] for k in range(m) if alive[k]]
 
 
 def encode_text(
@@ -104,7 +171,13 @@ def encode_text(
 
 def decode_tokens(tokens: list[str]) -> str:
     """Inverse of :func:`encode_text` up to whitespace collapsing and
-    lowercasing: concatenate, split words at end-of-word markers."""
+    lowercasing: concatenate, split words at end-of-word markers.
+
+    Documented limitation (r12 review): the markers are NOT escaped in
+    input text — a corpus containing the literal strings '</w>' or
+    '<unk>' (TEI-tagged XML, already-tokenized logs) decodes those
+    spans as word boundaries / collides with the reserved unk id.
+    Pre-escape such corpora before tokenization."""
     return "".join(tokens).replace(EOW, " ").strip()
 
 

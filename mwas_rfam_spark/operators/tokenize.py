@@ -238,6 +238,14 @@ def bpe_encode(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            if len(cache) > 1_000_000:
+                # size cap: the memo lives for the PARTITION, and a
+                # high-cardinality corpus (ids, hashes, k-mers) would
+                # otherwise accumulate every word type's token list in
+                # the Python worker — GB-scale on wide partitions (r12
+                # review finding). A full clear keeps the Zipf hit-rate
+                # win (hot words repopulate immediately).
+                cache.clear()
             toks = [
                 encode_text("" if t is None else str(t), ranks, cache)
                 for t in pdf["__text"]

@@ -271,3 +271,54 @@ def test_corpus_trained_bpe_matches_driver_side_exactly(spark):
         train_bpe_merges_corpus(docs, num_merges=5, max_collect_bytes=10)
     with pytest.raises(ValueError, match="max_word_types"):
         corpus_word_frequencies(docs, max_word_types=0)
+
+
+def test_encode_word_heap_matches_reference_scan():
+    """r12: the O(L log L) heap encode must be decision-for-decision
+    identical to the former O(L^2) rescan greedy (lowest rank, leftmost
+    tie) — differential test over randomized merge tables."""
+    import random
+
+    from mwas_rfam_spark.functions.bpe import EOW, encode_word
+
+    def reference(word, ranks):
+        syms = list(word) + [EOW]
+        while len(syms) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return syms
+
+    rng = random.Random(7)
+    alpha = "abcd"
+    for trial in range(200):
+        word = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 24)))
+        # random rank table over plausible merge products
+        pieces = list(alpha) + [EOW, "ab", "cd", "abc", "aa", "aab", "abcd"]
+        items = [(a, b) for a in pieces for b in pieces]
+        rng.shuffle(items)
+        ranks = {p: i for i, p in enumerate(items[: rng.randint(0, 40)])}
+        assert encode_word(word, ranks) == reference(word, ranks), (word, ranks)
+
+
+def test_encode_word_long_unbroken_word_fast():
+    """r12 review finding: one unbroken 200k-char word used to take
+    O(L^2) — effectively hanging the encode kernel."""
+    import time
+
+    from mwas_rfam_spark.functions.bpe import encode_word, ranks_from_merges, train_bpe
+
+    from collections import Counter
+
+    merges = train_bpe(Counter({"abab": 5, "abc": 3}), 6)
+    ranks = ranks_from_merges(merges)
+    word = "ab" * 100_000
+    t0 = time.time()
+    out = encode_word(word, ranks)
+    assert time.time() - t0 < 10
+    assert "".join(out).replace("</w>", "") == word
