@@ -67,6 +67,13 @@ def grouped_quantiles(
         raise ValueError("probabilities must be non-empty")
     if not all(0.0 <= p <= 1.0 for p in probabilities):
         raise ValueError(f"probabilities must be in [0, 1]: {probabilities}")
+    names = [f"p{p:g}" for p in probabilities]
+    if len(set(names)) != len(names):
+        # duplicate probabilities minted duplicate output columns —
+        # every later select threw AMBIGUOUS_REFERENCE (r12 review)
+        raise ValueError(f"duplicate probabilities: {probabilities}")
+    if not exact and accuracy < 1:
+        raise ValueError(f"accuracy must be >= 1, got {accuracy}")
     fn = (
         (lambda c, p: F.percentile(c, F.lit(p)))
         if exact
@@ -240,12 +247,14 @@ def cardinality_from_states(
 def corpus_report(
     docs: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
+    id_col: str = "doc_id",  # unused since r12 (kept for API compat)
 ) -> DataFrame:
     """One-row corpus health report — the numbers every ingest run wants
     before anything downstream trusts the data: document and token
-    counts, token-length distribution (exact median/p95 at report
-    granularity), empty-document fraction, estimated exact-duplicate
+    counts, token-length distribution (median/p95 via percentile_approx
+    — a rank-error sketch returning observed values, NOT the exact
+    interpolated quantile; r12 docstring correction), empty-document
+    fraction, estimated exact-duplicate
     rate (HLL over the normalized content hash — same normalization as
     the dedup family, so the estimate predicts what `dedup_exact` will
     find), and estimated vocabulary size.
@@ -261,10 +270,16 @@ def corpus_report(
     # _token_array drops boundary empties: trim() strips only spaces,
     # so 'hello world\n' would otherwise count 3 tokens and a '\n'-only
     # doc would count as 2-token non-empty
+    # no id projection: nothing below aggregates per doc, and selecting
+    # id_col made the report CLI (which exposes no --id-col flag) crash
+    # on any corpus without a 'doc_id' column (r12 review finding).
+    # The hash coalesces NULL text to the empty doc so the estimate
+    # matches exact_dedup_groups' NULL-grouping semantics (a NULL hash
+    # was DROPPED by approx_count_distinct while n_docs counted the
+    # row — every NULL doc read as a duplicate).
     profile = docs.select(
-        F.col(id_col),
         F.size(_token_array(F.col(text_col))).alias("__n_toks"),
-        F.md5(normalize_text(F.col(text_col))).alias("__h"),
+        F.md5(F.coalesce(normalize_text(F.col(text_col)), F.lit(""))).alias("__h"),
     )
     doc_stats = profile.agg(
         F.count("*").alias("n_docs"),
@@ -277,7 +292,12 @@ def corpus_report(
     ).withColumn(
         "dup_rate_est",
         F.round(
-            (F.col("n_docs") - F.col("__distinct_docs"))
+            # clamp at 0: HLL++ (~5% rsd) can estimate MORE distinct
+            # hashes than rows — a negative duplicate rate is nonsense
+            # (r12 review finding)
+            F.greatest(
+                F.col("n_docs") - F.col("__distinct_docs"), F.lit(0)
+            )
             / F.greatest(F.col("n_docs"), F.lit(1)),
             4,
         ),
@@ -409,8 +429,18 @@ def corpus_diff(
 
     o = hashed(old, "old", "h_old")
     n = hashed(new, "new", "h_new")
-    return o.join(n, "id", "full_outer").select(
-        F.col("id").alias(id_col),
+    # eqNullSafe: a NULL id present on both sides never matched the
+    # plain equi-join and came back as 'removed' PLUS 'added' — the
+    # downstream slices would delete its postings and re-embed it on
+    # every diff run (r12 review finding; the duplicate guard above
+    # groups NULLs, so at most one NULL id per side reaches the join)
+    joined = o.join(
+        n.withColumnRenamed("id", "__nid"),
+        F.col("id").eqNullSafe(F.col("__nid")),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce(F.col("id"), F.col("__nid")).alias(id_col),
         F.when(F.col("h_old").isNull(), F.lit("added"))
         .when(F.col("h_new").isNull(), F.lit("removed"))
         .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
@@ -428,9 +458,12 @@ def diff_status_counts(diff: DataFrame) -> DataFrame:
         [(s,) for s in statuses], "status string"
     )
     counts = diff.groupBy("status").agg(F.count("*").alias("n"))
+    # the hint goes on the BUILD side: for a left-outer join Spark can
+    # only broadcast the right relation — hinting the preserved left
+    # side was ignored with a warning and the two tiny relations
+    # shuffle-joined (r12 review finding)
     return (
-        F.broadcast(frame)
-        .join(counts, "status", "left_outer")
+        frame.join(F.broadcast(counts), "status", "left_outer")
         .select("status", F.coalesce("n", F.lit(0)).alias("n"))
     )
 

@@ -426,3 +426,36 @@ def test_binned_drift_nan_in_null_bucket_and_guards(spark):
         binned_numeric_drift(a, b, "v", relative_error=2.0)
     with pytest.raises(ValueError, match="bins"):
         binned_numeric_drift(a, b, "v", bins=100_000)
+
+
+def test_corpus_diff_null_id_both_sides_unchanged(spark):
+    """r12 review finding: a NULL id present on both sides never
+    matched the equi-join and came back as 'removed' + 'added' —
+    deleting and re-embedding the doc on every diff run."""
+    from mwas_rfam_spark.operators.summary import corpus_diff
+
+    old = spark.createDataFrame(
+        [(None, "same text"), (1, "a")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(None, "same text"), (1, "b")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got[None] == "unchanged"
+    assert got[1] == "changed"
+    assert len(got) == 2
+
+
+def test_corpus_report_no_id_column_needed(spark):
+    """r12 review finding: the report selected doc_id it never
+    aggregated — the report CLI crashed on any corpus without it; and
+    NULL-text docs counted as duplicates (NULL hash dropped by the
+    distinct estimate)."""
+    from mwas_rfam_spark.operators.summary import corpus_report
+
+    docs = spark.createDataFrame(
+        [("alpha beta",), ("gamma delta",), (None,)], "body string"
+    )
+    r = corpus_report(docs, text_col="body").collect()[0]
+    assert r["n_docs"] == 3 and r["n_empty"] == 1
+    assert r["dup_rate_est"] == 0.0  # NULL doc is one distinct empty doc
