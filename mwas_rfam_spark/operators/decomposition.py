@@ -68,17 +68,24 @@ def project_embeddings(
     emb: DataFrame,
     matrix: list[list[float]],
     vec_col: str = "embedding",
-    out_col: str = "embedding",
+    out_col: str | None = None,
     shift: list[float] | None = None,
 ) -> DataFrame:
     """x → M (x - shift): the one projection primitive both reducers
     share (JL: shift=None; PCA: shift=mean). Output replaces/creates
-    ``out_col`` as array<double>; all other columns pass through.
+    ``out_col`` as array<double> — defaulting to ``vec_col`` ITSELF
+    (r12 review finding: the old literal "embedding" default meant a
+    caller passing only vec_col wrote the projection to a NEW column
+    and kept reading the unprojected one; train_opq did exactly that
+    for any non-default vec_col, silently training codebooks on
+    unrotated vectors); all other columns pass through.
 
     Map-only — no shuffle at any size. Physical strategy by matrix
     size: inline zip_with/aggregate expressions (JVM, codegen) below
     PROJECT_CODEGEN_MAX_TERMS terms, else one Arrow GEMM per batch with
     the (parameter-sized) matrix broadcast."""
+    if out_col is None:
+        out_col = vec_col
     if not matrix or not matrix[0]:
         raise ValueError("matrix must be non-empty")
     out_dim, in_dim = len(matrix), len(matrix[0])
@@ -102,9 +109,18 @@ def project_embeddings(
                 for row in matrix
             ]
         )
-        # NULL / wrong-dim vectors → NULL output array (not an array of
-        # NULL elements) on both physical paths — kernel-pinned in tests
-        valid = F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == in_dim)
+        # NULL / wrong-dim vectors AND vectors carrying NULL or NaN
+        # ELEMENTS → NULL output array on both physical paths (r12
+        # review finding: a NULL element produced an all-NULL-element
+        # array inline but finite-looking NaNs through Arrow — behavior
+        # flipped on matrix size, against this module's pinned contract)
+        valid = (
+            F.col(vec_col).isNotNull()
+            & (F.size(F.col(vec_col)) == in_dim)
+            & ~F.exists(
+                F.col(vec_col), lambda e: e.isNull() | F.isnan(e.cast("double"))
+            )
+        )
         return emb.withColumn(out_col, F.when(valid, projected))
     return _project_arrow(emb, matrix, vec_col, out_col, shift)
 
@@ -138,12 +154,15 @@ def _project_arrow(
             # NULL / wrong-dimension vectors project to NULL — the same
             # semantics the inline expression produces, so behavior
             # cannot flip on matrix size
-            vecs = [
-                np.asarray(v, dtype=np.float64)
-                if v is not None and len(v) == in_dim
-                else None
-                for v in pdf[vec_col]
-            ]
+            vecs = []
+            for v in pdf[vec_col]:
+                if v is None or len(v) != in_dim:
+                    vecs.append(None)
+                    continue
+                a = np.asarray(v, dtype=np.float64)
+                # NULL elements arrive as NaN through Arrow; both are
+                # invalid (r12 — same rule as the inline path)
+                vecs.append(None if np.isnan(a).any() else a)
             valid = [i for i, v in enumerate(vecs) if v is not None]
             projected: list = [None] * len(vecs)
             if valid:
@@ -159,7 +178,13 @@ def _project_arrow(
             out[out_col] = projected
             yield out
 
-    return src.mapInPandas(kernel, schema)
+    out = src.mapInPandas(kernel, schema)
+    if out_col in emb.columns:
+        # keep the INPUT column order: the Arrow schema appends out_col
+        # at the end while the inline path's withColumn replaces it in
+        # place — positional consumers flipped with matrix size (r12)
+        out = out.select(*emb.columns)
+    return out
 
 
 def fit_pca(
@@ -190,7 +215,14 @@ def fit_pca(
         raise ValueError(f"k must be >= 1, got {k}")
     emb = emb.where(
         F.col(vec_col).isNotNull()
-        & ~F.exists(F.col(vec_col), lambda x: x.isNull())
+        & ~F.exists(
+            F.col(vec_col),
+            # NaN/Inf elements poison the moment sums exactly like the
+            # NULLs this filter already excluded (r12 review finding)
+            lambda x: x.isNull()
+            | F.isnan(x.cast("double"))
+            | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+        )
     )
     first = emb.select(F.size(vec_col).alias("d")).first()
     if first is None:
@@ -279,7 +311,7 @@ def pca_project(
     emb: DataFrame,
     model: dict,
     vec_col: str = "embedding",
-    out_col: str = "embedding",
+    out_col: str | None = None,
 ) -> DataFrame:
     """Project with a :func:`fit_pca` model (mean-centered) — the
     build-vs-probe split: fit at index time, project as a map-only

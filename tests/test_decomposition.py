@@ -279,3 +279,54 @@ def test_fit_pca_excludes_null_elements(spark):
     model = fit_pca(df, k=1)
     np.testing.assert_allclose(model["mean"], clean.mean(axis=0), atol=1e-12)
     assert np.isfinite(model["explained_variance"][0])
+
+
+def test_out_col_follows_vec_col(spark):
+    """r12 review finding: the literal 'embedding' out_col default
+    meant project_embeddings(emb, M, vec_col='vec') wrote the rotated
+    vectors to a NEW column and callers kept reading the unrotated one
+    (train_opq trained codebooks on unrotated data for any non-default
+    vec_col)."""
+    from mwas_rfam_spark.operators.decomposition import project_embeddings
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "id long, vec array<double>")
+    out = project_embeddings(df, [[0.0, 1.0], [1.0, 0.0]], vec_col="vec")
+    assert out.columns == ["id", "vec"]  # replaced in place, no extra col
+    assert out.collect()[0]["vec"] == [2.0, 1.0]
+
+
+def test_null_and_nan_elements_null_output_both_paths(spark):
+    """r12 review finding: a NULL element produced an all-NULL-element
+    array inline but finite-looking NaNs through Arrow — behavior
+    flipped on matrix size. Both paths now yield a NULL output array."""
+    import mwas_rfam_spark.operators.decomposition as deco
+    from mwas_rfam_spark.operators.decomposition import project_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, None]), (2, [1.0, float("nan")]), (3, [1.0, 2.0])],
+        "id long, embedding array<double>",
+    )
+    m = [[1.0, 1.0]]
+    inline = {r["id"]: r["embedding"] for r in project_embeddings(df, m).collect()}
+    old_cap = deco.PROJECT_CODEGEN_MAX_TERMS
+    try:
+        deco.PROJECT_CODEGEN_MAX_TERMS = 0  # force the Arrow path
+        arrow = {r["id"]: r["embedding"] for r in project_embeddings(df, m).collect()}
+    finally:
+        deco.PROJECT_CODEGEN_MAX_TERMS = old_cap
+    assert inline == arrow
+    assert inline[1] is None and inline[2] is None
+    assert inline[3] == [3.0]
+
+
+def test_fit_pca_excludes_nan_inf_vectors(spark):
+    """r12 review finding: a NaN/Inf element silently poisoned the
+    moment sums (the docstring's exact claim was NULL-only)."""
+    from mwas_rfam_spark.operators.decomposition import fit_pca
+
+    rows = [([float(i), float(-i)],) for i in range(1, 20)]
+    dirty = rows + [([float("nan"), 1.0],), ([float("inf"), 1.0],)]
+    m_clean = fit_pca(spark.createDataFrame(rows, "embedding array<double>"), 1)
+    m_dirty = fit_pca(spark.createDataFrame(dirty, "embedding array<double>"), 1)
+    assert m_clean["mean"] == m_dirty["mean"]
+    assert m_clean["components"] == m_dirty["components"]
