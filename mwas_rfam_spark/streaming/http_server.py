@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..config import MwasConfig
 
 _BOOL_TRUE = {"1", "true", "yes", "on"}
+_BOOL_FALSE = {"0", "false", "no", "off"}
 
 # serializes run_mwas + release_mwas_persists across handler threads —
 # the pinned-subplan registry is process-global (see do_POST)
@@ -56,14 +57,28 @@ def config_from_params(params: dict[str, str]) -> MwasConfig:
         if f is None:
             raise ValueError(f"unknown config parameter: {name!r}")
         if f.type in ("bool", bool):
-            kwargs[name] = raw.strip().lower() in _BOOL_TRUE
+            tok = raw.strip().lower()
+            if tok in _BOOL_TRUE:
+                kwargs[name] = True
+            elif tok in _BOOL_FALSE:
+                kwargs[name] = False
+            else:
+                # fail loud like unknown names: 'ture' silently ran the
+                # full pipeline with the default (r12 review finding)
+                raise ValueError(
+                    f"bad boolean for {name!r}: {raw!r} (use 1/true/yes/on "
+                    "or 0/false/no/off)"
+                )
         elif f.type in ("int", int):
             kwargs[name] = int(raw)
         elif f.type in ("float", float):
             kwargs[name] = float(raw)
-        elif name == "blacklist":
+        # keyed on the DECLARED annotation, not the field name, so a
+        # future optional/tuple field coerces instead of landing in the
+        # raw-string branch (r12 review finding)
+        elif f.type in ("tuple[str, ...]",):
             kwargs[name] = tuple(x for x in raw.split(",") if x)
-        elif name == "max_group_observations":
+        elif f.type in ("int | None", "Optional[int]"):
             kwargs[name] = None if raw.lower() in ("", "none") else int(raw)
         else:
             kwargs[name] = raw
@@ -151,14 +166,37 @@ def make_server(
                 self._reply(404, {"error": "not found"})
                 return
             try:
-                cfg = config_from_params(dict(parse_qsl(parsed.query)))
+                # keep_blank_values: a valueless ?flag was silently
+                # DROPPED before the unknown-name check; repeated params
+                # silently kept only the last occurrence (r12 review
+                # findings) — both now refuse loudly
+                qs = parse_qsl(parsed.query, keep_blank_values=True)
+                names = [k for k, _ in qs]
+                dupes = sorted({k for k in names if names.count(k) > 1})
+                if dupes:
+                    raise ValueError(
+                        f"repeated config parameter(s): {dupes} — pass "
+                        "comma-separated values instead"
+                    )
+                cfg = config_from_params(dict(qs))
                 n = int(self.headers.get("Content-Length", 0))
+                # bound the body read: a huge Content-Length buffered
+                # gigabytes into the driver before any validation, and
+                # a negative one read to EOF forever (r12 review
+                # finding). 64 MiB >> max_inline_rows-scale bodies.
+                if n < 0 or n > 64 * 1024 * 1024:
+                    raise ValueError(
+                        f"Content-Length {n} out of bounds (0, 64 MiB]"
+                    )
                 rows = json.loads(self.rfile.read(n).decode("utf-8"))
                 if not isinstance(rows, list) or not rows:
                     raise ValueError("body must be a non-empty JSON array of rows")
+                if not all(isinstance(r, dict) for r in rows):
+                    raise ValueError("every row must be a JSON object")
             except (ValueError, KeyError, json.JSONDecodeError) as e:
                 self._reply(400, {"error": str(e)})
                 return
+            reply = None
             try:
                 # _MWAS_LOCK serializes the run AND the release: the
                 # pinned-subplan registry (mwas._LIVE_PERSISTS) is
@@ -210,9 +248,20 @@ def make_server(
                         from ..operators.mwas import release_mwas_persists
 
                         release_mwas_persists()
-                self._reply(200, reply)
+            except ValueError as e:
+                # client-input errors raised inside the pipeline
+                # (readers.input_from_rows' missing run/group) are the
+                # documented 400, not a 500 (r12 review finding wiring
+                # readers.py's stated contract)
+                self._reply(400, {"error": str(e)})
+                return
             except Exception as e:  # surface pipeline errors as 500 JSON
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            # outside the except: a transport failure mid-200 must not
+            # trigger a second _reply(500) onto the same half-written
+            # connection (r12 review finding)
+            self._reply(200, reply)
 
     return ThreadingHTTPServer((host, port), Handler)
 

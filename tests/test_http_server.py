@@ -173,3 +173,47 @@ def test_server_releases_mwas_persists(server_url):
         assert resp.status == 200
         json.loads(resp.read())
     assert mwas_mod._LIVE_PERSISTS == []
+
+
+def test_http_client_errors_are_400(server_url):
+    """r12 review findings: malformed rows (missing run/group) were a
+    500; valueless/repeated/typo'd params were silently ignored; bad
+    boolean tokens silently coerced to False."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    base = server_url
+
+    def post(path, body):
+        req = urllib.request.Request(
+            f"{base}{path}", data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    # missing 'run' → 400 (was 500)
+    code, body = post("/run_mwas", [{"group": "g", "quantifier": 1.0}])
+    assert code == 400 and "missing required key" in body["error"]
+    # non-object row → 400
+    code, body = post("/run_mwas", [1, 2, 3])
+    assert code == 400 and "JSON object" in body["error"]
+    # valueless flag no longer silently dropped
+    code, body = post("/run_mwas?no_such_flag", [{"run": "R1", "group": "g", "quantifier": 1.0}])
+    assert code == 400 and "unknown config parameter" in body["error"]
+    # repeated param refused
+    code, body = post(
+        "/run_mwas?blacklist=P1&blacklist=P2",
+        [{"run": "R1", "group": "g", "quantifier": 1.0}],
+    )
+    assert code == 400 and "repeated config parameter" in body["error"]
+    # bad boolean token refused
+    code, body = post(
+        "/run_mwas?t_test_only=ture",
+        [{"run": "R1", "group": "g", "quantifier": 1.0}],
+    )
+    assert code == 400 and "bad boolean" in body["error"]
