@@ -185,6 +185,29 @@ def ranks_from_merges(merges: list[tuple[str, str]]) -> dict[tuple[str, str], in
     return {pair: i for i, pair in enumerate(merges)}
 
 
+class BoundedWordCache(dict):
+    """Word→tokens memo with a hard entry cap enforced on EVERY insert.
+
+    On overflow the whole memo clears: Zipf-distributed corpora
+    repopulate the hot head immediately, and a full clear (vs LRU
+    bookkeeping) keeps the per-insert cost O(1). The cap lives inside
+    ``__setitem__`` — not in the caller's between-batch check — because a
+    single high-cardinality Arrow batch (thousands of docs × many
+    distinct words) could otherwise grow the memo far past the cap
+    before the next check ran (r13 ADVICE item)."""
+
+    def __init__(self, cap: int):
+        super().__init__()
+        if cap < 1:
+            raise ValueError(f"cache cap must be >= 1, got {cap}")
+        self.cap = cap
+
+    def __setitem__(self, key, value):
+        if len(self) >= self.cap:
+            self.clear()
+        super().__setitem__(key, value)
+
+
 UNK = "<unk>"
 
 

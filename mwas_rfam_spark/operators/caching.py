@@ -134,22 +134,37 @@ def run_mwas_cached(
     cfg: MwasConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
     """run_mwas with parquet result reuse keyed by the input fingerprint.
-    A cache directory counts as a hit only with its ``_SUCCESS`` job
-    marker — partial files from an interrupted write recompute instead
-    of serving truncated results (r12 review finding)."""
+    A cache directory counts as a hit only with a completion marker —
+    partial files from an interrupted write recompute instead of serving
+    truncated results (r12 review finding). The marker is Hadoop's
+    ``_SUCCESS`` *or* this module's own ``_mwas_cache_ok`` sentinel,
+    written after the parquet job returns: deployments that disable
+    marker files (``mapreduce.fileoutputcommitter.marksuccessfuljobs=
+    false``, common on object stores) would otherwise NEVER hit — every
+    call silently recomputing and rewriting, a cache that is pure
+    overhead (r13 ADVICE item). The sentinel uses the same stamp-file
+    pattern as :func:`_check_resume_config`."""
     from .mwas import run_mwas
 
     key = mwas_cache_key(input_df, cfg, catalog_df, sets_df, ref_df)
     path = f"{cache_dir.rstrip('/')}/{key}"
     jvm = spark._jvm
     success = jvm.org.apache.hadoop.fs.Path(f"{path}/_SUCCESS")
+    sentinel = jvm.org.apache.hadoop.fs.Path(f"{path}/_mwas_cache_ok")
     fs = success.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(success):
+    if fs.exists(success) or fs.exists(sentinel):
         hit = _read_if_exists(spark, path)
         if hit is not None:
             return hit
     out = run_mwas(input_df, catalog_df, sets_df, ref_df, cfg)
     out.write.mode("overwrite").parquet(path)
+    # self-written completion marker, AFTER the job returned — a torn
+    # write never has it, a marker-disabled committer still gets hits
+    stream = fs.create(sentinel, True)
+    try:
+        stream.write(bytearray(b"ok"))
+    finally:
+        stream.close()
     return spark.read.parquet(path)
 
 

@@ -86,13 +86,21 @@ def baseline_quantile_bucket(
     edges = [float(e) for e in (edges_row["edges"] or []) if e is not None]
     if not edges:
         raise ValueError(f"baseline has no non-null values in {value_col}")
-    v = F.col(value_col)
+    # bucket_expr is applied to OTHER frames too (df_b in
+    # binned_numeric_drift, the stream in windowed_numeric_psi_stream)
+    # whose dtype may differ from the baseline's: derive the NaN rule
+    # from the VALUE, not the baseline's dtype — cast to double and
+    # isnan unconditionally (isnan over a cast-to-double int column is
+    # always false), so a float frame compared against an integral
+    # baseline routes its NaN rows to bucket -1 instead of sorting them
+    # above every edge into the top bucket (r13 ADVICE item). The cast
+    # is also what `v > lit(double)` implied already — no comparison
+    # semantics change.
+    v = F.col(value_col).cast("double")
     bucket = F.lit(0)
     for e in edges:
         bucket = bucket + F.when(v > F.lit(e), 1).otherwise(0)
-    finite = v.isNotNull()
-    if dict(baseline.dtypes).get(value_col) in ("double", "float"):
-        finite = finite & ~F.isnan(v)
+    finite = v.isNotNull() & ~F.isnan(v)
     bucket = F.when(~finite, F.lit(-1)).otherwise(bucket)
     return edges, bucket
 

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mwas_rfam_spark.functions.bpe import (
+    BoundedWordCache,
     encode_text,
     ranks_from_merges,
     train_bpe,
@@ -234,18 +235,17 @@ def bpe_encode(
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ranks = ranks_from_merges(bc.value)
         v = bc_v.value
-        cache: dict[str, list[str]] = {}
+        # size-capped memo: the cache lives for the PARTITION, and a
+        # high-cardinality corpus (ids, hashes, k-mers) would otherwise
+        # accumulate every word type's token list in the Python worker —
+        # GB-scale on wide partitions (r12 review finding). The cap is
+        # enforced inside the cache on every insert, so even ONE Arrow
+        # batch can't blow past it (r13 ADVICE item); a full clear keeps
+        # the Zipf hit-rate win (hot words repopulate immediately).
+        cache: dict[str, list[str]] = BoundedWordCache(1_000_000)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if len(cache) > 1_000_000:
-                # size cap: the memo lives for the PARTITION, and a
-                # high-cardinality corpus (ids, hashes, k-mers) would
-                # otherwise accumulate every word type's token list in
-                # the Python worker — GB-scale on wide partitions (r12
-                # review finding). A full clear keeps the Zipf hit-rate
-                # win (hot words repopulate immediately).
-                cache.clear()
             toks = [
                 encode_text("" if t is None else str(t), ranks, cache)
                 for t in pdf["__text"]

@@ -15,6 +15,16 @@ from pyspark.sql import types as T
 from ..schemas import CATALOG_SCHEMA, INPUT_SCHEMA
 
 
+class RequestError(ValueError):
+    """Client-input error: the request body/parameters are malformed.
+
+    The HTTP server maps exactly this type to a 400; any other exception
+    escaping the pipeline — including operator-guard ValueErrors raised on
+    valid requests against bad server-side state — stays a 500 (r13
+    ADVICE item: the former blanket ``except ValueError -> 400`` masked
+    genuine server faults as client errors)."""
+
+
 def read_input_csv(spark: SparkSession, path: str, validate: bool = True) -> DataFrame:
     """S1 — user observation CSV with positional column semantics.
 
@@ -64,17 +74,22 @@ def input_from_rows(spark: SparkSession, rows: list[dict]) -> DataFrame:
     becomes NULL — INPUT_SCHEMA declares it nullable and every consumer
     coalesces NULL to 0 (streaming rpm, resolve_and_normalize) — instead
     of the former float(None) TypeError that surfaced as an HTTP 500
-    (r12 review finding); a row missing run/group is a clean ValueError
+    (r12 review finding); a row missing run/group is a clean RequestError
     the server maps to a 400."""
     def _tup(r: dict):
         try:
             run, group = r["run"], r["group"]
         except KeyError as e:
-            raise ValueError(
+            raise RequestError(
                 f"request row missing required key {e.args[0]!r}: {r!r}"
             ) from None
         q = r.get("quantifier")
-        return (run, group, None if q is None else float(q))
+        try:
+            return (run, group, None if q is None else float(q))
+        except (TypeError, ValueError):
+            raise RequestError(
+                f"request row has non-numeric quantifier {q!r}: {r!r}"
+            ) from None
 
     return spark.createDataFrame([_tup(r) for r in rows], INPUT_SCHEMA)
 

@@ -32,6 +32,7 @@ from urllib.parse import parse_qsl, urlparse
 from pyspark.sql import DataFrame, SparkSession
 
 from ..config import MwasConfig
+from ..sources.readers import RequestError
 
 _BOOL_TRUE = {"1", "true", "yes", "on"}
 _BOOL_FALSE = {"0", "false", "no", "off"}
@@ -55,7 +56,7 @@ def config_from_params(params: dict[str, str]) -> MwasConfig:
     for name, raw in params.items():
         f = fields.get(name)
         if f is None:
-            raise ValueError(f"unknown config parameter: {name!r}")
+            raise RequestError(f"unknown config parameter: {name!r}")
         if f.type in ("bool", bool):
             tok = raw.strip().lower()
             if tok in _BOOL_TRUE:
@@ -65,21 +66,30 @@ def config_from_params(params: dict[str, str]) -> MwasConfig:
             else:
                 # fail loud like unknown names: 'ture' silently ran the
                 # full pipeline with the default (r12 review finding)
-                raise ValueError(
+                raise RequestError(
                     f"bad boolean for {name!r}: {raw!r} (use 1/true/yes/on "
                     "or 0/false/no/off)"
                 )
         elif f.type in ("int", int):
-            kwargs[name] = int(raw)
+            try:
+                kwargs[name] = int(raw)
+            except ValueError:
+                raise RequestError(f"bad int for {name!r}: {raw!r}") from None
         elif f.type in ("float", float):
-            kwargs[name] = float(raw)
+            try:
+                kwargs[name] = float(raw)
+            except ValueError:
+                raise RequestError(f"bad float for {name!r}: {raw!r}") from None
         # keyed on the DECLARED annotation, not the field name, so a
         # future optional/tuple field coerces instead of landing in the
         # raw-string branch (r12 review finding)
         elif f.type in ("tuple[str, ...]",):
             kwargs[name] = tuple(x for x in raw.split(",") if x)
         elif f.type in ("int | None", "Optional[int]"):
-            kwargs[name] = None if raw.lower() in ("", "none") else int(raw)
+            try:
+                kwargs[name] = None if raw.lower() in ("", "none") else int(raw)
+            except ValueError:
+                raise RequestError(f"bad int for {name!r}: {raw!r}") from None
         else:
             kwargs[name] = raw
     return MwasConfig(**kwargs)
@@ -248,11 +258,16 @@ def make_server(
                         from ..operators.mwas import release_mwas_persists
 
                         release_mwas_persists()
-            except ValueError as e:
+            except RequestError as e:
                 # client-input errors raised inside the pipeline
                 # (readers.input_from_rows' missing run/group) are the
                 # documented 400, not a 500 (r12 review finding wiring
-                # readers.py's stated contract)
+                # readers.py's stated contract). Scoped to the dedicated
+                # RequestError type: a blanket ValueError here mapped
+                # operator guards (cohort-size checks, drift/selection
+                # validation, bad server-side sets_df state) to 400 even
+                # when the request body was valid, masking genuine server
+                # faults (r13 ADVICE item).
                 self._reply(400, {"error": str(e)})
                 return
             except Exception as e:  # surface pipeline errors as 500 JSON

@@ -701,3 +701,51 @@ def test_resume_refuses_config_change(spark, tmp_path):
     cfg2 = MwasConfig(permutation_resamples=50, permutation_seed=1, legacy_13col=True)
     with pytest.raises(ValueError, match="different MwasConfig"):
         run_mwas_resume(spark, inp, cat, sets_df, ref_df, outdir, cfg2)
+
+
+def test_cached_run_hits_without_success_marker(spark, tmp_path):
+    """r13 ADVICE item: committers configured with
+    marksuccessfuljobs=false never emit _SUCCESS; the cache's own
+    _mwas_cache_ok sentinel (written after the job returns) must still
+    produce hits, or every call silently recomputes forever."""
+    import os
+
+    from mwas_rfam_spark.operators.caching import mwas_cache_key, run_mwas_cached
+    from mwas_rfam_spark.operators.condense import condense_metadata
+    from mwas_rfam_spark.sources.readers import melt_wide_metadata
+
+    wide = spark.createDataFrame(
+        [(f"SAM{i}", "x" if i <= 2 else "y") for i in range(1, 6)],
+        ["biosample_id", "t1"],
+    )
+    sets_df, ref_df = condense_metadata(melt_wide_metadata(wide, "PS"))
+    cat = spark.createDataFrame(
+        [("PS", f"SAM{i}", f"R{i}", 1000) for i in range(1, 6)],
+        "bio_project string, bio_sample string, run string, spots long",
+    )
+    inp = spark.createDataFrame(
+        [(f"R{i}", "g", float(i)) for i in range(1, 6)],
+        "run string, group string, quantifier double",
+    )
+    cfg = MwasConfig(t_test_only=True)
+    cache = tmp_path / "cache_nosuccess"
+    key = mwas_cache_key(inp, cfg, cat, sets_df, ref_df)
+
+    r1 = run_mwas_cached(spark, inp, cat, sets_df, ref_df, str(cache), cfg)
+    r1.count()
+    entry = cache / key
+    assert (entry / "_mwas_cache_ok").exists()
+    # simulate marksuccessfuljobs=false: delete Hadoop's marker
+    if (entry / "_SUCCESS").exists():
+        os.remove(entry / "_SUCCESS")
+    mtimes = {
+        f: os.path.getmtime(entry / f)
+        for f in os.listdir(entry)
+        if f.endswith(".parquet")
+    }
+    r2 = run_mwas_cached(spark, inp, cat, sets_df, ref_df, str(cache), cfg)
+    # second call must be a pure parquet scan (a hit), not a recompute
+    plan = r2._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    for f, t in mtimes.items():
+        assert os.path.getmtime(entry / f) == t, f"{f} was rewritten (cache missed)"

@@ -459,3 +459,28 @@ def test_corpus_report_no_id_column_needed(spark):
     r = corpus_report(docs, text_col="body").collect()[0]
     assert r["n_docs"] == 3 and r["n_empty"] == 1
     assert r["dup_rate_est"] == 0.0  # NULL doc is one distinct empty doc
+
+
+def test_bucket_expr_nan_rule_is_frame_dtype_independent(spark):
+    """r13 ADVICE item: the NaN->bucket(-1) guard used to key off the
+    BASELINE frame's dtype — an integral baseline compared against a
+    float frame sent the float frame's NaN rows to the TOP bucket."""
+    from mwas_rfam_spark.operators.drift import baseline_quantile_bucket
+
+    base_int = spark.createDataFrame([(i,) for i in range(1, 101)], "v int")
+    edges, bucket = baseline_quantile_bucket(
+        base_int, "v", bins=4, relative_error=0.001
+    )
+    float_frame = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (None,), (1e9,)], "v double"
+    )
+    rows = float_frame.select(F.col("v"), bucket.alias("b")).collect()
+    by_desc = {}
+    for r in rows:
+        v = r["v"]
+        key = "null" if v is None else ("nan" if math.isnan(v) else v)
+        by_desc[key] = r["b"]
+    assert by_desc["nan"] == -1, "NaN in a float frame must route to -1"
+    assert by_desc["null"] == -1
+    assert by_desc[1.0] == 0
+    assert by_desc[1e9] == len(edges)  # genuinely-large value: top bucket

@@ -217,3 +217,69 @@ def test_http_client_errors_are_400(server_url):
         [{"run": "R1", "group": "g", "quantifier": 1.0}],
     )
     assert code == 400 and "bad boolean" in body["error"]
+
+
+def test_internal_valueerror_is_500_not_400(spark, monkeypatch):
+    """r13 ADVICE item: only RequestError (client input) maps to 400;
+    an operator-guard ValueError raised on a VALID request (bad
+    server-side state, cohort-size refusals) must stay a 500."""
+    from mwas_rfam_spark.schemas import CATALOG_SCHEMA
+    from mwas_rfam_spark.sources.readers import RequestError
+    from mwas_rfam_spark.streaming import requests as req_mod
+
+    catalog = spark.createDataFrame(
+        [("PRJX", "SAMX", "RX", 1_000_000)], CATALOG_SCHEMA
+    )
+    empty = spark.createDataFrame([], "bio_project string")
+    body = json.dumps([{"run": "RX", "group": "g", "quantifier": 1.0}]).encode()
+
+    def post_to(srv_url):
+        req = urllib.request.Request(
+            f"{srv_url}/run_mwas", data=body,
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return r.status
+        except urllib.error.HTTPError as e:
+            e.read()
+            return e.code
+
+    # 1) internal guard ValueError on a valid request → 500
+    monkeypatch.setattr(
+        req_mod, "serve_request",
+        lambda *a, **k: (_ for _ in ()).throw(
+            ValueError("grouped_permutation: cohort too small")
+        ),
+    )
+    srv = make_server(spark, catalog, empty, empty)
+    serve_forever_in_thread(srv)
+    try:
+        assert post_to(f"http://127.0.0.1:{srv.server_address[1]}") == 500
+    finally:
+        srv.shutdown()
+
+    # 2) RequestError raised inside the pipeline stays a 400
+    monkeypatch.setattr(
+        req_mod, "serve_request",
+        lambda *a, **k: (_ for _ in ()).throw(RequestError("bad row")),
+    )
+    srv = make_server(spark, catalog, empty, empty)
+    serve_forever_in_thread(srv)
+    try:
+        assert post_to(f"http://127.0.0.1:{srv.server_address[1]}") == 400
+    finally:
+        srv.shutdown()
+
+
+def test_non_numeric_quantifier_is_400(server_url):
+    """RequestError covers float-coercion failures in input_from_rows."""
+    req = urllib.request.Request(
+        f"{server_url}/run_mwas",
+        data=json.dumps([{"run": "R1", "group": "g", "quantifier": "abc"}]).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 400
+    assert "non-numeric quantifier" in json.loads(e.value.read().decode())["error"]

@@ -322,3 +322,32 @@ def test_encode_word_long_unbroken_word_fast():
     out = encode_word(word, ranks)
     assert time.time() - t0 < 10
     assert "".join(out).replace("</w>", "") == word
+
+
+def test_bounded_word_cache_caps_within_batch():
+    """r13 ADVICE item: the 1M memo cap was only checked BETWEEN Arrow
+    batches; a single high-cardinality batch could grow it unbounded.
+    The cap now lives inside the cache's __setitem__."""
+    import pytest
+
+    from mwas_rfam_spark.functions.bpe import (
+        BoundedWordCache,
+        encode_text,
+        ranks_from_merges,
+    )
+
+    cache = BoundedWordCache(3)
+    for i in range(10):
+        cache[f"w{i}"] = [f"w{i}"]
+        assert len(cache) <= 3
+    # hot-word repopulation still works after a clear
+    cache["hot"] = ["hot"]
+    assert cache["hot"] == ["hot"]
+
+    # encoding through a tiny bounded cache matches the uncached result
+    ranks = ranks_from_merges([("a", "b"), ("ab", "c")])
+    text = " ".join(f"word{i} abc" for i in range(50))
+    assert encode_text(text, ranks, BoundedWordCache(2)) == encode_text(text, ranks)
+
+    with pytest.raises(ValueError, match="cap must be >= 1"):
+        BoundedWordCache(0)
