@@ -90,6 +90,9 @@ HEADLINE = [
     # — appended at the END per the chunk-composition rule above
     "grouped_calibration",
     "eval_state_auc",
+    # r13: the per-slice state reader (rotation IN) — appended at the
+    # END per the chunk-composition rule above
+    "eval_state_grouped_auc",
 ]
 
 TABLES = [
@@ -266,7 +269,11 @@ def _timed(spark, raw_runs, name, fn, n=3, prerun=None) -> float:
 
 
 def _cache_state(
-    raw_runs: dict[str, list[float]], cached_gb_start: float | None
+    raw_runs: dict[str, list[float]],
+    cached_gb_start: float | None,
+    loadavg_start: list[float] | None = None,
+    canary_start: dict | None = None,
+    sf_dir: str | None = None,
 ) -> dict:
     """Compact cache-state summary for the parsed artifact (see
     `_meminfo_cached_gb`). first_over_min quantiles are computed from
@@ -286,6 +293,14 @@ def _cache_state(
     state: dict = {
         "meminfo_cached_gb_start": cached_gb_start,
         "meminfo_cached_gb_end": _meminfo_cached_gb(),
+        # r13 amendment (see _loadavg/_canary): the page-cache stamps
+        # above were falsified as SUFFICIENT by r12 — agreeing stamps
+        # bracketed a +32% swing — so the artifact now also carries
+        # machine-load and fixed-canary readings at both ends.
+        "loadavg_start": loadavg_start,
+        "loadavg_end": _loadavg(),
+        "canary_start": canary_start,
+        "canary_end": _canary(sf_dir) if sf_dir else None,
     }
     if ratios:
         state["first_over_min_median"] = round(ratios[len(ratios) // 2], 3)
@@ -293,6 +308,71 @@ def _cache_state(
             ratios[min(len(ratios) - 1, int(0.9 * (len(ratios) - 1) + 0.5))], 3
         )
     return state
+
+
+def _loadavg() -> list[float] | None:
+    """/proc/loadavg 1/5/15-min runnable averages. r13 protocol
+    amendment: r12's AGREEING cache stamps bracketed an 86.7→114.7 s
+    whole-series swing on identical code, so page-cache state alone
+    does not explain the drift — the remaining suspect is concurrent
+    machine load, which this stamps directly."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        return None
+
+
+def _canary(sf_dir: str) -> dict:
+    """Fixed machine-speed canary, run before chunk 1 and after the
+    last chunk (r13 protocol amendment, same motivation as _loadavg):
+    two pinned micro-workloads whose cost NEVER changes when operators
+    do, so future bench movers divide by a measured machine-speed
+    denominator instead of arguing from agreeing-but-insufficient cache
+    stamps. `cpu_matmul_sec` = 8 multiplies of a fixed seeded
+    1024x1024 float64 pair (BLAS — degrades under core contention);
+    `cpu_hash_sec` = sha256 over 64 MiB of fixed bytes (single-thread —
+    degrades under scheduling pressure); `scan_sec` = byte-read of
+    every *.parquet in sf_dir (page-cache/I-O state, complements the
+    meminfo stamp)."""
+    import glob
+    import hashlib as _hashlib
+
+    out: dict = {}
+    try:
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        a = rng.random((1024, 1024))
+        b = rng.random((1024, 1024))
+        t0 = time.perf_counter()
+        for _ in range(8):
+            a @ b
+        out["cpu_matmul_sec"] = round(time.perf_counter() - t0, 4)
+    except Exception:
+        out["cpu_matmul_sec"] = None
+    try:
+        blob = b"\xa5" * (1 << 26)
+        t0 = time.perf_counter()
+        _hashlib.sha256(blob).hexdigest()
+        out["cpu_hash_sec"] = round(time.perf_counter() - t0, 4)
+    except Exception:
+        out["cpu_hash_sec"] = None
+    try:
+        t0 = time.perf_counter()
+        n = 0
+        for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+            with open(p, "rb") as f:
+                while True:
+                    chunk = f.read(1 << 22)
+                    if not chunk:
+                        break
+                    n += len(chunk)
+        out["scan_sec"] = round(time.perf_counter() - t0, 4)
+        out["scan_bytes"] = n
+    except Exception:
+        out["scan_sec"] = None
+    return out
 
 
 def _meminfo_cached_gb() -> float | None:
@@ -377,6 +457,8 @@ def main():
     raw_runs: dict[str, list[float]] = {}
     mwas_full_first = None
     cached_gb_start = _meminfo_cached_gb()
+    loadavg_start = _loadavg()
+    canary_start = _canary(sf_dir)
     here = os.path.dirname(os.path.abspath(__file__))
     with tempfile.TemporaryDirectory() as td:
         for ci, names in enumerate(chunks):
@@ -454,7 +536,9 @@ def main():
         # are comparable at the per-query level only when these agree —
         # the r10 data showed ±17% whole-series swings on untouched
         # plans tracking nothing but this state.
-        "cache_state": _cache_state(raw_runs, cached_gb_start),
+        "cache_state": _cache_state(
+            raw_runs, cached_gb_start, loadavg_start, canary_start, sf_dir
+        ),
     }
     # The raw-runs forensics blob made the single JSON line big enough
     # that the driver's stdout TAIL window truncated its head — BENCH
