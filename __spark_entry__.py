@@ -1834,6 +1834,68 @@ def q_eval_state_calibration(spark, sf_dir):
     )
 
 
+_GROUPED_EVAL_STATE_CACHE: set[str] = set()
+
+
+def _ensure_grouped_eval_state(spark, sf_dir):
+    """GROUPED twin of :func:`_ensure_eval_state` (memoized per
+    process): the scored embeddings sliced by grp = vec_id % 4, split
+    into three ingest batches (vec_id % 3) and reduced to per-(grp,
+    DISTINCT score) (v, cnt_a, cnt_b, cnt_null) counts per batch —
+    exactly the foreachBatch body of
+    ``streaming_eval_counts(group_cols=["grp"])`` — then batches 0..1
+    crash-safely compacted into a frozen negative partition, so the
+    grouped readers answer over a MIXED frozen+raw layout with the
+    group column folded per (grp, v)."""
+    import os
+    import shutil
+
+    from mwas_rfam_spark.operators.evaluation import grouped_per_score_counts
+    from mwas_rfam_spark.streaming.requests import compact_eval_state
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    state_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "spark-warehouse", "eval_state_grouped", tag,
+    )
+    if state_dir not in _GROUPED_EVAL_STATE_CACHE:
+        shutil.rmtree(state_dir, ignore_errors=True)
+        scored = _model_eval_scored(spark, sf_dir).withColumn(
+            "grp", (F.col("vec_id") % 4).cast("int")
+        )
+        for b in range(3):
+            grouped_per_score_counts(
+                scored.where(F.col("vec_id") % 3 == b), ["grp"], "score", "label"
+            ).write.mode("overwrite").parquet(f"{state_dir}/ingest_batch={b}")
+        compact_eval_state(spark, state_dir, up_to_batch=1)
+        _GROUPED_EVAL_STATE_CACHE.add(state_dir)
+    return state_dir
+
+
+def q_eval_state_grouped_auc(spark, sf_dir):
+    """Streaming eval-counts state → PER-SLICE read-side AUC
+    (registered correctness entry since r13 — driver-gated DuckDB
+    oracle; stream==batch parity, layout derivation/pinning, the
+    all-invalid-slice row, and compaction slice-intactness in
+    tests/test_streaming.py): reads a GROUPED mixed frozen+raw state
+    dir (grp = vec_id % 4, memoized via _ensure_grouped_eval_state).
+    Per-(grp, score) counts are LINEAR, so each slice's state AUC
+    equals the midrank AUC over that slice of the full scored relation
+    — which is what the oracle computes in plain SQL (same midrank
+    window form as the green eval_state_auc row, PARTITION BY grp) —
+    making a fold/compaction/reader/key-derivation bug anywhere in the
+    grouped state path hash-visible. The 100 TB point: "is the live
+    model still as good on every slice?" costs a state-sized aggregate
+    with the same range-partition + broadcast-offset finisher as
+    grouped_auc — no unpartitioned window, no scored-row rescan."""
+    from mwas_rfam_spark.streaming.requests import eval_state_grouped_auc
+
+    state_dir = _ensure_grouped_eval_state(spark, sf_dir)
+    return eval_state_grouped_auc(spark, state_dir).select(
+        "grp", F.round("auc", 6).alias("auc"), "n_pos", "n_neg", "n_null"
+    )
+
+
 def q_cms_freq(spark, sf_dir):
     """Count-min sketch build + point lookups (bench surface; one-sided
     guarantee, merge==one-pass, weighted counts and bit-exact DuckDB
@@ -3133,9 +3195,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "condense_readable": q_condense_readable,
         "eval_state_auc": q_eval_state_auc,
         "eval_state_calibration": q_eval_state_calibration,
+        # r13 rotation: slot from so1_anti_join (its anti-join
+        # arithmetic stays driver-pinned inside the green text_decontam
+        # row and exact former SQL lives in relocated_oracles)
+        "eval_state_grouped_auc": q_eval_state_grouped_auc,
         "p_predicates": q_p_predicates,
         "j8_interval_join": q_j8_interval_join,
-        "so1_anti_join": q_so1_anti_join,
         "mwas_perm_calibration": q_mwas_perm_calibration,
         "shuffle_shard": q_shuffle_shard,
         "a11_grouping_sets": q_a11_grouping_sets,
@@ -3272,6 +3337,9 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12 rotation: slot → eval_state_calibration; stays benchable
         # (exact former oracle SQL in relocated_oracles)
         "j1_outer_join_agg": q_j1_outer_join_agg,
+        # r13 rotation: slot → eval_state_grouped_auc; stays benchable
+        # (exact former oracle SQL in relocated_oracles)
+        "so1_anti_join": q_so1_anti_join,
         # r9: evaluation-family replay surfaces (DuckDB parity via
         # relocated_oracles; grouped_auc is also a HEADLINE bench row —
         # the per-slice fairness query needed plan-regression coverage)
@@ -3500,12 +3568,49 @@ FROM final
             WHERE o_orderstatus = 'O' AND o_orderpriority LIKE '1%'
               AND o_totalprice > 50000 AND o_orderpriority LIKE '%URGENT%'
         """,
-        "so1_anti_join": """
-            SELECT c_mktsegment AS segment, count(*) AS n_customers
-            FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders
-                              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
-            GROUP BY 1
+        # Grouped streaming exact-AUC state replay (r13 rotation): the
+        # grouped state dir q_eval_state_grouped_auc folds (grp =
+        # vec_id % 4 data column beside v, three per-batch partitions,
+        # batches 0..1 compacted frozen) carries counts that are LINEAR
+        # per slice, so each slice's state-side AUC equals the midrank
+        # AUC over that slice of the scored relation — the same midrank
+        # window form as the green eval_state_auc row, PARTITION BY grp.
+        # The FULL OUTER join keeps an all-invalid slice visible as
+        # (auc NULL, 0, 0, n_null), matching the reader's monitoring
+        # contract.
+        "eval_state_grouped_auc": """
+            WITH raw AS (
+              SELECT CAST(embedding[1] AS DOUBLE) AS x, label,
+                     CAST(vec_id % 4 AS INT) AS grp
+              FROM embeddings),
+            v AS (
+              SELECT grp, 0.5 + x / (2.0 * (1.0 + abs(x))) AS s,
+                     CASE WHEN label % 2 > 0 THEN 1 ELSE 0 END AS y
+              FROM raw
+              WHERE x IS NOT NULL AND NOT isnan(x) AND label IS NOT NULL),
+            nn AS (
+              SELECT grp, count(*) AS n_null FROM raw
+              WHERE x IS NULL OR isnan(x) OR label IS NULL
+              GROUP BY 1),
+            r AS (
+              SELECT grp, y,
+                     rank() OVER (PARTITION BY grp ORDER BY s)
+                       + (count(*) OVER (PARTITION BY grp, s) - 1) / 2.0
+                         AS midrank
+              FROM v),
+            agg AS (
+              SELECT grp,
+                     round((sum(CASE WHEN y = 1 THEN midrank END)
+                              - sum(y) * (sum(y) + 1) / 2.0)
+                           / nullif(sum(y) * sum(1 - y), 0), 6) AS auc,
+                     CAST(sum(y) AS BIGINT) AS n_pos,
+                     CAST(sum(1 - y) AS BIGINT) AS n_neg
+              FROM r GROUP BY 1)
+            SELECT COALESCE(a.grp, nn.grp) AS grp, a.auc,
+                   COALESCE(a.n_pos, 0) AS n_pos,
+                   COALESCE(a.n_neg, 0) AS n_neg,
+                   COALESCE(nn.n_null, 0) AS n_null
+            FROM agg a FULL OUTER JOIN nn ON a.grp = nn.grp
         """,
         "shuffle_shard": """
             WITH k AS (SELECT doc_id,
@@ -4590,8 +4695,19 @@ def relocated_oracles() -> dict[str, str]:
     drift_report and condense_accounting — with the exact SQL the
     driver's gate ran through r10. r12 adds j1_outer_join_agg (slot →
     eval_state_calibration) with the exact SQL the gate ran through
-    r11."""
+    r11. r13 adds so1_anti_join (slot → eval_state_grouped_auc) with
+    the exact SQL the gate ran through r12."""
     return {
+        # r13 rotation OUT (slot → eval_state_grouped_auc): exact SQL
+        # the driver's gate ran through r12. The anti-join arithmetic
+        # also stays driver-pinned inside the green text_decontam row.
+        "so1_anti_join": """
+            SELECT c_mktsegment AS segment, count(*) AS n_customers
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+            GROUP BY 1
+        """,
         # r12 rotation OUT (slot → eval_state_calibration): exact SQL
         # the driver's gate ran through r11. The outer-join + NULL-
         # coalesce arithmetic stays hash-pinned as stage one of every
