@@ -165,8 +165,12 @@ def asof_join(
     # DuckDB-ASOF/merge_asof semantics this module pins return the
     # matched row's own NULL). The struct is non-null for every right
     # row, so the carry picks the nearest right ROW whole.
+    # __ts is NOT carried: the matched right ts is recoverable from the
+    # sort key (__rsk = ts * sign, sign² = 1, timeline guarded integral),
+    # so the window buffer copies one long less per row — the struct
+    # carry's cost is per-field (probe r13a measured it ~+22% over the
+    # torn per-column shape at one payload column, flat with width)
     def _r_struct_fields(src: bool):
-        f_ts = (F.col(ts_col) if src else F.lit(None).cast(rtypes[ts_col])).alias("__ts")
         f_sk = (
             (F.col(ts_col) * sign).cast("long")
             if src
@@ -176,7 +180,7 @@ def asof_join(
             (F.col(c) if src else F.lit(None).cast(rtypes[c])).alias(c)
             for c in right_cols
         ]
-        return [f_ts, f_sk, *pay]
+        return [f_sk, *pay]
 
     l_side = left.select(
         *[F.col(c) for c in lcols],
@@ -220,7 +224,9 @@ def asof_join(
             F.when(in_range, F.col(f"__m_row.{c}")).alias(f"{c}{suffix}")
             for c in right_cols
         ],
-        F.when(in_range, F.col("__m_row.__ts")).alias(f"{ts_col}{suffix}"),
+        F.when(
+            in_range, (F.col("__m_row.__rsk") * sign).cast(rtypes[ts_col])
+        ).alias(f"{ts_col}{suffix}"),
     )
 
 

@@ -1523,6 +1523,136 @@ def probe_r12p(spark, sf_dir: str, out: dict):
     print({k: v for k, v in out.items() if k.startswith("r12p_")}, file=sys.stderr)
 
 
+def probe_r13a(spark, sf_dir: str, out: dict):
+    """r13 stretch / j9 adjudication mechanism probe: the r12 atomic
+    struct-carry asof fix coincided with j9_asof_join benching +37%
+    ABOVE the series-normalized r11 number. Measure the carry strategy
+    directly on the bench query's own relations at payload width 1 and
+    11: (a) the shipped struct carry, (b) the r11 per-column
+    last(ignorenulls) shape (TORN-carry semantics — timing reference
+    only), (c) minimal primitive carry (__rsk only) + payload join-back
+    on the matched key."""
+    from pyspark.sql import Window
+
+    from mwas_rfam_spark.operators.interval import asof_join
+
+    from mwas_rfam_spark.plans.testdata_mwas import ensure_epoch_nanos
+
+    ev = ensure_epoch_nanos(
+        spark, spark.read.parquet(f"{sf_dir}/events.parquet"), "ts"
+    )
+    e = ev.select("event_id", "user_id", "ts").localCheckpoint()
+    base_err = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+    )
+
+    def widen(df, extra):
+        for i in range(extra):
+            df = df.withColumn(f"pay{i}", F.col("err_value") * (i + 2.0))
+        return df
+
+    def per_column_carry(left, right, pay_cols):
+        sign = F.lit(1)
+        lcols = list(left.columns)
+        l_side = left.select(
+            *lcols,
+            *[F.lit(None).cast("double").alias(c) for c in pay_cols],
+            F.lit(None).cast("long").alias("__rts"),
+            (F.col("ts") * sign).cast("long").alias("__sk"),
+            F.lit(1).alias("__tag"),
+        )
+        r_side = right.select(
+            "user_id",
+            *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+              for c in lcols if c != "user_id"],
+            *pay_cols,
+            F.col("ts").cast("long").alias("__rts"),
+            (F.col("ts") * sign).cast("long").alias("__sk"),
+            F.lit(0).alias("__tag"),
+        ).select(*l_side.columns)
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(F.col("__sk"), F.col("__tag"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = l_side.unionByName(r_side).select(
+            *lcols, "__tag",
+            *[F.last(c, ignorenulls=True).over(w).alias(f"{c}_r")
+              for c in pay_cols],
+            F.last("__rts", ignorenulls=True).over(w).alias("ts_r"),
+        )
+        return carried.where(F.col("__tag") == 1).drop("__tag")
+
+    def minimal_carry_join(left, right, pay_cols):
+        sign = F.lit(1)
+        lcols = list(left.columns)
+        l_side = left.select(
+            *lcols,
+            F.lit(None).cast("long").alias("__rsk"),
+            (F.col("ts") * sign).cast("long").alias("__sk"),
+            F.lit(1).alias("__tag"),
+        )
+        r_side = right.select(
+            "user_id",
+            *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+              for c in lcols if c != "user_id"],
+            (F.col("ts") * sign).cast("long").alias("__rsk"),
+            (F.col("ts") * sign).cast("long").alias("__sk"),
+            F.lit(0).alias("__tag"),
+        ).select(*l_side.columns)
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(F.col("__sk"), F.col("__tag"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = (
+            l_side.unionByName(r_side)
+            .select(
+                *lcols, "__tag",
+                F.last("__rsk", ignorenulls=True).over(w).alias("__mrsk"),
+            )
+            .where(F.col("__tag") == 1)
+        )
+        # honest variant: the join-back needs (by, ts)-unique right
+        # rows or left rows multiply — include the dedup shuffle
+        pay = (
+            right.groupBy("user_id", "ts")
+            .agg(*[F.any_value(c).alias(c) for c in pay_cols])
+            .select(
+                "user_id",
+                F.col("ts").cast("long").alias("__mrsk"),
+                F.col("ts").alias("ts_r"),
+                *[F.col(c).alias(f"{c}_r") for c in pay_cols],
+            )
+        )
+        return carried.join(pay, ["user_id", "__mrsk"], "left").drop(
+            "__tag", "__mrsk"
+        )
+
+    for extra, tag in ((0, "w1"), (10, "w11")):
+        right = widen(base_err, extra).localCheckpoint()
+        pay_cols = ["err_value"] + [f"pay{i}" for i in range(extra)]
+        variants = {
+            "struct": lambda: asof_join(e, right, by="user_id"),
+            "percol": lambda: per_column_carry(e, right, pay_cols),
+            "minjoin": lambda: minimal_carry_join(e, right, pay_cols),
+        }
+        # INTERLEAVED min-of-7 per variant: back-to-back blocks were
+        # confounded by ~30% machine drift between blocks; interleaving
+        # puts every variant under the same drift profile
+        times = {k: [] for k in variants}
+        for rep in range(7):
+            for k, mk in variants.items():
+                t0 = time.time()
+                _force(mk())
+                times[k].append(time.time() - t0)
+        for k, ts_l in times.items():
+            out[f"r13a_{k}_{tag}_sec"] = round(min(ts_l), 3)
+    print({k: v for k, v in out.items() if k.startswith("r13a_")}, file=sys.stderr)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="scale-probe")
@@ -1551,6 +1681,7 @@ def main():
         "r9e": probe_r9e,
         "r11g": probe_r11g,
         "r12p": probe_r12p,
+        "r13a": probe_r13a,
     }
     if only is not None and only not in probes:
         raise SystemExit(
