@@ -124,13 +124,29 @@ def curate_main(argv: list[str], spark: SparkSession | None = None) -> int:
             quality_model_threshold=args.quality_model_threshold,
             quality_model_bias=args.quality_model_bias,
         )
-        kept = curate_corpus(docs, bench, redact=not args.no_redact, **kw)
+        from pyspark.sql import functions as F
+
+        if args.accounting:
+            # ONE mark-mode pipeline feeds BOTH outputs: the marked
+            # frame filters to the same survivors as filter mode
+            # (curation.py's documented+tested contract), so running
+            # the full gate->dedup->decontam pipeline a second time
+            # just for stage counts doubled the subcommand's most
+            # expensive jobs — and the second run silently dropped
+            # redact=not args.no_redact (r13 review findings). The
+            # localCheckpoint pins the marked relation so the kept
+            # write and the accounting aggregate share one execution.
+            marked = curate_corpus(
+                docs, bench, mode="mark", redact=not args.no_redact, **kw
+            ).localCheckpoint(eager=False)
+            kept = marked.where(F.col("drop_stage") == "kept").drop("drop_stage")
+        else:
+            kept = curate_corpus(docs, bench, redact=not args.no_redact, **kw)
         if args.shards:
             write_training_shards(kept, args.output, n_shards=args.shards, seed=args.seed)
         else:
             kept.write.mode("overwrite").parquet(args.output)
         if args.accounting:
-            marked = curate_corpus(docs, bench, mode="mark", **kw)
             marked.groupBy("drop_stage").count().coalesce(1).write.mode(
                 "overwrite"
             ).csv(f"{args.output.rstrip('/')}/_accounting", header=True)
@@ -210,6 +226,9 @@ def select_main(argv: list[str], spark: SparkSession | None = None) -> int:
             # both featurization passes and the top-k from scratch
             print(f"selected {spark.read.parquet(args.output).count()} document(s)")
         elif args.op == "quality":
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
             from .operators.selection import score_quality_linear
 
             docs = spark.read.parquet(args.input)
@@ -220,12 +239,22 @@ def select_main(argv: list[str], spark: SparkSession | None = None) -> int:
                 n_buckets=args.buckets,
                 threshold=args.threshold,
             )
+            # both message counts ride the WRITE job as observation
+            # metrics — the former `docs.count()` denominator launched
+            # a second full input scan just for the log line (r13
+            # review finding)
+            obs = Observation("select-quality")
+            observed = scored.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_total"),
+                F.count_if(F.col("keep")).alias("n_kept"),
+            )
             kept = docs.join(
-                scored.where("keep").select("doc_id"), "doc_id", "left_semi"
+                observed.where("keep").select("doc_id"), "doc_id", "left_semi"
             )
             kept.write.mode("overwrite").parquet(args.output)
-            n_kept = spark.read.parquet(args.output).count()
-            print(f"kept {n_kept} of {docs.count()} document(s)")
+            m = obs.get
+            print(f"kept {m['n_kept']} of {m['n_total']} document(s)")
         elif args.op == "mix":
             from .operators.selection import (
                 _source_counts,
@@ -311,28 +340,34 @@ def validate_main(argv: list[str], spark: SparkSession | None = None) -> int:
 
         spark = get_spark(app_name="validate-cli")
     try:
+        from pyspark.sql import functions as F
+
+        # "expr" is the cross-column / arbitrary-SQL constraint: any
+        # boolean expression, named (library escape hatch V.satisfies)
+        builders = {
+            "not_null": (("col",), V.not_null),
+            "in_range": (("col", "lo", "hi"), V.in_range),
+            "regex": (("col", "pattern"), V.matches_regex),
+            "expr": (("name", "sql"),
+                     lambda name, sql: V.satisfies(name, F.expr(sql))),
+        }
         rules = []
         for i, r in enumerate(spec.get("rules", [])):
+            kind = r.get("type")
+            if kind not in builders:
+                raise ValueError(f"rules[{i}] has unknown rule type: {kind!r}")
+            keys, build = builders[kind]
+            # ONLY the r[...] accesses sit inside the try: a KeyError
+            # raised inside a V.* constructor or F.expr was mis-reported
+            # as a missing JSON key with its real stack suppressed (r13
+            # review finding)
             try:
-                kind = r["type"]
-                if kind == "not_null":
-                    rules.append(V.not_null(r["col"]))
-                elif kind == "in_range":
-                    rules.append(V.in_range(r["col"], r["lo"], r["hi"]))
-                elif kind == "regex":
-                    rules.append(V.matches_regex(r["col"], r["pattern"]))
-                elif kind == "expr":
-                    # cross-column / arbitrary-SQL constraint: any boolean
-                    # expression, named (library escape hatch V.satisfies)
-                    from pyspark.sql import functions as F
-
-                    rules.append(V.satisfies(r["name"], F.expr(r["sql"])))
-                else:
-                    raise ValueError(f"unknown rule type: {kind!r}")
+                vals = [r[k] for k in keys]
             except KeyError as e:
                 raise ValueError(
                     f"rules[{i}] is missing key {e.args[0]!r}: {r}"
                 ) from None
+            rules.append(build(*vals))
         unique = spec.get("unique", [])
         # a flat ["col"] instead of [["col"]] would iterate the string
         # character-by-character — reject malformed shapes loudly
@@ -709,6 +744,16 @@ def build_search_parser() -> argparse.ArgumentParser:
                         "join against an IVF index root")
     p.add_argument("--q-id-col", default="vec_id")
     p.add_argument("--q-vec-col", default="embedding")
+    # the index side preserves the ORIGINAL column names the build was
+    # given (`index ann build --id-col/--vec-col`); without the same
+    # override here an index built under custom names was unsearchable
+    # (r13 review finding — ivf_knn_join always received its defaults)
+    p.add_argument("--id-col", default="vec_id",
+                   help="vector mode: id column stored in the index "
+                        "(match `index ann build --id-col`)")
+    p.add_argument("--vec-col", default="embedding",
+                   help="vector mode: vector column stored in the index "
+                        "(match `index ann build --vec-col`)")
     p.add_argument("--nprobe", type=int, default=4)
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--output", default=None, help="optional results parquet")
@@ -748,14 +793,15 @@ def search_main(argv: list[str], spark: SparkSession | None = None) -> int:
                 F.col(args.q_vec_col).cast("array<double>").alias("q_vec"),
             )
             result = ivf_knn_join(
-                vectors, queries, centroids, k=args.k, nprobe=args.nprobe
+                vectors, queries, centroids, k=args.k, nprobe=args.nprobe,
+                id_col=args.id_col, vec_col=args.vec_col,
             )
             rows = result.collect()
             for r in rows:
                 # zero-norm vectors score NULL cosine (non-ANSI /0);
                 # they rank last but must still print
                 cos = "null" if r["cosine"] is None else f"{r['cosine']:.6f}"
-                print(f"{r['q_id']}\t{r['vec_id']}\t{cos}\t{r['rank']}")
+                print(f"{r['q_id']}\t{r[args.id_col]}\t{cos}\t{r['rank']}")
         if args.output:
             # the result's own schema — the index id column may be any type
             spark.createDataFrame(rows, result.schema).write.mode(
@@ -992,6 +1038,7 @@ def pack_main(argv: list[str], spark: SparkSession | None = None) -> int:
         from .operators.packing import (
             bin_pack_documents,
             pack_documents,
+            pack_ordinal,
             pack_utilization,
         )
 
@@ -1021,7 +1068,7 @@ def pack_main(argv: list[str], spark: SparkSession | None = None) -> int:
             # chunk holding a doc's LAST token, so chunks wholly interior
             # to a long document have no row — countDistinct undercounts
             agg = written.groupBy("bucket").agg(
-                F.max(F.col("pack_id") - F.col("bucket") * F.lit(1 << 32)).alias("mx"),
+                F.max(pack_ordinal()).alias("mx"),
                 F.count("*").alias("n"),
                 F.sum("n_tokens").alias("t"),
             ).agg(
@@ -1131,6 +1178,22 @@ def evaluate_main(argv: list[str], spark: SparkSession | None = None) -> int:
         spark = get_spark(app_name="evaluate-cli")
     try:
         if args.state:
+            # a state dir has no score/label columns and its slicing is
+            # FIXED by the layout it was written with — accepting these
+            # flags silently replaced a requested slicing with whatever
+            # the dir stores (r13 review finding)
+            if args.group_by:
+                raise SystemExit(
+                    "evaluate --state: --group-by cannot apply to a state "
+                    "dir — slices are fixed at write time by "
+                    "streaming_eval_counts(group_cols=...); the stored key "
+                    "set is derived and reported automatically"
+                )
+            if args.score_col != "score" or args.label_col != "label":
+                raise SystemExit(
+                    "evaluate --state: --score-col/--label-col do not apply "
+                    "to a state dir (it stores per-score counts, not rows)"
+                )
             # ONE authoritative read of the state dir feeds every
             # consumer below (the eval_state_* wrappers would each
             # re-list and re-scan it — 5x the FS listing for one
@@ -1407,39 +1470,52 @@ def demo_main(argv: list[str], spark: SparkSession | None = None) -> int:
             spark.stop()
 
 
+_SUBCOMMANDS = {
+    "curate": curate_main,
+    "maintain": maintain_main,
+    "select": select_main,
+    "validate": validate_main,
+    "split": split_main,
+    "drift": drift_main,
+    "diff": diff_main,
+    "fuzzy": fuzzy_main,
+    "index": index_main,
+    "search": search_main,
+    "report": report_main,
+    "tokenize": tokenize_main,
+    "pack": pack_main,
+    "demo": demo_main,
+    "evaluate": evaluate_main,
+}
+
+
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
-    if argv and argv[0] == "curate":
-        return curate_main(argv[1:], spark)
-    if argv and argv[0] == "maintain":
-        return maintain_main(argv[1:], spark)
-    if argv and argv[0] == "select":
-        return select_main(argv[1:], spark)
-    if argv and argv[0] == "validate":
-        return validate_main(argv[1:], spark)
-    if argv and argv[0] == "split":
-        return split_main(argv[1:], spark)
-    if argv and argv[0] == "drift":
-        return drift_main(argv[1:], spark)
-    if argv and argv[0] == "diff":
-        return diff_main(argv[1:], spark)
-    if argv and argv[0] == "fuzzy":
-        return fuzzy_main(argv[1:], spark)
-    if argv and argv[0] == "index":
-        return index_main(argv[1:], spark)
-    if argv and argv[0] == "search":
-        return search_main(argv[1:], spark)
-    if argv and argv[0] == "report":
-        return report_main(argv[1:], spark)
-    if argv and argv[0] == "tokenize":
-        return tokenize_main(argv[1:], spark)
-    if argv and argv[0] == "pack":
-        return pack_main(argv[1:], spark)
-    if argv and argv[0] == "demo":
-        return demo_main(argv[1:], spark)
-    if argv and argv[0] == "evaluate":
-        return evaluate_main(argv[1:], spark)
+    if argv:
+        handler = _SUBCOMMANDS.get(argv[0])
+        if handler is not None:
+            return handler(argv[1:], spark)
+        # a mistyped subcommand ('evaluat') used to fall through to the
+        # MWAS parser as input_csv and die with a misleading
+        # "--catalog is required" (r13 review finding): anything
+        # command-shaped — not a flag, not an existing input file —
+        # is refused by name instead
+        import os
+        import re
+
+        if (
+            not argv[0].startswith("-")
+            and re.fullmatch(r"[a-z][a-z0-9_-]*", argv[0])
+            and not os.path.exists(argv[0])
+        ):
+            print(
+                f"unknown command: {argv[0]!r} "
+                f"(commands: {', '.join(sorted(_SUBCOMMANDS))}; "
+                "or pass an input CSV path for an MWAS run)",
+                file=sys.stderr,
+            )
+            return 2
     from .config import MwasConfig
     from .operators.condense import condense_metadata
     from .operators.mwas import run_mwas

@@ -21,6 +21,19 @@ from pyspark.sql import functions as F
 
 from .text import token_count, tokens
 
+# pack_id encoding: bucket * PACK_BUCKET_SHIFT + per-bucket pack ordinal
+# (ordinals start at 1). Both packers encode with this constant and
+# consumers decode with pack_ordinal() — the pack CLI's chunk count used
+# to re-implement the shift inline, so an encoding change here would
+# have silently corrupted its printed count (r13 review finding).
+PACK_BUCKET_SHIFT = 1 << 32
+
+
+def pack_ordinal(pack_id_col: str = "pack_id", bucket_col: str = "bucket"):
+    """Column expression decoding a ``pack_id`` back to its per-bucket
+    pack ordinal — the inverse of the encoding above."""
+    return F.col(pack_id_col) - F.col(bucket_col) * F.lit(PACK_BUCKET_SHIFT)
+
 
 def _bucket_expr(id_col: str, n_buckets: int):
     """THE id→bucket derivation both packers share (r12: it was
@@ -108,7 +121,7 @@ def pack_documents(
         id_col,
         "n_tokens",
         "bucket",
-        (F.col("bucket") * F.lit(1 << 32) + F.col("pack_in_bucket")).alias("pack_id"),
+        (F.col("bucket") * F.lit(PACK_BUCKET_SHIFT) + F.col("pack_in_bucket")).alias("pack_id"),
     )  # __h dropped by the explicit select
 
 
@@ -295,7 +308,8 @@ def bin_pack_documents(
                 "n_tokens": pd.Series(out_n, dtype="int64"),
                 "bucket": pd.Series([bucket] * len(out_id), dtype="int64"),
                 "pack_id": pd.Series(
-                    [bucket * (1 << 32) + p for p in out_pack], dtype="int64"
+                    [bucket * PACK_BUCKET_SHIFT + p for p in out_pack],
+                    dtype="int64",
                 ),
                 "oversize": out_over,
             }

@@ -986,3 +986,139 @@ def test_cli_evaluate_state_mode(spark, tmp_path, capsys):
     assert urep.count() == 1 and urep.collect()[0]["auc"] == pytest.approx(
         want["auc"], abs=1e-12
     )
+
+
+def test_unknown_command_refused_by_name(capsys):
+    """r13 review finding: a mistyped subcommand ('evaluat') fell
+    through to the MWAS parser as input_csv and died with a misleading
+    '--catalog is required'."""
+    rc = main(["evaluat", "whatever.parquet"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "unknown command: 'evaluat'" in err and "evaluate" in err
+
+
+def test_search_cli_custom_index_columns(spark, tmp_path, capsys):
+    """r13 review finding: an ANN index built with custom
+    --id-col/--vec-col names was unsearchable — search hardcoded
+    vec_id/embedding."""
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.operators.similarity import (
+        materialize_ivf,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        F.col("vec_id").alias("item_id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    idx = str(tmp_path / "ivf_custom")
+    materialize_ivf(
+        emb, train_ivf_centroids(emb, k=4, iters=1, vec_col="vec"), idx,
+        id_col="item_id", vec_col="vec",
+    )
+    qpath = str(tmp_path / "q")
+    emb.orderBy("item_id").limit(2).write.parquet(qpath)
+    rc = main(
+        ["search", idx, "--queries", qpath, "-k", "2", "--nprobe", "2",
+         "--q-id-col", "item_id", "--q-vec-col", "vec",
+         "--id-col", "item_id", "--vec-col", "vec"],
+        spark=spark,
+    )
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "1.000000" in text  # each query finds itself at cosine 1
+
+
+def test_curate_accounting_single_pipeline_respects_no_redact(spark, tmp_path):
+    """r13 review findings: --accounting ran the whole pipeline a second
+    time AND dropped the redact flag in that second run. Both outputs now
+    derive from ONE mark-mode frame that honors --no-redact."""
+    src = tmp_path / "docs"
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "call me at 555-123-4567 ok thanks all"),
+            (3, "tiny"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(str(src))
+    out = str(tmp_path / "curated")
+    rc = main(
+        ["curate", str(src), "--output", out, "--min-tokens", "5",
+         "--no-redact", "--accounting"],
+        spark=spark,
+    )
+    assert rc == 0
+    rows = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {1, 2}
+    assert "555-123-4567" in rows[2]  # --no-redact honored in kept output
+    acct = spark.read.option("header", True).csv(f"{out}/_accounting")
+    counts = {r["drop_stage"]: int(r["count"]) for r in acct.collect()}
+    assert counts == {"kept": 2, "quality": 1}
+
+
+def test_validate_unknown_type_and_missing_key_messages(spark, tmp_path):
+    """r13 review finding: the missing-key except wrapped the rule
+    constructors too; unknown/missing 'type' now diagnoses separately
+    from a genuinely missing rule key."""
+    import json
+
+    docs = tmp_path / "t"
+    spark.createDataFrame([(1,)], "a long").write.parquet(str(docs))
+
+    def run(rules):
+        p = tmp_path / "rules.json"
+        p.write_text(json.dumps({"rules": rules}))
+        return main(["validate", str(docs), "--rules", str(p)], spark=spark)
+
+    with pytest.raises(ValueError, match="unknown rule type: 'nope'"):
+        run([{"type": "nope", "col": "a"}])
+    with pytest.raises(ValueError, match="unknown rule type: None"):
+        run([{"col": "a"}])  # missing 'type' is an unknown type, not a key
+    with pytest.raises(ValueError, match=r"rules\[0\] is missing key 'lo'"):
+        run([{"type": "in_range", "col": "a", "hi": 5}])
+
+
+def test_evaluate_state_refuses_row_mode_flags(spark, tmp_path):
+    """r13 review finding: evaluate --state silently ignored --group-by /
+    --score-col / --label-col, replacing a requested slicing with the
+    stored layout."""
+    from mwas_rfam_spark.operators.evaluation import per_score_counts
+
+    docs = spark.createDataFrame(
+        [(0.2, 0), (0.8, 1), (0.6, 1), (0.3, 0)], "score double, label int"
+    )
+    state = str(tmp_path / "state")
+    per_score_counts(docs).write.parquet(f"{state}/ingest_batch=0")
+    with pytest.raises(SystemExit, match="--group-by cannot apply"):
+        main(["evaluate", state, "--state", "--group-by", "lang"], spark=spark)
+    with pytest.raises(SystemExit, match="--score-col/--label-col"):
+        main(["evaluate", state, "--state", "--score-col", "s"], spark=spark)
+    # the plain state read still works
+    assert main(["evaluate", state, "--state"], spark=spark) == 0
+
+
+def test_pack_ordinal_decodes_encoding(spark):
+    """r13 review finding companion: the CLI chunk count now decodes
+    pack_id through packing.pack_ordinal instead of re-implementing the
+    shift constant."""
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.operators.packing import (
+        PACK_BUCKET_SHIFT,
+        pack_documents,
+        pack_ordinal,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 40) for i in range(20)], "doc_id long, text string"
+    )
+    packed = pack_documents(docs, max_tokens_per_pack=100, n_buckets=4)
+    bad = packed.where(
+        pack_ordinal() != F.col("pack_id") - F.col("bucket") * F.lit(PACK_BUCKET_SHIFT)
+    ).count()
+    assert bad == 0
+    ords = [r[0] for r in packed.select(pack_ordinal().alias("o")).collect()]
+    assert min(ords) >= 1
