@@ -75,6 +75,12 @@ def _zigzag_order() -> list[tuple[int, int]]:
 
 _ZIGZAG = _zigzag_order()
 
+#: zigzag positions as index arrays — shared by the decoder's IDCT
+#: stage and the encoder's quantization stage instead of being rebuilt
+#: from the tuple list on every call.
+_ZZ_ROWS = np.array([p[0] for p in _ZIGZAG])
+_ZZ_COLS = np.array([p[1] for p in _ZIGZAG])
+
 #: IDCT basis: A[u, x] = c(u) * cos((2x+1) u pi / 16), orthonormal.
 _DCT_A = np.array(
     [
@@ -280,6 +286,7 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS) -> tuple[int, int, in
     frame = None  # (h, w, comps) from SOF0/SOF2
     progressive = False
     prog: dict | None = None  # progressive state (allocated at first SOS)
+    base: dict | None = None  # baseline state (allocated at first SOS)
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected JPEG marker at byte {pos}")
@@ -351,32 +358,32 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS) -> tuple[int, int, in
                     data, pos + 2 + seg_len, seg, prog, huff, restart_interval
                 )
                 continue  # pos now points at the next marker
-            ns = seg[0]
-            if ns != len(comps):
-                raise ValueError("JPEG scan must cover all frame components (baseline)")
-            by_id = {c["id"]: c for c in comps}
-            scan = []
-            for i in range(ns):
-                cid, tt = seg[1 + 2 * i : 3 + 2 * i]
-                c = by_id.get(cid)
-                if c is None:
-                    raise ValueError(f"JPEG scan references unknown component {cid}")
-                c["dc"] = tt >> 4
-                c["ac"] = tt & 0x0F
-                scan.append(c)
-            return _decode_scan(
-                data, pos + 2 + seg_len, h, w, scan, qt, huff, restart_interval, max_pixels
+            if base is None:
+                base = _alloc_coef_state(h, w, comps, max_pixels, np.float64)
+            pos = _decode_baseline_scan(
+                data, pos + 2 + seg_len, seg, base, huff, restart_interval
             )
+            continue  # pos now points at the next marker (or EOF)
         # APPn / COM / anything else: skip
         pos += 2 + seg_len
-    if prog is not None:
+    if prog is not None or base is not None:
         h, w, comps = frame
         for c in comps:
             if c["tq"] not in qt:
                 raise ValueError(
                     f"JPEG component references missing quant table {c['tq']}"
                 )
-            c["coef"] = c["coef"].astype(np.float64)
+            if prog is not None:
+                c["coef"] = c["coef"].astype(np.float64)
+        if base is not None:
+            # baseline is sequential, not successive: unlike a truncated
+            # progression (legal per T.81), a component that never got a
+            # scan has NO data at any precision — refuse, don't render gray
+            missing = [c["id"] for c in comps if c["id"] not in base["scanned"]]
+            if missing:
+                raise ValueError(
+                    f"JPEG baseline stream ended before scanning component(s) {missing}"
+                )
         return _idct_planes(comps, qt, h, w)
     raise ValueError("JPEG missing SOS (no scan data)")
 
@@ -395,64 +402,16 @@ def _mcu_grid(h, w, comps, max_pixels):
     return hmax, vmax, mcus_x, mcus_y
 
 
-def _decode_scan(data, pos, h, w, comps, qt, huff, restart_interval, max_pixels):
-    hmax, vmax, mcus_x, mcus_y = _mcu_grid(h, w, comps, max_pixels)
-    for c in comps:
-        if c["tq"] not in qt:
-            raise ValueError(f"JPEG component references missing quant table {c['tq']}")
-        if (0, c["dc"]) not in huff or (1, c["ac"]) not in huff:
-            raise ValueError("JPEG scan references missing Huffman table")
-        c["blocks_w"] = mcus_x * c["h"]
-        c["blocks_h"] = mcus_y * c["v"]
-        c["coef"] = np.zeros((c["blocks_h"] * c["blocks_w"], 64), dtype=np.float64)
-        c["pred"] = 0
-
-    r = _BitReader(data, pos)
-    n_mcu = mcus_x * mcus_y
-    rst = 0
-    for m in range(n_mcu):
-        if restart_interval and m and m % restart_interval == 0:
-            r.restart(rst)
-            rst = (rst + 1) & 7
-            for c in comps:
-                c["pred"] = 0
-        my, mx = divmod(m, mcus_x)
-        for c in comps:
-            dc_tbl, ac_tbl = huff[(0, c["dc"])], huff[(1, c["ac"])]
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    blk = np.zeros(64, dtype=np.float64)
-                    t = _decode_huff(r, dc_tbl)
-                    if t > 11:
-                        raise ValueError(f"invalid JPEG DC category {t}")
-                    c["pred"] += _extend(r.read_bits(t), t)
-                    blk[0] = c["pred"]
-                    k = 1
-                    while k < 64:
-                        rs = _decode_huff(r, ac_tbl)
-                        rr, ss = rs >> 4, rs & 0x0F
-                        if ss == 0:
-                            if rr == 15:
-                                k += 16  # ZRL
-                                continue
-                            break  # EOB
-                        k += rr
-                        if k > 63:
-                            raise ValueError("JPEG AC run past end of block")
-                        blk[k] = _extend(r.read_bits(ss), ss)
-                        k += 1
-                    row = my * c["v"] + by
-                    col = mx * c["h"] + bx
-                    c["coef"][row * c["blocks_w"] + col] = blk
-    return _idct_planes(comps, qt, h, w)
-
-
-def _alloc_progressive(h, w, comps, max_pixels):
-    """Allocate the cross-scan coefficient state for a SOF2 frame: one
-    int32 (n_blocks, 64) array per component over the MCU-padded grid
-    (interleaved DC scans cover padding blocks; non-interleaved scans
+def _alloc_coef_state(h, w, comps, max_pixels, dtype):
+    """Allocate the cross-scan coefficient state for a frame: one
+    (n_blocks, 64) array per component over the MCU-padded grid
+    (interleaved scans cover padding blocks; non-interleaved scans
     iterate only the true block grid and leave padding zero), plus the
-    per-component true block dims and DC predictors."""
+    per-component true block dims and DC predictors. Shared by the
+    progressive (int32) and baseline (float64) paths — both accumulate
+    coefficients across scans and render at EOI, because T.81 allows a
+    baseline frame to deliver its components in separate
+    non-interleaved scans just like a progressive one."""
     hmax, vmax, mcus_x, mcus_y = _mcu_grid(h, w, comps, max_pixels)
     for c in comps:
         c["blocks_w"] = mcus_x * c["h"]
@@ -461,14 +420,116 @@ def _alloc_progressive(h, w, comps, max_pixels):
         # T.81 A.2.2: ceil(component dim / 8), NOT the MCU-padded grid
         c["tb_w"] = -(-(-(-w * c["h"] // hmax)) // 8)
         c["tb_h"] = -(-(-(-h * c["v"] // vmax)) // 8)
-        c["coef"] = np.zeros((c["blocks_h"] * c["blocks_w"], 64), dtype=np.int32)
+        c["coef"] = np.zeros((c["blocks_h"] * c["blocks_w"], 64), dtype=dtype)
         c["pred"] = 0
     return {
         "comps": comps,
         "by_id": {c["id"]: c for c in comps},
         "mcus_x": mcus_x,
         "mcus_y": mcus_y,
+        "scanned": set(),
     }
+
+
+def _alloc_progressive(h, w, comps, max_pixels):
+    return _alloc_coef_state(h, w, comps, max_pixels, np.int32)
+
+
+def _decode_baseline_block(r, blk, c, dc_tbl, ac_tbl):
+    """Full baseline block (T.81 F.2.2): DC diff + AC runs into ``blk``
+    (a zero row of the component's coef array)."""
+    t = _decode_huff(r, dc_tbl)
+    if t > 11:
+        raise ValueError(f"invalid JPEG DC category {t}")
+    c["pred"] += _extend(r.read_bits(t), t)
+    blk[0] = c["pred"]
+    k = 1
+    while k < 64:
+        rs = _decode_huff(r, ac_tbl)
+        rr, ss = rs >> 4, rs & 0x0F
+        if ss == 0:
+            if rr == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += rr
+        if k > 63:
+            raise ValueError("JPEG AC run past end of block")
+        blk[k] = _extend(r.read_bits(ss), ss)
+        k += 1
+
+
+def _decode_baseline_scan(data, pos, seg, state, huff, restart_interval):
+    """One SOF0 scan. ``ns == 1`` is non-interleaved per T.81 A.2:
+    the MCU is a single data unit and the walk covers the component's
+    TRUE block grid in raster order (NOT the MCU-padded grid — an
+    interleaved walk mis-places every block of a grayscale frame with
+    H or V > 1, and decodes padding blocks the stream never coded);
+    restart intervals then count data units. ``ns == Nf`` is the
+    interleaved MCU walk. A multi-component subset (1 < ns < Nf) is
+    rejected by name. Returns the position of the marker following the
+    entropy data, or EOF for legacy streams that end without EOI."""
+    comps = state["comps"]
+    ns = seg[0]
+    scan = []
+    for i in range(ns):
+        cid, tt = seg[1 + 2 * i : 3 + 2 * i]
+        c = state["by_id"].get(cid)
+        if c is None:
+            raise ValueError(f"JPEG scan references unknown component {cid}")
+        c["dc"] = tt >> 4
+        c["ac"] = tt & 0x0F
+        c["pred"] = 0  # DC prediction resets at every scan start
+        scan.append(c)
+    if ns != 1 and ns != len(comps):
+        raise ValueError(
+            f"partially interleaved JPEG baseline scan ({ns} of "
+            f"{len(comps)} components) unsupported"
+        )
+    for c in scan:
+        if (0, c["dc"]) not in huff or (1, c["ac"]) not in huff:
+            raise ValueError("JPEG scan references missing Huffman table")
+        state["scanned"].add(c["id"])
+    r = _BitReader(data, pos)
+    rst = 0
+    if ns == 1:
+        c = scan[0]
+        dc_tbl, ac_tbl = huff[(0, c["dc"])], huff[(1, c["ac"])]
+        for m in range(c["tb_w"] * c["tb_h"]):
+            if restart_interval and m and m % restart_interval == 0:
+                r.restart(rst)
+                rst = (rst + 1) & 7
+                c["pred"] = 0
+            row, col = divmod(m, c["tb_w"])
+            _decode_baseline_block(
+                r, c["coef"][row * c["blocks_w"] + col], c, dc_tbl, ac_tbl
+            )
+    else:
+        mcus_x = state["mcus_x"]
+        for m in range(mcus_x * state["mcus_y"]):
+            if restart_interval and m and m % restart_interval == 0:
+                r.restart(rst)
+                rst = (rst + 1) & 7
+                for c in scan:
+                    c["pred"] = 0
+            my, mx = divmod(m, mcus_x)
+            for c in scan:
+                dc_tbl, ac_tbl = huff[(0, c["dc"])], huff[(1, c["ac"])]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        _decode_baseline_block(
+                            r, c["coef"][row * c["blocks_w"] + col], c, dc_tbl, ac_tbl
+                        )
+    try:
+        return _next_marker_pos(data, r.pos)
+    except ValueError:
+        # entropy data ran to EOF with no trailing marker: streams that
+        # omit EOI (or carry trailing junk) decoded under the old
+        # single-scan path, which never looked past the scan — keep
+        # accepting them and render what was delivered
+        return len(data)
 
 
 def _next_marker_pos(data: bytes, pos: int) -> int:
@@ -547,7 +608,14 @@ def _decode_dc_scan(r, prog, scan, ah, al, huff, restart_interval):
             if t > 11:
                 raise ValueError(f"invalid JPEG DC category {t}")
             c["pred"] += _extend(r.read_bits(t), t)
-            c["coef"][n, 0] = c["pred"] << al
+            v = c["pred"] << al
+            # the predictor accumulates diffs with no spec ceiling on a
+            # hostile stream; shifted past int32 it would wrap (or raise
+            # numpy's own OverflowError) in the coef store — fail as the
+            # documented corruption contract instead
+            if not -(1 << 31) <= v < (1 << 31):
+                raise ValueError("JPEG DC coefficient overflow (corrupt stream)")
+            c["coef"][n, 0] = v
         else:
             if r.read_bit():
                 c["coef"][n, 0] = int(c["coef"][n, 0]) | (1 << al)
@@ -666,14 +734,12 @@ def _idct_planes(comps, qt, h, w):
     tq, h, v)."""
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    zz_rows = np.array([p[0] for p in _ZIGZAG])
-    zz_cols = np.array([p[1] for p in _ZIGZAG])
     planes = []
     for c in comps:
         q = qt[c["tq"]].astype(np.float64)
         coef = c["coef"] * q  # both in zigzag order
         grid = np.zeros((len(coef), 8, 8))
-        grid[:, zz_rows, zz_cols] = coef
+        grid[:, _ZZ_ROWS, _ZZ_COLS] = coef
         spatial = np.einsum("ux,nuv,vy->nxy", _DCT_A, grid, _DCT_A)
         plane = (
             spatial.reshape(c["blocks_h"], c["blocks_w"], 8, 8)
@@ -912,8 +978,6 @@ def encode_jpeg(
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
-    zz_rows = np.array([p[0] for p in _ZIGZAG])
-    zz_cols = np.array([p[1] for p in _ZIGZAG])
 
     for c in comps:
         bw_c, bh_c = mcus_x * c["h"], mcus_y * c["v"]
@@ -925,13 +989,13 @@ def encode_jpeg(
         ) - 128.0
         grid = padded.reshape(bh_c, 8, bw_c, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
         coef = np.einsum("ux,nxy,vy->nuv", _DCT_A, grid, _DCT_A)
-        zz_q = c["q"].reshape(8, 8)[zz_rows, zz_cols].astype(np.float64)
+        zz_q = c["q"].reshape(8, 8)[_ZZ_ROWS, _ZZ_COLS].astype(np.float64)
         # clamp to the 10-bit magnitude the fixed AC table (and baseline
         # JPEG's size<=10 convention) encodes: at quality >= ~97 quant
         # values clamp to 1 and an extreme block can quantize to |1024|,
         # which would need a size-11 symbol — bounded error instead
         c["zz"] = np.clip(
-            np.round(coef[:, zz_rows, zz_cols] / zz_q), -1023, 1023
+            np.round(coef[:, _ZZ_ROWS, _ZZ_COLS] / zz_q), -1023, 1023
         ).astype(np.int64)
         c["bw"] = bw_c
         # true (unpadded) block grid — non-interleaved progressive
@@ -944,10 +1008,10 @@ def encode_jpeg(
         return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
     out = bytearray(b"\xff\xd8")
-    zz_q_lum = q_lum.reshape(8, 8)[zz_rows, zz_cols].astype(np.uint8)
+    zz_q_lum = q_lum.reshape(8, 8)[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8)
     out += seg(0xDB, b"\x00" + zz_q_lum.tobytes())
     if channels == 3:
-        zz_q_chrom = q_chrom.reshape(8, 8)[zz_rows, zz_cols].astype(np.uint8)
+        zz_q_chrom = q_chrom.reshape(8, 8)[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8)
         out += seg(0xDB, b"\x01" + zz_q_chrom.tobytes())
     sof = struct.pack(">BHHB", 8, height, width, channels)
     for i, c in enumerate(comps):
