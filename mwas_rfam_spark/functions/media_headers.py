@@ -26,6 +26,7 @@ engine's training-data surface).
 
 from __future__ import annotations
 
+import math
 import struct
 
 # bitrate tables in kbps, indexed [version_group][layer][bitrate_index]
@@ -94,6 +95,24 @@ def _parse_frame_header(data: bytes, pos: int):
     return frame_bytes, samples, rate, bitrate, channels
 
 
+def _vbr_tag_frame(data: bytes, pos: int, channels: int) -> bool:
+    """True when the frame at ``pos`` is a Xing/Info/VBRI metadata
+    frame — the first frame LAME/Fraunhofer VBR encoders emit. It
+    occupies a frame slot in the chain but carries NO audio, so the
+    sample/frame census and the average bitrate must not count it
+    (players and mutagen skip it the same way). Xing/Info sits right
+    after the side info (whose length depends on version + channel
+    mode); VBRI sits at a fixed 32 bytes past the header."""
+    version_bits = (data[pos + 1] >> 3) & 0x03
+    if version_bits == 3:  # MPEG-1
+        side = 17 if channels == 1 else 32
+    else:  # MPEG-2 / 2.5
+        side = 9 if channels == 1 else 17
+    if data[pos + 4 + side : pos + 8 + side] in (b"Xing", b"Info"):
+        return True
+    return data[pos + 36 : pos + 40] == b"VBRI"
+
+
 def is_mp3(data: bytes) -> bool:
     """True when the payload starts with an ID3v2 tag or a valid MPEG
     audio frame header."""
@@ -132,6 +151,9 @@ def mp3_metadata(data: bytes) -> dict:
         frame_bytes, samples, r, _kbps, ch = hdr
         if pos + frame_bytes > len(data):
             break  # truncated final frame: exclude it
+        if n_frames == 0 and rate is None and _vbr_tag_frame(data, pos, ch):
+            pos += frame_bytes  # VBR header frame: walk past, don't count
+            continue
         if rate is None:
             rate, channels = r, ch
         elif r != rate:
@@ -274,7 +296,10 @@ def mp4_metadata(data: bytes) -> dict:
         if handler == b"vide":
             n_video += 1
             first_vide = n_video == 1
-            if width is None:
+            # FIRST video track only — matching n_frames below, so the
+            # row can never carry track 1's frame count with track 2's
+            # dims when track 1's tkhd is missing/corrupt (r13 review)
+            if first_vide:
                 tkhd = _find(data, s, e, b"tkhd")
                 if tkhd is not None:
                     ts, te = tkhd
@@ -728,7 +753,9 @@ def mkv_metadata(data: bytes) -> dict:
                 if ttype == 1:
                     n_video += 1
                     if width is None:
-                        width, height = tw, th
+                        # a declared PixelWidth/PixelHeight of 0 is no
+                        # dimension — NULL, like avi_metadata's `or None`
+                        width, height = tw or None, th or None
                 elif ttype == 2:
                     n_audio += 1
                     if audio_rate is None:
@@ -753,6 +780,14 @@ def mkv_metadata(data: bytes) -> dict:
     duration_s = (
         duration_ticks * timescale / 1e9 if duration_ticks is not None else None
     )
+    if duration_s is not None and not (
+        math.isfinite(duration_s) and duration_s >= 0
+    ):
+        # Duration is a raw EBML float — NaN/inf/negative from a
+        # hostile stream is no duration (and would poison the bitrate
+        # division: NaN is truthy, so the `if duration_s` guard alone
+        # would emit a NaN bitrate cell)
+        duration_s = None
     return {
         "container": doctype,
         "duration_s": duration_s,

@@ -2180,3 +2180,253 @@ def test_cdc_boundary_uses_leading_context():
     assert len(set(sizes[:-1])) > 3
     assert any(s != 1024 for s in sizes[:-1])  # not uniformly max_size
     assert any(s != 64 for s in sizes[:-1])  # not uniformly min_size
+
+
+# ------------------------------------------------ r13 jpeg review findings
+
+
+def _jpeg_seg(marker: int, payload: bytes) -> bytes:
+    import struct as _s
+
+    return _s.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def _jpeg_tables(all_q: int = 8) -> bytes:
+    """DQT (tq=0, all values ``all_q``) + the encoder's fixed DC/AC
+    Huffman tables as DHT segments — shared prologue for the
+    hand-built streams below."""
+    from mwas_rfam_spark.functions import jpeg_codec as J
+
+    out = _jpeg_seg(0xDB, b"\x00" + bytes([all_q] * 64))
+    out += _jpeg_seg(0xC4, bytes([0x00]) + bytes(J._DC_BITS) + bytes(J._DC_SYMS))
+    out += _jpeg_seg(
+        0xC4, bytes([0x10]) + bytes(J._AC_BITS) + bytes(sorted(J._AC_SYMS))
+    )
+    return out
+
+
+def _dc_only_scan_bits(dcs, restart_interval=0):
+    """Entropy-coded data for a sequence of DC-only blocks (all AC
+    zero), with RSTn markers every ``restart_interval`` blocks."""
+    import numpy as np
+
+    from mwas_rfam_spark.functions import jpeg_codec as J
+
+    wtr = J._BitWriter()
+    pred = 0
+    rst = 0
+    for m, dc in enumerate(dcs):
+        if restart_interval and m and m % restart_interval == 0:
+            wtr.marker(0xD0 + rst)
+            rst = (rst + 1) & 7
+            pred = 0
+        blk = np.zeros(64, dtype=np.int64)
+        blk[0] = dc
+        pred = J._encode_block(wtr, blk, pred)
+    return wtr.flush()
+
+
+@pytest.mark.parametrize("restart_interval", [0, 2])
+def test_jpeg_baseline_noninterleaved_grayscale_subsampled(restart_interval):
+    """r13 review finding (reproduced): a baseline ns=1 scan is
+    NON-interleaved per T.81 A.2 — the MCU is one data unit and the
+    walk covers the component's TRUE block grid in raster order. The
+    old decoder walked the MCU-padded grid in interleaved order, so a
+    spec-valid grayscale frame with H=V=2 (24x16 -> 6 true blocks, but
+    8 padded MCU blocks) misread the stream entirely. With
+    restart_interval set, the RSTn cadence counts data units — pinning
+    the non-interleaved restart rule too."""
+    import numpy as np
+
+    from mwas_rfam_spark.functions.jpeg_codec import decode_jpeg
+
+    w, h = 24, 16  # H=V=2 -> MCU 16x16: mcus 2x1 (8 blocks), tb grid 3x2 (6)
+    dcs = [-40, -24, -8, 8, 24, 40]  # one flat tile per true block
+    out = bytearray(b"\xff\xd8") + _jpeg_tables(all_q=8)
+    out += _jpeg_seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+                     + bytes([1, 1, 0x22, 0]))
+    if restart_interval:
+        out += _jpeg_seg(0xDD, restart_interval.to_bytes(2, "big"))
+    out += _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += _dc_only_scan_bits(dcs, restart_interval)
+    out += b"\xff\xd9"
+
+    gw, gh, gc, px = decode_jpeg(bytes(out))
+    assert (gw, gh, gc) == (w, h, 1)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+    # DC-only block with orthonormal IDCT: flat tile at 128 + dc*q/8
+    for i, dc in enumerate(dcs):
+        r, c = divmod(i, 3)
+        tile = got[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8]
+        assert (tile == 128 + dc).all(), (i, dc, np.unique(tile))
+
+
+def test_jpeg_baseline_one_scan_per_component():
+    """r13 review finding (reproduced): T.81 allows a baseline frame to
+    deliver its components in SEPARATE non-interleaved scans (one SOS
+    per component, rendered at EOI); the old decoder rejected the
+    stream at the first scan ("must cover all frame components"). The
+    non-interleaved decode must agree exactly with the interleaved
+    decode of the same coefficient blocks."""
+    from mwas_rfam_spark.functions.jpeg_codec import decode_jpeg
+
+    w = h = 8  # 4:4:4 -> one block per component
+    dcs = {1: 30, 2: -16, 3: 5}
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+    for cid in (1, 2, 3):
+        sof += bytes([cid, 0x11, 0])
+
+    head = bytearray(b"\xff\xd8") + _jpeg_tables(all_q=8) + _jpeg_seg(0xC0, sof)
+
+    inter = bytearray(head)
+    inter += _jpeg_seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    # MCU order Y,Cb,Cr — each component carries its OWN DC predictor,
+    # so with one block apiece every diff is the raw DC value
+    import numpy as _np
+
+    from mwas_rfam_spark.functions import jpeg_codec as _J
+
+    wtr = _J._BitWriter()
+    for cid in (1, 2, 3):
+        blk = _np.zeros(64, dtype=_np.int64)
+        blk[0] = dcs[cid]
+        _J._encode_block(wtr, blk, 0)
+    inter += wtr.flush()
+    inter += b"\xff\xd9"
+
+    multi = bytearray(head)
+    for cid in (1, 2, 3):
+        multi += _jpeg_seg(0xDA, bytes([1, cid, 0x00, 0, 63, 0]))
+        multi += _dc_only_scan_bits([dcs[cid]])
+    multi += b"\xff\xd9"
+
+    assert decode_jpeg(bytes(multi)) == decode_jpeg(bytes(inter))
+
+    # a stream that ends before scanning every component is refused by
+    # name (baseline is sequential: a never-scanned component has no
+    # data at ANY precision, unlike a legal truncated progression)
+    partial = bytearray(head)
+    for cid in (1, 2):
+        partial += _jpeg_seg(0xDA, bytes([1, cid, 0x00, 0, 63, 0]))
+        partial += _dc_only_scan_bits([dcs[cid]])
+    partial += b"\xff\xd9"
+    with pytest.raises(ValueError, match="before scanning component"):
+        decode_jpeg(bytes(partial))
+
+    # a 2-of-3 interleaved subset stays out of scope, rejected by name
+    subset = bytearray(head)
+    subset += _jpeg_seg(0xDA, bytes([2, 1, 0x00, 2, 0x00, 0, 63, 0]))
+    subset += _dc_only_scan_bits([dcs[1], dcs[2]])
+    subset += b"\xff\xd9"
+    with pytest.raises(ValueError, match="partially interleaved"):
+        decode_jpeg(bytes(subset))
+
+
+def test_jpeg_progressive_dc_shift_overflow_is_value_error():
+    """r13 review finding (reproduced): in a DC-first progressive scan
+    the predictor accumulates diffs with no spec ceiling on a hostile
+    stream; ``pred << al`` past int32 used to hit numpy's int32 store
+    (wrap or platform OverflowError). It must be the documented
+    ValueError corruption contract instead."""
+    from mwas_rfam_spark.functions import jpeg_codec as J
+    from mwas_rfam_spark.functions.jpeg_codec import decode_jpeg
+
+    w, h = 8, 8 * 132  # 132 true blocks, one per 8x8 row band
+    out = bytearray(b"\xff\xd8") + _jpeg_tables(all_q=8)
+    out += _jpeg_seg(0xC2, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+                     + bytes([1, 1, 0x11, 0]))
+    # DC-first scan at Al=13: each block adds +2047 to pred; at block
+    # 129, pred<<13 crosses 2^31
+    out += _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 0, 13]))
+    wtr = J._BitWriter()
+    ln, code = J._DC_CODES[11]
+    for _ in range(132):
+        wtr.write(code, ln)
+        wtr.write(2047, 11)
+    out += wtr.flush()
+    out += b"\xff\xd9"
+    with pytest.raises(ValueError, match="DC coefficient overflow"):
+        decode_jpeg(bytes(out))
+
+
+def test_mp3_vbr_header_frame_not_counted():
+    """r13 review finding (reproduced): LAME/Fraunhofer VBR files lead
+    with a Xing/Info/VBRI metadata frame that occupies a frame slot but
+    carries no audio — counting it inflated n_frames/n_samples and
+    diluted the average bitrate. The walk must skip it like players
+    (and mutagen) do."""
+    from mwas_rfam_spark.functions.media_headers import mp3_metadata
+
+    audio = b"".join(_mp3_frame() for _ in range(5))
+    for tag in (b"Xing", b"Info", b"VBRI"):
+        lead = bytearray(_mp3_frame())
+        # MPEG-1 stereo: side info is 32 bytes -> tag at 4 + 32 (VBRI's
+        # fixed offset is also 36, so one patch spot covers all three)
+        lead[36:40] = tag
+        m = mp3_metadata(bytes(lead) + audio)
+        assert m["n_frames"] == 5, tag
+        assert m["n_samples"] == 5 * 1152, tag
+        # average bitrate over the AUDIO frames only (417-byte frames)
+        dur = 5 * 1152 / 44100
+        assert abs(m["bitrate_kbps"] - 417 * 5 * 8 / dur / 1000) < 1e-9, tag
+
+    # mono MPEG-1: side info is 17 bytes -> Xing at offset 21
+    mono_audio = _mp3_frame(mono=True) * 4
+    lead = bytearray(_mp3_frame(mono=True))
+    lead[21:25] = b"Xing"
+    assert mp3_metadata(bytes(lead) + mono_audio)["n_frames"] == 4
+
+    # a stream that is ONLY a VBR header has no audio: still an error
+    import pytest
+
+    only = bytearray(_mp3_frame())
+    only[36:40] = b"Xing"
+    with pytest.raises(ValueError, match="no complete MPEG audio frame"):
+        mp3_metadata(bytes(only))
+
+    # an untagged file is untouched (same counts as before the fix)
+    assert mp3_metadata(audio)["n_frames"] == 5
+
+
+def test_mp4_dims_pinned_to_first_video_track():
+    """r13 review finding: width/height came from the first video trak
+    WITH a tkhd while n_frames was pinned to the first video trak — a
+    file whose first vide trak lacks tkhd mixed trak 1's frame count
+    with trak 2's dims. Both now follow the first video track."""
+    import struct
+
+    from mwas_rfam_spark.functions.media_headers import mp4_metadata
+
+    mvhd = _mp4_box(b"mvhd", bytes(12) + struct.pack(">II", 1000, 5000) + bytes(80))
+    hdlr_v = _mp4_box(b"hdlr", bytes(8) + b"vide" + bytes(12))
+    # trak 1: video, NO tkhd
+    trak1 = _mp4_box(b"trak", _mp4_box(b"mdia", hdlr_v))
+    # trak 2: video with a tkhd declaring 640x360
+    tkhd2 = _mp4_box(b"tkhd", bytes(76) + struct.pack(">II", 640 << 16, 360 << 16))
+    trak2 = _mp4_box(b"trak", tkhd2 + _mp4_box(b"mdia", hdlr_v))
+    moov = _mp4_box(b"moov", mvhd + trak1 + trak2)
+    ftyp = _mp4_box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
+    m = mp4_metadata(ftyp + moov)
+    assert m["n_video_tracks"] == 2
+    assert m["width"] is None and m["height"] is None  # NOT trak 2's
+
+
+def test_mkv_zero_dims_and_nonfinite_duration_are_null():
+    """r13 review finding: a declared PixelWidth of 0 surfaced as the
+    concrete dimension 0 (avi_metadata already NULLed it), and a
+    NaN/inf Duration float flowed into duration_s — NaN is truthy, so
+    the bitrate guard divided by it and emitted a NaN cell."""
+    import math
+    import struct
+
+    from mwas_rfam_spark.functions.media_headers import mkv_metadata
+
+    m = mkv_metadata(_mkv_fixture(w_raw=(0).to_bytes(2, "big")))
+    assert m["width"] is None and m["height"] == 720
+
+    for bad in (float("nan"), float("inf"), -5.0):
+        m = mkv_metadata(_mkv_fixture(dur_ticks=bad))
+        assert m["duration_s"] is None, bad
+        assert m["bitrate_kbps"] is None, bad
+    ok = mkv_metadata(_mkv_fixture(dur_ticks=12000.0))
+    assert math.isclose(ok["duration_s"], 12.0)  # 12000 ticks x 1 ms scale
