@@ -139,10 +139,18 @@ def _deinterlace(indices: bytearray, w: int, h: int) -> bytearray:
 #: would be ~12.9 GB before any frame data is validated
 MAX_PIXELS = 1 << 24
 MAX_FRAMES = 4096
+#: joint budget: each yielded frame is a FULL canvas copy, so the cost
+#: is frames x canvas — 16 MP and 4096 frames are each individually
+#: legal, but together they'd composite ~196 GB from a ~40 KB payload.
+#: 2^27 total pixels ≈ 384 MB of RGB output across all frames.
+MAX_TOTAL_PIXELS = 1 << 27
 
 
 def decode_gif(
-    data: bytes, max_pixels: int = MAX_PIXELS, max_frames: int = MAX_FRAMES
+    data: bytes,
+    max_pixels: int = MAX_PIXELS,
+    max_frames: int = MAX_FRAMES,
+    max_total_pixels: int = MAX_TOTAL_PIXELS,
 ) -> tuple[int, int, list[bytes]]:
     """Decode a GIF → (width, height, frames) where each frame is the
     full logical-screen canvas as row-major RGB bytes (3·w·h), disposal
@@ -189,6 +197,11 @@ def decode_gif(
             raise ValueError(f"unknown GIF block 0x{block:02x} at offset {pos - 1}")
         if len(frames) >= max_frames:
             raise ValueError(f"GIF exceeds max_frames={max_frames}")
+        if (len(frames) + 1) * w * h > max_total_pixels:
+            raise ValueError(
+                f"GIF composited output exceeds max_total_pixels="
+                f"{max_total_pixels} ({len(frames) + 1} frames x {w}x{h} canvas)"
+            )
 
         # image descriptor
         if pos + 9 > len(data):

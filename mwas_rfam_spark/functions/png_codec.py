@@ -66,6 +66,12 @@ def decode_png(data: bytes, max_pixels: int = MAX_PIXELS) -> tuple[int, int, int
                 )
             if interlace != 0:
                 raise ValueError("unsupported interlaced PNG (Adam7)")
+            if width == 0 or height == 0:
+                # a 0xN image used to decode to an empty pixel buffer,
+                # pushing ZeroDivisionError (aspect math) into callers
+                # whose on_error sweeps catch ValueError only — reject
+                # like the GIF/JPEG codecs do
+                raise ValueError("PNG with zero dimension")
             if width * height > max_pixels:
                 raise ValueError(
                     f"PNG {width}x{height} exceeds max_pixels={max_pixels}"

@@ -2430,3 +2430,39 @@ def test_mkv_zero_dims_and_nonfinite_duration_are_null():
         assert m["bitrate_kbps"] is None, bad
     ok = mkv_metadata(_mkv_fixture(dur_ticks=12000.0))
     assert math.isclose(ok["duration_s"], 12.0)  # 12000 ticks x 1 ms scale
+
+
+def test_gif_total_output_budget():
+    """r13 review finding: max_pixels bounds ONE canvas and max_frames
+    the frame count, but each yielded frame is a full canvas copy — a
+    ~40 KB payload declaring a 16 MP screen with 4096 one-pixel frames
+    composited ~196 GB. The joint frames x canvas budget refuses it
+    before the copies are made."""
+    import pytest
+
+    from mwas_rfam_spark.functions.gif_codec import decode_gif, encode_gif
+
+    data = encode_gif(
+        100, 100, [bytes([i % 2]) * 10_000 for i in range(5)],
+        [(0, 0, 0), (255, 255, 255)],
+    )
+    # 5 frames x 10k pixels = 50k total: fine at the default budget
+    w, h, frames = decode_gif(data)
+    assert (w, h, len(frames)) == (100, 100, 5)
+    assert decode_gif(data, max_total_pixels=50_000)[2]  # exactly at budget
+    with pytest.raises(ValueError, match="max_total_pixels"):
+        decode_gif(data, max_total_pixels=30_000)  # refuses at frame 4
+
+
+def test_png_zero_dimension_rejected():
+    """r13 review finding: a PNG declaring width or height 0 decoded to
+    an empty pixel buffer, pushing ZeroDivisionError (resize aspect
+    math) into sweeps whose on_error contract catches ValueError only.
+    Rejected at IHDR now, like the GIF and JPEG codecs."""
+    import pytest
+
+    from mwas_rfam_spark.functions.png_codec import decode_png, encode_png
+
+    for zw, zh in ((0, 5), (5, 0)):
+        with pytest.raises(ValueError, match="zero dimension"):
+            decode_png(encode_png(zw, zh, 3, b""))
