@@ -72,6 +72,13 @@ def zorder_write(
         *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
     ).collect()[0]
+    for c in cols:
+        if stats[f"lo_{c}"] is None or stats[f"hi_{c}"] is None:
+            # all-NULL (or empty) keyed column: float(None) below would
+            # surface as a bare TypeError far from the cause
+            raise ValueError(
+                f"zorder_write: column {c!r} has no non-NULL values to range on"
+            )
     ranges = [(stats[f"lo_{c}"], stats[f"hi_{c}"]) for c in cols]
     keyed = df.withColumn("_zkey", zorder_key(list(cols), ranges, bits))
     (

@@ -128,3 +128,19 @@ def test_zorder_key_guards():
         zorder_key([], [])
     with pytest.raises(ValueError):
         zorder_key(["a", "b", "c", "d"], [(0, 1)] * 4, bits=16)
+
+
+def test_zorder_write_all_null_column_named_error(spark, tmp_path):
+    """r13 review nit: an all-NULL keyed column used to surface as a
+    bare TypeError (float(None)) inside the range math; it is a named
+    ValueError at the stats gate now."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.sources.layout import zorder_write
+
+    df = spark.range(10).select(
+        F.col("id").alias("a"), F.lit(None).cast("double").alias("b")
+    )
+    with pytest.raises(ValueError, match="no non-NULL values"):
+        zorder_write(df, ["a", "b"], str(tmp_path / "z"))
