@@ -1294,6 +1294,174 @@ def evaluate_main(argv: list[str], spark: SparkSession | None = None) -> int:
             spark.stop()
 
 
+def build_monitor_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mwas_rfam_spark monitor",
+        description="Render a streaming_eval_counts state dir as ONE "
+        "live quality table: a global ALL row plus one row per stored "
+        "slice, each with n_pos/n_neg/n_null, exact midrank AUC, ECE, "
+        "and precision/recall/F1 at every threshold. One authoritative "
+        "state read feeds every metric — the per-score counts determine "
+        "all of them exactly, so nothing rescans a scored row.",
+    )
+    p.add_argument("state_dir", help="streaming_eval_counts state dir")
+    p.add_argument("--thresholds", type=float, nargs="*", default=[0.5])
+    p.add_argument("--bins", type=int, default=10,
+                   help="calibration bins behind the ECE column")
+    p.add_argument("--output", default=None,
+                   help="also write the table relation as parquet here")
+    return p
+
+
+def monitor_main(argv: list[str], spark: SparkSession | None = None) -> int:
+    args = build_monitor_parser().parse_args(argv)
+    owns_session = spark is None
+    if owns_session:
+        from .session import get_spark
+
+        spark = get_spark(app_name="monitor-cli")
+    try:
+        from .operators.evaluation import (
+            auc_from_score_counts,
+            calibration_from_score_counts,
+        )
+        from .operators.evaluation import ece as ece_fn
+        from .operators.evaluation import (
+            grouped_auc_from_score_counts,
+            grouped_ece,
+            threshold_report_from_score_counts,
+        )
+        from .streaming.requests import (
+            _authoritative_state_rows,
+            _eval_state_group_cols,
+        )
+
+        # ONE authoritative read feeds every consumer (the eval_state_*
+        # wrappers would each re-list and re-scan the dir); every
+        # collect below is slice- or threshold-bounded, never row-sized
+        rows = (
+            _authoritative_state_rows(spark, args.state_dir)
+            .drop("ingest_batch")
+            .persist()
+        )
+        try:
+            gcols = _eval_state_group_cols(rows.columns)
+            ths = list(args.thresholds)
+            th_cols = [f"{m}@{t:g}" for t in ths for m in ("p", "r", "f1")]
+            metric_cols = ["n_pos", "n_neg", "n_null", "auc", "ece"] + th_cols
+
+            def metrics(a_row, ece_val, th_rows) -> dict:
+                d = {
+                    "n_pos": a_row["n_pos"],
+                    "n_neg": a_row["n_neg"],
+                    "n_null": a_row["n_null"],
+                    "auc": a_row["auc"],
+                    "ece": ece_val,
+                }
+                for tr in th_rows:
+                    t = tr["threshold"]
+                    d[f"p@{t:g}"] = tr["precision"]
+                    d[f"r@{t:g}"] = tr["recall"]
+                    d[f"f1@{t:g}"] = tr["f1"]
+                return d
+
+            table: list[tuple[str, dict]] = []
+            g = auc_from_score_counts(rows).collect()[0]
+            g_ece = ece_fn(calibration_from_score_counts(rows, [], args.bins))
+            g_th = (
+                threshold_report_from_score_counts(rows, ths).collect()
+                if ths
+                else []
+            )
+            table.append(("ALL", metrics(g, g_ece, g_th)))
+
+            if gcols:
+                def key_of(r) -> str:
+                    return ",".join(f"{c}={r[c]}" for c in gcols)
+
+                aucs = {
+                    key_of(r): r
+                    for r in grouped_auc_from_score_counts(rows, gcols).collect()
+                }
+                eces = {
+                    key_of(r): r["ece"]
+                    for r in grouped_ece(
+                        calibration_from_score_counts(rows, gcols, args.bins),
+                        gcols,
+                    ).collect()
+                }
+                th_by: dict[str, list] = {}
+                if ths:
+                    for r in threshold_report_from_score_counts(
+                        rows, ths, gcols
+                    ).collect():
+                        th_by.setdefault(key_of(r), []).append(r)
+                for key in sorted(aucs):
+                    # eces/th_by miss all-invalid slices (no finite
+                    # scores -> no bins, no confusion cells): the row
+                    # still renders, with dashes where nothing exists
+                    table.append(
+                        (key, metrics(aucs[key], eces.get(key), th_by.get(key, [])))
+                    )
+
+            def fmt(v) -> str:
+                if v is None:
+                    return "-"
+                if isinstance(v, float):
+                    return "-" if v != v else f"{v:.4f}"  # NaN -> dash
+                return str(v)
+
+            header = ["slice"] + metric_cols
+            body = [
+                [label] + [fmt(m.get(c)) for c in metric_cols]
+                for label, m in table
+            ]
+            widths = [
+                max(len(header[i]), *(len(r[i]) for r in body))
+                for i in range(len(header))
+            ]
+            print("  ".join(h.ljust(w) for h, w in zip(header, widths)).rstrip())
+            for r in body:
+                print("  ".join(v.ljust(w) for v, w in zip(r, widths)).rstrip())
+
+            if args.output:
+                from pyspark.sql import types as T
+
+                schema = T.StructType(
+                    [T.StructField("slice", T.StringType())]
+                    + [
+                        T.StructField(c, T.LongType())
+                        for c in ("n_pos", "n_neg", "n_null")
+                    ]
+                    + [
+                        T.StructField(c, T.DoubleType())
+                        for c in ["auc", "ece"] + th_cols
+                    ]
+                )
+                out_rows = [
+                    tuple(
+                        [label]
+                        + [
+                            None
+                            if (v := m.get(c)) is None
+                            or (isinstance(v, float) and v != v)
+                            else (int(v) if c.startswith("n_") else float(v))
+                            for c in metric_cols
+                        ]
+                    )
+                    for label, m in table
+                ]
+                spark.createDataFrame(out_rows, schema).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(args.output)
+        finally:
+            rows.unpersist()
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
 def build_demo_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="mwas_rfam_spark demo",
@@ -1486,6 +1654,7 @@ _SUBCOMMANDS = {
     "pack": pack_main,
     "demo": demo_main,
     "evaluate": evaluate_main,
+    "monitor": monitor_main,
 }
 
 

@@ -1122,3 +1122,91 @@ def test_pack_ordinal_decodes_encoding(spark):
     assert bad == 0
     ords = [r[0] for r in packed.select(pack_ordinal().alias("o")).collect()]
     assert min(ords) >= 1
+
+
+def test_monitor_cli_golden_table(spark, tmp_path, capsys):
+    """r13 (the r11 stretch): `monitor` renders one eval-state dir as
+    the full live table — global + per-slice AUC, ECE, and
+    precision/recall/F1 at each threshold — off one authoritative
+    state read, zero scored-row rescans. Golden-pinned; values also
+    cross-checked against the eval_state readers the table fronts."""
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.__main__ import monitor_main
+    from mwas_rfam_spark.operators.evaluation import grouped_per_score_counts
+    from mwas_rfam_spark.streaming.requests import (
+        eval_state_calibration,
+        eval_state_grouped_auc,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "ko", 0.1 * (i % 10), (i % 4) // 2)
+         for i in range(80)],
+        "doc_id long, lang string, score double, label int",
+    )
+    gstate = str(tmp_path / "gstate")
+    for b in range(2):
+        grouped_per_score_counts(
+            docs.where(F.col("doc_id") % 2 == b), ["lang"]
+        ).write.parquet(f"{gstate}/ingest_batch={b}")
+
+    rep = str(tmp_path / "rep")
+    assert monitor_main([gstate, "--output", rep], spark) == 0
+    got = capsys.readouterr().out.splitlines()
+    golden = [
+        "slice    n_pos  n_neg  n_null  auc     ece     p@0.5   r@0.5   f1@0.5",
+        "ALL      40     40     0       0.5000  0.2500  0.5000  0.5000  0.5000",
+        "lang=en  20     20     0       0.5000  0.2400  0.5000  0.6000  0.5455",
+        "lang=ko  20     20     0       0.5000  0.2600  0.5000  0.4000  0.4444",
+    ]
+    assert got == golden
+
+    # the table IS the readers' numbers (rounded for display)
+    sl = {r["lang"]: r for r in eval_state_grouped_auc(spark, gstate).collect()}
+    assert f"{sl['en']['auc']:.4f}" == "0.5000"
+    cal = eval_state_calibration(spark, gstate)
+    assert cal.where(F.col("lang") == "en").count() > 0
+
+    # --output parquet mirrors the table relation
+    out = {r["slice"]: r for r in spark.read.parquet(rep).collect()}
+    assert out["ALL"]["n_pos"] == 40 and out["lang=ko"]["r@0.5"] == 0.4
+    assert abs(out["lang=en"]["f1@0.5"] - 6.0 / 11.0) < 1e-12
+
+
+def test_monitor_cli_ungrouped_and_all_invalid_slice(spark, tmp_path, capsys):
+    """monitor on an ungrouped dir renders just the ALL row; a slice
+    whose every score is NaN still shows up (auc/threshold cells as
+    dashes) rather than vanishing — monitoring must surface it."""
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.__main__ import monitor_main
+    from mwas_rfam_spark.operators.evaluation import (
+        grouped_per_score_counts,
+        per_score_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 0.1 * (i % 10), i % 2) for i in range(40)],
+        "doc_id long, score double, label int",
+    )
+    ustate = str(tmp_path / "ustate")
+    per_score_counts(docs).write.parquet(f"{ustate}/ingest_batch=0")
+    assert monitor_main([ustate], spark) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert len(out) == 2 and out[1].startswith("ALL")
+
+    bad = docs.withColumn(
+        "score",
+        F.when(F.col("doc_id") % 2 == 0, float("nan")).otherwise(F.col("score")),
+    ).withColumn("lang", F.when(F.col("doc_id") % 2 == 0, "xx").otherwise("en"))
+    gstate = str(tmp_path / "g2")
+    grouped_per_score_counts(bad, ["lang"]).write.parquet(
+        f"{gstate}/ingest_batch=0"
+    )
+    assert monitor_main([gstate], spark) == 0
+    lines = capsys.readouterr().out.splitlines()
+    xx = next(line for line in lines if line.startswith("lang=xx"))
+    cells = xx.split()
+    # n_pos n_neg 0, n_null 20, every metric a dash
+    assert cells[1:4] == ["0", "0", "20"]
+    assert cells[4:] == ["-"] * 5
