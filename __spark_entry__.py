@@ -1896,6 +1896,43 @@ def q_eval_state_grouped_auc(spark, sf_dir):
     )
 
 
+def q_eval_state_threshold_report(spark, sf_dir):
+    """Streaming eval-counts state → PER-SLICE threshold
+    precision/recall/F1 (registered correctness entry since r13 wave 2
+    — driver-gated DuckDB oracle; stream==batch parity,
+    counts-reconstruction equality (threshold_report_from_score_counts
+    == the row-level report on the same rows), the all-invalid-cell
+    NULL semantics, and the sklearn-parity f1-zero rule in
+    tests/test_streaming.py / tests/test_evaluation.py): reads the
+    SAME grouped mixed frozen+raw state dir q_eval_state_grouped_auc
+    answers over (memoized, _ensure_grouped_eval_state). ``score >= t``
+    is a pure score function, so every confusion cell is an exact
+    weighted sum over the per-(grp, score) counts — equal to the
+    row-level threshold report over each slice of the scored relation,
+    which is what the oracle computes in plain SQL. The last of the
+    three eval-state readers to take a driver slot (r11: AUC, r12:
+    calibration): "what would the production threshold select over
+    everything scored so far, per slice" costs a state-sized
+    aggregate, no scored-row rescan."""
+    from mwas_rfam_spark.streaming.requests import eval_state_threshold_report
+
+    state_dir = _ensure_grouped_eval_state(spark, sf_dir)
+    return eval_state_threshold_report(
+        spark, state_dir, thresholds=[0.3, 0.5, 0.7]
+    ).select(
+        "grp",
+        F.round("threshold", 6).alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+        F.round("selected_frac", 6).alias("selected_frac"),
+    )
+
+
 def q_cms_freq(spark, sf_dir):
     """Count-min sketch build + point lookups (bench surface; one-sided
     guarantee, merge==one-pass, weighted counts and bit-exact DuckDB
@@ -3045,6 +3082,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              report over the full scored relation,
                              replayed in plain SQL)
 
+    Round-13 rotation (r12 verdict task #4 + the "missing #1" closure,
+    same machinery — the remaining two eval-state readers take slots,
+    so all THREE readers are driver-gated):
+
+    - so1_anti_join        → anti-join arithmetic stays driver-pinned
+                             inside the green `text_decontam` row;
+                             exact former oracle SQL in
+                             relocated_oracles, stays benchable; slot →
+                             `eval_state_grouped_auc` (per-slice
+                             midrank AUC from the grouped mixed
+                             frozen+raw counts state, PARTITION BY grp
+                             in plain SQL)
+    - mwas_summary_t_only  → a strict rollup of the green
+                             `mwas_t_only_full` relation (same
+                             max/avg/sum/conditional family the A9/S12
+                             rows pin); exact former oracle SQL in
+                             relocated_oracles, stays benchable; slot →
+                             `eval_state_threshold_report` (per-slice
+                             confusion cells reconstructed from the
+                             same grouped state — score >= t is a pure
+                             score function, replayed in plain SQL)
+
     Round-4 second-wave surfaces (registry full at 50 all-green; each is
     pytest-pinned and benchable where noted, with its exactness anchored
     to an existing green entry where semantics overlap):
@@ -3187,7 +3246,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mwas_cohort_welch": q_mwas_cohort_welch,
         "mwas_full": q_mwas_full,
         "mwas_t_only_full": q_mwas_t_only_full,
-        "mwas_summary_t_only": q_mwas_summary_t_only,
         "mwas_legacy_full": q_mwas_legacy_full,
         "mwas_legacy_13col": q_mwas_legacy_13col,
         "mwas_perm_exact": q_mwas_perm_exact,
@@ -3199,6 +3257,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # arithmetic stays driver-pinned inside the green text_decontam
         # row and exact former SQL lives in relocated_oracles)
         "eval_state_grouped_auc": q_eval_state_grouped_auc,
+        # r13 rotation wave 2: slot from mwas_summary_t_only (a strict
+        # rollup of the green mwas_t_only_full relation; exact former
+        # SQL lives in relocated_oracles, stays benchable) — closes the
+        # eval-state reader family: all three readers driver-slotted
+        "eval_state_threshold_report": q_eval_state_threshold_report,
         "p_predicates": q_p_predicates,
         "j8_interval_join": q_j8_interval_join,
         "mwas_perm_calibration": q_mwas_perm_calibration,
@@ -3340,6 +3403,9 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r13 rotation: slot → eval_state_grouped_auc; stays benchable
         # (exact former oracle SQL in relocated_oracles)
         "so1_anti_join": q_so1_anti_join,
+        # r13 rotation wave 2: slot → eval_state_threshold_report;
+        # stays benchable (exact former oracle SQL in relocated_oracles)
+        "mwas_summary_t_only": q_mwas_summary_t_only,
         # r9: evaluation-family replay surfaces (DuckDB parity via
         # relocated_oracles; grouped_auc is also a HEADLINE bench row —
         # the per-slice fairness query needed plan-regression coverage)
@@ -3511,7 +3577,49 @@ def oracle_sql() -> dict[str, str]:
     return {
         "mwas_cohort_welch": _MWAS_ORACLE,
         "mwas_t_only_full": _MWAS_T_ONLY_FULL_ORACLE,
-        "mwas_summary_t_only": _MWAS_SUMMARY_T_ONLY_ORACLE,
+        # Grouped streaming threshold-report state replay (r13 wave 2):
+        # the same grouped state dir as eval_state_grouped_auc; score >=
+        # t is a pure score function so each confusion cell is an exact
+        # weighted sum over the per-(grp, score) counts — the oracle
+        # recomputes the cells from the scored relation in plain SQL,
+        # with the reader's NULL-cell (undefined precision/recall) and
+        # sklearn-parity f1-zero rules.
+        "eval_state_threshold_report": """
+            WITH v AS (
+              SELECT CAST(vec_id % 4 AS INT) AS grp,
+                     0.5 + x / (2.0 * (1.0 + abs(x))) AS s,
+                     CASE WHEN label % 2 > 0 THEN 1 ELSE 0 END AS y
+              FROM (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x, label
+                    FROM embeddings)
+              WHERE x IS NOT NULL AND NOT isnan(x) AND label IS NOT NULL),
+            cells AS (
+              SELECT grp, CAST(t.ts AS DOUBLE) AS threshold,
+                     CAST(sum(CASE WHEN s >= CAST(t.ts AS DOUBLE)
+                              THEN y ELSE 0 END) AS BIGINT) AS tp,
+                     CAST(sum(CASE WHEN s >= CAST(t.ts AS DOUBLE)
+                              THEN 1 - y ELSE 0 END) AS BIGINT) AS fp,
+                     CAST(sum(CASE WHEN s < CAST(t.ts AS DOUBLE)
+                              THEN y ELSE 0 END) AS BIGINT) AS fn,
+                     CAST(sum(CASE WHEN s < CAST(t.ts AS DOUBLE)
+                              THEN 1 - y ELSE 0 END) AS BIGINT) AS tn
+              FROM v, unnest(['0.3', '0.5', '0.7']) AS t(ts)
+              GROUP BY 1, 2)
+            SELECT grp, round(threshold, 6) AS threshold,
+                   tp, fp, fn, tn,
+                   round(p, 6) AS precision, round(rc, 6) AS recall,
+                   round(CASE WHEN COALESCE(p, 0) + COALESCE(rc, 0) > 0
+                              THEN 2 * p * rc / (p + rc)
+                              WHEN p IS NOT NULL AND rc IS NOT NULL
+                              THEN 0.0 END, 6) AS f1,
+                   round(CAST(tp + fp AS DOUBLE) / (tp + fp + fn + tn), 6)
+                       AS selected_frac
+            FROM (SELECT *,
+                         CASE WHEN tp + fp > 0
+                              THEN CAST(tp AS DOUBLE) / (tp + fp) END AS p,
+                         CASE WHEN tp + fn > 0
+                              THEN CAST(tp AS DOUBLE) / (tp + fn) END AS rc
+                  FROM cells)
+        """,
         "mwas_perm_exact": _MWAS_PERM_EXACT_ORACLE,
         "mwas_legacy_full": _T_ONLY_CTES
         + """
@@ -4696,8 +4804,16 @@ def relocated_oracles() -> dict[str, str]:
     driver's gate ran through r10. r12 adds j1_outer_join_agg (slot →
     eval_state_calibration) with the exact SQL the gate ran through
     r11. r13 adds so1_anti_join (slot → eval_state_grouped_auc) with
-    the exact SQL the gate ran through r12."""
+    the exact SQL the gate ran through r12, and — wave 2 —
+    mwas_summary_t_only (slot → eval_state_threshold_report, closing
+    the eval-state reader family) with the exact SQL the gate ran
+    through the start of r13."""
     return {
+        # r13 wave-2 rotation OUT (slot → eval_state_threshold_report):
+        # exact SQL the driver's gate ran through the start of r13. The
+        # summary aggregates stay a strict rollup of the green
+        # mwas_t_only_full relation (operators/summary.py:15).
+        "mwas_summary_t_only": _MWAS_SUMMARY_T_ONLY_ORACLE,
         # r13 rotation OUT (slot → eval_state_grouped_auc): exact SQL
         # the driver's gate ran through r12. The anti-join arithmetic
         # also stays driver-pinned inside the green text_decontam row.

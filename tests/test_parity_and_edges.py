@@ -331,9 +331,9 @@ def test_relocated_oracle_parity(spark, sf_dir):
         "dedup_exact", "dedup_simhash32", "drift_report",
         "f2_rpm_normalize", "grouped_auc", "grouped_threshold_report",
         "j1_outer_join_agg", "j4_cascading_lookup", "j5_sql_api",
-        "j6_semi_join", "j7_positional_join", "s13_synthetic_input",
-        "so1_anti_join", "so2_complement", "text_vocab_topk",
-        "threshold_report",
+        "j6_semi_join", "j7_positional_join", "mwas_summary_t_only",
+        "s13_synthetic_input", "so1_anti_join", "so2_complement",
+        "text_vocab_topk", "threshold_report",
     ]
     # oracle SQL that reads a materialized index bakes the driver's
     # sf0.01 tag into its path — point it at this run's SF instead
