@@ -90,9 +90,10 @@ HEADLINE = [
     # — appended at the END per the chunk-composition rule above
     "grouped_calibration",
     "eval_state_auc",
-    # r13: the per-slice state reader (rotation IN) — appended at the
+    # r13: the per-slice state readers (rotations IN) — appended at the
     # END per the chunk-composition rule above
     "eval_state_grouped_auc",
+    "eval_state_threshold_report",
 ]
 
 TABLES = [
