@@ -217,3 +217,74 @@ def test_jpeg_progressive_equals_baseline_property(w, h, channels, sub, q, rnd):
         w, h, channels, img.tobytes(), quality=q, subsampling=sub, progressive=True
     )
     assert decode_jpeg(prog) == decode_jpeg(base)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(8, 32),
+    h=st.integers(8, 24),
+    q=st.sampled_from([50, 90]),
+    rnd=st.randoms(use_true_random=False),
+)
+def test_jpeg_multiscan_equals_interleaved_property(w, h, q, rnd):
+    """r13 property pin for the restructured baseline path: a color
+    4:4:4 stream delivered as THREE non-interleaved scans (one SOS per
+    component, rendered at EOI) decodes bit-identically to the same
+    coefficients delivered as one interleaved scan. Built by
+    re-packaging the entropy data of an encode_jpeg stream is not
+    possible (bit-packed), so both streams are synthesized from the
+    same per-component DC/AC blocks."""
+    import struct as _s
+
+    import numpy as np
+
+    from mwas_rfam_spark.functions import jpeg_codec as J
+    from mwas_rfam_spark.functions.jpeg_codec import decode_jpeg
+
+    rng = np.random.default_rng(rnd.randrange(2**31))
+    bw, bh = -(-w // 8), -(-h // 8)
+    n_blocks = bw * bh
+    # sparse random coefficient blocks per component, DC in a safe range
+    comps = {}
+    for cid in (1, 2, 3):
+        blocks = []
+        for _ in range(n_blocks):
+            blk = np.zeros(64, dtype=np.int64)
+            blk[0] = int(rng.integers(-200, 200))
+            for k in rng.choice(np.arange(1, 64), size=4, replace=False):
+                blk[k] = int(rng.integers(-30, 30))
+            blocks.append(blk)
+        comps[cid] = blocks
+
+    def seg(marker, payload):
+        return _s.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    head = bytearray(b"\xff\xd8")
+    head += seg(0xDB, b"\x00" + bytes([max(1, q // 10)] * 64))
+    head += seg(0xC4, bytes([0x00]) + bytes(J._DC_BITS) + bytes(J._DC_SYMS))
+    head += seg(0xC4, bytes([0x10]) + bytes(J._AC_BITS) + bytes(sorted(J._AC_SYMS)))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+    for cid in (1, 2, 3):
+        sof += bytes([cid, 0x11, 0])
+    head += seg(0xC0, sof)
+
+    inter = bytearray(head)
+    inter += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    wtr = J._BitWriter()
+    preds = {1: 0, 2: 0, 3: 0}
+    for n in range(n_blocks):  # MCU order at 1x1 sampling = block raster
+        for cid in (1, 2, 3):
+            preds[cid] = J._encode_block(wtr, comps[cid][n], preds[cid])
+    inter += wtr.flush() + b"\xff\xd9"
+
+    multi = bytearray(head)
+    for cid in (1, 2, 3):
+        multi += seg(0xDA, bytes([1, cid, 0x00, 0, 63, 0]))
+        wtr = J._BitWriter()
+        pred = 0
+        for n in range(n_blocks):
+            pred = J._encode_block(wtr, comps[cid][n], pred)
+        multi += wtr.flush()
+    multi += b"\xff\xd9"
+
+    assert decode_jpeg(bytes(multi)) == decode_jpeg(bytes(inter))
