@@ -1210,3 +1210,59 @@ def test_monitor_cli_ungrouped_and_all_invalid_slice(spark, tmp_path, capsys):
     # n_pos n_neg 0, n_null 20, every metric a dash
     assert cells[1:4] == ["0", "0", "20"]
     assert cells[4:] == ["-"] * 5
+
+
+def test_monitor_cli_over_real_stream_state(spark, tmp_path, capsys):
+    """End-to-end live-monitoring story: a REAL Structured Streaming
+    writer (streaming_eval_counts with group_cols, file source, three
+    micro-batches) builds the state; `monitor` renders it; the numbers
+    equal the row-level evaluation over everything streamed."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mwas_rfam_spark.__main__ import monitor_main
+    from mwas_rfam_spark.operators.evaluation import binary_auc, grouped_auc
+    from mwas_rfam_spark.streaming.requests import streaming_eval_counts
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "ko", 0.1 * (i % 10), (i % 4) // 2)
+         for i in range(90)],
+        "doc_id long, lang string, score double, label int",
+    ).cache()
+    src = tmp_path / "src"
+    os.makedirs(src, exist_ok=True)
+    for i in range(3):
+        stage = tmp_path / f"stage{i}"
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        shutil.copy(glob.glob(str(stage / "*.parquet"))[0],
+                    str(src / f"b{i}.parquet"))
+
+    state = str(tmp_path / "state")
+    q = (
+        streaming_eval_counts(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src)),
+            state,
+            group_cols=["lang"],
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert monitor_main([state], spark) == 0
+    lines = capsys.readouterr().out.splitlines()
+    by_slice = {line.split()[0]: line.split() for line in lines[1:]}
+    want_all = binary_auc(docs).collect()[0]
+    assert by_slice["ALL"][4] == f"{want_all['auc']:.4f}"
+    for r in grouped_auc(docs, ["lang"]).collect():
+        assert by_slice[f"lang={r['lang']}"][4] == f"{r['auc']:.4f}"
