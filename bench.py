@@ -91,9 +91,12 @@ HEADLINE = [
     "grouped_calibration",
     "eval_state_auc",
     # r13: the per-slice state readers (rotations IN) — appended at the
-    # END per the chunk-composition rule above
+    # END per the chunk-composition rule above; eval_state_calibration
+    # (registered r12, never benched) rides along so the whole
+    # four-reader family has a bench series
     "eval_state_grouped_auc",
     "eval_state_threshold_report",
+    "eval_state_calibration",
 ]
 
 TABLES = [
