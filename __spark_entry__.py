@@ -4401,7 +4401,10 @@ FROM final
               JOIN q ON q.q_id = cand.q_id)
             SELECT q_id, vec_id, round(dist, 5) AS dist, rank FROM (
               SELECT q_id, vec_id, dist,
-                     CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS INT) AS rank
+                     -- BIGINT, not INT: the Spark side's rank is int64,
+                     -- and matched widths keep the audit (and any
+                     -- byte-level hash) assumption-free
+                     CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS BIGINT) AS rank
               FROM exact)
             WHERE rank <= 5
         """,

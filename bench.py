@@ -278,6 +278,7 @@ def _cache_state(
     loadavg_start: list[float] | None = None,
     canary_start: dict | None = None,
     sf_dir: str | None = None,
+    cached_gb_prewarmed: float | None = None,
 ) -> dict:
     """Compact cache-state summary for the parsed artifact (see
     `_meminfo_cached_gb`). first_over_min quantiles are computed from
@@ -296,6 +297,9 @@ def _cache_state(
     )
     state: dict = {
         "meminfo_cached_gb_start": cached_gb_start,
+        # chunk-1's ACTUAL cache state: stamped after the canary's scan
+        # leg deliberately prewarms sf_dir (see main's warm-start note)
+        "meminfo_cached_gb_prewarmed": cached_gb_prewarmed,
         "meminfo_cached_gb_end": _meminfo_cached_gb(),
         # r13 amendment (see _loadavg/_canary): the page-cache stamps
         # above were falsified as SUFFICIENT by r12 — agreeing stamps
@@ -450,7 +454,14 @@ def main():
     import tempfile
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # scale factor from the DIRECTORY NAME only ("sf" + digits/dots at
+    # the end) — the old rsplit("sf") grabbed everything after any "sf"
+    # anywhere in the path (/data/sfo/run → "o/run"), emitting junk into
+    # the artifact's `sf` field for non-sf-named dirs.
+    import re
+
+    _m = re.search(r"sf([0-9.]+)$", os.path.basename(os.path.normpath(sf_dir)))
+    sf = _m.group(1) if _m else os.path.basename(os.path.normpath(sf_dir))
 
     chunks = [
         HEADLINE[i : i + CHUNK_SIZE] for i in range(0, len(HEADLINE), CHUNK_SIZE)
@@ -462,7 +473,21 @@ def main():
     mwas_full_first = None
     cached_gb_start = _meminfo_cached_gb()
     loadavg_start = _loadavg()
+    # The canary's scan leg byte-reads every sf_dir parquet, so from the
+    # moment it runs the benched tables are page-cache-resident. That is
+    # now a DELIBERATE warm-start: the r10 forensics measured ±17%
+    # whole-series swings tracking nothing but whether sf0.1 happened to
+    # be cache-resident when chunk 1 started, and a warm start is the
+    # one state every environment can reproduce (17.5 MB at sf0.1 always
+    # fits; "whatever the previous workload left behind" never repeats).
+    # The protocol string carries a `_warmstart` suffix so
+    # comparable_to_prev_round goes False exactly once (r13 vs r12) —
+    # claiming comparability across a conditions change is the r8
+    # mistake this field exists to prevent — and
+    # meminfo_cached_gb_prewarmed records the ACTUAL chunk-1 cache
+    # state (the _start stamp describes the environment as found).
     canary_start = _canary(sf_dir)
+    cached_gb_prewarmed = _meminfo_cached_gb()
     here = os.path.dirname(os.path.abspath(__file__))
     with tempfile.TemporaryDirectory() as td:
         for ci, names in enumerate(chunks):
@@ -474,12 +499,24 @@ def main():
             spec_path = os.path.join(td, f"spec{ci}.json")
             with open(spec_path, "w") as f:
                 json.dump(spec, f)
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--chunk", spec_path],
-                cwd=here,
-                stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT,
-            )
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--chunk", spec_path],
+                    cwd=here,
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT,
+                    # a wedged chunk JVM (shuffle deadlock, executor
+                    # hang) must become a diagnosable failure, not an
+                    # eternally-silent bench: the slowest healthy chunk
+                    # (mwas_full's dedicated JVM) is ~30 s at sf0.1, so
+                    # 30 min is pure-pathology headroom
+                    timeout=1800,
+                )
+            except subprocess.TimeoutExpired as te:
+                tail = (te.stdout or b"").decode(errors="replace")[-3000:]
+                raise RuntimeError(
+                    f"bench chunk {ci} ({names}) hung past 1800s:\n{tail}"
+                ) from None
             if proc.returncode != 0 or not os.path.exists(spec["out"]):
                 tail = proc.stdout.decode(errors="replace")[-3000:]
                 raise RuntimeError(
@@ -504,7 +541,7 @@ def main():
         f"fresh_jvm_chunks_of_{CHUNK_SIZE}_prerun_min_of_3"
         if PRERUN
         else f"fresh_jvm_chunks_of_{CHUNK_SIZE}_min_of_3"
-    )
+    ) + "_warmstart"  # r13: canary scan prewarms sf_dir before chunk 1
     headline = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -541,7 +578,8 @@ def main():
         # the r10 data showed ±17% whole-series swings on untouched
         # plans tracking nothing but this state.
         "cache_state": _cache_state(
-            raw_runs, cached_gb_start, loadavg_start, canary_start, sf_dir
+            raw_runs, cached_gb_start, loadavg_start, canary_start, sf_dir,
+            cached_gb_prewarmed,
         ),
     }
     # The raw-runs forensics blob made the single JSON line big enough

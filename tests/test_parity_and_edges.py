@@ -341,11 +341,7 @@ def test_relocated_oracle_parity(spark, sf_dir):
     tag = os.path.basename(os.path.normpath(sf_dir))
     if tag != "sf0.01":
         relocated = {
-            k: v.replace("/ivf_index/sf0.01/", f"/ivf_index/{tag}/")
-            .replace("/ivfpq_index/sf0.01/", f"/ivfpq_index/{tag}/")
-            .replace("/drift_pca/sf0.01/", f"/drift_pca/{tag}/")
-            .replace("/opq_model/sf0.01/", f"/opq_model/{tag}/")
-            for k, v in relocated.items()
+            k: v.replace("/sf0.01/", f"/{tag}/") for k, v in relocated.items()
         }
     bench = entry.bench_queries()
     for name, sql in relocated.items():
