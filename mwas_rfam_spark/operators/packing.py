@@ -38,22 +38,28 @@ def pack_ordinal(pack_id_col: str = "pack_id", bucket_col: str = "bucket"):
 def _bucket_expr(id_col: str, n_buckets: int):
     """THE id→bucket derivation both packers share (r12: it was
     copy-pasted and the NULL/validation semantics had already drifted).
-    First two md5 hex digits → [0, 256), pmod n_buckets — cross-engine
-    reproducible, unlike xxhash64. n_buckets is bounded by the digit
-    source: values past 256 silently stopped adding parallelism, and 0
-    was a mid-job ANSI DIVIDE_BY_ZERO (r12 review finding). NULL ids
-    refuse in-plan: a deterministic assignment needs an identity (the
-    same rule as the selection family's seeded draws)."""
-    if not 1 <= n_buckets <= 256:
+    First FOUR md5 hex digits → [0, 65536), pmod n_buckets —
+    cross-engine reproducible, unlike xxhash64. Four digits, not two
+    (r13): the two-digit source capped usable parallelism at 256
+    buckets, which at corpus scale forces arbitrarily large per-bucket
+    state into each packing kernel call — 65,536 exceeds any plausible
+    executor count. n_buckets is still bounded by the digit source
+    (values past it silently stop adding parallelism) and 0 was a
+    mid-job ANSI DIVIDE_BY_ZERO (r12 review finding). NULL ids refuse
+    in-plan: a deterministic assignment needs an identity (the same
+    rule as the selection family's seeded draws)."""
+    if not 1 <= n_buckets <= 65536:
         raise ValueError(
-            f"n_buckets must be in [1, 256] (two md5 hex digits are the "
-            f"bucket source), got {n_buckets}"
+            f"n_buckets must be in [1, 65536] (four md5 hex digits are "
+            f"the bucket source), got {n_buckets}"
         )
     h = F.md5(F.col(id_col).cast("string"))
     hexv = "0123456789abcdef"
-    d1 = F.instr(F.lit(hexv), F.substring(h, 1, 1)) - 1
-    d2 = F.instr(F.lit(hexv), F.substring(h, 2, 1)) - 1
-    bucket = F.pmod(d1 * 16 + d2, F.lit(n_buckets)).cast("long")
+    digits = [
+        F.instr(F.lit(hexv), F.substring(h, i + 1, 1)) - 1 for i in range(4)
+    ]
+    val = digits[0] * 4096 + digits[1] * 256 + digits[2] * 16 + digits[3]
+    bucket = F.pmod(val, F.lit(n_buckets)).cast("long")
     return F.when(
         F.col(id_col).isNull(),
         F.raise_error(

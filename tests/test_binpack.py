@@ -135,9 +135,11 @@ def test_pack_documents_rejects_bad_budget(spark):
 
 def test_packers_validate_n_buckets_and_null_ids(spark):
     """r12 review findings: n_buckets=0 was a mid-job ANSI
-    DIVIDE_BY_ZERO and values past 256 silently stopped adding
-    parallelism (two hex digits are the bucket source); a NULL doc_id
-    crashed bin_pack's kernel with int(NaN) — both now refuse."""
+    DIVIDE_BY_ZERO and values past the digit source silently stopped
+    adding parallelism (four md5 hex digits since r13, so the bound is
+    65,536 — the two-digit 256 cap forced corpus-scale per-bucket state
+    into each kernel call); a NULL doc_id crashed bin_pack's kernel
+    with int(NaN) — both now refuse."""
     from mwas_rfam_spark.operators.packing import (
         bin_pack_documents,
         pack_documents,
@@ -147,7 +149,7 @@ def test_packers_validate_n_buckets_and_null_ids(spark):
     docs = spark.createDataFrame(
         [(1, "a few words"), (2, "more words here")], "doc_id long, text string"
     )
-    for bad in (0, 257):
+    for bad in (0, 65537):
         with pytest.raises(ValueError, match="n_buckets"):
             pack_documents(docs, 512, n_buckets=bad)
         with pytest.raises(ValueError, match="n_buckets"):

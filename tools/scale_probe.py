@@ -1,6 +1,9 @@
 """Measured scale probes behind SCALE.md's tables (regenerable).
 
-Usage: python tools/scale_probe.py [sf_dir]   (default /root/testdata/sf0.1)
+Usage: python tools/scale_probe.py [sf_dir] [probe]
+       python tools/scale_probe.py [probe]
+(sf_dir defaults to /root/testdata/sf0.1; a lone non-directory argument
+is treated as a probe selector, not a data dir)
 
 Probe A — clone-heavy dedup, the adversarial shape for set-similarity
 joins: each sf0.1 document replicated 10× under distinct ids with
@@ -20,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -40,6 +44,53 @@ def replicate_docs(docs, times: int):
         (F.col("doc_id") * n + F.col("_copy")).alias("doc_id"),
         "text",
     )
+
+
+def grow_emb(src, times: int):
+    """DIVERSE embedding replication (ONE definition — this expression
+    used to be inlined per probe and could silently diverge): the
+    perturbation direction depends on the copy index AND the element
+    index (decorrelated sinusoids), so copies are far from their base
+    and from each other — a constant-direction shift would instead make
+    each family a dense near-dup cluster and turn structural-cost
+    trends into CC corner measurements."""
+    if times == 1:
+        return src
+    return src.crossJoin(
+        src.sparkSession.range(times).select(F.col("id").alias("_c"))
+    ).select(
+        (F.col("vec_id") * times + F.col("_c")).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            + F.sin((F.col("_c") + F.lit(1)).cast("double") * (i + F.lit(1))),
+        ).alias("embedding"),
+    )
+
+
+def grow_docs(src, times: int, source_mod: int):
+    """Docs replication with a rotated source label (for the selection
+    probes: source cardinality grows with source_mod, text repeats)."""
+    return src.crossJoin(
+        src.sparkSession.range(times).select(F.col("id").alias("_c"))
+    ).select(
+        (F.col("doc_id") * times + F.col("_c")).alias("doc_id"),
+        "text",
+        F.concat(
+            F.col("source"), F.lit("_"), (F.col("_c") % source_mod).cast("string")
+        ).alias("source"),
+    )
+
+
+def strided_queries(e, n: int):
+    """n query vectors STRIDED across the sorted corpus. Head-of-sorted-
+    ids picks on a replicated corpus (vec_id = base*times + copy) are a
+    degenerate query set — the first n ids are n perturbations of ONE
+    base vector (the r9o probe documented this) — so stride the picks
+    for independent draws."""
+    ids = [r["vec_id"] for r in e.select("vec_id").orderBy("vec_id").collect()]
+    picks = ids[:: max(1, len(ids) // n)][:n]
+    return e.where(F.col("vec_id").isin(picks))
 
 
 def probe_dedup(spark, sf_dir: str, out: dict):
@@ -200,7 +251,12 @@ def probe_r4_ops(spark, sf_dir: str, out: dict):
         out[f"sessionize_{label}"] = round(time.time() - t0, 2)
 
     spark.catalog.clearCache()
-    print({k: v for k, v in out.items() if "_1x" in k or "_10x" in k},
+    # prefix filter like every other probe: the old substring match
+    # ('_1x' in k) reprinted OTHER probes' keys under this block in a
+    # full run (dedup_exact_1x, mwas_full_10x, ...)
+    print({k: v for k, v in out.items()
+           if k.startswith(("decontam_", "curation_", "line_dedup_",
+                            "semantic_dedup_", "sessionize_"))},
           file=sys.stderr)
 
 
@@ -581,25 +637,8 @@ def probe_i100(spark, sf_dir: str, out: dict):
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    def grow_emb(src, times):
-        # DIVERSE growth: the perturbation direction depends on the
-        # copy index AND the element index (decorrelated sinusoids), so
-        # copies are far from their base and from each other — a
-        # constant-direction shift would instead make each family a
-        # dense near-dup cluster and turn this row into a CC corner
-        # measurement rather than a structural-cost trend
-        if times == 1:
-            return src
-        return src.crossJoin(
-            spark.range(times).select(F.col("id").alias("_c"))
-        ).select(
-            (F.col("vec_id") * times + F.col("_c")).alias("vec_id"),
-            F.transform(
-                "embedding",
-                lambda x, i: x
-                + F.sin((F.col("_c") + F.lit(1)).cast("double") * (i + F.lit(1))),
-            ).alias("embedding"),
-        )
+    # (growth scheme hoisted to module-level grow_emb — see its docstring
+    # for the decorrelated-sinusoid rationale)
 
     # ---- semantic dedup, auto-k, 1x/10x/100x --------------------------
     for label, times in [("1x", 1), ("10x", 10), ("100x", 100)]:
@@ -730,15 +769,7 @@ def probe_r6_ops(spark, sf_dir: str, out: dict):
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    emb10 = emb.crossJoin(
-        spark.range(10).select(F.col("id").alias("_c"))
-    ).select(
-        (F.col("vec_id") * 10 + F.col("_c")).alias("vec_id"),
-        F.transform(
-            "embedding",
-            lambda x, i: x + F.sin((F.col("_c") + F.lit(1)).cast("double") * (i + F.lit(1))),
-        ).alias("embedding"),
-    )
+    emb10 = grow_emb(emb, 10)
     for label, e in [("1x", emb), ("10x", emb10)]:
         e = e.localCheckpoint()
         model = fit_pca(e, k=16)  # timed separately: build cost
@@ -803,15 +834,7 @@ def probe_r6b_ops(spark, sf_dir: str, out: dict):
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    emb10 = emb.crossJoin(
-        spark.range(10).select(F.col("id").alias("_c"))
-    ).select(
-        (F.col("vec_id") * 10 + F.col("_c")).alias("vec_id"),
-        F.transform(
-            "embedding",
-            lambda x, i: x + F.sin((F.col("_c") + F.lit(1)).cast("double") * (i + F.lit(1))),
-        ).alias("embedding"),
-    )
+    emb10 = grow_emb(emb, 10)
     import tempfile
 
     for label, e, k_cells in [("1x", emb, 8), ("10x", emb10, 26)]:
@@ -833,16 +856,12 @@ def probe_r6b_ops(spark, sf_dir: str, out: dict):
         t0 = time.time()
         _force(ivfpq_topk_indexed(spark, path, q, k=10, nprobe=3, rerank=100))
         out[f"ivfpq_search_{label}"] = round(time.time() - t0, 2)
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(warm, ignore_errors=True)
 
     src = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
     docs = src.select("doc_id", "text")
-    src10 = src.crossJoin(
-        spark.range(10).select(F.col("id").alias("_c"))
-    ).select(
-        (F.col("doc_id") * 10 + F.col("_c")).alias("doc_id"),
-        "text",
-        F.concat(F.col("source"), F.lit("_"), (F.col("_c") % 3).cast("string")).alias("source"),
-    )
+    src10 = grow_docs(src, 10, source_mod=3)
     for label, d in [("1x", src), ("10x", src10)]:
         d = d.localCheckpoint()
         n = d.count()
@@ -856,6 +875,12 @@ def probe_r6b_ops(spark, sf_dir: str, out: dict):
     # streaming-dedup state axis: one batch probed against 1x vs 10x state
     batch = docs.localCheckpoint()
     state1 = minhash_band_buckets(batch).select("band", "bucket").localCheckpoint()
+    # state10 must be a SUPERSET of state1 (state1 + 9 perturbed
+    # variants), so the 1x and 10x rows differ only in state SIZE — the
+    # axis this probe isolates. The old build perturbed copy 0 too, so
+    # 1x measured a 100%-band-match regime against the batch's own
+    # buckets while 10x measured probabilistic collisions: a match-rate
+    # change masquerading as a state-size trend.
     grown = [
         minhash_band_buckets(
             batch.select(
@@ -863,10 +888,10 @@ def probe_r6b_ops(spark, sf_dir: str, out: dict):
                 F.concat(F.col("text"), F.lit(f" s{i}")).alias("text"),
             )
         ).select("band", "bucket")
-        for i in range(10)
+        for i in range(1, 10)
     ]
-    state10 = grown[0]
-    for g in grown[1:]:
+    state10 = state1
+    for g in grown:
         state10 = state10.unionByName(g)
     state10 = state10.localCheckpoint()
     for label, st in [("1x", state1), ("10x", state10)]:
@@ -898,15 +923,7 @@ def probe_r6b100(spark, sf_dir: str, out: dict):
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    emb100 = emb.crossJoin(
-        spark.range(100).select(F.col("id").alias("_c"))
-    ).select(
-        (F.col("vec_id") * 100 + F.col("_c")).alias("vec_id"),
-        F.transform(
-            "embedding",
-            lambda x, i: x + F.sin((F.col("_c") + F.lit(1)).cast("double") * (i + F.lit(1))),
-        ).alias("embedding"),
-    ).repartition(64).localCheckpoint()
+    emb100 = grow_emb(emb, 100).repartition(64).localCheckpoint()
     n = emb100.count()
     out["ivfpq_100x_rows"] = n
     q = [float(x) for x in emb100.orderBy("vec_id").first()["embedding"]]
@@ -929,12 +946,17 @@ def probe_r6b100(spark, sf_dir: str, out: dict):
         out[f"ivfpq_search_100x_r{run}"] = round(time.time() - t0, 2)
 
     eval_emb = emb.where(F.col("vec_id") % 11 == 0)
-    t0 = time.time()
-    _force(semantic_decontaminate(emb100, eval_emb, threshold=0.9))
-    out["semantic_decontam_100x"] = round(time.time() - t0, 2)
+    # 1x FIRST: the first decontaminate plan in a process pays codegen +
+    # warmup debt (the same confound probe_r5b documents); timing 100x
+    # first inflated the very 100x/1x slope this probe reports
     t0 = time.time()
     _force(semantic_decontaminate(emb, eval_emb, threshold=0.9))
     out["semantic_decontam_1x"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    _force(semantic_decontaminate(emb100, eval_emb, threshold=0.9))
+    out["semantic_decontam_100x"] = round(time.time() - t0, 2)
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(warm, ignore_errors=True)
 
     spark.catalog.clearCache()
     print({k: v for k, v in out.items()
@@ -969,19 +991,15 @@ def probe_r7m(spark, sf_dir: str, out: dict):
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    emb100 = emb.crossJoin(
-        spark.range(100).select(F.col("id").alias("_c"))
-    ).select(
-        (F.col("vec_id") * 100 + F.col("_c")).alias("vec_id"),
-        F.transform(
-            "embedding",
-            lambda x, i: x + F.sin((F.col("_c") + F.lit(1)).cast("double") * (i + F.lit(1))),
-        ).alias("embedding"),
-    ).repartition(64).localCheckpoint()
+    emb100 = grow_emb(emb, 100).repartition(64).localCheckpoint()
     out["knn_100x_rows"] = emb100.count()
 
     def qbatch(e, n=64):
-        return e.orderBy("vec_id").limit(n).select(
+        # STRIDED picks (was orderBy+limit: on the 100x corpus the 64
+        # smallest ids are 64 perturbations of ONE base vector — the
+        # degenerate query set r9o documents — which clusters the
+        # probed cells and flatters the static-filter admission rate)
+        return strided_queries(e, n).select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
         ).localCheckpoint()
 
@@ -1008,22 +1026,26 @@ def probe_r7m(spark, sf_dir: str, out: dict):
         _force(ivfpq_knn_join(spark, path, qs, k=5,
                               nprobe=max(3, k_cells // 100), rerank=100))
         out[f"ivfpq_knn_join_{label}_warm"] = round(time.time() - t0, 2)
+        shutil.rmtree(path, ignore_errors=True)
 
     src100 = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    docs100 = src100.crossJoin(
-        spark.range(100).select(F.col("id").alias("_c"))
-    ).select(
-        (F.col("doc_id") * 100 + F.col("_c")).alias("doc_id"),
-        "text",
-        F.concat(F.col("source"), F.lit("_"), (F.col("_c") % 10).cast("string")).alias("source"),
-    ).repartition(64).localCheckpoint()
+    docs100 = grow_docs(src100, 100, source_mod=10).repartition(64).localCheckpoint()
     n100 = docs100.count()
     out["mix_100x_rows"] = n100
     t0 = time.time()
     _force(temperature_mix(docs100, alpha=0.3, target_rows=int(n100 * 0.8), seed=11))
     out["source_mix_100x"] = round(time.time() - t0, 2)
     t0 = time.time()
-    _force(bin_pack_documents(docs100.select("doc_id", "text"), max_tokens_per_pack=512))
+    # SAME pack budget as probe J (2048 — 512 broke the 1x/10x/100x
+    # comparability) and buckets scaled with the corpus (64 -> 640 ->
+    # 6400, the documented policy probe J measures); the old call left
+    # the default 64 buckets, so the "100x trend" row was actually
+    # measuring the unscaled-buckets anti-pattern
+    _force(bin_pack_documents(
+        docs100.select("doc_id", "text"),
+        max_tokens_per_pack=2048,
+        n_buckets=6400,
+    ))
     out["binpack_100x"] = round(time.time() - t0, 2)
 
     spark.catalog.clearCache()
@@ -1077,6 +1099,13 @@ def probe_r7e(spark, sf_dir: str, out: dict):
     toks100 = toks.crossJoin(
         spark.range(100).select(F.col("id").alias("_c"))
     ).select(F.concat("tok", F.lit("_"), (F.col("_c") % 7).cast("string")).alias("tok"))
+    # checkpoint BOTH inputs (the file's convention — "measure the
+    # operators, not the clone join"): without it every timed cms_build
+    # re-executed the doc scan + explode + 100x crossJoin, twice per
+    # label (md5 and xxhash64 rows), conflating sketch-build cost with
+    # input-generation cost
+    toks = toks.localCheckpoint()
+    toks100 = toks100.repartition(64).localCheckpoint()
     for label, t in (("1x", toks), ("100x", toks100)):
         for h in ("md5", "xxhash64"):
             t0 = time.time()
@@ -1113,15 +1142,7 @@ def probe_r7q(spark, sf_dir: str, out: dict):
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    e10 = emb.crossJoin(
-        spark.range(10).select(F.col("id").alias("_c"))
-    ).select(
-        (F.col("vec_id") * 10 + F.col("_c")).alias("vec_id"),
-        F.transform(
-            "embedding",
-            lambda x, i: x + F.sin((F.col("_c") + F.lit(1)).cast("double") * (i + F.lit(1))),
-        ).alias("embedding"),
-    ).repartition(32).localCheckpoint()
+    e10 = grow_emb(emb, 10).repartition(32).localCheckpoint()
     n = e10.count()
     out["resq_rows"] = n
     cents = train_ivf_centroids(e10, k=40, iters=2)
@@ -1141,7 +1162,11 @@ def probe_r7q(spark, sf_dir: str, out: dict):
     # recall@10 of ADC-only candidates (rerank == k strips the exact
     # re-rank's error recovery, exposing pure code quality) vs exact
     # within the SAME probed cells (rerank >> k is exact there)
-    qrows = e10.orderBy("vec_id").limit(8).collect()
+    # strided, not head-of-sorted-ids: the first 8 ids of the 10x corpus
+    # are eight perturbations of ONE base vector (r9o documents this)
+    qrows = sorted(
+        strided_queries(e10, 8).collect(), key=lambda r: r["vec_id"]
+    )
     rec = {"raw": 0.0, "res": 0.0}
     for r in qrows:
         q = [float(x) for x in r["embedding"]]
@@ -1211,6 +1236,8 @@ def probe_r7q(spark, sf_dir: str, out: dict):
         t0 = time.time()
         _force(ivfpq_knn_join(spark, paths[kind], queries, k=5, nprobe=8, rerank=100))
         out[f"resq_knn_join_{kind}"] = round(time.time() - t0, 2)
+    for p in paths.values():
+        shutil.rmtree(p, ignore_errors=True)
     spark.catalog.clearCache()
     print({k: v for k, v in out.items() if k.startswith("resq_")}, file=sys.stderr)
 
@@ -1240,15 +1267,7 @@ def probe_r9o(spark, sf_dir: str, out: dict):
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    e10 = emb.crossJoin(
-        spark.range(10).select(F.col("id").alias("_c"))
-    ).select(
-        (F.col("vec_id") * 10 + F.col("_c")).alias("vec_id"),
-        F.transform(
-            "embedding",
-            lambda x, i: x + F.sin((F.col("_c") + F.lit(1)).cast("double") * (i + F.lit(1))),
-        ).alias("embedding"),
-    ).repartition(32).localCheckpoint()
+    e10 = grow_emb(emb, 10).repartition(32).localCheckpoint()
 
     for tag, corpus, k_cells, nprobe in (
         ("sf", emb.localCheckpoint(), 8, 3),
@@ -1654,13 +1673,14 @@ def probe_r13a(spark, sf_dir: str, out: dict):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    spark = get_spark(app_name="scale-probe")
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    _warmup(spark, sf_dir)
-    out: dict = {"sf_dir": sf_dir}
-    only = sys.argv[2] if len(sys.argv) > 2 else None
+    # `scale_probe.py r13a` means "run probe r13a at the default dir" —
+    # binding the probe name to sf_dir used to fail deep in _warmup
+    # with a parquet-not-found error instead of the unknown-probe exit
+    args = list(sys.argv[1:])
+    sf_dir = "/root/testdata/sf0.1"
+    if args and os.path.isdir(args[0]):
+        sf_dir = args.pop(0)
+    only = args[0] if args else None
     probes = {
         "dedup": probe_dedup,
         "mwas": probe_mwas,
@@ -1687,6 +1707,11 @@ def main():
         raise SystemExit(
             f"unknown probe {only!r}; choose from {sorted(probes)}"
         )
+    spark = get_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _warmup(spark, sf_dir)
+    out: dict = {"sf_dir": sf_dir}
     for name, fn in probes.items():
         if only is None or only == name:
             fn(spark, sf_dir, out)
