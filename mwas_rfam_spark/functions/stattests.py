@@ -269,6 +269,19 @@ def grouped_permutation_mean_diff(
     rows.
     """
     pooled = np.asarray(pooled, dtype=np.float64)
+    observeds = np.asarray(observeds, dtype=np.float64)
+    # fail-loud on non-finite inputs (r13 review finding): a single NaN
+    # in pooled (or a NaN observed) makes every >=/<= tie comparison
+    # False, so both paths silently returned p=0.0 — maximally
+    # SIGNIFICANT — for the whole group instead of an error. Same
+    # failure class as the n_x=n silent p=0.0 the r12 review closed.
+    if not np.isfinite(pooled).all():
+        raise ValueError(
+            "pooled values must be finite (a NaN/inf would silently "
+            "bias every tie count toward p=0)"
+        )
+    if not np.isfinite(observeds).all():
+        raise ValueError("observed statistics must be finite")
     n = pooled.shape[0]
     total = pooled.sum()
     # tie tolerance scale: |obs| alone fails under catastrophic
@@ -363,6 +376,11 @@ def permutation_test_mean_diff(
         raise ValueError(
             f"both samples must be non-empty, got len(x)={n_x} len(y)={n_y}"
         )
+    # fail-loud on non-finite samples (r13 review finding — see
+    # grouped_permutation_mean_diff): NaN comparisons count as neither
+    # tail, so a NaN value returned (nan, 0.0) — p maximally significant
+    if not (np.isfinite(x).all() and np.isfinite(y).all()):
+        raise ValueError("sample values must be finite")
     # canonical pooled ordering: the null depends on the value multiset
     # only, but float summation order would otherwise leak the caller's
     # row order into the last ulp of the null values (and flip tie counts)

@@ -44,6 +44,22 @@ def interval_join_within(
     _require_integral_ts(a, ts_col, "left", "interval_join_within")
     _require_integral_ts(b, ts_col, "right", "interval_join_within")
     sa, sb = suffixes
+    # fail-loud on name collisions (r13 review finding): with an empty
+    # suffix (pandas-style ("", "_b")) a caller column named `bucket` or
+    # `b0` was silently OVERWRITTEN by the internal bucketing columns
+    # and then dropped from the output, and an `abs_delta` input was
+    # silently replaced by the computed delta — against this module's
+    # loud-contract convention.
+    internal = {"bucket", "b0", "abs_delta"}
+    suffixed = {c + sa for c in a.columns} | {c + sb for c in b.columns}
+    clashes = sorted(internal & suffixed)
+    if clashes:
+        raise ValueError(
+            f"interval_join_within: suffixed input column(s) {clashes} "
+            "collide with internal/output names ('bucket', 'b0' are "
+            "internal; 'abs_delta' is the output delta) — rename the "
+            "columns or use non-empty suffixes"
+        )
 
     def _bucket(col: str):
         # integer `div` truncates toward zero, which merely widens the

@@ -106,9 +106,14 @@ def corpus_word_frequencies(
 
     One distributed explode + groupBy under the SAME normalization
     :func:`functions.bpe.word_frequencies` applies driver-side
-    (lowercase, then split on Unicode whitespace runs — ``(?U)\\s+`` is
-    Java regex's spelling of Python ``str.split()``'s rule; pytest pins
-    the two agree), so the merge learner can see the WHOLE corpus's
+    (lowercase, then split on Python ``str.split()``'s whitespace rule.
+    Java's ``(?U)\\s`` is Unicode White_Space, which is ALMOST that rule
+    — Python additionally treats the C0 separators U+001C-001F as
+    whitespace (bidi classes B/S), so the pattern names them explicitly;
+    without that a corpus with FS/GS/RS/US separators trains merges on
+    words the encoder never sees — r13 review finding; pytest pins the
+    two agree including those chars), so the merge learner can see the
+    WHOLE corpus's
     statistics instead of a document sample while the collected relation
     stays bounded: Zipf's law makes the word-type table tiny relative to
     the corpus, and ``max_word_types`` caps it outright (top types by
@@ -121,7 +126,7 @@ def corpus_word_frequencies(
     return (
         docs.select(
             F.explode(
-                F.split(F.lower(F.col(text_col)), r"(?U)\s+")
+                F.split(F.lower(F.col(text_col)), r"(?U)[\s\x1c-\x1f]+")
             ).alias("word")
         )
         .where(F.col("word") != "")
@@ -215,6 +220,23 @@ def bpe_encode(
     string and id paths, so their semantics cannot drift."""
     merge_rows = _merge_list(merges)
     passthrough = list(passthrough_cols or [])
+    # loud boundary checks (r13 review finding — same defect class as
+    # the asof right_cols fix): a missing id/passthrough column used to
+    # surface as a bare KeyError from docs.schema[c], and a passthrough
+    # named after a generated output column built a duplicate-field
+    # schema that failed executor-side with a cryptic Arrow column-count
+    # mismatch.
+    reserved = {"n_tokens", "tokens", "token_ids"}
+    for c in (id_col, text_col, *passthrough):
+        if c not in docs.columns:
+            raise ValueError(f"bpe_encode: column {c!r} not in input "
+                             f"(columns: {docs.columns})")
+    clashes = reserved.intersection([id_col, *passthrough])
+    if clashes:
+        raise ValueError(
+            f"bpe_encode: column name(s) {sorted(clashes)} collide with "
+            f"generated output columns {sorted(reserved)} — rename them"
+        )
     vocab_map = None
     if vocab is not None:
         if isinstance(vocab, DataFrame):
@@ -318,7 +340,12 @@ def bpe_vocab(
                     F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "")
                 ).alias("ch")
             )
-            .where((F.col("ch") != "") & ~F.col("ch").rlike(r"^\s$"))
+            # (?U) + the C0 separators: the bare ASCII ^\s$ let Unicode
+            # whitespace (NBSP, U+3000, NEL) and U+001C-1F into the base
+            # alphabet as ids the encoder can never emit, displacing
+            # real tokens (r13 review finding; same rule as
+            # corpus_word_frequencies' split)
+            .where((F.col("ch") != "") & ~F.col("ch").rlike(r"(?U)^[\s\x1c-\x1f]$"))
             .distinct()
             .collect()
         )

@@ -401,3 +401,25 @@ def test_interval_join_loud_on_double_timeline(spark):
     b = spark.createDataFrame([(1.6, "y")], "ts double, v string")
     with _pt.raises(ValueError, match="integral timeline"):
         interval_join_within(a, b, tolerance=10)
+
+
+def test_interval_join_refuses_internal_name_collisions(spark):
+    """r13 review finding: with an empty left suffix a caller column
+    named `bucket` was silently overwritten by the internal bucketing
+    column and then dropped from the output, and an `abs_delta` input
+    was silently replaced by the computed delta — now a loud refusal."""
+    import pytest as _pt
+
+    from mwas_rfam_spark.operators.interval import interval_join_within
+
+    a = spark.createDataFrame([(10, 7)], "ts bigint, bucket bigint")
+    b = spark.createDataFrame([(12, "y")], "ts bigint, v string")
+    with _pt.raises(ValueError, match="collide with internal"):
+        interval_join_within(a, b, tolerance=10, suffixes=("", "_b"))
+    # non-empty suffixes keep the same inputs legal
+    out = interval_join_within(a, b, tolerance=10).collect()
+    assert len(out) == 1 and out[0]["bucket_a"] == 7
+
+    c = spark.createDataFrame([(10, 0.1)], "ts bigint, abs_delta double")
+    with _pt.raises(ValueError, match="collide with internal"):
+        interval_join_within(c, b, tolerance=10, suffixes=("", "_b"))

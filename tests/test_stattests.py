@@ -155,3 +155,37 @@ def test_permutation_kernels_validate_cohorts():
         grouped_permutation_mean_diff(pooled, [4], [0.0], 100, 0)
     with pytest.raises(ValueError, match="non-empty"):
         permutation_test_mean_diff([], [1.0, 2.0])
+
+
+def test_permutation_kernels_refuse_non_finite_inputs():
+    """r13 review finding (same class as the r12 n_x=n hole): a NaN in
+    pooled values or a NaN observed made every >=/<= tie comparison
+    False, so both permutation paths silently returned p=0.0 — maximally
+    SIGNIFICANT — instead of failing loud. One NaN rpm in a group would
+    have flooded that (bioproject, group) with false hits."""
+    from mwas_rfam_spark.functions.stattests import (
+        grouped_permutation_mean_diff,
+        permutation_test_mean_diff,
+    )
+
+    ok = np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0])
+    with pytest.raises(ValueError, match="finite"):
+        grouped_permutation_mean_diff(
+            np.append(ok, np.nan), [3], [0.5], 100, 0
+        )
+    with pytest.raises(ValueError, match="finite"):
+        grouped_permutation_mean_diff(
+            np.append(ok, np.inf), [3], [0.5], 100, 0
+        )
+    with pytest.raises(ValueError, match="finite"):
+        grouped_permutation_mean_diff(ok, [3], [np.nan], 100, 0)
+    with pytest.raises(ValueError, match="finite"):
+        permutation_test_mean_diff([1.0, np.nan, 2.0], [3.0, 4.0, 5.0])
+    with pytest.raises(ValueError, match="finite"):
+        permutation_test_mean_diff([1.0, 2.0], [3.0, np.inf])
+    # the randomized path validates too (large n forces it)
+    big = np.arange(60, dtype=np.float64)
+    with pytest.raises(ValueError, match="finite"):
+        grouped_permutation_mean_diff(
+            np.append(big, np.nan), [20], [0.1], 50, 0
+        )

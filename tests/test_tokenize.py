@@ -239,6 +239,13 @@ def test_corpus_trained_bpe_matches_driver_side_exactly(spark):
         "the Quick\tbrown FOX", "the the THE lazy dog\n dog",
         "pack my box with five dozen jugs", None,
         "  leading and trailing  ", "MiXeD CaSe mixed case",
+        # r13 review finding: Python str.split() also splits the C0
+        # separators U+001C-001F (bidi classes B/S), which Java's (?U)\s
+        # alone does NOT - these rows pin the explicit [\x1c-\x1f]
+        # extension in corpus_word_frequencies' split pattern (NEL \x85
+        # and NBSP were already covered)
+        "fs\x1cseparated\x1dgroup\x1erecord\x1funit",
+        "nel\x85split ok",
     ] * 3 + ["zebra quartz"]
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
@@ -351,3 +358,46 @@ def test_bounded_word_cache_caps_within_batch():
 
     with pytest.raises(ValueError, match="cap must be >= 1"):
         BoundedWordCache(0)
+
+
+def test_bpe_encode_loud_on_missing_and_colliding_columns(spark):
+    """r13 review finding (same class as the r12 asof right_cols fix):
+    a passthrough named after a generated output column built a
+    duplicate-field schema that failed executor-side with a cryptic
+    Arrow column-count mismatch, and a missing id/passthrough column was
+    a bare KeyError from docs.schema[c]."""
+    from mwas_rfam_spark.operators.tokenize import (
+        bpe_encode,
+        bpe_token_budget_counts,
+        train_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb", 7)], "doc_id long, text string, n_tokens long"
+    )
+    merges = train_bpe_merges(docs.select("doc_id", "text"), num_merges=4)
+    with pytest.raises(ValueError, match="collide with generated"):
+        bpe_encode(docs, merges, passthrough_cols=["n_tokens"])
+    with pytest.raises(ValueError, match="collide with generated"):
+        bpe_token_budget_counts(docs, merges, group_col="n_tokens")
+    with pytest.raises(ValueError, match="not in input"):
+        bpe_encode(docs, merges, passthrough_cols=["no_such"])
+    with pytest.raises(ValueError, match="not in input"):
+        bpe_encode(docs, merges, id_col="missing_id")
+
+
+def test_bpe_vocab_alphabet_excludes_unicode_whitespace(spark):
+    """r13 review finding: the ASCII-only ^\\s$ filter let NBSP/NEL and
+    the C0 separators into the base alphabet as token ids the encoder
+    can never emit, displacing real tokens."""
+    from mwas_rfam_spark.operators.tokenize import bpe_vocab, train_bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "ab\xa0cd\x1cef\x85gh　ij")], "doc_id long, text string"
+    )
+    merges = train_bpe_merges(docs, num_merges=2)
+    toks = {r["token"] for r in bpe_vocab(merges, docs).collect()}
+    for ws in ("\xa0", "\x1c", "\x85", "　", " "):
+        assert ws not in toks, f"whitespace {ws!r} leaked into the alphabet"
+    for ch in "abcdefghij":
+        assert ch in toks
