@@ -34,9 +34,9 @@ from __future__ import annotations
 
 import hashlib
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
 from ..config import DEFAULT_CONFIG, MwasConfig
 
@@ -45,6 +45,25 @@ from ..config import DEFAULT_CONFIG, MwasConfig
 # (conflicting schemas, unreadable footers) must surface, not silently
 # trigger a full recompute that appends duplicates (r12 review finding)
 _MISSING_MARKERS = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+
+
+def _write_stamp(fs, path, payload: bytes) -> None:
+    """THE Hadoop stamp-file write (create/write/close) shared by the
+    cache sentinel and the resume config stamp — it was hand-duplicated
+    at both sites (r13 review finding)."""
+    stream = fs.create(path, True)
+    try:
+        stream.write(bytearray(payload))
+    finally:
+        stream.close()
+
+
+def _read_stamp(fs, path) -> bytes:
+    stream = fs.open(path)
+    try:
+        return bytes(stream.readAllBytes())
+    finally:
+        stream.close()
 
 
 def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
@@ -87,7 +106,12 @@ def dataframe_fingerprint(df: DataFrame) -> str:
     parts = []
     for c in cols:
         col = F.col(c)
-        if dtypes[c].startswith("map"):
+        # "map<" ANYWHERE in the dtype, not just a top-level map: Spark's
+        # xxhash64 rejects MapType at any nesting depth, so an
+        # array<map<...>> or a struct with a map field used to crash the
+        # fingerprint (and with it the whole caching layer) at key time
+        # (r13 review finding)
+        if "map<" in dtypes[c]:
             col = col.cast("string")
         # the null flag makes NULL a first-class token: xxhash64 skips
         # null children, so without it (run='X', group=NULL) and
@@ -144,7 +168,7 @@ def run_mwas_cached(
     call silently recomputing and rewriting, a cache that is pure
     overhead (r13 ADVICE item). The sentinel uses the same stamp-file
     pattern as :func:`_check_resume_config`."""
-    from .mwas import run_mwas
+    from .mwas import release_mwas_persists, run_mwas
 
     key = mwas_cache_key(input_df, cfg, catalog_df, sets_df, ref_df)
     path = f"{cache_dir.rstrip('/')}/{key}"
@@ -158,13 +182,15 @@ def run_mwas_cached(
             return hit
     out = run_mwas(input_df, catalog_df, sets_df, ref_df, cfg)
     out.write.mode("overwrite").parquet(path)
+    # the result now lives on disk and is re-read below, so the ~7
+    # subplans run_mwas pinned are pure leak — release them like every
+    # other disk-writing caller (__main__, http_server) does; a
+    # long-lived driver cache-missing on changing inputs used to grow
+    # executor storage without bound (r13 review finding)
+    release_mwas_persists()
     # self-written completion marker, AFTER the job returned — a torn
     # write never has it, a marker-disabled committer still gets hits
-    stream = fs.create(sentinel, True)
-    try:
-        stream.write(bytearray(b"ok"))
-    finally:
-        stream.close()
+    _write_stamp(fs, sentinel, b"ok")
     return spark.read.parquet(path)
 
 
@@ -206,11 +232,7 @@ def _check_resume_config(spark: SparkSession, output_dir: str, cfg: MwasConfig) 
     p = jvm.org.apache.hadoop.fs.Path(stamp)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(p):
-        stream = fs.open(p)
-        try:
-            stored = bytes(stream.readAllBytes()).decode().strip()
-        finally:
-            stream.close()
+        stored = _read_stamp(fs, p).decode().strip()
         if stored != digest:
             raise ValueError(
                 f"run_mwas_resume: {output_dir!r} was written under a "
@@ -219,11 +241,7 @@ def _check_resume_config(spark: SparkSession, output_dir: str, cfg: MwasConfig) 
                 "delete the old one)"
             )
         return
-    out = fs.create(p, True)
-    try:
-        out.write(bytearray(digest.encode()))
-    finally:
-        out.close()
+    _write_stamp(fs, p, digest.encode())
 
 
 def run_mwas_resume(
@@ -242,25 +260,69 @@ def run_mwas_resume(
     file-order resume semantics, minus the file-order coupling.
 
     Committer assumption (documented, not checked): done-ness is
-    "the bioproject has rows on disk", which is crash-safe under the
-    default v1 FileOutputCommitter (partition files appear at job
-    commit). A v2 or s3a direct committer can expose individual task
-    outputs mid-job; under those, a crash can leave a PARTIAL partition
-    that this resume then counts as done — use a fresh output_dir after
-    a crash in such deployments. The output dir is config-stamped:
-    resuming under a different MwasConfig refuses instead of appending
-    a mismatched schema (r12 review finding)."""
-    from .mwas import run_mwas
+    "the bioproject has rows on disk OR is listed in the attempted
+    stamp", which is crash-safe under the default v1
+    FileOutputCommitter (partition files appear at job commit, and the
+    stamp is written only after the job returns). A v2 or s3a direct
+    committer can expose individual task outputs mid-job; under those,
+    a crash can leave a PARTIAL partition that this resume then counts
+    as done — use a fresh output_dir after a crash in such deployments.
+    The output dir is config-stamped: resuming under a different
+    MwasConfig refuses instead of appending a mismatched schema (r12
+    review finding). The ``_mwas_done_bioprojects`` stamp closes the
+    zero-output hole (r13 review finding): a bioproject whose pipeline
+    legitimately emits NO rows (e.g. the metadata sets carry nothing
+    for it) never appears on disk, so rows-on-disk done-ness re-ran the
+    FULL pipeline for it on every invocation forever — the same defect
+    class as the r12 catalog-unmapped-runs fix this docstring cites."""
+    from .mwas import release_mwas_persists, run_mwas
     from ..sources.sinks import write_results_partitioned
 
     _check_resume_config(spark, output_dir, cfg)
+    done_stamp_path = f"{output_dir.rstrip('/')}/_mwas_done_bioprojects"
+    jvm = spark._jvm
+    stamp_p = jvm.org.apache.hadoop.fs.Path(done_stamp_path)
+    fs = stamp_p.getFileSystem(spark._jsc.hadoopConfiguration())
+    attempted_prev: set[str] = set()
+    if fs.exists(stamp_p):
+        attempted_prev = {
+            ln for ln in _read_stamp(fs, stamp_p).decode().splitlines() if ln
+        }
     prev = _read_partitioned_string(spark, output_dir)
+    done = prev.select("bioproject") if prev is not None else None
+    if attempted_prev:
+        stamp_done = spark.createDataFrame(
+            [(n,) for n in sorted(attempted_prev)], "bioproject string"
+        )
+        done = stamp_done if done is None else done.unionByName(stamp_done)
     todo = (
-        input_df if prev is None else filter_unprocessed(input_df, catalog_df, prev)
+        input_df if done is None else filter_unprocessed(input_df, catalog_df, done)
     )
     if todo.limit(1).count() > 0:
+        # the bioprojects this invocation attempts — recorded in the
+        # stamp AFTER the write commits, so zero-output bioprojects
+        # count as done too (a crash before the write leaves the stamp
+        # untouched and they retry, as intended)
+        attempted_now = {
+            r["bio_project"]
+            for r in todo.join(
+                catalog_df.select("run", "bio_project").distinct(), "run"
+            )
+            .select("bio_project")
+            .distinct()
+            .collect()
+        }
         out = run_mwas(todo, catalog_df, sets_df, ref_df, cfg)
         write_results_partitioned(out, output_dir, fmt="parquet", mode="append")
+        # output is on disk and re-read below — free run_mwas's pinned
+        # subplans like every other disk-writing caller (r13 review
+        # finding: repeated resume calls leaked ~7 persists each)
+        release_mwas_persists()
+        _write_stamp(
+            fs,
+            stamp_p,
+            "\n".join(sorted(attempted_prev | attempted_now)).encode(),
+        )
     result = _read_partitioned_string(spark, output_dir)
     if result is None:
         # fresh dir + empty input: nothing was ever written — an empty

@@ -749,3 +749,103 @@ def test_cached_run_hits_without_success_marker(spark, tmp_path):
     assert "FlatMapGroupsInPandas" not in plan
     for f, t in mtimes.items():
         assert os.path.getmtime(entry / f) == t, f"{f} was rewritten (cache missed)"
+
+
+def test_resume_zero_output_bioproject_not_recomputed(spark, tmp_path, monkeypatch):
+    """r13 review finding: done-ness was 'bioproject has rows on disk',
+    so a bioproject whose pipeline legitimately emits NO rows (metadata
+    sets carry nothing for it) was re-run — full pipeline, permutation
+    kernel and all — on EVERY resume invocation forever. The attempted
+    stamp now marks it done."""
+    from mwas_rfam_spark.operators import caching as caching_mod
+    from mwas_rfam_spark.operators import mwas as mwas_mod
+    from mwas_rfam_spark.operators.caching import run_mwas_resume
+
+    # P1 has metadata sets; P2's runs map through the catalog but the
+    # metadata relation knows nothing about P2 -> zero output rows
+    catalog_df = spark.createDataFrame(
+        [("P1" if i <= 5 else "P2", f"SAM{i:02d}", f"R{i}", 1_000_000)
+         for i in range(1, 11)],
+        CATALOG_SCHEMA,
+    )
+    wide1 = spark.createDataFrame(
+        [(f"SAM{i:02d}", "a" if i <= 2 else "b") for i in range(1, 6)],
+        ["biosample_id", "t1"],
+    )
+    sets_df, ref_df = condense_metadata(melt_wide_metadata(wide1, "P1"))
+    cfg = MwasConfig(t_test_only=True)
+    full_input = spark.createDataFrame(
+        [(f"R{i}", "g1", float(10 * i)) for i in range(1, 11)], INPUT_SCHEMA
+    )
+    out_dir = str(tmp_path / "resume_zero_out")
+
+    calls = []
+    real_run_mwas = mwas_mod.run_mwas
+
+    def counting_run_mwas(*a, **kw):
+        calls.append(1)
+        return real_run_mwas(*a, **kw)
+
+    monkeypatch.setattr(mwas_mod, "run_mwas", counting_run_mwas)
+
+    first = run_mwas_resume(
+        spark, full_input, catalog_df, sets_df, ref_df, out_dir, cfg
+    )
+    assert {r["bioproject"] for r in first.collect()} == {"P1"}
+    assert calls, "first invocation must run the pipeline"
+
+    # second invocation: P1 is on disk, P2 is in the attempted stamp —
+    # the todo set is empty and the pipeline must NOT run again
+    calls.clear()
+    again = run_mwas_resume(
+        spark, full_input, catalog_df, sets_df, ref_df, out_dir, cfg
+    )
+    assert {r["bioproject"] for r in again.collect()} == {"P1"}
+    assert not calls, "zero-output bioproject P2 must count as done"
+
+
+def test_caching_releases_mwas_persists(spark, tmp_path):
+    """r13 review finding: run_mwas_cached / run_mwas_resume returned a
+    disk re-read but never released run_mwas's pinned subplans — a
+    long-lived driver leaked ~7 persisted relations per cache miss."""
+    from mwas_rfam_spark.operators.caching import run_mwas_cached
+    from mwas_rfam_spark.operators.mwas import _LIVE_PERSISTS
+
+    input_df = spark.createDataFrame(
+        [("R1", "g1", 10.0), ("R2", "g1", 20.0), ("R3", "g1", 5.0),
+         ("R4", "g1", 8.0), ("R5", "g1", 12.0)], INPUT_SCHEMA
+    )
+    catalog_df = spark.createDataFrame(
+        [("P1", f"SAM0{i}", f"R{i}", 1_000_000) for i in range(1, 6)],
+        CATALOG_SCHEMA,
+    )
+    wide = spark.createDataFrame(
+        [(f"SAM0{i}", "a" if i <= 2 else "b") for i in range(1, 6)],
+        ["biosample_id", "t1"],
+    )
+    sets_df, ref_df = condense_metadata(melt_wide_metadata(wide, "P1"))
+    run_mwas_cached(
+        spark, input_df, catalog_df, sets_df, ref_df,
+        str(tmp_path / "rel_cache"), MwasConfig(t_test_only=True),
+    )
+    assert not _LIVE_PERSISTS, "cache miss must release pinned subplans"
+
+
+def test_fingerprint_handles_nested_map_columns(spark):
+    """r13 review finding: the map fallback only matched TOP-LEVEL map
+    dtypes, so an array<map<...>> column crashed xxhash64 at cache-key
+    time, taking the whole caching layer down for such schemas."""
+    from mwas_rfam_spark.operators.caching import dataframe_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, [{"k": "v"}]), (2, [{"k2": "v2"}])],
+        "id long, meta array<map<string,string>>",
+    )
+    fp1 = dataframe_fingerprint(df)
+    fp2 = dataframe_fingerprint(df.repartition(3))
+    assert fp1 == fp2  # order-independent, and above all: no crash
+    df3 = spark.createDataFrame(
+        [(1, [{"k": "v"}]), (2, [{"k2": "CHANGED"}])],
+        "id long, meta array<map<string,string>>",
+    )
+    assert dataframe_fingerprint(df3) != fp1
