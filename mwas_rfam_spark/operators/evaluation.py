@@ -219,9 +219,17 @@ def _threshold_cells(
     if not thresholds:
         raise ValueError("thresholds must be non-empty")
     s = F.col(score_col).cast("double")
-    y = F.when(F.col(label_col).cast("int") > 0, 1).otherwise(0)
+    # ONE label rule family-wide (r13 review finding): try_cast, then
+    # post-cast-NULL rows are invalid. The old pre-cast isNotNull filter
+    # plus a plain cast (a) threw CAST_INVALID_INPUT under ANSI on a
+    # NaN/uncastable label instead of excluding the row, and (b) with
+    # ANSI off counted an uncastable label ('unknown') as a NEGATIVE
+    # here while the counts family excluded it — breaking the pinned
+    # row-level == from-counts equality.
+    yc = F.col(label_col).try_cast("int")
+    y = F.when(yc > 0, 1).otherwise(0)
     valid = scored.where(
-        s.isNotNull() & ~F.isnan(s) & F.col(label_col).isNotNull()
+        s.isNotNull() & ~F.isnan(s) & yc.isNotNull()
     ).select(
         *group_cols, s.alias("__s"), y.alias("__y")
     )
@@ -449,10 +457,12 @@ def _calibration_binned(
     diverge (the per-group == ungrouped-on-the-slice pytest pins the
     equivalence)."""
     s = F.col(score_col).cast("double")
-    y = F.when(F.col(label_col).cast("int") > 0, 1).otherwise(0)
+    # same unified try_cast label rule as _threshold_cells (r13)
+    yc = F.col(label_col).try_cast("int")
+    y = F.when(yc > 0, 1).otherwise(0)
     width, b = _bin_rule(s, n_bins, score_min, score_max)
     valid = scored.where(
-        s.isNotNull() & ~F.isnan(s) & F.col(label_col).isNotNull()
+        s.isNotNull() & ~F.isnan(s) & yc.isNotNull()
     )
     return (
         valid.select(*group_cols, b.alias("bin"), s.alias("__s"), y.alias("__y"))
@@ -561,7 +571,10 @@ def grouped_per_score_counts(
     ``group_cols=[]`` is legal — :func:`per_score_counts` IS this
     function ungrouped (one shared body, r12)."""
     s = F.col(score_col).cast("double")
-    y = F.col(label_col).cast("int")
+    # try_cast: an uncastable/NaN label is an INVALID row, not an ANSI
+    # CAST_INVALID_INPUT abort (r13 review finding; monitoring must
+    # survive dirty labels the way it survives NaN scores)
+    y = F.col(label_col).try_cast("int")
     if not track_invalid:
         valid = scored.where(s.isNotNull() & ~F.isnan(s) & y.isNotNull())
         return valid.groupBy(*group_cols, s.alias("v")).agg(
@@ -684,11 +697,26 @@ def grouped_auc_from_score_counts(
     )
     # per-group running offsets in pid order (range partitioning makes
     # pid order == value order within a group)
+    import math as _math
+
+    def _acc_key(row):
+        # canonical dict key: Spark's groupBy/joins treat NaN as equal
+        # to NaN, but Python dict lookup on collected Rows does not
+        # (each Row yields a fresh nan object, nan != nan), so a float
+        # group column containing NaN got offset 0 for every partition
+        # after the first — a silently wrong AUC for that slice (r13
+        # review finding). The emitted offset row keeps the real float;
+        # only the driver-side accumulator uses the token.
+        return tuple(
+            "__nan__" if isinstance(v, float) and _math.isnan(v) else v
+            for v in (row[c] for c in group_cols)
+        )
+
     acc: dict = {}
     offsets = []
     for r in sorted(totals, key=lambda r: r["__pid"]):
-        gkey = tuple(r[c] for c in group_cols)
-        offsets.append((r["__pid"], *gkey, acc.get(gkey, 0)))
+        gkey = _acc_key(r)
+        offsets.append((r["__pid"], *(r[c] for c in group_cols), acc.get(gkey, 0)))
         acc[gkey] = acc.get(gkey, 0) + (r["tb"] or 0)
     spark = per.sparkSession
     gtypes = ", ".join(

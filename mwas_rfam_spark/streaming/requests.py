@@ -16,15 +16,26 @@ from pyspark.sql import types as T
 from ..functions.scalar import replace_zero_spots, rpm
 
 
-def _stream_rpm_col():
+def _stream_rpm_col(cfg=None):
     """RPM normalization for the streaming paths — the SAME expression as
     batch resolve_and_normalize (replace_zero_spots then rpm), so one
     observation yields one value whichever path it takes. spots==0 →
-    1e6 sentinel → rpm == quantifier (reference mg:180); null spots
+    sentinel → rpm == quantifier (reference mg:180); null spots
     (catalog miss that still resolved a bioproject) → 0.0, as in batch.
+    ``cfg`` threads the SAME MwasConfig knobs batch honors
+    (zero_spots_replacement, normalizing_const, already_normalized) —
+    the old parameterless form hard-coded DEFAULT_CONFIG, so a
+    deployment overriding any of them got silently different rpm values
+    on the streaming path for the same observation (r13 review finding).
     """
-    spots = replace_zero_spots(F.col("spots"))
-    return rpm(F.coalesce("quantifier", F.lit(0.0)), spots)
+    from ..config import DEFAULT_CONFIG
+
+    cfg = cfg or DEFAULT_CONFIG
+    spots = replace_zero_spots(F.col("spots"), cfg.zero_spots_replacement)
+    quantifier = F.coalesce("quantifier", F.lit(0.0))
+    if cfg.already_normalized:
+        return quantifier
+    return rpm(quantifier, spots, cfg.normalizing_const)
 
 
 REQUEST_SCHEMA = T.StructType(
@@ -42,21 +53,41 @@ def read_request_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
     return spark.readStream.schema(REQUEST_SCHEMA).json(drop_dir)
 
 
-def rpm_rollup_stream(requests: DataFrame, catalog_df: DataFrame) -> DataFrame:
+def rpm_rollup_stream(
+    requests: DataFrame, catalog_df: DataFrame, cfg=None
+) -> DataFrame:
     """Incremental stage-1 MWAS: resolve+normalize each micro-batch and
     maintain per-(request, bioproject, group, biosample) RPM aggregates.
     The static catalog joins stream-static (no state needed for the dim).
-    """
-    joined = requests.join(catalog_df, "run", "left")
+    ``cfg`` threads the batch resolve's MwasConfig knobs (rpm constants,
+    blacklist) so stream==batch parity holds under ANY config, not just
+    DEFAULT_CONFIG (r13 review finding)."""
     return (
-        joined.withColumn("rpm", _stream_rpm_col())
-        # SAME resolve filter as batch resolve_and_normalize
-        # (mwas.py:115-117): bio_sample too — streaming used to keep
-        # NULL-biosample rows the batch path drops, breaking the
-        # one-observation-one-value parity (r12 review finding)
-        .filter(F.col("bio_project").isNotNull() & F.col("bio_sample").isNotNull())
+        _resolve_joined(requests, catalog_df, cfg)
         .groupBy("request_id", "bio_project", "group", "bio_sample")
         .agg(F.avg("rpm").alias("rpm"), F.count("*").alias("n_runs"))
+    )
+
+
+def _resolve_joined(requests: DataFrame, catalog_df: DataFrame, cfg=None) -> DataFrame:
+    """THE streaming resolve body both streaming surfaces share: catalog
+    join, cfg-threaded rpm, blacklist, and the SAME resolve filter as
+    batch resolve_and_normalize (mwas.py:115-117) — bio_sample too;
+    streaming used to keep NULL-biosample rows the batch path drops,
+    breaking the one-observation-one-value parity (r12 review
+    finding)."""
+    from ..config import DEFAULT_CONFIG
+
+    cfg = cfg or DEFAULT_CONFIG
+    joined = requests.join(catalog_df, "run", "left").withColumn(
+        "rpm", _stream_rpm_col(cfg)
+    )
+    if cfg.blacklist:
+        joined = joined.filter(
+            ~F.col("bio_project").isin(list(cfg.blacklist))
+        )
+    return joined.filter(
+        F.col("bio_project").isNotNull() & F.col("bio_sample").isNotNull()
     )
 
 
@@ -145,7 +176,16 @@ def incremental_rollup_stream(resolved: DataFrame) -> DataFrame:
         cnt, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             cnt += int(len(pdf))
-            total += float(pdf["rpm"].sum())
+            # skipna=False (r13 review finding): pandas' default sum
+            # SKIPS NaN while len() counts the row, so one NaN rpm
+            # silently DILUTED the running mean forever; batch F.avg
+            # propagates NaN, and with the NULL-rpm pre-filter below the
+            # only NaNs reaching this fold are genuine NaN values.
+            # (Representation note: the poisoned mean EMITS as NULL —
+            # Arrow treats pandas NaN as the null sentinel on the way
+            # out — where batch F.avg shows NaN; both read "undefined",
+            # neither is a diluted number.)
+            total += float(pdf["rpm"].sum(skipna=False))
         state.update((cnt, total))
         bp, group, bs = key
         yield pd.DataFrame(
@@ -158,24 +198,31 @@ def incremental_rollup_stream(resolved: DataFrame) -> DataFrame:
             }
         )
 
-    return resolved.groupBy("bio_project", "group", "bio_sample").applyInPandasWithState(
-        update,
-        ROLLUP_OUT_SCHEMA,
-        ROLLUP_STATE_SCHEMA,
-        "update",
-        GroupStateTimeout.NoTimeout,
+    # NULL rpm rows are skipped by batch F.avg but are indistinguishable
+    # from NaN after Arrow conversion (both arrive as nan in the float
+    # column) — filter them Spark-side so the fold's skipna=False only
+    # ever poisons on GENUINE NaN, exactly like F.avg
+    return (
+        resolved.where(F.col("rpm").isNotNull())
+        .groupBy("bio_project", "group", "bio_sample")
+        .applyInPandasWithState(
+            update,
+            ROLLUP_OUT_SCHEMA,
+            ROLLUP_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
     )
 
 
-def resolve_stream(requests: DataFrame, catalog_df: DataFrame) -> DataFrame:
+def resolve_stream(
+    requests: DataFrame, catalog_df: DataFrame, cfg=None
+) -> DataFrame:
     """Stage-1 resolve+normalize for a request stream (stream-static join
-    against the catalog dim; no state required)."""
-    joined = requests.join(catalog_df, "run", "left")
-    return (
-        joined.withColumn("rpm", _stream_rpm_col())
-        # parity with batch resolve_and_normalize: bio_sample too (r12)
-        .filter(F.col("bio_project").isNotNull() & F.col("bio_sample").isNotNull())
-        .select("bio_project", "group", "bio_sample", "rpm")
+    against the catalog dim; no state required). ``cfg`` threads the
+    batch resolve's MwasConfig knobs — see :func:`_resolve_joined`."""
+    return _resolve_joined(requests, catalog_df, cfg).select(
+        "bio_project", "group", "bio_sample", "rpm"
     )
 
 
@@ -574,10 +621,25 @@ def _verify_banding_stamp(
                 "missing banding_version) — restore it or delete the "
                 "file AND rebuild the state"
             )
+        # a stored NULL for a parameter we're checking is a CORRUPT
+        # stamp, not a free pass: the old `stored is not None` filter
+        # silently skipped the comparison, so a truncated stamp that
+        # kept banding_version but lost num_hashes/bands/n permanently
+        # disabled the very guard it feeds (r13 review finding — same
+        # class as the all-NULL refusal above)
+        torn = [
+            k for k, v in want.items() if v is not None and got[0][k] is None
+        ]
+        if torn:
+            raise ValueError(
+                f"corrupt banding stamp at {path!r} (missing stored "
+                f"field(s) {torn}) — restore it or delete the file AND "
+                "rebuild the state"
+            )
         bad = {
             k: (got[0][k], v)
             for k, v in want.items()
-            if v is not None and got[0][k] is not None and got[0][k] != v
+            if v is not None and got[0][k] != v
         }
         if bad:
             raise ValueError(
@@ -1227,11 +1289,16 @@ def eval_state_grouped_auc(
         )
     from ..operators.evaluation import grouped_auc_from_score_counts
 
+    # lazy-checkpoint pin for the same two-consumer reason as
+    # eval_state_auc (the finisher's ranged sub-plan and its nulls
+    # aggregate would otherwise each re-scan and re-fold the state dir
+    # — r13 review finding; assume_folded=True skips the finisher's own
+    # pin, so the pin is this caller's job)
     per = df.groupBy(*gcols, "v").agg(
         F.sum("cnt_a").alias("cnt_a"),
         F.sum("cnt_b").alias("cnt_b"),
         F.sum("cnt_null").alias("cnt_null"),
-    )
+    ).localCheckpoint(eager=False)
     return grouped_auc_from_score_counts(
         per,
         gcols,

@@ -565,3 +565,73 @@ def test_grouped_auc_refuses_complex_group_type(spark):
     )
     with pytest.raises(ValueError, match="complex type"):
         grouped_auc(df, ["tags"])
+
+
+def test_label_rule_unified_dirty_labels_excluded_everywhere(spark):
+    """r13 review finding: the row-level reports filtered on PRE-cast
+    label.isNotNull() and then hard-cast, so (a) a NaN double label was
+    an ANSI CAST_INVALID_INPUT abort and (b) with lenient casts an
+    uncastable string label counted as a NEGATIVE while the counts
+    family excluded it — threshold_report(docs) diverged from
+    threshold_report_from_score_counts(per_score_counts(docs)). The
+    unified try_cast rule excludes dirty labels everywhere."""
+    from mwas_rfam_spark.operators.evaluation import (
+        calibration_report,
+        per_score_counts,
+        threshold_report,
+        threshold_report_from_score_counts,
+    )
+
+    # NaN double label: must be EXCLUDED, not an abort
+    d_nan = spark.createDataFrame(
+        [(0.9, 1.0), (0.8, 0.0), (0.7, float("nan")), (0.2, 1.0)],
+        "score double, label double",
+    )
+    row = {r["threshold"]: r for r in threshold_report(d_nan, [0.5]).collect()}
+    assert row[0.5]["tp"] == 1 and row[0.5]["fp"] == 1 and row[0.5]["fn"] == 1
+    cal = calibration_report(d_nan, n_bins=2).collect()
+    assert sum(r["n"] for r in cal) == 3  # NaN-label row excluded
+
+    # uncastable string label: row-level == from-counts (both exclude)
+    d_str = spark.createDataFrame(
+        [(0.9, "1"), (0.8, "0"), (0.7, "unknown"), (0.2, "1")],
+        "score double, label string",
+    )
+    via_rows = {
+        r["threshold"]: (r["tp"], r["fp"], r["fn"], r["tn"])
+        for r in threshold_report(d_str, [0.5]).collect()
+    }
+    via_counts = {
+        r["threshold"]: (r["tp"], r["fp"], r["fn"], r["tn"])
+        for r in threshold_report_from_score_counts(
+            per_score_counts(d_str), [0.5]
+        ).collect()
+    }
+    assert via_rows == via_counts
+    assert via_rows[0.5] == (1, 1, 1, 0)  # 'unknown' excluded, not negative
+
+
+def test_grouped_auc_nan_group_slice_correct_across_partitions(spark):
+    """r13 review finding: the driver-side offset dict keyed collected
+    Row values directly — each collected NaN is a fresh object and
+    nan != nan, so a NaN group slice spanning multiple range partitions
+    accumulated offset 0 after the first partition, silently
+    under-counting cum_b and corrupting that slice's AUC."""
+    import math
+
+    from mwas_rfam_spark.operators.evaluation import (
+        binary_auc,
+        grouped_auc,
+    )
+
+    rows = [(float(i) / 40.0, i % 2, float("nan")) for i in range(40)]
+    rows += [(float(i) / 40.0, (i + 1) % 2, 1.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "score double, label int, grp double")
+    # force many range partitions so the NaN slice spans several
+    out = grouped_auc(df, ["grp"], partitions=8).collect()
+    nan_rows = [r for r in out if r["grp"] is not None and math.isnan(r["grp"])]
+    assert len(nan_rows) == 1
+    want = binary_auc(
+        df.where(F.isnan(F.col("grp")))
+    ).first()["auc"]
+    assert abs(nan_rows[0]["auc"] - want) < 1e-12

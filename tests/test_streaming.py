@@ -1595,3 +1595,106 @@ def test_heavy_hitters_validates_shards_and_drops_null_keys(spark, tmp_path):
     # shard_rows counts only folded (non-NULL) keys — the bound's
     # denominator matches what the summary actually saw
     assert all(r["shard_rows"] == 3 for r in rows)
+
+
+def test_incremental_rollup_nan_propagates_not_dilutes(spark, tmp_path):
+    """r13 review finding: the state fold used pandas' default
+    skipna sum while counting the row, so one NaN rpm silently DILUTED
+    the running mean (mean(10, 20, NaN) -> 10.0) instead of propagating
+    NaN like batch F.avg."""
+    import math
+
+    drop = tmp_path / "drop_nan"
+    drop.mkdir()
+    catalog = spark.createDataFrame(
+        [("P1", "S1", f"R{i}", 1_000_000) for i in (1, 2, 3)], CATALOG_SCHEMA
+    )
+    stream = read_request_stream(spark, str(drop))
+    out = incremental_rollup_stream(resolve_stream(stream, catalog))
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("inc_nan_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_nan"))
+        .start()
+    )
+    try:
+        (drop / "b1.json").write_text(
+            "\n".join(
+                json.dumps(r)
+                for r in [
+                    {"request_id": "q", "run": "R1", "group": "g", "quantifier": 10.0},
+                    {"request_id": "q", "run": "R2", "group": "g", "quantifier": 20.0},
+                    {"request_id": "q", "run": "R3", "group": "g", "quantifier": float("nan")},
+                ]
+            )
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM inc_nan_out").collect()
+        assert len(rows) == 1
+        assert rows[0]["n_runs"] == 3
+        # the poisoned mean emits as NULL (Arrow: pandas NaN is the
+        # null sentinel) where batch F.avg shows NaN — both read
+        # "undefined"; what must NEVER appear is a diluted 15.0
+        assert rows[0]["rpm"] is None or math.isnan(rows[0]["rpm"]), (
+            f"NaN must poison the mean, got diluted {rows[0]['rpm']}"
+        )
+    finally:
+        q.stop()
+
+
+def test_banding_stamp_torn_field_refused(spark, tmp_path):
+    """r13 review finding: a stamp that kept banding_version but lost a
+    checked parameter (num_hashes/bands/n parse to NULL) silently
+    SKIPPED that parameter's comparison — permanently disabling the
+    guard. A stored NULL for a checked field now refuses as corrupt."""
+    import json as _json
+
+    from mwas_rfam_spark.operators.dedup import BANDING_VERSION
+    from mwas_rfam_spark.streaming.requests import _verify_banding_stamp
+
+    state_dir = tmp_path / "band_state"
+    state_dir.mkdir()
+    stamp_dir = state_dir / "_banding"
+    stamp_dir.mkdir()
+    (stamp_dir / "part-0.json").write_text(
+        _json.dumps({"banding_version": BANDING_VERSION, "bands": 16})
+        # num_hashes and n are MISSING -> parse to NULL
+    )
+    with pytest.raises(ValueError, match="missing stored field"):
+        _verify_banding_stamp(
+            spark, str(state_dir), num_hashes=64, bands=16, n=3
+        )
+
+
+def test_resolve_stream_honors_config(spark):
+    """r13 review finding: the streaming resolve hard-coded
+    DEFAULT_CONFIG (1e6 sentinel/const, no blacklist), so any deployment
+    overriding those got silently different rpm values on the streaming
+    path than batch resolve_and_normalize for the SAME observation."""
+    from mwas_rfam_spark.config import MwasConfig
+    from mwas_rfam_spark.operators.mwas import resolve_and_normalize
+    from mwas_rfam_spark.schemas import INPUT_SCHEMA
+
+    cfg = MwasConfig(
+        normalizing_const=2_000_000.0,
+        zero_spots_replacement=500_000.0,
+        blacklist=("P2",),
+    )
+    catalog = spark.createDataFrame(
+        [("P1", "S1", "R1", 1_000_000), ("P1", "S2", "R2", 0),
+         ("P2", "S3", "R3", 1_000_000)],
+        "bio_project string, bio_sample string, run string, spots long",
+    )
+    inp = spark.createDataFrame(
+        [("R1", "g", 500.0), ("R2", "g", 7.0), ("R3", "g", 3.0)], INPUT_SCHEMA
+    )
+    batch = {r["bio_sample"]: r["rpm"]
+             for r in resolve_and_normalize(inp, catalog, cfg).collect()}
+    req = inp.withColumn("request_id", F.lit("q"))
+    stream = {r["bio_sample"]: r["rpm"]
+              for r in resolve_stream(req, catalog, cfg).collect()}
+    assert batch == stream
+    assert "S3" not in stream  # blacklist honored on the stream path
+    assert stream["S1"] == pytest.approx(500.0 / 1_000_000 * 2_000_000)
+    assert stream["S2"] == pytest.approx(7.0 / 500_000 * 2_000_000)
