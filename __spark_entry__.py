@@ -4124,17 +4124,12 @@ FROM final
                      COALESCE(CASE WHEN length(trim(text)) = 0 THEN 0
                           ELSE len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) END, 0)
                          AS n_tokens,
-                     -- four md5 hex digits (r13: the two-digit source
-                     -- capped packing parallelism at 256 buckets) —
-                     -- lockstep with packing._bucket_expr
-                     ((strpos('0123456789abcdef',
-                              substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
-                      + (strpos('0123456789abcdef',
-                                substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
-                      + (strpos('0123456789abcdef',
-                                substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
-                      + (strpos('0123456789abcdef',
-                                substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 64
+                     -- hex_prefix_u32(md5(id)) % n (r13: the repo-wide
+                     -- randomness primitive; the old short-prefix
+                     -- decode capped parallelism and carried pmod
+                     -- bias) — lockstep with packing._bucket_expr
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) % 64
                          AS bucket
               FROM documents),
             packed AS (

@@ -91,6 +91,27 @@ def curate_corpus(
     """
     if mode not in ("filter", "mark"):
         raise ValueError(f"mode must be 'filter' or 'mark', got {mode}")
+    # NULL ids refuse in-plan (r13 review finding; same rule as the
+    # selection family's seeded draws and the packers): every stage
+    # downstream keys on the id — the decontamination and quality-model
+    # flags join back on it (a NULL row silently NEVER matches, so a
+    # contaminated doc shipped as 'kept'), the line-dedup rebuild joins
+    # on it (a NULL row's text silently blanked to ''), and the q- skew
+    # sentinel concat()s it (NULL concat = NULL = the single straggler
+    # partition the sentinel exists to avoid).
+    _id_type = docs.schema[id_col].dataType.simpleString()
+    docs = docs.withColumn(
+        id_col,
+        F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"curate_corpus: NULL {id_col} — every curation stage "
+                    "keys on a non-null id; fill ids first"
+                )
+            ).cast(_id_type),
+        ).otherwise(F.col(id_col)),
+    )
     if mode == "mark" and n_shards is not None:
         # sharding assigns training order to SURVIVORS; a shard over
         # dropped rows is meaningless and was silently ignored (r12

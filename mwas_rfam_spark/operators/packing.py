@@ -35,31 +35,49 @@ def pack_ordinal(pack_id_col: str = "pack_id", bucket_col: str = "bucket"):
     return F.col(pack_id_col) - F.col(bucket_col) * F.lit(PACK_BUCKET_SHIFT)
 
 
+def _counts_expr(counts):
+    """Shared token-count normalization: NULL packs as a zero-size doc
+    (r12 rule), a NEGATIVE precomputed count refuses in-plan (r13
+    review finding) — a -1 'unknown' sentinel silently RAISED bin-pack
+    capacity above the budget (rem -= -1 overfills every later pack)
+    and made the cumsum packer's running total non-monotonic (a doc
+    assigned to an earlier, already-full chunk)."""
+    n = F.coalesce(counts, F.lit(0))
+    return F.when(
+        n < 0,
+        F.raise_error(
+            F.concat(
+                F.lit("packing: negative token count "),
+                n.cast("string"),
+                F.lit(" — token_count_col must be >= 0 or NULL"),
+            )
+        ).cast("long"),
+    ).otherwise(n)
+
+
 def _bucket_expr(id_col: str, n_buckets: int):
     """THE id→bucket derivation both packers share (r12: it was
     copy-pasted and the NULL/validation semantics had already drifted).
-    First FOUR md5 hex digits → [0, 65536), pmod n_buckets —
-    cross-engine reproducible, unlike xxhash64. Four digits, not two
-    (r13): the two-digit source capped usable parallelism at 256
-    buckets, which at corpus scale forces arbitrarily large per-bucket
-    state into each packing kernel call — 65,536 exceeds any plausible
-    executor count. n_buckets is still bounded by the digit source
-    (values past it silently stop adding parallelism) and 0 was a
-    mid-job ANSI DIVIDE_BY_ZERO (r12 review finding). NULL ids refuse
+    ``hex_prefix_u32(md5(id)) pmod n_buckets`` — the repo-wide
+    engine-portable randomness primitive (r13: the old two-hex-digit
+    source capped usable parallelism at 256 buckets, which at corpus
+    scale forces arbitrarily large per-bucket state into each packing
+    kernel call, and a hand-rolled digit decode is exactly the drift
+    hazard scalar.hex_prefix_u32's docstring warns about — ONE decode
+    definition repo-wide). The 32-bit source also removes the
+    short-prefix pmod bias the helper documents. n_buckets stays
+    bounded at 65,536 (beyond any plausible executor count; 0 was a
+    mid-job ANSI DIVIDE_BY_ZERO — r12 review finding). NULL ids refuse
     in-plan: a deterministic assignment needs an identity (the same
     rule as the selection family's seeded draws)."""
     if not 1 <= n_buckets <= 65536:
         raise ValueError(
-            f"n_buckets must be in [1, 65536] (four md5 hex digits are "
-            f"the bucket source), got {n_buckets}"
+            f"n_buckets must be in [1, 65536], got {n_buckets}"
         )
+    from ..functions.scalar import hex_prefix_u32
+
     h = F.md5(F.col(id_col).cast("string"))
-    hexv = "0123456789abcdef"
-    digits = [
-        F.instr(F.lit(hexv), F.substring(h, i + 1, 1)) - 1 for i in range(4)
-    ]
-    val = digits[0] * 4096 + digits[1] * 256 + digits[2] * 16 + digits[3]
-    bucket = F.pmod(val, F.lit(n_buckets)).cast("long")
+    bucket = F.pmod(hex_prefix_u32(h), F.lit(n_buckets)).cast("long")
     return F.when(
         F.col(id_col).isNull(),
         F.raise_error(
@@ -104,10 +122,10 @@ def pack_documents(
     )
     base = docs.select(
         F.col(id_col),
-        # coalesce: a NULL precomputed count packs as a zero-size doc,
-        # like bin_pack_documents — the NULL used to leak into the
-        # output column (r12 review finding; oracle moved in lockstep)
-        F.coalesce(counts, F.lit(0)).alias("n_tokens"),
+        # NULL packs as zero-size, negatives refuse (_counts_expr; the
+        # NULL used to leak into the output column — r12 review
+        # finding, oracle moved in lockstep)
+        _counts_expr(counts).alias("n_tokens"),
         _bucket_expr(id_col, n_buckets).alias("bucket"),
         # project the order hash ONCE — the window otherwise recomputed
         # md5 per row after the shuffle (r12 review finding)
@@ -246,15 +264,18 @@ def bin_pack_documents(
     )
     base = docs.select(
         F.col(id_col).alias("__id"),
-        # null text / null precomputed counts pack as zero-size docs
-        # (the NaN would otherwise kill the pandas kernel's int sort
-        # key); same rule as the cumsum packer since r12
-        F.coalesce(counts, F.lit(0)).alias("n_tokens"),
+        # NULL packs as zero-size (the NaN would otherwise kill the
+        # pandas kernel's int sort key), negatives refuse — same
+        # _counts_expr rule as the cumsum packer
+        _counts_expr(counts).alias("n_tokens"),
         _bucket_expr(id_col, n_buckets).alias("bucket"),
     )
     id_type = docs.schema[id_col].dataType.simpleString()
+    # backticked like temperature_mix's schema: an id column named with
+    # a space/hyphen/reserved word used to die in an opaque DDL parse
+    # error (r13 review finding)
     schema = (
-        f"{id_col} {id_type}, n_tokens BIGINT, bucket BIGINT, "
+        f"`{id_col}` {id_type}, n_tokens BIGINT, bucket BIGINT, "
         "pack_id BIGINT, oversize BOOLEAN"
     )
     budget = int(max_tokens_per_pack)

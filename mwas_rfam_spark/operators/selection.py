@@ -317,7 +317,15 @@ def score_quality_linear(
     # at a different bucket count — half the weights would silently
     # vanish from the join and every score drift toward sigmoid(bias)
     # (r12 review finding)
-    out_of_range = (F.col("bucket") < 0) | (F.col("bucket") >= n_buckets)
+    # isNull too (r13 review finding): a NULL bucket made out_of_range
+    # NULL, fell through to otherwise(weight), and the equi-join then
+    # silently dropped the row — the exact weights-silently-vanish
+    # failure this guard exists to catch
+    out_of_range = (
+        F.col("bucket").isNull()
+        | (F.col("bucket") < 0)
+        | (F.col("bucket") >= n_buckets)
+    )
     weights = weights.withColumn(
         "weight",
         F.when(
@@ -330,13 +338,30 @@ def score_quality_linear(
             out_of_range,
             F.raise_error(
                 F.lit(
-                    "score_quality_linear: weights relation has bucket ids "
-                    f"outside [0, {n_buckets}) — was the model trained with "
-                    "a different n_buckets?"
+                    "score_quality_linear: weights relation has NULL or "
+                    f"out-of-[0, {n_buckets}) bucket ids — was the model "
+                    "trained with a different n_buckets?"
                 )
             ).cast("double"),
         )
         .otherwise(F.col("weight")),
+    )
+    # the NULL refusal must ride the JOIN KEY, not the weight value:
+    # Catalyst filters null-keyed build rows out BEFORE projecting
+    # their columns, so a raise_error inside the weight expression
+    # never evaluates for exactly the row it guards (r13 review
+    # finding, execution-confirmed by the regression test)
+    weights = weights.withColumn(
+        "bucket",
+        F.when(
+            F.col("bucket").isNull(),
+            F.raise_error(
+                F.lit(
+                    "score_quality_linear: weights relation has a NULL "
+                    "bucket id — the weight would silently never apply"
+                )
+            ).cast(dict(weights.dtypes)["bucket"]),
+        ).otherwise(F.col("bucket")),
     )
     occ = _bucket_occurrences(docs, n_buckets, text_col, id_col, bigrams)
     scored = (
@@ -443,11 +468,32 @@ def _mix_targets(counts: dict, alpha: float, n_target: int) -> dict:
     # finding, execution-confirmed)
     if n_target < 0:
         raise ValueError(f"target_rows must be >= 0, got {n_target}")
+    # counts may be caller-supplied (temperature_mix/mix_report expose
+    # the parameter): a zero/negative count used to surface as a bare
+    # ZeroDivisionError from divmod deep in _mix_plan — and at alpha=0,
+    # 0**0 == 1.0 would even ALLOCATE rows to the empty source (r13
+    # review finding)
+    bad = {s: n for s, n in counts.items() if not n >= 1}
+    if bad:
+        raise ValueError(
+            f"source counts must be >= 1, got {bad} — drop empty "
+            "sources before mixing"
+        )
     w = {s: float(n) ** alpha for s, n in counts.items()}
     tot = sum(w.values())
     raw = {s: n_target * w[s] / tot for s in w}
     t = {s: int(raw[s]) for s in raw}
     short = n_target - sum(t.values())
+    if short < 0:  # pragma: no cover - needs ~1e12-scale FP rounding
+        # floating-point error can push int(raw) UP across an integer
+        # boundary at huge n_target; the old [:short] slice with a
+        # negative short then ADDED 1 to all-but-|short| sources,
+        # amplifying the overshoot instead of correcting it (r13
+        # review finding) — walk the overshoot back off the
+        # smallest-remainder sources instead
+        for s in sorted(raw, key=lambda s: (raw[s] - t[s], str(s)))[:-short]:
+            t[s] -= 1
+        short = 0
     # deterministic tie-break: remainder desc, then source asc
     for s in sorted(raw, key=lambda s: (-(raw[s] - t[s]), str(s)))[:short]:
         t[s] += 1

@@ -135,11 +135,11 @@ def test_pack_documents_rejects_bad_budget(spark):
 
 def test_packers_validate_n_buckets_and_null_ids(spark):
     """r12 review findings: n_buckets=0 was a mid-job ANSI
-    DIVIDE_BY_ZERO and values past the digit source silently stopped
-    adding parallelism (four md5 hex digits since r13, so the bound is
-    65,536 — the two-digit 256 cap forced corpus-scale per-bucket state
-    into each kernel call); a NULL doc_id crashed bin_pack's kernel
-    with int(NaN) — both now refuse."""
+    DIVIDE_BY_ZERO and the old two-hex-digit bucket source capped
+    parallelism at 256, forcing corpus-scale per-bucket state into each
+    kernel call (r13: the source is now hex_prefix_u32(md5(id)) with a
+    65,536 sanity bound); a NULL doc_id crashed bin_pack's kernel with
+    int(NaN) — both now refuse."""
     from mwas_rfam_spark.operators.packing import (
         bin_pack_documents,
         pack_documents,
@@ -199,3 +199,23 @@ def test_bin_pack_many_tiny_docs_fast(spark):
     assert time.time() - t0 < 60
     assert all(r["sum(n_tokens)"] <= 128 for r in per_pack)
     assert len(per_pack) == 20_000  # perfect 2-per-pack fit
+
+
+def test_packers_refuse_negative_token_counts(spark):
+    """r13 review finding: a negative precomputed count (a -1 'unknown'
+    sentinel) silently RAISED bin-pack capacity above the budget and
+    made the cumsum packer's running total non-monotonic."""
+    from mwas_rfam_spark.operators.packing import (
+        bin_pack_documents,
+        pack_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", -1)], "doc_id long, text string, nt long"
+    )
+    with pytest.raises(Exception, match="negative token count"):
+        bin_pack_documents(
+            docs, 100, n_buckets=1, token_count_col="nt"
+        ).collect()
+    with pytest.raises(Exception, match="negative token count"):
+        pack_documents(docs, 100, n_buckets=1, token_count_col="nt").collect()

@@ -211,3 +211,22 @@ def test_curate_mark_rejects_n_shards_and_bad_benchmark(spark):
     bad_bench = spark.createDataFrame([("text only",)], "text string")
     with pytest.raises(ValueError, match="benchmark frame lacks"):
         curate_corpus(docs, benchmark=bad_bench)
+
+
+def test_curate_corpus_refuses_null_doc_id(spark):
+    """r13 review finding: a NULL-id doc silently bypassed the
+    decontamination and quality-model gates (its flag rows never match
+    back through the id equi-join), and with dedup_lines=True its text
+    was silently blanked — every curation stage keys on the id, so a
+    NULL id now refuses in-plan."""
+    import pytest
+
+    from mwas_rfam_spark.operators.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "good document with several words here"),
+         (None, "ghost document with enough words to pass gates")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="NULL doc_id"):
+        curate_corpus(docs, mode="mark").collect()

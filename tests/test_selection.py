@@ -580,3 +580,40 @@ def test_importance_resample_preserves_id_column_name(spark):
     out = importance_resample(raw, tgt, k=3, id_col="my_id")
     assert "my_id" in out.columns and "doc_id" not in out.columns
     assert out.count() == 3
+
+
+def test_mix_refuses_zero_count_sources(spark):
+    """r13 review finding: a caller-supplied counts map with a zero
+    count crashed _mix_plan with a bare ZeroDivisionError (and at
+    alpha=0, 0**0 == 1.0 even allocated target rows to the empty
+    source first) — now a loud contract error."""
+    from mwas_rfam_spark.operators.selection import temperature_mix
+
+    docs = spark.createDataFrame(
+        [(1, "t", "a"), (2, "t", "b")], "doc_id long, text string, source string"
+    )
+    with pytest.raises(ValueError, match="counts must be >= 1"):
+        temperature_mix(
+            docs, alpha=0.5, target_rows=2, counts={"a": 0, "b": 100}
+        )
+    with pytest.raises(ValueError, match="counts must be >= 1"):
+        temperature_mix(
+            docs, alpha=0.0, target_rows=2, counts={"a": -3, "b": 100}
+        )
+
+
+def test_quality_weights_null_bucket_refused(spark):
+    """r13 review finding: a NULL-bucket weights row made the
+    out-of-range guard evaluate to NULL (falls through the when), and
+    the later equi-join silently dropped the weight — every score
+    drifting toward sigmoid(bias) with no error."""
+    from mwas_rfam_spark.operators.selection import score_quality_linear
+
+    docs = spark.createDataFrame(
+        [(1, "some words here")], "doc_id long, text string"
+    )
+    weights = spark.createDataFrame(
+        [(0, 1.0), (None, 2.0)], "bucket int, weight double"
+    )
+    with pytest.raises(Exception, match="NULL bucket id"):
+        score_quality_linear(docs, weights, n_buckets=4).collect()
