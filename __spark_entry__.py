@@ -574,10 +574,11 @@ def q_w1_topk_sort(spark, sf_dir):
 
 
 def q_w5_topk_per_group(spark, sf_dir):
-    """Window extension — top-3 per group, two-phase (task-local top-k
-    pre-filter, then the exact per-group window over <= k×n_partitions
-    survivors): a per-group window's parallelism is the GROUP COUNT, and
-    3 groups at 100 TB would be 3 giant sorts without the pre-pass."""
+    """Window extension — top-3 per group: a per-group window's
+    parallelism is the GROUP COUNT, and 3 groups at 100 TB would be 3
+    giant sorts without a bound; the optimizer's WindowGroupLimit
+    pushes a task-local top-k below the exchange (r12 dropped the
+    hand-rolled prefilter after it benchmarked strictly worse)."""
     from mwas_rfam_spark.operators.topk import top_k_per_group
 
     li = _t(spark, sf_dir, "lineitem")

@@ -45,7 +45,15 @@ def _finite_cond(df: DataFrame, col: str, alias: str | None = None):
     (r12 review finding)."""
     c = F.col(alias or col)
     cond = c.isNotNull()
-    if dict(df.dtypes).get(col) in ("double", "float"):
+    # case-INSENSITIVE dtype lookup (r13 review finding,
+    # execution-confirmed): Spark resolves column names
+    # case-insensitively by default, so `ks_drift(df, "score")` against
+    # a column declared `Score double` resolved the column fine while
+    # the exact-string dict lookup returned None — silently skipping
+    # the ~isnan filter and re-opening the NaN-inflation bug this
+    # helper exists to close
+    dtypes_ci = {k.lower(): v for k, v in df.dtypes}
+    if dtypes_ci.get(col.lower()) in ("double", "float"):
         cond = cond & ~F.isnan(c)
     return cond
 
@@ -334,10 +342,6 @@ def drift_report(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
-
-
-def _norm_cdf(x: float) -> float:
-    return 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))
 
 
 def ks_p_value(ks_stat: float, n_a: int, n_b: int, terms: int = 100) -> float:

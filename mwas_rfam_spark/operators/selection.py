@@ -532,7 +532,9 @@ def temperature_mix(
     Scale shape: one map-side-combinable count per source (source
     cardinality is assumed small — domains, not documents; the targets
     are driver math on that tiny relation), one two-phase per-group
-    bottom-k (`top_k_per_group` — local prefilter bounds the shuffle),
+    bottom-k (`top_k_per_group` — the optimizer's WindowGroupLimit
+    bounds the shuffle; r12 dropped the hand-rolled prefilter after it
+    benchmarked strictly worse),
     and a broadcast join of the per-source plan. No full sort, no
     driver-sized collect. ``counts`` accepts a precomputed
     {source: n_docs} map (e.g. shared with :func:`mix_report`) to skip

@@ -87,11 +87,11 @@ def knn_per_query(
 
     A plain per-query window's parallelism is the QUERY COUNT — a batch
     of 3 queries over a 100 TB embedding table would be 3 single-task
-    sorts of the whole scored relation. ``top_k_per_group`` pre-filters
-    each task's local top-k per query first (narrow window over
-    query × partition id), so the exact per-query rank runs over
-    ≤ k × n_partitions rows; (cosine desc, id) is a total order, so the
-    result is identical.
+    sorts of the whole scored relation. ``top_k_per_group`` leans on the
+    optimizer's WindowGroupLimit, which pushes a per-task top-k bound
+    below the exchange (r12 dropped the hand-rolled prefilter after it
+    benchmarked strictly worse); (cosine desc, id) is a total order, so
+    the result is exact.
     """
     from .topk import top_k_per_group
 

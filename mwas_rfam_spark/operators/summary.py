@@ -273,13 +273,17 @@ def corpus_report(
     # no id projection: nothing below aggregates per doc, and selecting
     # id_col made the report CLI (which exposes no --id-col flag) crash
     # on any corpus without a 'doc_id' column (r12 review finding).
-    # The hash coalesces NULL text to the empty doc so the estimate
-    # matches exact_dedup_groups' NULL-grouping semantics (a NULL hash
-    # was DROPPED by approx_count_distinct while n_docs counted the
-    # row — every NULL doc read as a duplicate).
+    # NULL text keeps a NULL hash and is counted as ONE extra distinct
+    # group (r13 review finding, execution-confirmed): groupBy collects
+    # all NULL hashes into one group in exact_dedup_groups, SEPARATE
+    # from the empty-string group — the r12 coalesce-to-'' repair of
+    # the dropped-by-approx_count_distinct bug over-corrected by
+    # merging NULL docs into the empty-doc group, so any corpus with
+    # >= 1 NULL doc and >= 1 empty doc reported duplicates dedup_exact
+    # will never find.
     profile = docs.select(
         F.size(_token_array(F.col(text_col))).alias("__n_toks"),
-        F.md5(F.coalesce(normalize_text(F.col(text_col)), F.lit(""))).alias("__h"),
+        F.md5(normalize_text(F.col(text_col))).alias("__h"),
     )
     doc_stats = profile.agg(
         F.count("*").alias("n_docs"),
@@ -288,7 +292,10 @@ def corpus_report(
         F.round(F.avg("__n_toks"), 2).alias("avg_tokens"),
         F.expr("percentile_approx(__n_toks, 0.5)").alias("p50_tokens"),
         F.expr("percentile_approx(__n_toks, 0.95)").alias("p95_tokens"),
-        F.approx_count_distinct("__h").alias("__distinct_docs"),
+        (
+            F.approx_count_distinct("__h")
+            + F.max(F.when(F.col("__h").isNull(), 1).otherwise(0))
+        ).alias("__distinct_docs"),
     ).withColumn(
         "dup_rate_est",
         F.round(

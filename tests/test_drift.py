@@ -484,3 +484,44 @@ def test_bucket_expr_nan_rule_is_frame_dtype_independent(spark):
     assert by_desc["null"] == -1
     assert by_desc[1.0] == 0
     assert by_desc[1e9] == len(edges)  # genuinely-large value: top bucket
+
+
+def test_finite_cond_case_insensitive_dtype_lookup(spark):
+    """r13 review finding (execution-confirmed): Spark resolves column
+    names case-insensitively, but the NaN-exclusion helper's dtype
+    lookup was exact-string — ks_drift(df, 'score') against a column
+    declared 'Score double' silently skipped the ~isnan filter and
+    re-inflated the statistic the r12 fix de-NaN'd."""
+    from mwas_rfam_spark.operators.drift import ks_drift
+
+    a = spark.createDataFrame(
+        [(1.0,), (2.0,), (float("nan"),), (float("nan"),)], "Score double"
+    )
+    out = ks_drift(a, a, "score").first()
+    assert out["n_a"] == 2 and out["n_b"] == 2
+    assert out["ks_stat"] == 0.0
+
+
+def test_corpus_report_null_doc_not_a_duplicate_of_empty(spark):
+    """r13 review finding (execution-confirmed): the dup estimate
+    coalesced NULL text to the empty-string hash, so any corpus with
+    one NULL doc and one empty doc reported duplicates
+    exact_dedup_groups will never find (it keeps the NULL-hash group
+    separate from the ''-group)."""
+    from mwas_rfam_spark.operators.dedup import exact_dedup_groups
+    from mwas_rfam_spark.operators.summary import corpus_report
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "x")], "doc_id long, text string"
+    )
+    rep = corpus_report(docs).first()
+    assert rep["dup_rate_est"] == 0.0
+    assert exact_dedup_groups(docs).where(F.col("n_docs") > 1).count() == 0
+    # two NULL docs DO group together (groupBy collects NULL keys):
+    # the estimate must still see that as one duplicate
+    docs2 = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "doc_id long, text string"
+    )
+    rep2 = corpus_report(docs2).first()
+    assert rep2["dup_rate_est"] > 0.0
+    assert exact_dedup_groups(docs2).where(F.col("n_docs") > 1).count() == 1
