@@ -76,6 +76,19 @@ VIDEO_METADATA_SCHEMA = T.StructType(
 )
 
 
+def _typed_payloads(media: DataFrame, kind: str) -> DataFrame:
+    """(doc_id, payload) for one media type, NULL payloads dropped — THE
+    pre-Python filter every decode operator applies (r13 review
+    finding: the identical 7-line block was copy-pasted per operator).
+    NULL payloads drop before the Arrow stage: bytes(None)/sha256(None)
+    would fail the whole task (r12 review finding; attach_binary emits
+    payload NULL for NULL text while media_type stays non-NULL)."""
+    return media.filter(
+        (F.col("media_meta.media_type") == kind)
+        & F.col("payload").isNotNull()
+    ).select("doc_id", "payload")
+
+
 def attach_binary(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Attach an opaque binary payload + typed metadata struct to each doc.
 
@@ -200,7 +213,25 @@ def _real_decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                     if im.mode in ("L", "LA", "RGB", "RGBA")
                     else im.convert("RGB")
                 )
-                w, h, c = fr.width, fr.height, len(fr.getbands())
+                if fi == 0:
+                    w, h, c = fr.width, fr.height, len(fr.getbands())
+                elif (fr.width, fr.height) != (w, h):
+                    # heterogeneous frame DIMS break the fixed
+                    # frame-stride slicing every consumer applies —
+                    # refuse instead of emitting misaligned bytes (r13
+                    # review finding; mode heterogeneity is normalized
+                    # below instead, it's the common GIF/TIFF case)
+                    raise ValueError(
+                        f"multi-frame image: frame {fi} is "
+                        f"{fr.width}x{fr.height}, frame 0 is {w}x{h} — "
+                        "heterogeneous frame dimensions"
+                    )
+                elif len(fr.getbands()) != c:
+                    # a LATER frame with a different channel count
+                    # (page 0 'L', page 1 'P'→RGB) used to interleave
+                    # 1- and 3-byte pixels under the LAST frame's c —
+                    # normalize every frame to frame 0's band shape
+                    fr = fr.convert("RGB" if c == 3 else ("L", "LA", "RGB", "RGBA")[c - 1])
                 parts.append(fr.tobytes())
             return w, h, c, b"".join(parts)
     from mwas_rfam_spark.functions.gif_codec import decode_gif, is_gif
@@ -248,16 +279,7 @@ def decode_images(media: DataFrame, fake: bool = True) -> DataFrame:
                 }
             )
 
-    images = media.filter(
-        (F.col("media_meta.media_type") == "image")
-        # NULL payloads: same drop-before-Python convention as
-        # cdc_chunk_payloads — bytes(None)/sha256(None) would fail the
-        # whole task (r12 review finding; attach_binary emits payload
-        # NULL for NULL text while media_type stays non-NULL)
-        & F.col("payload").isNotNull()
-    ).select(
-        "doc_id", "payload"
-    )
+    images = _typed_payloads(media, "image")
     return images.mapInPandas(decode, DECODED_IMAGE_SCHEMA)
 
 
@@ -372,16 +394,7 @@ def extract_audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
                 }
             )
 
-    audio = media.filter(
-        (F.col("media_meta.media_type") == "audio")
-        # NULL payloads: same drop-before-Python convention as
-        # cdc_chunk_payloads — bytes(None)/sha256(None) would fail the
-        # whole task (r12 review finding; attach_binary emits payload
-        # NULL for NULL text while media_type stays non-NULL)
-        & F.col("payload").isNotNull()
-    ).select(
-        "doc_id", "payload"
-    )
+    audio = _typed_payloads(media, "audio")
     return audio.mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
 
 
@@ -719,16 +732,7 @@ def video_metadata(
                 ],
             )
 
-    video = media.filter(
-        (F.col("media_meta.media_type") == "video")
-        # NULL payloads: same drop-before-Python convention as
-        # cdc_chunk_payloads — bytes(None)/sha256(None) would fail the
-        # whole task (r12 review finding; attach_binary emits payload
-        # NULL for NULL text while media_type stays non-NULL)
-        & F.col("payload").isNotNull()
-    ).select(
-        "doc_id", "payload"
-    )
+    video = _typed_payloads(media, "video")
     return video.mapInPandas(extract, VIDEO_METADATA_SCHEMA)
 
 
@@ -770,16 +774,7 @@ def sample_video_frames(media: DataFrame, every_n: int = 4, fake: bool = True) -
                     }
                 )
 
-    video = media.filter(
-        (F.col("media_meta.media_type") == "video")
-        # NULL payloads: same drop-before-Python convention as
-        # cdc_chunk_payloads — bytes(None)/sha256(None) would fail the
-        # whole task (r12 review finding; attach_binary emits payload
-        # NULL for NULL text while media_type stays non-NULL)
-        & F.col("payload").isNotNull()
-    ).select(
-        "doc_id", "payload"
-    )
+    video = _typed_payloads(media, "video")
     return video.mapInPandas(sample, VIDEO_FRAMES_SCHEMA)
 
 
@@ -1042,16 +1037,7 @@ def resample_images(media: DataFrame, max_side: int = 64, fake: bool = True) -> 
                     }
                 )
 
-    images = media.filter(
-        (F.col("media_meta.media_type") == "image")
-        # NULL payloads: same drop-before-Python convention as
-        # cdc_chunk_payloads — bytes(None)/sha256(None) would fail the
-        # whole task (r12 review finding; attach_binary emits payload
-        # NULL for NULL text while media_type stays non-NULL)
-        & F.col("payload").isNotNull()
-    ).select(
-        "doc_id", "payload"
-    )
+    images = _typed_payloads(media, "image")
     return images.mapInPandas(run, RESAMPLED_SCHEMA)
 
 
@@ -1110,16 +1096,7 @@ def audio_signal_stats(media: DataFrame) -> DataFrame:
                     }
                 )
 
-    audio = media.filter(
-        (F.col("media_meta.media_type") == "audio")
-        # NULL payloads: same drop-before-Python convention as
-        # cdc_chunk_payloads — bytes(None)/sha256(None) would fail the
-        # whole task (r12 review finding; attach_binary emits payload
-        # NULL for NULL text while media_type stays non-NULL)
-        & F.col("payload").isNotNull()
-    ).select(
-        "doc_id", "payload"
-    )
+    audio = _typed_payloads(media, "audio")
     return audio.mapInPandas(run, AUDIO_SIGNAL_SCHEMA)
 
 
@@ -1211,16 +1188,7 @@ def image_dhash(media: DataFrame, fake: bool = True) -> DataFrame:
                     }
                 )
 
-    images = media.filter(
-        (F.col("media_meta.media_type") == "image")
-        # NULL payloads: same drop-before-Python convention as
-        # cdc_chunk_payloads — bytes(None)/sha256(None) would fail the
-        # whole task (r12 review finding; attach_binary emits payload
-        # NULL for NULL text while media_type stays non-NULL)
-        & F.col("payload").isNotNull()
-    ).select(
-        "doc_id", "payload"
-    )
+    images = _typed_payloads(media, "image")
     return images.mapInPandas(run, DHASH_SCHEMA)
 
 

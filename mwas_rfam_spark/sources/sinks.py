@@ -78,14 +78,32 @@ def _hive_partition_dir(spark, partition_col: str, value) -> str:
     # moved key silently duplicated (r12 review finding)
     if isinstance(value, float):
         s = spark._jvm.java.lang.Double.toString(float(value))
+    elif isinstance(value, bool):
+        # JVM cast boolean→string is lowercase; Python str(True) is
+        # 'True' — the mismatch left the emptied 'p=true' dir undeleted
+        # (r13 review finding). bool before the generic str: it would
+        # otherwise fall through.
+        s = "true" if value else "false"
     else:
+        import datetime
         import decimal
 
-        s = (
-            format(value, "f")
-            if isinstance(value, decimal.Decimal)
-            else str(value)
-        )
+        if isinstance(value, decimal.Decimal):
+            # format 'f' == java toPlainString at the declared scale
+            # ('0.000000010000' for decimal(20,12) 1e-8) — verified
+            # against Spark's ACTUAL directory rendering by the gold
+            # test; an r13 review claim that Spark uses BigDecimal's
+            # scientific notation here was falsified by that test
+            s = format(value, "f")
+        elif isinstance(value, datetime.datetime):
+            # Spark renders timestamps with the fractional part's
+            # trailing zeros trimmed ('...00.001'); Python str() pads
+            # microseconds ('...00.001000')
+            s = value.strftime("%Y-%m-%d %H:%M:%S")
+            if value.microsecond:
+                s += ("." + f"{value.microsecond:06d}").rstrip("0")
+        else:
+            s = str(value)
     try:
         esc = (
             spark._jvm.org.apache.spark.sql.catalyst.catalog
@@ -162,14 +180,27 @@ def merge_upsert_partitioned(
     """
     from pyspark.sql import functions as F
 
-    dup = updates.groupBy(key_col).count().where(F.col("count") > 1).limit(1).count()
-    if dup:
+    # ONE pre-flight job answers both checks (r13 review finding: these
+    # were two driver-blocking jobs): per-key counts roll up to the max
+    # multiplicity, and a NULL key survives groupBy as its own row
+    pre = (
+        updates.groupBy(key_col)
+        .agg(F.count("*").alias("__n"))
+        .agg(
+            F.max("__n").alias("mx"),
+            F.max(
+                F.when(F.col(key_col).isNull(), 1).otherwise(0)
+            ).alias("has_null"),
+        )
+        .first()
+    )
+    if (pre["mx"] or 0) > 1:
         raise ValueError("merge_upsert_partitioned: updates collide on key")
     # NULL keys are unjoinable: a NULL-key update would pass the dup
     # check (one NULL groups to count 1) yet never match the anti-join,
     # silently DUPLICATING an existing NULL-key base row instead of
     # replacing it (r12 review finding) — refuse, like the collision
-    if updates.where(F.col(key_col).isNull()).limit(1).count():
+    if pre["has_null"]:
         raise ValueError(
             f"merge_upsert_partitioned: updates contain a NULL {key_col!r} "
             "key — NULL keys cannot be matched for replacement"
@@ -183,10 +214,39 @@ def merge_upsert_partitioned(
     # caller's live schema is the truth — or the collected value sets
     # mix Python types (sorted() TypeError) and the union/anti-join
     # compare across types (r12 review finding)
+    cast_checks = []
     for c in (partition_col, key_col):
         if base_all.schema[c].dataType != updates.schema[c].dataType:
-            base_all = base_all.withColumn(
-                c, F.col(c).cast(updates.schema[c].dataType)
+            target = updates.schema[c].dataType
+            # the cast exists to undo partition-type INFERENCE drift; a
+            # value the target type can't represent would cast to NULL
+            # and silently move its row to the default partition (or
+            # hide it from the anti-join) — refuse instead (r13 review
+            # finding)
+            # try_cast: the probe itself must never throw (under ANSI a
+            # plain cast of an unparseable value aborts mid-scan with a
+            # generic CAST_INVALID_INPUT instead of this named error)
+            cast_checks.append(
+                F.col(c).isNotNull() & F.col(c).try_cast(target).isNull()
+            )
+            base_all = base_all.withColumn(c, F.col(c).cast(target))
+    if cast_checks:
+        import functools
+        import operator
+
+        lossy = (
+            spark.read.parquet(base_path)
+            .where(functools.reduce(operator.or_, cast_checks))
+            .limit(1)
+            .count()
+        )
+        if lossy:
+            raise ValueError(
+                "merge_upsert_partitioned: aligning the base's "
+                f"{partition_col!r}/{key_col!r} types to the updates' "
+                "schema would NULL out existing values (unparseable "
+                "under the updates' type) — the two schemas genuinely "
+                "disagree; fix the updates' column types"
             )
     holding = (
         base_all.select(partition_col, key_col)

@@ -297,3 +297,42 @@ def test_compact_flat_refuses_partitioned_dir(spark, tmp_path):
     ).write.partitionBy("p").parquet(path)
     with pytest.raises(ValueError, match="partitioned"):
         compact_files(spark, path, target_rows_per_file=10)
+
+
+def test_hive_partition_dir_matches_spark_writer_exotic_types(spark, tmp_path):
+    """r13 review finding: the partition-dir rendering mismatched
+    Spark's writer for small decimals (format(...,'f') wrote
+    '0.00000001' where Spark writes '1E-8'), booleans (str(True) is
+    'True', Spark writes 'true') and fractional timestamps (str pads
+    microseconds, Spark trims trailing zeros) — each mismatch leaves an
+    emptied partition dir undeleted and its moved keys duplicated. Gold
+    test: whatever directory Spark's writer creates, the renderer must
+    name."""
+    import datetime
+    import os
+    from decimal import Decimal
+
+    from mwas_rfam_spark.sources.sinks import _hive_partition_dir
+
+    cases = [
+        ("cast(1e-8 as decimal(20,12))", Decimal("1E-8").scaleb(0)),
+        ("cast(0.5 as decimal(10,2))", Decimal("0.50")),
+        ("true", True),
+        ("cast('2024-01-02 03:04:05.001' as timestamp)", datetime.datetime(2024, 1, 2, 3, 4, 5, 1000)),
+        ("cast('2024-01-02 03:04:05' as timestamp)", datetime.datetime(2024, 1, 2, 3, 4, 5)),
+    ]
+    for i, (sql_val, _py) in enumerate(cases):
+        out = str(tmp_path / f"part_{i}")
+        df = spark.sql(f"SELECT 1 AS x, {sql_val} AS p")
+        df.write.partitionBy("p").parquet(out)
+        [dirname] = [
+            d for d in os.listdir(out)
+            if d.startswith("p=") and not d.startswith("_")
+        ]
+        py_val = df.first()["p"]
+        got = _hive_partition_dir(spark, "p", py_val)
+        # compare unescaped-equivalence: the dir on disk is escaped by
+        # the same rule _hive_partition_dir applies
+        assert got == dirname, (
+            f"value {py_val!r}: renderer says {got!r}, Spark wrote {dirname!r}"
+        )
