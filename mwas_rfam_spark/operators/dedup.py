@@ -397,9 +397,11 @@ def minhash_signatures(
     h1 = F.shiftrightunsigned(base, 32)
     h2 = F.shiftrightunsigned(base, 1).bitwiseAND(F.lit(0x7FFFFFFE)) + 1  # odd, 31-bit
     hashed = sh.select("id", h1.alias("h1"), h2.alias("h2"))
-    mask = F.lit((1 << 32) - 1)
+    # min-expressions built as parsed SQL strings: the per-operator py4j
+    # Column construction cost num_hashes × ~6 driver round-trips per
+    # PLANNING of this query (see simhash64's rationale, r13 opt round)
     mins = [
-        F.min((F.col("h1") + F.lit(i) * F.col("h2")).bitwiseAND(mask)).alias(f"h{i}")
+        F.expr(f"min((h1 + {i} * h2) & 4294967295)").alias(f"h{i}")
         for i in range(num_hashes)
     ]
     agg = hashed.groupBy("id").agg(*mins)
@@ -431,21 +433,25 @@ def _band_buckets(sigs: DataFrame, bands: int, rows: int, bucket_hash: str) -> D
     the xxhash64 long signatures (cast to string first), 'md5' for the
     hex-string signatures (the ANSI-SQL-replayable variant)."""
 
-    def _bucket(bi: int):
-        parts = [F.col("sig")[bi * rows + r] for r in range(rows)]
+    # expressions built as parsed SQL strings (py4j construction cost —
+    # see simhash64's rationale); sig[] is 0-based in both APIs
+    def _bucket(bi: int) -> str:
         if bucket_hash == "sha2":
-            return F.sha2(
-                F.concat_ws(",", *[x.cast("string") for x in parts]), 256
+            parts = ", ".join(
+                f"cast(sig[{bi * rows + r}] as string)" for r in range(rows)
             )
+            return f"sha2(concat_ws(',', {parts}), 256)"
         if bucket_hash == "md5":
-            return F.md5(F.concat_ws(",", *parts))
+            parts = ", ".join(f"sig[{bi * rows + r}]" for r in range(rows))
+            return f"md5(concat_ws(',', {parts}))"
         raise ValueError(f"unknown bucket_hash {bucket_hash!r}")
 
-    band_cols = [
-        F.struct(F.lit(bi).alias("band"), _bucket(bi).alias("bucket"))
-        for bi in range(bands)
-    ]
-    return sigs.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
+    band_cols = ", ".join(
+        f"struct({bi} as band, {_bucket(bi)} as bucket)" for bi in range(bands)
+    )
+    return sigs.select(
+        "id", F.expr(f"explode(array({band_cols}))").alias("bb")
+    ).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
@@ -524,12 +530,14 @@ def minhash_lsh_pairs_md5(
     # work — measured 1.75x on the signature stage. The join re-expands
     # to |sh| rows on a well-spread high-cardinality key (hot-shingle
     # skew goes to AQE skew-split like any join).
+    # hash/min expressions as parsed SQL strings (py4j construction cost
+    # — see simhash64's rationale, r13 opt round)
     hs = [
-        F.md5(F.concat_ws("|", "shingle", F.lit(str(i)))).alias(f"h{i}")
+        F.expr(f"md5(concat_ws('|', shingle, '{i}'))").alias(f"h{i}")
         for i in range(num_hashes)
     ]
     shingle_hashes = sh.select("shingle").distinct().select("shingle", *hs)
-    mins = [F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    mins = [F.expr(f"min(h{i})").alias(f"h{i}") for i in range(num_hashes)]
     sigs = (
         sh.join(shingle_hashes, "shingle")
         .groupBy("id")
@@ -555,26 +563,42 @@ def minhash_lsh_pairs_md5(
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document from token xxhash64 bit votes.
 
-    Long-form: explode tokens → per-bit vote aggregation (sum of ±1 per
-    bit) → reassemble. All built-in functions; one shuffle on doc id.
+    Long-form: explode tokens → per-bit vote aggregation → reassemble.
+    All built-in functions; one shuffle on doc id.
+
+    Vote counters are LANE-PACKED: aggregate g of 32 sums the ones-count
+    of bit g in its low 32 bits and of bit g+32 in its high 32 bits (a
+    32-bit lane only overflows past 2^31 tokens in one document), so the
+    aggregation state is 33 longs per group instead of 64 — half the
+    partial-aggregate shuffle bytes — and the whole aggregation is 33
+    expressions instead of 64 ±1-vote CASEs. The expressions are built
+    as SQL strings (`F.expr`) because constructing them as Column trees
+    costs one py4j round-trip per operator: the old per-bit Column build
+    was measured at 1.9-3.6 s of driver time PER PLANNING of this query
+    (r13 optimization round), vs ~0.2 s for the parsed form. Bit b of
+    the result is set iff ones_b > tokens/2, i.e. 2*ones_b > n — exactly
+    the old sum(±1) > 0 rule (cross-checked row-identical at sf0.1).
     Returns (id, simhash BIGINT).
     """
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(_token_array(F.col(text_col))).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
-    votes = toks.groupBy("id").agg(
-        *[
-            F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
-            for b in range(64)
-        ]
-    )
-    expr = F.lit(0).cast("long")
+    packed = [
+        F.expr(
+            f"sum((shiftright(h, {g}) & 1)"
+            f" + shiftleft(shiftright(h, {g + 32}) & 1, 32))"
+        ).alias(f"p{g}")
+        for g in range(32)
+    ]
+    votes = toks.groupBy("id").agg(F.count("*").alias("n"), *packed)
+    terms = []
     for b in range(64):
-        expr = expr.bitwiseOR(
-            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        ones = f"(p{b} & 4294967295)" if b < 32 else f"shiftright(p{b - 32}, 32)"
+        terms.append(
+            f"if(2 * {ones} > n, shiftleft(cast(1 as bigint), {b}), cast(0 as bigint))"
         )
-    return votes.select("id", expr.alias("simhash"))
+    return votes.select("id", F.expr(" | ".join(terms)).alias("simhash"))
 
 
 def simhash32_md5(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -590,24 +614,31 @@ def simhash32_md5(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.col(id_col).alias("id"),
         F.explode(_token_array(F.col(text_col))).alias("tok"),
     ).withColumn("h", F.md5("tok"))
-    hexv = "0123456789abcdef"
 
-    def bit(b: int):
-        digit = F.instr(F.lit(hexv), F.substring("h", b // 4 + 1, 1)) - 1
-        return F.floor(digit / (2 ** (3 - b % 4))) % 2
+    # Lane-packed vote counters and string-built expressions, exactly as
+    # in :func:`simhash64` (see the rationale there): aggregate g of 16
+    # carries ones-counts for bit g (low lane) and bit g+16 (high lane).
+    # bit(b) = floor(digit/2^(3-b%4)) % 2 with digit = instr(hex)-1 in
+    # 0..15; integer `div` is identical to the old float floor-divide on
+    # that domain.
+    def bit(b: int) -> str:
+        d = f"(instr('0123456789abcdef', substring(h, {b // 4 + 1}, 1)) - 1)"
+        return f"(({d} div {2 ** (3 - b % 4)}) % 2)"
 
-    votes = toks.groupBy("id").agg(
-        *[
-            F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"b{b}")
-            for b in range(32)
-        ]
-    )
-    expr = F.lit(0).cast("long")
+    packed = [
+        F.expr(
+            f"sum(cast({bit(g)} as bigint) + shiftleft(cast({bit(g + 16)} as bigint), 32))"
+        ).alias(f"p{g}")
+        for g in range(16)
+    ]
+    votes = toks.groupBy("id").agg(F.count("*").alias("n"), *packed)
+    terms = []
     for b in range(32):
-        expr = expr + F.when(F.col(f"b{b}") > 0, F.lit(1 << (31 - b)).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        ones = f"(p{b} & 4294967295)" if b < 16 else f"shiftright(p{b - 16}, 32)"
+        terms.append(
+            f"if(2 * {ones} > n, cast({1 << (31 - b)} as bigint), cast(0 as bigint))"
         )
-    return votes.select("id", expr.alias("simhash"))
+    return votes.select("id", F.expr(" + ".join(terms)).alias("simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -1147,10 +1178,11 @@ def _global_minhash_row(docs, num_hashes: int, n: int, text_col: str, id_col: st
     base = F.xxhash64("shingle")
     h1 = F.shiftrightunsigned(base, 32)
     h2 = F.shiftrightunsigned(base, 1).bitwiseAND(F.lit(0x7FFFFFFE)) + 1
-    mask = F.lit((1 << 32) - 1)
-    return sh.agg(
+    hashed = sh.select(h1.alias("h1"), h2.alias("h2"))
+    # parsed-SQL min expressions (py4j construction cost — simhash64)
+    return hashed.agg(
         *[
-            F.min((h1 + F.lit(i) * h2).bitwiseAND(mask)).alias(f"h{i}")
+            F.expr(f"min((h1 + {i} * h2) & 4294967295)").alias(f"h{i}")
             for i in range(num_hashes)
         ]
     ).collect()[0]
