@@ -94,20 +94,26 @@ def project_embeddings(
     if shift is not None and len(shift) != in_dim:
         raise ValueError(f"shift has {len(shift)} dims, matrix expects {in_dim}")
     if out_dim * in_dim <= PROJECT_CODEGEN_MAX_TERMS:
-        x = F.col(vec_col)
-        if shift is not None:
-            x = F.zip_with(
-                x,
-                F.array(*[F.lit(float(s)) for s in shift]),
-                lambda a, b: a.cast("double") - b,
-            )
-        from mwas_rfam_spark.operators.similarity import _dot
+        from mwas_rfam_spark.functions.sqlexpr import sql_double_array, sql_dot
 
-        projected = F.array(
-            *[
-                _dot(x, F.array(*[F.lit(float(w)) for w in row]))
+        # parsed-SQL projection rows: the per-element Column build cost
+        # ~(out_dim*in_dim) py4j round-trips per PLANNING — ~1.4 s at
+        # 3x64 with shift (functions/sqlexpr.py rationale); the parsed
+        # tree is identical
+        x_sql = vec_col
+        if shift is not None:
+            x_sql = (
+                f"zip_with({vec_col}, "
+                f"{sql_double_array(float(s) for s in shift)}, "
+                f"(a, b) -> cast(a as double) - b)"
+            )
+        projected = F.expr(
+            "array("
+            + ", ".join(
+                sql_dot(x_sql, sql_double_array(float(w) for w in row))
                 for row in matrix
-            ]
+            )
+            + ")"
         )
         # NULL / wrong-dim vectors AND vectors carrying NULL or NaN
         # ELEMENTS → NULL output array on both physical paths (r12

@@ -50,12 +50,22 @@ def cosine_to_query(
     emb: DataFrame, query_vec: list[float], id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """Cosine similarity of every vector to a constant query vector
-    (NULL for a zero-norm side — see :func:`_safe_cosine`)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    return emb.select(
-        F.col(id_col),
-        _safe_cosine(F.col(vec_col), q).alias("cosine"),
+    (NULL for a zero-norm side — see :func:`_safe_cosine`). The
+    query-embedding expression is rendered as parsed SQL — the
+    per-element Column build costs one py4j round-trip per literal
+    (functions/sqlexpr.py rationale)."""
+    from mwas_rfam_spark.functions.sqlexpr import (
+        sql_double_array,
+        sql_dot,
+        sql_norm,
     )
+
+    q = sql_double_array(float(x) for x in query_vec)
+    den = f"({sql_norm(vec_col)} * {sql_norm(q)})"
+    cos = F.expr(
+        f"case when {den} > 0 then {sql_dot(vec_col, q)} / {den} end"
+    )
+    return emb.select(F.col(id_col), cos.alias("cosine"))
 
 
 def brute_force_topk(
@@ -115,11 +125,16 @@ def signed_random_projection_buckets(
     """LSH bucket id per vector: sign bits against fixed hyperplanes
     (passed in, derived from a seeded RNG by the caller for determinism).
     """
-    bits = []
-    for p in planes:
-        pv = F.array(*[F.lit(float(x)) for x in p])
-        bits.append(F.when(_dot(F.col(vec_col), pv) >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return emb.select(F.col(id_col), F.col(vec_col), F.concat(*bits).alias("bucket"))
+    from mwas_rfam_spark.functions.sqlexpr import sql_double_array, sql_dot
+
+    # parsed-SQL bit expressions (functions/sqlexpr.py rationale)
+    bits = ", ".join(
+        f"if({sql_dot(vec_col, sql_double_array(float(x) for x in p))} >= 0, '1', '0')"
+        for p in planes
+    )
+    return emb.select(
+        F.col(id_col), F.col(vec_col), F.expr(f"concat({bits})").alias("bucket")
+    )
 
 
 def train_ivf_centroids(
@@ -144,26 +159,22 @@ def train_ivf_centroids(
             f"{vec_col!r} was NULL or the input had no rows)"
         )
     centroids = [list(map(float, r[vec_col])) for r in seeds]
+    dim = len(centroids[0])
+    # per-dimension means as ONE parsed expression list (the old
+    # per-element F.avg Column build cost ~0.4 s of driver time per
+    # iteration at d=64 — functions/sqlexpr.py rationale)
+    mean_aggs = [F.expr(f"avg({vec_col}[{i}])").alias(f"c{i}") for i in range(dim)]
     for _ in range(iters):
         assigned = assign_ivf_cells(emb, centroids, id_col, vec_col)
-        new = (
-            assigned.groupBy("cell")
-            .agg(
-                *[
-                    F.avg(F.col(vec_col)[i]).alias(f"c{i}")
-                    for i in range(len(centroids[0]))
-                ]
-            )
-            .collect()
-        )
+        new = assigned.groupBy("cell").agg(*mean_aggs).collect()
         by_cell = {
-            r["cell"]: [float(r[f"c{i}"]) for i in range(len(centroids[0]))]
+            r["cell"]: [float(r[f"c{i}"]) for i in range(dim)]
             for r in new
             # NULL cell (wrong-dim / NaN-element vectors) and NULL means
             # are excluded from the update — the cell keeps its previous
             # centroid instead of crashing float(None) (r11 review)
             if r["cell"] is not None
-            and all(r[f"c{i}"] is not None for i in range(len(centroids[0])))
+            and all(r[f"c{i}"] is not None for i in range(dim))
         }
         centroids = [by_cell.get(c, centroids[c]) for c in range(len(centroids))]
     return centroids
@@ -205,19 +216,19 @@ def assign_ivf_cells(
       becomes O(k*d) scalar ops — the measured wall in SCALE.md probe I.
     """
     if len(centroids) <= IVF_ASSIGN_CODEGEN_MAX_CELLS:
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col),
-                        F.array(*[F.lit(float(x)) for x in c]),
-                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
+        from mwas_rfam_spark.functions.sqlexpr import sql_double_array, sql_sq_l2
+
+        # parsed-SQL distance array: the per-centroid Column build
+        # (k x d literals + two lambdas each) cost ~0.7 s of driver
+        # time per call at k=8, d=64 (functions/sqlexpr.py rationale);
+        # the parsed tree is byte-identical (cross-checked)
+        dists = F.expr(
+            "array("
+            + ", ".join(
+                sql_sq_l2(vec_col, sql_double_array(float(x) for x in c))
                 for c in centroids
-            ]
+            )
+            + ")"
         )
         # NaN-element guard: every distance is NaN for such a vector and
         # array_position(dists, array_min) MATCHES NaN (Spark's NaN ==
