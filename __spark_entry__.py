@@ -103,11 +103,25 @@ def _mwas_stats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # planning stops re-running Catalyst over the condense tree
     # (25-40% of this query's wall at sf0.1; SCALE.md).
     sets_df, ref_df = condense_metadata(meta)
-    sets_df = sets_df.localCheckpoint()
-    ref_df = ref_df.localCheckpoint()
-    rollup = biosample_rollup(
-        resolve_and_normalize(input_df, catalog_df, cfg)
-    ).localCheckpoint()
+    # the three pinned chains are independent; each eager localCheckpoint
+    # is a blocking job, so overlap them (guide §2.6 — actions are only
+    # sequential because the driver calls them sequentially). Results are
+    # byte-identical; only job scheduling changes.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fut_sets = pool.submit(sets_df.localCheckpoint)
+        fut_ref = pool.submit(ref_df.localCheckpoint)
+        fut_roll = pool.submit(
+            lambda: biosample_rollup(
+                resolve_and_normalize(input_df, catalog_df, cfg)
+            ).localCheckpoint()
+        )
+        sets_df, ref_df, rollup = (
+            fut_sets.result(),
+            fut_ref.result(),
+            fut_roll.result(),
+        )
     return cohort_stats(rollup, sets_df, ref_df, cfg)
 
 
@@ -702,8 +716,12 @@ def q_condense_sets(spark, sf_dir):
     factor cohorts → minority encoding → signature dedup) surfaced as its
     own relation."""
     meta = mwas_metadata_long_from_customer(spark, sf_dir)
-    sets_df, ref_df = condense_metadata(meta)
-    return sets_df.join(ref_df.select("bioproject", "n"), "bioproject").select(
+    # carry_n replaces the sets ⋈ ref output join: every sets row already
+    # joined ref at the pruning stage, so re-joining only re-aggregated
+    # the biosample universe a second time (plan audit r13: the ref
+    # subtree + melt scan appeared twice, no exchange reuse)
+    sets_df, _ref_df = condense_metadata(meta, carry_n=True)
+    return sets_df.select(
         "bioproject",
         "attributes",
         F.col("values").alias("set_values"),

@@ -40,13 +40,22 @@ _PANDAS_NA_TOKENS = (
 )
 
 
-def condense_metadata(meta_long: DataFrame, min_biosamples: int = 3) -> tuple[DataFrame, DataFrame]:
+def condense_metadata(
+    meta_long: DataFrame, min_biosamples: int = 3, carry_n: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """Condense long-form metadata into distinct (attribute,value) cohort sets.
 
     Args:
         meta_long: (bioproject, biosample_id, attribute, attr_pos, value).
         min_biosamples: BioProjects with fewer valid biosamples are dropped
             (reference converter_.py:38-41 skips metadata with <= 2 rows).
+        carry_n: append ref's per-bioproject biosample count as a trailing
+            ``n`` column on sets_df (one extra long per row — it is already
+            joined in at the pruning stage). Consumers that only need
+            (sets ⋈ ref.n) skip re-joining ref, which would otherwise
+            re-aggregate the whole biosample universe a second time in the
+            same plan (no exchange reuse: the two ref subtrees project
+            differently).
 
     Returns:
         (sets_df, ref_df) where sets_df is METADATA_SETS_SCHEMA-shaped
@@ -107,6 +116,7 @@ def condense_metadata(meta_long: DataFrame, min_biosamples: int = 3) -> tuple[Da
     # side, include=True iff the stored side is the true cohort
     encoded = pruned.select(
         "bioproject",
+        *(["n"] if carry_n else []),
         "attr_pos",
         F.regexp_replace("attribute", ";", ":").alias("attribute"),
         F.regexp_replace("value", ";", ":").alias("value"),
@@ -129,6 +139,9 @@ def condense_metadata(meta_long: DataFrame, min_biosamples: int = 3) -> tuple[Da
             ).alias("labels"),
             F.first("members").alias("members"),
             F.first("include").alias("include"),
+            # n is constant per bioproject, so first() under the
+            # (bioproject, set_id) grouping reproduces the join value
+            *([F.first("n").alias("n")] if carry_n else []),
         )
         .select(
             "bioproject",
@@ -141,6 +154,7 @@ def condense_metadata(meta_long: DataFrame, min_biosamples: int = 3) -> tuple[Da
             ),
             "members",
             "include",
+            *(["n"] if carry_n else []),
         )
     )
     return sets_df, ref_df

@@ -755,10 +755,34 @@ def run_mwas(
     be re-queried cheaply; call :func:`release_mwas_persists` once the
     output is written to let them be freed.
     """
-    resolved = _materialize(resolve_and_normalize(input_df, catalog_df, cfg), cfg)
-    rollup = _materialize(biosample_rollup(resolved), cfg)
-    sets_df = _materialize(sets_df, cfg)
-    ref_df = _materialize(ref_df, cfg)
+    if cfg.use_local_checkpoint:
+        # The three pinned chains are independent (resolved→rollup reads
+        # input+catalog; sets/ref read the metadata relation), but each
+        # eager localCheckpoint is a blocking job — run serially the
+        # cluster idles through three job tails. Overlap them from a
+        # small thread pool (guide §2.6: actions are only sequential
+        # because the driver calls them sequentially); results are
+        # byte-identical, only job scheduling changes.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _chain_rollup() -> tuple[DataFrame, DataFrame]:
+            resolved = _materialize(
+                resolve_and_normalize(input_df, catalog_df, cfg), cfg
+            )
+            return resolved, _materialize(biosample_rollup(resolved), cfg)
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            fut_roll = pool.submit(_chain_rollup)
+            fut_sets = pool.submit(_materialize, sets_df, cfg)
+            fut_ref = pool.submit(_materialize, ref_df, cfg)
+            resolved, rollup = fut_roll.result()
+            sets_df = fut_sets.result()
+            ref_df = fut_ref.result()
+    else:
+        resolved = _materialize(resolve_and_normalize(input_df, catalog_df, cfg), cfg)
+        rollup = _materialize(biosample_rollup(resolved), cfg)
+        sets_df = _materialize(sets_df, cfg)
+        ref_df = _materialize(ref_df, cfg)
     skip_flags = group_skip_flags(resolved, cfg)
     stats_df = _materialize(cohort_stats(rollup, sets_df, ref_df, cfg), cfg)
     # settle-before-fanout (persist fallback only): the three test
