@@ -173,6 +173,14 @@ def _shingle_index(
         F.count("*").alias("sz"),
     ).localCheckpoint()
 
+    # every downstream pass (df counts — incl. the auto_max_df probe —
+    # and the ranked index) re-derives the shingle relation by EXPLODING
+    # the pinned per-doc arrays: shingles are distinct per doc, so this
+    # is exactly word_shingles' output without re-scanning and
+    # re-tokenizing the corpus once per consumer (r13 opt round: the
+    # tokenize+scan ran 2-3× per index build)
+    sh = doc_sets.select("id", F.explode("shingles").alias("shingle"))
+
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     if isinstance(max_df, str):
         if max_df != "auto":
