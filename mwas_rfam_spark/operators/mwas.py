@@ -784,12 +784,17 @@ def run_mwas(
         sets_df = _materialize(sets_df, cfg)
         ref_df = _materialize(ref_df, cfg)
     skip_flags = group_skip_flags(resolved, cfg)
-    stats_df = _materialize(cohort_stats(rollup, sets_df, ref_df, cfg), cfg)
-    # settle-before-fanout (persist fallback only): the three test
-    # branches (t / permutation / skipped) otherwise race to compute the
-    # shared upstream concurrently inside one action, each filling the
-    # caches it finds empty (measured ~2× end-to-end). localCheckpoint
-    # is already eager, so no extra pass is needed there.
+    # stats_df has exactly ONE consumer — run_tests' `base`, which is
+    # itself materialized right after joining in the skip flags — so a
+    # separate stats materialization is a redundant extra job wave (plan
+    # compile + codegen + write + read of the same rows `base` pins
+    # moments later; measured ~0.5 s of the mwas_full wall at sf0.1,
+    # r13 opt round). The checkpoint path lets `base`'s checkpoint
+    # compute cohort_stats inline; the persist fallback keeps the
+    # explicit settle (its lazy caches would otherwise race in the
+    # three-branch fan-out).
+    stats_df = cohort_stats(rollup, sets_df, ref_df, cfg)
     if not cfg.use_local_checkpoint:
+        stats_df = _materialize(stats_df, cfg)
         stats_df.count()
     return run_tests(stats_df, rollup, ref_df, skip_flags, cfg)
