@@ -106,11 +106,16 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: s
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
     )
-    return (
-        toked.select("id", F.explode(F.array_distinct(shingle)).alias("shingle"))
-        .where(F.col("shingle") != "")
-        .distinct()
-    )
+    # (id, shingle) is already distinct here: array_distinct dedups
+    # WITHIN the doc before the explode, and id is constant per doc —
+    # the .distinct() this returned through r13 was a redundant full
+    # exchange + two hash aggregates over the exploded relation in
+    # EVERY shingle consumer (plan audit, r13 opt round: sql-node dump
+    # showed HashAggregate×2 at 260k rows ahead of doc_sets' own
+    # aggregation with identical row counts in and out)
+    return toked.select(
+        "id", F.explode(F.array_distinct(shingle)).alias("shingle")
+    ).where(F.col("shingle") != "")
 
 
 #: auto stop-shingle policy: engage only when the corpus is low-vocab
