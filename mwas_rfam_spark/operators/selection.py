@@ -181,9 +181,18 @@ def importance_weights(
     # read parameter-sized state instead of re-featurizing the corpora
     # per consumer — one pass over the target, two over raw (the per-doc
     # reduction re-derives the occurrence stream; at 100 TB recomputing
-    # that projection beats caching a data-sized relation)
-    q = _bucket_counts(occ_raw).localCheckpoint()
-    p = _bucket_counts(occ_tgt).localCheckpoint()
+    # that projection beats caching a data-sized relation).
+    # The two count chains read DIFFERENT corpora and share nothing, but
+    # each eager localCheckpoint is a blocking job — overlap them from a
+    # 2-thread pool (guide §2.6: actions are only sequential because the
+    # driver calls them sequentially; same move as run_mwas's pinned
+    # chains). Results are byte-identical, only job scheduling changes.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_q = pool.submit(lambda: _bucket_counts(occ_raw).localCheckpoint())
+        fut_p = pool.submit(lambda: _bucket_counts(occ_tgt).localCheckpoint())
+        q, p = fut_q.result(), fut_p.result()
     # two scalars — the only driver-side values in the whole operator
     tot_q = q.agg(F.sum("c")).collect()[0][0] or 0
     tot_p = p.agg(F.sum("c")).collect()[0][0] or 0
