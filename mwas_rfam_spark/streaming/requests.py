@@ -1415,7 +1415,24 @@ def _authoritative_state_rows(spark: SparkSession, state_dir: str) -> DataFrame:
     root = jvm.org.apache.hadoop.fs.Path(state_dir)
     fs = root.getFileSystem(conf)
     df = spark.read.option("mergeSchema", "true").parquet(state_dir)
-    ids = [r["ingest_batch"] for r in df.select("ingest_batch").distinct().collect()]
+    # the candidate bars are the ingest_batch PARTITION ids — directory
+    # names, not data. The r13-and-earlier form learned them with
+    # .select("ingest_batch").distinct().collect(): a full Spark job
+    # over the state scan (one task per state file + a shuffle) per
+    # READ, purely to enumerate directories — at production state sizes
+    # that job is state-sized. One driver-side listing on the
+    # filesystem handle we already hold is O(#partitions) and sees the
+    # same ids (only NEGATIVE ids are consulted below, and a frozen
+    # dir's authority is decided by its _SUCCESS marker exactly as
+    # before: a listed-but-partial frozen dir fails the marker check
+    # the same way a read-but-partial one did; r13 opt round).
+    ids = []
+    for st in fs.listStatus(root):
+        nm = st.getPath().getName()
+        if nm.startswith("ingest_batch="):
+            suffix = nm.split("=", 1)[1]
+            if suffix.lstrip("-").isdigit():  # skip e.g. HIVE_DEFAULT
+                ids.append(int(suffix))
     neg = sorted(i for i in ids if i < 0)  # deepest first
     if neg:
         bar = None
