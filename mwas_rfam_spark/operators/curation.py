@@ -8,9 +8,10 @@ redaction and epoch shuffle-sharding last (only rows that will ship).
 
 Every stage reuses an independently oracle-verified operator
 (text_profile/repetition gates, dedup_first_seen's window-min rule,
-text.decontaminate, text.redact_pii, plans/sampling.shuffle_shard), so
-the composition adds no new semantics — only the order and the
-mark-vs-filter accounting.
+text.contaminated_ids — the decision core of text.decontaminate, same
+flag semantics, minus its zero-fill pass over the corpus —
+text.redact_pii, plans/sampling.shuffle_shard), so the composition adds
+no new semantics — only the order and the mark-vs-filter accounting.
 """
 
 from __future__ import annotations
@@ -20,7 +21,7 @@ from pyspark.sql import functions as F
 
 from mwas_rfam_spark.operators.dedup import normalize_text
 from mwas_rfam_spark.operators.text import (
-    decontaminate,
+    contaminated_ids,
     lang_id,
     redact_pii,
     token_count,
@@ -266,10 +267,21 @@ def curate_corpus(
 
     survivors = base.where(F.col("_q_ok") & ~F.col("_dup"))
     if benchmark is not None:
-        flags = decontaminate(
+        # decision-only decontamination (contaminated_ids): the full
+        # decontaminate report zero-fills shingle-less docs via a
+        # train.select(id).distinct() pass, which in this composed plan
+        # was a THIRD full execution of the corpus subtree (scan +
+        # quality gates + dedup window; the three subtrees prune
+        # different columns, so exchange reuse can't fire — plan audit,
+        # r14 opt round). Only the flag is consumed here, and the left
+        # join's coalesce(False) reproduces the zero-fill exactly: a
+        # doc absent from the flag relation (no shingles, or below
+        # threshold) is not contaminated — the same rows decontaminate
+        # marks False (parity-pinned by tests/test_curation_parity.py).
+        flags = contaminated_ids(
             survivors, benchmark, n=decontam_n, threshold=decontam_threshold,
             text_col=text_col, id_col=id_col,
-        ).select(id_col, F.col("contaminated").alias("_decon_flag"))
+        ).withColumn("_decon_flag", F.lit(True))
         # private name: a caller-owned 'contaminated' column (the
         # decontaminate output being re-curated) made this join
         # ambiguous (r12 review finding)

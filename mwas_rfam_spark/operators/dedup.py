@@ -79,7 +79,17 @@ def _fp_ceil(x):
 
 
 def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+    """Word n-gram shingles per document: (id, shingle) rows, distinct
+    per UNIQUE doc id.
+
+    CONTRACT: ``id_col`` must be unique per input row. The output is
+    distinct by construction (array_distinct dedups within the doc, the
+    id is constant per doc) — r13 removed the redundant trailing
+    ``.distinct()`` (a full extra Exchange + HashAggregate pair in every
+    shingle consumer) on exactly this precondition. An input carrying
+    the same id on two rows emits that id's shingles once PER ROW, which
+    inflates every downstream df/sz/overlap count; dedupe ids upstream
+    (every current caller passes a primary-key id).
 
     Built with split + transform (higher-order functions, JVM-side); the
     explode is the scalable long form feeding the inverted index.
@@ -545,17 +555,31 @@ def minhash_lsh_pairs_md5(
     # skew goes to AQE skew-split like any join).
     # hash/min expressions as parsed SQL strings (py4j construction cost
     # — see simhash64's rationale, r13 opt round)
+    #
+    # The per-doc min aggregates over the 16-BYTE unhex'd digests, not
+    # the 32-char hex strings (r14 opt round, guide §2.3 narrower
+    # types): fixed-length lowercase hex is order-isomorphic to the
+    # underlying bytes (nibble order == character order), so
+    # min(unhex(h)) == unhex(min(h)) exactly — the hex signature
+    # reconstructed AFTER the aggregate (lower(hex(...)); Spark's hex()
+    # is uppercase, md5's output lowercase) is byte-identical to the
+    # old one, and everything downstream (band-bucket md5s, slot
+    # equality) is pinned unchanged by the oracle. min over a
+    # variable-width type is a SortAggregate either way; halving the
+    # value bytes halves the join expansion + sort/partial-agg state of
+    # the query's dominant stage.
     hs = [
-        F.expr(f"md5(concat_ws('|', shingle, '{i}'))").alias(f"h{i}")
+        F.expr(f"unhex(md5(concat_ws('|', shingle, '{i}')))").alias(f"h{i}")
         for i in range(num_hashes)
     ]
     shingle_hashes = sh.select("shingle").distinct().select("shingle", *hs)
     mins = [F.expr(f"min(h{i})").alias(f"h{i}") for i in range(num_hashes)]
+    hex_sig = ", ".join(f"lower(hex(h{i}))" for i in range(num_hashes))
     sigs = (
         sh.join(shingle_hashes, "shingle")
         .groupBy("id")
         .agg(*mins)
-        .select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+        .select("id", F.expr(f"array({hex_sig})").alias("sig"))
         # checkpoint: the signature relation must not re-plan/re-run per consumer
         .localCheckpoint()
     )

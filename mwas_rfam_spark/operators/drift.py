@@ -113,11 +113,19 @@ def baseline_quantile_bucket(
     return edges, bucket
 
 
-def _two_level_cumsum(per_value: DataFrame, value_col: str, partitions: int) -> DataFrame:
+def _two_level_cumsum(
+    per_value: DataFrame, value_col: str, partitions: int, with_totals: bool = False
+):
     """Exact cumulative sums of cnt_a / cnt_b in ``value_col`` order
     without a global single-task window: local window inside each range
     partition + broadcast prefix offsets (one collected row per
-    partition)."""
+    partition).
+
+    ``with_totals=True`` returns ``(cums, n_a, n_b)`` — the grand
+    totals fall out of the per-partition offsets collected here anyway,
+    so a caller that needs them (ks_drift's side totals) skips its own
+    separate aggregation job over the input (r14 opt round, guide §5
+    driver/job-count)."""
     ranged = per_value.repartitionByRange(partitions, value_col).withColumn(
         "__pid", F.spark_partition_id()
     )
@@ -152,11 +160,14 @@ def _two_level_cumsum(per_value: DataFrame, value_col: str, partitions: int) -> 
 
     spark = per_value.sparkSession
     off_df = spark.createDataFrame(offsets, "__pid int, off_a long, off_b long")
-    return local.join(F.broadcast(off_df), "__pid").select(
+    cums = local.join(F.broadcast(off_df), "__pid").select(
         value_col,
         (F.col("loc_a") + F.col("off_a")).alias("cum_a"),
         (F.col("loc_b") + F.col("off_b")).alias("cum_b"),
     )
+    if with_totals:
+        return cums, acc_a, acc_b
+    return cums
 
 
 def ks_drift(
@@ -182,22 +193,23 @@ def ks_drift(
     tagged = a.withColumn("__is_a", F.lit(1)).unionByName(
         b.withColumn("__is_a", F.lit(0))
     )
-    # lazy checkpoint: the totals agg below and _two_level_cumsum's
-    # ranged relation both consume this reduced relation — without it
+    # lazy checkpoint: _two_level_cumsum's ranged relation and its
+    # sampling pass both consume this reduced relation — without it
     # the union+groupBy over both corpora ran twice per call (r12
     # review finding)
     per_value = tagged.groupBy("v").agg(
         F.sum("__is_a").alias("cnt_a"),
         F.sum(1 - F.col("__is_a")).alias("cnt_b"),
     ).localCheckpoint(eager=False)
-    # totals as driver scalars (two numbers), folded in as literals —
-    # never an all-rows window (that would be one task)
-    n_a, n_b = per_value.agg(F.sum("cnt_a"), F.sum("cnt_b")).first()
-    n_a, n_b = int(n_a or 0), int(n_b or 0)
+    # side totals as driver scalars (two numbers), folded in as
+    # literals — never an all-rows window (that would be one task), and
+    # not a separate aggregation job either: they fall out of the
+    # per-partition offsets the cumsum collects anyway (r14 opt round —
+    # one full job removed per watched numeric column)
+    cums, n_a, n_b = _two_level_cumsum(per_value, "v", partitions, with_totals=True)
+    n_a, n_b = int(n_a), int(n_b)
     if n_a == 0 or n_b == 0:
         raise ValueError(f"ks_drift needs non-empty sides, got n_a={n_a}, n_b={n_b}")
-
-    cums = _two_level_cumsum(per_value, "v", partitions)
     gap = cums.select(
         "v",
         F.abs(F.col("cum_a") / F.lit(n_a) - F.col("cum_b") / F.lit(n_b)).alias("gap"),

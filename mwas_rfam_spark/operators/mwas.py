@@ -349,6 +349,93 @@ def _make_grouped_permutation_fn(n_resamples: int, base_seed: int):
     return kernel
 
 
+#: permutation-wave Python boundary: Arrow-native cogroup (Spark 4
+#: ``applyInArrow``) by default — the kernel is pure numpy over the
+#: group's arrays, so the pandas DataFrame construction/teardown per
+#: group (both cogroup sides + the result frame) was pure overhead on
+#: top of the Arrow batches that cross the boundary either way
+#: (guide §4; r14 probe: tools/probe_perm_arrow.py). Env knob for the
+#: probe's A/B and as an escape hatch; the pandas twin stays the
+#: fallback on any Spark without cogrouped applyInArrow.
+def _perm_use_arrow() -> bool:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_PERM_ARROW", "1") != "0"
+
+
+def _make_grouped_permutation_arrow_fn(n_resamples: int, base_seed: int):
+    """Arrow-native twin of :func:`_make_grouped_permutation_fn` for
+    ``cogroup(...).applyInArrow`` — identical statistics by
+    construction (same seed derivation, same pooled-vector assembly,
+    same numpy kernel on the same float64 arrays); only the
+    batch↔Python conversion differs (pyarrow column views instead of
+    pandas frames). Telemetry semantics match the pandas twin: elapsed
+    is measured from after the empty check, amortized per set row."""
+    import hashlib
+
+    def kernel(key: tuple, left, right):
+        import time
+
+        import pyarrow as pa
+
+        if left.num_rows == 0 or right.num_rows == 0:
+            return pa.table(
+                {
+                    "bio_project": pa.array([], pa.string()),
+                    "group": pa.array([], pa.string()),
+                    "set_id": pa.array([], pa.string()),
+                    "stat": pa.array([], pa.float64()),
+                    "p": pa.array([], pa.float64()),
+                    "kernel_seconds": pa.array([], pa.float64()),
+                    "kernel_bytes": pa.array([], pa.int64()),
+                }
+            )
+        t0 = time.perf_counter()
+        bp = key[0].as_py()
+        group = key[1].as_py()
+        seed_hex = hashlib.sha256(f"{bp}|{group}".encode()).hexdigest()[:15]
+        seed = (int(seed_hex, 16) ^ base_seed) & 0x7FFFFFFFFFFFFFFF
+        n_xs = np.asarray(
+            left.column("n_true").to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        n_tot = int(n_xs[0]) + int(left.column("n_false")[0].as_py())
+        # ListScalar.values: the row's flat double array, no Python list
+        obs = np.asarray(
+            right.column("obs_rpm")[0].values.to_numpy(zero_copy_only=False),
+            dtype=np.float64,
+        )
+        pooled = np.zeros(n_tot, dtype=np.float64)
+        pooled[: obs.shape[0]] = obs
+        pooled = np.sort(pooled)
+        observeds = np.asarray(
+            left.column("observed").to_numpy(zero_copy_only=False), dtype=np.float64
+        )
+        ps = grouped_permutation_mean_diff(
+            pooled, n_xs, observeds, n_resamples, np.random.default_rng(seed)
+        )
+        elapsed = (time.perf_counter() - t0) / max(left.num_rows, 1)
+        chunk = perm_chunk_rows(n_resamples, n_tot)
+        kernel_bytes = int(chunk * n_tot * 8)
+        m = left.num_rows
+        return pa.table(
+            {
+                "bio_project": left.column("bio_project"),
+                "group": left.column("group"),
+                "set_id": left.column("set_id"),
+                "stat": left.column("observed"),
+                "p": pa.array(ps, type=pa.float64()),
+                "kernel_seconds": pa.array(
+                    np.full(m, elapsed, dtype=np.float64)
+                ),
+                "kernel_bytes": pa.array(
+                    np.full(m, kernel_bytes, dtype=np.int64)
+                ),
+            }
+        )
+
+    return kernel
+
+
 def _welch_columns(df: DataFrame) -> DataFrame:
     """Closed-form Welch t statistic + Welch–Satterthwaite df in Spark SQL
     (identical formulas to scipy.stats.ttest_ind_from_stats(equal_var=False),
@@ -543,7 +630,6 @@ def run_tests(
     # layout packs several CPU-heavy groups per partition and AQE keeps
     # that skew (bytes are tiny; the cost is compute, which AQE can't see).
     n_part = max(stats_df.sparkSession.sparkContext.defaultParallelism * 2, 8)
-    kernel = _make_grouped_permutation_fn(cfg.permutation_resamples, cfg.permutation_seed)
     # fresh attribute ids on the values side: both cogroup sides trace
     # to the rollup, and flatMapCoGroupsInPandas (unlike a name-list
     # join) has no disambiguation rule for shared-lineage columns;
@@ -553,7 +639,7 @@ def run_tests(
         F.col("group").alias("__gv_g"),
         "obs_rpm",
     )
-    perm_res = (
+    cogrouped = (
         pm.repartition(n_part, "bio_project", "group")
         .groupBy("bio_project", "group")
         .cogroup(
@@ -561,8 +647,24 @@ def run_tests(
                 "__gv_bp", "__gv_g"
             )
         )
-        .applyInPandas(kernel, _PERM_GROUP_RESULT)
     )
+    # Arrow-native kernel by default (identical statistics, less
+    # per-group conversion overhead — see _perm_use_arrow); pandas twin
+    # kept as the fallback/escape hatch
+    if _perm_use_arrow() and hasattr(cogrouped, "applyInArrow"):
+        perm_res = cogrouped.applyInArrow(
+            _make_grouped_permutation_arrow_fn(
+                cfg.permutation_resamples, cfg.permutation_seed
+            ),
+            _PERM_GROUP_RESULT,
+        )
+    else:
+        perm_res = cogrouped.applyInPandas(
+            _make_grouped_permutation_fn(
+                cfg.permutation_resamples, cfg.permutation_seed
+            ),
+            _PERM_GROUP_RESULT,
+        )
     perm_done = (
         perm_base.join(perm_res, ["bio_project", "group", "set_id"], "left")
         .withColumn("test_statistic", F.col("stat"))

@@ -497,6 +497,51 @@ def repetition_profile(
     )
 
 
+def contaminated_ids(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    threshold: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """The decision-only core of :func:`decontaminate`: one (id) row per
+    training document whose distinct-shingle contamination fraction is
+    ``>= threshold`` — documents with no shingles never flag, exactly as
+    decontaminate's ``contaminated`` column (its ``n_shingles > 0`` gate
+    is implied here: the aggregate only sees docs with at least one
+    shingle row).
+
+    Exists for composed pipelines that only consume the boolean flag
+    (``curate_corpus``): decontaminate's full per-doc report relation
+    needs a ``train.select(id).distinct()`` zero-fill pass, which in a
+    composed plan is a THIRD full execution of the upstream corpus
+    subtree (scan + quality gates + dedup window — plan-audited, r14 opt
+    round; column pruning makes the three subtrees non-reusable
+    exchanges). Flag consumers left-join this relation and coalesce the
+    miss to False, which reproduces decontaminate's zero-fill without
+    re-running the corpus (guide §2.4)."""
+    from mwas_rfam_spark.operators.dedup import word_shingles
+
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    tr = word_shingles(train, n, text_col, id_col)
+    bench = word_shingles(benchmark, n, text_col, id_col).select("shingle").distinct()
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    marked = tr.join(bench.withColumn("hit", F.lit(1)), "shingle", "left")
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_contaminated"),
+        )
+        .where(F.col("n_contaminated") / F.col("n_shingles") >= threshold)
+        .select(F.col("id").alias(id_col))
+    )
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,

@@ -66,7 +66,20 @@ def ensure_epoch_nanos(spark: SparkSession, df: DataFrame, col: str = "ts") -> D
 #: unexecuted reader plan, so every action still scans the parquet
 #: inputs in full. Keyed by applicationId so a new session (fresh JVM /
 #: restarted context) re-infers from the files.
+#:
+#: Staleness caveat (r13 ADVICE): the memoized reader pins the file
+#: index and inferred schema at FIRST load — files regenerated or added
+#: under the same sf_dir within one Spark application are not seen (and
+#: actions can fail on deleted files), where per-call spark.read.parquet
+#: re-listed every time. Tests/benches that rewrite testdata in-session
+#: must call :func:`invalidate_load_memo` after the rewrite.
 _LOAD_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def invalidate_load_memo() -> None:
+    """Drop every memoized reader so the next load() re-lists and
+    re-infers from the files (see the staleness caveat on _LOAD_MEMO)."""
+    _LOAD_MEMO.clear()
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -9,6 +9,8 @@ demonstrating watermark/window semantics over the events table shape.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -679,6 +681,75 @@ def last_committed_batch(spark: SparkSession, checkpoint_dir: str) -> int | None
     return best
 
 
+#: layout manifest written by the per-batch state COMPACTOR at the state
+#: dir root (underscore-prefixed: Spark's file index ignores it as a
+#: metadata file). Stamps the dir's merged schema (DDL) plus the
+#: compaction watermark it covers, so readers can skip the per-read
+#: O(#files) ``mergeSchema`` footer scan: partitions at or below the
+#: watermark are schema-covered by the stamp; only the raw tail written
+#: SINCE the compaction (usually a handful of partitions, zero right
+#: after compaction) still needs a footer merge — which preserves the
+#: mid-stream schema-upgrade contract exactly (an upgraded tail batch's
+#: new columns still surface). Readers fall back to the full footer
+#: merge when the manifest is absent or unreadable (r14 opt round,
+#: guide §6 file listing / table-format manifests).
+_LAYOUT_MANIFEST = "_layout_manifest.json"
+
+
+def _write_layout_manifest(spark: SparkSession, state_dir: str, covers_up_to: int) -> None:
+    """Stamp the state dir's CURRENT merged schema + watermark. One
+    mergeSchema footer pass at compaction time buys every subsequent
+    read out of its own; written tmp-then-rename so readers never see a
+    torn manifest, and best-effort (a failure just leaves readers on
+    the footer-merge path)."""
+    import json
+
+    try:
+        schema_json = (
+            spark.read.option("mergeSchema", "true").parquet(state_dir).schema.json()
+        )
+        blob = json.dumps(
+            {"version": 1, "covers_up_to": covers_up_to, "schema_json": schema_json}
+        ).encode()
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        final = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/{_LAYOUT_MANIFEST}")
+        tmp = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/.{_LAYOUT_MANIFEST}.tmp")
+        fs = final.getFileSystem(conf)
+        out = fs.create(tmp, True)
+        out.write(bytearray(blob))
+        out.close()
+        if fs.exists(final):
+            fs.delete(final, False)
+        fs.rename(tmp, final)
+    except Exception:
+        pass
+
+
+def _read_layout_manifest(spark: SparkSession, fs, jvm, state_dir: str) -> dict | None:
+    """Best-effort manifest read; None (→ footer-merge path) on any
+    absence or failure."""
+    import json
+
+    try:
+        p = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/{_LAYOUT_MANIFEST}")
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            data = bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+        m = json.loads(data.decode())
+        if m.get("version") != 1 or "schema_json" not in m or "covers_up_to" not in m:
+            return None
+        return m
+    except Exception:
+        return None
+
+
 def _compact_batch_state(
     spark: SparkSession,
     state_dir: str,
@@ -791,6 +862,12 @@ def _compact_batch_state(
         merge_write(src_rows, f"{state_dir}/ingest_batch={target_id}")
     for bid in subsumed + fold:
         fs.delete(_part(bid), True)
+    # stamp the layout manifest LAST (after the sources are gone, so the
+    # stamped schema is the post-compaction dir's); a crash anywhere
+    # above just leaves the previous (or no) manifest — readers of an
+    # un-stamped or stale-stamped dir fall back to / tail-merge footers,
+    # so the stamp is pure optimization, never authority
+    _write_layout_manifest(spark, state_dir, up_to_batch)
     return len(subsumed) + len(fold)
 
 
@@ -1399,6 +1476,54 @@ def compact_eval_state(
     return _compact_batch_state(spark, state_dir, up_to_batch, merge_write)
 
 
+def _read_state_with_manifest(
+    spark: SparkSession, fs, jvm, state_dir: str, ids: list[int]
+) -> DataFrame:
+    """The state-dir scan behind :func:`_authoritative_state_rows`:
+    explicit-schema read when the compactor's layout manifest covers the
+    dir (no footer inference at all), manifest + tail-footer merge when
+    raw batches landed since the compaction (only THOSE partitions'
+    footers are opened — the mid-stream schema-upgrade contract: an
+    upgraded tail batch's new columns still surface, typed from its own
+    footers), and the full ``mergeSchema`` footer merge when no usable
+    manifest exists. Any inconsistency (unparsable manifest, a tail
+    column re-typed vs the stamp) falls back to the full footer merge —
+    the manifest is an optimization, never authority."""
+    m = _read_layout_manifest(spark, fs, jvm, state_dir)
+    if m is not None:
+        import json
+
+        try:
+            base_schema = T.StructType.fromJson(json.loads(m["schema_json"]))
+            covers = int(m["covers_up_to"])
+            # covered: raw ids at/below the stamped watermark, frozen ids
+            # whose bar is at/below it (frozen -k holds batches <= k-1)
+            tail = [
+                i for i in ids if not (i <= covers if i >= 0 else (-i - 1) <= covers)
+            ]
+            if not tail:
+                return spark.read.schema(base_schema).parquet(state_dir)
+            tail_paths = [f"{state_dir}/ingest_batch={i}" for i in tail]
+            tail_schema = (
+                spark.read.option("mergeSchema", "true")
+                .option("basePath", state_dir)
+                .parquet(*tail_paths)
+                .schema
+            )
+            by_name = {f.name: f for f in base_schema.fields}
+            merged = list(base_schema.fields)
+            for f in tail_schema.fields:
+                have = by_name.get(f.name)
+                if have is None:
+                    merged.append(f)
+                elif have.dataType != f.dataType:
+                    raise ValueError("tail column re-typed vs manifest stamp")
+            return spark.read.schema(T.StructType(merged)).parquet(state_dir)
+        except Exception:
+            pass
+    return spark.read.option("mergeSchema", "true").parquet(state_dir)
+
+
 def _authoritative_state_rows(spark: SparkSession, state_dir: str) -> DataFrame:
     """Read a per-batch SUM-folded state dir applying the deepest-
     complete-frozen-bar rule (the crash-consistency contract
@@ -1408,13 +1533,14 @@ def _authoritative_state_rows(spark: SparkSession, state_dir: str) -> DataFrame:
     partitions, and partial (_SUCCESS-less) frozen writes are excluded,
     so a SUM reader folds each ingested row exactly once even racing or
     following a crashed compaction. Shared by every linear-counter
-    state family (count-min, per-score eval counts); read with
-    mergeSchema so mid-stream schema upgrades surface their columns."""
+    state family (count-min, per-score eval counts); mid-stream schema
+    upgrades surface their columns either via the compactor's layout
+    manifest + tail-footer merge or, absent a manifest, the full
+    mergeSchema footer read (:func:`_read_state_with_manifest`)."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(state_dir)
     fs = root.getFileSystem(conf)
-    df = spark.read.option("mergeSchema", "true").parquet(state_dir)
     # the candidate bars are the ingest_batch PARTITION ids — directory
     # names, not data. The r13-and-earlier form learned them with
     # .select("ingest_batch").distinct().collect(): a full Spark job
@@ -1431,8 +1557,13 @@ def _authoritative_state_rows(spark: SparkSession, state_dir: str) -> DataFrame:
         nm = st.getPath().getName()
         if nm.startswith("ingest_batch="):
             suffix = nm.split("=", 1)[1]
-            if suffix.lstrip("-").isdigit():  # skip e.g. HIVE_DEFAULT
+            # strict int syntax only (r13 ADVICE): isdigit() admits
+            # strings int() rejects ('--5', unicode digits), turning an
+            # unexpected directory name into a reader crash instead of
+            # a skip like __HIVE_DEFAULT_PARTITION__
+            if re.fullmatch(r"-?\d+", suffix, flags=re.ASCII):
                 ids.append(int(suffix))
+    df = _read_state_with_manifest(spark, fs, jvm, state_dir, ids)
     neg = sorted(i for i in ids if i < 0)  # deepest first
     if neg:
         bar = None

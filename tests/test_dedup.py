@@ -69,6 +69,29 @@ def test_word_shingles_count(docs):
     assert sh.count() >= n_tokens - 4
 
 
+def test_word_shingles_duplicate_id_contract(spark):
+    """The documented unique-id precondition (r13 dropped the redundant
+    post-explode distinct on it): a unique-id input yields distinct
+    (id, shingle) rows; an input repeating the same id on two rows emits
+    that id's shingles once PER ROW — the caller must dedupe ids
+    upstream, word_shingles will not."""
+    one = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    sh_one = word_shingles(one, n=3).collect()
+    assert len(sh_one) == 2  # 4 tokens -> 2 trigrams
+    assert len({(r["id"], r["shingle"]) for r in sh_one}) == 2
+
+    dup = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (1, "alpha beta gamma delta")],
+        ["doc_id", "text"],
+    )
+    sh_dup = word_shingles(dup, n=3).collect()
+    # documented behavior: per-row emission, NOT collapsed per id
+    assert len(sh_dup) == 4
+    assert len({(r["id"], r["shingle"]) for r in sh_dup}) == 2
+
+
 def test_ngram_jaccard_finds_near_dup(docs):
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
     assert pairs[(1, 2)] == 1.0  # exact dup

@@ -1154,6 +1154,84 @@ def test_streaming_eval_counts_auc_matches_batch(spark, tmp_path):
     )
 
 
+def test_eval_state_layout_manifest(spark, tmp_path, monkeypatch):
+    """r14 opt round (guide §6): after compaction the state readers must
+    read via the stamped layout manifest — ZERO per-read mergeSchema
+    footer scans — while a raw batch written after the compaction (the
+    mid-stream schema-upgrade scenario) surfaces its new column through
+    a footer merge of the TAIL partitions only. Manifest deleted →
+    full footer-merge fallback, identical rows."""
+    import glob
+    import shutil
+
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from mwas_rfam_spark.operators.evaluation import per_score_counts
+    from mwas_rfam_spark.streaming.requests import (
+        _LAYOUT_MANIFEST,
+        _authoritative_state_rows,
+        compact_eval_state,
+        eval_state_auc,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, round(0.1 * (i % 10), 1), i % 2) for i in range(100)],
+        "doc_id long, score double, label int",
+    )
+    state = str(tmp_path / "eval_state")
+    for b in range(2):
+        per_score_counts(docs.where(F.col("doc_id") % 2 == b)).write.parquet(
+            f"{state}/ingest_batch={b}"
+        )
+    baseline = eval_state_auc(spark, state).collect()[0]
+
+    assert compact_eval_state(spark, state, up_to_batch=1) == 2
+    assert os.path.exists(os.path.join(state, _LAYOUT_MANIFEST))
+
+    # spy on mergeSchema: the manifest-covered read must not use it
+    merge_calls = []
+    orig_option = DataFrameReader.option
+
+    def spy_option(self, key, value):
+        if str(key) == "mergeSchema":
+            merge_calls.append(value)
+        return orig_option(self, key, value)
+
+    monkeypatch.setattr(DataFrameReader, "option", spy_option)
+    got = eval_state_auc(spark, state).collect()[0]
+    assert merge_calls == []  # zero footer-merge reads with a fresh manifest
+    assert got["auc"] == pytest.approx(baseline["auc"], abs=1e-12)
+    assert (got["n_pos"], got["n_neg"], got["n_null"]) == (
+        baseline["n_pos"], baseline["n_neg"], baseline["n_null"],
+    )
+
+    # mid-stream upgrade AFTER the compaction: new raw batch carries an
+    # extra column — the reader must surface it (tail footer merge only)
+    merge_calls.clear()
+    per_score_counts(docs.where(F.col("doc_id") % 2 == 0)).withColumn(
+        "derivation", F.lit("xx64")
+    ).write.parquet(f"{state}/ingest_batch=2")
+    rows = _authoritative_state_rows(spark, state)
+    assert "derivation" in rows.columns
+    assert len(merge_calls) == 1  # ONE tail merge, not a full-dir scan
+    vals = {r["derivation"] for r in rows.select("derivation").distinct().collect()}
+    assert vals == {None, "xx64"}  # stamped partitions NULL, tail typed
+
+    # manifest deleted → full footer-merge fallback, identical relation
+    merge_calls.clear()
+    os.remove(os.path.join(state, _LAYOUT_MANIFEST))
+    rows_fb = _authoritative_state_rows(spark, state)
+    assert len(merge_calls) == 1
+    assert "derivation" in rows_fb.columns
+    from collections import Counter
+
+    cols = sorted(rows.columns)
+    assert sorted(rows_fb.columns) == cols  # same columns either path
+    assert Counter(map(tuple, rows.select(*cols).collect())) == Counter(
+        map(tuple, rows_fb.select(*cols).collect())
+    )
+
+
 def test_streaming_eval_counts_quantize_bounds_state(spark, tmp_path):
     """quantize= (r10 carry-over task #4): a CONTINUOUS score stream —
     every row a new distinct float — must not grow per-score state with
